@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.model.FirehoseMetric
+import graft.sources.MetricJson
+
+/** Batch/streaming-shared firehose operators: the reference's entire
+  * processing surface re-expressed as declarative DataFrame transforms.
+  *
+  * Reference mapping:
+  *  - per-record `handle(metric)` loop (AbstractFirehose.java:113-131) →
+  *    `groupBy(series).agg(max_by(...))` — Catalyst plans a partial (map-side)
+  *    aggregate, so the shuffle carries at most one row per series per input
+  *    partition; state is bounded by series cardinality, not row count.
+  *  - Guava gauge cache + TTL eviction (AbstractPrometheusFirehose.java:19-29)
+  *    → event-time TTL filter (batch) / state timeout (streaming).
+  *  - `LookupMapper` label remap (LookupMapper.java:20-30) → broadcast hash
+  *    join with identity fallback.
+  */
+object Firehose {
+
+  /** Read the `events` table (TIMESTAMP_NANOS parquet) as nanos-since-epoch
+    * longs. Spark's µs TimestampType cannot represent the column natively;
+    * keeping raw int64 nanos preserves exact event ordering.
+    */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables(spark, dir, "events")
+  }
+
+  private val NanosPerSec = 1000000000L
+
+  /** The synthetic `events` table re-shaped as a metric-JSON firehose: each
+    * event rendered as one metric JSON line exactly shaped like the
+    * reference's payload (FirehoseMetricTest.java:17). This is the engine's
+    * parse-path input generator for batch verification.
+    */
+  def eventsAsMetricJson(events: DataFrame): DataFrame = {
+    events.select(
+      to_json(
+        struct(
+          col("event_id").cast("string").as("id"),
+          concat(col("event_type"), lit("_total")).as("name"),
+          expr("ts div 1000000000").as("timestamp"),
+          lit("app").as("component"),
+          map(
+            lit("user"), col("user_id").cast("string"),
+            lit("unit"), lit("bytes")).as("tags"),
+          col("value").as("value"),
+          struct(
+            (expr("ts div 1000000000") - 60).as("from"),
+            expr("ts div 1000000000").as("to"),
+            lit(60).as("interval")).as("window"))).as("value"))
+  }
+
+  /** events → parsed metric DataFrame (JSON round-trip through the real
+    * parser — the reference's Kafka-bytes→Jackson path, distributed).
+    */
+  def metricsFromEvents(spark: SparkSession, dir: String): DataFrame =
+    MetricJson.parse(eventsAsMetricJson(eventsRaw(spark, dir)))
+
+  /** Reference FirehoseMetric.java:66-75: drop filtered tag keys ("unit")
+    * from the label map. Pure codegen'd map expression.
+    */
+  def tagFilter(metrics: DataFrame, filtered: Set[String] = FirehoseMetric.filteredTags): DataFrame = {
+    val filteredArr = array(filtered.toSeq.map(lit): _*)
+    metrics.withColumn(
+      "labels",
+      map_filter(col("tags"), (k, _) => !array_contains(filteredArr, k)))
+  }
+
+  /** Canonical series identity: sorted `k=v` rendering of the label map.
+    * Spark cannot group by MapType; this is the Prometheus label-tuple
+    * identity as an orderable string, and it's a pure codegen expression.
+    */
+  def seriesKey(labels: Column): Column =
+    array_join(
+      transform(
+        array_sort(map_entries(labels)),
+        e => concat(e.getField("key"), lit("="), e.getField("value"))),
+      ",")
+
+  /** Latest-value-per-series gauge semantics
+    * (AbstractPrometheusFirehose.java:40-51: `Gauge.set(value)` keeps the
+    * last written sample per (name, labels) child).
+    *
+    * `max_by(value, (timestamp, id))` is a map-side-combinable aggregate:
+    * at 100 TB the shuffle carries one candidate row per series per input
+    * partition — state scales with series cardinality only.
+    */
+  def gaugeLatest(metrics: DataFrame): DataFrame = {
+    val labeled =
+      if (metrics.columns.contains("labels")) metrics else tagFilter(metrics)
+    labeled
+      .withColumn("series", seriesKey(col("labels")))
+      .groupBy(col("component"), col("name"), col("series"))
+      .agg(
+        max_by(col("value"), struct(col("timestamp"), col("id"))).as("last_value"),
+        max(col("timestamp")).as("last_ts"))
+  }
+
+  /** LookupMapper.java:20-30 parity: remap one label's values through a
+    * lookup dictionary, keeping the original value when no mapping exists
+    * (identity fallback). The dictionary is a DataFrame joined with
+    * `broadcast()` — at cluster scale this is a map-side hash join, no
+    * shuffle of the metric stream.
+    */
+  def lookupRemap(metrics: DataFrame, label: String, lookup: DataFrame): DataFrame = {
+    // lookup: (from: string, to: string)
+    val lk = broadcast(lookup.select(col("from").as("_lk_from"), col("to").as("_lk_to")))
+    metrics
+      .withColumn("_lbl", col("labels").getItem(label))
+      .join(lk, col("_lbl") === col("_lk_from"), "left")
+      .withColumn(
+        "labels",
+        map_concat(
+          map_filter(col("labels"), (k, _) => k =!= lit(label)),
+          map(lit(label), coalesce(col("_lk_to"), col("_lbl")))))
+      .drop("_lbl", "_lk_from", "_lk_to")
+  }
+
+  /** Tumbling-window aggregation per series — the engine-side version of the
+    * firehose's own `window{from,to,interval}` semantics. Emits exact
+    * (decimal-summed) aggregates so results are order-independent.
+    */
+  def windowAgg(metrics: DataFrame, widthSec: Int = 60): DataFrame =
+    metrics
+      .withColumn("win_start", (col("timestamp") - pmod(col("timestamp"), lit(widthSec.toLong))).cast("long"))
+      .groupBy(col("component"), col("name"), col("win_start"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sum(col("value").cast("decimal(18,2)")).as("_sum_dec"))
+      .withColumn("sum_value", col("_sum_dec").cast("double"))
+      .withColumn("avg_value", col("_sum_dec").cast("double") / col("n"))
+      .drop("_sum_dec")
+
+  /** Prometheus text-exposition rendering (what PrometheusPusher/Puller emit
+    * via the client lib): `component_name{labels} value ts_millis`, one line
+    * per live series, as a pure column expression usable by any sink.
+    */
+  def promRender(gauges: DataFrame): DataFrame =
+    gauges.select(
+      concat(
+        col("component"), lit("_"), col("name"),
+        when(
+          col("series") === lit(""), lit("")).otherwise(
+            concat(
+              lit("{"),
+              regexp_replace(col("series"), lit("=([^,]*)"), lit("=\"$1\"")),
+              lit("}"))),
+        lit(" "),
+        format_string("%.6f", col("last_value")),
+        lit(" "),
+        (col("last_ts") * 1000).cast("string")).as("line"))
+
+  /** Per-series counter rate (value delta / time delta) — the downstream
+    * computation Prometheus performs on scraped gauges; here an engine
+    * operator via `lag` window functions.
+    */
+  def seriesRate(metrics: DataFrame): DataFrame = {
+    val labeled =
+      if (metrics.columns.contains("labels")) metrics else tagFilter(metrics)
+    val w = Window
+      .partitionBy(col("component"), col("name"), col("series"))
+      .orderBy(col("timestamp"), col("id"))
+    labeled
+      .withColumn("series", seriesKey(col("labels")))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("prev_ts", lag(col("timestamp"), 1).over(w))
+      .withColumn(
+        "rate",
+        (col("value") - col("prev_value")) /
+          (col("timestamp") - col("prev_ts")).cast("double"))
+      .select("component", "name", "series", "id", "timestamp", "value", "rate")
+  }
+
+  /** Series-state TTL (AbstractPrometheusFirehose.java:19-29: gauges idle for
+    * 10 minutes are evicted from the registry). Batch form: drop series whose
+    * last sample is older than `ttlSec` before the stream's high-water mark.
+    * The high-water mark is an aggregate scalar broadcast back — no
+    * single-partition window.
+    */
+  def gaugeExpiry(gauges: DataFrame, ttlSec: Long = 600): DataFrame = {
+    val hwm = gauges.agg(max(col("last_ts")).as("_hwm"))
+    gauges
+      .join(broadcast(hwm))
+      .filter(col("last_ts") >= col("_hwm") - lit(ttlSec))
+      .drop("_hwm")
+  }
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The ad-hoc OLAP layer over the landed firehose + TPC-H-ish tables.
+  *
+  * Determinism notes (these queries are hash-compared against a DuckDB
+  * oracle): every floating-point SUM goes through an exact DECIMAL
+  * accumulator and is cast to DOUBLE at the end, so results are independent
+  * of partitioning / aggregation order; AVGs are a single exact-sum / count
+  * division. Scale notes: dimension joins are `broadcast()`; everything else
+  * is a plain shuffled hash/sort-merge join Catalyst + AQE can re-plan.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  /** TPC-H Q1-style pricing summary: multi-key group agg with exact sums. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem").filter(col("l_shipdate") <= lit("1998-09-02"))
+    val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = discPrice * (lit(1.0) + col("l_tax"))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum(discPrice.cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        sum(charge.cast("decimal(18,6)")).cast("double").as("sum_charge"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(col("l_discount").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-style shipping priority: selective dim filter, 3-way join,
+    * group agg, deterministic top-10.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-01-01")
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders").filter(col("o_orderdate") < cut)
+    val l = t(spark, dir, "lineitem").filter(col("l_shipdate") > cut)
+    broadcast(c)
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style supplier-nation volume: star join with broadcast dims. */
+  def q5SupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val r = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(spark, dir, "nation")
+    val s = t(spark, dir, "supplier")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+    val l = t(spark, dir, "lineitem")
+    val c = t(spark, dir, "customer")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Hierarchical aggregation: ROLLUP(nation, market segment). */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"),
+        grouping_id().cast("int").as("grp"))
+      .orderBy(col("grp"), col("n_name"), col("c_mktsegment"))
+  }
+
+  /** Running per-customer spend + order sequence (window functions). */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(
+      col("o_orderkey"),
+      col("o_custkey"),
+      col("o_orderdate").cast("date").as("order_date"),
+      sum(col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double").as("running_spend"),
+      row_number().over(w).cast("long").as("order_seq"))
+  }
+
+  /** Deterministic top-k rows per group (window rank + filter). */
+  def qTopkPerGroup(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_totalprice"),
+        row_number().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** As-of join on the event stream: each purchase matched to the same
+    * user's most recent prior click. Oracle: DuckDB `ASOF LEFT JOIN`.
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    // µs-truncated event time: the nanos in the parquet exceed both DuckDB's
+    // and Spark's timestamp precision, so the engine contract is µs.
+    val e = Firehose.eventsRaw(spark, dir).withColumn("ts", expr("ts div 1000"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    AsOf.backward(
+        purchases, clicks,
+        partCols = Seq("user_id"), tsCol = "ts",
+        rightCols = Seq("event_id", "value"), prefix = "click_")
+      .select(
+        col("event_id"), col("user_id"), col("ts").as("ts_us"), col("value"),
+        col("click_event_id"), col("click_ts").as("click_ts_us"),
+        col("click_value"),
+        (col("ts") - col("click_ts")).as("gap_us"))
+  }
+
+  /** Left-semi + left-anti in one result: customer order-activity status. */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders").select(col("o_custkey"))
+    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("with_orders").as("status"))
+    val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("without_orders").as("status"))
+    withOrders.unionByName(withoutOrders)
+  }
+
+  /** Exact distinct aggregation (oracle-checked); the approximate HLL twin is
+    * asserted against this in the ScalaTest spec (error bound), since an
+    * approximate result can't hash-match a DuckDB oracle.
+    */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Approximate distinct twin of [[qDistinct]] (HLL, spec-verified). */
+  def qDistinctApprox(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("n_custs_approx"))
+  }
+}
