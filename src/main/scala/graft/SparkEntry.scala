@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Firehose, Relational}
+import graft.operators.{Dedup, Firehose, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -72,7 +72,33 @@ object SparkEntry {
     "q_topk_per_group" -> ((s, dir) => Relational.qTopkPerGroup(s, dir)),
     "q_asof_join" -> ((s, dir) => Relational.qAsofJoin(s, dir)),
     "q_semi_anti" -> ((s, dir) => Relational.qSemiAnti(s, dir)),
-    "q_distinct" -> ((s, dir) => Relational.qDistinct(s, dir)))
+    "q_distinct" -> ((s, dir) => Relational.qDistinct(s, dir)),
+    // ---- §2.3 LLM-training-data pipeline ----
+    "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir, "documents"))),
+    "d2_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Tables(s, dir, "documents"), threshold = 0.5)),
+    "d3_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables(s, dir, "documents"), threshold = 0.5)),
+    "d4_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables(s, dir, "documents"))),
+    "d5_dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDup(Tables(s, dir, "embeddings"), threshold = 0.35)),
+    "s1_ann_bruteforce" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+    "s2_ann_lsh" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+    "t1_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables(s, dir, "documents"))),
+    "t2_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables(s, dir, "documents"))),
+    "t3_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(Tables(s, dir, "documents"))),
+    "t4_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables(s, dir, "documents"))),
+    "mm1_binary_meta" -> ((s, dir) =>
+      Multimodal.asBinary(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("byte_len"), col("mime"), col("source"))),
+    "mm2_feature_extract" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.asBinary(Tables(s, dir, "documents")))))
 
   // DuckDB dialect; column names/types aligned with the Spark results above.
   def oracleSql: Map[String, String] = Map(
@@ -208,5 +234,138 @@ object SparkEntry {
     "q_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
         |  count(*) AS n_orders
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d2_dedup_ngram_jaccard" ->
+      (ShinglesCte +
+        """cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+          |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+          |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+          |SELECT doc_a, doc_b, common, ca.n AS n_a, cb.n AS n_b,
+          |  common::DOUBLE / (ca.n + cb.n - common) AS jaccard
+          |FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+          |WHERE common::DOUBLE / (ca.n + cb.n - common) >= 0.5""".stripMargin),
+    "d3_dedup_minhash_lsh" ->
+      (ShinglesCte +
+        """cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+          |mh AS (SELECT doc_id, i, min(CAST('0x' || substr(md5(i || ':' || s), 1, 15) AS BIGINT)) AS mh
+          |       FROM sh CROSS JOIN generate_series(0, 11) t(i) GROUP BY doc_id, i),
+          |sig AS (SELECT doc_id, i // 4 AS band, string_agg(i || ':' || mh, ',' ORDER BY i) AS sig
+          |        FROM mh GROUP BY doc_id, i // 4),
+          |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+          |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+          |com AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+          |        FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+          |        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+          |        GROUP BY 1, 2)
+          |SELECT doc_a, doc_b, common, ca.n AS n_a, cb.n AS n_b,
+          |  common::DOUBLE / (ca.n + cb.n - common) AS jaccard
+          |FROM com JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+          |WHERE common::DOUBLE / (ca.n + cb.n - common) >= 0.5""".stripMargin),
+    "d4_dedup_simhash" ->
+      (WordsCte +
+        """w AS (SELECT DISTINCT doc_id, wd FROM words, UNNEST(ws) t(wd)),
+          |hw AS (SELECT doc_id, CAST('0x' || substr(md5(wd), 1, 15) AS BIGINT) AS h FROM w),
+          |bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          |         FROM hw CROSS JOIN generate_series(0, 59) t2(j) GROUP BY doc_id, j),
+          |fp AS (SELECT doc_id,
+          |         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+          |       FROM bits GROUP BY doc_id)
+          |SELECT doc_id, simhash, simhash & 32767 AS b0, (simhash >> 15) & 32767 AS b1,
+          |  (simhash >> 30) & 32767 AS b2, (simhash >> 45) & 32767 AS b3 FROM fp""".stripMargin),
+    "d5_dedup_embedding" ->
+      s"""WITH p AS (
+         | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS block,
+         |  ${cosineSql("a.embedding", "b.embedding")} AS cosine
+         | FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, block, cosine FROM p WHERE cosine >= 0.35""".stripMargin,
+    "s1_ann_bruteforce" ->
+      s"""WITH probes AS (SELECT * FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         | SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |   ${cosineSql("p.embedding", "c.embedding")} AS cosine
+         | FROM embeddings c JOIN probes p ON c.vec_id != p.vec_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk FROM scored)
+         |SELECT probe_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "t1_lang_id" ->
+      (WordsCte +
+        s"""c AS (SELECT doc_id,
+           |  ${markerSql("en")} AS n_en, ${markerSql("es")} AS n_es,
+           |  ${markerSql("fr")} AS n_fr, ${markerSql("de")} AS n_de
+           |FROM words)
+           |SELECT doc_id, n_en, n_es, n_fr, n_de,
+           |  CASE WHEN n_en + n_es + n_fr + n_de = 0 THEN 'und'
+           |       WHEN n_en >= n_es AND n_en >= n_fr AND n_en >= n_de THEN 'en'
+           |       WHEN n_es >= n_fr AND n_es >= n_de THEN 'es'
+           |       WHEN n_fr >= n_de THEN 'fr' ELSE 'de' END AS lang_pred
+           |FROM c""".stripMargin),
+    "t2_quality_score" ->
+      (WordsCte +
+        s"""base AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_actual,
+           |  CAST(len(ws) AS BIGINT) AS n_words,
+           |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+           |  ${markerSql("en")} AS n_stop
+           |FROM documents JOIN words USING (doc_id)),
+           |r AS (SELECT *, n_punct::DOUBLE / n_chars_actual AS punct_ratio,
+           |        n_stop::DOUBLE / n_words AS stop_ratio FROM base)
+           |SELECT doc_id, n_chars_actual, n_words, n_punct, n_stop, punct_ratio, stop_ratio,
+           |  least(n_words::DOUBLE / 50.0, 1.0) * 0.5 + (1.0 - punct_ratio) * 0.3
+           |    + least(stop_ratio * 5.0, 1.0) * 0.2 AS quality
+           |FROM r""".stripMargin),
+    "t3_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish,
+        |  CAST(length(text) AS BIGINT) AS n_chars_actual
+        |FROM documents""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, length(text)),
+        |        i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |    (h, cp) -> (h * 31 + cp) % 1000000000000037) AS fp,
+        |  CAST(length(text) AS BIGINT) AS n_chars_actual
+        |FROM documents""".stripMargin,
+    "mm1_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  'text/plain' AS mime, source
+        |FROM documents""".stripMargin)
+
+  /** Shared DuckDB CTE fragments (kept identical across oracles). */
+  private val WordsCte: String =
+    """WITH words AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ws
+      |  FROM documents),
+      |""".stripMargin
+
+  private val ShinglesCte: String =
+    WordsCte +
+      """sh AS (
+        |  SELECT DISTINCT doc_id, s
+        |  FROM words, UNNEST(list_transform(generate_series(1, len(ws) - 2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) t(s)),
+        |""".stripMargin
+
+  private val markerLists: Map[String, String] = Map(
+    "en" -> "['the','and','of','to','a','in']",
+    "es" -> "['el','la','de','que','los','y']",
+    "fr" -> "['le','et','les','des','un','une']",
+    "de" -> "['der','und','die','das','ein','nicht']")
+
+  private def markerSql(lang: String): String =
+    s"CAST(len(list_filter(ws, x -> list_contains(${markerLists(lang)}, x))) AS BIGINT)"
+
+  /** Explicit f64 cosine in DuckDB, sequential accumulation — bit-identical
+    * to [[graft.functions.Kernels.cosine]].
+    */
+  private def cosineSql(a: String, b: String): String = {
+    def sumProd(x: String, y: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), " +
+        s"i -> $x[i]::DOUBLE * $y[i]::DOUBLE)), (acc, v) -> acc + v)"
+    s"${sumProd(a, b)} / (sqrt(${sumProd(a, a)}) * sqrt(${sumProd(b, b)}))"
+  }
 }

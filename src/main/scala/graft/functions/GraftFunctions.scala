@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{CosineSim, GraftBridge, Md5Prefix60, PolyFingerprint, SimHash64}
+
+/** Column-API and SQL registration for graft's custom Catalyst expressions. */
+object GraftFunctions {
+
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def simhash64(terms: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(terms)))
+
+  def poly_fingerprint(s: Column): Column =
+    GraftBridge.column(PolyFingerprint(GraftBridge.expression(s)))
+
+  def md5_prefix60(s: Column): Column =
+    GraftBridge.column(Md5Prefix60(GraftBridge.expression(s)))
+
+  private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", "cosine similarity of two float arrays",
+      { case Seq(a, b) => CosineSim(a, b) }),
+    ("simhash64", "60-bit simhash of an array of terms",
+      { case Seq(t) => SimHash64(t) }),
+    ("poly_fingerprint", "polynomial rolling fingerprint of a string",
+      { case Seq(s) => PolyFingerprint(s) }),
+    ("md5_prefix60", "first 60 bits of md5(s) as a long",
+      { case Seq(s) => Md5Prefix60(s) }))
+
+  /** Idempotently register the functions on an existing session (the driver
+    * builds its own plain sessions, so extensions aren't always available).
+    */
+  def register(spark: SparkSession): Unit = {
+    val fr = spark.sessionState.functionRegistry
+    registry.foreach { case (name, usage, builder) =>
+      fr.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name, usage),
+        builder)
+    }
+  }
+
+  /** `SparkSessionExtensions` hook: `.withExtensions(GraftFunctions.inject)`
+    * or `spark.sql.extensions=graft.functions.GraftExtensions`.
+    */
+  def inject(ext: SparkSessionExtensions): Unit =
+    registry.foreach { case (name, usage, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name),
+          new ExpressionInfo("graft.functions", name, usage),
+          builder))
+    }
+}
+
+/** Injectable extensions class for `spark.sql.extensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.inject(ext)
+}

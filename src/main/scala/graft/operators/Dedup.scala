@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Deduplication operators for LLM-training-data pipelines.
+  *
+  * Scale design: every variant avoids the O(n²) cross join — exact dedup is
+  * one hash aggregation; near-dup goes shingle-explode → equi-join (bounded
+  * by shared-shingle pairs) or MinHash-LSH bucket join (bounded by band
+  * collisions). The only pairwise work ever done is verification of
+  * already-bucketed candidates.
+  */
+object Dedup {
+
+  /** Distinct word 3-gram shingles per document: (doc_id, s). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val ws = TextAnalysis.tokens(col("text"))
+    docs
+      .select(col("doc_id"), ws.as("ws"))
+      .select(
+        col("doc_id"),
+        explode(
+          array_distinct(
+            when(size(col("ws")) >= n,
+              transform(
+                sequence(lit(1), size(col("ws")) - (n - 1)),
+                i => concat_ws(" ", (0 until n).map(k => element_at(col("ws"), i + k)): _*)))
+              .otherwise(array()))).as("s"))
+  }
+
+  /** Exact dedup by content hash: one map-side-combinable aggregation. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("content_hash"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Shared-shingle pair counts: (doc_a < doc_b, common). */
+  private def pairCommonCounts(sh: DataFrame): DataFrame = {
+    val a = sh.as("a")
+    val b = sh.as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+  }
+
+  private def withJaccard(pairs: DataFrame, counts: DataFrame): DataFrame = {
+    val ca = counts.select(col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val cb = counts.select(col("doc_id").as("doc_b"), col("n").as("n_b"))
+    pairs
+      .join(ca, "doc_a")
+      .join(cb, "doc_b")
+      .withColumn(
+        "jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs ≥ threshold.
+    *
+    * At 100 TB the amplifier is hot shingles (stop-phrase skew); AQE's skew
+    * join handles moderate cases, and a `maxShingleDocs` frequency cap drops
+    * degenerate shingles entirely (a shingle shared by thousands of docs
+    * carries no dedup signal but dominates the join).
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      maxShingleDocs: Option[Int] = None): DataFrame = {
+    val shAll = shingles(docs)
+    val sh = maxShingleDocs match {
+      case Some(cap) =>
+        val freq = shAll.groupBy("s").agg(count(lit(1)).as("_df")).filter(col("_df") <= cap)
+        shAll.join(freq.select("s"), "s")
+      case None => shAll
+    }
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    withJaccard(pairCommonCounts(sh), counts)
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "common", "n_a", "n_b", "jaccard")
+  }
+
+  /** Portable per-(perm, shingle) hash: 60-bit md5 prefix of "i:shingle" —
+    * computable identically in DuckDB (`CAST('0x'||substr(md5(..),1,15) AS
+    * BIGINT)`).
+    */
+  private def permHash(i: Column, s: Column): Column =
+    GraftFunctions.md5_prefix60(concat(i.cast("string"), lit(":"), s))
+
+  /** MinHash + banded LSH near-dup candidates, verified with exact Jaccard.
+    *
+    * @param numHashes signature length k (perm hashes 0..k-1)
+    * @param bands     LSH bands (rows per band = k / bands);
+    *                  P(candidate) = 1-(1-j^r)^b
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      numHashes: Int = 12,
+      bands: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = shingles(docs)
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+
+    val minhashes = sh
+      .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(permHash(col("i"), col("s"))).as("mh"))
+
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashes
+      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("i"), col("mh")))),
+            x => concat(x.getField("i").cast("string"), lit(":"), x.getField("mh").cast("string"))),
+          ",").as("sig"))
+
+    val a = sigs.as("a")
+    val b = sigs.as("b")
+    val candidates = a
+      .join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    // exact-Jaccard verification restricted to bucketed candidates
+    val sa = sh.select(col("doc_id").as("doc_a"), col("s"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("s"))
+    val common = candidates
+      .join(sa, "doc_a")
+      .join(sb, Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    withJaccard(common, counts)
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "common", "n_a", "n_b", "jaccard")
+  }
+
+  /** Per-document 60-bit SimHash fingerprint + 15-bit LSH band keys. Pairing
+    * = any shared band key then Hamming-distance verification (spec-tested;
+    * the per-doc fingerprint is the oracle-checked surface).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val ws = array_distinct(TextAnalysis.tokens(col("text")))
+    val fp = GraftFunctions.simhash64(ws)
+    docs.select(
+      col("doc_id"),
+      fp.as("simhash"),
+      (fp.bitwiseAND(lit(0x7fffL))).as("b0"),
+      (shiftright(fp, 15).bitwiseAND(lit(0x7fffL))).as("b1"),
+      (shiftright(fp, 30).bitwiseAND(lit(0x7fffL))).as("b2"),
+      (shiftright(fp, 45).bitwiseAND(lit(0x7fffL))).as("b3"))
+  }
+
+  /** SimHash near-dup candidate pairs: band-bucket join + Hamming ≤ radius.
+    * No oracle (DuckDB-side would mirror the same LSH, spec covers it).
+    */
+  def simhashPairs(docs: DataFrame, radius: Int = 8): DataFrame = {
+    val s = simhash(docs)
+    val bandCols = Seq("b0", "b1", "b2", "b3")
+    val exploded = s.select(
+      col("doc_id"), col("simhash"),
+      explode(array(bandCols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("band"), col(c).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= radius)
+  }
+
+  /** Embedding-cosine near-dup pairs ≥ threshold, blocked by a coarse
+    * partition column so the self-join is an equi-join (at 100 TB the block
+    * key would be an IVF/cluster assignment; here the `label` column).
+    */
+  def embeddingNearDup(
+      embeddings: DataFrame,
+      blockCol: String = "label",
+      threshold: Double = 0.35): DataFrame = {
+    val a = embeddings.as("a")
+    val b = embeddings.as("b")
+    a.join(b,
+        col(s"a.$blockCol") === col(s"b.$blockCol") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        col(s"a.$blockCol").as("block"),
+        GraftFunctions.cosine_sim(col("a.embedding"), col("b.embedding")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * `bruteForceTopK` is the exact baseline: broadcast the (small) probe set,
+  * score every (probe, candidate) pair with the codegen'd cosine expression,
+  * take per-probe top-k. The scan side never shuffles its vectors — only
+  * (probe_id, candidate_id, score) triples move.
+  *
+  * `lshTopK` is the scale path: 16 deterministic random-hyperplane sign bits
+  * bucket the corpus; probes only score candidates in their own bucket.
+  * Recall vs the exact baseline is spec-measured.
+  */
+object Similarity {
+
+  def bruteForceTopK(
+      embeddings: DataFrame,
+      probes: DataFrame,
+      k: Int = 5): DataFrame = {
+    val cand = embeddings.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("cand_emb"))
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val scored = cand
+      .join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"), col("neighbor_id"),
+        GraftFunctions.cosine_sim(col("probe_emb"), col("cand_emb")).as("cosine"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Deterministic ±1 hyperplane component for (plane j, dim i): parity of
+    * the portable 60-bit md5 hash — reproducible in any engine.
+    */
+  private def planeSign(j: Int, i: Column): Column =
+    when(GraftFunctions.md5_prefix60(
+      concat(lit(j.toString), lit("#"), i.cast("string"))) % 2 === 0, lit(1.0))
+      .otherwise(lit(-1.0))
+
+  /** 16-bit random-hyperplane signature of an embedding column. */
+  def rhpSignature(emb: Column, planes: Int = 16): Column = {
+    val bits = (0 until planes).map { j =>
+      val dotJ = aggregate(
+        zip_with(
+          emb,
+          transform(sequence(lit(0), size(emb) - 1), i => planeSign(j, i)),
+          (x, s) => x.cast("double") * s),
+        lit(0.0),
+        (acc, x) => acc + x)
+      when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Banded LSH ANN: the signature is split into `bands` keys of
+    * `planes/bands` bits; a candidate is scored iff it shares at least one
+    * band key with the probe (classic OR-amplification — recall grows with
+    * bands, candidate count stays ~n·bands/2^(planes/bands) per probe).
+    */
+  def lshTopK(
+      embeddings: DataFrame,
+      probes: DataFrame,
+      k: Int = 5,
+      planes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
+    val bits = planes / bands
+    val mask = (1L << bits) - 1
+    def banded(idCol: String, embCol: String, df: DataFrame): DataFrame =
+      df.select(
+          col("vec_id").as(idCol),
+          col("embedding").as(embCol),
+          rhpSignature(col("embedding"), planes).as("sig"))
+        .select(
+          col(idCol), col(embCol),
+          explode(array((0 until bands).map { b =>
+            struct(lit(b).as("band"), shiftright(col("sig"), b * bits).bitwiseAND(lit(mask)).as("key"))
+          }: _*)).as("bk"))
+        .select(col(idCol), col(embCol), col("bk.band"), col("bk.key"))
+    val cand = banded("neighbor_id", "cand_emb", embeddings)
+    val p = banded("probe_id", "probe_emb", probes)
+    val scored = cand
+      .join(broadcast(p), Seq("band", "key"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        GraftFunctions.cosine_sim(col("probe_emb"), col("cand_emb")).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Firehose
+import graft.sources.MetricJson
+
+/** One metric sample keyed for gauge-state tracking. */
+case class GaugePoint(
+    component: String, name: String, series: String,
+    timestamp: Long, id: String, value: Double, eventTime: Timestamp)
+
+/** Per-series gauge state (the reference's per-child `Gauge` value). */
+case class GaugeState(lastTs: Long, lastId: String, lastValue: Double)
+
+/** Emitted gauge update. */
+case class GaugeOut(
+    component: String, name: String, series: String,
+    last_value: Double, last_ts: Long)
+
+/** Structured-Streaming form of the firehose: the reference's
+  * consume→parse→handle→endOfSet loop (AbstractFirehose.java:113-145)
+  * re-expressed as an incremental query.
+  *
+  *  - Kafka poll loop → `readStream` (Kafka or file/memory source)
+  *  - per-record Jackson parse → the same `MetricJson.parse` expression the
+  *    batch path uses
+  *  - `Gauge.set` per series → `flatMapGroupsWithState` latest-value state
+  *  - Guava cache 10-min idle eviction (AbstractPrometheusFirehose.java:19-29)
+  *    → `EventTimeTimeout` on the group state
+  *  - per-poll `endOfSet()` push (PrometheusPusher.java:63-70) → `foreachBatch`
+  *    sink rendering/pushing the exposition text
+  */
+object FirehoseStream {
+
+  /** Kafka source wiring (code-only in this container: no broker). Identical
+    * transform chain to the file path — only the source line differs.
+    */
+  def fromKafka(spark: SparkSession, bootstrapServers: String, topic: String): DataFrame =
+    MetricJson.parse(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "latest")
+        .load()
+        .select(col("value").cast("string").as("value")),
+      "value")
+
+  /** File-landing source: a directory of metric JSON lines. */
+  def fromJsonFiles(spark: SparkSession, path: String): DataFrame =
+    MetricJson.parse(spark.readStream.text(path), "value")
+
+  /** Streaming latest-gauge state with TTL expiry.
+    *
+    * State per series is one `GaugeState` — bounded by live series
+    * cardinality exactly like the reference's gauge registry, and expired by
+    * event-time timeout exactly like its 10-minute idle eviction.
+    */
+  def gaugeLatest(
+      metrics: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      ttlMs: Long = 10 * 60 * 1000L): Dataset[GaugeOut] = {
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    val labeled = Firehose.tagFilter(metrics)
+      .withColumn("series", Firehose.seriesKey(col("labels")))
+      .withColumn("eventTime", timestamp_seconds(col("timestamp")))
+      .select("component", "name", "series", "timestamp", "id", "value", "eventTime")
+      .as[GaugePoint]
+      .withWatermark("eventTime", watermarkDelay)
+
+    labeled
+      .groupByKey(p => (p.component, p.name, p.series))
+      .flatMapGroupsWithState[GaugeState, GaugeOut](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case ((component, name, series), points, state: GroupState[GaugeState]) =>
+          if (state.hasTimedOut) {
+            // registry eviction parity: drop the series silently
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption
+            val candidates = points.map(p => GaugeState(p.timestamp, p.id, p.value)) ++ prev.iterator
+            val best = candidates.maxBy(s => (s.lastTs, s.lastId))
+            state.update(best)
+            if (state.getCurrentWatermarkMs() > 0) {
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
+            } else {
+              state.setTimeoutTimestamp(best.lastTs * 1000L + ttlMs)
+            }
+            Iterator.single(GaugeOut(component, name, series, best.lastValue, best.lastTs))
+          }
+      }
+  }
+
+  /** Streaming tumbling-window aggregation with watermark. */
+  def windowAgg(metrics: DataFrame, width: String = "1 minute",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    metrics
+      .withColumn("eventTime", timestamp_seconds(col("timestamp")))
+      .withWatermark("eventTime", watermarkDelay)
+      .groupBy(window(col("eventTime"), width), col("component"), col("name"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("win_start"), col("component"), col("name"),
+        col("n"), col("min_value"), col("max_value"), col("sum_value"))
+
+  /** `endOfSet()` parity: per micro-batch, render the current gauge updates
+    * to Prometheus exposition text and hand them to `push` (a PushGateway
+    * client in production; a collector in tests).
+    */
+  def expositionSink(
+      gauges: Dataset[GaugeOut],
+      push: Array[String] => Unit): DataStreamWriter[GaugeOut] =
+    gauges.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[GaugeOut], _: Long) =>
+        val lines = Firehose.promRender(batch.toDF()).collect().map(_.getString(0))
+        push(lines)
+      }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Kernels
+
+class KernelsSpec extends AnyFunSuite {
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  test("md5Prefix60 matches the portable SQL form CAST('0x'||substr(md5(s),1,15) AS BIGINT)") {
+    // value cross-checked in DuckDB 1.0: md5('abc') = 900150983cd24fb0...,
+    // first 15 hex digits = 0x900150983cd24fb = 648541476951500027
+    assert(Kernels.md5Prefix60(u("abc")) === 648541476951500027L)
+    assert(Kernels.md5Prefix60(u("")) >= 0L)
+  }
+
+  test("fingerprint is the (h*31+cp) mod p fold over code points") {
+    def naive(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((h, cp) => (h * 31 + cp) % Kernels.FingerprintMod)
+    for (s <- Seq("", "a", "abc", "the quick brown fox", "ünïcödé"))
+      assert(Kernels.fingerprint(u(s)) === naive(s), s"for '$s'")
+  }
+
+  test("cosine accumulates f32 inputs in f64, index order") {
+    val a = ArrayData.toArrayData(Array(1.0f, 2.0f, 3.0f))
+    val b = ArrayData.toArrayData(Array(-1.0f, 0.5f, 2.0f))
+    val dot = 1.0 * -1.0 + 2.0 * 0.5 + 3.0 * 2.0
+    val na = math.sqrt(1.0 + 4.0 + 9.0)
+    val nb = math.sqrt(1.0 + 0.25 + 4.0)
+    assert(Kernels.cosine(a, b) === dot / (na * nb))
+  }
+
+  test("simhash is order-insensitive over terms and stable") {
+    val t1 = ArrayData.toArrayData(Array(u("spark"), u("flink"), u("duck")))
+    val t2 = ArrayData.toArrayData(Array(u("duck"), u("spark"), u("flink")))
+    assert(Kernels.simhash(t1) === Kernels.simhash(t2))
+    assert(Kernels.simhash(t1) >= 0L && Kernels.simhash(t1) < (1L << 60))
+    // single term: fingerprint is exactly the term hash's 60 bits
+    val single = ArrayData.toArrayData(Array(u("abc")))
+    assert(Kernels.simhash(single) === Kernels.md5Prefix60(u("abc")))
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.{AsOf, Dedup, Relational, Similarity}
+
+class OperatorSpec extends SparkSuite {
+
+  test("asof backward join picks latest right row at or before left ts") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "p1"), (1L, 205L, "p2"), (2L, 50L, "p3"))
+      .toDF("user_id", "ts", "pid")
+    val right = Seq((1L, 100L, 7.0), (1L, 200L, 8.0), (1L, 300L, 9.0), (3L, 10L, 1.0))
+      .toDF("user_id", "ts", "v")
+    val out: Map[String, (Option[Any], Option[Any])] =
+      AsOf.backward(left, right, Seq("user_id"), "ts", Seq("v"), "r_")
+        .select("pid", "r_ts", "r_v").collect()
+        .map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out("p1") === ((Some(100L), Some(7.0)))) // equal ts matches
+    assert(out("p2") === ((Some(200L), Some(8.0)))) // latest ≤ 205
+    assert(out("p3") === ((None, None)))            // no right rows for user 2
+  }
+
+  test("ngram jaccard and minhash LSH agree on planted near-duplicates") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g h i j k l"),
+      (1L, "a b c d e f g h i j k z"),  // near-dup of 0 (jaccard 9/11)
+      (2L, "q w e r t y u i o p a s"),
+      (3L, "z x c v b n m k j h g f"),
+      (4L, "a b c d e f g h i j k l")) // exact dup of 0 (jaccard 1)
+      .toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccard(docs, threshold = 0.4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact === Set((0L, 1L), (0L, 4L), (1L, 4L)))
+    val lsh = Dedup.minhashLsh(docs, threshold = 0.4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // identical docs collide in every band — guaranteed; near-dups are
+    // probabilistic (P≈0.83 at j=0.82 with 3 bands × 4 rows) — subset only
+    assert(lsh.contains((0L, 4L)))
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("simhash pairs finds identical docs at hamming 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark sql engine fast shuffle"),
+      (1L, "spark sql engine fast shuffle"),
+      (2L, "completely different words here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, radius = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
+  test("brute-force ANN ranks by cosine desc and excludes self") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(-1.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0), k = 2)
+      .orderBy("rnk").select("neighbor_id").as[Long].collect()
+    assert(out.toSeq === Seq(1L, 2L))
+  }
+
+  test("LSH ANN returns a subset of correctly-scored neighbors (recall measured)") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, probes, k = 5)
+      .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, probes, k = 5)
+      .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty, "LSH should produce candidates")
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"LSH recall vs exact top-5: $recall%.2f (random-ish vectors)")
+    assert(recall > 0.0)
+  }
+
+  test("approx_count_distinct tracks exact within rsd bound") {
+    val exact = Relational.qDistinct(spark, sfDir)
+      .select("o_orderpriority", "n_custs").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Relational.qDistinctApprox(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v).toDouble / v < 0.15, s"priority $k: $v vs ${approx(k)}")
+    }
+  }
+
+  test("custom expressions are SQL-registered via extensions") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(cast(1.0 as float), cast(0.0 as float)), " +
+        "array(cast(1.0 as float), cast(0.0 as float))) c, " +
+        "poly_fingerprint('abc') f, md5_prefix60('abc') h").collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getLong(2) === 648541476951500027L)
+  }
+}

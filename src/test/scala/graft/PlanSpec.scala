@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.{Firehose, Relational}
+
+/** Plan-shape assertions: the scale properties SURVEY.md §5 promises must be
+  * visible in the optimized plan, not just intended.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1 pushes the shipdate filter and prunes columns at the parquet scan") {
+    val plan = planOf(Relational.q1PricingSummary(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown in:\n$plan")
+    assert(!plan.contains("l_orderkey"), "column pruning failed: scan reads unused key column")
+  }
+
+  test("q5 star joins broadcast the dimension tables") {
+    val plan = planOf(Relational.q5SupplierVolume(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
+  }
+
+  test("gauge latest is a partial (map-side) aggregation, not a raw shuffle") {
+    val plan = planOf(Firehose.gaugeLatest(Firehose.metricsFromEvents(spark, sfDir)))
+    // both HashAggregate/ObjectHashAggregate print partial_max_by for the map side
+    assert(plan.contains("partial_max_by") || plan.contains("partial_"),
+      s"expected partial aggregation in:\n$plan")
+  }
+
+  test("whole-stage codegen covers the custom cosine expression") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val df = emb.select(
+      graft.functions.GraftFunctions.cosine_sim(
+        org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.col("embedding")).as("c"))
+    val plan = planOf(df)
+    // toString marks whole-stage-codegen'd operators with "*(n)"
+    assert(plan.contains("*("), s"expected codegen in:\n$plan")
+    assert(df.selectExpr("sum(c)").collect()(0).getDouble(0) > 0)
+  }
+}

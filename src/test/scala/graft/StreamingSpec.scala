@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.FirehoseStream
+
+class StreamingSpec extends SparkSuite {
+
+  private def metricJson(id: String, name: String, ts: Long, user: String, value: Double): String =
+    s"""{"id":"$id","name":"$name","timestamp":$ts,"component":"app",""" +
+      s""""tags":{"user":"$user","unit":"bytes"},"value":$value,""" +
+      s""""window":{"from":${ts - 60},"to":$ts,"interval":60}}"""
+
+  test("streaming gauge state keeps latest value per series across batches") {
+    val dir = Files.createTempDirectory("graft-stream").toFile
+    val chk = Files.createTempDirectory("graft-chk").toFile
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "bytes_total", 1000, "u1", 10.0),
+        metricJson("2", "bytes_total", 2000, "u1", 20.0),
+        metricJson("3", "bytes_total", 1500, "u2", 15.0),
+        "not json at all").mkString("\n").getBytes)
+
+    val metrics = FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)
+    val gauges = FirehoseStream.gaugeLatest(metrics, watermarkDelay = "0 seconds")
+    val q = gauges.writeStream
+      .format("memory").queryName("gauges_t").outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      val r1 = spark.table("gauges_t")
+        .groupBy("series").agg(max_by(col("last_value"), col("last_ts")).as("v"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(r1 === Map("user=u1" -> 20.0, "user=u2" -> 15.0))
+
+      // second micro-batch: newer sample for u1 wins, older one is ignored
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(
+          metricJson("4", "bytes_total", 3000, "u1", 30.0),
+          metricJson("5", "bytes_total", 500, "u2", 5.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val r2 = spark.table("gauges_t")
+        .groupBy("series").agg(max_by(col("last_value"), col("last_ts")).as("v"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(r2("user=u1") === 30.0)
+      assert(r2("user=u2") === 15.0) // stale sample must not regress the gauge
+    } finally q.stop()
+  }
+
+  test("streaming tumbling window aggregates per series name") {
+    val dir = Files.createTempDirectory("graft-stream2").toFile
+    val chk = Files.createTempDirectory("graft-chk2").toFile
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "m", 0, "u1", 1.0),
+        metricJson("2", "m", 30, "u2", 3.0),
+        metricJson("3", "m", 70, "u1", 5.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.windowAgg(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath))
+      .writeStream.format("memory").queryName("winagg_t").outputMode("append")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits closed windows; with a 10m watermark nothing
+      // closes yet — assert the query runs and state is formed
+      assert(q.lastProgress != null)
+    } finally q.stop()
+  }
+
+  test("exposition sink renders prometheus text per micro-batch") {
+    val dir = Files.createTempDirectory("graft-stream3").toFile
+    val chk = Files.createTempDirectory("graft-chk3").toFile
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(metricJson("1", "bytes_total", 1000, "u1", 12.5)).mkString("\n").getBytes)
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val gauges = FirehoseStream.gaugeLatest(
+      FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath), "0 seconds")
+    val q = FirehoseStream.expositionSink(gauges, lines => lines.foreach(collected.add))
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      val lines = collected.toArray(Array.empty[String])
+      assert(lines.exists(_.startsWith("app_bytes_total{user=\"u1\"} 12.500000")))
+    } finally q.stop()
+  }
+}

@@ -23,6 +23,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if len(df) and df[c].map(lambda v: isinstance(v, (list, tuple))
+                                 or hasattr(v, "tolist")).any():
+            df[c] = df[c].map(lambda v: str(list(v)) if v is not None else None)
     if len(df):
         df = df.sort_values(by=list(df.columns), na_position="first",
                             ignore_index=True)
