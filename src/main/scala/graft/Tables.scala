@@ -11,6 +11,18 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Re-spread a narrow scan across the cluster before CPU-heavy per-row
+    * work. The testdata tables are single parquet files (one row group → one
+    * input partition), which would serialize parse/hash-heavy chains onto a
+    * single core; a real 100 TB table has thousands of splits and skips the
+    * shuffle (the `p * 2 >= target` branch).
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val p = df.rdd.getNumPartitions
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (p * 2 < target) df.repartition(target) else df
+  }
+
   /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's µs TimestampType
     * cannot hold natively; read it as nanos-since-epoch long and expose both
     * the raw nanos and a µs-truncated timestamp column. */

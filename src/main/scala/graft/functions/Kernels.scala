@@ -33,11 +33,17 @@ object Kernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   /** First 60 bits of md5(s) as a non-negative long — the portable hash both
     * engines can compute (`CAST('0x' || substr(md5(s),1,15) AS BIGINT)`).
+    * The digest instance is thread-local: a fresh JCA lookup per row would
+    * dominate the hash itself on hot paths.
     */
   def md5Prefix60(s: UTF8String): Long = {
-    val md = MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
+    md.reset()
     val digest = md.digest(s.getBytes)
     // first 15 hex chars = first 7 bytes + high nibble of the 8th
     var h = 0L

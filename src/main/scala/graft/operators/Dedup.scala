@@ -18,7 +18,7 @@ object Dedup {
   /** Distinct word 3-gram shingles per document: (doc_id, s). */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val ws = TextAnalysis.tokens(col("text"))
-    docs
+    graft.Tables.widen(docs)
       .select(col("doc_id"), ws.as("ws"))
       .select(
         col("doc_id"),

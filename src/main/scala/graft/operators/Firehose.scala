@@ -61,7 +61,7 @@ object Firehose {
     * parser — the reference's Kafka-bytes→Jackson path, distributed).
     */
   def metricsFromEvents(spark: SparkSession, dir: String): DataFrame =
-    MetricJson.parse(eventsAsMetricJson(eventsRaw(spark, dir)))
+    MetricJson.parse(eventsAsMetricJson(Tables.widen(eventsRaw(spark, dir))))
 
   /** Reference FirehoseMetric.java:66-75: drop filtered tag keys ("unit")
     * from the label map. Pure codegen'd map expression.
@@ -187,8 +187,12 @@ object Firehose {
     * single-partition window.
     */
   def gaugeExpiry(gauges: DataFrame, ttlSec: Long = 600): DataFrame = {
-    val hwm = gauges.agg(max(col("last_ts")).as("_hwm"))
-    gauges
+    // The gauge snapshot is bounded by live-series cardinality (not row
+    // count), so persisting it is cheap at any scale and avoids recomputing
+    // the full upstream aggregation for the high-water-mark branch.
+    val snapshot = gauges.persist()
+    val hwm = snapshot.agg(max(col("last_ts")).as("_hwm"))
+    snapshot
       .join(broadcast(hwm))
       .filter(col("last_ts") >= col("_hwm") - lit(ttlSec))
       .drop("_hwm")

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.MetricJson
+
+class SourcesSpec extends SparkSuite {
+
+  test("all ten testdata tables load with expected key columns") {
+    val expectFirstCol = Map(
+      "region" -> "r_regionkey", "nation" -> "n_nationkey",
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey",
+      "lineitem" -> "l_orderkey", "documents" -> "doc_id",
+      "embeddings" -> "vec_id")
+    expectFirstCol.foreach { case (name, key) =>
+      val df = Tables(spark, sfDir, name)
+      assert(df.columns.contains(key), s"$name missing $key")
+      assert(df.limit(1).count() === 1, s"$name empty")
+    }
+    // events needs the nanos-as-long read path
+    val e = graft.operators.Firehose.eventsRaw(spark, sfDir)
+    assert(e.schema("ts").dataType.typeName === "long")
+  }
+
+  test("json-lines landing reader parses a written firehose file") {
+    val dir = Files.createTempDirectory("graft-jsonl").toFile
+    val line = """{"id":"x1","name":"n","timestamp":5,"component":"c","tags":{"a":"b"},"value":1.5,"window":{"from":0,"to":5,"interval":5}}"""
+    Files.write(dir.toPath.resolve("part-0.json"), (line + "\nbroken\n").getBytes)
+    val parsed = MetricJson.readJsonLines(spark, dir.getAbsolutePath)
+    assert(parsed.count() === 1)
+    assert(parsed.select("value").collect()(0).getDouble(0) === 1.5)
+  }
+
+  test("csv export round-trips the events table") {
+    val dir = Files.createTempDirectory("graft-csv").toFile.getAbsolutePath + "/out"
+    val e = graft.operators.Firehose.eventsRaw(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    e.write.option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(back.count() === e.count())
+    val bs = back.agg(sum("value")).collect()(0).getDouble(0)
+    val es = e.agg(sum("value")).collect()(0).getDouble(0)
+    assert(math.abs(bs - es) < 0.01)
+  }
+}
