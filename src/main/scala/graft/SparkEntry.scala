@@ -73,6 +73,8 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) => Relational.qAsofJoin(s, dir)),
     "q_semi_anti" -> ((s, dir) => Relational.qSemiAnti(s, dir)),
     "q_distinct" -> ((s, dir) => Relational.qDistinct(s, dir)),
+    "q_sessionize" -> ((s, dir) => Relational.qSessionize(s, dir)),
+    "q_percentiles" -> ((s, dir) => Relational.qPercentiles(s, dir)),
     // ---- §2.3 LLM-training-data pipeline ----
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir, "documents"))),
     "d2_dedup_ngram_jaccard" -> ((s, dir) =>
@@ -234,6 +236,30 @@ object SparkEntry {
     "q_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
         |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value,
+        |    CASE WHEN lag(epoch_ns(ts) // 1000) OVER w IS NULL
+        |           OR epoch_ns(ts) // 1000 - lag(epoch_ns(ts) // 1000) OVER w > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000)),
+        |s AS (
+        |  SELECT user_id, ts_us, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM e)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -165,6 +165,46 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Gap-based sessionization of the event stream: the canonical
+    * window-function formulation (new-session flag via `lag`, session id via
+    * running sum) — one shuffle by user, no iterative driver logic, scales
+    * with per-user event counts like any window aggregation.
+    */
+  def qSessionize(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {
+    val e = Firehose.eventsRaw(spark, dir).withColumn("ts_us", expr("ts div 1000"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val runs = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.select(col("user_id"), col("ts_us"), col("value"))
+      .withColumn(
+        "new_session",
+        when(
+          lag(col("ts_us"), 1).over(byUser).isNull ||
+            col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapSec * 1000000L,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_id", sum(col("new_session")).over(runs))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
+  /** Exact interpolated percentiles per group (`percentile` ≡ DuckDB
+    * `quantile_cont`): single-pass grouped aggregation.
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        round(percentile(col("o_totalprice"), lit(0.25)), 4).as("p25"),
+        round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Approximate distinct twin of [[qDistinct]] (HLL, spec-verified). */
   def qDistinctApprox(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
