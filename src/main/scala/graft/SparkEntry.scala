@@ -70,6 +70,7 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) => Relational.qRollup(s, dir)),
     "q_window_running" -> ((s, dir) => Relational.qWindowRunning(s, dir)),
     "q_topk_per_group" -> ((s, dir) => Relational.qTopkPerGroup(s, dir)),
+    "q_topk_native" -> ((s, dir) => Relational.qTopkNative(s, dir)),
     "q_asof_join" -> ((s, dir) => Relational.qAsofJoin(s, dir)),
     "q_semi_anti" -> ((s, dir) => Relational.qSemiAnti(s, dir)),
     "q_distinct" -> ((s, dir) => Relational.qDistinct(s, dir)),
@@ -219,6 +220,12 @@ object SparkEntry {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    CAST(row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        |  FROM orders) t WHERE rnk <= 3""".stripMargin,
+    "q_topk_native" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders) t WHERE rnk <= 3""".stripMargin,
     "q_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_ns(p.ts) // 1000 AS ts_us, p.value,

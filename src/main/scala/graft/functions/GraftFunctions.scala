@@ -46,13 +46,15 @@ object GraftFunctions {
   /** `SparkSessionExtensions` hook: `.withExtensions(GraftFunctions.inject)`
     * or `spark.sql.extensions=graft.functions.GraftExtensions`.
     */
-  def inject(ext: SparkSessionExtensions): Unit =
+  def inject(ext: SparkSessionExtensions): Unit = {
     registry.foreach { case (name, usage, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name),
           new ExpressionInfo("graft.functions", name, usage),
           builder))
     }
+    ext.injectPlannerStrategy(_ => new org.apache.spark.sql.graft.TopKStrategy)
+  }
 }
 
 /** Injectable extensions class for `spark.sql.extensions`. */

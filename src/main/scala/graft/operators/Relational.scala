@@ -165,6 +165,21 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Per-group top-k through graft's native heap-based physical operator
+    * ([[org.apache.spark.sql.graft.TopKPerKeyExec]]): no partition sort,
+    * O(n log k), memory bounded by keys×k. Same result set as
+    * [[qTopkPerGroup]] minus the rank column.
+    */
+  def qTopkNative(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graft.GraftOps
+    val o = t(spark, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    GraftOps.topKPerKey(
+      o,
+      keys = Seq("o_custkey"),
+      orderBy = Seq("o_totalprice" -> true, "o_orderkey" -> false),
+      k = k)
+  }
+
   /** Gap-based sessionization of the event stream: the canonical
     * window-function formulation (new-session flag via `lag`, session id via
     * running sum) — one shuffle by user, no iterative driver logic, scales

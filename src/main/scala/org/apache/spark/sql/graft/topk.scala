@@ -1,0 +1,123 @@
+package org.apache.spark.sql.graft
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSparkSession}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Logical per-key top-k: up to `k` rows per `keys` group, first in `order`.
+  *
+  * This is the whole-operator extension path (LogicalPlan → Strategy →
+  * SparkPlan): the window-function formulation (`row_number() ≤ k`) must
+  * fully SORT every partition — O(n log n) per partition plus sort spill;
+  * this operator keeps a size-k bounded heap per key — O(n log k), no sort,
+  * and shuffle-only memory bounded by (#keys-in-partition × k) rows.
+  */
+case class TopKPerKey(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+/** Planner strategy mapping the logical node to its physical operator. */
+class TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  /** Co-locate each key's rows; no ordering requirement — the heap replaces
+    * the sort the window formulation would force here.
+    */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val boundOrder = order
+    val kk = k
+    val keyExprs = keys
+    child.execute().mapPartitionsInternal { it =>
+      val grouping = UnsafeProjection.create(keyExprs, childOutput)
+      val ordering = GenerateOrdering.generate(boundOrder, childOutput)
+      // max-heap by sort order: head = worst retained row, evicted first
+      val heapOrd = ordering.asInstanceOf[Ordering[InternalRow]]
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      it.foreach { row =>
+        val key = grouping(row)
+        heaps.get(key) match {
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](heapOrd)
+            h += row.copy()
+            heaps.put(key.copy(), h)
+          case Some(h) =>
+            if (h.size < kk) {
+              h += row.copy()
+            } else if (ordering.compare(row, h.head) < 0) {
+              h.dequeue()
+              h += row.copy()
+            }
+        }
+      }
+      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** DataFrame-level API for the custom operator. */
+object GraftOps {
+
+  /** Up to `k` rows per key, first in the given sort order
+    * (`orderBy` = (column name, descending?)). Emits no rank column.
+    *
+    * Expressions are bound to the analyzed child's attributes directly: the
+    * Spark 4 Column API wraps expressions in `ColumnNodeExpression`s that
+    * only the built-in Dataset operations convert, so a custom logical node
+    * must resolve its own references.
+    */
+  def topKPerKey(
+      df: DataFrame,
+      keys: Seq[String],
+      orderBy: Seq[(String, Boolean)],
+      k: Int): DataFrame = {
+    val child = df.queryExecution.analyzed
+    def attr(name: String): Attribute =
+      child.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${child.output.map(_.name).mkString(", ")}"))
+    val sortOrders = orderBy.map { case (name, desc) =>
+      SortOrder(attr(name), if (desc) Descending else Ascending)
+    }
+    val spark = df.sparkSession.asInstanceOf[ClassicSparkSession]
+    // the strategy is idempotently registered on first use
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[TopKStrategy])) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ new TopKStrategy
+    }
+    Dataset.ofRows(spark, TopKPerKey(keys.map(attr), sortOrders, k, child))
+  }
+}

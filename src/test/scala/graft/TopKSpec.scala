@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{GraftOps, TopKPerKeyExec}
+
+import graft.operators.Relational
+
+class TopKSpec extends SparkSuite {
+
+  test("native top-k matches the window formulation row-for-row") {
+    val window = Relational.qTopkPerGroup(spark, sfDir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+    val native = Relational.qTopkNative(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(native === window)
+    assert(native.nonEmpty)
+  }
+
+  test("native top-k plans through TopKPerKeyExec without a sort") {
+    val df = Relational.qTopkNative(spark, sfDir)
+    df.collect() // finalize the adaptive plan so the inner plan is visible
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"missing custom exec:\n$plan")
+    assert(!plan.contains("Sort "), s"unexpected sort in:\n$plan")
+  }
+
+  test("ties and k larger than group size behave like row_number semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 5.0), (1L, 12L, 5.0), (1L, 13L, 9.0),
+      (2L, 20L, 1.0))
+      .toDF("k", "id", "v")
+    val out = GraftOps.topKPerKey(df, Seq("k"), Seq("v" -> true, "id" -> false), 3)
+      .as[(Long, Long, Double)].collect().toSet
+    // group 1: 9.0 first, then the two lowest ids among the 5.0 ties
+    assert(out === Set((1L, 13L, 9.0), (1L, 10L, 5.0), (1L, 11L, 5.0), (2L, 20L, 1.0)))
+  }
+}
