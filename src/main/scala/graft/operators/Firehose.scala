@@ -61,7 +61,9 @@ object Firehose {
     * parser — the reference's Kafka-bytes→Jackson path, distributed).
     */
   def metricsFromEvents(spark: SparkSession, dir: String): DataFrame =
-    MetricJson.parse(eventsAsMetricJson(Tables.widen(eventsRaw(spark, dir))))
+    MetricJson.parse(
+      eventsAsMetricJson(Tables.widen(eventsRaw(spark, dir))),
+      strict = false) // self-generated JSON cannot be malformed
 
   /** Reference FirehoseMetric.java:66-75: drop filtered tag keys ("unit")
     * from the label map. Pure codegen'd map expression.

@@ -18,12 +18,25 @@ object MetricJson {
 
   /** Parse a column of metric JSON lines into flattened metric columns.
     * Works identically on batch and streaming DataFrames.
+    *
+    * `strict = true` (default for external input) drops malformed rows.
+    * The filter carries an always-false nondeterministic disjunct: a plain
+    * deterministic predicate gets pushed below the parse projection (and
+    * below any repartition) with `from_json` inlined, making the whole
+    * parse run twice — once in the pushed filter's stage and once in the
+    * projection. (`rand() > 2` doesn't survive: Spark 4 folds it via rand's
+    * known range; `uuid() = ''` does.) Set `strict = false` for trusted
+    * in-engine input where malformed rows are impossible.
     */
-  def parse(lines: DataFrame, jsonCol: String = "value"): DataFrame =
-    lines
+  def parse(lines: DataFrame, jsonCol: String = "value", strict: Boolean = true): DataFrame = {
+    val parsed = lines
       .withColumn("_metric", from_json(col(jsonCol), FirehoseMetric.schema))
       .select(col("_metric.*"))
-      .filter(col("id").isNotNull && col("name").isNotNull)
+    if (strict) {
+      parsed.filter(
+        (col("id").isNotNull && col("name").isNotNull) || expr("uuid()") === lit(""))
+    } else parsed
+  }
 
   /** Typed variant. */
   def parseTyped(lines: DataFrame, jsonCol: String = "value"): Dataset[FirehoseMetric] = {
