@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSim, GraftBridge, Md5Prefix60, PolyFingerprint, SimHash64}
+import org.apache.spark.sql.graft.{CosineSim, GraftBridge, Md5Prefix60, MinHashSig, PolyFingerprint, SimHash64}
 
 /** Column-API and SQL registration for graft's custom Catalyst expressions. */
 object GraftFunctions {
@@ -19,6 +19,9 @@ object GraftFunctions {
 
   def md5_prefix60(s: Column): Column =
     GraftBridge.column(Md5Prefix60(GraftBridge.expression(s)))
+
+  def minhash_sig(terms: Column, k: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(terms), k))
 
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", "cosine similarity of two float arrays",

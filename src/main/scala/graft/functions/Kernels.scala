@@ -81,6 +81,36 @@ object Kernels {
     fp
   }
 
+  /** Full MinHash signature in one pass: element i = min over terms of
+    * md5Prefix60(i + ":" + term). Identical values to the per-(perm, term)
+    * SQL formulation, but one tight JVM loop instead of a k-fold row
+    * explosion or interpreted higher-order lambdas.
+    */
+  def minhashSig(terms: ArrayData, k: Int): Array[Long] = {
+    val md = md5Local.get()
+    val n = terms.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < k) {
+      val prefix = (i.toString + ":").getBytes("UTF-8")
+      var t = 0
+      while (t < n) {
+        md.reset()
+        md.update(prefix)
+        md.update(terms.getUTF8String(t).getBytes)
+        val digest = md.digest()
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
+        h = (h << 4) | ((digest(7) & 0xf0L) >> 4)
+        if (h < sig(i)) sig(i) = h
+        t += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
   /** Modulus of the polynomial rolling fingerprint (prime < 2^50, so
     * `h*31 + cp` can never overflow a long).
     */

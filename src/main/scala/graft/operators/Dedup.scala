@@ -96,6 +96,17 @@ object Dedup {
     * @param bands     LSH bands (rows per band = k / bands);
     *                  P(candidate) = 1-(1-j^r)^b
     */
+  /** Distinct word 3-gram shingles as a row-local array column (no explode). */
+  private def shingleArray(n: Int = 3): Column = {
+    val ws = TextAnalysis.tokens(col("text"))
+    array_distinct(
+      when(size(ws) >= n,
+        transform(
+          sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
+        .otherwise(array()))
+  }
+
   def minhashLsh(
       docs: DataFrame,
       threshold: Double = 0.5,
@@ -105,21 +116,31 @@ object Dedup {
     val sh = shingles(docs)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
-    val minhashes = sh
-      .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min(permHash(col("i"), col("s"))).as("mh"))
+    // The whole signature is one codegen'd row-local expression — no k-fold
+    // row explosion, no per-(doc, perm) shuffle, no interpreted
+    // higher-order lambdas. Only the band bucket join shuffles.
+    val sig = GraftFunctions.minhash_sig(col("_shs"), numHashes)
 
     val rowsPerBand = numHashes / bands
-    val sigs = minhashes
-      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(
-        array_join(
+    val sigs = graft.Tables.widen(docs)
+      .select(col("doc_id"), shingleArray().as("_shs"))
+      .select(col("doc_id"), sig.as("_sig"))
+      .select(
+        col("doc_id"),
+        explode(
           transform(
-            array_sort(collect_list(struct(col("i"), col("mh")))),
-            x => concat(x.getField("i").cast("string"), lit(":"), x.getField("mh").cast("string"))),
-          ",").as("sig"))
+            sequence(lit(0), lit(bands - 1)),
+            b => struct(
+              b.cast("int").as("band"),
+              // identical rendering to the per-(i, mh) string_agg form
+              array_join(
+                transform(
+                  sequence(lit(0), lit(rowsPerBand - 1)),
+                  j => concat(
+                    (b * rowsPerBand + j).cast("string"), lit(":"),
+                    element_at(col("_sig"), (b * rowsPerBand + j + 1).cast("int")).cast("string"))),
+                ",").as("sig")))).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.sig"))
 
     val a = sigs.as("a")
     val b = sigs.as("b")

@@ -38,21 +38,24 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplane component for (plane j, dim i): parity of
-    * the portable 60-bit md5 hash — reproducible in any engine.
+    * the portable 60-bit md5 hash — reproducible in any engine. Evaluated
+    * once at plan-build time and embedded as a literal matrix (the values
+    * are constants; hashing them per row would cost planes×dims md5 calls
+    * per vector).
     */
-  private def planeSign(j: Int, i: Column): Column =
-    when(GraftFunctions.md5_prefix60(
-      concat(lit(j.toString), lit("#"), i.cast("string"))) % 2 === 0, lit(1.0))
-      .otherwise(lit(-1.0))
+  private def planeRow(j: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { i =>
+      if (graft.functions.Kernels.md5Prefix60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$j#$i")) % 2 == 0) 1.0 else -1.0
+    }
 
-  /** 16-bit random-hyperplane signature of an embedding column. */
-  def rhpSignature(emb: Column, planes: Int = 16): Column = {
+  /** `planes`-bit random-hyperplane signature of an embedding column.
+    * @param dims embedding dimensionality (hyperplanes are literals)
+    */
+  def rhpSignature(emb: Column, planes: Int = 16, dims: Int = 64): Column = {
     val bits = (0 until planes).map { j =>
       val dotJ = aggregate(
-        zip_with(
-          emb,
-          transform(sequence(lit(0), size(emb) - 1), i => planeSign(j, i)),
-          (x, s) => x.cast("double") * s),
+        zip_with(emb, typedLit(planeRow(j, dims)), (x, s) => x.cast("double") * s),
         lit(0.0),
         (acc, x) => acc + x)
       when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))

@@ -88,6 +88,26 @@ case class Md5Prefix60(child: Expression)
     copy(child = newChild)
 }
 
+/** Codegen'd full-signature MinHash over an array of terms. */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(terms: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Kernels.minhashSig(terms.asInstanceOf[ArrayData], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.Kernels.minhashSig($c, $k))")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 /** Column ↔ Expression bridge re-exported for graft's public function API. */
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
