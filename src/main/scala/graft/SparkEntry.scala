@@ -68,6 +68,7 @@ object SparkEntry {
     "q3_shipping_priority" -> ((s, dir) => Relational.q3ShippingPriority(s, dir)),
     "q5_supplier_volume" -> ((s, dir) => Relational.q5SupplierVolume(s, dir)),
     "q_rollup" -> ((s, dir) => Relational.qRollup(s, dir)),
+    "q_cube" -> ((s, dir) => Relational.qCube(s, dir)),
     "q_window_running" -> ((s, dir) => Relational.qWindowRunning(s, dir)),
     "q_topk_per_group" -> ((s, dir) => Relational.qTopkPerGroup(s, dir)),
     "q_topk_native" -> ((s, dir) => Relational.qTopkNative(s, dir)),
@@ -208,6 +209,12 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name, c_mktsegment)
         |ORDER BY grp, n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+        |  CAST(GROUPING(n_name, c_mktsegment) AS INTEGER) AS grp
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(n_name, c_mktsegment)""".stripMargin,
     "q_window_running" ->
       """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER

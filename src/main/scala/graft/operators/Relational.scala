@@ -89,6 +89,18 @@ object Relational {
       .orderBy(col("grp"), col("n_name"), col("c_mktsegment"))
   }
 
+  /** Full grouping-set lattice: CUBE(nation, market segment). */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("n_name"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_acctbal"),
+        grouping_id().cast("int").as("grp"))
+  }
+
   /** Running per-customer spend + order sequence (window functions). */
   def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")

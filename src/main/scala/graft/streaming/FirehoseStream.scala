@@ -114,6 +114,44 @@ object FirehoseStream {
         col("window.start").as("win_start"), col("component"), col("name"),
         col("n"), col("min_value"), col("max_value"), col("sum_value"))
 
+  /** Streaming exact dedup: first occurrence per key wins, late duplicates
+    * beyond the watermark are dropped with bounded state
+    * (`dropDuplicatesWithinWatermark`) — the streaming form of the batch
+    * `Dedup.exact` operator for continuously-landing training data.
+    */
+  def streamingDedup(
+      metrics: DataFrame,
+      keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    metrics
+      .withColumn("eventTime", timestamp_seconds(col("timestamp")))
+      .withWatermark("eventTime", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-stream interval join: each left event matched to right events of
+    * the same key within `[left.ts - window, left.ts]` — the streaming
+    * sibling of the batch as-of join (both sides' state pruned by
+    * watermark).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      window: String = "10 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left
+      .withColumn("l_time", timestamp_seconds(col("timestamp")))
+      .withWatermark("l_time", watermarkDelay)
+      .select(col(key).as("l_key"), col("l_time"), col("id").as("l_id"), col("value").as("l_value"))
+    val r = right
+      .withColumn("r_time", timestamp_seconds(col("timestamp")))
+      .withWatermark("r_time", watermarkDelay)
+      .select(col(key).as("r_key"), col("r_time"), col("id").as("r_id"), col("value").as("r_value"))
+    l.join(
+      r,
+      expr(s"l_key = r_key AND r_time BETWEEN l_time - interval $window AND l_time"))
+  }
+
   /** `endOfSet()` parity: per micro-batch, render the current gauge updates
     * to Prometheus exposition text and hand them to `push` (a PushGateway
     * client in production; a collector in tests).

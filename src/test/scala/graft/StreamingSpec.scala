@@ -71,6 +71,54 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first occurrence per key with bounded state") {
+    val dir = Files.createTempDirectory("graft-dedup").toFile
+    val chk = Files.createTempDirectory("graft-dchk").toFile
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("a", "m", 1000, "u1", 1.0),
+        metricJson("a", "m", 1001, "u1", 2.0), // dup id within watermark
+        metricJson("b", "m", 1002, "u2", 3.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.streamingDedup(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath), Seq("id"))
+      .writeStream.format("memory").queryName("dedup_t").outputMode("append")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("dedup_t").select("id").collect().map(_.getString(0)).sorted
+      assert(ids.toSeq === Seq("a", "b"))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches events within the window") {
+    val ldir = Files.createTempDirectory("graft-ij-l").toFile
+    val rdir = Files.createTempDirectory("graft-ij-r").toFile
+    val chk = Files.createTempDirectory("graft-ijchk").toFile
+    // left purchase at t=1000; right clicks at 700 (in window) and 100 (out)
+    Files.write(ldir.toPath.resolve("l.json"),
+      Seq(metricJson("p1", "purchase", 1000, "u1", 9.0)).mkString("\n").getBytes)
+    Files.write(rdir.toPath.resolve("r.json"),
+      Seq(
+        metricJson("c1", "click", 700, "u1", 1.0),
+        metricJson("c2", "click", 100, "u1", 2.0)).mkString("\n").getBytes)
+    val joined = FirehoseStream.intervalJoin(
+      FirehoseStream.fromJsonFiles(spark, ldir.getAbsolutePath)
+        .withColumn("user", col("tags").getItem("user")),
+      FirehoseStream.fromJsonFiles(spark, rdir.getAbsolutePath)
+        .withColumn("user", col("tags").getItem("user")),
+      key = "user", window = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij_t").outputMode("append")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      val pairs = spark.table("ij_t").select("l_id", "r_id")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(pairs === Set(("p1", "c1"))) // c2 is outside the 10-minute window
+    } finally q.stop()
+  }
+
   test("exposition sink renders prometheus text per micro-batch") {
     val dir = Files.createTempDirectory("graft-stream3").toFile
     val chk = Files.createTempDirectory("graft-chk3").toFile
