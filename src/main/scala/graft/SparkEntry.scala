@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Firehose, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Curate, Dedup, Firehose, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -102,7 +102,12 @@ object SparkEntry {
       Multimodal.asBinary(Tables(s, dir, "documents"))
         .select(col("doc_id"), col("byte_len"), col("mime"), col("source"))),
     "mm2_feature_extract" -> ((s, dir) =>
-      Multimodal.extractFeatures(Multimodal.asBinary(Tables(s, dir, "documents")))))
+      Multimodal.extractFeatures(Multimodal.asBinary(Tables(s, dir, "documents")))),
+    "s3_ann_ivf" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+    "p1_corpus_curate" -> ((s, dir) => Curate.corpusStats(Tables(s, dir, "documents"))))
 
   // DuckDB dialect; column names/types aligned with the Spark results above.
   def oracleSql: Map[String, String] = Map(
@@ -373,7 +378,26 @@ object SparkEntry {
     "mm1_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  'text/plain' AS mime, source
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "p1_corpus_curate" ->
+      """WITH base AS (
+        | SELECT doc_id, source, text,
+        |   CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |   CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS BIGINT) AS n_words,
+        |   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+        |   CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |     x -> x != '' AND list_contains(['the','and','of','to','a','in'], x))) AS BIGINT) AS n_stop
+        | FROM documents),
+        |r AS (SELECT *, n_punct::DOUBLE / n_chars_actual AS punct_ratio,
+        |        n_stop::DOUBLE / n_words AS stop_ratio FROM base),
+        |q AS (SELECT *,
+        |  least(n_words::DOUBLE / 50.0, 1.0) * 0.5 + (1.0 - punct_ratio) * 0.3
+        |    + least(stop_ratio * 5.0, 1.0) * 0.2 AS quality FROM r),
+        |kept AS (SELECT * FROM q WHERE quality >= 0.5),
+        |surv AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM kept GROUP BY 1)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CAST(quality AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS avg_quality
+        |FROM kept JOIN surv USING (doc_id) GROUP BY source ORDER BY source""".stripMargin)
 
   /** Shared DuckDB CTE fragments (kept identical across oracles). */
   private val WordsCte: String =

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -61,6 +63,54 @@ object Similarity {
       when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** IVF (inverted-file) ANN: K-Means partitions the corpus into `nlist`
+    * cells; probes score only vectors in their `nprobe` nearest cells.
+    * The index (cell assignment) is a materializable column; at 100 TB the
+    * model trains on a sample and assignment is one broadcast-matrix map —
+    * the search itself is an equi-join on cell id, exactly like the LSH
+    * path but with data-adaptive buckets.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      probes: DataFrame,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 2): DataFrame = {
+    val withVec = embeddings.withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(nlist).setSeed(42).setFeaturesCol("features")
+      .setPredictionCol("cell").fit(withVec)
+    val cand = model.transform(withVec)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cand_emb"), col("cell"))
+
+    // nprobe nearest cells per probe, against the literal centroid matrix
+    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val dists = (0 until nlist).map { c =>
+      val sqDist = aggregate(
+        zip_with(col("embedding"), typedLit(centroids(c)), (x, m) => {
+          val d = x.cast("double") - m
+          d * d
+        }),
+        lit(0.0), (acc, x) => acc + x)
+      struct(sqDist.as("dist"), lit(c).as("cell"))
+    }
+    val nearestCells = slice(array_sort(array(dists: _*)), 1, nprobe)
+    val p = probes
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        explode(nearestCells).as("pc"))
+      .select(col("probe_id"), col("probe_emb"), col("pc.cell").as("cell"))
+
+    val scored = cand
+      .join(broadcast(p), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        GraftFunctions.cosine_sim(col("probe_emb"), col("cand_emb")).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
   }
 
   /** Banded LSH ANN: the signature is split into `bands` keys of

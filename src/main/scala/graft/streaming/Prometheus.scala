@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.net.{InetSocketAddress, URI}
+import java.net.http.{HttpClient, HttpRequest}
+import java.net.http.HttpResponse.BodyHandlers
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicReference
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** The reference's two execution models, re-expressed over graft's gauge
+  * stream (both JDK-only, no client library):
+  *
+  *  - [[PrometheusPullServer]] — PrometheusPuller.java parity: an HTTP
+  *    endpoint Prometheus scrapes; serves the current registry snapshot in
+  *    text exposition format.
+  *  - [[PrometheusPusher]] — PrometheusPusher.java:63-70 parity: per
+  *    micro-batch (`endOfSet()`), POST the registry snapshot to a
+  *    PushGateway URL.
+  *
+  * Both consume the same `Dataset[GaugeOut]` updates that
+  * [[FirehoseStream.gaugeLatest]] maintains; the registry snapshot is
+  * bounded by live-series cardinality, so holding/rendering it at a single
+  * endpoint is O(series), independent of stream volume.
+  */
+object Prometheus {
+
+  /** In-memory registry: series key → exposition line, updated per batch. */
+  final class Registry {
+    private val state = new AtomicReference(Map.empty[String, String])
+    def update(lines: Seq[String]): Unit = {
+      val keyed = lines.map { l => l.takeWhile(_ != ' ') -> l }
+      state.updateAndGet(m => m ++ keyed)
+      ()
+    }
+    def render: String = {
+      val m = state.get()
+      m.keys.toSeq.sorted.map(m).mkString("", "\n", if (m.isEmpty) "" else "\n")
+    }
+    def size: Int = state.get().size
+  }
+
+  /** PrometheusPuller.java parity: serve `render` at /metrics. Returns the
+    * bound port (pass 0 to pick a free one).
+    */
+  def startPullServer(registry: Registry, port: Int = 0): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/metrics", (exchange: HttpExchange) => {
+      val body = registry.render.getBytes(StandardCharsets.UTF_8)
+      exchange.getResponseHeaders.add("Content-Type", "text/plain; version=0.0.4")
+      exchange.sendResponseHeaders(200, body.length)
+      val os = exchange.getResponseBody
+      try os.write(body) finally os.close()
+    })
+    server.start()
+    server
+  }
+
+  /** Stream writer keeping `registry` current per micro-batch (pull model:
+    * the scrape endpoint reads whatever is current; `endOfSet()` ≙ batch
+    * boundary).
+    */
+  def pullSink(gauges: Dataset[GaugeOut], registry: Registry): DataStreamWriter[GaugeOut] =
+    FirehoseStream.expositionSink(gauges, lines => registry.update(lines.toSeq))
+
+  /** PrometheusPusher.java:63-70 parity: per micro-batch POST of the
+    * rendered update to a PushGateway-style endpoint
+    * (`PUT/POST /metrics/job/<job>`).
+    */
+  def pushSink(
+      gauges: Dataset[GaugeOut],
+      gatewayUrl: String,
+      job: String): DataStreamWriter[GaugeOut] = {
+    val client = HttpClient.newHttpClient()
+    FirehoseStream.expositionSink(gauges, { lines =>
+      val req = HttpRequest.newBuilder(URI.create(s"$gatewayUrl/metrics/job/$job"))
+        .header("Content-Type", "text/plain; version=0.0.4")
+        .POST(HttpRequest.BodyPublishers.ofString(lines.mkString("", "\n", "\n")))
+        .build()
+      client.send(req, BodyHandlers.discarding())
+      ()
+    })
+  }
+}

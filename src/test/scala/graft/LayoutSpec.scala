@@ -31,6 +31,16 @@ class LayoutSpec extends SparkSuite {
     val e = Firehose.eventsRaw(spark, sfDir).select("event_id", "user_id", "value")
     spark.sql("DROP TABLE IF EXISTS ev_a")
     spark.sql("DROP TABLE IF EXISTS ev_b")
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // directories persist; clear them so saveAsTable can re-create
+    for (t <- Seq("ev_a", "ev_b")) {
+      val d = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (d.exists()) {
+        java.nio.file.Files.walk(d.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
+    }
     e.write.bucketBy(8, "user_id").sortBy("user_id").saveAsTable("ev_a")
     e.groupBy("user_id").agg(sum("value").as("total"))
       .write.bucketBy(8, "user_id").saveAsTable("ev_b")

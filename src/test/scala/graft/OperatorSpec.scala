@@ -80,6 +80,19 @@ class OperatorSpec extends SparkSuite {
     assert(recall > 0.0)
   }
 
+  test("IVF ANN returns correctly-scored neighbors with measurable recall") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, probes, k = 5)
+      .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, probes, k = 5)
+      .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    info(f"IVF recall vs exact top-5 (nlist=16, nprobe=2): $recall%.2f")
+    assert(recall > 0.0)
+  }
+
   test("approx_count_distinct tracks exact within rsd bound") {
     val exact = Relational.qDistinct(spark, sfDir)
       .select("o_orderpriority", "n_custs").collect()

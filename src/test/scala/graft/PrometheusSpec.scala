@@ -1,0 +1,83 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest}
+import java.net.http.HttpResponse.BodyHandlers
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import com.sun.net.httpserver.HttpServer
+
+import graft.streaming.{FirehoseStream, Prometheus}
+
+class PrometheusSpec extends SparkSuite {
+
+  private def metricJson(id: String, name: String, ts: Long, user: String, value: Double): String =
+    s"""{"id":"$id","name":"$name","timestamp":$ts,"component":"app",""" +
+      s""""tags":{"user":"$user","unit":"bytes"},"value":$value,""" +
+      s""""window":{"from":${ts - 60},"to":$ts,"interval":60}}"""
+
+  test("pull model: scrape endpoint serves the live registry (PrometheusPuller parity)") {
+    val dir = Files.createTempDirectory("graft-pull").toFile
+    val chk = Files.createTempDirectory("graft-pullchk").toFile
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "bytes_total", 1000, "u1", 42.0),
+        metricJson("2", "errors_total", 1100, "u2", 7.0)).mkString("\n").getBytes)
+    val registry = new Prometheus.Registry
+    val server = Prometheus.startPullServer(registry)
+    val gauges = FirehoseStream.gaugeLatest(
+      FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath), "0 seconds")
+    val q = Prometheus.pullSink(gauges, registry)
+      .option("checkpointLocation", chk.getAbsolutePath).start()
+    try {
+      q.processAllAvailable()
+      val port = server.getAddress.getPort
+      val body = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/metrics")).GET().build(),
+        BodyHandlers.ofString()).body()
+      assert(body.contains("app_bytes_total{user=\"u1\"} 42.000000 1000000"))
+      assert(body.contains("app_errors_total{user=\"u2\"} 7.000000 1100000"))
+      // a newer sample must overwrite the series line on the next scrape
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(metricJson("3", "bytes_total", 2000, "u1", 43.5)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val body2 = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/metrics")).GET().build(),
+        BodyHandlers.ofString()).body()
+      assert(body2.contains("app_bytes_total{user=\"u1\"} 43.500000 2000000"))
+      assert(!body2.contains("42.000000"))
+    } finally { q.stop(); server.stop(0) }
+  }
+
+  test("push model: each micro-batch POSTs exposition text to the gateway (PrometheusPusher parity)") {
+    val dir = Files.createTempDirectory("graft-push").toFile
+    val chk = Files.createTempDirectory("graft-pushchk").toFile
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(metricJson("1", "bytes_total", 1000, "u1", 5.0)).mkString("\n").getBytes)
+    // fake PushGateway collecting request bodies
+    val received = new ConcurrentLinkedQueue[(String, String)]()
+    val gateway = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    gateway.createContext("/", exchange => {
+      val body = new String(exchange.getRequestBody.readAllBytes())
+      received.add(exchange.getRequestURI.getPath -> body)
+      exchange.sendResponseHeaders(200, -1)
+      exchange.close()
+    })
+    gateway.start()
+    val gauges = FirehoseStream.gaugeLatest(
+      FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath), "0 seconds")
+    val q = Prometheus.pushSink(
+        gauges, s"http://127.0.0.1:${gateway.getAddress.getPort}", job = "graft-test")
+      .option("checkpointLocation", chk.getAbsolutePath).start()
+    try {
+      q.processAllAvailable()
+      val posts = received.toArray(Array.empty[(String, String)])
+      assert(posts.nonEmpty, "gateway received no pushes")
+      assert(posts.exists { case (path, body) =>
+        path == "/metrics/job/graft-test" &&
+          body.contains("app_bytes_total{user=\"u1\"} 5.000000 1000000")
+      }, s"unexpected posts: ${posts.mkString(";")}")
+    } finally { q.stop(); gateway.stop(0) }
+  }
+}
