@@ -84,6 +84,8 @@ object SparkEntry {
     "d3_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Tables(s, dir, "documents"), threshold = 0.5)),
     "d4_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables(s, dir, "documents"))),
+    "d4b_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables(s, dir, "documents"), radius = 3)),
     "d5_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(Tables(s, dir, "embeddings"), threshold = 0.35)),
     "s1_ann_bruteforce" -> ((s, dir) => {

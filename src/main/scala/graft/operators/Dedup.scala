@@ -70,7 +70,9 @@ object Dedup {
       docs: DataFrame,
       threshold: Double = 0.5,
       maxShingleDocs: Option[Int] = None): DataFrame = {
-    val shAll = shingles(docs)
+    // the shingle relation feeds both self-join branches and the per-doc
+    // counts — persist instead of recomputing the explode 3x
+    val shAll = shingles(docs).persist()
     val sh = maxShingleDocs match {
       case Some(cap) =>
         val freq = shAll.groupBy("s").agg(count(lit(1)).as("_df")).filter(col("_df") <= cap)
@@ -113,7 +115,8 @@ object Dedup {
       numHashes: Int = 12,
       bands: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sh = shingles(docs)
+    // feeds counts + both verification branches: persist over re-explode
+    val sh = shingles(docs).persist()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
     // The whole signature is one codegen'd row-local expression — no k-fold
@@ -181,9 +184,13 @@ object Dedup {
   }
 
   /** SimHash near-dup candidate pairs: band-bucket join + Hamming ≤ radius.
-    * No oracle (DuckDB-side would mirror the same LSH, spec covers it).
+    * With 4 bands over 60 bits, any pair within Hamming distance 3 differs
+    * in at most 3 bands, so it must match on at least one — candidate
+    * recall is exactly 1.0 for radius ≤ 3 (pigeonhole), which is why 3 is
+    * the default. No oracle (DuckDB-side would mirror the same LSH; the
+    * spec covers pairing semantics).
     */
-  def simhashPairs(docs: DataFrame, radius: Int = 8): DataFrame = {
+  def simhashPairs(docs: DataFrame, radius: Int = 3): DataFrame = {
     val s = simhash(docs)
     val bandCols = Seq("b0", "b1", "b2", "b3")
     val exploded = s.select(
