@@ -356,8 +356,8 @@ object SparkEntry {
            |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
            |  ${markerSql("en")} AS n_stop
            |FROM documents JOIN words USING (doc_id)),
-           |r AS (SELECT *, n_punct::DOUBLE / n_chars_actual AS punct_ratio,
-           |        n_stop::DOUBLE / n_words AS stop_ratio FROM base)
+           |r AS (SELECT *, n_punct::DOUBLE / nullif(n_chars_actual, 0) AS punct_ratio,
+           |        n_stop::DOUBLE / nullif(n_words, 0) AS stop_ratio FROM base)
            |SELECT doc_id, n_chars_actual, n_words, n_punct, n_stop, punct_ratio, stop_ratio,
            |  least(n_words::DOUBLE / 50.0, 1.0) * 0.5 + (1.0 - punct_ratio) * 0.3
            |    + least(stop_ratio * 5.0, 1.0) * 0.2 AS quality
@@ -390,8 +390,8 @@ object SparkEntry {
         |   CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
         |     x -> x != '' AND list_contains(['the','and','of','to','a','in'], x))) AS BIGINT) AS n_stop
         | FROM documents),
-        |r AS (SELECT *, n_punct::DOUBLE / n_chars_actual AS punct_ratio,
-        |        n_stop::DOUBLE / n_words AS stop_ratio FROM base),
+        |r AS (SELECT *, n_punct::DOUBLE / nullif(n_chars_actual, 0) AS punct_ratio,
+        |        n_stop::DOUBLE / nullif(n_words, 0) AS stop_ratio FROM base),
         |q AS (SELECT *,
         |  least(n_words::DOUBLE / 50.0, 1.0) * 0.5 + (1.0 - punct_ratio) * 0.3
         |    + least(stop_ratio * 5.0, 1.0) * 0.2 AS quality FROM r),

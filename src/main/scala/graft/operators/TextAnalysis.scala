@@ -78,8 +78,10 @@ object TextAnalysis {
         size(ws).cast("long").as("n_words"),
         regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long").as("n_punct"),
         markerCount(ws, Stopwords).as("n_stop"))
-      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars_actual"))
-      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words"))
+      .withColumn("punct_ratio",
+        col("n_punct").cast("double") / nullif(col("n_chars_actual"), lit(0L)))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / nullif(col("n_words"), lit(0L)))
       .withColumn(
         "quality",
         least(col("n_words").cast("double") / lit(50.0), lit(1.0)) * lit(0.5)
