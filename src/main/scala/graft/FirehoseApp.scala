@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.config.GraftConfig
+import graft.streaming.{FirehoseStream, Prometheus}
+
+/** Runnable firehose application — the graft equivalent of the reference's
+  * two mains (PrometheusPusher.java:95-170, PrometheusPuller.java), same CLI
+  * surface:
+  *
+  * {{{
+  * graft.FirehoseApp [--mode pull|push] [--source <dir>|kafka]
+  *                   [-c k=v,k=v] [-f config-file] [-g gateway-url] [-j job]
+  *                   [--once]
+  * }}}
+  *
+  * `-j` also defaults `consumer.group.id` like the reference
+  * (PrometheusPusher.java:121-125). `--once` processes available input and
+  * exits (for smoke runs); otherwise the stream runs until terminated.
+  */
+object FirehoseApp {
+
+  final case class Running(
+      query: StreamingQuery,
+      registry: Option[Prometheus.Registry],
+      stop: () => Unit)
+
+  def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-c" => GraftConfig.parseProperties(args(i + 1).replace(',', '\n'))
+          .foreach { case (k, v) => m.put(k, v) }; i += 2
+        case "-f" => m.put("_config.file", args(i + 1)); i += 2
+        case "-g" => m.put("prometheus.gateway", args(i + 1)); i += 2
+        case "-j" => m.put("prometheus.job", args(i + 1)); i += 2
+        case "--mode" => m.put("app.mode", args(i + 1)); i += 2
+        case "--source" => m.put("app.source", args(i + 1)); i += 2
+        case "--once" => m.put("app.once", "true"); i += 1
+        case other => throw new IllegalArgumentException(s"unknown arg: $other")
+      }
+    }
+    // reference parity: the job name seeds the consumer group id
+    m.get("prometheus.job").foreach { job =>
+      m.getOrElseUpdate("consumer.group.id", job)
+    }
+    m.toMap
+  }
+
+  def buildConfig(args: Array[String]): GraftConfig = {
+    val overrides = parseArgs(args)
+    GraftConfig.layered(
+      overrides = overrides - "_config.file",
+      configFile = overrides.get("_config.file").map(Paths.get(_)))
+  }
+
+  /** Assemble the pipeline from config; returns the running query. */
+  def start(spark: SparkSession, cfg: GraftConfig, checkpointDir: String): Running = {
+    val metrics = cfg.getOrElse("app.source", "kafka") match {
+      case "kafka" =>
+        FirehoseStream.fromKafka(
+          spark,
+          cfg.getOrElse("consumer.bootstrap.servers", "localhost:9092"),
+          cfg.getOrElse("consumer.topic", "metrics.v1"))
+      case dir => FirehoseStream.fromJsonFiles(spark, dir)
+    }
+    val gauges = FirehoseStream.gaugeLatest(
+      metrics,
+      watermarkDelay = cfg.getOrElse("gauge.watermark", "10 minutes"),
+      ttlMs = cfg.getInt("gauge.ttl.seconds", 600) * 1000L)
+
+    cfg.getOrElse("app.mode", "pull") match {
+      case "push" =>
+        val q = Prometheus.pushSink(
+            gauges,
+            cfg.getOrElse("prometheus.gateway", "http://localhost:9091"),
+            cfg.getOrElse("prometheus.job", "graft"))
+          .option("checkpointLocation", checkpointDir)
+          .start()
+        Running(q, None, () => q.stop())
+      case _ =>
+        val registry = new Prometheus.Registry
+        val server = Prometheus.startPullServer(
+          registry, cfg.getInt("prometheus.listener.port", 0))
+        println(s"[graft] /metrics listening on ${server.getAddress}")
+        val q = Prometheus.pullSink(gauges, registry)
+          .option("checkpointLocation", checkpointDir)
+          .start()
+        Running(q, Some(registry), () => { q.stop(); server.stop(0) })
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = buildConfig(args)
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-firehose")
+    val chk = java.nio.file.Files.createTempDirectory("graft-app-chk").toString
+    val running = start(spark, cfg, chk)
+    if (cfg.getBoolean("app.once", default = false)) {
+      running.query.processAllAvailable()
+      running.stop()
+      spark.stop()
+    } else {
+      running.query.awaitTermination()
+    }
+  }
+}

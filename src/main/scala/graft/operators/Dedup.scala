@@ -85,19 +85,6 @@ object Dedup {
       .select("doc_a", "doc_b", "common", "n_a", "n_b", "jaccard")
   }
 
-  /** Portable per-(perm, shingle) hash: 60-bit md5 prefix of "i:shingle" —
-    * computable identically in DuckDB (`CAST('0x'||substr(md5(..),1,15) AS
-    * BIGINT)`).
-    */
-  private def permHash(i: Column, s: Column): Column =
-    GraftFunctions.md5_prefix60(concat(i.cast("string"), lit(":"), s))
-
-  /** MinHash + banded LSH near-dup candidates, verified with exact Jaccard.
-    *
-    * @param numHashes signature length k (perm hashes 0..k-1)
-    * @param bands     LSH bands (rows per band = k / bands);
-    *                  P(candidate) = 1-(1-j^r)^b
-    */
   /** Distinct word 3-gram shingles as a row-local array column (no explode). */
   private def shingleArray(n: Int = 3): Column = {
     val ws = TextAnalysis.tokens(col("text"))
@@ -109,6 +96,14 @@ object Dedup {
         .otherwise(array()))
   }
 
+  /** MinHash + banded LSH near-dup candidates, verified with exact Jaccard.
+    * Permutation hashes are 60-bit md5 prefixes of "i:shingle" — computable
+    * identically in DuckDB (`CAST('0x'||substr(md5(..),1,15) AS BIGINT)`).
+    *
+    * @param numHashes signature length k (perm hashes 0..k-1)
+    * @param bands     LSH bands (rows per band = k / bands);
+    *                  P(candidate) = 1-(1-j^r)^b
+    */
   def minhashLsh(
       docs: DataFrame,
       threshold: Double = 0.5,

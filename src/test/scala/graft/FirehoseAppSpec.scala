@@ -1,0 +1,40 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest}
+import java.net.http.HttpResponse.BodyHandlers
+import java.nio.file.Files
+
+class FirehoseAppSpec extends SparkSuite {
+
+  test("CLI args layer into config with reference semantics (-j seeds group id)") {
+    val cfg = FirehoseApp.buildConfig(Array(
+      "-c", "consumer.topic=metrics.v9,gauge.ttl.seconds=77",
+      "-j", "edge-job", "--mode", "pull", "--once"))
+    assert(cfg.getOrElse("consumer.topic", "?") === "metrics.v9")
+    assert(cfg.getInt("gauge.ttl.seconds", -1) === 77)
+    assert(cfg.getOrElse("prometheus.job", "?") === "edge-job")
+    assert(cfg.getOrElse("consumer.group.id", "?") === "edge-job")
+    assert(cfg.getBoolean("app.once", default = false))
+    intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("--bogus")))
+  }
+
+  test("end-to-end pull-mode app: file source to scrapeable /metrics") {
+    val dir = Files.createTempDirectory("graft-app").toFile
+    val chk = Files.createTempDirectory("graft-appchk").toString
+    Files.write(dir.toPath.resolve("b1.json"),
+      ("""{"id":"1","name":"bytes_total","timestamp":1000,"component":"app",""" +
+        """"tags":{"user":"u9","unit":"bytes"},"value":3.5,""" +
+        """"window":{"from":940,"to":1000,"interval":60}}""").getBytes)
+    val cfg = FirehoseApp.buildConfig(Array(
+      "--mode", "pull", "--source", dir.getAbsolutePath,
+      "-c", "gauge.watermark=0 seconds"))
+    val running = FirehoseApp.start(spark, cfg, chk)
+    try {
+      running.query.processAllAvailable()
+      assert(running.registry.get.size === 1)
+      assert(running.registry.get.render
+        .contains("app_bytes_total{user=\"u9\"} 3.500000 1000000"))
+    } finally running.stop()
+  }
+}
