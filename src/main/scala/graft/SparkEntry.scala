@@ -69,6 +69,8 @@ object SparkEntry {
     "q5_supplier_volume" -> ((s, dir) => Relational.q5SupplierVolume(s, dir)),
     "q_rollup" -> ((s, dir) => Relational.qRollup(s, dir)),
     "q_cube" -> ((s, dir) => Relational.qCube(s, dir)),
+    "q_pivot" -> ((s, dir) => Relational.qPivot(s, dir)),
+    "q_setops" -> ((s, dir) => Relational.qSetOps(s, dir)),
     "q_window_running" -> ((s, dir) => Relational.qWindowRunning(s, dir)),
     "q_topk_per_group" -> ((s, dir) => Relational.qTopkPerGroup(s, dir)),
     "q_topk_native" -> ((s, dir) => Relational.qTopkNative(s, dir)),
@@ -222,6 +224,20 @@ object SparkEntry {
         |  CAST(GROUPING(n_name, c_mktsegment) AS INTEGER) AS grp
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY CUBE(n_name, c_mktsegment)""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_setops" ->
+      """SELECT c_custkey, 'building_no_orders' AS op FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT SELECT DISTINCT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT c_custkey, 'building_with_orders' AS op FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT SELECT DISTINCT o_custkey FROM orders)""".stripMargin,
     "q_window_running" ->
       """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER

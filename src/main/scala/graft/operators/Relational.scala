@@ -89,6 +89,32 @@ object Relational {
       .orderBy(col("grp"), col("n_name"), col("c_mktsegment"))
   }
 
+  /** Pivoted aggregation with a fixed column list (deterministic schema;
+    * the oracle expresses the same thing with CASE aggregation).
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .withColumnRenamed("F", "sum_f")
+      .withColumnRenamed("O", "sum_o")
+      .withColumnRenamed("P", "sum_p")
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Set operations: EXCEPT / INTERSECT / UNION with distinct semantics. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val building = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val withOrders = t(spark, dir, "orders").select(col("o_custkey").as("c_custkey")).distinct()
+    val exceptSet = building.except(withOrders)
+      .withColumn("op", lit("building_no_orders"))
+    val intersectSet = building.intersect(withOrders)
+      .withColumn("op", lit("building_with_orders"))
+    exceptSet.unionByName(intersectSet)
+  }
+
   /** Full grouping-set lattice: CUBE(nation, market segment). */
   def qCube(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
