@@ -369,12 +369,15 @@ object SparkEntry {
       (WordsCte +
         s"""base AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_actual,
            |  CAST(len(ws) AS BIGINT) AS n_words,
+           |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
            |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
            |  ${markerSql("en")} AS n_stop
            |FROM documents JOIN words USING (doc_id)),
-           |r AS (SELECT *, n_punct::DOUBLE / nullif(n_chars_actual, 0) AS punct_ratio,
+           |r AS (SELECT *, n_distinct_words::DOUBLE / nullif(n_words, 0) AS rep_ratio,
+           |        n_punct::DOUBLE / nullif(n_chars_actual, 0) AS punct_ratio,
            |        n_stop::DOUBLE / nullif(n_words, 0) AS stop_ratio FROM base)
-           |SELECT doc_id, n_chars_actual, n_words, n_punct, n_stop, punct_ratio, stop_ratio,
+           |SELECT doc_id, n_chars_actual, n_words, n_distinct_words, n_punct, n_stop,
+           |  rep_ratio, punct_ratio, stop_ratio,
            |  least(n_words::DOUBLE / 50.0, 1.0) * 0.5 + (1.0 - punct_ratio) * 0.3
            |    + least(stop_ratio * 5.0, 1.0) * 0.2 AS quality
            |FROM r""".stripMargin),

@@ -76,8 +76,11 @@ object TextAnalysis {
         col("doc_id"),
         char_length(col("text")).cast("long").as("n_chars_actual"),
         size(ws).cast("long").as("n_words"),
+        size(array_distinct(ws)).cast("long").as("n_distinct_words"),
         regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long").as("n_punct"),
         markerCount(ws, Stopwords).as("n_stop"))
+      .withColumn("rep_ratio",
+        col("n_distinct_words").cast("double") / nullif(col("n_words"), lit(0L)))
       .withColumn("punct_ratio",
         col("n_punct").cast("double") / nullif(col("n_chars_actual"), lit(0L)))
       .withColumn("stop_ratio",
