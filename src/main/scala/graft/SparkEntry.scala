@@ -313,7 +313,11 @@ object SparkEntry {
     "d3_dedup_minhash_lsh" ->
       (ShinglesCte +
         """cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-          |mh AS (SELECT doc_id, i, min(CAST('0x' || substr(md5(i || ':' || s), 1, 15) AS BIGINT)) AS mh
+          |mh AS (SELECT doc_id, i,
+          |        min(CAST(((CAST((CAST('0x'||substr(md5('a:'||i),1,15) AS BIGINT) | 1) AS HUGEINT)
+          |                   * CAST('0x'||substr(md5(s),1,15) AS BIGINT)
+          |                   + CAST('0x'||substr(md5('b:'||i),1,15) AS BIGINT))
+          |                  % 2305843009213693951) AS BIGINT)) AS mh
           |       FROM sh CROSS JOIN generate_series(0, 11) t(i) GROUP BY doc_id, i),
           |sig AS (SELECT doc_id, i // 4 AS band, string_agg(i || ':' || mh, ',' ORDER BY i) AS sig
           |        FROM mh GROUP BY doc_id, i // 4),

@@ -81,32 +81,59 @@ object Kernels {
     fp
   }
 
-  /** Full MinHash signature in one pass: element i = min over terms of
-    * md5Prefix60(i + ":" + term). Identical values to the per-(perm, term)
-    * SQL formulation, but one tight JVM loop instead of a k-fold row
-    * explosion or interpreted higher-order lambdas.
+  /** Mersenne modulus 2^61 - 1 for the MinHash permutation family. */
+  val M61: Long = (1L << 61) - 1
+
+  /** Exact (a*b) mod 2^61-1 for 0 ≤ a, b < 2^61, via the 128-bit product:
+    * with prod = hi·2^64 + lo and 2^64 ≡ 8 (mod M61),
+    * prod ≡ hi·8 + (lo mod M61). All reductions are branch-light adds.
+    */
+  def mulModM61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b) // a,b < 2^61 are positive: signed == unsigned
+    val lo = a * b                   // low 64 bits, interpret unsigned
+    val loMod = {
+      val r = (lo & M61) + (lo >>> 61)
+      if (r >= M61) r - M61 else r
+    }
+    val hi8 = {
+      val h = hi << 3 // hi < 2^58 so hi*8 < 2^61: no overflow
+      if (h >= M61) h - M61 else h
+    }
+    val r = hi8 + loMod
+    if (r >= M61) r - M61 else r
+  }
+
+  /** Universal-family permutation hash h_i(x) = (a_i·x + b_i) mod 2^61-1,
+    * with (a_i, b_i) derived once from md5 of the permutation index. This is
+    * the classic MinHash construction: ONE content hash per term, k cheap
+    * affine maps — versus k full md5 computations per term. Portable: DuckDB
+    * computes the identical value with HUGEINT arithmetic
+    * (`(a_i::HUGEINT * base + b_i) % 2305843009213693951`).
+    */
+  def permCoeffA(i: Int): Long =
+    md5Prefix60(UTF8String.fromString("a:" + i)) | 1L // odd, non-zero
+  def permCoeffB(i: Int): Long =
+    md5Prefix60(UTF8String.fromString("b:" + i))
+
+  /** Full MinHash signature in one pass: base = md5Prefix60(term) once, then
+    * k affine permutation hashes; element i = min over terms.
     */
   def minhashSig(terms: ArrayData, k: Int): Array[Long] = {
-    val md = md5Local.get()
     val n = terms.numElements()
+    val as = Array.tabulate(k)(permCoeffA)
+    val bs = Array.tabulate(k)(permCoeffB)
     val sig = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    while (i < k) {
-      val prefix = (i.toString + ":").getBytes("UTF-8")
-      var t = 0
-      while (t < n) {
-        md.reset()
-        md.update(prefix)
-        md.update(terms.getUTF8String(t).getBytes)
-        val digest = md.digest()
-        var h = 0L
-        var b = 0
-        while (b < 7) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
-        h = (h << 4) | ((digest(7) & 0xf0L) >> 4)
+    var t = 0
+    while (t < n) {
+      val base = md5Prefix60(terms.getUTF8String(t))
+      var i = 0
+      while (i < k) {
+        var h = mulModM61(as(i), base) + bs(i)
+        if (h >= M61) h -= M61 // bs(i) < 2^60 < M61, so one reduction suffices
         if (h < sig(i)) sig(i) = h
-        t += 1
+        i += 1
       }
-      i += 1
+      t += 1
     }
     sig
   }
