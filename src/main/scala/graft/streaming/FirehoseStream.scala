@@ -114,6 +114,40 @@ object FirehoseStream {
         col("window.start").as("win_start"), col("component"), col("name"),
         col("n"), col("min_value"), col("max_value"), col("sum_value"))
 
+  /** Streaming gap-based session windows per series (the built-in
+    * `session_window` — dynamic-gap sessionization with watermark-bounded
+    * state; the streaming sibling of the batch `Relational.qSessionize`).
+    */
+  def sessionAgg(
+      metrics: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    metrics
+      .withColumn("eventTime", timestamp_seconds(col("timestamp")))
+      .withWatermark("eventTime", watermarkDelay)
+      .groupBy(session_window(col("eventTime"), gap), col("component"), col("name"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("component"), col("name"), col("n_events"), col("sum_value"))
+
+  /** Partitioned parquet landing of the parsed firehose — the write side of
+    * the 100 TB story: payload lands columnar, partitioned by component and
+    * event date so downstream queries prune both. `trigger` left to the
+    * caller; checkpointed exactly-once file sink.
+    */
+  def landingSink(metrics: DataFrame, path: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    metrics
+      .withColumn("event_date", to_date(timestamp_seconds(col("timestamp"))))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .partitionBy("component", "event_date")
+      .outputMode("append")
+
   /** Streaming exact dedup: first occurrence per key wins, late duplicates
     * beyond the watermark are dropped with bounded state
     * (`dropDuplicatesWithinWatermark`) — the streaming form of the batch

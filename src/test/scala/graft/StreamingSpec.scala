@@ -71,6 +71,59 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows group per series with gap semantics") {
+    val dir = Files.createTempDirectory("graft-sess").toFile
+    val chk = Files.createTempDirectory("graft-sesschk").toFile
+    // two sessions for "m": ts 0 and 60 (same session, gap 30m), ts 10000 (new)
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "m", 0, "u1", 1.0),
+        metricJson("2", "m", 60, "u1", 2.0),
+        metricJson("3", "m", 10000, "u1", 4.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.sessionAgg(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+        gap = "30 minutes", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_t").outputMode("append")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark so the sessions close and emit
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(metricJson("4", "m", 50000, "u1", 0.5)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val rows = spark.table("sess_t")
+        .select("n_events", "sum_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows.contains((2L, 3.0)), s"missing merged session in $rows") // ts 0+60
+      assert(rows.contains((1L, 4.0)), s"missing second session in $rows") // ts 10000
+    } finally q.stop()
+  }
+
+  test("streaming landing sink writes component/date-partitioned parquet") {
+    val dir = Files.createTempDirectory("graft-land-in").toFile
+    val out = Files.createTempDirectory("graft-land-out").toFile.getAbsolutePath + "/landed"
+    val chk = Files.createTempDirectory("graft-landchk").toFile
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "m", 1704067200, "u1", 1.0),   // 2024-01-01
+        metricJson("2", "m", 1704153600, "u1", 2.0)).mkString("\n").getBytes) // 2024-01-02
+    val q = FirehoseStream.landingSink(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath), out)
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      val landed = spark.read.parquet(out)
+      assert(landed.count() === 2)
+      val dates = landed.select("event_date").collect().map(_.get(0).toString).sorted
+      assert(dates.toSeq === Seq("2024-01-01", "2024-01-02"))
+      // partition directories exist → downstream partition pruning works
+      val dirs = new java.io.File(out + "/component=app").list()
+      assert(dirs.count(_.startsWith("event_date=")) === 2, dirs.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence per key with bounded state") {
     val dir = Files.createTempDirectory("graft-dedup").toFile
     val chk = Files.createTempDirectory("graft-dchk").toFile
