@@ -70,6 +70,7 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) => Relational.qRollup(s, dir)),
     "q_cube" -> ((s, dir) => Relational.qCube(s, dir)),
     "q_pivot" -> ((s, dir) => Relational.qPivot(s, dir)),
+    "q_range_join" -> ((s, dir) => Relational.qRangeJoin(s, dir)),
     "q_setops" -> ((s, dir) => Relational.qSetOps(s, dir)),
     "q_window_running" -> ((s, dir) => Relational.qWindowRunning(s, dir)),
     "q_topk_per_group" -> ((s, dir) => Relational.qTopkPerGroup(s, dir)),
@@ -230,6 +231,14 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_o,
         |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_range_join" ->
+      """WITH bands(band_id, lo, hi) AS (VALUES
+        |  (1, 0.0, 100000.0), (2, 100000.0, 200000.0), (3, 200000.0, 300000.0),
+        |  (4, 300000.0, 400000.0), (5, 400000.0, 1000000000.0))
+        |SELECT band_id, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
     "q_setops" ->
       """SELECT c_custkey, 'building_no_orders' AS op FROM (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'

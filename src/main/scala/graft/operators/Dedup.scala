@@ -149,11 +149,13 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    // exact-Jaccard verification restricted to bucketed candidates
+    // exact-Jaccard verification restricted to bucketed candidates; the
+    // candidate set (and its shingle expansion) is orders of magnitude
+    // smaller than the corpus — broadcast it so the only shuffle left is
+    // the final pair aggregation
     val sa = sh.select(col("doc_id").as("doc_a"), col("s"))
     val sb = sh.select(col("doc_id").as("doc_b"), col("s"))
-    val common = candidates
-      .join(sa, "doc_a")
+    val common = broadcast(broadcast(candidates).join(sa, "doc_a"))
       .join(sb, Seq("doc_b", "s"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))

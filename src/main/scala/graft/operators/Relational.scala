@@ -89,6 +89,31 @@ object Relational {
       .orderBy(col("grp"), col("n_name"), col("c_mktsegment"))
   }
 
+  /** Range (band) join: orders classified into price bands via a non-equi
+    * interval join. The band dimension is tiny, so the right plan is a
+    * broadcast nested-loop join (each row probes 5 intervals); for uniform
+    * bands an O(1) `floor((x-lo)/width)` classification would avoid even
+    * that, but interval dims are generally irregular — this is the general
+    * form.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      (1, 0.0, 100000.0), (2, 100000.0, 200000.0), (3, 200000.0, 300000.0),
+      (4, 300000.0, 400000.0), (5, 400000.0, 1000000000.0))
+      .toDF("band_id", "lo", "hi")
+    val o = t(spark, dir, "orders")
+    o.join(
+        broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band_id"), col("lo"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .select(col("band_id"), col("n_orders"), col("sum_price"))
+      .orderBy(col("band_id"))
+  }
+
   /** Pivoted aggregation with a fixed column list (deterministic schema;
     * the oracle expresses the same thing with CASE aggregation).
     */
