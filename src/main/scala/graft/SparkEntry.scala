@@ -91,6 +91,10 @@ object SparkEntry {
       Dedup.simhashPairs(Tables(s, dir, "documents"), radius = 3)),
     "d5_dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDup(Tables(s, dir, "embeddings"), threshold = 0.35)),
+    "d6_dedup_clusters" -> ((s, dir) =>
+      Dedup.resolveClusters(
+        Dedup.ngramJaccard(Tables(s, dir, "documents"), threshold = 0.5))
+        .orderBy(col("doc_id"))),
     "s1_ann_bruteforce" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -351,6 +355,28 @@ object SparkEntry {
           |       FROM bits GROUP BY doc_id)
           |SELECT doc_id, simhash, simhash & 32767 AS b0, (simhash >> 15) & 32767 AS b1,
           |  (simhash >> 30) & 32767 AS b2, (simhash >> 45) & 32767 AS b3 FROM fp""".stripMargin),
+    "d6_dedup_clusters" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s
+        |  FROM words, UNNEST(list_transform(generate_series(1, len(ws) - 2),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) t(s)),
+        |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT doc_a, doc_b FROM p
+        |       JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+        |       WHERE common::DOUBLE / (ca.n + cb.n - common) >= 0.5),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |          UNION SELECT doc_b, doc_a FROM jp),
+        |reach(doc, r) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a)
+        |SELECT doc AS doc_id, least(doc, min(r)) AS cluster_rep
+        |FROM reach GROUP BY doc ORDER BY doc""".stripMargin,
     "d5_dedup_embedding" ->
       s"""WITH p AS (
          | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS block,

@@ -209,6 +209,50 @@ object Dedup {
       .filter(col("hamming") <= radius)
   }
 
+  /** Resolve near-dup pairs into duplicate clusters: connected components
+    * by iterative min-label propagation (Pregel-style — each round every
+    * node adopts the minimum label in its neighborhood; converges in
+    * O(component diameter) rounds, each one shuffle). Near-dup components
+    * are tiny in practice, so the loop is short; the iteration is
+    * driver-controlled but all data movement is distributed joins.
+    *
+    * @param pairs (doc_a, doc_b) near-duplicate pairs (any Dedup variant)
+    * @return (doc_id, cluster_rep) for every doc appearing in a pair;
+    *         cluster_rep = min doc_id of the component (the survivor)
+    */
+  def resolveClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst")
+          .withColumnRenamed("label", "n_label"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("n_label")).as("n_label"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          least(col("label"), coalesce(col("n_label"), col("label"))).as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_rep"))
+  }
+
   /** Embedding-cosine near-dup pairs ≥ threshold, blocked by a coarse
     * partition column so the self-join is an equi-join (at 100 TB the block
     * key would be an IVF/cluster assignment; here the `label` column).
