@@ -220,11 +220,54 @@ object Dedup {
     * @return (doc_id, cluster_rep) for every doc appearing in a pair;
     *         cluster_rep = min doc_id of the component (the survivor)
     */
-  def resolveClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+  /** Driver-local union-find with path compression; survivor (cluster rep)
+    * = min doc_id per component.
+    */
+  private def unionFindLocal(edgeList: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edgeList.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.toArray.sorted.map(d => d -> find(d))
+  }
+
+  def resolveClusters(pairs: DataFrame, maxIters: Int = 20,
+      maxLocalEdges: Long = 5000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val edgesAll = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist()
+    val edgeCount = edgesAll.count()
+
+    // Near-dup pair graphs are orders of magnitude smaller than the corpus
+    // (a 5M-edge graph is a few MB of longs): below the threshold a
+    // driver-local union-find beats rounds of distributed joins outright.
+    // The distributed Pregel loop below is the path for genuinely huge
+    // pair graphs.
+    if (edgeCount <= maxLocalEdges) {
+      import spark.implicits._
+      val local = unionFindLocal(
+        edgesAll.filter(col("src") < col("dst"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))))
+      edgesAll.unpersist()
+      return spark.createDataset(local.toSeq).toDF("doc_id", "cluster_rep")
+    }
+
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (edgeCount / 100000L).toInt))
+    val edges = edgesAll.repartition(parts, col("dst")).persist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .persist()
@@ -236,11 +279,19 @@ object Dedup {
           .withColumnRenamed("label", "n_label"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("n_label")).as("n_label"))
-      val next = labels
+      val propagated = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(
           col("doc_id"),
           least(col("label"), coalesce(col("n_label"), col("label"))).as("label"))
+      // pointer jumping (path halving): adopt the label of your label —
+      // turns O(diameter) convergence into O(log diameter)
+      val next = propagated.as("x")
+        .join(propagated.select(col("doc_id").as("_rep"), col("label").as("_rep_label")).as("y"),
+          col("x.label") === col("_rep"), "left")
+        .select(
+          col("x.doc_id").as("doc_id"),
+          least(col("x.label"), coalesce(col("_rep_label"), col("x.label"))).as("label"))
         .persist()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).limit(1).count()
@@ -250,6 +301,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    edgesAll.unpersist()
     labels.select(col("doc_id"), col("label").as("cluster_rep"))
   }
 

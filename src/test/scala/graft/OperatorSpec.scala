@@ -42,13 +42,17 @@ class OperatorSpec extends SparkSuite {
     assert(lsh.subsetOf(exact))
   }
 
-  test("cluster resolution finds connected components and survivors") {
+  test("cluster resolution finds connected components and survivors (both paths)") {
     import spark.implicits._
     // chain 1-2-3 plus pair 7-9: components {1,2,3}→1 and {7,9}→7
     val pairs = Seq((1L, 2L), (2L, 3L), (9L, 7L)).toDF("doc_a", "doc_b")
-    val out = Dedup.resolveClusters(pairs)
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    val local = Dedup.resolveClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(local === expect)
+    // force the distributed Pregel path
+    val dist = Dedup.resolveClusters(pairs, maxLocalEdges = 0L)
       .as[(Long, Long)].collect().toMap
-    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    assert(dist === expect)
   }
 
   test("simhash pairs finds identical docs at hamming 0") {
