@@ -116,7 +116,9 @@ object SparkEntry {
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
-    "p1_corpus_curate" -> ((s, dir) => Curate.corpusStats(Tables(s, dir, "documents"))))
+    "p1_corpus_curate" -> ((s, dir) => Curate.corpusStats(Tables(s, dir, "documents"))),
+    "d7_sample_per_source" -> ((s, dir) =>
+      Curate.samplePerGroup(Tables(s, dir, "documents"), "source", k = 5)))
 
   // DuckDB dialect; column names/types aligned with the Spark results above.
   def oracleSql: Map[String, String] = Map(
@@ -439,6 +441,14 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  'text/plain' AS mime, source
         |FROM documents""".stripMargin,
+    "d7_sample_per_source" ->
+      """SELECT source, doc_id, priority, rnk FROM (
+        |  SELECT source, doc_id,
+        |    CAST('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS priority,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+        |               doc_id) AS BIGINT) AS rnk
+        |  FROM documents) t WHERE rnk <= 5""".stripMargin,
     "p1_corpus_curate" ->
       """WITH base AS (
         | SELECT doc_id, source, text,

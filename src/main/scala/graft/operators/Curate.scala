@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
 
 /** End-to-end training-data curation: the LLM-pipeline operators composed
   * the way a corpus build actually runs them — quality gate → exact dedup →
@@ -10,6 +13,27 @@ import org.apache.spark.sql.functions._
   * fuses the quality filter into the scan side of the dedup aggregation).
   */
 object Curate {
+
+  /** Deterministic seeded k-per-group downsampling: priority = portable
+    * 60-bit hash of (seed, doc_id), keep the k lowest per group. Unlike
+    * `rand()`-based sampling this is reproducible across engines, runs and
+    * partitionings — the property a training-data pipeline needs for
+    * auditable corpus subsets. Map-side combinable via per-group top-k.
+    */
+  def samplePerGroup(
+      docs: DataFrame,
+      groupCol: String = "source",
+      k: Int = 5,
+      seed: String = "graft"): DataFrame = {
+    val priority = GraftFunctions.md5_prefix60(
+      concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("priority"), col("doc_id"))
+    docs
+      .withColumn("priority", priority)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(groupCol), col("doc_id"), col("priority"), col("rnk"))
+  }
 
   /** @param minQuality quality-score gate (see TextAnalysis.qualityScore) */
   def corpusStats(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {

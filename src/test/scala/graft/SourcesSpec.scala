@@ -34,6 +34,15 @@ class SourcesSpec extends SparkSuite {
     assert(parsed.select("value").collect()(0).getDouble(0) === 1.5)
   }
 
+  test("orc export round-trips the orders table") {
+    val dir = Files.createTempDirectory("graft-orc").toFile.getAbsolutePath + "/out"
+    val o = Tables(spark, sfDir, "orders")
+    o.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === o.count())
+    assert(back.schema === o.schema)
+  }
+
   test("csv export round-trips the events table") {
     val dir = Files.createTempDirectory("graft-csv").toFile.getAbsolutePath + "/out"
     val e = graft.operators.Firehose.eventsRaw(spark, sfDir)
