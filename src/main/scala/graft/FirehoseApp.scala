@@ -29,11 +29,23 @@ object FirehoseApp {
       registry: Option[Prometheus.Registry],
       stop: () => Unit)
 
+  val Usage: String =
+    """usage: graft.FirehoseApp [options]
+      |  -c <k=v,k=v>      comma-separated config overrides
+      |  -f <file>         config file (key=value lines)
+      |  -g <url>          Prometheus PushGateway URL
+      |  -j <job>          PushGateway job name (also seeds consumer.group.id)
+      |  --mode pull|push  serve /metrics (default) or push per batch
+      |  --source <dir>|kafka
+      |  --once            process available input, then exit
+      |  -h | --help       print this help""".stripMargin
+
   def parseArgs(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     while (i < args.length) {
       args(i) match {
+        case "-h" | "--help" => m.put("app.help", "true"); i += 1
         case "-c" => GraftConfig.parseProperties(args(i + 1).replace(',', '\n'))
           .foreach { case (k, v) => m.put(k, v) }; i += 2
         case "-f" => m.put("_config.file", args(i + 1)); i += 2
@@ -97,6 +109,16 @@ object FirehoseApp {
 
   def main(args: Array[String]): Unit = {
     val cfg = buildConfig(args)
+    if (cfg.getBoolean("app.help", default = false)) {
+      println(Usage)
+      return
+    }
+    // reference parity: print the effective layered configuration at startup
+    // (ConfigUtils.printProperties / PrometheusPusher.java:127-130)
+    println("[graft] effective configuration:")
+    cfg.entries.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      println(f"[graft]   $k%-40s = $v")
+    }
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-firehose")
     val chk = java.nio.file.Files.createTempDirectory("graft-app-chk").toString
     val running = start(spark, cfg, chk)
