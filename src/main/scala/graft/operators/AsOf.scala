@@ -48,6 +48,6 @@ object AsOf {
       .unionByName(r, allowMissingColumns = true)
       .withColumn("_best", max(col("_match")).over(w))
       .filter(col("_side") === 1)
-      .select(left.columns.map(col) ++ matchedCols: _*)
+      .select(left.columns.toIndexedSeq.map(col) ++ matchedCols: _*)
   }
 }
