@@ -57,6 +57,7 @@ object GraftFunctions {
           builder))
     }
     ext.injectPlannerStrategy(_ => new org.apache.spark.sql.graft.TopKStrategy)
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graft.PushFilterThroughTopK)
   }
 }
 

@@ -5,9 +5,10 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSparkSession}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -36,6 +37,20 @@ class TopKStrategy extends SparkStrategy {
     case TopKPerKey(keys, order, k, child) =>
       TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
     case _ => Nil
+  }
+}
+
+/** Optimizer rule for the custom operator: a filter that references only
+  * the grouping keys keeps or drops whole groups, so it commutes with
+  * per-group top-k — pushing it below the operator lets Catalyst carry it
+  * all the way into the scan (predicate pushdown does the rest).
+  */
+object PushFilterThroughTopK extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, topk @ TopKPerKey(keys, _, _, child))
+        if cond.deterministic &&
+          f.condition.references.subsetOf(AttributeSet(keys.flatMap(_.references))) =>
+      topk.copy(child = Filter(cond, child))
   }
 }
 
@@ -113,10 +128,14 @@ object GraftOps {
       SortOrder(attr(name), if (desc) Descending else Ascending)
     }
     val spark = df.sparkSession.asInstanceOf[ClassicSparkSession]
-    // the strategy is idempotently registered on first use
+    // strategy + optimizer rule are idempotently registered on first use
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[TopKStrategy])) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ new TopKStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughTopK)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughTopK
     }
     Dataset.ofRows(spark, TopKPerKey(keys.map(attr), sortOrders, k, child))
   }

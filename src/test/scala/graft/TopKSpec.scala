@@ -25,6 +25,22 @@ class TopKSpec extends SparkSuite {
     assert(!plan.contains("Sort "), s"unexpected sort in:\n$plan")
   }
 
+  test("key-only filters push through the custom operator into the scan") {
+    import org.apache.spark.sql.functions.col
+    val df = Relational.qTopkNative(spark, sfDir).filter(col("o_custkey") < 50)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"missing custom exec:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey,50)"),
+      s"key filter did not reach the parquet scan:\n$plan")
+    // results must equal filter-after semantics (groups kept/dropped whole)
+    val expect = Relational.qTopkPerGroup(spark, sfDir)
+      .filter(col("o_custkey") < 50)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet === expect)
+  }
+
   test("ties and k larger than group size behave like row_number semantics") {
     import spark.implicits._
     val df = Seq(
