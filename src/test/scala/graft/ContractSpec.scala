@@ -1,0 +1,34 @@
+package graft
+
+/** Driver-contract guard: every declared query must execute at smoke scale,
+  * and every oracle key must name a real query (the driver's compare treats
+  * a missing/renamed key as a silent correctness zero).
+  */
+class ContractSpec extends SparkSuite {
+
+  test("oracle keys are exactly a subset of query keys") {
+    val queries = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- queries
+    assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
+    val rowsOnly = queries -- SparkEntry.oracleSql.keySet
+    // rows-only queries are the deliberate, documented exceptions
+    assert(rowsOnly === Set("d4b_simhash_pairs", "mm2_feature_extract", "s2_ann_lsh", "s3_ann_ivf"),
+      s"unexpected rows-only set: $rowsOnly")
+  }
+
+  test("every declared query executes at smoke scale") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).count()
+        None
+      } catch {
+        case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("the flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
