@@ -441,6 +441,46 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  'text/plain' AS mime, source
         |FROM documents""".stripMargin,
+    // mirrors Multimodal.stubDecode's byte arithmetic over hex(encode(text))
+    "mm2_feature_extract" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(n_bytes AS DOUBLE) AS f_len,
+        |  CASE WHEN n_bytes = 0 THEN 0.0
+        |       ELSE CAST(CAST('0x' || substr(hx, 1, 2) AS BIGINT) AS DOUBLE) END AS f_first,
+        |  CASE WHEN n_bytes = 0 THEN 0.0
+        |       ELSE CAST(CAST('0x' || substr(hx, CAST(2 * n_bytes - 1 AS INTEGER), 2) AS BIGINT) AS DOUBLE) END AS f_last,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, CAST(n_bytes AS INTEGER)),
+        |        i -> CAST('0x' || substr(hx, 2 * i - 1, 2) AS BIGINT))),
+        |    (a, v) -> a + v) % 256 AS DOUBLE) AS f_sum_mod,
+        |  n_bytes
+        |FROM b""".stripMargin,
+    "d4b_simhash_pairs" ->
+      (WordsCte +
+        """w AS (SELECT DISTINCT doc_id, wd FROM words, UNNEST(ws) t(wd)),
+          |hw AS (SELECT doc_id, CAST('0x' || substr(md5(wd), 1, 15) AS BIGINT) AS h FROM w),
+          |bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          |         FROM hw CROSS JOIN generate_series(0, 59) t2(j) GROUP BY doc_id, j),
+          |fp AS (SELECT doc_id,
+          |         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+          |       FROM bits GROUP BY doc_id),
+          |bk AS (SELECT doc_id, simhash, b,
+          |         CASE b WHEN 0 THEN simhash & 32767
+          |                WHEN 1 THEN (simhash >> 15) & 32767
+          |                WHEN 2 THEN (simhash >> 30) & 32767
+          |                ELSE (simhash >> 45) & 32767 END AS key
+          |       FROM fp CROSS JOIN generate_series(0, 3) t3(b)),
+          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |           a.simhash AS sh_a, b.simhash AS sh_b
+          |         FROM bk a JOIN bk b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+          |SELECT doc_a, doc_b, sh_a, sh_b,
+          |  CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+          |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin),
     "d7_sample_per_source" ->
       """SELECT source, doc_id, priority, rnk FROM (
         |  SELECT source, doc_id,

@@ -45,9 +45,16 @@ object Multimodal {
       (sum % 256).toDouble)
   }
 
+  /** Feature vector flattened to scalar columns: downstream-friendly (sortable,
+    * hashable, columnar-prunable) and oracle-comparable, unlike an
+    * `array<double>` payload.
+    */
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
-    StructField("features", ArrayType(DoubleType, containsNull = false)),
+    StructField("f_len", DoubleType),
+    StructField("f_first", DoubleType),
+    StructField("f_last", DoubleType),
+    StructField("f_sum_mod", DoubleType),
     StructField("n_bytes", LongType)))
 
   /** Per-binary feature extraction with `mapPartitions` — the batch-UDF
@@ -60,7 +67,8 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        Row(id, stubDecode(payload), payload.length.toLong)
+        val f = stubDecode(payload)
+        Row(id, f(0), f(1), f(2), f(3), payload.length.toLong)
       }
     }
     spark.createDataFrame(rows, featureSchema)
