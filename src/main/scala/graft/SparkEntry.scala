@@ -63,6 +63,8 @@ object SparkEntry {
       Firehose.gaugeExpiry(
         Firehose.gaugeLatest(Firehose.metricsFromEvents(s, dir)),
         ttlSec = 604800)),
+    "m9_counter_increase" -> ((s, dir) =>
+      Firehose.counterIncrease(Firehose.metricsFromEvents(s, dir))),
     // ---- §2.2 relational / OLAP ----
     "q1_pricing_summary" -> ((s, dir) => Relational.q1PricingSummary(s, dir)),
     "q3_shipping_priority" -> ((s, dir) => Relational.q3ShippingPriority(s, dir)),
@@ -80,6 +82,10 @@ object SparkEntry {
     "q_distinct" -> ((s, dir) => Relational.qDistinct(s, dir)),
     "q_sessionize" -> ((s, dir) => Relational.qSessionize(s, dir)),
     "q_percentiles" -> ((s, dir) => Relational.qPercentiles(s, dir)),
+    "q4_order_priority" -> ((s, dir) => Relational.q4OrderPriority(s, dir)),
+    "q6_forecast_revenue" -> ((s, dir) => Relational.q6ForecastRevenue(s, dir)),
+    "q_correlated" -> ((s, dir) => Relational.qCorrelatedAboveAvg(s, dir)),
+    "q_histogram" -> ((s, dir) => Relational.qHistogram(s, dir)),
     // ---- §2.3 LLM-training-data pipeline ----
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir, "documents"))),
     "d2_dedup_ngram_jaccard" -> ((s, dir) =>
@@ -107,6 +113,13 @@ object SparkEntry {
     "t2_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables(s, dir, "documents"))),
     "t3_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(Tables(s, dir, "documents"))),
     "t4_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables(s, dir, "documents"))),
+    "t5_pii_redact" -> ((s, dir) => TextAnalysis.piiRedact(Tables(s, dir, "documents"))),
+    "t6_top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(Tables(s, dir, "documents"))),
+    "t7_vocab_stats" -> ((s, dir) => TextAnalysis.vocabStats(Tables(s, dir, "documents"))),
+    "d8_dedup_normalized" -> ((s, dir) =>
+      Dedup.exactNormalized(Tables(s, dir, "documents"))),
+    "d9_weighted_sample" -> ((s, dir) =>
+      Curate.weightedSamplePerGroup(Tables(s, dir, "documents"), "source", k = 5)),
     "mm1_binary_meta" -> ((s, dir) =>
       Multimodal.asBinary(Tables(s, dir, "documents"))
         .select(col("doc_id"), col("byte_len"), col("mime"), col("source"))),
@@ -187,6 +200,53 @@ object SparkEntry {
         |      FROM m WHERE rn = 1)
         |SELECT * FROM g
         |WHERE last_ts >= (SELECT max(last_ts) FROM g) - 604800""".stripMargin,
+    "m9_counter_increase" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         CAST(event_id AS VARCHAR) AS id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |d AS (
+        |  SELECT *, value - lag(value) OVER (PARTITION BY component, name, series
+        |    ORDER BY ts_sec, id) AS delta
+        |  FROM m),
+        |i AS (
+        |  SELECT component, name, series,
+        |    CASE WHEN delta IS NULL THEN 0.0
+        |         WHEN delta < 0 THEN value ELSE delta END AS inc,
+        |    ts_sec - ts_sec % 3600 AS win_start
+        |  FROM d)
+        |SELECT component, name, series, win_start,
+        |  CAST(sum(CAST(inc AS DECIMAL(18,6))) AS DOUBLE) AS increase,
+        |  count(*) AS n_samples
+        |FROM i GROUP BY 1, 2, 3, 4""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.05 AND l_quantity < 24""".stripMargin,
+    "q_correlated" ->
+      """WITH ca AS (
+        |  SELECT o_custkey AS ca_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS cust_avg
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+        |FROM orders JOIN ca ON o_custkey = ca_custkey
+        |WHERE o_totalprice > cust_avg""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -437,6 +497,55 @@ object SparkEntry {
         |    (h, cp) -> (h * 31 + cp) % 1000000000000037) AS fp,
         |  CAST(length(text) AS BIGINT) AS n_chars_actual
         |FROM documents""".stripMargin,
+    "t5_pii_redact" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(
+         |    text, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
+         |    '$Ipv4Re', '<IP>', 'g') AS redacted
+         |FROM documents""".stripMargin,
+    "t6_top_bigrams" ->
+      (WordsCte +
+        """bg AS (SELECT s FROM words,
+          |  UNNEST(list_transform(generate_series(1, len(ws) - 1),
+          |    i -> ws[i] || ' ' || ws[i+1])) t(s)),
+          |c AS (SELECT s AS bigram, count(*) AS n FROM bg GROUP BY 1)
+          |SELECT bigram, n FROM c ORDER BY n DESC, bigram LIMIT 20""".stripMargin),
+    "t7_vocab_stats" ->
+      (WordsCte +
+        """per AS (SELECT d.source, CAST(len(w.ws) AS BIGINT) AS n_words,
+          |          CAST(length(d.text) AS BIGINT) AS n_chars
+          |        FROM documents d JOIN words w USING (doc_id)),
+          |tot AS (SELECT source, count(*) AS n_docs,
+          |          CAST(sum(n_words) AS BIGINT) AS n_tokens,
+          |          CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+          |        FROM per GROUP BY 1),
+          |v AS (SELECT d.source, count(DISTINCT wd) AS n_vocab
+          |      FROM documents d JOIN words w USING (doc_id),
+          |        UNNEST(list_distinct(w.ws)) t(wd)
+          |      GROUP BY 1)
+          |SELECT source, n_docs, n_tokens, n_chars_total, n_vocab,
+          |  CAST(n_vocab AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE) AS type_token_ratio
+          |FROM tot JOIN v USING (source) ORDER BY source""".stripMargin),
+    "d8_dedup_normalized" ->
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS norm_hash,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d9_weighted_sample" ->
+      """WITH b AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS BIGINT) AS n_words,
+        |    CAST('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM documents),
+        |p AS (SELECT source, doc_id, n_words,
+        |        CAST(h AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS priority
+        |      FROM b),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |        ORDER BY priority, doc_id) AS BIGINT) AS rnk FROM p)
+        |SELECT source, doc_id, n_words, priority, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "s2_ann_lsh" -> s2OracleSql,
     "mm1_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  'text/plain' AS mime, source
@@ -508,6 +617,45 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens,
         |  CAST(sum(CAST(quality AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS avg_quality
         |FROM kept JOIN surv USING (doc_id) GROUP BY source ORDER BY source""".stripMargin)
+
+  private val EmailRe = operators.TextAnalysis.EmailPattern
+  private val PhoneRe = operators.TextAnalysis.PhonePattern
+  private val Ipv4Re = operators.TextAnalysis.Ipv4Pattern
+
+  /** DuckDB mirror of [[operators.Similarity.lshTopK]] at the s2 defaults
+    * (16 planes, 4 bands, k=5, probes = vec_id < 10): the ±1 hyperplanes are
+    * embedded as literal lists from the same md5-parity generator, and every
+    * float reduction is the same left fold, so the result is bit-exact.
+    */
+  private def s2OracleSql: String = {
+    val planes = 16
+    val dims = 64
+    val bands = 4
+    val bits = planes / bands
+    val mask = (1 << bits) - 1
+    def dot(j: Int): String = {
+      val planeLit = operators.Similarity.planeRow(j, dims)
+        .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, $dims), " +
+        s"i -> embedding[i]::DOUBLE * ($planeLit)[i])), (acc, v) -> acc + v)"
+    }
+    val sig = (0 until planes)
+      .map(j => s"(CASE WHEN ${dot(j)} > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString("\n      + ")
+    s"""WITH s AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings),
+       |bk AS (SELECT vec_id, embedding, b, (sig >> (b * $bits)) & $mask AS key
+       |       FROM s CROSS JOIN generate_series(0, ${bands - 1}) t(b)),
+       |p AS (SELECT * FROM bk WHERE vec_id < 10),
+       |cand AS (SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |           p.embedding AS pe, c.embedding AS ce
+       |         FROM bk c JOIN p ON c.b = p.b AND c.key = p.key AND c.vec_id != p.vec_id),
+       |sc AS (SELECT probe_id, neighbor_id, ${cosineSql("pe", "ce")} AS cosine FROM cand),
+       |r AS (SELECT probe_id, neighbor_id, cosine,
+       |        CAST(row_number() OVER (PARTITION BY probe_id
+       |          ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+       |      FROM sc)
+       |SELECT probe_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin
+  }
 
   /** Shared DuckDB CTE fragments (kept identical across oracles). */
   private val WordsCte: String =

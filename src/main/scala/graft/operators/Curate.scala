@@ -35,6 +35,33 @@ object Curate {
       .select(col(groupCol), col("doc_id"), col("priority"), col("rnk"))
   }
 
+  /** Deterministic weighted k-per-group sampling: priority = portable
+    * 60-bit hash of (seed, doc_id) divided by the doc's weight (token
+    * count), keep the k lowest per group — longer docs are proportionally
+    * more likely to be kept, and the draw is reproducible across engines
+    * and partitionings (both hash and IEEE division are exact).
+    */
+  def weightedSamplePerGroup(
+      docs: DataFrame,
+      groupCol: String = "source",
+      k: Int = 5,
+      seed: String = "graft"): DataFrame = {
+    val nWords = size(TextAnalysis.tokens(col("text"))).cast("long")
+    val hash = GraftFunctions.md5_prefix60(
+      concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("priority"), col("doc_id"))
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn(
+        "priority",
+        // weight floor of 1 keeps empty docs defined (and avoids engine-
+        // dependent NULL ordering in the rank window)
+        hash.cast("double") / greatest(col("n_words"), lit(1L)).cast("double"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(groupCol), col("doc_id"), col("n_words"), col("priority"), col("rnk"))
+  }
+
   /** @param minQuality quality-score gate (see TextAnalysis.qualityScore) */
   def corpusStats(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
     val scored = TextAnalysis.qualityScore(docs)

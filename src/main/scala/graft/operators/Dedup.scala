@@ -39,6 +39,20 @@ object Dedup {
         min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Exact dedup after text normalization (lowercase, collapse whitespace,
+    * trim) — catches trivial near-dups (case/spacing variants) with the
+    * same one-aggregation cost as [[exact]]; the standard cheap pass run
+    * before any shingle-based method.
+    */
+  def exactNormalized(docs: DataFrame): DataFrame = {
+    val normalized = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    docs
+      .groupBy(md5(to_binary(normalized, lit("utf-8"))).as("norm_hash"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+  }
+
   /** Shared-shingle pair counts: (doc_a < doc_b, common). */
   private def pairCommonCounts(sh: DataFrame): DataFrame = {
     val a = sh.as("a")

@@ -182,6 +182,37 @@ object Firehose {
       .select("component", "name", "series", "id", "timestamp", "value", "rate")
   }
 
+  /** Per-series windowed counter increase — Prometheus `increase()`
+    * semantics over the landed stream: sum of positive value deltas per
+    * series per tumbling window (counter resets, i.e. negative deltas,
+    * contribute the post-reset value per the Prometheus convention of
+    * treating a reset as a restart from zero — here clamped to the new
+    * value). One window-function shuffle by series, then a
+    * map-side-combinable window aggregation.
+    */
+  def counterIncrease(metrics: DataFrame, widthSec: Long = 3600): DataFrame = {
+    val labeled =
+      if (metrics.columns.contains("labels")) metrics else tagFilter(metrics)
+    val w = Window
+      .partitionBy(col("component"), col("name"), col("series"))
+      .orderBy(col("timestamp"), col("id"))
+    labeled
+      .withColumn("series", seriesKey(col("labels")))
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .withColumn(
+        "inc",
+        when(col("delta").isNull, lit(0.0))
+          .when(col("delta") < 0, col("value"))
+          .otherwise(col("delta")))
+      .withColumn(
+        "win_start",
+        (col("timestamp") - pmod(col("timestamp"), lit(widthSec))).cast("long"))
+      .groupBy(col("component"), col("name"), col("series"), col("win_start"))
+      .agg(
+        sum(col("inc").cast("decimal(18,2)")).cast("double").as("increase"),
+        count(lit(1)).as("n_samples"))
+  }
+
   /** Series-state TTL (AbstractPrometheusFirehose.java:19-29: gauges idle for
     * 10 minutes are evicted from the registry). Batch form: drop series whose
     * last sample is older than `ttlSec` before the stream's high-water mark.

@@ -283,6 +283,66 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** TPC-H Q4-style order-priority check: orders in a quarter with at least
+    * one late lineitem (shipped >90 days after the order date; the synthetic
+    * lineitem has no commit/receipt dates) — EXISTS becomes a left-semi
+    * join, then a tiny group-agg. The semi join ships only order keys and
+    * the two date columns.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-07-01") && col("o_orderdate") < lit("1996-10-01"))
+    val l = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q6-style revenue forecast: pure scan + filter + single exact sum.
+    * The whole query should collapse to one parquet scan with every filter
+    * pushed down (spec-asserted) — the canonical pushdown showcase.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.03 && col("l_discount") <= 0.05 &&
+          col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)"))
+        .cast("double").as("revenue"))
+  }
+
+  /** Correlated scalar subquery, decorrelated: orders strictly above their
+    * customer's average order value. The subquery becomes one grouped
+    * aggregation joined back on the correlation key — no per-row re-execution,
+    * one shuffle on o_custkey shared by both sides.
+    */
+  def qCorrelatedAboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val custAvg = o.groupBy(col("o_custkey").as("ca_custkey"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+        .as("cust_avg"))
+    o.join(custAvg, col("o_custkey") === col("ca_custkey"))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
+  }
+
+  /** Fixed-width histogram of order values: O(1) bucket classification
+    * (no join at all — contrast with [[qRangeJoin]]'s general interval dim).
+    */
+  def qHistogram(spark: SparkSession, dir: String, width: Double = 50000.0): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.groupBy(floor(col("o_totalprice") / lit(width)).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
   /** Approximate distinct twin of [[qDistinct]] (HLL, spec-verified). */
   def qDistinctApprox(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")

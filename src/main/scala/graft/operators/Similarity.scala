@@ -45,7 +45,7 @@ object Similarity {
     * are constants; hashing them per row would cost planes×dims md5 calls
     * per vector).
     */
-  private def planeRow(j: Int, dims: Int): Seq[Double] =
+  def planeRow(j: Int, dims: Int): Seq[Double] =
     (0 until dims).map { i =>
       if (graft.functions.Kernels.md5Prefix60(
         org.apache.spark.unsafe.types.UTF8String.fromString(s"$j#$i")) % 2 == 0) 1.0 else -1.0

@@ -100,4 +100,76 @@ object TextAnalysis {
       col("doc_id"),
       GraftFunctions.poly_fingerprint(col("text")).as("fp"),
       char_length(col("text")).cast("long").as("n_chars_actual"))
+
+  /** PII patterns, ASCII-only so the Java and RE2 dialects agree; bounded
+    * quantifiers, no backtracking hazards. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+  val PhonePattern = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+  val Ipv4Pattern = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+  /** PII detection + redaction: per-doc match counts and the redacted text,
+    * all pure codegen'd regexp expressions (the standard pre-training
+    * privacy pass — emails, phone-shaped numbers, IPv4 literals).
+    */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PhonePattern)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), lit(EmailPattern), lit("<EMAIL>")),
+          lit(PhonePattern), lit("<PHONE>")),
+        lit(Ipv4Pattern), lit("<IP>")).as("redacted"))
+
+  /** Corpus-level top-k word bigrams: shingle-explode → one hash
+    * aggregation → deterministic global top-k (count desc, bigram asc).
+    * The global top-k is a TakeOrdered over the (small) distinct-bigram
+    * aggregate, not a full sort of the corpus.
+    */
+  def topBigrams(docs: DataFrame, k: Int = 20): DataFrame = {
+    val ws = tokens(col("text"))
+    docs
+      .select(
+        explode(
+          when(size(ws) >= 2,
+            transform(
+              sequence(lit(1), size(ws) - 1),
+              i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+            .otherwise(array())).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** Per-source vocabulary statistics: doc/token/char totals and corpus-level
+    * distinct-word counts — the corpus profile a training-data pipeline
+    * reports per provenance bucket. Distinct words per source = explode +
+    * two-level aggregation (partial-agg friendly, no collect).
+    */
+  def vocabStats(docs: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    val perDoc = docs.select(
+      col("source"),
+      size(ws).cast("long").as("n_words"),
+      char_length(col("text")).cast("long").as("n_chars"))
+    val totals = perDoc
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars_total"))
+    val vocab = docs
+      .select(col("source"), explode(array_distinct(ws)).as("wd"))
+      .groupBy(col("source"))
+      .agg(count_distinct(col("wd")).as("n_vocab"))
+    totals
+      .join(vocab, "source")
+      .withColumn(
+        "type_token_ratio",
+        col("n_vocab").cast("double") / nullif(col("n_tokens"), lit(0L)).cast("double"))
+      .orderBy(col("source"))
+  }
 }

@@ -12,7 +12,7 @@ class ContractSpec extends SparkSuite {
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
     val rowsOnly = queries -- SparkEntry.oracleSql.keySet
     // rows-only queries are the deliberate, documented exceptions
-    assert(rowsOnly === Set("s2_ann_lsh", "s3_ann_ivf"),
+    assert(rowsOnly === Set("s3_ann_ivf"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

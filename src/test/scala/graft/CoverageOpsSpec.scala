@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curate, Dedup, Firehose, Relational, TextAnalysis}
+
+/** Specs for the round-2 coverage operators (q4/q6/correlated/histogram,
+  * m9 counter increase, t5-t7 text ops, d8 normalized dedup, d9 weighted
+  * sampling).
+  */
+class CoverageOpsSpec extends SparkSuite {
+
+  test("counter increase sums positive deltas and clamps resets per window") {
+    import spark.implicits._
+    // one series: 10 → 15 (+5), 15 → 3 (reset → +3), 3 → 7 (+4); first row +0
+    val metrics = Seq(
+      ("1", 100L, 10.0), ("2", 200L, 15.0), ("3", 300L, 3.0), ("4", 400L, 7.0))
+      .toDF("id", "timestamp", "value")
+      .withColumn("component", lit("app"))
+      .withColumn("name", lit("c_total"))
+      .withColumn("labels", map(lit("user"), lit("u1")))
+    val out = Firehose.counterIncrease(metrics, widthSec = 3600)
+      .select("win_start", "increase", "n_samples").collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 0L)
+    assert(out(0).getDouble(1) === 12.0) // 0 + 5 + 3 + 4
+    assert(out(0).getLong(2) === 4L)
+  }
+
+  test("pii redaction counts and masks emails, phones and ips") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at bob.smith+x@example.org or 555-123-4567"),
+      (2L, "server 10.0.42.7 responded"),
+      (3L, "nothing sensitive here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 1L) // email
+    assert(out(1L).getLong(2) === 1L) // phone
+    assert(out(1L).getString(4) === "reach me at <EMAIL> or <PHONE>")
+    assert(out(2L).getLong(3) === 1L) // ip
+    assert(out(2L).getString(4) === "server <IP> responded")
+    assert(out(3L).getString(4) === "nothing sensitive here")
+  }
+
+  test("normalized dedup collapses case and whitespace variants") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "  HELLO WORLD "),
+      (4L, "different"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactNormalized(docs)
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 4L -> 1L))
+  }
+
+  test("weighted sampling is deterministic and keeps k per group") {
+    val docs = Tables(spark, sfDir, "documents")
+    val s1 = Curate.weightedSamplePerGroup(docs, "source", k = 3)
+    val s2 = Curate.weightedSamplePerGroup(docs.repartition(7), "source", k = 3)
+    val rows1 = s1.collect().map(_.toString).sorted.toSeq
+    val rows2 = s2.collect().map(_.toString).sorted.toSeq
+    assert(rows1 === rows2) // partitioning-independent
+    val perGroup = s1.groupBy("source").count().collect()
+    assert(perGroup.forall(_.getLong(1) <= 3))
+  }
+
+  test("top bigrams are counted with multiplicity and ranked deterministically") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // bigrams: doc1 = {a b, b a, a b}, doc2 = {a b, b c}
+    val out = TextAnalysis.topBigrams(docs, k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("a b", 3L), ("b a", 1L))) // tie 1-1 broken by bigram asc
+  }
+
+  test("vocab stats count corpus-level distinct words per source") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z", "s1"), (2L, "x x q", "s1"), (3L, "w", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.vocabStats(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("s1").getLong(1) === 2L)   // n_docs
+    assert(out("s1").getLong(2) === 6L)   // n_tokens
+    assert(out("s1").getLong(4) === 4L)   // vocab {x,y,z,q}
+    assert(out("s2").getLong(4) === 1L)
+  }
+
+  test("q4/q6/correlated/histogram return coherent results at smoke scale") {
+    val q4 = Relational.q4OrderPriority(spark, sfDir).collect()
+    assert(q4.nonEmpty && q4.forall(_.getLong(1) > 0))
+    val q6 = Relational.q6ForecastRevenue(spark, sfDir).collect()
+    assert(q6.length === 1)
+    val corr = Relational.qCorrelatedAboveAvg(spark, sfDir)
+    assert(corr.filter(col("o_totalprice") <= col("cust_avg")).count() === 0)
+    val hist = Relational.qHistogram(spark, sfDir)
+    val total = hist.agg(sum("n_orders")).collect()(0).getLong(0)
+    assert(total === Tables(spark, sfDir, "orders").count())
+  }
+}

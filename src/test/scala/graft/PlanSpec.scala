@@ -29,6 +29,22 @@ class PlanSpec extends SparkSuite {
       s"expected partial aggregation in:\n$plan")
   }
 
+  test("q6 pushes every scan filter and reads only the needed columns") {
+    val df = Relational.q6ForecastRevenue(spark, sfDir)
+    // the plan's toString elides long PushedFilters lists — read the scan's
+    // metadata directly
+    // sparkPlan (pre-AQE): AdaptiveSparkPlanExec hides the scan from collectLeaves
+    val scans = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no parquet scan found")
+    val pushed = scans.head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate")
+      && pushed.contains("LessThan(l_quantity,"), s"missing pushdown: $pushed")
+    assert(!scans.head.metadata("ReadSchema").contains("l_orderkey"),
+      "column pruning failed: scan reads unused key column")
+  }
+
   test("whole-stage codegen covers the custom cosine expression") {
     val emb = Tables(spark, sfDir, "embeddings")
     val df = emb.select(
