@@ -28,7 +28,10 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    // optional arg: comma-separated query names to bench (default: all)
+    val only = args.headOption.map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val pass1 = ordered.map { case (name, fn) => name -> timeOnce(fn) }.toMap
     val results = ordered.map { case (name, fn) =>
       name -> math.min(pass1(name), timeOnce(fn))

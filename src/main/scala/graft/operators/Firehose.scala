@@ -209,7 +209,9 @@ object Firehose {
         (col("timestamp") - pmod(col("timestamp"), lit(widthSec))).cast("long"))
       .groupBy(col("component"), col("name"), col("series"), col("win_start"))
       .agg(
-        sum(col("inc").cast("decimal(18,2)")).cast("double").as("increase"),
+        // (18,6): deltas of 2-dp inputs quantize unambiguously well inside
+        // 6 dp, and the oracle uses the same precision
+        sum(col("inc").cast("decimal(18,6)")).cast("double").as("increase"),
         count(lit(1)).as("n_samples"))
   }
 

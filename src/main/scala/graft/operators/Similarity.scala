@@ -77,10 +77,18 @@ object Similarity {
       probes: DataFrame,
       k: Int = 5,
       nlist: Int = 16,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2,
+      maxTrainRows: Long = 20000L): DataFrame = {
     val withVec = embeddings.withColumn("features", array_to_vector(col("embedding")))
+    // train on a bounded seeded sample: centroid quality needs only a sketch
+    // of the distribution, and at 100 TB full-corpus k-means iterations are
+    // the wrong cost model — assignment below stays full-corpus
+    val total = withVec.count()
+    val train =
+      if (total <= maxTrainRows) withVec
+      else withVec.sample(withFraction(total, maxTrainRows), 42L)
     val model = new KMeans().setK(nlist).setSeed(42).setFeaturesCol("features")
-      .setPredictionCol("cell").fit(withVec)
+      .setMaxIter(8).setPredictionCol("cell").fit(train)
     val cand = model.transform(withVec)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cand_emb"), col("cell"))
 
@@ -112,6 +120,9 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  private def withFraction(total: Long, target: Long): Double =
+    math.min(1.0, target.toDouble / math.max(1L, total).toDouble * 1.1)
 
   /** Banded LSH ANN: the signature is split into `bands` keys of
     * `planes/bands` bits; a candidate is scored iff it shares at least one

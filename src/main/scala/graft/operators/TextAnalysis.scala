@@ -129,8 +129,12 @@ object TextAnalysis {
     * aggregate, not a full sort of the corpus.
     */
   def topBigrams(docs: DataFrame, k: Int = 20): DataFrame = {
-    val ws = tokens(col("text"))
-    docs
+    // materialize the token array behind a projection boundary first:
+    // element_at(tokens(text), i) inside the transform lambda would re-split
+    // the whole document per element (O(words²) per doc)
+    val ws = col("ws")
+    graft.Tables.widen(docs)
+      .select(tokens(col("text")).as("ws"))
       .select(
         explode(
           when(size(ws) >= 2,
