@@ -31,11 +31,17 @@ case class TopKPerKey(
     copy(child = newChild)
 }
 
-/** Planner strategy mapping the logical node to its physical operator. */
+/** Planner strategy mapping the logical node to its physical operators:
+  * a map-side partial top-k below the (planner-inserted) exchange and the
+  * final top-k above it — the partial-aggregation pattern. The shuffle then
+  * carries at most (#keys-in-partition × k) rows per input partition
+  * instead of every row, which is the difference that matters at 100 TB.
+  */
 class TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      TopKPerKeyExec(keys, order, k,
+        TopKPerKeyExec(keys, order, k, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }
@@ -54,19 +60,31 @@ object PushFilterThroughTopK extends Rule[LogicalPlan] {
   }
 }
 
+/** @param partial map-side pass: no distribution requirement, prunes each
+  *                input partition to ≤ k rows per locally-seen key. The
+  *                final pass (partial = false) requires co-location and
+  *                emits the exact per-key top-k. Top-k distributes over
+  *                union, so the composition is exact (ties beyond the sort
+  *                order are arbitrary, as with `row_number`).
+  */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  /** Co-locate each key's rows; no ordering requirement — the heap replaces
-    * the sort the window formulation would force here.
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKey"
+
+  /** Co-locate each key's rows (final pass only); no ordering requirement —
+    * the heap replaces the sort the window formulation would force here.
     */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output

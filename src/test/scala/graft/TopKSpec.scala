@@ -41,6 +41,32 @@ class TopKSpec extends SparkSuite {
     assert(df.collect().map(_.toSeq).toSet === expect)
   }
 
+  test("top-k runs a map-side partial pass below the exchange") {
+    val df = Relational.qTopkNative(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // partial pass below the shuffle, final above — the partial-agg pattern
+    assert(plan.contains("TopKPerKeyPartial"), s"missing partial pass:\n$plan")
+    val idxPartial = plan.indexOf("TopKPerKeyPartial")
+    val idxExchange = plan.indexOf("Exchange")
+    assert(idxExchange >= 0 && idxExchange < idxPartial,
+      s"partial pass must sit below the exchange:\n$plan")
+  }
+
+  test("partial+final composition is exact across adversarial partitionings") {
+    import spark.implicits._
+    // every key's best rows deliberately spread across partitions
+    val df = (0 until 1000).map(i => ((i % 7).toLong, i.toLong, (i % 13).toDouble))
+      .toDF("k", "id", "v").repartition(11, col("id"))
+    val native = GraftOps.topKPerKey(df, Seq("k"), Seq("v" -> true, "id" -> false), 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("v").desc, col("id"))
+    val expect = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("k", "id", "v").as[(Long, Long, Double)].collect().toSet
+    assert(native === expect)
+  }
+
   test("ties and k larger than group size behave like row_number semantics") {
     import spark.implicits._
     val df = Seq(
