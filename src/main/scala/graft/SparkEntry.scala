@@ -83,6 +83,9 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) => Relational.qSessionize(s, dir)),
     "q_percentiles" -> ((s, dir) => Relational.qPercentiles(s, dir)),
     "q4_order_priority" -> ((s, dir) => Relational.q4OrderPriority(s, dir)),
+    "q_full_outer" -> ((s, dir) => Relational.qFullOuter(s, dir)),
+    "q_notin_nullaware" -> ((s, dir) => Relational.qNotInNullAware(s, dir)),
+    "q_window_range" -> ((s, dir) => Relational.qWindowRange(s, dir)),
     "q6_forecast_revenue" -> ((s, dir) => Relational.q6ForecastRevenue(s, dir)),
     "q_correlated" -> ((s, dir) => Relational.qCorrelatedAboveAvg(s, dir)),
     "q_histogram" -> ((s, dir) => Relational.qHistogram(s, dir)),
@@ -242,6 +245,24 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
         |FROM orders JOIN ca ON o_custkey = ca_custkey
         |WHERE o_totalprice > cust_avg""".stripMargin,
+    "q_full_outer" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |o AS (SELECT o_custkey, count(*) AS n_orders,
+        |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |      FROM orders GROUP BY 1)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_orders, spend
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey""".stripMargin,
+    "q_notin_nullaware" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""".stripMargin,
+    "q_window_range" ->
+      """SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_1h,
+        |  count(*) OVER w AS n_in_window
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
         |  count(*) AS n_orders,

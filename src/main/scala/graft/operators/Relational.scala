@@ -343,6 +343,52 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** Full-outer join with both null directions live: BUILDING customers
+    * without orders (null right) and order activity from non-BUILDING
+    * customers (null left).
+    */
+  def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    val o = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("n_orders"), col("spend"))
+  }
+
+  /** NOT IN with a subquery — the null-aware anti join (distinct from the
+    * plain left-anti of [[qSemiAnti]]: a single NULL in the subquery result
+    * legally empties the output). Expressed through the SQL surface.
+    */
+  def qNotInNullAware(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("g_customer")
+    t(spark, dir, "orders").createOrReplaceTempView("g_orders")
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment FROM g_customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM g_orders WHERE o_totalprice > 300000)""".stripMargin)
+  }
+
+  /** Event-time RANGE window frame: per-user rolling 1-hour sum — peers at
+    * the same timestamp share a frame, so the result is deterministic even
+    * under within-timestamp ties (unlike a ROWS frame).
+    */
+  def qWindowRange(spark: SparkSession, dir: String): DataFrame = {
+    val e = Firehose.eventsRaw(spark, dir).withColumn("ts_us", expr("ts div 1000"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    e.select(
+      col("event_id"), col("user_id"), col("ts_us"),
+      sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("rolling_1h"),
+      count(lit(1)).over(w).as("n_in_window"))
+  }
+
   /** Approximate distinct twin of [[qDistinct]] (HLL, spec-verified). */
   def qDistinctApprox(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")

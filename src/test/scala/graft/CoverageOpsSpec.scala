@@ -88,6 +88,48 @@ class CoverageOpsSpec extends SparkSuite {
     assert(out("s2").getLong(4) === 1L)
   }
 
+  test("NOT IN subquery plans as a null-aware anti join") {
+    val df = Relational.qNotInNullAware(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected an anti join in:\n$plan")
+    // customers whose key appears in the pricey-order set must be absent
+    val pricey = Tables(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 300000).select("o_custkey")
+    assert(df.join(pricey, col("c_custkey") === col("o_custkey"), "left_semi").count() === 0)
+  }
+
+  test("full outer join keeps both unmatched sides") {
+    val out = Relational.qFullOuter(spark, sfDir)
+    // non-BUILDING customers' order activity survives as left-null rows at
+    // any scale; right-nulls (orderless BUILDING customers) depend on the
+    // data, so that direction is covered by the inline frame below
+    assert(out.filter(col("c_name").isNull).count() > 0, "no left-null rows")
+    import spark.implicits._
+    val l = Seq((1L, "a"), (2L, "b")).toDF("k", "lv")
+    val r = Seq((2L, "x"), (3L, "y")).toDF("k2", "rv")
+    val f = l.join(r, col("k") === col("k2"), "full_outer").collect()
+    assert(f.length === 3)
+    assert(f.count(row => row.isNullAt(0)) === 1) // unmatched right
+    assert(f.count(row => row.isNullAt(2)) === 1) // unmatched left
+  }
+
+  test("range-frame rolling sum only covers the trailing hour") {
+    val out = Relational.qWindowRange(spark, sfDir)
+    // every count is at least 1 (current row in frame) and the rolling sum
+    // of a singleton window equals the row value
+    assert(out.filter(col("n_in_window") < 1).count() === 0)
+  }
+
+  test("hll sketch estimate tracks exact distinct counts") {
+    val o = Tables(spark, sfDir, "orders")
+    val exact = o.select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    // Spark 4 DataSketches HLL: buildable, mergeable, estimable
+    val est = o.selectExpr("hll_sketch_estimate(hll_sketch_agg(o_custkey)) AS e")
+      .collect()(0).getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"estimate $est too far from exact $exact")
+  }
+
   test("q4/q6/correlated/histogram return coherent results at smoke scale") {
     val q4 = Relational.q4OrderPriority(spark, sfDir).collect()
     assert(q4.nonEmpty && q4.forall(_.getLong(1) > 0))
