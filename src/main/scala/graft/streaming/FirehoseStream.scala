@@ -22,6 +22,18 @@ case class GaugeOut(
     component: String, name: String, series: String,
     last_value: Double, last_ts: Long)
 
+/** Per-series counter-increase state: last sample + the open window's
+  * accumulator.
+  */
+case class IncreaseState(
+    lastTs: Long, lastId: String, lastValue: Double,
+    winStart: Long, acc: Double)
+
+/** Emitted windowed increase (running value for the open window). */
+case class IncreaseOut(
+    component: String, name: String, series: String,
+    win_start: Long, increase: Double)
+
 /** Structured-Streaming form of the firehose: the reference's
   * consume→parse→handle→endOfSet loop (AbstractFirehose.java:113-145)
   * re-expressed as an incremental query.
@@ -94,6 +106,65 @@ object FirehoseStream {
               state.setTimeoutTimestamp(best.lastTs * 1000L + ttlMs)
             }
             Iterator.single(GaugeOut(component, name, series, best.lastValue, best.lastTs))
+          }
+      }
+  }
+
+  /** Streaming counter increase — the incremental sibling of the batch
+    * [[graft.operators.Firehose.counterIncrease]] (Prometheus `increase()`):
+    * per-series state holds the last sample and the open window's
+    * accumulator; each micro-batch folds its points in (timestamp, id)
+    * order, clamping resets to the post-reset value, and emits the running
+    * increase for every window it touched. State is one record per live
+    * series, expired by event-time timeout like the gauge registry.
+    */
+  def counterIncrease(
+      metrics: DataFrame,
+      widthSec: Long = 3600,
+      watermarkDelay: String = "10 minutes",
+      ttlMs: Long = 10 * 60 * 1000L): Dataset[IncreaseOut] = {
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    val labeled = Firehose.tagFilter(metrics)
+      .withColumn("series", Firehose.seriesKey(col("labels")))
+      .withColumn("eventTime", timestamp_seconds(col("timestamp")))
+      .select("component", "name", "series", "timestamp", "id", "value", "eventTime")
+      .as[GaugePoint]
+      .withWatermark("eventTime", watermarkDelay)
+
+    labeled
+      .groupByKey(p => (p.component, p.name, p.series))
+      .flatMapGroupsWithState[IncreaseState, IncreaseOut](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case ((component, name, series), points, state: GroupState[IncreaseState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ordered = points.toSeq.sortBy(p => (p.timestamp, p.id))
+            var st = state.getOption.orNull
+            val touched = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+            ordered.foreach { p =>
+              val win = p.timestamp - math.floorMod(p.timestamp, widthSec)
+              val inc = if (st == null) 0.0 else {
+                val delta = p.value - st.lastValue
+                if (delta < 0) p.value else delta
+              }
+              val acc = if (st != null && st.winStart == win) st.acc + inc else inc
+              st = IncreaseState(p.timestamp, p.id, p.value, win, acc)
+              touched.put(win, acc)
+            }
+            if (st != null) {
+              state.update(st)
+              if (state.getCurrentWatermarkMs() > 0) {
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
+              } else {
+                state.setTimeoutTimestamp(st.lastTs * 1000L + ttlMs)
+              }
+            }
+            touched.iterator.map { case (win, acc) =>
+              IncreaseOut(component, name, series, win, acc)
+            }
           }
       }
   }

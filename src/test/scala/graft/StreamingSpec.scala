@@ -50,6 +50,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming counter increase accumulates deltas and clamps resets") {
+    val dir = Files.createTempDirectory("graft-inc").toFile
+    val chk = Files.createTempDirectory("graft-incchk").toFile
+    // series u1: 10 → 15 (+5) in batch 1; 3 (reset → +3) → 7 (+4) in batch 2
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "c_total", 100, "u1", 10.0),
+        metricJson("2", "c_total", 200, "u1", 15.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.counterIncrease(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+        widthSec = 3600, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("inc_t").outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      def latest(): Map[Long, Double] = spark.table("inc_t")
+        .groupBy("win_start").agg(last(col("increase")).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(latest() === Map(0L -> 5.0)) // first sample contributes 0
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(
+          metricJson("3", "c_total", 300, "u1", 3.0),
+          metricJson("4", "c_total", 400, "u1", 7.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      // running increase for the same window: 5 + 3 (reset clamp) + 4 = 12,
+      // matching the batch operator's semantics on the same samples
+      assert(latest() === Map(0L -> 12.0))
+    } finally q.stop()
+  }
+
   test("streaming tumbling window aggregates per series name") {
     val dir = Files.createTempDirectory("graft-stream2").toFile
     val chk = Files.createTempDirectory("graft-chk2").toFile
