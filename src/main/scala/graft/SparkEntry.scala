@@ -65,6 +65,8 @@ object SparkEntry {
         ttlSec = 604800)),
     "m9_counter_increase" -> ((s, dir) =>
       Firehose.counterIncrease(Firehose.metricsFromEvents(s, dir))),
+    "m10_topk_series" -> ((s, dir) => Relational.mTopkSeries(s, dir)),
+    "q_grouping_sets" -> ((s, dir) => Relational.qGroupingSets(s, dir)),
     // ---- §2.2 relational / OLAP ----
     "q1_pricing_summary" -> ((s, dir) => Relational.q1PricingSummary(s, dir)),
     "q3_shipping_priority" -> ((s, dir) => Relational.q3ShippingPriority(s, dir)),
@@ -224,6 +226,26 @@ object SparkEntry {
         |  CAST(sum(CAST(inc AS DECIMAL(18,6))) AS DOUBLE) AS increase,
         |  count(*) AS n_samples
         |FROM i GROUP BY 1, 2, 3, 4""".stripMargin,
+    "m10_topk_series" ->
+      """WITH m AS (
+        |  SELECT event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |         row_number() OVER (PARTITION BY event_type, user_id
+        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+        |                    CAST(event_id AS VARCHAR) DESC) AS rn
+        |  FROM events),
+        |g AS (SELECT name, series, value AS last_value, ts_sec AS last_ts
+        |      FROM m WHERE rn = 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY name
+        |        ORDER BY last_value DESC, series) AS rnk FROM g)
+        |SELECT name, series, last_value, last_ts FROM r WHERE rnk <= 3""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+        |  CAST(GROUPING(n_name, c_mktsegment) AS INTEGER) AS grp
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment))""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

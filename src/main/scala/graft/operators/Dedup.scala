@@ -204,12 +204,15 @@ object Dedup {
   def simhashPairs(docs: DataFrame, radius: Int = 3): DataFrame = {
     val s = simhash(docs)
     val bandCols = Seq("b0", "b1", "b2", "b3")
+    // persist: both self-join sides consume this relation — without it the
+    // full-corpus fingerprinting runs twice
     val exploded = s.select(
       col("doc_id"), col("simhash"),
       explode(array(bandCols.zipWithIndex.map { case (c, i) =>
         struct(lit(i).as("band"), col(c).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+      .persist()
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b,

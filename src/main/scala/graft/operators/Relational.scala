@@ -343,6 +343,34 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** Explicit GROUPING SETS — the irregular lattice rollup/cube can't
+    * express: per-nation totals and per-segment totals, no cross terms.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("g_customer")
+    t(spark, dir, "nation").createOrReplaceTempView("g_nation")
+    spark.sql(
+      """SELECT n_name, c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+        |  CAST(grouping_id(n_name, c_mktsegment) AS INT) AS grp
+        |FROM g_customer JOIN g_nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment))""".stripMargin)
+  }
+
+  /** Top-k series per metric name by latest gauge value — the firehose
+    * "hottest series" panel, composing the gauge aggregation with graft's
+    * native heap-based top-k physical operator.
+    */
+  def mTopkSeries(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graft.GraftOps
+    val gauges = Firehose.gaugeLatest(Firehose.metricsFromEvents(spark, dir))
+    GraftOps.topKPerKey(
+      gauges.select("name", "series", "last_value", "last_ts"),
+      keys = Seq("name"),
+      orderBy = Seq("last_value" -> true, "series" -> false),
+      k = k)
+  }
+
   /** Full-outer join with both null directions live: BUILDING customers
     * without orders (null right) and order activity from non-BUILDING
     * customers (null left).
