@@ -433,7 +433,7 @@ object SparkEntry {
         """cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
           |mh AS (SELECT doc_id, i,
           |        min(CAST(((CAST((CAST('0x'||substr(md5('a:'||i),1,15) AS BIGINT) | 1) AS HUGEINT)
-          |                   * CAST('0x'||substr(md5(s),1,15) AS BIGINT)
+          |                   * s
           |                   + CAST('0x'||substr(md5('b:'||i),1,15) AS BIGINT))
           |                  % 2305843009213693951) AS BIGINT)) AS mh
           |       FROM sh CROSS JOIN generate_series(0, 11) t(i) GROUP BY doc_id, i),
@@ -464,10 +464,13 @@ object SparkEntry {
       """WITH RECURSIVE words AS (
         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ws
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id, s
         |  FROM words, UNNEST(list_transform(generate_series(1, len(ws) - 2),
         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) t(s)),
+        |sh AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s
+        |  FROM sh0),
         |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
         |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
         |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
@@ -707,12 +710,17 @@ object SparkEntry {
       |  FROM documents),
       |""".stripMargin
 
+  // shingle key = 60-bit md5 prefix of the shingle text, mirroring
+  // Dedup.shingles (narrow join keys; same hash both engines)
   private val ShinglesCte: String =
     WordsCte +
-      """sh AS (
+      """sh0 AS (
         |  SELECT DISTINCT doc_id, s
         |  FROM words, UNNEST(list_transform(generate_series(1, len(ws) - 2),
         |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) t(s)),
+        |sh AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s
+        |  FROM sh0),
         |""".stripMargin
 
   private val markerLists: Map[String, String] = Map(

@@ -15,7 +15,13 @@ import graft.functions.GraftFunctions
   */
 object Dedup {
 
-  /** Distinct word 3-gram shingles per document: (doc_id, s). */
+  /** Distinct word 3-gram shingles per document, keyed by the portable
+    * 60-bit md5 hash of the shingle text: (doc_id, s: long). Every consumer
+    * only tests shingle equality, so the joins and shuffles carry 8-byte
+    * longs instead of ~30-byte strings; the DuckDB oracle mirrors the same
+    * hash, so even an (astronomically unlikely) collision cannot produce a
+    * compare mismatch.
+    */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val ws = TextAnalysis.tokens(col("text"))
     graft.Tables.widen(docs)
@@ -28,7 +34,8 @@ object Dedup {
               transform(
                 sequence(lit(1), size(col("ws")) - (n - 1)),
                 i => concat_ws(" ", (0 until n).map(k => element_at(col("ws"), i + k)): _*)))
-              .otherwise(array()))).as("s"))
+              .otherwise(array()))).as("s0"))
+      .select(col("doc_id"), GraftFunctions.md5_prefix60(col("s0")).as("s"))
   }
 
   /** Exact dedup by content hash: one map-side-combinable aggregation. */

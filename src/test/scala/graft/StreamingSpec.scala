@@ -50,6 +50,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("gauge state survives a query restart from the checkpoint") {
+    val dir = Files.createTempDirectory("graft-restart").toFile
+    val chk = Files.createTempDirectory("graft-restartchk").toFile
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(metricJson("1", "bytes_total", 2000, "u1", 20.0)).mkString("\n").getBytes)
+    // memory sink can't recover from a checkpoint — collect via foreachBatch
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double, Long)]()
+    // watermark lag long enough that the deliberately-stale b2 sample is NOT
+    // dropped as late data — it must reach the operator and lose to the
+    // recovered state, not be filtered before it
+    def start() = FirehoseStream.gaugeLatest(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+        watermarkDelay = "1 hour")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.GaugeOut], _: Long) =>
+        batch.collect().foreach(g => emitted.add((g.series, g.last_value, g.last_ts)))
+      }
+      .start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(emitted.toArray.toSeq.contains(("user=u1", 20.0, 2000L)))
+    // restart from the same checkpoint; feed a STALE sample for the series —
+    // the recovered state must keep the newer value (the reference's
+    // in-process registry would have lost it)
+    emitted.clear()
+    Files.write(dir.toPath.resolve("b2.json"),
+      Seq(metricJson("2", "bytes_total", 1000, "u1", 5.0)).mkString("\n").getBytes)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val outs = emitted.toArray.toSeq.asInstanceOf[Seq[(String, Double, Long)]]
+      assert(outs.nonEmpty, "restarted query emitted nothing for the new batch")
+      assert(outs.forall(_ == ("user=u1", 20.0, 2000L)),
+        s"stale post-restart sample regressed the recovered gauge state: $outs")
+    } finally q2.stop()
+  }
+
   test("streaming counter increase accumulates deltas and clamps resets") {
     val dir = Files.createTempDirectory("graft-inc").toFile
     val chk = Files.createTempDirectory("graft-incchk").toFile
