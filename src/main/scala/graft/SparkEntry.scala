@@ -66,6 +66,8 @@ object SparkEntry {
     "m9_counter_increase" -> ((s, dir) =>
       Firehose.counterIncrease(Firehose.metricsFromEvents(s, dir))),
     "m10_topk_series" -> ((s, dir) => Relational.mTopkSeries(s, dir)),
+    "m11_hist_quantile" -> ((s, dir) =>
+      Firehose.histogramQuantile(Firehose.metricsFromEvents(s, dir))),
     "q_grouping_sets" -> ((s, dir) => Relational.qGroupingSets(s, dir)),
     // ---- §2.2 relational / OLAP ----
     "q1_pricing_summary" -> ((s, dir) => Relational.q1PricingSummary(s, dir)),
@@ -121,6 +123,7 @@ object SparkEntry {
     "t5_pii_redact" -> ((s, dir) => TextAnalysis.piiRedact(Tables(s, dir, "documents"))),
     "t6_top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(Tables(s, dir, "documents"))),
     "t7_vocab_stats" -> ((s, dir) => TextAnalysis.vocabStats(Tables(s, dir, "documents"))),
+    "t8_lm_score" -> ((s, dir) => TextAnalysis.lmScore(Tables(s, dir, "documents"))),
     "d8_dedup_normalized" -> ((s, dir) =>
       Dedup.exactNormalized(Tables(s, dir, "documents"))),
     "d9_weighted_sample" -> ((s, dir) =>
@@ -240,6 +243,34 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY name
         |        ORDER BY last_value DESC, series) AS rnk FROM g)
         |SELECT name, series, last_value, last_ts FROM r WHERE rnk <= 3""".stripMargin,
+    "m11_hist_quantile" ->
+      """WITH m AS (SELECT event_type || '_total' AS name, value FROM events),
+        |b AS (SELECT name, coalesce(
+        |        CASE WHEN value <= 50 THEN 50.0 END,
+        |        CASE WHEN value <= 100 THEN 100.0 END,
+        |        CASE WHEN value <= 200 THEN 200.0 END,
+        |        CASE WHEN value <= 300 THEN 300.0 END,
+        |        CASE WHEN value <= 400 THEN 400.0 END,
+        |        'infinity'::DOUBLE) AS le
+        |      FROM m),
+        |c AS (SELECT name, le, count(*) AS n FROM b GROUP BY 1, 2),
+        |w1 AS (SELECT name, le, n,
+        |         CAST(sum(n) OVER (PARTITION BY name ORDER BY le) AS BIGINT) AS cum
+        |       FROM c),
+        |w2 AS (SELECT *,
+        |         CAST(coalesce(lag(cum) OVER (PARTITION BY name ORDER BY le), 0) AS BIGINT) AS cum_prev,
+        |         coalesce(lag(le) OVER (PARTITION BY name ORDER BY le), 0.0) AS lo
+        |       FROM w1),
+        |t AS (SELECT name AS t_name, max(cum) AS total FROM w2 GROUP BY 1),
+        |f AS (SELECT w2.*, total, 0.9 * CAST(total AS DOUBLE) AS rank
+        |      FROM w2 JOIN t ON name = t_name
+        |      WHERE CAST(cum AS DOUBLE) >= 0.9 * CAST(total AS DOUBLE)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY name ORDER BY le) AS rn FROM f)
+        |SELECT name, 0.9 AS q, total,
+        |  CASE WHEN isinf(le) THEN lo
+        |       ELSE lo + (le - lo) * ((rank - CAST(cum_prev AS DOUBLE))
+        |              / (CAST(cum AS DOUBLE) - CAST(cum_prev AS DOUBLE))) END AS quantile
+        |FROM r WHERE rn = 1""".stripMargin,
     "q_grouping_sets" ->
       """SELECT n_name, c_mktsegment, count(*) AS n_customers,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
@@ -575,6 +606,17 @@ object SparkEntry {
           |SELECT source, n_docs, n_tokens, n_chars_total, n_vocab,
           |  CAST(n_vocab AS DOUBLE) / CAST(nullif(n_tokens, 0) AS DOUBLE) AS type_token_ratio
           |FROM tot JOIN v USING (source) ORDER BY source""".stripMargin),
+    "t8_lm_score" ->
+      (WordsCte +
+        """bgd AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+          |        FROM words, UNNEST(generate_series(1, len(ws) - 1)) t(i)),
+          |model AS (SELECT w1, w2, count(*) AS n12 FROM bgd GROUP BY 1, 2),
+          |starts AS (SELECT w1, count(*) AS n1 FROM bgd GROUP BY 1),
+          |p AS (SELECT doc_id, CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p
+          |      FROM bgd JOIN model USING (w1, w2) JOIN starts USING (w1))
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |  CAST(sum(CAST(p AS DECIMAL(18,12))) AS DOUBLE) / count(*) AS avg_p
+          |FROM p GROUP BY 1""".stripMargin),
     "d8_dedup_normalized" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS norm_hash,
         |  min(doc_id) AS keep_id, count(*) AS n_copies

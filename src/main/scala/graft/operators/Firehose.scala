@@ -215,6 +215,50 @@ object Firehose {
         count(lit(1)).as("n_samples"))
   }
 
+  /** Prometheus classic-histogram semantics as engine operators: cumulative
+    * `le` bucket counts per metric, and `histogram_quantile()`-style linear
+    * interpolation within the located bucket. A quantile landing in the
+    * +Inf bucket returns the highest finite boundary (the Prometheus
+    * convention). All arithmetic is IEEE add/mul/div over exact counts, so
+    * the oracle matches bit-for-bit.
+    *
+    * @param les finite bucket boundaries, ascending (+Inf appended)
+    */
+  def histogramQuantile(
+      metrics: DataFrame,
+      les: Seq[Double] = Seq(50.0, 100.0, 200.0, 300.0, 400.0),
+      q: Double = 0.9): DataFrame = {
+    val inf = Double.PositiveInfinity
+    val leExpr = coalesce(
+      (les.map(l => when(col("value") <= l, lit(l))) :+ lit(inf)): _*)
+    val counts = metrics
+      .select(col("name"), leExpr.as("le"))
+      .groupBy(col("name"), col("le"))
+      .agg(count(lit(1)).as("n"))
+    val byLe = Window.partitionBy(col("name")).orderBy(col("le"))
+    val cum = counts
+      .withColumn("cum", sum(col("n")).over(byLe))
+      .withColumn("cum_prev", coalesce(lag(col("cum"), 1).over(byLe), lit(0L)))
+      .withColumn("lo", coalesce(lag(col("le"), 1).over(byLe), lit(0.0)))
+    val totals = cum.groupBy(col("name").as("t_name")).agg(max(col("cum")).as("total"))
+    val ranked = cum
+      .join(totals, col("name") === col("t_name"))
+      .withColumn("rank", lit(q) * col("total").cast("double"))
+      .filter(col("cum").cast("double") >= col("rank"))
+      .withColumn("rn", row_number().over(byLe))
+      .filter(col("rn") === 1)
+    ranked.select(
+      col("name"),
+      lit(q).as("q"),
+      col("total"),
+      when(col("le") === lit(inf), col("lo"))
+        .otherwise(
+          col("lo") + (col("le") - col("lo")) *
+            ((col("rank") - col("cum_prev").cast("double")) /
+              (col("cum").cast("double") - col("cum_prev").cast("double"))))
+        .as("quantile"))
+  }
+
   /** Series-state TTL (AbstractPrometheusFirehose.java:19-29: gauges idle for
     * 10 minutes are evicted from the registry). Batch form: drop series whose
     * last sample is older than `ttlSec` before the stream's high-water mark.

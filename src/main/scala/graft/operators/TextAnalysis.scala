@@ -148,6 +148,42 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus bigram language-model scoring: the model is the corpus's own
+    * bigram conditional frequencies P(w2|w1) = n(w1 w2)/n(w1 ·); each doc is
+    * scored by its mean bigram probability — the in-domain fluency signal a
+    * training pipeline uses to rank candidate documents. The model tables
+    * are broadcast (at 100 TB: pruned to top-M bigrams first); the exact
+    * decimal sum keeps the mean order-independent.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val ws = col("ws")
+    val bg = graft.Tables.widen(docs)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(
+        col("doc_id"),
+        explode(
+          when(size(ws) >= 2,
+            transform(
+              sequence(lit(1), size(ws) - 1),
+              i => struct(
+                element_at(ws, i).as("w1"),
+                element_at(ws, i + 1).as("w2"))))
+            .otherwise(array())).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist()
+    val model = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val starts = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+    bg
+      .join(broadcast(model), Seq("w1", "w2"))
+      .join(broadcast(starts), Seq("w1"))
+      .withColumn("p", col("n12").cast("double") / col("n1").cast("double"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(col("p").cast("decimal(18,12)")).cast("double") / count(lit(1)))
+          .as("avg_p"))
+  }
+
   /** Per-source vocabulary statistics: doc/token/char totals and corpus-level
     * distinct-word counts — the corpus profile a training-data pipeline
     * reports per provenance bucket. Distinct words per source = explode +

@@ -130,6 +130,30 @@ class CoverageOpsSpec extends SparkSuite {
       s"estimate $est too far from exact $exact")
   }
 
+  test("histogram quantile interpolates within the located bucket") {
+    import spark.implicits._
+    // 10 samples 1..10 in metric m, buckets (5, 10): p90 rank=9 lands in
+    // (5,10] with cum_prev=5, cum=10 → 5 + 5*(9-5)/(10-5) = 9.0
+    val metrics = (1 to 10).map(v => ("m", v.toDouble)).toDF("name", "value")
+    val out = Firehose.histogramQuantile(metrics, les = Seq(5.0, 10.0), q = 0.9)
+      .select("name", "quantile").collect()
+    assert(out.length === 1)
+    assert(out(0).getDouble(1) === 9.0)
+  }
+
+  test("lm score ranks formulaic docs above out-of-domain ones") {
+    import spark.implicits._
+    // "the" splits 2:1 between cat and dog — the majority continuation
+    // scores higher: docs 1/2 avg (2/3 + 1)/2, doc 3 avg (1/3 + 1)/2
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat sat"), (3L, "the dog ran"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) > out(3L))
+    assert(out(1L) === out(2L)) // identical docs score identically
+  }
+
   test("q4/q6/correlated/histogram return coherent results at smoke scale") {
     val q4 = Relational.q4OrderPriority(spark, sfDir).collect()
     assert(q4.nonEmpty && q4.forall(_.getLong(1) > 0))

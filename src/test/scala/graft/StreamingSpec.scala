@@ -88,6 +88,40 @@ class StreamingSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("gauge state runs on the RocksDB state store provider") {
+    // the scale-grade state backend (state >> heap at 100 TB): same query,
+    // same results, RocksDB-backed state
+    val dir = Files.createTempDirectory("graft-rocks").toFile
+    val chk = Files.createTempDirectory("graft-rockschk").toFile
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "bytes_total", 1000, "u1", 10.0),
+        metricJson("2", "bytes_total", 2000, "u1", 20.0)).mkString("\n").getBytes)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = FirehoseStream.gaugeLatest(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("rocks_t").outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("rocks_t")
+        .groupBy("series").agg(max_by(col("last_value"), col("last_ts")).as("v"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(out === Map("user=u1" -> 20.0))
+      assert(q.lastProgress.stateOperators.length > 0)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming counter increase accumulates deltas and clamps resets") {
     val dir = Files.createTempDirectory("graft-inc").toFile
     val chk = Files.createTempDirectory("graft-incchk").toFile
