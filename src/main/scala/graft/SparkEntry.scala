@@ -93,6 +93,15 @@ object SparkEntry {
     "q6_forecast_revenue" -> ((s, dir) => Relational.q6ForecastRevenue(s, dir)),
     "q_correlated" -> ((s, dir) => Relational.qCorrelatedAboveAvg(s, dir)),
     "q_histogram" -> ((s, dir) => Relational.qHistogram(s, dir)),
+    "q_unpivot" -> ((s, dir) => Relational.qUnpivot(s, dir)),
+    "d10_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
+    "s5_embedding_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(Tables(s, dir, "embeddings"))),
     // ---- §2.3 LLM-training-data pipeline ----
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir, "documents"))),
     "d2_dedup_ngram_jaccard" -> ((s, dir) =>
@@ -450,6 +459,31 @@ object SparkEntry {
     "d1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_unpivot" ->
+      """WITH p AS (
+        |  SELECT o_orderpriority,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_f,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_o,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_p
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, status, total FROM (
+        |  SELECT o_orderpriority, 'sum_f' AS status, sum_f AS total FROM p
+        |  UNION ALL SELECT o_orderpriority, 'sum_o', sum_o FROM p
+        |  UNION ALL SELECT o_orderpriority, 'sum_p', sum_p FROM p)
+        |WHERE total IS NOT NULL""".stripMargin,
+    "d10_dedup_incremental" ->
+      """WITH corpus AS (SELECT DISTINCT md5(text) AS content_hash
+        |                FROM documents WHERE doc_id % 2 = 0),
+        |delta AS (SELECT doc_id, md5(text) AS content_hash
+        |          FROM documents WHERE doc_id % 2 = 1)
+        |SELECT min(doc_id) AS doc_id, content_hash, count(*) AS n_in_delta
+        |FROM delta WHERE content_hash NOT IN (SELECT content_hash FROM corpus)
+        |GROUP BY content_hash""".stripMargin,
+    "s5_embedding_centroids" ->
+      """SELECT label, CAST(t.i - 1 AS INTEGER) AS dim, count(*) AS n,
+        |  CAST(sum(CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS mean
+        |FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
+        |GROUP BY 1, 2""".stripMargin,
     "d2_dedup_ngram_jaccard" ->
       (ShinglesCte +
         """cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),

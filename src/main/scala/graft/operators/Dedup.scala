@@ -60,6 +60,23 @@ object Dedup {
         count(lit(1)).as("n_copies"))
   }
 
+  /** Incremental exact dedup: which delta-batch docs are genuinely new
+    * against an already-landed corpus. The corpus side reduces to its
+    * distinct hash set (one agg), the delta anti-joins against it, then
+    * first-occurrence-wins within the delta — the shape of a daily-ingest
+    * dedup pass, where corpus hashes are a materialized (bucketable) table
+    * instead of a recomputation.
+    */
+  def incrementalDedup(existing: DataFrame, delta: DataFrame): DataFrame = {
+    val hashOf = md5(to_binary(col("text"), lit("utf-8")))
+    val corpusHashes = existing.select(hashOf.as("content_hash")).distinct()
+    delta.select(col("doc_id"), hashOf.as("content_hash"))
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_in_delta"))
+      .select(col("doc_id"), col("content_hash"), col("n_in_delta"))
+  }
+
   /** Shared-shingle pair counts: (doc_a < doc_b, common). */
   private def pairCommonCounts(sh: DataFrame): DataFrame = {
     val a = sh.as("a")

@@ -343,6 +343,20 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** Unpivot (melt) — the inverse of [[qPivot]]: the wide per-status sums
+    * back to (priority, status, total) rows. Null cells are dropped on both
+    * engines explicitly (their default null handling differs).
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    qPivot(spark, dir)
+      .unpivot(
+        ids = Array(col("o_orderpriority")),
+        values = Array(col("sum_f"), col("sum_o"), col("sum_p")),
+        variableColumnName = "status",
+        valueColumnName = "total")
+      .filter(col("total").isNotNull)
+  }
+
   /** Explicit GROUPING SETS — the irregular lattice rollup/cube can't
     * express: per-nation totals and per-segment totals, no cross terms.
     */

@@ -121,6 +121,24 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Per-label embedding centroids: element-wise mean via posexplode +
+    * two-level aggregation. The explode keeps the shuffle narrow
+    * ((label, dim, sum) triples, combinable map-side) and the decimal sum
+    * keeps each dimension's mean independent of row order — the reduction
+    * an IVF coarse-quantizer retrain or class-prototype computation needs.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        // float → double → decimal: both engines must quantize the same
+        // double (a direct float→decimal cast goes through float formatting
+        // in DuckDB and rounds differently)
+        (sum(col("x").cast("double").cast("decimal(18,9)")).cast("double") / count(lit(1)))
+          .as("mean"))
+
   private def withFraction(total: Long, target: Long): Double =
     math.min(1.0, target.toDouble / math.max(1L, total).toDouble * 1.1)
 

@@ -130,6 +130,39 @@ class CoverageOpsSpec extends SparkSuite {
       s"estimate $est too far from exact $exact")
   }
 
+  test("incremental dedup admits only hashes unseen in the corpus") {
+    import spark.implicits._
+    val existing = Seq((0L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    val delta = Seq((1L, "aa"), (3L, "cc"), (5L, "cc"), (7L, "dd"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(existing, delta)
+      .select("doc_id", "n_in_delta").as[(Long, Long)].collect().toSet
+    // "aa" already landed; "cc" enters once (doc 3, 2 copies); "dd" enters
+    assert(out === Set((3L, 2L), (7L, 1L)))
+  }
+
+  test("embedding centroids average element-wise per label") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 3.0f), 0), (2L, Array(3.0f, 5.0f), 0),
+      (3L, Array(10.0f, 20.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.labelCentroids(emb)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(out((0, 0)) === 2.0 && out((0, 1)) === 4.0)
+    assert(out((1, 0)) === 10.0 && out((1, 1)) === 20.0)
+  }
+
+  test("unpivot restores the long form of the pivoted table") {
+    val wide = Relational.qPivot(spark, sfDir)
+    val long = Relational.qUnpivot(spark, sfDir)
+    val nonNullCells = wide.selectExpr(
+      "o_orderpriority",
+      "(CASE WHEN sum_f IS NULL THEN 0 ELSE 1 END + CASE WHEN sum_o IS NULL THEN 0 ELSE 1 END + CASE WHEN sum_p IS NULL THEN 0 ELSE 1 END) AS n")
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(long.count() === nonNullCells)
+  }
+
   test("histogram quantile interpolates within the located bucket") {
     import spark.implicits._
     // 10 samples 1..10 in metric m, buckets (5, 10): p90 rank=9 lands in
