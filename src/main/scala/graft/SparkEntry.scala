@@ -94,6 +94,8 @@ object SparkEntry {
     "q_correlated" -> ((s, dir) => Relational.qCorrelatedAboveAvg(s, dir)),
     "q_histogram" -> ((s, dir) => Relational.qHistogram(s, dir)),
     "q_unpivot" -> ((s, dir) => Relational.qUnpivot(s, dir)),
+    "q_string_agg" -> ((s, dir) => Relational.qStringAgg(s, dir)),
+    "q_conditional_agg" -> ((s, dir) => Relational.qConditionalAgg(s, dir)),
     "d10_dedup_incremental" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       Dedup.incrementalDedup(
@@ -471,6 +473,19 @@ object SparkEntry {
         |  UNION ALL SELECT o_orderpriority, 'sum_o', sum_o FROM p
         |  UNION ALL SELECT o_orderpriority, 'sum_p', sum_p FROM p)
         |WHERE total IS NOT NULL""".stripMargin,
+    "q_string_agg" ->
+      """SELECT c_mktsegment,
+        |  string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations,
+        |  count(DISTINCT n_name) AS n_nations
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_totalprice > 200000) AS n_big,
+        |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |  bool_or(o_totalprice > 400000) AS any_huge,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "d10_dedup_incremental" ->
       """WITH corpus AS (SELECT DISTINCT md5(text) AS content_hash
         |                FROM documents WHERE doc_id % 2 = 0),

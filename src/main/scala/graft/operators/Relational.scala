@@ -343,6 +343,35 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** Deterministic list/string aggregation: collect_set sorted before
+    * joining, so the result is independent of arrival order (a bare
+    * collect_list is not reproducible across partitionings).
+    */
+  def qStringAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        array_join(array_sort(collect_set(col("n_name"))), ",").as("nations"),
+        count_distinct(col("n_name")).as("n_nations"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Conditional aggregates: count_if / any / every (SQL FILTER-clause
+    * semantics) in one grouped pass.
+    */
+  def qConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        count_if(col("o_orderstatus") === "F").as("n_f"),
+        some(col("o_totalprice") > 400000).as("any_huge"),
+        every(col("o_totalprice") > 1000).as("all_over_1k"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Unpivot (melt) — the inverse of [[qPivot]]: the wide per-status sums
     * back to (priority, status, total) rows. Null cells are dropped on both
     * engines explicitly (their default null handling differs).
