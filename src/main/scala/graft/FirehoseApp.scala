@@ -38,6 +38,10 @@ object FirehoseApp {
       |  --mode pull|push  serve /metrics (default) or push per batch
       |  --source <dir>|kafka
       |  --once            process available input, then exit
+      |  --query <name> <sfDir> [n]
+      |                    batch mode: run a named engine query against the
+      |                    parquet tables in <sfDir>, show up to n rows, exit
+      |  --list-queries    print the available query names and exit
       |  -h | --help       print this help""".stripMargin
 
   def parseArgs(args: Array[String]): Map[String, String] = {
@@ -54,6 +58,14 @@ object FirehoseApp {
         case "--mode" => m.put("app.mode", args(i + 1)); i += 2
         case "--source" => m.put("app.source", args(i + 1)); i += 2
         case "--once" => m.put("app.once", "true"); i += 1
+        case "--list-queries" => m.put("app.listQueries", "true"); i += 1
+        case "--query" =>
+          m.put("app.query", args(i + 1))
+          m.put("app.query.sfdir", args(i + 2))
+          i += 3
+          if (i < args.length && args(i).forall(_.isDigit)) {
+            m.put("app.query.rows", args(i)); i += 1
+          }
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -111,6 +123,22 @@ object FirehoseApp {
     val cfg = buildConfig(args)
     if (cfg.getBoolean("app.help", default = false)) {
       println(Usage)
+      return
+    }
+    if (cfg.getBoolean("app.listQueries", default = false)) {
+      SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      return
+    }
+    // batch query mode: the ad-hoc entry point for every engine operator
+    cfg.get("app.query").foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"unknown query $name (--list-queries shows the catalog)"))
+      val spark = Sessions.local(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-query")
+      fn(spark, cfg.getOrElse("app.query.sfdir", "/root/testdata/sf0.001"))
+        .show(cfg.getInt("app.query.rows", 20), truncate = false)
+      spark.stop()
       return
     }
     // reference parity: print the effective layered configuration at startup

@@ -82,6 +82,7 @@ object SparkEntry {
     "q_topk_per_group" -> ((s, dir) => Relational.qTopkPerGroup(s, dir)),
     "q_topk_native" -> ((s, dir) => Relational.qTopkNative(s, dir)),
     "q_asof_join" -> ((s, dir) => Relational.qAsofJoin(s, dir)),
+    "q_asof_forward" -> ((s, dir) => Relational.qAsofForward(s, dir)),
     "q_semi_anti" -> ((s, dir) => Relational.qSemiAnti(s, dir)),
     "q_distinct" -> ((s, dir) => Relational.qDistinct(s, dir)),
     "q_sessionize" -> ((s, dir) => Relational.qSessionize(s, dir)),
@@ -425,6 +426,14 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "q_asof_forward" ->
+      """SELECT c.event_id, c.user_id, epoch_ns(c.ts) // 1000 AS ts_us, c.value,
+        |  p.event_id AS next_event_id, epoch_ns(p.ts) // 1000 AS next_ts_us,
+        |  p.value AS next_value,
+        |  epoch_ns(p.ts) // 1000 - epoch_ns(c.ts) // 1000 AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin,
     "q_semi_anti" ->
       """SELECT c_custkey,
         |  CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

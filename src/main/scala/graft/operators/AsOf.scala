@@ -50,4 +50,39 @@ object AsOf {
       .filter(col("_side") === 1)
       .select(left.columns.toIndexedSeq.map(col) ++ matchedCols: _*)
   }
+
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * `right.ts >= left.ts` — the symmetric construction (running `min` over
+    * the following frame; right rows sort after left rows at equal ts, so
+    * equal timestamps match). Same single-shuffle cost as [[backward]].
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      partCols: Seq[String],
+      tsCol: String,
+      rightCols: Seq[String],
+      prefix: String = "right_"): DataFrame = {
+
+    val r = right
+      .select((partCols ++ (tsCol +: rightCols)).distinct.map(col): _*)
+      .withColumn("_side", lit(2))
+      .withColumn("_match", struct((tsCol +: rightCols).map(col): _*))
+      .select((partCols.map(col) :+ col(tsCol) :+ col("_side") :+ col("_match")): _*)
+
+    val w = Window
+      .partitionBy(partCols.map(col): _*)
+      .orderBy(col(tsCol), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val matchedCols = (tsCol +: rightCols).map { c =>
+      col("_best").getField(c).as(prefix + c)
+    }
+    left
+      .withColumn("_side", lit(1))
+      .unionByName(r, allowMissingColumns = true)
+      .withColumn("_best", min(col("_match")).over(w))
+      .filter(col("_side") === 1)
+      .select(left.columns.toIndexedSeq.map(col) ++ matchedCols: _*)
+  }
 }

@@ -204,6 +204,27 @@ object Relational {
         (col("ts") - col("click_ts")).as("gap_us"))
   }
 
+  /** Forward as-of join: each click matched to the same user's next
+    * purchase at-or-after it (conversion attribution). Oracle: DuckDB
+    * `ASOF LEFT JOIN ... ON p.ts <= c.ts`.
+    */
+  def qAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val e = Firehose.eventsRaw(spark, dir).withColumn("ts", expr("ts div 1000"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    AsOf.forward(
+        clicks, purchases,
+        partCols = Seq("user_id"), tsCol = "ts",
+        rightCols = Seq("event_id", "value"), prefix = "next_")
+      .select(
+        col("event_id"), col("user_id"), col("ts").as("ts_us"), col("value"),
+        col("next_event_id"), col("next_ts").as("next_ts_us"),
+        col("next_value"),
+        (col("next_ts") - col("ts")).as("gap_us"))
+  }
+
   /** Left-semi + left-anti in one result: customer order-activity status. */
   def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")

@@ -19,6 +19,16 @@ class FirehoseAppSpec extends SparkSuite {
     intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("--bogus")))
   }
 
+  test("--query args parse with optional row count") {
+    val cfg = FirehoseApp.buildConfig(Array("--query", "q1_pricing_summary", "/x/sf", "7"))
+    assert(cfg.getOrElse("app.query", "?") === "q1_pricing_summary")
+    assert(cfg.getOrElse("app.query.sfdir", "?") === "/x/sf")
+    assert(cfg.getInt("app.query.rows", -1) === 7)
+    val noRows = FirehoseApp.buildConfig(Array("--query", "q_cube", "/x/sf", "--once"))
+    assert(noRows.getInt("app.query.rows", 20) === 20)
+    assert(noRows.getBoolean("app.once", default = false))
+  }
+
   test("end-to-end pull-mode app: file source to scrapeable /metrics") {
     val dir = Files.createTempDirectory("graft-app").toFile
     val chk = Files.createTempDirectory("graft-appchk").toString

@@ -22,6 +22,21 @@ class OperatorSpec extends SparkSuite {
     assert(out("p3") === ((None, None)))            // no right rows for user 2
   }
 
+  test("asof forward join picks earliest right row at or after left ts") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "p1"), (1L, 205L, "p2"), (2L, 50L, "p3"))
+      .toDF("user_id", "ts", "pid")
+    val right = Seq((1L, 100L, 7.0), (1L, 200L, 8.0), (1L, 300L, 9.0), (3L, 10L, 1.0))
+      .toDF("user_id", "ts", "v")
+    val out: Map[String, (Option[Any], Option[Any])] =
+      AsOf.forward(left, right, Seq("user_id"), "ts", Seq("v"), "r_")
+        .select("pid", "r_ts", "r_v").collect()
+        .map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out("p1") === ((Some(100L), Some(7.0)))) // equal ts matches
+    assert(out("p2") === ((Some(300L), Some(9.0)))) // earliest ≥ 205
+    assert(out("p3") === ((None, None)))            // no right rows for user 2
+  }
+
   test("ngram jaccard and minhash LSH agree on planted near-duplicates") {
     import spark.implicits._
     val docs = Seq(
