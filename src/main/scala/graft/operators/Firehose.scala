@@ -231,10 +231,14 @@ object Firehose {
     val inf = Double.PositiveInfinity
     val leExpr = coalesce(
       (les.map(l => when(col("value") <= l, lit(l))) :+ lit(inf)): _*)
+    // the bucket-count relation is bounded by names × buckets — persist it:
+    // it feeds both the totals branch and the final selection, and without
+    // the cache each consumer would re-run the full input aggregation
     val counts = metrics
       .select(col("name"), leExpr.as("le"))
       .groupBy(col("name"), col("le"))
       .agg(count(lit(1)).as("n"))
+      .persist()
     val byLe = Window.partitionBy(col("name")).orderBy(col("le"))
     val cum = counts
       .withColumn("cum", sum(col("n")).over(byLe))

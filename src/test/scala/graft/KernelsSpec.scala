@@ -33,6 +33,23 @@ class KernelsSpec extends AnyFunSuite {
     assert(Kernels.cosine(a, b) === dot / (na * nb))
   }
 
+  test("minhash signatures merge by element-wise min (map-side combinability)") {
+    // sig(A ∪ B) = min(sig(A), sig(B)) per element — the algebraic property
+    // that makes the signature a distributive aggregate: partial signatures
+    // computed per partition combine losslessly, so a 100 TB corpus never
+    // ships raw shingles
+    val rnd = new scala.util.Random(7)
+    def terms(n: Int) = Array.fill(n)(u("w" + rnd.nextInt(500)))
+    (1 to 50).foreach { _ =>
+      val a = terms(1 + rnd.nextInt(30))
+      val b = terms(1 + rnd.nextInt(30))
+      val sa = Kernels.minhashSig(ArrayData.toArrayData(a), 12)
+      val sb = Kernels.minhashSig(ArrayData.toArrayData(b), 12)
+      val su = Kernels.minhashSig(ArrayData.toArrayData(a ++ b), 12)
+      assert(su.toSeq === sa.zip(sb).map { case (x, y) => math.min(x, y) }.toSeq)
+    }
+  }
+
   test("simhash is order-insensitive over terms and stable") {
     val t1 = ArrayData.toArrayData(Array(u("spark"), u("flink"), u("duck")))
     val t2 = ArrayData.toArrayData(Array(u("duck"), u("spark"), u("flink")))
