@@ -69,6 +69,20 @@ object SparkEntry {
     "m11_hist_quantile" -> ((s, dir) =>
       Firehose.histogramQuantile(Firehose.metricsFromEvents(s, dir))),
     "q_grouping_sets" -> ((s, dir) => Relational.qGroupingSets(s, dir)),
+    // semi-structured: extract a field from the embedded JSON props column
+    // (get_json_object ≡ DuckDB json_extract) and aggregate it
+    "m12_props_extract" -> ((s, dir) =>
+      Firehose.eventsRaw(s, dir)
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))),
     // ---- §2.2 relational / OLAP ----
     "q1_pricing_summary" -> ((s, dir) => Relational.q1PricingSummary(s, dir)),
     "q3_shipping_priority" -> ((s, dir) => Relational.q3ShippingPriority(s, dir)),
@@ -289,6 +303,12 @@ object SparkEntry {
         |  CAST(GROUPING(n_name, c_mktsegment) AS INTEGER) AS grp
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY GROUPING SETS ((n_name), (c_mktsegment))""".stripMargin,
+    "m12_props_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders
