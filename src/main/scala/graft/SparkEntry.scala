@@ -69,6 +69,10 @@ object SparkEntry {
     "m11_hist_quantile" -> ((s, dir) =>
       Firehose.histogramQuantile(Firehose.metricsFromEvents(s, dir))),
     "q_grouping_sets" -> ((s, dir) => Relational.qGroupingSets(s, dir)),
+    "m13_gap_fill" -> ((s, dir) =>
+      // hourly grid: the synthetic stream spans weeks, so a 60 s grid would
+      // be ~98% fill rows — step is a parameter of the operator
+      Firehose.gapFill(Firehose.metricsFromEvents(s, dir), stepSec = 3600)),
     // semi-structured: extract a field from the embedded JSON props column
     // (get_json_object ≡ DuckDB json_extract) and aggregate it
     "m12_props_extract" -> ((s, dir) =>
@@ -303,6 +307,30 @@ object SparkEntry {
         |  CAST(GROUPING(n_name, c_mktsegment) AS INTEGER) AS grp
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY GROUPING SETS ((n_name), (c_mktsegment))""".stripMargin,
+    "m13_gap_fill" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series, value,
+        |         CAST(event_id AS VARCHAR) AS id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |s AS (SELECT component, name, series, ts_sec - ts_sec % 3600 AS slot, value,
+        |        row_number() OVER (PARTITION BY component, name, series, ts_sec - ts_sec % 3600
+        |          ORDER BY ts_sec DESC, id DESC) AS rn
+        |      FROM m),
+        |sv AS (SELECT component, name, series, slot, value AS slot_value FROM s WHERE rn = 1),
+        |sp AS (SELECT component, name, series, min(slot) AS lo, max(slot) AS hi
+        |       FROM sv GROUP BY 1, 2, 3),
+        |g AS (SELECT component, name, series, CAST(gs.g AS BIGINT) AS slot
+        |      FROM sp, UNNEST(generate_series(lo, hi, 3600)) gs(g)),
+        |j AS (SELECT g.component, g.name, g.series, g.slot, sv.slot_value
+        |      FROM g LEFT JOIN sv USING (component, name, series, slot))
+        |SELECT component, name, series, slot,
+        |  last_value(slot_value IGNORE NULLS) OVER (
+        |    PARTITION BY component, name, series ORDER BY slot
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  slot_value IS NULL AS filled
+        |FROM j""".stripMargin,
     "m12_props_extract" ->
       """SELECT event_type, count(*) AS n,
         |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,

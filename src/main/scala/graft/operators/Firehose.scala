@@ -263,6 +263,38 @@ object Firehose {
         .as("quantile"))
   }
 
+  /** Time-series regularization: resample each series onto a dense
+    * `stepSec` grid between its first and last sample, forward-filling the
+    * last seen value (what a Prometheus range query does before rate/avg
+    * can run on irregular scrapes). The grid explode is bounded by
+    * span/step per series; the fill is one window pass with
+    * `last(ignoreNulls)`.
+    */
+  def gapFill(metrics: DataFrame, stepSec: Long = 60): DataFrame = {
+    val labeled =
+      if (metrics.columns.contains("labels")) metrics else tagFilter(metrics)
+    val samples = labeled
+      .withColumn("series", seriesKey(col("labels")))
+      .withColumn("slot", (col("timestamp") - pmod(col("timestamp"), lit(stepSec))).cast("long"))
+      .groupBy(col("component"), col("name"), col("series"), col("slot"))
+      .agg(max_by(col("value"), struct(col("timestamp"), col("id"))).as("slot_value"))
+    val spans = samples
+      .groupBy(col("component"), col("name"), col("series"))
+      .agg(min(col("slot")).as("lo"), max(col("slot")).as("hi"))
+    val grid = spans.select(
+      col("component"), col("name"), col("series"),
+      explode(sequence(col("lo"), col("hi"), lit(stepSec))).as("slot"))
+    val w = Window
+      .partitionBy(col("component"), col("name"), col("series"))
+      .orderBy(col("slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(samples, Seq("component", "name", "series", "slot"), "left")
+      .withColumn("value", last(col("slot_value"), ignoreNulls = true).over(w))
+      .withColumn("filled", col("slot_value").isNull)
+      .select("component", "name", "series", "slot", "value", "filled")
+  }
+
   /** Series-state TTL (AbstractPrometheusFirehose.java:19-29: gauges idle for
     * 10 minutes are evicted from the registry). Batch form: drop series whose
     * last sample is older than `ttlSec` before the stream's high-water mark.

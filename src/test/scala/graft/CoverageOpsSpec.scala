@@ -27,6 +27,24 @@ class CoverageOpsSpec extends SparkSuite {
     assert(out(0).getLong(2) === 4L)
   }
 
+  test("gap fill inserts forward-filled slots between samples") {
+    import spark.implicits._
+    // samples at slots 0 and 7200 with 3600 step: slot 3600 is synthesized
+    // and carries the slot-0 value
+    val metrics = Seq(("1", 100L, 5.0), ("2", 7500L, 9.0))
+      .toDF("id", "timestamp", "value")
+      .withColumn("component", lit("app"))
+      .withColumn("name", lit("g"))
+      .withColumn("labels", map(lit("user"), lit("u1")))
+    val out = Firehose.gapFill(metrics, stepSec = 3600)
+      .select("slot", "value", "filled").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out === Map(
+      0L -> ((5.0, false)),
+      3600L -> ((5.0, true)),  // synthesized, forward-filled
+      7200L -> ((9.0, false))))
+  }
+
   test("pii redaction counts and masks emails, phones and ips") {
     import spark.implicits._
     val docs = Seq(
