@@ -286,11 +286,15 @@ object Dedup {
   def resolveClusters(pairs: DataFrame, maxIters: Int = 20,
       maxLocalEdges: Long = 5000000L): DataFrame = {
     val spark = pairs.sparkSession
-    val edgesAll = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // both union branches consume `pairs`: without the cache the (possibly
+    // expensive — e.g. a full Jaccard pipeline) upstream runs twice
+    val p = pairs.persist()
+    val edgesAll = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist()
     val edgeCount = edgesAll.count()
+    p.unpersist() // edgesAll is materialized; the pair relation can go
 
     // Near-dup pair graphs are orders of magnitude smaller than the corpus
     // (a 5M-edge graph is a few MB of longs): below the threshold a
