@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the box has 128 GiB; local[32] with cached dedup relations wants real
+  // headroom — a tight heap turns storage-memory pressure into eviction +
+  // recompute, which is what a 51 s bench outlier looks like
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
+// forked `run` output goes straight to this process's stdout instead of
+// through sbt's logger: the bench JSON line must be parseable without an
+// "[info] " prefix
+outputStrategy := Some(OutputStrategy.StdoutOutput)

@@ -36,10 +36,13 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       name -> math.min(pass1(name), timeOnce(fn))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jsonMap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // pass1 (cold codegen/JIT/page-cache) kept as a diagnostic: when the min
+    // diverges wildly from past rounds, pass1-vs-min shows whether warm-up or
+    // sustained contention is to blame
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"pass1":${jsonMap(ordered.map { case (n, _) => n -> pass1(n) })},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
