@@ -28,4 +28,23 @@ object Tables {
     * the raw nanos and a µs-truncated timestamp column. */
   def events(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "events")
+
+  /** Eagerly materialize a SMALL multi-consumer intermediate without pinning
+    * it in the session's cache manager. `persist()` entries live until an
+    * explicit `unpersist()` — inside an operator there is no safe point to
+    * drop them (the returned plan still references the cached relation), so
+    * library callers accumulate pinned storage for the life of the session.
+    * A checkpoint instead stores blocks owned by the returned plan's RDD:
+    * when the caller drops the DataFrame, the ContextCleaner reclaims them.
+    *
+    * Uses the reliable checkpoint when the caller configured a checkpoint
+    * dir (the right choice on a real cluster, where a lost executor must not
+    * kill the query); falls back to `localCheckpoint` otherwise. Only for
+    * relations that are bounded (dimension/model/snapshot-sized) — never
+    * corpus-scale data, where recompute or exchange reuse is the answer.
+    */
+  def materializeSmall(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
 }

@@ -23,6 +23,20 @@ object GraftFunctions {
   def minhash_sig(terms: Column, k: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(terms), k))
 
+  /** Bind an expensive expression to a lambda variable so an expression tree
+    * that references it many times evaluates it ONCE per row. Inlining a
+    * Column value into a composed expression copies the tree per reference —
+    * inside a per-element `transform` lambda that turns O(1) work into
+    * O(elements) re-evaluations (e.g. re-tokenizing a document per shingle
+    * position). A lambda variable is evaluated once and referenced by slot,
+    * and unlike a projection boundary it cannot be undone by
+    * `CollapseProject`.
+    */
+  def bound(e: Column)(f: Column => Column): Column =
+    org.apache.spark.sql.functions.element_at(
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.array(e), f), 1)
+
   private val registry: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", "cosine similarity of two float arrays",
       { case Seq(a, b) => CosineSim(a, b) }),

@@ -108,31 +108,43 @@ object Dedup {
       docs: DataFrame,
       threshold: Double = 0.5,
       maxShingleDocs: Option[Int] = None): DataFrame = {
-    // the shingle relation feeds both self-join branches and the per-doc
-    // counts — persist instead of recomputing the explode 3x
-    val shAll = shingles(docs).persist()
-    val sh = maxShingleDocs match {
+    // No caching: the self-join's two sides shuffle by the same key over
+    // identical subplans, so the physical plan computes the explode once and
+    // ReuseExchange feeds the second side from the first side's shuffle.
+    // Per-doc counts don't need the exploded relation at all — the distinct
+    // shingle count is row-local (size of the distinct-shingle array).
+    val shAll = shingles(docs)
+    val (sh, counts) = maxShingleDocs match {
       case Some(cap) =>
+        // capped: per-doc counts must count the *surviving* shingles, so
+        // they come from the capped relation (its groupBy(s) frequency agg
+        // and the join back both shuffle by s — one reused exchange)
         val freq = shAll.groupBy("s").agg(count(lit(1)).as("_df")).filter(col("_df") <= cap)
-        shAll.join(freq.select("s"), "s")
-      case None => shAll
+        val capped = shAll.join(freq.select("s"), "s")
+        (capped, capped.groupBy("doc_id").agg(count(lit(1)).as("n")))
+      case None =>
+        (shAll,
+          graft.Tables.widen(docs)
+            .select(col("doc_id"), size(shingleArray()).cast("long").as("n")))
     }
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     withJaccard(pairCommonCounts(sh), counts)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "common", "n_a", "n_b", "jaccard")
   }
 
-  /** Distinct word 3-gram shingles as a row-local array column (no explode). */
-  private def shingleArray(n: Int = 3): Column = {
-    val ws = TextAnalysis.tokens(col("text"))
-    array_distinct(
-      when(size(ws) >= n,
-        transform(
-          sequence(lit(1), size(ws) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
-        .otherwise(array()))
-  }
+  /** Distinct word 3-gram shingles as a row-local array column (no explode).
+    * The token array is lambda-bound: referenced per shingle position, an
+    * inlined tokenizer would re-split the document O(words) times per row.
+    */
+  private def shingleArray(n: Int = 3): Column =
+    GraftFunctions.bound(TextAnalysis.tokens(col("text"))) { ws =>
+      array_distinct(
+        when(size(ws) >= n,
+          transform(
+            sequence(lit(1), size(ws) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
+          .otherwise(array()))
+    }
 
   /** MinHash + banded LSH near-dup candidates, verified with exact Jaccard.
     * Permutation hashes are 60-bit md5 prefixes of "i:shingle" — computable
@@ -148,9 +160,6 @@ object Dedup {
       numHashes: Int = 12,
       bands: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // feeds counts + both verification branches: persist over re-explode
-    val sh = shingles(docs).persist()
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
 
     // The whole signature is one codegen'd row-local expression — no k-fold
     // row explosion, no per-(doc, perm) shuffle, no interpreted
@@ -180,19 +189,28 @@ object Dedup {
 
     val a = sigs.as("a")
     val b = sigs.as("b")
-    val candidates = a
+    // materialized (bucket-collision-bounded, tiny next to the corpus) so
+    // the signature + band self-join pipeline runs exactly once even though
+    // three downstream branches consume the candidate set
+    val candidates = graft.Tables.materializeSmall(a
       .join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .distinct())
 
-    // exact-Jaccard verification restricted to bucketed candidates; the
-    // candidate set (and its shingle expansion) is orders of magnitude
-    // smaller than the corpus — broadcast it so the only shuffle left is
-    // the final pair aggregation
-    val sa = sh.select(col("doc_id").as("doc_a"), col("s"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("s"))
+    // exact-Jaccard verification: only candidate docs are ever shingle-
+    // exploded — the corpus-scale explode the signature path avoids is not
+    // reintroduced here. The candidate-doc shingle relation is itself
+    // materialized (both pair sides consume it).
+    val candIds = candidates.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val candSh = graft.Tables.materializeSmall(
+      shingles(docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")))
+    // per-doc distinct-shingle counts fall out of the same candidate-doc
+    // shingle relation — only candidate docs ever reach the Jaccard join
+    val counts = candSh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sa = candSh.select(col("doc_id").as("doc_a"), col("s"))
+    val sb = candSh.select(col("doc_id").as("doc_b"), col("s"))
     val common = broadcast(broadcast(candidates).join(sa, "doc_a"))
       .join(sb, Seq("doc_b", "s"))
       .groupBy("doc_a", "doc_b")
@@ -228,15 +246,16 @@ object Dedup {
   def simhashPairs(docs: DataFrame, radius: Int = 3): DataFrame = {
     val s = simhash(docs)
     val bandCols = Seq("b0", "b1", "b2", "b3")
-    // persist: both self-join sides consume this relation — without it the
-    // full-corpus fingerprinting runs twice
+    // no caching: in the shuffle-join regime (the at-scale case) both sides
+    // shuffle by (band, key) over identical subplans and ReuseExchange
+    // computes the fingerprinting once; when one side is broadcast instead,
+    // the input was small enough that the duplicated row-local map is noise
     val exploded = s.select(
       col("doc_id"), col("simhash"),
       explode(array(bandCols.zipWithIndex.map { case (c, i) =>
         struct(lit(i).as("band"), col(c).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
-      .persist()
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b,
@@ -345,9 +364,15 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // materialize the (node-count-bounded) result eagerly so every loop
+    // cache can be dropped before returning — nothing stays pinned in the
+    // cache manager once the caller discards the returned DataFrame
+    val out = graft.Tables.materializeSmall(
+      labels.select(col("doc_id"), col("label").as("cluster_rep")))
     edges.unpersist()
     edgesAll.unpersist()
-    labels.select(col("doc_id"), col("label").as("cluster_rep"))
+    labels.unpersist()
+    out
   }
 
   /** Embedding-cosine near-dup pairs ≥ threshold, blocked by a coarse

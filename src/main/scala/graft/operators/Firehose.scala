@@ -231,22 +231,22 @@ object Firehose {
     val inf = Double.PositiveInfinity
     val leExpr = coalesce(
       (les.map(l => when(col("value") <= l, lit(l))) :+ lit(inf)): _*)
-    // the bucket-count relation is bounded by names × buckets — persist it:
-    // it feeds both the totals branch and the final selection, and without
-    // the cache each consumer would re-run the full input aggregation
     val counts = metrics
       .select(col("name"), leExpr.as("le"))
       .groupBy(col("name"), col("le"))
       .agg(count(lit(1)).as("n"))
-      .persist()
     val byLe = Window.partitionBy(col("name")).orderBy(col("le"))
+    // totals as max(cum) over the name partition instead of a groupBy+join:
+    // the bucket relation then has exactly one consumer, so nothing needs
+    // caching, and both windows share the one shuffle by name
+    val byName = Window.partitionBy(col("name"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = counts
       .withColumn("cum", sum(col("n")).over(byLe))
       .withColumn("cum_prev", coalesce(lag(col("cum"), 1).over(byLe), lit(0L)))
       .withColumn("lo", coalesce(lag(col("le"), 1).over(byLe), lit(0.0)))
-    val totals = cum.groupBy(col("name").as("t_name")).agg(max(col("cum")).as("total"))
     val ranked = cum
-      .join(totals, col("name") === col("t_name"))
+      .withColumn("total", max(col("cum")).over(byName))
       .withColumn("rank", lit(q) * col("total").cast("double"))
       .filter(col("cum").cast("double") >= col("rank"))
       .withColumn("rn", row_number().over(byLe))
@@ -303,9 +303,11 @@ object Firehose {
     */
   def gaugeExpiry(gauges: DataFrame, ttlSec: Long = 600): DataFrame = {
     // The gauge snapshot is bounded by live-series cardinality (not row
-    // count), so persisting it is cheap at any scale and avoids recomputing
-    // the full upstream aggregation for the high-water-mark branch.
-    val snapshot = gauges.persist()
+    // count), so materializing it is cheap at any scale and avoids
+    // recomputing the full upstream aggregation for the high-water-mark
+    // branch; checkpoint instead of persist so nothing stays pinned in the
+    // cache manager after the caller is done with the result.
+    val snapshot = graft.Tables.materializeSmall(gauges)
     val hwm = snapshot.agg(max(col("last_ts")).as("_hwm"))
     snapshot
       .join(broadcast(hwm))

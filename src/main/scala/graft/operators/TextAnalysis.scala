@@ -170,9 +170,14 @@ object TextAnalysis {
                 element_at(ws, i + 1).as("w2"))))
             .otherwise(array())).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .persist()
-    val model = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
-    val starts = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+    // Only the MODEL is materialized (distinct-bigram-bounded — it gets
+    // broadcast below, so it must be small); the corpus-scale bigram stream
+    // is recomputed per pass (a row-local tokenize+explode over the scan)
+    // rather than cached. n(w1 ·) falls out of the model itself, so the
+    // corpus is read exactly twice: once to build the model, once to score.
+    val model = graft.Tables.materializeSmall(
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("n12")))
+    val starts = model.groupBy("w1").agg(sum(col("n12")).as("n1"))
     bg
       .join(broadcast(model), Seq("w1", "w2"))
       .join(broadcast(starts), Seq("w1"))
