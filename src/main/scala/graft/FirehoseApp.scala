@@ -47,21 +47,28 @@ object FirehoseApp {
   def parseArgs(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.Map.empty[String, String]
     var i = 0
+    // flags with operands get a bounds-checked fetch so a truncated command
+    // line reports a usage error instead of an index crash
+    def operand(flag: String, offset: Int = 1): String = {
+      if (i + offset >= args.length)
+        throw new IllegalArgumentException(s"$flag requires an operand")
+      args(i + offset)
+    }
     while (i < args.length) {
       args(i) match {
         case "-h" | "--help" => m.put("app.help", "true"); i += 1
-        case "-c" => GraftConfig.parseProperties(args(i + 1).replace(',', '\n'))
+        case "-c" => GraftConfig.parseProperties(operand("-c").replace(',', '\n'))
           .foreach { case (k, v) => m.put(k, v) }; i += 2
-        case "-f" => m.put("_config.file", args(i + 1)); i += 2
-        case "-g" => m.put("prometheus.gateway", args(i + 1)); i += 2
-        case "-j" => m.put("prometheus.job", args(i + 1)); i += 2
-        case "--mode" => m.put("app.mode", args(i + 1)); i += 2
-        case "--source" => m.put("app.source", args(i + 1)); i += 2
+        case "-f" => m.put("_config.file", operand("-f")); i += 2
+        case "-g" => m.put("prometheus.gateway", operand("-g")); i += 2
+        case "-j" => m.put("prometheus.job", operand("-j")); i += 2
+        case "--mode" => m.put("app.mode", operand("--mode")); i += 2
+        case "--source" => m.put("app.source", operand("--source")); i += 2
         case "--once" => m.put("app.once", "true"); i += 1
         case "--list-queries" => m.put("app.listQueries", "true"); i += 1
         case "--query" =>
-          m.put("app.query", args(i + 1))
-          m.put("app.query.sfdir", args(i + 2))
+          m.put("app.query", operand("--query <name> <sfDir>"))
+          m.put("app.query.sfdir", operand("--query <name> <sfDir>", 2))
           i += 3
           if (i < args.length && args(i).forall(_.isDigit)) {
             m.put("app.query.rows", args(i)); i += 1
@@ -136,9 +143,10 @@ object FirehoseApp {
           s"unknown query $name (--list-queries shows the catalog)"))
       val spark = Sessions.local(
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-query")
-      fn(spark, cfg.getOrElse("app.query.sfdir", "/root/testdata/sf0.001"))
-        .show(cfg.getInt("app.query.rows", 20), truncate = false)
-      spark.stop()
+      try {
+        fn(spark, cfg.getOrElse("app.query.sfdir", "/root/testdata/sf0.001"))
+          .show(cfg.getInt("app.query.rows", 20), truncate = false)
+      } finally spark.stop()
       return
     }
     // reference parity: print the effective layered configuration at startup

@@ -734,11 +734,12 @@ object SparkEntry {
         |    CAST('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
         |  FROM documents),
         |p AS (SELECT source, doc_id, n_words,
-        |        CAST(h AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS priority
+        |        -ln((CAST(h AS DOUBLE) + 1.0) / 1152921504606846976.0)
+        |          / CAST(greatest(n_words, 1) AS DOUBLE) AS priority
         |      FROM b),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
         |        ORDER BY priority, doc_id) AS BIGINT) AS rnk FROM p)
-        |SELECT source, doc_id, n_words, priority, rnk FROM r WHERE rnk <= 5""".stripMargin,
+        |SELECT source, doc_id, n_words, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "s2_ann_lsh" -> s2OracleSql,
     "mm1_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

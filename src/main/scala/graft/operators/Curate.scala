@@ -35,11 +35,19 @@ object Curate {
       .select(col(groupCol), col("doc_id"), col("priority"), col("rnk"))
   }
 
-  /** Deterministic weighted k-per-group sampling: priority = portable
-    * 60-bit hash of (seed, doc_id) divided by the doc's weight (token
-    * count), keep the k lowest per group — longer docs are proportionally
-    * more likely to be kept, and the draw is reproducible across engines
-    * and partitionings (both hash and IEEE division are exact).
+  /** Deterministic weighted k-per-group sampling with the
+    * Efraimidis–Spirakis key: u = (hash+1)/2^60 ∈ (0,1] from the portable
+    * 60-bit hash of (seed, doc_id); priority = -ln(u)/w with w = token
+    * count; keep the k LOWEST per group. This is the exponential-clocks
+    * formulation of E-S (equivalent to keep-k-largest on u^(1/w)), so
+    * inclusion probabilities follow the documented weighted-sampling
+    * semantics exactly — P(a outranks b) = w_a/(w_a+w_b) — and the draw is
+    * reproducible across engines, runs and partitionings.
+    *
+    * The emitted columns exclude the raw priority: `ln` is the one step
+    * where engines may legitimately differ in the last ulp, which cannot
+    * flip an ordering between distinct hashes but would break bit-exact
+    * output comparison.
     */
   def weightedSamplePerGroup(
       docs: DataFrame,
@@ -56,10 +64,11 @@ object Curate {
         "priority",
         // weight floor of 1 keeps empty docs defined (and avoids engine-
         // dependent NULL ordering in the rank window)
-        hash.cast("double") / greatest(col("n_words"), lit(1L)).cast("double"))
+        -log((hash.cast("double") + lit(1.0)) / lit(1152921504606846976.0)) /
+          greatest(col("n_words"), lit(1L)).cast("double"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
-      .select(col(groupCol), col("doc_id"), col("n_words"), col("priority"), col("rnk"))
+      .select(col(groupCol), col("doc_id"), col("n_words"), col("rnk"))
   }
 
   /** @param minQuality quality-score gate (see TextAnalysis.qualityScore) */

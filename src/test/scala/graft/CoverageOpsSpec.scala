@@ -84,6 +84,20 @@ class CoverageOpsSpec extends SparkSuite {
     assert(perGroup.forall(_.getLong(1) <= 3))
   }
 
+  test("weighted sampling follows Efraimidis-Spirakis inclusion probabilities") {
+    import spark.implicits._
+    // 1000 independent two-doc groups, weights 3 vs 1: E-S says the heavy
+    // doc wins P = 3/4 of groups. The draw is a fixed function of the hash,
+    // so the observed rate is deterministic — the assertion window (±5%,
+    // ~3.6 binomial sd) guards the math, not flakiness.
+    val docs = (0 until 1000).flatMap { g =>
+      Seq((2L * g, "w w w", s"g$g"), (2L * g + 1, "l", s"g$g"))
+    }.toDF("doc_id", "text", "source")
+    val winners = Curate.weightedSamplePerGroup(docs, "source", k = 1)
+    val heavyWins = winners.filter(col("doc_id") % 2 === 0).count()
+    assert(heavyWins > 700 && heavyWins < 800, s"heavy won $heavyWins/1000")
+  }
+
   test("top bigrams are counted with multiplicity and ranked deterministically") {
     import spark.implicits._
     val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")

@@ -29,6 +29,13 @@ class FirehoseAppSpec extends SparkSuite {
     assert(noRows.getBoolean("app.once", default = false))
   }
 
+  test("truncated operand lists report usage errors, not index crashes") {
+    intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("--query", "q_cube")))
+    intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("--query")))
+    intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("-c")))
+    intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("--mode")))
+  }
+
   test("end-to-end pull-mode app: file source to scrapeable /metrics") {
     val dir = Files.createTempDirectory("graft-app").toFile
     val chk = Files.createTempDirectory("graft-appchk").toString
