@@ -22,12 +22,26 @@ case class GaugeOut(
     component: String, name: String, series: String,
     last_value: Double, last_ts: Long)
 
-/** Per-series counter-increase state: last sample + the open window's
-  * accumulator.
+/** One buffered counter sample (still above the watermark, so a later
+  * micro-batch may insert an earlier-timestamped sample before it).
+  */
+case class CounterSample(ts: Long, id: String, value: Double)
+
+/** Per-series counter-increase state.
+  *
+  * The watermark splits each series' timeline: samples with
+  * `ts < watermark` can never be preceded by new arrivals (late rows beyond
+  * the watermark are dropped before the operator), so deltas whose later
+  * endpoint is below the watermark are final and fold into `finalized`
+  * per-window sums; everything at-or-above the watermark stays in `buffer`
+  * and is re-folded each batch, letting a late-but-in-watermark sample land
+  * in its true position instead of being diffed against a later sample.
+  * `anchor*` is the newest finalized sample — the delta base for the first
+  * buffered sample.
   */
 case class IncreaseState(
-    lastTs: Long, lastId: String, lastValue: Double,
-    winStart: Long, acc: Double)
+    hasAnchor: Boolean, anchorTs: Long, anchorId: String, anchorValue: Double,
+    buffer: Seq[CounterSample], finalized: Map[Long, Double])
 
 /** Emitted windowed increase (running value for the open window). */
 case class IncreaseOut(
@@ -111,12 +125,21 @@ object FirehoseStream {
   }
 
   /** Streaming counter increase — the incremental sibling of the batch
-    * [[graft.operators.Firehose.counterIncrease]] (Prometheus `increase()`):
-    * per-series state holds the last sample and the open window's
-    * accumulator; each micro-batch folds its points in (timestamp, id)
-    * order, clamping resets to the post-reset value, and emits the running
-    * increase for every window it touched. State is one record per live
-    * series, expired by event-time timeout like the gauge registry.
+    * [[graft.operators.Firehose.counterIncrease]] (Prometheus `increase()`).
+    *
+    * Late-but-in-watermark correctness: a sample arriving in a later
+    * micro-batch with a timestamp *between* two already-seen samples must be
+    * diffed against its true predecessor, not the newest sample — otherwise
+    * a positive counter read is misclassified as a reset and the window
+    * total regresses. So state buffers the samples still above the
+    * watermark and re-folds them (in (timestamp, id) order, resets clamped
+    * to the post-reset value) every batch; samples that sink below the
+    * watermark can never gain a new predecessor, so their deltas are folded
+    * once into per-window finalized sums and the samples dropped. Emits the
+    * running increase for every window the mutable region touches (Update
+    * mode). State per series = finalized window sums (pruned once the
+    * window can no longer change) + the in-watermark sample buffer, expired
+    * by event-time timeout like the gauge registry.
     */
   def counterIncrease(
       metrics: DataFrame,
@@ -141,30 +164,66 @@ object FirehoseStream {
             state.remove()
             Iterator.empty
           } else {
-            val ordered = points.toSeq.sortBy(p => (p.timestamp, p.id))
-            var st = state.getOption.orNull
-            val touched = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
-            ordered.foreach { p =>
-              val win = p.timestamp - math.floorMod(p.timestamp, widthSec)
-              val inc = if (st == null) 0.0 else {
-                val delta = p.value - st.lastValue
-                if (delta < 0) p.value else delta
+            val st = state.getOption.getOrElse(
+              IncreaseState(hasAnchor = false, 0L, "", 0.0, Nil, Map.empty))
+            val buf = (st.buffer ++ points.map(p => CounterSample(p.timestamp, p.id, p.value)))
+              .sortBy(s => (s.ts, s.id))
+            // one fold over the mutable region, starting from the anchor
+            var prevValue = st.anchorValue
+            var hasPrev = st.hasAnchor
+            val incs = buf.map { s =>
+              val inc = if (!hasPrev) 0.0 else {
+                val delta = s.value - prevValue
+                if (delta < 0) s.value else delta
               }
-              val acc = if (st != null && st.winStart == win) st.acc + inc else inc
-              st = IncreaseState(p.timestamp, p.id, p.value, win, acc)
-              touched.put(win, acc)
+              prevValue = s.value
+              hasPrev = true
+              (s, inc)
             }
-            if (st != null) {
-              state.update(st)
-              if (state.getCurrentWatermarkMs() > 0) {
-                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
-              } else {
-                state.setTimeoutTimestamp(st.lastTs * 1000L + ttlMs)
-              }
+            val wmSec = state.getCurrentWatermarkMs() / 1000L
+            // samples below the watermark can never be re-ordered: freeze
+            // their deltas into the finalized per-window sums (buf is sorted,
+            // so the frozen samples are a prefix and the fold stays valid)
+            val (frozen, live) = incs.partition(_._1.ts < wmSec)
+            var finalized = st.finalized
+            frozen.foreach { case (s, inc) =>
+              val win = s.ts - math.floorMod(s.ts, widthSec)
+              finalized = finalized.updated(win, finalized.getOrElse(win, 0.0) + inc)
             }
-            touched.iterator.map { case (win, acc) =>
-              IncreaseOut(component, name, series, win, acc)
+            // running totals for every window the mutable region touched
+            // this batch (finalized base + live re-fold)
+            val liveContrib = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+            live.foreach { case (s, inc) =>
+              val win = s.ts - math.floorMod(s.ts, widthSec)
+              liveContrib.put(win, liveContrib.getOrElse(win, 0.0) + inc)
             }
+            val touched: Seq[Long] =
+              (frozen.map { case (s, _) => s.ts - math.floorMod(s.ts, widthSec) } ++
+                liveContrib.keys).distinct
+            val out = touched.sorted.map { win =>
+              IncreaseOut(component, name, series, win,
+                finalized.getOrElse(win, 0.0) + liveContrib.getOrElse(win, 0.0))
+            }
+            // windows entirely below the watermark can't change anymore and
+            // were just emitted final — drop them (live windows all satisfy
+            // win + widthSec > wmSec since their samples have ts >= wmSec)
+            finalized = finalized.filter { case (win, _) => win + widthSec > wmSec }
+            val anchor = frozen.lastOption.map(_._1)
+            val newState = IncreaseState(
+              hasAnchor = st.hasAnchor || anchor.isDefined,
+              anchorTs = anchor.map(_.ts).getOrElse(st.anchorTs),
+              anchorId = anchor.map(_.id).getOrElse(st.anchorId),
+              anchorValue = anchor.map(_.value).getOrElse(st.anchorValue),
+              buffer = live.map(_._1),
+              finalized = finalized)
+            state.update(newState)
+            val lastTs = buf.lastOption.map(_.ts).getOrElse(st.anchorTs)
+            if (state.getCurrentWatermarkMs() > 0) {
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
+            } else {
+              state.setTimeoutTimestamp(lastTs * 1000L + ttlMs)
+            }
+            out.iterator
           }
       }
   }

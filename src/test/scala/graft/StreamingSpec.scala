@@ -153,6 +153,81 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming counter increase handles late-but-in-watermark samples (batch parity)") {
+    val dir = Files.createTempDirectory("graft-inc-late").toFile
+    val chk = Files.createTempDirectory("graft-inc-latechk").toFile
+    // batch 1: 10@100, 30@300. batch 2 delivers 20@200 LATE but inside the
+    // 1-hour watermark. Correct semantics (the batch operator's): deltas
+    // 0, +10 (100→200), +10 (200→300) → window 0 total 20. A last-sample
+    // state would diff 20 against 30, misread the counter as reset, and
+    // inflate the window to 40.
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "c_total", 100, "u1", 10.0),
+        metricJson("3", "c_total", 300, "u1", 30.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.counterIncrease(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+        widthSec = 3600, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("inc_late_t").outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(metricJson("2", "c_total", 200, "u1", 20.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      // latest emission per window must equal the batch operator on the
+      // union of all samples
+      val streamed = spark.table("inc_late_t")
+        .groupBy("win_start").agg(last(col("increase")).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val batchDf = spark.createDataFrame(Seq(
+        ("1", "c_total", 100L, "app", 10.0),
+        ("2", "c_total", 200L, "app", 20.0),
+        ("3", "c_total", 300L, "app", 30.0)))
+        .toDF("id", "name", "timestamp", "component", "value")
+        .withColumn("tags", map(lit("user"), lit("u1")))
+      val batch = graft.operators.Firehose.counterIncrease(batchDf, widthSec = 3600)
+        .collect().map(r => r.getAs[Long]("win_start") -> r.getAs[Double]("increase")).toMap
+      assert(batch === Map(0L -> 20.0))
+      assert(streamed === batch,
+        s"late in-watermark sample broke batch parity: streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
+  test("streaming counter increase finalizes windows below the watermark and prunes state") {
+    val dir = Files.createTempDirectory("graft-inc-fin").toFile
+    val chk = Files.createTempDirectory("graft-inc-finchk").toFile
+    // 0-second watermark delay: after batch 1 the watermark is at ts 200,
+    // so sample 100 freezes into the finalized sum and the buffer shrinks;
+    // batch 2 keeps accumulating into the same window across the freeze
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "c_total", 100, "u1", 10.0),
+        metricJson("2", "c_total", 200, "u1", 15.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.counterIncrease(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+        widthSec = 3600, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("inc_fin_t").outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      def latest(): Map[Long, Double] = spark.table("inc_fin_t")
+        .groupBy("win_start").agg(last(col("increase")).as("v"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(latest() === Map(0L -> 5.0))
+      // reset (15 → 3, clamps to 3) then +4: window total 5 + 3 + 4 = 12,
+      // spanning the frozen/live boundary
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(
+          metricJson("3", "c_total", 300, "u1", 3.0),
+          metricJson("4", "c_total", 400, "u1", 7.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      assert(latest() === Map(0L -> 12.0))
+    } finally q.stop()
+  }
+
   test("streaming tumbling window aggregates per series name") {
     val dir = Files.createTempDirectory("graft-stream2").toFile
     val chk = Files.createTempDirectory("graft-chk2").toFile
