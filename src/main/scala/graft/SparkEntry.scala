@@ -63,6 +63,12 @@ object SparkEntry {
       Firehose.gaugeExpiry(
         Firehose.gaugeLatest(Firehose.metricsFromEvents(s, dir)),
         ttlSec = 604800)),
+    // registry max-size eviction (the reference's maximumSize(10000) LRU):
+    // cap small enough that eviction actually bites at sf0.01
+    "m8b_gauge_capacity" -> ((s, dir) =>
+      Firehose.gaugeCapacity(
+        Firehose.gaugeLatest(Firehose.metricsFromEvents(s, dir)),
+        maxSeries = 100)),
     "m9_counter_increase" -> ((s, dir) =>
       Firehose.counterIncrease(Firehose.metricsFromEvents(s, dir))),
     "m10_topk_series" -> ((s, dir) => Relational.mTopkSeries(s, dir)),
@@ -125,8 +131,12 @@ object SparkEntry {
       Similarity.labelCentroids(Tables(s, dir, "embeddings"))),
     // ---- §2.3 LLM-training-data pipeline ----
     "d1_dedup_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir, "documents"))),
+    // the cap drops degenerate stop-phrase shingles (shared by >100 docs)
+    // BEFORE the pair join — the registered form must be the one that
+    // survives a skewed 100 TB corpus, and the oracle mirrors the cap
     "d2_dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(Tables(s, dir, "documents"), threshold = 0.5)),
+      Dedup.ngramJaccard(Tables(s, dir, "documents"), threshold = 0.5,
+        maxShingleDocs = Some(100))),
     "d3_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(Tables(s, dir, "documents"), threshold = 0.5)),
     "d4_dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables(s, dir, "documents"))),
@@ -136,7 +146,8 @@ object SparkEntry {
       Dedup.embeddingNearDup(Tables(s, dir, "embeddings"), threshold = 0.35)),
     "d6_dedup_clusters" -> ((s, dir) =>
       Dedup.resolveClusters(
-        Dedup.ngramJaccard(Tables(s, dir, "documents"), threshold = 0.5))
+        Dedup.ngramJaccard(Tables(s, dir, "documents"), threshold = 0.5,
+          maxShingleDocs = Some(100)))
         .orderBy(col("doc_id"))),
     "s1_ann_bruteforce" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
@@ -238,6 +249,21 @@ object SparkEntry {
         |      FROM m WHERE rn = 1)
         |SELECT * FROM g
         |WHERE last_ts >= (SELECT max(last_ts) FROM g) - 604800""".stripMargin,
+    "m8b_gauge_capacity" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |         row_number() OVER (PARTITION BY event_type, user_id
+        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+        |                    CAST(event_id AS VARCHAR) DESC) AS rn
+        |  FROM events),
+        |g AS (SELECT component, name, series, value AS last_value, ts_sec AS last_ts
+        |      FROM m WHERE rn = 1),
+        |r AS (SELECT *, row_number() OVER (
+        |        ORDER BY last_ts DESC, component, name, series) AS rnk FROM g)
+        |SELECT component, name, series, last_value, last_ts
+        |FROM r WHERE rnk <= 100""".stripMargin,
     "m9_counter_increase" ->
       """WITH m AS (
         |  SELECT 'app' AS component, event_type || '_total' AS name,
@@ -556,11 +582,15 @@ object SparkEntry {
         |  CAST(sum(CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS mean
         |FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
         |GROUP BY 1, 2""".stripMargin,
+    // mirrors maxShingleDocs=100: shingles shared by >100 docs are dropped
+    // before pairing, and per-doc counts cover only surviving shingles
     "d2_dedup_ngram_jaccard" ->
       (ShinglesCte +
-        """cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        """keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+          |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+          |cnt AS (SELECT doc_id, count(*) n FROM shc GROUP BY 1),
           |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
-          |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+          |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
           |SELECT doc_a, doc_b, common, ca.n AS n_a, cb.n AS n_b,
           |  common::DOUBLE / (ca.n + cb.n - common) AS jaccard
           |FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
@@ -608,9 +638,11 @@ object SparkEntry {
         |sh AS (
         |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s
         |  FROM sh0),
-        |cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+        |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+        |cnt AS (SELECT doc_id, count(*) n FROM shc GROUP BY 1),
         |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
-        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |      FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |jp AS (SELECT doc_a, doc_b FROM p
         |       JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
         |       WHERE common::DOUBLE / (ca.n + cb.n - common) >= 0.5),

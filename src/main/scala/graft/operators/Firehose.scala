@@ -301,6 +301,26 @@ object Firehose {
     * The high-water mark is an aggregate scalar broadcast back — no
     * single-partition window.
     */
+  /** Registry max-size parity (AbstractPrometheusFirehose.java:20-23:
+    * `maximumSize(10000)` on the Guava gauge cache): cap the registry at the
+    * `maxSeries` most-recently-updated series — the guard against a
+    * hot-cardinality explosion, the other half of the eviction policy next
+    * to the TTL ([[gaugeExpiry]]). Runs on the native bounded-heap top-k
+    * ([[org.apache.spark.sql.graft.GraftOps.topKPerKey]]): each input
+    * partition is pruned to ≤ maxSeries rows map-side, so the exchange
+    * carries at most partitions×maxSeries rows and nothing global is ever
+    * sorted. Ordering is (last_ts desc) with the full series identity as
+    * tie-break, so the cut is deterministic.
+    */
+  def gaugeCapacity(gauges: DataFrame, maxSeries: Int = 10000): DataFrame =
+    org.apache.spark.sql.graft.GraftOps.topKPerKey(
+      gauges.withColumn("_registry", lit(1)),
+      keys = Seq("_registry"),
+      orderBy = Seq(
+        ("last_ts", true), ("component", false), ("name", false), ("series", false)),
+      k = maxSeries)
+      .drop("_registry")
+
   def gaugeExpiry(gauges: DataFrame, ttlSec: Long = 600): DataFrame = {
     // The gauge snapshot is bounded by live-series cardinality (not row
     // count), so materializing it is cheap at any scale and avoids

@@ -4,7 +4,6 @@ import java.net.{InetSocketAddress, URI}
 import java.net.http.{HttpClient, HttpRequest}
 import java.net.http.HttpResponse.BodyHandlers
 import java.nio.charset.StandardCharsets
-import java.util.concurrent.atomic.AtomicReference
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
@@ -28,19 +27,33 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object Prometheus {
 
-  /** In-memory registry: series key → exposition line, updated per batch. */
-  final class Registry {
-    private val state = new AtomicReference(Map.empty[String, String])
-    def update(lines: Seq[String]): Unit = {
-      val keyed = lines.map { l => l.takeWhile(_ != ' ') -> l }
-      state.updateAndGet(m => m ++ keyed)
-      ()
+  /** In-memory registry: series key → exposition line, updated per batch.
+    *
+    * Bounded like the reference's gauge cache
+    * (AbstractPrometheusFirehose.java:20-23, `maximumSize(10000)` +
+    * access-order LRU): when a batch pushes the registry past `maxSeries`,
+    * the least-recently-updated series are evicted first — the guard that
+    * keeps a hot-cardinality explosion from growing the scrape endpoint
+    * without bound. The TTL half of the reference's policy lives in the
+    * state-store timeout ([[FirehoseStream.gaugeLatest]]).
+    */
+  final class Registry(maxSeries: Int = 10000) {
+    // access-ordered LinkedHashMap = the same LRU semantics as the Guava
+    // cache; updates are per-micro-batch (O(changed series)), so a plain
+    // lock is cheaper than copy-on-write of the whole map
+    private val state = new java.util.LinkedHashMap[String, String](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, String]): Boolean =
+        size() > maxSeries
     }
-    def render: String = {
-      val m = state.get()
+    def update(lines: Seq[String]): Unit = state.synchronized {
+      lines.foreach { l => state.put(l.takeWhile(_ != ' '), l) }
+    }
+    def render: String = state.synchronized {
+      import scala.jdk.CollectionConverters._
+      val m = state.asScala.toMap
       m.keys.toSeq.sorted.map(m).mkString("", "\n", if (m.isEmpty) "" else "\n")
     }
-    def size: Int = state.get().size
+    def size: Int = state.synchronized(state.size)
   }
 
   /** PrometheusPuller.java parity: serve `render` at /metrics. Returns the

@@ -219,6 +219,24 @@ class CoverageOpsSpec extends SparkSuite {
     assert(out(1L) === out(2L)) // identical docs score identically
   }
 
+  test("gauge capacity keeps exactly the most-recently-updated series (LRU max-size parity)") {
+    import org.apache.spark.sql.expressions.Window
+    val gauges = Firehose.gaugeLatest(Firehose.metricsFromEvents(spark, sfDir))
+    val total = gauges.count()
+    val cap = 50
+    assert(total > cap, s"need > $cap series for the cap to bite, got $total")
+    val capped = Firehose.gaugeCapacity(gauges, maxSeries = cap)
+    assert(capped.count() === cap)
+    // exactness vs the window-function formulation with the same tie-break
+    val w = Window.orderBy(
+      col("last_ts").desc, col("component"), col("name"), col("series"))
+    val expected = gauges.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= cap).drop("rnk")
+      .collect().map(_.toString).sorted.toSeq
+    val got = capped.collect().map(_.toString).sorted.toSeq
+    assert(got === expected)
+  }
+
   test("q4/q6/correlated/histogram return coherent results at smoke scale") {
     val q4 = Relational.q4OrderPriority(spark, sfDir).collect()
     assert(q4.nonEmpty && q4.forall(_.getLong(1) > 0))

@@ -50,6 +50,20 @@ class PrometheusSpec extends SparkSuite {
     } finally { q.stop(); server.stop(0) }
   }
 
+  test("registry evicts least-recently-updated series past maxSeries (maximumSize LRU parity)") {
+    val registry = new Prometheus.Registry(maxSeries = 2)
+    registry.update(Seq("""app_a{user="u1"} 1.000000 1000"""))
+    registry.update(Seq("""app_b{user="u2"} 2.000000 2000"""))
+    assert(registry.size === 2)
+    // refresh a, then add c: b is now the least-recently-updated and must go
+    registry.update(Seq("""app_a{user="u1"} 1.500000 3000"""))
+    registry.update(Seq("""app_c{user="u3"} 3.000000 4000"""))
+    assert(registry.size === 2)
+    val body = registry.render
+    assert(body.contains("app_a") && body.contains("app_c") && !body.contains("app_b"),
+      s"wrong eviction order:\n$body")
+  }
+
   test("push model: each micro-batch POSTs exposition text to the gateway (PrometheusPusher parity)") {
     val dir = Files.createTempDirectory("graft-push").toFile
     val chk = Files.createTempDirectory("graft-pushchk").toFile
