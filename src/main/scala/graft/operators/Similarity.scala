@@ -77,16 +77,19 @@ object Similarity {
       probes: DataFrame,
       k: Int = 5,
       nlist: Int = 16,
-      nprobe: Int = 2,
+      nprobe: Int = 4,
       maxTrainRows: Long = 20000L): DataFrame = {
     val withVec = embeddings.withColumn("features", array_to_vector(col("embedding")))
-    // train on a bounded seeded sample: centroid quality needs only a sketch
-    // of the distribution, and at 100 TB full-corpus k-means iterations are
-    // the wrong cost model — assignment below stays full-corpus
-    val total = withVec.count()
-    val train =
-      if (total <= maxTrainRows) withVec
-      else withVec.sample(withFraction(total, maxTrainRows), 42L)
+    // train on a bounded sample: centroid quality needs only a sketch of the
+    // distribution, and at 100 TB full-corpus k-means iterations are the
+    // wrong cost model — assignment below stays full-corpus. The sample is
+    // an even per-split prefix: it covers every split's value range without
+    // first count()ing the corpus (a full scan before any work) and without
+    // a shuffle; plain limit() would read only the first splits.
+    val parts = math.max(1, withVec.rdd.getNumPartitions)
+    val perPart = math.max(1, (maxTrainRows / parts).toInt)
+    val train = withVec.sparkSession.createDataFrame(
+      withVec.rdd.mapPartitions(_.take(perPart)), withVec.schema)
     val model = new KMeans().setK(nlist).setSeed(42).setFeaturesCol("features")
       .setMaxIter(8).setPredictionCol("cell").fit(train)
     val cand = model.transform(withVec)
@@ -138,9 +141,6 @@ object Similarity {
         // in DuckDB and rounds differently)
         (sum(col("x").cast("double").cast("decimal(18,9)")).cast("double") / count(lit(1)))
           .as("mean"))
-
-  private def withFraction(total: Long, target: Long): Double =
-    math.min(1.0, target.toDouble / math.max(1L, total).toDouble * 1.1)
 
   /** Banded LSH ANN: the signature is split into `bands` keys of
     * `planes/bands` bits; a candidate is scored iff it shares at least one

@@ -108,7 +108,7 @@ class OperatorSpec extends SparkSuite {
     assert(recall > 0.0)
   }
 
-  test("IVF ANN returns correctly-scored neighbors with measurable recall") {
+  test("IVF ANN recall at defaults stays above the floor") {
     val emb = Tables(spark, sfDir, "embeddings")
     val probes = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, probes, k = 5)
@@ -117,8 +117,12 @@ class OperatorSpec extends SparkSuite {
       .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf.nonEmpty)
     val recall = (exact intersect ivf).size.toDouble / exact.size
-    info(f"IVF recall vs exact top-5 (nlist=16, nprobe=2): $recall%.2f")
-    assert(recall > 0.0)
+    info(f"IVF recall vs exact top-5 (nlist=16, nprobe=4): $recall%.2f")
+    // near-uniform random vectors are IVF's worst case (no cluster
+    // structure); the default nprobe must still clear this floor — the
+    // training sample and k-means seed are fixed, so the value is
+    // deterministic, and the floor guards the defaults, not flakiness
+    assert(recall >= 0.6, f"IVF recall $recall%.2f below the 0.6 floor at defaults")
   }
 
   test("approx_count_distinct tracks exact within rsd bound") {
