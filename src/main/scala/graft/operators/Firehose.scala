@@ -224,15 +224,24 @@ object Firehose {
     *
     * @param les finite bucket boundaries, ascending (+Inf appended)
     */
+  /** Default classic-histogram bucket boundaries for the synthetic stream. */
+  val DefaultLes: Seq[Double] = Seq(50.0, 100.0, 200.0, 300.0, 400.0)
+
+  /** Classic-histogram bucket classification: the smallest `le` boundary
+    * ≥ value, +Inf when none. Shared by the batch quantile operator and the
+    * streaming bucket aggregation — O(1) per row, pure codegen.
+    */
+  def bucketLe(value: Column, les: Seq[Double] = DefaultLes): Column =
+    coalesce(
+      (les.map(l => when(value <= l, lit(l))) :+ lit(Double.PositiveInfinity)): _*)
+
   def histogramQuantile(
       metrics: DataFrame,
-      les: Seq[Double] = Seq(50.0, 100.0, 200.0, 300.0, 400.0),
+      les: Seq[Double] = DefaultLes,
       q: Double = 0.9): DataFrame = {
     val inf = Double.PositiveInfinity
-    val leExpr = coalesce(
-      (les.map(l => when(col("value") <= l, lit(l))) :+ lit(inf)): _*)
     val counts = metrics
-      .select(col("name"), leExpr.as("le"))
+      .select(col("name"), bucketLe(col("value"), les).as("le"))
       .groupBy(col("name"), col("le"))
       .agg(count(lit(1)).as("n"))
     val byLe = Window.partitionBy(col("name")).orderBy(col("le"))

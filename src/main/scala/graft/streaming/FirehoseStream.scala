@@ -81,6 +81,19 @@ object FirehoseStream {
   def fromJsonFiles(spark: SparkSession, path: String): DataFrame =
     MetricJson.parse(spark.readStream.text(path), "value")
 
+  /** Shared parse→label→key→watermark prep for the stateful operators. */
+  private[streaming] def keyedPoints(
+      metrics: DataFrame, watermarkDelay: String): Dataset[GaugePoint] = {
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    Firehose.tagFilter(metrics)
+      .withColumn("series", Firehose.seriesKey(col("labels")))
+      .withColumn("eventTime", timestamp_seconds(col("timestamp")))
+      .select("component", "name", "series", "timestamp", "id", "value", "eventTime")
+      .as[GaugePoint]
+      .withWatermark("eventTime", watermarkDelay)
+  }
+
   /** Streaming latest-gauge state with TTL expiry.
     *
     * State per series is one `GaugeState` — bounded by live series
@@ -93,14 +106,7 @@ object FirehoseStream {
       ttlMs: Long = 10 * 60 * 1000L): Dataset[GaugeOut] = {
     val spark = metrics.sparkSession
     import spark.implicits._
-    val labeled = Firehose.tagFilter(metrics)
-      .withColumn("series", Firehose.seriesKey(col("labels")))
-      .withColumn("eventTime", timestamp_seconds(col("timestamp")))
-      .select("component", "name", "series", "timestamp", "id", "value", "eventTime")
-      .as[GaugePoint]
-      .withWatermark("eventTime", watermarkDelay)
-
-    labeled
+    keyedPoints(metrics, watermarkDelay)
       .groupByKey(p => (p.component, p.name, p.series))
       .flatMapGroupsWithState[GaugeState, GaugeOut](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
@@ -148,14 +154,7 @@ object FirehoseStream {
       ttlMs: Long = 10 * 60 * 1000L): Dataset[IncreaseOut] = {
     val spark = metrics.sparkSession
     import spark.implicits._
-    val labeled = Firehose.tagFilter(metrics)
-      .withColumn("series", Firehose.seriesKey(col("labels")))
-      .withColumn("eventTime", timestamp_seconds(col("timestamp")))
-      .select("component", "name", "series", "timestamp", "id", "value", "eventTime")
-      .as[GaugePoint]
-      .withWatermark("eventTime", watermarkDelay)
-
-    labeled
+    keyedPoints(metrics, watermarkDelay)
       .groupByKey(p => (p.component, p.name, p.series))
       .flatMapGroupsWithState[IncreaseState, IncreaseOut](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
@@ -243,6 +242,30 @@ object FirehoseStream {
       .select(
         col("window.start").as("win_start"), col("component"), col("name"),
         col("n"), col("min_value"), col("max_value"), col("sum_value"))
+
+  /** Streaming classic-histogram bucket counts — the incremental sibling of
+    * the batch [[graft.operators.Firehose.histogramQuantile]]: per tumbling
+    * window and metric name, the count of samples falling in each `le`
+    * bucket (same O(1) row-local bucket classification, shared expression).
+    * Emits per-bucket counts in Update mode; the cumulative `le` sums and
+    * quantile interpolation Prometheus renders are a map over the tiny
+    * (name, le) snapshot at exposition time, exactly like the batch
+    * operator's second phase. State is bounded by names × buckets × open
+    * windows, pruned by the watermark.
+    */
+  def histogramBuckets(
+      metrics: DataFrame,
+      les: Seq[Double] = Firehose.DefaultLes,
+      width: String = "1 minute",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    metrics
+      .withColumn("eventTime", timestamp_seconds(col("timestamp")))
+      .withWatermark("eventTime", watermarkDelay)
+      .withColumn("le", Firehose.bucketLe(col("value"), les))
+      .groupBy(window(col("eventTime"), width), col("name"), col("le"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("win_start"), col("name"), col("le"), col("n"))
 
   /** Streaming gap-based session windows per series (the built-in
     * `session_window` — dynamic-gap sessionization with watermark-bounded

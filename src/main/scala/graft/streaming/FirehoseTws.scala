@@ -1,0 +1,206 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Spark 4 `transformWithState` ports of the gauge and counter-increase
+  * operators — the arbitrary-state API that replaces
+  * `flatMapGroupsWithState` (typed composite state: value/list/map per key,
+  * explicit event-time timers, state-schema evolution, RocksDB-only).
+  *
+  * Same semantics as [[FirehoseStream.gaugeLatest]] /
+  * [[FirehoseStream.counterIncrease]] (both spec'd against each other), but
+  * the per-window increase accumulators become a native `MapState[win, acc]`
+  * and the in-watermark sample buffer a native `ListState` — the state
+  * store sees per-window/per-sample point updates instead of one re-written
+  * blob per series per batch, which is the difference that matters when
+  * state ≫ heap on RocksDB.
+  *
+  * Reference mapping unchanged: per-series latest value =
+  * AbstractPrometheusFirehose.java:40-51, 10-min idle eviction =
+  * AbstractPrometheusFirehose.java:19-29 (event-time timers here).
+  */
+object FirehoseTws {
+
+  /** Series key: (component, name, series). */
+  type SeriesKey = (String, String, String)
+
+  /** Latest-gauge processor: one `ValueState[GaugeState]` per series plus
+    * one live eviction timer (re-registered on update, so state carries at
+    * most one timer per series).
+    */
+  class GaugeProcessor(ttlMs: Long)
+      extends StatefulProcessor[SeriesKey, GaugePoint, GaugeOut] {
+    @transient private var state: ValueState[GaugeState] = _
+    @transient private var timerTs: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[GaugeState](
+        "gauge", Encoders.product[GaugeState], TTLConfig.NONE)
+      timerTs = getHandle.getValueState[Long](
+        "timer", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def armTimer(whenMs: Long): Unit = {
+      if (timerTs.exists()) getHandle.deleteTimer(timerTs.get())
+      getHandle.registerTimer(whenMs)
+      timerTs.update(whenMs)
+    }
+
+    override def handleInputRows(
+        key: SeriesKey,
+        rows: Iterator[GaugePoint],
+        timers: TimerValues): Iterator[GaugeOut] = {
+      val prev = if (state.exists()) Some(state.get()) else None
+      val candidates =
+        rows.map(p => GaugeState(p.timestamp, p.id, p.value)).toSeq ++ prev
+      if (candidates.isEmpty) Iterator.empty
+      else {
+        val best = candidates.maxBy(s => (s.lastTs, s.lastId))
+        state.update(best)
+        val wm = timers.getCurrentWatermarkInMs()
+        armTimer((if (wm > 0) wm else best.lastTs * 1000L) + ttlMs)
+        Iterator.single(GaugeOut(key._1, key._2, key._3, best.lastValue, best.lastTs))
+      }
+    }
+
+    override def handleExpiredTimer(
+        key: SeriesKey,
+        timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[GaugeOut] = {
+      // registry eviction parity: drop the idle series silently
+      state.clear()
+      timerTs.clear()
+      Iterator.empty
+    }
+  }
+
+  /** Counter-increase processor — the same watermark-split algorithm as
+    * [[FirehoseStream.counterIncrease]] (buffer the mutable region, re-fold
+    * each batch, freeze deltas once the watermark passes), but with the
+    * state decomposed into native typed handles: the in-watermark samples
+    * are a `ListState` (append-only per batch until a freeze), the
+    * finalized per-window sums a `MapState` keyed by window start (point
+    * reads/writes, pruned key-by-key once a window can no longer change),
+    * and the anchor a `ValueState`.
+    */
+  class IncreaseProcessor(widthSec: Long, ttlMs: Long)
+      extends StatefulProcessor[SeriesKey, GaugePoint, IncreaseOut] {
+    @transient private var anchor: ValueState[CounterSample] = _
+    @transient private var buffer: ListState[CounterSample] = _
+    @transient private var finalized: MapState[Long, Double] = _
+    @transient private var timerTs: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      anchor = getHandle.getValueState[CounterSample](
+        "anchor", Encoders.product[CounterSample], TTLConfig.NONE)
+      buffer = getHandle.getListState[CounterSample](
+        "buffer", Encoders.product[CounterSample], TTLConfig.NONE)
+      finalized = getHandle.getMapState[Long, Double](
+        "finalized", Encoders.scalaLong, Encoders.scalaDouble, TTLConfig.NONE)
+      timerTs = getHandle.getValueState[Long](
+        "timer", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def armTimer(whenMs: Long): Unit = {
+      if (timerTs.exists()) getHandle.deleteTimer(timerTs.get())
+      getHandle.registerTimer(whenMs)
+      timerTs.update(whenMs)
+    }
+
+    override def handleInputRows(
+        key: SeriesKey,
+        rows: Iterator[GaugePoint],
+        timers: TimerValues): Iterator[IncreaseOut] = {
+      val buf = (buffer.get().toSeq ++
+        rows.map(p => CounterSample(p.timestamp, p.id, p.value)))
+        .sortBy(s => (s.ts, s.id))
+      if (buf.isEmpty) Iterator.empty
+      else {
+        var hasPrev = anchor.exists()
+        var prevValue = if (hasPrev) anchor.get().value else 0.0
+        val incs = buf.map { s =>
+          val inc = if (!hasPrev) 0.0 else {
+            val delta = s.value - prevValue
+            if (delta < 0) s.value else delta
+          }
+          prevValue = s.value
+          hasPrev = true
+          (s, inc)
+        }
+        val wmSec = timers.getCurrentWatermarkInMs() / 1000L
+        val (frozen, live) = incs.partition(_._1.ts < wmSec)
+        frozen.foreach { case (s, inc) =>
+          val win = s.ts - math.floorMod(s.ts, widthSec)
+          val base = if (finalized.containsKey(win)) finalized.getValue(win) else 0.0
+          finalized.updateValue(win, base + inc)
+        }
+        val liveContrib = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+        live.foreach { case (s, inc) =>
+          val win = s.ts - math.floorMod(s.ts, widthSec)
+          liveContrib.put(win, liveContrib.getOrElse(win, 0.0) + inc)
+        }
+        val touched: Seq[Long] =
+          (frozen.map { case (s, _) => s.ts - math.floorMod(s.ts, widthSec) } ++
+            liveContrib.keys).distinct
+        val out = touched.sorted.map { win =>
+          val fin = if (finalized.containsKey(win)) finalized.getValue(win) else 0.0
+          IncreaseOut(key._1, key._2, key._3, win,
+            fin + liveContrib.getOrElse(win, 0.0))
+        }
+        // point-prune windows that can no longer change (just emitted final)
+        finalized.keys().toSeq
+          .filter(win => win + widthSec <= wmSec)
+          .foreach(finalized.removeKey)
+        frozen.lastOption.foreach { case (s, _) => anchor.update(s) }
+        buffer.clear()
+        if (live.nonEmpty) buffer.put(live.map(_._1).toArray)
+        val wm = timers.getCurrentWatermarkInMs()
+        armTimer((if (wm > 0) wm else buf.last.ts * 1000L) + ttlMs)
+        out.iterator
+      }
+    }
+
+    override def handleExpiredTimer(
+        key: SeriesKey,
+        timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[IncreaseOut] = {
+      anchor.clear()
+      buffer.clear()
+      finalized.clear()
+      timerTs.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[FirehoseStream.gaugeLatest]] on the `transformWithState` API.
+    * Requires the RocksDB state store provider (an API constraint).
+    */
+  def gaugeLatest(
+      metrics: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      ttlMs: Long = 10 * 60 * 1000L): Dataset[GaugeOut] = {
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    FirehoseStream.keyedPoints(metrics, watermarkDelay)
+      .groupByKey(p => (p.component, p.name, p.series))
+      .transformWithState(
+        new GaugeProcessor(ttlMs), TimeMode.EventTime(), OutputMode.Update())
+  }
+
+  /** [[FirehoseStream.counterIncrease]] on the `transformWithState` API.
+    * Requires the RocksDB state store provider (an API constraint).
+    */
+  def counterIncrease(
+      metrics: DataFrame,
+      widthSec: Long = 3600,
+      watermarkDelay: String = "10 minutes",
+      ttlMs: Long = 10 * 60 * 1000L): Dataset[IncreaseOut] = {
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    FirehoseStream.keyedPoints(metrics, watermarkDelay)
+      .groupByKey(p => (p.component, p.name, p.series))
+      .transformWithState(
+        new IncreaseProcessor(widthSec, ttlMs), TimeMode.EventTime(), OutputMode.Update())
+  }
+}

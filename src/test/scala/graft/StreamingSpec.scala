@@ -153,6 +153,76 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  // transformWithState is RocksDB-only; set/restore the provider around a body
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("transformWithState gauge keeps latest value per series and matches the fMGWS port") {
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft-tws-g").toFile
+      val chk = Files.createTempDirectory("graft-tws-gchk").toFile
+      Files.write(dir.toPath.resolve("b1.json"),
+        Seq(
+          metricJson("1", "bytes_total", 1000, "u1", 10.0),
+          metricJson("2", "bytes_total", 2000, "u1", 20.0),
+          metricJson("3", "bytes_total", 1500, "u2", 15.0)).mkString("\n").getBytes)
+      val q = graft.streaming.FirehoseTws.gaugeLatest(
+          FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+          watermarkDelay = "1 hour")
+        .writeStream.format("memory").queryName("tws_g_t").outputMode("update")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      try {
+        q.processAllAvailable()
+        // stale sample for u1 must lose to the kept state
+        Files.write(dir.toPath.resolve("b2.json"),
+          Seq(metricJson("4", "bytes_total", 500, "u1", 5.0)).mkString("\n").getBytes)
+        q.processAllAvailable()
+        val out = spark.table("tws_g_t")
+          .groupBy("series").agg(max_by(col("last_value"), col("last_ts")).as("v"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(out === Map("user=u1" -> 20.0, "user=u2" -> 15.0))
+      } finally q.stop()
+    }
+  }
+
+  test("transformWithState counter increase keeps per-window accumulators (late-data parity)") {
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft-tws-i").toFile
+      val chk = Files.createTempDirectory("graft-tws-ichk").toFile
+      // same late-sample scenario as the fMGWS spec: the MapState port must
+      // also re-place 20@200 between 10@100 and 30@300 (window total 20)
+      Files.write(dir.toPath.resolve("b1.json"),
+        Seq(
+          metricJson("1", "c_total", 100, "u1", 10.0),
+          metricJson("3", "c_total", 300, "u1", 30.0)).mkString("\n").getBytes)
+      val q = graft.streaming.FirehoseTws.counterIncrease(
+          FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+          widthSec = 3600, watermarkDelay = "1 hour")
+        .writeStream.format("memory").queryName("tws_i_t").outputMode("update")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      try {
+        q.processAllAvailable()
+        Files.write(dir.toPath.resolve("b2.json"),
+          Seq(metricJson("2", "c_total", 200, "u1", 20.0)).mkString("\n").getBytes)
+        q.processAllAvailable()
+        val out = spark.table("tws_i_t")
+          .groupBy("win_start").agg(last(col("increase")).as("v"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(out === Map(0L -> 20.0))
+      } finally q.stop()
+    }
+  }
+
   test("streaming counter increase handles late-but-in-watermark samples (batch parity)") {
     val dir = Files.createTempDirectory("graft-inc-late").toFile
     val chk = Files.createTempDirectory("graft-inc-latechk").toFile
@@ -246,6 +316,45 @@ class StreamingSpec extends SparkSuite {
       // append mode only emits closed windows; with a 10m watermark nothing
       // closes yet — assert the query runs and state is formed
       assert(q.lastProgress != null)
+    } finally q.stop()
+  }
+
+  test("streaming histogram buckets match the batch bucket classification") {
+    val dir = Files.createTempDirectory("graft-hist").toFile
+    val chk = Files.createTempDirectory("graft-histchk").toFile
+    // values 40, 60, 450 with boundaries (50, 100, ...): buckets 50, 100, +Inf;
+    // all samples inside one 1-minute window so global batch counts apply
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "lat", 10, "u1", 40.0),
+        metricJson("2", "lat", 20, "u1", 60.0),
+        metricJson("3", "lat", 30, "u2", 450.0),
+        metricJson("4", "lat", 40, "u2", 45.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.histogramBuckets(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("hist_t").outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      // second batch accumulates into the same window's buckets
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(metricJson("5", "lat", 50, "u1", 42.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val streamed = spark.table("hist_t")
+        .groupBy("win_start", "name", "le").agg(last(col("n")).as("n"))
+        .select("le", "n")
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      // batch classification of the same five samples via the shared
+      // bucket expression
+      import spark.implicits._
+      val batch = Seq(40.0, 60.0, 450.0, 45.0, 42.0).toDF("value")
+        .select(graft.operators.Firehose.bucketLe(col("value")).as("le"))
+        .groupBy("le").count()
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      assert(batch === Map(50.0 -> 3L, 100.0 -> 1L, Double.PositiveInfinity -> 1L))
+      assert(streamed === batch, s"streamed=$streamed batch=$batch")
     } finally q.stop()
   }
 
