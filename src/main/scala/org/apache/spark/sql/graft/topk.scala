@@ -5,13 +5,13 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSet, BoundReference, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, GenerateOrdering, GenerateUnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSparkSession}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{BlockingOperatorWithCodegen, CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Logical per-key top-k: up to `k` rows per `keys` group, first in `order`.
   *
@@ -60,24 +60,137 @@ object PushFilterThroughTopK extends Rule[LogicalPlan] {
   }
 }
 
+/** Per-partition bounded-heap collector: the shared row sink behind both
+  * the interpreted and the whole-stage-codegen'd partial pass. Retains at
+  * most `k` rows per locally-seen key; rows are copied only when retained.
+  */
+final class TopKCollector(
+    grouping: UnsafeProjection,
+    ordering: Ordering[InternalRow],
+    k: Int) {
+  private val heapOrd = ordering.asInstanceOf[Ordering[UnsafeRow]]
+  private val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+
+  def insert(row: UnsafeRow): Unit = {
+    val key = grouping(row)
+    heaps.get(key) match {
+      case None =>
+        val h = mutable.PriorityQueue.empty[UnsafeRow](heapOrd)
+        h += row.copy()
+        heaps.put(key.copy(), h)
+      case Some(h) =>
+        if (h.size < k) {
+          h += row.copy()
+        } else if (ordering.compare(row, h.head) < 0) {
+          h.dequeue()
+          h += row.copy()
+        }
+    }
+  }
+
+  def result(): Iterator[UnsafeRow] =
+    heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+}
+
 /** @param partial map-side pass: no distribution requirement, prunes each
   *                input partition to ≤ k rows per locally-seen key. The
   *                final pass (partial = false) requires co-location and
   *                emits the exact per-key top-k. Top-k distributes over
   *                union, so the composition is exact (ties beyond the sort
   *                order are arbitrary, as with `row_number`).
+  *
+  * The partial pass participates in whole-stage codegen as a blocking
+  * consumer (the `HashAggregate`/`Sort` pattern): the stage's generated
+  * per-row loop feeds an [[TopKCollector]] directly — no iterator boundary
+  * between the scan/filter/project chain and the heap insert — and the
+  * drain loop above it hands pruned `UnsafeRow`s to the exchange. The final
+  * pass stays interpreted: it sits directly under the shuffle read, where
+  * there is no upstream chain to fuse with.
   */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
     child: SparkPlan,
-    partial: Boolean = false) extends UnaryExecNode {
+    partial: Boolean = false) extends UnaryExecNode with BlockingOperatorWithCodegen {
 
   override def output: Seq[Attribute] = child.output
 
   override def nodeName: String =
     if (partial) "TopKPerKeyPartial" else "TopKPerKey"
+
+  def newCollector(): TopKCollector = new TopKCollector(
+    UnsafeProjection.create(keys, child.output),
+    GenerateOrdering.generate(order, child.output).asInstanceOf[Ordering[InternalRow]],
+    k)
+
+  // ---- whole-stage codegen (partial pass only) ----
+
+  override def supportCodegen: Boolean = partial
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  // the collector's generated-class field name, shared between doProduce
+  // (which declares it) and doConsume (which inserts into it) — the same
+  // member-variable handoff SortExec uses for its sorter
+  @transient private var collectorTerm: String = _
+
+  override def doProduce(ctx: CodegenContext): String = {
+    val needToProcess =
+      ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "needProcess", v => s"$v = true;")
+    val thisPlan = ctx.addReferenceObj("plan", this)
+    collectorTerm = ctx.addMutableState(
+      classOf[TopKCollector].getName, "topkCollector",
+      v => s"$v = $thisPlan.newCollector();", forceInline = true)
+    val iterTerm = ctx.addMutableState(
+      "scala.collection.Iterator", "topkIter", forceInline = true)
+    val addFuncName = ctx.freshName("addToTopKCollector")
+    val addToCollector = ctx.addNewFunction(addFuncName,
+      s"""
+         |private void $addFuncName() throws java.io.IOException {
+         |  ${child.asInstanceOf[CodegenSupport].produce(ctx, this)}
+         |}
+       """.stripMargin.trim)
+    val outputRow = ctx.freshName("topkOutputRow")
+    s"""
+       |if ($needToProcess) {
+       |  $addToCollector();
+       |  $iterTerm = $collectorTerm.result();
+       |  $needToProcess = false;
+       |}
+       |while ($limitNotReachedCond $iterTerm.hasNext()) {
+       |  UnsafeRow $outputRow = (UnsafeRow) $iterTerm.next();
+       |  ${consume(ctx, null, outputRow)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
+
+  override def doConsume(
+      ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+    if (row != null) {
+      s"""
+         |${row.code}
+         |$collectorTerm.insert((UnsafeRow) ${row.value});
+       """.stripMargin
+    } else {
+      // materialize the child's column variables into an UnsafeRow for the
+      // heap (the collector copies only rows it retains)
+      val colExprs = child.output.zipWithIndex.map { case (attr, i) =>
+        BoundReference(i, attr.dataType, attr.nullable)
+      }
+      val evaluateInputs = evaluateVariables(input)
+      ctx.INPUT_ROW = null
+      ctx.currentVars = input
+      val code = GenerateUnsafeProjection.createCode(ctx, colExprs)
+      s"""
+         |${evaluateInputs.trim}
+         |${code.code}
+         |$collectorTerm.insert(${code.value});
+       """.stripMargin
+    }
+  }
 
   /** Co-locate each key's rows (final pass only); no ordering requirement —
     * the heap replaces the sort the window formulation would force here.

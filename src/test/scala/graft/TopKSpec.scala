@@ -53,6 +53,21 @@ class TopKSpec extends SparkSuite {
       s"partial pass must sit below the exchange:\n$plan")
   }
 
+  test("whole-stage codegen covers the partial pass (no iterator boundary under the exchange)") {
+    val df = Relational.qTopkNative(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // a codegen'd node prints with the `*(stage)` marker: the scan→partial
+    // chain must be one fused stage, not an InputAdapter boundary
+    assert("""\*\(\d+\) TopKPerKeyPartial""".r.findFirstIn(plan).isDefined,
+      s"partial pass not inside WholeStageCodegen:\n$plan")
+    val window = Relational.qTopkPerGroup(spark, sfDir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .collect().map(_.toSeq).toSet
+    val native = df.collect().map(_.toSeq).toSet
+    assert(native === window)
+  }
+
   test("partial+final composition is exact across adversarial partitionings") {
     import spark.implicits._
     // every key's best rows deliberately spread across partitions
