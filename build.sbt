@@ -23,13 +23,27 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default heap derives from the machine so `sbt test`/`run` work out of the
+// box under container memory limits: the 128 GiB bench box gets the 48g a
+// local[32] run with materialized dedup relations wants (a tight heap turns
+// storage pressure into eviction + recompute — a 51 s bench outlier), while
+// smaller dev machines fall back to 8g. SPARK_DRIVER_MEM overrides either.
+val defaultHeapGb: String = {
+  val memTotalGb: Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("MemTotal:") =>
+          l.split("\\s+")(1).toLong / (1024L * 1024L)
+      }.getOrElse(0L)
+      finally src.close()
+    } catch { case _: Throwable => 0L }
+  if (memTotalGb >= 96) "48g" else "8g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // the box has 128 GiB; local[32] with cached dedup relations wants real
-  // headroom — a tight heap turns storage-memory pressure into eviction +
-  // recompute, which is what a 51 s bench outlier looks like
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeapGb)}",
 )
 // forked `run` output goes straight to this process's stdout instead of
 // through sbt's logger: the bench JSON line must be parseable without an

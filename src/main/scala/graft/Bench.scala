@@ -41,8 +41,18 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // pass1 (cold codegen/JIT/page-cache) kept as a diagnostic: when the min
     // diverges wildly from past rounds, pass1-vs-min shows whether warm-up or
-    // sustained contention is to blame
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results)},"pass1":${jsonMap(ordered.map { case (n, _) => n -> pass1(n) })},"sf":"$sfDir"}""")
+    // sustained contention is to blame. The reported `queries` dict goes
+    // LAST so a consumer that truncates the line's head still sees the
+    // numbers that matter; the full line is also written to
+    // target/bench.json for untruncated reads.
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","pass1":${jsonMap(ordered.map { case (n, _) => n -> pass1(n) })},"queries":${jsonMap(results)}}"""
+    println(line)
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, line + "\n")
+    } catch { case _: Throwable => () } // stdout remains the contract
     spark.stop()
   }
 }

@@ -22,6 +22,12 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // reliable checkpoints written by Tables.materializeSmall must be
+      // deleted when their RDD is GC'd — the default (false) leaks the
+      // checkpoint dir forever on long-lived sessions. ContextCleaner reads
+      // this once at context construction, so it has to be set here, not by
+      // the operator.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

@@ -34,14 +34,24 @@ object Tables {
     * explicit `unpersist()` — inside an operator there is no safe point to
     * drop them (the returned plan still references the cached relation), so
     * library callers accumulate pinned storage for the life of the session.
-    * A checkpoint instead stores blocks owned by the returned plan's RDD:
-    * when the caller drops the DataFrame, the ContextCleaner reclaims them.
+    * A checkpoint instead stores blocks owned by the returned plan's RDD,
+    * reclaimed when the caller drops the DataFrame: `localCheckpoint` blocks
+    * by the ContextCleaner unconditionally; reliable checkpoint FILES only
+    * when `spark.cleaner.referenceTracking.cleanCheckpoints=true` (read once
+    * at context construction — [[graft.Sessions.local]] sets it; sessions
+    * built elsewhere should too, or the checkpoint dir accumulates forever).
     *
     * Uses the reliable checkpoint when the caller configured a checkpoint
-    * dir (the right choice on a real cluster, where a lost executor must not
-    * kill the query); falls back to `localCheckpoint` otherwise. Only for
-    * relations that are bounded (dimension/model/snapshot-sized) — never
-    * corpus-scale data, where recompute or exchange reuse is the answer.
+    * dir — the right choice on a real cluster, where `localCheckpoint`'s
+    * truncated lineage makes the blocks unrecoverable after executor loss or
+    * dynamic-allocation decommission. The no-checkpoint-dir fallback is for
+    * local/bench use; cluster deployments should set a checkpoint dir (or
+    * disable dynamic allocation). Note both branches are EAGER: calling an
+    * operator built on this runs its upstream jobs at construction time,
+    * and caller predicates do not push past the materialization boundary.
+    * Only for relations that are bounded (dimension/model/snapshot-sized) —
+    * never corpus-scale data, where recompute or exchange reuse is the
+    * answer.
     */
   def materializeSmall(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)

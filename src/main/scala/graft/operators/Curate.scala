@@ -45,9 +45,12 @@ object Curate {
     * reproducible across engines, runs and partitionings.
     *
     * The emitted columns exclude the raw priority: `ln` is the one step
-    * where engines may legitimately differ in the last ulp, which cannot
-    * flip an ordering between distinct hashes but would break bit-exact
-    * output comparison.
+    * where engines may legitimately differ in the last ulp, which would
+    * break bit-exact output comparison. (For equal weights a last-ulp
+    * difference cannot reorder distinct hashes; across differing weights
+    * two priorities can in principle land arbitrarily close, so rank ties
+    * across engines are merely measure-zero for random 60-bit hashes, not
+    * impossible.)
     */
   def weightedSamplePerGroup(
       docs: DataFrame,

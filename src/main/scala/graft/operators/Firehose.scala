@@ -335,7 +335,9 @@ object Firehose {
     // count), so materializing it is cheap at any scale and avoids
     // recomputing the full upstream aggregation for the high-water-mark
     // branch; checkpoint instead of persist so nothing stays pinned in the
-    // cache manager after the caller is done with the result.
+    // cache manager after the caller is done with the result. Eager: the
+    // upstream aggregation runs at operator-construction time (see
+    // Tables.materializeSmall for the cluster-mode requirements).
     val snapshot = graft.Tables.materializeSmall(gauges)
     val hwm = snapshot.agg(max(col("last_ts")).as("_hwm"))
     snapshot

@@ -63,16 +63,41 @@ case class IncreaseOut(
   */
 object FirehoseStream {
 
-  /** Kafka source wiring (code-only in this container: no broker). Identical
-    * transform chain to the file path — only the source line differs.
+  /** Translate the reference's `consumer.*` config subset (Configs.java,
+    * AbstractFirehose.java:63-75 consumer construction) into Spark Kafka
+    * source options: `topic` → `subscribe`, `auto.offset.reset` →
+    * `startingOffsets` (Spark rejects it as a passthrough consumer
+    * property), everything else passed through under the `kafka.` prefix.
+    * A pure function so the wiring is contract-testable without a broker.
+    */
+  def kafkaSourceOptions(config: graft.config.GraftConfig): Map[String, String] = {
+    val consumer = config.subset("consumer")
+    val translated = Seq("topic", "auto.offset.reset")
+    Map(
+      "subscribe" -> consumer.getOrElse("topic", "metrics.v1"),
+      "startingOffsets" ->
+        (if (consumer.get("auto.offset.reset").contains("earliest")) "earliest"
+         else "latest")) ++
+      (consumer -- translated).map { case (k, v) => s"kafka.$k" -> v }
+  }
+
+  /** Kafka source wiring (code-only in this container: no broker jar).
+    * Identical transform chain to the file path — only the source line
+    * differs.
     */
   def fromKafka(spark: SparkSession, bootstrapServers: String, topic: String): DataFrame =
+    fromKafka(spark, graft.config.GraftConfig(Map(
+      "consumer.bootstrap.servers" -> bootstrapServers,
+      "consumer.topic" -> topic)))
+
+  /** Config-driven Kafka source — the reference's construction path
+    * (consumer built from the layered config's `consumer.` subset).
+    */
+  def fromKafka(spark: SparkSession, config: graft.config.GraftConfig): DataFrame =
     MetricJson.parse(
       spark.readStream
         .format("kafka")
-        .option("kafka.bootstrap.servers", bootstrapServers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "latest")
+        .options(kafkaSourceOptions(config))
         .load()
         .select(col("value").cast("string").as("value")),
       "value")

@@ -36,4 +36,26 @@ class ConfigSpec extends AnyFunSuite {
       "consumer.topic" -> "t", "consumer.group.id" -> "g", "prometheus.job" -> "j"))
     assert(cfg.subset("consumer") === Map("topic" -> "t", "group.id" -> "g"))
   }
+
+  test("kafka source options translate the consumer.* subset (contract, no broker)") {
+    // the reference builds its consumer from the layered config's consumer.
+    // subset (AbstractFirehose.java:63-75); the Spark source needs topic →
+    // subscribe, auto.offset.reset → startingOffsets (Spark rejects it as a
+    // kafka. passthrough), and everything else under the kafka. prefix —
+    // including the env-translated Docker-style keys
+    val cfg = GraftConfig.layered(
+      env = Map(
+        "GRAFT_CONSUMER_BOOTSTRAP_SERVERS" -> "broker:9092",
+        "GRAFT_CONSUMER_GROUP_ID" -> "firehose",
+        "GRAFT_CONSUMER_AUTO_OFFSET_RESET" -> "earliest"),
+      sysProps = Map.empty)
+    val opts = graft.streaming.FirehoseStream.kafkaSourceOptions(cfg)
+    assert(opts("subscribe") === "metrics.v1") // default topic survives
+    assert(opts("startingOffsets") === "earliest")
+    assert(opts("kafka.bootstrap.servers") === "broker:9092")
+    assert(opts("kafka.group.id") === "firehose")
+    assert(opts("kafka.max.poll.records") === "1000") // reference default
+    // the translated keys must NOT leak through as kafka. passthroughs
+    assert(!opts.contains("kafka.topic") && !opts.contains("kafka.auto.offset.reset"))
+  }
 }

@@ -10,6 +10,20 @@ class PlanSpec extends SparkSuite {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  test("ngram jaccard self-join reuses one exchange for both sides") {
+    // the shingle explode is the heaviest stage of d2; the two self-join
+    // sides are identical subplans shuffled by the same key, so the plan
+    // must compute it once and feed the second side from the first side's
+    // exchange — if a planner/AQE change breaks the reuse, the corpus-scale
+    // explode silently runs twice
+    val df = graft.operators.Dedup.ngramJaccard(
+      Tables(spark, sfDir, "documents"), threshold = 0.5, maxShingleDocs = Some(100))
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"shingle exchange not reused:\n$plan")
+  }
+
   test("q1 pushes the shipdate filter and prunes columns at the parquet scan") {
     val plan = planOf(Relational.q1PricingSummary(spark, sfDir))
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
