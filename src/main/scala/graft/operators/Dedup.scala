@@ -116,11 +116,15 @@ object Dedup {
     val shAll = shingles(docs)
     val (sh, counts) = maxShingleDocs match {
       case Some(cap) =>
-        // capped: per-doc counts must count the *surviving* shingles, so
-        // they come from the capped relation (its groupBy(s) frequency agg
-        // and the join back both shuffle by s — one reused exchange)
-        val freq = shAll.groupBy("s").agg(count(lit(1)).as("_df")).filter(col("_df") <= cap)
-        val capped = shAll.join(freq.select("s"), "s")
+        // capped: degenerate shingles are by construction FEW (bounded by
+        // total-occurrences/cap), so the cap is a broadcast anti-join
+        // against the hot-shingle blacklist — the corpus-scale shingle
+        // relation is never shuffled just to apply the cap. Per-doc counts
+        // must count the *surviving* shingles, so they come from the capped
+        // relation.
+        val hot = shAll.groupBy("s").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > cap).select("s")
+        val capped = shAll.join(broadcast(hot), Seq("s"), "left_anti")
         (capped, capped.groupBy("doc_id").agg(count(lit(1)).as("n")))
       case None =>
         (shAll,
