@@ -165,6 +165,19 @@ object SparkEntry {
     "t6_top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(Tables(s, dir, "documents"))),
     "t7_vocab_stats" -> ((s, dir) => TextAnalysis.vocabStats(Tables(s, dir, "documents"))),
     "t8_lm_score" -> ((s, dir) => TextAnalysis.lmScore(Tables(s, dir, "documents"))),
+    "t9_chunk_windows" -> ((s, dir) =>
+      TextAnalysis.chunkWindows(Tables(s, dir, "documents"), chunkTokens = 50, overlap = 10)),
+    "d11_mixture_sample" -> ((s, dir) =>
+      Curate.mixtureSample(
+        Tables(s, dir, "documents"),
+        weights = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+        kTotal = 40)),
+    "d12_dedup_minhash_incr" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.minhashLshIncremental(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
+    }),
     "d8_dedup_normalized" -> ((s, dir) =>
       Dedup.exactNormalized(Tables(s, dir, "documents"))),
     "d9_weighted_sample" -> ((s, dir) =>
@@ -759,6 +772,55 @@ object SparkEntry {
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS norm_hash,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // chunk = 50 tokens, overlap = 10 → step 40; 1 + ceil(max(0, n-50)/40)
+    // chunks per non-empty doc, list_slice is 1-based inclusive like Spark's
+    // slice(start, length) with end = start + 50 - 1
+    "t9_chunk_windows" ->
+      (WordsCte +
+        """n AS (SELECT doc_id, ws, len(ws) AS n FROM words WHERE len(ws) > 0),
+          |c AS (SELECT doc_id, ws,
+          |        CAST(1 + (greatest(n - 50, 0) + 39) // 40 AS INTEGER) AS n_chunks
+          |      FROM n),
+          |ch AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+          |         list_slice(ws, k * 40 + 1, k * 40 + 50) AS chunk
+          |       FROM c, UNNEST(generate_series(0, n_chunks - 1)) t(k))
+          |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+          |  array_to_string(chunk, ' ') AS chunk_text
+          |FROM ch""".stripMargin),
+    "d11_mixture_sample" ->
+      """WITH q(source, quota) AS (VALUES
+        |  ('src0', 16), ('src1', 12), ('src2', 8), ('src3', 4)),
+        |p AS (SELECT d.source, doc_id,
+        |        CAST('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS priority,
+        |        CAST(quota AS BIGINT) AS quota
+        |      FROM documents d JOIN q USING (source)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |        ORDER BY priority, doc_id) AS BIGINT) AS rnk FROM p)
+        |SELECT source, doc_id, priority, rnk, quota FROM r WHERE rnk <= quota""".stripMargin,
+    // d3's oracle with the pair condition swapped to cross-side only
+    // (corpus = even doc_ids, delta = odd)
+    "d12_dedup_minhash_incr" ->
+      (ShinglesCte +
+        """cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+          |mh AS (SELECT doc_id, i,
+          |        min(CAST(((CAST((CAST('0x'||substr(md5('a:'||i),1,15) AS BIGINT) | 1) AS HUGEINT)
+          |                   * s
+          |                   + CAST('0x'||substr(md5('b:'||i),1,15) AS BIGINT))
+          |                  % 2305843009213693951) AS BIGINT)) AS mh
+          |       FROM sh CROSS JOIN generate_series(0, 11) t(i) GROUP BY doc_id, i),
+          |sig AS (SELECT doc_id, i // 4 AS band, string_agg(i || ':' || mh, ',' ORDER BY i) AS sig
+          |        FROM mh GROUP BY doc_id, i // 4),
+          |cand AS (SELECT DISTINCT a.doc_id corpus_id, b.doc_id delta_id
+          |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+          |           AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+          |com AS (SELECT c.corpus_id, c.delta_id, count(*) AS common
+          |        FROM cand c JOIN sh sa ON sa.doc_id = c.corpus_id
+          |        JOIN sh sb ON sb.doc_id = c.delta_id AND sb.s = sa.s
+          |        GROUP BY 1, 2)
+          |SELECT corpus_id, delta_id, common, ca.n AS n_corpus, cb.n AS n_delta,
+          |  common::DOUBLE / (ca.n + cb.n - common) AS jaccard
+          |FROM com JOIN cnt ca ON ca.doc_id = corpus_id JOIN cnt cb ON cb.doc_id = delta_id
+          |WHERE common::DOUBLE / (ca.n + cb.n - common) >= 0.5""".stripMargin),
     "d9_weighted_sample" ->
       """WITH b AS (
         |  SELECT source, doc_id,

@@ -35,6 +35,34 @@ object Curate {
       .select(col(groupCol), col("doc_id"), col("priority"), col("rnk"))
   }
 
+  /** Deterministic mixture sampling — the "data mixture" step of a corpus
+    * build: draw a subset whose source composition follows target weights.
+    * Per listed source s the quota is `round(kTotal · w_s)` documents,
+    * chosen by the same portable hash priority as [[samplePerGroup]] (so
+    * the draw is reproducible across engines, runs and partitionings);
+    * unlisted sources are excluded. The weights map is plan-time constant
+    * (a broadcast dimension at scale); one window shuffle by source.
+    */
+  def mixtureSample(
+      docs: DataFrame,
+      weights: Map[String, Double],
+      kTotal: Int,
+      groupCol: String = "source",
+      seed: String = "graft"): DataFrame = {
+    val quotas: Map[String, Long] =
+      weights.map { case (s, wt) => s -> math.max(0L, math.round(kTotal * wt)) }
+    val priority = GraftFunctions.md5_prefix60(
+      concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("priority"), col("doc_id"))
+    docs
+      .withColumn("quota", element_at(typedLit(quotas), col(groupCol)))
+      .filter(col("quota").isNotNull)
+      .withColumn("priority", priority)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= col("quota"))
+      .select(col(groupCol), col("doc_id"), col("priority"), col("rnk"), col("quota"))
+  }
+
   /** Deterministic weighted k-per-group sampling with the
     * Efraimidis–Spirakis key: u = (hash+1)/2^60 ∈ (0,1] from the portable
     * 60-bit hash of (seed, doc_id); priority = -ln(u)/w with w = token

@@ -158,20 +158,18 @@ object Dedup {
     * @param bands     LSH bands (rows per band = k / bands);
     *                  P(candidate) = 1-(1-j^r)^b
     */
-  def minhashLsh(
-      docs: DataFrame,
-      threshold: Double = 0.5,
-      numHashes: Int = 12,
-      bands: Int = 3): DataFrame = {
+  /** (doc_id, band, sig) banded MinHash signatures — the LSH index
+    * relation. The whole signature is one codegen'd row-local expression —
+    * no k-fold row explosion, no per-(doc, perm) shuffle, no interpreted
+    * higher-order lambdas; only downstream bucket joins shuffle. At scale
+    * this is the materialized index table an ingest pipeline maintains for
+    * the landed corpus.
+    */
+  private def bandSignatures(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-
-    // The whole signature is one codegen'd row-local expression — no k-fold
-    // row explosion, no per-(doc, perm) shuffle, no interpreted
-    // higher-order lambdas. Only the band bucket join shuffles.
     val sig = GraftFunctions.minhash_sig(col("_shs"), numHashes)
-
     val rowsPerBand = numHashes / bands
-    val sigs = graft.Tables.widen(docs)
+    graft.Tables.widen(docs)
       .select(col("doc_id"), shingleArray().as("_shs"))
       .select(col("doc_id"), sig.as("_sig"))
       .select(
@@ -190,7 +188,14 @@ object Dedup {
                     element_at(col("_sig"), (b * rowsPerBand + j + 1).cast("int")).cast("string"))),
                 ",").as("sig")))).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.sig"))
+  }
 
+  def minhashLsh(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      numHashes: Int = 12,
+      bands: Int = 3): DataFrame = {
+    val sigs = bandSignatures(docs, numHashes, bands)
     val a = sigs.as("a")
     val b = sigs.as("b")
     // materialized (bucket-collision-bounded, tiny next to the corpus) so
@@ -222,6 +227,57 @@ object Dedup {
     withJaccard(common, counts)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "common", "n_a", "n_b", "jaccard")
+  }
+
+  /** Incremental MinHash-LSH near-dup detection: which delta-batch docs are
+    * near-duplicates of already-landed corpus docs — the daily-ingest shape
+    * of [[minhashLsh]] (its exact sibling is [[incrementalDedup]]). Both
+    * sides build the same banded signature relation (at scale the corpus
+    * side is a maintained index table, not a recomputation), candidates are
+    * the cross-side band-bucket collisions only (no corpus×corpus or
+    * delta×delta pairs), and exact-Jaccard verification shingle-explodes
+    * candidate docs only. Same hash family as d3, so the DuckDB oracle
+    * mirrors it bit-exactly.
+    */
+  def minhashLshIncremental(
+      corpus: DataFrame,
+      delta: DataFrame,
+      threshold: Double = 0.5,
+      numHashes: Int = 12,
+      bands: Int = 3): DataFrame = {
+    val cs = bandSignatures(corpus, numHashes, bands)
+      .select(col("doc_id").as("corpus_id"), col("band"), col("sig"))
+    val ds = bandSignatures(delta, numHashes, bands)
+      .select(col("doc_id").as("delta_id"), col("band"), col("sig"))
+    // collision-bounded, tiny next to the corpus — materialized because the
+    // candidate set feeds three downstream branches
+    val candidates = graft.Tables.materializeSmall(
+      cs.join(ds, Seq("band", "sig"))
+        .select(col("corpus_id"), col("delta_id"))
+        .distinct())
+    val candCorpus = candidates.select(col("corpus_id").as("doc_id")).distinct()
+    val candDelta = candidates.select(col("delta_id").as("doc_id")).distinct()
+    val shC = graft.Tables.materializeSmall(
+      shingles(corpus.join(broadcast(candCorpus), Seq("doc_id"), "left_semi")))
+    val shD = graft.Tables.materializeSmall(
+      shingles(delta.join(broadcast(candDelta), Seq("doc_id"), "left_semi")))
+    val nC = shC.groupBy("doc_id").agg(count(lit(1)).as("n_corpus"))
+      .withColumnRenamed("doc_id", "corpus_id")
+    val nD = shD.groupBy("doc_id").agg(count(lit(1)).as("n_delta"))
+      .withColumnRenamed("doc_id", "delta_id")
+    val common = broadcast(
+      broadcast(candidates).join(shC.withColumnRenamed("doc_id", "corpus_id"), "corpus_id"))
+      .join(shD.withColumnRenamed("doc_id", "delta_id"), Seq("delta_id", "s"))
+      .groupBy("corpus_id", "delta_id")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(nC, "corpus_id")
+      .join(nD, "delta_id")
+      .withColumn(
+        "jaccard",
+        col("common").cast("double") / (col("n_corpus") + col("n_delta") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("corpus_id", "delta_id", "common", "n_corpus", "n_delta", "jaccard")
   }
 
   /** Per-document 60-bit SimHash fingerprint + 15-bit LSH band keys. Pairing

@@ -95,6 +95,43 @@ object TextAnalysis {
   /** Rolling polynomial document fingerprint via the codegen'd
     * [[graft.functions.PolyFingerprint]] expression.
     */
+  /** Fixed-size overlapping token-window chunking — how a training pipeline
+    * splits long documents into model-context-sized sequences. Each
+    * document's token array becomes `1 + ceil(max(0, n - chunk)/step)`
+    * chunks of up to `chunkTokens` tokens, consecutive chunks sharing
+    * `overlap` tokens (step = chunk - overlap). One output row per CHUNK,
+    * not per token — the explode factor is n/step, so at 100 TB the output
+    * stays a small multiple of the corpus and the whole operator is one
+    * codegen'd map (sequence + slice + array_join), no shuffle, no UDF.
+    * Empty documents produce no chunks.
+    */
+  def chunkWindows(
+      docs: DataFrame,
+      chunkTokens: Int = 50,
+      overlap: Int = 10): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    val n = size(col("_ws"))
+    val nChunks =
+      (lit(1) + floor((greatest(n - lit(chunkTokens), lit(0)) + lit(step - 1)) / lit(step)))
+        .cast("int")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("_ws"))
+      .select(
+        col("doc_id"),
+        posexplode(
+          when(n > 0,
+            transform(
+              sequence(lit(0), nChunks - 1),
+              k => slice(col("_ws"), k * step + lit(1), lit(chunkTokens))))
+            .otherwise(array().cast("array<array<string>>"))).as(Seq("chunk_id", "_chunk")))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        size(col("_chunk")).cast("long").as("n_chunk_tokens"),
+        array_join(col("_chunk"), " ").as("chunk_text"))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

@@ -219,6 +219,50 @@ class CoverageOpsSpec extends SparkSuite {
     assert(out(1L) === out(2L)) // identical docs score identically
   }
 
+  test("chunk windows split documents into overlapping token sequences") {
+    import spark.implicits._
+    // 7 tokens, chunk=4, overlap=2 → step 2, chunks: [1..4], [3..6], [5..7]
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, "  "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkWindows(docs, chunkTokens = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out === Map(
+      (1L, 0L) -> ((4L, "a b c d")),
+      (1L, 1L) -> ((4L, "c d e f")),
+      (1L, 2L) -> ((3L, "e f g")),
+      (2L, 0L) -> ((1L, "x")))) // empty doc 3 yields no chunks
+  }
+
+  test("mixture sampling fills per-source quotas deterministically") {
+    val docs = Tables(spark, sfDir, "documents")
+    val weights = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25)
+    val s1 = Curate.mixtureSample(docs, weights, kTotal = 20)
+    val s2 = Curate.mixtureSample(docs.repartition(7), weights, kTotal = 20)
+    assert(s1.collect().map(_.toString).sorted.toSeq ===
+      s2.collect().map(_.toString).sorted.toSeq) // partitioning-independent
+    val bySource = s1.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource === Map("src0" -> 10L, "src1" -> 5L, "src2" -> 5L))
+  }
+
+  test("incremental minhash finds cross-side near-dups only") {
+    import spark.implicits._
+    val mk = (s: String) => s // readable alias
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (0L, base),
+      (2L, "completely different corpus content with no shared shingles at all here"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (1L, base + " ok"), // near-dup of corpus doc 0
+      (3L, base + " ok"), // near-dup of 0 AND of delta doc 1 — but delta×delta must not pair
+      (5L, "unrelated delta text that matches nothing in the landed corpus rows"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashLshIncremental(corpus, delta, threshold = 0.5)
+      .select("corpus_id", "delta_id").as[(Long, Long)].collect().toSet
+    assert(out === Set((0L, 1L), (0L, 3L)))
+  }
+
   test("gauge capacity keeps exactly the most-recently-updated series (LRU max-size parity)") {
     import org.apache.spark.sql.expressions.Window
     val gauges = Firehose.gaugeLatest(Firehose.metricsFromEvents(spark, sfDir))
