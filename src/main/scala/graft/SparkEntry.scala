@@ -178,6 +178,13 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
     }),
+    "d13_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 4 =!= 0),
+        docs.filter(col("doc_id") % 4 === 0),
+        minCommon = 5)
+    }),
     "d8_dedup_normalized" -> ((s, dir) =>
       Dedup.exactNormalized(Tables(s, dir, "documents"))),
     "d9_weighted_sample" -> ((s, dir) =>
@@ -772,6 +779,16 @@ object SparkEntry {
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS norm_hash,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "d13_decontaminate" ->
+      (ShinglesCte +
+        """corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 4 != 0),
+          |bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 4 = 0),
+          |nb AS (SELECT bench_id, count(*) AS n_bench FROM bench GROUP BY 1),
+          |com AS (SELECT corp.doc_id, bench.bench_id, count(*) AS common
+          |        FROM corp JOIN bench USING (s) GROUP BY 1, 2)
+          |SELECT doc_id, bench_id, common, n_bench,
+          |  common::DOUBLE / n_bench AS containment
+          |FROM com JOIN nb USING (bench_id) WHERE common >= 5""".stripMargin),
     // chunk = 50 tokens, overlap = 10 → step 40; 1 + ceil(max(0, n-50)/40)
     // chunks per non-empty doc, list_slice is 1-based inclusive like Spark's
     // slice(start, length) with end = start + 50 - 1

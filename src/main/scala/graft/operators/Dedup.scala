@@ -280,6 +280,39 @@ object Dedup {
       .select("corpus_id", "delta_id", "common", "n_corpus", "n_delta", "jaccard")
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minCommon` distinct 3-gram shingles with an evaluation-set document —
+    * the overlap check a training pipeline runs so benchmark material
+    * doesn't leak into the training corpus. Emits one row per contaminated
+    * (corpus, benchmark) pair with the containment ratio
+    * `common / |benchmark shingles|` (how much of the benchmark doc the
+    * corpus doc covers — the directional measure used for decontamination,
+    * unlike symmetric Jaccard).
+    *
+    * Scale shape: the benchmark set is eval-sized (thousands of docs, not
+    * corpus-scale), so its shingle relation is broadcast and the corpus
+    * side is a single map-side hash join over the shingle stream — the
+    * corpus is never shuffled.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      minCommon: Int = 5): DataFrame = {
+    val corpusSh = shingles(corpus)
+    val benchSh = shingles(benchmark)
+    val nBench = benchSh.groupBy("doc_id").agg(count(lit(1)).as("n_bench"))
+      .withColumnRenamed("doc_id", "bench_id")
+    val common = corpusSh
+      .join(broadcast(benchSh.withColumnRenamed("doc_id", "bench_id")), "s")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    common
+      .join(broadcast(nBench), "bench_id")
+      .withColumn("containment", col("common").cast("double") / col("n_bench"))
+      .select("doc_id", "bench_id", "common", "n_bench", "containment")
+  }
+
   /** Per-document 60-bit SimHash fingerprint + 15-bit LSH band keys. Pairing
     * = any shared band key then Hamming-distance verification (spec-tested;
     * the per-doc fingerprint is the oracle-checked surface).

@@ -263,6 +263,25 @@ class CoverageOpsSpec extends SparkSuite {
     assert(out === Set((0L, 1L), (0L, 3L)))
   }
 
+  test("decontamination flags corpus docs covering benchmark shingles") {
+    import spark.implicits._
+    // benchmark doc 0: 7 tokens → 5 distinct 3-gram shingles; corpus doc 1
+    // embeds it verbatim (all 5 shared → containment 1.0); doc 2 unrelated
+    val bench = Seq((0L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta and more trailing words"),
+      (2L, "totally unrelated corpus document with nothing shared at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, minCommon = 5)
+      .select("doc_id", "bench_id", "common", "n_bench", "containment")
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 1L && out(0).getLong(1) === 0L)
+    assert(out(0).getLong(2) === 5L && out(0).getLong(3) === 5L)
+    assert(out(0).getDouble(4) === 1.0)
+  }
+
   test("gauge capacity keeps exactly the most-recently-updated series (LRU max-size parity)") {
     import org.apache.spark.sql.expressions.Window
     val gauges = Firehose.gaugeLatest(Firehose.metricsFromEvents(spark, sfDir))

@@ -24,6 +24,21 @@ class PlanSpec extends SparkSuite {
       s"shingle exchange not reused:\n$plan")
   }
 
+  test("simhash pair join computes the fingerprinting once (reuse or broadcast)") {
+    // in the shuffle-join regime both sides must reuse one exchange; at
+    // small scale the planner may broadcast one side instead, which is the
+    // operator's documented acceptable alternative (duplicated row-local
+    // map over a broadcast-sized input)
+    val df = graft.operators.Dedup.simhashPairs(
+      Tables(spark, sfDir, "documents"), radius = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(
+      plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
+        plan.contains("BroadcastExchange"),
+      s"fingerprint subplan neither reused nor broadcast:\n$plan")
+  }
+
   test("q1 pushes the shipdate filter and prunes columns at the parquet scan") {
     val plan = planOf(Relational.q1PricingSummary(spark, sfDir))
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
