@@ -194,6 +194,8 @@ object SparkEntry {
         .select(col("doc_id"), col("byte_len"), col("mime"), col("source"))),
     "mm2_feature_extract" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.asBinary(Tables(s, dir, "documents")))),
+    "mm3_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.asBinary(Tables(s, dir, "documents")))),
     "s3_ann_ivf" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -875,6 +877,25 @@ object SparkEntry {
         |    (a, v) -> a + v) % 256 AS DOUBLE) AS f_sum_mod,
         |  n_bytes
         |FROM b""".stripMargin,
+    // mirrors Multimodal.sampleFrames/stubFrame: frame k = bytes
+    // [k*64, k*64+16) of the payload, summary = byte sum mod 256
+    "mm3_frame_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |f AS (SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+        |        CAST(k * 64 AS BIGINT) AS frame_offset,
+        |        least(CAST(16 AS BIGINT), n_bytes - k * 64) AS frame_len,
+        |        hx
+        |      FROM b, UNNEST(generate_series(0, CAST((n_bytes - 1) // 64 AS INTEGER))) t(k)
+        |      WHERE n_bytes > 0)
+        |SELECT doc_id, frame_idx, frame_offset, frame_len,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(generate_series(1, CAST(frame_len AS INTEGER)),
+        |      i -> CAST('0x' || substr(hx, CAST(2 * (frame_offset + i) - 1 AS INTEGER), 2) AS BIGINT))),
+        |    (a, v) -> a + v) % 256 AS DOUBLE) AS frame_sum_mod
+        |FROM f""".stripMargin,
     "d4b_simhash_pairs" ->
       (WordsCte +
         """w AS (SELECT DISTINCT doc_id, wd FROM words, UNNEST(ws) t(wd)),

@@ -73,4 +73,51 @@ object Multimodal {
     }
     spark.createDataFrame(rows, featureSchema)
   }
+
+  /** STUB frame extractor: stands in for a video demuxer. Deterministic
+    * fake "frame" = the fixed-size byte slice at the frame's offset. A real
+    * deployment replaces ONLY this function body with a demuxer/codec call;
+    * the offsets, fan-out and batch shape stay.
+    */
+  def stubFrame(payload: Array[Byte], offset: Int, frameBytes: Int): Array[Byte] =
+    payload.slice(offset, math.min(payload.length, offset + frameBytes))
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", LongType),
+    StructField("frame_offset", LongType),
+    StructField("frame_len", LongType),
+    StructField("frame_sum_mod", DoubleType)))
+
+  /** Frame sampling over "video" binaries: every `strideBytes`-th position
+    * yields one frame row of `frameBytes` bytes (a real demuxer samples
+    * every Nth frame the same way — fixed fan-out per payload, decode
+    * stubbed). One row per FRAME, so the explode factor is
+    * byte_len/strideBytes — bounded and predictable at 100 TB; the
+    * per-frame summary keeps the output columnar instead of shipping raw
+    * frame bytes downstream.
+    */
+  def sampleFrames(
+      binaries: DataFrame,
+      frameBytes: Int = 16,
+      strideBytes: Int = 64): DataFrame = {
+    require(frameBytes > 0 && strideBytes > 0, "need positive frame/stride")
+    val spark = binaries.sparkSession
+    val rows = binaries.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val nFrames = if (payload.length == 0) 0 else (payload.length - 1) / strideBytes + 1
+        (0 until nFrames).iterator.map { k =>
+          val off = k * strideBytes
+          val frame = stubFrame(payload, off, frameBytes)
+          var sum = 0L
+          var i = 0
+          while (i < frame.length) { sum += frame(i) & 0xff; i += 1 }
+          Row(id, k.toLong, off.toLong, frame.length.toLong, (sum % 256).toDouble)
+        }
+      }
+    }
+    spark.createDataFrame(rows, frameSchema)
+  }
 }

@@ -411,6 +411,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("landing compaction rewrites many small files into few, content-preserving") {
+    val dir = Files.createTempDirectory("graft-comp-in").toFile
+    val out = Files.createTempDirectory("graft-comp-out").toFile.getAbsolutePath + "/landed"
+    val compacted = Files.createTempDirectory("graft-comp-c").toFile.getAbsolutePath + "/compacted"
+    val chk = Files.createTempDirectory("graft-compchk").toFile
+    // five micro-batches → ≥5 files in the same partition directory
+    val q = FirehoseStream.landingSink(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath), out)
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      (1 to 5).foreach { b =>
+        Files.write(dir.toPath.resolve(s"b$b.json"),
+          Seq(metricJson(s"$b", "m", 1704067200 + b, "u1", b.toDouble)).mkString("\n").getBytes)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val before = spark.read.parquet(out)
+    assert(before.inputFiles.length >= 5, s"expected many small files, got ${before.inputFiles.length}")
+    val stats = graft.sources.Landing.compact(
+      spark, out, compacted, partitionCols = Seq("component", "event_date"))
+    assert(stats.rows === 5)
+    assert(stats.outputFiles < stats.inputFiles,
+      s"no compaction: ${stats.inputFiles} -> ${stats.outputFiles}")
+    // content preserved exactly
+    val a = before.selectExpr("id", "value").collect().map(_.toString).sorted.toSeq
+    val b = spark.read.parquet(compacted).selectExpr("id", "value")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+    // partition layout preserved → pruning still works downstream
+    assert(new java.io.File(compacted + "/component=app").exists())
+  }
+
   test("streaming dedup keeps first occurrence per key with bounded state") {
     val dir = Files.createTempDirectory("graft-dedup").toFile
     val chk = Files.createTempDirectory("graft-dchk").toFile
