@@ -113,6 +113,7 @@ object SparkEntry {
     "q_percentiles" -> ((s, dir) => Relational.qPercentiles(s, dir)),
     "q4_order_priority" -> ((s, dir) => Relational.q4OrderPriority(s, dir)),
     "q_full_outer" -> ((s, dir) => Relational.qFullOuter(s, dir)),
+    "q13_custdist" -> ((s, dir) => Relational.q13CustDist(s, dir)),
     "q_notin_nullaware" -> ((s, dir) => Relational.qNotInNullAware(s, dir)),
     "q_window_range" -> ((s, dir) => Relational.qWindowRange(s, dir)),
     "q6_forecast_revenue" -> ((s, dir) => Relational.q6ForecastRevenue(s, dir)),
@@ -413,6 +414,14 @@ object SparkEntry {
         |      FROM orders GROUP BY 1)
         |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_orders, spend
         |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q_notin_nullaware" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN

@@ -439,6 +439,26 @@ object Relational {
     * without orders (null right) and order activity from non-BUILDING
     * customers (null left).
     */
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+    * with the priority exclusion in the ON clause — not a WHERE — so
+    * customers with zero qualifying orders survive with count 0, then a
+    * second aggregation over the count histogram. Scale: the first agg is
+    * partial by custkey over the join's shuffle; the second's key space is
+    * tiny (distinct order counts) and coalesces under AQE.
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_custkey"))
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")

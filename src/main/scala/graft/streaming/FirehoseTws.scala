@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Spark 4 `transformWithState` ports of the gauge and counter-increase
   * operators — the arbitrary-state API that replaces
@@ -27,10 +27,13 @@ object FirehoseTws {
 
   /** Latest-gauge processor: one `ValueState[GaugeState]` per series plus
     * one live eviction timer (re-registered on update, so state carries at
-    * most one timer per series).
+    * most one timer per series). Extends the initial-state base so the
+    * bootstrapped variant shares all row-handling logic; plain
+    * `transformWithState` without an initial relation simply never calls
+    * [[handleInitialState]].
     */
   class GaugeProcessor(ttlMs: Long)
-      extends StatefulProcessor[SeriesKey, GaugePoint, GaugeOut] {
+      extends StatefulProcessorWithInitialState[SeriesKey, GaugePoint, GaugeOut, GaugeOut] {
     @transient private var state: ValueState[GaugeState] = _
     @transient private var timerTs: ValueState[Long] = _
 
@@ -45,6 +48,18 @@ object FirehoseTws {
       if (timerTs.exists()) getHandle.deleteTimer(timerTs.get())
       getHandle.registerTimer(whenMs)
       timerTs.update(whenMs)
+    }
+
+    /** Warm-start from a landed batch snapshot (the recovery path a fresh
+      * deployment takes: the registry resumes from the landed gauge table
+      * instead of empty). The snapshot carries no sample id, so a live
+      * sample with the same timestamp outranks the bootstrapped value —
+      * bootstrap never beats real data it ties with.
+      */
+    override def handleInitialState(
+        key: SeriesKey, initial: GaugeOut, timers: TimerValues): Unit = {
+      state.update(GaugeState(initial.last_ts, "", initial.last_value))
+      armTimer(initial.last_ts * 1000L + ttlMs)
     }
 
     override def handleInputRows(
@@ -186,6 +201,29 @@ object FirehoseTws {
       .groupByKey(p => (p.component, p.name, p.series))
       .transformWithState(
         new GaugeProcessor(ttlMs), TimeMode.EventTime(), OutputMode.Update())
+  }
+
+  /** [[gaugeLatest]] warm-started from a landed batch gauge snapshot
+    * (e.g. `Firehose.gaugeLatest` over the landing table) — the bootstrap
+    * path a fresh deployment takes so the registry does not start empty and
+    * a stale first sample cannot regress below the landed state. Snapshot
+    * columns: (component, name, series, last_value, last_ts).
+    */
+  def gaugeLatestBootstrapped(
+      metrics: DataFrame,
+      snapshot: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      ttlMs: Long = 10 * 60 * 1000L): Dataset[GaugeOut] = {
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    val init = snapshot
+      .select("component", "name", "series", "last_value", "last_ts")
+      .as[GaugeOut]
+      .groupByKey(g => (g.component, g.name, g.series))
+    FirehoseStream.keyedPoints(metrics, watermarkDelay)
+      .groupByKey(p => (p.component, p.name, p.series))
+      .transformWithState(
+        new GaugeProcessor(ttlMs), TimeMode.EventTime(), OutputMode.Update(), init)
   }
 
   /** [[FirehoseStream.counterIncrease]] on the `transformWithState` API.

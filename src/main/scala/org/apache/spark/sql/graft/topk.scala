@@ -124,9 +124,12 @@ case class TopKPerKeyExec(
     GenerateOrdering.generate(order, child.output).asInstanceOf[Ordering[InternalRow]],
     k)
 
-  // ---- whole-stage codegen (partial pass only) ----
-
-  override def supportCodegen: Boolean = partial
+  // ---- whole-stage codegen (both passes) ----
+  // partial: fuses with the scan/filter/project chain below the exchange.
+  // final: its child is the shuffle read (an InputAdapter row stream — the
+  // row != null doConsume path), and the drain loop fuses with whatever
+  // sits above the operator.
+  override def supportCodegen: Boolean = true
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     child.asInstanceOf[CodegenSupport].inputRDDs()

@@ -194,6 +194,35 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("transformWithState gauge bootstraps from a landed batch snapshot") {
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft-tws-b").toFile
+      val chk = Files.createTempDirectory("graft-tws-bchk").toFile
+      // landed snapshot says u1 = 20.0 @ ts 2000; the stream's first sample
+      // is STALE (5.0 @ ts 1000) — with an empty registry it would win;
+      // bootstrapped state must hold the landed value
+      val snapshot = spark.createDataFrame(Seq(
+        ("app", "bytes_total", "user=u1", 20.0, 2000L)))
+        .toDF("component", "name", "series", "last_value", "last_ts")
+      Files.write(dir.toPath.resolve("b1.json"),
+        Seq(metricJson("9", "bytes_total", 1000, "u1", 5.0)).mkString("\n").getBytes)
+      val q = graft.streaming.FirehoseTws.gaugeLatestBootstrapped(
+          FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+          snapshot, watermarkDelay = "1 hour")
+        .writeStream.format("memory").queryName("tws_b_t").outputMode("update")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      try {
+        q.processAllAvailable()
+        val out = spark.table("tws_b_t")
+          .groupBy("series").agg(max_by(col("last_value"), col("last_ts")).as("v"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(out === Map("user=u1" -> 20.0),
+          s"stale first sample beat the bootstrapped snapshot: $out")
+      } finally q.stop()
+    }
+  }
+
   test("transformWithState counter increase keeps per-window accumulators (late-data parity)") {
     withRocksDb {
       val dir = Files.createTempDirectory("graft-tws-i").toFile

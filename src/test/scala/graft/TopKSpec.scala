@@ -58,9 +58,12 @@ class TopKSpec extends SparkSuite {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     // a codegen'd node prints with the `*(stage)` marker: the scan→partial
-    // chain must be one fused stage, not an InputAdapter boundary
+    // chain must be one fused stage, not an InputAdapter boundary, and the
+    // final pass above the exchange codegens too
     assert("""\*\(\d+\) TopKPerKeyPartial""".r.findFirstIn(plan).isDefined,
       s"partial pass not inside WholeStageCodegen:\n$plan")
+    assert("""\*\(\d+\) TopKPerKey\b""".r.findFirstIn(plan).isDefined,
+      s"final pass not inside WholeStageCodegen:\n$plan")
     val window = Relational.qTopkPerGroup(spark, sfDir)
       .select("o_custkey", "o_orderkey", "o_totalprice")
       .collect().map(_.toSeq).toSet
