@@ -114,6 +114,8 @@ object SparkEntry {
     "q4_order_priority" -> ((s, dir) => Relational.q4OrderPriority(s, dir)),
     "q_full_outer" -> ((s, dir) => Relational.qFullOuter(s, dir)),
     "q13_custdist" -> ((s, dir) => Relational.q13CustDist(s, dir)),
+    "q18_large_orders" -> ((s, dir) => Relational.q18LargeOrders(s, dir)),
+    "q22_dormant_value" -> ((s, dir) => Relational.q22DormantValue(s, dir)),
     "q_notin_nullaware" -> ((s, dir) => Relational.qNotInNullAware(s, dir)),
     "q_window_range" -> ((s, dir) => Relational.qWindowRange(s, dir)),
     "q6_forecast_revenue" -> ((s, dir) => Relational.q6ForecastRevenue(s, dir)),
@@ -422,6 +424,28 @@ object SparkEntry {
         |  GROUP BY c_custkey) c_orders
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300)
+        |SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  o_totalprice, total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q22_dormant_value" ->
+      """WITH a AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, a
+        |WHERE c_nationkey IN (1, 2, 3) AND c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_notin_nullaware" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN

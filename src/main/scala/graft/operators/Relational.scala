@@ -459,6 +459,54 @@ object Relational {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** TPC-H Q18 shape (large-volume orders): HAVING on an aggregate (orders
+    * whose line quantities sum past a threshold), joined back to orders and
+    * customers, deterministic top-100. Scale: the HAVING aggregation is
+    * partial by orderkey (the same key the lineitem join needs — one
+    * shuffle feeds both), customers broadcast, top-100 is a TakeOrdered —
+    * no global sort.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String, minQty: Double = 300.0): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    t(spark, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("c_custkey") === col("o_custkey"))
+      .select(
+        col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q22 shape (dormant high-value customers): a global scalar
+    * subquery (average positive balance) gating a filter, a null-safe anti
+    * join against big-spender custkeys, then per-nation aggregation. Scale:
+    * the scalar aggregate is a one-row broadcast; the anti join ships only
+    * custkeys; one final tiny aggregation.
+    */
+  def q22DormantValue(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+        .as("_avg_bal"))
+    val pricey = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey"))
+    c.filter(col("c_nationkey").isin(1, 2, 3))
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("_avg_bal"))
+      .join(pricey, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")

@@ -56,6 +56,69 @@ object Prometheus {
     def size: Int = state.synchronized(state.size)
   }
 
+  /** Live (window, name, le) → count registry fed by
+    * [[FirehoseStream.histogramBuckets]] updates; quantiles are computed on
+    * read with exactly [[graft.operators.Firehose.histogramQuantile]]'s
+    * interpolation, folded driver-side over the tiny bucket snapshot (names
+    * × buckets × open windows — what a scrape endpoint renders, the batch
+    * operator's second phase made incremental).
+    */
+  final class HistogramRegistry {
+    private val state =
+      scala.collection.mutable.Map.empty[(Long, String, Double), Long]
+    def update(rows: Seq[(Long, String, Double, Long)]): Unit = state.synchronized {
+      rows.foreach { case (win, name, le, n) => state((win, name, le)) = n }
+    }
+    /** q-quantile for a metric over all landed windows (the batch
+      * operator's global semantics; pass a window filter for per-window).
+      */
+    def quantile(name: String, q: Double, winFilter: Long => Boolean = _ => true): Option[Double] =
+      state.synchronized {
+        val byLe = state.iterator
+          .collect { case ((w, n, le), cnt) if n == name && winFilter(w) => le -> cnt }
+          .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+          .toSeq.sortBy(_._1)
+        if (byLe.isEmpty) None
+        else {
+          val total = byLe.map(_._2).sum
+          val rank = q * total.toDouble
+          var cumPrev = 0L
+          var lo = 0.0
+          byLe.collectFirst {
+            case (le, cnt) if {
+              val cum = cumPrev + cnt
+              val hit = cum.toDouble >= rank
+              if (!hit) { cumPrev = cum; lo = le }
+              hit
+            } =>
+              val cum = cumPrev + cnt
+              if (le.isPosInfinity) lo
+              else lo + (le - lo) * ((rank - cumPrev.toDouble) /
+                (cum.toDouble - cumPrev.toDouble))
+          }
+        }
+      }
+    def size: Int = state.synchronized(state.size)
+  }
+
+  /** Stream writer keeping a [[HistogramRegistry]] current per micro-batch
+    * from [[FirehoseStream.histogramBuckets]] update rows.
+    */
+  def histogramSink(
+      buckets: org.apache.spark.sql.DataFrame,
+      registry: HistogramRegistry): DataStreamWriter[org.apache.spark.sql.Row] =
+    buckets.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.collect().map { r =>
+          (r.getAs[java.sql.Timestamp]("win_start").getTime,
+            r.getAs[String]("name"),
+            r.getAs[Double]("le"),
+            r.getAs[Long]("n"))
+        }
+        registry.update(rows.toSeq)
+      }
+
   /** PrometheusPuller.java parity: serve `render` at /metrics. Returns the
     * bound port (pass 0 to pick a free one).
     */

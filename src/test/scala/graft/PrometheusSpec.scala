@@ -64,6 +64,34 @@ class PrometheusSpec extends SparkSuite {
       s"wrong eviction order:\n$body")
   }
 
+  test("streaming histogram quantile matches the batch interpolation") {
+    val dir = Files.createTempDirectory("graft-histq").toFile
+    val chk = Files.createTempDirectory("graft-histqchk").toFile
+    // 10 samples 1..10 under boundaries (5, 10): p90 rank 9 interpolates to
+    // 9.0 — the batch operator's own spec case, now through the stream
+    Files.write(dir.toPath.resolve("b1.json"),
+      (1 to 10).map(v => metricJson(s"$v", "lat", v.toLong, "u1", v.toDouble))
+        .mkString("\n").getBytes)
+    val registry = new Prometheus.HistogramRegistry
+    val buckets = FirehoseStream.histogramBuckets(
+      FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+      les = Seq(5.0, 10.0), watermarkDelay = "0 seconds")
+    val q = Prometheus.histogramSink(buckets, registry)
+      .option("checkpointLocation", chk.getAbsolutePath).start()
+    try {
+      q.processAllAvailable()
+      assert(registry.size > 0)
+      val streamed = registry.quantile("lat", 0.9)
+      import spark.implicits._
+      val batch = graft.operators.Firehose.histogramQuantile(
+        (1 to 10).map(v => ("lat", v.toDouble)).toDF("name", "value"),
+        les = Seq(5.0, 10.0), q = 0.9)
+        .select("quantile").collect()(0).getDouble(0)
+      assert(batch === 9.0)
+      assert(streamed === Some(batch), s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("push model: each micro-batch POSTs exposition text to the gateway (PrometheusPusher parity)") {
     val dir = Files.createTempDirectory("graft-push").toFile
     val chk = Files.createTempDirectory("graft-pushchk").toFile
