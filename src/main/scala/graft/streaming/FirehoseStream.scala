@@ -48,6 +48,102 @@ case class IncreaseOut(
     component: String, name: String, series: String,
     win_start: Long, increase: Double)
 
+/** The pure per-series counter-increase fold, shared by the
+  * `flatMapGroupsWithState` and `transformWithState` operators and
+  * property-tested directly (random sample streams, random batch splits,
+  * random in-watermark lateness — no streaming query needed).
+  */
+object IncreaseCore {
+
+  val empty: IncreaseState =
+    IncreaseState(hasAnchor = false, 0L, "", 0.0, Nil, Map.empty)
+
+  /** One micro-batch step: merge `incoming` into the in-watermark buffer,
+    * re-fold it from the anchor (deltas in (ts, id) order, resets clamped
+    * to the post-reset value), freeze the prefix below `wmSec` into the
+    * finalized per-window sums, prune windows that can no longer change.
+    * Returns the new state and the (win_start, running increase) rows to
+    * emit — every window the batch touched.
+    */
+  def step(
+      st: IncreaseState,
+      incoming: Seq[CounterSample],
+      wmSec: Long,
+      widthSec: Long): (IncreaseState, Seq[(Long, Double)]) = {
+    val buf = (st.buffer ++ incoming).sortBy(s => (s.ts, s.id))
+    if (buf.isEmpty) return (st, Nil)
+    // one fold over the mutable region, starting from the anchor
+    var prevValue = st.anchorValue
+    var hasPrev = st.hasAnchor
+    val incs = buf.map { s =>
+      val inc = if (!hasPrev) 0.0 else {
+        val delta = s.value - prevValue
+        if (delta < 0) s.value else delta
+      }
+      prevValue = s.value
+      hasPrev = true
+      (s, inc)
+    }
+    // samples below the watermark can never be re-ordered: freeze their
+    // deltas into the finalized per-window sums (buf is sorted, so the
+    // frozen samples are a prefix and the fold stays valid)
+    val (frozen, live) = incs.partition(_._1.ts < wmSec)
+    var finalized = st.finalized
+    frozen.foreach { case (s, inc) =>
+      val win = s.ts - math.floorMod(s.ts, widthSec)
+      finalized = finalized.updated(win, finalized.getOrElse(win, 0.0) + inc)
+    }
+    // running totals for every window the batch touched (finalized base +
+    // live re-fold)
+    val liveContrib = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+    live.foreach { case (s, inc) =>
+      val win = s.ts - math.floorMod(s.ts, widthSec)
+      liveContrib.put(win, liveContrib.getOrElse(win, 0.0) + inc)
+    }
+    val touched: Seq[Long] =
+      (frozen.map { case (s, _) => s.ts - math.floorMod(s.ts, widthSec) } ++
+        liveContrib.keys).distinct
+    val out = touched.sorted.map { win =>
+      win -> (finalized.getOrElse(win, 0.0) + liveContrib.getOrElse(win, 0.0))
+    }
+    // windows entirely below the watermark can't change anymore and were
+    // just emitted final — drop them (live windows all satisfy
+    // win + widthSec > wmSec since their samples have ts >= wmSec)
+    finalized = finalized.filter { case (win, _) => win + widthSec > wmSec }
+    val anchor = frozen.lastOption.map(_._1)
+    val newState = IncreaseState(
+      hasAnchor = st.hasAnchor || anchor.isDefined,
+      anchorTs = anchor.map(_.ts).getOrElse(st.anchorTs),
+      anchorId = anchor.map(_.id).getOrElse(st.anchorId),
+      anchorValue = anchor.map(_.value).getOrElse(st.anchorValue),
+      buffer = live.map(_._1),
+      finalized = finalized)
+    (newState, out)
+  }
+
+  /** Reference semantics — what the batch operator computes: per-window
+    * sum of positive deltas over the (ts, id)-sorted samples, resets
+    * clamped. Used as the property-test oracle.
+    */
+  def batchReference(samples: Seq[CounterSample], widthSec: Long): Map[Long, Double] = {
+    val sorted = samples.sortBy(s => (s.ts, s.id))
+    var prev: Option[CounterSample] = None
+    val acc = scala.collection.mutable.Map.empty[Long, Double]
+    sorted.foreach { s =>
+      val inc = prev match {
+        case None => 0.0
+        case Some(p) =>
+          val d = s.value - p.value
+          if (d < 0) s.value else d
+      }
+      val win = s.ts - math.floorMod(s.ts, widthSec)
+      acc(win) = acc.getOrElse(win, 0.0) + inc
+      prev = Some(s)
+    }
+    acc.toMap
+  }
+}
+
 /** Structured-Streaming form of the firehose: the reference's
   * consume→parse→handle→endOfSet loop (AbstractFirehose.java:113-145)
   * re-expressed as an incremental query.
@@ -188,66 +284,20 @@ object FirehoseStream {
             state.remove()
             Iterator.empty
           } else {
-            val st = state.getOption.getOrElse(
-              IncreaseState(hasAnchor = false, 0L, "", 0.0, Nil, Map.empty))
-            val buf = (st.buffer ++ points.map(p => CounterSample(p.timestamp, p.id, p.value)))
-              .sortBy(s => (s.ts, s.id))
-            // one fold over the mutable region, starting from the anchor
-            var prevValue = st.anchorValue
-            var hasPrev = st.hasAnchor
-            val incs = buf.map { s =>
-              val inc = if (!hasPrev) 0.0 else {
-                val delta = s.value - prevValue
-                if (delta < 0) s.value else delta
-              }
-              prevValue = s.value
-              hasPrev = true
-              (s, inc)
-            }
-            val wmSec = state.getCurrentWatermarkMs() / 1000L
-            // samples below the watermark can never be re-ordered: freeze
-            // their deltas into the finalized per-window sums (buf is sorted,
-            // so the frozen samples are a prefix and the fold stays valid)
-            val (frozen, live) = incs.partition(_._1.ts < wmSec)
-            var finalized = st.finalized
-            frozen.foreach { case (s, inc) =>
-              val win = s.ts - math.floorMod(s.ts, widthSec)
-              finalized = finalized.updated(win, finalized.getOrElse(win, 0.0) + inc)
-            }
-            // running totals for every window the mutable region touched
-            // this batch (finalized base + live re-fold)
-            val liveContrib = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
-            live.foreach { case (s, inc) =>
-              val win = s.ts - math.floorMod(s.ts, widthSec)
-              liveContrib.put(win, liveContrib.getOrElse(win, 0.0) + inc)
-            }
-            val touched: Seq[Long] =
-              (frozen.map { case (s, _) => s.ts - math.floorMod(s.ts, widthSec) } ++
-                liveContrib.keys).distinct
-            val out = touched.sorted.map { win =>
-              IncreaseOut(component, name, series, win,
-                finalized.getOrElse(win, 0.0) + liveContrib.getOrElse(win, 0.0))
-            }
-            // windows entirely below the watermark can't change anymore and
-            // were just emitted final — drop them (live windows all satisfy
-            // win + widthSec > wmSec since their samples have ts >= wmSec)
-            finalized = finalized.filter { case (win, _) => win + widthSec > wmSec }
-            val anchor = frozen.lastOption.map(_._1)
-            val newState = IncreaseState(
-              hasAnchor = st.hasAnchor || anchor.isDefined,
-              anchorTs = anchor.map(_.ts).getOrElse(st.anchorTs),
-              anchorId = anchor.map(_.id).getOrElse(st.anchorId),
-              anchorValue = anchor.map(_.value).getOrElse(st.anchorValue),
-              buffer = live.map(_._1),
-              finalized = finalized)
+            val st = state.getOption.getOrElse(IncreaseCore.empty)
+            val incoming = points.map(p => CounterSample(p.timestamp, p.id, p.value)).toSeq
+            val (newState, out) = IncreaseCore.step(
+              st, incoming, state.getCurrentWatermarkMs() / 1000L, widthSec)
             state.update(newState)
-            val lastTs = buf.lastOption.map(_.ts).getOrElse(st.anchorTs)
+            val lastTs = (newState.buffer.map(_.ts) :+ newState.anchorTs).max
             if (state.getCurrentWatermarkMs() > 0) {
               state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
             } else {
               state.setTimeoutTimestamp(lastTs * 1000L + ttlMs)
             }
-            out.iterator
+            out.iterator.map { case (win, acc) =>
+              IncreaseOut(component, name, series, win, acc)
+            }
           }
       }
   }

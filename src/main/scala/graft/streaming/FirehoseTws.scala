@@ -127,52 +127,40 @@ object FirehoseTws {
         key: SeriesKey,
         rows: Iterator[GaugePoint],
         timers: TimerValues): Iterator[IncreaseOut] = {
-      val buf = (buffer.get().toSeq ++
-        rows.map(p => CounterSample(p.timestamp, p.id, p.value)))
-        .sortBy(s => (s.ts, s.id))
-      if (buf.isEmpty) Iterator.empty
+      // assemble the logical state from the typed handles, run the shared
+      // fold, then write back only what changed (point updates for the
+      // MapState, which is the RocksDB advantage of this port)
+      val oldFinalized =
+        if (finalized.exists()) finalized.iterator().map(t => t._1 -> t._2).toMap
+        else Map.empty[Long, Double]
+      val anchorOpt = if (anchor.exists()) Some(anchor.get()) else None
+      val st = IncreaseState(
+        hasAnchor = anchorOpt.isDefined,
+        anchorTs = anchorOpt.map(_.ts).getOrElse(0L),
+        anchorId = anchorOpt.map(_.id).getOrElse(""),
+        anchorValue = anchorOpt.map(_.value).getOrElse(0.0),
+        buffer = if (buffer.exists()) buffer.get().toSeq else Nil,
+        finalized = oldFinalized)
+      val incoming = rows.map(p => CounterSample(p.timestamp, p.id, p.value)).toSeq
+      if (incoming.isEmpty && st.buffer.isEmpty) Iterator.empty
       else {
-        var hasPrev = anchor.exists()
-        var prevValue = if (hasPrev) anchor.get().value else 0.0
-        val incs = buf.map { s =>
-          val inc = if (!hasPrev) 0.0 else {
-            val delta = s.value - prevValue
-            if (delta < 0) s.value else delta
-          }
-          prevValue = s.value
-          hasPrev = true
-          (s, inc)
-        }
         val wmSec = timers.getCurrentWatermarkInMs() / 1000L
-        val (frozen, live) = incs.partition(_._1.ts < wmSec)
-        frozen.foreach { case (s, inc) =>
-          val win = s.ts - math.floorMod(s.ts, widthSec)
-          val base = if (finalized.containsKey(win)) finalized.getValue(win) else 0.0
-          finalized.updateValue(win, base + inc)
+        val (ns, out) = IncreaseCore.step(st, incoming, wmSec, widthSec)
+        ns.finalized.foreach { case (win, v) =>
+          if (!oldFinalized.get(win).contains(v)) finalized.updateValue(win, v)
         }
-        val liveContrib = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
-        live.foreach { case (s, inc) =>
-          val win = s.ts - math.floorMod(s.ts, widthSec)
-          liveContrib.put(win, liveContrib.getOrElse(win, 0.0) + inc)
+        oldFinalized.keys.filterNot(ns.finalized.contains).foreach(finalized.removeKey)
+        if (ns.hasAnchor) {
+          anchor.update(CounterSample(ns.anchorTs, ns.anchorId, ns.anchorValue))
         }
-        val touched: Seq[Long] =
-          (frozen.map { case (s, _) => s.ts - math.floorMod(s.ts, widthSec) } ++
-            liveContrib.keys).distinct
-        val out = touched.sorted.map { win =>
-          val fin = if (finalized.containsKey(win)) finalized.getValue(win) else 0.0
-          IncreaseOut(key._1, key._2, key._3, win,
-            fin + liveContrib.getOrElse(win, 0.0))
-        }
-        // point-prune windows that can no longer change (just emitted final)
-        finalized.keys().toSeq
-          .filter(win => win + widthSec <= wmSec)
-          .foreach(finalized.removeKey)
-        frozen.lastOption.foreach { case (s, _) => anchor.update(s) }
         buffer.clear()
-        if (live.nonEmpty) buffer.put(live.map(_._1).toArray)
+        if (ns.buffer.nonEmpty) buffer.put(ns.buffer.toArray)
         val wm = timers.getCurrentWatermarkInMs()
-        armTimer((if (wm > 0) wm else buf.last.ts * 1000L) + ttlMs)
-        out.iterator
+        val lastTs = (ns.buffer.map(_.ts) :+ ns.anchorTs).max
+        armTimer((if (wm > 0) wm else lastTs * 1000L) + ttlMs)
+        out.iterator.map { case (win, acc) =>
+          IncreaseOut(key._1, key._2, key._3, win, acc)
+        }
       }
     }
 
