@@ -29,6 +29,15 @@ val jdk17AddOpens = Seq(
 // storage pressure into eviction + recompute — a 51 s bench outlier), while
 // smaller dev machines fall back to 8g. SPARK_DRIVER_MEM overrides either.
 val defaultHeapGb: String = {
+  def readLong(path: String): Option[Long] =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      try {
+        val it = src.getLines()
+        (if (it.hasNext) Some(it.next().trim) else None)
+          .filter(l => l.nonEmpty && l.forall(_.isDigit)).map(_.toLong)
+      } finally src.close()
+    } catch { case _: Throwable => None }
   val memTotalGb: Long =
     try {
       val src = scala.io.Source.fromFile("/proc/meminfo")
@@ -38,7 +47,15 @@ val defaultHeapGb: String = {
       }.getOrElse(0L)
       finally src.close()
     } catch { case _: Throwable => 0L }
-  if (memTotalGb >= 96) "48g" else "8g"
+  // inside a cgroup-limited container /proc/meminfo reports HOST memory —
+  // the effective bound is the cgroup limit (v2 memory.max, v1
+  // memory.limit_in_bytes; absent or "max" means unlimited)
+  val cgroupGb: Long = (readLong("/sys/fs/cgroup/memory.max") orElse
+    readLong("/sys/fs/cgroup/memory/memory.limit_in_bytes"))
+    .map(_ / (1024L * 1024L * 1024L))
+    .filter(g => g > 0 && g < 4096) // v1 reports ~unlimited as a huge number
+    .getOrElse(Long.MaxValue)
+  if (math.min(memTotalGb, cgroupGb) >= 96) "48g" else "8g"
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

@@ -116,15 +116,19 @@ object Dedup {
     val shAll = shingles(docs)
     val (sh, counts) = maxShingleDocs match {
       case Some(cap) =>
-        // capped: degenerate shingles are by construction FEW (bounded by
-        // total-occurrences/cap), so the cap is a broadcast anti-join
-        // against the hot-shingle blacklist — the corpus-scale shingle
-        // relation is never shuffled just to apply the cap. Per-doc counts
-        // must count the *surviving* shingles, so they come from the capped
-        // relation.
+        // capped: computing the hot-shingle blacklist costs one shuffle of
+        // the shingle relation (the frequency agg — unavoidable, since
+        // hotness is a global property), but APPLYING the cap is an
+        // anti-join against the blacklist, whose size is bounded by
+        // total-occurrences/cap. No broadcast hint: AQE sees the actual
+        // blacklist size at runtime and broadcasts the (typically tiny)
+        // list, while an adversarial corpus whose blacklist outgrows the
+        // broadcast limit degrades to a shuffle join instead of failing.
+        // Per-doc counts must count the *surviving* shingles, so they come
+        // from the capped relation.
         val hot = shAll.groupBy("s").agg(count(lit(1)).as("_df"))
           .filter(col("_df") > cap).select("s")
-        val capped = shAll.join(broadcast(hot), Seq("s"), "left_anti")
+        val capped = shAll.join(hot, Seq("s"), "left_anti")
         (capped, capped.groupBy("doc_id").agg(count(lit(1)).as("n")))
       case None =>
         (shAll,

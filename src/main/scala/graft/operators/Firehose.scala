@@ -215,15 +215,6 @@ object Firehose {
         count(lit(1)).as("n_samples"))
   }
 
-  /** Prometheus classic-histogram semantics as engine operators: cumulative
-    * `le` bucket counts per metric, and `histogram_quantile()`-style linear
-    * interpolation within the located bucket. A quantile landing in the
-    * +Inf bucket returns the highest finite boundary (the Prometheus
-    * convention). All arithmetic is IEEE add/mul/div over exact counts, so
-    * the oracle matches bit-for-bit.
-    *
-    * @param les finite bucket boundaries, ascending (+Inf appended)
-    */
   /** Default classic-histogram bucket boundaries for the synthetic stream. */
   val DefaultLes: Seq[Double] = Seq(50.0, 100.0, 200.0, 300.0, 400.0)
 
@@ -235,6 +226,15 @@ object Firehose {
     coalesce(
       (les.map(l => when(value <= l, lit(l))) :+ lit(Double.PositiveInfinity)): _*)
 
+  /** Prometheus classic-histogram semantics as engine operators: cumulative
+    * `le` bucket counts per metric, and `histogram_quantile()`-style linear
+    * interpolation within the located bucket. A quantile landing in the
+    * +Inf bucket returns the highest finite boundary (the Prometheus
+    * convention). All arithmetic is IEEE add/mul/div over exact counts, so
+    * the oracle matches bit-for-bit.
+    *
+    * @param les finite bucket boundaries, ascending (+Inf appended)
+    */
   def histogramQuantile(
       metrics: DataFrame,
       les: Seq[Double] = DefaultLes,
@@ -304,12 +304,6 @@ object Firehose {
       .select("component", "name", "series", "slot", "value", "filled")
   }
 
-  /** Series-state TTL (AbstractPrometheusFirehose.java:19-29: gauges idle for
-    * 10 minutes are evicted from the registry). Batch form: drop series whose
-    * last sample is older than `ttlSec` before the stream's high-water mark.
-    * The high-water mark is an aggregate scalar broadcast back — no
-    * single-partition window.
-    */
   /** Registry max-size parity (AbstractPrometheusFirehose.java:20-23:
     * `maximumSize(10000)` on the Guava gauge cache): cap the registry at the
     * `maxSeries` most-recently-updated series — the guard against a
@@ -330,6 +324,12 @@ object Firehose {
       k = maxSeries)
       .drop("_registry")
 
+  /** Series-state TTL (AbstractPrometheusFirehose.java:19-29: gauges idle for
+    * 10 minutes are evicted from the registry). Batch form: drop series whose
+    * last sample is older than `ttlSec` before the stream's high-water mark.
+    * The high-water mark is an aggregate scalar broadcast back — no
+    * single-partition window.
+    */
   def gaugeExpiry(gauges: DataFrame, ttlSec: Long = 600): DataFrame = {
     // The gauge snapshot is bounded by live-series cardinality (not row
     // count), so materializing it is cheap at any scale and avoids

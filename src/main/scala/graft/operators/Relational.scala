@@ -435,10 +435,6 @@ object Relational {
       k = k)
   }
 
-  /** Full-outer join with both null directions live: BUILDING customers
-    * without orders (null right) and order activity from non-BUILDING
-    * customers (null left).
-    */
   /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
     * with the priority exclusion in the ON clause — not a WHERE — so
     * customers with zero qualifying orders survive with count 0, then a
@@ -463,17 +459,21 @@ object Relational {
     * whose line quantities sum past a threshold), joined back to orders and
     * customers, deterministic top-100. Scale: the HAVING aggregation is
     * partial by orderkey (the same key the lineitem join needs — one
-    * shuffle feeds both), customers broadcast, top-100 is a TakeOrdered —
-    * no global sort.
+    * shuffle feeds both); the customer join side is the HAVING output
+    * (tiny), which AQE broadcasts at runtime — customer itself grows with
+    * SF, so no static hint; top-100 is a TakeOrdered — no global sort.
     */
   def q18LargeOrders(spark: SparkSession, dir: String, minQty: Double = 300.0): DataFrame = {
     val big = t(spark, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
       .filter(col("total_qty") > minQty)
+    // no broadcast hint on customer: it grows with SF (150k rows × SF), so
+    // the planner/AQE must keep the size decision — the HAVING output is
+    // tiny and AQE broadcasts THAT side of the customer join at runtime
     t(spark, dir, "orders")
       .join(big, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(t(spark, dir, "customer")), col("c_custkey") === col("o_custkey"))
+      .join(t(spark, dir, "customer"), col("c_custkey") === col("o_custkey"))
       .select(
         col("c_name"), col("c_custkey"), col("o_orderkey"),
         col("o_orderdate").cast("date").as("order_date"),
@@ -507,6 +507,10 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Full-outer join with both null directions live: BUILDING customers
+    * without orders (null right) and order activity from non-BUILDING
+    * customers (null left).
+    */
   def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")

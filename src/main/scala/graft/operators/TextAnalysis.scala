@@ -92,9 +92,6 @@ object TextAnalysis {
           + least(col("stop_ratio") * lit(5.0), lit(1.0)) * lit(0.2))
   }
 
-  /** Rolling polynomial document fingerprint via the codegen'd
-    * [[graft.functions.PolyFingerprint]] expression.
-    */
   /** Fixed-size overlapping token-window chunking — how a training pipeline
     * splits long documents into model-context-sized sequences. Each
     * document's token array becomes `1 + ceil(max(0, n - chunk)/step)`
@@ -132,6 +129,9 @@ object TextAnalysis {
         array_join(col("_chunk"), " ").as("chunk_text"))
   }
 
+  /** Rolling polynomial document fingerprint via the codegen'd
+    * [[graft.functions.PolyFingerprint]] expression.
+    */
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

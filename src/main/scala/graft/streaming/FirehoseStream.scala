@@ -168,13 +168,21 @@ object FirehoseStream {
     */
   def kafkaSourceOptions(config: graft.config.GraftConfig): Map[String, String] = {
     val consumer = config.subset("consumer")
+    // translated to Spark source options rather than passed through
     val translated = Seq("topic", "auto.offset.reset")
+    // properties Spark's Kafka source MANAGES ITSELF and rejects as kafka.*
+    // passthroughs — a reference config file legitimately contains these
+    // (the Java consumer requires deserializers), so they must be dropped,
+    // not forwarded, or the stream fails at start
+    val sparkManaged = Seq(
+      "key.deserializer", "value.deserializer", "enable.auto.commit",
+      "interceptor.classes")
     Map(
       "subscribe" -> consumer.getOrElse("topic", "metrics.v1"),
       "startingOffsets" ->
         (if (consumer.get("auto.offset.reset").contains("earliest")) "earliest"
          else "latest")) ++
-      (consumer -- translated).map { case (k, v) => s"kafka.$k" -> v }
+      (consumer -- translated -- sparkManaged).map { case (k, v) => s"kafka.$k" -> v }
   }
 
   /** Kafka source wiring (code-only in this container: no broker jar).

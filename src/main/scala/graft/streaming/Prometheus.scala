@@ -63,13 +63,25 @@ object Prometheus {
     * × buckets × open windows — what a scrape endpoint renders, the batch
     * operator's second phase made incremental).
     */
-  final class HistogramRegistry {
+  /** @param maxWindows retained window-start count; when a batch pushes the
+    *                    registry past it, the OLDEST windows are evicted —
+    *                    the same bounded-registry posture as the gauge
+    *                    registry's `maxSeries` (a scrape endpoint serves
+    *                    recent history, not all of it; windows below the
+    *                    stream's watermark stop updating anyway)
+    */
+  final class HistogramRegistry(maxWindows: Int = 10000) {
     private val state =
       scala.collection.mutable.Map.empty[(Long, String, Double), Long]
     def update(rows: Seq[(Long, String, Double, Long)]): Unit = state.synchronized {
       rows.foreach { case (win, name, le, n) => state((win, name, le)) = n }
+      val wins = state.keysIterator.map(_._1).toSet
+      if (wins.size > maxWindows) {
+        val cutoff = wins.toSeq.sorted.apply(wins.size - maxWindows)
+        state.filterInPlace { case ((w, _, _), _) => w >= cutoff }
+      }
     }
-    /** q-quantile for a metric over all landed windows (the batch
+    /** q-quantile for a metric over all retained windows (the batch
       * operator's global semantics; pass a window filter for per-window).
       */
     def quantile(name: String, q: Double, winFilter: Long => Boolean = _ => true): Option[Double] =
@@ -82,20 +94,27 @@ object Prometheus {
         else {
           val total = byLe.map(_._2).sum
           val rank = q * total.toDouble
+          // plain fold: locate the first bucket whose cumulative count
+          // reaches the rank, interpolating inside it (+Inf → highest
+          // finite boundary) — exactly Firehose.histogramQuantile's math
           var cumPrev = 0L
           var lo = 0.0
-          byLe.collectFirst {
-            case (le, cnt) if {
-              val cum = cumPrev + cnt
-              val hit = cum.toDouble >= rank
-              if (!hit) { cumPrev = cum; lo = le }
-              hit
-            } =>
-              val cum = cumPrev + cnt
-              if (le.isPosInfinity) lo
-              else lo + (le - lo) * ((rank - cumPrev.toDouble) /
-                (cum.toDouble - cumPrev.toDouble))
+          var result = Option.empty[Double]
+          val it = byLe.iterator
+          while (result.isEmpty && it.hasNext) {
+            val (le, cnt) = it.next()
+            val cum = cumPrev + cnt
+            if (cum.toDouble >= rank) {
+              result = Some(
+                if (le.isPosInfinity) lo
+                else lo + (le - lo) * ((rank - cumPrev.toDouble) /
+                  (cum.toDouble - cumPrev.toDouble)))
+            } else {
+              cumPrev = cum
+              lo = le
+            }
           }
+          result
         }
       }
     def size: Int = state.synchronized(state.size)

@@ -57,5 +57,19 @@ class ConfigSpec extends AnyFunSuite {
     assert(opts("kafka.max.poll.records") === "1000") // reference default
     // the translated keys must NOT leak through as kafka. passthroughs
     assert(!opts.contains("kafka.topic") && !opts.contains("kafka.auto.offset.reset"))
+    // a faithful reference config carries consumer properties Spark's
+    // source manages itself and REJECTS — they must be dropped, not passed
+    val full = GraftConfig.layered(
+      env = Map(
+        "GRAFT_CONSUMER_BOOTSTRAP_SERVERS" -> "broker:9092",
+        "GRAFT_CONSUMER_KEY_DESERIALIZER" -> "org.apache.kafka.common.serialization.ByteArrayDeserializer",
+        "GRAFT_CONSUMER_VALUE_DESERIALIZER" -> "org.apache.kafka.common.serialization.ByteArrayDeserializer",
+        "GRAFT_CONSUMER_ENABLE_AUTO_COMMIT" -> "true"),
+      sysProps = Map.empty)
+    val fullOpts = graft.streaming.FirehoseStream.kafkaSourceOptions(full)
+    assert(!fullOpts.contains("kafka.key.deserializer"))
+    assert(!fullOpts.contains("kafka.value.deserializer"))
+    assert(!fullOpts.contains("kafka.enable.auto.commit"))
+    assert(fullOpts("kafka.bootstrap.servers") === "broker:9092")
   }
 }

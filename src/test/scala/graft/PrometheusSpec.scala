@@ -92,6 +92,16 @@ class PrometheusSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("histogram registry evicts the oldest windows past maxWindows") {
+    val registry = new Prometheus.HistogramRegistry(maxWindows = 2)
+    registry.update(Seq((0L, "m", 5.0, 1L), (60000L, "m", 5.0, 2L)))
+    registry.update(Seq((120000L, "m", 5.0, 3L)))
+    assert(registry.size === 2) // window 0 evicted
+    // the evicted window no longer contributes to the quantile
+    assert(registry.quantile("m", 0.5, w => w == 0L).isEmpty)
+    assert(registry.quantile("m", 0.5, w => w == 120000L).isDefined)
+  }
+
   test("push model: each micro-batch POSTs exposition text to the gateway (PrometheusPusher parity)") {
     val dir = Files.createTempDirectory("graft-push").toFile
     val chk = Files.createTempDirectory("graft-pushchk").toFile
