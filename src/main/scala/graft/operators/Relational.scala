@@ -559,4 +559,22 @@ object Relational {
     o.groupBy(col("o_orderpriority"))
       .agg(approx_count_distinct(col("o_custkey"), 0.02).as("n_custs_approx"))
   }
+
+  /** Approximate twin of [[qPercentiles]]: `approx_percentile` (the
+    * Greenwald-Khanna sketch) with a bounded relative accuracy. The sketch
+    * is mergeable, so at 100 TB this is one map-side-combinable pass —
+    * unlike exact `percentile`, whose state is the value multiset.
+    * Spec-verified within the accuracy bound of the exact operator
+    * (approximate ⇒ no hash oracle, the same policy as the HLL twin).
+    */
+  def qPercentilesApprox(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame = {
+    val o = t(spark, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        approx_percentile(col("o_totalprice"), lit(0.25), lit(accuracy)).as("p25_approx"),
+        approx_percentile(col("o_totalprice"), lit(0.5), lit(accuracy)).as("p50_approx"),
+        approx_percentile(col("o_totalprice"), lit(0.75), lit(accuracy)).as("p75_approx"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

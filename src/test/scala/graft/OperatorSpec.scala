@@ -125,6 +125,21 @@ class OperatorSpec extends SparkSuite {
     assert(recall >= 0.6, f"IVF recall $recall%.2f below the 0.6 floor at defaults")
   }
 
+  test("approx_percentile tracks exact percentiles within the accuracy bound") {
+    val exact = Relational.qPercentiles(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Relational.qPercentilesApprox(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    exact.foreach { case (k, (e25, e50, e75)) =>
+      val (a25, a50, a75) = approx(k)
+      // GK returns an actual data value near the requested rank; at this
+      // accuracy the relative error on a smooth distribution stays small
+      Seq((e25, a25), (e50, a50), (e75, a75)).foreach { case (e, a) =>
+        assert(math.abs(a - e) / e < 0.05, s"priority $k: exact $e vs approx $a")
+      }
+    }
+  }
+
   test("approx_count_distinct tracks exact within rsd bound") {
     val exact = Relational.qDistinct(spark, sfDir)
       .select("o_orderpriority", "n_custs").collect()
