@@ -181,6 +181,12 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1))
     }),
+    "d14_sequence_pack" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Curate.packSequences(
+        TextAnalysis.chunkWindows(docs)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id"))
+    }),
     "d13_decontaminate" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       Dedup.decontaminate(
@@ -814,6 +820,34 @@ object SparkEntry {
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS norm_hash,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // sequential next-fit packing mirrored as a linear recursive CTE per
+    // source (rn-ordered), over the same chunk relation as t9 (budget 120)
+    "d14_sequence_pack" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ws
+        |  FROM documents),
+        |n AS (SELECT doc_id, ws, len(ws) AS n FROM words WHERE len(ws) > 0),
+        |c AS (SELECT doc_id, ws,
+        |        CAST(1 + (greatest(n - 50, 0) + 39) // 40 AS INTEGER) AS n_chunks
+        |      FROM n),
+        |ch AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        |         CAST(len(list_slice(ws, k * 40 + 1, k * 40 + 50)) AS BIGINT) AS tok
+        |       FROM c, UNNEST(generate_series(0, n_chunks - 1)) t(k)),
+        |sc AS (SELECT d.source, ch.doc_id, ch.chunk_id, ch.tok,
+        |         row_number() OVER (PARTITION BY d.source
+        |           ORDER BY ch.doc_id, ch.chunk_id) AS rn
+        |       FROM ch JOIN documents d USING (doc_id)),
+        |r AS (
+        |  SELECT source, rn, tok, tok AS fill, CAST(0 AS BIGINT) AS pack
+        |  FROM sc WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.source, c.rn, c.tok,
+        |    CASE WHEN r.fill + c.tok <= 120 THEN r.fill + c.tok ELSE c.tok END,
+        |    CASE WHEN r.fill + c.tok <= 120 THEN r.pack ELSE r.pack + 1 END
+        |  FROM r JOIN sc c ON c.source = r.source AND c.rn = r.rn + 1)
+        |SELECT source, pack AS pack_id, count(*) AS n_chunks,
+        |  CAST(sum(tok) AS BIGINT) AS total_tokens
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "d13_decontaminate" ->
       (ShinglesCte +
         """corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 4 != 0),

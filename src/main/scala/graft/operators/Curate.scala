@@ -63,6 +63,58 @@ object Curate {
       .select(col(groupCol), col("doc_id"), col("priority"), col("rnk"), col("quota"))
   }
 
+  /** Greedy next-fit sequence packing — the step after chunking in a
+    * training-data pipeline: chunks are packed into fixed token-budget
+    * sequences so short pieces don't waste model context as padding.
+    * Packing is inherently order-sequential, so the group (`groupCol`) is
+    * the parallel unit: within each group chunks are walked in
+    * (doc_id, chunk_id) order and a chunk opens a new pack when it doesn't
+    * fit the current fill (a chunk alone larger than the budget gets its
+    * own pack). Emits one row per pack with chunk/token totals.
+    *
+    * Scale: per-group state is the chunk list (sorted for determinism) —
+    * at 100 TB the group key is a (source, shard) pair so no single group
+    * is unbounded; across groups this is one shuffle + embarrassingly
+    * parallel folds. Deterministic for a given input, independent of
+    * partitioning — hence oracle-checkable against a sequential SQL mirror.
+    */
+  def packSequences(
+      chunks: DataFrame,
+      budget: Long = 120,
+      groupCol: String = "source"): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val ds = chunks
+      .select(
+        col(groupCol).cast("string").as("g"),
+        col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
+      .as[(String, Long, Long, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val sorted = it.toSeq.sortBy(t => (t._2, t._3))
+        var pack = 0L
+        var fill = 0L
+        var nChunks = 0L
+        var first = true
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+        sorted.foreach { case (_, _, _, tok) =>
+          if (first || fill + tok <= budget) {
+            fill += tok
+            nChunks += 1
+            first = false
+          } else {
+            out += ((g, pack, nChunks, fill))
+            pack += 1
+            fill = tok
+            nChunks = 1
+          }
+        }
+        if (!first) out += ((g, pack, nChunks, fill))
+        out.iterator
+      }
+      .toDF(groupCol, "pack_id", "n_chunks", "total_tokens")
+  }
+
   /** Deterministic weighted k-per-group sampling with the
     * Efraimidis–Spirakis key: u = (hash+1)/2^60 ∈ (0,1] from the portable
     * 60-bit hash of (seed, doc_id); priority = -ln(u)/w with w = token

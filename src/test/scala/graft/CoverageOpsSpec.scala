@@ -263,6 +263,29 @@ class CoverageOpsSpec extends SparkSuite {
     assert(out === Set((0L, 1L), (0L, 3L)))
   }
 
+  test("sequence packing walks chunks in order and opens a pack on overflow") {
+    import spark.implicits._
+    // budget 10: chunks 6,3 fit pack 0 (fill 9); 4 overflows → pack 1 with
+    // 4,5 (fill 9); an oversized chunk (12) always gets its own pack
+    val chunks = Seq(
+      ("s1", 1L, 0L, 6L), ("s1", 1L, 1L, 3L), ("s1", 2L, 0L, 4L),
+      ("s1", 2L, 1L, 5L), ("s1", 3L, 0L, 12L),
+      ("s2", 1L, 0L, 2L))
+      .toDF("source", "doc_id", "chunk_id", "n_chunk_tokens")
+    val out = Curate.packSequences(chunks, budget = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      ("s1", 0L) -> ((2L, 9L)),
+      ("s1", 1L) -> ((2L, 9L)),
+      ("s1", 2L) -> ((1L, 12L)),
+      ("s2", 0L) -> ((1L, 2L))))
+    // invariants: no pack over budget except single oversized chunks; total
+    // tokens preserved
+    assert(out.values.map(_._2).sum === 6 + 3 + 4 + 5 + 12 + 2)
+    assert(out.values.forall { case (n, tok) => tok <= 10 || n == 1 })
+  }
+
   test("decontamination flags corpus docs covering benchmark shingles") {
     import spark.implicits._
     // benchmark doc 0: 7 tokens → 5 distinct 3-gram shingles; corpus doc 1
