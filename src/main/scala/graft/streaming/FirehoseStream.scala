@@ -58,20 +58,33 @@ object IncreaseCore {
   val empty: IncreaseState =
     IncreaseState(hasAnchor = false, 0L, "", 0.0, Nil, Map.empty)
 
+  /** One step's outputs: `running` = every window this batch touched with
+    * its current total (Update-mode emission); `closed` = windows that can
+    * no longer change (entirely below the watermark, just pruned from
+    * state) with their FINAL totals — each window appears in `closed`
+    * exactly once over a stream's lifetime (Append-mode emission).
+    */
+  final case class StepResult(
+      state: IncreaseState,
+      running: Seq[(Long, Double)],
+      closed: Seq[(Long, Double)])
+
   /** One micro-batch step: merge `incoming` into the in-watermark buffer,
     * re-fold it from the anchor (deltas in (ts, id) order, resets clamped
     * to the post-reset value), freeze the prefix below `wmSec` into the
     * finalized per-window sums, prune windows that can no longer change.
-    * Returns the new state and the (win_start, running increase) rows to
-    * emit — every window the batch touched.
     */
   def step(
       st: IncreaseState,
       incoming: Seq[CounterSample],
       wmSec: Long,
-      widthSec: Long): (IncreaseState, Seq[(Long, Double)]) = {
+      widthSec: Long): StepResult = {
     val buf = (st.buffer ++ incoming).sortBy(s => (s.ts, s.id))
-    if (buf.isEmpty) return (st, Nil)
+    if (buf.isEmpty) {
+      // no new data, but the advancing watermark may still close windows
+      val (closed, kept) = st.finalized.partition { case (win, _) => win + widthSec <= wmSec }
+      return StepResult(st.copy(finalized = kept), Nil, closed.toSeq.sortBy(_._1))
+    }
     // one fold over the mutable region, starting from the anchor
     var prevValue = st.anchorValue
     var hasPrev = st.hasAnchor
@@ -106,10 +119,11 @@ object IncreaseCore {
     val out = touched.sorted.map { win =>
       win -> (finalized.getOrElse(win, 0.0) + liveContrib.getOrElse(win, 0.0))
     }
-    // windows entirely below the watermark can't change anymore and were
-    // just emitted final — drop them (live windows all satisfy
-    // win + widthSec > wmSec since their samples have ts >= wmSec)
-    finalized = finalized.filter { case (win, _) => win + widthSec > wmSec }
+    // windows entirely below the watermark can't change anymore — their
+    // totals are FINAL: surface them as closed and drop them from state
+    // (live windows all satisfy win + widthSec > wmSec since their samples
+    // have ts >= wmSec)
+    val (closed, kept) = finalized.partition { case (win, _) => win + widthSec <= wmSec }
     val anchor = frozen.lastOption.map(_._1)
     val newState = IncreaseState(
       hasAnchor = st.hasAnchor || anchor.isDefined,
@@ -117,8 +131,19 @@ object IncreaseCore {
       anchorId = anchor.map(_.id).getOrElse(st.anchorId),
       anchorValue = anchor.map(_.value).getOrElse(st.anchorValue),
       buffer = live.map(_._1),
-      finalized = finalized)
-    (newState, out)
+      finalized = kept)
+    StepResult(newState, out, closed.toSeq.sortBy(_._1))
+  }
+
+  /** Flush on state expiry: everything still buffered or finalized becomes
+    * closed output (the stream is ending for this series — its open windows
+    * will never receive more data).
+    */
+  def flush(st: IncreaseState, widthSec: Long): Seq[(Long, Double)] = {
+    val r = step(st, Nil, Long.MaxValue, widthSec)
+    // Long.MaxValue watermark freezes the whole buffer and closes every
+    // window; running output (if any) is superseded by the closed list
+    (r.closed ++ r.state.finalized.toSeq).distinct.sortBy(_._1)
   }
 
   /** Reference semantics — what the batch operator computes: per-window
@@ -294,16 +319,62 @@ object FirehoseStream {
           } else {
             val st = state.getOption.getOrElse(IncreaseCore.empty)
             val incoming = points.map(p => CounterSample(p.timestamp, p.id, p.value)).toSeq
-            val (newState, out) = IncreaseCore.step(
+            val r = IncreaseCore.step(
               st, incoming, state.getCurrentWatermarkMs() / 1000L, widthSec)
-            state.update(newState)
-            val lastTs = (newState.buffer.map(_.ts) :+ newState.anchorTs).max
+            state.update(r.state)
+            val lastTs = (r.state.buffer.map(_.ts) :+ r.state.anchorTs).max
             if (state.getCurrentWatermarkMs() > 0) {
               state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
             } else {
               state.setTimeoutTimestamp(lastTs * 1000L + ttlMs)
             }
-            out.iterator.map { case (win, acc) =>
+            r.running.iterator.map { case (win, acc) =>
+              IncreaseOut(component, name, series, win, acc)
+            }
+          }
+      }
+  }
+
+  /** Closed-window counter increase: emits each (series, window) total
+    * exactly once, when the watermark guarantees the window can no longer
+    * change — the emission contract a downstream ledger or alerting rule
+    * wants (the Update-mode [[counterIncrease]] re-emits running totals).
+    * Idle series flush their remaining open windows when their state
+    * expires (event-time TTL), so no window is lost when a series stops
+    * reporting.
+    */
+  def counterIncreaseClosed(
+      metrics: DataFrame,
+      widthSec: Long = 3600,
+      watermarkDelay: String = "10 minutes",
+      ttlMs: Long = 10 * 60 * 1000L): Dataset[IncreaseOut] = {
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    keyedPoints(metrics, watermarkDelay)
+      .groupByKey(p => (p.component, p.name, p.series))
+      .flatMapGroupsWithState[IncreaseState, IncreaseOut](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case ((component, name, series), points, state: GroupState[IncreaseState]) =>
+          if (state.hasTimedOut) {
+            val remaining = state.getOption
+              .map(IncreaseCore.flush(_, widthSec)).getOrElse(Nil)
+            state.remove()
+            remaining.iterator.map { case (win, acc) =>
+              IncreaseOut(component, name, series, win, acc)
+            }
+          } else {
+            val st = state.getOption.getOrElse(IncreaseCore.empty)
+            val incoming = points.map(p => CounterSample(p.timestamp, p.id, p.value)).toSeq
+            val r = IncreaseCore.step(
+              st, incoming, state.getCurrentWatermarkMs() / 1000L, widthSec)
+            state.update(r.state)
+            val lastTs = (r.state.buffer.map(_.ts) :+ r.state.anchorTs).max
+            if (state.getCurrentWatermarkMs() > 0) {
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
+            } else {
+              state.setTimeoutTimestamp(lastTs * 1000L + ttlMs)
+            }
+            r.closed.iterator.map { case (win, acc) =>
               IncreaseOut(component, name, series, win, acc)
             }
           }

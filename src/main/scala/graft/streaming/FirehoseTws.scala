@@ -145,7 +145,9 @@ object FirehoseTws {
       if (incoming.isEmpty && st.buffer.isEmpty) Iterator.empty
       else {
         val wmSec = timers.getCurrentWatermarkInMs() / 1000L
-        val (ns, out) = IncreaseCore.step(st, incoming, wmSec, widthSec)
+        val r = IncreaseCore.step(st, incoming, wmSec, widthSec)
+        val ns = r.state
+        val out = r.running
         ns.finalized.foreach { case (win, v) =>
           if (!oldFinalized.get(win).contains(v)) finalized.updateValue(win, v)
         }

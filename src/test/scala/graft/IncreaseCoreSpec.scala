@@ -47,9 +47,9 @@ class IncreaseCoreSpec extends AnyFunSuite {
         // Spark drops rows below the watermark before the operator; mirror it
         val admitted = if (wmSet) batch.filter(_.ts >= wmSec) else batch
         accepted ++= admitted
-        val (ns, out) = IncreaseCore.step(st, admitted, wmSec, widthSec)
-        st = ns
-        out.foreach { case (w, v) => lastEmit(w) = v }
+        val r = IncreaseCore.step(st, admitted, wmSec, widthSec)
+        st = r.state
+        r.running.foreach { case (w, v) => lastEmit(w) = v }
         // 0-delay watermark: advances to the max event time seen so far
         if (admitted.nonEmpty) {
           wmSec = math.max(wmSec, admitted.map(_.ts).max)
@@ -62,14 +62,47 @@ class IncreaseCoreSpec extends AnyFunSuite {
     }
   }
 
+  test("closed-window emission fires exactly once per window with the final value") {
+    (1 to 300).foreach { caseNo =>
+      val samples = randomSamples()
+      val batches = randomBatches(rnd.shuffle(samples))
+      var st = IncreaseCore.empty
+      var wmSec = 0L
+      var wmSet = false
+      val closedEmits = scala.collection.mutable.ListBuffer.empty[(Long, Double)]
+      val accepted = scala.collection.mutable.ListBuffer.empty[CounterSample]
+      batches.foreach { batch =>
+        val admitted = if (wmSet) batch.filter(_.ts >= wmSec) else batch
+        accepted ++= admitted
+        val r = IncreaseCore.step(st, admitted, wmSec, widthSec)
+        st = r.state
+        closedEmits ++= r.closed
+        if (admitted.nonEmpty) {
+          wmSec = math.max(wmSec, admitted.map(_.ts).max)
+          wmSet = true
+        }
+      }
+      // stream end: TTL flush closes everything still open
+      closedEmits ++= IncreaseCore.flush(st, widthSec)
+      val expected = IncreaseCore.batchReference(accepted.toList, widthSec)
+      // exactly once per window...
+      val wins = closedEmits.map(_._1)
+      assert(wins.distinct.size === wins.size,
+        s"case $caseNo: window closed twice: $closedEmits")
+      // ...with exactly the batch-semantics final value
+      assert(closedEmits.toMap === expected,
+        s"case $caseNo: closed=$closedEmits expected=$expected")
+    }
+  }
+
   test("state buffer and finalized windows stay bounded by the watermark horizon") {
     (1 to 200).foreach { _ =>
       var st = IncreaseCore.empty
       val sorted = randomSamples().sortBy(s => (s.ts, s.id))
       sorted.grouped(5).foreach { batch =>
         val wm = batch.map(_.ts).max // 0-delay watermark after this batch
-        val (ns, _) = IncreaseCore.step(st, batch, wm, widthSec)
-        st = ns
+        val r = IncreaseCore.step(st, batch, wm, widthSec)
+        st = r.state
         assert(st.buffer.forall(_.ts >= wm),
           s"buffer holds samples below the watermark: ${st.buffer} wm=$wm")
         assert(st.finalized.keys.forall(_ + widthSec > wm),

@@ -294,6 +294,50 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("closed-window counter increase emits each window once with its final total") {
+    val dir = Files.createTempDirectory("graft-inc-closed").toFile
+    val chk = Files.createTempDirectory("graft-inc-closedchk").toFile
+    // widthSec 100: window 0 = [0,100), window 100 = [100,200). Batch 1
+    // fills window 0; batch 2's ts 250 pushes the 0-delay watermark past
+    // both windows' ends, closing them
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "c_total", 10, "u1", 10.0),
+        metricJson("2", "c_total", 50, "u1", 16.0),
+        metricJson("3", "c_total", 150, "u1", 20.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.counterIncreaseClosed(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+        widthSec = 100, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("inc_closed_t").outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(metricJson("4", "c_total", 250, "u1", 25.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      // each batch's watermark applies during the NEXT batch, so advance
+      // twice more: b3's arrival closes windows 0/100 (wm 250), b4's
+      // arrival closes window 200 (wm 400)
+      Files.write(dir.toPath.resolve("b3.json"),
+        Seq(metricJson("5", "c_total", 400, "u1", 30.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      Files.write(dir.toPath.resolve("b4.json"),
+        Seq(metricJson("6", "c_total", 500, "u1", 31.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val rows = spark.table("inc_closed_t")
+        .collect().map(r => r.getAs[Long]("win_start") -> r.getAs[Double]("increase"))
+      // exactly once per closed window, with the batch totals:
+      // window 0: 0 + 6 = 6; window 100: +4 (16→20); window 200: +5 (20→25)
+      assert(rows.map(_._1).distinct.length === rows.length,
+        s"window emitted twice: ${rows.toSeq}")
+      val byWin = rows.toMap
+      assert(byWin.get(0L) === Some(6.0), s"got $byWin")
+      assert(byWin.get(100L) === Some(4.0), s"got $byWin")
+      assert(byWin.get(200L) === Some(5.0), s"got $byWin")
+    } finally q.stop()
+  }
+
   test("streaming counter increase finalizes windows below the watermark and prunes state") {
     val dir = Files.createTempDirectory("graft-inc-fin").toFile
     val chk = Files.createTempDirectory("graft-inc-finchk").toFile
