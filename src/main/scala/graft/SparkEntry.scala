@@ -170,6 +170,11 @@ object SparkEntry {
     "t8_lm_score" -> ((s, dir) => TextAnalysis.lmScore(Tables(s, dir, "documents"))),
     "t9_chunk_windows" -> ((s, dir) =>
       TextAnalysis.chunkWindows(Tables(s, dir, "documents"), chunkTokens = 50, overlap = 10)),
+    // model coefficients are solver output → no portable oracle; the
+    // driver records the rows-only check (like s3), the spec asserts
+    // model/heuristic agreement
+    "t10_quality_model" -> ((s, dir) =>
+      TextAnalysis.qualityModel(Tables(s, dir, "documents"))),
     "d11_mixture_sample" -> ((s, dir) =>
       Curate.mixtureSample(
         Tables(s, dir, "documents"),

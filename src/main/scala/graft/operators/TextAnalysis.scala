@@ -92,6 +92,74 @@ object TextAnalysis {
           + least(col("stop_ratio") * lit(5.0), lit(1.0)) * lit(0.2))
   }
 
+  /** Model-based quality scoring — the distillation shape production
+    * pipelines use: expensive labels (here the [[qualityScore]] heuristic
+    * thresholded at `labelCutoff`; in production an LLM judge or human
+    * ratings) train a cheap logistic-regression classifier over O(1)
+    * row-local features, and the CLASSIFIER scores the full corpus. The
+    * split of costs is the point at 100 TB: training touches only a
+    * bounded sample (MLlib on `maxTrainRows` rows), while scoring is the
+    * fitted coefficients embedded as plan literals — a pure codegen
+    * sigmoid over the feature columns, no MLlib evaluation path, no UDF,
+    * no shuffle.
+    *
+    * Emits per doc: the features, the heuristic label, the model
+    * probability and the model prediction (at 0.5). No portable oracle
+    * (coefficients are solver output); spec asserts model/heuristic
+    * agreement and probability sanity.
+    */
+  def qualityModel(
+      docs: DataFrame,
+      labelCutoff: Double = 0.5,
+      maxTrainRows: Long = 20000L): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.array_to_vector
+    val scored = qualityScore(docs).select(
+      col("doc_id"), col("n_words"), col("rep_ratio"),
+      col("punct_ratio"), col("stop_ratio"),
+      (col("quality") >= labelCutoff).cast("double").as("label"))
+    // features kept finite: empty docs have null ratios → 0
+    val featCols = Seq(
+      least(col("n_words").cast("double") / lit(50.0), lit(1.0)),
+      coalesce(col("rep_ratio"), lit(0.0)),
+      coalesce(col("punct_ratio"), lit(0.0)),
+      coalesce(col("stop_ratio"), lit(0.0)))
+    val featured = scored.withColumn("features", array_to_vector(array(featCols: _*)))
+    // bounded training sample: per-partition reservoir, like the IVF
+    // trainer — no count(), no shuffle, uniform across each split
+    val parts = math.max(1, featured.rdd.getNumPartitions)
+    val perPart = math.max(1, (maxTrainRows / parts).toInt)
+    val train = featured.sparkSession.createDataFrame(
+      featured.rdd.mapPartitionsWithIndex { (idx, it) =>
+        val rnd = new scala.util.Random(42L * 2003L + idx)
+        val reservoir = new Array[org.apache.spark.sql.Row](perPart)
+        var seen = 0L
+        it.foreach { row =>
+          if (seen < perPart) reservoir(seen.toInt) = row
+          else {
+            val j = (rnd.nextDouble() * (seen + 1)).toLong
+            if (j < perPart) reservoir(j.toInt) = row
+          }
+          seen += 1
+        }
+        reservoir.iterator.take(math.min(seen, perPart.toLong).toInt)
+      }, featured.schema)
+    val model = new LogisticRegression()
+      .setMaxIter(50).setRegParam(0.01)
+      .setFeaturesCol("features").setLabelCol("label")
+      .fit(train)
+    // scoring: coefficients as plan literals → codegen'd sigmoid
+    val w = model.coefficients.toArray
+    val z = featCols.zip(w).map { case (c, wi) => c * lit(wi) }
+      .reduce(_ + _) + lit(model.intercept)
+    scored
+      .withColumn("prob_good", lit(1.0) / (lit(1.0) + exp(-z)))
+      .withColumn("model_pred", (col("prob_good") >= 0.5).cast("int"))
+      .select(
+        col("doc_id"), col("label").cast("int").as("heuristic_label"),
+        col("prob_good"), col("model_pred"))
+  }
+
   /** Fixed-size overlapping token-window chunking — how a training pipeline
     * splits long documents into model-context-sized sequences. Each
     * document's token array becomes `1 + ceil(max(0, n - chunk)/step)`

@@ -140,6 +140,23 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("quality model agrees with the heuristic labels it distills") {
+    val docs = Tables(spark, sfDir, "documents")
+    val out = graft.operators.TextAnalysis.qualityModel(docs).collect()
+    assert(out.length === docs.count())
+    // probabilities are probabilities
+    assert(out.forall { r =>
+      val p = r.getAs[Double]("prob_good"); p >= 0.0 && p <= 1.0
+    })
+    // a linear model over the same features the heuristic combines almost
+    // linearly must reproduce its labels on in-distribution data
+    val agree = out.count(r =>
+      r.getAs[Int]("model_pred") == r.getAs[Int]("heuristic_label"))
+    val rate = agree.toDouble / out.length
+    info(f"model/heuristic agreement: $rate%.3f")
+    assert(rate >= 0.85, f"agreement $rate%.3f below 0.85")
+  }
+
   test("approx_count_distinct tracks exact within rsd bound") {
     val exact = Relational.qDistinct(spark, sfDir)
       .select("o_orderpriority", "n_custs").collect()
