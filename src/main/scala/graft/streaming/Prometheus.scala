@@ -53,6 +53,23 @@ object Prometheus {
       val m = state.asScala.toMap
       m.keys.toSeq.sorted.map(m).mkString("", "\n", if (m.isEmpty) "" else "\n")
     }
+    /** Hottest k series by current value (m10's live sibling — what a
+      * "top talkers" dashboard reads from the scrape endpoint). The
+      * registry is maxSeries-bounded, so this is an O(series log k) pass
+      * over a small map, never over the stream.
+      */
+    def topK(k: Int): Seq[String] = state.synchronized {
+      import scala.jdk.CollectionConverters._
+      state.asScala.values.toSeq
+        .map { line =>
+          val parts = line.split(' ')
+          (if (parts.length >= 2) parts(1).toDouble else Double.NaN, line)
+        }
+        .filterNot(_._1.isNaN)
+        .sortBy { case (v, line) => (-v, line) }
+        .take(k)
+        .map(_._2)
+    }
     def size: Int = state.synchronized(state.size)
   }
 

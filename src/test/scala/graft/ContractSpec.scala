@@ -11,8 +11,10 @@ class ContractSpec extends SparkSuite {
     val orphans = SparkEntry.oracleSql.keySet -- queries
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
     val rowsOnly = queries -- SparkEntry.oracleSql.keySet
-    // rows-only queries are the deliberate, documented exceptions
-    assert(rowsOnly === Set("s3_ann_ivf"),
+    // rows-only queries are the deliberate, documented exceptions: solver
+    // outputs (KMeans cells, LR coefficients) have no portable oracle and
+    // are spec-verified instead (recall floor / agreement floor)
+    assert(rowsOnly === Set("s3_ann_ivf", "t10_quality_model"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

@@ -92,6 +92,16 @@ class PrometheusSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("registry topK returns the hottest series by current value") {
+    val registry = new Prometheus.Registry
+    registry.update(Seq(
+      """app_a{user="u1"} 5.000000 1000""",
+      """app_b{user="u2"} 9.000000 1000""",
+      """app_c{user="u3"} 7.000000 1000"""))
+    val top2 = registry.topK(2)
+    assert(top2.map(_.takeWhile(_ != ' ')) === Seq("""app_b{user="u2"}""", """app_c{user="u3"}"""))
+  }
+
   test("histogram registry evicts the oldest windows past maxWindows") {
     val registry = new Prometheus.HistogramRegistry(maxWindows = 2)
     registry.update(Seq((0L, "m", 5.0, 1L), (60000L, "m", 5.0, 2L)))
