@@ -160,6 +160,10 @@ object SparkEntry {
       val emb = Tables(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    "s6_hard_negatives" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
     "t1_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables(s, dir, "documents"))),
     "t2_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables(s, dir, "documents"))),
     "t3_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(Tables(s, dir, "documents"))),
@@ -926,6 +930,17 @@ object SparkEntry {
         |        ORDER BY priority, doc_id) AS BIGINT) AS rnk FROM p)
         |SELECT source, doc_id, n_words, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "s2_ann_lsh" -> s2OracleSql,
+    "s6_hard_negatives" ->
+      s"""WITH probes AS (SELECT * FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         | SELECT p.vec_id AS probe_id, p.label AS probe_label,
+         |   c.vec_id AS neighbor_id, c.label AS cand_label,
+         |   ${cosineSql("p.embedding", "c.embedding")} AS cosine
+         | FROM embeddings c JOIN probes p ON c.label != p.label),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk FROM scored)
+         |SELECT probe_id, probe_label, neighbor_id, cand_label, cosine, rnk
+         |FROM r WHERE rnk <= 5""".stripMargin,
     "mm1_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  'text/plain' AS mime, source

@@ -139,6 +139,36 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each probe, the k
+    * most-similar corpus vectors with a DIFFERENT label — the negatives
+    * that actually move a contrastive loss (random negatives are too easy;
+    * same-label items are positives). Same scale shape as
+    * [[bruteForceTopK]]: probes broadcast with their labels, the corpus
+    * never shuffles its vectors, one top-k window per probe. At 100 TB the
+    * candidate side drops in an LSH/IVF pre-filter exactly like [[lshTopK]]
+    * — the label predicate composes with any of them.
+    */
+  def hardNegatives(
+      embeddings: DataFrame,
+      probes: DataFrame,
+      k: Int = 5): DataFrame = {
+    val cand = embeddings.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("cand_emb"),
+      col("label").as("cand_label"))
+    val p = probes.select(
+      col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+      col("label").as("probe_label"))
+    val scored = cand
+      .join(broadcast(p), col("cand_label") =!= col("probe_label"))
+      .select(
+        col("probe_id"), col("probe_label"), col("neighbor_id"), col("cand_label"),
+        GraftFunctions.cosine_sim(col("probe_emb"), col("cand_emb")).as("cosine"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Per-label embedding centroids: element-wise mean via posexplode +
     * two-level aggregation. The explode keeps the shuffle narrow
     * ((label, dim, sum) triples, combinable map-side) and the decimal sum

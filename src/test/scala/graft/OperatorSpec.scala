@@ -125,6 +125,23 @@ class OperatorSpec extends SparkSuite {
     assert(recall >= 0.6, f"IVF recall $recall%.2f below the 0.6 floor at defaults")
   }
 
+  test("hard negatives exclude the probe's own label and rank by similarity") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    val out = Similarity.hardNegatives(emb, probes, k = 5)
+    // no same-label pair survives
+    assert(out.filter(col("cand_label") === col("probe_label")).count() === 0)
+    // exactly k per probe (the corpus has ample cross-label candidates)
+    val perProbe = out.groupBy("probe_id").count().collect()
+    assert(perProbe.nonEmpty && perProbe.forall(_.getLong(1) === 5))
+    // the mined negatives are the hardest: each probe's top negative is at
+    // least as similar as its 5th
+    val ranks = out.groupBy("probe_id")
+      .agg(max_by(col("cosine"), col("rnk") * -1).as("best"),
+        min(col("cosine")).as("worst")).collect()
+    assert(ranks.forall(r => r.getDouble(1) >= r.getDouble(2)))
+  }
+
   test("approx_percentile tracks exact percentiles within the accuracy bound") {
     val exact = Relational.qPercentiles(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
