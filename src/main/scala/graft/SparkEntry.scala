@@ -69,6 +69,8 @@ object SparkEntry {
       Firehose.gaugeCapacity(
         Firehose.gaugeLatest(Firehose.metricsFromEvents(s, dir)),
         maxSeries = 100)),
+    "m14_ratio_alert" -> ((s, dir) =>
+      Firehose.ratioAlert(Firehose.metricsFromEvents(s, dir))),
     "m9_counter_increase" -> ((s, dir) =>
       Firehose.counterIncrease(Firehose.metricsFromEvents(s, dir))),
     "m10_topk_series" -> ((s, dir) => Relational.mTopkSeries(s, dir)),
@@ -304,6 +306,47 @@ object SparkEntry {
         |        ORDER BY last_ts DESC, component, name, series) AS rnk FROM g)
         |SELECT component, name, series, last_value, last_ts
         |FROM r WHERE rnk <= 100""".stripMargin,
+    // m9's increase computed at two widths for error/view counters, ratio'd
+    // per series, multiwindow AND at threshold 1.0
+    "m14_ratio_alert" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         CAST(event_id AS VARCHAR) AS id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events WHERE event_type IN ('error', 'view')),
+        |d AS (
+        |  SELECT *, value - lag(value) OVER (PARTITION BY component, name, series
+        |    ORDER BY ts_sec, id) AS delta
+        |  FROM m),
+        |i AS (
+        |  SELECT component, name, series,
+        |    CASE WHEN delta IS NULL THEN 0.0
+        |         WHEN delta < 0 THEN value ELSE delta END AS inc,
+        |    ts_sec
+        |  FROM d),
+        |ws AS (SELECT component, name, series, ts_sec - ts_sec % 3600 AS win_start,
+        |         CAST(sum(CAST(inc AS DECIMAL(18,6))) AS DOUBLE) AS increase
+        |       FROM i GROUP BY 1, 2, 3, 4),
+        |wl AS (SELECT component, name, series, ts_sec - ts_sec % 21600 AS win_start,
+        |         CAST(sum(CAST(inc AS DECIMAL(18,6))) AS DOUBLE) AS increase
+        |       FROM i GROUP BY 1, 2, 3, 4),
+        |srt AS (SELECT n.component, n.series, n.win_start,
+        |          n.increase / d2.increase AS short_ratio
+        |        FROM ws n JOIN ws d2 ON n.component = d2.component
+        |          AND n.series = d2.series AND n.win_start = d2.win_start
+        |        WHERE n.name = 'error_total' AND d2.name = 'view_total'
+        |          AND d2.increase > 0),
+        |lrt AS (SELECT n.component, n.series, n.win_start AS long_win,
+        |          n.increase / d2.increase AS long_ratio
+        |        FROM wl n JOIN wl d2 ON n.component = d2.component
+        |          AND n.series = d2.series AND n.win_start = d2.win_start
+        |        WHERE n.name = 'error_total' AND d2.name = 'view_total'
+        |          AND d2.increase > 0)
+        |SELECT s.component, s.series, s.win_start, s.short_ratio, l.long_ratio,
+        |  CAST(s.short_ratio > 1.0 AND l.long_ratio > 1.0 AS INTEGER) AS alert
+        |FROM srt s JOIN lrt l ON s.component = l.component AND s.series = l.series
+        |  AND l.long_win = s.win_start - s.win_start % 21600""".stripMargin,
     "m9_counter_increase" ->
       """WITH m AS (
         |  SELECT 'app' AS component, event_type || '_total' AS name,

@@ -304,6 +304,49 @@ object Firehose {
       .select("component", "name", "series", "slot", "value", "filled")
   }
 
+  /** Multiwindow ratio alert — the SLO burn-rate shape Prometheus alerting
+    * builds on counters: the ratio of two counters' windowed increases
+    * (numerator/denominator matched per series), evaluated over a short
+    * and a long window, firing only when BOTH exceed the threshold — the
+    * standard guard against short-window noise and long-window staleness.
+    * Pure composition of [[counterIncrease]] at two widths plus two
+    * equi-joins; at scale each branch is the m9 plan (one window shuffle +
+    * partial agg) and the joins carry only per-window rows. Windows
+    * without denominator traffic are dropped (a ratio without traffic is
+    * undefined, not zero).
+    */
+  def ratioAlert(
+      metrics: DataFrame,
+      numName: String = "error_total",
+      denName: String = "view_total",
+      shortSec: Long = 3600,
+      longSec: Long = 21600,
+      threshold: Double = 1.0): DataFrame = {
+    require(longSec % shortSec == 0, "short windows must tile the long window")
+    def winInc(name: String, width: Long, alias: String): DataFrame =
+      counterIncrease(metrics.filter(col("name") === name), width)
+        .select(
+          col("component"), col("series"), col("win_start"),
+          col("increase").as(alias))
+    val shortR = winInc(numName, shortSec, "num_inc")
+      .join(winInc(denName, shortSec, "den_inc"), Seq("component", "series", "win_start"))
+      .filter(col("den_inc") > 0)
+      .withColumn("short_ratio", col("num_inc") / col("den_inc"))
+    val longR = winInc(numName, longSec, "num_inc_l")
+      .join(winInc(denName, longSec, "den_inc_l"), Seq("component", "series", "win_start"))
+      .filter(col("den_inc_l") > 0)
+      .withColumn("long_ratio", col("num_inc_l") / col("den_inc_l"))
+      .withColumnRenamed("win_start", "long_win")
+      .select("component", "series", "long_win", "long_ratio")
+    shortR
+      .withColumn("long_win", col("win_start") - pmod(col("win_start"), lit(longSec)))
+      .join(longR, Seq("component", "series", "long_win"))
+      .withColumn(
+        "alert",
+        (col("short_ratio") > threshold && col("long_ratio") > threshold).cast("int"))
+      .select("component", "series", "win_start", "short_ratio", "long_ratio", "alert")
+  }
+
   /** Registry max-size parity (AbstractPrometheusFirehose.java:20-23:
     * `maximumSize(10000)` on the Guava gauge cache): cap the registry at the
     * `maxSeries` most-recently-updated series — the guard against a
