@@ -309,10 +309,13 @@ object Firehose {
     * (numerator/denominator matched per series), evaluated over a short
     * and a long window, firing only when BOTH exceed the threshold — the
     * standard guard against short-window noise and long-window staleness.
-    * Pure composition of [[counterIncrease]] at two widths plus two
-    * equi-joins; at scale each branch is the m9 plan (one window shuffle +
-    * partial agg) and the joins carry only per-window rows. Windows
-    * without denominator traffic are dropped (a ratio without traffic is
+    * One [[counterIncrease]] pass feeds everything: because every delta is
+    * attributed to the window holding its LATER sample, and the short
+    * windows tile the long one, the long-window increase is exactly the
+    * rollup of its short windows — so the stream is parsed and
+    * window-shuffled once, and the long side is a tiny second aggregation
+    * over per-window rows (decimal rollup, order-independent). Windows
+    * without both counters present are dropped (a ratio without traffic is
     * undefined, not zero).
     */
   def ratioAlert(
@@ -323,21 +326,24 @@ object Firehose {
       longSec: Long = 21600,
       threshold: Double = 1.0): DataFrame = {
     require(longSec % shortSec == 0, "short windows must tile the long window")
-    def winInc(name: String, width: Long, alias: String): DataFrame =
-      counterIncrease(metrics.filter(col("name") === name), width)
-        .select(
-          col("component"), col("series"), col("win_start"),
-          col("increase").as(alias))
-    val shortR = winInc(numName, shortSec, "num_inc")
-      .join(winInc(denName, shortSec, "den_inc"), Seq("component", "series", "win_start"))
-      .filter(col("den_inc") > 0)
-      .withColumn("short_ratio", col("num_inc") / col("den_inc"))
-    val longR = winInc(numName, longSec, "num_inc_l")
-      .join(winInc(denName, longSec, "den_inc_l"), Seq("component", "series", "win_start"))
-      .filter(col("den_inc_l") > 0)
-      .withColumn("long_ratio", col("num_inc_l") / col("den_inc_l"))
-      .withColumnRenamed("win_start", "long_win")
-      .select("component", "series", "long_win", "long_ratio")
+    val inc = counterIncrease(
+      metrics.filter(col("name").isin(numName, denName)), shortSec)
+      .select(col("component"), col("name"), col("series"),
+        col("win_start"), col("increase"))
+    def pivotRatio(df: DataFrame, winCol: String, ratioCol: String): DataFrame =
+      df.groupBy(col("component"), col("series"), col(winCol))
+        .agg(
+          sum(when(col("name") === numName, col("increase").cast("decimal(18,6)")))
+            .cast("double").as("_num"),
+          sum(when(col("name") === denName, col("increase").cast("decimal(18,6)")))
+            .cast("double").as("_den"))
+        .filter(col("_num").isNotNull && col("_den") > 0)
+        .withColumn(ratioCol, col("_num") / col("_den"))
+        .drop("_num", "_den")
+    val shortR = pivotRatio(inc, "win_start", "short_ratio")
+    val longR = pivotRatio(
+      inc.withColumn("long_win", col("win_start") - pmod(col("win_start"), lit(longSec))),
+      "long_win", "long_ratio")
     shortR
       .withColumn("long_win", col("win_start") - pmod(col("win_start"), lit(longSec)))
       .join(longR, Seq("component", "series", "long_win"))
