@@ -23,6 +23,36 @@ object Tables {
     if (p * 2 < target) df.repartition(target) else df
   }
 
+  /** Bounded uniform training sample for in-operator model fitting (IVF
+    * centroids, the distilled quality model): a seeded per-partition
+    * reservoir of `maxRows / partitions` elements. Selects uniformly across
+    * each whole split (a prefix/`limit()` would bias toward each split's
+    * leading key range on clustered/sorted tables), needs no `count()` of
+    * the corpus and no shuffle, and is deterministic for a given input and
+    * `seedSalt`. The per-partition quota makes the sample proportional to
+    * partition count, not row count — fine for sketching a distribution,
+    * not a uniform sample across skewed partition SIZES.
+    */
+  def reservoirSample(df: DataFrame, maxRows: Long, seedSalt: Long): DataFrame = {
+    val parts = math.max(1, df.rdd.getNumPartitions)
+    val perPart = math.max(1, (maxRows / parts).toInt)
+    df.sparkSession.createDataFrame(
+      df.rdd.mapPartitionsWithIndex { (idx, it) =>
+        val rnd = new scala.util.Random(42L * seedSalt + idx)
+        val reservoir = new Array[org.apache.spark.sql.Row](perPart)
+        var seen = 0L
+        it.foreach { row =>
+          if (seen < perPart) reservoir(seen.toInt) = row
+          else {
+            val j = (rnd.nextDouble() * (seen + 1)).toLong
+            if (j < perPart) reservoir(j.toInt) = row
+          }
+          seen += 1
+        }
+        reservoir.iterator.take(math.min(seen, perPart.toLong).toInt)
+      }, df.schema)
+  }
+
   /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's µs TimestampType
     * cannot hold natively; read it as nanos-since-epoch long and expose both
     * the raw nanos and a µs-truncated timestamp column. */

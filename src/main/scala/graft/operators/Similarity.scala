@@ -82,29 +82,10 @@ object Similarity {
     val withVec = embeddings.withColumn("features", array_to_vector(col("embedding")))
     // train on a bounded sample: centroid quality needs only a sketch of the
     // distribution, and at 100 TB full-corpus k-means iterations are the
-    // wrong cost model — assignment below stays full-corpus. A seeded
-    // per-partition RESERVOIR of maxTrainRows/partitions elements: selects
-    // uniformly across each whole split (a prefix/limit() would bias toward
-    // each split's leading key range on clustered/sorted tables), needs no
-    // count() of the corpus and no shuffle, and is deterministic for a
-    // given input.
-    val parts = math.max(1, withVec.rdd.getNumPartitions)
-    val perPart = math.max(1, (maxTrainRows / parts).toInt)
-    val train = withVec.sparkSession.createDataFrame(
-      withVec.rdd.mapPartitionsWithIndex { (idx, it) =>
-        val rnd = new scala.util.Random(42L * 1009L + idx)
-        val reservoir = new Array[org.apache.spark.sql.Row](perPart)
-        var seen = 0L
-        it.foreach { row =>
-          if (seen < perPart) reservoir(seen.toInt) = row
-          else {
-            val j = (rnd.nextDouble() * (seen + 1)).toLong
-            if (j < perPart) reservoir(j.toInt) = row
-          }
-          seen += 1
-        }
-        reservoir.iterator.take(math.min(seen, perPart.toLong).toInt)
-      }, withVec.schema)
+    // wrong cost model — assignment below stays full-corpus
+    // ([[graft.Tables.reservoirSample]]: uniform per split, no count(), no
+    // shuffle, deterministic)
+    val train = graft.Tables.reservoirSample(withVec, maxTrainRows, seedSalt = 1009L)
     val model = new KMeans().setK(nlist).setSeed(42).setFeaturesCol("features")
       .setMaxIter(8).setPredictionCol("cell").fit(train)
     val cand = model.transform(withVec)

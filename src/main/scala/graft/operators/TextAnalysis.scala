@@ -117,7 +117,9 @@ object TextAnalysis {
     val scored = qualityScore(docs).select(
       col("doc_id"), col("n_words"), col("rep_ratio"),
       col("punct_ratio"), col("stop_ratio"),
-      (col("quality") >= labelCutoff).cast("double").as("label"))
+      // zero-word docs have a null quality — label them bad (0.0) rather
+      // than null, which MLlib's fit rejects outright
+      (coalesce(col("quality"), lit(0.0)) >= labelCutoff).cast("double").as("label"))
     // features kept finite: empty docs have null ratios → 0
     val featCols = Seq(
       least(col("n_words").cast("double") / lit(50.0), lit(1.0)),
@@ -125,25 +127,10 @@ object TextAnalysis {
       coalesce(col("punct_ratio"), lit(0.0)),
       coalesce(col("stop_ratio"), lit(0.0)))
     val featured = scored.withColumn("features", array_to_vector(array(featCols: _*)))
-    // bounded training sample: per-partition reservoir, like the IVF
-    // trainer — no count(), no shuffle, uniform across each split
-    val parts = math.max(1, featured.rdd.getNumPartitions)
-    val perPart = math.max(1, (maxTrainRows / parts).toInt)
-    val train = featured.sparkSession.createDataFrame(
-      featured.rdd.mapPartitionsWithIndex { (idx, it) =>
-        val rnd = new scala.util.Random(42L * 2003L + idx)
-        val reservoir = new Array[org.apache.spark.sql.Row](perPart)
-        var seen = 0L
-        it.foreach { row =>
-          if (seen < perPart) reservoir(seen.toInt) = row
-          else {
-            val j = (rnd.nextDouble() * (seen + 1)).toLong
-            if (j < perPart) reservoir(j.toInt) = row
-          }
-          seen += 1
-        }
-        reservoir.iterator.take(math.min(seen, perPart.toLong).toInt)
-      }, featured.schema)
+    // bounded training sample, shared with the IVF trainer
+    // ([[graft.Tables.reservoirSample]]): no count(), no shuffle, uniform
+    // across each split
+    val train = graft.Tables.reservoirSample(featured, maxTrainRows, seedSalt = 2003L)
     val model = new LogisticRegression()
       .setMaxIter(50).setRegParam(0.01)
       .setFeaturesCol("features").setLabelCol("label")

@@ -135,16 +135,17 @@ object IncreaseCore {
     StepResult(newState, out, closed.toSeq.sortBy(_._1))
   }
 
-  /** Flush on state expiry: everything still buffered or finalized becomes
-    * closed output (the stream is ending for this series — its open windows
-    * will never receive more data).
+  /** Flush at true stream end: everything still buffered or finalized
+    * becomes closed output (no more data can arrive for this series). NOT
+    * safe mid-stream — a series that resumes after a force-close would
+    * re-emit the same window; [[FirehoseStream.counterIncreaseClosed]]
+    * instead keeps open windows in state until the watermark closes them.
     */
-  def flush(st: IncreaseState, widthSec: Long): Seq[(Long, Double)] = {
-    val r = step(st, Nil, Long.MaxValue, widthSec)
-    // Long.MaxValue watermark freezes the whole buffer and closes every
-    // window; running output (if any) is superseded by the closed list
-    (r.closed ++ r.state.finalized.toSeq).distinct.sortBy(_._1)
-  }
+  def flush(st: IncreaseState, widthSec: Long): Seq[(Long, Double)] =
+    // a MaxValue watermark freezes the whole buffer and closes every
+    // window, so the step's kept-finalized map is empty and `closed`
+    // (already win-sorted) is the complete remainder
+    step(st, Nil, Long.MaxValue, widthSec).closed
 
   /** Reference semantics — what the batch operator computes: per-window
     * sum of positive deltas over the (ts, id)-sorted samples, resets
@@ -339,9 +340,15 @@ object FirehoseStream {
     * exactly once, when the watermark guarantees the window can no longer
     * change — the emission contract a downstream ledger or alerting rule
     * wants (the Update-mode [[counterIncrease]] re-emits running totals).
-    * Idle series flush their remaining open windows when their state
-    * expires (event-time TTL), so no window is lost when a series stops
-    * reporting.
+    * When an idle series' TTL fires, only watermark-closed windows are
+    * emitted; still-open windows stay in state until the watermark passes
+    * their end (the series may resume INSIDE an open window, and a
+    * force-close would emit that window twice — once partial, once after
+    * the resume). The residual state is bounded (an anchor plus open-window
+    * sums within the watermark horizon) and is removed as soon as its last
+    * window closes, so the TTL still bounds the registry. An evicted
+    * series that later resumes restarts its delta chain (first sample
+    * contributes 0), mirroring the reference's idle-eviction semantics.
     */
   def counterIncreaseClosed(
       metrics: DataFrame,
@@ -356,10 +363,20 @@ object FirehoseStream {
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         case ((component, name, series), points, state: GroupState[IncreaseState]) =>
           if (state.hasTimedOut) {
-            val remaining = state.getOption
-              .map(IncreaseCore.flush(_, widthSec)).getOrElse(Nil)
-            state.remove()
-            remaining.iterator.map { case (win, acc) =>
+            val wmSec = state.getCurrentWatermarkMs() / 1000L
+            val st = state.getOption.getOrElse(IncreaseCore.empty)
+            val r = IncreaseCore.step(st, Nil, wmSec, widthSec)
+            val openWins = (r.state.finalized.keys ++
+              r.state.buffer.map(s => s.ts - math.floorMod(s.ts, widthSec))).toSeq
+            if (openWins.isEmpty) state.remove()
+            else {
+              // open windows survive the TTL; wake when the earliest one's
+              // end passes the watermark (openWins.min + width > wmSec by
+              // construction, so this timestamp is legal)
+              state.update(r.state)
+              state.setTimeoutTimestamp((openWins.min + widthSec) * 1000L)
+            }
+            r.closed.iterator.map { case (win, acc) =>
               IncreaseOut(component, name, series, win, acc)
             }
           } else {

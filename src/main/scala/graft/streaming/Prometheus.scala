@@ -45,8 +45,18 @@ object Prometheus {
       override def removeEldestEntry(e: java.util.Map.Entry[String, String]): Boolean =
         size() > maxSeries
     }
+    // label VALUES come from arbitrary event props and may contain spaces;
+    // the value and timestamp are always the LAST two space-separated
+    // tokens of an exposition line, so the series identity is everything
+    // before them (a first-space split would truncate such a key and
+    // collide distinct series)
+    private def seriesKeyOf(line: String): String = {
+      val tsSep = line.lastIndexOf(' ')
+      val vSep = if (tsSep > 0) line.lastIndexOf(' ', tsSep - 1) else -1
+      if (vSep > 0) line.substring(0, vSep) else line
+    }
     def update(lines: Seq[String]): Unit = state.synchronized {
-      lines.foreach { l => state.put(l.takeWhile(_ != ' '), l) }
+      lines.foreach { l => state.put(seriesKeyOf(l), l) }
     }
     def render: String = state.synchronized {
       import scala.jdk.CollectionConverters._
@@ -62,8 +72,14 @@ object Prometheus {
       import scala.jdk.CollectionConverters._
       state.asScala.values.toSeq
         .map { line =>
+          // value = second-to-last token (labels may contain spaces); a
+          // malformed line is skipped, never thrown on — this is a
+          // dashboard read path
           val parts = line.split(' ')
-          (if (parts.length >= 2) parts(1).toDouble else Double.NaN, line)
+          val v =
+            if (parts.length >= 3) parts(parts.length - 2).toDoubleOption
+            else None
+          (v.getOrElse(Double.NaN), line)
         }
         .filterNot(_._1.isNaN)
         .sortBy { case (v, line) => (-v, line) }

@@ -134,12 +134,32 @@ class OperatorSpec extends SparkSuite {
     // exactly k per probe (the corpus has ample cross-label candidates)
     val perProbe = out.groupBy("probe_id").count().collect()
     assert(perProbe.nonEmpty && perProbe.forall(_.getLong(1) === 5))
-    // the mined negatives are the hardest: each probe's top negative is at
-    // least as similar as its 5th
-    val ranks = out.groupBy("probe_id")
-      .agg(max_by(col("cosine"), col("rnk") * -1).as("best"),
-        min(col("cosine")).as("worst")).collect()
-    assert(ranks.forall(r => r.getDouble(1) >= r.getDouble(2)))
+    // the mined negatives really are the hardest: a driver-side brute
+    // force over ALL cross-label candidates (same fold order as
+    // Kernels.cosine, so doubles are bit-identical) must produce the same
+    // top-5 ids in the same order for every probe
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val corpus = emb.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val expected = corpus.filter(_._1 < 10).map { case (pid, plabel, pemb) =>
+      pid -> corpus.filter(_._2 != plabel)
+        .map { case (cid, _, cemb) => (cid, cos(pemb, cemb)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(5).map(_._1).toSeq
+    }.toMap
+    val mined = out.select("probe_id", "neighbor_id", "rnk").collect()
+      .groupBy(_.getLong(0))
+      .map { case (pid, rows) =>
+        pid -> rows.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+      }
+    assert(mined === expected,
+      s"mined negatives differ from brute-force top-5: $mined vs $expected")
   }
 
   test("approx_percentile tracks exact percentiles within the accuracy bound") {

@@ -338,6 +338,58 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("closed-window emission stays exactly-once when the TTL fires inside an open window") {
+    // The double-emit trap: a series posts in window 0, goes idle, its TTL
+    // fires while window 0 is still open (other series advance the
+    // watermark), then the series RESUMES inside window 0. A force-close at
+    // TTL time would emit window 0 twice — once partial, once after the
+    // resume. The fix keeps open windows in state past the TTL and closes
+    // them only when the watermark passes their end.
+    val dir = Files.createTempDirectory("graft-inc-ttl").toFile
+    val chk = Files.createTempDirectory("graft-inc-ttlchk").toFile
+    // widthSec 100, 0-delay watermark, 1 s TTL: u1's timer (set from its
+    // own event time on batch 1) expires as soon as u2's traffic pushes the
+    // watermark past it — long before window 0's end
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "c_total", 10, "u1", 10.0),
+        metricJson("2", "c_total", 50, "u2", 1.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.counterIncreaseClosed(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+        widthSec = 100, watermarkDelay = "0 seconds", ttlMs = 1000L)
+      .writeStream.format("memory").queryName("inc_ttl_t").outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      // u1's TTL fires here (wm 50 > its 11 s timer) while window 0 is open
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(metricJson("3", "c_total", 60, "u2", 2.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      // u1 resumes INSIDE window 0 (ts 90 >= wm 60)
+      Files.write(dir.toPath.resolve("b3.json"),
+        Seq(
+          metricJson("4", "c_total", 90, "u1", 17.0),
+          metricJson("5", "c_total", 95, "u2", 3.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      // push the watermark past window 0's end (twice: a batch's watermark
+      // applies during the NEXT batch)
+      Files.write(dir.toPath.resolve("b4.json"),
+        Seq(metricJson("6", "c_total", 250, "u2", 4.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      Files.write(dir.toPath.resolve("b5.json"),
+        Seq(metricJson("7", "c_total", 400, "u2", 5.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val u1 = spark.table("inc_ttl_t")
+        .filter(col("series").contains("u1"))
+        .collect().map(r => r.getAs[Long]("win_start") -> r.getAs[Double]("increase"))
+      assert(u1.map(_._1).distinct.length === u1.length,
+        s"window emitted twice after TTL + resume: ${u1.toSeq}")
+      // batch semantics over u1's full history: 0 (first) + 7 (10→17)
+      assert(u1.toMap.get(0L) === Some(7.0), s"got ${u1.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming counter increase finalizes windows below the watermark and prunes state") {
     val dir = Files.createTempDirectory("graft-inc-fin").toFile
     val chk = Files.createTempDirectory("graft-inc-finchk").toFile
