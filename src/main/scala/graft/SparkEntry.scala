@@ -126,6 +126,9 @@ object SparkEntry {
     "q_unpivot" -> ((s, dir) => Relational.qUnpivot(s, dir)),
     "q_string_agg" -> ((s, dir) => Relational.qStringAgg(s, dir)),
     "q_conditional_agg" -> ((s, dir) => Relational.qConditionalAgg(s, dir)),
+    "q14_promo_revenue" -> ((s, dir) => Relational.q14PromoRevenue(s, dir)),
+    "q16_supplier_variety" -> ((s, dir) => Relational.q16SupplierVariety(s, dir)),
+    "q19_disjunctive" -> ((s, dir) => Relational.q19DisjunctivePredicate(s, dir)),
     "d10_dedup_incremental" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       Dedup.incrementalDedup(
@@ -181,6 +184,12 @@ object SparkEntry {
     // model/heuristic agreement
     "t10_quality_model" -> ((s, dir) =>
       TextAnalysis.qualityModel(Tables(s, dir, "documents"))),
+    "t11_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(Tables(s, dir, "documents"))),
+    "d15_stratified_split" -> ((s, dir) =>
+      Curate.stratifiedSplit(Tables(s, dir, "documents"))),
+    "s7_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables(s, dir, "embeddings"))),
     "d11_mixture_sample" -> ((s, dir) =>
       Curate.mixtureSample(
         Tables(s, dir, "documents"),
@@ -504,6 +513,34 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |  AS promo_share,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 40)"""
+        .stripMargin,
     "q_notin_nullaware" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN
@@ -925,6 +962,65 @@ object SparkEntry {
           |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
           |  array_to_string(chunk, ' ') AS chunk_text
           |FROM ch""".stripMargin),
+    "t11_repetition" ->
+      (WordsCte +
+        """g AS (
+          |  SELECT doc_id, 2 AS n, gram FROM words,
+          |    UNNEST(list_transform(generate_series(1, len(ws) - 1),
+          |      i -> ws[i] || ' ' || ws[i+1])) t(gram)
+          |  UNION ALL
+          |  SELECT doc_id, 3 AS n, gram FROM words,
+          |    UNNEST(list_transform(generate_series(1, len(ws) - 2),
+          |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) t(gram)),
+          |c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+          |sh AS (SELECT doc_id, n,
+          |         CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS share
+          |       FROM c GROUP BY 1, 2),
+          |p AS (SELECT doc_id,
+          |        max(CASE WHEN n = 2 THEN share END) AS top_bigram_share,
+          |        max(CASE WHEN n = 3 THEN share END) AS top_trigram_share
+          |      FROM sh GROUP BY 1),
+          |base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+          |           CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words
+          |         FROM words)
+          |SELECT b.doc_id, b.n_words,
+          |  1.0 - CAST(n_distinct_words AS DOUBLE) / CAST(nullif(n_words, 0) AS DOUBLE)
+          |    AS dup_word_ratio,
+          |  p.top_bigram_share, p.top_trigram_share,
+          |  CAST(coalesce(top_bigram_share, 0.0) > 0.2
+          |       OR coalesce(top_trigram_share, 0.0) > 0.2 AS INTEGER) AS repetitive
+          |FROM base b LEFT JOIN p USING (doc_id)""".stripMargin),
+    "d15_stratified_split" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST('0x' || substr(md5('graft-split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+        |               doc_id) AS BIGINT) AS rnk,
+        |    count(*) OVER (PARTITION BY source) AS n_in_stratum
+        |  FROM documents)
+        |SELECT source, doc_id, rnk, n_in_stratum,
+        |  CASE WHEN rnk <= ceil(n_in_stratum * 0.8) THEN 'train'
+        |       WHEN rnk <= ceil(n_in_stratum * 0.8) + ceil(n_in_stratum * 0.1) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r""".stripMargin,
+    "s7_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_aggregate(list_transform(embedding, x -> abs(x)), 'max') AS DOUBLE)
+        |      / 127.0 AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, scale,
+        |  array_to_string(list_transform(embedding, x ->
+        |    CAST(CASE WHEN scale = 0.0 THEN 0.0
+        |         ELSE least(127.0, greatest(-127.0, round(CAST(x AS DOUBLE) / scale))) END
+        |      AS INTEGER)), ',') AS q_csv,
+        |  CAST(list_aggregate(list_transform(embedding, x ->
+        |    CAST(abs(CAST(x AS DOUBLE)
+        |             - (CASE WHEN scale = 0.0 THEN 0.0
+        |                ELSE least(127.0, greatest(-127.0, round(CAST(x AS DOUBLE) / scale))) END)
+        |               * scale) AS DECIMAL(18,12))), 'sum') AS DOUBLE)
+        |    / len(embedding) AS mean_abs_err
+        |FROM s""".stripMargin,
     "d11_mixture_sample" ->
       """WITH q(source, quota) AS (VALUES
         |  ('src0', 16), ('src1', 12), ('src2', 8), ('src3', 4)),

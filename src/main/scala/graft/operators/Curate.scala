@@ -154,6 +154,46 @@ object Curate {
       .select(col(groupCol), col("doc_id"), col("n_words"), col("rnk"))
   }
 
+  /** Deterministic stratified train/val/test split — every evaluation
+    * pipeline's first step. Within each stratum (`groupCol`) documents are
+    * ranked by the portable hash priority (so membership is reproducible
+    * across engines, runs and partitionings — re-running the corpus build
+    * never migrates a doc between splits unless the stratum itself grows)
+    * and assigned by rank position: the first `ceil(trainFrac·n)` are
+    * train, the next `ceil(valFrac·n)` val, the rest test. Rank-based
+    * assignment makes the split proportions EXACT per stratum, unlike
+    * bucket-mod hashing which is only stratified in expectation.
+    *
+    * Shape at 100 TB: one shuffle by stratum; the rank and the stratum
+    * count are two window functions over the same partitioning (one
+    * exchange). Strata are provenance buckets (source, shard) — no single
+    * stratum is corpus-sized.
+    */
+  def stratifiedSplit(
+      docs: DataFrame,
+      groupCol: String = "source",
+      trainFrac: Double = 0.8,
+      valFrac: Double = 0.1,
+      seed: String = "graft-split"): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      "need trainFrac + valFrac <= 1")
+    val priority = GraftFunctions.md5_prefix60(
+      concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("priority"), col("doc_id"))
+    val wAll = Window.partitionBy(col(groupCol))
+    docs
+      .withColumn("priority", priority)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_in_stratum", count(lit(1)).over(wAll))
+      .withColumn(
+        "split",
+        when(col("rnk") <= ceil(col("n_in_stratum") * lit(trainFrac)), lit("train"))
+          .when(col("rnk") <= ceil(col("n_in_stratum") * lit(trainFrac)) +
+            ceil(col("n_in_stratum") * lit(valFrac)), lit("val"))
+          .otherwise(lit("test")))
+      .select(col(groupCol), col("doc_id"), col("rnk"), col("n_in_stratum"), col("split"))
+  }
+
   /** @param minQuality quality-score gate (see TextAnalysis.qualityScore) */
   def corpusStats(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
     val scored = TextAnalysis.qualityScore(docs)

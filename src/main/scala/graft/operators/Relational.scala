@@ -553,6 +553,69 @@ object Relational {
       count(lit(1)).over(w).as("n_in_window"))
   }
 
+  /** TPC-H Q14 shape — promotion revenue share: a fact-dimension join where
+    * the aggregate is a RATIO of two conditional sums over the same rows
+    * (one grouped pass, no second scan). The part side broadcasts; the
+    * shipdate filter is pushed to the fact scan. Both sums are exact
+    * decimal accumulators; the ratio is one double division at the end.
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+    val p = t(spark, dir, "part").select(col("p_partkey"), col("p_type"))
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(BigDecimal(0)).cast("decimal(18,6)")))
+            .cast("double") /
+          sum(rev).cast("double")).as("promo_share"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q16 shape — supplier variety per part segment: COUNT(DISTINCT)
+    * under a NOT IN exclusion subquery. The blacklist (suppliers in the
+    * red) is dimension-sized → broadcast null-aware anti join; the distinct
+    * count is a two-level aggregation (dedup partial-aggregates map-side
+    * before the final count), never a corpus-wide distinct sort.
+    */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+    val p = t(spark, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val bad = t(spark, dir, "supplier").filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    l.join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q19 shape — disjunctive multi-attribute join predicate (OR of
+    * brand/size/quantity conjunctions). The equi-key (partkey) still drives
+    * a broadcast hash join; the OR-of-ANDs residual evaluates post-probe
+    * inside the same codegen stage — the shape that degrades to a cartesian
+    * product if the planner can't split the equi-conjunct out.
+    */
+  def q19DisjunctivePredicate(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val p = t(spark, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val clause =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+        col("l_quantity").between(20, 40))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey") && clause)
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Approximate distinct twin of [[qDistinct]] (HLL, spec-verified). */
   def qDistinctApprox(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")

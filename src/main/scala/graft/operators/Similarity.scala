@@ -150,6 +150,43 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the storage /
+    * serving compression step of an embedding pipeline (4× smaller than
+    * float32, dot products stay SIMD-friendly). Per-vector scale =
+    * max|x|/127; q_i = clamp(round(x_i/scale), ±127). Everything is one
+    * codegen'd row-local map over the scan — no shuffle, no UDF, no state —
+    * so at 100 TB the operator is scan-bound. Emits the quantized vector
+    * (CSV string — keeps the driver's column-hash comparison scalar), the
+    * scale, and the exact mean absolute reconstruction error (per-dim
+    * errors are decimal-cast before the fold so the sum is
+    * order-independent and engine-portable). All-zero vectors quantize to
+    * all-zero with scale 0.
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val scale = array_max(transform(col("embedding"), x => abs(x))).cast("double") / lit(127.0)
+    // q as DOUBLE inside the transforms (rounded, so integral-exact); the
+    // emitted CSV casts to int
+    def q(x: Column): Column =
+      when(col("scale") === 0.0, lit(0.0))
+        .otherwise(least(lit(127.0), greatest(lit(-127.0), round(x.cast("double") / col("scale")))))
+    embeddings
+      .withColumn("scale", scale)
+      .select(
+        col("vec_id"),
+        col("scale"),
+        array_join(transform(col("embedding"), x => q(x).cast("int")), ",").as("q_csv"),
+        (aggregate(
+          transform(col("embedding"),
+            x => abs(x.cast("double") - q(x) * col("scale")).cast("decimal(18,12)")),
+          lit(BigDecimal(0)).cast("decimal(20,12)"),
+          // decimal + widens precision; cast back so the accumulator type
+          // stays stable across the fold (exact: scale is unchanged and the
+          // 8 integer digits can't overflow on dim-bounded sums)
+          (acc, e) => (acc + e).cast("decimal(20,12)")).cast("double") /
+          size(col("embedding")))
+          .as("mean_abs_err"))
+  }
+
   /** Per-label embedding centroids: element-wise mean via posexplode +
     * two-level aggregation. The explode keeps the shuffle narrow
     * ((label, dim, sum) triples, combinable map-side) and the decimal sum

@@ -184,6 +184,62 @@ object TextAnalysis {
         array_join(col("_chunk"), " ").as("chunk_text"))
   }
 
+  /** Within-document repetition signals — the Gopher/C4-style quality rule
+    * that catches boilerplate and degenerate generations: the share of the
+    * document's n-grams taken by its single most frequent bigram / trigram,
+    * plus the duplicate-word ratio. A document dominated by one phrase
+    * scores near 1.0 and gets flagged.
+    *
+    * Shape at 100 TB: explode n-grams → one partial-aggregable count per
+    * (doc, gram) → per-doc max/sum (both map-side combinable, keyed by
+    * doc_id so the two aggregations share one shuffle). No window over the
+    * corpus, no per-doc O(words²) lambda — the naive row-local formulation
+    * (count each gram by scanning the array per element) is quadratic in
+    * document length. Documents too short for an n-gram keep a null share
+    * (left join back to the corpus).
+    */
+  def repetitionStats(
+      docs: DataFrame,
+      flagShare: Double = 0.2): DataFrame = {
+    val ws = col("ws")
+    // both gram sizes from ONE explode pass (tagged structs), so the corpus
+    // is scanned once for the shares instead of once per n
+    def grams(n: Int): Column =
+      when(size(ws) >= n,
+        transform(
+          sequence(lit(1), size(ws) - (n - 1)),
+          i => struct(
+            lit(n).as("n"),
+            concat_ws(" ", (0 until n).map(j => element_at(ws, i + j)): _*).as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    val shares = graft.Tables.widen(docs)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), explode(concat(grams(2), grams(3))).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg((max(col("cnt")).cast("double") / sum(col("cnt")).cast("double")).as("share"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("n") === 2, col("share"))).as("top_bigram_share"),
+        max(when(col("n") === 3, col("share"))).as("top_trigram_share"))
+    val base = docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_words"),
+      size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct_words"))
+    base
+      .join(shares, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_words"),
+        (lit(1.0) - col("n_distinct_words").cast("double") /
+          nullif(col("n_words"), lit(0L)).cast("double")).as("dup_word_ratio"),
+        col("top_bigram_share"), col("top_trigram_share"),
+        (coalesce(col("top_bigram_share"), lit(0.0)) > flagShare ||
+          coalesce(col("top_trigram_share"), lit(0.0)) > flagShare)
+          .cast("int").as("repetitive"))
+  }
+
   /** Rolling polynomial document fingerprint via the codegen'd
     * [[graft.functions.PolyFingerprint]] expression.
     */

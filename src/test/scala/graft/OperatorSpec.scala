@@ -205,6 +205,73 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("repetition stats flag phrase-dominated docs and keep short docs null") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "buy now buy now buy now buy now buy now"), // one bigram dominates
+      (1L, "the quick brown fox jumps over a lazy dog"), // all grams unique
+      (2L, "hi"),                                        // too short for any gram
+      (3L, "")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.repetitionStats(docs, flagShare = 0.2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 0: 10 words, bigrams: "buy now"×5, "now buy"×4 → top share 5/9
+    assert(out(0L).getAs[Double]("top_bigram_share") === 5.0 / 9.0)
+    assert(out(0L).getAs[Int]("repetitive") === 1)
+    assert(out(0L).getAs[Double]("dup_word_ratio") === 1.0 - 2.0 / 10.0)
+    // doc 1: every bigram unique → share 1/8, not flagged
+    assert(out(1L).getAs[Double]("top_bigram_share") === 1.0 / 8.0)
+    assert(out(1L).getAs[Int]("repetitive") === 0)
+    // docs 2/3 survive with null shares (left join), unflagged
+    assert(out(2L).isNullAt(out(2L).fieldIndex("top_bigram_share")))
+    assert(out(2L).getAs[Int]("repetitive") === 0)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("dup_word_ratio")))
+  }
+
+  test("stratified split hits exact per-stratum proportions and is partition-invariant") {
+    val docs = Tables(spark, sfDir, "documents")
+    val out = graft.operators.Curate.stratifiedSplit(docs)
+    val bySplit = out.groupBy("source", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val perSource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.foreach { case (src, n) =>
+      val train = bySplit.getOrElse((src, "train"), 0L)
+      val v = bySplit.getOrElse((src, "val"), 0L)
+      assert(train === math.ceil(n * 0.8).toLong, s"$src train")
+      assert(v === math.ceil(n * 0.1).toLong, s"$src val")
+      assert(bySplit.getOrElse((src, "test"), 0L) === n - train - v, s"$src test")
+    }
+    // membership is a pure function of doc_id — repartitioning the input
+    // must not migrate any document between splits
+    val again = graft.operators.Curate.stratifiedSplit(docs.repartition(7))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first === again)
+  }
+
+  test("int8 quantization bounds values and reconstruction error") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // all-zero vector
+      (2L, Array(-2.0f, 2.0f, 1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // zero vector: scale 0, all-zero codes, zero error
+    assert(out(1L).getAs[Double]("scale") === 0.0)
+    assert(out(1L).getAs[String]("q_csv") === "0,0,0,0")
+    assert(out(1L).getAs[Double]("mean_abs_err") === 0.0)
+    // max-magnitude component always maps to ±127; every code in range
+    assert(out(0L).getAs[String]("q_csv") === "127,-64,32,0")
+    assert(out(2L).getAs[String]("q_csv").split(",").map(_.toInt).forall(q => q.abs <= 127))
+    // error bound: round-to-nearest ⇒ per-dim error ≤ scale/2
+    out.values.foreach { r =>
+      assert(r.getAs[Double]("mean_abs_err") <= r.getAs[Double]("scale") / 2 + 1e-12)
+    }
+  }
+
   test("custom expressions are SQL-registered via extensions") {
     val r = spark.sql(
       "SELECT cosine_sim(array(cast(1.0 as float), cast(0.0 as float)), " +

@@ -46,6 +46,15 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("l_orderkey"), "column pruning failed: scan reads unused key column")
   }
 
+  test("q19 disjunctive predicate keeps the equi-key hash join") {
+    // the OR-of-ANDs must ride as a residual on the p_partkey hash join;
+    // if the planner fails to split the equi-conjunct out it falls back to
+    // BroadcastNestedLoopJoin — a cartesian product at 100 TB
+    val plan = planOf(Relational.q19DisjunctivePredicate(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"no hash join in:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"nested-loop join in:\n$plan")
+  }
+
   test("q5 star joins broadcast the dimension tables") {
     val plan = planOf(Relational.q5SupplierVolume(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
