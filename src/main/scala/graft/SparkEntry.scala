@@ -129,6 +129,9 @@ object SparkEntry {
     "q14_promo_revenue" -> ((s, dir) => Relational.q14PromoRevenue(s, dir)),
     "q16_supplier_variety" -> ((s, dir) => Relational.q16SupplierVariety(s, dir)),
     "q19_disjunctive" -> ((s, dir) => Relational.q19DisjunctivePredicate(s, dir)),
+    "q7_nation_volume" -> ((s, dir) => Relational.q7NationVolume(s, dir)),
+    "q15_top_supplier" -> ((s, dir) => Relational.q15TopSupplier(s, dir)),
+    "q20_big_movers" -> ((s, dir) => Relational.q20BigMovers(s, dir)),
     "d10_dedup_incremental" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       Dedup.incrementalDedup(
@@ -188,6 +191,10 @@ object SparkEntry {
       TextAnalysis.repetitionStats(Tables(s, dir, "documents"))),
     "d15_stratified_split" -> ((s, dir) =>
       Curate.stratifiedSplit(Tables(s, dir, "documents"))),
+    "d16_token_budget" -> ((s, dir) =>
+      Curate.tokenBudgetSample(
+        Tables(s, dir, "documents"),
+        budgets = Map("src0" -> 3000L, "src1" -> 2000L, "src2" -> 1000L, "src3" -> 500L))),
     "s7_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables(s, dir, "embeddings"))),
     "d11_mixture_sample" -> ((s, dir) =>
@@ -541,6 +548,43 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 40)"""
         .stripMargin,
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(vol) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS vol
+        |  FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND l_suppkey = s_suppkey AND s_nationkey = n1.n_nationkey
+        |    AND c_nationkey = n2.n_nationkey
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q20_big_movers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |  GROUP BY l_suppkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 500.0)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_notin_nullaware" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN
@@ -1003,6 +1047,23 @@ object SparkEntry {
         |       WHEN rnk <= ceil(n_in_stratum * 0.8) + ceil(n_in_stratum * 0.1) THEN 'val'
         |       ELSE 'test' END AS split
         |FROM r""".stripMargin,
+    "d16_token_budget" ->
+      """WITH b(source, budget) AS (VALUES
+        |  ('src0', 3000), ('src1', 2000), ('src2', 1000), ('src3', 500)),
+        |p AS (
+        |  SELECT d.source, doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS BIGINT)
+        |      AS n_words,
+        |    CAST('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      AS priority,
+        |    CAST(budget AS BIGINT) AS budget
+        |  FROM documents d JOIN b USING (source)),
+        |r AS (SELECT *, sum(n_words) OVER (PARTITION BY source
+        |        ORDER BY priority, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |      FROM p)
+        |SELECT source, doc_id, n_words, cum_tokens, budget FROM r
+        |WHERE cum_tokens <= budget""".stripMargin,
     "s7_quantize_int8" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,

@@ -154,6 +154,35 @@ object Curate {
       .select(col(groupCol), col("doc_id"), col("n_words"), col("rnk"))
   }
 
+  /** Token-budget mixture sampling — [[mixtureSample]]'s token-weighted
+    * sibling: real mixtures are specified in TOKENS, not document counts
+    * (a source of long documents hits its share with far fewer docs).
+    * Per listed source, documents are taken in portable-hash priority
+    * order while the running token total stays within the source's
+    * budget; unlisted sources are excluded. Exact-integer cumulative sum
+    * ⇒ deterministic and engine-portable. One window shuffle by source
+    * (the running sum shares the rank window's partitioning).
+    */
+  def tokenBudgetSample(
+      docs: DataFrame,
+      budgets: Map[String, Long],
+      groupCol: String = "source",
+      seed: String = "graft"): DataFrame = {
+    val nWords = size(TextAnalysis.tokens(col("text"))).cast("long")
+    val priority = GraftFunctions.md5_prefix60(
+      concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("priority"), col("doc_id"))
+    docs
+      .withColumn("budget", element_at(typedLit(budgets), col(groupCol)))
+      .filter(col("budget").isNotNull)
+      .withColumn("n_words", nWords)
+      .withColumn("priority", priority)
+      .withColumn("cum_tokens",
+        sum(col("n_words")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col(groupCol), col("doc_id"), col("n_words"), col("cum_tokens"), col("budget"))
+  }
+
   /** Deterministic stratified train/val/test split — every evaluation
     * pipeline's first step. Within each stratum (`groupCol`) documents are
     * ranked by the portable hash priority (so membership is reproducible

@@ -616,6 +616,80 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q7 shape — bilateral nation trade volume: a two-fact-hop join
+    * (lineitem→orders→customer plus lineitem→supplier) where BOTH ends are
+    * decorated from the same broadcast dimension (nation, aliased twice)
+    * and the filter is a symmetric nation-pair disjunction. Grouped by
+    * (supplier nation, customer nation, ship year); exact decimal revenue.
+    */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    val l = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+    val pair =
+      (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+      (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
+    l.join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter(pair)
+      // DuckDB's year() is BIGINT, Spark's INT — cast so schemas agree
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
+        .cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q15 shape — top supplier by revenue view: the per-supplier
+    * revenue aggregate is consumed TWICE (once for the global max scalar
+    * subquery, once joined back to supplier rows), the classic
+    * shared-subplan + argmax-with-ties pattern. The revenue relation is
+    * supplier-bounded → materialized once ([[graft.Tables.materializeSmall]])
+    * so the corpus-scale fact scan runs once, not twice.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = graft.Tables.materializeSmall(
+      t(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double").as("total_revenue")))
+    val best = revenue.agg(max(col("total_revenue")).as("_max_rev"))
+    t(spark, dir, "supplier")
+      .join(revenue, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(best))
+      .filter(col("total_revenue") === col("_max_rev"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q20 shape — nested IN chain: suppliers IN (big movers of parts
+    * IN (a part-attribute subset)), with the inner membership computed by
+    * a HAVING threshold on a grouped aggregate. Decorrelates to two
+    * stacked left-semi joins; the part subset broadcasts, the supplier
+    * aggregate is map-side combinable.
+    */
+  def q20BigMovers(spark: SparkSession, dir: String, minQty: Double = 500.0): DataFrame = {
+    val promoParts = t(spark, dir, "part")
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val movers = t(spark, dir, "lineitem")
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      .filter(col("qty") > minQty)
+      .select(col("l_suppkey"))
+    t(spark, dir, "supplier")
+      .join(movers, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Approximate distinct twin of [[qDistinct]] (HLL, spec-verified). */
   def qDistinctApprox(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")

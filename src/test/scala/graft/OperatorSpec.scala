@@ -250,6 +250,31 @@ class OperatorSpec extends SparkSuite {
     assert(first === again)
   }
 
+  test("token-budget sample respects budgets, excludes unlisted sources, partition-invariant") {
+    val docs = Tables(spark, sfDir, "documents")
+    val budgets = Map("src0" -> 3000L, "src1" -> 2000L, "src2" -> 1000L)
+    val out = graft.operators.Curate.tokenBudgetSample(docs, budgets).collect()
+    // every kept doc's cumulative total is within its source's budget
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("cum_tokens") <= r.getAs[Long]("budget")))
+    // unlisted source excluded
+    assert(!out.exists(_.getAs[String]("source") == "src3"))
+    // the take is maximal-prefix: per source, kept tokens + the NEXT doc's
+    // tokens would exceed the budget (unless the source ran out of docs)
+    val perSource = out.groupBy(_.getAs[String]("source"))
+    val totalDocs = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.foreach { case (src, rows) =>
+      val kept = rows.map(_.getAs[Long]("cum_tokens")).max
+      val full = rows.length.toLong === totalDocs(src)
+      assert(full || kept <= budgets(src))
+    }
+    // membership is partitioning-independent
+    val again = graft.operators.Curate.tokenBudgetSample(docs.repartition(7), budgets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === out.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
   test("int8 quantization bounds values and reconstruction error") {
     import spark.implicits._
     val emb = Seq(

@@ -55,6 +55,15 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("NestedLoop"), s"nested-loop join in:\n$plan")
   }
 
+  test("q15 consumes the revenue aggregate twice but scans the fact table once") {
+    // the revenue view feeds both the global-max subquery and the join
+    // back; with the supplier-bounded aggregate materialized, the final
+    // plan must contain NO lineitem scan at all (both consumers read the
+    // materialized relation) — otherwise the corpus-scale scan runs twice
+    val plan = planOf(Relational.q15TopSupplier(spark, sfDir))
+    assert(!plan.contains("lineitem"), s"fact table re-scanned:\n$plan")
+  }
+
   test("q5 star joins broadcast the dimension tables") {
     val plan = planOf(Relational.q5SupplierVolume(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
