@@ -48,6 +48,21 @@ case class IncreaseOut(
     component: String, name: String, series: String,
     win_start: Long, increase: Double)
 
+/** Per-(component, series) ratio-alert state: one [[IncreaseState]] fold per
+  * counter name plus the CLOSED short-window totals parked until their
+  * enclosing long window closes (shortWin → total).
+  */
+case class RatioState(
+    num: IncreaseState, den: IncreaseState,
+    pendingNum: Map[Long, Double], pendingDen: Map[Long, Double])
+
+/** Emitted ratio-alert row — one per short window, exactly once, when its
+  * enclosing long window closes.
+  */
+case class RatioOut(
+    component: String, series: String, win_start: Long,
+    short_ratio: Double, long_ratio: Double, alert: Int)
+
 /** The pure per-series counter-increase fold, shared by the
   * `flatMapGroupsWithState` and `transformWithState` operators and
   * property-tested directly (random sample streams, random batch splits,
@@ -395,6 +410,116 @@ object FirehoseStream {
               IncreaseOut(component, name, series, win, acc)
             }
           }
+      }
+  }
+
+  /** Streaming multiwindow ratio alert — the exactly-once incremental
+    * sibling of the batch [[graft.operators.Firehose.ratioAlert]] (the SLO
+    * burn-rate shape): per series, the ratio of two counters' increases at
+    * a short window and at the enclosing long window, alert = both over
+    * threshold.
+    *
+    * One stateful operator keyed by (component, series): each counter name
+    * runs its own [[IncreaseCore]] fold (the same late-data-correct shared
+    * fold as [[counterIncreaseClosed]], so closure is watermark-synchronous
+    * across the two names), and the closed short-window totals are parked
+    * until the watermark passes the END of their enclosing long window — at
+    * which point every short ratio AND the long ratio are final, and the
+    * long window's rows emit exactly once. Mirrors the batch semantics
+    * precisely: a short window emits only if the numerator is present and
+    * the denominator positive, and only inside long windows whose own
+    * numerator is present and denominator positive.
+    *
+    * State per series is bounded: two anchors, the in-watermark sample
+    * buffers, and at most longSec/shortSec pending totals per open long
+    * window; idle series re-arm their timer to the earliest pending long
+    * window's end (so parked windows still emit without new traffic) and
+    * are removed once nothing is pending.
+    */
+  def ratioAlertClosed(
+      metrics: DataFrame,
+      numName: String = "error_total",
+      denName: String = "view_total",
+      shortSec: Long = 3600,
+      longSec: Long = 21600,
+      threshold: Double = 1.0,
+      watermarkDelay: String = "10 minutes",
+      ttlMs: Long = 10 * 60 * 1000L): Dataset[RatioOut] = {
+    require(longSec % shortSec == 0, "short windows must tile the long window")
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    def longWinOf(shortWin: Long): Long = shortWin - math.floorMod(shortWin, longSec)
+
+    def emitAndPrune(
+        component: String, series: String,
+        pendingNum: Map[Long, Double], pendingDen: Map[Long, Double],
+        wmSec: Long): (Seq[RatioOut], Map[Long, Double], Map[Long, Double]) = {
+      val closedLongs = (pendingNum.keys ++ pendingDen.keys)
+        .map(longWinOf).filter(_ + longSec <= wmSec).toSeq.distinct.sorted
+      val rows = closedLongs.flatMap { lw =>
+        val shorts = (pendingNum.keys ++ pendingDen.keys)
+          .filter(longWinOf(_) == lw).toSeq.distinct.sorted
+        val lNum = shorts.flatMap(pendingNum.get)
+        val lDen = shorts.flatMap(pendingDen.get)
+        if (lNum.isEmpty || lDen.isEmpty || lDen.sum <= 0) Nil
+        else {
+          val longRatio = lNum.sum / lDen.sum
+          shorts.flatMap { sw =>
+            for {
+              n <- pendingNum.get(sw)
+              d <- pendingDen.get(sw) if d > 0
+            } yield RatioOut(component, series, sw,
+              n / d, longRatio,
+              if (n / d > threshold && longRatio > threshold) 1 else 0)
+          }
+        }
+      }
+      val keepN = pendingNum.filter { case (sw, _) => longWinOf(sw) + longSec > wmSec }
+      val keepD = pendingDen.filter { case (sw, _) => longWinOf(sw) + longSec > wmSec }
+      (rows, keepN, keepD)
+    }
+
+    keyedPoints(metrics.filter(col("name").isin(numName, denName)), watermarkDelay)
+      .groupByKey(p => (p.component, p.series))
+      .flatMapGroupsWithState[RatioState, RatioOut](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case ((component, series), points, state: GroupState[RatioState]) =>
+          val wmSec = state.getCurrentWatermarkMs() / 1000L
+          val st = state.getOption.getOrElse(
+            RatioState(IncreaseCore.empty, IncreaseCore.empty, Map.empty, Map.empty))
+          val incoming = if (state.hasTimedOut) Nil else points.toSeq
+          val (numIn, denIn) = incoming.partition(_.name == numName)
+          def samples(ps: Seq[GaugePoint]) =
+            ps.map(p => CounterSample(p.timestamp, p.id, p.value))
+          val rn = IncreaseCore.step(st.num, samples(numIn), wmSec, shortSec)
+          val rd = IncreaseCore.step(st.den, samples(denIn), wmSec, shortSec)
+          // closed short windows emit exactly once from the fold → plain ++
+          val (rows, keepN, keepD) = emitAndPrune(
+            component, series,
+            st.pendingNum ++ rn.closed, st.pendingDen ++ rd.closed, wmSec)
+          val next = RatioState(rn.state, rd.state, keepN, keepD)
+          val idle = next.num.buffer.isEmpty && next.den.buffer.isEmpty &&
+            next.num.finalized.isEmpty && next.den.finalized.isEmpty &&
+            keepN.isEmpty && keepD.isEmpty
+          if (state.hasTimedOut && idle) state.remove()
+          else {
+            state.update(next)
+            val pendingEnds =
+              (keepN.keys ++ keepD.keys ++
+                next.num.finalized.keys ++ next.den.finalized.keys)
+                .map(sw => (longWinOf(sw) + longSec) * 1000L)
+            if (pendingEnds.nonEmpty)
+              // wake when the earliest open long window can emit (all
+              // candidates are > wm·1000 by construction)
+              state.setTimeoutTimestamp(pendingEnds.min)
+            else if (state.getCurrentWatermarkMs() > 0)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
+            else {
+              val lastTs = (next.num.buffer.map(_.ts) ++ next.den.buffer.map(_.ts) :+ 0L).max
+              state.setTimeoutTimestamp(math.max(lastTs * 1000L, 1L) + ttlMs)
+            }
+          }
+          rows.iterator
       }
   }
 

@@ -390,6 +390,117 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming ratio alert emits exactly-once closed long windows with batch parity") {
+    val dir = Files.createTempDirectory("graft-ratio").toFile
+    val chk = Files.createTempDirectory("graft-ratiochk").toFile
+    // short 100 s, long 300 s. u1's counters over long window [0, 300):
+    //   error_total: 0@10, 2@50, 3@150, 7@250 → wins 0/100/200 inc 2/1/4
+    //   view_total: 10@10, 14@60, 16@160, 20@260 → wins inc 4/2/4
+    // short ratios 0.5 / 0.5 / 1.0; long ratio 7/10 = 0.7; θ=0.6 ⇒ only
+    // window 200 alerts
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("e1", "error_total", 10, "u1", 0.0),
+        metricJson("e2", "error_total", 50, "u1", 2.0),
+        metricJson("v1", "view_total", 10, "u1", 10.0),
+        metricJson("v2", "view_total", 60, "u1", 14.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.ratioAlertClosed(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+        shortSec = 100, longSec = 300, threshold = 0.6,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("ratio_t").outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(
+          metricJson("e3", "error_total", 150, "u1", 3.0),
+          metricJson("v3", "view_total", 160, "u1", 16.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      // nothing can emit while the long window is open
+      assert(spark.table("ratio_t").isEmpty)
+      Files.write(dir.toPath.resolve("b3.json"),
+        Seq(
+          metricJson("e4", "error_total", 250, "u1", 7.0),
+          metricJson("v4", "view_total", 260, "u1", 20.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      // push the watermark past 300 (applies during the NEXT batch)
+      Files.write(dir.toPath.resolve("b4.json"),
+        Seq(metricJson("v5", "view_total", 350, "u1", 21.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      Files.write(dir.toPath.resolve("b5.json"),
+        Seq(metricJson("v6", "view_total", 400, "u1", 22.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val streamed = spark.table("ratio_t").collect()
+        .map(r => r.getAs[Long]("win_start") ->
+          ((r.getAs[Double]("short_ratio"), r.getAs[Double]("long_ratio"),
+            r.getAs[Int]("alert"))))
+      // exactly once per window
+      assert(streamed.map(_._1).distinct.length === streamed.length, s"dups: ${streamed.toSeq}")
+      // batch parity over the SAME samples (the batch operator sees all
+      // windows; the closed long window's rows must agree verbatim)
+      val batchDf = spark.createDataFrame(Seq(
+        ("e1", "error_total", 10L, 0.0), ("e2", "error_total", 50L, 2.0),
+        ("e3", "error_total", 150L, 3.0), ("e4", "error_total", 250L, 7.0),
+        ("v1", "view_total", 10L, 10.0), ("v2", "view_total", 60L, 14.0),
+        ("v3", "view_total", 160L, 16.0), ("v4", "view_total", 260L, 20.0),
+        ("v5", "view_total", 350L, 21.0), ("v6", "view_total", 400L, 22.0)))
+        .toDF("id", "name", "timestamp", "value")
+        .withColumn("component", lit("app"))
+        .withColumn("tags", map(lit("user"), lit("u1")))
+      val batch = graft.operators.Firehose.ratioAlert(
+          batchDf, "error_total", "view_total",
+          shortSec = 100, longSec = 300, threshold = 0.6)
+        .filter(col("win_start") < 300)
+        .collect()
+        .map(r => r.getAs[Long]("win_start") ->
+          ((r.getAs[Double]("short_ratio"), r.getAs[Double]("long_ratio"),
+            r.getAs[Int]("alert")))).toMap
+      assert(batch(200L)._3 === 1) // sanity: the planted alert fires
+      assert(streamed.toMap === batch,
+        s"streamed=${streamed.toSeq} batch=$batch")
+    } finally q.stop()
+  }
+
+  test("ratio alert emits an idle series' parked long window via its re-armed timer") {
+    // u1 posts both counters inside long window [0, 300) then goes silent;
+    // only u2's unrelated traffic advances the watermark. u1's rows must
+    // still emit — the state re-arms its event-time timer to the long
+    // window's end instead of waiting for traffic that never comes.
+    val dir = Files.createTempDirectory("graft-ratio-idle").toFile
+    val chk = Files.createTempDirectory("graft-ratio-idlechk").toFile
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("e1", "error_total", 10, "u1", 0.0),
+        metricJson("e2", "error_total", 50, "u1", 4.0),
+        metricJson("v1", "view_total", 20, "u1", 0.0),
+        metricJson("v2", "view_total", 60, "u1", 5.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.ratioAlertClosed(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+        shortSec = 100, longSec = 300, threshold = 0.6,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("ratio_idle_t").outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      // u2-only traffic pushes the watermark far past u1's long window
+      Seq(500L, 700L, 900L).zipWithIndex.foreach { case (ts, i) =>
+        Files.write(dir.toPath.resolve(s"adv$i.json"),
+          Seq(metricJson(s"a$i", "view_total", ts, "u2", i.toDouble)).mkString("\n").getBytes)
+        q.processAllAvailable()
+      }
+      val u1 = spark.table("ratio_idle_t")
+        .filter(col("series").contains("u1")).collect()
+        .map(r => r.getAs[Long]("win_start") ->
+          ((r.getAs[Double]("short_ratio"), r.getAs[Int]("alert"))))
+      // window 0: err inc 4, view inc 5 → ratio 0.8; long ratio 0.8 > 0.6
+      assert(u1.toMap === Map(0L -> ((0.8, 1))), s"got ${u1.toSeq}")
+      assert(u1.length === 1)
+    } finally q.stop()
+  }
+
   test("streaming counter increase finalizes windows below the watermark and prunes state") {
     val dir = Files.createTempDirectory("graft-inc-fin").toFile
     val chk = Files.createTempDirectory("graft-inc-finchk").toFile
