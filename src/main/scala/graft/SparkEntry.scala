@@ -195,6 +195,19 @@ object SparkEntry {
       Curate.tokenBudgetSample(
         Tables(s, dir, "documents"),
         budgets = Map("src0" -> 3000L, "src1" -> 2000L, "src2" -> 1000L, "src3" -> 500L))),
+    "d17_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Curate.snapshotDiff(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 5 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))))
+    }),
+    "p2_table_profile" -> ((s, dir) =>
+      Relational.tableProfile(
+        Tables(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
     "s7_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables(s, dir, "embeddings"))),
     "d11_mixture_sample" -> ((s, dir) =>
@@ -1064,6 +1077,42 @@ object SparkEntry {
         |      FROM p)
         |SELECT source, doc_id, n_words, cum_tokens, budget FROM r
         |WHERE cum_tokens <= budget""".stripMargin,
+    "d17_snapshot_diff" ->
+      """WITH oldsnap AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+        |newsnap AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT doc_id,
+        |  CASE WHEN o.h IS NULL THEN 'added'
+        |       WHEN n.h IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change
+        |FROM oldsnap o FULL OUTER JOIN newsnap n USING (doc_id)
+        |WHERE o.h IS NULL OR n.h IS NULL OR o.h <> n.h""".stripMargin,
+    "p2_table_profile" ->
+      """SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(doc_id) AS n_nulls, count(DISTINCT doc_id) AS n_distinct,
+        |  CAST(min(doc_id) AS DOUBLE) AS min_num, CAST(max(doc_id) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(lang), max(lang)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+        |  CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(source), max(source)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'text', count(*), count(*) - count(text), count(DISTINCT text),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(text), max(text)
+        |FROM documents""".stripMargin,
     "s7_quantize_int8" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,

@@ -223,6 +223,31 @@ object Curate {
       .select(col(groupCol), col("doc_id"), col("rnk"), col("n_in_stratum"), col("split"))
   }
 
+  /** Corpus snapshot diff — the versioning step between two builds of the
+    * same corpus: which documents were added, removed, or changed (by
+    * content hash) since the last snapshot. One full-outer join on the
+    * document key with an md5 content compare; emits only the differing
+    * rows. Scale: both sides shuffle once on the key (bucketing both
+    * snapshots by doc_id makes it exchange-free); the hash comparison
+    * ships 16-byte digests, never document bodies.
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keyCol: String = "doc_id"): DataFrame = {
+    def hashed(df: DataFrame, h: String) = df.select(
+      col(keyCol).as("key"), md5(to_binary(col("text"), lit("utf-8"))).as(h))
+    hashed(oldSnap, "old_hash")
+      .join(hashed(newSnap, "new_hash"), Seq("key"), "full_outer")
+      .withColumn(
+        "change",
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") =!= col("new_hash"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(col("key").as(keyCol), col("change"))
+  }
+
   /** @param minQuality quality-score gate (see TextAnalysis.qualityScore) */
   def corpusStats(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
     val scored = TextAnalysis.qualityScore(docs)

@@ -690,6 +690,48 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** ANALYZE-style table profile — the stats-collection pass every pipeline
+    * runs before planning a big job: per column, row/null/distinct counts
+    * and typed min/max (numeric and string kept in separate typed columns —
+    * rendering doubles to text is engine-specific and would break the
+    * oracle). One full scan + one aggregation; the multiple exact
+    * COUNT(DISTINCT)s expand the input ×cols in that single pass, which is
+    * the exact-profile cost model — at 100 TB on a wide table, swap
+    * `count_distinct` for `approx_count_distinct` (one pass, no expand,
+    * mergeable HLL sketches) and keep everything else.
+    */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = df.schema
+    def isNum(c: String) = schema(c).dataType.isInstanceOf[NumericType]
+    def isStr(c: String) = schema(c).dataType == StringType
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__cnt"),
+        count_distinct(col(c)).as(s"${c}__nd"),
+        (if (isNum(c)) min(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"${c}__minn"),
+        (if (isNum(c)) max(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"${c}__maxn"),
+        (if (isStr(c)) min(col(c)) else lit(null).cast("string")).as(s"${c}__mins"),
+        (if (isStr(c)) max(col(c)) else lit(null).cast("string")).as(s"${c}__maxs"))
+    } :+ count(lit(1)).as("__total")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { c =>
+        struct(
+          lit(c).as("col_name"),
+          col("__total").as("n_rows"),
+          (col("__total") - col(s"${c}__cnt")).as("n_nulls"),
+          col(s"${c}__nd").as("n_distinct"),
+          col(s"${c}__minn").as("min_num"),
+          col(s"${c}__maxn").as("max_num"),
+          col(s"${c}__mins").as("min_str"),
+          col(s"${c}__maxs").as("max_str"))
+      }: _*)).as("p"))
+      .select("p.*")
+      .orderBy("col_name")
+  }
+
   /** Approximate distinct twin of [[qDistinct]] (HLL, spec-verified). */
   def qDistinctApprox(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")

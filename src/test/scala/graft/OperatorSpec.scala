@@ -297,6 +297,33 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("snapshot diff classifies added/removed/changed and drops unchanged") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "beta"), (3L, "gamma v2"), (4L, "delta")).toDF("doc_id", "text")
+    val out = graft.operators.Curate.snapshotDiff(oldSnap, newSnap)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("table profile reports per-column nulls, distincts and typed min/max") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None), (None, Some("c")), (Some(2L), Some("a")))
+      .toDF("k", "s")
+    val out = Relational.tableProfile(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getAs[Long]("n_rows") === 4L && k.getAs[Long]("n_nulls") === 1L)
+    assert(k.getAs[Long]("n_distinct") === 2L)
+    assert(k.getAs[Double]("min_num") === 1.0 && k.getAs[Double]("max_num") === 2.0)
+    assert(k.isNullAt(k.fieldIndex("min_str")))
+    val s = out("s")
+    assert(s.getAs[Long]("n_nulls") === 1L && s.getAs[Long]("n_distinct") === 2L)
+    assert(s.getAs[String]("min_str") === "a" && s.getAs[String]("max_str") === "c")
+    assert(s.isNullAt(s.fieldIndex("min_num")))
+  }
+
   test("custom expressions are SQL-registered via extensions") {
     val r = spark.sql(
       "SELECT cosine_sim(array(cast(1.0 as float), cast(0.0 as float)), " +
