@@ -50,4 +50,54 @@ class LayoutSpec extends SparkSuite {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed join still shuffles:\n${plan.take(1500)}")
   }
+
+  test("z-value interleaves bits in Morton order") {
+    import spark.implicits._
+    val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 2L), (3L, 5L))
+      .toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.operators.Layout.zValue(Seq(col("x"), col("y")), bits = 3).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // classic Morton: z(x,y) interleaves x at even bits, y at odd bits
+    assert(out((0L, 0L)) === 0L)
+    assert(out((1L, 0L)) === 1L)
+    assert(out((0L, 1L)) === 2L)
+    assert(out((1L, 1L)) === 3L)
+    assert(out((2L, 2L)) === 12L)
+    // x=3 (011), y=5 (101) → interleave: 100111 = 39
+    assert(out((3L, 5L)) === 39L)
+  }
+
+  test("z-order layout bounds every dimension's file footprint, linear sort doesn't") {
+    import spark.implicits._
+    // 100×100 grid, one row per cell; 16 files per layout
+    val grid = (0 until 100).flatMap(x => (0 until 100).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val zDir = Files.createTempDirectory("graft-zorder").toFile.getAbsolutePath + "/z"
+    val linDir = Files.createTempDirectory("graft-linear").toFile.getAbsolutePath + "/lin"
+    graft.operators.Layout.zorderBy(grid, Seq("x", "y"), numFiles = 16).write.parquet(zDir)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x").write.parquet(linDir)
+    // per-file min/max footprint — what any stats-based reader prunes on
+    def footprints(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"))
+      .collect()
+    def touching(fps: Array[org.apache.spark.sql.Row], lo: Long, hi: Long, dim: String) =
+      fps.count { r =>
+        val (a, b) = if (dim == "x") (r.getLong(1), r.getLong(2)) else (r.getLong(3), r.getLong(4))
+        a <= hi && b >= lo
+      }
+    val zFp = footprints(zDir)
+    val linFp = footprints(linDir)
+    assert(zFp.length === 16 && linFp.length === 16)
+    // selective predicate on y: the x-sorted layout has every file spanning
+    // all of y → all 16 files touched; the z-order layout must prune
+    val linY = touching(linFp, 10, 19, "y")
+    val zY = touching(zFp, 10, 19, "y")
+    assert(linY === 16, s"expected the linear layout to touch all files, got $linY")
+    assert(zY <= 8, s"z-order should bound the y footprint, touched $zY/16 files")
+    // and x stays prunable too (both layouts good here; z must not regress
+    // to worse than half the files for a 10% slice)
+    assert(touching(zFp, 10, 19, "x") <= 8)
+  }
 }
