@@ -65,6 +65,8 @@ object SparkEntry {
         ttlSec = 604800)),
     // registry max-size eviction (the reference's maximumSize(10000) LRU):
     // cap small enough that eviction actually bites at sf0.01
+    "m15_absent_alert" -> ((s, dir) =>
+      Firehose.absentAlert(Firehose.metricsFromEvents(s, dir), widthSec = 3600)),
     "m8b_gauge_capacity" -> ((s, dir) =>
       Firehose.gaugeCapacity(
         Firehose.gaugeLatest(Firehose.metricsFromEvents(s, dir)),
@@ -273,6 +275,20 @@ object SparkEntry {
         |  FROM events)
         |SELECT component, name, series, value AS last_value, ts_sec AS last_ts
         |FROM m WHERE rn = 1""".stripMargin,
+    "m15_absent_alert" ->
+      """WITH present AS (
+        |  SELECT DISTINCT 'app' AS component, event_type || '_total' AS name,
+        |    'user=' || CAST(user_id AS VARCHAR) AS series,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS win
+        |  FROM events),
+        |hi AS (SELECT max(win) AS max_win FROM present)
+        |SELECT component, name, series, win + 3600 AS absent_win
+        |FROM present p, hi
+        |WHERE win + 3600 <= max_win
+        |  AND NOT EXISTS (SELECT 1 FROM present q
+        |                  WHERE q.component = p.component AND q.name = p.name
+        |                    AND q.series = p.series AND q.win = p.win + 3600)""".stripMargin,
     "m3_tag_filter" ->
       """SELECT CAST(event_id AS VARCHAR) AS id,
         |  'user=' || CAST(user_id AS VARCHAR) AS series

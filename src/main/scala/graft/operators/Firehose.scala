@@ -105,6 +105,40 @@ object Firehose {
         max(col("timestamp")).as("last_ts"))
   }
 
+  /** Prometheus `absent()`-style scrape-staleness alert: a series that
+    * reported in window w but not in w+width went stale at w+width — the
+    * "target stopped scraping" signal next to the value-based alerts
+    * (m14). Emits the FIRST missing window of each gap; windows at the
+    * stream's trailing edge (beyond the newest observed window anywhere)
+    * are not flagged — the stream just hasn't caught up yet.
+    *
+    * Shape at 100 TB: the distinct (series, window) presence relation is a
+    * map-side-combinable aggregation of the raw stream; the gap test is a
+    * self left-anti join on the SAME key layout (one shuffle, both sides
+    * co-partitioned) plus one broadcast scalar for the high-water mark.
+    */
+  def absentAlert(metrics: DataFrame, widthSec: Long = 60): DataFrame = {
+    val labeled =
+      if (metrics.columns.contains("labels")) metrics else tagFilter(metrics)
+    val present = labeled
+      .withColumn("series", seriesKey(col("labels")))
+      .select(
+        col("component"), col("name"), col("series"),
+        (col("timestamp") - pmod(col("timestamp"), lit(widthSec))).as("win"))
+      .distinct()
+    val hi = present.agg(max(col("win")).as("_max_win"))
+    present
+      .withColumn("absent_win", col("win") + widthSec)
+      .join(
+        present.select(
+          col("component"), col("name"), col("series"), col("win").as("absent_win")),
+        Seq("component", "name", "series", "absent_win"),
+        "left_anti")
+      .join(broadcast(hi))
+      .filter(col("absent_win") <= col("_max_win"))
+      .select(col("component"), col("name"), col("series"), col("absent_win"))
+  }
+
   /** LookupMapper.java:20-30 parity: remap one label's values through a
     * lookup dictionary, keeping the original value when no mapping exists
     * (identity fallback). The dictionary is a DataFrame joined with

@@ -27,6 +27,28 @@ class CoverageOpsSpec extends SparkSuite {
     assert(out(0).getLong(2) === 4L)
   }
 
+  test("absent alert flags the first missing window of each gap, not the trailing edge") {
+    import spark.implicits._
+    // u1 reports in windows 0, 60, 240 (gap: 120 missing, 180 missing —
+    // only 120 flags) and nothing after 240; u2 reports in every window
+    // through 300 (sets the high-water mark, so u1's trailing 300 is
+    // "stream hasn't caught up", not a gap... it IS a gap: u1@240 +60=300
+    // <= max 300 and u1 has no 300 → flags). u2 never flags.
+    val metrics = (Seq((0L, "u1"), (70L, "u1"), (250L, "u1")) ++
+      (0 to 5).map(i => (i * 60L + 5L, "u2")))
+      .zipWithIndex.map { case ((ts, u), i) => (i.toString, ts, u) }
+      .toDF("id", "timestamp", "user")
+      .withColumn("component", lit("app"))
+      .withColumn("name", lit("c_total"))
+      .withColumn("value", lit(1.0))
+      .withColumn("labels", map(lit("user"), col("user")))
+    val out = Firehose.absentAlert(metrics, widthSec = 60)
+      .collect().map(r => r.getAs[String]("series") -> r.getAs[Long]("absent_win"))
+    // u1: windows 0, 60, 240 present → gaps flag at 120 (after 60) and 300
+    // (after 240; within the u2-set high-water mark of 300)
+    assert(out.toSet === Set("user=u1" -> 120L, "user=u1" -> 300L), s"got ${out.toSeq}")
+  }
+
   test("gap fill inserts forward-filled slots between samples") {
     import spark.implicits._
     // samples at slots 0 and 7200 with 3600 step: slot 3600 is synthesized
