@@ -48,6 +48,59 @@ case class IncreaseOut(
     component: String, name: String, series: String,
     win_start: Long, increase: Double)
 
+/** Per-series absent-alert state: `anchor` = newest window whose presence
+  * is DECIDED (watermark passed its successor's end... strictly: the
+  * newest present window at or below the decision horizon), `gapEmitted` =
+  * whether the absent window right after the anchor has already been
+  * emitted (a timer may decide it before any new traffic arrives), `live` =
+  * present windows still above the horizon (a late-but-in-watermark sample
+  * may still land in them).
+  */
+case class AbsentState(anchor: Long, gapEmitted: Boolean, live: Seq[Long])
+
+/** Emitted staleness alert: the first missing window of a gap. */
+case class AbsentOut(component: String, name: String, series: String, absent_win: Long)
+
+/** The pure per-series absent-alert fold — the streaming decision rule for
+  * [[graft.operators.Firehose.absentAlert]]'s semantics, property-tested
+  * directly (random window sets, random batch splits, random in-watermark
+  * lateness). A window w's presence is final once `w + width <= wm` (the
+  * watermark admits no more samples for it); a gap between consecutive
+  * FINAL present windows emits its first missing window exactly once, and
+  * a series that goes silent emits `anchor + width` once the watermark
+  * passes that window's end (`anchor + 2·width <= wm`).
+  */
+object AbsentCore {
+
+  val empty: AbsentState = AbsentState(-1L, gapEmitted = false, Nil)
+
+  final case class Step(state: AbsentState, emitted: Seq[Long])
+
+  def step(st: AbsentState, incomingWins: Seq[Long], wmSec: Long, width: Long): Step = {
+    val present = (st.live ++ incomingWins).distinct.sorted
+    val (fin, live) = present.partition(_ + width <= wmSec)
+    var emitted = List.empty[Long]
+    var a = st.anchor
+    fin.foreach { w =>
+      if (a >= 0 && w > a + width) {
+        // gap between two decided present windows; the one directly after
+        // the stored anchor may have been emitted by the silence timer
+        val alreadyEmitted = a == st.anchor && st.gapEmitted
+        if (!alreadyEmitted) emitted ::= a + width
+      }
+      a = w
+    }
+    // trailing silence: the window after the last decided present window is
+    // itself decided absent (nothing present can appear at a+width anymore —
+    // it would have been in `fin`)
+    val trailingDecided = a >= 0 && a + 2 * width <= wmSec
+    val trailingAlready = a == st.anchor && st.gapEmitted
+    if (trailingDecided && !trailingAlready) emitted ::= a + width
+    val newFlag = (trailingDecided && !trailingAlready) || (a == st.anchor && st.gapEmitted)
+    Step(AbsentState(a, newFlag, live), emitted.reverse)
+  }
+}
+
 /** Per-(component, series) ratio-alert state: one [[IncreaseState]] fold per
   * counter name plus the CLOSED short-window totals parked until their
   * enclosing long window closes (shortWin → total).
@@ -410,6 +463,61 @@ object FirehoseStream {
               IncreaseOut(component, name, series, win, acc)
             }
           }
+      }
+  }
+
+  /** Streaming absent-series staleness alert — the incremental sibling of
+    * the batch [[graft.operators.Firehose.absentAlert]] (Prometheus
+    * `absent()` shape), built on the pure [[AbsentCore]] fold. A window's
+    * presence is decided only once the watermark passes its end, so a
+    * late-but-in-watermark sample can cancel a would-be gap; gaps between
+    * decided present windows emit their first missing window exactly once,
+    * and a series that goes silent emits via its event-time timer armed at
+    * the decision point (anchor + 2·width) — no traffic on the series
+    * itself is needed. An evicted idle series that later resumes starts a
+    * fresh presence chain (the gap across the eviction is not flagged),
+    * mirroring the registry-eviction semantics of the other stateful
+    * operators.
+    */
+  def absentAlert(
+      metrics: DataFrame,
+      widthSec: Long = 60,
+      watermarkDelay: String = "10 minutes",
+      ttlMs: Long = 10 * 60 * 1000L): Dataset[AbsentOut] = {
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    keyedPoints(metrics, watermarkDelay)
+      .groupByKey(p => (p.component, p.name, p.series))
+      .flatMapGroupsWithState[AbsentState, AbsentOut](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case ((component, name, series), points, state: GroupState[AbsentState]) =>
+          val wmSec = state.getCurrentWatermarkMs() / 1000L
+          val st = state.getOption.getOrElse(AbsentCore.empty)
+          val wins =
+            if (state.hasTimedOut) Nil
+            else points.map(p => p.timestamp - math.floorMod(p.timestamp, widthSec)).toSeq
+          val r = AbsentCore.step(st, wins, wmSec, widthSec)
+          val idle = r.state.live.isEmpty && (r.state.gapEmitted || r.state.anchor < 0)
+          if (state.hasTimedOut && idle) state.remove()
+          else {
+            state.update(r.state)
+            // the next decision point: the silence window after the anchor
+            // (if still undecided), else the first live window's horizon;
+            // a fully-decided idle series just waits for TTL GC. All
+            // candidates are strictly above the watermark by construction.
+            val decisionPoint =
+              if (r.state.anchor >= 0 && !r.state.gapEmitted)
+                Some((r.state.anchor + 2 * widthSec) * 1000L)
+              else r.state.live.minOption.map(w => (w + 2 * widthSec) * 1000L)
+            decisionPoint match {
+              case Some(t) => state.setTimeoutTimestamp(t)
+              case None =>
+                if (state.getCurrentWatermarkMs() > 0)
+                  state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
+                else state.setTimeoutTimestamp(ttlMs)
+            }
+          }
+          r.emitted.iterator.map(w => AbsentOut(component, name, series, w))
       }
   }
 

@@ -501,6 +501,46 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming absent alert flags gaps and silence via timers, late data cancels") {
+    val dir = Files.createTempDirectory("graft-absent").toFile
+    val chk = Files.createTempDirectory("graft-absentchk").toFile
+    // width 100, watermark delay 200 s. u1 present in windows 0 and 300 —
+    // window 100 would be a gap, but a LATE in-watermark sample at ts 150
+    // (batch 2; the wm after batch 1 is 310-200=110, so 150 is admitted
+    // and window 100's presence is still undecided at wm 110) fills it,
+    // so only window 200 flags. u1 then goes silent; u2's traffic drives
+    // the watermark so u1's trailing window 400 emits via its timer.
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "c_total", 10, "u1", 1.0),
+        metricJson("2", "c_total", 310, "u1", 2.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.absentAlert(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+        widthSec = 100, watermarkDelay = "200 seconds")
+      .writeStream.format("memory").queryName("absent_t").outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      // late but in-watermark: wm is now 110 (310 - 200 s delay), 150 >= 110
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(metricJson("3", "c_total", 150, "u1", 3.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      // u2 pushes the watermark far past u1's horizon (a batch's own max
+      // only becomes the watermark for the NEXT batch)
+      Seq(800L, 1600L, 2400L).zipWithIndex.foreach { case (ts, i) =>
+        Files.write(dir.toPath.resolve(s"adv$i.json"),
+          Seq(metricJson(s"a$i", "c_total", ts, "u2", 1.0)).mkString("\n").getBytes)
+        q.processAllAvailable()
+      }
+      val u1 = spark.table("absent_t").filter(col("series").contains("u1"))
+        .collect().map(_.getAs[Long]("absent_win")).sorted
+      // window 100 filled late → NOT flagged; gap first-missing 200 flags;
+      // trailing silence flags 400 via the timer
+      assert(u1.toSeq === Seq(200L, 400L), s"got ${u1.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming counter increase finalizes windows below the watermark and prunes state") {
     val dir = Files.createTempDirectory("graft-inc-fin").toFile
     val chk = Files.createTempDirectory("graft-inc-finchk").toFile
