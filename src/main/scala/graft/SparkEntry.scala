@@ -73,6 +73,16 @@ object SparkEntry {
         maxSeries = 100)),
     "m14_ratio_alert" -> ((s, dir) =>
       Firehose.ratioAlert(Firehose.metricsFromEvents(s, dir))),
+    // Prometheus deriv()/predict_linear(): per-series OLS trend over the
+    // raw events (series = event_type × user), one-hour extrapolation
+    "m16_predict_linear" -> ((s, dir) => {
+      val e = Firehose.eventsRaw(s, dir)
+        .select(col("event_type"), col("user_id"),
+          expr("ts div 1000000000").as("ts_s"), col("value"))
+      Firehose.predictLinear(
+          e, Seq("event_type", "user_id"), col("ts_s"), col("value"), horizonSec = 3600)
+        .orderBy(col("event_type"), col("user_id"))
+    }),
     "m9_counter_increase" -> ((s, dir) =>
       Firehose.counterIncrease(Firehose.metricsFromEvents(s, dir))),
     "m10_topk_series" -> ((s, dir) => Relational.mTopkSeries(s, dir)),
@@ -134,6 +144,10 @@ object SparkEntry {
     "q7_nation_volume" -> ((s, dir) => Relational.q7NationVolume(s, dir)),
     "q15_top_supplier" -> ((s, dir) => Relational.q15TopSupplier(s, dir)),
     "q20_big_movers" -> ((s, dir) => Relational.q20BigMovers(s, dir)),
+    "q10_returned_rank" -> ((s, dir) => Relational.q10ReturnedRank(s, dir)),
+    "q11_value_share" -> ((s, dir) => Relational.q11ValueShare(s, dir)),
+    "q17_small_qty" -> ((s, dir) => Relational.q17SmallQtyRevenue(s, dir)),
+    "q21_lone_late" -> ((s, dir) => Relational.q21LoneLateSupplier(s, dir)),
     "d10_dedup_incremental" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       Dedup.incrementalDedup(
@@ -191,6 +205,8 @@ object SparkEntry {
       TextAnalysis.qualityModel(Tables(s, dir, "documents"))),
     "t11_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(Tables(s, dir, "documents"))),
+    "t12_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables(s, dir, "documents"))),
     "d15_stratified_split" -> ((s, dir) =>
       Curate.stratifiedSplit(Tables(s, dir, "documents"))),
     "d16_token_budget" -> ((s, dir) =>
@@ -392,6 +408,38 @@ object SparkEntry {
         |  CAST(s.short_ratio > 1.0 AND l.long_ratio > 1.0 AS INTEGER) AS alert
         |FROM srt s JOIN lrt l ON s.component = l.component AND s.series = l.series
         |  AND l.long_win = s.win_start - s.win_start % 21600""".stripMargin,
+    // same centered exact-decimal sums, same IEEE scalar algebra —
+    // parenthesization mirrored term for term
+    "m16_predict_linear" ->
+      """WITH pts AS (
+        |  SELECT event_type, user_id,
+        |    epoch_ns(ts) // 1000000000
+        |      - min(epoch_ns(ts) // 1000000000)
+        |          OVER (PARTITION BY event_type, user_id) AS x,
+        |    value
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, user_id, count(*) AS n,
+        |    sum(CAST(x AS DECIMAL(19,0))) AS sx,
+        |    sum(CAST(x * x AS DECIMAL(28,0))) AS sxx,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(x AS DECIMAL(19,0)) * CAST(value AS DECIMAL(18,2))) AS sxy,
+        |    max(x) AS mx
+        |  FROM pts GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, user_id, n,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(mx AS DOUBLE) AS mxd
+        |  FROM g)
+        |SELECT event_type, user_id, n, slope,
+        |  (syd - slope * sxd) / CAST(n AS DOUBLE) + slope * (mxd + 3600.0) AS predicted
+        |FROM d WHERE n >= 2 AND den <> 0""".stripMargin,
     "m9_counter_increase" ->
       """WITH m AS (
         |  SELECT 'app' AS component, event_type || '_total' AS name,
@@ -614,6 +662,60 @@ object SparkEntry {
         |  GROUP BY l_suppkey
         |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 500.0)
         |ORDER BY s_suppkey""".stripMargin,
+    "q10_returned_rank" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q11_value_share" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS val_dec
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value
+        |FROM pv
+        |WHERE CAST(val_dec AS DOUBLE) > 0.0007 * (SELECT CAST(sum(val_dec) AS DOUBLE) FROM pv)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q17_small_qty" ->
+      """WITH l AS (
+        |  SELECT * FROM lineitem
+        |  WHERE l_partkey IN
+        |    (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1' AND p_size <= 5)),
+        |aq AS (
+        |  SELECT l_partkey AS ap,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        |  FROM l GROUP BY 1)
+        |SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM l JOIN aq ON l_partkey = ap
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    // the EXISTS/NOT-EXISTS form — identical results prove the Spark
+    // side's single-scan window decorrelation
+    "q21_lone_late" ->
+      """SELECT s_suppkey, s_name, count(DISTINCT l1.l_orderkey) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON l1.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |WHERE datediff('day', o.o_orderdate, l1.l_shipdate) > 180
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND datediff('day', o3.o_orderdate, l3.l_shipdate) > 180)
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey LIMIT 100""".stripMargin,
     "q_notin_nullaware" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN
@@ -1063,6 +1165,33 @@ object SparkEntry {
           |  CAST(coalesce(top_bigram_share, 0.0) > 0.2
           |       OR coalesce(top_trigram_share, 0.0) > 0.2 AS INTEGER) AS repetitive
           |FROM base b LEFT JOIN p USING (doc_id)""".stripMargin),
+    "t12_gopher_rules" ->
+      (WordsCte +
+        s"""base AS (SELECT doc_id,
+           |  CAST(len(ws) AS BIGINT) AS n_words,
+           |  CAST(list_reduce(
+           |    list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(ws, w -> CAST(length(w) AS BIGINT))),
+           |    (a, b) -> a + b) AS BIGINT) AS sum_word_len,
+           |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+           |    AS n_alpha_words,
+           |  CAST(len(list_filter(ws, w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT)
+           |    AS n_symbol_words,
+           |  CAST(len(list_distinct(list_filter(ws, w -> list_contains(${markerLists("en")}, w))))
+           |    AS BIGINT) AS n_stop_distinct
+           |FROM words),
+           |r AS (SELECT *,
+           |  sum_word_len::DOUBLE / nullif(n_words, 0) AS mean_word_len,
+           |  n_alpha_words::DOUBLE / nullif(n_words, 0) AS alpha_ratio,
+           |  n_symbol_words::DOUBLE / nullif(n_words, 0) AS symbol_ratio
+           |FROM base)
+           |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_symbol_words,
+           |  n_stop_distinct, mean_word_len, alpha_ratio, symbol_ratio,
+           |  CAST(n_words BETWEEN 50 AND 100000
+           |    AND mean_word_len BETWEEN 3.0 AND 10.0
+           |    AND symbol_ratio < 0.1 AND alpha_ratio > 0.8
+           |    AND n_stop_distinct >= 2 AS BIGINT) AS keep
+           |FROM r""".stripMargin),
     "d15_stratified_split" ->
       """WITH r AS (
         |  SELECT source, doc_id,

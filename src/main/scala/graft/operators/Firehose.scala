@@ -428,4 +428,57 @@ object Firehose {
       .filter(col("last_ts") >= col("_hwm") - lit(ttlSec))
       .drop("_hwm")
   }
+
+  /** Per-series linear trend + extrapolation — Prometheus `deriv()` and
+    * `predict_linear()` semantics over the landed stream: ordinary
+    * least-squares slope per series, and the value the fit predicts
+    * `horizonSec` past the series' newest sample ("disk full in 4 h").
+    *
+    * Numerics are built for a bit-exact oracle AND order-independence at
+    * scale: timestamps are centered per series on the series' first sample
+    * (exact long arithmetic — no catastrophic cancellation against epoch
+    * magnitudes), every sum is an exact decimal fold (order-independent,
+    * map-side combinable), and only the final slope/intercept algebra runs
+    * in IEEE doubles on the per-series scalars. Shape at 100 TB: one hash
+    * shuffle by series shared by the centering window and the aggregation
+    * (same key → one exchange), state = one row of sums per series.
+    */
+  def predictLinear(
+      df: DataFrame,
+      seriesCols: Seq[String],
+      tsSec: Column,
+      value: Column,
+      horizonSec: Long = 3600): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+    val based = df
+      .withColumn("_ts_s", tsSec.cast("long"))
+      .withColumn("_x", col("_ts_s") - min(col("_ts_s")).over(w))
+      .withColumn("_y", value.cast("double"))
+    val g = based
+      .groupBy(seriesCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_x").cast("decimal(19,0)")).as("_sx"),
+        // x*x is exact in long (centered x ≤ series span in seconds);
+        // the decimal cast only makes the SUM overflow-proof
+        sum((col("_x") * col("_x")).cast("decimal(28,0)")).as("_sxx"),
+        sum(col("_y").cast("decimal(18,2)")).as("_sy"),
+        sum(col("_x").cast("decimal(19,0)") * col("_y").cast("decimal(18,2)")).as("_sxy"),
+        max(col("_x")).as("_mx"))
+    val nd = col("n").cast("double")
+    val sxd = col("_sx").cast("double")
+    val sxxd = col("_sxx").cast("double")
+    val syd = col("_sy").cast("double")
+    val sxyd = col("_sxy").cast("double")
+    val den = nd * sxxd - sxd * sxd
+    val slope = (nd * sxyd - sxd * syd) / den
+    val intercept = (syd - slope * sxd) / nd
+    g.filter(col("n") >= 2 && den =!= lit(0.0))
+      .select(
+        seriesCols.map(col) ++ Seq(
+          col("n"),
+          slope.as("slope"),
+          (intercept + slope * (col("_mx").cast("double") + lit(horizonSec.toDouble)))
+            .as("predicted")): _*)
+  }
 }

@@ -690,6 +690,104 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** TPC-H Q10 shape — returned-item ranking: fact→fact→dim join chain
+    * filtered on both fact sides (return flag on lineitem, date range on
+    * orders), grouped by customer, deterministic top-20 by revenue with a
+    * key tie-break. The limit plans as TakeOrdered (per-partition heaps +
+    * one driver merge of 20-row arrays) — no global sort at any scale.
+    */
+  def q10ReturnedRank(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q11 shape — share-of-global HAVING: a grouped aggregate compared
+    * against a scalar derived from the SAME aggregate (parts whose revenue
+    * exceeds a fraction of total revenue). The per-part relation is
+    * key-bounded → materialized once so the corpus-scale fact scan runs
+    * once; the one-row total broadcasts back. Exact decimal sums, the
+    * share test in IEEE doubles on both engines.
+    */
+  def q11ValueShare(spark: SparkSession, dir: String, fraction: Double = 0.0007): DataFrame = {
+    val pv = graft.Tables.materializeSmall(
+      t(spark, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
+          .as("_val_dec")))
+    val tot = pv.agg(sum(col("_val_dec")).as("_total_dec"))
+    pv.join(broadcast(tot))
+      .filter(col("_val_dec").cast("double") > lit(fraction) * col("_total_dec").cast("double"))
+      .select(col("l_partkey"), col("_val_dec").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q17 shape — correlated scalar-aggregate predicate: lineitems of
+    * a small part subset kept only when their quantity is under 20% of
+    * that part's OWN average quantity. Decorrelates to a per-part average
+    * (map-side combinable, keyed by the probed parts only via a broadcast
+    * semi-join) joined back to the fact rows; the average is a
+    * decimal-sum / count so the threshold is bit-deterministic.
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val parts = t(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#1" && col("p_size") <= 5)
+      .select(col("p_partkey"))
+    val l = t(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+    val avgQty = l
+      .groupBy(col("l_partkey").as("_ap"))
+      .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+        .as("_avg_qty"))
+    l.join(broadcast(avgQty), col("l_partkey") === col("_ap"))
+      .filter(col("l_quantity") < lit(0.2) * col("_avg_qty"))
+      .agg(
+        (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / lit(7.0))
+          .as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q21 shape — EXISTS + NOT EXISTS self-joins: suppliers who were
+    * the ONLY late shipper in a multi-supplier order ("late" = shipped
+    * > 180 days after the order date). Decorrelated Spark-first: one
+    * (order, supplier) aggregate, then order-level counts as window sums
+    * over the SAME shuffled relation (no self-scan of the fact), so the
+    * lineitem table is read once where the literal EXISTS form reads it
+    * three times. The oracle runs the EXISTS/NOT-EXISTS form — identical
+    * results prove the decorrelation. Deterministic top-100 by wait count
+    * with supplier-key tie-break.
+    */
+  def q21LoneLateSupplier(spark: SparkSession, dir: String, lateDays: Int = 180): DataFrame = {
+    val perSupp = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(
+        (datediff(col("l_shipdate"), col("o_orderdate")) > lateDays).cast("int"))
+        .as("_late"))
+    val wo = Window.partitionBy(col("l_orderkey"))
+    val lone = perSupp
+      .withColumn("_n_supp", count(lit(1)).over(wo))
+      .withColumn("_n_late", sum(col("_late")).over(wo))
+      .filter(col("_late") === 1 && col("_n_supp") > 1 && col("_n_late") === 1)
+    lone
+      .join(broadcast(t(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(100)
+  }
+
   /** ANALYZE-style table profile — the stats-collection pass every pipeline
     * runs before planning a big job: per column, row/null/distinct counts
     * and typed min/max (numeric and string kept in separate typed columns —

@@ -365,4 +365,42 @@ object TextAnalysis {
         col("n_vocab").cast("double") / nullif(col("n_tokens"), lit(0L)).cast("double"))
       .orderBy(col("source"))
   }
+
+  /** Gopher-style quality-rule flags (the word-level subset of the Gopher
+    * paper's repetition/format filters — this corpus is single-line, so the
+    * per-line rules degenerate): word-count bounds, mean-word-length
+    * bounds, symbol-word ratio ('#' or '...'), alpha-word ratio, and a
+    * distinct-stopword floor, folded into one keep flag. Pure row-local
+    * array expressions; all ratios are exact-integer divisions evaluated
+    * in IEEE doubles so the oracle matches bit-for-bit.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    val stopArr = array(Stopwords.map(lit): _*)
+    docs
+      .select(
+        col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        aggregate(
+          transform(ws, w => char_length(w).cast("long")), lit(0L), (a, b) => a + b)
+          .as("sum_word_len"),
+        size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha_words"),
+        size(filter(ws, w => w.contains("#") || w.contains("...")))
+          .cast("long").as("n_symbol_words"),
+        size(array_distinct(filter(ws, w => array_contains(stopArr, w))))
+          .cast("long").as("n_stop_distinct"))
+      .withColumn("mean_word_len",
+        col("sum_word_len").cast("double") / nullif(col("n_words"), lit(0L)))
+      .withColumn("alpha_ratio",
+        col("n_alpha_words").cast("double") / nullif(col("n_words"), lit(0L)))
+      .withColumn("symbol_ratio",
+        col("n_symbol_words").cast("double") / nullif(col("n_words"), lit(0L)))
+      .withColumn(
+        "keep",
+        (col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") < 0.1 &&
+          col("alpha_ratio") > 0.8 &&
+          col("n_stop_distinct") >= 2).cast("long"))
+  }
 }

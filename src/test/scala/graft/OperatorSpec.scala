@@ -324,6 +324,39 @@ class OperatorSpec extends SparkSuite {
     assert(s.isNullAt(s.fieldIndex("min_num")))
   }
 
+  test("predict_linear recovers an exact linear trend and filters degenerate series") {
+    import spark.implicits._
+    // series a: y = 2t + 5 exactly; b: one sample (n < 2); c: all samples
+    // at one timestamp (zero x-variance → den = 0)
+    val pts = Seq(
+      ("a", 1000L, 2005.0), ("a", 1010L, 2025.0), ("a", 1020L, 2045.0),
+      ("b", 500L, 1.0),
+      ("c", 700L, 1.0), ("c", 700L, 2.0))
+      .toDF("series", "ts_s", "value")
+    val out = graft.operators.Firehose
+      .predictLinear(pts, Seq("series"), col("ts_s"), col("value"), horizonSec = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("a"))
+    assert(math.abs(out("a").getAs[Double]("slope") - 2.0) < 1e-9)
+    // newest sample is t=1020 → predicted at t=1030: 2·1030 + 5 = 2065
+    assert(math.abs(out("a").getAs[Double]("predicted") - 2065.0) < 1e-9)
+  }
+
+  test("gopher rules keep well-formed prose and flag short/symbol/non-alpha docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // 60 words, two distinct stopwords, all-alpha, mean word len ~4.9
+      (1L, "the and " + Seq.fill(58)("alpha").mkString(" ")),
+      (2L, "tiny doc the and"), // word-count floor
+      (3L, "the and " + Seq.fill(48)("alpha").mkString(" ") + " " +
+        Seq.fill(10)("###").mkString(" ")), // symbol ratio 10/60 > 0.1
+      (4L, "the and " + Seq.fill(58)("12345").mkString(" "))) // alpha ratio 2/60
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.gopherRules(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep")).toMap
+    assert(out === Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
   test("custom expressions are SQL-registered via extensions") {
     val r = spark.sql(
       "SELECT cosine_sim(array(cast(1.0 as float), cast(0.0 as float)), " +

@@ -64,6 +64,22 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("lineitem"), s"fact table re-scanned:\n$plan")
   }
 
+  test("q10 top-20 plans as TakeOrdered, not a global sort") {
+    val plan = planOf(Relational.q10ReturnedRank(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered in:\n$plan")
+  }
+
+  test("q21 window decorrelation scans the lineitem fact exactly once") {
+    // the EXISTS/NOT-EXISTS oracle form reads lineitem three times; the
+    // engine's window formulation must read it once
+    val df = Relational.q21LoneLateSupplier(spark, sfDir)
+    val scans = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("lineitem")) => s
+    }
+    assert(scans.length === 1, s"lineitem scanned ${scans.length} times")
+  }
+
   test("q5 star joins broadcast the dimension tables") {
     val plan = planOf(Relational.q5SupplierVolume(spark, sfDir))
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
