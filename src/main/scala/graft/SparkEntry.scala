@@ -148,6 +148,15 @@ object SparkEntry {
     "q11_value_share" -> ((s, dir) => Relational.q11ValueShare(s, dir)),
     "q17_small_qty" -> ((s, dir) => Relational.q17SmallQtyRevenue(s, dir)),
     "q21_lone_late" -> ((s, dir) => Relational.q21LoneLateSupplier(s, dir)),
+    "q2_mincost_supplier" -> ((s, dir) => Relational.q2MinCostSupplier(s, dir)),
+    "m17_resets_changes" -> ((s, dir) =>
+      Firehose.resetsChanges(Firehose.metricsFromEvents(s, dir))),
+    "t13_passage_mine" -> ((s, dir) =>
+      TextAnalysis.minePassages(Tables(s, dir, "documents"))),
+    "q_scd2_intervals" -> ((s, dir) => Relational.qScd2Intervals(s, dir)),
+    "q8_market_share" -> ((s, dir) => Relational.q8MarketShare(s, dir)),
+    "q9_product_profit" -> ((s, dir) => Relational.q9ProductProfit(s, dir)),
+    "q12_shipping_classes" -> ((s, dir) => Relational.q12ShippingClasses(s, dir)),
     "d10_dedup_incremental" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       Dedup.incrementalDedup(
@@ -698,6 +707,112 @@ object SparkEntry {
         |  count(*) AS n_items
         |FROM l JOIN aq ON l_partkey = ap
         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "m17_resets_changes" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         CAST(event_id AS VARCHAR) AS id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |d AS (
+        |  SELECT *, lag(value) OVER (PARTITION BY component, name, series
+        |    ORDER BY ts_sec, id) AS prev
+        |  FROM m)
+        |SELECT component, name, series,
+        |  sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS resets,
+        |  sum(CASE WHEN prev IS NOT NULL AND value != prev THEN 1 ELSE 0 END) AS changes,
+        |  count(*) AS n_samples
+        |FROM d GROUP BY 1, 2, 3""".stripMargin,
+    "t13_passage_mine" ->
+      (WordsCte +
+        """g AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 7), ' ') AS passage
+          |      FROM words, UNNEST(generate_series(1, len(ws) - 7)) t(i)
+          |      WHERE len(ws) >= 8),
+          |pd AS (SELECT passage, doc_id, count(*) AS n_in_doc FROM g GROUP BY 1, 2)
+          |SELECT passage, count(*) AS n_docs, sum(n_in_doc) AS n_occurrences
+          |FROM pd GROUP BY 1 HAVING count(*) >= 2
+          |ORDER BY n_occurrences DESC, n_docs DESC, passage LIMIT 50""".stripMargin),
+    "q_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |c AS (
+        |  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+        |                   OR lag(event_type) OVER w != event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |r AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM c),
+        |g AS (
+        |  SELECT user_id, run_id, event_type AS state, min(ts_us) AS valid_from_us,
+        |         count(*) AS n_events
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT user_id, run_id, state, valid_from_us,
+        |  lead(valid_from_us) OVER w2 AS valid_to_us,
+        |  (lead(valid_from_us) OVER w2 IS NULL) AS is_current,
+        |  n_events
+        |FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)""".stripMargin,
+    // the correlated-scalar-subquery form — identical results prove the
+    // Spark side's single-scan window-min decorrelation
+    "q2_mincost_supplier" ->
+      """WITH cost AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem
+        |  WHERE l_partkey IN
+        |    (SELECT p_partkey FROM part WHERE p_type = 'SMALL' AND p_size = 10)
+        |  GROUP BY 1, 2),
+        |rc AS (
+        |  SELECT cost.*, s_name, s_acctbal, n_name
+        |  FROM cost
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, rc.l_partkey AS p_partkey, p_brand, unit_cost
+        |FROM rc JOIN part ON rc.l_partkey = p_partkey
+        |WHERE unit_cost = (SELECT min(unit_cost) FROM rc rc2 WHERE rc2.l_partkey = rc.l_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS mkt_share,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS total_volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+        |  AND o_custkey IN (
+        |    SELECT c_custkey FROM customer
+        |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |    JOIN region ON n1.n_regionkey = r_regionkey
+        |    WHERE r_name = 'ASIA')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    - 0.006 * p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "q12_shipping_classes" ->
+      """SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 120 THEN 'LATE'
+        |    WHEN datediff('day', o_orderdate, l_shipdate) > 60 THEN 'SLOW'
+        |    ELSE 'FAST' END AS ship_class,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+        |    AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+        |    AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the EXISTS/NOT-EXISTS form — identical results prove the Spark
     // side's single-scan window decorrelation
     "q21_lone_late" ->

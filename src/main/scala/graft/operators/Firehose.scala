@@ -216,6 +216,29 @@ object Firehose {
       .select("component", "name", "series", "id", "timestamp", "value", "rate")
   }
 
+  /** Per-series Prometheus `resets()` + `changes()` — counts of counter
+    * resets (a sample strictly below its predecessor) and of value changes
+    * between consecutive samples over the landed range. Same one
+    * window-shuffle by series as [[seriesRate]], then a
+    * map-side-combinable count aggregate; integer outputs, no float
+    * accumulation to keep portable.
+    */
+  def resetsChanges(metrics: DataFrame): DataFrame = {
+    val labeled =
+      if (metrics.columns.contains("labels")) metrics else tagFilter(metrics)
+    val w = Window
+      .partitionBy(col("component"), col("name"), col("series"))
+      .orderBy(col("timestamp"), col("id"))
+    labeled
+      .withColumn("series", seriesKey(col("labels")))
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .groupBy(col("component"), col("name"), col("series"))
+      .agg(
+        sum((col("prev").isNotNull && col("value") < col("prev")).cast("long")).as("resets"),
+        sum((col("prev").isNotNull && col("value") =!= col("prev")).cast("long")).as("changes"),
+        count(lit(1)).as("n_samples"))
+  }
+
   /** Per-series windowed counter increase — Prometheus `increase()`
     * semantics over the landed stream: sum of positive value deltas per
     * series per tumbling window (counter resets, i.e. negative deltas,

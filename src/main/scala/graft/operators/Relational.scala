@@ -854,4 +854,160 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** SCD type-2 interval build — turn a change-event stream into temporal
+    * dimension rows: consecutive same-state events per entity collapse to
+    * one row with `[valid_from, valid_to)` bounds, `valid_to` = the next
+    * state's start (NULL on the open, current row). The run detection is
+    * a change flag + running sum over ONE window partitioning by entity —
+    * the grouping and both windows (run id, lead) share that single
+    * shuffle, so at 100 TB the operator costs one exchange by user key.
+    * Timestamps flow as integer microseconds (the engine-portable form).
+    */
+  def qScd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val e = Firehose.eventsRaw(spark, dir).withColumn("ts_us", expr("ts div 1000"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val runs = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    e.select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
+      .withColumn(
+        "_chg",
+        when(
+          lag(col("event_type"), 1).over(byUser).isNull ||
+            lag(col("event_type"), 1).over(byUser) =!= col("event_type"),
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("run_id", sum(col("_chg")).over(runs))
+      .groupBy(col("user_id"), col("run_id"), col("event_type"))
+      .agg(
+        min(col("ts_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byRun))
+      .select(
+        col("user_id"), col("run_id"), col("event_type").as("state"),
+        col("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"), col("n_events"))
+  }
+
+  /** TPC-H Q2 shape — min-cost supplier: for each part of a given size/type,
+    * the supplier(s) in one region offering it at the minimum observed unit
+    * price (this schema has no partsupp, so unit cost = min shipped
+    * `l_extendedprice / l_quantity` per (part, supplier) — an
+    * order-independent double MIN, hash-stable across engines). The
+    * correlated `cost = (SELECT min ...)` of the literal form decorrelates
+    * to one window-min over the SAME shuffled (part, supplier) relation —
+    * the fact table is scanned once, not per-part. Region dims broadcast;
+    * at 100 TB the only shuffle is the (part, supplier) aggregate.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String, region: String = "EUROPE",
+      pType: String = "SMALL", pSize: Int = 10): DataFrame = {
+    val parts = t(spark, dir, "part")
+      .filter(col("p_type") === pType && col("p_size") === pSize)
+      .select(col("p_partkey"), col("p_brand"))
+    val regionSupp = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region").filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val cost = t(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val wp = Window.partitionBy(col("l_partkey"))
+    cost
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("_min_cost", min(col("unit_cost")).over(wp))
+      .filter(col("unit_cost") === col("_min_cost"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("p_brand"), col("unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q8 shape — national market share: of all order volume shipped
+    * into one region's customers for one part type, the fraction supplied
+    * by one nation, per order year. The share is a ratio of two
+    * conditional DECIMAL sums computed in ONE grouped pass (no second
+    * scan, no join-back); dims broadcast; the single shuffle is the
+    * per-year aggregate whose key count is the number of years.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String, region: String = "ASIA",
+      nation: String = "NATION_2", pType: String = "ECONOMY"): DataFrame = {
+    val parts = t(spark, dir, "part").filter(col("p_type") === pType).select(col("p_partkey"))
+    val custRegion = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region").filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)")
+    t(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custRegion), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === nation, vol).otherwise(lit(0).cast("decimal(18,6)")))
+          .cast("double") / sum(vol).cast("double")).as("mkt_share"),
+        sum(vol).cast("double").as("total_volume"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9 shape — product-type profit by nation and year: profit =
+    * revenue minus a retail-price-proportional cost proxy (no partsupp /
+    * ps_supplycost in this schema), for parts whose name matches a
+    * substring, grouped by supplier nation × order year. The profit
+    * amount is one codegen'd double expression cast to DECIMAL before the
+    * sum, so the aggregate is order-independent. Part subset + supplier
+    * dim broadcast; one shuffle (the group agg, map-side combinable).
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String, nameLike: String = "%widget%",
+      costRate: Double = 0.006): DataFrame = {
+    val parts = t(spark, dir, "part")
+      .filter(col("p_name").like(nameLike))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val suppNation = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val amount = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      - lit(costRate) * col("p_retailprice") * col("l_quantity")).cast("decimal(18,6)")
+    t(spark, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q12 shape — shipping-class priority mix: lineitems bucketed by
+    * ship lateness class (this schema has no l_shipmode; the class is a
+    * CASE over `datediff(shipdate, orderdate)`), counting high- vs
+    * low-priority orders per class — the canonical CASE-sum-over-join.
+    * The orders side projects two columns before the join; the class
+    * expression and both conditional counts are one codegen'd pass over
+    * the joined rows; one single shuffle (3-key group agg).
+    */
+  def q12ShippingClasses(spark: SparkSession, dir: String,
+      slowDays: Int = 60, lateDays: Int = 120): DataFrame = {
+    val l = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    val o = t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderdate"),
+      col("o_orderpriority"))
+    val lag = datediff(col("l_shipdate"), col("o_orderdate"))
+    val shipClass = when(lag > lateDays, lit("LATE"))
+      .when(lag > slowDays, lit("SLOW")).otherwise(lit("FAST"))
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(shipClass.as("ship_class"))
+      .agg(
+        sum(isHigh.cast("long")).as("high_line_count"),
+        sum((!isHigh).cast("long")).as("low_line_count"))
+      .orderBy(col("ship_class"))
+  }
 }

@@ -184,6 +184,47 @@ object TextAnalysis {
         array_join(col("_chunk"), " ").as("chunk_text"))
   }
 
+  /** Cross-corpus repeated-passage mining — the discovery pass of exact
+    * substring deduplication: every word-level `n`-gram passage shared by
+    * at least `minDocs` documents, with its document and occurrence
+    * counts. Unlike [[repetitionSignals]] (within-doc) or
+    * [[graft.operators.Dedup.ngramJaccard]] (pairwise doc similarity),
+    * this surfaces the passages themselves — the boilerplate a cleaning
+    * pass would strip. One codegen'd explode (fan-out = tokens per doc,
+    * same cost class as a shingle pass) into one two-level aggregate:
+    * per-(gram, doc) counts partial-agg map-side, then the per-gram
+    * rollup runs on the already-collapsed relation. The ≥ `minDocs`
+    * filter drops the long unique tail before the final top-k, which
+    * plans as TakeOrdered — no global sort of the gram space.
+    */
+  def minePassages(
+      docs: DataFrame,
+      n: Int = 8,
+      minDocs: Int = 2,
+      topK: Int = 50): DataFrame = {
+    val nTok = size(col("_ws"))
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("_ws"))
+      .select(
+        col("doc_id"),
+        explode(
+          when(nTok >= n,
+            transform(
+              sequence(lit(1), nTok - lit(n - 1)),
+              i => array_join(slice(col("_ws"), i, lit(n)), " ")))
+            .otherwise(array().cast("array<string>"))).as("passage"))
+    grams
+      .groupBy(col("passage"), col("doc_id"))
+      .agg(count(lit(1)).as("_n_in_doc"))
+      .groupBy(col("passage"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_n_in_doc")).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_occurrences").desc, col("n_docs").desc, col("passage"))
+      .limit(topK)
+  }
+
   /** Within-document repetition signals — the Gopher/C4-style quality rule
     * that catches boilerplate and degenerate generations: the share of the
     * document's n-grams taken by its single most frequent bigram / trigram,
