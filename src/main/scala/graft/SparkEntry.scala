@@ -151,6 +151,15 @@ object SparkEntry {
     "q2_mincost_supplier" -> ((s, dir) => Relational.q2MinCostSupplier(s, dir)),
     "m17_resets_changes" -> ((s, dir) =>
       Firehose.resetsChanges(Firehose.metricsFromEvents(s, dir))),
+    "m18_quantile_over_time" -> ((s, dir) =>
+      Firehose.quantileOverTime(Firehose.metricsFromEvents(s, dir))),
+    "t14_bm25_search" -> ((s, dir) =>
+      TextAnalysis.bm25Search(Tables(s, dir, "documents"),
+        queryTerms = Seq("spark", "stream", "merge", "window"))),
+    "s8_ann_int8" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.bruteForceTopKInt8(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
     "t13_passage_mine" -> ((s, dir) =>
       TextAnalysis.minePassages(Tables(s, dir, "documents"))),
     "q_scd2_intervals" -> ((s, dir) => Relational.qScd2Intervals(s, dir)),
@@ -707,6 +716,58 @@ object SparkEntry {
         |  count(*) AS n_items
         |FROM l JOIN aq ON l_partkey = ap
         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "m18_quantile_over_time" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events)
+        |SELECT component, name, series, ts_sec - ts_sec % 3600 AS win_start,
+        |  round(quantile_cont(value, 0.9), 4) AS q_value,
+        |  count(*) AS n_samples
+        |FROM m GROUP BY 1, 2, 3, 4""".stripMargin,
+    "t14_bm25_search" ->
+      (WordsCte +
+        """tk AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, ws FROM words),
+          |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+          |         CAST(sum(CAST(dl AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avgdl
+          |       FROM tk),
+          |hits AS (SELECT doc_id, dl,
+          |           unnest(list_filter(ws,
+          |             t -> list_contains(['spark', 'stream', 'merge', 'window'], t))) AS term
+          |         FROM tk),
+          |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+          |       FROM hits GROUP BY 1, 2, 3),
+          |dfr AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+          |sc AS (SELECT doc_id,
+          |         CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.2 + 1.0))
+          |           / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+          |           AS DECIMAL(18,10)) AS contrib
+          |       FROM tf JOIN dfr USING (term), st)
+          |SELECT doc_id, round(CAST(sum(contrib) AS DOUBLE), 6) AS score,
+          |  count(*) AS n_terms
+          |FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+    "s8_ann_int8" ->
+      s"""WITH s AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_aggregate(list_transform(embedding, x -> abs(x)), 'max') AS DOUBLE)
+         |      / 127.0 AS sc
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |    CASE WHEN sc = 0.0 THEN 0.0
+         |         ELSE least(127.0, greatest(-127.0, round(CAST(x AS DOUBLE) / sc))) END) AS qv
+         |  FROM s),
+         |probes AS (SELECT * FROM q WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${qdotSql("p.qv", "c.qv")}
+         |      / (sqrt(${qdotSql("p.qv", "p.qv")}) * sqrt(${qdotSql("c.qv", "c.qv")}))
+         |      AS cosine_q
+         |  FROM q c JOIN probes p ON c.vec_id != p.vec_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cosine_q DESC, neighbor_id) AS BIGINT) AS rnk FROM scored)
+         |SELECT probe_id, neighbor_id, cosine_q, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "m17_resets_changes" ->
       """WITH m AS (
         |  SELECT 'app' AS component, event_type || '_total' AS name,
@@ -1612,6 +1673,15 @@ object SparkEntry {
   /** Explicit f64 cosine in DuckDB, sequential accumulation — bit-identical
     * to [[graft.functions.Kernels.cosine]].
     */
+  /** Dot product of two already-quantized DOUBLE list columns (s8 oracle):
+    * the plain sum-fold mirror of the Spark side's `aggregate(zip_with)` —
+    * every term and partial sum is an exact integer, so the left-to-right
+    * fold order both engines share makes it bit-portable by construction.
+    */
+  private def qdotSql(x: String, y: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($x)), " +
+      s"i -> $x[i] * $y[i])), (acc, v) -> acc + v)"
+
   private def cosineSql(a: String, b: String): String = {
     def sumProd(x: String, y: String): String =
       s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), " +

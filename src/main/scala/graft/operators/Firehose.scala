@@ -239,6 +239,31 @@ object Firehose {
         count(lit(1)).as("n_samples"))
   }
 
+  /** Per-series windowed exact quantile — PromQL `quantile_over_time`
+    * over the landed stream: linear-interpolated percentile of the raw
+    * samples per series per tumbling window. Exact-percentile state is
+    * the per-group value multiset, which is bounded here by scrape rate ×
+    * window span (NOT corpus size) — the safe regime for the exact form;
+    * for very long windows swap `approx_percentile` (mergeable GK sketch,
+    * the same swap [[graft.operators.Relational.qPercentilesApprox]]
+    * demonstrates). Rounded to 4 dp like the batch percentile query so
+    * the interpolation is engine-portable.
+    */
+  def quantileOverTime(metrics: DataFrame, q: Double = 0.9,
+      widthSec: Long = 3600): DataFrame = {
+    val labeled =
+      if (metrics.columns.contains("labels")) metrics else tagFilter(metrics)
+    labeled
+      .withColumn("series", seriesKey(col("labels")))
+      .withColumn(
+        "win_start",
+        (col("timestamp") - pmod(col("timestamp"), lit(widthSec))).cast("long"))
+      .groupBy(col("component"), col("name"), col("series"), col("win_start"))
+      .agg(
+        round(percentile(col("value"), lit(q)), 4).as("q_value"),
+        count(lit(1)).as("n_samples"))
+  }
+
   /** Per-series windowed counter increase — Prometheus `increase()`
     * semantics over the landed stream: sum of positive value deltas per
     * series per tumbling window (counter resets, i.e. negative deltas,

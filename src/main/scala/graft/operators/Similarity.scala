@@ -39,6 +39,49 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Quantized brute-force ANN — the int8 search path: both sides are
+    * symmetric-quantized per vector ([[quantizeInt8]]'s exact scheme) and
+    * scored by integer dot products. Every product and partial sum is an
+    * exactly-representable integer (|q| ≤ 127 ⇒ dim-bounded sums stay
+    * far inside 2^53), so the quantized cosine is bit-deterministic
+    * across engines and partitionings with NO decimal detour — this is
+    * what a SIMD/VNNI-backed vector index computes, expressed as one
+    * codegen'd fold. Same join shape as [[bruteForceTopK]]: probes
+    * broadcast, corpus vectors never shuffle, only (probe, neighbor,
+    * score) triples move. Recall vs the f32 exact baseline is
+    * spec-measured.
+    */
+  def bruteForceTopKInt8(
+      embeddings: DataFrame,
+      probes: DataFrame,
+      k: Int = 5): DataFrame = {
+    def quantized(df: DataFrame, id: String, out: String): DataFrame = {
+      val scale = array_max(transform(col("embedding"), x => abs(x))).cast("double") / lit(127.0)
+      df.withColumn("_s", scale)
+        .select(
+          col("vec_id").as(id),
+          transform(col("embedding"), x =>
+            when(col("_s") === 0.0, lit(0.0))
+              .otherwise(least(lit(127.0),
+                greatest(lit(-127.0), round(x.cast("double") / col("_s")))))).as(out))
+    }
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val cand = quantized(embeddings, "neighbor_id", "_cq")
+    val p = quantized(probes, "probe_id", "_pq")
+    val scored = cand
+      .join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"), col("neighbor_id"),
+        (dot(col("_pq"), col("_cq")) /
+          (sqrt(dot(col("_pq"), col("_pq"))) * sqrt(dot(col("_cq"), col("_cq")))))
+          .as("cosine_q"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine_q").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Deterministic ±1 hyperplane component for (plane j, dim i): parity of
     * the portable 60-bit md5 hash — reproducible in any engine. Evaluated
     * once at plan-build time and embedded as a literal matrix (the values

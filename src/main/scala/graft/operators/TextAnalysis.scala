@@ -225,6 +225,56 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** BM25 keyword search — rank documents against a bag-of-terms query
+    * with the Okapi BM25 scoring function (Lucene's +1 idf smoothing, so
+    * idf is never negative). The corpus-scale work is one codegen'd
+    * filter-explode restricted to the query terms BEFORE the shuffle, so
+    * only (doc, query-term) hits move — the shuffled relation is
+    * hit-bounded, not token-bounded. Document frequencies and the corpus
+    * stats (N, avgdl) are tiny aggregates of that same relation,
+    * broadcast back. Per-document term contributions are decimal-cast
+    * before the final sum so the score is independent of term order; the
+    * top-k plans as TakeOrdered. At 100 TB the tf relation is the
+    * inverted-index posting list for the query — the operator IS the
+    * index probe, built on the fly.
+    */
+  def bm25Search(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val toks = docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("double").as("dl"),
+      tokens(col("text")).as("_ws"))
+    val stats = toks.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avgdl"))
+    val qlit = array(queryTerms.map(lit): _*)
+    val tf = toks
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("_ws"), t => array_contains(qlit, t))).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), "term")
+      .join(broadcast(stats))
+      .withColumn("_idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("_contrib",
+        (col("_idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .cast("decimal(18,10)"))
+      .groupBy(col("doc_id"))
+      .agg(
+        round(sum(col("_contrib")).cast("double"), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Within-document repetition signals — the Gopher/C4-style quality rule
     * that catches boilerplate and degenerate generations: the share of the
     * document's n-grams taken by its single most frequent bigram / trigram,

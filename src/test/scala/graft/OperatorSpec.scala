@@ -125,6 +125,22 @@ class OperatorSpec extends SparkSuite {
     assert(recall >= 0.6, f"IVF recall $recall%.2f below the 0.6 floor at defaults")
   }
 
+  test("int8 quantized ANN keeps high agreement with the f32 exact top-k") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, probes, k = 5)
+      .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = Similarity.bruteForceTopKInt8(emb, probes, k = 5)
+      .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(q.size === exact.size, "int8 path must return a full top-k per probe")
+    val recall = (exact intersect q).size.toDouble / exact.size
+    info(f"int8 recall vs f32 exact top-5: $recall%.2f")
+    // int8 symmetric quantization perturbs cosines by ~1/127 per dim —
+    // on these vectors the top-5 sets should overlap strongly; the floor
+    // is deterministic (no randomness anywhere in either path)
+    assert(recall >= 0.8, f"int8 recall $recall%.2f below the 0.8 floor")
+  }
+
   test("hard negatives exclude the probe's own label and rank by similarity") {
     val emb = Tables(spark, sfDir, "embeddings")
     val probes = emb.filter(col("vec_id") < 10)
