@@ -236,7 +236,12 @@ object TextAnalysis {
     * before the final sum so the score is independent of term order; the
     * top-k plans as TakeOrdered. At 100 TB the tf relation is the
     * inverted-index posting list for the query — the operator IS the
-    * index probe, built on the fly.
+    * index probe, built on the fly. The posting list is materialized once
+    * ([[graft.Tables.materializeSmall]], hit-bounded) so document
+    * frequencies derive from it instead of re-scanning the corpus; the
+    * only other corpus pass is the (n_docs, avgdl) stats aggregate, which
+    * reads a single projected column (and at real scale is catalog
+    * metadata, computed once per corpus, not per query).
     */
   def bm25Search(
       docs: DataFrame,
@@ -253,11 +258,11 @@ object TextAnalysis {
       count(lit(1)).cast("double").as("n_docs"),
       (sum(col("dl").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avgdl"))
     val qlit = array(queryTerms.map(lit): _*)
-    val tf = toks
+    val tf = graft.Tables.materializeSmall(toks
       .select(col("doc_id"), col("dl"),
         explode(filter(col("_ws"), t => array_contains(qlit, t))).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+      .agg(count(lit(1)).cast("double").as("tf")))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(df), "term")
       .join(broadcast(stats))

@@ -48,6 +48,22 @@ case class IncreaseOut(
     component: String, name: String, series: String,
     win_start: Long, increase: Double)
 
+/** Per-series resets/changes state: the same watermark split as
+  * [[IncreaseState]] — `frozen*` are the counts over the immutable prefix,
+  * `buffer` holds the in-watermark samples re-folded each batch so a
+  * late-but-in-watermark sample lands in its true position (its arrival can
+  * flip BOTH its own flags and its successor's).
+  */
+case class ResetsState(
+    hasAnchor: Boolean, anchorTs: Long, anchorId: String, anchorValue: Double,
+    buffer: Seq[CounterSample],
+    frozenResets: Long, frozenChanges: Long, frozenN: Long)
+
+/** Emitted running per-series resets/changes totals (Update mode). */
+case class ResetsOut(
+    component: String, name: String, series: String,
+    resets: Long, changes: Long, n_samples: Long)
+
 /** Per-series absent-alert state: `anchor` = newest window whose presence
   * is DECIDED (watermark passed its successor's end... strictly: the
   * newest present window at or below the decision horizon), `gapEmitted` =
@@ -238,6 +254,72 @@ object IncreaseCore {
   }
 }
 
+/** Pure per-series fold for streaming Prometheus `resets()`/`changes()` —
+  * the incremental sibling of [[graft.operators.Firehose.resetsChanges]].
+  * Same buffering discipline as [[IncreaseCore]]: in-watermark samples are
+  * re-folded from the anchor each step, the below-watermark prefix freezes
+  * into cumulative counts. Kept Spark-free so it property-tests under
+  * random batching/lateness against the batch reference.
+  */
+object ResetsCore {
+
+  val empty: ResetsState = ResetsState(hasAnchor = false, 0L, "", 0.0, Nil, 0L, 0L, 0L)
+
+  final case class StepResult(state: ResetsState, out: ResetsTotals)
+  final case class ResetsTotals(resets: Long, changes: Long, n: Long)
+
+  /** One micro-batch step: merge, re-fold from the anchor, freeze the
+    * below-watermark prefix, return the RUNNING totals (frozen + live).
+    */
+  def step(st: ResetsState, incoming: Seq[CounterSample], wmSec: Long): StepResult = {
+    val buf = (st.buffer ++ incoming).sortBy(s => (s.ts, s.id))
+    var prevValue = st.anchorValue
+    var hasPrev = st.hasAnchor
+    val flags = buf.map { s =>
+      val reset = hasPrev && s.value < prevValue
+      val change = hasPrev && s.value != prevValue
+      prevValue = s.value
+      hasPrev = true
+      (s, reset, change)
+    }
+    val (frozen, live) = flags.partition(_._1.ts < wmSec)
+    val fr = st.frozenResets + frozen.count(_._2)
+    val fc = st.frozenChanges + frozen.count(_._3)
+    val fn = st.frozenN + frozen.size
+    val anchor = frozen.lastOption.map(_._1)
+    val newState = ResetsState(
+      hasAnchor = st.hasAnchor || anchor.isDefined,
+      anchorTs = anchor.map(_.ts).getOrElse(st.anchorTs),
+      anchorId = anchor.map(_.id).getOrElse(st.anchorId),
+      anchorValue = anchor.map(_.value).getOrElse(st.anchorValue),
+      buffer = live.map(_._1),
+      frozenResets = fr, frozenChanges = fc, frozenN = fn)
+    StepResult(
+      newState,
+      ResetsTotals(
+        fr + live.count(_._2),
+        fc + live.count(_._3),
+        fn + live.size))
+  }
+
+  /** Reference semantics — what the batch operator counts over the full
+    * (ts, id)-sorted series. Property-test oracle.
+    */
+  def batchReference(samples: Seq[CounterSample]): ResetsTotals = {
+    val sorted = samples.sortBy(s => (s.ts, s.id))
+    var prev: Option[Double] = None
+    var r = 0L; var c = 0L
+    sorted.foreach { s =>
+      prev.foreach { p =>
+        if (s.value < p) r += 1
+        if (s.value != p) c += 1
+      }
+      prev = Some(s.value)
+    }
+    ResetsTotals(r, c, sorted.size)
+  }
+}
+
 /** Structured-Streaming form of the firehose: the reference's
   * consume→parse→handle→endOfSet loop (AbstractFirehose.java:113-145)
   * re-expressed as an incremental query.
@@ -400,6 +482,45 @@ object FirehoseStream {
             r.running.iterator.map { case (win, acc) =>
               IncreaseOut(component, name, series, win, acc)
             }
+          }
+      }
+  }
+
+  /** Streaming per-series `resets()`/`changes()` — m17's incremental
+    * sibling: running totals re-emitted per batch (Update mode), with the
+    * same in-watermark buffering as [[counterIncrease]] so a
+    * late-but-in-watermark sample lands in its true fold position (its
+    * arrival can flip both its own flags and its successor's — last-seen
+    * state alone would miscount exactly like the pre-fix increase). Idle
+    * series evict on TTL; resumed series restart their chain.
+    */
+  def resetsChanges(
+      metrics: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      ttlMs: Long = 10 * 60 * 1000L): Dataset[ResetsOut] = {
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    keyedPoints(metrics, watermarkDelay)
+      .groupByKey(p => (p.component, p.name, p.series))
+      .flatMapGroupsWithState[ResetsState, ResetsOut](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case ((component, name, series), points, state: GroupState[ResetsState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = state.getOption.getOrElse(ResetsCore.empty)
+            val incoming = points.map(p => CounterSample(p.timestamp, p.id, p.value)).toSeq
+            val r = ResetsCore.step(st, incoming, state.getCurrentWatermarkMs() / 1000L)
+            state.update(r.state)
+            val lastTs = (r.state.buffer.map(_.ts) :+ r.state.anchorTs).max
+            if (state.getCurrentWatermarkMs() > 0) {
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
+            } else {
+              state.setTimeoutTimestamp(lastTs * 1000L + ttlMs)
+            }
+            Iterator.single(
+              ResetsOut(component, name, series, r.out.resets, r.out.changes, r.out.n))
           }
       }
   }

@@ -294,6 +294,46 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming resets/changes buffers late in-watermark samples (batch parity)") {
+    val dir = Files.createTempDirectory("graft-rst-late").toFile
+    val chk = Files.createTempDirectory("graft-rst-latechk").toFile
+    // batch 1: 10@100, 30@300. batch 2 delivers 20@200 LATE but inside the
+    // 1-hour watermark. Correct fold (10, 20, 30): resets=0, changes=2.
+    // Last-sample state would diff 20 against 30 and miscount a reset.
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "c_total", 100, "u1", 10.0),
+        metricJson("3", "c_total", 300, "u1", 30.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.resetsChanges(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+        watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("rst_late_t").outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(metricJson("2", "c_total", 200, "u1", 20.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val rows = spark.table("rst_late_t").collect()
+      val finalRow = rows.last
+      val streamed = (finalRow.getAs[Long]("resets"),
+        finalRow.getAs[Long]("changes"), finalRow.getAs[Long]("n_samples"))
+      val batchDf = spark.createDataFrame(Seq(
+        ("1", "c_total", 100L, "app", 10.0),
+        ("2", "c_total", 200L, "app", 20.0),
+        ("3", "c_total", 300L, "app", 30.0)))
+        .toDF("id", "name", "timestamp", "component", "value")
+        .withColumn("tags", map(lit("user"), lit("u1")))
+      val batch = graft.operators.Firehose.resetsChanges(batchDf)
+        .collect().map(r => (r.getAs[Long]("resets"),
+          r.getAs[Long]("changes"), r.getAs[Long]("n_samples"))).head
+      assert(batch === ((0L, 2L, 3L)))
+      assert(streamed === batch,
+        s"late in-watermark sample broke resets/changes parity: streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("closed-window counter increase emits each window once with its final total") {
     val dir = Files.createTempDirectory("graft-inc-closed").toFile
     val chk = Files.createTempDirectory("graft-inc-closedchk").toFile
