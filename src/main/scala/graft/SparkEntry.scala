@@ -163,6 +163,21 @@ object SparkEntry {
     "t13_passage_mine" -> ((s, dir) =>
       TextAnalysis.minePassages(Tables(s, dir, "documents"))),
     "q_scd2_intervals" -> ((s, dir) => Relational.qScd2Intervals(s, dir)),
+    "d18_keep_best" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.canonicalizeClusters(docs,
+        Dedup.ngramJaccard(docs, threshold = 0.5, maxShingleDocs = Some(100)))
+    }),
+    "t15_tfidf_keywords" -> ((s, dir) =>
+      TextAnalysis.tfidfKeywords(Tables(s, dir, "documents"))),
+    "m19_rollup_merge" -> ((s, dir) => {
+      // merge == recompute: two half-corpus rollups (sample-id parity
+      // split) merged against the one-pass oracle over ALL events
+      val m = Firehose.metricsFromEvents(s, dir)
+      Firehose.rollupMerge(
+        Firehose.windowAgg(m.filter(col("id").cast("long") % 2 === 0), 60),
+        Firehose.windowAgg(m.filter(col("id").cast("long") % 2 === 1), 60))
+    }),
     "q8_market_share" -> ((s, dir) => Relational.q8MarketShare(s, dir)),
     "q9_product_profit" -> ((s, dir) => Relational.q9ProductProfit(s, dir)),
     "q12_shipping_classes" -> ((s, dir) => Relational.q12ShippingClasses(s, dir)),
@@ -768,6 +783,27 @@ object SparkEntry {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
          |        ORDER BY cosine_q DESC, neighbor_id) AS BIGINT) AS rnk FROM scored)
          |SELECT probe_id, neighbor_id, cosine_q, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "t15_tfidf_keywords" ->
+      (WordsCte +
+        """tf AS (SELECT doc_id, term, count(*) AS tf
+          |      FROM (SELECT doc_id, unnest(ws) AS term FROM words) GROUP BY 1, 2),
+          |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+          |dfr AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+          |sc AS (SELECT doc_id, term, tf,
+          |         round(CAST(tf AS DOUBLE) * ln(n_docs / df), 6) AS score
+          |       FROM tf JOIN dfr USING (term), nd),
+          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+          |        ORDER BY score DESC, term) AS BIGINT) AS rnk FROM sc)
+          |SELECT doc_id, term, tf, score, rnk FROM r WHERE rnk <= 3""".stripMargin),
+    // the one-pass recompute over ALL events — equality proves the
+    // half-corpus rollup merge is lossless (mergeable partials)
+    "m19_rollup_merge" ->
+      """SELECT 'app' AS component, event_type || '_total' AS name,
+        |  (CAST(floor(epoch(ts)) AS BIGINT) // 60) * 60 AS win_start,
+        |  count(*) AS n, min(value) AS min_value, max(value) AS max_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "m17_resets_changes" ->
       """WITH m AS (
         |  SELECT 'app' AS component, event_type || '_total' AS name,
@@ -1129,32 +1165,17 @@ object SparkEntry {
           |SELECT doc_id, simhash, simhash & 32767 AS b0, (simhash >> 15) & 32767 AS b1,
           |  (simhash >> 30) & 32767 AS b2, (simhash >> 45) & 32767 AS b3 FROM fp""".stripMargin),
     "d6_dedup_clusters" ->
-      """WITH RECURSIVE words AS (
-        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ws
-        |  FROM documents),
-        |sh0 AS (
-        |  SELECT DISTINCT doc_id, s
-        |  FROM words, UNNEST(list_transform(generate_series(1, len(ws) - 2),
-        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) t(s)),
-        |sh AS (
-        |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s
-        |  FROM sh0),
-        |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
-        |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
-        |cnt AS (SELECT doc_id, count(*) n FROM shc GROUP BY 1),
-        |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
-        |      FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |jp AS (SELECT doc_a, doc_b FROM p
-        |       JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
-        |       WHERE common::DOUBLE / (ca.n + cb.n - common) >= 0.5),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp
-        |          UNION SELECT doc_b, doc_a FROM jp),
-        |reach(doc, r) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a)
-        |SELECT doc AS doc_id, least(doc, min(r)) AS cluster_rep
-        |FROM reach GROUP BY doc ORDER BY doc""".stripMargin,
+      (ClusterCte + "SELECT doc_id, cluster_rep FROM clusters ORDER BY doc_id"),
+    "d18_keep_best" ->
+      (ClusterCte +
+        """, ranked AS (
+          |  SELECT c.cluster_rep, c.doc_id, d.n_chars,
+          |    CAST(row_number() OVER (PARTITION BY c.cluster_rep
+          |      ORDER BY d.n_chars DESC, c.doc_id) AS BIGINT) AS rnk,
+          |    count(*) OVER (PARTITION BY c.cluster_rep) AS n_members
+          |  FROM clusters c JOIN documents d USING (doc_id))
+          |SELECT cluster_rep, doc_id AS keep_id, n_chars AS keep_chars, n_members
+          |FROM ranked WHERE rnk = 1 ORDER BY cluster_rep""".stripMargin),
     "d5_dedup_embedding" ->
       s"""WITH p AS (
          | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS block,
@@ -1640,6 +1661,41 @@ object SparkEntry {
        |      FROM sc)
        |SELECT probe_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin
   }
+
+  /** Near-dup cluster resolution CTE (shingle → capped Jaccard pairs →
+    * recursive transitive closure), shared by the d6 cluster oracle and
+    * the d18 canonicalization oracle; ends with a
+    * `clusters(doc_id, cluster_rep)` relation.
+    */
+  private val ClusterCte: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ws
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id, s
+      |  FROM words, UNNEST(list_transform(generate_series(1, len(ws) - 2),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) t(s)),
+      |sh AS (
+      |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s
+      |  FROM sh0),
+      |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+      |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+      |cnt AS (SELECT doc_id, count(*) n FROM shc GROUP BY 1),
+      |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
+      |      FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |jp AS (SELECT doc_a, doc_b FROM p
+      |       JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+      |       WHERE common::DOUBLE / (ca.n + cb.n - common) >= 0.5),
+      |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp
+      |          UNION SELECT doc_b, doc_a FROM jp),
+      |reach(doc, r) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a),
+      |clusters AS (
+      |  SELECT doc AS doc_id, least(doc, min(r)) AS cluster_rep
+      |  FROM reach GROUP BY doc)
+      |""".stripMargin
 
   /** Shared DuckDB CTE fragments (kept identical across oracles). */
   private val WordsCte: String =

@@ -472,6 +472,31 @@ object Dedup {
     out
   }
 
+  /** Cluster canonicalization — the decision step after [[resolveClusters]]:
+    * per near-dup cluster keep the BEST document (longest, doc-id
+    * tie-break), not the arbitrary min-id representative — the policy a
+    * real curation pipeline wants (drop the truncated/boilerplate copies,
+    * keep the fullest). The cluster relation is pair-bounded (corpus-tiny),
+    * so the quality join and both windows run on it, never on the corpus;
+    * one exchange by cluster key shared by the rank and member-count
+    * windows.
+    */
+  def canonicalizeClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = resolveClusters(pairs)
+    val w = Window.partitionBy(col("cluster_rep"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    clusters
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("_rnk", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
+      .filter(col("_rnk") === 1)
+      .select(
+        col("cluster_rep"), col("doc_id").as("keep_id"),
+        col("n_chars").as("keep_chars"), col("n_members"))
+      .orderBy(col("cluster_rep"))
+  }
+
   /** Embedding-cosine near-dup pairs ≥ threshold, blocked by a coarse
     * partition column so the self-join is an equi-join (at 100 TB the block
     * key would be an IVF/cluster assignment; here the `label` column).

@@ -176,6 +176,31 @@ object Firehose {
       .withColumn("avg_value", col("_sum_dec").cast("double") / col("n"))
       .drop("_sum_dec")
 
+  /** Incremental rollup maintenance — merge a new batch's windowed partial
+    * aggregates into an already-landed summary ([[windowAgg]] outputs on
+    * both sides) WITHOUT touching raw history: count/min/max/sum are
+    * mergeable, the average is re-derived from the merged sum and count
+    * (never averaged averages). The double→decimal(18,2) re-cast on the
+    * landed sum is an exact round trip (the sum was a 2-dp decimal before
+    * landing), so merge == recompute bit-for-bit — which is exactly what
+    * the oracle asserts: the registered query merges two half-corpus
+    * rollups against the one-pass oracle over ALL rows. This is the
+    * nightly-compaction shape: at 100 TB the summary table is
+    * windows×series-sized and the raw scan happens once per delta, never
+    * again.
+    */
+  def rollupMerge(summary: DataFrame, delta: DataFrame): DataFrame =
+    summary.unionByName(delta)
+      .groupBy(col("component"), col("name"), col("win_start"))
+      .agg(
+        sum(col("n")).as("n"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"),
+        sum(col("sum_value").cast("decimal(18,2)")).as("_sum_dec"))
+      .withColumn("sum_value", col("_sum_dec").cast("double"))
+      .withColumn("avg_value", col("_sum_dec").cast("double") / col("n"))
+      .drop("_sum_dec")
+
   /** Prometheus text-exposition rendering (what PrometheusPusher/Puller emit
     * via the client lib): `component_name{labels} value ts_millis`, one line
     * per live series, as a pure column expression usable by any sink.

@@ -280,6 +280,35 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** TF-IDF keyword extraction — per document, the `topK` terms that most
+    * distinguish it from the corpus (term frequency × inverse document
+    * frequency). Complements [[bm25Search]] (query → docs) with the
+    * docs → terms direction a corpus-exploration or tagging pass needs.
+    * One token explode feeds BOTH aggregates: per-(doc, term) counts and,
+    * from those, per-term document frequencies — the df relation is
+    * vocabulary-sized, so it joins back by term (a plain shuffled
+    * equi-join; NOT broadcast — vocabularies outgrow broadcast at corpus
+    * scale). Scores are rounded to 6 dp before ranking so the per-doc
+    * top-k (WindowGroupLimit-pruned) is engine-portable.
+    */
+  def tfidfKeywords(docs: DataFrame, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .join(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf").cast("double") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rnk"))
+  }
+
   /** Within-document repetition signals — the Gopher/C4-style quality rule
     * that catches boilerplate and degenerate generations: the share of the
     * document's n-grams taken by its single most frequent bigram / trigram,
