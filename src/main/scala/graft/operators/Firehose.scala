@@ -116,16 +116,21 @@ object Firehose {
     * map-side-combinable aggregation of the raw stream; the gap test is a
     * self left-anti join on the SAME key layout (one shuffle, both sides
     * co-partitioned) plus one broadcast scalar for the high-water mark.
+    * The presence relation is consumed three times (both anti-join sides +
+    * the high-water aggregate), so it's materialized once
+    * ([[graft.Tables.materializeSmall]] — it's windows×series-sized, the
+    * same bounded class as a rollup summary): the corpus-scale parse runs
+    * once, not three times.
     */
   def absentAlert(metrics: DataFrame, widthSec: Long = 60): DataFrame = {
     val labeled =
       if (metrics.columns.contains("labels")) metrics else tagFilter(metrics)
-    val present = labeled
+    val present = graft.Tables.materializeSmall(labeled
       .withColumn("series", seriesKey(col("labels")))
       .select(
         col("component"), col("name"), col("series"),
         (col("timestamp") - pmod(col("timestamp"), lit(widthSec))).as("win"))
-      .distinct()
+      .distinct())
     val hi = present.agg(max(col("win")).as("_max_win"))
     present
       .withColumn("absent_win", col("win") + widthSec)
