@@ -438,6 +438,10 @@ object Firehose {
       longSec: Long = 21600,
       threshold: Double = 1.0): DataFrame = {
     require(longSec % shortSec == 0, "short windows must tile the long window")
+    // consumed by BOTH the short and long aggregations; the two subtrees
+    // are plan-identical so ReuseExchange deduplicates the parse + window
+    // pass (measured: an explicit checkpoint here is SLOWER — it breaks
+    // the pipelining without saving a scan)
     val inc = counterIncrease(
       metrics.filter(col("name").isin(numName, denName)), shortSec)
       .select(col("component"), col("name"), col("series"),
