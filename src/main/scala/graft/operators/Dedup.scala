@@ -402,30 +402,30 @@ object Dedup {
   def resolveClusters(pairs: DataFrame, maxIters: Int = 20,
       maxLocalEdges: Long = 5000000L): DataFrame = {
     val spark = pairs.sparkSession
-    // both union branches consume `pairs`: without the cache the (possibly
-    // expensive — e.g. a full Jaccard pipeline) upstream runs twice
-    val p = pairs.persist()
-    val edgesAll = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .persist()
-    val edgeCount = edgesAll.count()
-    p.unpersist() // edgesAll is materialized; the pair relation can go
+    // the pair relation is consumed again on whichever path wins (collect,
+    // or both union branches): cache so the (possibly expensive — e.g. a
+    // full Jaccard pipeline) upstream runs once
+    val p = pairs.select(col("doc_a"), col("doc_b")).persist()
+    val pairCount = p.count()
 
     // Near-dup pair graphs are orders of magnitude smaller than the corpus
     // (a 5M-edge graph is a few MB of longs): below the threshold a
-    // driver-local union-find beats rounds of distributed joins outright.
-    // The distributed Pregel loop below is the path for genuinely huge
-    // pair graphs.
-    if (edgeCount <= maxLocalEdges) {
+    // driver-local union-find beats rounds of distributed joins outright —
+    // and collects the pair relation AS IS (no doubled edge list, no
+    // distinct shuffle; union-find is idempotent under duplicates). The
+    // distributed Pregel loop below is the path for genuinely huge graphs.
+    if (pairCount * 2 <= maxLocalEdges) {
       import spark.implicits._
-      val local = unionFindLocal(
-        edgesAll.filter(col("src") < col("dst"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))))
-      edgesAll.unpersist()
+      val local = unionFindLocal(p.collect().map(r => (r.getLong(0), r.getLong(1))))
+      p.unpersist()
       return spark.createDataset(local.toSeq).toDF("doc_id", "cluster_rep")
     }
 
+    val edgesAll = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    val edgeCount = edgesAll.count()
+    p.unpersist() // edgesAll is materialized; the pair relation can go
     val parts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism, (edgeCount / 100000L).toInt))
     val edges = edgesAll.repartition(parts, col("dst")).persist()
