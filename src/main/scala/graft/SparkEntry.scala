@@ -170,6 +170,9 @@ object SparkEntry {
     }),
     "t15_tfidf_keywords" -> ((s, dir) =>
       TextAnalysis.tfidfKeywords(Tables(s, dir, "documents"))),
+    "m20_sliding_window" -> ((s, dir) =>
+      Firehose.slidingWindowAgg(Firehose.metricsFromEvents(s, dir))),
+    "q_window_ranks" -> ((s, dir) => Relational.qWindowRanks(s, dir)),
     "m19_rollup_merge" -> ((s, dir) => {
       // merge == recompute: two half-corpus rollups (sample-id parity
       // split) merged against the one-pass oracle over ALL events
@@ -795,6 +798,27 @@ object SparkEntry {
           |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
           |        ORDER BY score DESC, term) AS BIGINT) AS rnk FROM sc)
           |SELECT doc_id, term, tf, score, rnk FROM r WHERE rnk <= 3""".stripMargin),
+    "m20_sliding_window" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |e AS (SELECT component, name, value, k * 900 AS win_start
+        |      FROM m, UNNEST(generate_series((ts_sec - 3600) // 900 + 1, ts_sec // 900)) t(k))
+        |SELECT component, name, win_start, count(*) AS n,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
+    "q_window_ranks" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     // the one-pass recompute over ALL events — equality proves the
     // half-corpus rollup merge is lossless (mergeable partials)
     "m19_rollup_merge" ->

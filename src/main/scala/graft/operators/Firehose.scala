@@ -181,6 +181,35 @@ object Firehose {
       .withColumn("avg_value", col("_sum_dec").cast("double") / col("n"))
       .drop("_sum_dec")
 
+  /** Hopping (sliding) window aggregation — the PromQL range-query shape:
+    * every `slideSec` a window covering the trailing `widthSec` closes, so
+    * each sample lands in `width/slide` overlapping windows. The fan-out
+    * is that fixed ratio (a plan constant, NOT data-dependent) via one
+    * codegen'd `sequence` explode — then it's the same map-side-combinable
+    * grouped aggregate as the tumbling [[windowAgg]]. Integer window
+    * arithmetic (truncating division is exact here: timestamps are
+    * positive), decimal sums for order-independence.
+    */
+  def slidingWindowAgg(metrics: DataFrame, widthSec: Long = 3600,
+      slideSec: Long = 900): DataFrame = {
+    require(widthSec % slideSec == 0, "slide must tile the window width")
+    val kmax = expr(s"timestamp div $slideSec")
+    val kmin = expr(s"(timestamp - $widthSec) div $slideSec") + 1
+    metrics
+      .select(col("component"), col("name"), col("value"),
+        explode(sequence(kmin, kmax)).as("k"))
+      .withColumn("win_start", col("k") * slideSec)
+      .groupBy(col("component"), col("name"), col("win_start"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sum(col("value").cast("decimal(18,2)")).as("_sum_dec"))
+      .withColumn("sum_value", col("_sum_dec").cast("double"))
+      .withColumn("avg_value", col("_sum_dec").cast("double") / col("n"))
+      .drop("_sum_dec", "k")
+  }
+
   /** Incremental rollup maintenance — merge a new batch's windowed partial
     * aggregates into an already-landed summary ([[windowAgg]] outputs on
     * both sides) WITHOUT touching raw history: count/min/max/sum are

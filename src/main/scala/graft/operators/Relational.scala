@@ -855,6 +855,25 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Ranking-function family over one window — ntile quartiles,
+    * percent_rank, cume_dist, and lag/lead neighbors per order-priority
+    * partition, all sharing ONE window partitioning (one exchange, one
+    * sort). Every rank output is a ratio of integers (deterministic with
+    * the unique-key tie-break); the point is the breadth of the window
+    * surface on a single shuffle, not the individual functions.
+    */
+  def qWindowRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+  }
+
   /** SCD type-2 interval build — turn a change-event stream into temporal
     * dimension rows: consecutive same-state events per entity collapse to
     * one row with `[valid_from, valid_to)` bounds, `valid_to` = the next
