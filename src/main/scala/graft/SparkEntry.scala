@@ -163,6 +163,8 @@ object SparkEntry {
     "t13_passage_mine" -> ((s, dir) =>
       TextAnalysis.minePassages(Tables(s, dir, "documents"))),
     "q_scd2_intervals" -> ((s, dir) => Relational.qScd2Intervals(s, dir)),
+    "d19_fuzzy_verify" -> ((s, dir) =>
+      Dedup.fuzzyVerifyPairs(Tables(s, dir, "documents"))),
     "d18_keep_best" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       Dedup.canonicalizeClusters(docs,
@@ -1599,26 +1601,23 @@ object SparkEntry {
         |    (a, v) -> a + v) % 256 AS DOUBLE) AS frame_sum_mod
         |FROM f""".stripMargin,
     "d4b_simhash_pairs" ->
-      (WordsCte +
-        """w AS (SELECT DISTINCT doc_id, wd FROM words, UNNEST(ws) t(wd)),
-          |hw AS (SELECT doc_id, CAST('0x' || substr(md5(wd), 1, 15) AS BIGINT) AS h FROM w),
-          |bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
-          |         FROM hw CROSS JOIN generate_series(0, 59) t2(j) GROUP BY doc_id, j),
-          |fp AS (SELECT doc_id,
-          |         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-          |       FROM bits GROUP BY doc_id),
-          |bk AS (SELECT doc_id, simhash, b,
-          |         CASE b WHEN 0 THEN simhash & 32767
-          |                WHEN 1 THEN (simhash >> 15) & 32767
-          |                WHEN 2 THEN (simhash >> 30) & 32767
-          |                ELSE (simhash >> 45) & 32767 END AS key
-          |       FROM fp CROSS JOIN generate_series(0, 3) t3(b)),
-          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          |           a.simhash AS sh_a, b.simhash AS sh_b
-          |         FROM bk a JOIN bk b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
-          |SELECT doc_a, doc_b, sh_a, sh_b,
+      (SimhashCandCte +
+        """SELECT doc_a, doc_b, sh_a, sh_b,
           |  CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
           |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin),
+    "d19_fuzzy_verify" ->
+      (SimhashCandCte +
+        """, pair AS (
+          |  SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+          |  FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3)
+          |SELECT p.doc_a, p.doc_b, p.hamming,
+          |  CAST(levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80)) AS INTEGER)
+          |    AS edit_dist
+          |FROM pair p
+          |JOIN documents da ON p.doc_a = da.doc_id
+          |JOIN documents db ON p.doc_b = db.doc_id
+          |WHERE levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80)) <= 20
+          |ORDER BY doc_a, doc_b""".stripMargin),
     "d7_sample_per_source" ->
       """SELECT source, doc_id, priority, rnk FROM (
         |  SELECT source, doc_id,
@@ -1727,6 +1726,30 @@ object SparkEntry {
       |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS ws
       |  FROM documents),
       |""".stripMargin
+
+  /** SimHash band-bucket candidate CTE (fingerprint → 4-band keys → bucket
+    * join), shared by the d4b pair oracle and the d19 edit-distance
+    * verification oracle; ends with `cand(doc_a, doc_b, sh_a, sh_b)`.
+    */
+  private val SimhashCandCte: String =
+    (WordsCte +
+      """w AS (SELECT DISTINCT doc_id, wd FROM words, UNNEST(ws) t(wd)),
+        |hw AS (SELECT doc_id, CAST('0x' || substr(md5(wd), 1, 15) AS BIGINT) AS h FROM w),
+        |bits AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |         FROM hw CROSS JOIN generate_series(0, 59) t2(j) GROUP BY doc_id, j),
+        |fp AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        |       FROM bits GROUP BY doc_id),
+        |bk AS (SELECT doc_id, simhash, b,
+        |         CASE b WHEN 0 THEN simhash & 32767
+        |                WHEN 1 THEN (simhash >> 15) & 32767
+        |                WHEN 2 THEN (simhash >> 30) & 32767
+        |                ELSE (simhash >> 45) & 32767 END AS key
+        |       FROM fp CROSS JOIN generate_series(0, 3) t3(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           a.simhash AS sh_a, b.simhash AS sh_b
+        |         FROM bk a JOIN bk b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+        |""".stripMargin)
 
   // shingle key = 60-bit md5 prefix of the shingle text, mirroring
   // Dedup.shingles (narrow join keys; same hash both engines)

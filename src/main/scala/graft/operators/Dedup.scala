@@ -472,6 +472,30 @@ object Dedup {
     out
   }
 
+  /** Edit-distance verification of SimHash candidates — the fine-check a
+    * fuzzy-dedup pipeline runs AFTER the cheap LSH recall stage: candidate
+    * pairs within Hamming radius are confirmed by Levenshtein distance on
+    * a bounded text prefix (the O(prefix²) cost is per CANDIDATE, never
+    * per corpus pair, and the prefix bound keeps it constant). The prefix
+    * projections join the pair relation by doc key — only `prefixChars`
+    * characters per side ever move, not document bodies.
+    */
+  def fuzzyVerifyPairs(docs: DataFrame, prefixChars: Int = 80,
+      maxDist: Int = 20, radius: Int = 3): DataFrame = {
+    val cand = simhashPairs(docs, radius)
+    val pa = docs.select(col("doc_id").as("doc_a"),
+      substring(col("text"), 1, prefixChars).as("_pa"))
+    val pb = docs.select(col("doc_id").as("doc_b"),
+      substring(col("text"), 1, prefixChars).as("_pb"))
+    cand
+      .join(pa, "doc_a")
+      .join(pb, "doc_b")
+      .withColumn("edit_dist", levenshtein(col("_pa"), col("_pb")))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("edit_dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Cluster canonicalization — the decision step after [[resolveClusters]]:
     * per near-dup cluster keep the BEST document (longest, doc-id
     * tie-break), not the arbitrary min-id representative — the policy a

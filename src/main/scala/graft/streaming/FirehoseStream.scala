@@ -768,6 +768,28 @@ object FirehoseStream {
         col("window.start").as("win_start"), col("component"), col("name"),
         col("n"), col("min_value"), col("max_value"), col("sum_value"))
 
+  /** Streaming hopping windows — the incremental sibling of the batch
+    * [[graft.operators.Firehose.slidingWindowAgg]], via Spark's native
+    * `window(col, width, slide)` (state = width/slide open windows per
+    * series name, watermark-pruned). Update mode re-emits running
+    * aggregates as windows fill.
+    */
+  def slidingWindowAgg(metrics: DataFrame, width: String = "1 hour",
+      slide: String = "15 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    metrics
+      .withColumn("eventTime", timestamp_seconds(col("timestamp")))
+      .withWatermark("eventTime", watermarkDelay)
+      .groupBy(window(col("eventTime"), width, slide), col("component"), col("name"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("win_start"), col("component"), col("name"),
+        col("n"), col("min_value"), col("max_value"), col("sum_value"))
+
   /** Streaming classic-histogram bucket counts — the incremental sibling of
     * the batch [[graft.operators.Firehose.histogramQuantile]]: per tumbling
     * window and metric name, the count of samples falling in each `le`

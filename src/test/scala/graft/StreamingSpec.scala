@@ -635,6 +635,43 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming hopping windows match the batch sliding aggregation") {
+    val dir = Files.createTempDirectory("graft-hop").toFile
+    val chk = Files.createTempDirectory("graft-hopchk").toFile
+    // 60 s windows hopping every 30 s: ts 70 → wins {30, 60}, ts 100 →
+    // {60, 90}, ts 130 → {90, 120}; ts ≥ width so the truncating integer
+    // division in the batch form is exact
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "m", 70, "u1", 1.0),
+        metricJson("2", "m", 100, "u1", 3.0),
+        metricJson("3", "m", 130, "u2", 5.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.slidingWindowAgg(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+        width = "60 seconds", slide = "30 seconds", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("hop_t").outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hop_t")
+        .groupBy(unix_timestamp(col("win_start")).as("w"), col("name"))
+        .agg(last(col("n")).as("n"), last(col("sum_value")).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+      val batchDf = spark.createDataFrame(Seq(
+        ("app", "m_total", 70L, 1.0),
+        ("app", "m_total", 100L, 3.0),
+        ("app", "m_total", 130L, 5.0)))
+        .toDF("component", "name", "timestamp", "value")
+      val batch = graft.operators.Firehose.slidingWindowAgg(batchDf, 60, 30)
+        .collect().map(r => (r.getAs[Long]("win_start"),
+          r.getAs[Long]("n"), r.getAs[Double]("sum_value"))).toSet
+      assert(batch.map(_._1) === Set(30L, 60L, 90L, 120L))
+      assert(streamed === batch,
+        s"hopping windows diverged: streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming histogram buckets match the batch bucket classification") {
     val dir = Files.createTempDirectory("graft-hist").toFile
     val chk = Files.createTempDirectory("graft-histchk").toFile
