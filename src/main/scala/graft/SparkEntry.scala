@@ -172,6 +172,9 @@ object SparkEntry {
     }),
     "t15_tfidf_keywords" -> ((s, dir) =>
       TextAnalysis.tfidfKeywords(Tables(s, dir, "documents"))),
+    "m21_prom_parse" -> ((s, dir) =>
+      Firehose.promParse(
+        Firehose.promRender(Firehose.gaugeLatest(Firehose.metricsFromEvents(s, dir))))),
     "m20_sliding_window" -> ((s, dir) =>
       Firehose.slidingWindowAgg(Firehose.metricsFromEvents(s, dir))),
     "q_window_ranks" -> ((s, dir) => Relational.qWindowRanks(s, dir)),
@@ -360,16 +363,15 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "m6_prom_render" ->
-      """WITH m AS (
-        |  SELECT event_type, user_id, value,
-        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
-        |         row_number() OVER (PARTITION BY event_type, user_id
-        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
-        |                    CAST(event_id AS VARCHAR) DESC) AS rn
-        |  FROM events)
-        |SELECT 'app_' || event_type || '_total{user="' || CAST(user_id AS VARCHAR)
-        |  || '"} ' || printf('%.6f', value) || ' ' || CAST(ts_sec * 1000 AS VARCHAR) AS line
-        |FROM m WHERE rn = 1""".stripMargin,
+      (PromLineCte + "SELECT line FROM lines"),
+    "m21_prom_parse" ->
+      (PromLineCte +
+        """, p AS (SELECT string_split(line, ' ') AS parts FROM lines)
+          |SELECT regexp_extract(parts[1], '^([^{]+)', 1) AS metric,
+          |  replace(regexp_extract(parts[1], '\{(.*)\}', 1), '"', '') AS series,
+          |  CAST(parts[2] AS DOUBLE) AS value,
+          |  CAST(parts[3] AS BIGINT) AS ts_ms
+          |FROM p""".stripMargin),
     "m7_series_rate" ->
       """SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, value,
         |  (value - lag(value) OVER w)
@@ -1718,6 +1720,24 @@ object SparkEntry {
       |clusters AS (
       |  SELECT doc AS doc_id, least(doc, min(r)) AS cluster_rep
       |  FROM reach GROUP BY doc)
+      |""".stripMargin
+
+  /** Prometheus exposition-line CTE (latest gauge per series → rendered
+    * text line), shared by the m6 render oracle and the m21 parse oracle;
+    * ends with `lines(line)`.
+    */
+  private val PromLineCte: String =
+    """WITH m AS (
+      |  SELECT event_type, user_id, value,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+      |         row_number() OVER (PARTITION BY event_type, user_id
+      |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+      |                    CAST(event_id AS VARCHAR) DESC) AS rn
+      |  FROM events),
+      |lines AS (
+      |  SELECT 'app_' || event_type || '_total{user="' || CAST(user_id AS VARCHAR)
+      |    || '"} ' || printf('%.6f', value) || ' ' || CAST(ts_sec * 1000 AS VARCHAR) AS line
+      |  FROM m WHERE rn = 1)
       |""".stripMargin
 
   /** Shared DuckDB CTE fragments (kept identical across oracles). */

@@ -181,6 +181,26 @@ object Firehose {
       .withColumn("avg_value", col("_sum_dec").cast("double") / col("n"))
       .drop("_sum_dec")
 
+  /** Prometheus text-exposition PARSING — the inverse of [[promRender]] and
+    * the ingest half of a scrape/federation path: `name{k="v",...} value
+    * ts_millis` lines back to typed columns. Labels stay in their canonical
+    * sorted `k=v` series-key rendering (the same identity [[seriesKey]]
+    * produces), the value parse is the correctly-rounded decimal-string →
+    * double both engines share. Pure codegen'd regex/split expressions —
+    * registered as a round trip over the renderer, so the green oracle row
+    * proves parse(render(x)) preserves every series.
+    */
+  def promParse(lines: DataFrame): DataFrame = {
+    val parts = split(col("line"), " ")
+    val head = parts.getItem(0)
+    lines.select(
+      regexp_extract(head, "^([^{]+)", 1).as("metric"),
+      regexp_replace(
+        regexp_extract(head, "\\{(.*)\\}", 1), "\"", "").as("series"),
+      parts.getItem(1).cast("double").as("value"),
+      parts.getItem(2).cast("long").as("ts_ms"))
+  }
+
   /** Hopping (sliding) window aggregation — the PromQL range-query shape:
     * every `slideSec` a window covering the trailing `widthSec` closes, so
     * each sample lands in `width/slide` overlapping windows. The fan-out
