@@ -482,18 +482,24 @@ object Dedup {
     */
   def fuzzyVerifyPairs(docs: DataFrame, prefixChars: Int = 80,
       maxDist: Int = 20, radius: Int = 3): DataFrame = {
-    val cand = simhashPairs(docs, radius)
+    // candidate-bounded (the LSH output, corpus-tiny): materialized so the
+    // prefix joins can't re-trigger the two-sided fingerprint pipeline
+    val cand = graft.Tables.materializeSmall(simhashPairs(docs, radius))
+    // explicit partition counts: the rows are small but the per-row DP is
+    // not, and AQE's size-based coalescing would otherwise collapse these
+    // exchanges to one partition and run the Levenshtein pass serially —
+    // the classic cheap-rows/expensive-expression trap
+    val p = docs.sparkSession.sparkContext.defaultParallelism
     val pa = docs.select(col("doc_id").as("doc_a"),
-      substring(col("text"), 1, prefixChars).as("_pa"))
+      substring(col("text"), 1, prefixChars).as("_pa")).repartition(p, col("doc_a"))
     val pb = docs.select(col("doc_id").as("doc_b"),
-      substring(col("text"), 1, prefixChars).as("_pb"))
-    cand
+      substring(col("text"), 1, prefixChars).as("_pb")).repartition(p, col("doc_b"))
+    cand.repartition(p, col("doc_a"))
       .join(pa, "doc_a")
       .join(pb, "doc_b")
       .withColumn("edit_dist", levenshtein(col("_pa"), col("_pb")))
       .filter(col("edit_dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("edit_dist"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Cluster canonicalization — the decision step after [[resolveClusters]]:
