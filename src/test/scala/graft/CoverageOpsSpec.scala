@@ -345,6 +345,32 @@ class CoverageOpsSpec extends SparkSuite {
     assert(got === expected)
   }
 
+  test("count-min sketch heavy hitters bound the exact counts from above") {
+    // the mergeable-sketch path for frequency estimation at 100 TB: the
+    // sketch aggregates map-side per partition and merges associatively,
+    // so frequency estimates cost one pass and fixed memory — unlike the
+    // exact groupBy whose state is the key space. CMS guarantees
+    // exact <= estimate <= exact + eps * N (with prob >= confidence);
+    // fixed seed makes the run deterministic.
+    val eps = 0.001
+    val events = Firehose.eventsRaw(spark, sfDir)
+    val bytes = events
+      .agg(count_min_sketch(col("event_type"), lit(eps), lit(0.99), lit(42)))
+      .collect()(0).getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val exact = events.groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    assert(cms.totalCount() === n)
+    exact.foreach { case (k, c) =>
+      val est = cms.estimateCount(k)
+      assert(est >= c, s"CMS under-estimated $k: $est < $c")
+      assert(est <= c + (eps * n).toLong + 1,
+        s"CMS estimate for $k outside the eps bound: $est vs $c (n=$n)")
+    }
+  }
+
   test("q4/q6/correlated/histogram return coherent results at smoke scale") {
     val q4 = Relational.q4OrderPriority(spark, sfDir).collect()
     assert(q4.nonEmpty && q4.forall(_.getLong(1) > 0))

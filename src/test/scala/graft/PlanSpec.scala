@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.{Firehose, Relational}
 
 /** Plan-shape assertions: the scale properties SURVEY.md §5 promises must be
@@ -37,6 +39,41 @@ class PlanSpec extends SparkSuite {
       plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
         plan.contains("BroadcastExchange"),
       s"fingerprint subplan neither reused nor broadcast:\n$plan")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the 100 TB shape: a selective dimension filter should inject a bloom
+    // filter on the fact side's scan so most fact rows die before the
+    // shuffle. Spark only injects it for non-broadcast joins above the
+    // application-side size threshold — lower the thresholds to exercise
+    // the rewrite at test scale, then assert the predicate is really there.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val l = Tables(spark, sfDir, "lineitem")
+      val o = Tables(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 400000)
+      val joined = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$plan")
+      assert(joined.collect().nonEmpty) // and the rewritten plan still runs
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("q1 pushes the shipdate filter and prunes columns at the parquet scan") {
