@@ -172,6 +172,11 @@ object SparkEntry {
     }),
     "t15_tfidf_keywords" -> ((s, dir) =>
       TextAnalysis.tfidfKeywords(Tables(s, dir, "documents"))),
+    "m22_for_duration" -> ((s, dir) =>
+      Firehose.forDurationAlert(Firehose.metricsFromEvents(s, dir), widthSec = 86400)),
+    "d20_epoch_upsample" -> ((s, dir) =>
+      Curate.epochUpsample(Tables(s, dir, "documents"),
+        epochs = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.3))),
     "m21_prom_parse" -> ((s, dir) =>
       Firehose.promParse(
         Firehose.promRender(Firehose.gaugeLatest(Firehose.metricsFromEvents(s, dir))))),
@@ -481,26 +486,21 @@ object SparkEntry {
         |  (syd - slope * sxd) / CAST(n AS DOUBLE) + slope * (mxd + 3600.0) AS predicted
         |FROM d WHERE n >= 2 AND den <> 0""".stripMargin,
     "m9_counter_increase" ->
-      """WITH m AS (
-        |  SELECT 'app' AS component, event_type || '_total' AS name,
-        |         'user=' || CAST(user_id AS VARCHAR) AS series,
-        |         CAST(event_id AS VARCHAR) AS id, value,
-        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
-        |  FROM events),
-        |d AS (
-        |  SELECT *, value - lag(value) OVER (PARTITION BY component, name, series
-        |    ORDER BY ts_sec, id) AS delta
-        |  FROM m),
-        |i AS (
-        |  SELECT component, name, series,
-        |    CASE WHEN delta IS NULL THEN 0.0
-        |         WHEN delta < 0 THEN value ELSE delta END AS inc,
-        |    ts_sec - ts_sec % 3600 AS win_start
-        |  FROM d)
-        |SELECT component, name, series, win_start,
-        |  CAST(sum(CAST(inc AS DECIMAL(18,6))) AS DOUBLE) AS increase,
-        |  count(*) AS n_samples
-        |FROM i GROUP BY 1, 2, 3, 4""".stripMargin,
+      (IncreaseCte(3600) +
+        "SELECT component, name, series, win_start, increase, n_samples FROM win"),
+    // daily windows: the hourly grid is too sparse per series for a
+    // 3-consecutive-window condition to ever hold on the synthetic stream
+    "m22_for_duration" ->
+      (IncreaseCte(86400) +
+        """, cond AS (
+          |  SELECT component, name, series, win_start, increase FROM win
+          |  WHERE increase > 50.0),
+          |flag AS (
+          |  SELECT *, lag(win_start, 2) OVER (PARTITION BY component, name, series
+          |    ORDER BY win_start) AS back2
+          |  FROM cond)
+          |SELECT component, name, series, win_start AS fire_win, increase
+          |FROM flag WHERE back2 = win_start - 2 * 86400""".stripMargin),
     "m10_topk_series" ->
       """WITH m AS (
         |  SELECT event_type || '_total' AS name,
@@ -790,6 +790,21 @@ object SparkEntry {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
          |        ORDER BY cosine_q DESC, neighbor_id) AS BIGINT) AS rnk FROM scored)
          |SELECT probe_id, neighbor_id, cosine_q, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "d20_epoch_upsample" ->
+      """WITH e AS (
+        |  SELECT source, doc_id,
+        |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+        |                WHEN 'src2' THEN 0.3 ELSE 0.0 END AS ep,
+        |    CAST(CAST('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+        |  FROM documents),
+        |n AS (
+        |  SELECT source, doc_id,
+        |    CAST(floor(ep) + (CASE WHEN u < ep - floor(ep) THEN 1 ELSE 0 END) AS INTEGER) AS nc
+        |  FROM e)
+        |SELECT source, doc_id, CAST(k AS BIGINT) AS copy_idx
+        |FROM n, UNNEST(generate_series(0, nc - 1)) t(k)
+        |WHERE nc > 0""".stripMargin,
     "t15_tfidf_keywords" ->
       (WordsCte +
         """tf AS (SELECT doc_id, term, count(*) AS tf
@@ -1738,6 +1753,35 @@ object SparkEntry {
       |  SELECT 'app_' || event_type || '_total{user="' || CAST(user_id AS VARCHAR)
       |    || '"} ' || printf('%.6f', value) || ' ' || CAST(ts_sec * 1000 AS VARCHAR) AS line
       |  FROM m WHERE rn = 1)
+      |""".stripMargin
+
+  /** Per-series windowed counter-increase CTE (the m9 semantics: positive
+    * deltas summed per tumbling hour, resets clamped), shared by the m9
+    * oracle and the m22 for-duration alert oracle; ends with
+    * `win(component, name, series, win_start, increase, n_samples)`.
+    */
+  private def IncreaseCte(widthSec: Long): String =
+    s"""WITH m AS (
+      |  SELECT 'app' AS component, event_type || '_total' AS name,
+      |         'user=' || CAST(user_id AS VARCHAR) AS series,
+      |         CAST(event_id AS VARCHAR) AS id, value,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      |  FROM events),
+      |d AS (
+      |  SELECT *, value - lag(value) OVER (PARTITION BY component, name, series
+      |    ORDER BY ts_sec, id) AS delta
+      |  FROM m),
+      |i AS (
+      |  SELECT component, name, series,
+      |    CASE WHEN delta IS NULL THEN 0.0
+      |         WHEN delta < 0 THEN value ELSE delta END AS inc,
+      |    ts_sec - ts_sec % $widthSec AS win_start
+      |  FROM d),
+      |win AS (
+      |  SELECT component, name, series, win_start,
+      |    CAST(sum(CAST(inc AS DECIMAL(18,6))) AS DOUBLE) AS increase,
+      |    count(*) AS n_samples
+      |  FROM i GROUP BY 1, 2, 3, 4)
       |""".stripMargin
 
   /** Shared DuckDB CTE fragments (kept identical across oracles). */

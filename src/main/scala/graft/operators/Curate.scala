@@ -198,6 +198,37 @@ object Curate {
     * exchange). Strata are provenance buckets (source, shard) — no single
     * stratum is corpus-sized.
     */
+  /** Epoch-based mixture upsampling — the repeat-factor step of a training
+    * mix: each source is taken for a (possibly fractional) number of
+    * epochs, so every document is emitted `floor(e)` times plus one more
+    * with probability `frac(e)`, decided by the portable 60-bit hash —
+    * the realized mixture is deterministic, partition-invariant, and
+    * reproducible across engines. The fan-out is the epoch factor (a plan
+    * constant per source) via one codegen'd sequence explode; no shuffle,
+    * no state. Sources not in the map are dropped (epoch 0).
+    */
+  def epochUpsample(
+      docs: DataFrame,
+      epochs: Map[String, Double],
+      groupCol: String = "source",
+      seed: String = "epoch"): DataFrame = {
+    require(epochs.values.forall(_ >= 0), "epoch factors must be >= 0")
+    val eCol = epochs.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(groupCol) === k, lit(v)).otherwise(acc)
+    }
+    val u = GraftFunctions.md5_prefix60(
+      concat(lit(seed), lit(":"), col("doc_id").cast("string")))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    val nCopies = (floor(eCol) +
+      when(u < eCol - floor(eCol), lit(1L)).otherwise(lit(0L))).cast("int")
+    docs
+      .select(col(groupCol), col("doc_id"), nCopies.as("_n"))
+      .filter(col("_n") > 0)
+      .select(col(groupCol), col("doc_id"),
+        explode(sequence(lit(0), col("_n") - 1)).as("copy_idx"))
+      .withColumn("copy_idx", col("copy_idx").cast("long"))
+  }
+
   def stratifiedSplit(
       docs: DataFrame,
       groupCol: String = "source",

@@ -518,6 +518,31 @@ object Firehose {
       .select("component", "series", "win_start", "short_ratio", "long_ratio", "alert")
   }
 
+  /** Prometheus `for:`-duration alerting quantized to windows: the
+    * condition (windowed increase above a threshold) must hold in `k`
+    * CONSECUTIVE windows before the alert fires — the standard guard
+    * against one-window blips. Consecutiveness is one `lag(k-1)` over the
+    * condition windows per series: windows are unique per series, so
+    * `lag(k-1) == win - (k-1)·width` holds iff all k windows are present.
+    * Adds one window pass over the (series × windows)-bounded condition
+    * relation on the SAME series partitioning the increase already
+    * shuffled by.
+    */
+  def forDurationAlert(metrics: DataFrame, widthSec: Long = 3600,
+      minIncrease: Double = 50.0, k: Int = 3): DataFrame = {
+    require(k >= 2, "for-duration needs at least 2 consecutive windows")
+    val cond = counterIncrease(metrics, widthSec)
+      .filter(col("increase") > minIncrease)
+    val w = Window
+      .partitionBy(col("component"), col("name"), col("series"))
+      .orderBy(col("win_start"))
+    cond
+      .withColumn("_back", lag(col("win_start"), k - 1).over(w))
+      .filter(col("_back") === col("win_start") - (k - 1) * widthSec)
+      .select(col("component"), col("name"), col("series"),
+        col("win_start").as("fire_win"), col("increase"))
+  }
+
   /** Registry max-size parity (AbstractPrometheusFirehose.java:20-23:
     * `maximumSize(10000)` on the Guava gauge cache): cap the registry at the
     * `maxSeries` most-recently-updated series — the guard against a
