@@ -76,6 +76,33 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q2 decorrelation scans lineitem once") {
+    // the literal Q2 form re-runs the min-cost subquery per part; the
+    // window-min decorrelation must read the fact table exactly once
+    val plan = planOf(Relational.q2MinCostSupplier(spark, sfDir))
+    val scans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"lineitem scanned $scans times:\n$plan")
+  }
+
+  test("bm25 reads the corpus once plus a single-column stats pass") {
+    // the posting list is materialized, so document frequencies must NOT
+    // re-scan documents; the only remaining scan is the (n_docs, avgdl)
+    // stats aggregate
+    val df = graft.operators.TextAnalysis.bm25Search(
+      Tables(spark, sfDir, "documents"), queryTerms = Seq("spark", "merge"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    val scans = "Relation \\[doc_id".r.findAllIn(plan).length
+    assert(scans === 1, s"documents scanned $scans times:\n$plan")
+  }
+
+  test("fuzzy verification keeps every join an equi-join") {
+    val df = graft.operators.Dedup.fuzzyVerifyPairs(Tables(spark, sfDir, "documents"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"non-equi join in the verification path:\n$plan")
+  }
+
   test("q1 pushes the shipdate filter and prunes columns at the parquet scan") {
     val plan = planOf(Relational.q1PricingSummary(spark, sfDir))
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
