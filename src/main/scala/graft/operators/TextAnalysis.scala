@@ -284,12 +284,14 @@ object TextAnalysis {
     * distinguish it from the corpus (term frequency × inverse document
     * frequency). Complements [[bm25Search]] (query → docs) with the
     * docs → terms direction a corpus-exploration or tagging pass needs.
-    * One token explode feeds BOTH aggregates: per-(doc, term) counts and,
-    * from those, per-term document frequencies — the df relation is
-    * vocabulary-sized, so it joins back by term (a plain shuffled
-    * equi-join; NOT broadcast — vocabularies outgrow broadcast at corpus
-    * scale). Scores are rounded to 6 dp before ranking so the per-doc
-    * top-k (WindowGroupLimit-pruned) is engine-portable.
+    * ONE token explode feeds everything: per-(doc, term) counts, then the
+    * per-term document frequency as a window count over that SAME
+    * relation (tf rows are unique per (doc, term), so the term-partition
+    * count IS df) — no second corpus scan, no vocabulary join. The only
+    * other pass is the one-row n_docs aggregate (single-column scan;
+    * catalog metadata at real scale). Scores are rounded to 6 dp before
+    * ranking so the per-doc top-k (WindowGroupLimit-pruned) is
+    * engine-portable.
     */
   def tfidfKeywords(docs: DataFrame, topK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -297,10 +299,9 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(df, "term")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
       .join(broadcast(nDocs))
       .withColumn("score",
         round(col("tf").cast("double") * log(col("n_docs") / col("df")), 6))
