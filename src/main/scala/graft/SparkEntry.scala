@@ -165,6 +165,13 @@ object SparkEntry {
     "q_scd2_intervals" -> ((s, dir) => Relational.qScd2Intervals(s, dir)),
     "d19_fuzzy_verify" -> ((s, dir) =>
       Dedup.fuzzyVerifyPairs(Tables(s, dir, "documents"))),
+    "d21_dedup_report" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.dedupReport(docs,
+        Dedup.ngramJaccard(docs, threshold = 0.5, maxShingleDocs = Some(100)))
+    }),
+    "t16_langid_eval" -> ((s, dir) =>
+      TextAnalysis.langIdEval(Tables(s, dir, "documents"))),
     "d18_keep_best" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       Dedup.canonicalizeClusters(docs,
@@ -1209,6 +1216,34 @@ object SparkEntry {
           |  (simhash >> 30) & 32767 AS b2, (simhash >> 45) & 32767 AS b3 FROM fp""".stripMargin),
     "d6_dedup_clusters" ->
       (ClusterCte + "SELECT doc_id, cluster_rep FROM clusters ORDER BY doc_id"),
+    "d21_dedup_report" ->
+      (ClusterCte +
+        """SELECT d.source, count(*) AS n_docs,
+          |  sum(CASE WHEN c.cluster_rep IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_involved,
+          |  sum(CASE WHEN c.cluster_rep IS NOT NULL AND c.cluster_rep != d.doc_id
+          |      THEN 1 ELSE 0 END) AS n_dropped,
+          |  CAST(sum(CASE WHEN c.cluster_rep IS NOT NULL AND c.cluster_rep != d.doc_id
+          |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
+          |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+    "t16_langid_eval" ->
+      (WordsCte +
+        s"""c AS (SELECT doc_id,
+           |  ${markerSql("en")} AS n_en, ${markerSql("es")} AS n_es,
+           |  ${markerSql("fr")} AS n_fr, ${markerSql("de")} AS n_de
+           |FROM words),
+           |pred AS (SELECT doc_id,
+           |  CASE WHEN n_en + n_es + n_fr + n_de = 0 THEN 'und'
+           |       WHEN n_en >= n_es AND n_en >= n_fr AND n_en >= n_de THEN 'en'
+           |       WHEN n_es >= n_fr AND n_es >= n_de THEN 'es'
+           |       WHEN n_fr >= n_de THEN 'fr' ELSE 'de' END AS lang_pred
+           |FROM c)
+           |SELECT d.lang, count(*) AS n_docs,
+           |  sum(CASE WHEN p.lang_pred = d.lang THEN 1 ELSE 0 END) AS n_correct,
+           |  CAST(sum(CASE WHEN p.lang_pred = d.lang THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / count(*) AS accuracy
+           |FROM pred p JOIN documents d USING (doc_id)
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
     "d18_keep_best" ->
       (ClusterCte +
         """, ranked AS (

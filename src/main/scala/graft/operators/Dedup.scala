@@ -472,6 +472,26 @@ object Dedup {
     out
   }
 
+  /** Dedup impact report — per source: how many documents are entangled in
+    * near-dup clusters and how many the min-id keep policy would drop,
+    * with the drop ratio. The before/after accounting a curation run
+    * reports; the cluster relation is pair-bounded so the left join
+    * decorates the corpus scan without a second corpus pass of work.
+    */
+  def dedupReport(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = resolveClusters(pairs)
+    docs.select(col("doc_id"), col("source"))
+      .join(clusters, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("cluster_rep").isNotNull.cast("long")).as("n_dup_involved"),
+        sum((col("cluster_rep").isNotNull && col("cluster_rep") =!= col("doc_id"))
+          .cast("long")).as("n_dropped"))
+      .withColumn("dup_ratio", col("n_dropped").cast("double") / col("n_docs"))
+      .orderBy(col("source"))
+  }
+
   /** Edit-distance verification of SimHash candidates — the fine-check a
     * fuzzy-dedup pipeline runs AFTER the cheap LSH recall stage: candidate
     * pairs within Hamming radius are confirmed by Levenshtein distance on

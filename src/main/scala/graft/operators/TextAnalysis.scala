@@ -225,6 +225,22 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Language-ID evaluation — the heuristic's confusion summary against
+    * the corpus' gold labels: per gold language, document count, correct
+    * predictions, and accuracy. The eval every classifier-backed filter
+    * needs before it gates a corpus; exact-integer ratio, one join on the
+    * doc key + one tiny aggregate.
+    */
+  def langIdEval(docs: DataFrame): DataFrame =
+    langId(docs).select(col("doc_id"), col("lang_pred"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("lang_pred") === col("lang")).cast("long")).as("n_correct"))
+      .withColumn("accuracy", col("n_correct").cast("double") / col("n_docs"))
+      .orderBy(col("lang"))
+
   /** BM25 keyword search — rank documents against a bag-of-terms query
     * with the Okapi BM25 scoring function (Lucene's +1 idf smoothing, so
     * idf is never negative). The corpus-scale work is one codegen'd
