@@ -178,6 +178,97 @@ object FirehoseTws {
     }
   }
 
+  /** Absent-alert processor — [[FirehoseStream.absentAlert]]'s fold
+    * ([[AbsentCore]], shared verbatim) on the arbitrary-state API: the
+    * decided (anchor, gapEmitted) pair is a `ValueState`, the undecided
+    * live windows a `ListState` (point appends as traffic lands), and the
+    * silence decision the same event-time-timer discipline — a stale
+    * series needs no traffic of its own to alert.
+    */
+  class AbsentProcessor(widthSec: Long, ttlMs: Long)
+      extends StatefulProcessor[SeriesKey, GaugePoint, AbsentOut] {
+    @transient private var decided: ValueState[(Long, Boolean)] = _
+    @transient private var live: ListState[Long] = _
+    @transient private var timerTs: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      decided = getHandle.getValueState[(Long, Boolean)](
+        "decided", Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean),
+        TTLConfig.NONE)
+      live = getHandle.getListState[Long]("live", Encoders.scalaLong, TTLConfig.NONE)
+      timerTs = getHandle.getValueState[Long]("timer", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def armTimer(whenMs: Long): Unit = {
+      if (timerTs.exists()) getHandle.deleteTimer(timerTs.get())
+      getHandle.registerTimer(whenMs)
+      timerTs.update(whenMs)
+    }
+
+    private def assembled: AbsentState = {
+      val (a, g) = if (decided.exists()) decided.get() else (-1L, false)
+      AbsentState(a, g, if (live.exists()) live.get().toSeq else Nil)
+    }
+
+    private def stepAndEmit(
+        key: SeriesKey, wins: Seq[Long], timers: TimerValues,
+        evictWhenIdle: Boolean): Iterator[AbsentOut] = {
+      val wmSec = timers.getCurrentWatermarkInMs() / 1000L
+      val r = AbsentCore.step(assembled, wins, wmSec, widthSec)
+      val idle = r.state.live.isEmpty && (r.state.gapEmitted || r.state.anchor < 0)
+      if (evictWhenIdle && idle) {
+        decided.clear(); live.clear(); timerTs.clear()
+      } else {
+        decided.update((r.state.anchor, r.state.gapEmitted))
+        live.clear()
+        if (r.state.live.nonEmpty) live.put(r.state.live.toArray)
+        val decisionPoint =
+          if (r.state.anchor >= 0 && !r.state.gapEmitted)
+            Some((r.state.anchor + 2 * widthSec) * 1000L)
+          else r.state.live.minOption.map(w => (w + 2 * widthSec) * 1000L)
+        decisionPoint match {
+          case Some(t) => armTimer(t)
+          case None =>
+            val wm = timers.getCurrentWatermarkInMs()
+            armTimer((if (wm > 0) wm else 0L) + ttlMs)
+        }
+      }
+      r.emitted.iterator.map(w => AbsentOut(key._1, key._2, key._3, w))
+    }
+
+    override def handleInputRows(
+        key: SeriesKey,
+        rows: Iterator[GaugePoint],
+        timers: TimerValues): Iterator[AbsentOut] = {
+      val wins = rows.map(p => p.timestamp - math.floorMod(p.timestamp, widthSec)).toSeq
+      stepAndEmit(key, wins, timers, evictWhenIdle = false)
+    }
+
+    override def handleExpiredTimer(
+        key: SeriesKey,
+        timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[AbsentOut] = {
+      timerTs.clear()
+      stepAndEmit(key, Nil, timers, evictWhenIdle = true)
+    }
+  }
+
+  /** [[FirehoseStream.absentAlert]] on the `transformWithState` API.
+    * Requires the RocksDB state store provider (an API constraint).
+    */
+  def absentAlert(
+      metrics: DataFrame,
+      widthSec: Long = 60,
+      watermarkDelay: String = "10 minutes",
+      ttlMs: Long = 10 * 60 * 1000L): Dataset[AbsentOut] = {
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    FirehoseStream.keyedPoints(metrics, watermarkDelay)
+      .groupByKey(p => (p.component, p.name, p.series))
+      .transformWithState(
+        new AbsentProcessor(widthSec, ttlMs), TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** [[FirehoseStream.gaugeLatest]] on the `transformWithState` API.
     * Requires the RocksDB state store provider (an API constraint).
     */

@@ -581,6 +581,39 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState absent alert matches the fMGWS port's scenario") {
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft-tws-a").toFile
+      val chk = Files.createTempDirectory("graft-tws-achk").toFile
+      // identical scenario to the fMGWS absent spec: late fill cancels the
+      // window-100 gap, 200 flags, trailing 400 emits via the timer
+      Files.write(dir.toPath.resolve("b1.json"),
+        Seq(
+          metricJson("1", "c_total", 10, "u1", 1.0),
+          metricJson("2", "c_total", 310, "u1", 2.0)).mkString("\n").getBytes)
+      val q = graft.streaming.FirehoseTws.absentAlert(
+          FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+          widthSec = 100, watermarkDelay = "200 seconds")
+        .writeStream.format("memory").queryName("tws_a_t").outputMode("update")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      try {
+        q.processAllAvailable()
+        Files.write(dir.toPath.resolve("b2.json"),
+          Seq(metricJson("3", "c_total", 150, "u1", 3.0)).mkString("\n").getBytes)
+        q.processAllAvailable()
+        Seq(800L, 1600L, 2400L).zipWithIndex.foreach { case (ts, i) =>
+          Files.write(dir.toPath.resolve(s"adv$i.json"),
+            Seq(metricJson(s"a$i", "c_total", ts, "u2", 1.0)).mkString("\n").getBytes)
+          q.processAllAvailable()
+        }
+        val u1 = spark.table("tws_a_t").filter(col("series").contains("u1"))
+          .collect().map(_.getAs[Long]("absent_win")).sorted
+        assert(u1.toSeq === Seq(200L, 400L), s"got ${u1.toSeq}")
+      } finally q.stop()
+    }
+  }
+
   test("streaming counter increase finalizes windows below the watermark and prunes state") {
     val dir = Files.createTempDirectory("graft-inc-fin").toFile
     val chk = Files.createTempDirectory("graft-inc-finchk").toFile
