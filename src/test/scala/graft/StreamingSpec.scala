@@ -797,6 +797,41 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("landed parquet feeds the batch operators identically to the live parse") {
+    // the full pipeline story: stream lands partitioned parquet, the batch
+    // OLAP layer queries the landed table — results must equal running the
+    // same operators over the directly-parsed stream
+    val dir = Files.createTempDirectory("graft-rt-in").toFile
+    val out = Files.createTempDirectory("graft-rt-out").toFile.getAbsolutePath + "/landed"
+    val chk = Files.createTempDirectory("graft-rtchk").toFile
+    val lines = Seq(
+      metricJson("1", "c_total", 1704067200, "u1", 10.0),
+      metricJson("2", "c_total", 1704067500, "u1", 25.0),
+      metricJson("3", "c_total", 1704070900, "u1", 5.0), // reset
+      metricJson("4", "g", 1704067200, "u2", 7.0),
+      metricJson("5", "g", 1704067300, "u2", 3.0))
+    Files.write(dir.toPath.resolve("b1.json"), lines.mkString("\n").getBytes)
+    val q = FirehoseStream.landingSink(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath), out)
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(out).drop("event_date")
+    val direct = graft.sources.MetricJson.parse(
+      spark.createDataFrame(lines.map(Tuple1(_))).toDF("value"), "value")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(
+      canon(graft.operators.Firehose.gaugeLatest(landed)) ===
+        canon(graft.operators.Firehose.gaugeLatest(direct)))
+    assert(
+      canon(graft.operators.Firehose.counterIncrease(landed)) ===
+        canon(graft.operators.Firehose.counterIncrease(direct)))
+    assert(
+      canon(graft.operators.Firehose.resetsChanges(landed)) ===
+        canon(graft.operators.Firehose.resetsChanges(direct)))
+  }
+
   test("landing compaction rewrites many small files into few, content-preserving") {
     val dir = Files.createTempDirectory("graft-comp-in").toFile
     val out = Files.createTempDirectory("graft-comp-out").toFile.getAbsolutePath + "/landed"
