@@ -1166,7 +1166,8 @@ object SparkEntry {
         |GROUP BY content_hash""".stripMargin,
     "s5_embedding_centroids" ->
       """SELECT label, CAST(t.i - 1 AS INTEGER) AS dim, count(*) AS n,
-        |  CAST(sum(CAST(CAST(embedding[t.i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS mean
+        |  CAST(sum(CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1e9 + 0.5) AS BIGINT))
+        |    AS DOUBLE) / 1e9 / count(*) AS mean
         |FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
         |GROUP BY 1, 2""".stripMargin,
     // mirrors maxShingleDocs=100: shingles shared by >100 docs are dropped

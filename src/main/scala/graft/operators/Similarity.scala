@@ -242,11 +242,14 @@ object Similarity {
       .groupBy(col("label"), col("dim"))
       .agg(
         count(lit(1)).as("n"),
-        // float → double → decimal: both engines must quantize the same
-        // double (a direct float→decimal cast goes through float formatting
-        // in DuckDB and rounds differently)
-        (sum(col("x").cast("double").cast("decimal(18,9)")).cast("double") / count(lit(1)))
-          .as("mean"))
+        // tie-free 9-dp quantization: floor(x·1e9 + 0.5) is the same IEEE
+        // op sequence on every engine, so even an element landing exactly
+        // on a rounding tie quantizes identically (a double→decimal cast
+        // does NOT guarantee that: Spark rounds HALF_UP, DuckDB to-even —
+        // one tied element per ~40k cells diverged at sf0.1). The long sum
+        // is exact; the final double division is correctly rounded.
+        ((sum(floor(col("x").cast("double") * lit(1e9) + lit(0.5)).cast("long"))
+          .cast("double") / lit(1e9)) / count(lit(1))).as("mean"))
 
   /** Banded LSH ANN: the signature is split into `bands` keys of
     * `planes/bands` bits; a candidate is scored iff it shares at least one

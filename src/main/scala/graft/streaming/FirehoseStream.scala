@@ -320,6 +320,47 @@ object ResetsCore {
   }
 }
 
+/** Pure emit/prune step for the multiwindow ratio alert, shared by the
+  * `flatMapGroupsWithState` and `transformWithState` ports so the two can
+  * never diverge: given the parked closed-short-window totals per counter
+  * and the watermark, emit every ratio row of long windows the watermark
+  * has closed and keep the rest parked.
+  */
+object RatioCore {
+  def longWinOf(shortWin: Long, longSec: Long): Long =
+    shortWin - math.floorMod(shortWin, longSec)
+
+  def emitAndPrune(
+      component: String, series: String,
+      pendingNum: Map[Long, Double], pendingDen: Map[Long, Double],
+      wmSec: Long, shortSec: Long, longSec: Long, threshold: Double)
+      : (Seq[RatioOut], Map[Long, Double], Map[Long, Double]) = {
+    val closedLongs = (pendingNum.keys ++ pendingDen.keys)
+      .map(longWinOf(_, longSec)).filter(_ + longSec <= wmSec).toSeq.distinct.sorted
+    val rows = closedLongs.flatMap { lw =>
+      val shorts = (pendingNum.keys ++ pendingDen.keys)
+        .filter(longWinOf(_, longSec) == lw).toSeq.distinct.sorted
+      val lNum = shorts.flatMap(pendingNum.get)
+      val lDen = shorts.flatMap(pendingDen.get)
+      if (lNum.isEmpty || lDen.isEmpty || lDen.sum <= 0) Nil
+      else {
+        val longRatio = lNum.sum / lDen.sum
+        shorts.flatMap { sw =>
+          for {
+            n <- pendingNum.get(sw)
+            d <- pendingDen.get(sw) if d > 0
+          } yield RatioOut(component, series, sw,
+            n / d, longRatio,
+            if (n / d > threshold && longRatio > threshold) 1 else 0)
+        }
+      }
+    }
+    val keepN = pendingNum.filter { case (sw, _) => longWinOf(sw, longSec) + longSec > wmSec }
+    val keepD = pendingDen.filter { case (sw, _) => longWinOf(sw, longSec) + longSec > wmSec }
+    (rows, keepN, keepD)
+  }
+}
+
 /** Structured-Streaming form of the firehose: the reference's
   * consume→parse→handle→endOfSet loop (AbstractFirehose.java:113-145)
   * re-expressed as an incremental query.
@@ -677,36 +718,13 @@ object FirehoseStream {
     require(longSec % shortSec == 0, "short windows must tile the long window")
     val spark = metrics.sparkSession
     import spark.implicits._
-    def longWinOf(shortWin: Long): Long = shortWin - math.floorMod(shortWin, longSec)
-
+    def longWinOf(shortWin: Long): Long = RatioCore.longWinOf(shortWin, longSec)
     def emitAndPrune(
         component: String, series: String,
         pendingNum: Map[Long, Double], pendingDen: Map[Long, Double],
-        wmSec: Long): (Seq[RatioOut], Map[Long, Double], Map[Long, Double]) = {
-      val closedLongs = (pendingNum.keys ++ pendingDen.keys)
-        .map(longWinOf).filter(_ + longSec <= wmSec).toSeq.distinct.sorted
-      val rows = closedLongs.flatMap { lw =>
-        val shorts = (pendingNum.keys ++ pendingDen.keys)
-          .filter(longWinOf(_) == lw).toSeq.distinct.sorted
-        val lNum = shorts.flatMap(pendingNum.get)
-        val lDen = shorts.flatMap(pendingDen.get)
-        if (lNum.isEmpty || lDen.isEmpty || lDen.sum <= 0) Nil
-        else {
-          val longRatio = lNum.sum / lDen.sum
-          shorts.flatMap { sw =>
-            for {
-              n <- pendingNum.get(sw)
-              d <- pendingDen.get(sw) if d > 0
-            } yield RatioOut(component, series, sw,
-              n / d, longRatio,
-              if (n / d > threshold && longRatio > threshold) 1 else 0)
-          }
-        }
-      }
-      val keepN = pendingNum.filter { case (sw, _) => longWinOf(sw) + longSec > wmSec }
-      val keepD = pendingDen.filter { case (sw, _) => longWinOf(sw) + longSec > wmSec }
-      (rows, keepN, keepD)
-    }
+        wmSec: Long): (Seq[RatioOut], Map[Long, Double], Map[Long, Double]) =
+      RatioCore.emitAndPrune(component, series, pendingNum, pendingDen,
+        wmSec, shortSec, longSec, threshold)
 
     keyedPoints(metrics.filter(col("name").isin(numName, denName)), watermarkDelay)
       .groupByKey(p => (p.component, p.series))

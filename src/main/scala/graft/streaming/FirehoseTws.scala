@@ -178,6 +178,172 @@ object FirehoseTws {
     }
   }
 
+  /** Ratio-alert processor — [[FirehoseStream.ratioAlertClosed]]'s exact
+    * semantics ([[IncreaseCore]] fold per counter name + the shared
+    * [[RatioCore]] emit/prune) on the arbitrary-state API. Each counter's
+    * increase state decomposes into native handles (anchor ValueState,
+    * in-watermark ListState buffer, finalized MapState) and the parked
+    * closed-short totals are two more MapStates — per-window point
+    * updates throughout, the RocksDB-native shape. The timer re-arms to
+    * the earliest open long window's end so parked totals emit without
+    * new traffic.
+    */
+  class RatioProcessor(numName: String, denName: String, shortSec: Long,
+      longSec: Long, threshold: Double, ttlMs: Long)
+      extends StatefulProcessor[(String, String), GaugePoint, RatioOut] {
+
+    /** The three typed handles backing one counter's IncreaseState. */
+    private class IncHandles(prefix: String) {
+      var anchor: ValueState[CounterSample] = _
+      var buffer: ListState[CounterSample] = _
+      var finalized: MapState[Long, Double] = _
+      def init(): Unit = {
+        anchor = getHandle.getValueState[CounterSample](
+          s"$prefix-anchor", Encoders.product[CounterSample], TTLConfig.NONE)
+        buffer = getHandle.getListState[CounterSample](
+          s"$prefix-buffer", Encoders.product[CounterSample], TTLConfig.NONE)
+        finalized = getHandle.getMapState[Long, Double](
+          s"$prefix-finalized", Encoders.scalaLong, Encoders.scalaDouble, TTLConfig.NONE)
+      }
+      def assembled: IncreaseState = {
+        val a = if (anchor.exists()) Some(anchor.get()) else None
+        IncreaseState(
+          hasAnchor = a.isDefined,
+          anchorTs = a.map(_.ts).getOrElse(0L),
+          anchorId = a.map(_.id).getOrElse(""),
+          anchorValue = a.map(_.value).getOrElse(0.0),
+          buffer = if (buffer.exists()) buffer.get().toSeq else Nil,
+          finalized =
+            if (finalized.exists()) finalized.iterator().map(t => t._1 -> t._2).toMap
+            else Map.empty)
+      }
+      def writeBack(old: Map[Long, Double], ns: IncreaseState): Unit = {
+        ns.finalized.foreach { case (w, v) =>
+          if (!old.get(w).contains(v)) finalized.updateValue(w, v)
+        }
+        old.keys.filterNot(ns.finalized.contains).foreach(finalized.removeKey)
+        if (ns.hasAnchor) anchor.update(CounterSample(ns.anchorTs, ns.anchorId, ns.anchorValue))
+        buffer.clear()
+        if (ns.buffer.nonEmpty) buffer.put(ns.buffer.toArray)
+      }
+      def clear(): Unit = { anchor.clear(); buffer.clear(); finalized.clear() }
+    }
+
+    @transient private var num: IncHandles = _
+    @transient private var den: IncHandles = _
+    @transient private var pendingNum: MapState[Long, Double] = _
+    @transient private var pendingDen: MapState[Long, Double] = _
+    @transient private var timerTs: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      num = new IncHandles("num"); num.init()
+      den = new IncHandles("den"); den.init()
+      pendingNum = getHandle.getMapState[Long, Double](
+        "pending-num", Encoders.scalaLong, Encoders.scalaDouble, TTLConfig.NONE)
+      pendingDen = getHandle.getMapState[Long, Double](
+        "pending-den", Encoders.scalaLong, Encoders.scalaDouble, TTLConfig.NONE)
+      timerTs = getHandle.getValueState[Long]("timer", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def armTimer(whenMs: Long): Unit = {
+      if (timerTs.exists()) getHandle.deleteTimer(timerTs.get())
+      getHandle.registerTimer(whenMs)
+      timerTs.update(whenMs)
+    }
+
+    private def pendingOf(ms: MapState[Long, Double]): Map[Long, Double] =
+      if (ms.exists()) ms.iterator().map(t => t._1 -> t._2).toMap else Map.empty
+
+    private def writePending(
+        ms: MapState[Long, Double], old: Map[Long, Double],
+        next: Map[Long, Double]): Unit = {
+      next.foreach { case (w, v) => if (!old.get(w).contains(v)) ms.updateValue(w, v) }
+      old.keys.filterNot(next.contains).foreach(ms.removeKey)
+    }
+
+    private def stepAndEmit(
+        key: (String, String), incoming: Seq[GaugePoint], timers: TimerValues,
+        evictWhenIdle: Boolean): Iterator[RatioOut] = {
+      val (component, series) = key
+      val wmSec = timers.getCurrentWatermarkInMs() / 1000L
+      val stNum = num.assembled
+      val stDen = den.assembled
+      val (numIn, denIn) = incoming.partition(_.name == numName)
+      def samples(ps: Seq[GaugePoint]) = ps.map(p => CounterSample(p.timestamp, p.id, p.value))
+      val rn = IncreaseCore.step(stNum, samples(numIn), wmSec, shortSec)
+      val rd = IncreaseCore.step(stDen, samples(denIn), wmSec, shortSec)
+      val oldPn = pendingOf(pendingNum)
+      val oldPd = pendingOf(pendingDen)
+      val (rows, keepN, keepD) = RatioCore.emitAndPrune(
+        component, series, oldPn ++ rn.closed, oldPd ++ rd.closed,
+        wmSec, shortSec, longSec, threshold)
+      val idle = rn.state.buffer.isEmpty && rd.state.buffer.isEmpty &&
+        rn.state.finalized.isEmpty && rd.state.finalized.isEmpty &&
+        keepN.isEmpty && keepD.isEmpty
+      if (evictWhenIdle && idle) {
+        num.clear(); den.clear(); pendingNum.clear(); pendingDen.clear(); timerTs.clear()
+      } else {
+        num.writeBack(stNum.finalized, rn.state)
+        den.writeBack(stDen.finalized, rd.state)
+        writePending(pendingNum, oldPn, keepN)
+        writePending(pendingDen, oldPd, keepD)
+        val pendingEnds =
+          (keepN.keys ++ keepD.keys ++
+            rn.state.finalized.keys ++ rd.state.finalized.keys)
+            .map(sw => (RatioCore.longWinOf(sw, longSec) + longSec) * 1000L)
+        if (pendingEnds.nonEmpty) armTimer(pendingEnds.min)
+        else {
+          val wm = timers.getCurrentWatermarkInMs()
+          if (wm > 0) armTimer(wm + ttlMs)
+          else {
+            val lastTs =
+              (rn.state.buffer.map(_.ts) ++ rd.state.buffer.map(_.ts) :+ 0L).max
+            armTimer(math.max(lastTs * 1000L, 1L) + ttlMs)
+          }
+        }
+      }
+      rows.iterator
+    }
+
+    override def handleInputRows(
+        key: (String, String),
+        rows: Iterator[GaugePoint],
+        timers: TimerValues): Iterator[RatioOut] =
+      stepAndEmit(key, rows.toSeq, timers, evictWhenIdle = false)
+
+    override def handleExpiredTimer(
+        key: (String, String),
+        timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[RatioOut] = {
+      timerTs.clear()
+      stepAndEmit(key, Nil, timers, evictWhenIdle = true)
+    }
+  }
+
+  /** [[FirehoseStream.ratioAlertClosed]] on the `transformWithState` API.
+    * Requires the RocksDB state store provider (an API constraint).
+    */
+  def ratioAlertClosed(
+      metrics: DataFrame,
+      numName: String = "error_total",
+      denName: String = "view_total",
+      shortSec: Long = 3600,
+      longSec: Long = 21600,
+      threshold: Double = 1.0,
+      watermarkDelay: String = "10 minutes",
+      ttlMs: Long = 10 * 60 * 1000L): Dataset[RatioOut] = {
+    require(longSec % shortSec == 0, "short windows must tile the long window")
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    FirehoseStream.keyedPoints(
+        metrics.filter(org.apache.spark.sql.functions.col("name").isin(numName, denName)),
+        watermarkDelay)
+      .groupByKey(p => (p.component, p.series))
+      .transformWithState(
+        new RatioProcessor(numName, denName, shortSec, longSec, threshold, ttlMs),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** Absent-alert processor — [[FirehoseStream.absentAlert]]'s fold
     * ([[AbsentCore]], shared verbatim) on the arbitrary-state API: the
     * decided (anchor, gapEmitted) pair is a `ValueState`, the undecided

@@ -503,6 +503,53 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState ratio alert matches the fMGWS port's scenario") {
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft-tws-r").toFile
+      val chk = Files.createTempDirectory("graft-tws-rchk").toFile
+      // same planted scenario as the fMGWS spec: short ratios .5/.5/1.0,
+      // long ratio 0.7, θ=0.6 ⇒ exactly window 200 alerts, each window once
+      Files.write(dir.toPath.resolve("b1.json"),
+        Seq(
+          metricJson("e1", "error_total", 10, "u1", 0.0),
+          metricJson("e2", "error_total", 50, "u1", 2.0),
+          metricJson("v1", "view_total", 10, "u1", 10.0),
+          metricJson("v2", "view_total", 60, "u1", 14.0)).mkString("\n").getBytes)
+      val q = graft.streaming.FirehoseTws.ratioAlertClosed(
+          FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+          shortSec = 100, longSec = 300, threshold = 0.6,
+          watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName("tws_r_t").outputMode("update")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      try {
+        q.processAllAvailable()
+        Files.write(dir.toPath.resolve("b2.json"),
+          Seq(
+            metricJson("e3", "error_total", 150, "u1", 3.0),
+            metricJson("e4", "error_total", 250, "u1", 7.0),
+            metricJson("v3", "view_total", 160, "u1", 16.0),
+            metricJson("v4", "view_total", 260, "u1", 20.0)).mkString("\n").getBytes)
+        q.processAllAvailable()
+        assert(spark.table("tws_r_t").isEmpty) // long window still open
+        Seq(350L, 400L).zipWithIndex.foreach { case (ts, i) =>
+          Files.write(dir.toPath.resolve(s"adv$i.json"),
+            Seq(metricJson(s"v${5 + i}", "view_total", ts, "u1", 21.0 + i))
+              .mkString("\n").getBytes)
+          q.processAllAvailable()
+        }
+        val streamed = spark.table("tws_r_t").collect()
+          .map(r => r.getAs[Long]("win_start") ->
+            ((r.getAs[Double]("short_ratio"), r.getAs[Double]("long_ratio"),
+              r.getAs[Int]("alert"))))
+        assert(streamed.map(_._1).distinct.length === streamed.length)
+        assert(streamed.toMap === Map(
+          0L -> ((0.5, 0.7, 0)), 100L -> ((0.5, 0.7, 0)), 200L -> ((1.0, 0.7, 1))),
+          s"got ${streamed.toSeq}")
+      } finally q.stop()
+    }
+  }
+
   test("ratio alert emits an idle series' parked long window via its re-armed timer") {
     // u1 posts both counters inside long window [0, 300) then goes silent;
     // only u2's unrelated traffic advances the watermark. u1's rows must
