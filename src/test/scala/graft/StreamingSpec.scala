@@ -588,6 +588,43 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState ratio alert emits a parked window via its timer") {
+    withRocksDb {
+      // the tws twin of the idle-series scenario: u1 goes silent after one
+      // long window; u2's unrelated traffic advances the watermark and
+      // u1's parked rows must emit from handleExpiredTimer
+      val dir = Files.createTempDirectory("graft-tws-ridle").toFile
+      val chk = Files.createTempDirectory("graft-tws-ridlechk").toFile
+      Files.write(dir.toPath.resolve("b1.json"),
+        Seq(
+          metricJson("e1", "error_total", 10, "u1", 0.0),
+          metricJson("e2", "error_total", 50, "u1", 4.0),
+          metricJson("v1", "view_total", 20, "u1", 0.0),
+          metricJson("v2", "view_total", 60, "u1", 5.0)).mkString("\n").getBytes)
+      val q = graft.streaming.FirehoseTws.ratioAlertClosed(
+          FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+          shortSec = 100, longSec = 300, threshold = 0.6,
+          watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName("tws_ridle_t").outputMode("update")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      try {
+        q.processAllAvailable()
+        Seq(500L, 700L, 900L).zipWithIndex.foreach { case (ts, i) =>
+          Files.write(dir.toPath.resolve(s"adv$i.json"),
+            Seq(metricJson(s"a$i", "view_total", ts, "u2", i.toDouble)).mkString("\n").getBytes)
+          q.processAllAvailable()
+        }
+        val u1 = spark.table("tws_ridle_t")
+          .filter(col("series").contains("u1")).collect()
+          .map(r => r.getAs[Long]("win_start") ->
+            ((r.getAs[Double]("short_ratio"), r.getAs[Int]("alert"))))
+        assert(u1.toMap === Map(0L -> ((0.8, 1))), s"got ${u1.toSeq}")
+        assert(u1.length === 1)
+      } finally q.stop()
+    }
+  }
+
   test("streaming absent alert flags gaps and silence via timers, late data cancels") {
     val dir = Files.createTempDirectory("graft-absent").toFile
     val chk = Files.createTempDirectory("graft-absentchk").toFile
