@@ -25,6 +25,36 @@ class SourcesSpec extends SparkSuite {
     assert(e.schema("ts").dataType.typeName === "long")
   }
 
+  test("DSv2 prom source reads exposition files identically to the expression parse") {
+    // render real exposition lines from the gauge registry, write them as
+    // two scrape files (+ comments/blanks the format allows), read them
+    // back through the connector-API source, and demand row equality with
+    // the expression-based parser over the same text
+    val dir = Files.createTempDirectory("graft-prom").toFile
+    val lines = graft.operators.Firehose.promRender(
+      graft.operators.Firehose.gaugeLatest(
+        graft.operators.Firehose.metricsFromEvents(spark, sfDir)))
+      .collect().map(_.getString(0))
+    assert(lines.length > 100)
+    val (a, b) = lines.splitAt(lines.length / 2)
+    Files.write(dir.toPath.resolve("scrape1.prom"),
+      ("# HELP app_x scrape one" +: a).mkString("\n").getBytes)
+    Files.write(dir.toPath.resolve("scrape2.prom"),
+      ("" +: b.toSeq).mkString("\n").getBytes)
+    val viaSource = spark.read.format("graft.sources.PromTableProvider")
+      .load(dir.getAbsolutePath)
+    // one partition per file → the scan parallelizes across scrape files
+    assert(viaSource.rdd.getNumPartitions === 2)
+    val viaExpr = graft.operators.Firehose.promParse(
+      spark.read.text(dir.getAbsolutePath)
+        .withColumnRenamed("value", "line")
+        .filter(length(trim(col("line"))) > 0 && !col("line").startsWith("#")))
+    val s = viaSource.collect().map(_.toString).sorted.toSeq
+    val e = viaExpr.collect().map(_.toString).sorted.toSeq
+    assert(s.length === lines.length)
+    assert(s === e)
+  }
+
   test("json-lines landing reader parses a written firehose file") {
     val dir = Files.createTempDirectory("graft-jsonl").toFile
     val line = """{"id":"x1","name":"n","timestamp":5,"component":"c","tags":{"a":"b"},"value":1.5,"window":{"from":0,"to":5,"interval":5}}"""
