@@ -47,6 +47,9 @@ object Bench {
     // target/bench.json for untruncated reads.
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","pass1":${jsonMap(ordered.map { case (n, _) => n -> pass1(n) })},"queries":${jsonMap(results)}}"""
+    // the headline FIRST as its own short line: a consumer that truncates
+    // the (multi-KB, 120-query) detail line still reads total + count
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n":${results.size},"detail":"target/bench.json"}""")
     println(line)
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")

@@ -15,6 +15,11 @@ object Kernels {
 
   /** dot/(|a||b|) accumulated in f64 over f32 inputs, strictly in index
     * order — bit-identical to the DuckDB oracle's `list_reduce` formulation.
+    * A zero-norm (all-zero) vector would make this 0/0 = NaN, which Spark
+    * orders ABOVE every double in a descending sort — a degenerate
+    * embedding would then beat every real neighbor in top-k. Pin it to
+    * -1.0 instead: below any true cosine, so degenerate vectors rank last
+    * and never pass a similarity threshold.
     */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
@@ -30,7 +35,8 @@ object Kernels {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val normProd = math.sqrt(na) * math.sqrt(nb)
+    if (normProd == 0.0) -1.0 else dot / normProd
   }
 
   private val md5Local: ThreadLocal[MessageDigest] =

@@ -183,22 +183,60 @@ object Firehose {
 
   /** Prometheus text-exposition PARSING — the inverse of [[promRender]] and
     * the ingest half of a scrape/federation path: `name{k="v",...} value
-    * ts_millis` lines back to typed columns. Labels stay in their canonical
-    * sorted `k=v` series-key rendering (the same identity [[seriesKey]]
-    * produces), the value parse is the correctly-rounded decimal-string →
-    * double both engines share. Pure codegen'd regex/split expressions —
+    * [ts_millis]` lines back to typed columns. Labels stay in their
+    * canonical `k=v,...` series-key rendering (the same identity
+    * [[seriesKey]] produces); quoted label values may contain spaces,
+    * commas and `}` and use the exposition escapes `\"` / `\\` (any
+    * backslash-escape is unescaped to its raw character). The timestamp is
+    * optional per the format. Comment/blank/unparseable lines are dropped,
+    * mirroring a scraper's skip-and-continue discipline. Pure codegen'd
+    * regex expressions; grammar kept token-for-token identical to the DSv2
+    * [[graft.sources.PromSource.parseLine]] scanner (spec-asserted) —
     * registered as a round trip over the renderer, so the green oracle row
     * proves parse(render(x)) preserves every series.
     */
   def promParse(lines: DataFrame): DataFrame = {
-    val parts = split(col("line"), " ")
-    val head = parts.getItem(0)
-    lines.select(
-      regexp_extract(head, "^([^{]+)", 1).as("metric"),
-      regexp_replace(
-        regexp_extract(head, "\\{(.*)\\}", 1), "\"", "").as("series"),
-      parts.getItem(1).cast("double").as("value"),
-      parts.getItem(2).cast("long").as("ts_ms"))
+    // one anchored match: metric, optional {label block} (greedy `.*` so
+    // the block extends to the LAST '}' — quoted values may contain '}'),
+    // value token, optional timestamp token
+    val re = PromGrammar.LineRe
+    val pairRe = PromGrammar.PairRe
+    lines
+      .select(trim(col("line")).as("_l"))
+      .filter(length(col("_l")) > 0 && !col("_l").startsWith("#") &&
+        col("_l").rlike(re))
+      .withColumn("_ts_tok", regexp_extract(col("_l"), re, 6))
+      .withColumn("_val_tok", regexp_extract(col("_l"), re, 4))
+      // try_cast, not cast: a malformed token must become a dropped row,
+      // not an ANSI runtime error killing the scan
+      .withColumn("value", expr("try_cast(_val_tok AS double)"))
+      .withColumn("ts_ms",
+        when(col("_ts_tok") === "", lit(null).cast("long"))
+          .otherwise(expr("try_cast(_ts_tok AS bigint)")))
+      // a present-but-unparseable value or timestamp token is a malformed
+      // line (skip), not a null field
+      .filter(col("value").isNotNull &&
+        !(col("_ts_tok") =!= "" && col("ts_ms").isNull))
+      .select(
+        regexp_extract(col("_l"), re, 1).as("metric"),
+        array_join(
+          transform(
+            regexp_extract_all(regexp_extract(col("_l"), re, 3), lit(pairRe), lit(0)),
+            p => concat(
+              regexp_extract(p, pairRe, 1), lit("="),
+              regexp_replace(regexp_extract(p, pairRe, 2), "\\\\(.)", "$1"))),
+          ",").as("series"),
+        col("value"), col("ts_ms"))
+  }
+
+  /** The exposition-line grammar shared verbatim by the expression parser
+    * ([[promParse]]) and the DSv2 scanner ([[graft.sources.PromSource]]).
+    */
+  object PromGrammar {
+    /** groups: 1=metric, 3=label block, 4=value token, 6=ts token. */
+    val LineRe = "^([^{\\s]+)(\\{(.*)\\})?\\s+(\\S+)(\\s+(\\S+))?\\s*$"
+    /** groups: 1=label key, 2=raw (still-escaped) quoted value. */
+    val PairRe = "([a-zA-Z_][a-zA-Z0-9_:]*)\\s*=\\s*\"((?:[^\"\\\\]|\\\\.)*)\""
   }
 
   /** Hopping (sliding) window aggregation — the PromQL range-query shape:
@@ -206,15 +244,21 @@ object Firehose {
     * each sample lands in `width/slide` overlapping windows. The fan-out
     * is that fixed ratio (a plan constant, NOT data-dependent) via one
     * codegen'd `sequence` explode — then it's the same map-side-combinable
-    * grouped aggregate as the tumbling [[windowAgg]]. Integer window
-    * arithmetic (truncating division is exact here: timestamps are
-    * positive), decimal sums for order-independence.
+    * grouped aggregate as the tumbling [[windowAgg]]. Exact integer FLOOR
+    * division via pmod (SQL `div` truncates toward zero, which would drop
+    * the earliest overlapping window whenever the shifted timestamp goes
+    * negative — e.g. any sample inside the first `widthSec` of the epoch),
+    * decimal sums for order-independence.
     */
   def slidingWindowAgg(metrics: DataFrame, widthSec: Long = 3600,
       slideSec: Long = 900): DataFrame = {
     require(widthSec % slideSec == 0, "slide must tile the window width")
-    val kmax = expr(s"timestamp div $slideSec")
-    val kmin = expr(s"(timestamp - $widthSec) div $slideSec") + 1
+    // floor(x / d) for any sign of x: subtract the (always non-negative)
+    // pmod first so the `div` truncation never rounds toward zero
+    def floorDiv(x: String, d: Long): Column =
+      expr(s"(($x) - pmod($x, ${d}L)) div ${d}L")
+    val kmax = floorDiv("timestamp", slideSec)
+    val kmin = floorDiv(s"timestamp - ${widthSec}L", slideSec) + 1
     metrics
       .select(col("component"), col("name"), col("value"),
         explode(sequence(kmin, kmax)).as("k"))

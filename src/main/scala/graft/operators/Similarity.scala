@@ -69,12 +69,17 @@ object Similarity {
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val cand = quantized(embeddings, "neighbor_id", "_cq")
     val p = quantized(probes, "probe_id", "_pq")
+    // an all-zero embedding has norm 0 → 0/0 = NaN, and Spark sorts NaN
+    // ABOVE every double descending, so an unguarded zero vector would win
+    // every probe's top-k; pin it to -1 (below any real cosine) instead
+    val normProd =
+      sqrt(dot(col("_pq"), col("_pq"))) * sqrt(dot(col("_cq"), col("_cq")))
     val scored = cand
       .join(broadcast(p), col("neighbor_id") =!= col("probe_id"))
       .select(
         col("probe_id"), col("neighbor_id"),
-        (dot(col("_pq"), col("_cq")) /
-          (sqrt(dot(col("_pq"), col("_pq"))) * sqrt(dot(col("_cq"), col("_cq")))))
+        when(normProd === 0.0, lit(-1.0))
+          .otherwise(dot(col("_pq"), col("_cq")) / normProd)
           .as("cosine_q"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine_q").desc, col("neighbor_id"))
     scored

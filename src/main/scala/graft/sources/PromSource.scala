@@ -21,10 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * driver involvement per row, the property that matters when a federation
   * dump is thousands of scrape files.
   *
-  * Usage: `spark.read.format("graft.sources.PromTableProvider")
-  * .load("/path/to/dir")` (reads every `*.prom`/`*.txt` file under the
-  * path, or a single file). Comment (`#`) and blank lines are skipped, as
-  * the exposition format requires.
+  * Usage: `spark.read.format("prom").load("/path/to/dir")` (the short name
+  * registers via `DataSourceRegister`; the full class name
+  * `graft.sources.PromTableProvider` also works). Reads every
+  * `*.prom`/`*.txt` file under the path, or a single file. Comment (`#`),
+  * blank, and malformed lines are skipped, as a scraper does.
   */
 object PromSource {
   val Schema: StructType = StructType(Seq(
@@ -33,24 +34,42 @@ object PromSource {
     StructField("value", DoubleType),
     StructField("ts_ms", LongType)))
 
-  /** One exposition line → (metric, series, value, ts_ms); None for
-    * comments/blanks. Mirrors the m21 expression semantics exactly:
-    * series keeps the canonical `k=v,...` rendering with quotes stripped.
+  // compiled once per JVM from the SAME grammar strings the expression
+  // parser uses — the two readers cannot drift apart silently
+  private val LinePattern =
+    java.util.regex.Pattern.compile(graft.operators.Firehose.PromGrammar.LineRe)
+  private val PairPattern =
+    java.util.regex.Pattern.compile(graft.operators.Firehose.PromGrammar.PairRe)
+
+  /** One exposition line → (metric, series, value, ts_ms-or-null); None for
+    * comment/blank/malformed lines. Token-for-token the semantics of
+    * [[graft.operators.Firehose.promParse]]: quoted label values may
+    * contain spaces/commas/`}`, backslash escapes are unescaped, the series
+    * is the canonical `k=v,...` rendering, and the timestamp is optional.
     */
-  def parseLine(line: String): Option[(String, String, Double, Long)] = {
+  def parseLine(line: String): Option[(String, String, Double, java.lang.Long)] = {
     val t = line.trim
     if (t.isEmpty || t.startsWith("#")) return None
-    val parts = t.split(" ")
-    if (parts.length < 3) return None
-    val head = parts(0)
-    val brace = head.indexOf('{')
-    val metric = if (brace >= 0) head.substring(0, brace) else head
-    val series =
-      if (brace >= 0 && head.endsWith("}"))
-        head.substring(brace + 1, head.length - 1).replace("\"", "")
-      else ""
-    try Some((metric, series, parts(1).toDouble, parts(2).toLong))
-    catch { case _: NumberFormatException => None }
+    val m = LinePattern.matcher(t)
+    if (!m.matches()) return None
+    val metric = m.group(1)
+    val block = Option(m.group(3)).getOrElse("")
+    val series = {
+      val sb = new StringBuilder
+      val pm = PairPattern.matcher(block)
+      while (pm.find()) {
+        if (sb.nonEmpty) sb.append(',')
+        sb.append(pm.group(1)).append('=')
+          .append(pm.group(2).replaceAll("\\\\(.)", "$1"))
+      }
+      sb.toString
+    }
+    try {
+      val value = m.group(4).toDouble
+      val ts: java.lang.Long =
+        if (m.group(6) == null) null else java.lang.Long.valueOf(m.group(6))
+      Some((metric, series, value, ts))
+    } catch { case _: NumberFormatException => None }
   }
 
   def listFiles(path: String): Seq[String] = {
@@ -64,7 +83,11 @@ object PromSource {
   }
 }
 
-class PromTableProvider extends TableProvider {
+class PromTableProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  // resolved through the DataSourceRegister service file, so callers write
+  // spark.read.format("prom") like any built-in format
+  override def shortName(): String = "prom"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PromSource.Schema
   override def getTable(
@@ -102,11 +125,12 @@ class PromReaderFactory extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private val lines = scala.io.Source.fromFile(file, "UTF-8")
       private val it = lines.getLines().flatMap(PromSource.parseLine)
-      private var current: (String, String, Double, Long) = _
+      private var current: (String, String, Double, java.lang.Long) = _
       override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
       override def get(): InternalRow = InternalRow(
         UTF8String.fromString(current._1), UTF8String.fromString(current._2),
-        current._3, current._4)
+        current._3,
+        if (current._4 == null) null else current._4.longValue())
       override def close(): Unit = lines.close()
     }
   }

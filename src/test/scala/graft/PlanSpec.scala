@@ -26,6 +26,26 @@ class PlanSpec extends SparkSuite {
       s"shingle exchange not reused:\n$plan")
   }
 
+  test("ngram jaccard executes a pinned number of scans and reuses exchanges") {
+    // count-level pin (VERDICT r4 #6): `contains(ReusedExchange)` can stay
+    // true while a planner/AQE change still doubles the heaviest stage —
+    // pin the NUMBER of executed parquet scans and reused stages so any
+    // silent recompute of the shingle explode fails loudly
+    val df = graft.operators.Dedup.ngramJaccard(
+      Tables(spark, sfDir, "documents"), threshold = 0.5, maxShingleDocs = Some(100))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    def n(re: String): Int = re.r.findAllMatchIn(plan).length
+    val scans = n("Scan parquet")
+    val reused = n("ReusedExchange|ReusedQueryStage")
+    val info = s"scans=$scans reused=$reused\n$plan"
+    // one documents scan for the shingle relation + one for the per-doc
+    // counts; the self-join's second side and the hot-shingle blacklist
+    // must come from reused exchanges, never a third scan
+    assert(scans <= 2, s"shingle pipeline re-scanned the corpus: $info")
+    assert(reused >= 2, s"expected ≥2 reused stages (self-join side + blacklist feed): $info")
+  }
+
   test("simhash pair join computes the fingerprinting once (reuse or broadcast)") {
     // in the shuffle-join regime both sides must reuse one exchange; at
     // small scale the planner may broadcast one side instead, which is the

@@ -64,6 +64,19 @@ def main() -> int:
         else:
             for c in got.columns:
                 g, w = got[c], want[c]
+                # the driver hashes rendered values, so int64 5 vs float 5.0
+                # is a hard mismatch even when numerically equal (DuckDB
+                # HUGEINT sums surface as float64 in pandas) — mirror that
+                # discipline instead of coercing both sides to float
+                num_kinds = "iuf"
+                if (g.dtype.kind in num_kinds and w.dtype.kind in num_kinds
+                        and (g.dtype.kind == "f") != (w.dtype.kind == "f")):
+                    ok = False
+                    msgs.append(
+                        f"col {c}: dtype-kind mismatch got={g.dtype} "
+                        f"want={w.dtype} (driver hash would differ; "
+                        f"CAST the oracle, e.g. AS BIGINT)")
+                    continue
                 if g.dtype.kind == "f" or w.dtype.kind == "f":
                     ga = g.astype(float).to_numpy()
                     wa = w.astype(float).to_numpy()
