@@ -30,20 +30,35 @@ class PlanSpec extends SparkSuite {
     // count-level pin (VERDICT r4 #6): `contains(ReusedExchange)` can stay
     // true while a planner/AQE change still doubles the heaviest stage —
     // pin the NUMBER of executed parquet scans and reused stages so any
-    // silent recompute of the shingle explode fails loudly
-    val df = graft.operators.Dedup.ngramJaccard(
-      Tables(spark, sfDir, "documents"), threshold = 0.5, maxShingleDocs = Some(100))
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    def n(re: String): Int = re.r.findAllMatchIn(plan).length
-    val scans = n("Scan parquet")
-    val reused = n("ReusedExchange|ReusedQueryStage")
-    val info = s"scans=$scans reused=$reused\n$plan"
-    // one documents scan for the shingle relation + one for the per-doc
-    // counts; the self-join's second side and the hot-shingle blacklist
-    // must come from reused exchanges, never a third scan
-    assert(scans <= 2, s"shingle pipeline re-scanned the corpus: $info")
-    assert(reused >= 2, s"expected ≥2 reused stages (self-join side + blacklist feed): $info")
+    // silent recompute of the shingle explode fails loudly.
+    // The pin only makes sense in the shuffle-join regime (the 100 TB shape,
+    // where exchange reuse is what saves the corpus re-scan): at the suite's
+    // sf0.001 scale AQE would plan the self-join sides as broadcast joins,
+    // whose build sides legitimately recompute from their own scan — so force
+    // the regime the assertion is about (VERDICT r5 #1).
+    val restore = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.operators.Dedup.ngramJaccard(
+        Tables(spark, sfDir, "documents"), threshold = 0.5, maxShingleDocs = Some(100))
+      df.collect()
+      // the adaptive plan's toString appends the pre-AQE "== Initial Plan =="
+      // tree, whose un-deduped scans must not count against the pin — only
+      // the final executed plan describes what actually ran
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      def n(re: String): Int = re.r.findAllMatchIn(plan).length
+      val scans = n("Scan parquet")
+      val reused = n("ReusedExchange|ReusedQueryStage")
+      val info = s"scans=$scans reused=$reused\n$plan"
+      // one documents scan for the shingle relation + one for the per-doc
+      // counts; the self-join's second side and the hot-shingle blacklist
+      // must come from reused exchanges, never a third scan
+      assert(scans <= 2, s"shingle pipeline re-scanned the corpus: $info")
+      assert(reused >= 2, s"expected ≥2 reused stages (self-join side + blacklist feed): $info")
+    } finally restore match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("simhash pair join computes the fingerprinting once (reuse or broadcast)") {
