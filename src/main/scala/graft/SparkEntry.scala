@@ -25,12 +25,55 @@ object SparkEntry {
     */
   private val jaccardPairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    sweepStoppedMemos()
     jaccardPairsMemo.computeIfAbsent((s, dir), { key =>
       Tables.materializeSmall(
         Dedup.ngramJaccard(Tables(key._1, key._2, "documents"),
           threshold = 0.5, maxShingleDocs = Some(100)))
     })
+  }
+
+  /** Memo hygiene: entries whose session's context has stopped are dead —
+    * their blocks are already gone with the executors, and retaining the
+    * (session → plan) strong reference would pin the stopped session for the
+    * JVM's life. Swept on every memo access (the map holds at most a few
+    * live session×dataset entries, so the sweep is O(handful)).
+    */
+  private def sweepStoppedMemos(): Unit = {
+    val it = jaccardPairsMemo.keySet.iterator
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+  }
+
+  /** Drop this session's memoized relations and release their checkpoint
+    * blocks NOW instead of waiting for GC + ContextCleaner. Also the
+    * recovery path if a `localCheckpoint` block is lost mid-session
+    * (non-reliable storage: executor death loses it and the truncated
+    * lineage cannot recompute — invalidate and the next use rebuilds).
+    * Sessions with a checkpoint dir take the reliable-file path in
+    * [[Tables.materializeSmall]] and don't have that failure mode.
+    */
+  def invalidateMemos(s: SparkSession): Unit = {
+    val it = jaccardPairsMemo.entrySet.iterator
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        e.getValue.queryExecution.logical match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
+        it.remove()
+      }
+    }
+  }
+
+  /** Test seam: live memo entries held for `s`. */
+  private[graft] def memoEntries(s: SparkSession): Int = {
+    var n = 0
+    jaccardPairsMemo.keySet.forEach(k => if (k._1 eq s) n += 1)
+    n
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's whole pipeline in one plan — parse JSON metrics, filter
@@ -324,6 +367,11 @@ object SparkEntry {
       Multimodal.extractFeatures(Multimodal.asBinary(Tables(s, dir, "documents")))),
     "mm3_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.asBinary(Tables(s, dir, "documents")))),
+    // the REAL decoder path: genuine RIFF/WAVE payloads, format-real parse —
+    // every output value is a decoded property of the binary (header fields
+    // + RMS/duration from the PCM data chunk)
+    "mm4_wav_decode" -> ((s, dir) =>
+      Multimodal.wavFeatures(Multimodal.asWav(Tables(s, dir, "documents")))),
     "s3_ann_ivf" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -798,8 +846,10 @@ object SparkEntry {
          |probes AS (SELECT * FROM q WHERE vec_id < 10),
          |scored AS (
          |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-         |    ${qdotSql("p.qv", "c.qv")}
-         |      / (sqrt(${qdotSql("p.qv", "p.qv")}) * sqrt(${qdotSql("c.qv", "c.qv")}))
+         |    (CASE WHEN sqrt(${qdotSql("p.qv", "p.qv")}) * sqrt(${qdotSql("c.qv", "c.qv")}) = 0.0
+         |          THEN -1.0
+         |          ELSE ${qdotSql("p.qv", "c.qv")}
+         |            / (sqrt(${qdotSql("p.qv", "p.qv")}) * sqrt(${qdotSql("c.qv", "c.qv")})) END)
          |      AS cosine_q
          |  FROM q c JOIN probes p ON c.vec_id != p.vec_id),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
@@ -1662,6 +1712,26 @@ object SparkEntry {
         |      i -> CAST('0x' || substr(hx, CAST(2 * (frame_offset + i) - 1 AS INTEGER), 2) AS BIGINT))),
         |    (a, v) -> a + v) % 256 AS DOUBLE) AS frame_sum_mod
         |FROM f""".stripMargin,
+    // mirrors Multimodal.textToSamples/decodeWavPcm16: one s16 sample per
+    // code point, header constants from the 8 kHz mono writer, RMS as the
+    // same exact-integer sum-of-squares fold
+    "mm4_wav_decode" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+        |    list_transform(generate_series(1, CAST(length(text) AS INTEGER)),
+        |      i -> ((ord(substr(text, i, 1)) % 256) - 128) * 256) AS smp
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  n AS n_samples,
+        |  CAST(n AS DOUBLE) / 8000.0 AS duration_sec,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |         list_transform(smp, x -> CAST(x AS DOUBLE) * x)),
+        |         (a, v) -> a + v) / n) END AS rms
+        |FROM s""".stripMargin,
     "d4b_simhash_pairs" ->
       (SimhashCandCte +
         """SELECT doc_a, doc_b, sh_a, sh_b,
@@ -1898,6 +1968,10 @@ object SparkEntry {
     def sumProd(x: String, y: String): String =
       s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len($a)), " +
         s"i -> $x[i]::DOUBLE * $y[i]::DOUBLE)), (acc, v) -> acc + v)"
-    s"${sumProd(a, b)} / (sqrt(${sumProd(a, a)}) * sqrt(${sumProd(b, b)}))"
+    // zero-norm guard mirrors Kernels.cosine's -1.0 pin: without it DuckDB
+    // yields NaN here, which it orders above every double — an all-zero
+    // embedding would diverge the gate in the opposite direction from Spark
+    s"(CASE WHEN sqrt(${sumProd(a, a)}) * sqrt(${sumProd(b, b)}) = 0.0 THEN -1.0 " +
+      s"ELSE ${sumProd(a, b)} / (sqrt(${sumProd(a, a)}) * sqrt(${sumProd(b, b)})) END)"
   }
 }

@@ -33,4 +33,22 @@ class ContractSpec extends SparkSuite {
   test("the flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("invalidateMemos drops the jaccard-pair memo and releases its blocks") {
+    // start from a clean slate (other suites share the session and may have
+    // populated the memo already)
+    SparkEntry.invalidateMemos(spark)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    SparkEntry.queries("d2_dedup_ngram_jaccard")(spark, sfDir).count()
+    assert(SparkEntry.memoEntries(spark) === 1, "memo not populated by d2")
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "expected the localCheckpoint to persist a block set")
+    SparkEntry.invalidateMemos(spark)
+    assert(SparkEntry.memoEntries(spark) === 0, "memo entry survived invalidation")
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(added.intersect(after).isEmpty,
+      s"checkpoint blocks still pinned after invalidation: ${added.intersect(after)}")
+    // and the next use rebuilds rather than failing
+    assert(SparkEntry.queries("d2_dedup_ngram_jaccard")(spark, sfDir).count() > 0)
+  }
 }
