@@ -205,10 +205,17 @@ object Firehose {
       .select(trim(col("line")).as("_l"))
       .filter(length(col("_l")) > 0 && !col("_l").startsWith("#") &&
         col("_l").rlike(re))
+      .withColumn("_block", regexp_extract(col("_l"), re, 3))
+      // a block that isn't a clean comma-tiling of label pairs is a
+      // malformed LINE (drop), not a line whose series keeps the pairs
+      // that happened to match
+      .filter(col("_block").rlike(PromGrammar.BlockRe))
       .withColumn("_ts_tok", regexp_extract(col("_l"), re, 6))
       .withColumn("_val_tok", regexp_extract(col("_l"), re, 4))
       // try_cast, not cast: a malformed token must become a dropped row,
-      // not an ANSI runtime error killing the scan
+      // not an ANSI runtime error killing the scan. Accepts Spark's special
+      // floating-point literals (+Inf/-Inf/NaN, any case) — the scanner's
+      // PromGrammar.parseDoubleToken mirrors exactly this acceptance set.
       .withColumn("value", expr("try_cast(_val_tok AS double)"))
       .withColumn("ts_ms",
         when(col("_ts_tok") === "", lit(null).cast("long"))
@@ -221,10 +228,15 @@ object Firehose {
         regexp_extract(col("_l"), re, 1).as("metric"),
         array_join(
           transform(
-            regexp_extract_all(regexp_extract(col("_l"), re, 3), lit(pairRe), lit(0)),
+            regexp_extract_all(col("_block"), lit(pairRe), lit(0)),
             p => concat(
               regexp_extract(p, pairRe, 1), lit("="),
-              regexp_replace(regexp_extract(p, pairRe, 2), "\\\\(.)", "$1"))),
+              // newline escapes first, then the generic unescape — the same
+              // two passes as PromGrammar.unescapeLabelValue
+              regexp_replace(
+                regexp_replace(regexp_extract(p, pairRe, 2),
+                  PromGrammar.NewlineEscRe, "$1\n"),
+                PromGrammar.AnyEscRe, "$1"))),
           ",").as("series"),
         col("value"), col("ts_ms"))
   }
@@ -237,6 +249,44 @@ object Firehose {
     val LineRe = "^([^{\\s]+)(\\{(.*)\\})?\\s+(\\S+)(\\s+(\\S+))?\\s*$"
     /** groups: 1=label key, 2=raw (still-escaped) quoted value. */
     val PairRe = "([a-zA-Z_][a-zA-Z0-9_:]*)\\s*=\\s*\"((?:[^\"\\\\]|\\\\.)*)\""
+    /** The whole label block must be a comma-separated tiling of [[PairRe]]
+      * matches (trailing comma allowed, as Prometheus accepts). Without this
+      * check a garbage block like `m{oops} 1 2` would pass [[LineRe]] and be
+      * KEPT with whatever pairs happened to match (series "") — residue
+      * anywhere in the block makes the line malformed, i.e. dropped.
+      */
+    val BlockRe = s"^\\s*(?:$PairRe\\s*,\\s*)*(?:$PairRe)?\\s*$$"
+    /** A `\n` preceded by an EVEN run of backslashes is a real newline
+      * escape (an odd run means escaped-backslash + literal 'n'); applied
+      * before the generic `\x` → x pass so exposition label values
+      * round-trip per spec (`\\`, `\"`, `\n`).
+      */
+    val NewlineEscRe = "(?<!\\\\)((?:\\\\\\\\)*)\\\\n"
+    val AnyEscRe = "\\\\(.)"
+
+    /** Scanner-side unescape: the same two regex passes, in the same order,
+      * on the same engine as the expression parser's `regexp_replace` chain
+      * — the paths cannot drift.
+      */
+    def unescapeLabelValue(raw: String): String =
+      raw.replaceAll(NewlineEscRe, "$1\n").replaceAll(AnyEscRe, "$1")
+
+    /** Scanner-side value-token parse mirroring Spark's
+      * `try_cast(tok AS double)` exactly: Java `parseDouble` PLUS Spark's
+      * case-insensitive special floating-point literals. Prometheus's
+      * canonical `+Inf`/`-Inf` (histogram `le` bounds) and `NaN` therefore
+      * parse on BOTH paths — plain `parseDouble` alone would silently drop
+      * every `+Inf` bucket sample a real scrape file contains.
+      */
+    def parseDoubleToken(t: String): Option[Double] =
+      t.toLowerCase(java.util.Locale.ROOT) match {
+        case "inf" | "+inf" | "infinity" | "+infinity" => Some(Double.PositiveInfinity)
+        case "-inf" | "-infinity" => Some(Double.NegativeInfinity)
+        case "nan" => Some(Double.NaN)
+        case _ =>
+          try Some(java.lang.Double.parseDouble(t))
+          catch { case _: NumberFormatException => None }
+      }
   }
 
   /** Hopping (sliding) window aggregation — the PromQL range-query shape:

@@ -40,36 +40,45 @@ object PromSource {
     java.util.regex.Pattern.compile(graft.operators.Firehose.PromGrammar.LineRe)
   private val PairPattern =
     java.util.regex.Pattern.compile(graft.operators.Firehose.PromGrammar.PairRe)
+  private val BlockPattern =
+    java.util.regex.Pattern.compile(graft.operators.Firehose.PromGrammar.BlockRe)
 
   /** One exposition line → (metric, series, value, ts_ms-or-null); None for
     * comment/blank/malformed lines. Token-for-token the semantics of
     * [[graft.operators.Firehose.promParse]]: quoted label values may
-    * contain spaces/commas/`}`, backslash escapes are unescaped, the series
-    * is the canonical `k=v,...` rendering, and the timestamp is optional.
+    * contain spaces/commas/`}`, backslash escapes are unescaped (`\n` to a
+    * real newline), a label block with residue between pairs is malformed,
+    * `+Inf`/`-Inf`/`NaN` values parse, the series is the canonical
+    * `k=v,...` rendering, and the timestamp is optional.
     */
   def parseLine(line: String): Option[(String, String, Double, java.lang.Long)] = {
+    import graft.operators.Firehose.PromGrammar
     val t = line.trim
     if (t.isEmpty || t.startsWith("#")) return None
     val m = LinePattern.matcher(t)
     if (!m.matches()) return None
     val metric = m.group(1)
     val block = Option(m.group(3)).getOrElse("")
+    // pairs must tile the block — residue means a malformed line, exactly
+    // like the expression parser's BlockRe filter
+    if (!BlockPattern.matcher(block).matches()) return None
     val series = {
       val sb = new StringBuilder
       val pm = PairPattern.matcher(block)
       while (pm.find()) {
         if (sb.nonEmpty) sb.append(',')
         sb.append(pm.group(1)).append('=')
-          .append(pm.group(2).replaceAll("\\\\(.)", "$1"))
+          .append(PromGrammar.unescapeLabelValue(pm.group(2)))
       }
       sb.toString
     }
-    try {
-      val value = m.group(4).toDouble
-      val ts: java.lang.Long =
-        if (m.group(6) == null) null else java.lang.Long.valueOf(m.group(6))
-      Some((metric, series, value, ts))
-    } catch { case _: NumberFormatException => None }
+    PromGrammar.parseDoubleToken(m.group(4)).flatMap { value =>
+      try {
+        val ts: java.lang.Long =
+          if (m.group(6) == null) null else java.lang.Long.valueOf(m.group(6))
+        Some((metric, series, value, ts))
+      } catch { case _: NumberFormatException => None }
+    }
   }
 
   def listFiles(path: String): Seq[String] = {

@@ -74,9 +74,15 @@ class SourcesSpec extends SparkSuite {
       "esc2{path=\"c:\\\\tmp\"} 4 1700000000004", // escaped backslash
       "brace{sel=\"{a=b}\"} 5 1700000000005", // braces inside a value
       "nots{k=\"v\"} 7", // timestamp omitted (the format allows it)
+      "hist{le=\"+Inf\"} +Inf 1700000000007", // canonical +Inf bucket value
+      "trail{k=\"v\",} 8 1700000000008", // trailing comma (Prometheus allows)
+      "nl{msg=\"a\\nb\"} 9 1700000000009", // \n escape → real newline
+      "nl2{p=\"c:\\\\nx\"} 10 1700000000010", // \\ then literal n (odd-run)
       "garbage", // malformed: single token
       "bad{k=\"v\"} notanumber 1700000000006", // malformed value
-      "badts{k=\"v\"} 1 notalong") // malformed timestamp
+      "badts{k=\"v\"} 1 notalong", // malformed timestamp
+      "res{oops} 1 1700000000011", // malformed: label-block residue
+      "res2{k=\"v\" j=\"w\"} 1 1700000000012") // malformed: missing comma
     Files.write(dir.toPath.resolve("adv.prom"), lines.mkString("\n").getBytes)
     val viaSource = spark.read.format("prom").load(dir.getAbsolutePath)
     val viaExpr = graft.operators.Firehose.promParse(
@@ -84,7 +90,7 @@ class SourcesSpec extends SparkSuite {
     val s = viaSource.collect().map(_.toString).sorted.toSeq
     val e = viaExpr.collect().map(_.toString).sorted.toSeq
     assert(s === e)
-    assert(s.length === 7) // exactly the well-formed samples survive
+    assert(s.length === 11) // exactly the well-formed samples survive
     val series = viaSource.collect().map(r => (r.getString(0), r.getString(1))).toMap
     assert(series("lat") === "job=a b,q=0.99")
     assert(series("esc") === "msg=say \"hi\"")
@@ -92,8 +98,49 @@ class SourcesSpec extends SparkSuite {
     assert(series("brace") === "sel={a=b}")
     assert(series("up0") === "")
     assert(series("up") === "job=api")
+    assert(series("hist") === "le=+Inf")
+    assert(series("trail") === "k=v")
+    assert(series("nl") === "msg=a\nb")
+    assert(series("nl2") === "p=c:\\nx")
+    assert(!series.contains("res") && !series.contains("res2"))
+    val histVal = viaSource.filter(col("metric") === "hist").collect()(0)
+    assert(histVal.getDouble(histVal.fieldIndex("value")).isPosInfinity)
     val nots = viaSource.filter(col("metric") === "nots").collect()(0)
     assert(nots.isNullAt(nots.fieldIndex("ts_ms")))
+  }
+
+  test("prom source scale properties: N files → N partitions, rows read in tasks") {
+    // the doc-comment's parallelism claim, pinned: a directory of N scrape
+    // files must plan N input partitions (one reader per file, so a
+    // thousand-file federation dump scans on a thousand cores), and the
+    // rows must flow through executor task input metrics — not a
+    // driver-side listFiles+readLines collect
+    val nFiles = 8
+    val linesPerFile = 200
+    val dir = Files.createTempDirectory("graft-prom-scale").toFile
+    (0 until nFiles).foreach { f =>
+      val lines = (0 until linesPerFile).map(i =>
+        s"""m$f{k="v$i"} $i ${1700000000000L + i}""")
+      Files.write(dir.toPath.resolve(f"scrape$f%02d.prom"),
+        lines.mkString("\n").getBytes)
+    }
+    val df = spark.read.format("prom").load(dir.getAbsolutePath)
+    assert(df.rdd.getNumPartitions === nFiles)
+    @volatile var taskRecords = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        taskRecords += te.taskMetrics.inputMetrics.recordsRead
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(df.count() === nFiles.toLong * linesPerFile)
+      // listener events are delivered async — poll until they drain
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (taskRecords < nFiles.toLong * linesPerFile && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(taskRecords === nFiles.toLong * linesPerFile,
+        s"expected all rows read inside tasks, input metrics saw $taskRecords")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("json-lines landing reader parses a written firehose file") {
