@@ -48,8 +48,11 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","pass1":${jsonMap(ordered.map { case (n, _) => n -> pass1(n) })},"queries":${jsonMap(results)}}"""
     // the headline FIRST as its own short line: a consumer that truncates
-    // the (multi-KB, 120-query) detail line still reads total + count
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n":${results.size},"detail":"target/bench.json"}""")
+    // the (multi-KB, 120-query) detail line still reads total + count.
+    // Distinct metric name + kind discriminator so a line-by-line scanner
+    // for "metric":"total" can never read the headline as the detail line
+    // or double-count the suite.
+    println(s"""{"metric":"total_headline","kind":"summary","value":$total,"unit":"sec","sf":"$sfDir","n":${results.size},"detail":"target/bench.json"}""")
     println(line)
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
