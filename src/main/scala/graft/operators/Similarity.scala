@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -113,12 +111,103 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** IVF (inverted-file) ANN: K-Means partitions the corpus into `nlist`
+  /** Seeded k-means++ init + Lloyd iterations over an in-memory sample —
+    * the coarse-quantizer fit for [[ivfTopK]]. Deliberately DRIVER-LOCAL:
+    * the sample is bounded by construction (reservoir-capped, ≤ a few MB),
+    * and fitting a 16×64 sketch model is microseconds of flops; a
+    * distributed fit of the same sample pays ~12 job barriers (k-means‖
+    * init + one per Lloyd pass), which measured as HALF of s3's wall-clock
+    * at sf0.1. Fit the model where the data is registry-sized; keep
+    * sampling and assignment distributed. Empty clusters keep their
+    * previous center (deterministic).
+    */
+  private[operators] def lloydFit(
+      points: Array[Array[Double]],
+      k: Int,
+      iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "empty training sample")
+    val n = points.length
+    val dim = points(0).length
+    val rnd = new scala.util.Random(seed)
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val kk = math.min(k, n)
+    val centers = new Array[Array[Double]](kk)
+    centers(0) = points(rnd.nextInt(n)).clone()
+    // k-means++: next center drawn ∝ squared distance to the nearest chosen
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < kk) {
+      var i = 0
+      while (i < n) {
+        val d = sq(points(i), centers(c - 1))
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
+      val total = minD.sum
+      var pick = n - 1
+      if (total > 0) {
+        var target = rnd.nextDouble() * total
+        var j = 0
+        var found = false
+        while (j < n && !found) {
+          target -= minD(j)
+          if (target <= 0) { pick = j; found = true }
+          j += 1
+        }
+      }
+      centers(c) = points(pick).clone()
+      c += 1
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](kk, dim)
+      val counts = new Array[Long](kk)
+      var i = 0
+      while (i < n) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var cc = 0
+        while (cc < kk) {
+          val d = sq(points(i), centers(cc))
+          if (d < bestD) { bestD = d; best = cc }
+          cc += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += points(i)(j); j += 1 }
+        i += 1
+      }
+      var cc = 0
+      while (cc < kk) {
+        if (counts(cc) > 0) {
+          var j = 0
+          while (j < dim) { centers(cc)(j) = sums(cc)(j) / counts(cc); j += 1 }
+        }
+        cc += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** IVF (inverted-file) ANN: k-means partitions the corpus into `nlist`
     * cells; probes score only vectors in their `nprobe` nearest cells.
-    * The index (cell assignment) is a materializable column; at 100 TB the
-    * model trains on a sample and assignment is one broadcast-matrix map —
-    * the search itself is an equi-join on cell id, exactly like the LSH
-    * path but with data-adaptive buckets.
+    * The coarse quantizer trains on a bounded reservoir sample
+    * ([[graft.Tables.reservoirSample]]: uniform per split, no count(), no
+    * shuffle, deterministic) collected to the driver — a documented
+    * registry-sized collect — and fits driver-locally ([[lloydFit]]).
+    * Both corpus cell assignment and probe cell probing are then pure
+    * codegen'd expressions against the LITERAL centroid matrix: one
+    * whole-stage-codegen pass over the corpus, no model UDF, no extra job.
+    * At 100 TB the cell column is what an ingest pipeline materializes as
+    * the index; the search itself is an equi-join on cell id, exactly like
+    * the LSH path but with data-adaptive buckets.
     */
   def ivfTopK(
       embeddings: DataFrame,
@@ -126,31 +215,31 @@ object Similarity {
       k: Int = 5,
       nlist: Int = 16,
       nprobe: Int = 4,
-      maxTrainRows: Long = 20000L): DataFrame = {
-    val withVec = embeddings.withColumn("features", array_to_vector(col("embedding")))
-    // train on a bounded sample: centroid quality needs only a sketch of the
-    // distribution, and at 100 TB full-corpus k-means iterations are the
-    // wrong cost model — assignment below stays full-corpus
-    // ([[graft.Tables.reservoirSample]]: uniform per split, no count(), no
-    // shuffle, deterministic)
-    val train = graft.Tables.reservoirSample(withVec, maxTrainRows, seedSalt = 1009L)
-    val model = new KMeans().setK(nlist).setSeed(42).setFeaturesCol("features")
-      .setMaxIter(8).setPredictionCol("cell").fit(train)
-    val cand = model.transform(withVec)
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cand_emb"), col("cell"))
+      maxTrainRows: Long = 4096L): DataFrame = {
+    val sample = graft.Tables
+      .reservoirSample(embeddings.select(col("embedding")), maxTrainRows, seedSalt = 1009L)
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val centroids: Seq[Seq[Double]] =
+      lloydFit(sample, nlist, iters = 8, seed = 42L).map(_.toSeq).toSeq
 
-    // nprobe nearest cells per probe, against the literal centroid matrix
-    val centroids = model.clusterCenters.map(_.toArray.toSeq).toSeq
-    val dists = (0 until nlist).map { c =>
+    // (squared-distance, cell) structs against the literal centroid matrix;
+    // struct order sorts by dist first, cell as the deterministic tiebreak
+    def cellDists(emb: Column): Seq[Column] = centroids.indices.map { c =>
       val sqDist = aggregate(
-        zip_with(col("embedding"), typedLit(centroids(c)), (x, m) => {
+        zip_with(emb, typedLit(centroids(c)), (x, m) => {
           val d = x.cast("double") - m
           d * d
         }),
         lit(0.0), (acc, x) => acc + x)
       struct(sqDist.as("dist"), lit(c).as("cell"))
     }
-    val nearestCells = slice(array_sort(array(dists: _*)), 1, nprobe)
+    val cand = embeddings.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("cand_emb"),
+      element_at(array_sort(array(cellDists(col("embedding")): _*)), 1)
+        .getField("cell").as("cell"))
+
+    val nearestCells = slice(array_sort(array(cellDists(col("embedding")): _*)), 1, nprobe)
     val p = probes
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
         explode(nearestCells).as("pc"))
