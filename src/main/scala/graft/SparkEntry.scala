@@ -372,6 +372,14 @@ object SparkEntry {
     // + RMS/duration from the PCM data chunk)
     "mm4_wav_decode" -> ((s, dir) =>
       Multimodal.wavFeatures(Multimodal.asWav(Tables(s, dir, "documents")))),
+    // image-modality real decoder: genuine 24-bit BMPs, format-real parse
+    "mm5_bmp_decode" -> ((s, dir) =>
+      Multimodal.bmpFeatures(Multimodal.asBmp(Tables(s, dir, "documents")))),
+    // video-modality real demuxer: genuine AVI containers, one row per frame
+    "mm6_avi_frames" -> ((s, dir) =>
+      Multimodal.aviFrames(Multimodal.asAvi(Tables(s, dir, "documents")))
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("fps"), col("n_frames"), col("frame_bytes"), col("frame_mean_lum"))),
     "s3_ann_ivf" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -1732,6 +1740,56 @@ object SparkEntry {
         |         list_transform(smp, x -> CAST(x AS DOUBLE) * x)),
         |         (a, v) -> a + v) / n) END AS rms
         |FROM s""".stripMargin,
+    // mirrors Multimodal.textToPixels/decodeBmp: one luminance pixel per
+    // code point at fixed width 32, final row zero-padded (those pixels
+    // count toward n_pixels with zero luminance), mean over 3 equal
+    // channels = channel-sum / (3 * n_pixels)
+    "mm5_bmp_decode" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+        |    list_transform(generate_series(1, CAST(length(text) AS INTEGER)),
+        |      i -> ord(substr(text, i, 1)) % 256) AS px
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    greatest(CAST(1 AS BIGINT), (n + 31) // 32) AS h,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), px), (a, v) -> a + v) AS lum
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(32 AS BIGINT) AS width,
+        |  h AS height,
+        |  CAST(24 AS BIGINT) AS bpp,
+        |  32 * h AS n_pixels,
+        |  CAST(3 * lum AS DOUBLE) / (3.0 * (32 * h)) AS mean_lum
+        |FROM d""".stripMargin,
+    // mirrors Multimodal.textToPixels/encodeAvi/demuxAvi: 8x8 frames page
+    // through the luminance stream (64 px per frame, final frame
+    // zero-padded), stride 24 -> 192 channel bytes per frame, channel sum
+    // = 3x the pixel-slice sum
+    "mm6_avi_frames" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+        |    list_transform(generate_series(1, CAST(length(text) AS INTEGER)),
+        |      i -> ord(substr(text, i, 1)) % 256) AS px
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, px,
+        |    greatest(CAST(1 AS BIGINT), (n + 63) // 64) AS nf
+        |  FROM s),
+        |f AS (
+        |  SELECT doc_id, px, nf, CAST(k AS BIGINT) AS frame_idx
+        |  FROM d, UNNEST(generate_series(0, CAST(nf - 1 AS INTEGER))) t(k))
+        |SELECT doc_id, frame_idx,
+        |  CAST(8 AS BIGINT) AS width,
+        |  CAST(8 AS BIGINT) AS height,
+        |  25.0 AS fps,
+        |  nf AS n_frames,
+        |  CAST(192 AS BIGINT) AS frame_bytes,
+        |  CAST(3 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_slice(px, CAST(frame_idx * 64 + 1 AS INTEGER),
+        |        CAST((frame_idx + 1) * 64 AS INTEGER))),
+        |    (a, v) -> a + v) AS DOUBLE) / 192.0 AS frame_mean_lum
+        |FROM f""".stripMargin,
     "d4b_simhash_pairs" ->
       (SimhashCandCte +
         """SELECT doc_a, doc_b, sh_a, sh_b,
