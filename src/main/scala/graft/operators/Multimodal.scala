@@ -224,11 +224,14 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("payload", BinaryType)))
-    val rows = docs.select(col("doc_id"), col("text")).rdd.mapPartitions { it =>
-      it.map { r =>
-        Row(r.getLong(0), encodeWavPcm16(textToSamples(r.getString(1)), sampleRate))
+    // widen: the encode+downstream-decode chain is the CPU-heavy stage;
+    // a single-split input (the testdata shape) would serialize it
+    val rows = graft.Tables.widen(docs.select(col("doc_id"), col("text")))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          Row(r.getLong(0), encodeWavPcm16(textToSamples(r.getString(1)), sampleRate))
+        }
       }
-    }
     spark.createDataFrame(rows, schema)
   }
 
@@ -387,11 +390,12 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("payload", BinaryType)))
-    val rows = docs.select(col("doc_id"), col("text")).rdd.mapPartitions { it =>
-      it.map { r =>
-        Row(r.getLong(0), encodeBmp24(textToPixels(r.getString(1)), width))
+    val rows = graft.Tables.widen(docs.select(col("doc_id"), col("text")))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          Row(r.getLong(0), encodeBmp24(textToPixels(r.getString(1)), width))
+        }
       }
-    }
     spark.createDataFrame(rows, schema)
   }
 
@@ -589,11 +593,12 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("payload", BinaryType)))
-    val rows = docs.select(col("doc_id"), col("text")).rdd.mapPartitions { it =>
-      it.map { r =>
-        Row(r.getLong(0), encodeAvi(textToPixels(r.getString(1)), width, height))
+    val rows = graft.Tables.widen(docs.select(col("doc_id"), col("text")))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          Row(r.getLong(0), encodeAvi(textToPixels(r.getString(1)), width, height))
+        }
       }
-    }
     spark.createDataFrame(rows, schema)
   }
 
@@ -627,6 +632,27 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rows, aviFrameSchema)
+  }
+
+  /** Streaming-compatible WAV decode: the SAME [[decodeWavPcm16]] as a
+    * typed flatMap over (doc_id, payload) rows — no RDD round trip, so it
+    * runs identically under `readStream` (per-row, stateless, no shuffle:
+    * the shape a landing-zone decode stage has in a streaming ingest
+    * pipeline). Output schema matches [[wavFeatures]] column-for-column;
+    * spec-asserted equal on both paths.
+    */
+  def wavFeaturesStreaming(binaries: DataFrame): DataFrame = {
+    val spark = binaries.sparkSession
+    import spark.implicits._
+    binaries.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        decodeWavPcm16(payload).map(m =>
+          (id, m.channels.toLong, m.sampleRate.toLong, m.bitsPerSample.toLong,
+            m.nSamples, m.durationSec, m.rms))
+      }
+      .toDF("doc_id", "channels", "sample_rate", "bits", "n_samples",
+        "duration_sec", "rms")
   }
 
   /** Frame sampling over "video" binaries: every `strideBytes`-th position

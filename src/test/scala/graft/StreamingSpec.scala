@@ -997,6 +997,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("wav decode runs identically under a file stream and in batch") {
+    // the multimodal decoders are engine-native: the same decodeWavPcm16
+    // drives the batch mapPartitions path and a stateless typed flatMap
+    // that a streaming landing-zone ingest uses — results must be equal
+    val payloadDir = Files.createTempDirectory("graft-wav-stream").toFile
+    val chk = Files.createTempDirectory("graft-wav-chk").toFile
+    val docs = Tables(spark, sfDir, "documents").limit(50)
+    val payloads = graft.operators.Multimodal.asWav(docs)
+    payloads.write.mode("overwrite").parquet(payloadDir.getAbsolutePath)
+    val stream = spark.readStream
+      .schema(payloads.schema)
+      .parquet(payloadDir.getAbsolutePath)
+    val q = graft.operators.Multimodal.wavFeaturesStreaming(stream)
+      .writeStream.format("memory").queryName("wav_t").outputMode("append")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("wav_t").collect().map(_.toString).sorted.toSeq
+      val batch = graft.operators.Multimodal
+        .wavFeatures(spark.read.parquet(payloadDir.getAbsolutePath))
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed.size === 50)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("exposition sink renders prometheus text per micro-batch") {
     val dir = Files.createTempDirectory("graft-stream3").toFile
     val chk = Files.createTempDirectory("graft-chk3").toFile
