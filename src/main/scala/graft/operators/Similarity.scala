@@ -121,7 +121,7 @@ object Similarity {
     * sampling and assignment distributed. Empty clusters keep their
     * previous center (deterministic).
     */
-  private[operators] def lloydFit(
+  private[graft] def lloydFit(
       points: Array[Array[Double]],
       k: Int,
       iters: Int,
