@@ -281,22 +281,22 @@ object Curate {
 
   /** @param minQuality quality-score gate (see TextAnalysis.qualityScore) */
   def corpusStats(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
-    val scored = TextAnalysis.qualityScore(docs)
-      .select(col("doc_id"), col("n_words"), col("quality"))
-    val meta = docs.select(col("doc_id"), col("source"), col("text"))
-
-    val kept = meta
-      .join(scored, "doc_id")
+    // ONE corpus pass: quality columns are computed alongside the retained
+    // metadata (qualityScore keeps source/text through its projection — no
+    // docs⋈docs self-join), and exact dedup is a window-min over the
+    // content hash instead of a groupBy + join-back. The former shape read
+    // the corpus FOUR times in the shuffle regime (column pruning gave each
+    // kept instance a different ReadSchema, so ReuseExchange couldn't
+    // dedupe the subtrees); this one scans once and shuffles twice (by
+    // hash, then the map-side-combinable source rollup).
+    val kept = TextAnalysis.qualityScore(docs, keep = Seq("source", "text"))
       .filter(col("quality") >= minQuality)
-
-    // exact dedup: survivor = min doc_id per content hash (among kept docs)
-    val survivors = kept
-      .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-
+      .withColumn("_h", md5(to_binary(col("text"), lit("utf-8"))))
+      .select("doc_id", "source", "n_words", "quality", "_h") // narrow the exchange
+    val byHash = Window.partitionBy(col("_h"))
     kept
-      .join(survivors, "doc_id")
+      .withColumn("_keep", min(col("doc_id")).over(byHash))
+      .filter(col("doc_id") === col("_keep"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

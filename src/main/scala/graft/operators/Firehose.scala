@@ -530,9 +530,13 @@ object Firehose {
   /** Time-series regularization: resample each series onto a dense
     * `stepSec` grid between its first and last sample, forward-filling the
     * last seen value (what a Prometheus range query does before rate/avg
-    * can run on irregular scrapes). The grid explode is bounded by
-    * span/step per series; the fill is one window pass with
-    * `last(ignoreNulls)`.
+    * can run on irregular scrapes). ONE stream pass: each slot-aggregated
+    * sample emits itself plus the empty grid slots up to (not including)
+    * the series' next sample via `lead` + a bounded `sequence` explode —
+    * forward-fill by construction, no span aggregate, no grid join-back
+    * (that shape scanned the stream twice: column pruning gave the two
+    * sample instances different ReadSchemas, so the exchanges never
+    * deduped). The explode stays bounded by gap/step per sample.
     */
   def gapFill(metrics: DataFrame, stepSec: Long = 60): DataFrame = {
     val labeled =
@@ -542,21 +546,22 @@ object Firehose {
       .withColumn("slot", (col("timestamp") - pmod(col("timestamp"), lit(stepSec))).cast("long"))
       .groupBy(col("component"), col("name"), col("series"), col("slot"))
       .agg(max_by(col("value"), struct(col("timestamp"), col("id"))).as("slot_value"))
-    val spans = samples
-      .groupBy(col("component"), col("name"), col("series"))
-      .agg(min(col("slot")).as("lo"), max(col("slot")).as("hi"))
-    val grid = spans.select(
-      col("component"), col("name"), col("series"),
-      explode(sequence(col("lo"), col("hi"), lit(stepSec))).as("slot"))
     val w = Window
       .partitionBy(col("component"), col("name"), col("series"))
       .orderBy(col("slot"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid
-      .join(samples, Seq("component", "name", "series", "slot"), "left")
-      .withColumn("value", last(col("slot_value"), ignoreNulls = true).over(w))
-      .withColumn("filled", col("slot_value").isNull)
-      .select("component", "name", "series", "slot", "value", "filled")
+    samples
+      .withColumn("_next", lead(col("slot"), 1).over(w))
+      .select(
+        col("component"), col("name"), col("series"),
+        col("slot").as("_src"), col("slot_value"),
+        explode(sequence(
+          col("slot"),
+          coalesce(col("_next") - stepSec, col("slot")),
+          lit(stepSec))).as("slot"))
+      .select(
+        col("component"), col("name"), col("series"), col("slot"),
+        col("slot_value").as("value"),
+        (col("slot") =!= col("_src")).as("filled"))
   }
 
   /** Multiwindow ratio alert — the SLO burn-rate shape Prometheus alerting

@@ -343,11 +343,17 @@ object Relational {
     * one shuffle on o_custkey shared by both sides.
     */
   def qCorrelatedAboveAvg(spark: SparkSession, dir: String): DataFrame = {
-    val o = t(spark, dir, "orders")
-    val custAvg = o.groupBy(col("o_custkey").as("ca_custkey"))
-      .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") / count(lit(1)))
-        .as("cust_avg"))
-    o.join(custAvg, col("o_custkey") === col("ca_custkey"))
+    // window decorrelation, not groupBy+join-back: the per-customer average
+    // rides the single orders exchange (the join-back shape scanned orders
+    // twice — column pruning gives the two instances different ReadSchemas,
+    // so ReuseExchange can't dedupe them — and its "dimension" side is
+    // customer-cardinality, never broadcastable at scale)
+    val byCust = Window.partitionBy(col("o_custkey"))
+    t(spark, dir, "orders")
+      .withColumn(
+        "cust_avg",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(byCust).cast("double")
+          / count(lit(1)).over(byCust))
       .filter(col("o_totalprice") > col("cust_avg"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
   }
@@ -740,16 +746,20 @@ object Relational {
     * decimal-sum / count so the threshold is bit-deterministic.
     */
   def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    // one lineitem scan: semi-join down to the selective brand's rows, then
+    // the per-part average as a window over the SAME relation (the
+    // groupBy+broadcast-join-back shape scanned lineitem twice; the window
+    // shuffles only the brand-filtered slice by part key)
     val parts = t(spark, dir, "part")
       .filter(col("p_brand") === "Brand#1" && col("p_size") <= 5)
       .select(col("p_partkey"))
-    val l = t(spark, dir, "lineitem")
+    val byPart = Window.partitionBy(col("l_partkey"))
+    t(spark, dir, "lineitem")
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
-    val avgQty = l
-      .groupBy(col("l_partkey").as("_ap"))
-      .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)))
-        .as("_avg_qty"))
-    l.join(broadcast(avgQty), col("l_partkey") === col("_ap"))
+      .withColumn(
+        "_avg_qty",
+        sum(col("l_quantity").cast("decimal(18,2)")).over(byPart).cast("double")
+          / count(lit(1)).over(byPart))
       .filter(col("l_quantity") < lit(0.2) * col("_avg_qty"))
       .agg(
         (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / lit(7.0))

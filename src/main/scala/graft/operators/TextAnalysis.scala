@@ -69,16 +69,16 @@ object TextAnalysis {
     * folded into a deterministic [0,1] score. Every term is a single
     * IEEE-deterministic expression so the oracle matches bit-for-bit.
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val ws = tokens(col("text"))
     docs
       .select(
-        col("doc_id"),
-        char_length(col("text")).cast("long").as("n_chars_actual"),
-        size(ws).cast("long").as("n_words"),
-        size(array_distinct(ws)).cast("long").as("n_distinct_words"),
-        regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long").as("n_punct"),
-        markerCount(ws, Stopwords).as("n_stop"))
+        (col("doc_id") +: keep.map(col)) ++ Seq(
+          char_length(col("text")).cast("long").as("n_chars_actual"),
+          size(ws).cast("long").as("n_words"),
+          size(array_distinct(ws)).cast("long").as("n_distinct_words"),
+          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long").as("n_punct"),
+          markerCount(ws, Stopwords).as("n_stop")): _*)
       .withColumn("rep_ratio",
         col("n_distinct_words").cast("double") / nullif(col("n_words"), lit(0L)))
       .withColumn("punct_ratio",

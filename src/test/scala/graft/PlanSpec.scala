@@ -61,6 +61,55 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("ratio alert parses and window-shuffles the stream exactly once") {
+    // m14's short- and long-window aggregations both consume the
+    // counterIncrease relation; the design claim (documented at
+    // Firehose.ratioAlert) is that ReuseExchange dedupes the parse + window
+    // pass. Pin it in the shuffle-join regime, final plan only — the same
+    // regression class the d2 scan pin guards against.
+    val restore = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.SparkEntry.queries("m14_ratio_alert")(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      def n(re: String): Int = re.r.findAllMatchIn(plan).length
+      val scans = n("FileScan")
+      val reused = n("ReusedExchange|ReusedQueryStage")
+      assert(scans === 1, s"events scanned $scans times:\n$plan")
+      assert(reused >= 1, s"increase pass not reused:\n$plan")
+    } finally restore match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("window-decorrelated operators scan their fact table exactly once") {
+    // p1/m13/q_correlated/q17 once used groupBy+join-back shapes whose two
+    // fact instances pruned to different ReadSchemas — ReuseExchange cannot
+    // dedupe non-identical subtrees, so the corpus pass silently ran twice
+    // (p1: 4x). All four are now single-pass window forms; pin it.
+    val restore = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val expect = Map(
+        "p1_corpus_curate" -> 1, // documents
+        "m13_gap_fill" -> 1, // events
+        "q_correlated" -> 1, // orders
+        "q17_small_qty" -> 2) // lineitem + the part dimension
+      expect.foreach { case (q, maxScans) =>
+        val df = graft.SparkEntry.queries(q)(spark, sfDir)
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+        val scans = "FileScan".r.findAllMatchIn(plan).length
+        assert(scans <= maxScans, s"$q scanned $scans times (max $maxScans):\n$plan")
+      }
+    } finally restore match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("simhash pair join computes the fingerprinting once (reuse or broadcast)") {
     // in the shuffle-join regime both sides must reuse one exchange; at
     // small scale the planner may broadcast one side instead, which is the
