@@ -537,6 +537,14 @@ object Firehose {
     * (that shape scanned the stream twice: column pruning gave the two
     * sample instances different ReadSchemas, so the exchanges never
     * deduped). The explode stays bounded by gap/step per sample.
+    *
+    * Measured tradeoff (sf0.1, local[32], A/B in one JVM): this form pays
+    * ~0.7 s for the window's explicit sort of the slot relation, where the
+    * old join shape got its window ordering free from the sort-merge join —
+    * but the old shape re-scanned AND re-aggregated the raw stream, which
+    * is nearly free on local parquet and dominant at 100 TB (raw events are
+    * several times the slot relation, and the second pass cannot be pruned
+    * away). Single-scan wins where it matters; pinned in PlanSpec.
     */
   def gapFill(metrics: DataFrame, stepSec: Long = 60): DataFrame = {
     val labeled =
