@@ -132,6 +132,13 @@ case class RatioOut(
     component: String, series: String, win_start: Long,
     short_ratio: Double, long_ratio: Double, alert: Int)
 
+/** Emitted for-duration fire — one per closed window that is the k-th (or
+  * later) consecutive breaching window of its series, exactly once.
+  */
+case class ForDurationOut(
+    component: String, name: String, series: String,
+    fire_win: Long, increase: Double)
+
 /** The pure per-series counter-increase fold, shared by the
   * `flatMapGroupsWithState` and `transformWithState` operators and
   * property-tested directly (random sample streams, random batch splits,

@@ -473,6 +473,146 @@ object FirehoseTws {
         new GaugeProcessor(ttlMs), TimeMode.EventTime(), OutputMode.Update(), init)
   }
 
+  /** For-duration alert processor — the streaming sibling of
+    * [[graft.operators.Firehose.forDurationAlert]] (Prometheus `for:`
+    * quantized to windows): the windowed increase must breach
+    * `minIncrease` in `k` CONSECUTIVE windows before the alert fires.
+    * Window totals come from the same [[IncreaseCore]] fold as every other
+    * counter port; the streak is decided ONLY on CLOSED windows, in
+    * ascending order (a running window's total can still grow — firing on
+    * it could fire-then-retract, which an alert must never do), and closed
+    * windows each fire at most once. Consecutiveness state is one
+    * `(lastWin, streak)` ValueState: a closed non-breaching window resets
+    * the streak, and a wholly-absent window (never closed because it had
+    * no samples) breaks it via the lastWin spacing check — the exact
+    * semantics of the batch operator's `lag(k-1)` formulation. The timer
+    * re-arms to the earliest open window's end so closure (and firing)
+    * does not require new traffic on this series; after `ttlMs` of
+    * emptiness the series is evicted (registry semantics — the streak
+    * restarts for a series that went silent past the TTL).
+    */
+  class ForDurationProcessor(
+      widthSec: Long, minIncrease: Double, k: Int, ttlMs: Long)
+      extends StatefulProcessor[SeriesKey, GaugePoint, ForDurationOut] {
+    @transient private var anchor: ValueState[CounterSample] = _
+    @transient private var buffer: ListState[CounterSample] = _
+    @transient private var finalized: MapState[Long, Double] = _
+    @transient private var streak: ValueState[(Long, Int)] = _
+    @transient private var timerTs: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      anchor = getHandle.getValueState[CounterSample](
+        "anchor", Encoders.product[CounterSample], TTLConfig.NONE)
+      buffer = getHandle.getListState[CounterSample](
+        "buffer", Encoders.product[CounterSample], TTLConfig.NONE)
+      finalized = getHandle.getMapState[Long, Double](
+        "finalized", Encoders.scalaLong, Encoders.scalaDouble, TTLConfig.NONE)
+      streak = getHandle.getValueState[(Long, Int)](
+        "streak", Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt), TTLConfig.NONE)
+      timerTs = getHandle.getValueState[Long](
+        "timer", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def armTimer(whenMs: Long): Unit = {
+      if (timerTs.exists()) getHandle.deleteTimer(timerTs.get())
+      getHandle.registerTimer(whenMs)
+      timerTs.update(whenMs)
+    }
+
+    private def stepAndEmit(
+        key: SeriesKey, incoming: Seq[GaugePoint], timers: TimerValues,
+        evictWhenIdle: Boolean): Iterator[ForDurationOut] = {
+      val anchorOpt = if (anchor.exists()) Some(anchor.get()) else None
+      val st = IncreaseState(
+        hasAnchor = anchorOpt.isDefined,
+        anchorTs = anchorOpt.map(_.ts).getOrElse(0L),
+        anchorId = anchorOpt.map(_.id).getOrElse(""),
+        anchorValue = anchorOpt.map(_.value).getOrElse(0.0),
+        buffer = if (buffer.exists()) buffer.get().toSeq else Nil,
+        finalized =
+          if (finalized.exists()) finalized.iterator().map(t => t._1 -> t._2).toMap
+          else Map.empty)
+      val wmSec = timers.getCurrentWatermarkInMs() / 1000L
+      val samples = incoming.map(p => CounterSample(p.timestamp, p.id, p.value))
+      val r = IncreaseCore.step(st, samples, wmSec, widthSec)
+      val ns = r.state
+      // streak over the just-closed windows, ascending (closed is sorted)
+      var (lastWin, s) = if (streak.exists()) streak.get() else (Long.MinValue, 0)
+      val fires = r.closed.flatMap { case (win, inc) =>
+        val breach = inc > minIncrease
+        s = if (!breach) 0
+        else if (lastWin == win - widthSec && s > 0) s + 1
+        else 1
+        lastWin = win
+        if (breach && s >= k)
+          Some(ForDurationOut(key._1, key._2, key._3, win, inc))
+        else None
+      }
+      val idle = ns.buffer.isEmpty && ns.finalized.isEmpty
+      if (evictWhenIdle && idle) {
+        anchor.clear(); buffer.clear(); finalized.clear(); streak.clear(); timerTs.clear()
+      } else {
+        ns.finalized.foreach { case (win, v) =>
+          if (!st.finalized.get(win).contains(v)) finalized.updateValue(win, v)
+        }
+        st.finalized.keys.filterNot(ns.finalized.contains).foreach(finalized.removeKey)
+        if (ns.hasAnchor)
+          anchor.update(CounterSample(ns.anchorTs, ns.anchorId, ns.anchorValue))
+        buffer.clear()
+        if (ns.buffer.nonEmpty) buffer.put(ns.buffer.toArray)
+        streak.update((lastWin, s))
+        // open windows: anything still accumulating (finalized keys await
+        // closure; buffered samples imply their windows too)
+        val openEnds =
+          (ns.finalized.keys ++
+            ns.buffer.map(c => c.ts - math.floorMod(c.ts, widthSec)))
+            .map(win => (win + widthSec) * 1000L)
+        if (openEnds.nonEmpty) armTimer(openEnds.min)
+        else {
+          val wm = timers.getCurrentWatermarkInMs()
+          if (wm > 0) armTimer(wm + ttlMs)
+          else armTimer(math.max(ns.anchorTs, 1L) * 1000L + ttlMs)
+        }
+      }
+      fires.iterator
+    }
+
+    override def handleInputRows(
+        key: SeriesKey,
+        rows: Iterator[GaugePoint],
+        timers: TimerValues): Iterator[ForDurationOut] =
+      stepAndEmit(key, rows.toSeq, timers, evictWhenIdle = false)
+
+    override def handleExpiredTimer(
+        key: SeriesKey,
+        timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[ForDurationOut] = {
+      timerTs.clear()
+      stepAndEmit(key, Nil, timers, evictWhenIdle = true)
+    }
+  }
+
+  /** [[graft.operators.Firehose.forDurationAlert]] on the
+    * `transformWithState` API. Requires the RocksDB state store provider
+    * (an API constraint).
+    */
+  def forDurationAlert(
+      metrics: DataFrame,
+      widthSec: Long = 3600,
+      minIncrease: Double = 50.0,
+      k: Int = 3,
+      watermarkDelay: String = "10 minutes",
+      ttlMs: Long = 10 * 60 * 1000L): Dataset[ForDurationOut] = {
+    require(k >= 2, "for-duration needs at least 2 consecutive windows")
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    FirehoseStream.keyedPoints(metrics, watermarkDelay)
+      .groupByKey(p => (p.component, p.name, p.series))
+      .transformWithState(
+        new ForDurationProcessor(widthSec, minIncrease, k, ttlMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** [[FirehoseStream.counterIncrease]] on the `transformWithState` API.
     * Requires the RocksDB state store provider (an API constraint).
     */

@@ -503,6 +503,85 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState for-duration alert fires on k consecutive closed windows (batch parity)") {
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft-tws-fd").toFile
+      val chk = Files.createTempDirectory("graft-tws-fdchk").toFile
+      // counter for u1, width 100, minIncrease 5, k 3:
+      // wins 0,100,200 breach (+10 each) -> fire at 200; win 300 is a weak
+      // +1 (streak reset); 400,500,600 breach again -> fire at 600; the
+      // tail windows only advance the watermark
+      def b(id: String, ts: Long, v: Double) = metricJson(id, "c_total", ts, "u1", v)
+      Files.write(dir.toPath.resolve("b1.json"),
+        Seq(b("1", 10, 0.0), b("2", 50, 10.0), b("3", 150, 20.0),
+          b("4", 250, 30.0), b("5", 350, 31.0), b("6", 450, 40.0),
+          b("7", 550, 50.0), b("8", 650, 60.0)).mkString("\n").getBytes)
+      val q = graft.streaming.FirehoseTws.forDurationAlert(
+          FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+          widthSec = 100, minIncrease = 5.0, k = 3,
+          watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName("tws_fd_t").outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      try {
+        q.processAllAvailable()
+        Files.write(dir.toPath.resolve("b2.json"),
+          Seq(b("9", 1000, 61.0)).mkString("\n").getBytes)
+        q.processAllAvailable()
+        Files.write(dir.toPath.resolve("b3.json"),
+          Seq(b("10", 1100, 61.0)).mkString("\n").getBytes)
+        q.processAllAvailable()
+        val fires = spark.table("tws_fd_t").collect()
+          .map(r => r.getAs[Long]("fire_win") -> r.getAs[Double]("increase"))
+        assert(fires.map(_._1).distinct.length === fires.length, "a window fired twice")
+        assert(fires.toMap === Map(200L -> 10.0, 600L -> 10.0), s"got ${fires.toSeq}")
+        // batch parity over the SAME samples: the batch operator's fires
+        // (restricted to windows the stream has closed) must be identical
+        val batchMetrics = graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath)
+        val batchFires = graft.operators.Firehose
+          .forDurationAlert(batchMetrics, widthSec = 100, minIncrease = 5.0, k = 3)
+          .collect().map(r => r.getAs[Long]("fire_win") -> r.getAs[Double]("increase"))
+          .filter(_._1 + 100 <= 1100) // stream-closed windows only
+        assert(batchFires.toMap === fires.toMap, s"batch ${batchFires.toSeq}")
+      } finally q.stop()
+    }
+  }
+
+  test("for-duration alert fires for a silent series via its re-armed timer") {
+    withRocksDb {
+      // u1 breaches three consecutive windows then goes silent; only u2's
+      // unrelated traffic advances the watermark. u1's fire must still
+      // emit — closure happens in handleExpiredTimer, not on u1 traffic.
+      val dir = Files.createTempDirectory("graft-tws-fdidle").toFile
+      val chk = Files.createTempDirectory("graft-tws-fdidlechk").toFile
+      Files.write(dir.toPath.resolve("b1.json"),
+        Seq(
+          metricJson("1", "c_total", 10, "u1", 0.0),
+          metricJson("2", "c_total", 50, "u1", 10.0),
+          metricJson("3", "c_total", 150, "u1", 20.0),
+          metricJson("4", "c_total", 250, "u1", 30.0)).mkString("\n").getBytes)
+      val q = graft.streaming.FirehoseTws.forDurationAlert(
+          FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+          widthSec = 100, minIncrease = 5.0, k = 3,
+          watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName("tws_fdi_t").outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      try {
+        q.processAllAvailable()
+        // u2-only traffic pushes the watermark far past u1's windows
+        Seq(500L, 900L).zipWithIndex.foreach { case (ts, i) =>
+          Files.write(dir.toPath.resolve(s"adv$i.json"),
+            Seq(metricJson(s"x$i", "c_total", ts, "u2", 1.0)).mkString("\n").getBytes)
+          q.processAllAvailable()
+        }
+        val fires = spark.table("tws_fdi_t").collect()
+          .map(r => (r.getAs[String]("series"), r.getAs[Long]("fire_win")))
+        assert(fires.toSet === Set(("user=u1", 200L)), s"got ${fires.toSeq}")
+      } finally q.stop()
+    }
+  }
+
   test("transformWithState ratio alert matches the fMGWS port's scenario") {
     withRocksDb {
       val dir = Files.createTempDirectory("graft-tws-r").toFile
