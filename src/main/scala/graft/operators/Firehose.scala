@@ -717,6 +717,20 @@ object Firehose {
       .withColumn("_ts_s", tsSec.cast("long"))
       .withColumn("_x", col("_ts_s") - min(col("_ts_s")).over(w))
       .withColumn("_y", value.cast("double"))
+    olsTrend(based, seriesCols, horizonSec)
+  }
+
+  /** Shared OLS finish over a relation carrying centered `_x` (long
+    * seconds) and `_y` (double): five exact aggregates → per-series slope
+    * and the extrapolated value at (max x + horizon). Used by the batch
+    * [[predictLinear]] (window-min centering) and the streaming sibling
+    * ([[graft.streaming.FirehoseStream.predictLinear]], fixed-base
+    * centering) — the trend arithmetic cannot diverge between them. Every
+    * aggregate here is streaming-legal (count/sum/max), which is what
+    * makes the streaming port a PLAIN aggregation.
+    */
+  private[graft] def olsTrend(
+      based: DataFrame, seriesCols: Seq[String], horizonSec: Long): DataFrame = {
     val g = based
       .groupBy(seriesCols.map(col): _*)
       .agg(

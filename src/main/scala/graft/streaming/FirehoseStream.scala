@@ -815,6 +815,37 @@ object FirehoseStream {
         col("window.start").as("win_start"), col("component"), col("name"),
         col("n"), col("min_value"), col("max_value"), col("sum_value"))
 
+  /** Streaming per-series linear trend + extrapolation — the incremental
+    * sibling of the batch [[graft.operators.Firehose.predictLinear]]
+    * (Prometheus `predict_linear()`). OLS is ALGEBRAIC in five sums
+    * (n, Σx, Σx², Σy, Σxy — all streaming-legal aggregates), so the whole
+    * operator is one native streaming aggregation in Update mode: no
+    * arbitrary state, no timers, state = one row of sums per series. The
+    * shared [[graft.operators.Firehose.olsTrend]] finish keeps the trend
+    * arithmetic identical to the batch operator.
+    *
+    * `baseEpochSec` centers x: the batch operator centers on each series'
+    * running MIN timestamp, which a streaming aggregate cannot see without
+    * retraction; a fixed deploy-time base near the stream's start keeps x
+    * small (slope is shift-invariant and the prediction point `max x +
+    * horizon` shifts back out, so results match batch to FP round-off —
+    * spec-asserted). Uncentered epoch seconds would cancel
+    * catastrophically in n·Σx² − (Σx)².
+    */
+  def predictLinear(
+      metrics: DataFrame,
+      seriesCols: Seq[String],
+      baseEpochSec: Long,
+      horizonSec: Long = 3600,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val based = metrics
+      .withColumn("eventTime", timestamp_seconds(col("timestamp")))
+      .withWatermark("eventTime", watermarkDelay)
+      .withColumn("_x", col("timestamp").cast("long") - lit(baseEpochSec))
+      .withColumn("_y", col("value").cast("double"))
+    Firehose.olsTrend(based, seriesCols, horizonSec)
+  }
+
   /** Streaming classic-histogram bucket counts — the incremental sibling of
     * the batch [[graft.operators.Firehose.histogramQuantile]]: per tumbling
     * window and metric name, the count of samples falling in each `le`

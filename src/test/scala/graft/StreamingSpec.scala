@@ -582,6 +582,51 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming predict_linear matches the batch trend as samples accumulate") {
+    // OLS as one native streaming aggregation: after each micro-batch the
+    // updated (slope, predicted) must equal the batch operator run over
+    // every sample seen so far, to FP round-off (the two center x
+    // differently — fixed base vs per-series min — which slope and the
+    // extrapolation point are invariant to)
+    val dir = Files.createTempDirectory("graft-pl").toFile
+    val chk = Files.createTempDirectory("graft-plchk").toFile
+    def b(id: String, ts: Long, v: Double) = metricJson(id, "c_total", ts, "u1", v)
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(b("1", 100, 10.0), b("2", 200, 30.0), b("3", 300, 25.0))
+        .mkString("\n").getBytes)
+    val q = FirehoseStream.predictLinear(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+        seriesCols = Seq("component", "name"),
+        baseEpochSec = 0L, horizonSec = 600)
+      .writeStream.format("memory").queryName("pl_t").outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    def latestStream(): (Double, Double) = {
+      val r = spark.table("pl_t").orderBy(col("n").desc).collect().head
+      (r.getAs[Double]("slope"), r.getAs[Double]("predicted"))
+    }
+    def batchNow(): (Double, Double) = {
+      val m = graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath)
+      val r = graft.operators.Firehose.predictLinear(
+        m, Seq("component", "name"), col("timestamp"), col("value"), horizonSec = 600)
+        .collect().head
+      (r.getAs[Double]("slope"), r.getAs[Double]("predicted"))
+    }
+    def close(a: (Double, Double), b: (Double, Double)): Boolean =
+      math.abs(a._1 - b._1) <= 1e-9 * math.max(1.0, math.abs(b._1)) &&
+        math.abs(a._2 - b._2) <= 1e-9 * math.max(1.0, math.abs(b._2))
+    try {
+      q.processAllAvailable()
+      assert(close(latestStream(), batchNow()), s"${latestStream()} vs ${batchNow()}")
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(b("4", 400, 60.0), b("5", 500, 55.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val s2 = latestStream()
+      assert(spark.table("pl_t").agg(max(col("n"))).collect().head.getLong(0) === 5L)
+      assert(close(s2, batchNow()), s"$s2 vs ${batchNow()}")
+    } finally q.stop()
+  }
+
   test("transformWithState ratio alert matches the fMGWS port's scenario") {
     withRocksDb {
       val dir = Files.createTempDirectory("graft-tws-r").toFile
