@@ -117,6 +117,84 @@ object AbsentCore {
   }
 }
 
+/** Per-series gap-fill state: the carry-forward frontier (last emitted slot
+  * and its forward-fill value), the highest slot ever seen (the grid never
+  * extends past the last real sample — batch parity), and the in-watermark
+  * sample buffer.
+  */
+case class GapFillState(
+    hasLast: Boolean, lastSlot: Long, lastValue: Double,
+    maxSeen: Long, buffer: Seq[CounterSample])
+
+/** Emitted dense-grid row — one per slot in [first sample's slot, last
+  * sample's slot], exactly once, once the watermark closes the slot.
+  */
+case class GapFillOut(
+    component: String, name: String, series: String,
+    slot: Long, value: Double, filled: Boolean)
+
+/** The pure per-series gap-fill fold (the streaming sibling of the batch
+  * [[graft.operators.Firehose.gapFill]] grid): slots emit in ascending
+  * order once the watermark passes their end AND a sample at or beyond
+  * them exists (forward fill needs a value below, and the grid must not
+  * outrun the last real sample); a slot with samples takes its
+  * max-by-(ts, id) value (`filled=false`), an empty slot carries the last
+  * value forward (`filled=true`). Property-tested directly against the
+  * batch operator over random streams, splits, and in-watermark lateness.
+  */
+object GapFillCore {
+
+  val empty: GapFillState = GapFillState(hasLast = false, 0L, 0.0, Long.MinValue, Nil)
+
+  final case class Step(state: GapFillState, emitted: Seq[(Long, Double, Boolean)])
+
+  def slotOf(ts: Long, stepSec: Long): Long = ts - math.floorMod(ts, stepSec)
+
+  def step(
+      st: GapFillState, incoming: Seq[CounterSample],
+      wmSec: Long, stepSec: Long): Step = {
+    // anything at or below the emitted frontier arrived beyond the
+    // watermark contract: skip-and-continue, the grid row is already out
+    val fresh = incoming.filter(s => !st.hasLast || slotOf(s.ts, stepSec) > st.lastSlot)
+    val buf = st.buffer ++ fresh
+    val slots = buf.map(s => slotOf(s.ts, stepSec))
+    val maxSeen = (st.maxSeen +: slots).max
+    val startSlot =
+      if (st.hasLast) st.lastSlot + stepSec
+      else if (slots.nonEmpty) slots.min
+      else return Step(st.copy(maxSeen = maxSeen), Nil)
+    val bySlot = buf.groupBy(s => slotOf(s.ts, stepSec))
+    var slot = startSlot
+    var lastValue = st.lastValue
+    var hasLast = st.hasLast
+    val out = Seq.newBuilder[(Long, Double, Boolean)]
+    while (slot + stepSec <= wmSec && slot <= maxSeen) {
+      bySlot.get(slot) match {
+        case Some(here) =>
+          lastValue = here.maxBy(s => (s.ts, s.id)).value
+          hasLast = true
+          out += ((slot, lastValue, false))
+        case None =>
+          // the first emitted slot always holds a sample (startSlot is a
+          // sample's slot when the series is fresh), so the carry exists
+          out += ((slot, lastValue, true))
+      }
+      slot += stepSec
+    }
+    val emitted = out.result()
+    val lastSlot = if (emitted.nonEmpty) emitted.last._1 else st.lastSlot
+    val keep = buf.filter(s => !hasLast || slotOf(s.ts, stepSec) > lastSlot)
+    Step(GapFillState(hasLast, lastSlot, lastValue, maxSeen, keep), emitted)
+  }
+
+  /** End-of-stream flush: every remaining slot up to the last sample
+    * becomes emittable (no more data can arrive for this series).
+    */
+  def flush(st: GapFillState, stepSec: Long): Seq[(Long, Double, Boolean)] =
+    if (st.maxSeen == Long.MinValue) Nil
+    else step(st, Nil, st.maxSeen + stepSec, stepSec).emitted
+}
+
 /** Per-(component, series) ratio-alert state: one [[IncreaseState]] fold per
   * counter name plus the CLOSED short-window totals parked until their
   * enclosing long window closes (shortWin → total).

@@ -613,6 +613,109 @@ object FirehoseTws {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Gap-fill processor — the streaming sibling of
+    * [[graft.operators.Firehose.gapFill]]: emit each series' dense
+    * `stepSec` grid incrementally as the watermark closes slots, samples
+    * winning their slot by (ts, id) and empty slots carrying the last
+    * value forward ([[GapFillCore]], property-tested against the batch
+    * grid). The grid never outruns the last real sample (batch parity);
+    * the timer re-arms to the next unemitted slot's end so fill rows for
+    * a quiet series keep flowing while OTHER series advance the watermark,
+    * and a series with nothing left to emit evicts after `ttlMs`.
+    */
+  class GapFillProcessor(stepSec: Long, ttlMs: Long)
+      extends StatefulProcessor[SeriesKey, GaugePoint, GapFillOut] {
+    @transient private var frontier: ValueState[(Boolean, Long, Double, Long)] = _
+    @transient private var buffer: ListState[CounterSample] = _
+    @transient private var timerTs: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      frontier = getHandle.getValueState[(Boolean, Long, Double, Long)](
+        "frontier",
+        Encoders.tuple(Encoders.scalaBoolean, Encoders.scalaLong,
+          Encoders.scalaDouble, Encoders.scalaLong),
+        TTLConfig.NONE)
+      buffer = getHandle.getListState[CounterSample](
+        "buffer", Encoders.product[CounterSample], TTLConfig.NONE)
+      timerTs = getHandle.getValueState[Long](
+        "timer", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def armTimer(whenMs: Long): Unit = {
+      if (timerTs.exists()) getHandle.deleteTimer(timerTs.get())
+      getHandle.registerTimer(whenMs)
+      timerTs.update(whenMs)
+    }
+
+    private def stepAndEmit(
+        key: SeriesKey, incoming: Seq[GaugePoint], timers: TimerValues,
+        evictWhenIdle: Boolean): Iterator[GapFillOut] = {
+      val (hasLast, lastSlot, lastValue, maxSeen) =
+        if (frontier.exists()) frontier.get()
+        else (false, 0L, 0.0, Long.MinValue)
+      val st = GapFillState(hasLast, lastSlot, lastValue, maxSeen,
+        if (buffer.exists()) buffer.get().toSeq else Nil)
+      val wmSec = timers.getCurrentWatermarkInMs() / 1000L
+      val samples = incoming.map(p => CounterSample(p.timestamp, p.id, p.value))
+      val r = GapFillCore.step(st, samples, wmSec, stepSec)
+      val ns = r.state
+      val idle = ns.buffer.isEmpty &&
+        (ns.maxSeen == Long.MinValue || (ns.hasLast && ns.lastSlot >= ns.maxSeen))
+      if (evictWhenIdle && idle) {
+        frontier.clear(); buffer.clear(); timerTs.clear()
+      } else {
+        frontier.update((ns.hasLast, ns.lastSlot, ns.lastValue, ns.maxSeen))
+        buffer.clear()
+        if (ns.buffer.nonEmpty) buffer.put(ns.buffer.toArray)
+        val nextSlot =
+          if (ns.hasLast && ns.lastSlot < ns.maxSeen) Some(ns.lastSlot + stepSec)
+          else if (!ns.hasLast && ns.buffer.nonEmpty)
+            Some(ns.buffer.map(s => GapFillCore.slotOf(s.ts, stepSec)).min)
+          else None
+        nextSlot match {
+          case Some(s) => armTimer((s + stepSec) * 1000L)
+          case None =>
+            val wm = timers.getCurrentWatermarkInMs()
+            armTimer((if (wm > 0) wm else math.max(ns.lastSlot, 1L) * 1000L) + ttlMs)
+        }
+      }
+      r.emitted.iterator.map { case (slot, value, filled) =>
+        GapFillOut(key._1, key._2, key._3, slot, value, filled)
+      }
+    }
+
+    override def handleInputRows(
+        key: SeriesKey,
+        rows: Iterator[GaugePoint],
+        timers: TimerValues): Iterator[GapFillOut] =
+      stepAndEmit(key, rows.toSeq, timers, evictWhenIdle = false)
+
+    override def handleExpiredTimer(
+        key: SeriesKey,
+        timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[GapFillOut] = {
+      timerTs.clear()
+      stepAndEmit(key, Nil, timers, evictWhenIdle = true)
+    }
+  }
+
+  /** [[graft.operators.Firehose.gapFill]] on the `transformWithState` API.
+    * Requires the RocksDB state store provider (an API constraint).
+    */
+  def gapFill(
+      metrics: DataFrame,
+      stepSec: Long = 60,
+      watermarkDelay: String = "10 minutes",
+      ttlMs: Long = 10 * 60 * 1000L): Dataset[GapFillOut] = {
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    FirehoseStream.keyedPoints(metrics, watermarkDelay)
+      .groupByKey(p => (p.component, p.name, p.series))
+      .transformWithState(
+        new GapFillProcessor(stepSec, ttlMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** [[FirehoseStream.counterIncrease]] on the `transformWithState` API.
     * Requires the RocksDB state store provider (an API constraint).
     */

@@ -627,6 +627,53 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState gap fill emits the dense forward-filled grid (batch parity)") {
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft-tws-gf").toFile
+      val chk = Files.createTempDirectory("graft-tws-gfchk").toFile
+      // u1 samples at slots 0 and 200 (gap at 100), then 600, then 900;
+      // wm closes slots progressively across batches + timers
+      def b(id: String, ts: Long, v: Double) = metricJson(id, "c_total", ts, "u1", v)
+      Files.write(dir.toPath.resolve("b1.json"),
+        Seq(b("1", 10, 1.0), b("2", 250, 5.0)).mkString("\n").getBytes)
+      val q = graft.streaming.FirehoseTws.gapFill(
+          FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+          stepSec = 100, watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName("tws_gf_t").outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      try {
+        q.processAllAvailable()
+        Files.write(dir.toPath.resolve("b2.json"),
+          Seq(b("3", 610, 7.0)).mkString("\n").getBytes)
+        q.processAllAvailable()
+        Files.write(dir.toPath.resolve("b3.json"),
+          Seq(b("4", 950, 9.0)).mkString("\n").getBytes)
+        q.processAllAvailable()
+        val streamed = spark.table("tws_gf_t").collect()
+          .map(r => r.getAs[Long]("slot") ->
+            ((r.getAs[Double]("value"), r.getAs[Boolean]("filled")))).toSeq
+        assert(streamed.map(_._1).distinct.length === streamed.length,
+          s"a slot emitted twice: $streamed")
+        // final wm = 950: slots through 800 are closed; slot 900 stays open
+        assert(streamed.toMap === Map(
+          0L -> ((1.0, false)), 100L -> ((1.0, true)), 200L -> ((5.0, false)),
+          300L -> ((5.0, true)), 400L -> ((5.0, true)), 500L -> ((5.0, true)),
+          600L -> ((7.0, false)), 700L -> ((7.0, true)), 800L -> ((7.0, true))),
+          s"got ${streamed.sortBy(_._1)}")
+        // batch parity over the same samples, restricted to closed slots
+        val batchRows = graft.operators.Firehose.gapFill(
+            graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath),
+            stepSec = 100)
+          .collect()
+          .map(r => r.getAs[Long]("slot") ->
+            ((r.getAs[Double]("value"), r.getAs[Boolean]("filled"))))
+          .filter(_._1 <= 800L)
+        assert(batchRows.toMap === streamed.toMap, s"batch ${batchRows.sortBy(_._1).toSeq}")
+      } finally q.stop()
+    }
+  }
+
   test("transformWithState ratio alert matches the fMGWS port's scenario") {
     withRocksDb {
       val dir = Files.createTempDirectory("graft-tws-r").toFile
