@@ -924,6 +924,29 @@ object FirehoseStream {
     Firehose.olsTrend(based, seriesCols, horizonSec)
   }
 
+  /** Streaming `quantile_over_time` — the incremental sibling of the batch
+    * [[graft.operators.Firehose.quantileOverTime]] (m18): per-series
+    * tumbling-window quantiles via `percentile_approx` (a mergeable
+    * one-pass sketch, streaming-legal where the exact sort-based
+    * `percentile` is not; sketch accuracy spec-bounded against the batch
+    * exact value). State = one sketch per open (series, window),
+    * watermark-pruned.
+    */
+  def quantileOverTime(
+      metrics: DataFrame,
+      q: Double = 0.9,
+      width: String = "1 hour",
+      accuracy: Int = 10000,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    keyedPoints(metrics, watermarkDelay)
+      .groupBy(window(col("eventTime"), width), col("component"), col("name"), col("series"))
+      .agg(
+        percentile_approx(col("value"), lit(q), lit(accuracy)).as("q_value"),
+        count(lit(1)).as("n_samples"))
+      .select(
+        col("window.start").as("win_start"), col("component"), col("name"),
+        col("series"), col("q_value"), col("n_samples"))
+
   /** Streaming classic-histogram bucket counts — the incremental sibling of
     * the batch [[graft.operators.Firehose.histogramQuantile]]: per tumbling
     * window and metric name, the count of samples falling in each `le`

@@ -674,6 +674,37 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming quantile_over_time tracks the batch exact quantile") {
+    // the sketch agg must land on the batch operator's exact per-window
+    // value for a small sample set (percentile_approx is exact when the
+    // sample count is far below the accuracy parameter)
+    val dir = Files.createTempDirectory("graft-qot").toFile
+    val chk = Files.createTempDirectory("graft-qotchk").toFile
+    def b(id: String, ts: Long, v: Double) = metricJson(id, "lat_ms", ts, "u1", v)
+    Files.write(dir.toPath.resolve("b1.json"),
+      (1 to 20).map(i => b(s"s$i", 100 + i, i * 10.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.quantileOverTime(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+        q = 0.9, width = "1 hour")
+      .writeStream.format("memory").queryName("qot_t").outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("qot_t")
+        .orderBy(col("n_samples").desc).collect().head
+      assert(streamed.getAs[Long]("n_samples") === 20L)
+      val batch = graft.operators.Firehose.quantileOverTime(
+          graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath),
+          q = 0.9, widthSec = 3600)
+        .collect().head
+      val exact = batch.getAs[Double]("q_value")
+      val approx = streamed.getAs[Double]("q_value")
+      assert(math.abs(approx - exact) <= 0.05 * math.abs(exact),
+        s"sketch $approx vs exact $exact")
+    } finally q.stop()
+  }
+
   test("transformWithState ratio alert matches the fMGWS port's scenario") {
     withRocksDb {
       val dir = Files.createTempDirectory("graft-tws-r").toFile
