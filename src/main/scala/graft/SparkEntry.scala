@@ -240,6 +240,8 @@ object SparkEntry {
     "d20_epoch_upsample" -> ((s, dir) =>
       Curate.epochUpsample(Tables(s, dir, "documents"),
         epochs = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.3))),
+    "d22_dsir_sample" -> ((s, dir) =>
+      Curate.dsirSample(Tables(s, dir, "documents"))),
     "m21_prom_parse" -> ((s, dir) =>
       Firehose.promParse(
         Firehose.promRender(Firehose.gaugeLatest(Firehose.metricsFromEvents(s, dir))))),
@@ -1790,6 +1792,34 @@ object SparkEntry {
         |        CAST((frame_idx + 1) * 64 AS INTEGER))),
         |    (a, v) -> a + v) AS DOUBLE) / 192.0 AS frame_mean_lum
         |FROM f""".stripMargin,
+    // mirrors Curate.dsirSample: unigram buckets via the portable md5 hash,
+    // Laplace-smoothed log importance quantized to exact integers
+    // (floor(ln·1e6 + 0.5)), doc score = exact BIGINT sum / 1e6
+    "d22_dsir_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 4096 AS bkt
+        |  FROM toks),
+        |model AS (
+        |  SELECT bkt, count(*) AS nr,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS nt
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT sum(nr) AS dr, sum(nt) AS dt FROM model),
+        |scored AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CAST(floor(ln(
+        |        (CAST(nt + 1 AS DOUBLE) * CAST(dr + 4096 AS DOUBLE)) /
+        |        (CAST(nr + 1 AS DOUBLE) * CAST(dt + 4096 AS DOUBLE)))
+        |      * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS dsir_score
+        |  FROM b JOIN model USING (bkt), tot
+        |  GROUP BY doc_id),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |        ORDER BY dsir_score DESC, doc_id) AS BIGINT) AS rnk FROM scored)
+        |SELECT doc_id, n_tokens, dsir_score, rnk FROM r WHERE rnk <= 100""".stripMargin,
     "d4b_simhash_pairs" ->
       (SimhashCandCte +
         """SELECT doc_a, doc_b, sh_a, sh_b,

@@ -305,4 +305,66 @@ object Curate {
           .as("avg_quality"))
       .orderBy(col("source"))
   }
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw doc
+    * by how target-domain-like its hashed n-gram features are, keep the
+    * top `k`. Feature = word unigram hashed into `buckets` via the
+    * portable md5 hash; bucket importance = Laplace-smoothed
+    * log((ct+1)·(Dr+B) / ((cr+1)·(Dt+B))) with ct/cr the target/raw bucket
+    * counts and Dt/Dr the totals; doc score = sum over its tokens.
+    *
+    * Scale: the bucket model is `buckets` rows — materialized once
+    * (bucket-bounded) and broadcast; the corpus token stream is recomputed
+    * for the scoring pass rather than cached (the t8 two-scan shape: one
+    * model-build scan, one scoring scan, both map-side-combinable aggs).
+    *
+    * Portability: every count product is an exactly-representable double,
+    * so both engines take ln of IDENTICAL inputs; the per-bucket log is
+    * quantized to an exact integer via floor(x·1e6 + 0.5) (a ≤1-ulp
+    * cross-engine ln difference cannot move it off its grid cell, and the
+    * one common exact value — ln(1) = 0 — quantizes identically), and doc
+    * scores are exact LONG sums of those integers: order-independent,
+    * oracle-checkable bit-for-bit.
+    */
+  def dsirSample(
+      docs: DataFrame,
+      targetSource: String = "src0",
+      buckets: Int = 4096,
+      k: Int = 100): DataFrame = {
+    val toks = graft.Tables.widen(docs)
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), col("source"),
+        pmod(GraftFunctions.md5_prefix60(col("w")), lit(buckets.toLong)).as("bkt"))
+    // bucket model: raw + target counts in ONE pass over the token stream
+    val model = graft.Tables.materializeSmall(
+      toks.groupBy("bkt").agg(
+        count(lit(1)).as("nr"),
+        sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("nt")))
+    // totals fall out of the model itself — no third corpus scan
+    val totals = model.agg(sum("nr").as("dr"), sum("nt").as("dt"))
+    val ratio =
+      ((col("nt") + 1).cast("double") * (col("dr") + buckets).cast("double")) /
+        ((col("nr") + 1).cast("double") * (col("dt") + buckets).cast("double"))
+    val scored = toks
+      .join(broadcast(model), Seq("bkt"))
+      .crossJoin(broadcast(totals))
+      .withColumn("_v", floor(log(ratio) * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(col("_v")).cast("double") / lit(1e6)).as("dsir_score"))
+    // global top-k as TakeOrdered (heap per partition, k rows to the
+    // driver stage) — a rank WINDOW here would single-partition-sort the
+    // whole corpus; the k survivors rank in a trivially small window
+    scored
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rnk",
+        row_number()
+          .over(Window.orderBy(col("dsir_score").desc, col("doc_id")))
+          .cast("long"))
+      .select("doc_id", "n_tokens", "dsir_score", "rnk")
+  }
 }

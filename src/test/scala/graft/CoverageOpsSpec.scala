@@ -371,6 +371,37 @@ class CoverageOpsSpec extends SparkSuite {
     }
   }
 
+  test("DSIR importance resampling selects target-vocabulary documents") {
+    // the defining property of importance resampling needs a corpus with a
+    // real domain signal (the uniform synthetic testdata has none): target
+    // docs speak vocabulary A, the bulk speaks vocabulary B, and a few raw
+    // docs secretly speak A — selection must surface exactly the
+    // A-speakers, wherever they come from
+    import spark.implicits._
+    val vocabA = Seq("alpha", "beta", "gamma", "delta")
+    val vocabB = Seq("omega", "sigma", "tau", "kappa")
+    def text(vocab: Seq[String], seed: Int): String =
+      (0 until 30).map(i => vocab((i * 7 + seed) % vocab.length)).mkString(" ")
+    val rows =
+      (1L to 20L).map(i => (i, text(vocabA, i.toInt), "tgt")) ++
+        (21L to 80L).map(i => (i, text(vocabB, i.toInt), "raw")) ++
+        (81L to 90L).map(i => (i, text(vocabA, i.toInt), "raw")) // hidden A-speakers
+    val docs = rows.toDF("doc_id", "text", "source")
+    val selected = graft.operators.Curate
+      .dsirSample(docs, targetSource = "tgt", buckets = 64, k = 30)
+      .collect()
+    assert(selected.length === 30)
+    val aSpeakers = (1L to 20L).toSet ++ (81L to 90L).toSet
+    val picked = selected.map(_.getAs[Long]("doc_id")).toSet
+    assert(picked === aSpeakers,
+      s"selection should be exactly the target-vocabulary docs; got $picked")
+    // rank order is score-descending and scores are finite
+    val byRank = selected.sortBy(_.getAs[Long]("rnk"))
+    val scores = byRank.map(_.getAs[Double]("dsir_score"))
+    assert(scores.forall(s => !s.isNaN))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "not rank-ordered")
+  }
+
   test("q4/q6/correlated/histogram return coherent results at smoke scale") {
     val q4 = Relational.q4OrderPriority(spark, sfDir).collect()
     assert(q4.nonEmpty && q4.forall(_.getLong(1) > 0))
