@@ -209,23 +209,20 @@ object Similarity {
     * the index; the search itself is an equi-join on cell id, exactly like
     * the LSH path but with data-adaptive buckets.
     */
-  def ivfTopK(
-      embeddings: DataFrame,
-      probes: DataFrame,
-      k: Int = 5,
-      nlist: Int = 16,
-      nprobe: Int = 4,
-      maxTrainRows: Long = 4096L): DataFrame = {
-    val sample = graft.Tables
-      .reservoirSample(embeddings.select(col("embedding")), maxTrainRows, seedSalt = 1009L)
-      .collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    val centroids: Seq[Seq[Double]] =
-      lloydFit(sample, nlist, iters = 8, seed = 42L).map(_.toSeq).toSeq
+  /** A built IVF index: the literal centroid matrix (plan-time constant)
+    * plus the cell-assigned corpus relation `(neighbor_id, cand_emb,
+    * cell)`. The assignment IS the materializable artifact: an ingest
+    * pipeline writes it (e.g. parquet partitioned/bucketed by `cell`) and
+    * every later search reads the landed index instead of re-assigning the
+    * corpus — [[ivfSearch]] accepts the relation in either form.
+    */
+  final case class IvfIndex(centroids: Seq[Seq[Double]], assigned: DataFrame)
 
-    // (squared-distance, cell) structs against the literal centroid matrix;
-    // struct order sorts by dist first, cell as the deterministic tiebreak
-    def cellDists(emb: Column): Seq[Column] = centroids.indices.map { c =>
+  /** (squared-distance, cell) structs against the literal centroid matrix;
+    * struct order sorts by dist first, cell as the deterministic tiebreak.
+    */
+  private def cellDists(centroids: Seq[Seq[Double]], emb: Column): Seq[Column] =
+    centroids.indices.map { c =>
       val sqDist = aggregate(
         zip_with(emb, typedLit(centroids(c)), (x, m) => {
           val d = x.cast("double") - m
@@ -234,18 +231,47 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
       struct(sqDist.as("dist"), lit(c).as("cell"))
     }
-    val cand = embeddings.select(
-      col("vec_id").as("neighbor_id"), col("embedding").as("cand_emb"),
-      element_at(array_sort(array(cellDists(col("embedding")): _*)), 1)
-        .getField("cell").as("cell"))
 
-    val nearestCells = slice(array_sort(array(cellDists(col("embedding")): _*)), 1, nprobe)
+  /** Build the IVF index: fit the coarse quantizer driver-locally on a
+    * bounded reservoir sample ([[lloydFit]]) and assign every corpus
+    * vector to its nearest cell with a pure codegen'd expression — one
+    * whole-stage pass, no model UDF, no extra job.
+    */
+  def ivfIndex(
+      embeddings: DataFrame,
+      nlist: Int = 16,
+      maxTrainRows: Long = 4096L): IvfIndex = {
+    val sample = graft.Tables
+      .reservoirSample(embeddings.select(col("embedding")), maxTrainRows, seedSalt = 1009L)
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val centroids: Seq[Seq[Double]] =
+      lloydFit(sample, nlist, iters = 8, seed = 42L).map(_.toSeq).toSeq
+    IvfIndex(
+      centroids,
+      embeddings.select(
+        col("vec_id").as("neighbor_id"), col("embedding").as("cand_emb"),
+        element_at(array_sort(array(cellDists(centroids, col("embedding")): _*)), 1)
+          .getField("cell").as("cell")))
+  }
+
+  /** Search a built (possibly landed-and-reloaded) index: probes explode to
+    * their `nprobe` nearest cells against the literal centroids, equi-join
+    * the assigned corpus on cell id, score with the codegen'd cosine, keep
+    * per-probe top-k. The corpus side never shuffles its vectors.
+    */
+  def ivfSearch(
+      index: IvfIndex,
+      probes: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 4): DataFrame = {
+    val nearestCells =
+      slice(array_sort(array(cellDists(index.centroids, col("embedding")): _*)), 1, nprobe)
     val p = probes
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
         explode(nearestCells).as("pc"))
       .select(col("probe_id"), col("probe_emb"), col("pc.cell").as("cell"))
-
-    val scored = cand
+    val scored = index.assigned
       .join(broadcast(p), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
@@ -256,6 +282,15 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  def ivfTopK(
+      embeddings: DataFrame,
+      probes: DataFrame,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      maxTrainRows: Long = 4096L): DataFrame =
+    ivfSearch(ivfIndex(embeddings, nlist, maxTrainRows), probes, k, nprobe)
 
   /** Hard-negative mining for contrastive training: for each probe, the k
     * most-similar corpus vectors with a DIFFERENT label — the negatives

@@ -125,6 +125,32 @@ class OperatorSpec extends SparkSuite {
     assert(recall >= 0.6, f"IVF recall $recall%.2f below the 0.6 floor at defaults")
   }
 
+  test("IVF search from a landed index matches the one-shot form without a corpus re-scan") {
+    // the deployment shape: the cell assignment is written once by ingest
+    // and searches read the landed index — results must be identical to the
+    // build-and-search form, and the landed search must not touch the raw
+    // embeddings table at all
+    val emb = Tables(spark, sfDir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    val index = Similarity.ivfIndex(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toFile.getAbsolutePath + "/idx"
+    index.assigned.write.parquet(dir)
+    val landed = Similarity.IvfIndex(index.centroids, spark.read.parquet(dir))
+    val direct = Similarity.ivfTopK(emb, probes, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val fromLanded = Similarity.ivfSearch(landed, probes, k = 5)
+    assert(fromLanded.collect().map(_.toString).sorted.toSeq === direct)
+    // the probe side reads embeddings; the corpus side must read ONLY the
+    // landed index files
+    val scans = fromLanded.queryExecution.sparkPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.get("Location").map(_.toString).getOrElse("")
+    }
+    assert(scans.count(_.contains("embeddings.parquet")) === 1, // probes only
+      s"corpus re-scanned in the landed search: $scans")
+    assert(scans.exists(_.contains("idx")), s"landed index not read: $scans")
+  }
+
   test("int8 quantized ANN keeps high agreement with the f32 exact top-k") {
     val emb = Tables(spark, sfDir, "embeddings")
     val probes = emb.filter(col("vec_id") < 10)
