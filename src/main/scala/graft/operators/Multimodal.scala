@@ -4,13 +4,17 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal-column plumbing: opaque `binary` payloads + typed metadata.
+/** Multimodal columns: opaque `binary` payloads + typed metadata, with
+  * REAL format-level decoders for every registered query path.
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * clearly-marked deterministic STUB ([[stubDecode]]); everything around it
-  * — schema, batch iteration shape, partition-parallel execution, output
-  * schema declaration — is the real Spark plumbing a codec-backed
-  * implementation would drop into.
+  * The container ships no media files, so payloads are materialized from
+  * the text corpus by format-real WRITERS (WAV/BMP/AVI — any
+  * standards-compliant reader opens their output); the DECODERS are
+  * independent chunk/header parsers that handle arbitrary conformant
+  * input, spec'd against hand-assembled exotic layouts. The two
+  * decode-free operators ([[binaryMeta]], [[samplePages]]) are honest
+  * LAYOUT ops — byte-level sniffing and fixed-stride page sampling —
+  * not decoders.
   */
 object Multimodal {
 
@@ -26,68 +30,57 @@ object Multimodal {
       col("source"),
       octet_length(to_binary(col("text"), lit("utf-8"))).cast("long").as("byte_len"))
 
-  /** STUB decoder: stands in for an image/audio codec. Deterministic fake
-    * "features" from the raw bytes (length, first, last, byte-sum mod 256).
-    * A real deployment replaces ONLY this function body with e.g. a JNI
-    * codec call; the batch shape stays.
+  /** documents → a MIXED-modality binary landing: each doc materializes as
+    * a genuine container payload chosen by `doc_id mod 3` (RIFF/WAVE PCM,
+    * 24-bit BMP, raw UTF-8 bytes) — the real shape of a multimodal landing
+    * zone, where one `binary` column carries heterogeneous formats and
+    * nothing downstream may trust upstream metadata about what's inside.
     */
-  def stubDecode(payload: Array[Byte]): Array[Double] = {
-    var sum = 0L
-    var i = 0
-    while (i < payload.length) {
-      sum += payload(i) & 0xff
-      i += 1
-    }
-    Array(
-      payload.length.toDouble,
-      if (payload.isEmpty) 0.0 else (payload(0) & 0xff).toDouble,
-      if (payload.isEmpty) 0.0 else (payload(payload.length - 1) & 0xff).toDouble,
-      (sum % 256).toDouble)
-  }
-
-  /** Feature vector flattened to scalar columns: downstream-friendly (sortable,
-    * hashable, columnar-prunable) and oracle-comparable, unlike an
-    * `array<double>` payload.
-    */
-  val featureSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("f_len", DoubleType),
-    StructField("f_first", DoubleType),
-    StructField("f_last", DoubleType),
-    StructField("f_sum_mod", DoubleType),
-    StructField("n_bytes", LongType)))
-
-  /** Per-binary feature extraction with `mapPartitions` — the batch-UDF
-    * shape (one iterator per partition, zero driver involvement) that a
-    * vectorized decode would use.
-    */
-  def extractFeatures(binaries: DataFrame): DataFrame = {
-    val spark = binaries.sparkSession
-    val rows = binaries.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
-        val f = stubDecode(payload)
-        Row(id, f(0), f(1), f(2), f(3), payload.length.toLong)
+  def asMixed(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("source", StringType)))
+    val rows = graft.Tables.widen(docs.select(col("doc_id"), col("text"), col("source")))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val text = r.getString(1)
+          val payload = (id % 3) match {
+            case 0 => encodeWavPcm16(textToSamples(text), 8000)
+            case 1 => encodeBmp24(textToPixels(text), 32)
+            case _ => text.getBytes("UTF-8")
+          }
+          Row(id, payload, r.getString(2))
+        }
       }
-    }
-    spark.createDataFrame(rows, featureSchema)
+    spark.createDataFrame(rows, schema)
   }
 
-  /** STUB frame extractor: stands in for a video demuxer. Deterministic
-    * fake "frame" = the fixed-size byte slice at the frame's offset. A real
-    * deployment replaces ONLY this function body with a demuxer/codec call;
-    * the offsets, fan-out and batch shape stay.
+  /** Typed metadata with magic-byte format SNIFFING — the first gate of any
+    * multimodal ingest: the mime is READ from the payload's own bytes
+    * (`RIFF….WAVE` → audio/x-wav, `BM` → image/bmp, else octet-stream),
+    * never trusted from upstream columns. Pure codegen'd byte inspection
+    * (`substring` on the binary + hex compare) over the scan — no UDF, no
+    * shuffle, and only the 12-byte prefix of each payload is examined.
     */
-  def stubFrame(payload: Array[Byte], offset: Int, frameBytes: Int): Array[Byte] =
-    payload.slice(offset, math.min(payload.length, offset + frameBytes))
-
-  val frameSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("frame_idx", LongType),
-    StructField("frame_offset", LongType),
-    StructField("frame_len", LongType),
-    StructField("frame_sum_mod", DoubleType)))
+  def binaryMeta(binaries: DataFrame): DataFrame = {
+    val isWav =
+      (octet_length(col("payload")) >= 12) &&
+        (hex(substring(col("payload"), 1, 4)) === "52494646") && // "RIFF"
+        (hex(substring(col("payload"), 9, 4)) === "57415645") // "WAVE"
+    val isBmp =
+      (octet_length(col("payload")) >= 2) &&
+        (hex(substring(col("payload"), 1, 2)) === "424D") // "BM"
+    binaries.select(
+      col("doc_id"),
+      octet_length(col("payload")).cast("long").as("byte_len"),
+      when(isWav, lit("audio/x-wav"))
+        .when(isBmp, lit("image/bmp"))
+        .otherwise(lit("application/octet-stream")).as("mime"),
+      col("source"))
+  }
 
   // ---- real audio decode (mm4): the one multimodal path whose decoder is
   // NOT a stub — a format-real RIFF/WAVE PCM parser. The container ships no
@@ -149,17 +142,23 @@ object Multimodal {
       durationSec: Double,
       rms: Double)
 
-  /** REAL WAV decoder: validates the RIFF magic and WAVE form type, walks
-    * the chunk list (word-aligned, as the format requires — unknown chunks
-    * are skipped, not assumed absent), reads the fmt fields little-endian,
-    * and computes sample count, duration and RMS from the actual PCM
-    * payload. Returns None for anything malformed (truncated header, wrong
-    * magic, missing fmt/data, non-PCM, unsupported bit depth) — the
-    * skip-and-continue discipline every other decoder path here follows.
-    * Supports 16-bit PCM, any channel count (RMS over all interleaved
-    * samples).
+  /** Parsed WAV container layout: fmt fields + the data chunk's extent. */
+  private[graft] final case class WavLayout(
+      channels: Int,
+      sampleRate: Int,
+      bits: Int,
+      dataOff: Int,
+      dataLen: Int)
+
+  /** REAL WAV container parse: validates the RIFF magic and WAVE form type,
+    * walks the chunk list (word-aligned, as the format requires — unknown
+    * chunks are skipped, not assumed absent), and reads the fmt fields
+    * little-endian. Returns None for anything malformed (truncated header,
+    * wrong magic, missing fmt/data, non-PCM, unsupported bit depth) — the
+    * skip-and-continue discipline every decoder path here follows. 16-bit
+    * PCM only, any channel count.
     */
-  def decodeWavPcm16(payload: Array[Byte]): Option[WavMeta] = {
+  private[graft] def parseWavLayout(payload: Array[Byte]): Option[WavLayout] = {
     if (payload.length < 12) return None
     val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(): String = {
@@ -199,21 +198,35 @@ object Multimodal {
     }
     if (audioFormat != 1 || bits != 16 || channels < 1 || sampleRate <= 0 ||
       dataOff < 0) return None
-    val n = (dataLen / 2).toLong // total s16 samples across channels
-    var ss = 0L // sum of squares: |s| <= 2^15 so n <= 2^22 TB-of-audio fits a long
-    var i = 0
-    while (i < n) {
-      val off = dataOff + i * 2
-      val s = (((payload(off + 1) << 8) | (payload(off) & 0xff)).toShort).toInt
-      ss += s.toLong * s
-      i += 1
-    }
-    val framesPerChannel = n / channels
-    Some(WavMeta(
-      channels, sampleRate, bits, n,
-      framesPerChannel.toDouble / sampleRate,
-      if (n == 0) 0.0 else math.sqrt(ss.toDouble / n)))
+    Some(WavLayout(channels, sampleRate, bits, dataOff, dataLen))
   }
+
+  /** The interleaved s16 sample at index `i` of the parsed data chunk. */
+  @inline private def sampleAt(payload: Array[Byte], dataOff: Int, i: Long): Int = {
+    val off = dataOff + (i * 2).toInt
+    (((payload(off + 1) << 8) | (payload(off) & 0xff)).toShort).toInt
+  }
+
+  /** REAL WAV decoder: [[parseWavLayout]] + sample count, duration and RMS
+    * computed from the actual PCM payload (RMS over all interleaved
+    * samples).
+    */
+  def decodeWavPcm16(payload: Array[Byte]): Option[WavMeta] =
+    parseWavLayout(payload).map { lay =>
+      val n = (lay.dataLen / 2).toLong // total s16 samples across channels
+      var ss = 0L // sum of squares: |s| <= 2^15 so n <= 2^22 TB-of-audio fits a long
+      var i = 0L
+      while (i < n) {
+        val s = sampleAt(payload, lay.dataOff, i)
+        ss += s.toLong * s
+        i += 1
+      }
+      val framesPerChannel = n / lay.channels
+      WavMeta(
+        lay.channels, lay.sampleRate, lay.bits, n,
+        framesPerChannel.toDouble / lay.sampleRate,
+        if (n == 0) 0.0 else math.sqrt(ss.toDouble / n))
+    }
 
   /** documents → genuine WAV binary payloads (8 kHz mono 16-bit PCM from
     * [[textToSamples]]) — the audio-landing shape: payload is an opaque
@@ -261,6 +274,55 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rows, wavFeatureSchema)
+  }
+
+  val signalFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_samples", LongType),
+    StructField("f_duration", DoubleType),
+    StructField("f_rms", DoubleType),
+    StructField("f_peak", DoubleType),
+    StructField("n_zero_cross", LongType)))
+
+  /** Per-binary FEATURE-VECTOR extraction with the REAL decoder — the
+    * downstream-ML shape (one feature row per payload, scalar columns so
+    * everything stays sortable/hashable/prunable) in the `mapPartitions`
+    * batch form a vectorized codec would use: one iterator per partition,
+    * zero driver involvement, raw bytes never shipped past this operator.
+    * Every feature is a true signal statistic of the decoded PCM samples:
+    * duration, RMS, peak amplitude, and the zero-crossing count (an exact
+    * integer — the standard cheap voicing/noisiness signal). Malformed
+    * payloads are dropped, not nulled.
+    */
+  def wavSignalFeatures(binaries: DataFrame): DataFrame = {
+    val spark = binaries.sparkSession
+    val rows = binaries.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        parseWavLayout(payload).map { lay =>
+          val n = (lay.dataLen / 2).toLong
+          var ss = 0L
+          var peak = 0
+          var zc = 0L
+          var prev = 0
+          var i = 0L
+          while (i < n) {
+            val s = sampleAt(payload, lay.dataOff, i)
+            ss += s.toLong * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            if (i > 0 && s.toLong * prev < 0) zc += 1
+            prev = s
+            i += 1
+          }
+          Row(r.getLong(0), n,
+            (n / lay.channels).toDouble / lay.sampleRate,
+            if (n == 0) 0.0 else math.sqrt(ss.toDouble / n),
+            peak.toDouble, zc)
+        }
+      }
+    }
+    spark.createDataFrame(rows, signalFeatureSchema)
   }
 
   // ---- real image decode (mm5): the image-modality sibling of the WAV
@@ -655,35 +717,43 @@ object Multimodal {
         "duration_sec", "rms")
   }
 
-  /** Frame sampling over "video" binaries: every `strideBytes`-th position
-    * yields one frame row of `frameBytes` bytes (a real demuxer samples
-    * every Nth frame the same way — fixed fan-out per payload, decode
-    * stubbed). One row per FRAME, so the explode factor is
-    * byte_len/strideBytes — bounded and predictable at 100 TB; the
-    * per-frame summary keeps the output columnar instead of shipping raw
-    * frame bytes downstream.
+  val pageSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("page_idx", LongType),
+    StructField("page_offset", LongType),
+    StructField("page_len", LongType),
+    StructField("page_sum_mod", DoubleType)))
+
+  /** Fixed-stride binary PAGE sampling — a decode-free LAYOUT operator (not
+    * a decoder: nothing here interprets a container format; for real frame
+    * demux see [[aviFrames]]). Every `strideBytes`-th position yields one
+    * row summarizing the `pageBytes`-byte slice there — the cheap
+    * probe-every-Nth-page shape used for corruption scans, sniff-sampling
+    * and storage audits over opaque blobs. Fan-out is byte_len/strideBytes
+    * — bounded and predictable at 100 TB; the per-page checksum keeps the
+    * output columnar instead of shipping raw bytes downstream.
     */
-  def sampleFrames(
+  def samplePages(
       binaries: DataFrame,
-      frameBytes: Int = 16,
+      pageBytes: Int = 16,
       strideBytes: Int = 64): DataFrame = {
-    require(frameBytes > 0 && strideBytes > 0, "need positive frame/stride")
+    require(pageBytes > 0 && strideBytes > 0, "need positive page/stride")
     val spark = binaries.sparkSession
     val rows = binaries.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
       it.flatMap { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        val nFrames = if (payload.length == 0) 0 else (payload.length - 1) / strideBytes + 1
-        (0 until nFrames).iterator.map { k =>
+        val nPages = if (payload.length == 0) 0 else (payload.length - 1) / strideBytes + 1
+        (0 until nPages).iterator.map { k =>
           val off = k * strideBytes
-          val frame = stubFrame(payload, off, frameBytes)
+          val end = math.min(payload.length, off + pageBytes)
           var sum = 0L
-          var i = 0
-          while (i < frame.length) { sum += frame(i) & 0xff; i += 1 }
-          Row(id, k.toLong, off.toLong, frame.length.toLong, (sum % 256).toDouble)
+          var i = off
+          while (i < end) { sum += payload(i) & 0xff; i += 1 }
+          Row(id, k.toLong, off.toLong, (end - off).toLong, (sum % 256).toDouble)
         }
       }
     }
-    spark.createDataFrame(rows, frameSchema)
+    spark.createDataFrame(rows, pageSchema)
   }
 }
