@@ -19,10 +19,12 @@ object Bench {
     // measure the queries, not JVM initialization
     Tables(spark, sfDir, "lineitem").count()
     operators.Firehose.metricsFromEvents(spark, sfDir).count()
-    // two full interleaved passes, min per query: the box shows ±3x
+    // three full interleaved passes, min per query: the box shows ±3x
     // noisy-neighbor variance, so back-to-back repeats of one query can both
     // land in the same noise window — separating the passes means a window
-    // must span the whole bench to poison a query's minimum
+    // must span the whole bench to poison a query's minimum (two passes
+    // still left the round-to-round ±5 s drift dominating attribution;
+    // round 6's q21 "+45%" was pure noise)
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -33,8 +35,9 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val pass1 = ordered.map { case (name, fn) => name -> timeOnce(fn) }.toMap
+    val pass2 = ordered.map { case (name, fn) => name -> timeOnce(fn) }.toMap
     val results = ordered.map { case (name, fn) =>
-      name -> math.min(pass1(name), timeOnce(fn))
+      name -> math.min(pass1(name), math.min(pass2(name), timeOnce(fn)))
     }
     def jsonMap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

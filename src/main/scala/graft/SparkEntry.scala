@@ -242,6 +242,12 @@ object SparkEntry {
         epochs = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.3))),
     "d22_dsir_sample" -> ((s, dir) =>
       Curate.dsirSample(Tables(s, dir, "documents"))),
+    "d23_strip_dup_passages" -> ((s, dir) =>
+      Dedup.stripDuplicatePassages(Tables(s, dir, "documents"))),
+    "d24_dsir_budget" -> ((s, dir) =>
+      Curate.dsirBudgetSample(
+        Tables(s, dir, "documents"),
+        budgets = Map("src0" -> 3000L, "src1" -> 2000L, "src2" -> 1000L, "src3" -> 500L))),
     "m21_prom_parse" -> ((s, dir) =>
       Firehose.promParse(
         Firehose.promRender(Firehose.gaugeLatest(Firehose.metricsFromEvents(s, dir))))),
@@ -390,6 +396,15 @@ object SparkEntry {
     "s3_ann_ivf" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+    // IVF-PQ with the standard refine stage: quantized ADC shortlist from
+    // the compact index (8 B of codes + 1 norm per vector), exact re-score
+    // of shortlist point lookups only. Rows-only like s3 (solver output);
+    // recall floor + landed-index compatibility + compression spec'd.
+    "s9_ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfPqRefine(
+        Similarity.ivfPqIndex(emb), emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
     "p1_corpus_curate" -> ((s, dir) => Curate.corpusStats(Tables(s, dir, "documents"))),
     "d7_sample_per_source" -> ((s, dir) =>
@@ -1849,6 +1864,69 @@ object SparkEntry {
         |r AS (SELECT *, CAST(row_number() OVER (
         |        ORDER BY dsir_score DESC, doc_id) AS BIGINT) AS rnk FROM scored)
         |SELECT doc_id, n_tokens, dsir_score, rnk FROM r WHERE rnk <= 100""".stripMargin,
+    // mirrors Curate.dsirBudgetSample: d22's scoring CTEs, then the d16
+    // budget window ordered by importance instead of the hash priority
+    "d24_dsir_budget" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 4096 AS bkt
+        |  FROM toks),
+        |model AS (
+        |  SELECT bkt, count(*) AS nr,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS nt
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT sum(nr) AS dr, sum(nt) AS dt FROM model),
+        |scored AS (
+        |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CAST(floor(ln(
+        |        (CAST(nt + 1 AS DOUBLE) * CAST(dr + 4096 AS DOUBLE)) /
+        |        (CAST(nr + 1 AS DOUBLE) * CAST(dt + 4096 AS DOUBLE)))
+        |      * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS dsir_score
+        |  FROM b JOIN model USING (bkt), tot
+        |  GROUP BY doc_id, source),
+        |bud(source, budget) AS (VALUES
+        |  ('src0', 3000), ('src1', 2000), ('src2', 1000), ('src3', 500)),
+        |r AS (
+        |  SELECT s.source, doc_id, n_tokens, dsir_score,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY s.source
+        |      ORDER BY dsir_score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |    CAST(budget AS BIGINT) AS budget
+        |  FROM scored s JOIN bud USING (source))
+        |SELECT source, doc_id, n_tokens, dsir_score, cum_tokens, budget
+        |FROM r WHERE cum_tokens <= budget""".stripMargin,
+    // mirrors Dedup.stripDuplicatePassages: t13's gram CTE finds the
+    // duplicated passages, the transform strips every covered token
+    "d23_strip_dup_passages" ->
+      (WordsCte +
+        """g AS (SELECT doc_id, i AS pos, array_to_string(list_slice(ws, i, i + 7), ' ') AS passage
+          |      FROM words, UNNEST(generate_series(1, len(ws) - 7)) t(i)
+          |      WHERE len(ws) >= 8),
+          |pd AS (SELECT passage, doc_id FROM g GROUP BY 1, 2),
+          |dup AS (SELECT passage FROM pd GROUP BY 1 HAVING count(*) >= 2),
+          |m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (passage)),
+          |cov AS (SELECT doc_id, tp FROM m, UNNEST(generate_series(pos, pos + 7)) c(tp) GROUP BY 1, 2),
+          |spans AS (SELECT doc_id, count(*) AS n_dup_spans FROM m GROUP BY 1),
+          |covn AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY 1),
+          |kept AS (
+          |  SELECT w.doc_id, p AS pos, ws[p] AS tok
+          |  FROM words w, UNNEST(generate_series(1, len(ws))) t(p)
+          |  WHERE NOT EXISTS (SELECT 1 FROM cov WHERE cov.doc_id = w.doc_id AND cov.tp = p)),
+          |clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+          |          FROM kept GROUP BY 1)
+          |SELECT w.doc_id,
+          |  COALESCE(spans.n_dup_spans, 0) AS n_dup_spans,
+          |  COALESCE(covn.n_removed, 0) AS n_tokens_removed,
+          |  COALESCE(clean.clean_text, '') AS clean_text
+          |FROM words w
+          |LEFT JOIN spans USING (doc_id)
+          |LEFT JOIN covn USING (doc_id)
+          |LEFT JOIN clean USING (doc_id)
+          |ORDER BY doc_id""".stripMargin),
     "d4b_simhash_pairs" ->
       (SimhashCandCte +
         """SELECT doc_a, doc_b, sh_a, sh_b,

@@ -327,11 +327,14 @@ object Curate {
     * scores are exact LONG sums of those integers: order-independent,
     * oracle-checkable bit-for-bit.
     */
-  def dsirSample(
+  /** The per-doc DSIR scoring relation `(doc_id, source, n_tokens,
+    * dsir_score)` — the shared machinery behind [[dsirSample]] (top-k)
+    * and [[dsirBudgetSample]] (budget-bounded selection).
+    */
+  def dsirScores(
       docs: DataFrame,
       targetSource: String = "src0",
-      buckets: Int = 4096,
-      k: Int = 100): DataFrame = {
+      buckets: Int = 4096): DataFrame = {
     val toks = graft.Tables.widen(docs)
       .select(col("doc_id"), col("source"),
         explode(TextAnalysis.tokens(col("text"))).as("w"))
@@ -347,18 +350,25 @@ object Curate {
     val ratio =
       ((col("nt") + 1).cast("double") * (col("dr") + buckets).cast("double")) /
         ((col("nr") + 1).cast("double") * (col("dt") + buckets).cast("double"))
-    val scored = toks
+    toks
       .join(broadcast(model), Seq("bkt"))
       .crossJoin(broadcast(totals))
       .withColumn("_v", floor(log(ratio) * lit(1e6) + lit(0.5)).cast("long"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("doc_id"), col("source"))
       .agg(
         count(lit(1)).as("n_tokens"),
         (sum(col("_v")).cast("double") / lit(1e6)).as("dsir_score"))
+  }
+
+  def dsirSample(
+      docs: DataFrame,
+      targetSource: String = "src0",
+      buckets: Int = 4096,
+      k: Int = 100): DataFrame =
     // global top-k as TakeOrdered (heap per partition, k rows to the
     // driver stage) — a rank WINDOW here would single-partition-sort the
     // whole corpus; the k survivors rank in a trivially small window
-    scored
+    dsirScores(docs, targetSource, buckets)
       .orderBy(col("dsir_score").desc, col("doc_id"))
       .limit(k)
       .withColumn("rnk",
@@ -366,5 +376,32 @@ object Curate {
           .over(Window.orderBy(col("dsir_score").desc, col("doc_id")))
           .cast("long"))
       .select("doc_id", "n_tokens", "dsir_score", "rnk")
+
+  /** DSIR × token budget — how a real corpus build composes the two: per
+    * source, take documents in DESCENDING importance order while the
+    * running token total stays within that source's budget (importance
+    * decides WHICH docs make the cut, the budget decides HOW MANY tokens
+    * each source contributes to the mix). Same shape as
+    * [[tokenBudgetSample]] with the hash priority replaced by
+    * [[dsirScores]]: the one new shuffle is the per-source cumulative-sum
+    * window (rank and running sum share its partitioning — no
+    * corpus-wide rank anywhere, and no source is corpus-sized). Scores
+    * are the exact quantized-ln sums, so selection is deterministic and
+    * engine-portable; ties break on doc_id.
+    */
+  def dsirBudgetSample(
+      docs: DataFrame,
+      budgets: Map[String, Long],
+      targetSource: String = "src0",
+      buckets: Int = 4096): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("dsir_score").desc, col("doc_id"))
+    dsirScores(docs, targetSource, buckets)
+      .withColumn("budget", element_at(typedLit(budgets), col("source")))
+      .filter(col("budget").isNotNull)
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("dsir_score"),
+        col("cum_tokens"), col("budget"))
   }
 }

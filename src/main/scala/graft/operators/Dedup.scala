@@ -15,6 +15,85 @@ import graft.functions.GraftFunctions
   */
 object Dedup {
 
+  /** Exact-substring dedup as a TRANSFORM (the C4/CCNet curation step):
+    * strip every word `n`-gram passage that appears in ≥ `minDocs`
+    * documents from each document's text, and report how much was cut.
+    * [[TextAnalysis.minePassages]] finds the repeated passages; this
+    * operator applies them.
+    *
+    * Three corpus scans, matching the deployment shape: (1) build the
+    * duplicate-passage relation with exactly t13's two-level aggregation
+    * (per-(passage, doc) collapse map-side, then the per-passage doc
+    * count) — its output is duplication-bounded, so it's materialized once
+    * ([[graft.Tables.materializeSmall]]) instead of re-derived per
+    * consumer; (2) re-gram each document and equi-join the matched passage
+    * STARTS against that index, folding them into a per-doc
+    * covered-position set — the relation that shuffles is
+    * duplication-bounded, not token-bounded; (3) rebuild each document's
+    * text from its uncovered tokens, a row-local codegen projection after
+    * joining the (affected-docs-sized) covered sets back on the doc key.
+    * Nothing is ever all-pairs; the passage join is an equi-join on the
+    * passage string exactly like the shingle joins.
+    *
+    * Output: (doc_id, n_dup_spans, n_tokens_removed, clean_text),
+    * deterministic (covered sets are sorted, token order preserved), so it
+    * oracle-checks bit-exactly.
+    */
+  def stripDuplicatePassages(
+      docs: DataFrame,
+      n: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val nTok = size(col("_ws"))
+    val toks = graft.Tables.widen(docs)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_ws"))
+    // positioned grams: one row per n-gram start (pos is 1-based)
+    val grams = toks.select(
+      col("doc_id"),
+      explode(
+        when(nTok >= n,
+          transform(
+            sequence(lit(1), nTok - lit(n - 1)),
+            i => struct(i.as("pos"), array_join(slice(col("_ws"), i, lit(n)), " ").as("passage"))))
+          .otherwise(array().cast("array<struct<pos:int,passage:string>>"))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.passage").as("passage"))
+    // t13's two-level agg: collapse per (passage, doc) first so the
+    // per-passage count is a count of docs over an already-small relation
+    val dup = graft.Tables.materializeSmall(
+      grams
+        .groupBy(col("passage"), col("doc_id")).agg(count(lit(1)).as("_n"))
+        .groupBy(col("passage")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= minDocs)
+        .select(col("passage")))
+    val matched = grams.join(dup, Seq("passage"))
+    val cov = matched
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_dup_spans"),
+        // collect_list order is partition-dependent; distinct + sort
+        // normalizes the covered set deterministically
+        array_sort(array_distinct(flatten(
+          collect_list(sequence(col("pos"), col("pos") + lit(n - 1)))))).as("_cov"))
+    toks
+      .join(cov, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(col("_cov").isNull, lit(0L))
+          .otherwise(size(col("_cov")).cast("long")).as("n_tokens_removed"),
+        when(nTok === 0, lit(""))
+          .otherwise(
+            array_join(
+              transform(
+                filter(
+                  zip_with(col("_ws"), sequence(lit(1), nTok),
+                    (t, p) => struct(t.as("t"), p.as("p"))),
+                  s => not(array_contains(
+                    coalesce(col("_cov"), array().cast("array<int>")), s.getField("p")))),
+                _.getField("t")),
+              " ")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Distinct word 3-gram shingles per document, keyed by the portable
     * 60-bit md5 hash of the shingle text: (doc_id, s: long). Every consumer
     * only tests shingle equality, so the joins and shuffles carry 8-byte

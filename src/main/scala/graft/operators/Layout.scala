@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout: Z-order (Morton-curve) clustering.
@@ -73,5 +73,56 @@ object Layout {
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
+  }
+
+  /** Land `df` z-ordered by `cols` at `dir`, plus the per-file min/max
+    * footprint relation at `dir/_footprint` (underscore-prefixed, so data
+    * readers ignore it exactly like `_SUCCESS`): one stats pass over the
+    * landed files, one row per file per clustered column pair. The
+    * footprint IS the skip index the read half prunes on — the same
+    * file-stats idea Delta/Iceberg keep in their transaction logs,
+    * expressed as a plain parquet relation.
+    */
+  def landZordered(
+      df: DataFrame,
+      cols: Seq[String],
+      dir: String,
+      numFiles: Int,
+      bits: Int = 16): Unit = {
+    zorderBy(df, cols, numFiles, bits).write.parquet(dir)
+    val spark = df.sparkSession
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))
+    }
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1) // one row per FILE — registry-sized by construction
+      .write.mode("overwrite").parquet(s"$dir/_footprint")
+  }
+
+  /** The read half of z-order data skipping: filter the landed footprint
+    * (a tiny scan — one row per file) to the files whose min/max block
+    * intersects `[lo, hi]` on clustered column `c`, and hand ONLY those to
+    * the parquet reader — the same skip Hive partition pruning gets from
+    * directory structure, but available on EVERY clustered dimension at
+    * once. The residual row filter is still applied, so results are
+    * identical to a full scan + filter; the driver-side file list is
+    * file-count-bounded (paths, not data). At 100 TB this is the
+    * difference between listing 16 of 10,000 files and scanning them all.
+    */
+  def footprintPrunedRead(
+      spark: SparkSession,
+      dir: String,
+      c: String,
+      lo: Any,
+      hi: Any): DataFrame = {
+    val files = spark.read.parquet(s"$dir/_footprint")
+      .filter(col(s"${c}__min") <= lit(hi) && col(s"${c}__max") >= lit(lo))
+      .select("file").collect().map(_.getString(0))
+    val base =
+      if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))
+      else spark.read.option("basePath", dir).parquet(files.toIndexedSeq: _*)
+    base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
 }

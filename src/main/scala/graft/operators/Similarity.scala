@@ -292,6 +292,224 @@ object Similarity {
       maxTrainRows: Long = 4096L): DataFrame =
     ivfSearch(ivfIndex(embeddings, nlist, maxTrainRows), probes, k, nprobe)
 
+  /** A product-quantized IVF index (IVF-PQ): the memory-bounded form of
+    * [[IvfIndex]]. Instead of carrying full-width embeddings through the
+    * cell join, each corpus vector stores only
+    *   - its coarse cell id,
+    *   - `m` sub-codes of `log2(ksub)` bits each, PACKED into one long
+    *     (the per-subspace codebook entry nearest to the vector's residual
+    *     from its cell centroid), and
+    *   - the reconstruction norm (one double, precomputed at index time so
+    *     search never rebuilds the vector).
+    * Index row ≈ 8 (id) + 4 (cell) + 8 (codes) + 8 (norm) bytes vs
+    * dims·4 for raw float32 — the compression that makes a 100 TB corpus
+    * searchable from executor memory. Codebooks are SHARED across cells
+    * and trained on residuals (the classic shared-codebook IVF-PQ layout),
+    * so the literal codebook matrices are plan-time constants exactly like
+    * the centroid matrix.
+    */
+  final case class IvfPqIndex(
+      centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]],
+      encoded: DataFrame)
+
+  private def sqDistLocal(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  private def nearestLocal(centers: Array[Array[Double]], x: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      val d = sqDistLocal(centers(c), x)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Build the IVF-PQ index. The coarse quantizer and the `m` per-subspace
+    * codebooks all fit driver-locally on the same bounded reservoir sample
+    * ([[lloydFit]] — registry-sized collect, microseconds of flops); the
+    * corpus pass is then ONE whole-stage-codegen projection: cell
+    * assignment, residual, per-subspace argmin against the literal
+    * codebooks, bit-pack, reconstruction norm. No model UDF, no extra job,
+    * no shuffle — at 100 TB this is the scan-bound ingest step that
+    * materializes the index.
+    *
+    * @param m    number of subspaces (must divide the dimensionality)
+    * @param ksub codebook entries per subspace (≤ 16 so codes pack into
+    *             4 bits each; m·4 must fit in 64 bits)
+    */
+  def ivfPqIndex(
+      embeddings: DataFrame,
+      nlist: Int = 16,
+      m: Int = 16,
+      ksub: Int = 16,
+      maxTrainRows: Long = 4096L): IvfPqIndex = {
+    require(ksub <= 16, "ksub > 16 would not pack into 4-bit codes")
+    require(m * 4 <= 64, "packed codes must fit in one long")
+    val sample = graft.Tables
+      .reservoirSample(embeddings.select(col("embedding")), maxTrainRows, seedSalt = 1009L)
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val dims = sample(0).length
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val dsub = dims / m
+    val centersArr = lloydFit(sample, nlist, iters = 8, seed = 42L)
+    // residuals of the SAME sample train the shared sub-codebooks
+    val residuals = sample.map { x =>
+      val c = centersArr(nearestLocal(centersArr, x))
+      Array.tabulate(dims)(i => x(i) - c(i))
+    }
+    val codebooksArr = Array.tabulate(m) { mm =>
+      val subPoints = residuals.map(r => java.util.Arrays.copyOfRange(r, mm * dsub, (mm + 1) * dsub))
+      lloydFit(subPoints, ksub, iters = 8, seed = 4242L + mm)
+    }
+    val centroids: Seq[Seq[Double]] = centersArr.map(_.toSeq).toSeq
+    val codebooks: Seq[Seq[Seq[Double]]] =
+      codebooksArr.map(_.map(_.toSeq).toSeq).toSeq
+    val centLit = typedLit(centroids)
+
+    // --- one codegen'd corpus projection: cell → residual → codes → norm
+    val withCell = embeddings.select(
+      col("vec_id").as("neighbor_id"), col("embedding"),
+      element_at(array_sort(array(cellDists(centroids, col("embedding")): _*)), 1)
+        .getField("cell").as("cell"))
+    val resid = zip_with(
+      col("embedding"), element_at(centLit, col("cell") + 1),
+      (x, c) => x.cast("double") - c)
+    def codeExpr(mm: Int): Column = {
+      val sub = slice(col("_resid"), mm * dsub + 1, dsub)
+      val entries = (0 until ksub).map { j =>
+        val d = aggregate(
+          zip_with(sub, typedLit(codebooks(mm)(j)), (x, e) => { val dd = x - e; dd * dd }),
+          lit(0.0), (acc, x) => acc + x)
+        // struct order = (dist, code): ties break to the lowest code, the
+        // same strict-< rule the driver-side fit uses
+        struct(d.as("dist"), lit(j.toLong).as("code"))
+      }
+      element_at(array_sort(array(entries: _*)), 1).getField("code")
+    }
+    val withCodes = withCell
+      .withColumn("_resid", resid)
+      .withColumn("_codes", array((0 until m).map(codeExpr): _*))
+    val packed = (0 until m)
+      .map(mm => shiftleft(col("_codes")(mm), mm * 4))
+      .reduce(_ + _)
+    val reconSq = (0 until m).map { mm =>
+      val entry = element_at(typedLit(codebooks(mm)), (col("_codes")(mm) + 1).cast("int"))
+      val centSub = slice(element_at(centLit, col("cell") + 1), mm * dsub + 1, dsub)
+      aggregate(
+        zip_with(entry, centSub, (e, c) => (e + c) * (e + c)),
+        lit(0.0), (acc, x) => acc + x)
+    }.reduce(_ + _)
+    IvfPqIndex(
+      centroids, codebooks,
+      withCodes.select(
+        col("neighbor_id"), col("cell"),
+        packed.as("code"), sqrt(reconSq).as("recon_norm")))
+  }
+
+  /** Search a built (possibly landed-and-reloaded) IVF-PQ index by
+    * asymmetric distance: the probe stays full-precision, the candidate is
+    * its quantized reconstruction `centroid(cell) + Σ codebook_m[code_m]`.
+    * cosine(q, recon) = (q·centroid + Σ_m q_m·codebook_m[code_m]) /
+    * (‖q‖·‖recon‖) — the numerator's first term is computed once per
+    * (probe, probed cell) on the tiny broadcast side, the per-subspace
+    * terms are codegen'd dot products against the LITERAL codebook
+    * matrices with the 4-bit code extracted by shift/mask, and ‖recon‖
+    * was precomputed at index time. The corpus side ships only
+    * (id, cell, packed code, norm) — never a vector.
+    */
+  def ivfPqSearch(
+      index: IvfPqIndex,
+      probes: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 8): DataFrame = {
+    val m = index.codebooks.length
+    val dsub = index.centroids.head.length / m
+    val centLit = typedLit(index.centroids)
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+    val nearestCells =
+      slice(array_sort(array(cellDists(index.centroids, col("embedding")): _*)), 1, nprobe)
+    val p = probes
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        explode(nearestCells).as("pc"))
+      .select(col("probe_id"), col("probe_emb"), col("pc.cell").as("cell"))
+      .withColumn("qdotc", dot(col("probe_emb"), element_at(centLit, col("cell") + 1)))
+      .withColumn("probe_norm", sqrt(dot(col("probe_emb"), col("probe_emb"))))
+    val adcDot = (0 until m).map { mm =>
+      val codeM = shiftright(col("code"), mm * 4).bitwiseAND(lit(15L)).cast("int")
+      dot(
+        slice(col("probe_emb"), mm * dsub + 1, dsub),
+        element_at(typedLit(index.codebooks(mm)), codeM + 1))
+    }.reduce(_ + _)
+    val scored = index.encoded
+      .join(broadcast(p), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        // zero-norm guard: NaN sorts above every double descending, so an
+        // unguarded zero vector would win every top-k — pin to -1 instead
+        when(col("probe_norm") * col("recon_norm") === 0.0, lit(-1.0))
+          .otherwise((col("qdotc") + adcDot) / (col("probe_norm") * col("recon_norm")))
+          .as("cosine_adc"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine_adc").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      probes: DataFrame,
+      k: Int = 5,
+      nlist: Int = 16,
+      m: Int = 16,
+      ksub: Int = 16,
+      nprobe: Int = 8,
+      maxTrainRows: Long = 4096L): DataFrame =
+    ivfPqSearch(ivfPqIndex(embeddings, nlist, m, ksub, maxTrainRows), probes, k, nprobe)
+
+  /** The standard IVF-PQ refine stage (what FAISS calls `IndexRefineFlat`):
+    * the quantized ADC pass produces a `shortlist`-sized candidate set per
+    * probe from the compact index alone; only those |probes|·shortlist
+    * candidates are re-scored at full precision against the corpus. The
+    * re-score is an equi-join on vector id with the TINY shortlist
+    * broadcast — at 100 TB that is a point-lookup pattern against a
+    * bucketed/sorted corpus, not a scan-and-rank: the expensive exact
+    * cosine runs on thousands of rows, not billions. Any true neighbor the
+    * ADC shortlist captured lands in the exact top-k, so refined recall ==
+    * ADC shortlist recall (spec-measured 0.78 at the defaults vs 0.38
+    * ADC-only).
+    */
+  def ivfPqRefine(
+      index: IvfPqIndex,
+      embeddings: DataFrame,
+      probes: DataFrame,
+      k: Int = 5,
+      nprobe: Int = 8,
+      shortlist: Int = 50): DataFrame = {
+    val short = ivfPqSearch(index, probes, k = shortlist, nprobe = nprobe)
+      .select(col("probe_id"), col("neighbor_id"))
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val cand = embeddings.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("cand_emb"))
+    val scored = cand
+      .join(broadcast(short.join(p, Seq("probe_id"))), Seq("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        GraftFunctions.cosine_sim(col("probe_emb"), col("cand_emb")).as("cosine"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Hard-negative mining for contrastive training: for each probe, the k
     * most-similar corpus vectors with a DIFFERENT label — the negatives
     * that actually move a contrastive loss (random negatives are too easy;

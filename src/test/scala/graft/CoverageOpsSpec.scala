@@ -402,6 +402,47 @@ class CoverageOpsSpec extends SparkSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "not rank-ordered")
   }
 
+  test("exact-substring dedup strips shared passages and keeps unique text") {
+    import spark.implicits._
+    val passage = (1 to 8).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a b c $passage d e"),
+      (2L, s"$passage x y z"),
+      (3L, "q r s t u v w x")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.stripDuplicatePassages(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dup_spans"), r.getAs[Long]("n_tokens_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    // the shared 8-gram (and ONLY it — surrounding grams are unshared)
+    // vanishes from both carriers; the unique doc is untouched
+    assert(out(1L) === ((1L, 8L, "a b c d e")))
+    assert(out(2L) === ((1L, 8L, "x y z")))
+    assert(out(3L) === ((0L, 0L, "q r s t u v w x")))
+  }
+
+  test("DSIR budget sampling takes the most-target-like docs under the token budget") {
+    // same planted corpus as the resampling spec: under a 300-token budget
+    // (10 docs × 30 tokens) the raw source must contribute exactly its 10
+    // hidden target-vocabulary speakers — importance picks WHO, the budget
+    // caps HOW MUCH
+    import spark.implicits._
+    val vocabA = Seq("alpha", "beta", "gamma", "delta")
+    val vocabB = Seq("omega", "sigma", "tau", "kappa")
+    def text(vocab: Seq[String], seed: Int): String =
+      (0 until 30).map(i => vocab((i * 7 + seed) % vocab.length)).mkString(" ")
+    val rows =
+      (1L to 20L).map(i => (i, text(vocabA, i.toInt), "tgt")) ++
+        (21L to 80L).map(i => (i, text(vocabB, i.toInt), "raw")) ++
+        (81L to 90L).map(i => (i, text(vocabA, i.toInt), "raw"))
+    val docs = rows.toDF("doc_id", "text", "source")
+    val sel = graft.operators.Curate
+      .dsirBudgetSample(docs, budgets = Map("raw" -> 300L), targetSource = "tgt", buckets = 64)
+      .collect()
+    assert(sel.map(_.getAs[Long]("doc_id")).toSet === (81L to 90L).toSet,
+      "budgeted selection should be exactly the hidden target-vocabulary raw docs")
+    assert(sel.forall(r => r.getAs[Long]("cum_tokens") <= r.getAs[Long]("budget")))
+  }
+
   test("q4/q6/correlated/histogram return coherent results at smoke scale") {
     val q4 = Relational.q4OrderPriority(spark, sfDir).collect()
     assert(q4.nonEmpty && q4.forall(_.getLong(1) > 0))

@@ -100,4 +100,29 @@ class LayoutSpec extends SparkSuite {
     // to worse than half the files for a 10% slice)
     assert(touching(zFp, 10, 19, "x") <= 8)
   }
+
+  test("footprint-pruned read skips files on a z-range predicate with identical results") {
+    import spark.implicits._
+    val grid = (0 until 100).flatMap(x => (0 until 100).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val dir = Files.createTempDirectory("graft-zread").toFile.getAbsolutePath + "/z"
+    graft.operators.Layout.landZordered(grid, Seq("x", "y"), dir, numFiles = 16)
+    // the footprint must not pollute plain data reads (underscore-hidden)
+    assert(spark.read.parquet(dir).count() === 10000L)
+    val pruned = graft.operators.Layout.footprintPrunedRead(spark, dir, "y", 10L, 19L)
+    val full = spark.read.parquet(dir).filter(col("y").between(10, 19))
+    assert(pruned.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      full.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    // the scan itself must touch fewer files than the directory holds —
+    // the pruning happened BEFORE the reader, not in a post-scan filter
+    val scannedFiles = pruned.queryExecution.sparkPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.count(!_.contains("_footprint"))
+    }.sum
+    assert(scannedFiles <= 8, s"expected ≤8/16 files at the scan, got $scannedFiles")
+    // empty intersection: no file qualifies, results are empty, schema holds
+    val none = graft.operators.Layout.footprintPrunedRead(spark, dir, "y", 1000L, 2000L)
+    assert(none.count() === 0L)
+    assert(none.schema.fieldNames.toSeq === Seq("x", "y"))
+  }
 }

@@ -151,6 +151,67 @@ class OperatorSpec extends SparkSuite {
     assert(scans.exists(_.contains("idx")), s"landed index not read: $scans")
   }
 
+  test("IVF-PQ refined recall at defaults stays above the floor") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, probes, k = 5)
+      .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = Similarity.ivfPqIndex(emb)
+    val adc = Similarity.ivfPqSearch(index, probes, k = 5)
+      .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.ivfPqRefine(index, emb, probes, k = 5)
+      .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcRecall = (exact intersect adc).size.toDouble / exact.size
+    val refRecall = (exact intersect refined).size.toDouble / exact.size
+    info(f"IVF-PQ recall vs exact top-5: ADC-only $adcRecall%.2f, refined $refRecall%.2f")
+    // near-uniform random vectors are the PQ worst case (neighbor cosine
+    // gaps are tiny, so 4-bit quantization error swamps pure ADC ranking);
+    // the refine stage re-scores only the ADC shortlist exactly and must
+    // recover most of the exact set. Sample, seeds, and tie-breaks are all
+    // fixed, so both values are deterministic — the floors guard the
+    // defaults, not flakiness.
+    assert(adcRecall >= 0.3, f"ADC-only recall $adcRecall%.2f below the 0.3 floor")
+    assert(refRecall >= 0.7, f"refined recall $refRecall%.2f below the 0.7 floor")
+  }
+
+  test("IVF-PQ search from a landed index matches the one-shot form and carries no vectors") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    val index = Similarity.ivfPqIndex(emb)
+    // the index relation is scalar-only: id, cell, one packed code long,
+    // one norm double — this is the ≈20-byte row that replaces a 256-byte
+    // float32 vector at search time
+    assert(!index.encoded.schema.fields.exists(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+      s"encoded index must not carry vector columns: ${index.encoded.schema}")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toFile.getAbsolutePath + "/idx"
+    index.encoded.write.parquet(dir)
+    val landed = Similarity.IvfPqIndex(
+      index.centroids, index.codebooks, spark.read.parquet(dir))
+    val direct = Similarity.ivfPqSearch(index, probes, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val fromLanded = Similarity.ivfPqSearch(landed, probes, k = 5)
+    assert(fromLanded.collect().map(_.toString).sorted.toSeq === direct)
+    // the probe side reads embeddings; the ADC corpus side must read ONLY
+    // the landed index files
+    val scans = fromLanded.queryExecution.sparkPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.get("Location").map(_.toString).getOrElse("")
+    }
+    assert(scans.count(_.contains("embeddings.parquet")) === 1, // probes only
+      s"corpus re-scanned in the landed ADC search: $scans")
+    assert(scans.exists(_.contains("idx")), s"landed index not read: $scans")
+    // compression: the landed PQ index must be a small fraction of the raw
+    // float32 corpus (64 dims × 4 B = 256 B/vector vs ~20 B/row here)
+    def bytesUnder(p: java.io.File): Long =
+      if (p.isDirectory) p.listFiles().map(bytesUnder).sum else p.length()
+    val idxBytes = bytesUnder(new java.io.File(dir))
+    val rawBytes = bytesUnder(new java.io.File(s"$sfDir/embeddings.parquet"))
+    info(f"landed IVF-PQ index: $idxBytes%d B vs raw corpus $rawBytes%d B")
+    assert(idxBytes * 4 < rawBytes,
+      s"PQ index ($idxBytes B) should be <1/4 of the raw corpus ($rawBytes B)")
+  }
+
   test("int8 quantized ANN keeps high agreement with the f32 exact top-k") {
     val emb = Tables(spark, sfDir, "embeddings")
     val probes = emb.filter(col("vec_id") < 10)
