@@ -248,6 +248,8 @@ object SparkEntry {
       Curate.dsirBudgetSample(
         Tables(s, dir, "documents"),
         budgets = Map("src0" -> 3000L, "src1" -> 2000L, "src2" -> 1000L, "src3" -> 500L))),
+    "d25_semdedup" -> ((s, dir) =>
+      Dedup.semDedup(Tables(s, dir, "embeddings"))),
     "m21_prom_parse" -> ((s, dir) =>
       Firehose.promParse(
         Firehose.promRender(Firehose.gaugeLatest(Firehose.metricsFromEvents(s, dir))))),
@@ -1350,6 +1352,29 @@ object SparkEntry {
          |  ${cosineSql("a.embedding", "b.embedding")} AS cosine
          | FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT vec_a, vec_b, block, cosine FROM p WHERE cosine >= 0.35""".stripMargin,
+    // mirrors Dedup.semDedup: d5's pair CTE + d6's recursive-closure
+    // min-label clusters, then keep the representative per cluster
+    "d25_semdedup" ->
+      s"""WITH RECURSIVE p AS (
+         | SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         | FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         | WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |reach(doc, r) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |clusters AS (
+         |  SELECT doc AS vec_id, least(doc, min(r)) AS cluster_rep
+         |  FROM reach GROUP BY doc),
+         |sizes AS (SELECT cluster_rep, count(*) AS n_merged FROM clusters GROUP BY 1)
+         |SELECT e.vec_id, e.label, CAST(COALESCE(s.n_merged, 1) AS BIGINT) AS n_merged
+         |FROM embeddings e
+         |LEFT JOIN clusters c ON e.vec_id = c.vec_id
+         |LEFT JOIN sizes s ON e.vec_id = s.cluster_rep
+         |WHERE c.vec_id IS NULL OR c.cluster_rep = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
     "s1_ann_bruteforce" ->
       s"""WITH probes AS (SELECT * FROM embeddings WHERE vec_id < 10),
          |scored AS (

@@ -165,4 +165,152 @@ object Kernels {
     }
     h
   }
+
+  // ---- IVF-PQ kernels ------------------------------------------------
+  // The model matrices (centroids, per-subspace codebooks) are plan-time
+  // constants passed by reference; each kernel is one tight primitive loop
+  // so the whole PQ hot path stays inside whole-stage codegen with a plan
+  // of a few NODES instead of the thousands a higher-order-function
+  // formulation costs Catalyst per action.
+
+  private def sqDistTo(v: ArrayData, c: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < c.length) {
+      val d = v.getFloat(i).toDouble - c(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Nearest centroid id (ties → lower id, matching strict-< selection). */
+  def nearestCell(v: ArrayData, centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < centroids.length) {
+      val d = sqDistTo(v, centroids(i))
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** The `nprobe` nearest centroid ids ascending by (distance, id). */
+  def nearestCells(
+      v: ArrayData,
+      centroids: Array[Array[Double]],
+      nprobe: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val k = centroids.length
+    val dists = new Array[Double](k)
+    var i = 0
+    while (i < k) { dists(i) = sqDistTo(v, centroids(i)); i += 1 }
+    val n = math.min(nprobe, k)
+    val out = new Array[Int](n)
+    val used = new Array[Boolean](k)
+    var o = 0
+    while (o < n) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < k) {
+        if (!used(j) && dists(j) < bestD) { bestD = dists(j); best = j }
+        j += 1
+      }
+      used(best) = true
+      out(o) = best
+      o += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** PQ-encode one vector: residual vs its cell centroid, per-subspace
+    * argmin against the shared codebooks (ties → lower code), 4 bits per
+    * code packed into one long, plus the reconstruction norm
+    * ‖centroid + Σ codebook[code]‖. Returns (code, recon_norm).
+    */
+  def pqEncode(
+      v: ArrayData,
+      cell: Int,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]])
+      : org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val cent = centroids(cell)
+    val m = codebooks.length
+    val dsub = cent.length / m
+    var code = 0L
+    var normSq = 0.0
+    var mm = 0
+    while (mm < m) {
+      val cb = codebooks(mm)
+      val off = mm * dsub
+      var bestJ = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cb.length) {
+        val e = cb(j)
+        var s = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = (v.getFloat(off + i).toDouble - cent(off + i)) - e(i)
+          s += d * d
+          i += 1
+        }
+        if (s < bestD) { bestD = s; bestJ = j }
+        j += 1
+      }
+      code |= bestJ.toLong << (mm * 4)
+      val e = cb(bestJ)
+      var i = 0
+      while (i < dsub) {
+        val r = e(i) + cent(off + i)
+        normSq += r * r
+        i += 1
+      }
+      mm += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](code, math.sqrt(normSq)))
+  }
+
+  /** Asymmetric-distance dot: Σ_m probe_sub_m · codebook_m[code_m]. */
+  def pqAdcDot(
+      v: ArrayData,
+      code: Long,
+      codebooks: Array[Array[Array[Double]]]): Double = {
+    val m = codebooks.length
+    val dsub = v.numElements() / m
+    var s = 0.0
+    var mm = 0
+    while (mm < m) {
+      val e = codebooks(mm)(((code >>> (mm * 4)) & 15L).toInt)
+      val off = mm * dsub
+      var i = 0
+      while (i < dsub) {
+        s += v.getFloat(off + i).toDouble * e(i)
+        i += 1
+      }
+      mm += 1
+    }
+    s
+  }
+
+  /** probe · centroids[cell] — the per-probed-cell ADC term. */
+  def dotCentroid(v: ArrayData, cell: Int, centroids: Array[Array[Double]]): Double = {
+    val c = centroids(cell)
+    var s = 0.0
+    var i = 0
+    while (i < c.length) { s += v.getFloat(i).toDouble * c(i); i += 1 }
+    s
+  }
+
+  /** Euclidean norm of a float-array vector. */
+  def vecNorm(v: ArrayData): Double = {
+    val n = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
 }

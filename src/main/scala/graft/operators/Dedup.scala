@@ -42,29 +42,56 @@ object Dedup {
   def stripDuplicatePassages(
       docs: DataFrame,
       n: Int = 8,
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2): DataFrame =
+    stripWithIndex(docs, graft.Tables.materializeSmall(dupPassageIndex(docs, n, minDocs)), n)
+
+  /** Positioned word `n`-grams: one row per gram start (pos is 1-based). */
+  private def passageGrams(docs: DataFrame, n: Int): DataFrame = {
+    val nTok = size(col("_ws"))
+    graft.Tables.widen(docs)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_ws"))
+      .select(
+        col("doc_id"),
+        explode(
+          when(nTok >= n,
+            transform(
+              sequence(lit(1), nTok - lit(n - 1)),
+              i => struct(i.as("pos"), array_join(slice(col("_ws"), i, lit(n)), " ").as("passage"))))
+            .otherwise(array().cast("array<struct<pos:int,passage:string>>"))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.passage").as("passage"))
+  }
+
+  /** The duplicate-passage INDEX half of [[stripDuplicatePassages]]:
+    * passages appearing in ≥ `minDocs` documents, via exactly t13's
+    * two-level aggregation (collapse per (passage, doc) first so the
+    * per-passage count runs on an already-small relation). The output is
+    * duplication-bounded — this is what an ingest pipeline lands once and
+    * every later strip (batch or streaming) reads.
+    */
+  def dupPassageIndex(
+      docs: DataFrame,
+      n: Int = 8,
+      minDocs: Int = 2): DataFrame =
+    passageGrams(docs, n)
+      .groupBy(col("passage"), col("doc_id")).agg(count(lit(1)).as("_n"))
+      .groupBy(col("passage")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("passage"))
+
+  /** The APPLY half: strip a (possibly landed-and-reloaded) duplicate-
+    * passage index from a document relation. Works unchanged on a
+    * streaming micro-batch inside `foreachBatch` (the reference's
+    * per-batch `endOfSet()` shape) — ingest-time curation against the
+    * landed index, spec'd for row-for-row batch parity.
+    */
+  def stripWithIndex(
+      docs: DataFrame,
+      dup: DataFrame,
+      n: Int = 8): DataFrame = {
     val nTok = size(col("_ws"))
     val toks = graft.Tables.widen(docs)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_ws"))
-    // positioned grams: one row per n-gram start (pos is 1-based)
-    val grams = toks.select(
-      col("doc_id"),
-      explode(
-        when(nTok >= n,
-          transform(
-            sequence(lit(1), nTok - lit(n - 1)),
-            i => struct(i.as("pos"), array_join(slice(col("_ws"), i, lit(n)), " ").as("passage"))))
-          .otherwise(array().cast("array<struct<pos:int,passage:string>>"))).as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.passage").as("passage"))
-    // t13's two-level agg: collapse per (passage, doc) first so the
-    // per-passage count is a count of docs over an already-small relation
-    val dup = graft.Tables.materializeSmall(
-      grams
-        .groupBy(col("passage"), col("doc_id")).agg(count(lit(1)).as("_n"))
-        .groupBy(col("passage")).agg(count(lit(1)).as("n_docs"))
-        .filter(col("n_docs") >= minDocs)
-        .select(col("passage")))
-    val matched = grams.join(dup, Seq("passage"))
+    val matched = passageGrams(docs, n).join(dup, Seq("passage"))
     val cov = matched
       .groupBy(col("doc_id"))
       .agg(
@@ -644,5 +671,37 @@ object Dedup {
         col(s"a.$blockCol").as("block"),
         GraftFunctions.cosine_sim(col("a.embedding"), col("b.embedding")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023 "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): embedding near-dup pairs → connected components →
+    * keep ONE vector per semantic cluster (the min-id representative),
+    * emitting the kept corpus with each survivor's merge weight (cluster
+    * size, 1 for untouched vectors) — the weight a loss-reweighting or
+    * epoch-sampling step consumes downstream.
+    *
+    * Pure composition: [[embeddingNearDup]] supplies the blocked pair
+    * relation (never all-pairs), [[resolveClusters]] the O(diameter)
+    * min-label propagation; the only new work — survivor filter and
+    * cluster sizes — runs on the pair-bounded cluster relation, so the
+    * corpus-scale cost is exactly d5's.
+    */
+  def semDedup(
+      embeddings: DataFrame,
+      blockCol: String = "label",
+      threshold: Double = 0.35): DataFrame = {
+    val pairs = embeddingNearDup(embeddings, blockCol, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val clusters = resolveClusters(pairs) // (doc_id, cluster_rep)
+    val sizes = clusters.groupBy(col("cluster_rep")).agg(count(lit(1)).as("n_merged"))
+    embeddings
+      .join(clusters.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .filter(col("cluster_rep").isNull || col("cluster_rep") === col("vec_id"))
+      .join(sizes.withColumnRenamed("cluster_rep", "vec_id"), Seq("vec_id"), "left")
+      .select(
+        col("vec_id"), col("label"),
+        coalesce(col("n_merged"), lit(1L)).as("n_merged"))
+      .orderBy(col("vec_id"))
   }
 }

@@ -309,8 +309,8 @@ object Similarity {
     * the centroid matrix.
     */
   final case class IvfPqIndex(
-      centroids: Seq[Seq[Double]],
-      codebooks: Seq[Seq[Seq[Double]]],
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
       encoded: DataFrame)
 
   private def sqDistLocal(a: Array[Double], b: Array[Double]): Double = {
@@ -370,49 +370,26 @@ object Similarity {
       val subPoints = residuals.map(r => java.util.Arrays.copyOfRange(r, mm * dsub, (mm + 1) * dsub))
       lloydFit(subPoints, ksub, iters = 8, seed = 4242L + mm)
     }
-    val centroids: Seq[Seq[Double]] = centersArr.map(_.toSeq).toSeq
-    val codebooks: Seq[Seq[Seq[Double]]] =
-      codebooksArr.map(_.map(_.toSeq).toSeq).toSeq
-    val centLit = typedLit(centroids)
 
-    // --- one codegen'd corpus projection: cell → residual → codes → norm
+    // --- one codegen'd corpus projection: cell → residual → codes → norm.
+    // The model matrices ride into the generated code as reference objects
+    // (PqCell / PqEncode kernels) — a few plan nodes total, vs the
+    // thousands a higher-order-function formulation costs Catalyst PER
+    // ACTION in analysis alone.
+    import org.apache.spark.sql.graft.{GraftBridge, PqCell, PqEncode}
+    def c2e(c: Column) = GraftBridge.expression(c)
     val withCell = embeddings.select(
       col("vec_id").as("neighbor_id"), col("embedding"),
-      element_at(array_sort(array(cellDists(centroids, col("embedding")): _*)), 1)
-        .getField("cell").as("cell"))
-    val resid = zip_with(
-      col("embedding"), element_at(centLit, col("cell") + 1),
-      (x, c) => x.cast("double") - c)
-    def codeExpr(mm: Int): Column = {
-      val sub = slice(col("_resid"), mm * dsub + 1, dsub)
-      val entries = (0 until ksub).map { j =>
-        val d = aggregate(
-          zip_with(sub, typedLit(codebooks(mm)(j)), (x, e) => { val dd = x - e; dd * dd }),
-          lit(0.0), (acc, x) => acc + x)
-        // struct order = (dist, code): ties break to the lowest code, the
-        // same strict-< rule the driver-side fit uses
-        struct(d.as("dist"), lit(j.toLong).as("code"))
-      }
-      element_at(array_sort(array(entries: _*)), 1).getField("code")
-    }
-    val withCodes = withCell
-      .withColumn("_resid", resid)
-      .withColumn("_codes", array((0 until m).map(codeExpr): _*))
-    val packed = (0 until m)
-      .map(mm => shiftleft(col("_codes")(mm), mm * 4))
-      .reduce(_ + _)
-    val reconSq = (0 until m).map { mm =>
-      val entry = element_at(typedLit(codebooks(mm)), (col("_codes")(mm) + 1).cast("int"))
-      val centSub = slice(element_at(centLit, col("cell") + 1), mm * dsub + 1, dsub)
-      aggregate(
-        zip_with(entry, centSub, (e, c) => (e + c) * (e + c)),
-        lit(0.0), (acc, x) => acc + x)
-    }.reduce(_ + _)
+      GraftBridge.column(PqCell(c2e(col("embedding")), centersArr)).as("cell"))
     IvfPqIndex(
-      centroids, codebooks,
-      withCodes.select(
-        col("neighbor_id"), col("cell"),
-        packed.as("code"), sqrt(reconSq).as("recon_norm")))
+      centersArr, codebooksArr,
+      withCell
+        .withColumn("_enc",
+          GraftBridge.column(
+            PqEncode(c2e(col("embedding")), c2e(col("cell")), centersArr, codebooksArr)))
+        .select(
+          col("neighbor_id"), col("cell"),
+          col("_enc.code").as("code"), col("_enc.recon_norm").as("recon_norm")))
   }
 
   /** Search a built (possibly landed-and-reloaded) IVF-PQ index by
@@ -431,25 +408,17 @@ object Similarity {
       probes: DataFrame,
       k: Int = 5,
       nprobe: Int = 8): DataFrame = {
-    val m = index.codebooks.length
-    val dsub = index.centroids.head.length / m
-    val centLit = typedLit(index.centroids)
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
-    val nearestCells =
-      slice(array_sort(array(cellDists(index.centroids, col("embedding")): _*)), 1, nprobe)
+    import org.apache.spark.sql.graft.{DotCentroid, GraftBridge, NearestCells, PqAdcDot, VecNorm}
+    def c2e(c: Column) = GraftBridge.expression(c)
     val p = probes
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
-        explode(nearestCells).as("pc"))
-      .select(col("probe_id"), col("probe_emb"), col("pc.cell").as("cell"))
-      .withColumn("qdotc", dot(col("probe_emb"), element_at(centLit, col("cell") + 1)))
-      .withColumn("probe_norm", sqrt(dot(col("probe_emb"), col("probe_emb"))))
-    val adcDot = (0 until m).map { mm =>
-      val codeM = shiftright(col("code"), mm * 4).bitwiseAND(lit(15L)).cast("int")
-      dot(
-        slice(col("probe_emb"), mm * dsub + 1, dsub),
-        element_at(typedLit(index.codebooks(mm)), codeM + 1))
-    }.reduce(_ + _)
+        explode(GraftBridge.column(
+          NearestCells(c2e(col("embedding")), index.centroids, nprobe))).as("cell"))
+      .withColumn("qdotc",
+        GraftBridge.column(DotCentroid(c2e(col("probe_emb")), c2e(col("cell")), index.centroids)))
+      .withColumn("probe_norm", GraftBridge.column(VecNorm(c2e(col("probe_emb")))))
+    val adcDot = GraftBridge.column(
+      PqAdcDot(c2e(col("probe_emb")), c2e(col("code")), index.codebooks))
     val scored = index.encoded
       .join(broadcast(p), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))

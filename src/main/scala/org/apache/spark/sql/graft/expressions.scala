@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.Kernels
@@ -105,6 +105,154 @@ case class MinHashSig(child: Expression, k: Int)
         s"graft.functions.Kernels.minhashSig($c, $k))")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** IVF-PQ expressions: the model matrices (centroids / per-subspace
+  * codebooks) are PLAN-TIME CONSTANTS carried as reference objects into the
+  * generated code — one kernel call per row inside whole-stage codegen, a
+  * plan of a few nodes. (The equivalent higher-order-function formulation
+  * built thousands-of-node trees that cost Catalyst seconds of analysis
+  * per action and evaluated interpreted.)
+  */
+
+/** The single nearest IVF cell of an embedding (corpus assignment). */
+case class PqCell(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.nearestCell(v.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.nearestCell($c, $cRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCell =
+    copy(child = newChild)
+}
+
+/** The `nprobe` nearest IVF cells of a probe embedding, ascending by
+  * (distance, id).
+  */
+case class NearestCells(
+    child: Expression,
+    centroids: Array[Array[Double]],
+    nprobe: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.nearestCells(v.asInstanceOf[ArrayData], centroids, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.nearestCells($c, $cRef, $nprobe)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}
+
+/** PQ-encode (emb, cell) → struct(code: long, recon_norm: double). */
+case class PqEncode(
+    left: Expression,
+    right: Expression,
+    centroids: Array[Array[Double]],
+    codebooks: Array[Array[Array[Double]]])
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), IntegerType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("code", LongType, nullable = false),
+    StructField("recon_norm", DoubleType, nullable = false)))
+
+  override protected def nullSafeEval(v: Any, cell: Any): Any =
+    Kernels.pqEncode(
+      v.asInstanceOf[ArrayData], cell.asInstanceOf[Int], centroids, codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val bRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, (v, cell) =>
+      s"graft.functions.Kernels.pqEncode($v, $cell, $cRef, $bRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ADC dot of (probe emb, packed code) against the literal codebooks. */
+case class PqAdcDot(
+    left: Expression,
+    right: Expression,
+    codebooks: Array[Array[Array[Double]]])
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), LongType)
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(v: Any, code: Any): Any =
+    Kernels.pqAdcDot(v.asInstanceOf[ArrayData], code.asInstanceOf[Long], codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev, (v, code) =>
+      s"graft.functions.Kernels.pqAdcDot($v, $code, $bRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** probe · centroids[cell] — the per-probed-cell ADC term. */
+case class DotCentroid(
+    left: Expression,
+    right: Expression,
+    centroids: Array[Array[Double]])
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), IntegerType)
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(v: Any, cell: Any): Any =
+    Kernels.dotCentroid(v.asInstanceOf[ArrayData], cell.asInstanceOf[Int], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev, (v, cell) =>
+      s"graft.functions.Kernels.dotCentroid($v, $cell, $cRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotCentroid =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Euclidean norm of a float-array embedding. */
+case class VecNorm(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.vecNorm(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.vecNorm($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): VecNorm =
     copy(child = newChild)
 }
 

@@ -1226,6 +1226,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("passage stripping runs identically on streamed micro-batches against a landed index") {
+    // d23's streaming sibling: the duplicate-passage index is landed once
+    // by ingest; each arriving micro-batch is stripped against it inside
+    // foreachBatch (the reference's per-batch endOfSet() shape). The apply
+    // half is the SAME stripWithIndex as batch — results must match
+    // row-for-row
+    val dir = Files.createTempDirectory("graft-strip").toFile
+    val chk = Files.createTempDirectory("graft-strip-chk").toFile
+    val docs = Tables(spark, sfDir, "documents").limit(100).select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir.getAbsolutePath + "/docs")
+    graft.operators.Dedup.dupPassageIndex(docs).write.parquet(dir.getAbsolutePath + "/pidx")
+    val landed = spark.read.parquet(dir.getAbsolutePath + "/pidx")
+    val expected = graft.operators.Dedup.stripWithIndex(docs, landed)
+      .collect().map(_.toString).sorted.toSeq
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stream = spark.readStream.schema(docs.schema).parquet(dir.getAbsolutePath + "/docs")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup.stripWithIndex(batch.toDF(), landed)
+          .collect().foreach(r => out.add(r.toString))
+        ()
+      }
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(out.toArray(Array.empty[String]).sorted.toSeq === expected)
+    } finally q.stop()
+  }
+
   test("exposition sink renders prometheus text per micro-batch") {
     val dir = Files.createTempDirectory("graft-stream3").toFile
     val chk = Files.createTempDirectory("graft-chk3").toFile
