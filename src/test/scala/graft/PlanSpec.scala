@@ -267,4 +267,19 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("*("), s"expected codegen in:\n$plan")
     assert(df.selectExpr("sum(c)").collect()(0).getDouble(0) > 0)
   }
+
+  test("whole-stage codegen covers the IVF-PQ encode projection") {
+    // the PQ model matrices ride into the generated code as reference
+    // objects — the encode (cell assignment + residual argmin + bit-pack)
+    // must fuse into the scan's codegen stage, not fall back to
+    // interpreted eval, and the plan must stay node-bounded (the former
+    // higher-order-function form built thousands-of-node trees)
+    val emb = Tables(spark, sfDir, "embeddings")
+    val idx = graft.operators.Similarity.ivfPqIndex(emb)
+    val plan = planOf(idx.encoded)
+    assert(plan.contains("*("), s"expected codegen in:\n$plan")
+    assert(plan.contains("pqencode") || plan.contains("PqEncode"),
+      s"encode expression missing from plan:\n$plan")
+    assert(idx.encoded.count() > 0)
+  }
 }
