@@ -250,6 +250,17 @@ object SparkEntry {
         budgets = Map("src0" -> 3000L, "src1" -> 2000L, "src2" -> 1000L, "src3" -> 500L))),
     "d25_semdedup" -> ((s, dir) =>
       Dedup.semDedup(Tables(s, dir, "embeddings"))),
+    "t17_quality_pr" -> ((s, dir) =>
+      TextAnalysis.qualityPrCurve(Tables(s, dir, "documents"))),
+    // filtered vector search (the payload-filter shape of production
+    // vector stores): candidates restricted by a metadata predicate
+    // BEFORE ranking, probes unrestricted; exact form is oracle-checked,
+    // the filtered IVF-PQ scale path is spec'd (pushdown + recall floor)
+    "s10_ann_filtered" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb.filter(col("label") < 5), emb.filter(col("vec_id") < 10), k = 5)
+    }),
     "m21_prom_parse" -> ((s, dir) =>
       Firehose.promParse(
         Firehose.promRender(Firehose.gaugeLatest(Firehose.metricsFromEvents(s, dir))))),
@@ -1384,6 +1395,64 @@ object SparkEntry {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
          |        ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk FROM scored)
          |SELECT probe_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // s1 with the candidate side pre-filtered on metadata
+    "s10_ann_filtered" ->
+      s"""WITH probes AS (SELECT * FROM embeddings WHERE vec_id < 10),
+         |cand AS (SELECT * FROM embeddings WHERE label < 5),
+         |scored AS (
+         | SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |   ${cosineSql("p.embedding", "c.embedding")} AS cosine
+         | FROM cand c JOIN probes p ON c.vec_id != p.vec_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk FROM scored)
+         |SELECT probe_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // mirrors TextAnalysis.qualityPrCurve: t2's quality chain + t12's keep
+    // chain joined on the doc key, 21-threshold sweep, exact counts
+    "t17_quality_pr" ->
+      (WordsCte +
+        s"""qb AS (SELECT doc_id,
+           |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+           |  CAST(len(ws) AS BIGINT) AS n_words,
+           |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+           |  ${markerSql("en")} AS n_stop
+           |FROM documents JOIN words USING (doc_id)),
+           |q AS (SELECT doc_id,
+           |  least(n_words::DOUBLE / 50.0, 1.0) * 0.5
+           |    + (1.0 - n_punct::DOUBLE / nullif(n_chars_actual, 0)) * 0.3
+           |    + least((n_stop::DOUBLE / nullif(n_words, 0)) * 5.0, 1.0) * 0.2 AS quality
+           |FROM qb),
+           |gb AS (SELECT doc_id,
+           |  CAST(len(ws) AS BIGINT) AS n_words,
+           |  CAST(list_reduce(
+           |    list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(ws, w -> CAST(length(w) AS BIGINT))),
+           |    (a, b) -> a + b) AS BIGINT) AS sum_word_len,
+           |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+           |    AS n_alpha_words,
+           |  CAST(len(list_filter(ws, w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT)
+           |    AS n_symbol_words,
+           |  CAST(len(list_distinct(list_filter(ws, w -> list_contains(${markerLists("en")}, w))))
+           |    AS BIGINT) AS n_stop_distinct
+           |FROM words),
+           |g AS (SELECT doc_id,
+           |  CAST(n_words BETWEEN 50 AND 100000
+           |    AND sum_word_len::DOUBLE / nullif(n_words, 0) BETWEEN 3.0 AND 10.0
+           |    AND n_symbol_words::DOUBLE / nullif(n_words, 0) < 0.1
+           |    AND n_alpha_words::DOUBLE / nullif(n_words, 0) > 0.8
+           |    AND n_stop_distinct >= 2 AS BIGINT) AS keep
+           |FROM gb),
+           |t AS (SELECT i / 20.0 AS tau FROM UNNEST(generate_series(0, 20)) s(i)),
+           |j AS (SELECT quality, keep, tau FROM q JOIN g USING (doc_id) CROSS JOIN t),
+           |cm AS (SELECT tau,
+           |  CAST(sum(CASE WHEN quality >= tau AND keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |  CAST(sum(CASE WHEN quality >= tau AND keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |  CAST(sum(CASE WHEN quality < tau AND keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           |  CAST(sum(CASE WHEN quality < tau AND keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           |FROM j GROUP BY tau)
+           |SELECT tau, tp, fp, fn, tn,
+           |  tp::DOUBLE / nullif((tp + fp)::DOUBLE, 0.0) AS prec,
+           |  tp::DOUBLE / nullif((tp + fn)::DOUBLE, 0.0) AS rec
+           |FROM cm ORDER BY tau""".stripMargin),
     "t1_lang_id" ->
       (WordsCte +
         s"""c AS (SELECT doc_id,

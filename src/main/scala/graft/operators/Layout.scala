@@ -116,13 +116,30 @@ object Layout {
       dir: String,
       c: String,
       lo: Any,
-      hi: Any): DataFrame = {
+      hi: Any): DataFrame =
+    footprintPrunedRead(spark, dir, Seq((c, lo, hi)))
+
+  /** Conjunctive form: a file survives only if its footprint block
+    * intersects EVERY `(col, lo, hi)` range — z-order makes all clustered
+    * dimensions prunable at once, so the skip sets multiply.
+    */
+  def footprintPrunedRead(
+      spark: SparkSession,
+      dir: String,
+      preds: Seq[(String, Any, Any)]): DataFrame = {
+    require(preds.nonEmpty, "need at least one (col, lo, hi) predicate")
+    val fpFilter = preds.map { case (c, lo, hi) =>
+      col(s"${c}__min") <= lit(hi) && col(s"${c}__max") >= lit(lo)
+    }.reduce(_ && _)
+    val rowFilter = preds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
     val files = spark.read.parquet(s"$dir/_footprint")
-      .filter(col(s"${c}__min") <= lit(hi) && col(s"${c}__max") >= lit(lo))
+      .filter(fpFilter)
       .select("file").collect().map(_.getString(0))
     val base =
       if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))
       else spark.read.option("basePath", dir).parquet(files.toIndexedSeq: _*)
-    base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    base.filter(rowFilter)
   }
 }

@@ -345,12 +345,18 @@ object Similarity {
     * @param ksub codebook entries per subspace (≤ 16 so codes pack into
     *             4 bits each; m·4 must fit in 64 bits)
     */
+  /** @param metaCols metadata columns copied into the index rows (still
+    *                  scalar-only) — the payload a FILTERED vector search
+    *                  predicates on, pushed down into the landed index
+    *                  scan exactly like any parquet filter
+    */
   def ivfPqIndex(
       embeddings: DataFrame,
       nlist: Int = 16,
       m: Int = 16,
       ksub: Int = 16,
-      maxTrainRows: Long = 4096L): IvfPqIndex = {
+      maxTrainRows: Long = 4096L,
+      metaCols: Seq[String] = Nil): IvfPqIndex = {
     require(ksub <= 16, "ksub > 16 would not pack into 4-bit codes")
     require(m * 4 <= 64, "packed codes must fit in one long")
     val sample = graft.Tables
@@ -379,8 +385,9 @@ object Similarity {
     import org.apache.spark.sql.graft.{GraftBridge, PqCell, PqEncode}
     def c2e(c: Column) = GraftBridge.expression(c)
     val withCell = embeddings.select(
-      col("vec_id").as("neighbor_id"), col("embedding"),
-      GraftBridge.column(PqCell(c2e(col("embedding")), centersArr)).as("cell"))
+      Seq(col("vec_id").as("neighbor_id"), col("embedding"),
+        GraftBridge.column(PqCell(c2e(col("embedding")), centersArr)).as("cell")) ++
+        metaCols.map(col): _*)
     IvfPqIndex(
       centersArr, codebooksArr,
       withCell
@@ -388,8 +395,9 @@ object Similarity {
           GraftBridge.column(
             PqEncode(c2e(col("embedding")), c2e(col("cell")), centersArr, codebooksArr)))
         .select(
-          col("neighbor_id"), col("cell"),
-          col("_enc.code").as("code"), col("_enc.recon_norm").as("recon_norm")))
+          Seq(col("neighbor_id"), col("cell"),
+            col("_enc.code").as("code"), col("_enc.recon_norm").as("recon_norm")) ++
+            metaCols.map(col): _*))
   }
 
   /** Search a built (possibly landed-and-reloaded) IVF-PQ index by

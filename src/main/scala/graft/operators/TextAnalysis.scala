@@ -516,6 +516,40 @@ object TextAnalysis {
     * array expressions; all ratios are exact-integer divisions evaluated
     * in IEEE doubles so the oracle matches bit-for-bit.
     */
+  /** Quality-classifier calibration — the PR curve of the cheap heuristic
+    * score ([[qualityScore]] `quality`) against the Gopher-rules gate
+    * ([[gopherRules]] `keep`) as gold: for each threshold τ in {0, 1/steps,
+    * …, 1}, the confusion counts and precision/recall of "keep iff
+    * quality ≥ τ". This is the threshold-sweep every production quality
+    * gate runs before it prunes a corpus — pick τ from the curve, not by
+    * feel. Two row-local corpus projections joined on the doc key, then a
+    * (steps+1)-way literal explode into a map-side-combinable grouped
+    * count — the shuffle carries (τ, partial counts), never documents.
+    * Exact-integer counts and engine-identical doubles (both scores are
+    * already oracle-mirrored bit-exactly) make the whole curve
+    * hash-checkable.
+    */
+  def qualityPrCurve(docs: DataFrame, steps: Int = 20): DataFrame = {
+    val taus = (0 to steps).map(i => i.toDouble / steps)
+    val joined = qualityScore(docs).select(col("doc_id"), col("quality"))
+      .join(gopherRules(docs).select(col("doc_id"), col("keep")), "doc_id")
+    joined
+      .select(col("quality"), col("keep"), explode(typedLit(taus)).as("tau"))
+      .groupBy(col("tau"))
+      .agg(
+        sum(when(col("quality") >= col("tau") && col("keep") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("quality") >= col("tau") && col("keep") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("quality") < col("tau") && col("keep") === 1L, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("quality") < col("tau") && col("keep") === 0L, 1L).otherwise(0L)).as("tn"))
+      // "prec"/"rec", not "precision"/"recall": PRECISION is a type keyword
+      // in the oracle dialect
+      .withColumn("prec",
+        col("tp").cast("double") / nullif((col("tp") + col("fp")).cast("double"), lit(0.0)))
+      .withColumn("rec",
+        col("tp").cast("double") / nullif((col("tp") + col("fn")).cast("double"), lit(0.0)))
+      .orderBy(col("tau"))
+  }
+
   def gopherRules(docs: DataFrame): DataFrame = {
     val ws = tokens(col("text"))
     val stopArr = array(Stopwords.map(lit): _*)

@@ -124,5 +124,18 @@ class LayoutSpec extends SparkSuite {
     val none = graft.operators.Layout.footprintPrunedRead(spark, dir, "y", 1000L, 2000L)
     assert(none.count() === 0L)
     assert(none.schema.fieldNames.toSeq === Seq("x", "y"))
+    // conjunction: both dimensions prune at once — the skip sets multiply,
+    // so the 10%×10% tile touches no more files than either slice alone
+    val tile = graft.operators.Layout.footprintPrunedRead(
+      spark, dir, Seq(("x", 10L, 19L), ("y", 10L, 19L)))
+    assert(tile.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      spark.read.parquet(dir)
+        .filter(col("x").between(10, 19) && col("y").between(10, 19))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    val tileFiles = tile.queryExecution.sparkPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.count(!_.contains("_footprint"))
+    }.sum
+    assert(tileFiles <= 4, s"expected the 2-D tile to touch ≤4/16 files, got $tileFiles")
   }
 }

@@ -212,6 +212,37 @@ class OperatorSpec extends SparkSuite {
       s"PQ index ($idxBytes B) should be <1/4 of the raw corpus ($rawBytes B)")
   }
 
+  test("filtered IVF-PQ pushes the metadata predicate into the landed index scan") {
+    // payload filtering, the production vector-store shape: metadata lands
+    // IN the compact index, a search predicate restricts candidates BEFORE
+    // ADC scoring, and on a landed index the predicate reaches the parquet
+    // reader as a pushed filter — never a post-scan candidate cull
+    val emb = Tables(spark, sfDir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+    val index = Similarity.ivfPqIndex(emb, metaCols = Seq("label"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-f").toFile.getAbsolutePath + "/idx"
+    index.encoded.write.parquet(dir)
+    val landed = Similarity.IvfPqIndex(
+      index.centroids, index.codebooks,
+      spark.read.parquet(dir).filter(col("label") < 5))
+    val out = Similarity.ivfPqRefine(landed, emb, probes, k = 5)
+    val rows = out.collect()
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => labels(r.getAs[Long]("neighbor_id")) < 5),
+      "a neighbor escaped the metadata predicate")
+    val exact = Similarity.bruteForceTopK(emb.filter(col("label") < 5), probes, k = 5)
+      .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    info(f"filtered IVF-PQ refined recall vs filtered exact top-5: $recall%.2f")
+    assert(recall >= 0.6, f"filtered recall $recall%.2f below the 0.6 floor")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(label,5)"),
+      s"label predicate not pushed to the index scan:\n${plan.take(2000)}")
+  }
+
   test("int8 quantized ANN keeps high agreement with the f32 exact top-k") {
     val emb = Tables(spark, sfDir, "embeddings")
     val probes = emb.filter(col("vec_id") < 10)
