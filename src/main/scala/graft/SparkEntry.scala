@@ -252,6 +252,13 @@ object SparkEntry {
       Dedup.semDedup(Tables(s, dir, "embeddings"))),
     "t17_quality_pr" -> ((s, dir) =>
       TextAnalysis.qualityPrCurve(Tables(s, dir, "documents"))),
+    // delta ingest vs landed registry: the d17-style id-mod split stands
+    // in for yesterday's kept set and today's batch
+    "d26_semdedup_incr" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Dedup.semDedupIncremental(
+        emb.filter(col("vec_id") % 3 =!= 0), emb.filter(col("vec_id") % 3 === 0))
+    }),
     // filtered vector search (the payload-filter shape of production
     // vector stores): candidates restricted by a metadata predicate
     // BEFORE ranking, probes unrestricted; exact form is oracle-checked,
@@ -1395,6 +1402,31 @@ object SparkEntry {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
          |        ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk FROM scored)
          |SELECT probe_id, neighbor_id, cosine, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // mirrors Dedup.semDedupIncremental: landed-domination EXISTS filter,
+    // then d25's closure over the delta-internal pairs only
+    "d26_semdedup_incr" ->
+      s"""WITH RECURSIVE landed AS (SELECT * FROM embeddings WHERE vec_id % 3 <> 0),
+         |delta AS (SELECT * FROM embeddings WHERE vec_id % 3 = 0),
+         |surv AS (
+         |  SELECT d.* FROM delta d
+         |  WHERE NOT EXISTS (SELECT 1 FROM landed l WHERE l.label = d.label
+         |    AND ${cosineSql("d.embedding", "l.embedding")} >= 0.35)),
+         |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |      FROM surv a JOIN surv b ON a.label = b.label AND a.vec_id < b.vec_id
+         |      WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |          UNION SELECT doc_b, doc_a FROM p),
+         |reach(doc, r) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |clusters AS (
+         |  SELECT doc AS vec_id, least(doc, min(r)) AS cluster_rep
+         |  FROM reach GROUP BY doc)
+         |SELECT s.vec_id, s.label FROM surv s
+         |LEFT JOIN clusters c ON s.vec_id = c.vec_id
+         |WHERE c.vec_id IS NULL OR c.cluster_rep = s.vec_id
+         |ORDER BY s.vec_id""".stripMargin,
     // s1 with the candidate side pre-filtered on metadata
     "s10_ann_filtered" ->
       s"""WITH probes AS (SELECT * FROM embeddings WHERE vec_id < 10),

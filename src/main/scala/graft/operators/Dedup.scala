@@ -687,6 +687,40 @@ object Dedup {
     * cluster sizes — runs on the pair-bounded cluster relation, so the
     * corpus-scale cost is exactly d5's.
     */
+  /** Incremental semantic dedup — [[semDedup]]'s delta-ingest sibling (the
+    * d10/d12 incrementality shape for the embedding family): admit only
+    * delta vectors that are (a) not within `threshold` of ANY vector in
+    * the landed kept registry — a blocked equi-join + left-anti, never
+    * all-pairs, with the landed side a maintained relation exactly like
+    * d10's hash set — and (b) not a semantic duplicate of a lower-id
+    * delta survivor (internal pairs → min-label clusters, all on the
+    * delta-bounded relation). Output: the admitted delta rows.
+    */
+  def semDedupIncremental(
+      landedKept: DataFrame,
+      delta: DataFrame,
+      blockCol: String = "label",
+      threshold: Double = 0.35): DataFrame = {
+    val l = landedKept.select(
+      col("vec_id").as("l_id"), col("embedding").as("l_emb"), col(blockCol).as("block"))
+    val d = delta.select(col("vec_id"), col("embedding"), col(blockCol).as("block"))
+    val dominated = d.join(l, Seq("block"))
+      .filter(GraftFunctions.cosine_sim(col("embedding"), col("l_emb")) >= threshold)
+      .select(col("vec_id")).distinct()
+    val surviving = d.join(dominated, Seq("vec_id"), "left_anti")
+    val pairs = surviving.as("a")
+      .join(surviving.as("b"),
+        col("a.block") === col("b.block") && col("a.vec_id") < col("b.vec_id"))
+      .filter(GraftFunctions.cosine_sim(col("a.embedding"), col("b.embedding")) >= threshold)
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+    val clusters = resolveClusters(pairs)
+    surviving
+      .join(clusters.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .filter(col("cluster_rep").isNull || col("cluster_rep") === col("vec_id"))
+      .select(col("vec_id"), col("block").as(blockCol))
+      .orderBy(col("vec_id"))
+  }
+
   def semDedup(
       embeddings: DataFrame,
       blockCol: String = "label",

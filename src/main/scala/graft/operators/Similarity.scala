@@ -384,20 +384,34 @@ object Similarity {
     // ACTION in analysis alone.
     import org.apache.spark.sql.graft.{GraftBridge, PqCell, PqEncode}
     def c2e(c: Column) = GraftBridge.expression(c)
-    val withCell = embeddings.select(
-      Seq(col("vec_id").as("neighbor_id"), col("embedding"),
-        GraftBridge.column(PqCell(c2e(col("embedding")), centersArr)).as("cell")) ++
-        metaCols.map(col): _*)
-    IvfPqIndex(
-      centersArr, codebooksArr,
-      withCell
-        .withColumn("_enc",
-          GraftBridge.column(
-            PqEncode(c2e(col("embedding")), c2e(col("cell")), centersArr, codebooksArr)))
-        .select(
-          Seq(col("neighbor_id"), col("cell"),
-            col("_enc.code").as("code"), col("_enc.recon_norm").as("recon_norm")) ++
-            metaCols.map(col): _*))
+    val model = IvfPqIndex(centersArr, codebooksArr, embeddings.limit(0))
+    model.copy(encoded = ivfPqEncodeWith(model, embeddings, metaCols))
+  }
+
+  /** Encode vectors with an EXISTING index's FROZEN model — the FAISS
+    * `add()` ingest shape: a nightly delta batch appends to a landed index
+    * without refitting or rereading the corpus, and (spec-proved) encodes
+    * to exactly the rows a from-scratch build with the same model would
+    * produce. One whole-stage-codegen projection, no shuffle.
+    */
+  def ivfPqEncodeWith(
+      index: IvfPqIndex,
+      embeddings: DataFrame,
+      metaCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.graft.{GraftBridge, PqCell, PqEncode}
+    def c2e(c: Column) = GraftBridge.expression(c)
+    embeddings
+      .select(
+        Seq(col("vec_id").as("neighbor_id"), col("embedding"),
+          GraftBridge.column(PqCell(c2e(col("embedding")), index.centroids)).as("cell")) ++
+          metaCols.map(col): _*)
+      .withColumn("_enc",
+        GraftBridge.column(
+          PqEncode(c2e(col("embedding")), c2e(col("cell")), index.centroids, index.codebooks)))
+      .select(
+        Seq(col("neighbor_id"), col("cell"),
+          col("_enc.code").as("code"), col("_enc.recon_norm").as("recon_norm")) ++
+          metaCols.map(col): _*)
   }
 
   /** Search a built (possibly landed-and-reloaded) IVF-PQ index by

@@ -212,6 +212,28 @@ class OperatorSpec extends SparkSuite {
       s"PQ index ($idxBytes B) should be <1/4 of the raw corpus ($rawBytes B)")
   }
 
+  test("IVF-PQ append encodes with the frozen model exactly as the original build") {
+    // the FAISS add() shape: a delta batch encodes against the landed
+    // index's FROZEN model (no refit, no corpus re-read) and must produce
+    // byte-identical rows to the from-scratch build — so append ∪ landed
+    // searches identically to the full index
+    val emb = Tables(spark, sfDir, "embeddings")
+    val index = Similarity.ivfPqIndex(emb)
+    val delta = emb.filter(col("vec_id") % 2 === 0)
+    val appended = Similarity.ivfPqEncodeWith(index, delta)
+      .collect().map(_.toString).sorted.toSeq
+    val fromBuild = index.encoded.filter(col("neighbor_id") % 2 === 0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(appended === fromBuild)
+    val union = Similarity.IvfPqIndex(index.centroids, index.codebooks,
+      index.encoded.filter(col("neighbor_id") % 2 =!= 0)
+        .unionByName(Similarity.ivfPqEncodeWith(index, delta)))
+    val probes = emb.filter(col("vec_id") < 10)
+    assert(
+      Similarity.ivfPqSearch(union, probes, k = 5).collect().map(_.toString).sorted.toSeq ===
+        Similarity.ivfPqSearch(index, probes, k = 5).collect().map(_.toString).sorted.toSeq)
+  }
+
   test("filtered IVF-PQ pushes the metadata predicate into the landed index scan") {
     // payload filtering, the production vector-store shape: metadata lands
     // IN the compact index, a search predicate restricts candidates BEFORE
