@@ -268,6 +268,46 @@ object SparkEntry {
       Similarity.bruteForceTopK(
         emb.filter(col("label") < 5), emb.filter(col("vec_id") < 10), k = 5)
     }),
+    // hybrid lexical+vector retrieval: BM25 top-20 and cosine top-20
+    // fused by reciprocal-rank fusion (rank-only, no score calibration)
+    "s11_hybrid_rrf" -> ((s, dir) =>
+      Similarity.hybridRrf(
+        Tables(s, dir, "documents"), Tables(s, dir, "embeddings"),
+        queryTerms = Seq("spark", "stream", "merge", "window"),
+        probeVecId = 3L)),
+    // eval-overlap report: per benchmark doc, what fraction of its grams
+    // the training corpus contains (d13 drops corpus docs; d27 measures
+    // the benchmark side) — same id-mod split as d13
+    "d27_contamination" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Dedup.contaminationStats(
+        docs.filter(col("doc_id") % 4 =!= 0),
+        docs.filter(col("doc_id") % 4 === 0))
+    }),
+    "p3_expectations" -> ((s, dir) => Relational.p3Expectations(s, dir)),
+    // PromQL's instant-window family over the landed stream
+    "m23_irate_delta" -> ((s, dir) =>
+      Firehose.irateDelta(Firehose.metricsFromEvents(s, dir))),
+    // quasi-identifier k-anonymity suppression (structured sibling of t5)
+    "p5_k_anonymity" -> ((s, dir) =>
+      Curate.kAnonymitySuppress(
+        Tables(s, dir, "documents"), Seq("lang", "source"), k = 30)),
+    // CDC MERGE apply on the customer snapshot: deterministic changeset
+    // (update / insert-new-key / delete by key mod 10)
+    "p4_merge_upsert" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      val upd = cust.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), lit("U").as("op"), col("c_name"),
+          col("c_nationkey"), lit(-1.0).as("c_acctbal"),
+          lit("RELABELED").as("c_mktsegment"))
+      val ins = cust.filter(col("c_custkey") % 10 === 1)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"), lit("I").as("op"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      val del = cust.filter(col("c_custkey") % 10 === 2)
+        .select(col("c_custkey"), lit("D").as("op"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      Curate.mergeUpsert(cust, upd.unionByName(ins).unionByName(del), "c_custkey")
+    }),
     "m21_prom_parse" -> ((s, dir) =>
       Firehose.promParse(
         Firehose.promRender(Firehose.gaugeLatest(Firehose.metricsFromEvents(s, dir))))),
@@ -1427,6 +1467,162 @@ object SparkEntry {
          |LEFT JOIN clusters c ON s.vec_id = c.vec_id
          |WHERE c.vec_id IS NULL OR c.cluster_rep = s.vec_id
          |ORDER BY s.vec_id""".stripMargin,
+    // t14's BM25 block (same terms, top-20) + s1's cosine block (one
+    // probe, top-20), ranks fused by 1/(60+rank); rank-only fusion makes
+    // the score a sum of two exact rationals — double division is IEEE-
+    // identical in both engines (1.0::DOUBLE guards DuckDB's decimal
+    // literal division)
+    "s11_hybrid_rrf" ->
+      (WordsCte +
+        s"""tk AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, ws FROM words),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           |         CAST(sum(CAST(dl AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avgdl
+           |       FROM tk),
+           |hits AS (SELECT doc_id, dl,
+           |           unnest(list_filter(ws,
+           |             t -> list_contains(['spark', 'stream', 'merge', 'window'], t))) AS term
+           |         FROM tk),
+           |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM hits GROUP BY 1, 2, 3),
+           |dfr AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+           |sc AS (SELECT doc_id,
+           |         CAST(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.2 + 1.0))
+           |           / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+           |           AS DECIMAL(18,10)) AS contrib
+           |       FROM tf JOIN dfr USING (term), st),
+           |bm AS (SELECT doc_id, round(CAST(sum(contrib) AS DOUBLE), 6) AS score
+           |       FROM sc GROUP BY 1),
+           |lex0 AS (SELECT doc_id AS id,
+           |           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           |             AS lex_rank
+           |         FROM bm),
+           |lex AS (SELECT * FROM lex0 WHERE lex_rank <= 20),
+           |probes AS (SELECT * FROM embeddings WHERE vec_id = 3),
+           |vscored AS (
+           |  SELECT c.vec_id AS id, ${cosineSql("p.embedding", "c.embedding")} AS cosine
+           |  FROM embeddings c JOIN probes p ON c.vec_id != p.vec_id),
+           |vec0 AS (SELECT id,
+           |           CAST(row_number() OVER (ORDER BY cosine DESC, id) AS BIGINT)
+           |             AS vec_rank
+           |         FROM vscored),
+           |vec AS (SELECT * FROM vec0 WHERE vec_rank <= 20),
+           |f AS (SELECT COALESCE(l.id, v.id) AS id, l.lex_rank, v.vec_rank
+           |      FROM lex l FULL JOIN vec v ON l.id = v.id)
+           |SELECT id,
+           |  round(COALESCE(1.0::DOUBLE / (60 + lex_rank), 0.0)
+           |    + COALESCE(1.0::DOUBLE / (60 + vec_rank), 0.0), 6) AS rrf,
+           |  lex_rank, vec_rank
+           |FROM f ORDER BY rrf DESC, id LIMIT 10""".stripMargin),
+    // d13's shingle split, aggregated on the benchmark side: a gram
+    // contaminates if ANY corpus doc carries it (DISTINCT corp collapses
+    // multiplicity exactly like the Spark side's countDistinct)
+    "d27_contamination" ->
+      (ShinglesCte +
+        """corp AS (SELECT DISTINCT s FROM sh WHERE doc_id % 4 != 0),
+          |bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 4 = 0),
+          |nb AS (SELECT bench_id, count(*) AS n_grams FROM bench GROUP BY 1),
+          |hit AS (SELECT bench_id, count(*) AS n_contaminated
+          |        FROM bench JOIN corp USING (s) GROUP BY 1)
+          |SELECT bench_id, n_grams,
+          |  CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+          |  round(COALESCE(n_contaminated, 0)::DOUBLE / n_grams, 6) AS contamination
+          |FROM nb LEFT JOIN hit USING (bench_id)""".stripMargin),
+    // one row_number + one partition count locate first/last/prev-last;
+    // windows below two samples are null (PromQL emits nothing there) and
+    // equal-timestamp last pairs null the rate instead of dividing by zero
+    "m23_irate_delta" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         CAST(event_id AS VARCHAR) AS id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |w AS (SELECT *, ts_sec - ts_sec % 3600 AS win_start FROM m),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY component, name, series, win_start
+        |          ORDER BY ts_sec, id) AS rn,
+        |        count(*) OVER (PARTITION BY component, name, series, win_start) AS cnt
+        |      FROM w),
+        |g AS (SELECT component, name, series, win_start,
+        |        min(CASE WHEN rn = 1 THEN value END) AS first_v,
+        |        min(CASE WHEN rn = cnt THEN value END) AS last_v,
+        |        min(CASE WHEN rn = cnt THEN ts_sec END) AS last_ts,
+        |        min(CASE WHEN rn = cnt - 1 THEN value END) AS prev_v,
+        |        min(CASE WHEN rn = cnt - 1 THEN ts_sec END) AS prev_ts,
+        |        count(*) AS n_samples
+        |      FROM r GROUP BY 1, 2, 3, 4)
+        |SELECT component, name, series, win_start,
+        |  CASE WHEN n_samples >= 2 THEN last_v - first_v END AS delta,
+        |  CASE WHEN n_samples >= 2 THEN last_v - prev_v END AS idelta,
+        |  CASE WHEN n_samples >= 2 AND last_ts <> prev_ts THEN
+        |    (CASE WHEN last_v < prev_v THEN last_v ELSE last_v - prev_v END)
+        |      / CAST(last_ts - prev_ts AS DOUBLE) END AS irate,
+        |  n_samples
+        |FROM g""".stripMargin,
+    // class size = window count over the quasi-identifier partitioning;
+    // mask is a row-local projection of that count
+    "p5_k_anonymity" ->
+      """WITH c AS (SELECT doc_id, lang, source,
+        |  count(*) OVER (PARTITION BY lang, source) AS class_size FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN class_size >= 30 THEN lang ELSE '*' END AS lang,
+        |  CASE WHEN class_size >= 30 THEN source ELSE '*' END AS source,
+        |  CAST(class_size AS BIGINT) AS class_size,
+        |  CAST(CASE WHEN class_size < 30 THEN 1 ELSE 0 END AS BIGINT) AS suppressed
+        |FROM c""".stripMargin,
+    // single-scan conditional aggregate + one anti-join; composite key
+    // uniqueness via orderkey*100+linenumber (exact: linenumber < 100)
+    "p3_expectations" ->
+      """WITH b AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(*) - count(DISTINCT l_orderkey * 100 + l_linenumber) AS dup_keys,
+        |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS qty_range,
+        |    sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS flag_domain,
+        |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate,
+        |    sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS price_pos
+        |  FROM lineitem),
+        |o AS (SELECT count(*) AS orphan_rows FROM lineitem l
+        |      LEFT JOIN orders r ON l.l_orderkey = r.o_orderkey
+        |      WHERE r.o_orderkey IS NULL),
+        |m AS (SELECT * FROM b, o),
+        |u AS (
+        |  SELECT 'dup_primary_key' AS check_name, CAST(dup_keys AS BIGINT) AS violations FROM m
+        |  UNION ALL SELECT 'empty_table', CAST(CASE WHEN n_rows = 0 THEN 1 ELSE 0 END AS BIGINT) FROM m
+        |  UNION ALL SELECT 'extendedprice_positive', CAST(price_pos AS BIGINT) FROM m
+        |  UNION ALL SELECT 'orderkey_ref_integrity', CAST(orphan_rows AS BIGINT) FROM m
+        |  UNION ALL SELECT 'quantity_in_range', CAST(qty_range AS BIGINT) FROM m
+        |  UNION ALL SELECT 'returnflag_in_domain', CAST(flag_domain AS BIGINT) FROM m
+        |  UNION ALL SELECT 'shipdate_not_null', CAST(null_shipdate AS BIGINT) FROM m)
+        |SELECT check_name, violations,
+        |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+        |FROM u""".stripMargin,
+    // MERGE semantics on the customer snapshot: matched-U updates,
+    // matched-D deletes, unmatched-I inserts; each key lands in exactly
+    // one op class (mod-10 split) so the outer join is 1:1
+    "p4_merge_upsert" ->
+      """WITH chg AS (
+        |  SELECT c_custkey AS k, 'U' AS op, c_name, c_nationkey,
+        |    CAST(-1.0 AS DOUBLE) AS c_acctbal, 'RELABELED' AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'I', c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 1
+        |  UNION ALL
+        |  SELECT c_custkey, 'D', c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 2),
+        |kept AS (
+        |  SELECT b.c_custkey,
+        |    CASE WHEN c.op = 'U' THEN c.c_name ELSE b.c_name END AS c_name,
+        |    CASE WHEN c.op = 'U' THEN c.c_nationkey ELSE b.c_nationkey END AS c_nationkey,
+        |    CASE WHEN c.op = 'U' THEN c.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+        |    CASE WHEN c.op = 'U' THEN c.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment
+        |  FROM customer b LEFT JOIN chg c ON b.c_custkey = c.k
+        |  WHERE c.op IS NULL OR c.op <> 'D'),
+        |ins AS (
+        |  SELECT c.k AS c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+        |  FROM chg c LEFT JOIN customer b ON c.k = b.c_custkey
+        |  WHERE c.op = 'I' AND b.c_custkey IS NULL)
+        |SELECT * FROM kept UNION ALL SELECT * FROM ins""".stripMargin,
     // s1 with the candidate side pre-filtered on metadata
     "s10_ann_filtered" ->
       s"""WITH probes AS (SELECT * FROM embeddings WHERE vec_id < 10),

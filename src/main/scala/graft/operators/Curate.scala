@@ -279,6 +279,69 @@ object Curate {
       .select(col("key").as(keyCol), col("change"))
   }
 
+  /** k-anonymity suppression — the privacy-audit transform beside PII
+    * redaction (TextAnalysis.piiRedact scrubs free text; this guards the
+    * STRUCTURED quasi-identifiers): every row whose quasi-identifier
+    * combination is shared by fewer than k rows gets those columns masked
+    * to `*`, so no released equivalence class is smaller than k. Emits the
+    * class size and a suppression flag per row, making the output both the
+    * release table and the risk report.
+    *
+    * One shuffle: class sizes are a window count over the quasi-identifier
+    * partitioning and the mask is a row-local projection of that count —
+    * no join-back, no second scan. Skewed classes (huge common
+    * combinations) are exactly the safe ones; the risky classes are tiny
+    * by definition, so the partitioning cannot hot-spot on what matters.
+    */
+  def kAnonymitySuppress(
+      df: DataFrame,
+      qiCols: Seq[String],
+      k: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(qiCols.map(col): _*)
+    df.withColumn("class_size", count(lit(1)).over(w))
+      .select(
+        col(idCol) +:
+          qiCols.map(c => when(col("class_size") >= k, col(c)).otherwise(lit("*")).as(c)) ++:
+          Seq(
+            col("class_size"),
+            (col("class_size") < k).cast("long").as("suppressed")): _*)
+  }
+
+  /** MERGE INTO emulation over immutable columnar storage — the CDC apply
+    * step a lakehouse table format runs on every ingest batch, expressed as
+    * plain relational algebra so it works on raw parquet (this container
+    * has no Delta/Iceberg; the SEMANTICS are what matter): a changeset of
+    * (key, op ∈ {I,U,D}, payload) rows merges into a base snapshot as
+    * WHEN MATCHED AND op='U' THEN UPDATE / AND op='D' THEN DELETE /
+    * WHEN NOT MATCHED AND op='I' THEN INSERT (matched inserts and unmatched
+    * updates/deletes are no-ops, per standard MERGE).
+    *
+    * Scale shape: a CDC batch is small relative to the snapshot, so the
+    * changeset BROADCASTS to both the update/delete pass (base never
+    * shuffles — one map-side outer join over the scan) and the
+    * insert anti-join; the base table is read once per output branch with
+    * the key column pruned on the anti side. Writing the result back
+    * partitioned-by-key-range makes the next merge's rewrite proportional
+    * to touched partitions, not the snapshot.
+    */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, keyCol: String): DataFrame = {
+    val valueCols = base.columns.filterNot(_ == keyCol).toSeq
+    val chg = changes.select(
+      Seq(col(keyCol).as("_k"), col("op").as("_op")) ++
+        valueCols.map(c => col(c).as("_c_" + c)): _*)
+    val kept = base
+      .join(broadcast(chg), base(keyCol) === col("_k"), "left_outer")
+      .filter(col("_op").isNull || col("_op") =!= "D")
+      .select(col(keyCol) +: valueCols.map(c =>
+        when(col("_op") === "U", col("_c_" + c)).otherwise(col(c)).as(c)): _*)
+    val inserts = chg
+      .filter(col("_op") === "I")
+      .join(base.select(col(keyCol)), col("_k") === col(keyCol), "left_anti")
+      .select(col("_k").as(keyCol) +: valueCols.map(c => col("_c_" + c).as(c)): _*)
+    kept.unionByName(inserts)
+  }
+
   /** @param minQuality quality-score gate (see TextAnalysis.qualityScore) */
   def corpusStats(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
     // ONE corpus pass: quality columns are computed alongside the retained

@@ -423,6 +423,40 @@ object Dedup {
       .select("doc_id", "bench_id", "common", "n_bench", "containment")
   }
 
+  /** Per-benchmark-document contamination report — the measurement sibling
+    * of [[decontaminate]] (which flags corpus docs to DROP): for each
+    * benchmark document, the fraction of its distinct shingles that appear
+    * ANYWHERE in the training corpus, regardless of which corpus document
+    * carries them. This is the eval-overlap statistic an n-gram
+    * decontamination audit publishes per benchmark item (0 = clean,
+    * 1 = fully contained in training data).
+    *
+    * Scale shape mirrors [[decontaminate]]: the benchmark shingle relation
+    * is eval-sized and broadcast; the corpus side streams its shingles
+    * through a map-side hash join and is never shuffled or de-duplicated
+    * globally — a gram hit by many corpus docs collapses in the
+    * `countDistinct` over benchmark grams, not in a corpus-wide distinct.
+    */
+  def contaminationStats(corpus: DataFrame, benchmark: DataFrame): DataFrame = {
+    val corpusSh = shingles(corpus)
+    val benchSh = shingles(benchmark).withColumnRenamed("doc_id", "bench_id")
+    val nBench = benchSh.groupBy("bench_id").agg(count(lit(1)).as("n_grams"))
+    val hit = corpusSh
+      .join(broadcast(benchSh), "s")
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("s")).as("n_contaminated"))
+    // hit is bench-sized too; it must carry the hint because only the
+    // non-preserved side of a left-outer join can be the broadcast build
+    nBench
+      .join(broadcast(hit), Seq("bench_id"), "left_outer")
+      .select(
+        col("bench_id"),
+        col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("n_grams"), 6)
+          .as("contamination"))
+  }
+
   /** Per-document 60-bit SimHash fingerprint + 15-bit LSH band keys. Pairing
     * = any shared band key then Hamming-distance verification (spec-tested;
     * the per-doc fingerprint is the oracle-checked surface).

@@ -470,6 +470,52 @@ object Firehose {
         count(lit(1)).as("n_samples"))
   }
 
+  /** PromQL's instant-window family — `delta` / `idelta` / `irate` per
+    * series per tumbling window: delta = last − first sample, idelta =
+    * last − previous sample, irate = the instantaneous rate from the last
+    * two samples (counter-reset clamped to the post-reset value, the same
+    * convention as [[counterIncrease]]). All three need only the window's
+    * FIRST, LAST and SECOND-TO-LAST samples, located by one row_number +
+    * one partition count sharing a single exchange-and-sort by
+    * (series, window); the groupBy that collapses them reuses that same
+    * hash distribution, so the whole operator is ONE shuffle. Windows with
+    * a single sample emit nulls (PromQL returns nothing below two
+    * samples); equal-timestamp last pairs null the rate rather than
+    * dividing by zero. Outputs are plain IEEE subtract/divide over landed
+    * doubles — engine-portable with no decimal detour.
+    */
+  def irateDelta(metrics: DataFrame, widthSec: Long = 3600): DataFrame = {
+    val labeled =
+      if (metrics.columns.contains("labels")) metrics else tagFilter(metrics)
+    val keys = Seq(col("component"), col("name"), col("series"), col("win_start"))
+    val wAsc = Window.partitionBy(keys: _*).orderBy(col("timestamp"), col("id"))
+    val wAll = Window.partitionBy(keys: _*)
+    labeled
+      .withColumn("series", seriesKey(col("labels")))
+      .withColumn(
+        "win_start",
+        (col("timestamp") - pmod(col("timestamp"), lit(widthSec))).cast("long"))
+      .withColumn("rn", row_number().over(wAsc))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .groupBy(keys: _*)
+      .agg(
+        min(when(col("rn") === 1, col("value"))).as("first_v"),
+        min(when(col("rn") === col("cnt"), col("value"))).as("last_v"),
+        min(when(col("rn") === col("cnt"), col("timestamp"))).as("last_ts"),
+        min(when(col("rn") === col("cnt") - 1, col("value"))).as("prev_v"),
+        min(when(col("rn") === col("cnt") - 1, col("timestamp"))).as("prev_ts"),
+        count(lit(1)).as("n_samples"))
+      .select(
+        col("component"), col("name"), col("series"), col("win_start"),
+        when(col("n_samples") >= 2, col("last_v") - col("first_v")).as("delta"),
+        when(col("n_samples") >= 2, col("last_v") - col("prev_v")).as("idelta"),
+        when(col("n_samples") >= 2 && col("last_ts") =!= col("prev_ts"),
+          when(col("last_v") < col("prev_v"), col("last_v"))
+            .otherwise(col("last_v") - col("prev_v")) /
+            (col("last_ts") - col("prev_ts")).cast("double")).as("irate"),
+        col("n_samples"))
+  }
+
   /** Default classic-histogram bucket boundaries for the synthetic stream. */
   val DefaultLes: Seq[Double] = Seq(50.0, 100.0, 200.0, 300.0, 400.0)
 

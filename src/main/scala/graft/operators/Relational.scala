@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -838,6 +838,60 @@ object Relational {
       }: _*)).as("p"))
       .select("p.*")
       .orderBy("col_name")
+  }
+
+  /** Data-quality expectation suite — the constraint-check pass a
+    * production pipeline runs before publishing a table (the Deequ/
+    * Great-Expectations shape): each check emits its violation count and a
+    * pass flag, so the output is both a gate (all passed = publish) and a
+    * diagnostic (which constraint broke, by how much). Checks: non-empty
+    * table, composite-primary-key uniqueness, numeric range, categorical
+    * domain, non-null, positivity, and referential integrity to a parent
+    * table.
+    *
+    * Scale shape: every single-table check folds into ONE aggregation over
+    * ONE fact scan (conditional sums are map-side-combinable; the
+    * composite-key uniqueness rides the same pass as a count-distinct over
+    * `orderkey*100 + linenumber` — exact in int64 since linenumber < 100,
+    * and portable where a multi-column DISTINCT is not). Referential
+    * integrity is the only second pass: an anti-join against the parent
+    * keys, key columns pruned to the scan on both sides. The one-row
+    * metric vectors cross-join (1×1) and unpivot driver-free.
+    */
+  def p3Expectations(spark: SparkSession, dir: String): DataFrame =
+    expectationSuite(t(spark, dir, "lineitem"), t(spark, dir, "orders"))
+
+  /** See [[p3Expectations]]; split out so specs can plant violations. */
+  def expectationSuite(li: DataFrame, ord: DataFrame): DataFrame = {
+    val base = li.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) -
+        count_distinct(col("l_orderkey") * 100 + col("l_linenumber"))).as("dup_keys"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L))
+        .as("qty_range"),
+      sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+        .as("flag_domain"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("null_shipdate"),
+      sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("price_pos"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(
+        ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_rows"))
+    def chk(name: String, v: Column) =
+      struct(lit(name).as("check_name"), v.cast("long").as("violations"))
+    base.crossJoin(orphans)
+      .select(explode(array(
+        chk("dup_primary_key", col("dup_keys")),
+        chk("empty_table", when(col("n_rows") === 0, 1L).otherwise(0L)),
+        chk("extendedprice_positive", col("price_pos")),
+        chk("orderkey_ref_integrity", col("orphan_rows")),
+        chk("quantity_in_range", col("qty_range")),
+        chk("returnflag_in_domain", col("flag_domain")),
+        chk("shipdate_not_null", col("null_shipdate")))).as("c"))
+      .select(col("c.check_name"), col("c.violations"))
+      .withColumn("passed", when(col("violations") === 0, 1L).otherwise(0L))
+      .orderBy("check_name")
   }
 
   /** Approximate distinct twin of [[qDistinct]] (HLL, spec-verified). */

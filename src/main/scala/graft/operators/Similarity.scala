@@ -510,6 +510,50 @@ object Similarity {
     * candidate side drops in an LSH/IVF pre-filter exactly like [[lshTopK]]
     * — the label predicate composes with any of them.
     */
+  /** Hybrid retrieval — lexical BM25 and vector cosine rankings fused by
+    * reciprocal-rank fusion (Cormack et al., SIGIR 2009): each candidate
+    * scores Σ 1/(k + rank) over the lists it appears in, with k = 60 the
+    * standard damping constant. This is the production RAG retrieval shape:
+    * two independent top-k probes (inverted-index BM25, vector ANN), then a
+    * rank-only fusion that needs no score calibration between the two
+    * systems.
+    *
+    * Scale shape: fusion touches ONLY the two top-k lists (candidate-count
+    * sized, broadcast-joinable), so the expensive parts keep their own
+    * scale paths — BM25 is the on-the-fly posting-list probe
+    * ([[TextAnalysis.bm25Search]]) and the vector side swaps to the IVF-PQ
+    * index probe at corpus scale ([[ivfPqTopK]]; the exact scorer here
+    * keeps the operator oracle-checkable). Ranks, not scores, cross the
+    * fusion boundary, so rrf is a sum of two exact rationals — rounded to
+    * 6 dp it is engine-portable.
+    */
+  def hybridRrf(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      queryTerms: Seq[String],
+      probeVecId: Long,
+      rrfK: Int = 60,
+      topK: Int = 10): DataFrame = {
+    val lex = TextAnalysis.bm25Search(docs, queryTerms, topK = 20)
+      .withColumn(
+        "lex_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id").as("id"), col("lex_rank"))
+    val vec = bruteForceTopK(
+        embeddings, embeddings.filter(col("vec_id") === probeVecId), k = 20)
+      .select(col("neighbor_id").as("id"), col("rnk").as("vec_rank"))
+    lex.join(vec, Seq("id"), "full_outer")
+      .withColumn(
+        "rrf",
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)),
+          6))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(topK)
+      .select(col("id"), col("rrf"), col("lex_rank"), col("vec_rank"))
+  }
+
   def hardNegatives(
       embeddings: DataFrame,
       probes: DataFrame,

@@ -521,4 +521,93 @@ class OperatorSpec extends SparkSuite {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getLong(2) === 648541476951500027L)
   }
+
+  test("mergeUpsert applies U/D on matched keys, I on unmatched, no-ops the rest") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val changes = Seq(
+      (1L, "U", "a2", 11.0), // matched update
+      (2L, "D", "b", 20.0),  // matched delete
+      (4L, "I", "d", 40.0),  // unmatched insert
+      (3L, "I", "c9", 99.0), // matched insert → no-op (keeps base row)
+      (5L, "U", "e", 50.0),  // unmatched update → no-op
+      (6L, "D", "f", 60.0))  // unmatched delete → no-op
+      .toDF("k", "op", "name", "v")
+    val out = graft.operators.Curate.mergeUpsert(base, changes, "k")
+      .as[(Long, String, Double)].collect().toSet
+    assert(out === Set((1L, "a2", 11.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("contaminationStats reports 0 for clean and 1 for fully-contained bench docs") {
+    import spark.implicits._
+    val corpus = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "a b c d e f"), // every 3-gram appears in the corpus
+      (11L, "q w e r t y"), // disjoint vocabulary
+      (12L, "a b c x y z")) // exactly one shared 3-gram ("a b c") of four
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationStats(corpus, bench)
+      .select("bench_id", "n_grams", "n_contaminated", "contamination")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(10L) === ((10L, 4L, 4L, 1.0)))
+    assert(out(11L) === ((11L, 4L, 0L, 0.0)))
+    assert(out(12L) === ((12L, 4L, 1L, 0.25)))
+  }
+
+  test("hybridRrf ranks a both-lists doc first and keeps single-list docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark stream merge window"), // strongest lexical hit
+      (1L, "spark spark spark"),
+      (2L, "nothing relevant here"),     // lexical miss
+      (3L, "window probe text")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, 0, Seq(1.0f, 0.0f)),  // aligned with the probe → vector rank 1
+      (1L, 0, Seq(0.9f, 0.1f)),
+      (2L, 0, Seq(0.0f, 1.0f)),  // orthogonal → vector rank 3
+      (3L, 1, Seq(1.0f, 0.05f))) // the probe itself (excluded as candidate)
+      .toDF("vec_id", "label", "embedding")
+    val rows = Similarity.hybridRrf(
+        docs, emb, Seq("spark", "stream", "merge", "window"), probeVecId = 3L)
+      .collect()
+    // doc 0 is rank 1 lexically AND rank 1 in the vector list → top fusion
+    assert(rows.head.getAs[Long]("id") === 0L)
+    assert(rows.head.getAs[Long]("lex_rank") === 1L)
+    assert(rows.head.getAs[Long]("vec_rank") === 1L)
+    // doc 2 appears only in the vector list: null lex_rank, still fused
+    val d2 = rows.find(_.getAs[Long]("id") == 2L).get
+    assert(d2.isNullAt(d2.fieldIndex("lex_rank")))
+    assert(d2.getAs[Long]("vec_rank") === 3L)
+    // rrf is monotone in the fused ranks
+    val rrfs = rows.map(_.getAs[Double]("rrf"))
+    assert(rrfs.sameElements(rrfs.sortBy(-_)))
+  }
+
+  test("expectationSuite flags each planted violation and passes clean checks") {
+    import spark.implicits._
+    val t0: Option[java.sql.Timestamp] = Some(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    val li = Seq(
+      (1L, 1, 5.0, "A", t0, 10.0),   // clean
+      (1L, 1, 5.0, "A", t0, 10.0),   // duplicate (orderkey, linenumber)
+      (1L, 2, 99.0, "N", t0, 20.0),  // quantity out of range
+      (1L, 3, 5.0, "X", t0, 20.0),   // returnflag outside domain
+      (1L, 4, 5.0, "R", None, 20.0), // null shipdate
+      (2L, 1, 5.0, "A", t0, -5.0))   // negative price + orphan orderkey
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "l_shipdate", "l_extendedprice")
+    val ord = Seq(1L).toDF("o_orderkey")
+    val out = Relational.expectationSuite(li, ord)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(
+      "dup_primary_key" -> ((1L, 0L)),
+      "empty_table" -> ((0L, 1L)),
+      "extendedprice_positive" -> ((1L, 0L)),
+      "orderkey_ref_integrity" -> ((1L, 0L)),
+      "quantity_in_range" -> ((1L, 0L)),
+      "returnflag_in_domain" -> ((1L, 0L)),
+      "shipdate_not_null" -> ((1L, 0L))))
+  }
 }
