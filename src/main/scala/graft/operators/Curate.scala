@@ -318,12 +318,15 @@ object Curate {
     * updates/deletes are no-ops, per standard MERGE).
     *
     * Scale shape: a CDC batch is small relative to the snapshot, so the
-    * changeset BROADCASTS to both the update/delete pass (base never
-    * shuffles — one map-side outer join over the scan) and the
-    * insert anti-join; the base table is read once per output branch with
-    * the key column pruned on the anti side. Writing the result back
-    * partitioned-by-key-range makes the next merge's rewrite proportional
-    * to touched partitions, not the snapshot.
+    * snapshot NEVER shuffles — the update/delete pass is one map-side
+    * outer join against the broadcast changeset, and insert-key existence
+    * is resolved by a broadcast SEMI join over the snapshot's pruned key
+    * column (a plain left-anti would force the snapshot to the build side;
+    * instead the semi join emits the ≤|changeset| matched keys, which
+    * broadcast back into the anti join). Zero shuffle exchanges end to end
+    * (plan-spec'd). Writing the result back partitioned-by-key-range makes
+    * the next merge's rewrite proportional to touched partitions, not the
+    * snapshot.
     */
   def mergeUpsert(base: DataFrame, changes: DataFrame, keyCol: String): DataFrame = {
     val valueCols = base.columns.filterNot(_ == keyCol).toSeq
@@ -335,9 +338,11 @@ object Curate {
       .filter(col("_op").isNull || col("_op") =!= "D")
       .select(col(keyCol) +: valueCols.map(c =>
         when(col("_op") === "U", col("_c_" + c)).otherwise(col(c)).as(c)): _*)
-    val inserts = chg
-      .filter(col("_op") === "I")
-      .join(base.select(col(keyCol)), col("_k") === col(keyCol), "left_anti")
+    val insRows = chg.filter(col("_op") === "I")
+    val matchedKeys = base.select(col(keyCol).as("_mk"))
+      .join(broadcast(insRows.select(col("_k"))), col("_mk") === col("_k"), "left_semi")
+    val inserts = insRows
+      .join(broadcast(matchedKeys), col("_k") === col("_mk"), "left_anti")
       .select(col("_k").as(keyCol) +: valueCols.map(c => col("_c_" + c).as(c)): _*)
     kept.unionByName(inserts)
   }

@@ -550,21 +550,21 @@ object TextAnalysis {
       .orderBy(col("tau"))
   }
 
-  def gopherRules(docs: DataFrame): DataFrame = {
+  def gopherRules(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val ws = tokens(col("text"))
     val stopArr = array(Stopwords.map(lit): _*)
+    val metrics = Seq(
+      size(ws).cast("long").as("n_words"),
+      aggregate(
+        transform(ws, w => char_length(w).cast("long")), lit(0L), (a, b) => a + b)
+        .as("sum_word_len"),
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha_words"),
+      size(filter(ws, w => w.contains("#") || w.contains("...")))
+        .cast("long").as("n_symbol_words"),
+      size(array_distinct(filter(ws, w => array_contains(stopArr, w))))
+        .cast("long").as("n_stop_distinct"))
     docs
-      .select(
-        col("doc_id"),
-        size(ws).cast("long").as("n_words"),
-        aggregate(
-          transform(ws, w => char_length(w).cast("long")), lit(0L), (a, b) => a + b)
-          .as("sum_word_len"),
-        size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha_words"),
-        size(filter(ws, w => w.contains("#") || w.contains("...")))
-          .cast("long").as("n_symbol_words"),
-        size(array_distinct(filter(ws, w => array_contains(stopArr, w))))
-          .cast("long").as("n_stop_distinct"))
+      .select((col("doc_id") +: keep.map(col)) ++ metrics: _*)
       .withColumn("mean_word_len",
         col("sum_word_len").cast("double") / nullif(col("n_words"), lit(0L)))
       .withColumn("alpha_ratio",

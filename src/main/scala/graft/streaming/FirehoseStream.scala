@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
@@ -946,6 +946,46 @@ object FirehoseStream {
       .select(
         col("window.start").as("win_start"), col("component"), col("name"),
         col("series"), col("q_value"), col("n_samples"))
+
+  /** Streaming `delta`/`idelta`/`irate` — the incremental sibling of the
+    * batch [[graft.operators.Firehose.irateDelta]] (m23): the three
+    * endpoint functions need the window's first, last and second-to-last
+    * samples, so state per open (series, window) is the in-window sample
+    * list (`collect_list` is streaming-mergeable; bounded by scrape rate ×
+    * window span exactly like the batch exact-quantile argument, and
+    * watermark-pruned). The finish sorts that bounded list by (ts, id) —
+    * the batch operator's exact ordering — and applies the SAME endpoint
+    * arithmetic: reset-clamped last-pair rate, null below two samples,
+    * null on equal-timestamp endpoints. ANSI-safe `get` keeps
+    * out-of-bounds endpoint probes null instead of throwing.
+    */
+  def irateDelta(
+      metrics: DataFrame,
+      width: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val sorted = array_sort(col("_s"))
+    val n = size(col("_s"))
+    val firstS = get(sorted, lit(0))
+    val lastS = get(sorted, n - 1)
+    val prevS = get(sorted, n - 2)
+    def v(s: Column) = s.getField("value")
+    def ts(s: Column) = s.getField("ts")
+    keyedPoints(metrics, watermarkDelay)
+      .groupBy(window(col("eventTime"), width), col("component"), col("name"), col("series"))
+      .agg(
+        collect_list(struct(
+          col("timestamp").cast("long").as("ts"), col("id"), col("value"))).as("_s"),
+        count(lit(1)).as("n_samples"))
+      .select(
+        col("window.start").as("win_start"), col("component"), col("name"),
+        col("series"),
+        when(col("n_samples") >= 2, v(lastS) - v(firstS)).as("delta"),
+        when(col("n_samples") >= 2, v(lastS) - v(prevS)).as("idelta"),
+        when(col("n_samples") >= 2 && ts(lastS) =!= ts(prevS),
+          when(v(lastS) < v(prevS), v(lastS)).otherwise(v(lastS) - v(prevS)) /
+            (ts(lastS) - ts(prevS)).cast("double")).as("irate"),
+        col("n_samples"))
+  }
 
   /** Streaming classic-histogram bucket counts — the incremental sibling of
     * the batch [[graft.operators.Firehose.histogramQuantile]]: per tumbling

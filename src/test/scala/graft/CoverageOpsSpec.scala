@@ -27,6 +27,50 @@ class CoverageOpsSpec extends SparkSuite {
     assert(out(0).getLong(2) === 4L)
   }
 
+  test("irate/delta family reads the window's endpoint samples and nulls singletons") {
+    import spark.implicits._
+    // window 0: 10@100 → 20@200 → 14@300: delta 4, idelta −6, and the
+    // last pair is a counter reset → irate = 14/(300−200)
+    // window 3600: one sample → all three null (PromQL emits nothing)
+    // window 7200: two samples at the SAME timestamp → irate null (no ÷0)
+    val metrics = Seq(
+      ("1", 100L, 10.0), ("2", 200L, 20.0), ("3", 300L, 14.0),
+      ("4", 3700L, 42.0),
+      ("b1", 7300L, 5.0), ("b2", 7300L, 8.0))
+      .toDF("id", "timestamp", "value")
+      .withColumn("component", lit("app"))
+      .withColumn("name", lit("c_total"))
+      .withColumn("labels", map(lit("user"), lit("u1")))
+    val out = Firehose.irateDelta(metrics).collect()
+      .map(r => r.getAs[Long]("win_start") -> r).toMap
+    val w0 = out(0L)
+    assert(w0.getAs[Double]("delta") === 4.0)
+    assert(w0.getAs[Double]("idelta") === -6.0)
+    assert(w0.getAs[Double]("irate") === 0.14)
+    val w1 = out(3600L)
+    assert(w1.isNullAt(w1.fieldIndex("delta")))
+    assert(w1.isNullAt(w1.fieldIndex("irate")))
+    val w2 = out(7200L)
+    assert(w2.getAs[Double]("delta") === 3.0)
+    assert(w2.getAs[Double]("idelta") === 3.0)
+    assert(w2.isNullAt(w2.fieldIndex("irate")))
+  }
+
+  test("k-anonymity masks the quasi-identifiers of classes below k") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", "web"), (2L, "en", "web"), (3L, "en", "web"),
+      (4L, "fr", "web"))
+      .toDF("doc_id", "lang", "source")
+    val out = Curate.kAnonymitySuppress(df, Seq("lang", "source"), k = 2)
+      .as[(Long, String, String, Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, "en", "web", 3L, 0L),
+      (2L, "en", "web", 3L, 0L),
+      (3L, "en", "web", 3L, 0L),
+      (4L, "*", "*", 1L, 1L)))
+  }
+
   test("absent alert flags the first missing window of each gap, not the trailing edge") {
     import spark.implicits._
     // u1 reports in windows 0, 60, 240 (gap: 120 missing, 180 missing —

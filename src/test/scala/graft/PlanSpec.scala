@@ -268,6 +268,41 @@ class PlanSpec extends SparkSuite {
     assert(df.selectExpr("sum(c)").collect()(0).getDouble(0) > 0)
   }
 
+  test("merge upsert plans with zero shuffle exchanges at any threshold") {
+    // the SURVEY claim: the snapshot never shuffles — U/D is a map-side
+    // outer join against the broadcast changeset, and insert existence
+    // resolves via broadcast semi + broadcast-back anti. The hints are
+    // explicit, so the shape must survive autoBroadcastJoinThreshold=-1
+    // (the corpus-scale regime where size-based broadcasts disappear).
+    val restore = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("p4_merge_upsert")(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val shuffles =
+        "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+          .findAllMatchIn(plan).length
+      assert(shuffles === 0, s"snapshot-side shuffle in merge plan:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
+    } finally restore match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("irate family shuffles the stream exactly once") {
+    // row_number + partition count + the collapsing groupBy all share one
+    // hash distribution by (series, window) — one exchange end to end
+    val df = SparkEntry.queries("m23_irate_delta")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val shuffles =
+      "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+        .findAllMatchIn(plan).length
+    assert(shuffles === 1, s"expected exactly one shuffle:\n$plan")
+  }
+
   test("whole-stage codegen covers the IVF-PQ encode projection") {
     // the PQ model matrices ride into the generated code as reference
     // objects — the encode (cell assignment + residual argmin + bit-pack)

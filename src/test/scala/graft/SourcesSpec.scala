@@ -172,4 +172,31 @@ class SourcesSpec extends SparkSuite {
     val es = e.agg(sum("value")).collect()(0).getDouble(0)
     assert(math.abs(bs - es) < 0.01)
   }
+
+  test("versioned table: merge commits are time-travelable and orphan data is invisible") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-versioned").toFile.getAbsolutePath
+    assert(Versioned.latestVersion(root) === -1L)
+    val v0 = Versioned.commit(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "name", "v"), root)
+    assert(v0 === 0L)
+    val v1 = Versioned.mergeCommit(spark, root,
+      Seq((1L, "U", "a2", 11.0), (4L, "I", "d", 40.0)).toDF("k", "op", "name", "v"), "k")
+    val v2 = Versioned.mergeCommit(spark, root,
+      Seq((2L, "D", "b", 0.0)).toDF("k", "op", "name", "v"), "k")
+    assert((v1, v2) === ((1L, 2L)))
+    def snap(v: Long) =
+      Versioned.asOf(spark, root, v).as[(Long, String, Double)].collect().toSet
+    // time travel: every committed version stays exactly as written
+    assert(snap(0) === Set((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    assert(snap(1) === Set((1L, "a2", 11.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    assert(snap(2) === Set((1L, "a2", 11.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+    assert(Versioned.latest(spark, root).count() === 3L)
+    // a crashed writer's data directory (no commit marker) must be
+    // invisible: latest stays v2 and reading the orphan version is refused
+    Seq((99L, "x", 0.0)).toDF("k", "name", "v").write.parquet(s"$root/v5")
+    assert(Versioned.latestVersion(root) === 2L)
+    intercept[IllegalArgumentException](Versioned.asOf(spark, root, 5L))
+  }
 }

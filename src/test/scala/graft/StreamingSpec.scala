@@ -705,6 +705,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming irate/delta matches the batch endpoint arithmetic across batches") {
+    val dir = Files.createTempDirectory("graft-irate").toFile
+    val chk = Files.createTempDirectory("graft-iratechk").toFile
+    def b(id: String, ts: Long, v: Double) = metricJson(id, "c_total", ts, "u1", v)
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(b("s1", 100, 10.0), b("s2", 200, 20.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.irateDelta(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath), width = "1 hour")
+      .writeStream.format("memory").queryName("irate_t").outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      // the second micro-batch lands the reset pair (20 → 14): the state
+      // list must merge across batches before the endpoint finish
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(b("s3", 300, 14.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val streamed = spark.table("irate_t").orderBy(col("n_samples").desc).collect().head
+      val batch = graft.operators.Firehose.irateDelta(
+          graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath))
+        .collect().head
+      assert(streamed.getAs[Long]("n_samples") === 3L)
+      for (f <- Seq("delta", "idelta", "irate"))
+        assert(streamed.getAs[Double](f) === batch.getAs[Double](f), f)
+      assert(batch.getAs[Double]("irate") === 0.14) // reset clamp: 14/(300−200)
+    } finally q.stop()
+  }
+
   test("transformWithState ratio alert matches the fMGWS port's scenario") {
     withRocksDb {
       val dir = Files.createTempDirectory("graft-tws-r").toFile
@@ -1253,6 +1282,57 @@ class StreamingSpec extends SparkSuite {
     try {
       q.processAllAvailable()
       assert(out.toArray(Array.empty[String]).sorted.toSeq === expected)
+    } finally q.stop()
+  }
+
+  test("CDC merge applies streamed changesets onto the landed snapshot sequentially") {
+    // p4's streaming sibling: each arriving changeset micro-batch MERGEs
+    // into the current snapshot version inside foreachBatch — the
+    // standard lakehouse streaming-upsert sink shape. The second batch
+    // updates a row the FIRST batch inserted and deletes a base row, so
+    // the expected state is reachable only by sequential per-batch apply
+    // (a single combined apply would no-op the update and insert the
+    // original row instead).
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cdc").toFile
+    val chk = Files.createTempDirectory("graft-cdc-chk").toFile
+    val snapRoot = dir.getAbsolutePath + "/snap"
+    val chgDir = dir.toPath.resolve("chg")
+    Files.createDirectories(chgDir)
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "name", "v")
+      .write.parquet(snapRoot + "/v0")
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, op STRING, name STRING, v DOUBLE")
+    val q = spark.readStream.schema(schema).json(chgDir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val cur = version.get()
+          val snap = spark.read.parquet(s"$snapRoot/v$cur")
+          graft.operators.Curate.mergeUpsert(snap, batch.toDF(), "k")
+            .write.parquet(s"$snapRoot/v${cur + 1}")
+          version.incrementAndGet()
+        }
+        ()
+      }
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      Files.write(chgDir.resolve("b1.json"),
+        Seq(
+          """{"k":1,"op":"U","name":"a2","v":11.0}""",
+          """{"k":4,"op":"I","name":"d","v":40.0}""").mkString("\n").getBytes)
+      q.processAllAvailable()
+      Files.write(chgDir.resolve("b2.json"),
+        Seq(
+          """{"k":4,"op":"U","name":"d2","v":41.0}""",
+          """{"k":2,"op":"D","name":"b","v":20.0}""").mkString("\n").getBytes)
+      q.processAllAvailable()
+      assert(version.get() === 2)
+      val fin = spark.read.parquet(s"$snapRoot/v2")
+        .as[(Long, String, Double)].collect().toSet
+      assert(fin === Set((1L, "a2", 11.0), (3L, "c", 30.0), (4L, "d2", 41.0)))
     } finally q.stop()
   }
 
