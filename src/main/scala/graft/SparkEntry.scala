@@ -308,6 +308,36 @@ object SparkEntry {
           col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
       Curate.mergeUpsert(cust, upd.unionByName(ins).unionByName(del), "c_custkey")
     }),
+    // PromQL *_over_time aggregation family (one plain aggregation)
+    "m24_over_time" -> ((s, dir) =>
+      Firehose.overTimeAgg(Firehose.metricsFromEvents(s, dir))),
+    // PromQL holt_winters double exponential smoothing per series/window
+    "m25_holt_winters" -> ((s, dir) =>
+      Firehose.holtWinters(Firehose.metricsFromEvents(s, dir))),
+    // per-source gopher-rule failure funnel
+    "t18_quality_funnel" -> ((s, dir) =>
+      TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
+    // SCD Type-2 history apply on the customer dimension: current slice =
+    // keys %3≠0 (plus pre-closed versions for %9==0, passthrough), new
+    // snapshot = keys %5≠0 with an acctbal bump on %7==0, applied at t=100
+    "p6_scd2" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val hist = cust.filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+          lit(1L).as("is_current"))
+        .unionByName(
+          cust.filter(col("c_custkey") % 9 === 0)
+            .select(col("c_custkey"), concat(lit("OLD "), col("c_name")).as("c_name"),
+              col("c_acctbal"), lit(-100L).as("valid_from"),
+              lit(0L).cast("long").as("valid_to"), lit(0L).as("is_current")))
+      val snap = cust.filter(col("c_custkey") % 5 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 1000.0)
+            .otherwise(col("c_acctbal")))
+      Curate.scd2Apply(hist, snap, "c_custkey", ts = 100L)
+    }),
     "m21_prom_parse" -> ((s, dir) =>
       Firehose.promParse(
         Firehose.promRender(Firehose.gaugeLatest(Firehose.metricsFromEvents(s, dir))))),
@@ -1559,6 +1589,69 @@ object SparkEntry {
         |      / CAST(last_ts - prev_ts AS DOUBLE) END AS irate,
         |  n_samples
         |FROM g""".stripMargin,
+    // decimal sums make avg/stdvar derive from order-independent
+    // numerators; variance via the algebraic form over those exact sums
+    "m24_over_time" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         CAST(event_id AS VARCHAR) AS id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |w AS (SELECT *, ts_sec - ts_sec % 3600 AS win_start FROM m),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY component, name, series, win_start
+        |        ORDER BY ts_sec DESC, id DESC) AS rn FROM w),
+        |g AS (SELECT component, name, series, win_start,
+        |        count(*) AS n_samples,
+        |        min(value) AS min_value, max(value) AS max_value,
+        |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |        CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+        |          AS DECIMAL(38,4))) AS DOUBLE) AS sumsq_value,
+        |        min(CASE WHEN rn = 1 THEN value END) AS last_value
+        |      FROM r GROUP BY 1, 2, 3, 4)
+        |SELECT component, name, series, win_start, n_samples, min_value, max_value,
+        |  sum_value, sumsq_value, last_value,
+        |  sum_value / CAST(n_samples AS DOUBLE) AS avg_value,
+        |  greatest((sumsq_value - sum_value * sum_value / CAST(n_samples AS DOUBLE))
+        |    / CAST(n_samples AS DOUBLE), 0.0) AS stdvar_value,
+        |  sqrt(greatest((sumsq_value - sum_value * sum_value / CAST(n_samples AS DOUBLE))
+        |    / CAST(n_samples AS DOUBLE), 0.0)) AS stddev_value
+        |FROM g""".stripMargin,
+    // the smoothing recursion replayed sample-by-sample as a recursive
+    // CTE; factors are dyadic so every constant is an exact binary double
+    "m25_holt_winters" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         CAST(event_id AS VARCHAR) AS id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |w AS (SELECT *, ts_sec - ts_sec % 3600 AS win_start FROM m),
+        |r AS (SELECT component, name, series, win_start, value,
+        |        row_number() OVER (PARTITION BY component, name, series, win_start
+        |          ORDER BY ts_sec, id) AS rn,
+        |        count(*) OVER (PARTITION BY component, name, series, win_start) AS cnt
+        |      FROM w),
+        |hw AS (
+        |  SELECT r2.component, r2.name, r2.series, r2.win_start, r2.cnt,
+        |         CAST(2 AS BIGINT) AS i, r2.value AS s, r2.value - r1.value AS b
+        |  FROM r r2 JOIN r r1 ON r1.component = r2.component AND r1.name = r2.name
+        |    AND r1.series = r2.series AND r1.win_start = r2.win_start
+        |    AND r2.rn = 2 AND r1.rn = 1
+        |  UNION ALL
+        |  SELECT hw.component, hw.name, hw.series, hw.win_start, hw.cnt, hw.i + 1,
+        |         0.5 * r.value + 0.5 * (hw.s + hw.b),
+        |         0.25 * (0.5 * r.value + 0.5 * (hw.s + hw.b) - hw.s) + 0.75 * hw.b
+        |  FROM hw JOIN r ON r.component = hw.component AND r.name = hw.name
+        |    AND r.series = hw.series AND r.win_start = hw.win_start AND r.rn = hw.i + 1
+        |  WHERE hw.i < hw.cnt),
+        |g AS (SELECT component, name, series, win_start, count(*) AS n_samples
+        |      FROM w GROUP BY 1, 2, 3, 4),
+        |fin AS (SELECT component, name, series, win_start, s FROM hw WHERE i = cnt)
+        |SELECT g.component, g.name, g.series, g.win_start, f.s AS smoothed,
+        |  g.n_samples
+        |FROM g LEFT JOIN fin f
+        |  USING (component, name, series, win_start)""".stripMargin,
     // class size = window count over the quasi-identifier partitioning;
     // mask is a row-local projection of that count
     "p5_k_anonymity" ->
@@ -1623,6 +1716,45 @@ object SparkEntry {
         |  FROM chg c LEFT JOIN customer b ON c.k = b.c_custkey
         |  WHERE c.op = 'I' AND b.c_custkey IS NULL)
         |SELECT * FROM kept UNION ALL SELECT * FROM ins""".stripMargin,
+    // full-outer of the current slice vs the snapshot; each joined row
+    // yields its close/open output rows, closed history passes through
+    "p6_scd2" ->
+      """WITH cust AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |hist_cur AS (
+        |  SELECT c_custkey, c_name, c_acctbal, CAST(0 AS BIGINT) AS valid_from
+        |  FROM cust WHERE c_custkey % 3 <> 0),
+        |hist_closed AS (
+        |  SELECT c_custkey, 'OLD ' || c_name AS c_name, c_acctbal,
+        |    CAST(-100 AS BIGINT) AS valid_from, CAST(0 AS BIGINT) AS valid_to,
+        |    CAST(0 AS BIGINT) AS is_current
+        |  FROM cust WHERE c_custkey % 9 = 0),
+        |snap AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END
+        |      AS c_acctbal
+        |  FROM cust WHERE c_custkey % 5 <> 0),
+        |j AS (
+        |  SELECT h.c_custkey AS hk, s.c_custkey AS sk,
+        |    h.c_name AS h_name, h.c_acctbal AS h_bal, h.valid_from AS h_from,
+        |    s.c_name AS s_name, s.c_acctbal AS s_bal,
+        |    (h.c_name = s.c_name AND h.c_acctbal = s.c_acctbal) AS same
+        |  FROM hist_cur h FULL OUTER JOIN snap s ON h.c_custkey = s.c_custkey),
+        |out_old AS (
+        |  SELECT hk AS c_custkey, h_name AS c_name, h_bal AS c_acctbal,
+        |    h_from AS valid_from,
+        |    CASE WHEN sk IS NOT NULL AND same THEN CAST(NULL AS BIGINT)
+        |         ELSE CAST(100 AS BIGINT) END AS valid_to,
+        |    CASE WHEN sk IS NOT NULL AND same THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS is_current
+        |  FROM j WHERE hk IS NOT NULL),
+        |out_new AS (
+        |  SELECT sk AS c_custkey, s_name AS c_name, s_bal AS c_acctbal,
+        |    CAST(100 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+        |    CAST(1 AS BIGINT) AS is_current
+        |  FROM j WHERE sk IS NOT NULL AND (hk IS NULL OR NOT same))
+        |SELECT * FROM hist_closed UNION ALL
+        |SELECT * FROM out_old UNION ALL
+        |SELECT * FROM out_new""".stripMargin,
     // s1 with the candidate side pre-filtered on metadata
     "s10_ann_filtered" ->
       s"""WITH probes AS (SELECT * FROM embeddings WHERE vec_id < 10),
@@ -1879,6 +2011,47 @@ object SparkEntry {
            |    AND symbol_ratio < 0.1 AND alpha_ratio > 0.8
            |    AND n_stop_distinct >= 2 AS BIGINT) AS keep
            |FROM r""".stripMargin),
+    // t12's signal CTEs + a per-source conditional aggregation; null
+    // signals count as failures via the same coalesce(…, FALSE) discipline
+    "t18_quality_funnel" ->
+      (WordsCte +
+        s"""base AS (SELECT doc_id,
+           |  CAST(len(ws) AS BIGINT) AS n_words,
+           |  CAST(list_reduce(
+           |    list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(ws, w -> CAST(length(w) AS BIGINT))),
+           |    (a, b) -> a + b) AS BIGINT) AS sum_word_len,
+           |  CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+           |    AS n_alpha_words,
+           |  CAST(len(list_filter(ws, w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT)
+           |    AS n_symbol_words,
+           |  CAST(len(list_distinct(list_filter(ws, w -> list_contains(${markerLists("en")}, w))))
+           |    AS BIGINT) AS n_stop_distinct
+           |FROM words),
+           |r AS (SELECT *,
+           |  sum_word_len::DOUBLE / nullif(n_words, 0) AS mean_word_len,
+           |  n_alpha_words::DOUBLE / nullif(n_words, 0) AS alpha_ratio,
+           |  n_symbol_words::DOUBLE / nullif(n_words, 0) AS symbol_ratio
+           |FROM base),
+           |f AS (SELECT r.*, d.source FROM r JOIN documents d USING (doc_id)),
+           |g AS (SELECT source,
+           |  count(*) AS n_docs,
+           |  CAST(sum(CAST(n_words BETWEEN 50 AND 100000
+           |    AND mean_word_len BETWEEN 3.0 AND 10.0
+           |    AND symbol_ratio < 0.1 AND alpha_ratio > 0.8
+           |    AND n_stop_distinct >= 2 AS BIGINT)) AS BIGINT) AS n_pass,
+           |  CAST(sum(CASE WHEN NOT coalesce(n_words BETWEEN 50 AND 100000, FALSE)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_words,
+           |  CAST(sum(CASE WHEN NOT coalesce(mean_word_len BETWEEN 3.0 AND 10.0, FALSE)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
+           |  CAST(sum(CASE WHEN NOT coalesce(symbol_ratio < 0.1, FALSE)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_symbol,
+           |  CAST(sum(CASE WHEN NOT coalesce(alpha_ratio > 0.8, FALSE)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_alpha,
+           |  CAST(sum(CASE WHEN NOT coalesce(n_stop_distinct >= 2, FALSE)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop
+           |FROM f GROUP BY source)
+           |SELECT *, n_pass::DOUBLE / n_docs::DOUBLE AS pass_rate FROM g""".stripMargin),
     "d15_stratified_split" ->
       """WITH r AS (
         |  SELECT source, doc_id,

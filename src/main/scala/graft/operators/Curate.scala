@@ -347,6 +347,73 @@ object Curate {
     kept.unionByName(inserts)
   }
 
+  /** SCD Type-2 apply — the warehouse history-maintenance sibling of
+    * [[mergeUpsert]] (which keeps only the latest state) and
+    * [[snapshotDiff]] (which only reports): fold a new full snapshot into
+    * a versioned dimension history at time `ts`. Unchanged current rows
+    * stay open; changed or vanished keys get their current version CLOSED
+    * (`valid_to = ts`, `is_current = 0`); changed and brand-new keys open
+    * a NEW current version (`valid_from = ts`, open-ended). Already-closed
+    * history passes through untouched.
+    *
+    * Scale shape: ONE full-outer join of the current slice against the
+    * snapshot on the key (both sides shuffle once on the key they'd be
+    * bucketed by in a real deployment), consumed exactly ONCE — each
+    * joined row expands to its 0/1/2 output rows via an inline
+    * struct-array explode instead of three filtered re-reads of the join,
+    * so neither input is scanned per output branch. Change detection
+    * compares md5 digests of the canonicalized attributes, computed
+    * map-side under the join. The closed-history union is scan-only
+    * (no shuffle).
+    */
+  def scd2Apply(
+      history: DataFrame,
+      snapshot: DataFrame,
+      keyCol: String,
+      ts: Long): DataFrame = {
+    val attrs = snapshot.columns.filterNot(_ == keyCol).toSeq
+    def rowHash(cols: Seq[org.apache.spark.sql.Column]) =
+      // \u0001 separator + \u0000 null sentinel keep adjacent attributes
+      // and null-vs-empty from colliding in the digest
+      md5(to_binary(
+        concat_ws("\u0001", cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*),
+        lit("utf-8")))
+    val current = history.filter(col("is_current") === 1L)
+    val closed = history.filter(col("is_current") === 0L)
+    val snapKeyed = snapshot.select(
+      col(keyCol).as("_nk") +: attrs.map(c => col(c).as("_n_" + c)): _*)
+    val j = current
+      .withColumn("_oh", rowHash(attrs.map(col)))
+      .join(
+        snapKeyed.withColumn("_nh", rowHash(attrs.map(c => col("_n_" + c)))),
+        col(keyCol) === col("_nk"), "full_outer")
+    val same = col("_oh") === col("_nh")
+    def outRow(
+        key: org.apache.spark.sql.Column,
+        attr: String => org.apache.spark.sql.Column,
+        from: org.apache.spark.sql.Column,
+        to: org.apache.spark.sql.Column,
+        cur: org.apache.spark.sql.Column) =
+      struct(
+        key.as(keyCol) +: attrs.map(c => attr(c).as(c)) ++: Seq(
+          from.as("valid_from"), to.as("valid_to"), cur.as("is_current")): _*)
+    val oldBranch = when(
+      col(keyCol).isNotNull,
+      outRow(
+        col(keyCol), c => col(c), col("valid_from"),
+        when(col("_nk").isNotNull && same, col("valid_to")).otherwise(lit(ts)),
+        when(col("_nk").isNotNull && same, lit(1L)).otherwise(lit(0L))))
+    val newBranch = when(
+      col("_nk").isNotNull && (col(keyCol).isNull || !same),
+      outRow(
+        col("_nk"), c => col("_n_" + c), lit(ts),
+        lit(null).cast("long"), lit(1L)))
+    val applied = j
+      .select(explode(filter(array(oldBranch, newBranch), r => r.isNotNull)).as("_r"))
+      .select(col("_r.*"))
+    closed.unionByName(applied)
+  }
+
   /** @param minQuality quality-score gate (see TextAnalysis.qualityScore) */
   def corpusStats(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
     // ONE corpus pass: quality columns are computed alongside the retained

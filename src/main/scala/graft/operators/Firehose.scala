@@ -516,6 +516,96 @@ object Firehose {
         col("n_samples"))
   }
 
+  /** PromQL's `*_over_time` aggregation family — `avg` / `sum` / `min` /
+    * `max` / `stddev` / `stdvar` / `last` over time, per series per
+    * tumbling window, in ONE plain aggregation (one shuffle, map-side
+    * combinable — every member is algebraic: sums, extremes, and
+    * `max_by(value, (ts, id))` for `last_over_time` all merge
+    * associatively, so at 100 TB the exchange carries one partial row per
+    * series per input partition). Engine-portable float discipline: sums
+    * of 2-dp inputs ride exact decimals and only then cast to double, so
+    * avg/stdvar/stddev derive from order-independent numerators —
+    * variance via the algebraic E[x²]−E[x]² form over those exact sums,
+    * clamped at zero before the sqrt so FP cancellation can't emit NaN.
+    */
+  def overTimeAgg(metrics: DataFrame, widthSec: Long = 3600): DataFrame = {
+    val labeled =
+      if (metrics.columns.contains("labels")) metrics else tagFilter(metrics)
+    val dv = col("value").cast("decimal(18,2)")
+    val n = col("n_samples").cast("double")
+    labeled
+      .withColumn("series", seriesKey(col("labels")))
+      .withColumn(
+        "win_start",
+        (col("timestamp") - pmod(col("timestamp"), lit(widthSec))).cast("long"))
+      .groupBy(col("component"), col("name"), col("series"), col("win_start"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sum(dv).cast("double").as("sum_value"),
+        sum((dv * dv).cast("decimal(38,4)")).cast("double").as("sumsq_value"),
+        max_by(col("value"), struct(col("timestamp"), col("id"))).as("last_value"))
+      .withColumn("avg_value", col("sum_value") / n)
+      .withColumn(
+        "stdvar_value",
+        greatest(
+          (col("sumsq_value") - col("sum_value") * col("sum_value") / n) / n,
+          lit(0.0)))
+      .withColumn("stddev_value", sqrt(col("stdvar_value")))
+  }
+
+  /** PromQL `holt_winters()` (double exponential smoothing) per series per
+    * tumbling window: s₀ = v₀, b₀ = v₁−v₀, then
+    * sᵢ = sf·vᵢ + (1−sf)·(sᵢ₋₁+bᵢ₋₁), bᵢ = tf·(sᵢ−sᵢ₋₁) + (1−tf)·bᵢ₋₁,
+    * emitting the final sᵢ (null below two samples, like the endpoint
+    * family). The recursion is inherently sequential, but only WITHIN a
+    * (series, window) group whose sample count is bounded by scrape rate ×
+    * window span — the same bounded-multiset argument as the exact
+    * quantile — so it runs as one `aggregate` fold over the sorted
+    * in-window sample list after a single shuffle; groups, not samples,
+    * set the parallelism. Fold order is pinned by (ts, id) sort, so the
+    * IEEE arithmetic sequence is deterministic and engine-portable; the
+    * default factors are dyadic rationals (so sf, tf AND their 1−x
+    * complements are all exact binary doubles — `1 − 0.3` vs a literal
+    * `0.7` can differ in the last ulp between engines, a real hash-gate
+    * hazard for a recursion that amplifies it).
+    */
+  def holtWinters(
+      metrics: DataFrame,
+      sf: Double = 0.5,
+      tf: Double = 0.25,
+      widthSec: Long = 3600): DataFrame = {
+    val labeled =
+      if (metrics.columns.contains("labels")) metrics else tagFilter(metrics)
+    val vs = transform(array_sort(col("_s")), s => s.getField("value"))
+    def smooth(acc: Column, x: Column): Column = {
+      val sNew = lit(sf) * x + lit(1 - sf) * (acc.getField("s") + acc.getField("b"))
+      struct(
+        sNew.as("s"),
+        (lit(tf) * (sNew - acc.getField("s")) + lit(1 - tf) * acc.getField("b")).as("b"))
+    }
+    labeled
+      .withColumn("series", seriesKey(col("labels")))
+      .withColumn(
+        "win_start",
+        (col("timestamp") - pmod(col("timestamp"), lit(widthSec))).cast("long"))
+      .groupBy(col("component"), col("name"), col("series"), col("win_start"))
+      .agg(
+        collect_list(struct(col("timestamp").as("ts"), col("id"), col("value"))).as("_s"),
+        count(lit(1)).as("n_samples"))
+      .select(
+        col("component"), col("name"), col("series"), col("win_start"),
+        when(col("n_samples") >= 2,
+          aggregate(
+            slice(vs, lit(3), greatest(size(vs) - 2, lit(0))),
+            struct(
+              element_at(vs, 2).as("s"),
+              (element_at(vs, 2) - element_at(vs, 1)).as("b")),
+            smooth).getField("s")).as("smoothed"),
+        col("n_samples"))
+  }
+
   /** Default classic-histogram bucket boundaries for the synthetic stream. */
   val DefaultLes: Seq[Double] = Seq(50.0, 100.0, 200.0, 300.0, 400.0)
 

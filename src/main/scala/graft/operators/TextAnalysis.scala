@@ -550,6 +550,32 @@ object TextAnalysis {
       .orderBy(col("tau"))
   }
 
+  /** Per-source quality funnel over the [[gopherRules]] signals: how many
+    * documents each rule rejects, per corpus source — the curation report
+    * that tells you WHICH source is dying on WHICH rule before you spend a
+    * full pipeline run on it. One scan, one tiny shuffle (grouping
+    * cardinality = number of sources; partial aggregation collapses it
+    * map-side, so the exchange carries a handful of rows per partition no
+    * matter the corpus size). Null signals (e.g. mean_word_len of an empty
+    * doc) count as failures via the coalesce(…, false) discipline, matching
+    * the keep flag's conjunction exactly — spec'd so n_pass plus the
+    * per-rule failure columns reconcile.
+    */
+  def qualityFunnel(docs: DataFrame): DataFrame = {
+    def fails(ok: Column) = sum(when(!coalesce(ok, lit(false)), 1L).otherwise(0L))
+    gopherRules(docs, keep = Seq("source"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_pass"),
+        fails(col("n_words").between(50L, 100000L)).as("n_fail_words"),
+        fails(col("mean_word_len").between(3.0, 10.0)).as("n_fail_wordlen"),
+        fails(col("symbol_ratio") < 0.1).as("n_fail_symbol"),
+        fails(col("alpha_ratio") > 0.8).as("n_fail_alpha"),
+        fails(col("n_stop_distinct") >= 2L).as("n_fail_stop"))
+      .withColumn("pass_rate", col("n_pass").cast("double") / col("n_docs").cast("double"))
+  }
+
   def gopherRules(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val ws = tokens(col("text"))
     val stopArr = array(Stopwords.map(lit): _*)

@@ -987,6 +987,85 @@ object FirehoseStream {
         col("n_samples"))
   }
 
+  /** Streaming `*_over_time` family — the incremental sibling of the batch
+    * [[graft.operators.Firehose.overTimeAgg]] (m24). Every member is
+    * algebraic (decimal sums, extremes, `max_by` for last), so this is ONE
+    * plain streaming aggregation — no arbitrary state, no timers, state =
+    * one partial row per open (series, window), watermark-pruned. The
+    * finish derives avg/stdvar/stddev from the exact decimal sums exactly
+    * like batch, so results are batch-identical (spec-pinned), not
+    * approximate.
+    */
+  def overTimeAgg(
+      metrics: DataFrame,
+      width: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val dv = col("value").cast("decimal(18,2)")
+    val n = col("n_samples").cast("double")
+    keyedPoints(metrics, watermarkDelay)
+      .groupBy(window(col("eventTime"), width), col("component"), col("name"), col("series"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sum(dv).cast("double").as("sum_value"),
+        sum((dv * dv).cast("decimal(38,4)")).cast("double").as("sumsq_value"),
+        max_by(col("value"),
+          struct(col("timestamp").cast("long").as("ts"), col("id"))).as("last_value"))
+      .select(
+        col("window.start").as("win_start"), col("component"), col("name"),
+        col("series"), col("n_samples"), col("min_value"), col("max_value"),
+        col("sum_value"), col("sumsq_value"), col("last_value"),
+        (col("sum_value") / n).as("avg_value"),
+        greatest(
+          (col("sumsq_value") - col("sum_value") * col("sum_value") / n) / n,
+          lit(0.0)).as("stdvar_value"),
+        sqrt(greatest(
+          (col("sumsq_value") - col("sum_value") * col("sum_value") / n) / n,
+          lit(0.0))).as("stddev_value"))
+  }
+
+  /** Streaming `holt_winters` — the incremental sibling of the batch
+    * [[graft.operators.Firehose.holtWinters]] (m25): the smoothing
+    * recursion needs every in-window sample in (ts, id) order, so state
+    * per open (series, window) is the bounded sample list (the same
+    * `collect_list` argument as [[irateDelta]], watermark-pruned) and the
+    * fold runs in the finish over the sorted list — the batch operator's
+    * exact arithmetic sequence, so results are batch-identical
+    * (spec-pinned across micro-batch splits).
+    */
+  def holtWinters(
+      metrics: DataFrame,
+      sf: Double = 0.5,
+      tf: Double = 0.25,
+      width: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val vs = transform(array_sort(col("_s")), s => s.getField("value"))
+    def smooth(acc: Column, x: Column): Column = {
+      val sNew = lit(sf) * x + lit(1 - sf) * (acc.getField("s") + acc.getField("b"))
+      struct(
+        sNew.as("s"),
+        (lit(tf) * (sNew - acc.getField("s")) + lit(1 - tf) * acc.getField("b")).as("b"))
+    }
+    keyedPoints(metrics, watermarkDelay)
+      .groupBy(window(col("eventTime"), width), col("component"), col("name"), col("series"))
+      .agg(
+        collect_list(struct(
+          col("timestamp").cast("long").as("ts"), col("id"), col("value"))).as("_s"),
+        count(lit(1)).as("n_samples"))
+      .select(
+        col("window.start").as("win_start"), col("component"), col("name"),
+        col("series"),
+        when(col("n_samples") >= 2,
+          aggregate(
+            slice(vs, lit(3), greatest(size(vs) - 2, lit(0))),
+            struct(
+              element_at(vs, 2).as("s"),
+              (element_at(vs, 2) - element_at(vs, 1)).as("b")),
+            smooth).getField("s")).as("smoothed"),
+        col("n_samples"))
+  }
+
   /** Streaming classic-histogram bucket counts — the incremental sibling of
     * the batch [[graft.operators.Firehose.histogramQuantile]]: per tumbling
     * window and metric name, the count of samples falling in each `le`

@@ -56,6 +56,92 @@ class CoverageOpsSpec extends SparkSuite {
     assert(w2.isNullAt(w2.fieldIndex("irate")))
   }
 
+  test("over-time family: algebraic aggregates plus (ts, id)-tiebroken last") {
+    import spark.implicits._
+    // window 0: 1,2,3,4 → sum 10, sumsq 30, avg 2.5, stdvar (30−25)/4,
+    // last 4; window 7200: two samples at the SAME ts → id breaks the tie
+    val metrics = Seq(
+      ("1", 100L, 1.0), ("2", 200L, 2.0), ("3", 300L, 3.0), ("4", 400L, 4.0),
+      ("b1", 7300L, 5.0), ("b2", 7300L, 8.0))
+      .toDF("id", "timestamp", "value")
+      .withColumn("component", lit("app"))
+      .withColumn("name", lit("g"))
+      .withColumn("labels", map(lit("user"), lit("u1")))
+    val out = Firehose.overTimeAgg(metrics).collect()
+      .map(r => r.getAs[Long]("win_start") -> r).toMap
+    val w0 = out(0L)
+    assert(w0.getAs[Long]("n_samples") === 4L)
+    assert(w0.getAs[Double]("sum_value") === 10.0)
+    assert(w0.getAs[Double]("sumsq_value") === 30.0)
+    assert(w0.getAs[Double]("avg_value") === 2.5)
+    assert(w0.getAs[Double]("stdvar_value") === 1.25)
+    assert(w0.getAs[Double]("stddev_value") === math.sqrt(1.25))
+    assert(w0.getAs[Double]("last_value") === 4.0)
+    assert(out(7200L).getAs[Double]("last_value") === 8.0)
+  }
+
+  test("holt winters replays the PromQL smoothing recursion per window") {
+    import spark.implicits._
+    // window 0: v = [10, 20, 14] → s₁ = v₁ = 20, b₁ = 10,
+    // s₂ = 0.5·14 + 0.5·(20+10) = 22; window 3600: singleton → null;
+    // window 7200: two samples → smoothed = second value exactly
+    val metrics = Seq(
+      ("1", 100L, 10.0), ("2", 200L, 20.0), ("3", 300L, 14.0),
+      ("4", 3700L, 42.0),
+      ("5", 7300L, 6.0), ("6", 7400L, 9.0))
+      .toDF("id", "timestamp", "value")
+      .withColumn("component", lit("app"))
+      .withColumn("name", lit("c_total"))
+      .withColumn("labels", map(lit("user"), lit("u1")))
+    val out = Firehose.holtWinters(metrics).collect()
+      .map(r => r.getAs[Long]("win_start") -> r).toMap
+    assert(out(0L).getAs[Double]("smoothed") === 22.0)
+    assert(out(3600L).isNullAt(out(3600L).fieldIndex("smoothed")))
+    assert(out(7200L).getAs[Double]("smoothed") === 9.0)
+  }
+
+  test("quality funnel counts each rule's rejections, nulls failing as false") {
+    import spark.implicits._
+    // doc 2 passes every rule (50 words, mean len 3.96, two distinct
+    // stopwords); doc 1 is empty, so every signal is null/zero and must
+    // count as a failure on all five rules
+    val passText = (Seq.fill(48)("word") ++ Seq("the", "and")).mkString(" ")
+    val docs = Seq((1L, "", "s"), (2L, passText, "s")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.qualityFunnel(docs).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n_docs") === 2L)
+    assert(r.getAs[Long]("n_pass") === 1L)
+    for (c <- Seq("n_fail_words", "n_fail_wordlen", "n_fail_symbol",
+        "n_fail_alpha", "n_fail_stop"))
+      assert(r.getAs[Long](c) === 1L, c)
+    assert(r.getAs[Double]("pass_rate") === 0.5)
+  }
+
+  test("scd2 apply closes changed and vanished keys and opens new versions") {
+    import spark.implicits._
+    val hist = Seq(
+      (1L, "a", 10.0, 0L, Option.empty[Long], 1L), // unchanged → stays open
+      (2L, "b", 20.0, 0L, Option.empty[Long], 1L), // changed → close + open
+      (3L, "c", 30.0, 0L, Option.empty[Long], 1L), // vanished → close
+      (9L, "OLD z", 90.0, -100L, Option(0L), 0L), // closed history: passthrough
+      (9L, "z", 91.0, 0L, Option.empty[Long], 1L)) // unchanged current
+      .toDF("c_custkey", "c_name", "c_acctbal", "valid_from", "valid_to", "is_current")
+    val snap = Seq(
+      (1L, "a", 10.0), (2L, "b2", 20.0), (4L, "d", 40.0), (9L, "z", 91.0))
+      .toDF("c_custkey", "c_name", "c_acctbal")
+    val out = Curate.scd2Apply(hist, snap, "c_custkey", ts = 100L)
+      .as[(Long, String, Double, Long, Option[Long], Long)].collect().toSet
+    assert(out === Set(
+      (1L, "a", 10.0, 0L, None, 1L),
+      (2L, "b", 20.0, 0L, Some(100L), 0L),
+      (2L, "b2", 20.0, 100L, None, 1L),
+      (3L, "c", 30.0, 0L, Some(100L), 0L),
+      (4L, "d", 40.0, 100L, None, 1L),
+      (9L, "OLD z", 90.0, -100L, Some(0L), 0L),
+      (9L, "z", 91.0, 0L, None, 1L)))
+  }
+
   test("k-anonymity masks the quasi-identifiers of classes below k") {
     import spark.implicits._
     val df = Seq(

@@ -734,6 +734,67 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming over-time family matches the batch aggregates across batches") {
+    val dir = Files.createTempDirectory("graft-ota").toFile
+    val chk = Files.createTempDirectory("graft-otachk").toFile
+    def b(id: String, ts: Long, v: Double) = metricJson(id, "g", ts, "u1", v)
+    // decimal sums and the (ts, id)-tiebroken last must merge across the
+    // micro-batch split; the tie pair lands in the SECOND batch
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(b("s1", 100, 1.0), b("s2", 200, 2.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.overTimeAgg(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath), width = "1 hour")
+      .writeStream.format("memory").queryName("ota_t").outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(b("s3", 300, 3.0), b("a1", 300, 7.0), b("a2", 300, 4.0))
+          .mkString("\n").getBytes)
+      q.processAllAvailable()
+      val streamed = spark.table("ota_t")
+        .orderBy(col("n_samples").desc).collect().head
+      val batch = graft.operators.Firehose.overTimeAgg(
+          graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath))
+        .collect().head
+      assert(streamed.getAs[Long]("n_samples") === 5L)
+      for (f <- Seq("min_value", "max_value", "sum_value", "sumsq_value",
+          "last_value", "avg_value", "stdvar_value", "stddev_value"))
+        assert(streamed.getAs[Double](f) === batch.getAs[Double](f), f)
+      // the same-ts tie at 300 resolves by string id: "s3" > "a2" > "a1"
+      assert(batch.getAs[Double]("last_value") === 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming holt winters matches the batch fold across batch splits") {
+    val dir = Files.createTempDirectory("graft-hw").toFile
+    val chk = Files.createTempDirectory("graft-hwchk").toFile
+    def b(id: String, ts: Long, v: Double) = metricJson(id, "c_total", ts, "u1", v)
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(b("s1", 100, 10.0), b("s2", 200, 20.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.holtWinters(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath), width = "1 hour")
+      .writeStream.format("memory").queryName("hw_t").outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      // the third sample arrives in a SECOND micro-batch: the state list
+      // must merge and re-sort before the sequential fold
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(b("s3", 300, 14.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val streamed = spark.table("hw_t").orderBy(col("n_samples").desc).collect().head
+      val batch = graft.operators.Firehose.holtWinters(
+          graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath))
+        .collect().head
+      assert(streamed.getAs[Long]("n_samples") === 3L)
+      assert(streamed.getAs[Double]("smoothed") === batch.getAs[Double]("smoothed"))
+      assert(batch.getAs[Double]("smoothed") === 22.0) // 0.5·14 + 0.5·(20+10)
+    } finally q.stop()
+  }
+
   test("transformWithState ratio alert matches the fMGWS port's scenario") {
     withRocksDb {
       val dir = Files.createTempDirectory("graft-tws-r").toFile
