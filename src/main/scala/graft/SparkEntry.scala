@@ -311,6 +311,12 @@ object SparkEntry {
     // PromQL *_over_time aggregation family (one plain aggregation)
     "m24_over_time" -> ((s, dir) =>
       Firehose.overTimeAgg(Firehose.metricsFromEvents(s, dir))),
+    // PromQL label_replace + label_join (row-local map rewrite)
+    "m26_label_ops" -> ((s, dir) =>
+      Firehose.labelOps(Firehose.metricsFromEvents(s, dir))),
+    // PromQL count_values (sample count per distinct value per metric)
+    "m27_count_values" -> ((s, dir) =>
+      Firehose.countValues(Firehose.metricsFromEvents(s, dir))),
     // PromQL holt_winters double exponential smoothing per series/window
     "m25_holt_winters" -> ((s, dir) =>
       Firehose.holtWinters(Firehose.metricsFromEvents(s, dir))),
@@ -1589,6 +1595,18 @@ object SparkEntry {
         |      / CAST(last_ts - prev_ts AS DOUBLE) END AS irate,
         |  n_samples
         |FROM g""".stripMargin,
+    // sorted-key series rendering: instance < tier < user alphabetically
+    "m26_label_ops" ->
+      """SELECT CAST(event_id AS VARCHAR) AS id,
+        |  'instance=' || CAST(user_id AS VARCHAR) || '-'
+        |    || substr(CAST(user_id AS VARCHAR), 1, 1)
+        |  || ',tier=' || substr(CAST(user_id AS VARCHAR), 1, 1)
+        |  || ',user=' || CAST(user_id AS VARCHAR) AS series
+        |FROM events""".stripMargin,
+    "m27_count_values" ->
+      """SELECT 'app' AS component, event_type || '_total' AS name, value,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     // decimal sums make avg/stdvar derive from order-independent
     // numerators; variance via the algebraic form over those exact sums
     "m24_over_time" ->

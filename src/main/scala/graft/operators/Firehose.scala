@@ -606,6 +606,54 @@ object Firehose {
         col("n_samples"))
   }
 
+  /** PromQL label manipulation — `label_replace` (derive a new label from a
+    * regex capture over an existing one; an unmatched regex leaves the
+    * series untouched, per spec) then `label_join` (new label = existing
+    * label values joined with a separator). Both are pure row-local map
+    * expressions (`map_concat` + `regexp_extract` / `concat_ws`) — zero
+    * shuffles, fully codegen, and the rewritten label map flows into the
+    * same [[seriesKey]] identity every downstream operator groups by.
+    */
+  def labelOps(metrics: DataFrame): DataFrame = {
+    val labeled =
+      if (metrics.columns.contains("labels")) metrics else tagFilter(metrics)
+    val user = try_element_at(col("labels"), lit("user"))
+    val tier = regexp_extract(user, "^(\\d)", 1)
+    val replaced =
+      // label_replace(v, "tier", "$1", "user", "^(\d)"): only a matching
+      // source value writes the destination label
+      when(user.rlike("^\\d"), map_concat(col("labels"), map(lit("tier"), tier)))
+        .otherwise(col("labels"))
+    labeled
+      .withColumn("labels", replaced)
+      .withColumn(
+        "labels",
+        // label_join(v, "instance", "-", "user", "tier")
+        map_concat(
+          col("labels"),
+          map(
+            lit("instance"),
+            // try_element_at: a source label ABSENT from the map (regex
+            // unmatched upstream) contributes nothing, ANSI-safely
+            concat_ws("-",
+              try_element_at(col("labels"), lit("user")),
+              try_element_at(col("labels"), lit("tier"))))))
+      .select(col("id"), seriesKey(col("labels")).as("series"))
+  }
+
+  /** PromQL `count_values()` — sample count per distinct value per metric:
+    * one map-side-combinable grouped count (the shuffle carries (value,
+    * partial-count) pairs, bounded by value cardinality per metric, never
+    * raw samples).
+    */
+  def countValues(metrics: DataFrame): DataFrame = {
+    val labeled =
+      if (metrics.columns.contains("labels")) metrics else tagFilter(metrics)
+    labeled
+      .groupBy(col("component"), col("name"), col("value"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Default classic-histogram bucket boundaries for the synthetic stream. */
   val DefaultLes: Seq[Double] = Seq(50.0, 100.0, 200.0, 300.0, 400.0)
 

@@ -142,6 +142,21 @@ class CoverageOpsSpec extends SparkSuite {
       (9L, "z", 91.0, 0L, None, 1L)))
   }
 
+  test("label_replace leaves series with an unmatched source label untouched") {
+    import spark.implicits._
+    // u1 starts non-digit → regex ^(\d) unmatched → no tier label, and
+    // label_join's instance sees only the user value; 42 matches → both
+    val metrics = Seq(("1", 100L, 1.0, "u1"), ("2", 200L, 2.0, "42"))
+      .toDF("id", "timestamp", "value", "u")
+      .withColumn("component", lit("app"))
+      .withColumn("name", lit("g"))
+      .withColumn("labels", map(lit("user"), col("u")))
+    val out = Firehose.labelOps(metrics).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("1") === "instance=u1,user=u1")
+    assert(out("2") === "instance=42-4,tier=4,user=42")
+  }
+
   test("k-anonymity masks the quasi-identifiers of classes below k") {
     import spark.implicits._
     val df = Seq(

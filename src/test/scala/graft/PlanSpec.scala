@@ -291,6 +291,55 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("scd2 apply joins current-vs-snapshot exactly once, explode fans out") {
+    // the SURVEY claim: each joined row expands to its 0/1/2 outputs via
+    // ONE struct-array explode — not three filtered re-reads of the join.
+    // One FullOuter join, one Generate, and no join subtree duplication
+    // (the history current-slice scan appears once on the join's left).
+    val df = SparkEntry.queries("p6_scd2")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("FullOuter".r.findAllMatchIn(plan).length === 1,
+      s"expected exactly one full-outer join:\n$plan")
+    assert("Generate explode".r.findAllMatchIn(plan).length === 1,
+      s"expected exactly one explode:\n$plan")
+  }
+
+  test("over-time family and holt winters are single-aggregation plans") {
+    // both are ONE shuffle: m24 is fully algebraic, m25's fold runs in the
+    // finish over bounded per-group state — neither may grow a second
+    // exchange or a window-function sort
+    for (q <- Seq("m24_over_time", "m25_holt_winters")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val shuffles =
+        "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+          .findAllMatchIn(plan).length
+      assert(shuffles === 1, s"$q: expected exactly one shuffle:\n$plan")
+      assert(!plan.contains("Window"), s"$q: unexpected window operator:\n$plan")
+    }
+  }
+
+  test("passage-strip apply plan scans the corpus exactly twice") {
+    // d23's deployment shape: the INDEX build is its own materialized job
+    // (duplication-bounded output, landed once by ingest), so the apply
+    // plan itself must touch the corpus exactly twice — the matched-starts
+    // join side and the row-local rebuild side. A regression that re-plans
+    // the index build inline (or duplicates the gram explode) shows up as
+    // a third scan here.
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val df = SparkEntry.queries("d23_strip_dup_passages")(spark, sfDir)
+    val docScans = df.queryExecution.optimizedPlan.collectLeaves().collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.headOption.map(_.getName).getOrElse("?")
+        case _ => "non-file"
+      }
+    }.count(_ == "documents.parquet")
+    assert(docScans === 2, s"expected 2 documents scans, got $docScans")
+  }
+
   test("irate family shuffles the stream exactly once") {
     // row_number + partition count + the collapsing groupBy all share one
     // hash distribution by (series, window) — one exchange end to end
