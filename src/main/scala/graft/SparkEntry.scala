@@ -306,7 +306,12 @@ object SparkEntry {
       val del = cust.filter(col("c_custkey") % 10 === 2)
         .select(col("c_custkey"), lit("D").as("op"), col("c_name"),
           col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
-      Curate.mergeUpsert(cust, upd.unionByName(ins).unionByName(del), "c_custkey")
+      // the changeset is materialized first: a CDC batch arrives as its
+      // own small relation in production — and the three customer-derived
+      // branches here would otherwise re-scan the snapshot to build it
+      Curate.mergeUpsert(
+        cust, Tables.materializeSmall(upd.unionByName(ins).unionByName(del)),
+        "c_custkey")
     }),
     // PromQL *_over_time aggregation family (one plain aggregation)
     "m24_over_time" -> ((s, dir) =>
@@ -317,6 +322,9 @@ object SparkEntry {
     // PromQL count_values (sample count per distinct value per metric)
     "m27_count_values" -> ((s, dir) =>
       Firehose.countValues(Firehose.metricsFromEvents(s, dir))),
+    // PromQL instant-vector aggregation without(user) over the registry
+    "m28_instant_agg" -> ((s, dir) =>
+      Firehose.instantAgg(Firehose.metricsFromEvents(s, dir))),
     // PromQL holt_winters double exponential smoothing per series/window
     "m25_holt_winters" -> ((s, dir) =>
       Firehose.holtWinters(Firehose.metricsFromEvents(s, dir))),
@@ -1607,6 +1615,21 @@ object SparkEntry {
       """SELECT 'app' AS component, event_type || '_total' AS name, value,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // m2's latest-per-series CTE collapsed across series per metric
+    "m28_instant_agg" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name, value,
+        |         row_number() OVER (PARTITION BY event_type, user_id
+        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+        |                    CAST(event_id AS VARCHAR) DESC) AS rn
+        |  FROM events),
+        |g AS (SELECT component, name,
+        |        count(*) AS n_series,
+        |        min(value) AS min_value, max(value) AS max_value,
+        |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |        round(quantile_cont(value, 0.5), 4) AS q_value
+        |      FROM m WHERE rn = 1 GROUP BY 1, 2)
+        |SELECT *, sum_value / CAST(n_series AS DOUBLE) AS avg_value FROM g""".stripMargin,
     // decimal sums make avg/stdvar derive from order-independent
     // numerators; variance via the algebraic form over those exact sums
     "m24_over_time" ->

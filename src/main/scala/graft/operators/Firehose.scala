@@ -105,6 +105,30 @@ object Firehose {
         max(col("timestamp")).as("last_ts"))
   }
 
+  /** PromQL instant-vector aggregation — `sum`/`avg`/`min`/`max`/`count`/
+    * `quantile` `without(<labels>)` over the latest-gauge registry: the
+    * aggregation operators that collapse SERIES (the dual of the
+    * `*_over_time` family, which collapses time). Rides [[gaugeLatest]]'s
+    * map-side-combinable shuffle, then a second aggregation whose input is
+    * already series-cardinality-bounded (registry-sized, not corpus-
+    * sized), grouped by the kept (component, name) identity. Decimal sums
+    * keep avg order-independent; the quantile is exact (the per-group
+    * multiset is series-bounded) and rounded like the windowed quantile so
+    * interpolation stays engine-portable.
+    */
+  def instantAgg(metrics: DataFrame, q: Double = 0.5): DataFrame = {
+    val dv = col("last_value").cast("decimal(18,2)")
+    gaugeLatest(metrics)
+      .groupBy(col("component"), col("name"))
+      .agg(
+        count(lit(1)).as("n_series"),
+        min(col("last_value")).as("min_value"),
+        max(col("last_value")).as("max_value"),
+        sum(dv).cast("double").as("sum_value"),
+        round(percentile(col("last_value"), lit(q)), 4).as("q_value"))
+      .withColumn("avg_value", col("sum_value") / col("n_series").cast("double"))
+  }
+
   /** Prometheus `absent()`-style scrape-staleness alert: a series that
     * reported in window w but not in w+width went stale at w+width — the
     * "target stopped scraping" signal next to the value-based alerts

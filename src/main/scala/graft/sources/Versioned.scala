@@ -88,4 +88,42 @@ object Versioned {
       changes: DataFrame,
       keyCol: String): Long =
     commit(graft.operators.Curate.mergeUpsert(latest(spark, root), changes, keyCol), root)
+
+  /** All committed versions, ascending — the table's readable history. */
+  def history(root: String): Seq[Long] = {
+    val markers = Option(commitsDir(root).listFiles()).getOrElse(Array.empty)
+    markers.iterator
+      .map(_.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripSuffix(".json").stripPrefix("v").toLong
+      }
+      .toSeq.sorted
+  }
+
+  /** Retention vacuum: physically drop every committed version older than
+    * the latest `keepLast`, marker AND data. The marker is deleted FIRST —
+    * the crash-safe inverse of [[commit]]'s data-then-marker order, so an
+    * interrupted vacuum leaves an invisible orphan data directory, never a
+    * marker pointing at half-deleted data. Orphan directories from OTHER
+    * writers are deliberately untouched: an orphan may be a concurrent
+    * commit mid-write, and the real formats gate that sweep on a retention
+    * age this layer doesn't need. Returns the dropped versions.
+    */
+  def vacuum(root: String, keepLast: Int = 2): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val dropped = history(root).dropRight(keepLast)
+    dropped.foreach { v =>
+      java.nio.file.Files.deleteIfExists(
+        new java.io.File(commitsDir(root), s"v$v.json").toPath)
+      val data = new java.io.File(dataDir(root, v))
+      if (data.exists()) {
+        import java.nio.file.{Files => F, Path}
+        import java.util.Comparator
+        F.walk(data.toPath)
+          .sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => F.deleteIfExists(p))
+      }
+    }
+    dropped
+  }
 }

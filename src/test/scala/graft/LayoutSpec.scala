@@ -27,6 +27,35 @@ class LayoutSpec extends SparkSuite {
       "partition column leaked into data filters")
   }
 
+  test("dynamic partition pruning injects a runtime filter into the fact scan") {
+    // the 100 TB join shape: a hive-partitioned fact joined to a SELECTIVE
+    // dim on the partition column must not scan every fact partition —
+    // Spark's DPP turns the dim's build side into a runtime partition
+    // filter. Static pruning can't help (the predicate is on the dim, not
+    // the fact), so `dynamicpruningexpression` in the fact's
+    // PartitionFilters is the whole story.
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-dpp").toFile.getAbsolutePath
+    Firehose.eventsRaw(spark, sfDir).write.partitionBy("event_type")
+      .parquet(s"$root/fact")
+    val fact = spark.read.parquet(s"$root/fact")
+    // the dim must be file-backed: over a LocalRelation the optimizer folds
+    // the filter away (ConvertToLocalRelation) and DPP sees no selective
+    // predicate to reuse — which is also the honest cluster shape
+    Seq(("purchase", "rev"), ("refund", "rev"), ("view", "traffic"))
+      .toDF("event_type", "category").write.parquet(s"$root/dim")
+    val dim = spark.read.parquet(s"$root/dim")
+    val joined = fact
+      .join(dim.filter(col("category") === "rev"), "event_type")
+      .agg(count(lit(1)).as("n"))
+    val expected = Firehose.eventsRaw(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "refund")).count()
+    assert(joined.collect()(0).getLong(0) === expected)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning in fact scan:\n${plan.take(2000)}")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val e = Firehose.eventsRaw(spark, sfDir).select("event_id", "user_id", "value")
     spark.sql("DROP TABLE IF EXISTS ev_a")

@@ -198,5 +198,14 @@ class SourcesSpec extends SparkSuite {
     Seq((99L, "x", 0.0)).toDF("k", "name", "v").write.parquet(s"$root/v5")
     assert(Versioned.latestVersion(root) === 2L)
     intercept[IllegalArgumentException](Versioned.asOf(spark, root, 5L))
+    // retention vacuum drops v0 (marker + data), keeps v1/v2 readable, and
+    // leaves the orphan directory alone (it may be a concurrent commit)
+    assert(Versioned.history(root) === Seq(0L, 1L, 2L))
+    assert(Versioned.vacuum(root, keepLast = 2) === Seq(0L))
+    assert(Versioned.history(root) === Seq(1L, 2L))
+    intercept[IllegalArgumentException](Versioned.asOf(spark, root, 0L))
+    assert(!new java.io.File(s"$root/v0").exists())
+    assert(new java.io.File(s"$root/v5").exists())
+    assert(snap(1).size === 4 && snap(2).size === 3)
   }
 }
