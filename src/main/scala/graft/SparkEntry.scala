@@ -292,6 +292,11 @@ object SparkEntry {
     "p5_k_anonymity" -> ((s, dir) =>
       Curate.kAnonymitySuppress(
         Tables(s, dir, "documents"), Seq("lang", "source"), k = 30)),
+    // differentially-private release of per-event-type count + clamped
+    // sum: seeded Laplace via the portable-hash inverse CDF (d22's
+    // quantized-ln discipline makes the noise itself oracle-checkable)
+    "p7_dp_release" -> ((s, dir) =>
+      Curate.dpRelease(Firehose.eventsRaw(s, dir))),
     // CDC MERGE apply on the customer snapshot: deterministic changeset
     // (update / insert-new-key / delete by key mod 10)
     "p4_merge_upsert" -> ((s, dir) => {
@@ -1704,6 +1709,28 @@ object SparkEntry {
         |  CAST(class_size AS BIGINT) AS class_size,
         |  CAST(CASE WHEN class_size < 30 THEN 1 ELSE 0 END AS BIGINT) AS suppressed
         |FROM c""".stripMargin,
+    // mirrors Curate.dpRelease: same hash-derived uniform, same inverse
+    // CDF, same 1e-6 ln grid — the release must match bit-for-bit
+    "p7_dp_release" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(count(*) AS DOUBLE) AS n_true,
+        |    CAST(sum(CAST(least(greatest(value, 0.0), 100.0)
+        |        AS DECIMAL(18,2))) AS DOUBLE) AS sum_true
+        |  FROM events GROUP BY 1),
+        |u AS (
+        |  SELECT *,
+        |    (CAST(CAST('0x' || substr(md5('graft-dp|' || event_type || '|n'), 1, 15)
+        |       AS BIGINT) % 1048576 AS DOUBLE) + 0.5) / 1048576.0 - 0.5 AS un,
+        |    (CAST(CAST('0x' || substr(md5('graft-dp|' || event_type || '|s'), 1, 15)
+        |       AS BIGINT) % 1048576 AS DOUBLE) + 0.5) / 1048576.0 - 0.5 AS us
+        |  FROM g)
+        |SELECT event_type,
+        |  n_true + (-(1.0/0.25)) * sign(un) *
+        |    (CAST(floor(ln(1.0 - 2.0*abs(un))*1e6 + 0.5) AS BIGINT) / 1e6) AS n_noisy,
+        |  sum_true + (-(100.0*(1.0/0.25))) * sign(us) *
+        |    (CAST(floor(ln(1.0 - 2.0*abs(us))*1e6 + 0.5) AS BIGINT) / 1e6) AS sum_noisy
+        |FROM u""".stripMargin,
     // single-scan conditional aggregate + one anti-join; composite key
     // uniqueness via orderkey*100+linenumber (exact: linenumber < 100)
     "p3_expectations" ->

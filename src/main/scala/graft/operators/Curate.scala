@@ -308,6 +308,58 @@ object Curate {
             (col("class_size") < k).cast("long").as("suppressed")): _*)
   }
 
+  /** Differentially-private release of per-group count and sum (the
+    * Laplace mechanism, Dwork et al. 2006): each group's true count gets
+    * Laplace(1/ε) noise and its contribution-bounded sum (values clamped
+    * to [0, clamp] — the bounded-sensitivity step of the recipe) gets
+    * Laplace(clamp/ε). Noise is SEEDED, not sampled: the Laplace draw is
+    * the inverse CDF −b·sgn(u)·ln(1−2|u|) applied to a uniform u derived
+    * from the portable 60-bit hash of (seed, group, stat), so a release is
+    * reproducible and auditable while remaining a true Laplace variate
+    * over seed choice.
+    *
+    * Engine portability (the d22 discipline): u = (h mod 2²⁰ + ½)/2²⁰ − ½
+    * is exact-dyadic with 1−2|u| ∈ [2⁻²⁰, 1], both engines take ln of the
+    * IDENTICAL double, the ln is quantized to the 1e-6 grid via
+    * floor(x·1e6 + 0.5), and b = 1/ε is the same IEEE division on both
+    * sides — every remaining step is exact-rounded arithmetic on
+    * identical inputs, so the noisy release is oracle-checkable
+    * bit-for-bit.
+    *
+    * Scale: one map-side-combinable grouped aggregation (decimal sums);
+    * the noise projection is row-local on the group-cardinality-bounded
+    * result — the corpus is scanned once and never shuffled beyond the
+    * one partial-agg exchange.
+    */
+  def dpRelease(
+      df: DataFrame,
+      groupCol: String = "event_type",
+      valueCol: String = "value",
+      epsilon: Double = 0.25,
+      clamp: Double = 100.0,
+      seed: String = "graft-dp"): DataFrame = {
+    val b = 1.0 / epsilon
+    val M = 1L << 20
+    def u(tag: String): Column =
+      (pmod(
+        GraftFunctions.md5_prefix60(
+          concat_ws("|", lit(seed), col(groupCol), lit(tag))),
+        lit(M)).cast("double") + lit(0.5)) / lit(M.toDouble) - lit(0.5)
+    def lap(uc: Column, scale: Double): Column =
+      lit(-scale) * signum(uc) *
+        (floor(log(lit(1.0) - lit(2.0) * abs(uc)) * lit(1e6) + lit(0.5)) / lit(1e6))
+    val clamped = least(greatest(col(valueCol), lit(0.0)), lit(clamp))
+      .cast("decimal(18,2)")
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("double").as("n_true"),
+        sum(clamped).cast("double").as("sum_true"))
+      .select(
+        col(groupCol),
+        (col("n_true") + lap(u("n"), b)).as("n_noisy"),
+        (col("sum_true") + lap(u("s"), clamp * b)).as("sum_noisy"))
+  }
+
   /** MERGE INTO emulation over immutable columnar storage — the CDC apply
     * step a lakehouse table format runs on every ingest batch, expressed as
     * plain relational algebra so it works on raw parquet (this container

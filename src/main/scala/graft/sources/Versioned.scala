@@ -89,6 +89,30 @@ object Versioned {
       keyCol: String): Long =
     commit(graft.operators.Curate.mergeUpsert(latest(spark, root), changes, keyCol), root)
 
+  /** Small-file compaction as a COMMIT: rewrite the latest snapshot into
+    * `numFiles` files — z-ordered by `zorderCols` when given (the
+    * OPTIMIZE ... ZORDER BY shape), plainly coalesced otherwise — and
+    * publish it as the next version. Rows are untouched; only layout
+    * changes, and time travel still reads every pre-compaction version.
+    * Crash-safety is inherited from [[commit]] (data before marker), and
+    * the streaming-ingest small-file problem this solves is exactly why
+    * the real formats bundle OPTIMIZE with the table layer: readers always
+    * see either the fragmented or the compacted snapshot, never a mix.
+    * Returns the new version.
+    */
+  def compact(
+      spark: SparkSession,
+      root: String,
+      numFiles: Int = 1,
+      zorderCols: Seq[String] = Nil): Long = {
+    val snap = latest(spark, root)
+    val laid =
+      if (zorderCols.nonEmpty)
+        graft.operators.Layout.zorderBy(snap, zorderCols, numFiles)
+      else snap.coalesce(numFiles)
+    commit(laid, root)
+  }
+
   /** All committed versions, ascending — the table's readable history. */
   def history(root: String): Seq[Long] = {
     val markers = Option(commitsDir(root).listFiles()).getOrElse(Array.empty)

@@ -987,6 +987,63 @@ object FirehoseStream {
         col("n_samples"))
   }
 
+  /** Streaming `count_values` — the incremental sibling of the batch
+    * [[graft.operators.Firehose.countValues]] (m27), windowed per the
+    * streaming convention: sample count per distinct value per metric per
+    * tumbling window. ONE plain streaming aggregation whose state is one
+    * count per open (metric, value, window) — bounded by value cardinality
+    * like the batch shuffle, watermark-pruned.
+    */
+  def countValues(
+      metrics: DataFrame,
+      width: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    keyedPoints(metrics, watermarkDelay)
+      .groupBy(window(col("eventTime"), width), col("component"), col("name"),
+        col("value"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("component"),
+        col("name"), col("value"), col("n"))
+
+  /** Streaming instant-vector aggregation — the incremental sibling of the
+    * batch [[graft.operators.Firehose.instantAgg]] (m28): collapse SERIES
+    * per metric over each window's latest-per-series values. TWO chained
+    * stateful operators (Spark's multi-stateful-operator support): a
+    * windowed `max_by` picks each series' last sample exactly like the
+    * batch registry, then a second windowed aggregation over the CLOSED
+    * per-series rows computes the series-collapsing stats. Append mode is
+    * required for the chain, so results emit when the watermark closes the
+    * window — and because the second aggregation only ever sees final
+    * per-series values, its output is batch-identical on the closed window
+    * (spec-pinned), decimal sums and exact quantile included. State:
+    * one row per open (series, window) + one partial per open (metric,
+    * window) — registry-sized, watermark-pruned.
+    */
+  def instantAgg(
+      metrics: DataFrame,
+      q: Double = 0.5,
+      width: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val latest = keyedPoints(metrics, watermarkDelay)
+      .groupBy(window(col("eventTime"), width), col("component"), col("name"),
+        col("series"))
+      .agg(max_by(col("value"),
+        struct(col("timestamp").cast("long").as("ts"), col("id"))).as("last_value"))
+    val dv = col("last_value").cast("decimal(18,2)")
+    latest
+      .groupBy(window(col("window"), width), col("component"), col("name"))
+      .agg(
+        count(lit(1)).as("n_series"),
+        min(col("last_value")).as("min_value"),
+        max(col("last_value")).as("max_value"),
+        sum(dv).cast("double").as("sum_value"),
+        round(percentile(col("last_value"), lit(q)), 4).as("q_value"))
+      .select(col("window.start").as("win_start"), col("component"),
+        col("name"), col("n_series"), col("min_value"), col("max_value"),
+        col("sum_value"), col("q_value"),
+        (col("sum_value") / col("n_series").cast("double")).as("avg_value"))
+  }
+
   /** Streaming `*_over_time` family — the incremental sibling of the batch
     * [[graft.operators.Firehose.overTimeAgg]] (m24). Every member is
     * algebraic (decimal sums, extremes, `max_by` for last), so this is ONE

@@ -172,6 +172,32 @@ class CoverageOpsSpec extends SparkSuite {
       (4L, "*", "*", 1L, 1L)))
   }
 
+  test("dp release perturbs counts by seeded Laplace noise, deterministically") {
+    import spark.implicits._
+    val df = ((1 to 40).map(i => ("view", i * 2.0)) ++
+      (1 to 10).map(i => ("purchase", 500.0)))
+      .toDF("event_type", "value")
+    val out = Curate.dpRelease(df).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // deterministic: the same seed reproduces the release exactly
+    val again = Curate.dpRelease(df).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out === again)
+    // a different seed is a different draw
+    val other = Curate.dpRelease(df, seed = "other").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(other("view")._1 !== out("view")._1)
+    // noise is real but Laplace(4)-scaled: counts land near the truth
+    // (|noise| < 4·ln(2^20)·“tail” ⇒ bound by the grid's worst case 55.5)
+    assert(math.abs(out("view")._1 - 40.0) > 0.0)
+    assert(math.abs(out("view")._1 - 40.0) < 56.0)
+    assert(math.abs(out("purchase")._1 - 10.0) < 56.0)
+    // sums are contribution-bounded before noising: purchase's true
+    // clamped sum is 10·100 = 1000, and Laplace(400) noise stays within
+    // the grid's worst case 400·13.9
+    assert(math.abs(out("purchase")._2 - 1000.0) < 400.0 * 13.9)
+  }
+
   test("absent alert flags the first missing window of each gap, not the trailing edge") {
     import spark.implicits._
     // u1 reports in windows 0, 60, 240 (gap: 120 missing, 180 missing —

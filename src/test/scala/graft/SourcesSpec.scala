@@ -208,4 +208,26 @@ class SourcesSpec extends SparkSuite {
     assert(new java.io.File(s"$root/v5").exists())
     assert(snap(1).size === 4 && snap(2).size === 3)
   }
+
+  test("versioned table: compaction commits the same rows in fewer, z-ordered files") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-compact").toFile.getAbsolutePath
+    // a fragmented ingest: 500 rows scattered over 8 files
+    val rows = (1L to 500L).map(i => (i, i % 7, s"n$i", i * 1.5))
+    Versioned.commit(
+      rows.toDF("k", "g", "name", "v").repartition(8), root)
+    def files(v: Long) = Option(new java.io.File(s"$root/v$v").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    assert(files(0) === 8)
+    val v1 = Versioned.compact(spark, root, numFiles = 2, zorderCols = Seq("k", "g"))
+    assert(v1 === 1L && files(1) === 2)
+    // layout-only: the compacted snapshot is row-identical …
+    def snap(v: Long) =
+      Versioned.asOf(spark, root, v).as[(Long, Long, String, Double)].collect().toSet
+    assert(snap(1) === snap(0))
+    // … and the pre-compaction version still time-travels
+    assert(Versioned.history(root) === Seq(0L, 1L))
+    assert(snap(0).size === 500)
+  }
 }

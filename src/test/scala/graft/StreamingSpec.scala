@@ -767,6 +767,68 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming count_values matches the batch distinct-value counts") {
+    val dir = Files.createTempDirectory("graft-cv").toFile
+    val chk = Files.createTempDirectory("graft-cvchk").toFile
+    def b(id: String, ts: Long, v: Double) = metricJson(id, "c_total", ts, "u1", v)
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(b("s1", 100, 7.0), b("s2", 200, 7.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.countValues(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath), width = "1 hour")
+      .writeStream.format("memory").queryName("cv_t").outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      // the third 7.0 lands in a SECOND micro-batch: the count must merge
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(b("s3", 300, 7.0), b("s4", 300, 9.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val streamed = spark.table("cv_t")
+        .groupBy("value").agg(max("n").as("n")).collect()
+        .map(r => r.getAs[Double]("value") -> r.getAs[Long]("n")).toMap
+      val batch = graft.operators.Firehose.countValues(
+          graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath))
+        .collect()
+        .map(r => r.getAs[Double]("value") -> r.getAs[Long]("n")).toMap
+      assert(streamed === batch && batch === Map(7.0 -> 3L, 9.0 -> 1L))
+    } finally q.stop()
+  }
+
+  test("streaming instant agg chains two stateful ops and matches batch on the closed window") {
+    val dir = Files.createTempDirectory("graft-ia").toFile
+    val chk = Files.createTempDirectory("graft-iachk").toFile
+    def b(id: String, ts: Long, u: String, v: Double) = metricJson(id, "c_total", ts, u, v)
+    // three series (users) in window [0, 3600): u1's last is 30 (two
+    // samples, max_by must pick ts=300), u2=5, u3=10
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(b("s1", 100, "u1", 10.0), b("s2", 300, "u1", 30.0),
+        b("s3", 200, "u2", 5.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.instantAgg(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath), width = "1 hour")
+      .writeStream.format("memory").queryName("ia_t").outputMode("append")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      // u3 lands in a SECOND micro-batch (per-series state must merge);
+      // the far-future sample advances the watermark past 3600 + delay so
+      // the first window closes through BOTH stateful operators
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(b("s4", 900, "u3", 10.0), b("s5", 9000, "u9", 1.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val streamed = spark.table("ia_t").filter(col("n_series") === 3).collect().head
+      val batch = graft.operators.Firehose.instantAgg(
+          graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath)
+            .filter(col("timestamp") < 3600))
+        .collect().head
+      for (f <- Seq("min_value", "max_value", "sum_value", "q_value", "avg_value"))
+        assert(streamed.getAs[Double](f) === batch.getAs[Double](f), f)
+      assert(streamed.getAs[Long]("n_series") === batch.getAs[Long]("n_series"))
+      assert(batch.getAs[Double]("q_value") === 10.0) // median of {30, 5, 10}
+    } finally q.stop()
+  }
+
   test("streaming holt winters matches the batch fold across batch splits") {
     val dir = Files.createTempDirectory("graft-hw").toFile
     val chk = Files.createTempDirectory("graft-hwchk").toFile
