@@ -292,11 +292,12 @@ object SparkEntry {
     "p5_k_anonymity" -> ((s, dir) =>
       Curate.kAnonymitySuppress(
         Tables(s, dir, "documents"), Seq("lang", "source"), k = 30)),
-    // differentially-private release of per-event-type count + clamped
-    // sum: seeded Laplace via the portable-hash inverse CDF (d22's
-    // quantized-ln discipline makes the noise itself oracle-checkable)
+    // seeded-Laplace noisy release of per-event-type count + clamped
+    // sum (d22's quantized-ln discipline makes the noise itself
+    // oracle-checkable; the published test seed means this run is
+    // reproducible noise injection — DP requires a secret seed)
     "p7_dp_release" -> ((s, dir) =>
-      Curate.dpRelease(Firehose.eventsRaw(s, dir))),
+      Curate.dpRelease(Firehose.eventsRaw(s, dir), seed = "graft-dp")),
     // CDC MERGE apply on the customer snapshot: deterministic changeset
     // (update / insert-new-key / delete by key mod 10)
     "p4_merge_upsert" -> ((s, dir) => {

@@ -218,6 +218,14 @@ object Kernels {
         if (!used(j) && dists(j) < bestD) { bestD = dists(j); best = j }
         j += 1
       }
+      if (best == -1) {
+        // every remaining distance is NaN (NaN component in the probe):
+        // degrade to the first unused cell, mirroring nearestCell's
+        // centroid-0 fallback, instead of indexing with -1
+        var f = 0
+        while (f < k && used(f)) f += 1
+        best = f
+      }
       used(best) = true
       out(o) = best
       o += 1

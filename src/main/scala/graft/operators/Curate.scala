@@ -302,7 +302,8 @@ object Curate {
     df.withColumn("class_size", count(lit(1)).over(w))
       .select(
         col(idCol) +:
-          qiCols.map(c => when(col("class_size") >= k, col(c)).otherwise(lit("*")).as(c)) ++:
+          qiCols.map(c =>
+            when(col("class_size") >= k, col(c).cast("string")).otherwise(lit("*")).as(c)) ++:
           Seq(
             col("class_size"),
             (col("class_size") < k).cast("long").as("suppressed")): _*)
@@ -317,6 +318,13 @@ object Curate {
     * from the portable 60-bit hash of (seed, group, stat), so a release is
     * reproducible and auditable while remaining a true Laplace variate
     * over seed choice.
+    *
+    * PRIVACY PRECONDITION — the seed is the secret. The mechanism is
+    * differentially private ONLY if `seed` is never published: anyone who
+    * knows the seed can recompute and subtract the noise exactly. There
+    * is deliberately NO default seed — a caller must supply one, and a
+    * caller who publishes it (as the oracle test does, by necessity) gets
+    * *seeded-reproducible noise injection*, not DP.
     *
     * Engine portability (the d22 discipline): u = (h mod 2²⁰ + ½)/2²⁰ − ½
     * is exact-dyadic with 1−2|u| ∈ [2⁻²⁰, 1], both engines take ln of the
@@ -337,7 +345,7 @@ object Curate {
       valueCol: String = "value",
       epsilon: Double = 0.25,
       clamp: Double = 100.0,
-      seed: String = "graft-dp"): DataFrame = {
+      seed: String): DataFrame = {
     val b = 1.0 / epsilon
     val M = 1L << 20
     def u(tag: String): Column =

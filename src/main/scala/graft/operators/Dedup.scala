@@ -768,7 +768,7 @@ object Dedup {
       .filter(col("cluster_rep").isNull || col("cluster_rep") === col("vec_id"))
       .join(sizes.withColumnRenamed("cluster_rep", "vec_id"), Seq("vec_id"), "left")
       .select(
-        col("vec_id"), col("label"),
+        col("vec_id"), col(blockCol),
         coalesce(col("n_merged"), lit(1L)).as("n_merged"))
       .orderBy(col("vec_id"))
   }

@@ -23,13 +23,22 @@ import graft.sources.MetricJson
   */
 object Firehose {
 
-  /** Read the `events` table (TIMESTAMP_NANOS parquet) as nanos-since-epoch
-    * longs. Spark's µs TimestampType cannot represent the column natively;
-    * keeping raw int64 nanos preserves exact event ordering.
+  /** Read the `events` table with `ts` normalized to nanos-since-epoch
+    * int64 — the engine's internal timestamp contract (exact ordering, no
+    * sub-unit truncation surprises downstream). Handles both encodings the
+    * driver has shipped: TIMESTAMP(NANOS) parquet (read as long via the
+    * legacy conf — Spark's µs TimestampType cannot hold it) and
+    * TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ, converted
+    * under the session's UTC zone to match the oracle's naive `epoch_ns`).
     */
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables(spark, dir, "events")
+    val e = Tables(spark, dir, "events")
+    e.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => e
+      case _ =>
+        e.withColumn("ts", unix_micros(col("ts").cast("timestamp_ltz")) * 1000L)
+    }
   }
 
   private val NanosPerSec = 1000000000L

@@ -7,12 +7,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * has no Delta/Iceberg; the protocol is what matters), built from the
   * primitives the engine already has:
   *
-  *   - every commit writes a NEW immutable version directory, then a tiny
-  *     commit marker under `_commits/`; the marker write comes AFTER the
-  *     data so a crashed writer leaves an orphan data directory, never a
+  *   - every commit writes a NEW immutable data directory under a
+  *     UNIQUE staging name, then a tiny commit marker under `_commits/`
+  *     that references it; the marker write comes AFTER the data so a
+  *     crashed writer leaves an orphan staging directory, never a
   *     readable-but-partial version (parquet's `_SUCCESS` discipline
-  *     lifted to table level — readers resolve versions from markers
-  *     only, so uncommitted data is invisible, spec-asserted);
+  *     lifted to table level — readers resolve versions AND data paths
+  *     from markers only, so uncommitted data is invisible,
+  *     spec-asserted). Because staging names never repeat, an orphan can
+  *     never collide with a later commit's data write — the marker's
+  *     `CREATE_NEW` is the SOLE contention point;
   *   - `asOf(v)` is time travel, `latest` resolves the highest marker;
   *   - versions are monotonic; concurrent committers conflict on the
   *     marker file name (first writer wins), which is the same
@@ -30,7 +34,19 @@ object Versioned {
 
   private def commitsDir(root: String) = new java.io.File(root, "_commits")
 
-  private def dataDir(root: String, v: Long) = s"$root/v$v"
+  private def markerFile(root: String, v: Long) =
+    new java.io.File(commitsDir(root), s"v$v.json")
+
+  /** Data directory a committed marker references (markers are the only
+    * source of truth for data paths — staging names are not guessable).
+    */
+  def dataPath(root: String, v: Long): String = {
+    val content = new String(
+      java.nio.file.Files.readAllBytes(markerFile(root, v).toPath), "UTF-8")
+    val m = """"data"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(content)
+    require(m.isDefined, s"marker for version $v in $root has no data path")
+    s"$root/${m.get.group(1)}"
+  }
 
   /** Highest committed version, or -1 for an empty table. Orphan data
     * directories without a marker do not count.
@@ -47,17 +63,20 @@ object Versioned {
   }
 
   /** Write `df` as the next version and publish its commit marker.
+    * The data lands under a unique staging name BEFORE the version
+    * number is claimed, so a crash (or a lost marker race) leaves an
+    * orphan that no future commit can ever collide with; the
+    * `CREATE_NEW` marker write is the single atomic point of contention.
     * Returns the committed version number.
     */
   def commit(df: DataFrame, root: String): Long = {
+    val staging = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
+    df.write.mode("errorifexists").parquet(s"$root/$staging")
     val next = latestVersion(root) + 1
-    df.write.mode("errorifexists").parquet(dataDir(root, next))
-    val dir = commitsDir(root)
-    dir.mkdirs()
-    val marker = new java.io.File(dir, s"v$next.json").toPath
+    commitsDir(root).mkdirs()
     java.nio.file.Files.write(
-      marker,
-      s"""{"version":$next,"data":"v$next"}""".getBytes("UTF-8"),
+      markerFile(root, next).toPath,
+      s"""{"version":$next,"data":"$staging"}""".getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE_NEW)
     next
   }
@@ -65,9 +84,9 @@ object Versioned {
   /** Time travel: the table exactly as committed at version `v`. */
   def asOf(spark: SparkSession, root: String, v: Long): DataFrame = {
     require(
-      new java.io.File(commitsDir(root), s"v$v.json").exists(),
+      markerFile(root, v).exists(),
       s"version $v is not committed in $root")
-    spark.read.parquet(dataDir(root, v))
+    spark.read.parquet(dataPath(root, v))
   }
 
   /** The latest committed snapshot. */
@@ -137,9 +156,9 @@ object Versioned {
     require(keepLast >= 1, "must keep at least the latest version")
     val dropped = history(root).dropRight(keepLast)
     dropped.foreach { v =>
-      java.nio.file.Files.deleteIfExists(
-        new java.io.File(commitsDir(root), s"v$v.json").toPath)
-      val data = new java.io.File(dataDir(root, v))
+      // resolve the data path from the marker BEFORE dropping the marker
+      val data = new java.io.File(dataPath(root, v))
+      java.nio.file.Files.deleteIfExists(markerFile(root, v).toPath)
       if (data.exists()) {
         import java.nio.file.{Files => F, Path}
         import java.util.Comparator

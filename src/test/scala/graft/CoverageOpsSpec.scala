@@ -177,10 +177,10 @@ class CoverageOpsSpec extends SparkSuite {
     val df = ((1 to 40).map(i => ("view", i * 2.0)) ++
       (1 to 10).map(i => ("purchase", 500.0)))
       .toDF("event_type", "value")
-    val out = Curate.dpRelease(df).collect()
+    val out = Curate.dpRelease(df, seed = "graft-dp").collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     // deterministic: the same seed reproduces the release exactly
-    val again = Curate.dpRelease(df).collect()
+    val again = Curate.dpRelease(df, seed = "graft-dp").collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(out === again)
     // a different seed is a different draw

@@ -198,15 +198,22 @@ class SourcesSpec extends SparkSuite {
     Seq((99L, "x", 0.0)).toDF("k", "name", "v").write.parquet(s"$root/v5")
     assert(Versioned.latestVersion(root) === 2L)
     intercept[IllegalArgumentException](Versioned.asOf(spark, root, 5L))
-    // retention vacuum drops v0 (marker + data), keeps v1/v2 readable, and
-    // leaves the orphan directory alone (it may be a concurrent commit)
-    assert(Versioned.history(root) === Seq(0L, 1L, 2L))
-    assert(Versioned.vacuum(root, keepLast = 2) === Seq(0L))
-    assert(Versioned.history(root) === Seq(1L, 2L))
+    // … and an orphan can NEVER block later commits: staging names are
+    // unique, so committing straight past the orphan succeeds and the
+    // new version's marker references fresh data, not the orphan rows
+    val v3 = Versioned.commit(Seq((7L, "g", 70.0)).toDF("k", "name", "v"), root)
+    assert(v3 === 3L && snap(3) === Set((7L, "g", 70.0)))
+    assert(Versioned.dataPath(root, 3L) !== s"$root/v5")
+    // retention vacuum drops v0/v1 (marker + data), keeps v2/v3 readable,
+    // and leaves the orphan directory alone (it may be a concurrent commit)
+    val v0data = new java.io.File(Versioned.dataPath(root, 0L))
+    assert(Versioned.history(root) === Seq(0L, 1L, 2L, 3L))
+    assert(Versioned.vacuum(root, keepLast = 2) === Seq(0L, 1L))
+    assert(Versioned.history(root) === Seq(2L, 3L))
     intercept[IllegalArgumentException](Versioned.asOf(spark, root, 0L))
-    assert(!new java.io.File(s"$root/v0").exists())
+    assert(!v0data.exists())
     assert(new java.io.File(s"$root/v5").exists())
-    assert(snap(1).size === 4 && snap(2).size === 3)
+    assert(snap(2).size === 3 && snap(3).size === 1)
   }
 
   test("versioned table: compaction commits the same rows in fewer, z-ordered files") {
@@ -217,7 +224,7 @@ class SourcesSpec extends SparkSuite {
     val rows = (1L to 500L).map(i => (i, i % 7, s"n$i", i * 1.5))
     Versioned.commit(
       rows.toDF("k", "g", "name", "v").repartition(8), root)
-    def files(v: Long) = Option(new java.io.File(s"$root/v$v").listFiles())
+    def files(v: Long) = Option(new java.io.File(Versioned.dataPath(root, v)).listFiles())
       .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
     assert(files(0) === 8)
     val v1 = Versioned.compact(spark, root, numFiles = 2, zorderCols = Seq("k", "g"))
