@@ -10,6 +10,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -50,13 +51,16 @@ object Bench {
     // target/bench.json for untruncated reads.
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","pass1":${jsonMap(ordered.map { case (n, _) => n -> pass1(n) })},"queries":${jsonMap(results)}}"""
-    // the headline FIRST as its own short line: a consumer that truncates
-    // the (multi-KB, 120-query) detail line still reads total + count.
-    // Distinct metric name + kind discriminator so a line-by-line scanner
-    // for "metric":"total" can never read the headline as the detail line
-    // or double-count the suite.
-    println(s"""{"metric":"total_headline","kind":"summary","value":$total,"unit":"sec","sf":"$sfDir","n":${results.size},"detail":"target/bench.json"}""")
     println(line)
+    // the headline LAST as its own short line: the driver's record keeps a
+    // bounded TAIL of stdout, which truncates the (multi-KB, 140-query)
+    // detail line from the FRONT — so total + count + the slowest queries
+    // must come after it to survive. Distinct metric name + kind
+    // discriminator so a line-by-line scanner for "metric":"total" can
+    // never read the headline as the detail line or double-count the suite.
+    val slowest = results.sortBy(-_._2).take(5)
+    println(
+      s"""{"metric":"total_headline","kind":"summary","value":$total,"unit":"sec","sf":"$sfDir","n":${results.size},"slowest":${jsonMap(slowest)},"detail":"target/bench.json"}""")
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
       java.nio.file.Files.createDirectories(out.getParent)

@@ -334,6 +334,34 @@ object SparkEntry {
     // PromQL holt_winters double exponential smoothing per series/window
     "m25_holt_winters" -> ((s, dir) =>
       Firehose.holtWinters(Firehose.metricsFromEvents(s, dir))),
+    // PromQL vector-matching binary op, one-to-one: error_total /
+    // view_total latest-gauge ratio matched on the full label set (the
+    // generic join form; the gauge registry is materialized once and both
+    // operand selections read it — registry-sized, broadcast under AQE)
+    "m29_vector_match" -> ((s, dir) => {
+      val g = Tables.materializeSmall(
+        Firehose.gaugeLatestLabeled(Firehose.metricsFromEvents(s, dir)))
+      Firehose.vectorMatch(
+        g.filter(col("name") === "error_total"),
+        g.filter(col("name") === "view_total"),
+        (e, v) => when(v =!= 0.0, e / v),
+        valueCol = "last_value", out = "ratio")
+    }),
+    // PromQL group_left one-to-many: each metric's latest gauge divided by
+    // the cross-metric per-user total — on("user") matching against a
+    // coarser right vector (the share-of-total shape)
+    "m29b_group_left" -> ((s, dir) => {
+      val g = Tables.materializeSmall(
+        Firehose.gaugeLatestLabeled(Firehose.metricsFromEvents(s, dir)))
+      val tot = g
+        .groupBy(col("component"), try_element_at(col("labels"), lit("user")).as("_u"))
+        .agg(sum(col("last_value").cast("decimal(18,2)")).cast("double").as("last_value"))
+        .select(col("component"), map(lit("user"), col("_u")).as("labels"),
+          col("last_value"))
+      Firehose.vectorMatch(
+        g, tot, (v, t) => when(t =!= 0.0, v / t),
+        on = Seq("user"), groupLeft = true, valueCol = "last_value", out = "share")
+    }),
     // per-source gopher-rule failure funnel
     "t18_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
@@ -1636,6 +1664,42 @@ object SparkEntry {
         |        round(quantile_cont(value, 0.5), 4) AS q_value
         |      FROM m WHERE rn = 1 GROUP BY 1, 2)
         |SELECT *, sum_value / CAST(n_series AS DOUBLE) AS avg_value FROM g""".stripMargin,
+    // m2's latest-per-series gauges, error/view pivoted per user; the
+    // engine's guarded divide drops zero/absent denominators (inner join +
+    // <> 0 here)
+    "m29_vector_match" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series, value,
+        |         row_number() OVER (PARTITION BY event_type, user_id
+        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+        |                    CAST(event_id AS VARCHAR) DESC) AS rn
+        |  FROM events),
+        |g AS (SELECT component, name, series, value AS last_value
+        |      FROM m WHERE rn = 1)
+        |SELECT e.component, e.name, e.series, e.last_value / v.last_value AS ratio
+        |FROM g e JOIN g v ON e.component = v.component AND e.series = v.series
+        |WHERE e.name = 'error_total' AND v.name = 'view_total'
+        |  AND v.last_value <> 0""".stripMargin,
+    // every latest gauge over the per-user cross-metric total (group_left:
+    // five left series share each user's one right row); per-user series
+    // key equals the on("user") match key rendering
+    "m29b_group_left" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series, value,
+        |         row_number() OVER (PARTITION BY event_type, user_id
+        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+        |                    CAST(event_id AS VARCHAR) DESC) AS rn
+        |  FROM events),
+        |g AS (SELECT component, name, series, value AS last_value
+        |      FROM m WHERE rn = 1),
+        |t AS (SELECT component, series,
+        |        CAST(sum(CAST(last_value AS DECIMAL(18,2))) AS DOUBLE) AS tot
+        |      FROM g GROUP BY 1, 2)
+        |SELECT g.component, g.name, g.series, g.last_value / t.tot AS share
+        |FROM g JOIN t ON g.component = t.component AND g.series = t.series
+        |WHERE t.tot <> 0""".stripMargin,
     // decimal sums make avg/stdvar derive from order-independent
     // numerators; variance via the algebraic form over those exact sums
     "m24_over_time" ->

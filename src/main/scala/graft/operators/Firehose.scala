@@ -37,6 +37,16 @@ object Firehose {
     e.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => e
       case _ =>
+        // the NTZ→LTZ cast below interprets naive wall time through the
+        // SESSION zone; the engine's timestamp contract (and the oracle's
+        // naive epoch_ns) require that zone to be UTC. Every entry point
+        // (Sessions, Verify, Bench) pins it — fail loudly here instead of
+        // silently shifting every event timestamp under a stray session.
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(
+          java.time.ZoneId.of(tz).getRules == java.time.ZoneOffset.UTC.getRules,
+          s"eventsRaw needs spark.sql.session.timeZone=UTC (got $tz): " +
+            "the events table's naive timestamps are UTC wall time")
         e.withColumn("ts", unix_micros(col("ts").cast("timestamp_ltz")) * 1000L)
     }
   }
@@ -789,6 +799,133 @@ object Firehose {
         (col("slot") =!= col("_src")).as("filled"))
   }
 
+  /** [[gaugeLatest]] retaining the label MAP alongside the rendered series
+    * key — the instant-vector shape [[vectorMatch]] consumes. Any two rows
+    * sharing a series key carry an identical map (the key is the map's
+    * canonical rendering), so `any_value` over the group is deterministic.
+    * Same map-side-combinable shuffle as [[gaugeLatest]].
+    */
+  def gaugeLatestLabeled(metrics: DataFrame): DataFrame = {
+    val labeled =
+      if (metrics.columns.contains("labels")) metrics else tagFilter(metrics)
+    labeled
+      .withColumn("series", seriesKey(col("labels")))
+      .groupBy(col("component"), col("name"), col("series"))
+      .agg(
+        any_value(col("labels")).as("labels"),
+        max_by(col("value"), struct(col("timestamp"), col("id"))).as("last_value"),
+        max(col("timestamp")).as("last_ts"))
+  }
+
+  /** PromQL vector-matching binary operation — generic `vector op vector`
+    * with `on(labels)` / `ignoring(labels)` matching and `group_left`
+    * one-to-many support, over landed instant vectors (the reference
+    * bridge leaves these to Prometheus downstream; this is the engine-side
+    * equivalent).
+    *
+    * Operands carry (component, name, labels: map, `valueCol`). The match
+    * key is the canonical rendering ([[seriesKey]]) of the SELECTED label
+    * submap — `on` keeps exactly the named labels, `ignoring` drops the
+    * named labels, neither means the full label set; the metric NAME never
+    * participates (PromQL drops `__name__` for binary ops). Output keeps
+    * the LEFT side's full identity (component, name, series) plus
+    * `out` = op(left, right); unlike PromQL the left name is retained as
+    * an explicit column — engine relations carry identity explicitly, and
+    * dropping it would collide group_left results of different left
+    * metrics. Rows where `op` yields null (e.g. a guarded divide) emit
+    * nothing — PromQL's empty-result semantics.
+    *
+    * Cardinality contract, enforced at runtime like PromQL's
+    * many-to-many error: the right side must be unique per match key; with
+    * `groupLeft` the left side may be many (one-to-many), without it the
+    * left must be unique too. The check is a window count riding the same
+    * hash layout the join needs, with `raise_error` on violation — pure
+    * codegen, no action.
+    *
+    * Scale shape: ONE equi-join on (component, match key). Both sides
+    * leave the gauge evaluation already hash-partitioned by their series
+    * identity; a registry-sized right side broadcast-joins under AQE, so
+    * the corpus-scale side never reshuffles.
+    */
+  def vectorMatch(
+      left: DataFrame,
+      right: DataFrame,
+      op: (Column, Column) => Column,
+      on: Seq[String] = Nil,
+      ignoring: Seq[String] = Nil,
+      groupLeft: Boolean = false,
+      valueCol: String = "value",
+      out: String = "value"): DataFrame = {
+    require(on.isEmpty || ignoring.isEmpty, "specify on() or ignoring(), not both")
+    def matchKey(labels: Column): Column = {
+      val sel =
+        if (on.nonEmpty) {
+          val keep = array(on.map(lit): _*)
+          map_filter(labels, (k, _) => array_contains(keep, k))
+        } else if (ignoring.nonEmpty) {
+          val drop = array(ignoring.map(lit): _*)
+          map_filter(labels, (k, _) => !array_contains(drop, k))
+        } else labels
+      seriesKey(sel)
+    }
+    def uniquePerKey(side: DataFrame, vCol: String, which: String): DataFrame = {
+      val w = Window.partitionBy(col("component"), col("_vm_key"))
+      side
+        .withColumn("_vm_n", count(lit(1)).over(w))
+        .withColumn(
+          vCol,
+          when(col("_vm_n") === 1, col(vCol)).otherwise(
+            raise_error(lit(s"vector match: $which side has multiple series " +
+              "per match key (PromQL many-to-many)")).cast("double")))
+        .drop("_vm_n")
+    }
+    val l0 = left.select(
+      col("component"), col("name"), seriesKey(col("labels")).as("series"),
+      matchKey(col("labels")).as("_vm_key"),
+      col(valueCol).cast("double").as("_vm_l"))
+    val l = if (groupLeft) l0 else uniquePerKey(l0, "_vm_l", "left")
+    val r = uniquePerKey(
+      right.select(
+        col("component"), matchKey(col("labels")).as("_vm_key"),
+        col(valueCol).cast("double").as("_vm_r")),
+      "_vm_r", "right")
+    l.join(r, Seq("component", "_vm_key"))
+      .withColumn(out, op(col("_vm_l"), col("_vm_r")))
+      .filter(col(out).isNotNull)
+      .select(col("component"), col("name"), col("series"), col(out))
+  }
+
+  /** Fused same-source vector match — the degenerate (and common) case of
+    * [[vectorMatch]] where both operands are name-selections of ONE
+    * relation: `sum by (matchCols) (left)  op  sum by (matchCols) (right)`.
+    * The co-partitioned equi-join collapses into a single grouped
+    * conditional aggregation — one shuffle, no join at all — which is why
+    * the m14 burn-rate ratio costs exactly one aggregation over the shared
+    * increase pass. Sums ride exact decimals (order-independent,
+    * map-side-combinable); match keys where either side is absent, or
+    * where `op` yields null (a guarded divide), emit nothing — PromQL's
+    * empty-result semantics.
+    */
+  def vectorMatchSameSource(
+      vec: DataFrame,
+      matchCols: Seq[String],
+      leftName: String,
+      rightName: String,
+      op: (Column, Column) => Column,
+      out: String,
+      valueCol: String = "value"): DataFrame =
+    vec
+      .filter(col("name").isin(leftName, rightName))
+      .groupBy(matchCols.map(col): _*)
+      .agg(
+        sum(when(col("name") === leftName, col(valueCol).cast("decimal(18,6)")))
+          .cast("double").as("_vm_l"),
+        sum(when(col("name") === rightName, col(valueCol).cast("decimal(18,6)")))
+          .cast("double").as("_vm_r"))
+      .withColumn(out, op(col("_vm_l"), col("_vm_r")))
+      .filter(col(out).isNotNull)
+      .drop("_vm_l", "_vm_r")
+
   /** Multiwindow ratio alert — the SLO burn-rate shape Prometheus alerting
     * builds on counters: the ratio of two counters' windowed increases
     * (numerator/denominator matched per series), evaluated over a short
@@ -802,6 +939,11 @@ object Firehose {
     * over per-window rows (decimal rollup, order-independent). Windows
     * without both counters present are dropped (a ratio without traffic is
     * undefined, not zero).
+    *
+    * The per-window ratio itself is the generic vector-matching machinery:
+    * `num / den` matched on (component, series, window) is
+    * [[vectorMatchSameSource]] — the fused one-aggregation form, since
+    * both operand vectors select from the one shared increase relation.
     */
   def ratioAlert(
       metrics: DataFrame,
@@ -819,16 +961,13 @@ object Firehose {
       metrics.filter(col("name").isin(numName, denName)), shortSec)
       .select(col("component"), col("name"), col("series"),
         col("win_start"), col("increase"))
+    // a ratio without traffic is undefined, not zero — the guarded divide
+    // nulls (⇒ drops) windows whose denominator is absent or zero
+    val ratio = (n: Column, d: Column) => when(d > 0, n / d)
     def pivotRatio(df: DataFrame, winCol: String, ratioCol: String): DataFrame =
-      df.groupBy(col("component"), col("series"), col(winCol))
-        .agg(
-          sum(when(col("name") === numName, col("increase").cast("decimal(18,6)")))
-            .cast("double").as("_num"),
-          sum(when(col("name") === denName, col("increase").cast("decimal(18,6)")))
-            .cast("double").as("_den"))
-        .filter(col("_num").isNotNull && col("_den") > 0)
-        .withColumn(ratioCol, col("_num") / col("_den"))
-        .drop("_num", "_den")
+      vectorMatchSameSource(
+        df, Seq("component", "series", winCol), numName, denName,
+        ratio, ratioCol, valueCol = "increase")
     val shortR = pivotRatio(inc, "win_start", "short_ratio")
     val longR = pivotRatio(
       inc.withColumn("long_win", col("win_start") - pmod(col("win_start"), lit(longSec))),
