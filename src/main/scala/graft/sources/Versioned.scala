@@ -1,59 +1,67 @@
 package graft.sources
 
+import java.io.File
+import java.nio.file.{Files, StandardOpenOption}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Minimal versioned-table layer over immutable parquet — the commit /
-  * time-travel semantics a lakehouse table format provides (this container
-  * has no Delta/Iceberg; the protocol is what matters), built from the
-  * primitives the engine already has:
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Versioned-table layer over immutable parquet — the commit / time-travel
+  * semantics a lakehouse table format provides (this container has no
+  * Delta/Iceberg; the protocol is what matters), built from the primitives
+  * the engine already has:
   *
-  *   - every commit writes a NEW immutable data directory under a
-  *     UNIQUE staging name, then a tiny commit marker under `_commits/`
-  *     that references it; the marker write comes AFTER the data so a
-  *     crashed writer leaves an orphan staging directory, never a
-  *     readable-but-partial version (parquet's `_SUCCESS` discipline
-  *     lifted to table level — readers resolve versions AND data paths
-  *     from markers only, so uncommitted data is invisible,
-  *     spec-asserted). Because staging names never repeat, an orphan can
-  *     never collide with a later commit's data write — the marker's
-  *     `CREATE_NEW` is the SOLE contention point;
-  *   - `asOf(v)` is time travel, `latest` resolves the highest marker;
-  *   - versions are monotonic; concurrent committers conflict on the
-  *     marker file name (first writer wins), which is the same
-  *     optimistic-concurrency primitive the real formats use.
+  *   - data files live in a content-addressed pool (`_files/`, named by
+  *     SHA-256 + size), and every version is a tiny MANIFEST marker under
+  *     `_commits/` listing (path, digest) per file — so UNCHANGED FILES ARE
+  *     SHARED between versions instead of copied: [[appendCommit]] reuses
+  *     the previous manifest wholesale and pools only the delta, and even
+  *     full-snapshot [[commit]]s dedupe byte-identical files by digest.
+  *     This is the production-format shape (Delta's log + data files,
+  *     Iceberg's manifests) where a commit costs O(changed files), not
+  *     O(table);
+  *   - every commit stages data under a UNIQUE name, pools it, then writes
+  *     the marker with `CREATE_NEW`; the marker lands AFTER the data, so a
+  *     crashed writer leaves invisible pool orphans, never a
+  *     readable-but-partial version (parquet's `_SUCCESS` discipline lifted
+  *     to table level — readers resolve versions AND file lists from
+  *     markers only, spec-asserted). Because staging and pool names never
+  *     repeat-or-collide, the marker's `CREATE_NEW` is the SOLE contention
+  *     point; a committer that loses that race gets a descriptive
+  *     concurrent-commit conflict (first writer wins), and its already-
+  *     pooled files stay invisible until a manifest references them;
+  *   - `asOf(v)` is time travel, `latest` resolves the highest marker,
+  *     versions are monotonic;
+  *   - [[vacuum]] is a manifest-scoped mark-sweep: a file is deleted only
+  *     when every version referencing it is dropped, so shared files
+  *     survive retention exactly as long as a live version lists them.
   *
-  * Each version here is a full snapshot (the CDC merges that feed it are
-  * full-table rewrites at this scale); a production variant stores
-  * file-level manifests so unchanged files are SHARED between versions —
-  * the reader API and commit protocol are unchanged by that swap, which
-  * is why the protocol, not the copy, is what the specs pin. Manifest and
-  * marker I/O is driver-side but registry-sized (one tiny file per
-  * commit); the data path stays fully distributed.
+  * Digests are computed driver-side here (the pool is a local model of a
+  * production object store); on a real cluster the write tasks report
+  * (path, digest, size) in their commit messages and the driver only
+  * assembles the manifest — same protocol, no O(data) driver I/O. Marker
+  * and manifest I/O is registry-sized (one tiny JSON per commit); the data
+  * path stays fully distributed.
   */
 object Versioned {
 
-  private def commitsDir(root: String) = new java.io.File(root, "_commits")
+  private val Json = new ObjectMapper()
+
+  /** One manifest entry: `path` relative to the table root, content digest. */
+  final case class Entry(path: String, sha256: String)
+
+  private def commitsDir(root: String) = new File(root, "_commits")
+  private def poolDir(root: String) = new File(root, "_files")
 
   private def markerFile(root: String, v: Long) =
-    new java.io.File(commitsDir(root), s"v$v.json")
-
-  /** Data directory a committed marker references (markers are the only
-    * source of truth for data paths — staging names are not guessable).
-    */
-  def dataPath(root: String, v: Long): String = {
-    val content = new String(
-      java.nio.file.Files.readAllBytes(markerFile(root, v).toPath), "UTF-8")
-    val m = """"data"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(content)
-    require(m.isDefined, s"marker for version $v in $root has no data path")
-    s"$root/${m.get.group(1)}"
-  }
+    new File(commitsDir(root), s"v$v.json")
 
   /** Highest committed version, or -1 for an empty table. Orphan data
-    * directories without a marker do not count.
+    * (staging dirs, unreferenced pool files) without a marker do not count.
     */
   def latestVersion(root: String): Long = {
-    val dir = commitsDir(root)
-    val markers = Option(dir.listFiles()).getOrElse(Array.empty)
+    val markers = Option(commitsDir(root).listFiles()).getOrElse(Array.empty)
     markers.iterator
       .map(_.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
@@ -62,31 +70,138 @@ object Versioned {
       .foldLeft(-1L)(math.max)
   }
 
-  /** Write `df` as the next version and publish its commit marker.
-    * The data lands under a unique staging name BEFORE the version
-    * number is claimed, so a crash (or a lost marker race) leaves an
-    * orphan that no future commit can ever collide with; the
-    * `CREATE_NEW` marker write is the single atomic point of contention.
-    * Returns the committed version number.
+  /** The file list version `v` commits to — parsed from the marker with a
+    * real JSON reader (markers are machine-written, but a path containing
+    * an escaped quote must still round-trip). Supports the legacy
+    * whole-directory marker shape (`{"data": "d-…"}`) by listing that
+    * directory's parquet files with an empty digest.
+    */
+  def manifest(root: String, v: Long): Seq[Entry] = {
+    require(markerFile(root, v).exists(), s"version $v is not committed in $root")
+    val node = Json.readTree(markerFile(root, v))
+    if (node.has("files")) {
+      val it = node.get("files").elements()
+      val out = Seq.newBuilder[Entry]
+      while (it.hasNext) {
+        val e = it.next()
+        out += Entry(e.get("path").asText(), e.get("sha256").asText())
+      }
+      out.result()
+    } else {
+      // legacy full-snapshot marker: one data directory per version
+      val dir = new File(root, node.get("data").asText())
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(f => Entry(s"${node.get("data").asText()}/${f.getName}", ""))
+        .toSeq
+    }
+  }
+
+  private def sha256Hex(f: File): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val in = Files.newInputStream(f.toPath)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Move a staged write's parquet files into the content-addressed pool,
+    * deduping byte-identical files against what the pool already holds
+    * (same digest + size ⇒ same content ⇒ the staged copy is dropped and
+    * the pooled file shared). Returns the manifest entries in part-file
+    * order; removes the staging directory.
+    */
+  private def poolStaged(root: String, staging: String): Seq[Entry] = {
+    val dir = new File(root, staging)
+    poolDir(root).mkdirs()
+    val entries = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map { f =>
+        val digest = sha256Hex(f)
+        val pooled = new File(poolDir(root), s"f-$digest-${f.length}.parquet")
+        if (pooled.exists()) Files.delete(f.toPath) // shared: content already stored
+        else Files.move(f.toPath, pooled.toPath)
+        Entry(s"_files/${pooled.getName}", digest)
+      }
+      .toSeq
+    // residual _SUCCESS / .crc markers, then the (now-empty) staging dir
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach(f => Files.deleteIfExists(f.toPath))
+    Files.deleteIfExists(dir.toPath)
+    entries
+  }
+
+  /** Publish `entries` as version `next`'s marker. `CREATE_NEW` is the one
+    * atomic contention point: a committer that loses the race gets a
+    * descriptive concurrent-commit conflict (first writer wins). The
+    * loser's pooled files are left in place — they are invisible (no
+    * manifest references them) and may already be SHARED by the winner via
+    * content-address dedupe, so deleting them here would be wrong.
+    */
+  private[graft] def writeMarker(root: String, next: Long, entries: Seq[Entry]): Unit = {
+    commitsDir(root).mkdirs()
+    val files = Json.createArrayNode()
+    entries.foreach { e =>
+      val o = Json.createObjectNode()
+      o.put("path", e.path); o.put("sha256", e.sha256)
+      files.add(o)
+    }
+    val marker = Json.createObjectNode()
+    marker.put("version", next)
+    marker.set[com.fasterxml.jackson.databind.JsonNode]("files", files)
+    try
+      Files.write(
+        markerFile(root, next).toPath,
+        Json.writeValueAsBytes(marker),
+        StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit conflict on $root version $next: another " +
+            "writer committed first (its data is unaffected; retry to " +
+            "commit on top of the new latest)")
+    }
+  }
+
+  /** Write `df` as the next FULL-SNAPSHOT version. Byte-identical files
+    * dedupe against the pool, but a snapshot commit's cost is O(table) —
+    * use [[appendCommit]] for the O(delta) ingest path. Returns the
+    * committed version.
     */
   def commit(df: DataFrame, root: String): Long = {
     val staging = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.mode("errorifexists").parquet(s"$root/$staging")
+    val entries = poolStaged(root, staging)
     val next = latestVersion(root) + 1
-    commitsDir(root).mkdirs()
-    java.nio.file.Files.write(
-      markerFile(root, next).toPath,
-      s"""{"version":$next,"data":"$staging"}""".getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
+    writeMarker(root, next, entries)
     next
+  }
+
+  /** Append-only ingest commit — the streaming-landing shape: the next
+    * version's manifest is the previous manifest PLUS the newly pooled
+    * delta files. Unchanged files are listed by both versions and stored
+    * once; nothing is rewritten, so the commit costs O(delta) regardless
+    * of table size. Returns the committed version.
+    */
+  def appendCommit(df: DataFrame, root: String): Long = {
+    val staging = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
+    df.write.mode("errorifexists").parquet(s"$root/$staging")
+    val delta = poolStaged(root, staging)
+    val prevV = latestVersion(root)
+    val prev = if (prevV < 0) Nil else manifest(root, prevV)
+    writeMarker(root, prevV + 1, prev ++ delta)
+    prevV + 1
   }
 
   /** Time travel: the table exactly as committed at version `v`. */
   def asOf(spark: SparkSession, root: String, v: Long): DataFrame = {
-    require(
-      markerFile(root, v).exists(),
-      s"version $v is not committed in $root")
-    spark.read.parquet(dataPath(root, v))
+    val paths = manifest(root, v).map(e => s"$root/${e.path}")
+    if (paths.isEmpty)
+      spark.emptyDataFrame
+    else
+      spark.read.parquet(paths: _*)
   }
 
   /** The latest committed snapshot. */
@@ -99,7 +214,9 @@ object Versioned {
   /** The full CDC loop: MERGE a changeset into the latest snapshot and
     * commit the result as the next version (see
     * [[graft.operators.Curate.mergeUpsert]] for the merge semantics and
-    * its zero-shuffle scale shape). Returns the new version.
+    * its zero-shuffle scale shape). A merge rewrites the rows it touches,
+    * so this is a snapshot commit; the content-address pool still shares
+    * any byte-identical untouched files. Returns the new version.
     */
   def mergeCommit(
       spark: SparkSession,
@@ -112,12 +229,10 @@ object Versioned {
     * `numFiles` files — z-ordered by `zorderCols` when given (the
     * OPTIMIZE ... ZORDER BY shape), plainly coalesced otherwise — and
     * publish it as the next version. Rows are untouched; only layout
-    * changes, and time travel still reads every pre-compaction version.
-    * Crash-safety is inherited from [[commit]] (data before marker), and
-    * the streaming-ingest small-file problem this solves is exactly why
-    * the real formats bundle OPTIMIZE with the table layer: readers always
-    * see either the fragmented or the compacted snapshot, never a mix.
-    * Returns the new version.
+    * changes, and time travel still reads every pre-compaction version
+    * (the pre-compaction files stay pooled as long as a live manifest
+    * lists them). Crash-safety is inherited from [[commit]] (data before
+    * marker). Returns the new version.
     */
   def compact(
       spark: SparkSession,
@@ -143,29 +258,35 @@ object Versioned {
       .toSeq.sorted
   }
 
-  /** Retention vacuum: physically drop every committed version older than
-    * the latest `keepLast`, marker AND data. The marker is deleted FIRST —
-    * the crash-safe inverse of [[commit]]'s data-then-marker order, so an
-    * interrupted vacuum leaves an invisible orphan data directory, never a
-    * marker pointing at half-deleted data. Orphan directories from OTHER
-    * writers are deliberately untouched: an orphan may be a concurrent
-    * commit mid-write, and the real formats gate that sweep on a retention
-    * age this layer doesn't need. Returns the dropped versions.
+  /** Retention vacuum as a manifest-scoped MARK-SWEEP: drop every version
+    * older than the latest `keepLast`, then delete exactly the files those
+    * dropped manifests reference that NO kept version still lists — a
+    * shared file survives as long as one live version needs it (this is
+    * what makes retention safe under file sharing; a refcount would say
+    * the same thing less robustly). Markers are deleted FIRST — the
+    * crash-safe inverse of [[commit]]'s data-then-marker order, so an
+    * interrupted vacuum leaves invisible orphan files, never a marker
+    * pointing at deleted data. Pool files referenced by NO manifest at all
+    * (crashed or conflicted writers) are deliberately untouched: they may
+    * belong to a concurrent commit mid-flight, and the real formats gate
+    * that sweep on a retention age this layer doesn't need. Returns the
+    * dropped versions.
     */
   def vacuum(root: String, keepLast: Int = 2): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the latest version")
-    val dropped = history(root).dropRight(keepLast)
-    dropped.foreach { v =>
-      // resolve the data path from the marker BEFORE dropping the marker
-      val data = new java.io.File(dataPath(root, v))
-      java.nio.file.Files.deleteIfExists(markerFile(root, v).toPath)
-      if (data.exists()) {
-        import java.nio.file.{Files => F, Path}
-        import java.util.Comparator
-        F.walk(data.toPath)
-          .sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => F.deleteIfExists(p))
-      }
+    val all = history(root)
+    val dropped = all.dropRight(keepLast)
+    val dropRefs = dropped.flatMap(v => manifest(root, v).map(_.path)).toSet
+    // resolve file lists BEFORE dropping markers
+    val keptRefs = all.takeRight(keepLast).flatMap(v => manifest(root, v).map(_.path)).toSet
+    dropped.foreach(v => Files.deleteIfExists(markerFile(root, v).toPath))
+    (dropRefs -- keptRefs).toSeq.sorted.foreach { p =>
+      val f = new File(root, p)
+      Files.deleteIfExists(f.toPath)
+      // a legacy data directory empties out once its last file goes
+      val parent = f.getParentFile
+      if (parent.getName != "_files" &&
+        Option(parent.listFiles()).exists(_.isEmpty)) Files.deleteIfExists(parent.toPath)
     }
     dropped
   }

@@ -203,17 +203,61 @@ class SourcesSpec extends SparkSuite {
     // new version's marker references fresh data, not the orphan rows
     val v3 = Versioned.commit(Seq((7L, "g", 70.0)).toDF("k", "name", "v"), root)
     assert(v3 === 3L && snap(3) === Set((7L, "g", 70.0)))
-    assert(Versioned.dataPath(root, 3L) !== s"$root/v5")
-    // retention vacuum drops v0/v1 (marker + data), keeps v2/v3 readable,
+    assert(Versioned.manifest(root, 3L).forall(!_.path.startsWith("v5")))
+    // retention vacuum drops v0/v1 (marker + files), keeps v2/v3 readable,
     // and leaves the orphan directory alone (it may be a concurrent commit)
-    val v0data = new java.io.File(Versioned.dataPath(root, 0L))
+    val v0files = Versioned.manifest(root, 0L).map(e => new java.io.File(root, e.path))
+    assert(v0files.nonEmpty && v0files.forall(_.exists()))
     assert(Versioned.history(root) === Seq(0L, 1L, 2L, 3L))
     assert(Versioned.vacuum(root, keepLast = 2) === Seq(0L, 1L))
     assert(Versioned.history(root) === Seq(2L, 3L))
     intercept[IllegalArgumentException](Versioned.asOf(spark, root, 0L))
-    assert(!v0data.exists())
+    assert(v0files.forall(!_.exists()))
     assert(new java.io.File(s"$root/v5").exists())
     assert(snap(2).size === 3 && snap(3).size === 1)
+  }
+
+  test("versioned table: manifests share unchanged files across versions") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-manifest").toFile.getAbsolutePath
+    def poolParquet(): Set[String] =
+      Option(new java.io.File(root, "_files").listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    // v0: one base file; v1/v2: append-only delta commits
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "name").coalesce(1), root)
+    Versioned.appendCommit(Seq((3L, "c")).toDF("k", "name").coalesce(1), root)
+    Versioned.appendCommit(Seq((4L, "d")).toDF("k", "name").coalesce(1), root)
+    val m = (0L to 2L).map(v => Versioned.manifest(root, v).map(_.path))
+    // the unchanged base file is LISTED by all three versions …
+    assert(m(0).size === 1 && m(1).size === 2 && m(2).size === 3)
+    assert(m(1).startsWith(m(0)) && m(2).startsWith(m(1)))
+    // … and STORED once: three versions, three distinct pooled files total
+    assert(poolParquet().size === 3)
+    // every manifest entry carries the content digest of its pooled file
+    assert(Versioned.manifest(root, 2L).forall(e =>
+      e.path === s"_files/f-${e.sha256}-${new java.io.File(root, e.path).length}.parquet"))
+    // time travel stays exact across shared files
+    def snap(v: Long) = Versioned.asOf(spark, root, v).as[(Long, String)].collect().toSet
+    assert(snap(0) === Set((1L, "a"), (2L, "b")))
+    assert(snap(1) === snap(0) + ((3L, "c")))
+    assert(snap(2) === snap(1) + ((4L, "d")))
+    // mark-sweep vacuum: dropping v0 deletes NOTHING (its one file is
+    // still listed by v1 and v2) — shared files survive retention
+    assert(Versioned.vacuum(root, keepLast = 2) === Seq(0L))
+    assert(poolParquet().size === 3)
+    assert(snap(1) === Set((1L, "a"), (2L, "b"), (3L, "c")) && snap(2).size === 4)
+    // a byte-identical delta dedupes against the pool instead of storing
+    // a second copy (content-address sharing, not just manifest reuse)
+    val before = poolParquet()
+    Versioned.appendCommit(Seq((3L, "c")).toDF("k", "name").coalesce(1), root)
+    assert(poolParquet() === before)
+    assert(Versioned.manifest(root, 3L).size === 4)
+    assert(Versioned.asOf(spark, root, 3L).count() === 5L)
+    // losing the marker race is a DESCRIPTIVE first-writer-wins conflict
+    val ex = intercept[java.util.ConcurrentModificationException](
+      Versioned.writeMarker(root, 3L, Nil))
+    assert(ex.getMessage.contains("concurrent commit conflict"))
   }
 
   test("versioned table: compaction commits the same rows in fewer, z-ordered files") {
@@ -224,8 +268,7 @@ class SourcesSpec extends SparkSuite {
     val rows = (1L to 500L).map(i => (i, i % 7, s"n$i", i * 1.5))
     Versioned.commit(
       rows.toDF("k", "g", "name", "v").repartition(8), root)
-    def files(v: Long) = Option(new java.io.File(Versioned.dataPath(root, v)).listFiles())
-      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    def files(v: Long) = Versioned.manifest(root, v).size
     assert(files(0) === 8)
     val v1 = Versioned.compact(spark, root, numFiles = 2, zorderCols = Seq("k", "g"))
     assert(v1 === 1L && files(1) === 2)
