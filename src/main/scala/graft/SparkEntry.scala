@@ -545,6 +545,12 @@ object SparkEntry {
         Similarity.ivfPqIndex(emb), emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
     "p1_corpus_curate" -> ((s, dir) => Curate.corpusStats(Tables(s, dir, "documents"))),
+    // the composed end-to-end corpus build (p8): p1 gates → d23 passage
+    // strip → d25 semantic dedup → d24 DSIR budgets → d14 packing, one
+    // pipeline over one corpus relation (documents scanned exactly once;
+    // PlanSpec pins the composition's scan census)
+    "p8_full_curate" -> ((s, dir) =>
+      Curate.fullCurate(Tables(s, dir, "documents"), Tables(s, dir, "embeddings"))),
     "d7_sample_per_source" -> ((s, dir) =>
       Curate.samplePerGroup(Tables(s, dir, "documents"), "source", k = 5)))
 
@@ -2581,6 +2587,115 @@ object SparkEntry {
         |      ORDER BY CAST('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
         |               doc_id) AS BIGINT) AS rnk
         |  FROM documents) t WHERE rnk <= 5""".stripMargin,
+    // the composed pipeline: p1's gate CTEs feed d23's strip CTEs feed
+    // d25's recursive clustering (over the restricted embeddings) feed
+    // d24's scoring/budget CTEs feed d14's recursive packing — each block
+    // token-identical to its stage's own verified oracle, re-rooted on the
+    // previous block's output instead of the raw table
+    "p8_full_curate" ->
+      s"""WITH RECURSIVE base AS (
+        | SELECT doc_id, source, text,
+        |   CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |   CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS BIGINT) AS n_words,
+        |   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+        |   CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+        |     x -> x != '' AND list_contains(['the','and','of','to','a','in'], x))) AS BIGINT) AS n_stop
+        | FROM documents),
+        |rq AS (SELECT *, n_punct::DOUBLE / nullif(n_chars_actual, 0) AS punct_ratio,
+        |        n_stop::DOUBLE / nullif(n_words, 0) AS stop_ratio FROM base),
+        |q AS (SELECT *,
+        |  least(n_words::DOUBLE / 50.0, 1.0) * 0.5 + (1.0 - punct_ratio) * 0.3
+        |    + least(stop_ratio * 5.0, 1.0) * 0.2 AS quality FROM rq),
+        |keptq AS (SELECT doc_id, source, text FROM q WHERE quality >= 0.5),
+        |surv AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM keptq GROUP BY 1),
+        |gated AS (SELECT k.doc_id, k.source, k.text FROM keptq k JOIN surv USING (doc_id)),
+        |words AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS ws
+        |          FROM gated),
+        |pg AS (SELECT doc_id, i AS pos, array_to_string(list_slice(ws, i, i + 7), ' ') AS passage
+        |       FROM words, UNNEST(generate_series(1, len(ws) - 7)) t(i)
+        |       WHERE len(ws) >= 8),
+        |pd AS (SELECT passage, doc_id FROM pg GROUP BY 1, 2),
+        |dup AS (SELECT passage FROM pd GROUP BY 1 HAVING count(*) >= 2),
+        |mth AS (SELECT pg.doc_id, pg.pos FROM pg JOIN dup USING (passage)),
+        |cov AS (SELECT doc_id, tp FROM mth, UNNEST(generate_series(pos, pos + 7)) c(tp) GROUP BY 1, 2),
+        |keptw AS (
+        |  SELECT w.doc_id, p AS pos, ws[p] AS tok
+        |  FROM words w, UNNEST(generate_series(1, len(ws))) t(p)
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov WHERE cov.doc_id = w.doc_id AND cov.tp = p)),
+        |clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text FROM keptw GROUP BY 1),
+        |cur AS (SELECT g.doc_id, g.source, COALESCE(c.clean_text, '') AS text
+        |        FROM gated g LEFT JOIN clean c USING (doc_id)),
+        |emb AS (SELECT e.vec_id, e.label, e.embedding
+        |        FROM embeddings e JOIN cur ON e.vec_id = cur.doc_id),
+        |prs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |        FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+        |        WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+        |          UNION SELECT doc_b, doc_a FROM prs),
+        |reach(doc, r) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a),
+        |clus AS (SELECT doc AS vec_id, least(doc, min(r)) AS cluster_rep FROM reach GROUP BY doc),
+        |sem AS (SELECT e.vec_id FROM emb e LEFT JOIN clus c ON e.vec_id = c.vec_id
+        |        WHERE c.vec_id IS NULL OR c.cluster_rep = e.vec_id),
+        |kept2 AS (SELECT cur.doc_id, cur.source, cur.text FROM cur JOIN sem ON cur.doc_id = sem.vec_id),
+        |toks2 AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS w
+        |  FROM kept2),
+        |b2 AS (
+        |  SELECT doc_id, source,
+        |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 4096 AS bkt
+        |  FROM toks2),
+        |model2 AS (
+        |  SELECT bkt, count(*) AS nr,
+        |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS nt
+        |  FROM b2 GROUP BY 1),
+        |tot2 AS (SELECT sum(nr) AS dr, sum(nt) AS dt FROM model2),
+        |scored2 AS (
+        |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CAST(floor(ln(
+        |        (CAST(nt + 1 AS DOUBLE) * CAST(dr + 4096 AS DOUBLE)) /
+        |        (CAST(nr + 1 AS DOUBLE) * CAST(dt + 4096 AS DOUBLE)))
+        |      * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS dsir_score
+        |  FROM b2 JOIN model2 USING (bkt), tot2
+        |  GROUP BY doc_id, source),
+        |bud(source, budget) AS (VALUES
+        |  ('src0', 3000), ('src1', 2000), ('src2', 1000), ('src3', 500)),
+        |rsel AS (
+        |  SELECT s.source, doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY s.source
+        |      ORDER BY dsir_score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |    CAST(budget AS BIGINT) AS budget
+        |  FROM scored2 s JOIN bud USING (source)),
+        |sel AS (SELECT doc_id FROM rsel WHERE cum_tokens <= budget),
+        |words2 AS (SELECT k.doc_id, k.source,
+        |    list_filter(string_split_regex(trim(k.text), '\\s+'), x -> x != '') AS ws
+        |  FROM kept2 k JOIN sel USING (doc_id)),
+        |n2 AS (SELECT doc_id, source, ws, len(ws) AS n FROM words2 WHERE len(ws) > 0),
+        |c2 AS (SELECT doc_id, source, ws,
+        |        CAST(1 + (greatest(n - 50, 0) + 39) // 40 AS INTEGER) AS n_chunks
+        |      FROM n2),
+        |ch2 AS (SELECT doc_id, source, CAST(k AS BIGINT) AS chunk_id,
+        |         CAST(len(list_slice(ws, k * 40 + 1, k * 40 + 50)) AS BIGINT) AS tok
+        |       FROM c2, UNNEST(generate_series(0, n_chunks - 1)) t(k)),
+        |sc2 AS (SELECT source, doc_id, chunk_id, tok,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY doc_id, chunk_id) AS rn
+        |       FROM ch2),
+        |rpack AS (
+        |  SELECT source, rn, tok, tok AS fill, CAST(0 AS BIGINT) AS pack
+        |  FROM sc2 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.source, c.rn, c.tok,
+        |    CASE WHEN r.fill + c.tok <= 120 THEN r.fill + c.tok ELSE c.tok END,
+        |    CASE WHEN r.fill + c.tok <= 120 THEN r.pack ELSE r.pack + 1 END
+        |  FROM rpack r JOIN sc2 c ON c.source = r.source AND c.rn = r.rn + 1)
+        |SELECT source, pack AS pack_id, count(*) AS n_chunks,
+        |  CAST(sum(tok) AS BIGINT) AS total_tokens
+        |FROM rpack GROUP BY 1, 2""".stripMargin,
     "p1_corpus_curate" ->
       """WITH base AS (
         | SELECT doc_id, source, text,

@@ -87,4 +87,16 @@ object Tables {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
+
+  /** STAGE-LANDING materialization for a corpus-sized intermediate consumed
+    * by several downstream stages of a composed pipeline (p8): one
+    * distributed write of the curated relation instead of re-deriving the
+    * whole upstream per consumer. Same checkpoint machinery as
+    * [[materializeSmall]] — the distinct name marks the different
+    * contract: the relation is NOT registry-bounded, and the trade is one
+    * write + k reads versus k full upstream recomputes, exactly the
+    * landing a production pipeline does between stages (see
+    * [[graft.sources.Versioned.appendCommit]] for the durable form).
+    */
+  def materializeStage(df: DataFrame): DataFrame = materializeSmall(df)
 }

@@ -475,6 +475,73 @@ object Curate {
   }
 
   /** @param minQuality quality-score gate (see TextAnalysis.qualityScore) */
+  /** The p1 admission GATE as a transform: quality-score every document,
+    * keep those at or above `minQuality`, then exact-dedup survivors (one
+    * representative per identical text, min doc_id) — the same one-scan /
+    * window-min shape as [[corpusStats]], emitting the gated corpus
+    * instead of its rollup. First stage of [[fullCurate]].
+    */
+  def qualityGate(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    val kept = TextAnalysis.qualityScore(docs, keep = Seq("source", "text"))
+      .filter(col("quality") >= minQuality)
+      .withColumn("_h", md5(to_binary(col("text"), lit("utf-8"))))
+    val byHash = Window.partitionBy(col("_h"))
+    kept
+      .withColumn("_keep", min(col("doc_id")).over(byHash))
+      .filter(col("doc_id") === col("_keep"))
+      .select("doc_id", "source", "text")
+  }
+
+  /** The composed end-to-end corpus build (p8): every stage is an
+    * individually-verified operator, and THIS is the production shape —
+    * one pipeline from raw documents to packed training sequences:
+    *
+    *   1. [[qualityGate]] — heuristic quality floor + exact dedup;
+    *   2. [[Dedup.stripDuplicatePassages]] — C4-style exact-substring
+    *      strip over the gated corpus;
+    *   3. [[Dedup.semDedup]] — semantic dedup over the stripped corpus's
+    *      embeddings (docs without an embedding row cannot be compared
+    *      and leave the pipeline here, by design);
+    *   4. [[dsirBudgetSample]] — importance-ordered per-source token
+    *      budgets over the CLEANED text;
+    *   5. [[TextAnalysis.chunkWindows]] + [[packSequences]] — fixed
+    *      training sequences from the selected documents.
+    *
+    * Scan discipline at 100 TB: the gated and stripped corpora are landed
+    * once ([[graft.Tables.materializeStage]] — the between-stage landing a
+    * production pipeline makes durable via
+    * [[graft.sources.Versioned.appendCommit]]) because three-plus
+    * downstream consumers each re-derive them otherwise; the semantic
+    * survivor ID set is registry-narrow and memoized the same way. The
+    * raw documents parquet is scanned EXACTLY ONCE in the whole composed
+    * plan (PlanSpec-pinned) — each stage's own shuffles are bounded as
+    * documented on the stage operators.
+    */
+  def fullCurate(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      minQuality: Double = 0.5,
+      budgets: Map[String, Long] = Map(
+        "src0" -> 3000L, "src1" -> 2000L, "src2" -> 1000L, "src3" -> 500L),
+      targetSource: String = "src0"): DataFrame = {
+    val gated = graft.Tables.materializeStage(qualityGate(docs, minQuality))
+    val curated = graft.Tables.materializeStage(
+      Dedup.stripDuplicatePassages(gated)
+        .join(gated.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("clean_text").as("text")))
+    val semIds = graft.Tables.materializeSmall(
+      Dedup.semDedup(
+          embeddings.join(
+            curated.select(col("doc_id").as("vec_id")), Seq("vec_id")))
+        .select(col("vec_id").as("doc_id")))
+    val kept = curated.join(semIds, Seq("doc_id"))
+    val selected = dsirBudgetSample(kept, budgets, targetSource)
+      .select(col("doc_id"))
+    val pickedChunks = TextAnalysis.chunkWindows(kept.join(selected, Seq("doc_id")))
+      .join(kept.select(col("doc_id"), col("source")), Seq("doc_id"))
+    packSequences(pickedChunks)
+  }
+
   def corpusStats(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
     // ONE corpus pass: quality columns are computed alongside the retained
     // metadata (qualityScore keeps source/text through its projection — no

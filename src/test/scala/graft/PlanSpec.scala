@@ -352,6 +352,35 @@ class PlanSpec extends SparkSuite {
     assert(shuffles === 1, s"expected exactly one shuffle:\n$plan")
   }
 
+  test("p8 composed curation scans the raw corpus exactly once") {
+    // each stage's individual pins bound the stage's own shuffles; what
+    // they don't prove is the COMPOSITION's corpus scan count — a naive
+    // composition re-derives the gated corpus per consumer (d23 alone
+    // consumes it three times, DSIR twice more), multiplying raw scans.
+    // The pipeline lands the gated and stripped corpora once
+    // (materializeStage), so (a) the raw documents parquet is read by
+    // exactly one stage, exactly once, and (b) the composed plan's final
+    // execution reads only landed stages — zero parquet scans at all.
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val docs = Tables(spark, sfDir, "documents")
+    val gateScans = graft.operators.Curate.qualityGate(docs)
+      .queryExecution.optimizedPlan.collectLeaves().collect {
+        case lr: LogicalRelation => lr.relation match {
+          case h: HadoopFsRelation =>
+            h.location.rootPaths.headOption.map(_.getName).getOrElse("?")
+          case _ => "non-file"
+        }
+      }.count(_ == "documents.parquet")
+    assert(gateScans === 1, s"gate stage must scan documents once, got $gateScans")
+    val df = graft.operators.Curate.fullCurate(docs, Tables(spark, sfDir, "embeddings"))
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("documents.parquet"),
+      s"composed plan re-reads the raw corpus:\n$plan")
+    assert(!"Scan parquet".r.findAllIn(plan).hasNext,
+      s"composed plan reads parquet past the landed stages:\n$plan")
+  }
+
   test("whole-stage codegen covers the IVF-PQ encode projection") {
     // the PQ model matrices ride into the generated code as reference
     // objects — the encode (cell assignment + residual argmin + bit-pack)
