@@ -856,18 +856,7 @@ object Firehose {
       groupLeft: Boolean = false,
       valueCol: String = "value",
       out: String = "value"): DataFrame = {
-    require(on.isEmpty || ignoring.isEmpty, "specify on() or ignoring(), not both")
-    def matchKey(labels: Column): Column = {
-      val sel =
-        if (on.nonEmpty) {
-          val keep = array(on.map(lit): _*)
-          map_filter(labels, (k, _) => array_contains(keep, k))
-        } else if (ignoring.nonEmpty) {
-          val drop = array(ignoring.map(lit): _*)
-          map_filter(labels, (k, _) => !array_contains(drop, k))
-        } else labels
-      seriesKey(sel)
-    }
+    def matchKey(labels: Column): Column = vectorMatchKey(labels, on, ignoring)
     def uniquePerKey(side: DataFrame, vCol: String, which: String): DataFrame = {
       val w = Window.partitionBy(col("component"), col("_vm_key"))
       side
@@ -893,6 +882,26 @@ object Firehose {
       .withColumn(out, op(col("_vm_l"), col("_vm_r")))
       .filter(col(out).isNotNull)
       .select(col("component"), col("name"), col("series"), col(out))
+  }
+
+  /** The `on()`/`ignoring()` label-subset match key — the canonical
+    * rendering of the selected submap. Shared by the batch [[vectorMatch]]
+    * and the streaming sibling
+    * ([[graft.streaming.FirehoseStream.vectorMatch]]) so the matching
+    * identity cannot drift between them.
+    */
+  def vectorMatchKey(
+      labels: Column, on: Seq[String] = Nil, ignoring: Seq[String] = Nil): Column = {
+    require(on.isEmpty || ignoring.isEmpty, "specify on() or ignoring(), not both")
+    val sel =
+      if (on.nonEmpty) {
+        val keep = array(on.map(lit): _*)
+        map_filter(labels, (k, _) => array_contains(keep, k))
+      } else if (ignoring.nonEmpty) {
+        val drop = array(ignoring.map(lit): _*)
+        map_filter(labels, (k, _) => !array_contains(drop, k))
+      } else labels
+    seriesKey(sel)
   }
 
   /** Fused same-source vector match — the degenerate (and common) case of

@@ -1195,6 +1195,73 @@ object FirehoseStream {
       .withWatermark("eventTime", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming PromQL label manipulation — the m26 sibling. `label_replace`
+    * + `label_join` are pure row-local map rewrites (zero state, zero
+    * shuffles), so the streaming form IS the batch operator applied to the
+    * unbounded relation — Structured Streaming's contract for stateless
+    * projections. Exposed here so the streaming API surface is complete;
+    * spec pins row-for-row batch parity through a real stream run.
+    */
+  def labelOps(metrics: DataFrame): DataFrame = Firehose.labelOps(metrics)
+
+  /** Streaming vector-matching binary op — the m29 sibling: per tumbling
+    * window, each side's latest-per-series value (the windowed gauge),
+    * joined stream-stream on (component, match key, window). Same
+    * co-partitioned equi-join shape as the batch
+    * [[graft.operators.Firehose.vectorMatch]], with both sides' state
+    * watermark-pruned: two windowed `max_by` aggregations in Append mode
+    * feeding the binary join (Spark's chained-stateful-operator support;
+    * the join carries the window equality, so state on both sides closes
+    * with the watermark). Results emit when the watermark closes the
+    * window, and on a closed window they are batch-identical to
+    * [[graft.operators.Firehose.vectorMatch]] over that window's rows
+    * (spec-pinned). `group_left` falls out of the join cardinality exactly
+    * like batch: the left side keys on its FULL series, the right on the
+    * match key alone.
+    *
+    * Cardinality contract, relaxed for the unbounded setting: the batch
+    * form RAISES when the right side has several series per match key;
+    * the streaming form aggregates the right side BY match key, so a
+    * violating stream degrades to latest-sample-wins instead of erroring
+    * (a count-and-raise would need a third stateful operator per batch).
+    * Compliant inputs — the only ones the batch form accepts — produce
+    * identical results.
+    */
+  def vectorMatch(
+      left: DataFrame,
+      right: DataFrame,
+      op: (Column, Column) => Column,
+      on: Seq[String] = Nil,
+      ignoring: Seq[String] = Nil,
+      width: String = "1 hour",
+      watermarkDelay: String = "10 minutes",
+      out: String = "value"): DataFrame = {
+    def gauged(df: DataFrame): DataFrame =
+      Firehose.tagFilter(df)
+        .withColumn("series", Firehose.seriesKey(col("labels")))
+        .withColumn("_vm_key", Firehose.vectorMatchKey(col("labels"), on, ignoring))
+        .withColumn("eventTime", timestamp_seconds(col("timestamp")))
+        .withWatermark("eventTime", watermarkDelay)
+    val l = gauged(left)
+      .groupBy(window(col("eventTime"), width).as("_lw"), col("component"),
+        col("name"), col("series"), col("_vm_key"))
+      .agg(max_by(col("value"),
+        struct(col("timestamp").cast("long").as("ts"), col("id"))).as("_vm_l"))
+    val r = gauged(right)
+      .groupBy(window(col("eventTime"), width).as("_rw"),
+        col("component").as("_r_component"), col("_vm_key").as("_r_key"))
+      .agg(max_by(col("value"),
+        struct(col("timestamp").cast("long").as("ts"), col("id"))).as("_vm_r"))
+    l.join(
+        r,
+        col("component") === col("_r_component") &&
+          col("_vm_key") === col("_r_key") && col("_lw") === col("_rw"))
+      .withColumn(out, op(col("_vm_l"), col("_vm_r")))
+      .filter(col(out).isNotNull)
+      .select(col("_lw.start").as("win_start"), col("component"), col("name"),
+        col("series"), col(out))
+  }
+
   /** Stream-stream interval join: each left event matched to right events of
     * the same key within `[left.ts - window, left.ts]` — the streaming
     * sibling of the batch as-of join (both sides' state pruned by

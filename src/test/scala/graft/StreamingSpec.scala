@@ -13,6 +13,83 @@ class StreamingSpec extends SparkSuite {
       s""""tags":{"user":"$user","unit":"bytes"},"value":$value,""" +
       s""""window":{"from":${ts - 60},"to":$ts,"interval":60}}"""
 
+  test("streaming label ops match batch row-for-row (stateless sibling)") {
+    val dir = Files.createTempDirectory("graft-lops").toFile
+    val chk = Files.createTempDirectory("graft-lopschk").toFile
+    // users exercising both label_replace branches: leading digit (tier
+    // written) and non-digit (labels untouched)
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "m_total", 100, "1a", 1.0),
+        metricJson("2", "m_total", 200, "u2", 2.0),
+        metricJson("3", "m_total", 300, "7", 3.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.labelOps(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath))
+      .writeStream.format("memory").queryName("lops_t").outputMode("append")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("lops_t")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val batch = graft.operators.Firehose.labelOps(
+          graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(streamed === batch)
+      assert(streamed("1") === "instance=1a-1,tier=1,user=1a")
+      assert(streamed("2") === "instance=u2,user=u2")
+    } finally q.stop()
+  }
+
+  test("streaming vector match equals batch vector match on the closed window") {
+    val dir = Files.createTempDirectory("graft-vm").toFile
+    val chk = Files.createTempDirectory("graft-vmchk").toFile
+    // window [0, 3600): u1 error 2→6 (latest 6) / view 12; u2 error 3 /
+    // view 4; u3 view-only (no match)
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("e1", "error_total", 100, "u1", 2.0),
+        metricJson("e2", "error_total", 900, "u1", 6.0),
+        metricJson("e3", "error_total", 500, "u2", 3.0),
+        metricJson("v1", "view_total", 800, "u1", 12.0),
+        metricJson("v2", "view_total", 200, "u2", 4.0),
+        metricJson("v3", "view_total", 300, "u3", 9.0)).mkString("\n").getBytes)
+    val src = FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)
+    val ratio = (e: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =>
+      when(v =!= 0.0, e / v)
+    val q = FirehoseStream.vectorMatch(
+        src.filter(col("name") === "error_total"),
+        src.filter(col("name") === "view_total"),
+        ratio, out = "ratio")
+      .writeStream.format("memory").queryName("vm_t").outputMode("append")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark past the window close (8000 - 600 > 3600)
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(
+          metricJson("e9", "error_total", 8000, "u1", 1.0),
+          metricJson("v9", "view_total", 8000, "u1", 1.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val streamed = spark.table("vm_t")
+        .filter(col("win_start") === timestamp_seconds(lit(0)))
+        .collect().map(r => r.getAs[String]("series") -> r.getAs[Double]("ratio")).toMap
+      assert(streamed === Map("user=u1" -> 0.5, "user=u2" -> 0.75))
+      // batch reference over the same window's rows: identical results
+      val lines = graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath)
+        .filter(col("timestamp") < 3600)
+      val batch = graft.operators.Firehose.vectorMatch(
+          graft.operators.Firehose.gaugeLatestLabeled(
+            lines.filter(col("name") === "error_total")),
+          graft.operators.Firehose.gaugeLatestLabeled(
+            lines.filter(col("name") === "view_total")),
+          ratio, valueCol = "last_value", out = "ratio")
+        .collect().map(r => r.getAs[String]("series") -> r.getAs[Double]("ratio")).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming gauge state keeps latest value per series across batches") {
     val dir = Files.createTempDirectory("graft-stream").toFile
     val chk = Files.createTempDirectory("graft-chk").toFile
