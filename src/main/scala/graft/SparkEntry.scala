@@ -2606,31 +2606,31 @@ object SparkEntry {
         |q AS (SELECT *,
         |  least(n_words::DOUBLE / 50.0, 1.0) * 0.5 + (1.0 - punct_ratio) * 0.3
         |    + least(stop_ratio * 5.0, 1.0) * 0.2 AS quality FROM rq),
-        |keptq AS (SELECT doc_id, source, text FROM q WHERE quality >= 0.5),
+        |keptq AS MATERIALIZED (SELECT doc_id, source, text FROM q WHERE quality >= 0.5),
         |surv AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM keptq GROUP BY 1),
-        |gated AS (SELECT k.doc_id, k.source, k.text FROM keptq k JOIN surv USING (doc_id)),
-        |words AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS ws
+        |gated AS MATERIALIZED (SELECT k.doc_id, k.source, k.text FROM keptq k JOIN surv USING (doc_id)),
+        |words AS MATERIALIZED (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS ws
         |          FROM gated),
-        |pg AS (SELECT doc_id, i AS pos, array_to_string(list_slice(ws, i, i + 7), ' ') AS passage
+        |pg AS MATERIALIZED (SELECT doc_id, i AS pos, array_to_string(list_slice(ws, i, i + 7), ' ') AS passage
         |       FROM words, UNNEST(generate_series(1, len(ws) - 7)) t(i)
         |       WHERE len(ws) >= 8),
         |pd AS (SELECT passage, doc_id FROM pg GROUP BY 1, 2),
         |dup AS (SELECT passage FROM pd GROUP BY 1 HAVING count(*) >= 2),
         |mth AS (SELECT pg.doc_id, pg.pos FROM pg JOIN dup USING (passage)),
-        |cov AS (SELECT doc_id, tp FROM mth, UNNEST(generate_series(pos, pos + 7)) c(tp) GROUP BY 1, 2),
+        |cov AS MATERIALIZED (SELECT doc_id, tp FROM mth, UNNEST(generate_series(pos, pos + 7)) c(tp) GROUP BY 1, 2),
         |keptw AS (
         |  SELECT w.doc_id, p AS pos, ws[p] AS tok
         |  FROM words w, UNNEST(generate_series(1, len(ws))) t(p)
         |  WHERE NOT EXISTS (SELECT 1 FROM cov WHERE cov.doc_id = w.doc_id AND cov.tp = p)),
         |clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text FROM keptw GROUP BY 1),
-        |cur AS (SELECT g.doc_id, g.source, COALESCE(c.clean_text, '') AS text
+        |cur AS MATERIALIZED (SELECT g.doc_id, g.source, COALESCE(c.clean_text, '') AS text
         |        FROM gated g LEFT JOIN clean c USING (doc_id)),
-        |emb AS (SELECT e.vec_id, e.label, e.embedding
+        |emb AS MATERIALIZED (SELECT e.vec_id, e.label, e.embedding
         |        FROM embeddings e JOIN cur ON e.vec_id = cur.doc_id),
-        |prs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |prs AS MATERIALIZED (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
         |        FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
         |        WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+        |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM prs
         |          UNION SELECT doc_b, doc_a FROM prs),
         |reach(doc, r) AS (
         |  SELECT a, b FROM edges
@@ -2639,16 +2639,16 @@ object SparkEntry {
         |clus AS (SELECT doc AS vec_id, least(doc, min(r)) AS cluster_rep FROM reach GROUP BY doc),
         |sem AS (SELECT e.vec_id FROM emb e LEFT JOIN clus c ON e.vec_id = c.vec_id
         |        WHERE c.vec_id IS NULL OR c.cluster_rep = e.vec_id),
-        |kept2 AS (SELECT cur.doc_id, cur.source, cur.text FROM cur JOIN sem ON cur.doc_id = sem.vec_id),
+        |kept2 AS MATERIALIZED (SELECT cur.doc_id, cur.source, cur.text FROM cur JOIN sem ON cur.doc_id = sem.vec_id),
         |toks2 AS (
         |  SELECT doc_id, source,
         |    unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS w
         |  FROM kept2),
-        |b2 AS (
+        |b2 AS MATERIALIZED (
         |  SELECT doc_id, source,
         |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 4096 AS bkt
         |  FROM toks2),
-        |model2 AS (
+        |model2 AS MATERIALIZED (
         |  SELECT bkt, count(*) AS nr,
         |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS nt
         |  FROM b2 GROUP BY 1),
@@ -2681,7 +2681,7 @@ object SparkEntry {
         |ch2 AS (SELECT doc_id, source, CAST(k AS BIGINT) AS chunk_id,
         |         CAST(len(list_slice(ws, k * 40 + 1, k * 40 + 50)) AS BIGINT) AS tok
         |       FROM c2, UNNEST(generate_series(0, n_chunks - 1)) t(k)),
-        |sc2 AS (SELECT source, doc_id, chunk_id, tok,
+        |sc2 AS MATERIALIZED (SELECT source, doc_id, chunk_id, tok,
         |         row_number() OVER (PARTITION BY source
         |           ORDER BY doc_id, chunk_id) AS rn
         |       FROM ch2),
