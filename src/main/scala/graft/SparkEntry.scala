@@ -1497,17 +1497,17 @@ object SparkEntry {
     // mirrors Dedup.semDedup: d5's pair CTE + d6's recursive-closure
     // min-label clusters, then keep the representative per cluster
     "d25_semdedup" ->
-      s"""WITH RECURSIVE p AS (
+      s"""WITH RECURSIVE p AS MATERIALIZED (
          | SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
          | FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
          | WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p
          |          UNION SELECT doc_b, doc_a FROM p),
          |reach(doc, r) AS (
          |  SELECT a, b FROM edges
          |  UNION
          |  SELECT reach.doc, e.b FROM reach JOIN edges e ON reach.r = e.a),
-         |clusters AS (
+         |clusters AS MATERIALIZED (
          |  SELECT doc AS vec_id, least(doc, min(r)) AS cluster_rep
          |  FROM reach GROUP BY doc),
          |sizes AS (SELECT cluster_rep, count(*) AS n_merged FROM clusters GROUP BY 1)
@@ -1531,14 +1531,14 @@ object SparkEntry {
     "d26_semdedup_incr" ->
       s"""WITH RECURSIVE landed AS (SELECT * FROM embeddings WHERE vec_id % 3 <> 0),
          |delta AS (SELECT * FROM embeddings WHERE vec_id % 3 = 0),
-         |surv AS (
+         |surv AS MATERIALIZED (
          |  SELECT d.* FROM delta d
          |  WHERE NOT EXISTS (SELECT 1 FROM landed l WHERE l.label = d.label
          |    AND ${cosineSql("d.embedding", "l.embedding")} >= 0.35)),
-         |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |p AS MATERIALIZED (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
          |      FROM surv a JOIN surv b ON a.label = b.label AND a.vec_id < b.vec_id
          |      WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p
          |          UNION SELECT doc_b, doc_a FROM p),
          |reach(doc, r) AS (
          |  SELECT a, b FROM edges
@@ -1737,14 +1737,14 @@ object SparkEntry {
     // the smoothing recursion replayed sample-by-sample as a recursive
     // CTE; factors are dyadic so every constant is an exact binary double
     "m25_holt_winters" ->
-      """WITH RECURSIVE m AS (
+      """WITH RECURSIVE m AS MATERIALIZED (
         |  SELECT 'app' AS component, event_type || '_total' AS name,
         |         'user=' || CAST(user_id AS VARCHAR) AS series,
         |         CAST(event_id AS VARCHAR) AS id, value,
         |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
         |  FROM events),
-        |w AS (SELECT *, ts_sec - ts_sec % 3600 AS win_start FROM m),
-        |r AS (SELECT component, name, series, win_start, value,
+        |w AS MATERIALIZED (SELECT *, ts_sec - ts_sec % 3600 AS win_start FROM m),
+        |r AS MATERIALIZED (SELECT component, name, series, win_start, value,
         |        row_number() OVER (PARTITION BY component, name, series, win_start
         |          ORDER BY ts_sec, id) AS rn,
         |        count(*) OVER (PARTITION BY component, name, series, win_start) AS cnt
@@ -2055,7 +2055,7 @@ object SparkEntry {
         |ch AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
         |         CAST(len(list_slice(ws, k * 40 + 1, k * 40 + 50)) AS BIGINT) AS tok
         |       FROM c, UNNEST(generate_series(0, n_chunks - 1)) t(k)),
-        |sc AS (SELECT d.source, ch.doc_id, ch.chunk_id, ch.tok,
+        |sc AS MATERIALIZED (SELECT d.source, ch.doc_id, ch.chunk_id, ch.tok,
         |         row_number() OVER (PARTITION BY d.source
         |           ORDER BY ch.doc_id, ch.chunk_id) AS rn
         |       FROM ch JOIN documents d USING (doc_id)),
@@ -2768,18 +2768,18 @@ object SparkEntry {
       |  SELECT DISTINCT doc_id, s
       |  FROM words, UNNEST(list_transform(generate_series(1, len(ws) - 2),
       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) t(s)),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS s
       |  FROM sh0),
       |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
-      |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
-      |cnt AS (SELECT doc_id, count(*) n FROM shc GROUP BY 1),
+      |shc AS MATERIALIZED (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+      |cnt AS MATERIALIZED (SELECT doc_id, count(*) n FROM shc GROUP BY 1),
       |p AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) common
       |      FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-      |jp AS (SELECT doc_a, doc_b FROM p
+      |jp AS MATERIALIZED (SELECT doc_a, doc_b FROM p
       |       JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
       |       WHERE common::DOUBLE / (ca.n + cb.n - common) >= 0.5),
-      |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp
+      |edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM jp
       |          UNION SELECT doc_b, doc_a FROM jp),
       |reach(doc, r) AS (
       |  SELECT a, b FROM edges
