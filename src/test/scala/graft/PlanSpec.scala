@@ -381,6 +381,22 @@ class PlanSpec extends SparkSuite {
       s"composed plan reads parquet past the landed stages:\n$plan")
   }
 
+  test("m29 vector match broadcasts the registry side and shuffles each side once") {
+    // the promised shape: each operand shuffles ONCE (for its uniqueness
+    // window — the join reuses that layout), and the registry-sized build
+    // side broadcast-joins under AQE so nothing reshuffles for the match;
+    // the runtime cardinality check must ride those window projections
+    // (visible as raise_error in the plan), not add an action
+    val df = SparkEntry.queries("m29_vector_match")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), s"join not broadcast:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+    assert(shuffles === 2, s"expected one shuffle per side, got $shuffles:\n$plan")
+    assert("raise_error".r.findAllMatchIn(plan).length === 2,
+      s"cardinality checks missing:\n$plan")
+  }
+
   test("whole-stage codegen covers the IVF-PQ encode projection") {
     // the PQ model matrices ride into the generated code as reference
     // objects — the encode (cell assignment + residual argmin + bit-pack)
