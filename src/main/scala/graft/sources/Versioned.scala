@@ -48,8 +48,15 @@ object Versioned {
 
   private val Json = new ObjectMapper()
 
-  /** One manifest entry: `path` relative to the table root, content digest. */
-  final case class Entry(path: String, sha256: String)
+  /** One manifest entry: `path` relative to the table root, content digest,
+    * and optional per-column (min, max) file stats — the data-skipping
+    * index the real table formats keep in their logs ([[commitZordered]]
+    * writes them, [[prunedRead]] prunes on them; empty for plain commits).
+    */
+  final case class Entry(
+      path: String,
+      sha256: String,
+      stats: Map[String, (Double, Double)] = Map.empty)
 
   private def commitsDir(root: String) = new File(root, "_commits")
   private def poolDir(root: String) = new File(root, "_files")
@@ -84,7 +91,18 @@ object Versioned {
       val out = Seq.newBuilder[Entry]
       while (it.hasNext) {
         val e = it.next()
-        out += Entry(e.get("path").asText(), e.get("sha256").asText())
+        val stats =
+          if (!e.has("stats")) Map.empty[String, (Double, Double)]
+          else {
+            val b = Map.newBuilder[String, (Double, Double)]
+            val fields = e.get("stats").fields()
+            while (fields.hasNext) {
+              val f = fields.next()
+              b += f.getKey -> ((f.getValue.get(0).asDouble(), f.getValue.get(1).asDouble()))
+            }
+            b.result()
+          }
+        out += Entry(e.get("path").asText(), e.get("sha256").asText(), stats)
       }
       out.result()
     } else {
@@ -114,7 +132,10 @@ object Versioned {
     * the pooled file shared). Returns the manifest entries in part-file
     * order; removes the staging directory.
     */
-  private def poolStaged(root: String, staging: String): Seq[Entry] = {
+  private def poolStaged(
+      root: String,
+      staging: String,
+      statsByFile: Map[String, Map[String, (Double, Double)]] = Map.empty): Seq[Entry] = {
     val dir = new File(root, staging)
     poolDir(root).mkdirs()
     val entries = Option(dir.listFiles()).getOrElse(Array.empty)
@@ -124,7 +145,8 @@ object Versioned {
         val pooled = new File(poolDir(root), s"f-$digest-${f.length}.parquet")
         if (pooled.exists()) Files.delete(f.toPath) // shared: content already stored
         else Files.move(f.toPath, pooled.toPath)
-        Entry(s"_files/${pooled.getName}", digest)
+        Entry(s"_files/${pooled.getName}", digest,
+          statsByFile.getOrElse(f.getName, Map.empty))
       }
       .toSeq
     // residual _SUCCESS / .crc markers, then the (now-empty) staging dir
@@ -146,6 +168,14 @@ object Versioned {
     entries.foreach { e =>
       val o = Json.createObjectNode()
       o.put("path", e.path); o.put("sha256", e.sha256)
+      if (e.stats.nonEmpty) {
+        val s = Json.createObjectNode()
+        e.stats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+          val arr = Json.createArrayNode(); arr.add(mn); arr.add(mx)
+          s.set[com.fasterxml.jackson.databind.JsonNode](c, arr)
+        }
+        o.set[com.fasterxml.jackson.databind.JsonNode]("stats", s)
+      }
       files.add(o)
     }
     val marker = Json.createObjectNode()
@@ -177,6 +207,73 @@ object Versioned {
     val next = latestVersion(root) + 1
     writeMarker(root, next, entries)
     next
+  }
+
+  /** Z-ordered snapshot commit WITH per-file column stats in the manifest —
+    * the "stats in the log" data-skipping index the real formats maintain
+    * (Delta's per-file min/max, Iceberg's manifest metrics), composed from
+    * [[graft.operators.Layout.zorderBy]]'s clustering so the stats are
+    * TIGHT on every clustered dimension at once. The stats pass is one
+    * grouped aggregate over the staged files whose result is one row per
+    * FILE (registry-sized by construction — the collect is file-count-
+    * bounded, never data). Numeric clustered columns only (the same
+    * contract as the z-order bucketing). Returns the committed version.
+    */
+  def commitZordered(
+      df: DataFrame,
+      root: String,
+      cols: Seq[String],
+      numFiles: Int,
+      bits: Int = 16): Long = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val staging = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
+    graft.operators.Layout.zorderBy(df, cols, numFiles, bits)
+      .write.mode("errorifexists").parquet(s"$root/$staging")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"${c}__min"),
+      max(col(c)).cast("double").as(s"${c}__max")))
+    val statsByFile = spark.read.parquet(s"$root/$staging")
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per FILE
+      .map { r =>
+        val name = r.getString(0).split('/').last
+        name -> cols.map(c =>
+          c -> ((r.getAs[Double](s"${c}__min"), r.getAs[Double](s"${c}__max")))).toMap
+      }.toMap
+    val entries = poolStaged(root, staging, statsByFile)
+    val next = latestVersion(root) + 1
+    writeMarker(root, next, entries)
+    next
+  }
+
+  /** Manifest-stats data skipping — the read half of [[commitZordered]]:
+    * keep only the files whose (min, max) block intersects EVERY
+    * `(col, lo, hi)` range, hand just those to the parquet reader, and
+    * apply the residual row filter so results are identical to a full
+    * scan + filter. Files without stats for a predicate column are KEPT
+    * (they cannot be proven skippable — plain and append commits stay
+    * readable). The manifest filter is driver-side but file-count-bounded:
+    * at 100 TB this is listing 16 of 10,000 files instead of scanning all.
+    */
+  def prunedRead(
+      spark: SparkSession,
+      root: String,
+      v: Long,
+      preds: Seq[(String, Double, Double)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(preds.nonEmpty, "need at least one (col, lo, hi) predicate")
+    val keep = manifest(root, v).filter { e =>
+      preds.forall { case (c, lo, hi) =>
+        e.stats.get(c).forall { case (mn, mx) => mn <= hi && mx >= lo }
+      }
+    }
+    val rowFilter = preds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    if (keep.isEmpty) asOf(spark, root, v).filter(lit(false))
+    else spark.read.parquet(keep.map(e => s"$root/${e.path}"): _*).filter(rowFilter)
   }
 
   /** Append-only ingest commit — the streaming-landing shape: the next

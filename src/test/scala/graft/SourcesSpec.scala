@@ -260,6 +260,89 @@ class SourcesSpec extends SparkSuite {
     assert(ex.getMessage.contains("concurrent commit conflict"))
   }
 
+  test("versioned table: manifest stats skip files on read (z-ordered commit)") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-stats").toFile.getAbsolutePath
+    val rows = (1L to 500L).map(i => (i, i % 7, s"n$i", i * 1.5))
+    val v0 = Versioned.commitZordered(
+      rows.toDF("k", "g", "name", "v").repartition(8), root,
+      cols = Seq("k", "g"), numFiles = 8)
+    // every entry carries tight stats for both clustered dimensions
+    val m = Versioned.manifest(root, v0)
+    assert(m.size === 8 && m.forall(e => e.stats.keySet === Set("k", "g")))
+    // a 10% k-slice touches a fraction of the files, result row-identical
+    // to the full scan + filter
+    // (z-order interleaves BOTH dims, so a single-dim slice prunes less
+    // than a pure k-sort would — half the files skipped is the honest
+    // bound here; the conjunctive case below multiplies the skipping)
+    val pruned = Versioned.prunedRead(spark, root, v0, Seq(("k", 1.0, 50.0)))
+    assert(pruned.inputFiles.length <= 4,
+      s"expected <=4 of 8 files, read ${pruned.inputFiles.length}")
+    val full = Versioned.asOf(spark, root, v0).filter(col("k").between(1, 50))
+    assert(pruned.as[(Long, Long, String, Double)].collect().toSet ===
+      full.as[(Long, Long, String, Double)].collect().toSet)
+    val both = Versioned.prunedRead(spark, root, v0,
+      Seq(("k", 1.0, 50.0), ("g", 0.0, 1.0)))
+    assert(both.inputFiles.length <= pruned.inputFiles.length)
+    assert(both.as[(Long, Long, String, Double)].collect().toSet ===
+      full.filter(col("g") <= 1).as[(Long, Long, String, Double)].collect().toSet)
+    // a statless append stays readable through the pruned path: its files
+    // cannot be proven skippable, so they are kept
+    Versioned.appendCommit(Seq((1000L, 0L, "x", 1.0)).toDF("k", "g", "name", "v")
+      .coalesce(1), root)
+    val v1p = Versioned.prunedRead(spark, root, 1L, Seq(("k", 999.0, 2000.0)))
+    assert(v1p.as[(Long, Long, String, Double)].collect().toSet ===
+      Set((1000L, 0L, "x", 1.0)))
+    assert(v1p.inputFiles.length <= 3) // pruned z-files + the statless append file
+  }
+
+  test("streaming curation lands append-only manifest commits per micro-batch") {
+    import graft.operators.Curate
+    import graft.sources.Versioned
+    val dir = Files.createTempDirectory("graft-scur").toFile
+    val chk = Files.createTempDirectory("graft-scurchk").toFile
+    val root = Files.createTempDirectory("graft-scurtbl").toFile.getAbsolutePath
+    val good = ("w " * 45) + "the and of to a in" // 51 words, stopword-rich
+    def doc(id: Long, src: String, text: String) =
+      s"""{"doc_id":$id,"source":"$src","text":"$text"}"""
+    // batch 1: two keepers (one duplicated text → one survivor) + junk
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(doc(1, "src0", good), doc(2, "src0", good), doc(3, "src0", "!!! ???"))
+        .mkString("\n").getBytes)
+    val schema = "doc_id BIGINT, source STRING, text STRING"
+    val q = spark.readStream.schema(schema).json(dir.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the ingest-time curation loop: gate the micro-batch, land it as
+        // an O(delta) manifest commit — the durable form of the p8 stage
+        // landing (cross-batch dedup is d10's incremental job, not the gate's)
+        val gated = Curate.qualityGate(batch)
+        if (!gated.isEmpty) { Versioned.appendCommit(gated, root); () }
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(Versioned.history(root) === Seq(0L))
+      assert(Versioned.latest(spark, root).select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(1L))
+      // batch 2: one more keeper — the new version's manifest STARTS WITH
+      // batch 1's files (append sharing from a real stream)
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(doc(10, "src1", good + " more words here")).mkString("\n").getBytes)
+      q.processAllAvailable()
+      assert(Versioned.history(root) === Seq(0L, 1L))
+      val m0 = Versioned.manifest(root, 0L).map(_.path)
+      val m1 = Versioned.manifest(root, 1L).map(_.path)
+      assert(m1.startsWith(m0) && m1.size > m0.size)
+      assert(Versioned.latest(spark, root).select("doc_id")
+        .collect().map(_.getLong(0)).toSet === Set(1L, 10L))
+      // time travel still shows the first ingest exactly
+      assert(Versioned.asOf(spark, root, 0L).count() === 1L)
+    } finally q.stop()
+  }
+
   test("versioned table: compaction commits the same rows in fewer, z-ordered files") {
     import spark.implicits._
     import graft.sources.Versioned
