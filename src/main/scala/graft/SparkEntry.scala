@@ -347,6 +347,10 @@ object SparkEntry {
         (e, v) => when(v =!= 0.0, e / v),
         valueCol = "last_value", out = "ratio")
     }),
+    // PromQL subquery: avg/min/max_over_time(rate(x[1h])[6h:1h]) — one
+    // increase pass, exact-decimal outer rollup
+    "m30_subquery" -> ((s, dir) =>
+      Firehose.subqueryOverTime(Firehose.metricsFromEvents(s, dir))),
     // PromQL group_left one-to-many: each metric's latest gauge divided by
     // the cross-metric per-user total — on("user") matching against a
     // coarser right vector (the share-of-total shape)
@@ -725,6 +729,20 @@ object SparkEntry {
     "m9_counter_increase" ->
       (IncreaseCte(3600) +
         "SELECT component, name, series, win_start, increase, n_samples FROM win"),
+    // m9's hourly increases rolled into 6h outer windows: aggregates on the
+    // exact increases, divided once at the end (summing rates would be
+    // order-dependent; min/max commute with the monotone divide)
+    "m30_subquery" ->
+      (IncreaseCte(3600) +
+        """, sq AS (SELECT component, name, series,
+          |    win_start - win_start % 21600 AS outer_win, increase FROM win)
+          |SELECT component, name, series, outer_win,
+          |  count(*) AS n_points,
+          |  min(increase) / 3600.0 AS min_rate,
+          |  max(increase) / 3600.0 AS max_rate,
+          |  CAST(sum(CAST(increase AS DECIMAL(18,6))) AS DOUBLE)
+          |    / (count(*) * 3600.0) AS avg_rate
+          |FROM sq GROUP BY 1, 2, 3, 4""".stripMargin),
     // daily windows: the hourly grid is too sparse per series for a
     // 3-consecutive-window condition to ever hold on the synthetic stream
     "m22_for_duration" ->

@@ -990,6 +990,39 @@ object Firehose {
       .select("component", "series", "win_start", "short_ratio", "long_ratio", "alert")
   }
 
+  /** PromQL SUBQUERY semantics — `agg_over_time(rate(x[inner])[outer:inner])`:
+    * the inner range function evaluated once per `innerSec` step, then the
+    * outer `*_over_time` aggregation over those samples per series per
+    * `outerSec` window. Rides ONE [[counterIncrease]] pass (the m14 tiling
+    * argument: inner windows tile the outer), and the outer rollup runs on
+    * the same series partitioning — per-window rows in, per-outer-window
+    * rows out, map-side combinable.
+    *
+    * Numerics: rate = increase/inner is an IEEE divide of a ≤6-dp-exact
+    * double — summing RATES would be order-dependent, so the aggregates
+    * are computed on the exact increases and divided once at the end:
+    * avg = Σinc / (n·inner) (decimal numerator), min/max = extreme inc /
+    * inner (division is monotone) — engine-portable bit-for-bit.
+    */
+  def subqueryOverTime(
+      metrics: DataFrame,
+      innerSec: Long = 3600,
+      outerSec: Long = 21600): DataFrame = {
+    require(outerSec % innerSec == 0, "inner step must tile the outer range")
+    counterIncrease(metrics, innerSec)
+      .withColumn("outer_win", col("win_start") - pmod(col("win_start"), lit(outerSec)))
+      .groupBy(col("component"), col("name"), col("series"), col("outer_win"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        (min(col("increase")) / lit(innerSec.toDouble)).as("min_rate"),
+        (max(col("increase")) / lit(innerSec.toDouble)).as("max_rate"),
+        sum(col("increase").cast("decimal(18,6)")).cast("double").as("_sum_inc"))
+      .withColumn(
+        "avg_rate",
+        col("_sum_inc") / (col("n_points").cast("double") * lit(innerSec.toDouble)))
+      .drop("_sum_inc")
+  }
+
   /** Prometheus `for:`-duration alerting quantized to windows: the
     * condition (windowed increase above a threshold) must hold in `k`
     * CONSECUTIVE windows before the alert fires — the standard guard
