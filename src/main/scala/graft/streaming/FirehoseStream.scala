@@ -217,6 +217,16 @@ case class ForDurationOut(
     component: String, name: String, series: String,
     fire_win: Long, increase: Double)
 
+/** Per-series subquery state: the inner increase fold + closed inner-window
+  * totals parked until their enclosing outer window closes. */
+case class SubqueryState(inner: IncreaseState, parked: Map[Long, Double])
+
+/** Emitted subquery row — one per (series, outer window), exactly once,
+  * when the watermark closes the outer window. */
+case class SubqueryOut(
+    component: String, name: String, series: String, outer_win: Long,
+    n_points: Long, min_rate: Double, max_rate: Double, avg_rate: Double)
+
 /** The pure per-series counter-increase fold, shared by the
   * `flatMapGroupsWithState` and `transformWithState` operators and
   * property-tested directly (random sample streams, random batch splits,
@@ -848,6 +858,83 @@ object FirehoseStream {
               state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
             else {
               val lastTs = (next.num.buffer.map(_.ts) ++ next.den.buffer.map(_.ts) :+ 0L).max
+              state.setTimeoutTimestamp(math.max(lastTs * 1000L, 1L) + ttlMs)
+            }
+          }
+          rows.iterator
+      }
+  }
+
+  /** Streaming PromQL subquery — m30's exactly-once sibling:
+    * `agg_over_time(rate(x[inner])[outer:inner])` with each (series,
+    * outer window) row emitted ONCE when the watermark closes the outer
+    * window. Same machinery as [[ratioAlertClosed]]: the shared
+    * [[IncreaseCore]] fold closes inner windows exactly once
+    * (late-but-in-watermark correct), their totals park until the
+    * enclosing outer window's end passes the watermark, and the emitted
+    * aggregates use the batch operator's exact arithmetic — quantized
+    * decimal numerator summed in window order, one divide at the end —
+    * so closed rows are batch-identical (spec-pinned). State per series:
+    * the in-watermark sample buffer + one total per parked inner window,
+    * TTL-expired like the gauge registry; an event-time timer re-arms at
+    * the earliest open outer window's end so quiet series still emit.
+    */
+  def subqueryOverTimeClosed(
+      metrics: DataFrame,
+      innerSec: Long = 3600,
+      outerSec: Long = 21600,
+      watermarkDelay: String = "10 minutes",
+      ttlMs: Long = 10 * 60 * 1000L): Dataset[SubqueryOut] = {
+    require(outerSec % innerSec == 0, "inner step must tile the outer range")
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    keyedPoints(metrics, watermarkDelay)
+      .groupByKey(p => (p.component, p.name, p.series))
+      .flatMapGroupsWithState[SubqueryState, SubqueryOut](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case ((component, name, series), points, state: GroupState[SubqueryState]) =>
+          val wmSec = state.getCurrentWatermarkMs() / 1000L
+          val st = state.getOption.getOrElse(SubqueryState(IncreaseCore.empty, Map.empty))
+          val incoming =
+            if (state.hasTimedOut) Nil
+            else points.toSeq.map(p => CounterSample(p.timestamp, p.id, p.value))
+          val r = IncreaseCore.step(st.inner, incoming, wmSec, innerSec)
+          // closed inner windows arrive exactly once from the fold → plain ++
+          val parked = st.parked ++ r.closed
+          val (emit, keep) = parked.partition { case (sw, _) =>
+            RatioCore.longWinOf(sw, outerSec) + outerSec <= wmSec
+          }
+          val rows = emit.groupBy { case (sw, _) => RatioCore.longWinOf(sw, outerSec) }
+            .toSeq.sortBy(_._1)
+            .map { case (ow, m) =>
+              val incs = m.toSeq.sortBy(_._1).map(_._2)
+              val n = incs.size.toLong
+              // the batch numerics exactly: each inner total quantized to
+              // the 6-dp decimal grid, summed exactly, divided once
+              val sum = incs
+                .map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+                .sum.toDouble
+              SubqueryOut(component, name, series, ow, n,
+                incs.min / innerSec.toDouble,
+                incs.max / innerSec.toDouble,
+                sum / (n.toDouble * innerSec.toDouble))
+            }
+          val next = SubqueryState(r.state, keep)
+          val idle = next.inner.buffer.isEmpty && next.inner.finalized.isEmpty &&
+            keep.isEmpty
+          if (state.hasTimedOut && idle) state.remove()
+          else {
+            state.update(next)
+            val pendingEnds = (keep.keys ++ next.inner.finalized.keys)
+              .map(sw => (RatioCore.longWinOf(sw, outerSec) + outerSec) * 1000L)
+            if (pendingEnds.nonEmpty)
+              // wake when the earliest open outer window can emit (all
+              // candidates are > wm·1000 by construction)
+              state.setTimeoutTimestamp(pendingEnds.min)
+            else if (state.getCurrentWatermarkMs() > 0)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
+            else {
+              val lastTs = (next.inner.buffer.map(_.ts) :+ 0L).max
               state.setTimeoutTimestamp(math.max(lastTs * 1000L, 1L) + ttlMs)
             }
           }

@@ -90,6 +90,48 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming subquery emits closed outer windows once, batch-identical") {
+    val dir = Files.createTempDirectory("graft-subq").toFile
+    val chk = Files.createTempDirectory("graft-subqchk").toFile
+    def b(id: String, ts: Long, v: Double) = metricJson(id, "c_total", ts, "u1", v)
+    // outer window [0,120) = inner wins 0 and 60; the reset lands in the
+    // SECOND micro-batch so the inner fold must merge across batches
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(b("s1", 10, 10.0), b("s2", 50, 30.0), b("s3", 70, 35.0))
+        .mkString("\n").getBytes)
+    val q = FirehoseStream.subqueryOverTimeClosed(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+        innerSec = 60, outerSec = 120, watermarkDelay = "1 second")
+      .toDF()
+      .writeStream.format("memory").queryName("subq_t").outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      // reset inside win 60, then a far-future sample to close outer 0
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(b("s4", 100, 20.0), b("s5", 1000, 1.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      Files.write(dir.toPath.resolve("b3.json"),
+        Seq(b("s6", 1400, 2.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val streamed = spark.table("subq_t").filter(col("outer_win") === 0L).collect()
+      assert(streamed.length === 1) // exactly once
+      val s = streamed.head
+      val batch = graft.operators.Firehose.subqueryOverTime(
+          graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath)
+            .filter(col("timestamp") < 120),
+          innerSec = 60, outerSec = 120)
+        .collect().head
+      assert(s.getAs[Long]("n_points") === batch.getAs[Long]("n_points"))
+      for (f <- Seq("min_rate", "max_rate", "avg_rate"))
+        assert(s.getAs[Double](f) === batch.getAs[Double](f), f)
+      // the reset clamped: win 0 inc = 20, win 60 inc = 5 + 20 (post-reset)
+      assert(s.getAs[Double]("min_rate") === 20.0 / 60.0)
+      assert(s.getAs[Double]("max_rate") === 25.0 / 60.0)
+    } finally q.stop()
+  }
+
   test("streaming gauge state keeps latest value per series across batches") {
     val dir = Files.createTempDirectory("graft-stream").toFile
     val chk = Files.createTempDirectory("graft-chk").toFile
