@@ -456,6 +456,37 @@ object RatioCore {
   }
 }
 
+/** Pure emit/prune step for the streaming subquery, shared by the
+  * `flatMapGroupsWithState` sibling and the `transformWithState` port so
+  * the two cannot diverge: emit the aggregate of every outer window the
+  * watermark has closed (batch arithmetic: quantized-decimal numerator in
+  * window order, one divide), keep the rest parked.
+  */
+object SubqueryCore {
+  def emitAndPrune(
+      component: String, name: String, series: String,
+      parked: Map[Long, Double], wmSec: Long, innerSec: Long, outerSec: Long)
+      : (Seq[SubqueryOut], Map[Long, Double]) = {
+    val (emit, keep) = parked.partition { case (sw, _) =>
+      RatioCore.longWinOf(sw, outerSec) + outerSec <= wmSec
+    }
+    val rows = emit.groupBy { case (sw, _) => RatioCore.longWinOf(sw, outerSec) }
+      .toSeq.sortBy(_._1)
+      .map { case (ow, m) =>
+        val incs = m.toSeq.sortBy(_._1).map(_._2)
+        val n = incs.size.toLong
+        val sum = incs
+          .map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble
+        SubqueryOut(component, name, series, ow, n,
+          incs.min / innerSec.toDouble,
+          incs.max / innerSec.toDouble,
+          sum / (n.toDouble * innerSec.toDouble))
+      }
+    (rows, keep)
+  }
+}
+
 /** Structured-Streaming form of the firehose: the reference's
   * consume→parse→handle→endOfSet loop (AbstractFirehose.java:113-145)
   * re-expressed as an incremental query.
@@ -900,25 +931,8 @@ object FirehoseStream {
             else points.toSeq.map(p => CounterSample(p.timestamp, p.id, p.value))
           val r = IncreaseCore.step(st.inner, incoming, wmSec, innerSec)
           // closed inner windows arrive exactly once from the fold → plain ++
-          val parked = st.parked ++ r.closed
-          val (emit, keep) = parked.partition { case (sw, _) =>
-            RatioCore.longWinOf(sw, outerSec) + outerSec <= wmSec
-          }
-          val rows = emit.groupBy { case (sw, _) => RatioCore.longWinOf(sw, outerSec) }
-            .toSeq.sortBy(_._1)
-            .map { case (ow, m) =>
-              val incs = m.toSeq.sortBy(_._1).map(_._2)
-              val n = incs.size.toLong
-              // the batch numerics exactly: each inner total quantized to
-              // the 6-dp decimal grid, summed exactly, divided once
-              val sum = incs
-                .map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
-                .sum.toDouble
-              SubqueryOut(component, name, series, ow, n,
-                incs.min / innerSec.toDouble,
-                incs.max / innerSec.toDouble,
-                sum / (n.toDouble * innerSec.toDouble))
-            }
+          val (rows, keep) = SubqueryCore.emitAndPrune(
+            component, name, series, st.parked ++ r.closed, wmSec, innerSec, outerSec)
           val next = SubqueryState(r.state, keep)
           val idle = next.inner.buffer.isEmpty && next.inner.finalized.isEmpty &&
             keep.isEmpty

@@ -344,6 +344,127 @@ object FirehoseTws {
         TimeMode.EventTime(), OutputMode.Update())
   }
 
+  /** Subquery processor — [[FirehoseStream.subqueryOverTimeClosed]] on the
+    * arbitrary-state API: the inner increase fold's state decomposes into
+    * native handles (anchor `ValueState`, in-watermark `ListState` buffer,
+    * finalized `MapState`) plus the parked closed-inner-window totals as
+    * one more `MapState`; emit/prune is the shared [[SubqueryCore]], so
+    * the two ports cannot diverge.
+    */
+  class SubqueryProcessor(innerSec: Long, outerSec: Long, ttlMs: Long)
+      extends StatefulProcessor[SeriesKey, GaugePoint, SubqueryOut] {
+
+    @transient private var anchor: ValueState[CounterSample] = _
+    @transient private var buffer: ListState[CounterSample] = _
+    @transient private var finalized: MapState[Long, Double] = _
+    @transient private var parked: MapState[Long, Double] = _
+    @transient private var timerTs: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      anchor = getHandle.getValueState[CounterSample](
+        "anchor", Encoders.product[CounterSample], TTLConfig.NONE)
+      buffer = getHandle.getListState[CounterSample](
+        "buffer", Encoders.product[CounterSample], TTLConfig.NONE)
+      finalized = getHandle.getMapState[Long, Double](
+        "finalized", Encoders.scalaLong, Encoders.scalaDouble, TTLConfig.NONE)
+      parked = getHandle.getMapState[Long, Double](
+        "parked", Encoders.scalaLong, Encoders.scalaDouble, TTLConfig.NONE)
+      timerTs = getHandle.getValueState[Long]("timer", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def armTimer(whenMs: Long): Unit = {
+      if (timerTs.exists()) getHandle.deleteTimer(timerTs.get())
+      getHandle.registerTimer(whenMs)
+      timerTs.update(whenMs)
+    }
+
+    private def mapOf(ms: MapState[Long, Double]): Map[Long, Double] =
+      if (ms.exists()) ms.iterator().map(t => t._1 -> t._2).toMap else Map.empty
+
+    private def writeMap(
+        ms: MapState[Long, Double], old: Map[Long, Double],
+        next: Map[Long, Double]): Unit = {
+      next.foreach { case (w, v) => if (!old.get(w).contains(v)) ms.updateValue(w, v) }
+      old.keys.filterNot(next.contains).foreach(ms.removeKey)
+    }
+
+    private def stepAndEmit(
+        key: SeriesKey, incoming: Seq[GaugePoint], timers: TimerValues,
+        evictWhenIdle: Boolean): Iterator[SubqueryOut] = {
+      val (component, name, series) = key
+      val wmSec = timers.getCurrentWatermarkInMs() / 1000L
+      val a = if (anchor.exists()) Some(anchor.get()) else None
+      val st = IncreaseState(
+        hasAnchor = a.isDefined,
+        anchorTs = a.map(_.ts).getOrElse(0L),
+        anchorId = a.map(_.id).getOrElse(""),
+        anchorValue = a.map(_.value).getOrElse(0.0),
+        buffer = if (buffer.exists()) buffer.get().toSeq else Nil,
+        finalized = mapOf(finalized))
+      val r = IncreaseCore.step(
+        st, incoming.map(p => CounterSample(p.timestamp, p.id, p.value)), wmSec, innerSec)
+      val oldParked = mapOf(parked)
+      val (rows, keep) = SubqueryCore.emitAndPrune(
+        component, name, series, oldParked ++ r.closed, wmSec, innerSec, outerSec)
+      val idle = r.state.buffer.isEmpty && r.state.finalized.isEmpty && keep.isEmpty
+      if (evictWhenIdle && idle) {
+        anchor.clear(); buffer.clear(); finalized.clear(); parked.clear(); timerTs.clear()
+      } else {
+        writeMap(finalized, st.finalized, r.state.finalized)
+        if (r.state.hasAnchor)
+          anchor.update(CounterSample(r.state.anchorTs, r.state.anchorId, r.state.anchorValue))
+        buffer.clear()
+        if (r.state.buffer.nonEmpty) buffer.put(r.state.buffer.toArray)
+        writeMap(parked, oldParked, keep)
+        val pendingEnds = (keep.keys ++ r.state.finalized.keys)
+          .map(sw => (RatioCore.longWinOf(sw, outerSec) + outerSec) * 1000L)
+        if (pendingEnds.nonEmpty) armTimer(pendingEnds.min)
+        else {
+          val wm = timers.getCurrentWatermarkInMs()
+          if (wm > 0) armTimer(wm + ttlMs)
+          else {
+            val lastTs = (r.state.buffer.map(_.ts) :+ 0L).max
+            armTimer(math.max(lastTs * 1000L, 1L) + ttlMs)
+          }
+        }
+      }
+      rows.iterator
+    }
+
+    override def handleInputRows(
+        key: SeriesKey,
+        rows: Iterator[GaugePoint],
+        timers: TimerValues): Iterator[SubqueryOut] =
+      stepAndEmit(key, rows.toSeq, timers, evictWhenIdle = false)
+
+    override def handleExpiredTimer(
+        key: SeriesKey,
+        timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SubqueryOut] = {
+      timerTs.clear()
+      stepAndEmit(key, Nil, timers, evictWhenIdle = true)
+    }
+  }
+
+  /** [[FirehoseStream.subqueryOverTimeClosed]] on the `transformWithState`
+    * API. Requires the RocksDB state store provider (an API constraint).
+    */
+  def subqueryOverTimeClosed(
+      metrics: DataFrame,
+      innerSec: Long = 3600,
+      outerSec: Long = 21600,
+      watermarkDelay: String = "10 minutes",
+      ttlMs: Long = 10 * 60 * 1000L): Dataset[SubqueryOut] = {
+    require(outerSec % innerSec == 0, "inner step must tile the outer range")
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    FirehoseStream.keyedPoints(metrics, watermarkDelay)
+      .groupByKey(p => (p.component, p.name, p.series))
+      .transformWithState(
+        new SubqueryProcessor(innerSec, outerSec, ttlMs),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** Absent-alert processor — [[FirehoseStream.absentAlert]]'s fold
     * ([[AbsentCore]], shared verbatim) on the arbitrary-state API: the
     * decided (anchor, gapEmitted) pair is a `ValueState`, the undecided

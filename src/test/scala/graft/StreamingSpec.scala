@@ -132,6 +132,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState subquery port matches the fMGWS sibling's scenario") {
+    withRocksDb {
+      val dir = Files.createTempDirectory("graft-tws-subq").toFile
+      val chk = Files.createTempDirectory("graft-tws-subqchk").toFile
+      def b(id: String, ts: Long, v: Double) = metricJson(id, "c_total", ts, "u1", v)
+      // the fMGWS sibling's exact scenario: reset in the second batch,
+      // outer [0,120) closes at wm >= 120
+      Files.write(dir.toPath.resolve("b1.json"),
+        Seq(b("s1", 10, 10.0), b("s2", 50, 30.0), b("s3", 70, 35.0))
+          .mkString("\n").getBytes)
+      val q = graft.streaming.FirehoseTws.subqueryOverTimeClosed(
+          FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+          innerSec = 60, outerSec = 120, watermarkDelay = "1 second")
+        .toDF()
+        .writeStream.format("memory").queryName("tws_subq_t").outputMode("update")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      try {
+        q.processAllAvailable()
+        Files.write(dir.toPath.resolve("b2.json"),
+          Seq(b("s4", 100, 20.0), b("s5", 1000, 1.0)).mkString("\n").getBytes)
+        q.processAllAvailable()
+        Files.write(dir.toPath.resolve("b3.json"),
+          Seq(b("s6", 1400, 2.0)).mkString("\n").getBytes)
+        q.processAllAvailable()
+        val rows = spark.table("tws_subq_t").filter(col("outer_win") === 0L).collect()
+        assert(rows.length === 1) // exactly once
+        val s = rows.head
+        assert(s.getAs[Long]("n_points") === 2L)
+        assert(s.getAs[Double]("min_rate") === 20.0 / 60.0)
+        assert(s.getAs[Double]("max_rate") === 25.0 / 60.0)
+        assert(s.getAs[Double]("avg_rate") === 45.0 / 120.0)
+      } finally q.stop()
+    }
+  }
+
   test("streaming gauge state keeps latest value per series across batches") {
     val dir = Files.createTempDirectory("graft-stream").toFile
     val chk = Files.createTempDirectory("graft-chk").toFile
