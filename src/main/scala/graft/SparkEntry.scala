@@ -366,6 +366,47 @@ object SparkEntry {
         g, tot, (v, t) => when(t =!= 0.0, v / t),
         on = Seq("user"), groupLeft = true, valueCol = "last_value", out = "share")
     }),
+    // PromQL set ops on the gauge registry: error gauges AND / UNLESS the
+    // high-traffic view gauges (left-semi / left-anti on the shared match
+    // key — right values never flow into the result)
+    "m31_and" -> ((s, dir) => {
+      val g = Tables.materializeSmall(
+        Firehose.gaugeLatestLabeled(Firehose.metricsFromEvents(s, dir)))
+      Firehose.vectorSetOp(
+        g.filter(col("name") === "error_total"),
+        g.filter(col("name") === "view_total" && col("last_value") > 50),
+        "and", valueCol = "last_value")
+    }),
+    "m31_unless" -> ((s, dir) => {
+      val g = Tables.materializeSmall(
+        Firehose.gaugeLatestLabeled(Firehose.metricsFromEvents(s, dir)))
+      Firehose.vectorSetOp(
+        g.filter(col("name") === "error_total"),
+        g.filter(col("name") === "view_total" && col("last_value") > 50),
+        "unless", valueCol = "last_value")
+    }),
+    // PromQL or with left priority: high-error series, else the user's
+    // view series (right entries only where the left key is absent)
+    "m31_or" -> ((s, dir) => {
+      val g = Tables.materializeSmall(
+        Firehose.gaugeLatestLabeled(Firehose.metricsFromEvents(s, dir)))
+      Firehose.vectorSetOp(
+        g.filter(col("name") === "error_total" && col("last_value") > 50),
+        g.filter(col("name") === "view_total"),
+        "or", valueCol = "last_value")
+    }),
+    // PromQL comparison with the bool modifier: error > bool view per
+    // series — yields 0/1 instead of filtering, on the arithmetic
+    // vectorMatch machinery
+    "m31b_bool_cmp" -> ((s, dir) => {
+      val g = Tables.materializeSmall(
+        Firehose.gaugeLatestLabeled(Firehose.metricsFromEvents(s, dir)))
+      Firehose.vectorMatch(
+        g.filter(col("name") === "error_total"),
+        g.filter(col("name") === "view_total"),
+        (e, v) => (e > v).cast("double"),
+        valueCol = "last_value", out = "gt")
+    }),
     // per-source gopher-rule failure funnel
     "t18_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
@@ -1724,6 +1765,77 @@ object SparkEntry {
         |SELECT g.component, g.name, g.series, g.last_value / t.tot AS share
         |FROM g JOIN t ON g.component = t.component AND g.series = t.series
         |WHERE t.tot <> 0""".stripMargin,
+    // set-op and: error gauges whose user also has a >50 view gauge
+    // (left-semi = EXISTS; right values never appear in the result)
+    "m31_and" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series, value,
+        |         row_number() OVER (PARTITION BY event_type, user_id
+        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+        |                    CAST(event_id AS VARCHAR) DESC) AS rn
+        |  FROM events),
+        |g AS (SELECT component, name, series, value AS last_value
+        |      FROM m WHERE rn = 1)
+        |SELECT e.component, e.name, e.series, e.last_value
+        |FROM g e
+        |WHERE e.name = 'error_total' AND EXISTS (
+        |  SELECT 1 FROM g v WHERE v.name = 'view_total'
+        |    AND v.component = e.component AND v.series = e.series
+        |    AND v.last_value > 50)""".stripMargin,
+    // set-op unless: the complement (left-anti = NOT EXISTS)
+    "m31_unless" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series, value,
+        |         row_number() OVER (PARTITION BY event_type, user_id
+        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+        |                    CAST(event_id AS VARCHAR) DESC) AS rn
+        |  FROM events),
+        |g AS (SELECT component, name, series, value AS last_value
+        |      FROM m WHERE rn = 1)
+        |SELECT e.component, e.name, e.series, e.last_value
+        |FROM g e
+        |WHERE e.name = 'error_total' AND NOT EXISTS (
+        |  SELECT 1 FROM g v WHERE v.name = 'view_total'
+        |    AND v.component = e.component AND v.series = e.series
+        |    AND v.last_value > 50)""".stripMargin,
+    // set-op or with left priority: all high-error series, plus view
+    // series only for users with no high-error series
+    "m31_or" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series, value,
+        |         row_number() OVER (PARTITION BY event_type, user_id
+        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+        |                    CAST(event_id AS VARCHAR) DESC) AS rn
+        |  FROM events),
+        |g AS (SELECT component, name, series, value AS last_value
+        |      FROM m WHERE rn = 1)
+        |SELECT e.component, e.name, e.series, e.last_value
+        |FROM g e WHERE e.name = 'error_total' AND e.last_value > 50
+        |UNION ALL
+        |SELECT v.component, v.name, v.series, v.last_value
+        |FROM g v
+        |WHERE v.name = 'view_total' AND NOT EXISTS (
+        |  SELECT 1 FROM g e WHERE e.name = 'error_total' AND e.last_value > 50
+        |    AND e.component = v.component AND e.series = v.series)""".stripMargin,
+    // comparison with bool modifier: 0/1 per matched pair, nothing dropped
+    "m31b_bool_cmp" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series, value,
+        |         row_number() OVER (PARTITION BY event_type, user_id
+        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+        |                    CAST(event_id AS VARCHAR) DESC) AS rn
+        |  FROM events),
+        |g AS (SELECT component, name, series, value AS last_value
+        |      FROM m WHERE rn = 1)
+        |SELECT e.component, e.name, e.series,
+        |       CASE WHEN e.last_value > v.last_value THEN 1.0 ELSE 0.0 END AS gt
+        |FROM g e JOIN g v
+        |  ON e.component = v.component AND e.series = v.series
+        |WHERE e.name = 'error_total' AND v.name = 'view_total'""".stripMargin,
     // decimal sums make avg/stdvar derive from order-independent
     // numerators; variance via the algebraic form over those exact sums
     "m24_over_time" ->

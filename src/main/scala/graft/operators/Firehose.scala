@@ -904,6 +904,52 @@ object Firehose {
     seriesKey(sel)
   }
 
+  /** PromQL set/logical binary ops — `left and right`, `left or right`,
+    * `left unless right` — the other binary-op family next to the
+    * arithmetic [[vectorMatch]], and the shape alert silencing/inhibition
+    * is composed from (`ALERTS unless silenced`, `pager or fallback`).
+    * Matching identity is the same `on()`/`ignoring()` label-subset key
+    * ([[vectorMatchKey]]) as the arithmetic ops, so the two families
+    * cannot drift.
+    *
+    * Semantics (PromQL): `and` keeps left entries whose match key has at
+    * least one right entry; `unless` keeps left entries whose key has
+    * none; `or` keeps ALL left entries plus right entries whose key is
+    * absent on the left (left priority). Right-side VALUES never flow into
+    * the result, and — unlike the arithmetic ops — set ops carry no
+    * cardinality contract (many-to-many is legal), so no runtime check is
+    * needed or wanted.
+    *
+    * Scale shape: `and`/`unless` are a single LEFT SEMI / LEFT ANTI
+    * equi-join on (component, match key) — Spark never materializes the
+    * right payload, and a registry-sized right side broadcast-joins under
+    * AQE exactly as in [[vectorMatch]]. `or` is the left union'd with the
+    * right's anti-join against the left's key set: one anti-join plus a
+    * union, no shuffle beyond the join's own.
+    */
+  def vectorSetOp(
+      left: DataFrame,
+      right: DataFrame,
+      setOp: String,
+      on: Seq[String] = Nil,
+      ignoring: Seq[String] = Nil,
+      valueCol: String = "value"): DataFrame = {
+    def keyed(df: DataFrame): DataFrame = df.select(
+      col("component"), col("name"), seriesKey(col("labels")).as("series"),
+      vectorMatchKey(col("labels"), on, ignoring).as("_vm_key"),
+      col(valueCol).cast("double").as(valueCol))
+    val l = keyed(left)
+    val r = keyed(right)
+    val joined = setOp match {
+      case "and"    => l.join(r, Seq("component", "_vm_key"), "left_semi")
+      case "unless" => l.join(r, Seq("component", "_vm_key"), "left_anti")
+      case "or"     => l.unionByName(r.join(l, Seq("component", "_vm_key"), "left_anti"))
+      case other => throw new IllegalArgumentException(
+        s"vector set op must be and/or/unless, got '$other'")
+    }
+    joined.select(col("component"), col("name"), col("series"), col(valueCol))
+  }
+
   /** Fused same-source vector match — the degenerate (and common) case of
     * [[vectorMatch]] where both operands are name-selections of ONE
     * relation: `sum by (matchCols) (left)  op  sum by (matchCols) (right)`.

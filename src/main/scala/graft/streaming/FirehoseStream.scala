@@ -1363,6 +1363,73 @@ object FirehoseStream {
         col("series"), col(out))
   }
 
+  /** Streaming PromQL set/logical binary ops — the m31 sibling: per
+    * tumbling window, the left side's windowed gauges filtered (`and` /
+    * `unless`) or completed (`or`) by the RIGHT side's match-key set.
+    * Same chained-stateful shape as [[vectorMatch]]: windowed
+    * aggregations in Append mode feeding a stream-stream join carrying
+    * the window equality, so state on both sides closes with the
+    * watermark.
+    *
+    * Join forms per op — stream-stream left ANTI joins are unsupported,
+    * so the anti shapes ride a left OUTER join + null filter over the
+    * right's key-set aggregation (one row per (window, component, key),
+    * so the outer join cannot fan out and the null marker is exact):
+    * `and` = left semi; `unless` = left outer + keep-unmatched; `or` =
+    * left ∪ (right latest outer-against the LEFT's key set, keep
+    * unmatched). On a closed window results are batch-identical to
+    * [[graft.operators.Firehose.vectorSetOp]] over that window's rows
+    * (spec-pinned). Set ops are many-to-many legal, so unlike
+    * [[vectorMatch]] the key-set collapse loses nothing.
+    */
+  def vectorSetOp(
+      left: DataFrame,
+      right: DataFrame,
+      setOp: String,
+      on: Seq[String] = Nil,
+      ignoring: Seq[String] = Nil,
+      width: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    def gauged(df: DataFrame): DataFrame =
+      Firehose.tagFilter(df)
+        .withColumn("series", Firehose.seriesKey(col("labels")))
+        .withColumn("_vm_key", Firehose.vectorMatchKey(col("labels"), on, ignoring))
+        .withColumn("eventTime", timestamp_seconds(col("timestamp")))
+        .withWatermark("eventTime", watermarkDelay)
+    // one row per (window, component, name, series): the windowed gauge
+    def latest(df: DataFrame): DataFrame = df
+      .groupBy(window(col("eventTime"), width).as("_lw"), col("component"),
+        col("name"), col("series"), col("_vm_key"))
+      .agg(max_by(col("value"),
+        struct(col("timestamp").cast("long").as("ts"), col("id"))).as("value"))
+    // one row per (window, component, match key): the filter side
+    def keySet(df: DataFrame): DataFrame = df
+      .groupBy(window(col("eventTime"), width).as("_rw"),
+        col("component").as("_r_component"), col("_vm_key").as("_r_key"))
+      .agg(count(lit(1)).as("_r_n"))
+    def cond = col("component") === col("_r_component") &&
+      col("_vm_key") === col("_r_key") && col("_lw") === col("_rw")
+    val out = setOp match {
+      case "and" =>
+        latest(gauged(left)).join(keySet(gauged(right)), cond, "left_semi")
+      case "unless" =>
+        latest(gauged(left)).join(keySet(gauged(right)), cond, "left_outer")
+          .filter(col("_r_n").isNull)
+      case "or" =>
+        val l = latest(gauged(left))
+        val survivors = latest(gauged(right))
+          .join(keySet(gauged(left)), cond, "left_outer")
+          .filter(col("_r_n").isNull)
+        l.select(col("_lw"), col("component"), col("name"), col("series"), col("value"))
+          .unionByName(survivors.select(
+            col("_lw"), col("component"), col("name"), col("series"), col("value")))
+      case other => throw new IllegalArgumentException(
+        s"vector set op must be and/or/unless, got '$other'")
+    }
+    out.select(col("_lw.start").as("win_start"), col("component"), col("name"),
+      col("series"), col("value"))
+  }
+
   /** Stream-stream interval join: each left event matched to right events of
     * the same key within `[left.ts - window, left.ts]` — the streaming
     * sibling of the batch as-of join (both sides' state pruned by

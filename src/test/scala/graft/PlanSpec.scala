@@ -397,6 +397,29 @@ class PlanSpec extends SparkSuite {
       s"cardinality checks missing:\n$plan")
   }
 
+  test("m31 set ops broadcast the right side as semi/anti joins, no right payload") {
+    // and/unless must plan as LEFT SEMI / LEFT ANTI broadcast joins — the
+    // right side ships only its key column to the build side, never the
+    // value payload, and no cardinality window (set ops are many-to-many
+    // legal) means no raise_error and no extra exchange
+    for (name <- Seq("m31_and", "m31_unless")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val semi = if (name == "m31_and") "LeftSemi" else "LeftAnti"
+      assert(plan.contains("BroadcastHashJoin") && plan.contains(semi),
+        s"$name not a broadcast $semi join:\n$plan")
+      assert(!plan.contains("raise_error"),
+        s"$name must not carry a cardinality check:\n$plan")
+    }
+    // or = union + one anti-join; still broadcast, still no raise_error
+    val or = SparkEntry.queries("m31_or")(spark, sfDir)
+    or.collect()
+    val orPlan = or.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(orPlan.contains("Union") && orPlan.contains("LeftAnti"),
+      s"or not union+anti:\n$orPlan")
+  }
+
   test("whole-stage codegen covers the IVF-PQ encode projection") {
     // the PQ model matrices ride into the generated code as reference
     // objects — the encode (cell assignment + residual argmin + bit-pack)

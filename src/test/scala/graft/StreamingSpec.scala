@@ -90,6 +90,60 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming set ops equal batch set ops on the closed window") {
+    val dir = Files.createTempDirectory("graft-vso").toFile
+    // window [0, 3600): errors for u1/u2, silences for u2/u3 — and → u2,
+    // unless → u1, or → u1+u2 errors plus u3's silence (left priority)
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("e1", "error_total", 100, "u1", 4.0),
+        metricJson("e2", "error_total", 900, "u2", 6.0),
+        metricJson("s1", "silence_total", 800, "u2", 1.0),
+        metricJson("s2", "silence_total", 200, "u3", 1.0)).mkString("\n").getBytes)
+    // watermark-advancer past the window close
+    Files.write(dir.toPath.resolve("b2.json"),
+      Seq(
+        metricJson("e9", "error_total", 8000, "u1", 1.0),
+        metricJson("s9", "silence_total", 8000, "u1", 1.0)).mkString("\n").getBytes)
+    val lines = graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath)
+      .filter(col("timestamp") < 3600)
+    for (op <- Seq("and", "unless", "or")) {
+      val chk = Files.createTempDirectory(s"graft-vsochk-$op").toFile
+      val src = FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)
+      val q = FirehoseStream.vectorSetOp(
+          src.filter(col("name") === "error_total"),
+          src.filter(col("name") === "silence_total"), op)
+        .writeStream.format("memory").queryName(s"vso_$op").outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table(s"vso_$op")
+          .filter(col("win_start") === timestamp_seconds(lit(0)))
+          .collect()
+          .map(r => (r.getAs[String]("name"), r.getAs[String]("series"),
+            r.getAs[Double]("value"))).toSet
+        val batch = graft.operators.Firehose.vectorSetOp(
+            graft.operators.Firehose.gaugeLatestLabeled(
+              lines.filter(col("name") === "error_total")),
+            graft.operators.Firehose.gaugeLatestLabeled(
+              lines.filter(col("name") === "silence_total")),
+            op, valueCol = "last_value")
+          .collect()
+          .map(r => (r.getAs[String]("name"), r.getAs[String]("series"),
+            r.getAs[Double]("last_value"))).toSet
+        assert(streamed === batch, s"op=$op")
+        val expected = op match {
+          case "and"    => Set(("error_total", "user=u2", 6.0))
+          case "unless" => Set(("error_total", "user=u1", 4.0))
+          case "or"     => Set(("error_total", "user=u1", 4.0),
+            ("error_total", "user=u2", 6.0), ("silence_total", "user=u3", 1.0))
+        }
+        assert(streamed === expected, s"op=$op")
+      } finally q.stop()
+    }
+  }
+
   test("streaming subquery emits closed outer windows once, batch-identical") {
     val dir = Files.createTempDirectory("graft-subq").toFile
     val chk = Files.createTempDirectory("graft-subqchk").toFile

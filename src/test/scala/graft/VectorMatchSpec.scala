@@ -98,6 +98,53 @@ class VectorMatchSpec extends SparkSuite {
       Option(ex2.getCause).exists(_.getMessage.contains("vector match")))
   }
 
+  test("set ops: and keeps matched, unless keeps unmatched, or has left priority") {
+    val errs = vec(Seq(
+      ("err", Seq("user" -> "1"), 4.0),
+      ("err", Seq("user" -> "2"), 6.0)))
+    val silenced = vec(Seq(
+      ("silence", Seq("user" -> "2"), 1.0),
+      ("silence", Seq("user" -> "3"), 1.0)))
+    def series(df: org.apache.spark.sql.DataFrame) =
+      df.select("name", "series", "value").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(series(Firehose.vectorSetOp(errs, silenced, "and")) ===
+      Set(("err", "user=2", 6.0)))
+    assert(series(Firehose.vectorSetOp(errs, silenced, "unless")) ===
+      Set(("err", "user=1", 4.0)))
+    // or: both left entries win; right contributes only its unmatched key
+    assert(series(Firehose.vectorSetOp(errs, silenced, "or")) ===
+      Set(("err", "user=1", 4.0), ("err", "user=2", 6.0),
+        ("silence", "user=3", 1.0)))
+    // set ops allow many-to-many (no cardinality error): duplicate right
+    // keys must not duplicate left rows under and
+    val dup = vec(Seq(
+      ("silence", Seq("user" -> "2"), 1.0),
+      ("silence", Seq("user" -> "2"), 2.0)))
+    assert(Firehose.vectorSetOp(errs, dup, "and").count() === 1)
+    // on(): match key restricted to the named labels
+    val r2 = vec(Seq(("silence", Seq("user" -> "1", "dc" -> "west"), 1.0)))
+    assert(series(Firehose.vectorSetOp(errs, r2, "and", on = Seq("user"))) ===
+      Set(("err", "user=1", 4.0)))
+    intercept[IllegalArgumentException] {
+      Firehose.vectorSetOp(errs, silenced, "xor")
+    }
+  }
+
+  test("comparison with bool modifier yields 0/1 and drops nothing") {
+    val l = vec(Seq(
+      ("err", Seq("user" -> "1"), 9.0),
+      ("err", Seq("user" -> "2"), 1.0)))
+    val r = vec(Seq(
+      ("view", Seq("user" -> "1"), 5.0),
+      ("view", Seq("user" -> "2"), 5.0)))
+    val out = Firehose.vectorMatch(
+        l, r, (e, v) => (e > v).cast("double"), out = "gt")
+      .select("series", "gt").collect()
+      .map(row => row.getString(0) -> row.getDouble(1)).toMap
+    assert(out === Map("user=1" -> 1.0, "user=2" -> 0.0))
+  }
+
   test("fused same-source form equals the generic join form") {
     import spark.implicits._
     // windowed increases for two counters over shared (series, window) keys
