@@ -474,7 +474,6 @@ object Curate {
     closed.unionByName(applied)
   }
 
-  /** @param minQuality quality-score gate (see TextAnalysis.qualityScore) */
   /** The p1 admission GATE as a transform: quality-score every document,
     * keep those at or above `minQuality`, then exact-dedup survivors (one
     * representative per identical text, min doc_id) — the same one-scan /
@@ -542,6 +541,7 @@ object Curate {
     packSequences(pickedChunks)
   }
 
+  /** @param minQuality quality-score gate (see TextAnalysis.qualityScore) */
   def corpusStats(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
     // ONE corpus pass: quality columns are computed alongside the retained
     // metadata (qualityScore keeps source/text through its projection — no

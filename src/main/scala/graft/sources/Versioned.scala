@@ -26,11 +26,13 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *     crashed writer leaves invisible pool orphans, never a
   *     readable-but-partial version (parquet's `_SUCCESS` discipline lifted
   *     to table level — readers resolve versions AND file lists from
-  *     markers only, spec-asserted). Because staging and pool names never
-  *     repeat-or-collide, the marker's `CREATE_NEW` is the SOLE contention
-  *     point; a committer that loses that race gets a descriptive
-  *     concurrent-commit conflict (first writer wins), and its already-
-  *     pooled files stay invisible until a manifest references them;
+  *     markers only, spec-asserted). Staging names never repeat; pool
+  *     names collide only for byte-identical content, and a lost pool-move
+  *     race is handled as the dedupe case it is — so the marker's
+  *     `CREATE_NEW` is the sole contention point that can FAIL a commit; a
+  *     committer that loses that race gets a descriptive concurrent-commit
+  *     conflict (first writer wins), and its already-pooled files stay
+  *     invisible until a manifest references them;
   *   - `asOf(v)` is time travel, `latest` resolves the highest marker,
   *     versions are monotonic;
   *   - [[vacuum]] is a manifest-scoped mark-sweep: a file is deleted only
@@ -144,7 +146,14 @@ object Versioned {
         val digest = sha256Hex(f)
         val pooled = new File(poolDir(root), s"f-$digest-${f.length}.parquet")
         if (pooled.exists()) Files.delete(f.toPath) // shared: content already stored
-        else Files.move(f.toPath, pooled.toPath)
+        else
+          try Files.move(f.toPath, pooled.toPath)
+          catch {
+            // two committers pooling byte-identical content can both see
+            // !exists(); the move loser is just the dedupe case — the
+            // winner's pooled bytes ARE this file's bytes
+            case _: java.nio.file.FileAlreadyExistsException => Files.delete(f.toPath)
+          }
         Entry(s"_files/${pooled.getName}", digest,
           statsByFile.getOrElse(f.getName, Map.empty))
       }
@@ -156,13 +165,32 @@ object Versioned {
   }
 
   /** Publish `entries` as version `next`'s marker. `CREATE_NEW` is the one
-    * atomic contention point: a committer that loses the race gets a
-    * descriptive concurrent-commit conflict (first writer wins). The
-    * loser's pooled files are left in place — they are invisible (no
-    * manifest references them) and may already be SHARED by the winner via
-    * content-address dedupe, so deleting them here would be wrong.
+    * atomic contention point among COMMITTERS: a committer that loses the
+    * race gets a descriptive concurrent-commit conflict (first writer
+    * wins). The loser's pooled files are left in place — they are
+    * invisible (no manifest references them) and may already be SHARED by
+    * the winner via content-address dedupe, so deleting them here would be
+    * wrong.
+    *
+    * A concurrent [[vacuum]] is the other writer class: content-address
+    * dedupe means a commit may be about to publish a reference to a pooled
+    * file it did NOT just move there (it shared an existing one), and an
+    * overlapping vacuum dropping the last OLD version listing that file
+    * could delete it mid-commit. Every entry's existence is therefore
+    * re-verified immediately before the marker lands: a miss fails the
+    * commit loudly (retry re-stages the data) instead of publishing a
+    * manifest pointing at deleted bytes. The check-then-write window that
+    * remains is closed in production by [[vacuum]]'s retention-age gate
+    * (`minAgeMs` — files younger than the horizon are never swept), which
+    * is how the real formats resolve the same race.
     */
   private[graft] def writeMarker(root: String, next: Long, entries: Seq[Entry]): Unit = {
+    val missing = entries.filterNot(e => new File(root, e.path).exists())
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"commit on $root version $next references files removed mid-commit " +
+          s"(concurrent vacuum?): ${missing.map(_.path).mkString(", ")}; " +
+          "retry the commit to re-stage the data")
     commitsDir(root).mkdirs()
     val files = Json.createArrayNode()
     entries.foreach { e =>
@@ -266,7 +294,13 @@ object Versioned {
     require(preds.nonEmpty, "need at least one (col, lo, hi) predicate")
     val keep = manifest(root, v).filter { e =>
       preds.forall { case (c, lo, hi) =>
-        e.stats.get(c).forall { case (mn, mx) => mn <= hi && mx >= lo }
+        e.stats.get(c).forall { case (mn, mx) =>
+          // non-finite bounds (a NaN in the column makes Spark's max NaN)
+          // prove nothing — such a file may still hold in-range finite
+          // rows, so it is UN-prunable, not skippable
+          !(java.lang.Double.isFinite(mn) && java.lang.Double.isFinite(mx)) ||
+            (mn <= hi && mx >= lo)
+        }
       }
     }
     val rowFilter = preds.map { case (c, lo, hi) =>
@@ -366,10 +400,16 @@ object Versioned {
     * pointing at deleted data. Pool files referenced by NO manifest at all
     * (crashed or conflicted writers) are deliberately untouched: they may
     * belong to a concurrent commit mid-flight, and the real formats gate
-    * that sweep on a retention age this layer doesn't need. Returns the
-    * dropped versions.
+    * that sweep on a retention age. `minAgeMs` is that gate here: a file
+    * younger than the horizon is never deleted even when unreferenced by
+    * kept versions — it may be shared by a commit that is mid-flight
+    * between pooling and marker publication (content-address dedupe makes
+    * such sharing invisible to the committer). The default 0 keeps
+    * single-writer behavior exact; production pairs a real horizon (the
+    * formats default to days) with [[writeMarker]]'s existence re-check.
+    * Returns the dropped versions.
     */
-  def vacuum(root: String, keepLast: Int = 2): Seq[Long] = {
+  def vacuum(root: String, keepLast: Int = 2, minAgeMs: Long = 0L): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the latest version")
     val all = history(root)
     val dropped = all.dropRight(keepLast)
@@ -377,14 +417,44 @@ object Versioned {
     // resolve file lists BEFORE dropping markers
     val keptRefs = all.takeRight(keepLast).flatMap(v => manifest(root, v).map(_.path)).toSet
     dropped.foreach(v => Files.deleteIfExists(markerFile(root, v).toPath))
+    val horizon = System.currentTimeMillis() - minAgeMs
     (dropRefs -- keptRefs).toSeq.sorted.foreach { p =>
       val f = new File(root, p)
-      Files.deleteIfExists(f.toPath)
-      // a legacy data directory empties out once its last file goes
-      val parent = f.getParentFile
-      if (parent.getName != "_files" &&
-        Option(parent.listFiles()).exists(_.isEmpty)) Files.deleteIfExists(parent.toPath)
+      if (minAgeMs <= 0L || !f.exists() || f.lastModified() < horizon) {
+        Files.deleteIfExists(f.toPath)
+        // a legacy data directory holds only this version's data: once its
+        // parquet is swept, clear the residual _SUCCESS/.crc markers too so
+        // the directory itself can go (the pool directory is never touched)
+        val parent = f.getParentFile
+        if (parent.getName != "_files") {
+          val left = Option(parent.listFiles()).getOrElse(Array.empty)
+          if (!left.exists(_.getName.endsWith(".parquet"))) {
+            left.foreach(r => Files.deleteIfExists(r.toPath))
+            Files.deleteIfExists(parent.toPath)
+          }
+        }
+      }
     }
     dropped
+  }
+
+  /** Orphan-file sweep — the other half of retention next to [[vacuum]]:
+    * delete pool files referenced by NO live manifest that are older than
+    * `minAgeMs` (crashed writers, conflicted committers, and files a
+    * retention-gated vacuum skipped). The age gate is what makes this safe
+    * to run concurrently with committers: a file younger than the horizon
+    * may belong to a commit mid-flight between pooling and marker
+    * publication, so it is never touched. Returns the deleted paths.
+    */
+  def vacuumOrphans(root: String, minAgeMs: Long): Seq[String] = {
+    val referenced = history(root)
+      .flatMap(v => manifest(root, v).map(_.path)).toSet
+    val horizon = System.currentTimeMillis() - minAgeMs
+    Option(poolDir(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => !referenced.contains(s"_files/${f.getName}") &&
+        f.lastModified() <= horizon)
+      .sortBy(_.getName)
+      .map { f => Files.delete(f.toPath); s"_files/${f.getName}" }
+      .toSeq
   }
 }

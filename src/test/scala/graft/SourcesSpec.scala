@@ -297,6 +297,58 @@ class SourcesSpec extends SparkSuite {
     assert(v1p.inputFiles.length <= 3) // pruned z-files + the statless append file
   }
 
+  test("versioned table: race guards — marker existence re-check, age-gated sweep, legacy residue") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-race").toFile.getAbsolutePath
+    // 1. a manifest referencing a missing file (vacuum won mid-commit)
+    //    must fail the commit loudly, never publish
+    Versioned.commit(Seq((1L, "a")).toDF("k", "name").coalesce(1), root)
+    val ghost = Versioned.manifest(root, 0L).head.copy(path = "_files/f-dead-1.parquet")
+    val ex = intercept[IllegalStateException](
+      Versioned.writeMarker(root, 1L, Seq(ghost)))
+    assert(ex.getMessage.contains("concurrent vacuum"))
+    assert(Versioned.latestVersion(root) === 0L)
+    // 2. an age-gated vacuum drops the version but leaves too-young files
+    //    for the orphan sweep, which also honors the horizon
+    Versioned.commit(Seq((2L, "b")).toDF("k", "name").coalesce(1), root)
+    val f0 = Versioned.manifest(root, 0L).map(e => new java.io.File(root, e.path))
+    assert(Versioned.vacuum(root, keepLast = 1, minAgeMs = 3600000L) === Seq(0L))
+    assert(f0.forall(_.exists()), "files younger than the horizon must survive")
+    assert(Versioned.vacuumOrphans(root, minAgeMs = 3600000L) === Nil)
+    val swept = Versioned.vacuumOrphans(root, minAgeMs = 0L)
+    assert(swept.nonEmpty && f0.forall(!_.exists()))
+    assert(Versioned.latest(spark, root).as[(Long, String)].collect().toSet ===
+      Set((2L, "b")))
+    // 3. a legacy whole-directory version vacuums away completely —
+    //    residual _SUCCESS/.crc markers must not strand the directory
+    val root2 = Files.createTempDirectory("graft-legacy").toFile.getAbsolutePath
+    Seq((1L, "x")).toDF("k", "name").coalesce(1).write.parquet(s"$root2/d-legacy")
+    assert(new java.io.File(s"$root2/d-legacy/_SUCCESS").exists())
+    new java.io.File(s"$root2/_commits").mkdirs()
+    Files.write(java.nio.file.Paths.get(s"$root2/_commits/v0.json"),
+      """{"version":0,"data":"d-legacy"}""".getBytes)
+    assert(Versioned.asOf(spark, root2, 0L).count() === 1L)
+    Versioned.commit(Seq((2L, "y")).toDF("k", "name").coalesce(1), root2)
+    assert(Versioned.vacuum(root2, keepLast = 1) === Seq(0L))
+    assert(!new java.io.File(s"$root2/d-legacy").exists(),
+      "legacy data directory must be fully removed, residue included")
+  }
+
+  test("versioned table: non-finite stats never prune a file") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-nan").toFile.getAbsolutePath
+    // one file whose clustered column holds a NaN: Spark's max treats NaN
+    // as largest, so the file's max stat is NaN — which proves nothing
+    val v0 = Versioned.commitZordered(
+      Seq((1.0, "a"), (Double.NaN, "b"), (60.0, "c")).toDF("v", "name"),
+      root, cols = Seq("v"), numFiles = 1)
+    val pruned = Versioned.prunedRead(spark, root, v0, Seq(("v", 0.0, 5.0)))
+    assert(pruned.as[(Double, String)].collect().toSet === Set((1.0, "a")),
+      "a NaN-stats file may hold in-range finite rows and must be scanned")
+  }
+
   test("streaming curation lands append-only manifest commits per micro-batch") {
     import graft.operators.Curate
     import graft.sources.Versioned
