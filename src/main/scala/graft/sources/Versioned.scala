@@ -35,6 +35,13 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *     invisible until a manifest references them;
   *   - `asOf(v)` is time travel, `latest` resolves the highest marker,
   *     versions are monotonic;
+  *   - row-level deletes are O(delta) TOMBSTONE commits ([[deleteCommit]]
+  *     — the deletion-vector shape: per-file key sets in the manifest,
+  *     applied as a read-side anti-join on exactly the tombstoned files;
+  *     [[compact]] materializes them away);
+  *   - every commit records its SCHEMA in the marker; appends may add
+  *     columns (union by name, older files read the new column as null)
+  *     but never change a column's type;
   *   - [[vacuum]] is a manifest-scoped mark-sweep: a file is deleted only
   *     when every version referencing it is dropped, so shared files
   *     survive retention exactly as long as a live version lists them.
@@ -51,14 +58,20 @@ object Versioned {
   private val Json = new ObjectMapper()
 
   /** One manifest entry: `path` relative to the table root, content digest,
-    * and optional per-column (min, max) file stats — the data-skipping
-    * index the real table formats keep in their logs ([[commitZordered]]
-    * writes them, [[prunedRead]] prunes on them; empty for plain commits).
+    * optional per-column file stats — the data-skipping index the real
+    * table formats keep in their logs ([[commitZordered]] writes them,
+    * [[prunedRead]] prunes on them; empty for plain commits) — and an
+    * optional tombstone key set ([[deleteCommit]] writes them, readers
+    * anti-join ONLY files that carry one). `stats` holds numeric bounds
+    * (dates/timestamps as epoch numbers); `strStats` holds lexical string
+    * bounds, kept separate so each is typed exactly.
     */
   final case class Entry(
       path: String,
       sha256: String,
-      stats: Map[String, (Double, Double)] = Map.empty)
+      stats: Map[String, (Double, Double)] = Map.empty,
+      strStats: Map[String, (String, String)] = Map.empty,
+      deletes: Seq[String] = Nil)
 
   private def commitsDir(root: String) = new File(root, "_commits")
   private def poolDir(root: String) = new File(root, "_files")
@@ -104,7 +117,27 @@ object Versioned {
             }
             b.result()
           }
-        out += Entry(e.get("path").asText(), e.get("sha256").asText(), stats)
+        val strStats =
+          if (!e.has("strstats")) Map.empty[String, (String, String)]
+          else {
+            val b = Map.newBuilder[String, (String, String)]
+            val fields = e.get("strstats").fields()
+            while (fields.hasNext) {
+              val f = fields.next()
+              b += f.getKey -> ((f.getValue.get(0).asText(), f.getValue.get(1).asText()))
+            }
+            b.result()
+          }
+        val deletes =
+          if (!e.has("deletes")) Nil
+          else {
+            val b = Seq.newBuilder[String]
+            val ds = e.get("deletes").elements()
+            while (ds.hasNext) b += ds.next().asText()
+            b.result()
+          }
+        out += Entry(e.get("path").asText(), e.get("sha256").asText(),
+          stats, strStats, deletes)
       }
       out.result()
     } else {
@@ -137,7 +170,8 @@ object Versioned {
   private def poolStaged(
       root: String,
       staging: String,
-      statsByFile: Map[String, Map[String, (Double, Double)]] = Map.empty): Seq[Entry] = {
+      statsByFile: Map[String, Map[String, (Double, Double)]] = Map.empty,
+      strStatsByFile: Map[String, Map[String, (String, String)]] = Map.empty): Seq[Entry] = {
     val dir = new File(root, staging)
     poolDir(root).mkdirs()
     val entries = Option(dir.listFiles()).getOrElse(Array.empty)
@@ -155,7 +189,8 @@ object Versioned {
             case _: java.nio.file.FileAlreadyExistsException => Files.delete(f.toPath)
           }
         Entry(s"_files/${pooled.getName}", digest,
-          statsByFile.getOrElse(f.getName, Map.empty))
+          statsByFile.getOrElse(f.getName, Map.empty),
+          strStatsByFile.getOrElse(f.getName, Map.empty))
       }
       .toSeq
     // residual _SUCCESS / .crc markers, then the (now-empty) staging dir
@@ -184,7 +219,12 @@ object Versioned {
     * (`minAgeMs` — files younger than the horizon are never swept), which
     * is how the real formats resolve the same race.
     */
-  private[graft] def writeMarker(root: String, next: Long, entries: Seq[Entry]): Unit = {
+  private[graft] def writeMarker(
+      root: String,
+      next: Long,
+      entries: Seq[Entry],
+      schemaJson: Option[String] = None,
+      deleteKey: Option[String] = None): Unit = {
     val missing = entries.filterNot(e => new File(root, e.path).exists())
     if (missing.nonEmpty)
       throw new IllegalStateException(
@@ -204,10 +244,25 @@ object Versioned {
         }
         o.set[com.fasterxml.jackson.databind.JsonNode]("stats", s)
       }
+      if (e.strStats.nonEmpty) {
+        val s = Json.createObjectNode()
+        e.strStats.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+          val arr = Json.createArrayNode(); arr.add(mn); arr.add(mx)
+          s.set[com.fasterxml.jackson.databind.JsonNode](c, arr)
+        }
+        o.set[com.fasterxml.jackson.databind.JsonNode]("strstats", s)
+      }
+      if (e.deletes.nonEmpty) {
+        val d = Json.createArrayNode()
+        e.deletes.foreach(d.add)
+        o.set[com.fasterxml.jackson.databind.JsonNode]("deletes", d)
+      }
       files.add(o)
     }
     val marker = Json.createObjectNode()
     marker.put("version", next)
+    schemaJson.foreach(marker.put("schema", _))
+    deleteKey.foreach(marker.put("deleteKey", _))
     marker.set[com.fasterxml.jackson.databind.JsonNode]("files", files)
     try
       Files.write(
@@ -223,6 +278,27 @@ object Versioned {
     }
   }
 
+  /** The schema version `v` committed with, when its marker recorded one
+    * (every commit since schema tracking does; legacy markers yield None
+    * and read with parquet's own inference, exactly as before).
+    */
+  def markerSchema(root: String, v: Long): Option[org.apache.spark.sql.types.StructType] = {
+    require(markerFile(root, v).exists(), s"version $v is not committed in $root")
+    val node = Json.readTree(markerFile(root, v))
+    if (!node.has("schema")) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(node.get("schema").asText())
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** The tombstone key column of version `v`, present iff some ancestor
+    * commit was a [[deleteCommit]] whose tombstones are still unmaterialized.
+    */
+  def deleteKeyOf(root: String, v: Long): Option[String] = {
+    require(markerFile(root, v).exists(), s"version $v is not committed in $root")
+    val node = Json.readTree(markerFile(root, v))
+    if (node.has("deleteKey")) Some(node.get("deleteKey").asText()) else None
+  }
+
   /** Write `df` as the next FULL-SNAPSHOT version. Byte-identical files
     * dedupe against the pool, but a snapshot commit's cost is O(table) —
     * use [[appendCommit]] for the O(delta) ingest path. Returns the
@@ -233,7 +309,7 @@ object Versioned {
     df.write.mode("errorifexists").parquet(s"$root/$staging")
     val entries = poolStaged(root, staging)
     val next = latestVersion(root) + 1
-    writeMarker(root, next, entries)
+    writeMarker(root, next, entries, schemaJson = Some(df.schema.json))
     next
   }
 
@@ -252,27 +328,51 @@ object Versioned {
       root: String,
       cols: Seq[String],
       numFiles: Int,
-      bits: Int = 16): Long = {
+      bits: Int = 16,
+      statsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     val spark = df.sparkSession
     val staging = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
     graft.operators.Layout.zorderBy(df, cols, numFiles, bits)
       .write.mode("errorifexists").parquet(s"$root/$staging")
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c)).cast("double").as(s"${c}__min"),
-      max(col(c)).cast("double").as(s"${c}__max")))
-    val statsByFile = spark.read.parquet(s"$root/$staging")
+    // stat columns beyond the (numeric) clustering dims are typed by the
+    // schema: numerics and date/timestamps (as epoch numbers) land in the
+    // numeric stats, strings in the lexical string stats — so a predicate
+    // on ANY stat column can skip files, not just the z-ordered ones
+    val (strCols, numCols) = (cols ++ statsCols.filterNot(cols.contains)).partition(c =>
+      df.schema(c).dataType == StringType)
+    def asNum(c: String): org.apache.spark.sql.Column = df.schema(c).dataType match {
+      case DateType | TimestampType => col(c).cast(TimestampType).cast("long").cast("double")
+      case _ => col(c).cast("double")
+    }
+    val aggs = numCols.flatMap(c => Seq(
+      min(asNum(c)).as(s"${c}__min"), max(asNum(c)).as(s"${c}__max"))) ++
+      strCols.flatMap(c => Seq(
+        min(col(c)).as(s"${c}__smin"), max(col(c)).as(s"${c}__smax")))
+    val perFile = spark.read.parquet(s"$root/$staging")
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // one row per FILE
-      .map { r =>
-        val name = r.getString(0).split('/').last
-        name -> cols.map(c =>
-          c -> ((r.getAs[Double](s"${c}__min"), r.getAs[Double](s"${c}__max")))).toMap
+    // an all-null column in a file yields null bounds — no stats for that
+    // column (the file stays un-prunable on it), never a fake (0, 0) range
+    val statsByFile = perFile.map { r =>
+      val name = r.getString(0).split('/').last
+      name -> numCols.flatMap { c =>
+        if (r.isNullAt(r.fieldIndex(s"${c}__min"))) None
+        else Some(c -> ((r.getAs[Double](s"${c}__min"), r.getAs[Double](s"${c}__max"))))
       }.toMap
-    val entries = poolStaged(root, staging, statsByFile)
+    }.toMap
+    val strStatsByFile = perFile.map { r =>
+      val name = r.getString(0).split('/').last
+      name -> strCols.flatMap { c =>
+        if (r.isNullAt(r.fieldIndex(s"${c}__smin"))) None
+        else Some(c -> ((r.getAs[String](s"${c}__smin"), r.getAs[String](s"${c}__smax"))))
+      }.toMap
+    }.toMap
+    val entries = poolStaged(root, staging, statsByFile, strStatsByFile)
     val next = latestVersion(root) + 1
-    writeMarker(root, next, entries)
+    writeMarker(root, next, entries, schemaJson = Some(df.schema.json))
     next
   }
 
@@ -289,9 +389,11 @@ object Versioned {
       spark: SparkSession,
       root: String,
       v: Long,
-      preds: Seq[(String, Double, Double)]): DataFrame = {
+      preds: Seq[(String, Double, Double)],
+      strPreds: Seq[(String, String, String)] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
-    require(preds.nonEmpty, "need at least one (col, lo, hi) predicate")
+    require(preds.nonEmpty || strPreds.nonEmpty,
+      "need at least one (col, lo, hi) predicate")
     val keep = manifest(root, v).filter { e =>
       preds.forall { case (c, lo, hi) =>
         e.stats.get(c).forall { case (mn, mx) =>
@@ -301,13 +403,62 @@ object Versioned {
           !(java.lang.Double.isFinite(mn) && java.lang.Double.isFinite(mx)) ||
             (mn <= hi && mx >= lo)
         }
+      } && strPreds.forall { case (c, lo, hi) =>
+        // lexical bounds; binary-comparable for the ASCII identifiers the
+        // stats are meant for (Spark's UTF8 ordering and Java's agree there)
+        e.strStats.get(c).forall { case (mn, mx) => mn <= hi && mx >= lo }
       }
     }
-    val rowFilter = preds.map { case (c, lo, hi) =>
-      col(c) >= lit(lo) && col(c) <= lit(hi)
-    }.reduce(_ && _)
+    // numeric predicates on date/timestamp columns are epoch ranges (the
+    // unit the stats are stored in) — the row filter compares in epoch
+    // space too, so stats check and residual filter agree exactly
+    val schema = markerSchema(root, v)
+    def numExpr(c: String): org.apache.spark.sql.Column =
+      schema.flatMap(_.fields.find(_.name == c)).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.DateType) |
+            Some(org.apache.spark.sql.types.TimestampType) =>
+          col(c).cast(org.apache.spark.sql.types.TimestampType).cast("long").cast("double")
+        case _ => col(c)
+      }
+    val rowFilter = (
+      preds.map { case (c, lo, hi) => numExpr(c) >= lit(lo) && numExpr(c) <= lit(hi) } ++
+        strPreds.map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) })
+      .reduce(_ && _)
     if (keep.isEmpty) asOf(spark, root, v).filter(lit(false))
-    else spark.read.parquet(keep.map(e => s"$root/${e.path}"): _*).filter(rowFilter)
+    else readEntries(spark, root, v, keep).filter(rowFilter)
+  }
+
+  /** Read a subset of version `v`'s entries with the version's schema
+    * (missing columns as null — add-column evolution) and its tombstones
+    * applied. Only entries CARRYING tombstones pay the anti-join; clean
+    * files stream straight through. The tombstone side is a driver-held
+    * key list (delete commits are O(delta) by contract) broadcast against
+    * the tombstoned files only.
+    */
+  private def readEntries(
+      spark: SparkSession,
+      root: String,
+      v: Long,
+      entries: Seq[Entry]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = markerSchema(root, v)
+    def read(paths: Seq[String]): DataFrame =
+      schema.map(spark.read.schema).getOrElse(spark.read)
+        .parquet(paths.map(p => s"$root/$p"): _*)
+    val (tomb, clean) = entries.partition(_.deletes.nonEmpty)
+    val parts = Seq(
+      if (clean.isEmpty) None else Some(read(clean.map(_.path))),
+      if (tomb.isEmpty) None
+      else {
+        val keyCol = deleteKeyOf(root, v).getOrElse(throw new IllegalStateException(
+          s"version $v of $root has tombstones but no deleteKey"))
+        import spark.implicits._
+        val keys = tomb.flatMap(_.deletes).distinct.toDF("_del_key")
+        Some(read(tomb.map(_.path))
+          .join(broadcast(keys),
+            col(keyCol).cast("string") === col("_del_key"), "left_anti"))
+      }).flatten
+    parts.reduce(_ unionByName _)
   }
 
   /** Append-only ingest commit — the streaming-landing shape: the next
@@ -317,22 +468,114 @@ object Versioned {
     * of table size. Returns the committed version.
     */
   def appendCommit(df: DataFrame, root: String): Long = {
+    import org.apache.spark.sql.types.StructType
     val staging = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.mode("errorifexists").parquet(s"$root/$staging")
     val delta = poolStaged(root, staging)
     val prevV = latestVersion(root)
     val prev = if (prevV < 0) Nil else manifest(root, prevV)
-    writeMarker(root, prevV + 1, prev ++ delta)
+    // add-column schema evolution: the next version's schema is the union
+    // by name — previous fields keep their order, genuinely new fields
+    // append; a same-name field must keep its type (no type evolution)
+    val merged = (if (prevV < 0) None else markerSchema(root, prevV)) match {
+      case None => df.schema
+      case Some(old) =>
+        df.schema.fields.foreach { f =>
+          old.fields.find(_.name == f.name).foreach { o =>
+            require(o.dataType == f.dataType,
+              s"appendCommit cannot change column '${f.name}' from " +
+                s"${o.dataType.simpleString} to ${f.dataType.simpleString}")
+          }
+        }
+        StructType(old.fields ++
+          df.schema.fields.filterNot(f => old.fieldNames.contains(f.name))
+            // older files lack the new column entirely — it MUST read null
+            .map(_.copy(nullable = true)))
+    }
+    writeMarker(root, prevV + 1, prev ++ delta,
+      schemaJson = Some(merged.json),
+      deleteKey = if (prevV < 0) None else deleteKeyOf(root, prevV))
     prevV + 1
   }
 
-  /** Time travel: the table exactly as committed at version `v`. */
+  /** Row-level DELETE as an O(delta) commit — the deletion-vector shape
+    * (Delta's DVs, Iceberg's delete files): no data file is rewritten;
+    * the next version's manifest carries, per affected file, the set of
+    * `keyCol` values deleted from it, and readers anti-join exactly those
+    * files against exactly those keys. The one table scan here LOCATES
+    * the affected files (so unaffected files never pay the read-side
+    * anti-join) and is itself manifest-stats-prunable; the commit writes
+    * only a marker. [[compact]] reads through the tombstones and commits
+    * a clean snapshot, materializing the deletes away; [[vacuum]] needs
+    * no special handling (tombstoned files are still manifest-listed, so
+    * the mark-sweep keeps them exactly as long as a live version needs
+    * them). Keys are matched on their canonical string rendering — the
+    * same equality DuckDB/Spark agree on for integer and string keys.
+    * Returns the committed version.
+    */
+  def deleteCommit(
+      spark: SparkSession,
+      root: String,
+      keyCol: String,
+      keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "deleteCommit needs at least one key")
+    val v = latestVersion(root)
+    require(v >= 0, s"no committed versions in $root")
+    deleteKeyOf(root, v).foreach(k => require(k == keyCol,
+      s"table carries tombstones on '$k'; a second delete key '$keyCol' " +
+        "requires a compact() first"))
+    val entries = manifest(root, v)
+    // locate which files physically hold the doomed keys: one scan,
+    // driver result bounded by (affected files × delete-set size)
+    import spark.implicits._
+    val keysDf = keys.toDF("_del_key")
+    val hits = readRaw(spark, root, v)
+      .select(input_file_name().as("_f"), col(keyCol).cast("string").as("_k"))
+      .join(broadcast(keysDf), col("_k") === col("_del_key"))
+      .groupBy(col("_f")).agg(collect_set(col("_k")).as("_ks"))
+      .collect()
+      .map(r => suffixOf(r.getString(0)) -> r.getSeq[String](1)).toMap
+    val updated = entries.map { e =>
+      hits.get(suffixOf(e.path)) match {
+        case Some(ks) => e.copy(deletes = (e.deletes ++ ks).distinct.sorted)
+        case None => e
+      }
+    }
+    writeMarker(root, v + 1, updated,
+      schemaJson = markerSchema(root, v).map(_.json),
+      deleteKey = Some(keyCol))
+    v + 1
+  }
+
+  /** The last two path components — a stable join key between manifest
+    * paths and `input_file_name`'s absolute URIs (pool names are digest-
+    * unique; legacy part files disambiguate by their version directory).
+    */
+  private def suffixOf(p: String): String =
+    p.split('/').takeRight(2).mkString("/")
+
+  /** Version `v`'s files WITHOUT tombstone application — the physical
+    * relation [[deleteCommit]] scans to locate keys (applying tombstones
+    * there would hide already-deleted rows from re-deletion, which is
+    * harmless, but reading raw keeps the locate scan cheapest).
+    */
+  private def readRaw(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val entries = manifest(root, v)
+    val schema = markerSchema(root, v)
+    schema.map(spark.read.schema).getOrElse(spark.read)
+      .parquet(entries.map(e => s"$root/${e.path}"): _*)
+  }
+
+  /** Time travel: the table exactly as committed at version `v` — its
+    * recorded schema (missing columns null), minus its tombstoned rows.
+    */
   def asOf(spark: SparkSession, root: String, v: Long): DataFrame = {
-    val paths = manifest(root, v).map(e => s"$root/${e.path}")
-    if (paths.isEmpty)
+    val entries = manifest(root, v)
+    if (entries.isEmpty)
       spark.emptyDataFrame
     else
-      spark.read.parquet(paths: _*)
+      readEntries(spark, root, v, entries)
   }
 
   /** The latest committed snapshot. */

@@ -349,6 +349,104 @@ class SourcesSpec extends SparkSuite {
       "a NaN-stats file may hold in-range finite rows and must be scanned")
   }
 
+  test("versioned table: row-level deletes are O(delta) tombstone commits") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-del").toFile.getAbsolutePath
+    def poolCount = Option(new java.io.File(root, "_files").listFiles())
+      .map(_.length).getOrElse(0)
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "name").coalesce(1), root)
+    val v1 = Versioned.appendCommit(
+      Seq((3L, "c"), (4L, "d")).toDF("k", "name").coalesce(1), root)
+    val before = poolCount
+    // delete k=2: a manifest-only commit — zero data files written
+    val v2 = Versioned.deleteCommit(spark, root, "k", Seq("2"))
+    assert(poolCount === before, "a delete commit must write no data files")
+    def rows(v: Long) =
+      Versioned.asOf(spark, root, v).as[(Long, String)].collect().toSet
+    assert(rows(v1) === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(rows(v2) === Set((1L, "a"), (3L, "c"), (4L, "d")))
+    // exactly ONE file carries the tombstone (the locate scan found it)
+    val m2 = Versioned.manifest(root, v2)
+    assert(m2.count(_.deletes.nonEmpty) === 1 &&
+      m2.find(_.deletes.nonEmpty).get.deletes === Seq("2"))
+    assert(Versioned.deleteKeyOf(root, v2) === Some("k"))
+    // second delete hits the other file; tombstones accumulate
+    val v3 = Versioned.deleteCommit(spark, root, "k", Seq("3"))
+    assert(rows(v3) === Set((1L, "a"), (4L, "d")))
+    assert(Versioned.manifest(root, v3).count(_.deletes.nonEmpty) === 2)
+    // a second delete KEY requires materializing first
+    intercept[IllegalArgumentException](
+      Versioned.deleteCommit(spark, root, "name", Seq("a")))
+    // stats-pruned reads apply tombstones too (guarantee: full scan + filter)
+    // — no stats here, so all files are kept and only the anti-join matters
+    assert(Versioned.prunedRead(spark, root, v3, Seq(("k", 1.0, 9.0)))
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (4L, "d")))
+    // compact materializes the tombstones away: clean manifest, same rows
+    val v4 = Versioned.compact(spark, root)
+    assert(Versioned.manifest(root, v4).forall(_.deletes.isEmpty))
+    assert(Versioned.deleteKeyOf(root, v4) === None)
+    assert(rows(v4) === Set((1L, "a"), (4L, "d")))
+    // tombstoned files survive vacuum while any live version lists them
+    assert(rows(v2) === Set((1L, "a"), (3L, "c"), (4L, "d")))
+  }
+
+  test("versioned table: string and date stat columns prune files on read") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-sstats").toFile.getAbsolutePath
+    // name and day ride along k so their per-file bounds are tight
+    val rows = (1L to 400L).map(i =>
+      (i, f"n$i%04d", java.sql.Date.valueOf("2024-01-01").toLocalDate.plusDays(i / 10).toString))
+    val df = rows.toDF("k", "name", "day").withColumn("day", col("day").cast("date"))
+    val v0 = Versioned.commitZordered(df, root,
+      cols = Seq("k"), numFiles = 8, statsCols = Seq("name", "day"))
+    val m = Versioned.manifest(root, v0)
+    assert(m.forall(e => e.stats.keySet === Set("k", "day") &&
+      e.strStats.keySet === Set("name")))
+    // lexical slice on the string stat column: fewer files, identical rows
+    val s = Versioned.prunedRead(spark, root, v0, Nil,
+      strPreds = Seq(("name", "n0001", "n0040")))
+    assert(s.inputFiles.length < 8, s"expected pruning, read ${s.inputFiles.length}")
+    assert(s.select("k").as[Long].collect().toSet === (1L to 40L).toSet)
+    // epoch-range slice on the date stat column (stats are stored as epoch)
+    val dayEpoch = java.sql.Date.valueOf("2024-01-03").toLocalDate
+      .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond.toDouble
+    val d = Versioned.prunedRead(spark, root, v0,
+      Seq(("day", 0.0, dayEpoch)))
+    assert(d.inputFiles.length < 8)
+    assert(d.select("k").as[Long].collect().toSet ===
+      (1L to 400L).filter(_ / 10 <= 2).toSet)
+    // a statless append stays readable through the string-pruned path
+    Versioned.appendCommit(Seq((999L, "zz", null)).toDF("k", "name", "day")
+      .withColumn("day", col("day").cast("date")).coalesce(1), root)
+    val s1 = Versioned.prunedRead(spark, root, 1L, Nil,
+      strPreds = Seq(("name", "z", "zzz")))
+    assert(s1.select("k").as[Long].collect().toSet === Set(999L))
+  }
+
+  test("versioned table: append may add columns; old versions read exact") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-evo").toFile.getAbsolutePath
+    val v0 = Versioned.commit(Seq((1L, "a")).toDF("k", "name").coalesce(1), root)
+    val v1 = Versioned.appendCommit(
+      Seq((2L, "b", 5.0)).toDF("k", "name", "score").coalesce(1), root)
+    // v0 is exactly what was committed — no phantom column
+    assert(Versioned.asOf(spark, root, v0).columns.toSeq === Seq("k", "name"))
+    assert(Versioned.asOf(spark, root, v0).as[(Long, String)].collect().toSet ===
+      Set((1L, "a")))
+    // v1 unions by name: the old file reads the new column as null
+    val got = Versioned.asOf(spark, root, v1)
+    assert(got.columns.toSeq === Seq("k", "name", "score"))
+    assert(got.as[(Long, String, Option[Double])].collect().toSet ===
+      Set((1L, "a", None), (2L, "b", Some(5.0))))
+    // type evolution is refused loudly
+    val ex = intercept[IllegalArgumentException](Versioned.appendCommit(
+      Seq(("x", "c")).toDF("k", "name"), root))
+    assert(ex.getMessage.contains("cannot change column"))
+  }
+
   test("streaming curation lands append-only manifest commits per micro-batch") {
     import graft.operators.Curate
     import graft.sources.Versioned
