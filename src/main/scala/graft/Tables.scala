@@ -91,12 +91,33 @@ object Tables {
   /** STAGE-LANDING materialization for a corpus-sized intermediate consumed
     * by several downstream stages of a composed pipeline (p8): one
     * distributed write of the curated relation instead of re-deriving the
-    * whole upstream per consumer. Same checkpoint machinery as
-    * [[materializeSmall]] — the distinct name marks the different
-    * contract: the relation is NOT registry-bounded, and the trade is one
-    * write + k reads versus k full upstream recomputes, exactly the
-    * landing a production pipeline does between stages (see
-    * [[graft.sources.Versioned.appendCommit]] for the durable form).
+    * whole upstream per consumer — the trade is one write + k reads versus
+    * k full upstream recomputes, exactly the landing a production pipeline
+    * does between stages.
+    *
+    * DURABLE by construction: the stage lands as a
+    * [[graft.sources.Versioned.appendCommit]] table (a real distributed
+    * parquet write + manifest), so the composed pipeline's fault story
+    * matches its scan story — executor loss after a landing re-reads the
+    * landed files instead of losing lineage-truncated checkpoint blocks
+    * (`localCheckpoint`'s failure mode on a real cluster; and blocks
+    * don't spill across jobs the way files trivially do at 100 TB). The
+    * landing root is `spark.graft.stageDir` when set (a durable shared
+    * path in production), a fresh temp directory otherwise. Each call
+    * lands a NEW single-version table — stages are anonymous
+    * intermediates, not evolving tables.
     */
-  def materializeStage(df: DataFrame): DataFrame = materializeSmall(df)
+  def materializeStage(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val base = spark.conf.getOption("spark.graft.stageDir")
+    val root = base match {
+      case Some(b) =>
+        val d = new java.io.File(b, s"stage-${java.util.UUID.randomUUID().toString.take(12)}")
+        d.mkdirs(); d.getAbsolutePath
+      case None =>
+        java.nio.file.Files.createTempDirectory("graft-stage-").toFile.getAbsolutePath
+    }
+    graft.sources.Versioned.appendCommit(df, root)
+    graft.sources.Versioned.latest(spark, root)
+  }
 }

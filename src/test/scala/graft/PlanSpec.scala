@@ -377,8 +377,12 @@ class PlanSpec extends SparkSuite {
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(!plan.contains("documents.parquet"),
       s"composed plan re-reads the raw corpus:\n$plan")
-    assert(!"Scan parquet".r.findAllIn(plan).hasNext,
-      s"composed plan reads parquet past the landed stages:\n$plan")
+    // the final execution reads ONLY landed stages: every parquet scan in
+    // the plan is a stage-landing (Versioned) table, never a source table
+    val scanLines = plan.linesIterator.filter(_.contains("Scan parquet")).toSeq
+    assert(scanLines.nonEmpty, s"stage landings should appear as scans:\n$plan")
+    assert(scanLines.forall(_.contains("graft-stage-")),
+      s"composed plan reads parquet past the landed stages:\n${scanLines.mkString("\n")}")
   }
 
   test("m29 vector match broadcasts the registry side and shuffles each side once") {

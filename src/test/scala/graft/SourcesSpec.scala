@@ -447,6 +447,23 @@ class SourcesSpec extends SparkSuite {
     assert(ex.getMessage.contains("cannot change column"))
   }
 
+  test("stage landing is a readable single-version Versioned table") {
+    import spark.implicits._
+    val landed = graft.Tables.materializeStage(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "name"))
+    assert(landed.as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+    // the landing is a real Versioned table: its files live in a content
+    // pool whose root resolves version 0 — the durable fault story (an
+    // executor loss re-reads landed files; nothing rides lost lineage)
+    val pool = new java.io.File(new java.net.URI(landed.inputFiles.head)).getParentFile
+    assert(pool.getName === "_files")
+    val root = pool.getParentFile.getAbsolutePath
+    assert(graft.sources.Versioned.history(root) === Seq(0L))
+    assert(graft.sources.Versioned.latest(spark, root)
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+  }
+
   test("streaming curation lands append-only manifest commits per micro-batch") {
     import graft.operators.Curate
     import graft.sources.Versioned
