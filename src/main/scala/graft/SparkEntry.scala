@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curate, Dedup, Firehose, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Curate, Dedup, Firehose, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -486,6 +486,9 @@ object SparkEntry {
     "t1_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables(s, dir, "documents"))),
     "t2_quality_score" -> ((s, dir) => TextAnalysis.qualityScore(Tables(s, dir, "documents"))),
     "t3_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(Tables(s, dir, "documents"))),
+    // exact BPE token counts under a fixed ordered merge table (cascading
+    // ranks) — one codegen'd kernel call per row, zero shuffles
+    "t19_bpe_count" -> ((s, dir) => Bpe.tokenCounts(Tables(s, dir, "documents"))),
     "t4_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(Tables(s, dir, "documents"))),
     "t5_pii_redact" -> ((s, dir) => TextAnalysis.piiRedact(Tables(s, dir, "documents"))),
     "t6_top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(Tables(s, dir, "documents"))),
@@ -2115,6 +2118,21 @@ object SparkEntry {
         |  CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS BIGINT) AS n_words,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish,
         |  CAST(length(text) AS BIGINT) AS n_chars_actual
+        |FROM documents""".stripMargin,
+    // sequential replace() with single-char encodings IS the BPE apply
+    // when every symbol renders as one character: rank order = nesting
+    // order, leftmost non-overlapping both sides, token count = length
+    "t19_bpe_count" ->
+      """SELECT doc_id,
+        |  CAST(COALESCE((SELECT sum(len(
+        |      replace(replace(replace(replace(replace(w,
+        |        'ab', chr(945)),
+        |        't' || chr(945), chr(946)),
+        |        'le', chr(947)),
+        |        'sc', chr(948)),
+        |        'ro', chr(949))))
+        |   FROM unnest(regexp_split_to_array(lower(text), '\s+')) AS t(w)
+        |   WHERE len(w) > 0), 0) AS BIGINT) AS n_tokens
         |FROM documents""".stripMargin,
     "t4_fingerprint" ->
       """SELECT doc_id,

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSim, GraftBridge, Md5Prefix60, MinHashSig, PolyFingerprint, SimHash64}
+import org.apache.spark.sql.graft.{BpeCount, CosineSim, GraftBridge, Md5Prefix60, MinHashSig, PolyFingerprint, SimHash64}
 
 /** Column-API and SQL registration for graft's custom Catalyst expressions. */
 object GraftFunctions {
@@ -22,6 +22,13 @@ object GraftFunctions {
 
   def minhash_sig(terms: Column, k: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(terms), k))
+
+  /** Exact token count under an ordered BPE merge table (see
+    * [[graft.operators.Bpe]] for training one on a corpus).
+    */
+  def bpe_count(text: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(BpeCount(
+      GraftBridge.expression(text), merges.map(m => Array(m._1, m._2)).toArray))
 
   /** Bind an expensive expression to a lambda variable so an expression tree
     * that references it many times evaluates it ONCE per row. Inlining a

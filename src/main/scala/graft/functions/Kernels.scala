@@ -321,4 +321,51 @@ object Kernels {
     while (i < n) { val x = v.getFloat(i).toDouble; s += x * x; i += 1 }
     math.sqrt(s)
   }
+
+  /** Exact BPE token count of `text` under an ordered merge table: words
+    * (lowercased, whitespace-split) start as character sequences; each
+    * merge rank rewrites every adjacent (left, right) occurrence in one
+    * left-to-right non-overlapping pass — the classic BPE apply, and
+    * byte-for-byte the semantics of sequential `replace()` when every
+    * symbol renders as one character (which is how the DuckDB oracle
+    * mirrors it). One flat loop per word per rank; the merge table is a
+    * plan-time reference object, so this is a single static call inside
+    * whole-stage codegen.
+    */
+  def bpeCount(text: UTF8String, merges: Array[Array[String]]): Long = {
+    val words = text.toString.toLowerCase.split("\\s+")
+    var total = 0L
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) total += bpeApply(w, merges).length
+      wi += 1
+    }
+    total
+  }
+
+  /** The symbol sequence of one pre-tokenized word after every merge rank
+    * is applied in order. Shared by [[bpeCount]] and the spec's
+    * tokenization checks so count and tokens cannot drift.
+    */
+  def bpeApply(word: String, merges: Array[Array[String]]): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    var mi = 0
+    while (mi < merges.length) {
+      val l = merges(mi)(0)
+      val r = merges(mi)(1)
+      if (syms.length > 1) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+      }
+      mi += 1
+    }
+    syms
+  }
 }

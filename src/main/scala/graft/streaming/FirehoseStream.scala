@@ -1326,7 +1326,14 @@ object FirehoseStream {
     * violating stream degrades to latest-sample-wins instead of erroring
     * (a count-and-raise would need a third stateful operator per batch).
     * Compliant inputs — the only ones the batch form accepts — produce
-    * identical results.
+    * identical results. The degradation is OBSERVABLE, not silent: the
+    * right aggregation counts the distinct series it collapsed per match
+    * key, and a `Dataset.observe` on the joined result reports
+    * `degraded_match_keys` (match keys where >1 right series collapsed)
+    * and `matched_rows` in every micro-batch's
+    * `StreamingQueryProgress.observedMetrics` under `observeName` — the
+    * operational signal that batch and stream semantics have diverged on
+    * this input.
     */
   def vectorMatch(
       left: DataFrame,
@@ -1336,7 +1343,8 @@ object FirehoseStream {
       ignoring: Seq[String] = Nil,
       width: String = "1 hour",
       watermarkDelay: String = "10 minutes",
-      out: String = "value"): DataFrame = {
+      out: String = "value",
+      observeName: String = "graft_vector_match"): DataFrame = {
     def gauged(df: DataFrame): DataFrame =
       Firehose.tagFilter(df)
         .withColumn("series", Firehose.seriesKey(col("labels")))
@@ -1351,14 +1359,21 @@ object FirehoseStream {
     val r = gauged(right)
       .groupBy(window(col("eventTime"), width).as("_rw"),
         col("component").as("_r_component"), col("_vm_key").as("_r_key"))
-      .agg(max_by(col("value"),
-        struct(col("timestamp").cast("long").as("ts"), col("id"))).as("_vm_r"))
+      .agg(
+        max_by(col("value"),
+          struct(col("timestamp").cast("long").as("ts"), col("id"))).as("_vm_r"),
+        // right side is registry-bounded, so the per-key series set is too
+        size(collect_set(col("series"))).as("_r_n"))
     l.join(
         r,
         col("component") === col("_r_component") &&
           col("_vm_key") === col("_r_key") && col("_lw") === col("_rw"))
       .withColumn(out, op(col("_vm_l"), col("_vm_r")))
       .filter(col(out).isNotNull)
+      .observe(
+        observeName,
+        sum(when(col("_r_n") > 1, lit(1L)).otherwise(lit(0L))).as("degraded_match_keys"),
+        count(lit(1)).as("matched_rows"))
       .select(col("_lw.start").as("win_start"), col("component"), col("name"),
         col("series"), col(out))
   }

@@ -256,6 +256,29 @@ case class VecNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** Exact BPE token count of a text column under a fixed, ordered merge
+  * table. The merges ride into the generated code as a reference object
+  * (plan-time constant, like the IVF-PQ codebooks) — one static kernel
+  * call per row inside whole-stage codegen, never a UDF.
+  */
+case class BpeCount(child: Expression, merges: Array[Array[String]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(text: Any): Any =
+    Kernels.bpeCount(text.asInstanceOf[UTF8String], merges)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("merges", merges, "java.lang.String[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.bpeCount($c, $mRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCount =
+    copy(child = newChild)
+}
+
 /** Column ↔ Expression bridge re-exported for graft's public function API. */
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)

@@ -424,6 +424,17 @@ class PlanSpec extends SparkSuite {
       s"or not union+anti:\n$orPlan")
   }
 
+  test("whole-stage codegen covers the BPE token counter") {
+    // the merge table rides in as a reference object; the count must be
+    // one static kernel call fused into the scan's codegen stage
+    val df = graft.operators.Bpe.tokenCounts(Tables(spark, sfDir, "documents"))
+    val plan = planOf(df)
+    assert(plan.contains("*("), s"expected codegen in:\n$plan")
+    assert(plan.toLowerCase.contains("bpecount"),
+      s"bpe expression missing from plan:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("whole-stage codegen covers the IVF-PQ encode projection") {
     // the PQ model matrices ride into the generated code as reference
     // objects — the encode (cell assignment + residual argmin + bit-pack)

@@ -90,6 +90,48 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming vector match reports degraded keys while output stays latest-wins") {
+    val dir = Files.createTempDirectory("graft-vmdeg").toFile
+    val chk = Files.createTempDirectory("graft-vmdegchk").toFile
+    def j(id: String, name: String, ts: Long, tags: String, v: Double) =
+      s"""{"id":"$id","name":"$name","timestamp":$ts,"component":"app",""" +
+        s""""tags":$tags,"value":$v,"window":{"from":${ts - 60},"to":$ts,"interval":60}}"""
+    // the right side VIOLATES the cardinality contract: two view series
+    // (rep=a, rep=b) collapse onto the one on(user) match key — batch
+    // raises here; the stream degrades to latest-wins and must SAY SO
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        j("e1", "error_total", 100, """{"user":"u1"}""", 8.0),
+        j("v1", "view_total", 200, """{"user":"u1","rep":"a"}""", 2.0),
+        j("v2", "view_total", 900, """{"user":"u1","rep":"b"}""", 4.0))
+        .mkString("\n").getBytes)
+    val src = FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)
+    val q = FirehoseStream.vectorMatch(
+        src.filter(col("name") === "error_total"),
+        src.filter(col("name") === "view_total"),
+        (e, v) => when(v =!= 0.0, e / v), on = Seq("user"), out = "ratio")
+      .writeStream.format("memory").queryName("vmdeg_t").outputMode("append")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(j("e9", "error_total", 8000, """{"user":"u1"}""", 1.0),
+          j("v9", "view_total", 8000, """{"user":"u1"}""", 1.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      // output: latest right sample (rep=b, ts 900) wins → 8/4
+      val streamed = spark.table("vmdeg_t")
+        .filter(col("win_start") === timestamp_seconds(lit(0)))
+        .collect().map(r => r.getAs[String]("series") -> r.getAs[Double]("ratio")).toMap
+      assert(streamed === Map("user=u1" -> 2.0))
+      // the degradation signal fired in the batch that emitted the window
+      val degraded = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("graft_vector_match")))
+        .map(_.getAs[Long]("degraded_match_keys")).sum
+      assert(degraded >= 1L, "collapsed right series must be observable")
+    } finally q.stop()
+  }
+
   test("streaming set ops equal batch set ops on the closed window") {
     val dir = Files.createTempDirectory("graft-vso").toFile
     // window [0, 3600): errors for u1/u2, silences for u2/u3 — and → u2,
