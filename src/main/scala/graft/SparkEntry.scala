@@ -407,6 +407,18 @@ object SparkEntry {
         (e, v) => (e > v).cast("double"),
         valueCol = "last_value", out = "gt")
     }),
+    // PromQL comparison WITHOUT bool: a filter — keeps the left value
+    // where the condition holds, drops the pair otherwise (the guarded
+    // null drop on the same arithmetic machinery)
+    "m31c_cmp_filter" -> ((s, dir) => {
+      val g = Tables.materializeSmall(
+        Firehose.gaugeLatestLabeled(Firehose.metricsFromEvents(s, dir)))
+      Firehose.vectorMatch(
+        g.filter(col("name") === "error_total"),
+        g.filter(col("name") === "view_total"),
+        (e, v) => when(e > v, e),
+        valueCol = "last_value", out = "value")
+    }),
     // per-source gopher-rule failure funnel
     "t18_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
@@ -511,6 +523,15 @@ object SparkEntry {
       Curate.tokenBudgetSample(
         Tables(s, dir, "documents"),
         budgets = Map("src0" -> 3000L, "src1" -> 2000L, "src2" -> 1000L, "src3" -> 500L))),
+    // d16 under tokenizer-EXACT counts: the same budgeted mixture but the
+    // running totals are BPE token counts (the codegen'd t19 expression),
+    // not regex-word approximations — the real budget math of a mixture
+    "d28_bpe_budget" -> ((s, dir) =>
+      Curate.tokenBudgetSample(
+        Tables(s, dir, "documents"),
+        budgets = Map("src0" -> 3000L, "src1" -> 2000L, "src2" -> 1000L, "src3" -> 500L),
+        tokenCount = graft.functions.GraftFunctions.bpe_count(
+          col("text"), Bpe.referenceMerges))),
     "d17_snapshot_diff" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       Curate.snapshotDiff(
@@ -1839,6 +1860,22 @@ object SparkEntry {
         |FROM g e JOIN g v
         |  ON e.component = v.component AND e.series = v.series
         |WHERE e.name = 'error_total' AND v.name = 'view_total'""".stripMargin,
+    // comparison without bool: a filter keeping the left value
+    "m31c_cmp_filter" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series, value,
+        |         row_number() OVER (PARTITION BY event_type, user_id
+        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+        |                    CAST(event_id AS VARCHAR) DESC) AS rn
+        |  FROM events),
+        |g AS (SELECT component, name, series, value AS last_value
+        |      FROM m WHERE rn = 1)
+        |SELECT e.component, e.name, e.series, e.last_value AS value
+        |FROM g e JOIN g v
+        |  ON e.component = v.component AND e.series = v.series
+        |WHERE e.name = 'error_total' AND v.name = 'view_total'
+        |  AND e.last_value > v.last_value""".stripMargin,
     // decimal sums make avg/stdvar derive from order-independent
     // numerators; variance via the algebraic form over those exact sums
     "m24_over_time" ->
@@ -2359,6 +2396,31 @@ object SparkEntry {
         |  SELECT d.source, doc_id,
         |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS BIGINT)
         |      AS n_words,
+        |    CAST('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      AS priority,
+        |    CAST(budget AS BIGINT) AS budget
+        |  FROM documents d JOIN b USING (source)),
+        |r AS (SELECT *, CAST(sum(n_words) OVER (PARTITION BY source
+        |        ORDER BY priority, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |      FROM p)
+        |SELECT source, doc_id, n_words, cum_tokens, budget FROM r
+        |WHERE cum_tokens <= budget""".stripMargin,
+    // d16's budget mixture with the t19 BPE oracle as the token counter
+    "d28_bpe_budget" ->
+      """WITH b(source, budget) AS (VALUES
+        |  ('src0', 3000), ('src1', 2000), ('src2', 1000), ('src3', 500)),
+        |p AS (
+        |  SELECT d.source, doc_id,
+        |    CAST(COALESCE((SELECT sum(len(
+        |        replace(replace(replace(replace(replace(w,
+        |          'ab', chr(945)),
+        |          't' || chr(945), chr(946)),
+        |          'le', chr(947)),
+        |          'sc', chr(948)),
+        |          'ro', chr(949))))
+        |     FROM unnest(regexp_split_to_array(lower(text), '\s+')) AS t(w)
+        |     WHERE len(w) > 0), 0) AS BIGINT) AS n_words,
         |    CAST('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |      AS priority,
         |    CAST(budget AS BIGINT) AS budget

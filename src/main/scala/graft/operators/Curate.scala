@@ -167,8 +167,9 @@ object Curate {
       docs: DataFrame,
       budgets: Map[String, Long],
       groupCol: String = "source",
-      seed: String = "graft"): DataFrame = {
-    val nWords = size(TextAnalysis.tokens(col("text"))).cast("long")
+      seed: String = "graft",
+      tokenCount: Column = size(TextAnalysis.tokens(col("text"))).cast("long")): DataFrame = {
+    val nWords = tokenCount.cast("long")
     val priority = GraftFunctions.md5_prefix60(
       concat(lit(seed), lit(":"), col("doc_id").cast("string")))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("priority"), col("doc_id"))

@@ -261,6 +261,7 @@ object Versioned {
     }
     val marker = Json.createObjectNode()
     marker.put("version", next)
+    marker.put("ts", System.currentTimeMillis())
     schemaJson.foreach(marker.put("schema", _))
     deleteKey.foreach(marker.put("deleteKey", _))
     marker.set[com.fasterxml.jackson.databind.JsonNode]("files", files)
@@ -576,6 +577,85 @@ object Versioned {
       spark.emptyDataFrame
     else
       readEntries(spark, root, v, entries)
+  }
+
+  /** Commit wall-clock time of version `v` (marker-recorded; legacy
+    * markers fall back to the marker file's mtime).
+    */
+  def commitTime(root: String, v: Long): Long = {
+    require(markerFile(root, v).exists(), s"version $v is not committed in $root")
+    val node = Json.readTree(markerFile(root, v))
+    if (node.has("ts")) node.get("ts").asLong()
+    else markerFile(root, v).lastModified()
+  }
+
+  /** Time travel by TIMESTAMP — the table as of the newest commit at or
+    * before `tsMillis` (Delta's `TIMESTAMP AS OF`). Version resolution is
+    * a driver-side scan of the registry-sized marker list.
+    */
+  def asOfTimestamp(spark: SparkSession, root: String, tsMillis: Long): DataFrame = {
+    val vs = history(root).filter(v => commitTime(root, v) <= tsMillis)
+    require(vs.nonEmpty,
+      s"no version of $root committed at or before $tsMillis")
+    asOf(spark, root, vs.max)
+  }
+
+  /** Change data feed between two versions — every row with a
+    * `_change_type` of `insert` or `delete`:
+    *
+    *   - inserts = rows in files `toV` lists that `fromV` does not (with
+    *     `toV`'s tombstones applied) — EXACT for append lineage, where
+    *     the delta files are precisely the ingested rows;
+    *   - deletes = rows whose key was tombstoned between the versions,
+    *     fetched from the `fromV` image of exactly the files carrying the
+    *     new tombstones, PLUS rows of files `fromV` lists that `toV`
+    *     dropped.
+    *
+    * On append/delete lineage (the ingest path) this reads only the
+    * delta files — O(changes), the CDF contract. Across a SNAPSHOT
+    * boundary (compact / mergeCommit rewrite) the file-level diff
+    * degenerates to reporting the rewrite itself (old files deleted, new
+    * files inserted) — use row-level diffing
+    * ([[graft.operators.Curate]]'s snapshot-diff shape) across those.
+    */
+  def changesBetween(
+      spark: SparkSession, root: String, fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromV < toV, s"need fromV < toV, got $fromV >= $toV")
+    val from = manifest(root, fromV)
+    val to = manifest(root, toV)
+    val fromByPath = from.map(e => e.path -> e).toMap
+    val toPaths = to.map(_.path).toSet
+    val inserted = to.filterNot(e => fromByPath.contains(e.path))
+    val droppedFiles = from.filterNot(e => toPaths.contains(e.path))
+    // keys newly tombstoned on files both versions list
+    val newTombs = to.flatMap { e =>
+      fromByPath.get(e.path).map { old =>
+        e -> (e.deletes.toSet -- old.deletes.toSet)
+      }
+    }.filter(_._2.nonEmpty)
+    val parts = Seq.newBuilder[DataFrame]
+    if (inserted.nonEmpty)
+      parts += readEntries(spark, root, toV, inserted)
+        .withColumn("_change_type", lit("insert"))
+    if (droppedFiles.nonEmpty)
+      parts += readEntries(spark, root, fromV, droppedFiles)
+        .withColumn("_change_type", lit("delete"))
+    if (newTombs.nonEmpty) {
+      val keyCol = deleteKeyOf(root, toV).getOrElse(throw new IllegalStateException(
+        s"version $toV of $root has tombstones but no deleteKey"))
+      val keys = newTombs.flatMap(_._2).distinct
+      // the fromV image of exactly the files carrying new tombstones
+      // (fromV's own tombstones applied, so already-deleted rows never
+      // re-report)
+      parts += readEntries(spark, root, fromV,
+          newTombs.map { case (e, _) => fromByPath(e.path) })
+        .filter(col(keyCol).cast("string").isin(keys: _*))
+        .withColumn("_change_type", lit("delete"))
+    }
+    val all = parts.result()
+    require(all.nonEmpty, s"no changes between $fromV and $toV in $root")
+    all.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The latest committed snapshot. */

@@ -447,6 +447,50 @@ class SourcesSpec extends SparkSuite {
     assert(ex.getMessage.contains("cannot change column"))
   }
 
+  test("versioned table: change feed and timestamp travel on append/delete lineage") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-cdf").toFile.getAbsolutePath
+    // distinct commit timestamps so "as of commitTime(v)" resolves to v
+    // even on a fast box (marker times have millisecond granularity)
+    val v0 = Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "name").coalesce(1), root)
+    Thread.sleep(2)
+    val v1 = Versioned.appendCommit(Seq((3L, "c")).toDF("k", "name").coalesce(1), root)
+    Thread.sleep(2)
+    val v2 = Versioned.deleteCommit(spark, root, "k", Seq("2"))
+    Thread.sleep(2)
+    def changes(a: Long, b: Long) =
+      Versioned.changesBetween(spark, root, a, b)
+        .select("_change_type", "k", "name").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    // append delta: only the new file's rows, as inserts
+    assert(changes(v0, v1) === Set(("insert", 3L, "c")))
+    // tombstone delta: the deleted ROW, fetched from the fromV image
+    assert(changes(v1, v2) === Set(("delete", 2L, "b")))
+    // composed span: both, and already-deleted rows never re-report
+    assert(changes(v0, v2) === Set(("insert", 3L, "c"), ("delete", 2L, "b")))
+    // schema evolution rides the feed: an added column reads null on the
+    // delete side (old image) and populated on the insert side
+    val v3 = Versioned.appendCommit(
+      Seq((4L, "d", 9.0)).toDF("k", "name", "score").coalesce(1), root)
+    val evo = Versioned.changesBetween(spark, root, v2, v3)
+      .select("_change_type", "k", "score").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(evo === Set(("insert", 4L, Some(9.0))))
+    // timestamp travel: each commit's recorded time resolves to exactly
+    // that version's snapshot
+    for (v <- Seq(v0, v1, v2, v3)) {
+      val got = Versioned.asOfTimestamp(spark, root, Versioned.commitTime(root, v))
+        .select("k").as[Long].collect().toSet
+      val want = Versioned.asOf(spark, root, v)
+        .select("k").as[Long].collect().toSet
+      assert(got === want, s"v$v")
+    }
+    intercept[IllegalArgumentException](
+      Versioned.asOfTimestamp(spark, root, Versioned.commitTime(root, v0) - 1))
+  }
+
   test("stage landing is a readable single-version Versioned table") {
     import spark.implicits._
     val landed = graft.Tables.materializeStage(
