@@ -71,7 +71,8 @@ object Versioned {
       sha256: String,
       stats: Map[String, (Double, Double)] = Map.empty,
       strStats: Map[String, (String, String)] = Map.empty,
-      deletes: Seq[String] = Nil)
+      deletes: Seq[String] = Nil,
+      blooms: Map[String, String] = Map.empty)
 
   private def commitsDir(root: String) = new File(root, "_commits")
   private def poolDir(root: String) = new File(root, "_files")
@@ -136,8 +137,19 @@ object Versioned {
             while (ds.hasNext) b += ds.next().asText()
             b.result()
           }
+        val blooms =
+          if (!e.has("blooms")) Map.empty[String, String]
+          else {
+            val b = Map.newBuilder[String, String]
+            val fields = e.get("blooms").fields()
+            while (fields.hasNext) {
+              val f = fields.next()
+              b += f.getKey -> f.getValue.asText()
+            }
+            b.result()
+          }
         out += Entry(e.get("path").asText(), e.get("sha256").asText(),
-          stats, strStats, deletes)
+          stats, strStats, deletes, blooms)
       }
       out.result()
     } else {
@@ -171,7 +183,8 @@ object Versioned {
       root: String,
       staging: String,
       statsByFile: Map[String, Map[String, (Double, Double)]] = Map.empty,
-      strStatsByFile: Map[String, Map[String, (String, String)]] = Map.empty): Seq[Entry] = {
+      strStatsByFile: Map[String, Map[String, (String, String)]] = Map.empty,
+      bloomsByFile: Map[String, Map[String, String]] = Map.empty): Seq[Entry] = {
     val dir = new File(root, staging)
     poolDir(root).mkdirs()
     val entries = Option(dir.listFiles()).getOrElse(Array.empty)
@@ -190,7 +203,8 @@ object Versioned {
           }
         Entry(s"_files/${pooled.getName}", digest,
           statsByFile.getOrElse(f.getName, Map.empty),
-          strStatsByFile.getOrElse(f.getName, Map.empty))
+          strStatsByFile.getOrElse(f.getName, Map.empty),
+          blooms = bloomsByFile.getOrElse(f.getName, Map.empty))
       }
       .toSeq
     // residual _SUCCESS / .crc markers, then the (now-empty) staging dir
@@ -256,6 +270,11 @@ object Versioned {
         val d = Json.createArrayNode()
         e.deletes.foreach(d.add)
         o.set[com.fasterxml.jackson.databind.JsonNode]("deletes", d)
+      }
+      if (e.blooms.nonEmpty) {
+        val bl = Json.createObjectNode()
+        e.blooms.toSeq.sortBy(_._1).foreach { case (c, b64) => bl.put(c, b64) }
+        o.set[com.fasterxml.jackson.databind.JsonNode]("blooms", bl)
       }
       files.add(o)
     }
@@ -468,11 +487,42 @@ object Versioned {
     * once; nothing is rewritten, so the commit costs O(delta) regardless
     * of table size. Returns the committed version.
     */
-  def appendCommit(df: DataFrame, root: String): Long = {
+  def appendCommit(
+      df: DataFrame,
+      root: String,
+      bloomCols: Seq[String] = Nil,
+      expectedKeysPerFile: Long = 100000L): Long = {
+    import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.StructType
     val staging = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.mode("errorifexists").parquet(s"$root/$staging")
-    val delta = poolStaged(root, staging)
+    // per-file BLOOM FILTERS over key columns — the point-lookup skipping
+    // index next to the range stats (Delta's bloom indexes, Iceberg's
+    // bloom sidecars; inlined in the marker here, sidecar files in a real
+    // store). Built by Spark's own bloom aggregate (the AQE runtime-filter
+    // machinery) over xxhash64 of the canonical string rendering — the
+    // same hash the driver-side probe computes. One grouped pass, one
+    // bloom per (file, column) collected — file-count-bounded.
+    val bloomsByFile: Map[String, Map[String, String]] =
+      if (bloomCols.isEmpty) Map.empty
+      else {
+        val aggs = bloomCols.map(c =>
+          org.apache.spark.sql.graft.GraftBridge.bloomAgg(
+            xxhash64(col(c).cast("string")),
+            expectedKeysPerFile, expectedKeysPerFile * 8).as(s"${c}__bloom"))
+        df.sparkSession.read.parquet(s"$root/$staging")
+          .groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val name = r.getString(0).split('/').last
+            name -> bloomCols.flatMap { c =>
+              Option(r.getAs[Array[Byte]](s"${c}__bloom"))
+                .map(b => c -> java.util.Base64.getEncoder.encodeToString(b))
+            }.toMap
+          }.toMap
+      }
+    val delta = poolStaged(root, staging, bloomsByFile = bloomsByFile)
     val prevV = latestVersion(root)
     val prev = if (prevV < 0) Nil else manifest(root, prevV)
     // add-column schema evolution: the next version's schema is the union
@@ -497,6 +547,40 @@ object Versioned {
       schemaJson = Some(merged.json),
       deleteKey = if (prevV < 0) None else deleteKeyOf(root, prevV))
     prevV + 1
+  }
+
+  /** Whether `e` can be PROVEN not to hold any of `hashes` on `keyCol`:
+    * true only when the entry carries a bloom for the column and every
+    * probe misses. No bloom → never skippable.
+    */
+  private def bloomSkippable(e: Entry, keyCol: String, hashes: Seq[Long]): Boolean =
+    e.blooms.get(keyCol).exists { b64 =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        java.util.Base64.getDecoder.decode(b64))
+      !hashes.exists(bf.mightContainLong)
+    }
+
+  /** Point lookup with bloom file-skipping — the read half of
+    * `appendCommit(bloomCols = …)`: skip every file whose bloom proves it
+    * holds none of the probe keys, read the rest, apply the exact filter
+    * (and the version's tombstones/schema via the shared read path) —
+    * results identical to a full scan + filter, false positives only cost
+    * a read. At 100 TB a needle-in-haystack key lookup touches the one
+    * file that might hold it instead of listing-and-scanning the table.
+    */
+  def pointRead(
+      spark: SparkSession,
+      root: String,
+      v: Long,
+      keyCol: String,
+      values: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(values.nonEmpty, "need at least one probe value")
+    val hashes = values.map(org.apache.spark.sql.graft.GraftBridge.xxhash64String)
+    val keep = manifest(root, v).filterNot(e => bloomSkippable(e, keyCol, hashes))
+    if (keep.isEmpty) asOf(spark, root, v).filter(lit(false))
+    else readEntries(spark, root, v, keep)
+      .filter(col(keyCol).cast("string").isin(values: _*))
   }
 
   /** Row-level DELETE as an O(delta) commit — the deletion-vector shape
@@ -527,16 +611,24 @@ object Versioned {
       s"table carries tombstones on '$k'; a second delete key '$keyCol' " +
         "requires a compact() first"))
     val entries = manifest(root, v)
-    // locate which files physically hold the doomed keys: one scan,
+    // locate which files physically hold the doomed keys: blooms prune
+    // the candidate set first (a file whose bloom proves every key absent
+    // never gets scanned), then one scan over the candidates only —
     // driver result bounded by (affected files × delete-set size)
     import spark.implicits._
+    val hashes = keys.map(org.apache.spark.sql.graft.GraftBridge.xxhash64String)
+    val candidates = entries.filterNot(e => bloomSkippable(e, keyCol, hashes))
     val keysDf = keys.toDF("_del_key")
-    val hits = readRaw(spark, root, v)
-      .select(input_file_name().as("_f"), col(keyCol).cast("string").as("_k"))
-      .join(broadcast(keysDf), col("_k") === col("_del_key"))
-      .groupBy(col("_f")).agg(collect_set(col("_k")).as("_ks"))
-      .collect()
-      .map(r => suffixOf(r.getString(0)) -> r.getSeq[String](1)).toMap
+    val schema = markerSchema(root, v)
+    val hits =
+      if (candidates.isEmpty) Map.empty[String, Seq[String]]
+      else schema.map(spark.read.schema).getOrElse(spark.read)
+        .parquet(candidates.map(e => s"$root/${e.path}"): _*)
+        .select(input_file_name().as("_f"), col(keyCol).cast("string").as("_k"))
+        .join(broadcast(keysDf), col("_k") === col("_del_key"))
+        .groupBy(col("_f")).agg(collect_set(col("_k")).as("_ks"))
+        .collect()
+        .map(r => suffixOf(r.getString(0)) -> r.getSeq[String](1)).toMap
     val updated = entries.map { e =>
       hits.get(suffixOf(e.path)) match {
         case Some(ks) => e.copy(deletes = (e.deletes ++ ks).distinct.sorted)
@@ -555,18 +647,6 @@ object Versioned {
     */
   private def suffixOf(p: String): String =
     p.split('/').takeRight(2).mkString("/")
-
-  /** Version `v`'s files WITHOUT tombstone application — the physical
-    * relation [[deleteCommit]] scans to locate keys (applying tombstones
-    * there would hide already-deleted rows from re-deletion, which is
-    * harmless, but reading raw keeps the locate scan cheapest).
-    */
-  private def readRaw(spark: SparkSession, root: String, v: Long): DataFrame = {
-    val entries = manifest(root, v)
-    val schema = markerSchema(root, v)
-    schema.map(spark.read.schema).getOrElse(spark.read)
-      .parquet(entries.map(e => s"$root/${e.path}"): _*)
-  }
 
   /** Time travel: the table exactly as committed at version `v` — its
     * recorded schema (missing columns null), minus its tombstoned rows.

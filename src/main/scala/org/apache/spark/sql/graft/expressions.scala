@@ -283,4 +283,27 @@ case class BpeCount(child: Expression, merges: Array[Array[String]])
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Spark's own bloom-filter aggregate (the machinery behind AQE runtime
+    * filters) exposed as a Column: aggregates xxhash64 values into a
+    * `org.apache.spark.util.sketch.BloomFilter` binary. Probe with
+    * [[xxhash64String]] + `BloomFilter.readFrom(...).mightContainLong`.
+    */
+  def bloomAgg(hashed: Column, expectedItems: Long, numBits: Long): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ExpressionUtils.expression(hashed),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits), 0, 0)
+        .toAggregateExpression())
+
+  /** Driver-side xxhash64 of a string, bit-identical to
+    * `functions.xxhash64(col)` (same expression, same default seed) — the
+    * probe-side hash for [[bloomAgg]] blooms.
+    */
+  def xxhash64String(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        UTF8String.fromString(s), StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
 }

@@ -491,6 +491,40 @@ class SourcesSpec extends SparkSuite {
       Versioned.asOfTimestamp(spark, root, Versioned.commitTime(root, v0) - 1))
   }
 
+  test("versioned table: bloom point lookups skip files, prune the delete scan") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-bloom").toFile.getAbsolutePath
+    for (batch <- Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L, 6L)))
+      Versioned.appendCommit(
+        batch.map(k => (k, s"n$k")).toDF("k", "name").coalesce(1), root,
+        bloomCols = Seq("k"), expectedKeysPerFile = 1024L)
+    val m = Versioned.manifest(root, 2L)
+    assert(m.size === 3 && m.forall(_.blooms.contains("k")))
+    // a point lookup reads exactly the one file that might hold the key
+    val pr = Versioned.pointRead(spark, root, 2L, "k", Seq("3"))
+    assert(pr.inputFiles.length === 1,
+      s"expected 1 file, read ${pr.inputFiles.length}")
+    assert(pr.as[(Long, String)].collect().toSet === Set((3L, "n3")))
+    // an absent key returns empty (bloom misses everywhere)
+    assert(Versioned.pointRead(spark, root, 2L, "k", Seq("999")).count() === 0L)
+    // a bloomless append stays reachable: its file can never be skipped
+    Versioned.appendCommit(Seq((7L, "n7")).toDF("k", "name").coalesce(1), root)
+    val mixed = Versioned.pointRead(spark, root, 3L, "k", Seq("7"))
+    assert(mixed.inputFiles.length === 1, "bloom'd files skip, bloomless kept")
+    assert(mixed.as[(Long, String)].collect().toSet === Set((7L, "n7")))
+    // deletes work through the bloom-pruned locate scan: the tombstone
+    // lands on exactly the file holding the key
+    val v4 = Versioned.deleteCommit(spark, root, "k", Seq("4"))
+    val m4 = Versioned.manifest(root, v4)
+    assert(m4.count(_.deletes.nonEmpty) === 1 &&
+      m4.find(_.deletes.nonEmpty).get.deletes === Seq("4"))
+    assert(Versioned.latest(spark, root).select("k").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L, 5L, 6L, 7L))
+    // point lookups apply tombstones like every read
+    assert(Versioned.pointRead(spark, root, v4, "k", Seq("4")).count() === 0L)
+  }
+
   test("stage landing is a readable single-version Versioned table") {
     import spark.implicits._
     val landed = graft.Tables.materializeStage(
