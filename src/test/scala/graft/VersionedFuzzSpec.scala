@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Versioned
+
+/** Model-based fuzz of the Versioned table protocol: a seeded random
+  * sequence of append / delete / compact / vacuum ops applied both to the
+  * real table and to a driver-side reference model (one Map per version),
+  * with snapshot equality, time travel, history, and the change feed
+  * cross-checked at every step. The layer now composes tombstones, schema
+  * tracking, content-address sharing, blooms, and retention — exactly the
+  * kind of protocol where an op-sequence interaction bug hides between
+  * individually-green unit specs.
+  */
+class VersionedFuzzSpec extends SparkSuite {
+
+  private def snapshotOf(root: String, v: Long): Map[Long, String] =
+    Versioned.asOf(spark, root, v)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("random op sequences keep table, time travel, and change feed model-exact") {
+    import spark.implicits._
+    for (seed <- Seq(11L, 23L)) {
+      val rnd = new scala.util.Random(seed)
+      val root = Files.createTempDirectory(s"graft-fuzz$seed").toFile.getAbsolutePath
+      // model: one (k -> name) map per committed version, aligned with
+      // version numbers; None marks versions dropped by vacuum
+      val model = scala.collection.mutable.ArrayBuffer.empty[Option[Map[Long, String]]]
+      var nextKey = 0L
+      // which ops produced each version, for change-feed checks
+      val opKind = scala.collection.mutable.ArrayBuffer.empty[String]
+
+      def current: Map[Long, String] = model.lastOption.flatten.getOrElse(Map.empty)
+
+      for (step <- 0 until 40) {
+        val live = current
+        val op = rnd.nextInt(10) match {
+          case 0 | 1 | 2 | 3 | 4       => "append"
+          case 5 | 6 if live.nonEmpty  => "delete"
+          case 7 if live.nonEmpty      => "compact"
+          case 8 if model.length >= 4  => "vacuum"
+          case _                       => "append"
+        }
+        op match {
+          case "append" =>
+            val n = 1 + rnd.nextInt(3)
+            val rows = (0 until n).map { _ =>
+              nextKey += 1; nextKey -> s"n$nextKey"
+            }
+            val useBloom = rnd.nextBoolean()
+            Versioned.appendCommit(
+              rows.toDF("k", "name").coalesce(1), root,
+              bloomCols = if (useBloom) Seq("k") else Nil,
+              expectedKeysPerFile = 256L)
+            model += Some(current ++ rows)
+            opKind += "append"
+          case "delete" =>
+            val doomed = rnd.shuffle(live.keys.toSeq).take(1 + rnd.nextInt(2))
+            Versioned.deleteCommit(spark, root, "k", doomed.map(_.toString))
+            model += Some(current -- doomed)
+            opKind += "delete"
+          case "compact" =>
+            Versioned.compact(spark, root, numFiles = 1)
+            model += Some(current)
+            opKind += "compact"
+          case "vacuum" =>
+            val dropped = Versioned.vacuum(root, keepLast = 2)
+            dropped.foreach(v => model(v.toInt) = None)
+            opKind += "vacuum-noop" // vacuum commits no version
+        }
+        if (op != "vacuum") {
+          val v = Versioned.latestVersion(root)
+          assert(v === model.length - 1, s"seed=$seed step=$step version drift")
+          assert(snapshotOf(root, v) === current, s"seed=$seed step=$step latest")
+        }
+        // history matches the undropped model versions
+        val wantHistory = model.zipWithIndex.collect { case (Some(_), i) => i.toLong }
+        assert(Versioned.history(root) === wantHistory, s"seed=$seed step=$step history")
+        // time travel on one random retained version
+        if (wantHistory.nonEmpty) {
+          val v = wantHistory(rnd.nextInt(wantHistory.length))
+          assert(snapshotOf(root, v) === model(v.toInt).get,
+            s"seed=$seed step=$step asOf($v)")
+        }
+      }
+      // change feed across every retained append/delete boundary matches
+      // the model diff (compact boundaries excluded by contract)
+      val retained = model.zipWithIndex.collect { case (Some(m), i) => (i.toLong, m) }
+      // opKind indexes versions only (vacuum appended a placeholder w/o version)
+      val kinds = opKind.filterNot(_ == "vacuum-noop")
+      for (pair <- retained.sliding(2) if pair.length == 2) {
+        val (v1, m1) = pair(0)
+        val (v2, m2) = pair(1)
+        if (v2 == v1 + 1 && kinds(v2.toInt) != "compact") {
+          val got = Versioned.changesBetween(spark, root, v1, v2)
+            .select("_change_type", "k", "name").collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+          val want =
+            (m2.keySet -- m1.keySet).map(k => ("insert", k, m2(k))) ++
+              (m1.keySet -- m2.keySet).map(k => ("delete", k, m1(k)))
+          assert(got === want, s"seed=$seed changes($v1,$v2)")
+        }
+      }
+    }
+  }
+}
