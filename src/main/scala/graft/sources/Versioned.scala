@@ -324,13 +324,50 @@ object Versioned {
     * use [[appendCommit]] for the O(delta) ingest path. Returns the
     * committed version.
     */
-  def commit(df: DataFrame, root: String): Long = {
+  def commit(
+      df: DataFrame,
+      root: String,
+      bloomCols: Seq[String] = Nil,
+      expectedKeysPerFile: Long = 100000L): Long = {
     val staging = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.mode("errorifexists").parquet(s"$root/$staging")
-    val entries = poolStaged(root, staging)
+    val entries = poolStaged(root, staging,
+      bloomsByFile = bloomsFor(df.sparkSession, s"$root/$staging", bloomCols, expectedKeysPerFile))
     val next = latestVersion(root) + 1
     writeMarker(root, next, entries, schemaJson = Some(df.schema.json))
     next
+  }
+
+  /** Per-file bloom filters over `bloomCols` for every parquet file under
+    * `stagingPath` — Spark's own bloom aggregate over xxhash64 of the
+    * canonical string rendering, one grouped pass, file-count-bounded
+    * collect. Shared by every commit flavor so the probe-side hash
+    * ([[pointRead]], [[deleteCommit]]) can never diverge from the build.
+    */
+  private def bloomsFor(
+      spark: SparkSession,
+      stagingPath: String,
+      bloomCols: Seq[String],
+      expectedKeysPerFile: Long): Map[String, Map[String, String]] = {
+    import org.apache.spark.sql.functions._
+    if (bloomCols.isEmpty) Map.empty
+    else {
+      val aggs = bloomCols.map(c =>
+        org.apache.spark.sql.graft.GraftBridge.bloomAgg(
+          xxhash64(col(c).cast("string")),
+          expectedKeysPerFile, expectedKeysPerFile * 8).as(s"${c}__bloom"))
+      spark.read.parquet(stagingPath)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val name = r.getString(0).split('/').last
+          name -> bloomCols.flatMap { c =>
+            Option(r.getAs[Array[Byte]](s"${c}__bloom"))
+              .map(b => c -> java.util.Base64.getEncoder.encodeToString(b))
+          }.toMap
+        }.toMap
+    }
   }
 
   /** Z-ordered snapshot commit WITH per-file column stats in the manifest —
@@ -349,7 +386,9 @@ object Versioned {
       cols: Seq[String],
       numFiles: Int,
       bits: Int = 16,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      expectedKeysPerFile: Long = 100000L): Long = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
@@ -390,7 +429,8 @@ object Versioned {
         else Some(c -> ((r.getAs[String](s"${c}__smin"), r.getAs[String](s"${c}__smax"))))
       }.toMap
     }.toMap
-    val entries = poolStaged(root, staging, statsByFile, strStatsByFile)
+    val entries = poolStaged(root, staging, statsByFile, strStatsByFile,
+      bloomsFor(spark, s"$root/$staging", bloomCols, expectedKeysPerFile))
     val next = latestVersion(root) + 1
     writeMarker(root, next, entries, schemaJson = Some(df.schema.json))
     next
@@ -499,30 +539,9 @@ object Versioned {
     // per-file BLOOM FILTERS over key columns — the point-lookup skipping
     // index next to the range stats (Delta's bloom indexes, Iceberg's
     // bloom sidecars; inlined in the marker here, sidecar files in a real
-    // store). Built by Spark's own bloom aggregate (the AQE runtime-filter
-    // machinery) over xxhash64 of the canonical string rendering — the
-    // same hash the driver-side probe computes. One grouped pass, one
-    // bloom per (file, column) collected — file-count-bounded.
-    val bloomsByFile: Map[String, Map[String, String]] =
-      if (bloomCols.isEmpty) Map.empty
-      else {
-        val aggs = bloomCols.map(c =>
-          org.apache.spark.sql.graft.GraftBridge.bloomAgg(
-            xxhash64(col(c).cast("string")),
-            expectedKeysPerFile, expectedKeysPerFile * 8).as(s"${c}__bloom"))
-        df.sparkSession.read.parquet(s"$root/$staging")
-          .groupBy(input_file_name().as("file"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .map { r =>
-            val name = r.getString(0).split('/').last
-            name -> bloomCols.flatMap { c =>
-              Option(r.getAs[Array[Byte]](s"${c}__bloom"))
-                .map(b => c -> java.util.Base64.getEncoder.encodeToString(b))
-            }.toMap
-          }.toMap
-      }
-    val delta = poolStaged(root, staging, bloomsByFile = bloomsByFile)
+    // store)
+    val delta = poolStaged(root, staging,
+      bloomsByFile = bloomsFor(df.sparkSession, s"$root/$staging", bloomCols, expectedKeysPerFile))
     val prevV = latestVersion(root)
     val prev = if (prevV < 0) Nil else manifest(root, prevV)
     // add-column schema evolution: the next version's schema is the union
@@ -766,19 +785,24 @@ object Versioned {
     * changes, and time travel still reads every pre-compaction version
     * (the pre-compaction files stay pooled as long as a live manifest
     * lists them). Crash-safety is inherited from [[commit]] (data before
-    * marker). Returns the new version.
+    * marker). Compaction is exactly when the skipping indexes are worth
+    * (re)building — the z-ordered path records per-file stats (+
+    * `statsCols`), and `bloomCols` rebuilds bloom indexes on either path —
+    * so an OPTIMIZE never LOSES the pruning the table had (the real
+    * formats' behavior). Returns the new version.
     */
   def compact(
       spark: SparkSession,
       root: String,
       numFiles: Int = 1,
-      zorderCols: Seq[String] = Nil): Long = {
+      zorderCols: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
     val snap = latest(spark, root)
-    val laid =
-      if (zorderCols.nonEmpty)
-        graft.operators.Layout.zorderBy(snap, zorderCols, numFiles)
-      else snap.coalesce(numFiles)
-    commit(laid, root)
+    if (zorderCols.nonEmpty)
+      commitZordered(snap, root, zorderCols, numFiles,
+        statsCols = statsCols, bloomCols = bloomCols)
+    else commit(snap.coalesce(numFiles), root, bloomCols = bloomCols)
   }
 
   /** All committed versions, ascending — the table's readable history. */

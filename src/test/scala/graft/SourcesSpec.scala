@@ -607,5 +607,14 @@ class SourcesSpec extends SparkSuite {
     // … and the pre-compaction version still time-travels
     assert(Versioned.history(root) === Seq(0L, 1L))
     assert(snap(0).size === 500)
+    // OPTIMIZE rebuilds the skipping indexes instead of losing them: the
+    // z-ordered path records per-file stats, bloomCols adds bloom indexes
+    val v2 = Versioned.compact(spark, root, numFiles = 2,
+      zorderCols = Seq("k", "g"), bloomCols = Seq("k"))
+    val m2 = Versioned.manifest(root, v2)
+    assert(m2.forall(e => e.stats.keySet === Set("k", "g") && e.blooms.contains("k")))
+    val pr = Versioned.pointRead(spark, root, v2, "k", Seq("42"))
+    assert(pr.inputFiles.length === 1)
+    assert(pr.select("k").as[Long].collect().toSeq === Seq(42L))
   }
 }
