@@ -145,6 +145,45 @@ class VectorMatchSpec extends SparkSuite {
     assert(out === Map("user=1" -> 1.0, "user=2" -> 0.0))
   }
 
+  test("set ops and arithmetic match a brute-force model on random vectors") {
+    // differential fuzz: random instant vectors with random label subsets,
+    // every op checked against driver-side set/map arithmetic on the same
+    // match-key definition
+    val rnd = new scala.util.Random(7L)
+    for (round <- 0 until 3) {
+      def randVec(name: String, n: Int): Seq[(String, Seq[(String, String)], Double)] =
+        // distinct full label sets (duplicate series would collapse in the
+        // gauge registry upstream; set ops don't care, arithmetic raises)
+        rnd.shuffle((0 until 20).toList).take(n).map { i =>
+          val labels = Seq("user" -> s"u${i % 10}", "dc" -> (if (i < 10) "east" else "west"))
+          (name, labels, rnd.nextInt(100).toDouble)
+        }
+      val lRows = randVec("err", 2 + rnd.nextInt(8))
+      val rRows = randVec("cap", 2 + rnd.nextInt(8))
+      val l = vec(lRows)
+      val r = vec(rRows)
+      // model: match key = full label set, rendered like seriesKey
+      def key(ls: Seq[(String, String)]): String =
+        ls.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
+      val lKeys = lRows.map(t => key(t._2)).toSet
+      val rKeys = rRows.map(t => key(t._2)).toSet
+      def got(op: String): Set[String] =
+        Firehose.vectorSetOp(l, r, op).select("series").collect()
+          .map(_.getString(0)).toSet
+      assert(got("and") === (lKeys intersect rKeys), s"round=$round and")
+      assert(got("unless") === (lKeys diff rKeys), s"round=$round unless")
+      assert(got("or") === (lKeys union rKeys), s"round=$round or")
+      // arithmetic one-to-one on the same keys: sum matches the model map
+      val lVal = lRows.map(t => key(t._2) -> t._3).toMap
+      val rVal = rRows.map(t => key(t._2) -> t._3).toMap
+      val sums = Firehose.vectorMatch(l, r, (a, b) => a + b, out = "s")
+        .select("series", "s").collect()
+        .map(row => row.getString(0) -> row.getDouble(1)).toMap
+      val want = (lKeys intersect rKeys).map(k => k -> (lVal(k) + rVal(k))).toMap
+      assert(sums === want, s"round=$round arithmetic")
+    }
+  }
+
   test("fused same-source form equals the generic join form") {
     import spark.implicits._
     // windowed increases for two counters over shared (series, window) keys

@@ -32,6 +32,7 @@ class VersionedFuzzSpec extends SparkSuite {
       var nextKey = 0L
       // which ops produced each version, for change-feed checks
       val opKind = scala.collection.mutable.ArrayBuffer.empty[String]
+      val deletedKeys = scala.collection.mutable.ArrayBuffer.empty[Long]
 
       def current: Map[Long, String] = model.lastOption.flatten.getOrElse(Map.empty)
 
@@ -61,6 +62,7 @@ class VersionedFuzzSpec extends SparkSuite {
             val doomed = rnd.shuffle(live.keys.toSeq).take(1 + rnd.nextInt(2))
             Versioned.deleteCommit(spark, root, "k", doomed.map(_.toString))
             model += Some(current -- doomed)
+            deletedKeys ++= doomed
             opKind += "delete"
           case "compact" =>
             Versioned.compact(spark, root, numFiles = 1)
@@ -84,6 +86,24 @@ class VersionedFuzzSpec extends SparkSuite {
           val v = wantHistory(rnd.nextInt(wantHistory.length))
           assert(snapshotOf(root, v) === model(v.toInt).get,
             s"seed=$seed step=$step asOf($v)")
+        }
+        // point lookup (bloom × tombstone × compaction interplay): a live
+        // key reads its row, a never-issued key reads nothing
+        if (current.nonEmpty && rnd.nextInt(3) == 0) {
+          val v = Versioned.latestVersion(root)
+          val k = current.keys.toSeq(rnd.nextInt(current.size))
+          val hit = Versioned.pointRead(spark, root, v, "k", Seq(k.toString))
+            .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+          assert(hit === Map(k -> current(k)), s"seed=$seed step=$step point($k)")
+          assert(Versioned.pointRead(spark, root, v, "k",
+            Seq((nextKey + 1000).toString)).count() === 0L,
+            s"seed=$seed step=$step point-miss")
+          // a tombstoned key is unreachable even through the point path
+          if (deletedKeys.nonEmpty) {
+            val dk = deletedKeys(rnd.nextInt(deletedKeys.length))
+            assert(Versioned.pointRead(spark, root, v, "k", Seq(dk.toString))
+              .count() === 0L, s"seed=$seed step=$step point-deleted($dk)")
+          }
         }
       }
       // change feed across every retained append/delete boundary matches
