@@ -660,6 +660,54 @@ object Versioned {
     v + 1
   }
 
+  /** Predicate DELETE — the `DELETE WHERE` form: one scan of the latest
+    * snapshot (tombstones applied, so re-matching already-deleted rows is
+    * impossible) collects the DISTINCT keys the predicate dooms — O(delta)
+    * driver traffic by the same contract as [[deleteCommit]], which this
+    * delegates to for the tombstone commit itself. Returns the committed
+    * version, or -1 when the predicate matched nothing (no empty commit).
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      root: String,
+      keyCol: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    val doomed = latest(spark, root).filter(predicate)
+      .select(col(keyCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (doomed.isEmpty) -1L
+    else deleteCommit(spark, root, keyCol, doomed.sorted)
+  }
+
+  /** Drop columns as a METADATA-ONLY commit — the other half of schema
+    * evolution next to [[appendCommit]]'s add-column: the next version
+    * lists the SAME files with a schema missing `cols`; readers project
+    * the reduced schema (parquet ignores the extra file columns), so the
+    * commit costs one marker and time travel still reads every older
+    * version with its full schema. Dropping the tombstone key column is
+    * refused while unmaterialized tombstones reference it.
+    */
+  def dropColumns(root: String, cols: Seq[String]): Long = {
+    import org.apache.spark.sql.types.StructType
+    require(cols.nonEmpty, "need at least one column to drop")
+    val v = latestVersion(root)
+    require(v >= 0, s"no committed versions in $root")
+    val schema = markerSchema(root, v).getOrElse(throw new IllegalStateException(
+      s"version $v of $root has no recorded schema (legacy marker) — " +
+        "commit once through the schema-tracking path first"))
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"cannot drop '$c': not in the current schema"))
+    val delKey = deleteKeyOf(root, v)
+    delKey.foreach(k => require(!cols.contains(k),
+      s"cannot drop tombstone key column '$k'; compact() first"))
+    val remaining = StructType(schema.fields.filterNot(f => cols.contains(f.name)))
+    require(remaining.nonEmpty, "cannot drop every column")
+    writeMarker(root, v + 1, manifest(root, v),
+      schemaJson = Some(remaining.json), deleteKey = delKey)
+    v + 1
+  }
+
   /** The last two path components — a stable join key between manifest
     * paths and `input_file_name`'s absolute URIs (pool names are digest-
     * unique; legacy part files disambiguate by their version directory).

@@ -425,6 +425,36 @@ class SourcesSpec extends SparkSuite {
     assert(s1.select("k").as[Long].collect().toSet === Set(999L))
   }
 
+  test("versioned table: predicate deletes and metadata-only column drops") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-dw").toFile.getAbsolutePath
+    Versioned.commit(
+      (1L to 10L).map(i => (i, s"n$i", i * 10.0)).toDF("k", "name", "score")
+        .coalesce(2), root)
+    // DELETE WHERE: one scan collects doomed keys, tombstone commit follows
+    val v1 = Versioned.deleteWhere(spark, root, "k", col("score") > 70.0)
+    assert(v1 === 1L)
+    assert(Versioned.latest(spark, root).select("k").as[Long].collect().toSet ===
+      (1L to 7L).toSet)
+    // matching nothing commits nothing
+    assert(Versioned.deleteWhere(spark, root, "k", col("score") > 1000.0) === -1L)
+    assert(Versioned.latestVersion(root) === 1L)
+    // dropping the tombstone key is refused while tombstones reference it
+    intercept[IllegalArgumentException](Versioned.dropColumns(root, Seq("k")))
+    // a metadata-only drop: same files, reduced schema, O(1) commit
+    val before = Versioned.manifest(root, 1L).map(_.path)
+    val v2 = Versioned.dropColumns(root, Seq("score"))
+    assert(Versioned.manifest(root, v2).map(_.path) === before)
+    val dropped = Versioned.latest(spark, root)
+    assert(dropped.columns.toSeq === Seq("k", "name"))
+    assert(dropped.as[(Long, String)].collect().toSet ===
+      (1L to 7L).map(i => (i, s"n$i")).toSet)
+    // time travel still carries the full schema and the pre-delete rows
+    assert(Versioned.asOf(spark, root, 0L).columns.toSeq === Seq("k", "name", "score"))
+    assert(Versioned.asOf(spark, root, 0L).count() === 10L)
+  }
+
   test("versioned table: append may add columns; old versions read exact") {
     import spark.implicits._
     import graft.sources.Versioned
