@@ -687,6 +687,12 @@ object Versioned {
     * commit costs one marker and time travel still reads every older
     * version with its full schema. Dropping the tombstone key column is
     * refused while unmaterialized tombstones reference it.
+    *
+    * Column identity is NAME-BASED (parquet/mergeSchema semantics, not
+    * Delta's column-mapping ids): re-adding a dropped name via a later
+    * [[appendCommit]] RESURRECTS its values in files that still carry the
+    * column physically — [[compact]] after the drop materializes the
+    * reduced schema into the files if a clean re-add is needed.
     */
   def dropColumns(root: String, cols: Seq[String]): Long = {
     import org.apache.spark.sql.types.StructType
@@ -801,8 +807,12 @@ object Versioned {
         .withColumn("_change_type", lit("delete"))
     }
     val all = parts.result()
-    require(all.nonEmpty, s"no changes between $fromV and $toV in $root")
-    all.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (all.isEmpty)
+      // metadata-only span (schema change, no-op delete): an EMPTY feed,
+      // not an error — CDC consumers poll unconditionally
+      asOf(spark, root, toV).withColumn("_change_type", lit("insert"))
+        .filter(lit(false))
+    else all.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** The latest committed snapshot. */

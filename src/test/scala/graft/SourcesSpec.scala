@@ -453,6 +453,8 @@ class SourcesSpec extends SparkSuite {
     // time travel still carries the full schema and the pre-delete rows
     assert(Versioned.asOf(spark, root, 0L).columns.toSeq === Seq("k", "name", "score"))
     assert(Versioned.asOf(spark, root, 0L).count() === 10L)
+    // the change feed across a metadata-only boundary is EMPTY, not an error
+    assert(Versioned.changesBetween(spark, root, 1L, v2).count() === 0L)
   }
 
   test("versioned table: append may add columns; old versions read exact") {
@@ -553,6 +555,43 @@ class SourcesSpec extends SparkSuite {
       Set(1L, 2L, 3L, 5L, 6L, 7L))
     // point lookups apply tombstones like every read
     assert(Versioned.pointRead(spark, root, v4, "k", Seq("4")).count() === 0L)
+  }
+
+  test("streaming delete events land as tombstone commits per micro-batch") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-sdel").toFile.getAbsolutePath
+    Versioned.commit(
+      (1L to 6L).map(i => (i, s"n$i")).toDF("k", "name").coalesce(2), root)
+    val dir = Files.createTempDirectory("graft-sdelsrc").toFile
+    val chk = Files.createTempDirectory("graft-sdelchk").toFile
+    Files.write(dir.toPath.resolve("b1.json"), """{"k": 2}""".getBytes)
+    // the GDPR/CDC wipe loop: each micro-batch's keys land as ONE O(delta)
+    // tombstone commit — no file rewritten, history per batch (the delete
+    // set is delta-bounded by contract, so the driver-side key collect is)
+    val q = spark.readStream.schema("k BIGINT").json(dir.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val keys = batch.select(col("k").cast("string"))
+          .collect().map(_.getString(0)).toSeq
+        if (keys.nonEmpty) { Versioned.deleteCommit(spark, root, "k", keys); () }
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(Versioned.latest(spark, root).select("k").as[Long].collect().toSet ===
+        Set(1L, 3L, 4L, 5L, 6L))
+      Files.write(dir.toPath.resolve("b2.json"), """{"k": 5}""".getBytes)
+      q.processAllAvailable()
+      assert(Versioned.latest(spark, root).select("k").as[Long].collect().toSet ===
+        Set(1L, 3L, 4L, 6L))
+      // tombstones accumulated across batches; every version time-travels
+      assert(Versioned.history(root) === Seq(0L, 1L, 2L))
+      assert(Versioned.manifest(root, 2L).flatMap(_.deletes).toSet === Set("2", "5"))
+      assert(Versioned.asOf(spark, root, 1L).count() === 5L)
+      assert(Versioned.asOf(spark, root, 0L).count() === 6L)
+    } finally q.stop()
   }
 
   test("stage landing is a readable single-version Versioned table") {
