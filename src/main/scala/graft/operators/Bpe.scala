@@ -95,6 +95,33 @@ object Bpe {
   val referenceMerges: Seq[(String, String)] = Seq(
     ("a", "b"), ("t", "ab"), ("l", "e"), ("s", "c"), ("r", "o"))
 
+  /** Persist a trained merge table as a Versioned table — tokenizers are
+    * trained once and applied for the life of a data mix, so the merges
+    * belong in versioned storage next to the corpora they tokenize (and
+    * retraining is just the next version; time travel reproduces any
+    * historical budget computation exactly). Returns the committed version.
+    */
+  def saveMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)],
+      root: String): Long = {
+    import spark.implicits._
+    graft.sources.Versioned.commit(
+      merges.zipWithIndex
+        .map { case ((l, r), i) => (i.toLong, l, r) }
+        .toDF("rank", "left", "right").coalesce(1),
+      root)
+  }
+
+  /** The merge table of `root`'s latest version (or `asOf` a version via
+    * [[graft.sources.Versioned.asOf]] + this ordering), in rank order.
+    */
+  def loadMerges(
+      spark: org.apache.spark.sql.SparkSession, root: String): Seq[(String, String)] =
+    graft.sources.Versioned.latest(spark, root)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
   /** Per-document exact token counts under `merges` — one codegen'd kernel
     * call per row, no shuffle at all.
     */

@@ -88,6 +88,21 @@ class BpeSpec extends SparkSuite {
     assert(Kernels.bpeApply("tab", casc.reverse).toSeq === Seq("t", "ab"))
   }
 
+  test("merge tables round-trip through versioned storage") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val trained = Bpe.train(docs, numMerges = 6, minFreq = 2)
+    val root = java.nio.file.Files.createTempDirectory("graft-bpem")
+      .toFile.getAbsolutePath
+    Bpe.saveMerges(spark, trained, root)
+    assert(Bpe.loadMerges(spark, root) === trained)
+    // counts under the loaded table are identical to the trained one
+    val a = Bpe.tokenCounts(docs, trained).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Bpe.tokenCounts(docs, Bpe.loadMerges(spark, root)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
   test("codegen'd counts equal reference counts; trained merges shrink them") {
     import spark.implicits._
     val texts = Seq(

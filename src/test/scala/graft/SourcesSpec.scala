@@ -633,7 +633,12 @@ class SourcesSpec extends SparkSuite {
         // an O(delta) manifest commit — the durable form of the p8 stage
         // landing (cross-batch dedup is d10's incremental job, not the gate's)
         val gated = Curate.qualityGate(batch)
-        if (!gated.isEmpty) { Versioned.appendCommit(gated, root); () }
+        // bloom-indexed landing: the ingest loop's manifests carry the
+        // point-lookup index from the start (no later OPTIMIZE needed)
+        if (!gated.isEmpty) {
+          Versioned.appendCommit(gated, root,
+            bloomCols = Seq("doc_id"), expectedKeysPerFile = 1024L); ()
+        }
       }
       .start()
     try {
@@ -654,6 +659,10 @@ class SourcesSpec extends SparkSuite {
         .collect().map(_.getLong(0)).toSet === Set(1L, 10L))
       // time travel still shows the first ingest exactly
       assert(Versioned.asOf(spark, root, 0L).count() === 1L)
+      // the landed manifests carry blooms; a point lookup skips to 1 file
+      assert(Versioned.manifest(root, 1L).forall(_.blooms.contains("doc_id")))
+      val pr = Versioned.pointRead(spark, root, 1L, "doc_id", Seq("10"))
+      assert(pr.inputFiles.length === 1 && pr.count() === 1L)
     } finally q.stop()
   }
 
