@@ -419,6 +419,41 @@ object SparkEntry {
         (e, v) => when(e > v, e),
         valueCol = "last_value", out = "value")
     }),
+    // ---- m32: the PromQL TEXT front-end (graft.promql) — the same
+    // expressions a Prometheus user writes, parsed + compiled onto the
+    // verified operator machinery. Each entry is a STRING, end-to-end:
+    // lexer → AST → Spark plan → oracle-checked rows.
+    // range function with a regex matcher, from text
+    "m32_promql_increase" -> ((s, dir) =>
+      promql.PromQl.compile(
+        """increase(view_total{user=~"1.*"}[1h])""",
+        Firehose.metricsFromEvents(s, dir))),
+    // cross-metric aggregation: sum by (user) over every *_total series
+    "m32_promql_agg" -> ((s, dir) =>
+      promql.PromQl.compile(
+        """sum by (user) (increase({__name__=~".*_total"}[1h]))""",
+        Firehose.metricsFromEvents(s, dir))),
+    // vector/vector arithmetic with a comparison-filtered denominator —
+    // the PromQL-idiomatic zero-guard (the > 0 filter drops the pair)
+    "m32_promql_ratio" -> ((s, dir) =>
+      promql.PromQl.compile(
+        "increase(error_total[1h]) / (increase(view_total[1h]) > 0)",
+        Firehose.metricsFromEvents(s, dir))),
+    // set op from text: errors unless the high-traffic view windows
+    "m32_promql_unless" -> ((s, dir) =>
+      promql.PromQl.compile(
+        "increase(error_total[1h]) unless (increase(view_total[1h]) > 10)",
+        Firehose.metricsFromEvents(s, dir))),
+    // subquery: hourly increases range-aggregated over 6h outer windows
+    "m32_promql_subquery" -> ((s, dir) =>
+      promql.PromQl.compile(
+        "max_over_time(increase(view_total[1h])[6h:1h])",
+        Firehose.metricsFromEvents(s, dir))),
+    // composed flagship: topk over a grouped sum of a compiled range fn
+    "m32_promql_topk" -> ((s, dir) =>
+      promql.PromQl.compile(
+        "topk(3, sum by (user) (increase(view_total[1h])))",
+        Firehose.metricsFromEvents(s, dir))),
     // per-source gopher-rule failure funnel
     "t18_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
@@ -1876,6 +1911,67 @@ object SparkEntry {
         |  ON e.component = v.component AND e.series = v.series
         |WHERE e.name = 'error_total' AND v.name = 'view_total'
         |  AND e.last_value > v.last_value""".stripMargin,
+    // ---- m32: compiled-PromQL oracles. Each mirrors the TEXT query the
+    // engine compiles; the increase CTE is the shared m9 fragment, so a
+    // compiler bug cannot hide behind an oracle written to match it.
+    // increase(view_total{user=~"1.*"}[1h]) — the matcher filters whole
+    // series, so filtering the windowed relation is equivalent
+    "m32_promql_increase" ->
+      (IncreaseCte(3600) +
+        """SELECT component, name, series, win_start, increase AS value
+          |FROM win WHERE name = 'view_total' AND series LIKE 'user=1%'""".stripMargin),
+    // sum by (user) (increase({__name__=~".*_total"}[1h])): cross-metric
+    // regroup — the aggregation drops the name (PromQL) and sums the
+    // exact-decimal increases
+    "m32_promql_agg" ->
+      (IncreaseCte(3600) +
+        """SELECT component, '' AS name, series, win_start,
+          |  CAST(sum(CAST(increase AS DECIMAL(26,6))) AS DOUBLE) AS value
+          |FROM win GROUP BY 1, 2, 3, 4""".stripMargin),
+    // increase(error_total[1h]) / (increase(view_total[1h]) > 0): the
+    // comparison filter IS the zero-guard; one-to-one match on the full
+    // label set drops the name and keeps the match labels
+    "m32_promql_ratio" ->
+      (IncreaseCte(3600) +
+        """SELECT e.component, '' AS name, e.series, e.win_start,
+          |  e.increase / v.increase AS value
+          |FROM win e JOIN win v
+          |  ON e.component = v.component AND e.series = v.series
+          | AND e.win_start = v.win_start
+          |WHERE e.name = 'error_total' AND v.name = 'view_total'
+          |  AND v.increase > 0""".stripMargin),
+    // increase(error_total[1h]) unless (increase(view_total[1h]) > 10):
+    // left-anti on (component, full-label key, window); left rows intact
+    "m32_promql_unless" ->
+      (IncreaseCte(3600) +
+        """SELECT component, name, series, win_start, increase AS value
+          |FROM win e WHERE name = 'error_total' AND NOT EXISTS (
+          |  SELECT 1 FROM win v WHERE v.name = 'view_total'
+          |    AND v.increase > 10 AND v.component = e.component
+          |    AND v.series = e.series AND v.win_start = e.win_start)""".stripMargin),
+    // max_over_time(increase(view_total[1h])[6h:1h]): the m30 tiling —
+    // inner hourly increases, outer max per 6h window (max commutes, no
+    // decimal detour needed)
+    "m32_promql_subquery" ->
+      (IncreaseCte(3600) +
+        """SELECT component, name, series,
+          |  win_start - win_start % 21600 AS win_start,
+          |  max(increase) AS value
+          |FROM win WHERE name = 'view_total' GROUP BY 1, 2, 3, 4""".stripMargin),
+    // topk(3, sum by (user) (increase(view_total[1h]))): rank over the
+    // regrouped exact sums; ties break on (name, series) in both engines
+    "m32_promql_topk" ->
+      (IncreaseCte(3600) +
+        """, agg AS (
+          |  SELECT component, '' AS name, series, win_start,
+          |    CAST(sum(CAST(increase AS DECIMAL(26,6))) AS DOUBLE) AS value
+          |  FROM win WHERE name = 'view_total' GROUP BY 1, 2, 3, 4),
+          |r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY component, win_start
+          |    ORDER BY value DESC, name, series) AS rnk
+          |  FROM agg)
+          |SELECT component, name, series, win_start, value
+          |FROM r WHERE rnk <= 3""".stripMargin),
     // decimal sums make avg/stdvar derive from order-independent
     // numerators; variance via the algebraic form over those exact sums
     "m24_over_time" ->

@@ -1,0 +1,776 @@
+package graft.promql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Firehose
+
+/** Compile-time error: the expression parsed but the engine cannot (or
+  * deliberately does not) evaluate it.
+  */
+final case class PromQlCompileException(msg: String) extends RuntimeException(msg)
+
+/** PromQL → Spark plan compiler over the landed metric stream.
+  *
+  * The reference firehose is the ingest half of a Prometheus deployment
+  * (AbstractPrometheusFirehose.java renders gauges for a Prometheus
+  * server to scrape and query); this is the query half, engine-side: the
+  * text a Prometheus user writes, compiled onto the SAME verified
+  * machinery the hand-built operators use — [[Firehose.seriesKey]] for
+  * series identity, [[Firehose.vectorMatchKey]] for `on()`/`ignoring()`
+  * matching, [[Firehose.tagFilter]] for the label contract — so the
+  * string front-end and the programmatic API cannot drift (spec-pinned
+  * equalities against [[Firehose.counterIncrease]],
+  * [[Firehose.overTimeAgg]], [[Firehose.quantileOverTime]],
+  * [[Firehose.vectorMatch]] and [[Firehose.vectorSetOp]]).
+  *
+  * == Evaluation model ==
+  *
+  * A RANGE QUERY over the landed stream with tumbling evaluation: every
+  * expression evaluates to an instant vector PER WINDOW — a relation
+  * `(component, name, labels, win_start, value)`. Instant selectors take
+  * the window's latest sample per series (the `last_over_time` lookback,
+  * window-quantized); a range function `f(x[R])` evaluates on tumbling
+  * windows of its own range `R`; a subquery `expr[R:s]` evaluates the
+  * inner expression on its `s` grid and range-aggregates those samples
+  * over `R` windows (`s` must tile `R` — the m30 tiling argument).
+  * `stepSec` sets the instant-selector window and the default subquery
+  * step. Prometheus's sliding `R > step` evaluation is the
+  * [[Firehose.slidingWindowAgg]] generalization, out of scope here.
+  *
+  * == Scale shape ==
+  *
+  * Every construct compiles to the same plan the hand-built operator
+  * carries: selectors and `*_over_time` are ONE map-side-combinable
+  * aggregation; `rate`/`increase` are one window-function shuffle by
+  * series + one combinable aggregation; vector binary ops are one
+  * equi-join on (component, window, match key) whose registry-sized side
+  * broadcasts under AQE, with PromQL's many-to-many error enforced as a
+  * codegen'd `raise_error` riding the join's own hash layout; `topk` is
+  * a rank window over the already-aggregated (series × windows)-bounded
+  * relation. Nothing collects to the driver.
+  *
+  * == Documented divergences from Prometheus ==
+  *
+  *  - Engine relations carry identity explicitly: value-transforming
+  *    functions and vector-scalar arithmetic KEEP the metric name column
+  *    (PromQL drops `__name__` — a UI signal, lossy here; same rationale
+  *    as [[Firehose.vectorMatch]]'s kept left name). Aggregations and
+  *    one-to-one vector arithmetic DO drop it (their identity is the
+  *    grouped/matched label subset, per PromQL).
+  *  - Sums quantize addends to exact decimals (6 dp; squares 12 dp)
+  *    so aggregates are order-independent and engine-portable — the
+  *    discipline every exact-sum operator in the library uses.
+  *  - `/` by zero yields ±Inf/NaN explicitly (IEEE, like PromQL) rather
+  *    than relying on engine-specific division semantics.
+  *  - Exact quantiles ride the bounded per-group multiset and round to
+  *    4 dp ([[Firehose.quantileOverTime]]'s portability contract).
+  *  - Unsupported (compile error, never silently wrong): `absent`,
+  *    `sort`/`sort_desc` (presentation-only), `time`/`scalar`/`vector`,
+  *    `holt_winters` (use [[Firehose.holtWinters]]), native histograms.
+  */
+object PromQlCompiler {
+
+  private val comparisons = Set("==", "!=", "<", ">", "<=", ">=")
+  private val setOps = Set("and", "or", "unless")
+
+  private sealed trait Value
+  private final case class Scal(v: Double) extends Value
+  private final case class Vec(df: DataFrame) extends Value
+
+  /** Compile to the rendered relation `(component, name, series,
+    * win_start, value)` — series is the canonical
+    * [[Firehose.seriesKey]] rendering of the result labels.
+    */
+  def compile(query: String, metrics: DataFrame, stepSec: Long = 3600L): DataFrame =
+    compileVector(query, metrics, stepSec)
+      .select(
+        col("component"), col("name"),
+        Firehose.seriesKey(col("labels")).as("series"),
+        col("win_start"), col("value"))
+
+  /** Compile to the labels-map relation `(component, name, labels,
+    * win_start, value)`.
+    */
+  def compileVector(query: String, metrics: DataFrame, stepSec: Long = 3600L): DataFrame = {
+    val labeled =
+      if (metrics.columns.contains("labels")) metrics else Firehose.tagFilter(metrics)
+    new Eval(labeled, stepSec).evalVec(PromQlParser.parse(query))
+  }
+
+  private def err(msg: String): Nothing = throw PromQlCompileException(msg)
+
+  private final class Eval(metrics: DataFrame, stepSec: Long) {
+
+    private def winStart(ts: Column, w: Long): Column =
+      (ts - pmod(ts, lit(w))).cast("long")
+
+    private def labelVal(m: LabelMatcher): Column =
+      if (m.label == "__name__") col("name")
+      else coalesce(try_element_at(col("labels"), lit(m.label)), lit(""))
+
+    /** PromQL regexes are fully anchored. */
+    private def anchored(re: String): String = "^(?:" + re + ")$"
+
+    private def matcherPred(m: LabelMatcher): Column = m.op match {
+      case MatchOp.Eq => labelVal(m) === lit(m.value)
+      case MatchOp.Neq => labelVal(m) =!= lit(m.value)
+      case MatchOp.Re => labelVal(m).rlike(anchored(m.value))
+      case MatchOp.NotRe => !labelVal(m).rlike(anchored(m.value))
+    }
+
+    /** Matcher-filtered raw samples of a selector, with `offset` applied
+      * as a forward timestamp shift (a sample at t surfaces at evaluation
+      * time t + offset — PromQL's look-back, window-quantized).
+      */
+    private def samples(sel: VectorSelector): DataFrame = {
+      val named = sel.name match {
+        case Some(n) => metrics.filter(col("name") === lit(n))
+        case None =>
+          if (sel.matchers.isEmpty) err("selector needs a name or at least one matcher")
+          metrics
+      }
+      val filtered = sel.matchers.foldLeft(named)((df, m) => df.filter(matcherPred(m)))
+      if (sel.offsetSec == 0) filtered
+      else filtered.withColumn("timestamp", col("timestamp") + lit(sel.offsetSec))
+    }
+
+    /** Instant selector: the window's latest sample per series — one
+      * map-side-combinable `max_by` aggregation ([[Firehose.gaugeLatest]]
+      * per window).
+      */
+    private def instant(sel: VectorSelector): DataFrame =
+      samples(sel)
+        .withColumn("win_start", winStart(col("timestamp"), stepSec))
+        .groupBy(
+          col("component"), col("name"),
+          Firehose.seriesKey(col("labels")).as("_sk"), col("win_start"))
+        .agg(
+          any_value(col("labels")).as("labels"),
+          max_by(col("value"), struct(col("timestamp"), col("id"))).as("value"))
+        .select("component", "name", "labels", "win_start", "value")
+
+    /** Range-vector argument of a range function: either a range selector
+      * (raw samples, range R) or a subquery (the inner expression's
+      * per-window samples re-fed as a series sampled on its step grid —
+      * `rate(x[1h:5m])` is legal PromQL and works here for free).
+      * Returns (samples-with-(timestamp,id), R).
+      */
+    private def rangeSamples(fnName: String, arg: PromExpr): (DataFrame, Long) = arg match {
+      case RangeSelector(sel, r) =>
+        (samples(sel).select(
+          col("component"), col("name"), col("labels"),
+          col("timestamp"), col("id"), col("value")), r)
+      case Subquery(inner, r, step) =>
+        val s = step.getOrElse(stepSec)
+        if (r % s != 0) err(s"subquery step ${s}s must tile the range ${r}s")
+        val inner0 = new Eval(metrics, s).evalVec(inner)
+        (inner0.select(
+          col("component"), col("name"), col("labels"),
+          col("win_start").as("timestamp"), lit("").as("id"), col("value")), r)
+      case _ => err(s"$fnName expects a range vector (x[5m] or a subquery)")
+    }
+
+    private def withSeriesWin(df: DataFrame, w: Long): DataFrame =
+      df.withColumn("series", Firehose.seriesKey(col("labels")))
+        .withColumn("win_start", winStart(col("timestamp"), w))
+
+    private val rangeKeys =
+      Seq(col("component"), col("name"), col("series"), col("win_start"))
+
+    private def out(df: DataFrame, valueCol: Column): DataFrame =
+      df.select(
+        col("component"), col("name"), col("labels"), col("win_start"),
+        valueCol.cast("double").as("value"))
+
+    /** `increase`/`rate`: [[Firehose.counterIncrease]]'s exact shape —
+      * reset-clamped deltas over the FULL series order (a delta is
+      * attributed to the window of its later sample, the tiling property
+      * m14/m30 build on), summed per window in exact decimals.
+      */
+    private def increase(ds: DataFrame, r: Long, asRate: Boolean): DataFrame = {
+      val w = Window
+        .partitionBy(col("component"), col("name"), col("series"))
+        .orderBy(col("timestamp"), col("id"))
+      val agg = withSeriesWin(ds, r)
+        .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+        .withColumn(
+          "inc",
+          when(col("delta").isNull, lit(0.0))
+            .when(col("delta") < 0, col("value"))
+            .otherwise(col("delta")))
+        .groupBy(rangeKeys: _*)
+        .agg(
+          any_value(col("labels")).as("labels"),
+          sum(col("inc").cast("decimal(18,6)")).cast("double").as("_inc"))
+      out(agg, if (asRate) col("_inc") / lit(r.toDouble) else col("_inc"))
+    }
+
+    /** The one-aggregation `*_over_time` family
+      * ([[Firehose.overTimeAgg]]'s numeric discipline: exact-decimal
+      * sums, algebraic variance clamped at zero).
+      */
+    private def overTime(ds: DataFrame, r: Long, fn: String, q: Double): DataFrame = {
+      val dv = col("value").cast("decimal(18,6)")
+      val n = col("_n").cast("double")
+      val agg = withSeriesWin(ds, r)
+        .groupBy(rangeKeys: _*)
+        .agg(
+          any_value(col("labels")).as("labels"),
+          count(lit(1)).as("_n"),
+          min(col("value")).as("_min"),
+          max(col("value")).as("_max"),
+          sum(dv).cast("double").as("_sum"),
+          sum((dv * dv).cast("decimal(38,12)")).cast("double").as("_sumsq"),
+          max_by(col("value"), struct(col("timestamp"), col("id"))).as("_last"),
+          round(percentile(col("value"), lit(q)), 4).as("_q"))
+      val stdvar =
+        greatest((col("_sumsq") - col("_sum") * col("_sum") / n) / n, lit(0.0))
+      out(agg, fn match {
+        case "sum_over_time" => col("_sum")
+        case "min_over_time" => col("_min")
+        case "max_over_time" => col("_max")
+        case "count_over_time" => n
+        case "avg_over_time" => col("_sum") / n
+        case "last_over_time" => col("_last")
+        case "stdvar_over_time" => stdvar
+        case "stddev_over_time" => sqrt(stdvar)
+        case "present_over_time" => lit(1.0)
+        case "quantile_over_time" => col("_q")
+      })
+    }
+
+    /** `delta`/`idelta`/`irate`: [[Firehose.irateDelta]]'s endpoint
+      * family — first/last/second-to-last located by one row_number +
+      * count sharing a single exchange; <2-sample windows emit nothing.
+      */
+    private def endpoints(ds: DataFrame, r: Long, fn: String): DataFrame = {
+      val keys = rangeKeys
+      val wAsc = Window.partitionBy(keys: _*).orderBy(col("timestamp"), col("id"))
+      val wAll = Window.partitionBy(keys: _*)
+      val agg = withSeriesWin(ds, r)
+        .withColumn("rn", row_number().over(wAsc))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .groupBy(keys: _*)
+        .agg(
+          any_value(col("labels")).as("labels"),
+          count(lit(1)).as("_n"),
+          min(when(col("rn") === 1, col("value"))).as("_first"),
+          min(when(col("rn") === col("cnt"), col("value"))).as("_last"),
+          min(when(col("rn") === col("cnt"), col("timestamp"))).as("_last_ts"),
+          min(when(col("rn") === col("cnt") - 1, col("value"))).as("_prev"),
+          min(when(col("rn") === col("cnt") - 1, col("timestamp"))).as("_prev_ts"))
+      val v = fn match {
+        case "delta" => when(col("_n") >= 2, col("_last") - col("_first"))
+        case "idelta" => when(col("_n") >= 2, col("_last") - col("_prev"))
+        case "irate" =>
+          when(col("_n") >= 2 && col("_last_ts") =!= col("_prev_ts"),
+            when(col("_last") < col("_prev"), col("_last"))
+              .otherwise(col("_last") - col("_prev")) /
+              (col("_last_ts") - col("_prev_ts")).cast("double"))
+      }
+      out(agg, v).filter(col("value").isNotNull)
+    }
+
+    /** `resets`/`changes`: transitions between consecutive samples WITHIN
+      * the window (PromQL considers only the range's own samples).
+      */
+    private def transitions(ds: DataFrame, r: Long, fn: String): DataFrame = {
+      val wsw = withSeriesWin(ds, r)
+      val w = Window.partitionBy(rangeKeys: _*).orderBy(col("timestamp"), col("id"))
+      val pred = fn match {
+        case "resets" => col("value") < col("_prev")
+        case "changes" => col("value") =!= col("_prev")
+      }
+      val agg = wsw
+        .withColumn("_prev", lag(col("value"), 1).over(w))
+        .groupBy(rangeKeys: _*)
+        .agg(
+          any_value(col("labels")).as("labels"),
+          sum((col("_prev").isNotNull && pred).cast("long")).as("_c"))
+      out(agg, col("_c"))
+    }
+
+    private val overTimeFns = Set(
+      "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
+      "count_over_time", "last_over_time", "stddev_over_time",
+      "stdvar_over_time", "present_over_time", "quantile_over_time")
+
+    private def scalarArg(e: PromExpr, what: String): Double = eval(e) match {
+      case Scal(v) => v
+      case _ => err(s"$what must be a scalar")
+    }
+
+    private def evalCall(fn: String, args: Seq[PromExpr]): Value = fn match {
+      case "rate" | "increase" =>
+        require1(fn, args)
+        val (ds, r) = rangeSamples(fn, args.head)
+        Vec(increase(ds, r, asRate = fn == "rate"))
+      case "delta" | "idelta" | "irate" =>
+        require1(fn, args)
+        val (ds, r) = rangeSamples(fn, args.head)
+        Vec(endpoints(ds, r, fn))
+      case "resets" | "changes" =>
+        require1(fn, args)
+        val (ds, r) = rangeSamples(fn, args.head)
+        Vec(transitions(ds, r, fn))
+      case "quantile_over_time" =>
+        if (args.length != 2) err(s"$fn expects (scalar, range-vector)")
+        val q = scalarArg(args(0), s"$fn quantile")
+        val (ds, r) = rangeSamples(fn, args(1))
+        Vec(overTime(ds, r, fn, q))
+      case f if overTimeFns(f) =>
+        require1(fn, args)
+        val (ds, r) = rangeSamples(fn, args.head)
+        Vec(overTime(ds, r, f, 0.5))
+      case "abs" => mapFn(fn, args)(abs)
+      case "ceil" => mapFn(fn, args)(ceil(_).cast("double"))
+      case "floor" => mapFn(fn, args)(floor(_).cast("double"))
+      case "sqrt" => mapFn(fn, args)(sqrt)
+      case "exp" => mapFn(fn, args)(exp)
+      case "ln" => mapFn(fn, args)(log)
+      case "log2" => mapFn(fn, args)(log2)
+      case "log10" => mapFn(fn, args)(log10)
+      case "sgn" => mapFn(fn, args)(signum)
+      case "round" =>
+        val to = if (args.length == 2) scalarArg(args(1), "round to_nearest") else 1.0
+        if (to <= 0) err("round to_nearest must be positive")
+        mapFn(fn, args.take(1))(v => round(v / lit(to), 0) * lit(to))
+      case "clamp" =>
+        if (args.length != 3) err("clamp expects (vector, min, max)")
+        val lo = scalarArg(args(1), "clamp min")
+        val hi = scalarArg(args(2), "clamp max")
+        mapFn(fn, args.take(1))(v => least(greatest(v, lit(lo)), lit(hi)))
+      case "clamp_min" =>
+        if (args.length != 2) err("clamp_min expects (vector, min)")
+        val lo = scalarArg(args(1), "clamp_min min")
+        mapFn(fn, args.take(1))(v => greatest(v, lit(lo)))
+      case "clamp_max" =>
+        if (args.length != 2) err("clamp_max expects (vector, max)")
+        val hi = scalarArg(args(1), "clamp_max max")
+        mapFn(fn, args.take(1))(v => least(v, lit(hi)))
+      case "label_replace" => labelReplace(args)
+      case "label_join" => labelJoin(args)
+      case "histogram_quantile" =>
+        if (args.length != 2) err("histogram_quantile expects (scalar, vector)")
+        val q = scalarArg(args(0), "histogram_quantile quantile")
+        Vec(histogramQuantile(q, vecArg(args(1), fn)))
+      case other =>
+        err(s"unsupported function '$other' " +
+          "(absent/sort/time/scalar/vector/holt_winters are out of compiler scope)")
+    }
+
+    private def require1(fn: String, args: Seq[PromExpr]): Unit =
+      if (args.length != 1) err(s"$fn expects exactly one argument")
+
+    private def vecArg(e: PromExpr, fn: String): DataFrame = eval(e) match {
+      case Vec(df) => df
+      case _ => err(s"$fn expects an instant vector argument")
+    }
+
+    private def mapFn(fn: String, args: Seq[PromExpr])(f: Column => Column): Value = {
+      require1(fn, args)
+      val v = vecArg(args.head, fn)
+      Vec(v.withColumn("value", f(col("value")).cast("double")))
+    }
+
+    /** `label_replace(v, dst, repl, src, regex)` — dst written only when
+      * the anchored regex matches src's value; an empty replacement
+      * result REMOVES dst (PromQL's label-deletion idiom).
+      */
+    private def labelReplace(args: Seq[PromExpr]): Value = {
+      val Seq(dst, repl, src, re) = stringArgs(args.drop(1), 4, "label_replace")
+      val v = vecArg(args.head, "label_replace")
+      val srcVal = coalesce(try_element_at(col("labels"), lit(src)), lit(""))
+      val matches = srcVal.rlike(anchored(re))
+      val newVal = regexp_replace(srcVal, anchored(re), repl)
+      val withDst = when(newVal === "",
+        map_filter(col("labels"), (k, _) => k =!= lit(dst)))
+        .otherwise(map_concat(
+          map_filter(col("labels"), (k, _) => k =!= lit(dst)),
+          map(lit(dst), newVal)))
+      Vec(v.withColumn("labels", when(matches, withDst).otherwise(col("labels"))))
+    }
+
+    /** `label_join(v, dst, sep, src...)` — missing source labels join as
+      * empty strings, per PromQL.
+      */
+    private def labelJoin(args: Seq[PromExpr]): Value = {
+      if (args.length < 3) err("label_join expects (vector, dst, sep, src...)")
+      val strs = stringArgs(args.drop(1), args.length - 1, "label_join")
+      val dst = strs.head
+      val sep = strs(1)
+      val srcs = strs.drop(2)
+      val v = vecArg(args.head, "label_join")
+      val joined = concat_ws(
+        sep,
+        srcs.map(s => coalesce(try_element_at(col("labels"), lit(s)), lit(""))): _*)
+      Vec(v.withColumn(
+        "labels",
+        when(joined === "", map_filter(col("labels"), (k, _) => k =!= lit(dst)))
+          .otherwise(map_concat(
+            map_filter(col("labels"), (k, _) => k =!= lit(dst)),
+            map(lit(dst), joined)))))
+    }
+
+    private def stringArgs(args: Seq[PromExpr], n: Int, fn: String): Seq[String] = {
+      if (args.length != n) err(s"$fn: expected $n string arguments")
+      args.map {
+        case StringLit(s) => s
+        case _ => err(s"$fn: arguments after the vector must be string literals")
+      }
+    }
+
+    /** `histogram_quantile(q, v)` over a classic cumulative-`le`-bucket
+      * vector: per (component, window, labels-minus-le) group, locate the
+      * first bucket whose cumulative count reaches q·total and
+      * interpolate linearly ([[Firehose.histogramQuantile]]'s math; +Inf
+      * falls back to the highest finite boundary). One shuffle by group;
+      * bucket counts per group are boundary-bounded.
+      */
+    private def histogramQuantile(q: Double, v: DataFrame): DataFrame = {
+      val grpLabels = map_filter(col("labels"), (k, _) => k =!= lit("le"))
+      val leStr = coalesce(try_element_at(col("labels"), lit("le")), lit(""))
+      val leNum = when(leStr.isin("+Inf", "Inf", "inf"), lit(Double.PositiveInfinity))
+        .otherwise(leStr.cast("double"))
+      val base = v.select(
+        col("component"), col("win_start"),
+        grpLabels.as("labels"),
+        Firehose.seriesKey(grpLabels).as("_gk"),
+        leNum.as("_le"), col("value"))
+        .filter(col("_le").isNotNull)
+      val grp = Seq(col("component"), col("win_start"), col("_gk"))
+      val byLe = Window.partitionBy(grp: _*).orderBy(col("_le"))
+      val whole = Window.partitionBy(grp: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      base
+        .withColumn("_prev_cum", coalesce(lag(col("value"), 1).over(byLe), lit(0.0)))
+        .withColumn("_lo", coalesce(lag(col("_le"), 1).over(byLe), lit(0.0)))
+        .withColumn("_total", max(col("value")).over(whole))
+        .withColumn("_rank", lit(q) * col("_total"))
+        .filter(col("value") >= col("_rank"))
+        .withColumn("_rn", row_number().over(byLe))
+        .filter(col("_rn") === 1)
+        .select(
+          col("component"), lit("").as("name"), col("labels"), col("win_start"),
+          when(col("_le") === lit(Double.PositiveInfinity), col("_lo"))
+            .otherwise(
+              col("_lo") + (col("_le") - col("_lo")) *
+                ((col("_rank") - col("_prev_cum")) /
+                  (col("value") - col("_prev_cum"))))
+            .as("value"))
+    }
+
+    // ---- aggregation operators ----
+
+    private def groupLabels(g: AggGroup): Column = g match {
+      case AggGroup.All => map_filter(map(lit(""), lit("")), (_, _) => lit(false))
+      case AggGroup.By(ls) =>
+        val keep = array(ls.map(lit): _*)
+        map_filter(col("labels"), (k, _) => array_contains(keep, k))
+      case AggGroup.Without(ls) =>
+        val drop = array(ls.map(lit): _*)
+        map_filter(col("labels"), (k, _) => !array_contains(drop, k))
+    }
+
+    private def evalAgg(a: Agg): Value = {
+      val v = vecArg(a.expr, a.op)
+      val gl = groupLabels(a.grouping)
+      a.op match {
+        case "topk" | "bottomk" =>
+          val k = scalarArg(
+            a.param.getOrElse(err(s"${a.op} requires a parameter")), s"${a.op} k").toInt
+          if (k <= 0) err(s"${a.op} k must be positive")
+          // rank over the aggregated (series × windows)-bounded relation;
+          // ties break on (name, series) so results are deterministic
+          val ord =
+            if (a.op == "topk")
+              Seq(col("value").desc, col("name").asc, col("_sk").asc)
+            else Seq(col("value").asc, col("name").asc, col("_sk").asc)
+          val w = Window
+            .partitionBy(col("component"), col("win_start"), col("_gk"))
+            .orderBy(ord: _*)
+          Vec(v
+            .withColumn("_gk", Firehose.seriesKey(gl))
+            .withColumn("_sk", Firehose.seriesKey(col("labels")))
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") <= k)
+            .select("component", "name", "labels", "win_start", "value"))
+        case "count_values" =>
+          val label = a.param match {
+            case Some(StringLit(s)) => s
+            case _ => err("count_values requires a string label parameter")
+          }
+          // canonical value rendering: integral doubles render without the
+          // trailing '.0' (engine-portable; PromQL uses Go shortest-float)
+          val vs = when(
+            col("value") === col("value").cast("long").cast("double") &&
+              abs(col("value")) < lit(1e15),
+            col("value").cast("long").cast("string"))
+            .otherwise(col("value").cast("string"))
+          Vec(v
+            .withColumn("_gl", map_concat(gl, map(lit(label), vs)))
+            .groupBy(
+              col("component"), col("win_start"),
+              Firehose.seriesKey(col("_gl")).as("_gk"))
+            .agg(any_value(col("_gl")).as("labels"), count(lit(1)).cast("double").as("value"))
+            .select(col("component"), lit("").as("name"), col("labels"),
+              col("win_start"), col("value")))
+        case op =>
+          val dv = col("value").cast("decimal(26,6)")
+          val agg = v
+            .withColumn("_gl", gl)
+            .groupBy(
+              col("component"), col("win_start"),
+              Firehose.seriesKey(col("_gl")).as("_gk"))
+            .agg(
+              any_value(col("_gl")).as("labels"),
+              count(lit(1)).as("_n"),
+              min(col("value")).as("_min"),
+              max(col("value")).as("_max"),
+              sum(dv).cast("double").as("_sum"),
+              sum((dv * dv).cast("decimal(38,12)")).cast("double").as("_sumsq"),
+              round(percentile(col("value"),
+                lit(a.param.map(p => scalarArg(p, "quantile")).getOrElse(0.5))), 4)
+                .as("_q"))
+          val n = col("_n").cast("double")
+          val stdvar =
+            greatest((col("_sumsq") - col("_sum") * col("_sum") / n) / n, lit(0.0))
+          val value = op match {
+            case "sum" => col("_sum")
+            case "min" => col("_min")
+            case "max" => col("_max")
+            case "count" => n
+            case "avg" => col("_sum") / n
+            case "stdvar" => stdvar
+            case "stddev" => sqrt(stdvar)
+            case "group" => lit(1.0)
+            case "quantile" =>
+              if (a.param.isEmpty) err("quantile requires a parameter")
+              col("_q")
+            case other => err(s"unsupported aggregation '$other'")
+          }
+          Vec(agg.select(
+            col("component"), lit("").as("name"), col("labels"),
+            col("win_start"), value.cast("double").as("value")))
+      }
+    }
+
+    // ---- binary operators ----
+
+    /** IEEE-explicit arithmetic: engines disagree on double division and
+      * modulo by zero in SQL mode, so the special cases are spelled out.
+      */
+    private def arith(op: String, l: Column, r: Column): Column = op match {
+      case "+" => l + r
+      case "-" => l - r
+      case "*" => l * r
+      case "/" =>
+        when(r === 0.0,
+          when(l > 0, lit(Double.PositiveInfinity))
+            .when(l < 0, lit(Double.NegativeInfinity))
+            .otherwise(lit(Double.NaN)))
+          .otherwise(l / r)
+      case "%" => when(r === 0.0, lit(Double.NaN)).otherwise(l % r)
+      case "^" => pow(l, r)
+    }
+
+    private def cmpPred(op: String, l: Column, r: Column): Column = op match {
+      case "==" => l === r
+      case "!=" => l =!= r
+      case "<" => l < r
+      case ">" => l > r
+      case "<=" => l <= r
+      case ">=" => l >= r
+    }
+
+    private def foldScalar(op: String, a: Double, b: Double, boolMod: Boolean): Double =
+      if (comparisons(op)) {
+        if (!boolMod) err("scalar comparison requires the bool modifier")
+        val p = op match {
+          case "==" => a == b
+          case "!=" => a != b
+          case "<" => a < b
+          case ">" => a > b
+          case "<=" => a <= b
+          case ">=" => a >= b
+        }
+        if (p) 1.0 else 0.0
+      } else op match {
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+        case "%" => a % b
+        case "^" => math.pow(a, b)
+      }
+
+    private def vecScalar(
+        v: DataFrame, s: Double, op: String,
+        vecOnLeft: Boolean, boolMod: Boolean): DataFrame = {
+      def ap(f: (Column, Column) => Column): Column =
+        if (vecOnLeft) f(col("value"), lit(s)) else f(lit(s), col("value"))
+      if (comparisons(op)) {
+        if (boolMod)
+          v.withColumn("value", ap(cmpPred(op, _, _)).cast("double"))
+        else v.filter(ap(cmpPred(op, _, _)))
+      } else v.withColumn("value", ap(arith(op, _, _)).cast("double"))
+    }
+
+    /** Vector-vector arithmetic/comparison join — the per-window form of
+      * [[Firehose.vectorMatch]]: one equi-join on (component, window,
+      * match key), cardinality enforced by a codegen'd `raise_error`
+      * riding the join's own hash layout, registry-sized side broadcast
+      * under AQE. Result identity per PromQL: the match-label subset for
+      * one-to-one (name dropped), the many side's full labels for
+      * group_left/right; comparison filters preserve the left row intact.
+      */
+    /** The match key of a binary op's operand row. `on()` with an EMPTY
+      * label list is meaningful PromQL (everything matches one bucket) —
+      * distinct from no modifier at all (full label set), which is why
+      * this takes the Option-shaped [[VectorMatching]] rather than
+      * [[Firehose.vectorMatchKey]]'s empty-means-absent lists.
+      */
+    private def matchKeyCol(vm: VectorMatching): Column = vm.on match {
+      case Some(ls) =>
+        if (ls.isEmpty) lit("") else Firehose.vectorMatchKey(col("labels"), ls, Nil)
+      case None => vm.ignoring match {
+        case Some(ls) if ls.nonEmpty => Firehose.vectorMatchKey(col("labels"), Nil, ls)
+        case _ => Firehose.vectorMatchKey(col("labels"), Nil, Nil)
+      }
+    }
+
+    /** The one-to-one result labelset: the `on` labels, or all labels
+      * minus the `ignoring` ones (PromQL's output-labels rule).
+      */
+    private def matchLabelsCol(vm: VectorMatching): Column = vm.on match {
+      case Some(ls) =>
+        val keep = array(ls.map(lit): _*)
+        map_filter(col("labels"), (k, _) => array_contains(keep, k))
+      case None => vm.ignoring match {
+        case Some(ls) if ls.nonEmpty =>
+          val drop = array(ls.map(lit): _*)
+          map_filter(col("labels"), (k, _) => !array_contains(drop, k))
+        case _ => col("labels")
+      }
+    }
+
+    private def vecBinary(
+        op: String, l: DataFrame, r: DataFrame,
+        vm: VectorMatching, boolMod: Boolean): DataFrame = {
+      def uniq(side: DataFrame, vCol: String, which: String): DataFrame = {
+        val w = Window.partitionBy(col("component"), col("win_start"), col("_vm_key"))
+        side
+          .withColumn("_vm_n", count(lit(1)).over(w))
+          .withColumn(
+            vCol,
+            when(col("_vm_n") === 1, col(vCol)).otherwise(
+              raise_error(lit(s"vector match: $which side has multiple series " +
+                "per match key (PromQL many-to-many)")).cast("double")))
+          .drop("_vm_n")
+      }
+      val l0 = l.select(
+        col("component"), col("name"), col("labels"), col("win_start"),
+        matchKeyCol(vm).as("_vm_key"), col("value").as("_l"))
+      val r0 = r.select(
+        col("component"), col("win_start"),
+        matchKeyCol(vm).as("_vm_key"),
+        col("name").as("_rname"), col("labels").as("_rlabels"),
+        col("value").as("_r"))
+      val lU = if (vm.groupLeft) l0 else uniq(l0, "_l", "left")
+      val rU = if (vm.groupRight) r0 else uniq(r0, "_r", "right")
+      val joined = lU.join(rU, Seq("component", "win_start", "_vm_key"))
+      if (comparisons(op) && !boolMod) {
+        joined
+          .filter(cmpPred(op, col("_l"), col("_r")))
+          .select(col("component"), col("name"), col("labels"), col("win_start"),
+            col("_l").as("value"))
+      } else {
+        val value =
+          if (comparisons(op)) cmpPred(op, col("_l"), col("_r")).cast("double")
+          else arith(op, col("_l"), col("_r"))
+        val (oName, oLabels) =
+          if (vm.groupLeft) (col("name"), col("labels"))
+          else if (vm.groupRight) (col("_rname"), col("_rlabels"))
+          else (lit(""), matchLabelsCol(vm))
+        joined
+          .withColumn("value", value.cast("double"))
+          .filter(col("value").isNotNull)
+          .select(col("component"), oName.as("name"), oLabels.as("labels"),
+            col("win_start"), col("value"))
+      }
+    }
+
+    /** Per-window [[Firehose.vectorSetOp]]: semi/anti/left-priority-union
+      * on (component, window, match key); right values never flow left,
+      * no cardinality contract (many-to-many legal, per PromQL).
+      */
+    private def vecSet(op: String, l: DataFrame, r: DataFrame, vm: VectorMatching): DataFrame = {
+      def keyed(df: DataFrame): DataFrame =
+        df.withColumn("_vm_key", matchKeyCol(vm))
+      val lk = keyed(l)
+      val rk = keyed(r)
+      val jk = Seq("component", "win_start", "_vm_key")
+      val res = op match {
+        case "and" => lk.join(rk, jk, "left_semi")
+        case "unless" => lk.join(rk, jk, "left_anti")
+        case "or" => lk.unionByName(rk.join(lk, jk, "left_anti"))
+      }
+      res.select("component", "name", "labels", "win_start", "value")
+    }
+
+    private def evalBinary(b: Binary): Value = {
+      val vm = b.matching.getOrElse(VectorMatching())
+      (eval(b.lhs), eval(b.rhs)) match {
+        case (Scal(a), Scal(c)) =>
+          if (setOps(b.op)) err(s"set operator '${b.op}' requires vector operands")
+          Scal(foldScalar(b.op, a, c, b.boolMod))
+        case (Vec(v), Scal(s)) =>
+          if (setOps(b.op)) err(s"set operator '${b.op}' requires vector operands")
+          Vec(vecScalar(v, s, b.op, vecOnLeft = true, b.boolMod))
+        case (Scal(s), Vec(v)) =>
+          if (setOps(b.op)) err(s"set operator '${b.op}' requires vector operands")
+          Vec(vecScalar(v, s, b.op, vecOnLeft = false, b.boolMod))
+        case (Vec(l), Vec(r)) =>
+          if (setOps(b.op)) Vec(vecSet(b.op, l, r, vm))
+          else Vec(vecBinary(b.op, l, r, vm, b.boolMod))
+      }
+    }
+
+    // ---- dispatcher ----
+
+    private[promql] def eval(e: PromExpr): Value = e match {
+      case NumberLit(v) => Scal(v)
+      case StringLit(_) => err("string literal is not a valid expression")
+      case s: VectorSelector => Vec(instant(s))
+      case _: RangeSelector => err("range selector only valid as a range-function argument")
+      case _: Subquery => err("subquery only valid as a range-function argument")
+      case c: Call => evalCall(c.fn, c.args)
+      case a: Agg => evalAgg(a)
+      case Neg(inner) => eval(inner) match {
+        case Scal(v) => Scal(-v)
+        case Vec(df) => Vec(df.withColumn("value", -col("value")))
+      }
+      case b: Binary => evalBinary(b)
+    }
+
+    def evalVec(e: PromExpr): DataFrame = eval(e) match {
+      case Vec(df) => df
+      case Scal(_) => err("expression evaluates to a scalar, not an instant vector")
+    }
+  }
+}
+
+/** Facade: `PromQl.compile("sum by (user) (increase(view_total[1h]))",
+  * metrics)` — parse + compile in one call; [[parse]]/[[print]] expose
+  * the AST round-trip.
+  */
+object PromQl {
+  def parse(query: String): PromExpr = PromQlParser.parse(query)
+  def print(expr: PromExpr): String = PromQlPrinter.print(expr)
+  def compile(query: String, metrics: DataFrame, stepSec: Long = 3600L): DataFrame =
+    PromQlCompiler.compile(query, metrics, stepSec)
+  def compileVector(query: String, metrics: DataFrame, stepSec: Long = 3600L): DataFrame =
+    PromQlCompiler.compileVector(query, metrics, stepSec)
+}

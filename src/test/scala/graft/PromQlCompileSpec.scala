@@ -1,0 +1,284 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Firehose
+import graft.promql.{PromQl, PromQlCompileException}
+
+/** Compiler pins: every compiled construct equals the hand-built operator
+  * (or a first-principles expectation) on the real sf0.001 stream — the
+  * no-drift contract between the string front-end and the programmatic
+  * API.
+  */
+class PromQlCompileSpec extends SparkSuite {
+
+  private lazy val metrics = Firehose.metricsFromEvents(spark, sfDir)
+
+  private def rendered(df: DataFrame): Set[(String, String, Long, Double)] =
+    df.select("name", "series", "win_start", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSet
+
+  test("increase(x[1h]) == Firehose.counterIncrease") {
+    val compiled = rendered(PromQl.compile("increase(view_total[1h])", metrics))
+    val expected = Firehose.counterIncrease(
+        metrics.filter(col("name") === "view_total"), 3600L)
+      .select(col("name"), col("series"), col("win_start"), col("increase").as("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSet
+    assert(compiled.nonEmpty && compiled === expected)
+  }
+
+  test("rate is increase / range") {
+    val inc = rendered(PromQl.compile("increase(click_total[1h])", metrics))
+    val rate = rendered(PromQl.compile("rate(click_total[1h])", metrics))
+    assert(rate === inc.map { case (n, s, w, v) =>
+      (n, s, w, BigDecimal(v / 3600.0).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    })
+  }
+
+  test("*_over_time family == Firehose.overTimeAgg columns") {
+    val ot = Firehose.overTimeAgg(
+      metrics.filter(col("name") === "view_total"), 3600L)
+    def expect(c: String): Set[(String, Long, Double)] =
+      ot.select(col("series"), col("win_start"), col(c).cast("double"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toSet
+    def got(q: String): Set[(String, Long, Double)] =
+      PromQl.compile(q, metrics)
+        .select(col("series"), col("win_start"), col("value"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toSet
+    assert(got("avg_over_time(view_total[1h])") === expect("avg_value"))
+    assert(got("sum_over_time(view_total[1h])") === expect("sum_value"))
+    assert(got("min_over_time(view_total[1h])") === expect("min_value"))
+    assert(got("max_over_time(view_total[1h])") === expect("max_value"))
+    assert(got("last_over_time(view_total[1h])") === expect("last_value"))
+    assert(got("count_over_time(view_total[1h])") === expect("n_samples"))
+    assert(got("stddev_over_time(view_total[1h])") === expect("stddev_value"))
+    assert(got("stdvar_over_time(view_total[1h])") === expect("stdvar_value"))
+  }
+
+  test("quantile_over_time == Firehose.quantileOverTime") {
+    val got = PromQl.compile("quantile_over_time(0.9, view_total[1h])", metrics)
+      .select("series", "win_start", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val exp = Firehose.quantileOverTime(
+        metrics.filter(col("name") === "view_total"), 0.9, 3600L)
+      .select("series", "win_start", "q_value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty && got === exp)
+  }
+
+  test("delta/idelta/irate == Firehose.irateDelta columns") {
+    val id = Firehose.irateDelta(
+      metrics.filter(col("name") === "view_total"), 3600L)
+    def expect(c: String): Set[(String, Long, Double)] =
+      id.filter(col(c).isNotNull)
+        .select("series", "win_start", c).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    def got(q: String): Set[(String, Long, Double)] =
+      PromQl.compile(q, metrics)
+        .select("series", "win_start", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got("delta(view_total[1h])") === expect("delta"))
+    assert(got("idelta(view_total[1h])") === expect("idelta"))
+    assert(got("irate(view_total[1h])") === expect("irate"))
+  }
+
+  test("instant selector equals last_over_time at the same step") {
+    val sel = rendered(PromQl.compile("view_total", metrics, stepSec = 3600L))
+    val lot = rendered(PromQl.compile("last_over_time(view_total[1h])", metrics))
+    assert(sel.nonEmpty && sel === lot)
+  }
+
+  test("matchers: =~ narrows to the matching series; __name__ matcher works") {
+    val all = PromQl.compile("view_total", metrics).select("series").distinct().count()
+    val some = PromQl.compile("""view_total{user=~"1.*"}""", metrics)
+    val users = PromQl.compileVector("""view_total{user=~"1.*"}""", metrics)
+      .select(try_element_at(col("labels"), lit("user"))).distinct()
+      .collect().map(_.getString(0))
+    assert(users.nonEmpty && users.forall(_.startsWith("1")))
+    assert(some.select("series").distinct().count() < all)
+    val byName = PromQl.compile("""{__name__="view_total"}""", metrics)
+    assert(rendered(byName) === rendered(PromQl.compile("view_total", metrics)))
+  }
+
+  test("offset shifts windows forward by the offset") {
+    val base = rendered(PromQl.compile("increase(view_total[1h])", metrics))
+    val off = rendered(PromQl.compile("increase(view_total[1h] offset 1h)", metrics))
+    assert(off === base.map { case (n, s, w, v) => (n, s, w + 3600L, v) })
+  }
+
+  test("vector/vector divide with a comparison-filtered denominator") {
+    val got = PromQl.compile(
+      "increase(error_total[1h]) / (increase(view_total[1h]) > 0)", metrics)
+      .select("series", "win_start", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // expected via the fused same-source form over one increase pass
+    val inc = Firehose.counterIncrease(
+      metrics.filter(col("name").isin("error_total", "view_total")), 3600L)
+    val exp = Firehose.vectorMatchSameSource(
+        inc, Seq("component", "series", "win_start"), "error_total", "view_total",
+        (e, v) => when(v > 0, e / v), "ratio", valueCol = "increase")
+      .select("series", "win_start", "ratio").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty && got === exp)
+  }
+
+  test("one-to-one arithmetic reduces labels to the match set and drops the name") {
+    val v = PromQl.compileVector(
+      "increase(error_total[1h]) / on(user) (increase(view_total[1h]) > 0)", metrics)
+    assert(v.select("name").distinct().collect().map(_.getString(0)).toSeq === Seq(""))
+    val keys = v.select(map_keys(col("labels"))).distinct()
+      .collect().flatMap(_.getSeq[String](0)).toSet
+    assert(keys === Set("user"))
+  }
+
+  test("set ops: and/unless partition the left; or has left priority") {
+    val l = "increase(error_total[1h])"
+    val r = "(increase(view_total[1h]) > 10)"
+    val left = rendered(PromQl.compile(l, metrics))
+    val and = rendered(PromQl.compile(s"$l and $r", metrics))
+    val unless = rendered(PromQl.compile(s"$l unless $r", metrics))
+    assert(and.nonEmpty && unless.nonEmpty)
+    assert((and ++ unless) === left)
+    assert(and.intersect(unless) === Set.empty)
+    val or = rendered(PromQl.compile(s"$l or $r", metrics))
+    val right = rendered(PromQl.compile(r, metrics))
+    // every left row survives; added rows come from the right
+    assert(or.intersect(left) === left)
+    assert((or -- left).subsetOf(right))
+  }
+
+  test("aggregation: sum by (user) of increases matches a manual regroup") {
+    val got = PromQl.compile(
+      "sum by (user) (increase(view_total[1h]))", metrics)
+      .select("series", "win_start", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val exp = Firehose.counterIncrease(
+        metrics.filter(col("name") === "view_total"), 3600L)
+      .groupBy(col("series"), col("win_start"))
+      .agg(sum(col("increase").cast("decimal(26,6)")).cast("double").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty && got === exp)
+  }
+
+  test("topk keeps at most k rows per window with the top values") {
+    val k = 3
+    val got = PromQl.compile(s"topk($k, increase(view_total[1h]))", metrics)
+    val counts = got.groupBy("win_start").count().collect().map(_.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_ <= k))
+    // each kept value is at least the k-th largest in its window
+    val kth = PromQl.compile("increase(view_total[1h])", metrics)
+      .select("win_start", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.reverse.take(k).min).toMap
+    got.select("win_start", "value").collect().foreach { r =>
+      assert(r.getDouble(1) >= kth(r.getLong(0)))
+    }
+  }
+
+  test("scalar arithmetic, comparison filters and bool") {
+    val base = rendered(PromQl.compile("increase(view_total[1h])", metrics))
+    val scaled = rendered(PromQl.compile("increase(view_total[1h]) * 2 + 1", metrics))
+    assert(scaled === base.map { case (n, s, w, v) =>
+      (n, s, w, BigDecimal(v * 2 + 1).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    })
+    val filtered = rendered(PromQl.compile("increase(view_total[1h]) > 100", metrics))
+    assert(filtered === base.filter(_._4 > 100))
+    val booled = PromQl.compile("increase(view_total[1h]) > bool 100", metrics)
+      .select("value").distinct().collect().map(_.getDouble(0)).toSet
+    assert(booled.subsetOf(Set(0.0, 1.0)))
+  }
+
+  test("subquery: max_over_time(increase(x[1h])[6h:1h]) == manual outer rollup") {
+    val got = PromQl.compile(
+      "max_over_time(increase(view_total[1h])[6h:1h])", metrics)
+      .select("series", "win_start", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val exp = Firehose.counterIncrease(
+        metrics.filter(col("name") === "view_total"), 3600L)
+      .withColumn("outer", col("win_start") - pmod(col("win_start"), lit(21600L)))
+      .groupBy(col("series"), col("outer"))
+      .agg(max(col("increase")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty && got === exp)
+  }
+
+  test("label_replace and label_join rewrite the series identity") {
+    val v = PromQl.compileVector(
+      """label_replace(view_total, "tier", "$1", "user", "(\\d).*")""", metrics)
+    val tiers = v.select(try_element_at(col("labels"), lit("tier")))
+      .distinct().collect().map(_.getString(0)).filter(_ != null)
+    assert(tiers.nonEmpty && tiers.forall(t => t.length == 1 && t.head.isDigit))
+    val j = PromQl.compileVector(
+      """label_join(view_total, "both", "-", "user", "user")""", metrics)
+    val sample = j.select(
+      try_element_at(col("labels"), lit("user")),
+      try_element_at(col("labels"), lit("both"))).distinct().collect()
+    sample.foreach(r => assert(r.getString(1) === s"${r.getString(0)}-${r.getString(0)}"))
+  }
+
+  test("histogram_quantile interpolates planted cumulative buckets") {
+    import spark.implicits._
+    // one series per le, cumulative counts 10/25/30, single timestamp
+    val planted = Seq(
+      ("a", "req_bucket", 100L, "app", Map("le" -> "50"), 10.0),
+      ("b", "req_bucket", 100L, "app", Map("le" -> "100"), 25.0),
+      ("c", "req_bucket", 100L, "app", Map("le" -> "+Inf"), 30.0))
+      .toDF("id", "name", "timestamp", "component", "tags", "value")
+    val q50 = PromQl.compile("histogram_quantile(0.5, req_bucket)", planted)
+      .select("value").collect().map(_.getDouble(0))
+    // rank 15 lands in (50,100]: 50 + 50 * (15-10)/(25-10)
+    assert(q50.length === 1 && math.abs(q50.head - (50.0 + 50.0 * 5.0 / 15.0)) < 1e-9)
+    val q99 = PromQl.compile("histogram_quantile(0.99, req_bucket)", planted)
+      .select("value").collect().map(_.getDouble(0))
+    // rank 29.7 lands in +Inf → highest finite boundary
+    assert(q99.length === 1 && q99.head === 100.0)
+  }
+
+  test("clamp and math functions apply per sample") {
+    val v = PromQl.compile("clamp(view_total, 10, 20)", metrics)
+      .select("value").collect().map(_.getDouble(0))
+    assert(v.nonEmpty && v.forall(x => x >= 10.0 && x <= 20.0))
+    val neg = rendered(PromQl.compile("-view_total", metrics))
+    val abs0 = rendered(PromQl.compile("abs(-view_total)", metrics))
+    assert(abs0 === neg.map { case (n, s, w, x) => (n, s, w, math.abs(x)) })
+  }
+
+  test("group_left divides each series by its per-user total") {
+    val got = PromQl.compileVector(
+      "view_total / on(user) group_left sum by (user) (view_total)",
+      metrics)
+    // share-of-total: every value in (0, 1]; left identity (name) kept
+    val vals = got.select("value").collect().map(_.getDouble(0))
+    assert(vals.nonEmpty && vals.forall(v => v > 0 && v <= 1.0 + 1e-12))
+    assert(got.select("name").distinct().collect().map(_.getString(0)).toSet === Set("view_total"))
+  }
+
+  test("compile errors: unsupported function, scalar-only expression, bad range") {
+    assertThrows[PromQlCompileException](PromQl.compile("absent(x)", metrics))
+    assertThrows[PromQlCompileException](PromQl.compile("1 + 2", metrics))
+    assertThrows[PromQlCompileException](PromQl.compile("view_total[1h]", metrics))
+    assertThrows[PromQlCompileException](
+      PromQl.compile("max_over_time(increase(x[1h])[5h:2h])", metrics))
+  }
+
+  test("many-to-many without group_left raises at runtime") {
+    val ex = intercept[Exception] {
+      PromQl.compile("sum by (user) (view_total) / on() view_total", metrics)
+        .collect()
+    }
+    assert(ex.getMessage.contains("many-to-many") ||
+      Option(ex.getCause).exists(_.getMessage.contains("many-to-many")))
+  }
+}
