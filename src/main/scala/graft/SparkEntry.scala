@@ -454,6 +454,36 @@ object SparkEntry {
       promql.PromQl.compile(
         "topk(3, sum by (user) (increase(view_total[1h])))",
         Firehose.metricsFromEvents(s, dir))),
+    // ---- m33: SLIDING evaluation (R > step) — Prometheus's actual
+    // range-query model: every expression on the 15m step grid, range
+    // functions looking back their own 1h range over overlapping windows
+    // (each delta counted in 4 readings)
+    "m33_promql_sliding" -> ((s, dir) =>
+      promql.PromQl.compileSliding(
+        "sum by (user) (increase(view_total[1h]))",
+        Firehose.metricsFromEvents(s, dir), stepSec = 900L)),
+    // sliding *_over_time: raw samples tiled onto the step grid, the
+    // exact-decimal mean per overlapping lookback window
+    "m33b_sliding_avg" -> ((s, dir) =>
+      promql.PromQl.compileSliding(
+        "avg_over_time(error_total[1h])",
+        Firehose.metricsFromEvents(s, dir), stepSec = 900L)),
+    // ---- m34: the trend + absence function family, from text
+    // per-window OLS slope (exact-decimal sums, min-ts centering)
+    "m34_promql_deriv" -> ((s, dir) =>
+      promql.PromQl.compile(
+        "deriv(view_total[1h])", Firehose.metricsFromEvents(s, dir))),
+    // trend extrapolated 30m past the window's newest sample
+    "m34b_promql_predict" -> ((s, dir) =>
+      promql.PromQl.compile(
+        "predict_linear(view_total[1h], 1800)",
+        Firehose.metricsFromEvents(s, dir))),
+    // scrape-absence: windows of the stream's span where the asserted
+    // series reported nothing (labels = the selector's equality matchers)
+    "m34c_promql_absent" -> ((s, dir) =>
+      promql.PromQl.compile(
+        """absent(error_total{user="1"})""",
+        Firehose.metricsFromEvents(s, dir))),
     // per-source gopher-rule failure funnel
     "t18_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
@@ -1972,6 +2002,69 @@ object SparkEntry {
           |  FROM agg)
           |SELECT component, name, series, win_start, value
           |FROM r WHERE rnk <= 3""".stripMargin),
+    // m33: sliding evaluation — per-series increases over overlapping 1h
+    // lookbacks on the 15m grid, then the by-(user) regroup (name drops)
+    "m33_promql_sliding" ->
+      (SlidingIncreaseCte(3600, 900) +
+        """SELECT component, '' AS name, series, win_start,
+          |  CAST(sum(CAST(increase AS DECIMAL(26,6))) AS DOUBLE) AS value
+          |FROM win WHERE name = 'view_total' GROUP BY 1, 2, 3, 4""".stripMargin),
+    // sliding avg_over_time: raw samples tiled onto the 15m grid, the
+    // exact-decimal mean per overlapping 1h lookback (name kept — a
+    // value-transforming range fn)
+    "m33b_sliding_avg" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |w AS (SELECT component, name, series, value,
+        |        ts_sec - ts_sec % 900 AS ws FROM m),
+        |t AS (SELECT component, name, series, value, ws - g.j * 900 AS win_start
+        |      FROM w CROSS JOIN (SELECT unnest(range(0, 4)) AS j) g)
+        |SELECT component, name, series, win_start,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS value
+        |FROM t WHERE name = 'error_total' GROUP BY 1, 2, 3, 4""".stripMargin,
+    // m34: per-window OLS slope — x centered on the window's min ts
+    // (exact integers), decimal sums, the slope algebra in doubles with
+    // the engine's exact expression tree
+    "m34_promql_deriv" ->
+      (TrendCte(3600) +
+        """SELECT component, name, series, win_start,
+          |  (CAST(n AS DOUBLE) * sxy - sx * sy) / den AS value
+          |FROM t WHERE n >= 2 AND den <> 0 AND name = 'view_total'""".stripMargin),
+    // predict_linear: intercept + slope * (max x + horizon), slope shared
+    // as a named subexpression so the double rounding path is identical
+    "m34b_promql_predict" ->
+      (TrendCte(3600) +
+        """, s AS (
+          |  SELECT *, (CAST(n AS DOUBLE) * sxy - sx * sy) / den AS slope
+          |  FROM t WHERE n >= 2 AND den <> 0)
+          |SELECT component, name, series, win_start,
+          |  (sy - slope * sx) / CAST(n AS DOUBLE)
+          |    + slope * (CAST(mx AS DOUBLE) + 1800.0) AS value
+          |FROM s WHERE name = 'view_total'""".stripMargin),
+    // absent: the full hourly grid of the stream's observed span minus
+    // the windows where the asserted series reported; labels = the
+    // selector's equality matchers, name empty per PromQL
+    "m34c_promql_absent" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name, user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |grid AS (
+        |  SELECT 'app' AS component, CAST(unnest(range(
+        |    (SELECT min(ts_sec - ts_sec % 3600) FROM m),
+        |    (SELECT max(ts_sec - ts_sec % 3600) FROM m) + 3600, 3600)) AS BIGINT)
+        |    AS win_start),
+        |p AS (
+        |  SELECT DISTINCT component, ts_sec - ts_sec % 3600 AS win_start
+        |  FROM m WHERE name = 'error_total' AND user_id = 1)
+        |SELECT g.component, '' AS name, 'user=1' AS series, g.win_start, 1.0 AS value
+        |FROM grid g WHERE NOT EXISTS (
+        |  SELECT 1 FROM p WHERE p.component = g.component
+        |    AND p.win_start = g.win_start)""".stripMargin,
     // decimal sums make avg/stdvar derive from order-independent
     // numerators; variance via the algebraic form over those exact sums
     "m24_over_time" ->
@@ -3141,6 +3234,65 @@ object SparkEntry {
       |    CAST(sum(CAST(inc AS DECIMAL(18,6))) AS DOUBLE) AS increase,
       |    count(*) AS n_samples
       |  FROM i GROUP BY 1, 2, 3, 4)
+      |""".stripMargin
+
+  /** [[IncreaseCte]]'s sliding sibling: reset-clamped full-series deltas
+    * tiled onto every `slideSec`-grid window whose `[w, w + width)`
+    * lookback holds the delta's later sample — the m33 assignment rule,
+    * mirrored with an explicit `width/slide`-row offset cross join.
+    */
+  private def SlidingIncreaseCte(widthSec: Long, slideSec: Long): String =
+    s"""WITH m AS (
+      |  SELECT 'app' AS component, event_type || '_total' AS name,
+      |         'user=' || CAST(user_id AS VARCHAR) AS series,
+      |         CAST(event_id AS VARCHAR) AS id, value,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      |  FROM events),
+      |d AS (
+      |  SELECT *, value - lag(value) OVER (PARTITION BY component, name, series
+      |    ORDER BY ts_sec, id) AS delta
+      |  FROM m),
+      |i AS (
+      |  SELECT component, name, series,
+      |    CASE WHEN delta IS NULL THEN 0.0
+      |         WHEN delta < 0 THEN value ELSE delta END AS inc,
+      |    ts_sec - ts_sec % $slideSec AS ws
+      |  FROM d),
+      |t AS (
+      |  SELECT component, name, series, inc, ws - g.j * $slideSec AS win_start
+      |  FROM i CROSS JOIN (SELECT unnest(range(0, ${widthSec / slideSec})) AS j) g),
+      |win AS (
+      |  SELECT component, name, series, win_start,
+      |    CAST(sum(CAST(inc AS DECIMAL(18,6))) AS DOUBLE) AS increase
+      |  FROM t GROUP BY 1, 2, 3, 4)
+      |""".stripMargin
+
+  /** Per-window OLS trend sums mirroring the m34 compiler path: x
+    * centered on the window's min timestamp (exact integer arithmetic),
+    * each sum an exact decimal fold cast to double, `den` the shared
+    * slope denominator.
+    */
+  private def TrendCte(widthSec: Long): String =
+    s"""WITH m AS (
+      |  SELECT 'app' AS component, event_type || '_total' AS name,
+      |         'user=' || CAST(user_id AS VARCHAR) AS series, value,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      |  FROM events),
+      |w AS (SELECT *, ts_sec - ts_sec % $widthSec AS win_start FROM m),
+      |b AS (SELECT *, ts_sec - min(ts_sec) OVER (PARTITION BY component, name,
+      |        series, win_start) AS x
+      |      FROM w),
+      |g AS (
+      |  SELECT component, name, series, win_start,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(x * x AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(value AS DECIMAL(18,6)))
+      |      AS DOUBLE) AS sxy,
+      |    max(x) AS mx
+      |  FROM b GROUP BY 1, 2, 3, 4),
+      |t AS (SELECT *, CAST(n AS DOUBLE) * sxx - sx * sx AS den FROM g)
       |""".stripMargin
 
   /** Shared DuckDB CTE fragments (kept identical across oracles). */

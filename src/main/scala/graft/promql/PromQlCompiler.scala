@@ -36,8 +36,23 @@ final case class PromQlCompileException(msg: String) extends RuntimeException(ms
   * inner expression on its `s` grid and range-aggregates those samples
   * over `R` windows (`s` must tile `R` — the m30 tiling argument).
   * `stepSec` sets the instant-selector window and the default subquery
-  * step. Prometheus's sliding `R > step` evaluation is the
-  * [[Firehose.slidingWindowAgg]] generalization, out of scope here.
+  * step.
+  *
+  * [[compileSliding]] is Prometheus's actual `R > step` evaluation
+  * model: EVERY subexpression evaluates on the `stepSec` grid, and a
+  * range function looks BACK its own range — window `w` aggregates
+  * samples in `[w, w + R)`, the [[Firehose.slidingWindowAgg]]
+  * convention, so `increase(x[1h])` at a 15m step yields four
+  * overlapping readings of each delta. The tile-replication explode
+  * (factor `R/step`, bounded and map-side) assigns each sample (each
+  * DELTA for `rate`/`increase` — deltas are computed over the full
+  * series order FIRST, then attributed to every window whose lookback
+  * holds the later sample, the m30 tiling rule generalized) to its
+  * `R/step` windows; everything downstream of window assignment is the
+  * tumbling plan unchanged. The big compositional win: in sliding mode
+  * `increase(x[2h]) / increase(y[1h])` JOINS — both sides land on the
+  * one `stepSec` grid, where tumbling ranges of different widths
+  * produce disjoint grids. `R` must be a multiple of `stepSec`.
   *
   * == Scale shape ==
   *
@@ -66,7 +81,13 @@ final case class PromQlCompileException(msg: String) extends RuntimeException(ms
   *    than relying on engine-specific division semantics.
   *  - Exact quantiles ride the bounded per-group multiset and round to
   *    4 dp ([[Firehose.quantileOverTime]]'s portability contract).
-  *  - Unsupported (compile error, never silently wrong): `absent`,
+  *  - `predict_linear` extrapolates from the window's NEWEST sample
+  *    (the m16 convention); Prometheus extrapolates from the eval
+  *    timestamp. `absent`/`absent_over_time` take their evaluation grid
+  *    from the stream's own observed span (Prometheus takes it from the
+  *    query's start/end parameters, which a relation-in/relation-out
+  *    compile has no channel for).
+  *  - Unsupported (compile error, never silently wrong):
   *    `sort`/`sort_desc` (presentation-only), `time`/`scalar`/`vector`,
   *    `holt_winters` (use [[Firehose.holtWinters]]), native histograms.
   */
@@ -99,9 +120,27 @@ object PromQlCompiler {
     new Eval(labeled, stepSec).evalVec(PromQlParser.parse(query))
   }
 
+  /** Sliding-evaluation compile (see the class doc's evaluation-model
+    * section): every expression on the `stepSec` grid, range functions
+    * looking back their own `R ≥ stepSec` over overlapping windows.
+    */
+  def compileSliding(query: String, metrics: DataFrame, stepSec: Long = 900L): DataFrame =
+    compileSlidingVector(query, metrics, stepSec)
+      .select(
+        col("component"), col("name"),
+        Firehose.seriesKey(col("labels")).as("series"),
+        col("win_start"), col("value"))
+
+  /** [[compileSliding]] to the labels-map relation. */
+  def compileSlidingVector(query: String, metrics: DataFrame, stepSec: Long = 900L): DataFrame = {
+    val labeled =
+      if (metrics.columns.contains("labels")) metrics else Firehose.tagFilter(metrics)
+    new Eval(labeled, stepSec, sliding = true).evalVec(PromQlParser.parse(query))
+  }
+
   private def err(msg: String): Nothing = throw PromQlCompileException(msg)
 
-  private final class Eval(metrics: DataFrame, stepSec: Long) {
+  private final class Eval(metrics: DataFrame, stepSec: Long, sliding: Boolean = false) {
 
     private def winStart(ts: Column, w: Long): Column =
       (ts - pmod(ts, lit(w))).cast("long")
@@ -165,16 +204,36 @@ object PromQlCompiler {
       case Subquery(inner, r, step) =>
         val s = step.getOrElse(stepSec)
         if (r % s != 0) err(s"subquery step ${s}s must tile the range ${r}s")
-        val inner0 = new Eval(metrics, s).evalVec(inner)
+        val inner0 = new Eval(metrics, s, sliding).evalVec(inner)
         (inner0.select(
           col("component"), col("name"), col("labels"),
           col("win_start").as("timestamp"), lit("").as("id"), col("value")), r)
       case _ => err(s"$fnName expects a range vector (x[5m] or a subquery)")
     }
 
-    private def withSeriesWin(df: DataFrame, w: Long): DataFrame =
+    private def addSeries(df: DataFrame): DataFrame =
       df.withColumn("series", Firehose.seriesKey(col("labels")))
-        .withColumn("win_start", winStart(col("timestamp"), w))
+
+    /** Window assignment of a range function's samples: tumbling on the
+      * range's own grid, or (sliding mode) the tile-replication explode
+      * onto every `stepSec`-grid window whose `[w, w + R)` lookback holds
+      * the sample — exactly `R/stepSec` windows per row, bounded and
+      * map-side ([[Firehose.slidingWindowAgg]]'s assignment rule).
+      */
+    private def assignWin(df: DataFrame, r: Long): DataFrame =
+      if (!sliding || r == stepSec)
+        df.withColumn("win_start", winStart(col("timestamp"), r))
+      else {
+        if (r % stepSec != 0)
+          err(s"sliding evaluation: range ${r}s must be a multiple of the ${stepSec}s step")
+        val ws = winStart(col("timestamp"), stepSec)
+        df.withColumn(
+          "win_start",
+          explode(sequence(ws - lit(r - stepSec), ws, lit(stepSec))))
+      }
+
+    private def withSeriesWin(df: DataFrame, w: Long): DataFrame =
+      assignWin(addSeries(df), w)
 
     private val rangeKeys =
       Seq(col("component"), col("name"), col("series"), col("win_start"))
@@ -193,13 +252,18 @@ object PromQlCompiler {
       val w = Window
         .partitionBy(col("component"), col("name"), col("series"))
         .orderBy(col("timestamp"), col("id"))
-      val agg = withSeriesWin(ds, r)
+      // deltas over the FULL series order, computed BEFORE window
+      // assignment (sliding replicates rows — lag must see each sample
+      // once); tumbling results are unchanged, the lag partition never
+      // included the window
+      val withInc = addSeries(ds)
         .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
         .withColumn(
           "inc",
           when(col("delta").isNull, lit(0.0))
             .when(col("delta") < 0, col("value"))
             .otherwise(col("delta")))
+      val agg = assignWin(withInc, r)
         .groupBy(rangeKeys: _*)
         .agg(
           any_value(col("labels")).as("labels"),
@@ -292,10 +356,89 @@ object PromQlCompiler {
       out(agg, col("_c"))
     }
 
+    /** `deriv`/`predict_linear`: per-window ordinary-least-squares trend —
+      * [[Firehose.predictLinear]]'s numeric discipline scoped to the range
+      * window: x centered on the window's min timestamp (exact long
+      * arithmetic — no epoch-magnitude cancellation), every sum an exact
+      * decimal fold (order-independent, map-side combinable), the final
+      * slope/intercept algebra in IEEE doubles on per-window scalars.
+      * `predict_linear` extrapolates `horizon` past the window's NEWEST
+      * sample (the m16 convention; Prometheus extrapolates from the eval
+      * timestamp — documented divergence). <2-sample and zero-variance
+      * windows emit nothing (no fit line exists).
+      */
+    private def trend(ds: DataFrame, r: Long, fn: String, horizon: Double): DataFrame = {
+      val wAll = Window.partitionBy(rangeKeys: _*)
+      val based = withSeriesWin(ds, r)
+        .withColumn("_x", col("timestamp") - min(col("timestamp")).over(wAll))
+        .withColumn("_y", col("value").cast("double"))
+      val g = based
+        .groupBy(rangeKeys: _*)
+        .agg(
+          any_value(col("labels")).as("labels"),
+          count(lit(1)).as("_n"),
+          sum(col("_x").cast("decimal(19,0)")).cast("double").as("_sx"),
+          // x*x is exact in long (centered x ≤ the range in seconds); the
+          // decimal cast only makes the SUM overflow-proof
+          sum((col("_x") * col("_x")).cast("decimal(28,0)")).cast("double").as("_sxx"),
+          sum(col("_y").cast("decimal(18,6)")).cast("double").as("_sy"),
+          sum(col("_x").cast("decimal(19,0)") * col("_y").cast("decimal(18,6)"))
+            .cast("double").as("_sxy"),
+          max(col("_x")).as("_mx"))
+      val nd = col("_n").cast("double")
+      val den = nd * col("_sxx") - col("_sx") * col("_sx")
+      val slope = (nd * col("_sxy") - col("_sx") * col("_sy")) / den
+      val intercept = (col("_sy") - slope * col("_sx")) / nd
+      val v = fn match {
+        case "deriv" => slope
+        case "predict_linear" =>
+          intercept + slope * (col("_mx").cast("double") + lit(horizon))
+      }
+      out(g.filter(col("_n") >= 2 && den =!= lit(0.0)), v)
+    }
+
     private val overTimeFns = Set(
       "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
       "count_over_time", "last_over_time", "stddev_over_time",
       "stdvar_over_time", "present_over_time", "quantile_over_time")
+
+    /** `absent(x)` / `absent_over_time(x[R])`: 1 at every grid window
+      * where the selector's lookback holds no sample. Prometheus takes
+      * the evaluation grid from the query's start/end; here it derives
+      * from the metric STREAM itself — every (component, window) cell
+      * between the stream's oldest and newest window, built from two
+      * per-component aggregate scalars + a bounded sequence explode
+      * (never a driver loop; grid size = components × span/step). Output
+      * labels are the selector's equality matchers (PromQL's rule: the
+      * labels the user asserted), name empty per PromQL. The presence
+      * side is the same window assignment every range function uses, so
+      * sliding mode slides the lookback for free.
+      */
+    private def absentVec(fnName: String, args: Seq[PromExpr]): Value = {
+      require1(fnName, args)
+      val (sel, r) = args.head match {
+        case s: VectorSelector if fnName == "absent" => (s, stepSec)
+        case RangeSelector(s, rr) if fnName == "absent_over_time" => (s, rr)
+        case _ => err(s"$fnName expects a ${
+          if (fnName == "absent") "vector selector" else "range selector"}")
+      }
+      val gridStep = if (sliding) stepSec else r
+      val winCol = winStart(col("timestamp"), gridStep)
+      val grid = metrics
+        .groupBy(col("component"))
+        .agg(min(winCol).as("_w0"), max(winCol).as("_w1"))
+        .select(col("component"),
+          explode(sequence(col("_w0"), col("_w1"), lit(gridStep))).as("win_start"))
+      val present = assignWin(samples(sel), r)
+        .select(col("component"), col("win_start")).distinct()
+      val eqs = sel.matchers.filter(m => m.op == MatchOp.Eq && m.label != "__name__")
+      val labelsCol =
+        if (eqs.isEmpty) map_filter(map(lit(""), lit("")), (_, _) => lit(false))
+        else map(eqs.flatMap(m => Seq(lit(m.label), lit(m.value))): _*)
+      Vec(grid.join(present, Seq("component", "win_start"), "left_anti")
+        .select(col("component"), lit("").as("name"), labelsCol.as("labels"),
+          col("win_start"), lit(1.0).as("value")))
+    }
 
     private def scalarArg(e: PromExpr, what: String): Double = eval(e) match {
       case Scal(v) => v
@@ -315,6 +458,16 @@ object PromQlCompiler {
         require1(fn, args)
         val (ds, r) = rangeSamples(fn, args.head)
         Vec(transitions(ds, r, fn))
+      case "deriv" =>
+        require1(fn, args)
+        val (ds, r) = rangeSamples(fn, args.head)
+        Vec(trend(ds, r, fn, 0.0))
+      case "predict_linear" =>
+        if (args.length != 2) err("predict_linear expects (range-vector, scalar)")
+        val h = scalarArg(args(1), "predict_linear horizon")
+        val (ds, r) = rangeSamples(fn, args.head)
+        Vec(trend(ds, r, fn, h))
+      case "absent" | "absent_over_time" => absentVec(fn, args)
       case "quantile_over_time" =>
         if (args.length != 2) err(s"$fn expects (scalar, range-vector)")
         val q = scalarArg(args(0), s"$fn quantile")
@@ -358,7 +511,7 @@ object PromQlCompiler {
         Vec(histogramQuantile(q, vecArg(args(1), fn)))
       case other =>
         err(s"unsupported function '$other' " +
-          "(absent/sort/time/scalar/vector/holt_winters are out of compiler scope)")
+          "(sort/time/scalar/vector/holt_winters are out of compiler scope)")
     }
 
     private def require1(fn: String, args: Seq[PromExpr]): Unit =
@@ -773,4 +926,8 @@ object PromQl {
     PromQlCompiler.compile(query, metrics, stepSec)
   def compileVector(query: String, metrics: DataFrame, stepSec: Long = 3600L): DataFrame =
     PromQlCompiler.compileVector(query, metrics, stepSec)
+  def compileSliding(query: String, metrics: DataFrame, stepSec: Long = 900L): DataFrame =
+    PromQlCompiler.compileSliding(query, metrics, stepSec)
+  def compileSlidingVector(query: String, metrics: DataFrame, stepSec: Long = 900L): DataFrame =
+    PromQlCompiler.compileSlidingVector(query, metrics, stepSec)
 }

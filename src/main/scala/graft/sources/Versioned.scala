@@ -513,10 +513,18 @@ object Versioned {
         val keyCol = deleteKeyOf(root, v).getOrElse(throw new IllegalStateException(
           s"version $v of $root has tombstones but no deleteKey"))
         import spark.implicits._
-        val keys = tomb.flatMap(_.deletes).distinct.toDF("_del_key")
+        // tombstones are PER FILE: a key deleted from file A and
+        // re-inserted by a later upsert's file B must survive in B, so
+        // the anti-join key is (file, key), never the bare key union
+        val keys = tomb.flatMap(e => e.deletes.map(k => (suffixOf(e.path), k)))
+          .toDF("_del_path", "_del_key")
         Some(read(tomb.map(_.path))
+          .withColumn("_del_f",
+            concat_ws("/", slice(split(input_file_name(), "/"), -2, 2)))
           .join(broadcast(keys),
-            col(keyCol).cast("string") === col("_del_key"), "left_anti"))
+            col("_del_f") === col("_del_path") &&
+              col(keyCol).cast("string") === col("_del_key"), "left_anti")
+          .drop("_del_f"))
       }).flatten
     parts.reduce(_ unionByName _)
   }
@@ -544,28 +552,37 @@ object Versioned {
       bloomsByFile = bloomsFor(df.sparkSession, s"$root/$staging", bloomCols, expectedKeysPerFile))
     val prevV = latestVersion(root)
     val prev = if (prevV < 0) Nil else manifest(root, prevV)
-    // add-column schema evolution: the next version's schema is the union
-    // by name — previous fields keep their order, genuinely new fields
-    // append; a same-name field must keep its type (no type evolution)
-    val merged = (if (prevV < 0) None else markerSchema(root, prevV)) match {
+    val merged = mergedSchema(if (prevV < 0) None else markerSchema(root, prevV), df)
+    writeMarker(root, prevV + 1, prev ++ delta,
+      schemaJson = Some(merged.json),
+      deleteKey = if (prevV < 0) None else deleteKeyOf(root, prevV))
+    prevV + 1
+  }
+
+  /** Add-column schema evolution shared by [[appendCommit]] and
+    * [[upsertCommit]]: the next version's schema is the union by name —
+    * previous fields keep their order, genuinely new fields append as
+    * NULLABLE (older files lack the column entirely, so it MUST read
+    * null); a same-name field must keep its type (no type evolution).
+    */
+  private def mergedSchema(
+      prev: Option[org.apache.spark.sql.types.StructType],
+      df: DataFrame): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    prev match {
       case None => df.schema
       case Some(old) =>
         df.schema.fields.foreach { f =>
           old.fields.find(_.name == f.name).foreach { o =>
             require(o.dataType == f.dataType,
-              s"appendCommit cannot change column '${f.name}' from " +
+              s"commit cannot change column '${f.name}' from " +
                 s"${o.dataType.simpleString} to ${f.dataType.simpleString}")
           }
         }
         StructType(old.fields ++
           df.schema.fields.filterNot(f => old.fieldNames.contains(f.name))
-            // older files lack the new column entirely — it MUST read null
             .map(_.copy(nullable = true)))
     }
-    writeMarker(root, prevV + 1, prev ++ delta,
-      schemaJson = Some(merged.json),
-      deleteKey = if (prevV < 0) None else deleteKeyOf(root, prevV))
-    prevV + 1
   }
 
   /** Whether `e` can be PROVEN not to hold any of `hashes` on `keyCol`:
@@ -602,6 +619,43 @@ object Versioned {
       .filter(col(keyCol).cast("string").isin(values: _*))
   }
 
+  /** `entries` with `keys` tombstoned in exactly the files that
+    * physically hold them: blooms prune the candidate set first (a file
+    * whose bloom proves every key absent never gets scanned), then ONE
+    * scan over the candidates only — driver result bounded by (affected
+    * files × key-set size). Unaffected entries pass through untouched, so
+    * they never pay the read-side anti-join.
+    */
+  private def withTombstones(
+      spark: SparkSession,
+      root: String,
+      v: Long,
+      keyCol: String,
+      keys: Seq[String],
+      entries: Seq[Entry]): Seq[Entry] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val hashes = keys.map(org.apache.spark.sql.graft.GraftBridge.xxhash64String)
+    val candidates = entries.filterNot(e => bloomSkippable(e, keyCol, hashes))
+    val keysDf = keys.toDF("_del_key")
+    val schema = markerSchema(root, v)
+    val hits =
+      if (candidates.isEmpty) Map.empty[String, Seq[String]]
+      else schema.map(spark.read.schema).getOrElse(spark.read)
+        .parquet(candidates.map(e => s"$root/${e.path}"): _*)
+        .select(input_file_name().as("_f"), col(keyCol).cast("string").as("_k"))
+        .join(broadcast(keysDf), col("_k") === col("_del_key"))
+        .groupBy(col("_f")).agg(collect_set(col("_k")).as("_ks"))
+        .collect()
+        .map(r => suffixOf(r.getString(0)) -> r.getSeq[String](1)).toMap
+    entries.map { e =>
+      hits.get(suffixOf(e.path)) match {
+        case Some(ks) => e.copy(deletes = (e.deletes ++ ks).distinct.sorted)
+        case None => e
+      }
+    }
+  }
+
   /** Row-level DELETE as an O(delta) commit — the deletion-vector shape
     * (Delta's DVs, Iceberg's delete files): no data file is rewritten;
     * the next version's manifest carries, per affected file, the set of
@@ -630,30 +684,7 @@ object Versioned {
       s"table carries tombstones on '$k'; a second delete key '$keyCol' " +
         "requires a compact() first"))
     val entries = manifest(root, v)
-    // locate which files physically hold the doomed keys: blooms prune
-    // the candidate set first (a file whose bloom proves every key absent
-    // never gets scanned), then one scan over the candidates only —
-    // driver result bounded by (affected files × delete-set size)
-    import spark.implicits._
-    val hashes = keys.map(org.apache.spark.sql.graft.GraftBridge.xxhash64String)
-    val candidates = entries.filterNot(e => bloomSkippable(e, keyCol, hashes))
-    val keysDf = keys.toDF("_del_key")
-    val schema = markerSchema(root, v)
-    val hits =
-      if (candidates.isEmpty) Map.empty[String, Seq[String]]
-      else schema.map(spark.read.schema).getOrElse(spark.read)
-        .parquet(candidates.map(e => s"$root/${e.path}"): _*)
-        .select(input_file_name().as("_f"), col(keyCol).cast("string").as("_k"))
-        .join(broadcast(keysDf), col("_k") === col("_del_key"))
-        .groupBy(col("_f")).agg(collect_set(col("_k")).as("_ks"))
-        .collect()
-        .map(r => suffixOf(r.getString(0)) -> r.getSeq[String](1)).toMap
-    val updated = entries.map { e =>
-      hits.get(suffixOf(e.path)) match {
-        case Some(ks) => e.copy(deletes = (e.deletes ++ ks).distinct.sorted)
-        case None => e
-      }
-    }
+    val updated = withTombstones(spark, root, v, keyCol, keys, entries)
     writeMarker(root, v + 1, updated,
       schemaJson = markerSchema(root, v).map(_.json),
       deleteKey = Some(keyCol))
@@ -678,6 +709,55 @@ object Versioned {
       .collect().map(_.getString(0)).toSeq
     if (doomed.isEmpty) -1L
     else deleteCommit(spark, root, keyCol, doomed.sorted)
+  }
+
+  /** MERGE as an O(delta) commit — upsert-by-key with NOTHING rewritten
+    * (the deletion-vector MERGE shape, vs [[mergeCommit]]'s full-snapshot
+    * rewrite): ONE new version whose manifest (a) tombstones the
+    * changeset's keys in exactly the files that physically hold them
+    * (the bloom-pruned locate scan [[deleteCommit]] uses) and (b) appends
+    * the changeset itself as new pooled files, bloom-indexed on the key
+    * so the NEXT upsert's locate scan prunes them too. Matched keys are
+    * replaced, unmatched keys are plain inserts; a key's replacement rows
+    * land whole (delete-then-insert semantics — a multi-row-per-key
+    * changeset lands all its rows). The commit costs O(changeset +
+    * affected files) regardless of table size, is atomic via the single
+    * marker, and the previous version still time-travels exactly.
+    * Tombstones accumulate across upserts until a [[compact]] materializes
+    * them away; an upsert into an empty table is a plain bloom-indexed
+    * [[appendCommit]]. Returns the committed version.
+    */
+  def upsertCommit(
+      df: DataFrame,
+      root: String,
+      keyCol: String,
+      bloomCols: Seq[String] = Nil,
+      expectedKeysPerFile: Long = 100000L): Long = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val allBloomCols = (bloomCols :+ keyCol).distinct
+    val v = latestVersion(root)
+    if (v < 0) return appendCommit(df, root, allBloomCols, expectedKeysPerFile)
+    deleteKeyOf(root, v).foreach(k => require(k == keyCol,
+      s"table carries tombstones on '$k'; upserting on '$keyCol' " +
+        "requires a compact() first"))
+    // the changeset keys — driver-held by the same O(delta) contract as
+    // deleteCommit (the changeset is the small side of a MERGE)
+    val keys = df.select(col(keyCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    require(keys.nonEmpty, "upsertCommit needs a non-empty changeset")
+    val updated = withTombstones(spark, root, v, keyCol, keys, manifest(root, v))
+    // stage + pool the changeset (appendCommit's write path): data lands
+    // fully before the marker publishes — crash leaves invisible orphans
+    val staging = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
+    df.write.mode("errorifexists").parquet(s"$root/$staging")
+    val delta = poolStaged(root, staging,
+      bloomsByFile = bloomsFor(spark, s"$root/$staging", allBloomCols, expectedKeysPerFile))
+    val anyTombs = updated.exists(_.deletes.nonEmpty)
+    writeMarker(root, v + 1, updated ++ delta,
+      schemaJson = Some(mergedSchema(markerSchema(root, v), df).json),
+      deleteKey = if (anyTombs) Some(keyCol) else deleteKeyOf(root, v))
+    v + 1
   }
 
   /** Drop columns as a METADATA-ONLY commit — the other half of schema
@@ -861,6 +941,26 @@ object Versioned {
       commitZordered(snap, root, zorderCols, numFiles,
         statsCols = statsCols, bloomCols = bloomCols)
     else commit(snap.coalesce(numFiles), root, bloomCols = bloomCols)
+  }
+
+  /** RESTORE — roll the table back to version `v` as a NEW commit (the
+    * `RESTORE TABLE … TO VERSION` shape the production formats expose):
+    * the next version lists exactly `v`'s manifest with `v`'s schema and
+    * tombstones, so the rollback costs ONE marker — O(1) in table size,
+    * no data moves — and history is preserved: the rolled-back versions
+    * still time-travel, and [[vacuum]] retires them on its normal
+    * schedule. Restoring a version a vacuum already swept fails loudly
+    * (missing marker, or [[writeMarker]]'s existence re-verification if
+    * only the files are gone). Returns the committed version.
+    */
+  def restore(root: String, v: Long): Long = {
+    val cur = latestVersion(root)
+    require(cur >= 0, s"no committed versions in $root")
+    val entries = manifest(root, v)
+    writeMarker(root, cur + 1, entries,
+      schemaJson = markerSchema(root, v).map(_.json),
+      deleteKey = deleteKeyOf(root, v))
+    cur + 1
   }
 
   /** All committed versions, ascending — the table's readable history. */

@@ -266,11 +266,84 @@ class PromQlCompileSpec extends SparkSuite {
   }
 
   test("compile errors: unsupported function, scalar-only expression, bad range") {
-    assertThrows[PromQlCompileException](PromQl.compile("absent(x)", metrics))
+    assertThrows[PromQlCompileException](PromQl.compile("sort(x)", metrics))
     assertThrows[PromQlCompileException](PromQl.compile("1 + 2", metrics))
     assertThrows[PromQlCompileException](PromQl.compile("view_total[1h]", metrics))
     assertThrows[PromQlCompileException](
       PromQl.compile("max_over_time(increase(x[1h])[5h:2h])", metrics))
+  }
+
+  test("sliding with R == step degenerates to tumbling exactly") {
+    val q = "avg_over_time(view_total[1h])"
+    assert(rendered(PromQl.compileSliding(q, metrics, 3600L)) ===
+      rendered(PromQl.compile(q, metrics, 3600L)))
+  }
+
+  test("sliding increase == sum of the four covered 15m tumbling increases") {
+    // first-principles: a 1h lookback on the 15m grid covers exactly the
+    // four 15m tumbling windows starting at w..w+45m (both sides assign a
+    // delta to its later sample's window; decimal sums are associative,
+    // so regrouping the addends is exact)
+    val inc15 = rendered(PromQl.compile("increase(view_total[15m])", metrics))
+    val expected = inc15
+      .flatMap { case (n, s, ws, _) => (0 to 3).map(j => (n, s, ws - j * 900L)) }
+      .map { case (n, s, w) =>
+        val v = inc15.collect {
+          case (n2, s2, w2, v2) if n2 == n && s2 == s && w2 >= w && w2 < w + 3600 =>
+            BigDecimal(v2)
+        }.sum.toDouble
+        (n, s, w, BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val got = rendered(
+      PromQl.compileSliding("increase(view_total[1h])", metrics, 900L))
+    assert(got.nonEmpty && got === expected)
+  }
+
+  test("sliding mode composes mixed ranges on the one step grid") {
+    val df = PromQl.compileSliding(
+      "increase(error_total[2h]) / (increase(view_total[1h]) > 0)", metrics, 900L)
+    val wins = df.select("win_start").distinct().collect().map(_.getLong(0))
+    assert(wins.nonEmpty && wins.forall(_ % 900 == 0),
+      "every subexpression must land on the 900s evaluation grid")
+    assertThrows[PromQlCompileException](
+      PromQl.compileSliding("increase(view_total[50m])", metrics, 900L).collect())
+  }
+
+  test("predict_linear extrapolates the deriv fit: p(h) - p(0) == slope * h") {
+    def byKey(q: String): Map[(String, String, Long), Double] =
+      PromQl.compile(q, metrics)
+        .select("name", "series", "win_start", "value").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getDouble(3))
+        .toMap
+    // 24h windows: sf0.001 is sparse — hourly windows rarely hold the
+    // two distinct-ts samples a fit needs
+    val slope = byKey("deriv(view_total[24h])")
+    val p0 = byKey("predict_linear(view_total[24h], 0)")
+    val ph = byKey("predict_linear(view_total[24h], 1800)")
+    assert(slope.nonEmpty && slope.keySet === p0.keySet && p0.keySet === ph.keySet)
+    slope.foreach { case (k, s) =>
+      assert(math.abs((ph(k) - p0(k)) - s * 1800.0) <= 1e-6 * (1 + math.abs(s * 1800.0)),
+        s"trend family inconsistent at $k")
+    }
+  }
+
+  test("absent of a never-reported series fills the stream's whole grid") {
+    val got = PromQl.compile("""absent(nonexistent_total{foo="bar"})""", metrics)
+      .select("name", "series", "win_start", "value").collect()
+    val wins =
+      metrics.select((col("timestamp") - pmod(col("timestamp"), lit(3600L))).as("w"))
+        .agg(min("w"), max("w")).collect().head
+    val expectWins = (wins.getLong(0) to wins.getLong(1) by 3600L).toSet
+    assert(got.map(_.getLong(2)).toSet === expectWins,
+      "the grid must span every window between the stream's oldest and newest")
+    assert(got.forall(r => r.getString(0) == "" && r.getString(1) == "foo=bar" &&
+      r.getDouble(3) == 1.0))
+    // a series present in SOME windows reports only its gaps (fewer rows)
+    val gaps = PromQl.compile("""absent(error_total{user="1"})""", metrics).count()
+    assert(gaps > 0 && gaps < expectWins.size)
+    // absent_over_time with range == step is the same relation
+    assert(PromQl.compile("""absent_over_time(nonexistent_total{foo="bar"}[1h])""",
+      metrics).count() === expectWins.size.toLong)
   }
 
   test("many-to-many without group_left raises at runtime") {

@@ -391,6 +391,74 @@ class SourcesSpec extends SparkSuite {
     assert(rows(v2) === Set((1L, "a"), (3L, "c"), (4L, "d")))
   }
 
+  test("versioned table: upsert is an O(delta) tombstone+append commit") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-ups").toFile.getAbsolutePath
+    def poolCount = Option(new java.io.File(root, "_files").listFiles())
+      .map(_.length).getOrElse(0)
+    def rows(v: Long) =
+      Versioned.asOf(spark, root, v).as[(Long, String)].collect().toSet
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "name").coalesce(1), root)
+    val v1 = Versioned.appendCommit(
+      Seq((3L, "c"), (4L, "d")).toDF("k", "name").coalesce(1), root)
+    val before = poolCount
+    // upsert: k=2 replaced, k=5 inserted — ONE delta file, nothing rewritten
+    val v2 = Versioned.upsertCommit(
+      Seq((2L, "B"), (5L, "e")).toDF("k", "name").coalesce(1), root, "k")
+    assert(poolCount === before + 1, "an upsert writes only its delta file")
+    assert(rows(v2) === Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d"), (5L, "e")))
+    assert(rows(v1) === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")),
+      "the pre-upsert version still time-travels exactly")
+    val m2 = Versioned.manifest(root, v2)
+    // the matched key tombstones exactly the one file holding it; the
+    // delta file carries a bloom on the key for the NEXT upsert's locate
+    assert(m2.count(_.deletes.nonEmpty) === 1 &&
+      m2.find(_.deletes.nonEmpty).get.deletes === Seq("2"))
+    assert(m2.last.blooms.contains("k"))
+    // a second upsert replaces a row the FIRST upsert inserted — its
+    // tombstone lands in the delta file itself
+    val v3 = Versioned.upsertCommit(
+      Seq((5L, "E")).toDF("k", "name").coalesce(1), root, "k")
+    assert(rows(v3) === Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d"), (5L, "E")))
+    assert(Versioned.manifest(root, v3)
+      .exists(e => e.path == m2.last.path && e.deletes == Seq("5")))
+    // an upsert on a different key is refused while tombstones reference k
+    intercept[IllegalArgumentException](
+      Versioned.upsertCommit(Seq(("a", 1L)).toDF("name", "k"), root, "name"))
+    // compact materializes the tombstones away; rows unchanged
+    val v4 = Versioned.compact(spark, root)
+    assert(Versioned.manifest(root, v4).forall(_.deletes.isEmpty))
+    assert(Versioned.deleteKeyOf(root, v4) === None)
+    assert(rows(v4) === rows(v3))
+  }
+
+  test("versioned table: restore rolls back as a metadata-only commit") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-restore").toFile.getAbsolutePath
+    def poolCount = Option(new java.io.File(root, "_files").listFiles())
+      .map(_.length).getOrElse(0)
+    def rows(v: Long) =
+      Versioned.asOf(spark, root, v).as[(Long, String)].collect().toSet
+    val v0 = Versioned.commit(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "name").coalesce(1), root)
+    Versioned.appendCommit(Seq((3L, "c")).toDF("k", "name").coalesce(1), root)
+    val v2 = Versioned.deleteCommit(spark, root, "k", Seq("1"))
+    val before = poolCount
+    // roll back to v0: one marker, zero data movement
+    val v3 = Versioned.restore(root, v0)
+    assert(poolCount === before, "restore must write no data files")
+    assert(v3 === 3L && Versioned.history(root) === Seq(0L, 1L, 2L, 3L))
+    assert(rows(v3) === Set((1L, "a"), (2L, "b")))
+    assert(rows(v2) === Set((2L, "b"), (3L, "c")),
+      "rolled-back versions still time-travel")
+    // restoring a tombstone-carrying version carries its tombstones
+    val v4 = Versioned.restore(root, v2)
+    assert(rows(v4) === Set((2L, "b"), (3L, "c")))
+    assert(Versioned.deleteKeyOf(root, v4) === Some("k"))
+  }
+
   test("versioned table: string and date stat columns prune files on read") {
     import spark.implicits._
     import graft.sources.Versioned

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.sources.Versioned
 
 /** Model-based fuzz of the Versioned table protocol: a seeded random
-  * sequence of append / delete / compact / vacuum ops applied both to the
+  * sequence of append / upsert / delete / compact / vacuum / restore ops
+  * applied both to the
   * real table and to a driver-side reference model (one Map per version),
   * with snapshot equality, time travel, history, and the change feed
   * cross-checked at every step. The layer now composes tombstones, schema
@@ -38,11 +39,13 @@ class VersionedFuzzSpec extends SparkSuite {
 
       for (step <- 0 until 40) {
         val live = current
-        val op = rnd.nextInt(10) match {
-          case 0 | 1 | 2 | 3 | 4       => "append"
+        val op = rnd.nextInt(11) match {
+          case 0 | 1 | 2 | 3           => "append"
+          case 4 if live.nonEmpty      => "upsert"
           case 5 | 6 if live.nonEmpty  => "delete"
           case 7 if live.nonEmpty      => "compact"
           case 8 if model.length >= 4  => "vacuum"
+          case 10 if model.length >= 3 => "restore"
           case _                       => "append"
         }
         op match {
@@ -58,6 +61,22 @@ class VersionedFuzzSpec extends SparkSuite {
               expectedKeysPerFile = 256L)
             model += Some(current ++ rows)
             opKind += "append"
+          case "upsert" =>
+            // replace 1-2 live keys (value always changes) + 0-1 fresh
+            val existing = rnd.shuffle(live.keys.toSeq).take(1 + rnd.nextInt(2))
+            val fresh = (0 until rnd.nextInt(2)).map { _ => nextKey += 1; nextKey }
+            val rows = (existing ++ fresh).map(k => k -> s"u$k-$step")
+            Versioned.upsertCommit(
+              rows.toDF("k", "name").coalesce(1), root, "k",
+              expectedKeysPerFile = 256L)
+            model += Some(current ++ rows)
+            opKind += "upsert"
+          case "restore" =>
+            val retainedVs = model.zipWithIndex.collect { case (Some(_), i) => i }
+            val v = retainedVs(rnd.nextInt(retainedVs.length))
+            Versioned.restore(root, v.toLong)
+            model += model(v)
+            opKind += "restore"
           case "delete" =>
             val doomed = rnd.shuffle(live.keys.toSeq).take(1 + rnd.nextInt(2))
             Versioned.deleteCommit(spark, root, "k", doomed.map(_.toString))
@@ -99,10 +118,12 @@ class VersionedFuzzSpec extends SparkSuite {
             Seq((nextKey + 1000).toString)).count() === 0L,
             s"seed=$seed step=$step point-miss")
           // a tombstoned key is unreachable even through the point path
+          // (unless an upsert or a restore resurrected it since)
           if (deletedKeys.nonEmpty) {
             val dk = deletedKeys(rnd.nextInt(deletedKeys.length))
-            assert(Versioned.pointRead(spark, root, v, "k", Seq(dk.toString))
-              .count() === 0L, s"seed=$seed step=$step point-deleted($dk)")
+            if (!current.contains(dk))
+              assert(Versioned.pointRead(spark, root, v, "k", Seq(dk.toString))
+                .count() === 0L, s"seed=$seed step=$step point-deleted($dk)")
           }
         }
       }
@@ -114,13 +135,16 @@ class VersionedFuzzSpec extends SparkSuite {
       for (pair <- retained.sliding(2) if pair.length == 2) {
         val (v1, m1) = pair(0)
         val (v2, m2) = pair(1)
-        if (v2 == v1 + 1 && kinds(v2.toInt) != "compact") {
+        if (v2 == v1 + 1 && kinds(v2.toInt) != "compact" && kinds(v2.toInt) != "restore") {
           val got = Versioned.changesBetween(spark, root, v1, v2)
             .select("_change_type", "k", "name").collect()
             .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+          // an upsert's replaced key reports as delete(old) + insert(new)
+          val replaced = (m1.keySet & m2.keySet).filter(k => m1(k) != m2(k))
           val want =
             (m2.keySet -- m1.keySet).map(k => ("insert", k, m2(k))) ++
-              (m1.keySet -- m2.keySet).map(k => ("delete", k, m1(k)))
+              (m1.keySet -- m2.keySet).map(k => ("delete", k, m1(k))) ++
+              replaced.flatMap(k => Seq(("delete", k, m1(k)), ("insert", k, m2(k))))
           assert(got === want, s"seed=$seed changes($v1,$v2)")
         }
       }
