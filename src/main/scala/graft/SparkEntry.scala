@@ -484,9 +484,23 @@ object SparkEntry {
       promql.PromQl.compile(
         """absent(error_total{user="1"})""",
         Firehose.metricsFromEvents(s, dir))),
+    // double exponential smoothing from text (m25's fold, dyadic factors)
+    "m34d_promql_holt" -> ((s, dir) =>
+      promql.PromQl.compile(
+        "holt_winters(view_total[1h], 0.5, 0.25)",
+        Firehose.metricsFromEvents(s, dir))),
+    // m35: the @ modifier — current increases against the baseline window
+    // pinned at a fixed timestamp (zero baselines comparison-filtered out)
+    "m35_promql_at" -> ((s, dir) =>
+      promql.PromQl.compile(
+        "increase(error_total[1h]) / (increase(error_total[1h] @ 1705276800) > 0)",
+        Firehose.metricsFromEvents(s, dir))),
     // per-source gopher-rule failure funnel
     "t18_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
+    // per-source KL drift vs the pooled corpus over d22's bucket model
+    "t20_dist_drift" -> ((s, dir) =>
+      TextAnalysis.distributionDrift(Tables(s, dir, "documents"))),
     // SCD Type-2 history apply on the customer dimension: current slice =
     // keys %3≠0 (plus pre-closed versions for %9==0, passthrough), new
     // snapshot = keys %5≠0 with an acctbal bump on %7==0, applied at t=100
@@ -2065,6 +2079,51 @@ object SparkEntry {
         |FROM grid g WHERE NOT EXISTS (
         |  SELECT 1 FROM p WHERE p.component = g.component
         |    AND p.win_start = g.win_start)""".stripMargin,
+    // compiled holt_winters: m25's recursive replay, final smoothed value
+    // per >=2-sample window only (the compile drops the n<2 nulls)
+    "m34d_promql_holt" ->
+      """WITH RECURSIVE m AS MATERIALIZED (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         CAST(event_id AS VARCHAR) AS id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |r AS MATERIALIZED (SELECT component, name, series,
+        |        ts_sec - ts_sec % 3600 AS win_start, value,
+        |        row_number() OVER (PARTITION BY component, name, series,
+        |          ts_sec - ts_sec % 3600 ORDER BY ts_sec, id) AS rn,
+        |        count(*) OVER (PARTITION BY component, name, series,
+        |          ts_sec - ts_sec % 3600) AS cnt
+        |      FROM m),
+        |hw AS (
+        |  SELECT r2.component, r2.name, r2.series, r2.win_start, r2.cnt,
+        |         CAST(2 AS BIGINT) AS i, r2.value AS s, r2.value - r1.value AS b
+        |  FROM r r2 JOIN r r1 ON r1.component = r2.component AND r1.name = r2.name
+        |    AND r1.series = r2.series AND r1.win_start = r2.win_start
+        |    AND r2.rn = 2 AND r1.rn = 1
+        |  UNION ALL
+        |  SELECT hw.component, hw.name, hw.series, hw.win_start, hw.cnt, hw.i + 1,
+        |         0.5 * r.value + 0.5 * (hw.s + hw.b),
+        |         0.25 * (0.5 * r.value + 0.5 * (hw.s + hw.b) - hw.s) + 0.75 * hw.b
+        |  FROM hw JOIN r ON r.component = hw.component AND r.name = hw.name
+        |    AND r.series = hw.series AND r.win_start = hw.win_start AND r.rn = hw.i + 1
+        |  WHERE hw.i < hw.cnt)
+        |SELECT component, name, series, win_start, s AS value
+        |FROM hw WHERE i = cnt AND name = 'view_total'""".stripMargin,
+    // @: the pinned window's per-series increase is a constant baseline
+    // joined to every evaluation window of that series (the > 0 filter
+    // IS the zero-baseline guard, so the division is plain IEEE)
+    "m35_promql_at" ->
+      (IncreaseCte(3600) +
+        """, p AS (
+          |  SELECT component, series, increase AS base
+          |  FROM win WHERE name = 'error_total'
+          |    AND win_start = 1705276800 AND increase > 0)
+          |SELECT e.component, '' AS name, e.series, e.win_start,
+          |  e.increase / p.base AS value
+          |FROM win e JOIN p
+          |  ON e.component = p.component AND e.series = p.series
+          |WHERE e.name = 'error_total'""".stripMargin),
     // decimal sums make avg/stdvar derive from order-independent
     // numerators; variance via the algebraic form over those exact sums
     "m24_over_time" ->
@@ -2526,6 +2585,42 @@ object SparkEntry {
            |FROM r""".stripMargin),
     // t12's signal CTEs + a per-source conditional aggregation; null
     // signals count as failures via the same coalesce(…, FALSE) discipline
+    // per-source KL vs corpus on the dense (source × bucket) grid; every
+    // number mirrors the engine's exact expression tree (1e-6 ln grid,
+    // 1e-9 term grid, exact BIGINT sum)
+    "t20_dist_drift" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 4096 AS bkt
+        |  FROM toks),
+        |sb AS (SELECT source, bkt, count(*) AS c_sb FROM b GROUP BY 1, 2),
+        |g AS (SELECT bkt, sum(c_sb) AS c_b FROM sb GROUP BY 1),
+        |st AS (SELECT source, sum(c_sb) AS n_s FROM sb GROUP BY 1),
+        |t AS (SELECT sum(c_b) AS n FROM g),
+        |grid AS (
+        |  SELECT st.source, st.n_s, gs.b AS bkt
+        |  FROM st CROSS JOIN (SELECT unnest(range(0, 4096)) AS b) gs),
+        |j AS (
+        |  SELECT grid.source, grid.n_s, grid.bkt,
+        |    COALESCE(sb.c_sb, 0) AS c_sb, COALESCE(g.c_b, 0) AS c_b
+        |  FROM grid LEFT JOIN sb ON sb.source = grid.source AND sb.bkt = grid.bkt
+        |  LEFT JOIN g ON g.bkt = grid.bkt),
+        |term AS (
+        |  SELECT source, n_s,
+        |    CAST(floor(
+        |      (CAST(c_sb + 1 AS DOUBLE) / (CAST(n_s AS DOUBLE) + 4096.0))
+        |      * (floor(ln((CAST(c_sb + 1 AS DOUBLE) * (CAST(n AS DOUBLE) + 4096.0))
+        |           / ((CAST(n_s AS DOUBLE) + 4096.0) * CAST(c_b + 1 AS DOUBLE)))
+        |         * 1000000.0 + 0.5) / 1000000.0)
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS tq
+        |  FROM j, t)
+        |SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+        |  CAST(sum(tq) AS DOUBLE) / 1000000000.0 AS kl_vs_corpus
+        |FROM term GROUP BY 1, 2
+        |ORDER BY source""".stripMargin,
     "t18_quality_funnel" ->
       (WordsCte +
         s"""base AS (SELECT doc_id,

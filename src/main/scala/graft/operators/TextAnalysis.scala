@@ -605,4 +605,62 @@ object TextAnalysis {
           col("alpha_ratio") > 0.8 &&
           col("n_stop_distinct") >= 2).cast("long"))
   }
+
+  /** Per-source token-distribution DRIFT against the pooled corpus —
+    * `KL(P_source ‖ Q_corpus)` over hashed token buckets with add-one
+    * smoothing: the mixture monitor that says WHICH source's language
+    * shifted before a budget recomputation ships it (the report sibling
+    * of d22's importance weights — same bucket model, aggregated to one
+    * number per source instead of one weight per document). A source
+    * distributed exactly like the corpus scores 0 (per-bucket ratio is
+    * exactly 1, and ln 1 = 0 quantizes to an exact 0).
+    *
+    * Scale shape: ONE corpus token scan into (source, bucket) counts —
+    * map-side combinable, the shuffled relation is (sources × buckets)-
+    * bounded; the global bucket model and totals derive from that
+    * relation (no second scan); the KL sum runs on the tiny dense
+    * (source × bucket) grid (every bucket contributes — smoothing makes
+    * absent buckets carry probability too), built by a bounded sequence
+    * explode, never a driver loop.
+    *
+    * Portability (the d22 quantized-ln discipline): each ln input is a
+    * ratio of exact integer products (exact doubles while counts×counts
+    * stay under 2⁵³ — at larger scale, pre-divide per factor), the
+    * per-bucket log quantizes to the 1e-6 grid, each P·ln term quantizes
+    * to an exact LONG on the 1e-9 grid (P is bucket-probability-sized, so
+    * the finer grid keeps three significant digits at B = 4096), and the
+    * per-source KL is the exact long sum — order-independent, oracle-
+    * checkable bit-for-bit.
+    */
+  def distributionDrift(docs: DataFrame, buckets: Int = 4096): DataFrame = {
+    val b = graft.Tables.widen(docs)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .select(col("source"),
+        pmod(GraftFunctions.md5_prefix60(col("w")), lit(buckets.toLong)).as("bkt"))
+    val perSrc = graft.Tables.materializeSmall(
+      b.groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("c_sb")))
+    val global = perSrc.groupBy(col("bkt")).agg(sum(col("c_sb")).as("c_b"))
+    val srcTot = perSrc.groupBy(col("source")).agg(sum(col("c_sb")).as("n_s"))
+    val tot = global.agg(sum(col("c_b")).as("n"))
+    val grid = srcTot.select(
+      col("source"), col("n_s"),
+      explode(sequence(lit(0L), lit(buckets - 1L))).as("bkt"))
+    val bd = lit(buckets.toDouble)
+    val p = (col("c_sb") + 1).cast("double") / (col("n_s").cast("double") + bd)
+    val ratio =
+      ((col("c_sb") + 1).cast("double") * (col("n").cast("double") + bd)) /
+        ((col("n_s").cast("double") + bd) * (col("c_b") + 1).cast("double"))
+    val lnq = floor(log(ratio) * lit(1e6) + lit(0.5)) / lit(1e6)
+    grid
+      .join(perSrc, Seq("source", "bkt"), "left")
+      .join(broadcast(global), Seq("bkt"), "left")
+      .na.fill(0L, Seq("c_sb", "c_b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("_tq", floor(p * lnq * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        any_value(col("n_s")).as("n_tokens"),
+        (sum(col("_tq")).cast("double") / lit(1e9)).as("kl_vs_corpus"))
+      .orderBy(col("source"))
+  }
 }

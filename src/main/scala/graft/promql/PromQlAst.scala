@@ -42,7 +42,8 @@ object MatchOp {
 final case class VectorSelector(
     name: Option[String],
     matchers: Seq[LabelMatcher] = Nil,
-    offsetSec: Long = 0L) extends PromExpr
+    offsetSec: Long = 0L,
+    atSec: Option[Long] = None) extends PromExpr
 
 /** Range vector selector: `sel[5m]` — only legal as a range-function
   * argument, which the compiler enforces.
@@ -177,13 +178,16 @@ object PromQlPrinter {
   private def selector(s: VectorSelector): String = {
     val base = s.name.getOrElse("") +
       (if (s.matchers.nonEmpty || s.name.isEmpty) "{" + matchers(s.matchers) + "}" else "")
-    base + offsetSuffix(s.offsetSec)
+    base + offsetSuffix(s.offsetSec) + atSuffix(s.atSec)
   }
 
   private def offsetSuffix(off: Long): String =
     if (off == 0) ""
     else if (off > 0) s" offset ${PromQlDurations.render(off)}"
     else s" offset -${PromQlDurations.render(-off)}"
+
+  private def atSuffix(at: Option[Long]): String =
+    at.map(t => s" @ $t").getOrElse("")
 
   private def grouping(g: AggGroup): String = g match {
     case AggGroup.All => ""
@@ -210,10 +214,11 @@ object PromQlPrinter {
     case StringLit(s) => quote(s)
     case s: VectorSelector => selector(s)
     case RangeSelector(s, r) =>
-      // offset renders AFTER the range per the grammar: x[5m] offset 1h
+      // offset and @ render AFTER the range per the grammar:
+      // x[5m] offset 1h @ 300
       s.name.getOrElse("") +
         (if (s.matchers.nonEmpty || s.name.isEmpty) "{" + matchers(s.matchers) + "}" else "") +
-        s"[${PromQlDurations.render(r)}]" + offsetSuffix(s.offsetSec)
+        s"[${PromQlDurations.render(r)}]" + offsetSuffix(s.offsetSec) + atSuffix(s.atSec)
     case Subquery(inner, r, step) =>
       // subquery binds tighter than any binary op; parenthesize any
       // non-atomic inner expression for re-parse fidelity

@@ -89,7 +89,7 @@ final case class PromQlCompileException(msg: String) extends RuntimeException(ms
   *    compile has no channel for).
   *  - Unsupported (compile error, never silently wrong):
   *    `sort`/`sort_desc` (presentation-only), `time`/`scalar`/`vector`,
-  *    `holt_winters` (use [[Firehose.holtWinters]]), native histograms.
+  *    native histograms.
   */
 object PromQlCompiler {
 
@@ -139,6 +139,34 @@ object PromQlCompiler {
   }
 
   private def err(msg: String): Nothing = throw PromQlCompileException(msg)
+
+  /** IEEE-explicit arithmetic: engines disagree on double division and
+    * modulo by zero in SQL mode, so the special cases are spelled out.
+    * Shared by the batch Eval and [[PromQlStream]] — the two front-ends
+    * cannot drift on operator semantics.
+    */
+  private[promql] def arith(op: String, l: Column, r: Column): Column = op match {
+    case "+" => l + r
+    case "-" => l - r
+    case "*" => l * r
+    case "/" =>
+      when(r === 0.0,
+        when(l > 0, lit(Double.PositiveInfinity))
+          .when(l < 0, lit(Double.NegativeInfinity))
+          .otherwise(lit(Double.NaN)))
+        .otherwise(l / r)
+    case "%" => when(r === 0.0, lit(Double.NaN)).otherwise(l % r)
+    case "^" => pow(l, r)
+  }
+
+  private[promql] def cmpPred(op: String, l: Column, r: Column): Column = op match {
+    case "==" => l === r
+    case "!=" => l =!= r
+    case "<" => l < r
+    case ">" => l > r
+    case "<=" => l <= r
+    case ">=" => l >= r
+  }
 
   private final class Eval(metrics: DataFrame, stepSec: Long, sliding: Boolean = false) {
 
@@ -194,22 +222,63 @@ object PromQlCompiler {
       * (raw samples, range R) or a subquery (the inner expression's
       * per-window samples re-fed as a series sampled on its step grid —
       * `rate(x[1h:5m])` is legal PromQL and works here for free).
-      * Returns (samples-with-(timestamp,id), R).
+      * Returns (samples-with-(timestamp,id), R, the selector's `@` pin).
       */
-    private def rangeSamples(fnName: String, arg: PromExpr): (DataFrame, Long) = arg match {
+    private def rangeSamples(
+        fnName: String, arg: PromExpr): (DataFrame, Long, Option[Long]) = arg match {
       case RangeSelector(sel, r) =>
         (samples(sel).select(
           col("component"), col("name"), col("labels"),
-          col("timestamp"), col("id"), col("value")), r)
+          col("timestamp"), col("id"), col("value")), r, sel.atSec)
       case Subquery(inner, r, step) =>
         val s = step.getOrElse(stepSec)
         if (r % s != 0) err(s"subquery step ${s}s must tile the range ${r}s")
         val inner0 = new Eval(metrics, s, sliding).evalVec(inner)
         (inner0.select(
           col("component"), col("name"), col("labels"),
-          col("win_start").as("timestamp"), lit("").as("id"), col("value")), r)
+          col("win_start").as("timestamp"), lit("").as("id"), col("value")), r, None)
       case _ => err(s"$fnName expects a range vector (x[5m] or a subquery)")
     }
+
+    /** The (component, window) evaluation grid derived from the metric
+      * stream's own observed span: two per-component aggregate scalars +
+      * a bounded sequence explode (grid = components × span/gridStep).
+      * Shared by `absent` (report windows with nothing present) and the
+      * `@` modifier (spread a pinned value across evaluation windows).
+      */
+    private def streamGrid(gridStep: Long): DataFrame = {
+      val winCol = winStart(col("timestamp"), gridStep)
+      metrics
+        .groupBy(col("component"))
+        .agg(min(winCol).as("_w0"), max(winCol).as("_w1"))
+        .select(col("component"),
+          explode(sequence(col("_w0"), col("_w1"), lit(gridStep))).as("win_start"))
+    }
+
+    /** PromQL's `@` modifier: the relation pinned to the window holding
+      * the fixed timestamp, replicated across the stream-span grid so it
+      * joins per window against unpinned operands ("current vs the
+      * baseline captured at t"). Window-quantized (the pin takes the
+      * whole window containing t — the same lookback quantization every
+      * selector here uses); a pin into an empty window yields an empty
+      * relation, per PromQL. The pinned side is series-bounded and the
+      * grid bounded, so the spread join is broadcast-sized.
+      */
+    private def pinSpread(df: DataFrame, at: Long, quantum: Long): DataFrame = {
+      val pinWin = at - java.lang.Math.floorMod(at, quantum)
+      val pinned = df.filter(col("win_start") === lit(pinWin)).drop("win_start")
+      streamGrid(quantum)
+        .join(pinned, Seq("component"))
+        .select(col("component"), col("name"), col("labels"),
+          col("win_start"), col("value"))
+    }
+
+    /** Apply a range selector's `@` pin to its evaluated relation: the
+      * result lands on the same grid unpinned siblings use (the range's
+      * own grid when tumbling, the step grid when sliding).
+      */
+    private def pinMaybe(df: DataFrame, at: Option[Long], r: Long): DataFrame =
+      at.fold(df)(t => pinSpread(df, t, if (sliding) stepSec else r))
 
     private def addSeries(df: DataFrame): DataFrame =
       df.withColumn("series", Firehose.seriesKey(col("labels")))
@@ -402,6 +471,40 @@ object PromQlCompiler {
       "count_over_time", "last_over_time", "stddev_over_time",
       "stdvar_over_time", "present_over_time", "quantile_over_time")
 
+    /** `holt_winters(x[R], sf, tf)`: double exponential smoothing per
+      * range window — [[Firehose.holtWinters]]'s exact fold (s₀ = v₀,
+      * b₀ = v₁−v₀, then the smoothing recursion), run as one `aggregate`
+      * over the (ts, id)-sorted in-window sample list after a single
+      * shuffle. The recursion is sequential only WITHIN a (series,
+      * window) group whose sample count is scrape-rate-bounded — groups,
+      * not samples, set the parallelism. <2-sample windows emit nothing
+      * (no trend seed exists).
+      */
+    private def holtWintersVec(ds: DataFrame, r: Long, sf: Double, tf: Double): DataFrame = {
+      val vs = transform(array_sort(col("_s")), s => s.getField("value"))
+      def smooth(acc: Column, x: Column): Column = {
+        val sNew = lit(sf) * x + lit(1 - sf) * (acc.getField("s") + acc.getField("b"))
+        struct(
+          sNew.as("s"),
+          (lit(tf) * (sNew - acc.getField("s")) + lit(1 - tf) * acc.getField("b")).as("b"))
+      }
+      val agg = withSeriesWin(ds, r)
+        .groupBy(rangeKeys: _*)
+        .agg(
+          any_value(col("labels")).as("labels"),
+          collect_list(struct(col("timestamp").as("ts"), col("id"), col("value"))).as("_s"),
+          count(lit(1)).as("_n"))
+      out(agg,
+        when(col("_n") >= 2,
+          aggregate(
+            slice(vs, lit(3), greatest(size(vs) - 2, lit(0))),
+            struct(
+              element_at(vs, 2).as("s"),
+              (element_at(vs, 2) - element_at(vs, 1)).as("b")),
+            smooth).getField("s")))
+        .filter(col("value").isNotNull)
+    }
+
     /** `absent(x)` / `absent_over_time(x[R])`: 1 at every grid window
       * where the selector's lookback holds no sample. Prometheus takes
       * the evaluation grid from the query's start/end; here it derives
@@ -422,13 +525,9 @@ object PromQlCompiler {
         case _ => err(s"$fnName expects a ${
           if (fnName == "absent") "vector selector" else "range selector"}")
       }
+      if (sel.atSec.isDefined) err(s"@ is not meaningful under $fnName")
       val gridStep = if (sliding) stepSec else r
-      val winCol = winStart(col("timestamp"), gridStep)
-      val grid = metrics
-        .groupBy(col("component"))
-        .agg(min(winCol).as("_w0"), max(winCol).as("_w1"))
-        .select(col("component"),
-          explode(sequence(col("_w0"), col("_w1"), lit(gridStep))).as("win_start"))
+      val grid = streamGrid(gridStep)
       val present = assignWin(samples(sel), r)
         .select(col("component"), col("win_start")).distinct()
       val eqs = sel.matchers.filter(m => m.op == MatchOp.Eq && m.label != "__name__")
@@ -448,35 +547,43 @@ object PromQlCompiler {
     private def evalCall(fn: String, args: Seq[PromExpr]): Value = fn match {
       case "rate" | "increase" =>
         require1(fn, args)
-        val (ds, r) = rangeSamples(fn, args.head)
-        Vec(increase(ds, r, asRate = fn == "rate"))
+        val (ds, r, at) = rangeSamples(fn, args.head)
+        Vec(pinMaybe(increase(ds, r, asRate = fn == "rate"), at, r))
       case "delta" | "idelta" | "irate" =>
         require1(fn, args)
-        val (ds, r) = rangeSamples(fn, args.head)
-        Vec(endpoints(ds, r, fn))
+        val (ds, r, at) = rangeSamples(fn, args.head)
+        Vec(pinMaybe(endpoints(ds, r, fn), at, r))
       case "resets" | "changes" =>
         require1(fn, args)
-        val (ds, r) = rangeSamples(fn, args.head)
-        Vec(transitions(ds, r, fn))
+        val (ds, r, at) = rangeSamples(fn, args.head)
+        Vec(pinMaybe(transitions(ds, r, fn), at, r))
       case "deriv" =>
         require1(fn, args)
-        val (ds, r) = rangeSamples(fn, args.head)
-        Vec(trend(ds, r, fn, 0.0))
+        val (ds, r, at) = rangeSamples(fn, args.head)
+        Vec(pinMaybe(trend(ds, r, fn, 0.0), at, r))
       case "predict_linear" =>
         if (args.length != 2) err("predict_linear expects (range-vector, scalar)")
         val h = scalarArg(args(1), "predict_linear horizon")
-        val (ds, r) = rangeSamples(fn, args.head)
-        Vec(trend(ds, r, fn, h))
+        val (ds, r, at) = rangeSamples(fn, args.head)
+        Vec(pinMaybe(trend(ds, r, fn, h), at, r))
       case "absent" | "absent_over_time" => absentVec(fn, args)
+      case "holt_winters" =>
+        if (args.length != 3) err("holt_winters expects (range-vector, sf, tf)")
+        val sf = scalarArg(args(1), "holt_winters smoothing factor")
+        val tf = scalarArg(args(2), "holt_winters trend factor")
+        if (sf <= 0 || sf >= 1) err("holt_winters smoothing factor must be in (0, 1)")
+        if (tf <= 0 || tf > 1) err("holt_winters trend factor must be in (0, 1]")
+        val (ds, r, at) = rangeSamples(fn, args.head)
+        Vec(pinMaybe(holtWintersVec(ds, r, sf, tf), at, r))
       case "quantile_over_time" =>
         if (args.length != 2) err(s"$fn expects (scalar, range-vector)")
         val q = scalarArg(args(0), s"$fn quantile")
-        val (ds, r) = rangeSamples(fn, args(1))
-        Vec(overTime(ds, r, fn, q))
+        val (ds, r, at) = rangeSamples(fn, args(1))
+        Vec(pinMaybe(overTime(ds, r, fn, q), at, r))
       case f if overTimeFns(f) =>
         require1(fn, args)
-        val (ds, r) = rangeSamples(fn, args.head)
-        Vec(overTime(ds, r, f, 0.5))
+        val (ds, r, at) = rangeSamples(fn, args.head)
+        Vec(pinMaybe(overTime(ds, r, f, 0.5), at, r))
       case "abs" => mapFn(fn, args)(abs)
       case "ceil" => mapFn(fn, args)(ceil(_).cast("double"))
       case "floor" => mapFn(fn, args)(floor(_).cast("double"))
@@ -511,7 +618,7 @@ object PromQlCompiler {
         Vec(histogramQuantile(q, vecArg(args(1), fn)))
       case other =>
         err(s"unsupported function '$other' " +
-          "(sort/time/scalar/vector/holt_winters are out of compiler scope)")
+          "(sort/time/scalar/vector are out of compiler scope)")
     }
 
     private def require1(fn: String, args: Seq[PromExpr]): Unit =
@@ -710,33 +817,13 @@ object PromQlCompiler {
       }
     }
 
-    // ---- binary operators ----
+    // ---- binary operators (arith/cmpPred shared at the object level) ----
 
-    /** IEEE-explicit arithmetic: engines disagree on double division and
-      * modulo by zero in SQL mode, so the special cases are spelled out.
-      */
-    private def arith(op: String, l: Column, r: Column): Column = op match {
-      case "+" => l + r
-      case "-" => l - r
-      case "*" => l * r
-      case "/" =>
-        when(r === 0.0,
-          when(l > 0, lit(Double.PositiveInfinity))
-            .when(l < 0, lit(Double.NegativeInfinity))
-            .otherwise(lit(Double.NaN)))
-          .otherwise(l / r)
-      case "%" => when(r === 0.0, lit(Double.NaN)).otherwise(l % r)
-      case "^" => pow(l, r)
-    }
+    private def arith(op: String, l: Column, r: Column): Column =
+      PromQlCompiler.arith(op, l, r)
 
-    private def cmpPred(op: String, l: Column, r: Column): Column = op match {
-      case "==" => l === r
-      case "!=" => l =!= r
-      case "<" => l < r
-      case ">" => l > r
-      case "<=" => l <= r
-      case ">=" => l >= r
-    }
+    private def cmpPred(op: String, l: Column, r: Column): Column =
+      PromQlCompiler.cmpPred(op, l, r)
 
     private def foldScalar(op: String, a: Double, b: Double, boolMod: Boolean): Double =
       if (comparisons(op)) {
@@ -896,7 +983,11 @@ object PromQlCompiler {
     private[promql] def eval(e: PromExpr): Value = e match {
       case NumberLit(v) => Scal(v)
       case StringLit(_) => err("string literal is not a valid expression")
-      case s: VectorSelector => Vec(instant(s))
+      case s: VectorSelector =>
+        // `x @ t`: the window-quantized gauge at t, spread across the
+        // evaluation grid (offset, if any, applies first — samples shift,
+        // then the pin selects the shifted window)
+        Vec(s.atSec.fold(instant(s))(t => pinSpread(instant(s), t, stepSec)))
       case _: RangeSelector => err("range selector only valid as a range-function argument")
       case _: Subquery => err("subquery only valid as a range-function argument")
       case c: Call => evalCall(c.fn, c.args)

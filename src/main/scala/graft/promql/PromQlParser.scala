@@ -26,7 +26,7 @@ object PromQlParser {
   private final case class TEof(pos: Int) extends Tok
 
   private val multiOps = Seq("==", "!=", "=~", "!~", "<=", ">=")
-  private val singleOps = "()+-*/%^{}[],:=<>"
+  private val singleOps = "()+-*/%^{}[],:=<>@"
 
   private val durationRe =
     java.util.regex.Pattern.compile("([0-9]+(?:ms|y|w|d|h|m|s))+")
@@ -279,6 +279,25 @@ object PromQlParser {
               if (s.offsetSec != 0) fail("duplicate offset modifier")
               RangeSelector(s.copy(offsetSec = d), r)
             case _ => fail("offset only valid on a selector")
+          }
+        } else if (isOp("@")) {
+          advance()
+          val t = cur match {
+            case TNumber(v, _) =>
+              advance()
+              if (v != math.floor(v) || math.abs(v) >= 1e15)
+                fail("@ timestamp must be integral unix seconds")
+              v.toLong
+            case _ => fail("expected a unix-seconds timestamp after @")
+          }
+          e = e match {
+            case s: VectorSelector =>
+              if (s.atSec.isDefined) fail("duplicate @ modifier")
+              s.copy(atSec = Some(t))
+            case RangeSelector(s, r) =>
+              if (s.atSec.isDefined) fail("duplicate @ modifier")
+              RangeSelector(s.copy(atSec = Some(t)), r)
+            case _ => fail("@ only valid on a selector")
           }
         } else more = false
       }

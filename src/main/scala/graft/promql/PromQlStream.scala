@@ -1,0 +1,256 @@
+package graft.promql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Firehose
+import graft.streaming.FirehoseStream
+
+/** PromQL text → STREAMING plan: the alert rules a Prometheus user writes,
+  * dispatched onto the verified [[FirehoseStream]] operators so they run
+  * continuously on the live stream instead of per batch. This is the
+  * third leg of the no-drift triangle: the batch compiler lowers text
+  * onto the batch operators, the streaming operators are spec-pinned
+  * batch-identical on closed windows, and this front-end lowers the SAME
+  * text onto those streaming operators — so a rule evaluated offline and
+  * the same rule running live cannot diverge.
+  *
+  * == Scope ==
+  *
+  * Streaming evaluation is an OPERATOR SUBSET, not the full expression
+  * algebra (the batch compiler's nested expressions need arbitrary
+  * recombination of relations; a streaming plan is constrained by output
+  * modes and stateful-operator chaining). Supported shapes, each lowering
+  * to exactly one verified operator over the matcher-filtered stream:
+  *
+  *   - `metric{matchers}` → [[FirehoseStream.gaugeLatest]] (running
+  *     latest per series, registry TTL semantics)
+  *   - `increase(x[R])` / `rate(x[R])` → [[FirehoseStream.counterIncrease]]
+  *     (running windowed increase; rate divides by R)
+  *   - `*_over_time(x[R])` (avg/sum/min/max/count/last/stddev/stdvar/
+  *     present) → [[FirehoseStream.overTimeAgg]]
+  *   - `quantile_over_time(q, x[R])` → [[FirehoseStream.quantileOverTime]]
+  *     (mergeable sketch — approximate where batch is exact, the one
+  *     documented divergence)
+  *   - `delta/idelta/irate(x[R])` → [[FirehoseStream.irateDelta]]
+  *   - `holt_winters(x[R], sf, tf)` → [[FirehoseStream.holtWinters]]
+  *   - `sum/min/max/avg/count/quantile(metric)` (no grouping) →
+  *     [[FirehoseStream.instantAgg]] over `stepSec` windows
+  *   - `count_values("label", metric)` → [[FirehoseStream.countValues]]
+  *   - `selL op selR` (arithmetic/comparison, `on`/`ignoring`) →
+  *     [[FirehoseStream.vectorMatch]] over `stepSec` windows
+  *   - `selL and/or/unless selR` → [[FirehoseStream.vectorSetOp]]
+  *   - `agg_over_time(rate(x[R])[Router:R])` (min/max/avg) →
+  *     [[FirehoseStream.subqueryOverTimeClosed]]
+  *
+  * Anything else — nested function composition, `group_left/right`,
+  * `offset`, `on()` with an empty list, scalar-vector arithmetic —
+  * raises a [[PromQlCompileException]] naming the batch compiler as the
+  * fallback: loud, never silently wrong.
+  *
+  * Single-valued shapes emit `(component, name, series, win_start,
+  * value)` (win_start a timestamp for window-native operators, epoch
+  * seconds for the flatMapGroupsWithState family — each operator's native
+  * clock); multi-valued shapes (`gaugeLatest`, `instantAgg`,
+  * `count_values`) emit their operator's native relation.
+  */
+object PromQlStream {
+
+  def compile(
+      query: String,
+      metrics: DataFrame,
+      stepSec: Long = 3600L,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    lower(PromQlParser.parse(query), metrics, stepSec, watermarkDelay)
+
+  private def err(msg: String): Nothing = throw PromQlCompileException(msg)
+
+  private def anchored(re: String): String = "^(?:" + re + ")$"
+
+  /** Matcher-filtered raw stream: the selector's predicate evaluated on
+    * the same post-tagFilter label semantics the batch compiler uses,
+    * then the labels column dropped so each streaming operator's own
+    * prep runs on the raw schema unchanged.
+    */
+  private def filtered(metrics: DataFrame, sel: VectorSelector): DataFrame = {
+    if (sel.offsetSec != 0) err("offset is not supported in the streaming compile")
+    if (sel.atSec.isDefined) err("@ is not supported in the streaming compile")
+    val labeled = Firehose.tagFilter(metrics)
+    def labelVal(m: LabelMatcher): Column =
+      if (m.label == "__name__") col("name")
+      else coalesce(try_element_at(col("labels"), lit(m.label)), lit(""))
+    def pred(m: LabelMatcher): Column = m.op match {
+      case MatchOp.Eq => labelVal(m) === lit(m.value)
+      case MatchOp.Neq => labelVal(m) =!= lit(m.value)
+      case MatchOp.Re => labelVal(m).rlike(anchored(m.value))
+      case MatchOp.NotRe => !labelVal(m).rlike(anchored(m.value))
+    }
+    val named = sel.name match {
+      case Some(n) => labeled.filter(col("name") === lit(n))
+      case None =>
+        if (sel.matchers.isEmpty) err("selector needs a name or at least one matcher")
+        labeled
+    }
+    sel.matchers.foldLeft(named)((df, m) => df.filter(pred(m))).drop("labels")
+  }
+
+  private def width(r: Long): String = s"$r seconds"
+
+  private val overTimeCols = Map(
+    "avg_over_time" -> "avg_value", "sum_over_time" -> "sum_value",
+    "min_over_time" -> "min_value", "max_over_time" -> "max_value",
+    "count_over_time" -> "n_samples", "last_over_time" -> "last_value",
+    "stddev_over_time" -> "stddev_value", "stdvar_over_time" -> "stdvar_value")
+
+  private val instantCols = Map(
+    "sum" -> "sum_value", "min" -> "min_value", "max" -> "max_value",
+    "avg" -> "avg_value", "count" -> "n_series", "quantile" -> "q_value")
+
+  private def scalarLit(e: PromExpr, what: String): Double = e match {
+    case NumberLit(v) => v
+    case Neg(NumberLit(v)) => -v
+    case _ => err(s"$what must be a number literal in the streaming compile")
+  }
+
+  private def rangeArg(fn: String, e: PromExpr): (VectorSelector, Long) = e match {
+    case RangeSelector(sel, r) => (sel, r)
+    case _ => err(s"$fn expects a plain range selector (x[5m]) in the streaming compile")
+  }
+
+  private def single(df: DataFrame, valueCol: Column): DataFrame =
+    df.select(col("component"), col("name"), col("series"), col("win_start"),
+      valueCol.cast("double").as("value"))
+
+  private val setOps = Set("and", "or", "unless")
+  private val comparisons = Set("==", "!=", "<", ">", "<=", ">=")
+
+  private def lower(
+      ast: PromExpr,
+      metrics: DataFrame,
+      stepSec: Long,
+      wm: String): DataFrame = ast match {
+
+    case sel: VectorSelector =>
+      FirehoseStream.gaugeLatest(filtered(metrics, sel), wm).toDF()
+
+    case Call(fn @ ("increase" | "rate"), Seq(arg)) =>
+      val (sel, r) = rangeArg(fn, arg)
+      val inc = FirehoseStream.counterIncrease(filtered(metrics, sel), r, wm).toDF()
+      if (fn == "increase") single(inc, col("increase"))
+      else single(inc, col("increase") / lit(r.toDouble))
+
+    case Call(fn, Seq(arg)) if overTimeCols.contains(fn) =>
+      val (sel, r) = rangeArg(fn, arg)
+      single(
+        FirehoseStream.overTimeAgg(filtered(metrics, sel), width(r), wm),
+        col(overTimeCols(fn)))
+
+    case Call("present_over_time", Seq(arg)) =>
+      val (sel, r) = rangeArg("present_over_time", arg)
+      single(
+        FirehoseStream.overTimeAgg(filtered(metrics, sel), width(r), wm),
+        lit(1.0))
+
+    case Call("quantile_over_time", Seq(qe, arg)) =>
+      val q = scalarLit(qe, "quantile_over_time quantile")
+      val (sel, r) = rangeArg("quantile_over_time", arg)
+      single(
+        FirehoseStream.quantileOverTime(
+          filtered(metrics, sel), q, width(r), watermarkDelay = wm),
+        col("q_value"))
+
+    case Call(fn @ ("delta" | "idelta" | "irate"), Seq(arg)) =>
+      val (sel, r) = rangeArg(fn, arg)
+      single(
+        FirehoseStream.irateDelta(filtered(metrics, sel), width(r), wm),
+        col(fn))
+        .filter(col("value").isNotNull)
+
+    case Call("holt_winters", Seq(arg, sfE, tfE)) =>
+      val sf = scalarLit(sfE, "holt_winters smoothing factor")
+      val tf = scalarLit(tfE, "holt_winters trend factor")
+      if (sf <= 0 || sf >= 1) err("holt_winters smoothing factor must be in (0, 1)")
+      if (tf <= 0 || tf > 1) err("holt_winters trend factor must be in (0, 1]")
+      val (sel, r) = rangeArg("holt_winters", arg)
+      single(
+        FirehoseStream.holtWinters(filtered(metrics, sel), sf, tf, width(r), wm),
+        col("smoothed"))
+        .filter(col("value").isNotNull)
+
+    // min/max/avg over a closed rate subquery — the one nested shape the
+    // streaming engine evaluates (its own stateful operator)
+    case Call(fn @ ("min_over_time" | "max_over_time" | "avg_over_time"),
+        Seq(Subquery(Call("rate", Seq(RangeSelector(sel, inner))), outer, step)))
+        if step.forall(_ == inner) =>
+      val c = fn match {
+        case "min_over_time" => "min_rate"
+        case "max_over_time" => "max_rate"
+        case "avg_over_time" => "avg_rate"
+      }
+      FirehoseStream
+        .subqueryOverTimeClosed(filtered(metrics, sel), inner, outer, wm).toDF()
+        .select(col("component"), col("name"), col("series"),
+          col("outer_win").as("win_start"), col(c).cast("double").as("value"))
+
+    case Agg(op, sel: VectorSelector, param, AggGroup.All) =>
+      op match {
+        case "count_values" =>
+          param match {
+            case Some(StringLit(_)) =>
+              FirehoseStream.countValues(filtered(metrics, sel), width(stepSec), wm)
+            case _ => err("count_values requires a string label parameter")
+          }
+        case o if instantCols.contains(o) =>
+          val q = if (o == "quantile")
+            scalarLit(param.getOrElse(err("quantile requires a parameter")), "quantile")
+          else 0.5
+          FirehoseStream
+            .instantAgg(filtered(metrics, sel), q, width(stepSec), wm)
+            .select(col("component"), col("name"), col("win_start"),
+              col(instantCols(o)).cast("double").as("value"))
+        case other =>
+          err(s"aggregation '$other' is not in the streaming subset " +
+            "(use the batch compiler)")
+      }
+
+    case b: Binary =>
+      val vm = b.matching.getOrElse(VectorMatching())
+      if (vm.groupLeft || vm.groupRight)
+        err("group_left/group_right are not supported in the streaming compile")
+      if (vm.on.exists(_.isEmpty))
+        err("on() with an empty label list is not supported in the streaming compile")
+      val (onLs, igLs) = vm.on match {
+        case Some(ls) => (ls, Seq.empty[String])
+        case None => (Seq.empty[String], vm.ignoring.getOrElse(Nil))
+      }
+      (b.lhs, b.rhs) match {
+        case (l: VectorSelector, r: VectorSelector) if setOps(b.op) =>
+          FirehoseStream.vectorSetOp(
+            filtered(metrics, l), filtered(metrics, r), b.op,
+            onLs, igLs, width(stepSec), wm)
+        case (l: VectorSelector, r: VectorSelector) =>
+          // arithmetic / comparison on the shared op semantics: bool
+          // yields 0/1, bare comparison keeps the left value or drops
+          val f: (Column, Column) => Column =
+            if (comparisons(b.op)) {
+              if (b.boolMod) (lc, rc) =>
+                PromQlCompiler.cmpPred(b.op, lc, rc).cast("double")
+              else (lc, rc) => when(PromQlCompiler.cmpPred(b.op, lc, rc), lc)
+            } else (lc, rc) => PromQlCompiler.arith(b.op, lc, rc)
+          FirehoseStream.vectorMatch(
+            filtered(metrics, l), filtered(metrics, r), f,
+            onLs, igLs, width(stepSec), wm)
+        case _ =>
+          err("streaming binary ops take plain selectors on both sides " +
+            "(compose alert arithmetic from gauges; use the batch compiler " +
+            "for nested expressions)")
+      }
+
+    case other =>
+      err(s"'${PromQlPrinter.print(other)}' is outside the streaming subset " +
+        "(supported: selectors, rate/increase, *_over_time, " +
+        "quantile/delta/idelta/irate/holt_winters, ungrouped instant " +
+        "aggregations, count_values, selector-vs-selector binary and set " +
+        "ops, and closed rate subqueries); use PromQl.compile for batch")
+  }
+}

@@ -963,6 +963,95 @@ object Versioned {
     cur + 1
   }
 
+  private def tagsDir(root: String) = new File(root, "_tags")
+  private def tagFile(root: String, name: String) =
+    new File(tagsDir(root), s"$name.json")
+
+  /** Create a named TAG pinning version `v` — the named-refs shape the
+    * production formats keep beside the version log (Iceberg tags, Delta
+    * named snapshots): a tiny `_tags/<name>.json` marker resolving to a
+    * version. A tagged version is PROTECTED from [[vacuum]]'s retention
+    * sweep until [[untag]] releases it (the refs-retention rule), so
+    * "the corpus the March model trained on" stays time-travelable while
+    * routine retention rolls everything else forward. Tag names are
+    * immutable once created (`CREATE_NEW` — re-pointing a ref is a
+    * delete + create, never a silent overwrite).
+    */
+  def tag(root: String, name: String, v: Long): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"tag name '$name' must be [A-Za-z0-9._-]+")
+    require(markerFile(root, v).exists(), s"version $v is not committed in $root")
+    tagsDir(root).mkdirs()
+    val node = Json.createObjectNode()
+    node.put("version", v)
+    node.put("ts", System.currentTimeMillis())
+    try
+      Files.write(tagFile(root, name).toPath, Json.writeValueAsBytes(node),
+        StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalArgumentException(
+          s"tag '$name' already exists in $root (untag first to re-point)")
+    }
+  }
+
+  /** Release a tag; its version re-enters normal retention. */
+  def untag(root: String, name: String): Unit = {
+    require(tagFile(root, name).exists(), s"no tag '$name' in $root")
+    Files.delete(tagFile(root, name).toPath)
+  }
+
+  /** All tags, name → pinned version. */
+  def tags(root: String): Map[String, Long] = {
+    Option(tagsDir(root).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".json"))
+      .map { f =>
+        f.getName.stripSuffix(".json") -> Json.readTree(f).get("version").asLong()
+      }
+      .toMap
+  }
+
+  /** Time travel by tag name — `asOf` at the tag's pinned version. */
+  def asOfTag(spark: SparkSession, root: String, name: String): DataFrame = {
+    val v = tags(root).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' in $root"))
+    asOf(spark, root, v)
+  }
+
+  /** Zero-copy SHALLOW CLONE: materialize version `v` (default latest) of
+    * `root` as a brand-new independent table at `dest` without copying a
+    * byte of data — every referenced pool file becomes a HARD LINK in the
+    * clone's own pool (content-addressed files are immutable, so sharing
+    * bytes is always safe), and the clone starts its own commit chain at
+    * v0 with the source's manifest, schema, and tombstones. The two
+    * tables are fully independent afterwards: each commits, compacts and
+    * vacuums on its own chain, and deleting a file in one only drops that
+    * directory entry — the other's link keeps the bytes alive (exactly
+    * why the real formats' shallow clones are O(metadata)). Legacy
+    * whole-directory entries (no content digest) hard-link under their
+    * original relative paths so the cloned manifest stays valid. The
+    * experiment-fork shape: clone the corpus, mutate the clone, diff.
+    * Returns the clone's committed version (always 0).
+    */
+  def cloneTo(root: String, dest: String, v: Long = -1L): Long = {
+    val src = if (v >= 0) v else latestVersion(root)
+    require(src >= 0, s"no committed versions in $root")
+    require(latestVersion(dest) < 0 && !new File(dest, "_files").exists(),
+      s"clone destination $dest already holds a table")
+    val entries = manifest(root, src)
+    entries.foreach { e =>
+      val from = new File(root, e.path)
+      require(from.exists(), s"source file ${e.path} missing (vacuumed mid-clone?)")
+      val to = new File(dest, e.path)
+      to.getParentFile.mkdirs()
+      if (!to.exists()) Files.createLink(to.toPath, from.toPath)
+    }
+    writeMarker(dest, 0L, entries,
+      schemaJson = markerSchema(root, src).map(_.json),
+      deleteKey = deleteKeyOf(root, src))
+    0L
+  }
+
   /** All committed versions, ascending — the table's readable history. */
   def history(root: String): Seq[Long] = {
     val markers = Option(commitsDir(root).listFiles()).getOrElse(Array.empty)
@@ -992,15 +1081,21 @@ object Versioned {
     * such sharing invisible to the committer). The default 0 keeps
     * single-writer behavior exact; production pairs a real horizon (the
     * formats default to days) with [[writeMarker]]'s existence re-check.
+    * [[tag]]ged versions are pinned refs and never dropped (nor are the
+    * files they list) until [[untag]] releases them.
     * Returns the dropped versions.
     */
   def vacuum(root: String, keepLast: Int = 2, minAgeMs: Long = 0L): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the latest version")
     val all = history(root)
-    val dropped = all.dropRight(keepLast)
+    // tagged versions are pinned refs — retention never drops them
+    val pinned = tags(root).values.toSet
+    val dropped = all.dropRight(keepLast).filterNot(pinned.contains)
+    val droppedSet = dropped.toSet
     val dropRefs = dropped.flatMap(v => manifest(root, v).map(_.path)).toSet
     // resolve file lists BEFORE dropping markers
-    val keptRefs = all.takeRight(keepLast).flatMap(v => manifest(root, v).map(_.path)).toSet
+    val keptRefs = all.filterNot(droppedSet.contains)
+      .flatMap(v => manifest(root, v).map(_.path)).toSet
     dropped.foreach(v => Files.deleteIfExists(markerFile(root, v).toPath))
     val horizon = System.currentTimeMillis() - minAgeMs
     (dropRefs -- keptRefs).toSeq.sorted.foreach { p =>

@@ -573,6 +573,29 @@ class CoverageOpsSpec extends SparkSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "not rank-ordered")
   }
 
+  test("distribution drift: an on-distribution source scores exactly zero KL") {
+    import spark.implicits._
+    // one source IS the corpus → every bucket ratio is exactly 1, ln 1
+    // quantizes to exactly 0, the KL sum is an exact 0
+    val mono = Seq((1L, "alpha beta gamma", "s0"), (2L, "beta gamma alpha", "s0"))
+      .toDF("doc_id", "text", "source")
+    val kl0 = graft.operators.TextAnalysis.distributionDrift(mono, buckets = 64)
+      .collect()
+    assert(kl0.length === 1 && kl0.head.getAs[Double]("kl_vs_corpus") === 0.0)
+    assert(kl0.head.getAs[Long]("n_tokens") === 6L)
+    // disjoint vocabularies drift hard in BOTH directions; the bigger
+    // source sits closer to the pooled corpus, so it drifts less
+    val rows =
+      (1L to 8L).map(i => (i, "alpha beta gamma delta", "big")) ++
+        (9L to 10L).map(i => (i, "omega sigma tau kappa", "small"))
+    val kl = graft.operators.TextAnalysis.distributionDrift(
+        rows.toDF("doc_id", "text", "source"), buckets = 64)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("kl_vs_corpus")).toMap
+    assert(kl("big") > 0.0 && kl("small") > 0.0)
+    assert(kl("small") > kl("big"),
+      s"the minority disjoint source must drift more: $kl")
+  }
+
   test("exact-substring dedup strips shared passages and keeps unique text") {
     import spark.implicits._
     val passage = (1 to 8).map(i => s"p$i").mkString(" ")

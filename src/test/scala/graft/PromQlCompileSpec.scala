@@ -346,6 +346,50 @@ class PromQlCompileSpec extends SparkSuite {
       metrics).count() === expectWins.size.toLong)
   }
 
+  test("holt_winters == Firehose.holtWinters smoothed values") {
+    // 24h windows: sf0.001 needs the wide window for >=2-sample groups
+    val got = PromQl.compile("holt_winters(view_total[24h], 0.5, 0.25)", metrics)
+      .select("series", "win_start", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val exp = Firehose.holtWinters(
+        metrics.filter(col("name") === "view_total"), 0.5, 0.25, 86400L)
+      .filter(col("smoothed").isNotNull)
+      .select("series", "win_start", "smoothed").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty && got === exp)
+    assertThrows[PromQlCompileException](
+      PromQl.compile("holt_winters(view_total[1h], 1.5, 0.25)", metrics))
+  }
+
+  test("@ pins the baseline window and spreads it across the grid") {
+    // a window that actually holds view_total samples at sf0.001
+    val pinT = 1705183999L
+    val pinWin = pinT - pinT % 3600
+    val pinned = PromQl.compile(s"increase(view_total[1h] @ $pinT)", metrics)
+      .select("series", "win_start", "value").collect()
+    val baseline = PromQl.compile("increase(view_total[1h])", metrics)
+      .filter(col("win_start") === pinWin)
+      .select("series", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pinned.nonEmpty && baseline.nonEmpty)
+    // every pinned row carries the baseline value of its series,
+    // whatever evaluation window it lands on
+    pinned.foreach { r =>
+      assert(r.getDouble(2) === baseline(r.getString(0)),
+        s"series ${r.getString(0)} window ${r.getLong(1)}")
+    }
+    // the spread covers the stream's whole grid for each pinned series
+    val wins = metrics
+      .select((col("timestamp") - pmod(col("timestamp"), lit(3600L))).as("w"))
+      .agg(min("w"), max("w")).collect().head
+    val gridN = (wins.getLong(1) - wins.getLong(0)) / 3600 + 1
+    assert(pinned.length.toLong === gridN * baseline.size)
+    // composable: current-vs-baseline ratio joins per window
+    val ratio = PromQl.compile(
+      s"increase(view_total[1h]) / (increase(view_total[1h] @ $pinT) > 0)", metrics)
+    assert(ratio.count() > 0)
+  }
+
   test("many-to-many without group_left raises at runtime") {
     val ex = intercept[Exception] {
       PromQl.compile("sum by (user) (view_total) / on() view_total", metrics)

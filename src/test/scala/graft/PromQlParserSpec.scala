@@ -47,6 +47,21 @@ class PromQlParserSpec extends AnyFunSuite {
     assertThrows[PromQlParseException](p("(a + b) offset 5m"))
   }
 
+  test("@ pins a selector to a fixed unix timestamp") {
+    assert(p("x @ 1704100000") ===
+      VectorSelector(Some("x"), Nil, 0L, Some(1704100000L)))
+    assert(p("x[5m] @ 1704100000") ===
+      RangeSelector(VectorSelector(Some("x"), Nil, 0L, Some(1704100000L)), 300L))
+    // offset and @ compose in either order after the range
+    assert(p("x[5m] offset 1h @ 7") ===
+      RangeSelector(VectorSelector(Some("x"), Nil, 3600L, Some(7L)), 300L))
+    assert(p("x[5m] @ 7 offset 1h") ===
+      RangeSelector(VectorSelector(Some("x"), Nil, 3600L, Some(7L)), 300L))
+    assertThrows[PromQlParseException](p("x @ 1.5"))
+    assertThrows[PromQlParseException](p("x @ 7 @ 8"))
+    assertThrows[PromQlParseException](p("(a + b) @ 7"))
+  }
+
   test("subquery with and without explicit step") {
     assert(p("rate(x[1h])[6h:1h]") ===
       Subquery(Call("rate", Seq(RangeSelector(VectorSelector(Some("x")), 3600L))),
@@ -194,7 +209,8 @@ class PromQlParserSpec extends AnyFunSuite {
         LabelMatcher(labels(rnd.nextInt(labels.length)), op, "v" + rnd.nextInt(5))
       }
       val off = Seq(0L, 0L, 300L, -300L)(rnd.nextInt(4))
-      VectorSelector(Some(names(rnd.nextInt(names.length))), ms, off)
+      val at = Seq(None, None, None, Some(1704100000L))(rnd.nextInt(4))
+      VectorSelector(Some(names(rnd.nextInt(names.length))), ms, off, at)
     }
 
     def genRange(): PromExpr = {

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.promql.{PromQl, PromQlCompileException, PromQlStream}
+
+/** The streaming text front-end: the SAME PromQL string lowered onto the
+  * verified streaming operators must agree with the batch compile of that
+  * string over the same samples — the third leg of the no-drift triangle
+  * (text→batch, batch↔stream per operator, text→stream here).
+  */
+class PromQlStreamSpec extends SparkSuite {
+
+  private def metricJson(id: String, name: String, ts: Long, user: String, value: Double): String =
+    s"""{"id":"$id","name":"$name","timestamp":$ts,"component":"app",""" +
+      s""""tags":{"user":"$user","unit":"bytes"},"value":$value,""" +
+      s""""window":{"from":${ts - 60},"to":$ts,"interval":60}}"""
+
+  test("streaming text increase matches the batch compile of the same string") {
+    val dir = Files.createTempDirectory("graft-pqs-inc").toFile
+    val chk = Files.createTempDirectory("graft-pqs-incchk").toFile
+    // u1 is the asserted series; u2 exists to prove the matcher filters
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "c_total", 100, "u1", 10.0),
+        metricJson("2", "c_total", 200, "u1", 15.0),
+        metricJson("3", "c_total", 300, "u1", 3.0),
+        metricJson("4", "c_total", 400, "u1", 7.0),
+        metricJson("9", "c_total", 150, "u2", 100.0)).mkString("\n").getBytes)
+    val query = """increase(c_total{user="u1"}[1h])"""
+    val q = PromQlStream.compile(
+        query,
+        graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("pqs_inc").outputMode("update")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pqs_inc")
+        .groupBy("series", "win_start").agg(last(col("value")).as("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // 5 (delta) + 3 (reset clamp) + 4 = 12 for u1 only
+      assert(streamed === Map(("user=u1", 0L) -> 12.0))
+      val batch = PromQl.compile(
+          query, graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath))
+        .collect().map(r => (r.getAs[String]("series"), r.getAs[Long]("win_start")) ->
+          r.getAs[Double]("value")).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming text set op matches the batch compile on the closed window") {
+    val dir = Files.createTempDirectory("graft-pqs-set").toFile
+    val chk = Files.createTempDirectory("graft-pqs-setchk").toFile
+    // window [0, 3600): u1 error 6 / view 12; u2 error 3 (no view);
+    // u3 view-only — `unless` keeps error series without a view match
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("e1", "error_total", 100, "u1", 6.0),
+        metricJson("e2", "error_total", 500, "u2", 3.0),
+        metricJson("v1", "view_total", 800, "u1", 12.0),
+        metricJson("v3", "view_total", 300, "u3", 9.0)).mkString("\n").getBytes)
+    val query = "error_total unless view_total"
+    val q = PromQlStream.compile(
+        query,
+        graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath))
+      .writeStream.format("memory").queryName("pqs_set").outputMode("append")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark past the window close
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(
+          metricJson("e9", "error_total", 8000, "u1", 1.0),
+          metricJson("v9", "view_total", 8000, "u1", 1.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val streamed = spark.table("pqs_set")
+        .filter(col("win_start") === timestamp_seconds(lit(0)))
+        .collect().map(r => r.getAs[String]("series") -> r.getAs[Double]("value")).toMap
+      assert(streamed === Map("user=u2" -> 3.0))
+      // batch compile of the same string over the same window's samples
+      val batch = PromQl.compile(
+          query,
+          graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath)
+            .filter(col("timestamp") < 3600))
+        .collect().map(r => r.getAs[String]("series") -> r.getAs[Double]("value")).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming text over_time matches batch; out-of-subset shapes raise") {
+    val dir = Files.createTempDirectory("graft-pqs-ot").toFile
+    val chk = Files.createTempDirectory("graft-pqs-otchk").toFile
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "g", 100, "u1", 2.0),
+        metricJson("2", "g", 200, "u1", 4.0),
+        metricJson("3", "g", 300, "u1", 9.0)).mkString("\n").getBytes)
+    val src = graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)
+    val q = PromQlStream.compile("avg_over_time(g[1h])", src)
+      .writeStream.format("memory").queryName("pqs_ot").outputMode("append")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(metricJson("9", "g", 8000, "u1", 1.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val streamed = spark.table("pqs_ot")
+        .filter(col("win_start") === timestamp_seconds(lit(0)))
+        .collect().map(r => r.getAs[String]("series") -> r.getAs[Double]("value")).toMap
+      assert(streamed === Map("user=u1" -> 5.0))
+      val batch = PromQl.compile(
+          "avg_over_time(g[1h])",
+          graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath)
+            .filter(col("timestamp") < 3600))
+        .collect().map(r => r.getAs[String]("series") -> r.getAs[Double]("value")).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+    // loud scope boundary, never silently wrong
+    assertThrows[PromQlCompileException](
+      PromQlStream.compile("sum by (user) (g)", src))
+    assertThrows[PromQlCompileException](
+      PromQlStream.compile("rate(g[5m] offset 1h)", src))
+    assertThrows[PromQlCompileException](
+      PromQlStream.compile("abs(g)", src))
+  }
+}

@@ -459,6 +459,61 @@ class SourcesSpec extends SparkSuite {
     assert(Versioned.deleteKeyOf(root, v4) === Some("k"))
   }
 
+  test("versioned table: tags pin versions through vacuum") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-tags").toFile.getAbsolutePath
+    def rows(v: Long) =
+      Versioned.asOf(spark, root, v).as[(Long, String)].collect().toSet
+    for (i <- 0 to 3)
+      Versioned.commit(Seq((i.toLong, s"n$i")).toDF("k", "name").coalesce(1), root)
+    Versioned.tag(root, "release-1", 1L)
+    assert(Versioned.tags(root) === Map("release-1" -> 1L))
+    // retention drops everything but the tail AND the pinned tag
+    assert(Versioned.vacuum(root, keepLast = 1) === Seq(0L, 2L))
+    assert(Versioned.history(root) === Seq(1L, 3L))
+    assert(Versioned.asOfTag(spark, root, "release-1")
+      .as[(Long, String)].collect().toSet === rows(1L))
+    // tag names are immutable refs; re-pointing is untag + tag
+    intercept[IllegalArgumentException](Versioned.tag(root, "release-1", 3L))
+    Versioned.untag(root, "release-1")
+    assert(Versioned.vacuum(root, keepLast = 1) === Seq(1L))
+    assert(Versioned.history(root) === Seq(3L))
+    intercept[IllegalArgumentException](Versioned.asOfTag(spark, root, "release-1"))
+    // a tag cannot pin an uncommitted (or already-swept) version
+    intercept[IllegalArgumentException](Versioned.tag(root, "bad", 0L))
+  }
+
+  test("versioned table: shallow clone shares bytes and diverges independently") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-cl-src").toFile.getAbsolutePath
+    val dest = Files.createTempDirectory("graft-cl-dst").toFile.getAbsolutePath + "/t"
+    def rows(r: String) =
+      Versioned.latest(spark, r).as[(Long, String)].collect().toSet
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "name").coalesce(1), root)
+    Versioned.appendCommit(Seq((3L, "c")).toDF("k", "name").coalesce(1), root)
+    assert(Versioned.cloneTo(root, dest) === 0L)
+    assert(rows(dest) === rows(root))
+    // zero-copy: the clone's pool entries are HARD LINKS to the source's
+    val p = Versioned.manifest(root, 1L).head.path
+    assert(Files.isSameFile(
+      new java.io.File(root, p).toPath, new java.io.File(dest, p).toPath),
+      "clone must link, not copy")
+    // full independence: each side commits without touching the other
+    Versioned.appendCommit(Seq((4L, "d")).toDF("k", "name").coalesce(1), dest)
+    Versioned.deleteCommit(spark, root, "k", Seq("1"))
+    assert(rows(dest) === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(rows(root) === Set((2L, "b"), (3L, "c")))
+    // source rewrites + vacuums everything the clone references; the
+    // clone's links keep the bytes alive
+    Versioned.compact(spark, root)
+    Versioned.vacuum(root, keepLast = 1)
+    assert(rows(dest) === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // a second clone into the same destination is refused
+    intercept[IllegalArgumentException](Versioned.cloneTo(root, dest))
+  }
+
   test("versioned table: string and date stat columns prune files on read") {
     import spark.implicits._
     import graft.sources.Versioned
