@@ -495,6 +495,15 @@ object SparkEntry {
       promql.PromQl.compile(
         "increase(error_total[1h]) / (increase(error_total[1h] @ 1705276800) > 0)",
         Firehose.metricsFromEvents(s, dir))),
+    // m36: scalar() — per-series share of the global per-window total,
+    // the share-of-total idiom that needs no label matching (numerator
+    // filtered > 0 first, so a zero-total window divides nothing — NaN
+    // never enters the relation; Spark treats NaN > 0 as TRUE, so a
+    // post-division filter would NOT drop it)
+    "m36_promql_scalar" -> ((s, dir) =>
+      promql.PromQl.compile(
+        "(increase(view_total[1h]) > 0) / scalar(sum(increase(view_total[1h])))",
+        Firehose.metricsFromEvents(s, dir))),
     // per-source gopher-rule failure funnel
     "t18_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
@@ -2124,6 +2133,23 @@ object SparkEntry {
           |FROM win e JOIN p
           |  ON e.component = p.component AND e.series = p.series
           |WHERE e.name = 'error_total'""".stripMargin),
+    // scalar(): the window's single aggregated element becomes a
+    // per-window scalar; positive increases divided by their window's
+    // total (a window with a positive increase has a positive total)
+    "m36_promql_scalar" ->
+      (IncreaseCte(3600) +
+        """, s AS (
+          |  SELECT component, win_start,
+          |    CAST(sum(CAST(increase AS DECIMAL(26,6))) AS DOUBLE) AS value
+          |  FROM win WHERE name = 'view_total' GROUP BY 1, 2),
+          |sc AS (
+          |  SELECT win_start,
+          |    CASE WHEN count(*) = 1 THEN min(value) ELSE 'NaN'::DOUBLE END AS sv
+          |  FROM s GROUP BY 1)
+          |SELECT e.component, e.name, e.series, e.win_start,
+          |  e.increase / sc.sv AS value
+          |FROM win e JOIN sc ON e.win_start = sc.win_start
+          |WHERE e.name = 'view_total' AND e.increase > 0""".stripMargin),
     // decimal sums make avg/stdvar derive from order-independent
     // numerators; variance via the algebraic form over those exact sums
     "m24_over_time" ->

@@ -87,9 +87,13 @@ final case class PromQlCompileException(msg: String) extends RuntimeException(ms
   *    from the stream's own observed span (Prometheus takes it from the
   *    query's start/end parameters, which a relation-in/relation-out
   *    compile has no channel for).
+  *  - `time()`/`scalar(v)` evaluate to PER-WINDOW scalars (one value per
+  *    evaluation window, no identity) joined elementwise into vector
+  *    arithmetic on `win_start`; `vector(s)` lifts one back onto the
+  *    stream-span grid with the empty labelset. `scalar` of a
+  *    several-element window is NaN, per PromQL.
   *  - Unsupported (compile error, never silently wrong):
-  *    `sort`/`sort_desc` (presentation-only), `time`/`scalar`/`vector`,
-  *    native histograms.
+  *    `sort`/`sort_desc` (presentation-only), native histograms.
   */
 object PromQlCompiler {
 
@@ -99,6 +103,14 @@ object PromQlCompiler {
   private sealed trait Value
   private final case class Scal(v: Double) extends Value
   private final case class Vec(df: DataFrame) extends Value
+
+  /** A PER-WINDOW scalar — what `time()` and `scalar(v)` evaluate to: one
+    * value per evaluation window, joined elementwise into vector
+    * arithmetic on `win_start` alone (no labels, no component — PromQL
+    * scalars have no identity). `(_ws_win, _ws_val)` relation, grid- or
+    * window-bounded.
+    */
+  private final case class WinScal(df: DataFrame) extends Value
 
   /** Compile to the rendered relation `(component, name, series,
     * win_start, value)` — series is the canonical
@@ -544,6 +556,43 @@ object PromQlCompiler {
       case _ => err(s"$what must be a scalar")
     }
 
+    private def emptyLabels: Column =
+      map_filter(map(lit(""), lit("")), (_, _) => lit(false))
+
+    /** `time()`: the evaluation window's start as a per-window scalar —
+      * the grid derives from the stream span exactly like `absent`'s.
+      */
+    private def timeVal: Value =
+      WinScal(streamGrid(stepSec)
+        .select(col("win_start").as("_ws_win")).distinct()
+        .withColumn("_ws_val", col("_ws_win").cast("double")))
+
+    /** `scalar(v)`: the vector's single element per window, NaN when the
+      * window holds zero or several elements (PromQL's rule). Identity is
+      * dropped entirely — a scalar has none.
+      */
+    private def scalarOf(v: DataFrame): Value =
+      WinScal(v.groupBy(col("win_start").as("_ws_win"))
+        .agg(count(lit(1)).as("_n"), min(col("value")).as("_v"))
+        .select(col("_ws_win"),
+          when(col("_n") === 1, col("_v")).otherwise(lit(Double.NaN)).as("_ws_val")))
+
+    /** `vector(s)`: a constant (or per-window scalar) as an instant vector
+      * with the empty labelset, one element per grid window per component.
+      */
+    private def vectorOf(arg: Value): Value = arg match {
+      case Scal(s) =>
+        Vec(streamGrid(stepSec).select(
+          col("component"), lit("").as("name"), emptyLabels.as("labels"),
+          col("win_start"), lit(s).cast("double").as("value")))
+      case WinScal(w) =>
+        Vec(streamGrid(stepSec)
+          .join(w, col("win_start") === col("_ws_win"))
+          .select(col("component"), lit("").as("name"), emptyLabels.as("labels"),
+            col("win_start"), col("_ws_val").cast("double").as("value")))
+      case Vec(_) => err("vector() expects a scalar argument")
+    }
+
     private def evalCall(fn: String, args: Seq[PromExpr]): Value = fn match {
       case "rate" | "increase" =>
         require1(fn, args)
@@ -610,6 +659,15 @@ object PromQlCompiler {
         if (args.length != 2) err("clamp_max expects (vector, max)")
         val hi = scalarArg(args(1), "clamp_max max")
         mapFn(fn, args.take(1))(v => least(v, lit(hi)))
+      case "time" =>
+        if (args.nonEmpty) err("time() takes no arguments")
+        timeVal
+      case "scalar" =>
+        require1(fn, args)
+        scalarOf(vecArg(args.head, fn))
+      case "vector" =>
+        require1(fn, args)
+        vectorOf(eval(args.head))
       case "label_replace" => labelReplace(args)
       case "label_join" => labelJoin(args)
       case "histogram_quantile" =>
@@ -618,7 +676,7 @@ object PromQlCompiler {
         Vec(histogramQuantile(q, vecArg(args(1), fn)))
       case other =>
         err(s"unsupported function '$other' " +
-          "(sort/time/scalar/vector are out of compiler scope)")
+          "(sort/sort_desc are presentation-only and out of compiler scope)")
     }
 
     private def require1(fn: String, args: Seq[PromExpr]): Unit =
@@ -960,18 +1018,79 @@ object PromQlCompiler {
       res.select("component", "name", "labels", "win_start", "value")
     }
 
+    /** Vector ⊕ per-window scalar: join on `win_start` alone and apply
+      * the op elementwise — PromQL's vector-scalar semantics with the
+      * scalar varying by window (`scalar(...)`, `time()`). The vector
+      * keeps its identity (name kept, like constant-scalar arithmetic);
+      * comparisons filter (or 0/1 under `bool`). Windows absent from the
+      * scalar side drop — per-window scalars live on the relation's own
+      * grid, so aligned operands (same range/step) join completely.
+      */
+    private def vecWinScal(
+        v: DataFrame, w: DataFrame, op: String,
+        vecOnLeft: Boolean, boolMod: Boolean): DataFrame = {
+      val joined = v.join(w, col("win_start") === col("_ws_win"))
+      def ap(f: (Column, Column) => Column): Column =
+        if (vecOnLeft) f(col("value"), col("_ws_val")) else f(col("_ws_val"), col("value"))
+      val res =
+        if (comparisons(op)) {
+          if (boolMod) joined.withColumn("value", ap(cmpPred(op, _, _)).cast("double"))
+          else joined.filter(ap(cmpPred(op, _, _)))
+        } else joined.withColumn("value", ap(arith(op, _, _)).cast("double"))
+      res.select(col("component"), col("name"), col("labels"),
+        col("win_start"), col("value"))
+    }
+
+    private def winScalPair(a: DataFrame, c: DataFrame, op: String, boolMod: Boolean): DataFrame = {
+      if (comparisons(op) && !boolMod) err("scalar comparison requires the bool modifier")
+      val l = a.select(col("_ws_win"), col("_ws_val").as("_l"))
+      val r = c.select(col("_ws_win").as("_rw"), col("_ws_val").as("_r"))
+      l.join(r, col("_ws_win") === col("_rw"))
+        .select(col("_ws_win"),
+          (if (comparisons(op)) cmpPred(op, col("_l"), col("_r")).cast("double")
+           else arith(op, col("_l"), col("_r"))).as("_ws_val"))
+    }
+
+    private def winScalConst(
+        w: DataFrame, s: Double, op: String,
+        constOnLeft: Boolean, boolMod: Boolean): DataFrame = {
+      if (comparisons(op) && !boolMod) err("scalar comparison requires the bool modifier")
+      def ap(f: (Column, Column) => Column): Column =
+        if (constOnLeft) f(lit(s), col("_ws_val")) else f(col("_ws_val"), lit(s))
+      w.select(col("_ws_win"),
+        (if (comparisons(op)) ap(cmpPred(op, _, _)).cast("double")
+         else ap(arith(op, _, _))).as("_ws_val"))
+    }
+
     private def evalBinary(b: Binary): Value = {
       val vm = b.matching.getOrElse(VectorMatching())
+      def noSet(): Unit =
+        if (setOps(b.op)) err(s"set operator '${b.op}' requires vector operands")
       (eval(b.lhs), eval(b.rhs)) match {
         case (Scal(a), Scal(c)) =>
-          if (setOps(b.op)) err(s"set operator '${b.op}' requires vector operands")
+          noSet()
           Scal(foldScalar(b.op, a, c, b.boolMod))
         case (Vec(v), Scal(s)) =>
-          if (setOps(b.op)) err(s"set operator '${b.op}' requires vector operands")
+          noSet()
           Vec(vecScalar(v, s, b.op, vecOnLeft = true, b.boolMod))
         case (Scal(s), Vec(v)) =>
-          if (setOps(b.op)) err(s"set operator '${b.op}' requires vector operands")
+          noSet()
           Vec(vecScalar(v, s, b.op, vecOnLeft = false, b.boolMod))
+        case (Vec(l), WinScal(w)) =>
+          noSet()
+          Vec(vecWinScal(l, w, b.op, vecOnLeft = true, b.boolMod))
+        case (WinScal(w), Vec(r)) =>
+          noSet()
+          Vec(vecWinScal(r, w, b.op, vecOnLeft = false, b.boolMod))
+        case (WinScal(a), WinScal(c)) =>
+          noSet()
+          WinScal(winScalPair(a, c, b.op, b.boolMod))
+        case (WinScal(w), Scal(s)) =>
+          noSet()
+          WinScal(winScalConst(w, s, b.op, constOnLeft = false, b.boolMod))
+        case (Scal(s), WinScal(w)) =>
+          noSet()
+          WinScal(winScalConst(w, s, b.op, constOnLeft = true, b.boolMod))
         case (Vec(l), Vec(r)) =>
           if (setOps(b.op)) Vec(vecSet(b.op, l, r, vm))
           else Vec(vecBinary(b.op, l, r, vm, b.boolMod))
@@ -995,6 +1114,7 @@ object PromQlCompiler {
       case Neg(inner) => eval(inner) match {
         case Scal(v) => Scal(-v)
         case Vec(df) => Vec(df.withColumn("value", -col("value")))
+        case WinScal(df) => WinScal(df.withColumn("_ws_val", -col("_ws_val")))
       }
       case b: Binary => evalBinary(b)
     }
@@ -1002,6 +1122,8 @@ object PromQlCompiler {
     def evalVec(e: PromExpr): DataFrame = eval(e) match {
       case Vec(df) => df
       case Scal(_) => err("expression evaluates to a scalar, not an instant vector")
+      case WinScal(_) =>
+        err("expression evaluates to a per-window scalar; wrap it in vector()")
     }
   }
 }

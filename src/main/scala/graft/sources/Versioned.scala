@@ -380,6 +380,55 @@ object Versioned {
     * bounded, never data). Numeric clustered columns only (the same
     * contract as the z-order bucketing). Returns the committed version.
     */
+  /** Per-file (min, max) stats over `cols` for a staged write, typed by
+    * `schema`: numerics and date/timestamps as numbers (epoch), strings
+    * as lexical bounds. One grouped aggregate, one row per FILE (the
+    * collect is file-count-bounded, never data). An all-null column in a
+    * file yields null bounds — no stats for that column (the file stays
+    * un-prunable on it), never a fake (0, 0) range.
+    */
+  private def statsFor(
+      spark: SparkSession,
+      stagingPath: String,
+      schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String])
+    : (Map[String, Map[String, (Double, Double)]],
+       Map[String, Map[String, (String, String)]]) = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    if (cols.isEmpty) (Map.empty, Map.empty)
+    else {
+      val (strCols, numCols) = cols.partition(c => schema(c).dataType == StringType)
+      def asNum(c: String): org.apache.spark.sql.Column = schema(c).dataType match {
+        case DateType | TimestampType => col(c).cast(TimestampType).cast("long").cast("double")
+        case _ => col(c).cast("double")
+      }
+      val aggs = numCols.flatMap(c => Seq(
+        min(asNum(c)).as(s"${c}__min"), max(asNum(c)).as(s"${c}__max"))) ++
+        strCols.flatMap(c => Seq(
+          min(col(c)).as(s"${c}__smin"), max(col(c)).as(s"${c}__smax")))
+      val perFile = spark.read.parquet(stagingPath)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val stats = perFile.map { r =>
+        val name = r.getString(0).split('/').last
+        name -> numCols.flatMap { c =>
+          if (r.isNullAt(r.fieldIndex(s"${c}__min"))) None
+          else Some(c -> ((r.getAs[Double](s"${c}__min"), r.getAs[Double](s"${c}__max"))))
+        }.toMap
+      }.toMap
+      val strStats = perFile.map { r =>
+        val name = r.getString(0).split('/').last
+        name -> strCols.flatMap { c =>
+          if (r.isNullAt(r.fieldIndex(s"${c}__smin"))) None
+          else Some(c -> ((r.getAs[String](s"${c}__smin"), r.getAs[String](s"${c}__smax"))))
+        }.toMap
+      }.toMap
+      (stats, strStats)
+    }
+  }
+
   def commitZordered(
       df: DataFrame,
       root: String,
@@ -399,36 +448,8 @@ object Versioned {
     // schema: numerics and date/timestamps (as epoch numbers) land in the
     // numeric stats, strings in the lexical string stats — so a predicate
     // on ANY stat column can skip files, not just the z-ordered ones
-    val (strCols, numCols) = (cols ++ statsCols.filterNot(cols.contains)).partition(c =>
-      df.schema(c).dataType == StringType)
-    def asNum(c: String): org.apache.spark.sql.Column = df.schema(c).dataType match {
-      case DateType | TimestampType => col(c).cast(TimestampType).cast("long").cast("double")
-      case _ => col(c).cast("double")
-    }
-    val aggs = numCols.flatMap(c => Seq(
-      min(asNum(c)).as(s"${c}__min"), max(asNum(c)).as(s"${c}__max"))) ++
-      strCols.flatMap(c => Seq(
-        min(col(c)).as(s"${c}__smin"), max(col(c)).as(s"${c}__smax")))
-    val perFile = spark.read.parquet(s"$root/$staging")
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect() // one row per FILE
-    // an all-null column in a file yields null bounds — no stats for that
-    // column (the file stays un-prunable on it), never a fake (0, 0) range
-    val statsByFile = perFile.map { r =>
-      val name = r.getString(0).split('/').last
-      name -> numCols.flatMap { c =>
-        if (r.isNullAt(r.fieldIndex(s"${c}__min"))) None
-        else Some(c -> ((r.getAs[Double](s"${c}__min"), r.getAs[Double](s"${c}__max"))))
-      }.toMap
-    }.toMap
-    val strStatsByFile = perFile.map { r =>
-      val name = r.getString(0).split('/').last
-      name -> strCols.flatMap { c =>
-        if (r.isNullAt(r.fieldIndex(s"${c}__smin"))) None
-        else Some(c -> ((r.getAs[String](s"${c}__smin"), r.getAs[String](s"${c}__smax"))))
-      }.toMap
-    }.toMap
+    val (statsByFile, strStatsByFile) = statsFor(
+      spark, s"$root/$staging", df.schema, cols ++ statsCols.filterNot(cols.contains))
     val entries = poolStaged(root, staging, statsByFile, strStatsByFile,
       bloomsFor(spark, s"$root/$staging", bloomCols, expectedKeysPerFile))
     val next = latestVersion(root) + 1
@@ -533,13 +554,19 @@ object Versioned {
     * version's manifest is the previous manifest PLUS the newly pooled
     * delta files. Unchanged files are listed by both versions and stored
     * once; nothing is rewritten, so the commit costs O(delta) regardless
-    * of table size. Returns the committed version.
+    * of table size. `statsCols` records per-file range stats on the delta
+    * (the same typed bounds [[commitZordered]] keeps), so a continuously
+    * appended landing stays [[prunedRead]]-skippable without ever paying
+    * a rewrite — time-keyed appends are naturally range-disjoint, which
+    * is exactly when append-time stats prune as well as a re-cluster.
+    * Returns the committed version.
     */
   def appendCommit(
       df: DataFrame,
       root: String,
       bloomCols: Seq[String] = Nil,
-      expectedKeysPerFile: Long = 100000L): Long = {
+      expectedKeysPerFile: Long = 100000L,
+      statsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.StructType
     val staging = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -548,7 +575,9 @@ object Versioned {
     // index next to the range stats (Delta's bloom indexes, Iceberg's
     // bloom sidecars; inlined in the marker here, sidecar files in a real
     // store)
-    val delta = poolStaged(root, staging,
+    val (statsByFile, strStatsByFile) = statsFor(
+      df.sparkSession, s"$root/$staging", df.schema, statsCols)
+    val delta = poolStaged(root, staging, statsByFile, strStatsByFile,
       bloomsByFile = bloomsFor(df.sparkSession, s"$root/$staging", bloomCols, expectedKeysPerFile))
     val prevV = latestVersion(root)
     val prev = if (prevV < 0) Nil else manifest(root, prevV)

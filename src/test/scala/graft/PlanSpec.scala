@@ -424,6 +424,45 @@ class PlanSpec extends SparkSuite {
       s"or not union+anti:\n$orPlan")
   }
 
+  test("m33 sliding evaluation replicates map-side below one aggregation exchange") {
+    // the R/step tile explode must be a Generate BELOW the grouped
+    // aggregation's single exchange — sliding costs replication factor,
+    // never an extra shuffle
+    val df = SparkEntry.queries("m33_promql_sliding")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("Generate explode"), s"no tile explode:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // one window-function shuffle for the series lag + the grouped
+    // aggregations' exchanges — the explode itself adds none beyond the
+    // tumbling plan's count
+    assert(exchanges <= 3, s"sliding added exchanges ($exchanges):\n$plan")
+  }
+
+  test("m35 @-pin spreads via broadcast joins, never a cartesian product") {
+    // pin a window that holds positive error increases at sf0.001, so
+    // AQE cannot collapse the join to an EmptyRelation
+    val df = graft.promql.PromQl.compile(
+      "increase(error_total[1h]) / (increase(error_total[1h] @ 1705417200) > 0)",
+      graft.operators.Firehose.metricsFromEvents(spark, sfDir))
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pin spread must stay an equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the series-bounded pinned side should broadcast:\n$plan")
+  }
+
+  test("t20 KL drift scans the corpus exactly once") {
+    // the (source, bucket) counts are materialized; the global model,
+    // totals and the dense grid all derive from that relation
+    val df = SparkEntry.queries("t20_dist_drift")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.optimizedPlan.toString
+    val scans = "Relation \\[doc_id".r.findAllIn(plan).length
+    assert(scans <= 1, s"documents scanned $scans times:\n$plan")
+  }
+
   test("whole-stage codegen covers the BPE token counter") {
     // the merge table rides in as a reference object; the count must be
     // one static kernel call fused into the scan's codegen stage

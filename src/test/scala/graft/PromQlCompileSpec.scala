@@ -390,6 +390,37 @@ class PromQlCompileSpec extends SparkSuite {
     assert(ratio.count() > 0)
   }
 
+  test("time/scalar/vector: per-window scalars join elementwise") {
+    // share-of-total: per window the positive shares sum to 1 (the
+    // numerator filter keeps NaN out — Spark evaluates NaN > 0 as TRUE,
+    // so filtering after the division would not)
+    val share = PromQl.compile(
+      "(increase(view_total[1h]) > 0) / scalar(sum(increase(view_total[1h])))", metrics)
+    val sums = share.groupBy("win_start").agg(sum(col("value")).as("s"))
+      .collect().map(_.getDouble(1))
+    assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0) < 1e-9))
+    // vector(time()): the grid rendered with the window start as value
+    val t = PromQl.compile("vector(time())", metrics).collect()
+    assert(t.nonEmpty && t.forall(r =>
+      r.getAs[Double]("value") == r.getAs[Long]("win_start").toDouble &&
+        r.getAs[String]("series") == ""))
+    // scalar(): single-element windows yield the element, several-element
+    // windows yield NaN, per PromQL — first-principles per window
+    val sc = PromQl.compile("vector(scalar(view_total))", metrics).collect()
+      .map(r => r.getAs[Long]("win_start") -> r.getAs[Double]("value")).toMap
+    val inst = PromQl.compile("view_total", metrics)
+      .groupBy("win_start").agg(count(lit(1)).as("n"), min(col("value")).as("v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(sc.nonEmpty && inst.exists(_._2._1 > 1) && inst.exists(_._2._1 == 1))
+    inst.foreach { case (w, (n, v)) =>
+      if (n == 1) assert(sc(w) === v, s"window $w")
+      else assert(sc(w).isNaN, s"window $w with $n series must be NaN")
+    }
+    // per-window scalar arithmetic: time() - time() is the zero scalar
+    val z = PromQl.compile("vector(time() - time())", metrics).collect()
+    assert(z.nonEmpty && z.forall(_.getAs[Double]("value") == 0.0))
+  }
+
   test("many-to-many without group_left raises at runtime") {
     val ex = intercept[Exception] {
       PromQl.compile("sum by (user) (view_total) / on() view_total", metrics)

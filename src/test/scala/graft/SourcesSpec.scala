@@ -484,6 +484,25 @@ class SourcesSpec extends SparkSuite {
     intercept[IllegalArgumentException](Versioned.tag(root, "bad", 0L))
   }
 
+  test("versioned table: append-time stats keep a landing prunable without rewrites") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-apstats").toFile.getAbsolutePath
+    // three time-keyed appends with disjoint k ranges — the streaming
+    // landing shape where append-time stats prune like a re-cluster
+    var v = -1L
+    for (b <- 0 until 3)
+      v = Versioned.appendCommit(
+        (b * 100L until b * 100L + 100L).map(i => (i, s"n$i")).toDF("k", "name")
+          .coalesce(1),
+        root, statsCols = Seq("k"))
+    val m = Versioned.manifest(root, v)
+    assert(m.length === 3 && m.forall(_.stats.contains("k")))
+    val pruned = Versioned.prunedRead(spark, root, v, Seq(("k", 120.0, 180.0)))
+    assert(pruned.inputFiles.length === 1, "stats must skip the other two appends")
+    assert(pruned.select("k").as[Long].collect().toSet === (120L to 180L).toSet)
+  }
+
   test("versioned table: shallow clone shares bytes and diverges independently") {
     import spark.implicits._
     import graft.sources.Versioned
