@@ -41,6 +41,11 @@ object FirehoseApp {
       |  --query <name> <sfDir> [n]
       |                    batch mode: run a named engine query against the
       |                    parquet tables in <sfDir>, show up to n rows, exit
+      |  --promql <expr> <sfDir> [n]
+      |                    batch mode: compile a PromQL expression against the
+      |                    event-derived metric stream in <sfDir>, show up to
+      |                    n rows, exit (promql.step.seconds / promql.sliding
+      |                    config keys select the evaluation grid)
       |  --list-queries    print the available query names and exit
       |  -h | --help       print this help""".stripMargin
 
@@ -69,6 +74,13 @@ object FirehoseApp {
         case "--query" =>
           m.put("app.query", operand("--query <name> <sfDir>"))
           m.put("app.query.sfdir", operand("--query <name> <sfDir>", 2))
+          i += 3
+          if (i < args.length && args(i).forall(_.isDigit)) {
+            m.put("app.query.rows", args(i)); i += 1
+          }
+        case "--promql" =>
+          m.put("app.promql", operand("--promql <expr> <sfDir>"))
+          m.put("app.query.sfdir", operand("--promql <expr> <sfDir>", 2))
           i += 3
           if (i < args.length && args(i).forall(_.isDigit)) {
             m.put("app.query.rows", args(i)); i += 1
@@ -145,6 +157,23 @@ object FirehoseApp {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-query")
       try {
         fn(spark, cfg.getOrElse("app.query.sfdir", "/root/testdata/sf0.001"))
+          .show(cfg.getInt("app.query.rows", 20), truncate = false)
+      } finally spark.stop()
+      return
+    }
+    // ad-hoc PromQL: the text front-end against the event-derived stream
+    cfg.get("app.promql").foreach { query =>
+      val spark = Sessions.local(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-promql")
+      try {
+        val metrics = graft.operators.Firehose.metricsFromEvents(
+          spark, cfg.getOrElse("app.query.sfdir", "/root/testdata/sf0.001"))
+        val step = cfg.getInt("promql.step.seconds", 3600).toLong
+        val df =
+          if (cfg.getBoolean("promql.sliding", default = false))
+            promql.PromQl.compileSliding(query, metrics, step)
+          else promql.PromQl.compile(query, metrics, step)
+        df.orderBy("series", "win_start")
           .show(cfg.getInt("app.query.rows", 20), truncate = false)
       } finally spark.stop()
       return

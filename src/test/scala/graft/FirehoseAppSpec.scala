@@ -34,6 +34,18 @@ class FirehoseAppSpec extends SparkSuite {
     intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("--query")))
     intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("-c")))
     intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("--mode")))
+    intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("--promql", "up")))
+  }
+
+  test("--promql args parse with the step/sliding config keys layering") {
+    val cfg = FirehoseApp.buildConfig(Array(
+      "--promql", "sum by (user) (increase(view_total[1h]))", "/x/sf", "5",
+      "-c", "promql.step.seconds=900,promql.sliding=true"))
+    assert(cfg.getOrElse("app.promql", "?") === "sum by (user) (increase(view_total[1h]))")
+    assert(cfg.getOrElse("app.query.sfdir", "?") === "/x/sf")
+    assert(cfg.getInt("app.query.rows", -1) === 5)
+    assert(cfg.getInt("promql.step.seconds", -1) === 900)
+    assert(cfg.getBoolean("promql.sliding", default = false))
   }
 
   test("end-to-end pull-mode app: file source to scrapeable /metrics") {

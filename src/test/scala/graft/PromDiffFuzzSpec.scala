@@ -1,0 +1,299 @@
+package graft
+
+import java.math.MathContext
+
+import org.apache.spark.sql.functions._
+
+import graft.promql._
+
+/** Differential fuzz of the PromQL COMPILER against an independent
+  * in-memory reference interpreter: random expression trees from the
+  * supported algebra, evaluated both by the compiled Spark plan and by a
+  * from-scratch Scala interpreter that re-implements the documented
+  * semantics (window quantization, decimal-quantized sums, reset-clamped
+  * increases, IEEE-explicit division, full-label one-to-one matching,
+  * left-priority set ops) over plain collections — two implementations
+  * that share NOTHING but the spec, compared bit-for-bit on every
+  * generated tree. The DuckDB oracles already cross-check the registered
+  * queries; this covers the combinatorial space between them.
+  */
+class PromDiffFuzzSpec extends SparkSuite {
+
+  // ---- the reference interpreter ----
+
+  private type Labels = Map[String, String]
+  private case class Sample(name: String, labels: Labels, ts: Long, id: String, value: Double)
+  /** An instant vector: (name, labels, window) → value. */
+  private type RVec = Map[(String, Labels, Long), Double]
+
+  private val Step = 3600L
+
+  private def dec(d: Double, scale: Int): BigDecimal =
+    BigDecimal.decimal(d, MathContext.UNLIMITED).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+
+  private def win(ts: Long, w: Long): Long = ts - java.lang.Math.floorMod(ts, w)
+
+  private object Ref {
+    /** The windows a range-fn sample (or delta) lands in: its tumbling
+      * window of the range's own grid, or — sliding — every step-grid
+      * window whose `[w, w + R)` lookback holds it (the m33 assignment).
+      */
+    private def winsOf(ts: Long, r: Long, sliding: Boolean): Seq[Long] =
+      if (!sliding || r == Step) Seq(win(ts, r))
+      else (0L until r / Step).map(j => win(ts, Step) - j * Step)
+
+    def instant(ss: Seq[Sample]): RVec =
+      ss.groupBy(s => (s.name, s.labels, win(s.ts, Step))).map { case (k, g) =>
+        k -> g.maxBy(s => (s.ts, s.id)).value
+      }
+
+    def increase(ss: Seq[Sample], r: Long, asRate: Boolean, sliding: Boolean): RVec =
+      ss.groupBy(s => (s.name, s.labels)).toSeq.flatMap { case ((n, l), g) =>
+        val sorted = g.sortBy(s => (s.ts, s.id))
+        val incs = sorted.zipWithIndex.flatMap { case (s, i) =>
+          val inc =
+            if (i == 0) 0.0
+            else {
+              val d = s.value - sorted(i - 1).value
+              if (d < 0) s.value else d
+            }
+          winsOf(s.ts, r, sliding).map(w => (w, inc))
+        }
+        incs.groupBy(_._1).map { case (w, is) =>
+          val total = is.map(x => dec(x._2, 6)).sum.toDouble
+          (n, l, w) -> (if (asRate) total / r.toDouble else total)
+        }
+      }.toMap
+
+    def overTime(ss: Seq[Sample], r: Long, fn: String, sliding: Boolean): RVec =
+      ss.flatMap(s => winsOf(s.ts, r, sliding).map(w => (s, w)))
+        .groupBy { case (s, w) => (s.name, s.labels, w) }
+        .map { case (k, g0) =>
+          val g = g0.map(_._1)
+          val vals = g.map(_.value)
+          val v = fn match {
+            case "sum_over_time" => g.map(s => dec(s.value, 6)).sum.toDouble
+            case "min_over_time" => vals.min
+            case "max_over_time" => vals.max
+            case "count_over_time" => g.size.toDouble
+            case "avg_over_time" => g.map(s => dec(s.value, 6)).sum.toDouble / g.size
+            case "last_over_time" => g.maxBy(s => (s.ts, s.id)).value
+          }
+          k -> v
+        }
+
+    def agg(v: RVec, op: String, by: Option[String]): RVec =
+      v.groupBy { case ((_, l, w), _) =>
+        (by.fold(Map.empty[String, String])(b => l.filter(_._1 == b)), w)
+      }.map { case ((gl, w), g) =>
+        val vals = g.values.toSeq
+        val out = op match {
+          case "sum" => vals.map(dec(_, 6)).sum.toDouble
+          case "min" => vals.min
+          case "max" => vals.max
+          case "count" => vals.size.toDouble
+          case "avg" => vals.map(dec(_, 6)).sum.toDouble / vals.size
+        }
+        ("", gl, w) -> out
+      }
+
+    def arith(op: String, l: Double, r: Double): Double = op match {
+      case "+" => l + r
+      case "-" => l - r
+      case "*" => l * r
+      case "/" =>
+        if (r == 0.0) {
+          if (l > 0) Double.PositiveInfinity
+          else if (l < 0) Double.NegativeInfinity
+          else Double.NaN
+        } else l / r
+      case "%" => if (r == 0.0) Double.NaN else l % r
+    }
+
+    def cmp(op: String, l: Double, r: Double): Boolean = op match {
+      case ">" => l > r
+      case "<" => l < r
+      case ">=" => l >= r
+      case "<=" => l <= r
+      case "==" => l == r
+      case "!=" => l != r
+    }
+
+    /** The engine raises on PromQL's many-to-many; the reference mirrors
+      * the contract by throwing when either side holds several elements
+      * per (labels, window) match key.
+      */
+    final class ManyToMany extends RuntimeException("many-to-many")
+
+    /** One-to-one vector binary on the full label set per (labels, win).
+      * Arithmetic and bool comparisons drop the name; comparisons without
+      * bool keep the left row intact.
+      */
+    def binary(op: String, boolMod: Boolean, l: RVec, r: RVec): RVec = {
+      def uniq(v: RVec): Map[(Labels, Long), Double] = {
+        val g = v.groupBy { case ((_, lb, w), _) => (lb, w) }
+        if (g.exists(_._2.size > 1)) throw new ManyToMany
+        g.map { case (k, m) => k -> m.head._2 }
+      }
+      val rByKey = uniq(r)
+      uniq(l) // enforce the contract on the left side too
+      l.flatMap { case ((n, lb, w), lv) =>
+        rByKey.get((lb, w)).flatMap { rv =>
+          if (Set(">", "<", ">=", "<=", "==", "!=")(op)) {
+            if (boolMod) Some(("", lb, w) -> (if (cmp(op, lv, rv)) 1.0 else 0.0))
+            else if (cmp(op, lv, rv)) Some((n, lb, w) -> lv)
+            else None
+          } else Some(("", lb, w) -> arith(op, lv, rv))
+        }
+      }
+    }
+
+    def setOp(op: String, l: RVec, r: RVec): RVec = {
+      val rKeys = r.keySet.map { case ((_, lb, w)) => (lb, w) }
+      val lKeys = l.keySet.map { case ((_, lb, w)) => (lb, w) }
+      op match {
+        case "and" => l.filter { case ((_, lb, w), _) => rKeys((lb, w)) }
+        case "unless" => l.filterNot { case ((_, lb, w), _) => rKeys((lb, w)) }
+        case "or" => l ++ r.filterNot { case ((_, lb, w), _) => lKeys((lb, w)) }
+      }
+    }
+
+    def vecScalar(v: RVec, s: Double, op: String, vecLeft: Boolean, boolMod: Boolean): RVec =
+      v.flatMap { case (k, x) =>
+        val (l, r) = if (vecLeft) (x, s) else (s, x)
+        if (Set(">", "<", ">=", "<=", "==", "!=")(op)) {
+          if (boolMod) Some(k -> (if (cmp(op, l, r)) 1.0 else 0.0))
+          else if (cmp(op, l, r)) Some(k -> x)
+          else None
+        } else Some(k -> arith(op, l, r))
+      }
+
+    def eval(e: PromExpr, ss: Seq[Sample], sliding: Boolean = false): RVec = e match {
+      case VectorSelector(Some(n), Nil, 0L, None) => instant(ss.filter(_.name == n))
+      case Call("increase", Seq(RangeSelector(VectorSelector(Some(n), Nil, 0L, None), r))) =>
+        increase(ss.filter(_.name == n), r, asRate = false, sliding)
+      case Call("rate", Seq(RangeSelector(VectorSelector(Some(n), Nil, 0L, None), r))) =>
+        increase(ss.filter(_.name == n), r, asRate = true, sliding)
+      case Call(fn, Seq(RangeSelector(VectorSelector(Some(n), Nil, 0L, None), r))) =>
+        overTime(ss.filter(_.name == n), r, fn, sliding)
+      case Agg(op, inner, None, g) =>
+        val by = g match {
+          case AggGroup.All => None
+          case AggGroup.By(Seq(l)) => Some(l)
+          case other => sys.error(s"generator produced $other")
+        }
+        agg(eval(inner, ss, sliding), op, by)
+      case Neg(inner) => eval(inner, ss, sliding).map { case (k, v) => k -> (-v) }
+      case Binary(op, l, NumberLit(s), None, b) =>
+        vecScalar(eval(l, ss, sliding), s, op, vecLeft = true, b)
+      case Binary(op, NumberLit(s), r, None, b) =>
+        vecScalar(eval(r, ss, sliding), s, op, vecLeft = false, b)
+      case Binary(op, l, r, None, b) if Set("and", "or", "unless")(op) =>
+        setOp(op, eval(l, ss, sliding), eval(r, ss, sliding))
+      case Binary(op, l, r, None, b) =>
+        binary(op, b, eval(l, ss, sliding), eval(r, ss, sliding))
+      case other => sys.error(s"generator produced unsupported $other")
+    }
+  }
+
+  // ---- the generator + harness ----
+
+  test("compiled plans match the independent interpreter on random trees") {
+    runFuzz(sliding = false, ranges = Seq(1800L, 3600L, 7200L), seed = 4242L)
+  }
+
+  test("sliding compiled plans match the sliding interpreter on random trees") {
+    // sliding requires every range to be a step multiple
+    runFuzz(sliding = true, ranges = Seq(3600L, 7200L, 10800L), seed = 77L)
+  }
+
+  private def runFuzz(sliding: Boolean, ranges: Seq[Long], seed: Long): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val names = Seq("a_total", "b_total")
+    val users = Seq("u1", "u2", "u3")
+    val base = 1704067200L
+    // planted stream: 2 metrics × 3 series × 24 samples over 4 hours,
+    // 2-dp values, zero-padded ids so string and tuple orderings agree
+    val samples = for {
+      n <- names; u <- users; i <- 0 until 24
+    } yield Sample(n, Map("user" -> u),
+      base + i * 600L + rnd.nextInt(300),
+      f"id${i}%03d",
+      rnd.nextInt(10000) / 100.0)
+    val metrics = samples.map(s =>
+        ("app", s.name, s.labels, s.ts, s.id, s.value))
+      .toDF("component", "name", "tags", "timestamp", "id", "value")
+
+    val overTimeFns = Seq("sum_over_time", "min_over_time", "max_over_time",
+      "count_over_time", "avg_over_time", "last_over_time")
+
+    def genLeaf(): PromExpr = rnd.nextInt(3) match {
+      case 0 => VectorSelector(Some(names(rnd.nextInt(2))))
+      case 1 => Call(if (rnd.nextBoolean()) "increase" else "rate",
+        Seq(RangeSelector(VectorSelector(Some(names(rnd.nextInt(2)))),
+          ranges(rnd.nextInt(3)))))
+      case 2 => Call(overTimeFns(rnd.nextInt(overTimeFns.length)),
+        Seq(RangeSelector(VectorSelector(Some(names(rnd.nextInt(2)))),
+          ranges(rnd.nextInt(3)))))
+    }
+
+    def gen(depth: Int): PromExpr =
+      if (depth == 0) genLeaf()
+      else rnd.nextInt(5) match {
+        case 0 => genLeaf()
+        case 1 =>
+          val g = if (rnd.nextBoolean()) AggGroup.All else AggGroup.By(Seq("user"))
+          Agg(Seq("sum", "min", "max", "count", "avg")(rnd.nextInt(5)), gen(depth - 1), None, g)
+        case 2 => Neg(gen(depth - 1))
+        case 3 =>
+          val op = Seq("+", "-", "*", "/", "%")(rnd.nextInt(5))
+          if (rnd.nextBoolean()) Binary(op, gen(depth - 1), NumberLit(rnd.nextInt(20) + 1.0))
+          else Binary(op, gen(depth - 1), gen(depth - 1))
+        case 4 =>
+          val cmpOps = Seq(">", "<", ">=", "<=")
+          val setOpsSeq = Seq("and", "or", "unless")
+          if (rnd.nextBoolean())
+            Binary(cmpOps(rnd.nextInt(4)), gen(depth - 1),
+              NumberLit(rnd.nextInt(100).toDouble), None, boolMod = rnd.nextBoolean())
+          else Binary(setOpsSeq(rnd.nextInt(3)), gen(depth - 1), gen(depth - 1))
+      }
+
+    def isM2m(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(t => Option(t.getMessage).exists(_.contains("many-to-many")))
+
+    var nonEmpty = 0
+    var raises = 0
+    for (iter <- 0 until 60) {
+      val ast = gen(2)
+      val query = PromQlPrinter.print(ast)
+      val got: Either[String, Map[(String, Map[String, String], Long), Double]] =
+        try
+          Right((if (sliding) PromQlCompiler.compileSlidingVector(query, metrics, Step)
+                 else PromQlCompiler.compileVector(query, metrics, Step))
+            .collect()
+            .map(r => (r.getAs[String]("name"), r.getAs[Map[String, String]]("labels"),
+              r.getAs[Long]("win_start")) -> r.getAs[Double]("value"))
+            .toMap)
+        catch { case e: Throwable if isM2m(e) => Left("many-to-many") }
+      val want: Either[String, RVec] =
+        try Right(Ref.eval(PromQlParser.parse(query), samples, sliding))
+        catch { case _: Ref.ManyToMany => Left("many-to-many") }
+      (got, want) match {
+        case (Left(_), Left(_)) => raises += 1 // both enforce the contract
+        case (Right(g), Right(w)) =>
+          val eq = g.keySet == w.keySet && g.forall { case (k, v) =>
+            (v.isNaN && w(k).isNaN) || v == w(k)
+          }
+          assert(eq, s"iter $iter diverged on: $query\n  compiled=${g.toSeq.sortBy(_._1.toString).take(6)}\n  reference=${w.toSeq.sortBy(_._1.toString).take(6)}")
+          if (g.nonEmpty) nonEmpty += 1
+        case (g, w) =>
+          fail(s"iter $iter: cardinality contract diverged on: $query " +
+            s"(compiled=${g.left.toOption.getOrElse("rows")}, " +
+            s"reference=${w.left.toOption.getOrElse("rows")})")
+      }
+    }
+    assert(nonEmpty > 25, s"only $nonEmpty non-empty results — generator too degenerate")
+  }
+}
