@@ -972,6 +972,81 @@ object Versioned {
     else commit(snap.coalesce(numFiles), root, bloomCols = bloomCols)
   }
 
+  /** CDC APPLY as an O(delta) commit — [[Curate.mergeUpsert]]'s
+    * MERGE-standard semantics (matched-U update, matched-D delete,
+    * unmatched-I insert; matched-I and unmatched-U/D are no-ops) with
+    * NOTHING rewritten: ONE new version that tombstones the matched
+    * U/D keys in exactly the files holding them and appends the
+    * surviving payloads (matched updates + genuine inserts) as new
+    * pooled files. The matched-key resolution is a broadcast semi join
+    * of the snapshot's key column against the changeset (tombstones
+    * applied, so a deleted key re-inserts cleanly), with only the
+    * ≤|changeset| matched keys collected — the same O(delta) driver
+    * contract as [[deleteCommit]]/[[upsertCommit]]. Returns the
+    * committed version, or -1 when every op was a no-op (no empty
+    * commit). The streaming form is `foreachBatch(applyCdc)` — each
+    * micro-batch one delta commit, the continuous-ingest loop that
+    * never rewrites the table.
+    */
+  def applyCdc(
+      changes: DataFrame,
+      root: String,
+      keyCol: String,
+      bloomCols: Seq[String] = Nil,
+      expectedKeysPerFile: Long = 100000L): Long = {
+    import org.apache.spark.sql.functions._
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val v = latestVersion(root)
+    require(v >= 0, s"no committed versions in $root")
+    deleteKeyOf(root, v).foreach(k => require(k == keyCol,
+      s"table carries tombstones on '$k'; CDC on '$keyCol' requires a compact() first"))
+    val allBloomCols = (bloomCols :+ keyCol).distinct
+    // (key, op) pairs — driver-held by the O(delta) changeset contract
+    val keyOps = changes
+      .select(col(keyCol).cast("string").as("_k"), col("op")).distinct()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSeq
+    require(keyOps.map(_._1).distinct.size == keyOps.size,
+      "CDC batch must carry one op per key (pre-collapse upstream)")
+    // which changeset keys exist in the CURRENT snapshot (through
+    // tombstones): semi join on the pruned key column, matched keys back
+    val chgKeysDf = broadcast(keyOps.map(_._1).toDF("_ck"))
+    val matched = latest(spark, root)
+      .select(col(keyCol).cast("string").as("_mk"))
+      .join(chgKeysDf, col("_mk") === col("_ck"), "left_semi")
+      .distinct().collect().map(_.getString(0)).toSet
+    val tomb = keyOps.collect {
+      case (k, op) if (op == "U" || op == "D") && matched(k) => k
+    }.sorted
+    // surviving payloads, resolved distributed (payloads never collect):
+    // matched updates + genuinely new inserts
+    val matchedDf = broadcast(matched.toSeq.toDF("_mk"))
+    val appendDf = changes
+      .join(matchedDf, col(keyCol).cast("string") === col("_mk"), "left_outer")
+      .filter((col("op") === "U" && col("_mk").isNotNull) ||
+        (col("op") === "I" && col("_mk").isNull))
+      .drop("op", "_mk")
+    val hasAppends = !appendDf.isEmpty
+    if (tomb.isEmpty && !hasAppends) return -1L
+    val entries = manifest(root, v)
+    val updated =
+      if (tomb.isEmpty) entries
+      else withTombstones(spark, root, v, keyCol, tomb, entries)
+    val delta =
+      if (!hasAppends) Nil
+      else {
+        val staging = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
+        appendDf.write.mode("errorifexists").parquet(s"$root/$staging")
+        poolStaged(root, staging,
+          bloomsByFile = bloomsFor(spark, s"$root/$staging", allBloomCols, expectedKeysPerFile))
+      }
+    val anyTombs = updated.exists(_.deletes.nonEmpty)
+    writeMarker(root, v + 1, updated ++ delta,
+      schemaJson = Some(mergedSchema(markerSchema(root, v), appendDf).json),
+      deleteKey = if (anyTombs) Some(keyCol) else deleteKeyOf(root, v))
+    v + 1
+  }
+
   /** RESTORE — roll the table back to version `v` as a NEW commit (the
     * `RESTORE TABLE … TO VERSION` shape the production formats expose):
     * the next version lists exactly `v`'s manifest with `v`'s schema and

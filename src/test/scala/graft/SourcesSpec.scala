@@ -503,6 +503,83 @@ class SourcesSpec extends SparkSuite {
     assert(pruned.select("k").as[Long].collect().toSet === (120L to 180L).toSet)
   }
 
+  test("versioned table: CDC apply is an O(delta) commit matching mergeUpsert") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-cdc").toFile.getAbsolutePath
+    def poolCount = Option(new java.io.File(root, "_files").listFiles())
+      .map(_.length).getOrElse(0)
+    def rows(v: Long) =
+      Versioned.asOf(spark, root, v).as[(Long, String)].collect().toSet
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    Versioned.commit(base.coalesce(1), root)
+    // every MERGE branch in one batch: matched-U, matched-D, unmatched-I,
+    // matched-I (no-op), unmatched-U (no-op), unmatched-D (no-op)
+    val changes = Seq(
+      (2L, "U", "B"), (3L, "D", ""), (4L, "I", "d"),
+      (1L, "I", "x"), (9L, "U", "z"), (8L, "D", "")
+    ).toDF("k", "op", "name")
+    val before = poolCount
+    val m0 = Versioned.manifest(root, 0L).map(_.path).toSet
+    val v1 = Versioned.applyCdc(changes, root, "k")
+    // O(delta): every base file is still LISTED (tombstoned, never
+    // rewritten); the pool grew by exactly the delta files
+    val m1 = Versioned.manifest(root, v1)
+    assert(m0.subsetOf(m1.map(_.path).toSet), "base files must not be rewritten")
+    assert(poolCount === before + (m1.length - m0.size),
+      "the pool grows by exactly the delta files")
+    val want = graft.operators.Curate
+      .mergeUpsert(base, changes.select("k", "op", "name"), "k")
+      .as[(Long, String)].collect().toSet
+    assert(rows(v1) === want && want === Set((1L, "a"), (2L, "B"), (4L, "d")))
+    // sequential dependency: the second batch updates a row the FIRST
+    // batch inserted and deletes a base survivor
+    val v2 = Versioned.applyCdc(
+      Seq((4L, "U", "D4"), (1L, "D", "")).toDF("k", "op", "name"), root, "k")
+    assert(rows(v2) === Set((2L, "B"), (4L, "D4")))
+    assert(rows(v1) === want, "pre-CDC versions still time-travel")
+    // an all-no-op batch commits nothing
+    assert(Versioned.applyCdc(
+      Seq((99L, "U", "q"), (98L, "D", "")).toDF("k", "op", "name"), root, "k") === -1L)
+    assert(Versioned.latestVersion(root) === v2)
+  }
+
+  test("streaming CDC batches land as O(delta) applyCdc commits") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-scdc").toFile.getAbsolutePath
+    Versioned.commit(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "name").coalesce(1), root)
+    val dir = Files.createTempDirectory("graft-scdc-in").toFile
+    val chk = Files.createTempDirectory("graft-scdc-chk").toFile
+    Files.write(dir.toPath.resolve("b1.json"),
+      """{"k":2,"op":"U","name":"B"}
+        |{"k":3,"op":"I","name":"c"}""".stripMargin.getBytes)
+    val schema = "k LONG, op STRING, name STRING"
+    val stream = spark.readStream.schema(schema).json(dir.getAbsolutePath)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) { Versioned.applyCdc(batch, root, "k"); () }
+      }
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(Versioned.latest(spark, root).as[(Long, String)].collect().toSet ===
+        Set((1L, "a"), (2L, "B"), (3L, "c")))
+      // second micro-batch updates the row the first INSERTED and deletes
+      // a base row — reachable only by sequential per-batch apply
+      Files.write(dir.toPath.resolve("b2.json"),
+        """{"k":3,"op":"U","name":"C"}
+          |{"k":1,"op":"D","name":""}""".stripMargin.getBytes)
+      q.processAllAvailable()
+      assert(Versioned.latest(spark, root).as[(Long, String)].collect().toSet ===
+        Set((2L, "B"), (3L, "C")))
+      // each batch cost one delta commit; base files were never rewritten
+      assert(Versioned.history(root).length === 3)
+    } finally q.stop()
+  }
+
   test("versioned table: shallow clone shares bytes and diverges independently") {
     import spark.implicits._
     import graft.sources.Versioned

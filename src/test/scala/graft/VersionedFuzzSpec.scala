@@ -39,13 +39,14 @@ class VersionedFuzzSpec extends SparkSuite {
 
       for (step <- 0 until 40) {
         val live = current
-        val op = rnd.nextInt(11) match {
+        val op = rnd.nextInt(12) match {
           case 0 | 1 | 2 | 3           => "append"
           case 4 if live.nonEmpty      => "upsert"
           case 5 | 6 if live.nonEmpty  => "delete"
           case 7 if live.nonEmpty      => "compact"
           case 8 if model.length >= 4  => "vacuum"
           case 10 if model.length >= 3 => "restore"
+          case 11 if live.size >= 2    => "cdc"
           case _                       => "append"
         }
         op match {
@@ -71,6 +72,23 @@ class VersionedFuzzSpec extends SparkSuite {
               expectedKeysPerFile = 256L)
             model += Some(current ++ rows)
             opKind += "upsert"
+          case "cdc" =>
+            // one MERGE batch with every branch: matched-U, matched-D,
+            // unmatched-I, and an unmatched-U no-op rider
+            val ks = rnd.shuffle(live.keys.toSeq)
+            val up = ks.head
+            val del = ks(1)
+            nextKey += 1
+            val ins = nextKey
+            val rows = Seq(
+              (up, "U", s"c$up-$step"), (del, "D", ""),
+              (ins, "I", s"c$ins-$step"), (nextKey + 100000L, "U", "noop"))
+            Versioned.applyCdc(
+              rows.toDF("k", "op", "name"), root, "k", expectedKeysPerFile = 256L)
+            model += Some(
+              current ++ Seq(up -> s"c$up-$step", ins -> s"c$ins-$step") - del)
+            deletedKeys += del
+            opKind += "cdc"
           case "restore" =>
             val retainedVs = model.zipWithIndex.collect { case (Some(_), i) => i }
             val v = retainedVs(rnd.nextInt(retainedVs.length))
