@@ -1088,6 +1088,39 @@ object FirehoseStream {
         col("n_samples"))
   }
 
+  /** Streaming windowed TOP-K series — m10's streaming sibling, windowed
+    * per the streaming convention: per (window, metric), the k series
+    * with the highest window gauge, ties broken on series ascending (the
+    * batch operator's order). TWO chained streaming aggregations: the
+    * windowed per-series gauge feeds a per-metric collect of the
+    * registry-bounded series set, and the rank is an array sort + slice
+    * in the finish — legal because the per-(window, metric) list is
+    * series-cardinality-bounded, the same argument as the exact
+    * quantile. Emits on window close (Append mode); on a closed window
+    * the result is batch-identical to ranking the window's gauges.
+    */
+  def topkSeriesClosed(
+      metrics: DataFrame,
+      k: Int = 3,
+      width: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val latest = keyedPoints(metrics, watermarkDelay)
+      .groupBy(window(col("eventTime"), width), col("component"), col("name"),
+        col("series"))
+      .agg(max_by(col("value"),
+        struct(col("timestamp").cast("long").as("ts"), col("id"))).as("last_value"))
+    latest
+      .groupBy(window(col("window"), width), col("component"), col("name"))
+      .agg(collect_list(struct(
+        // negated value first: ascending struct sort = value desc, series asc
+        (-col("last_value")).as("_nv"), col("series"), col("last_value"))).as("_s"))
+      .select(col("window.start").as("win_start"), col("component"), col("name"),
+        posexplode(slice(sort_array(col("_s")), 1, k)))
+      .select(col("win_start"), col("component"), col("name"),
+        col("col.series").as("series"), col("col.last_value").as("last_value"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** Streaming `count_values` — the incremental sibling of the batch
     * [[graft.operators.Firehose.countValues]] (m27), windowed per the
     * streaming convention: sample count per distinct value per metric per

@@ -41,6 +41,53 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed top-k equals the batch rank on the closed window") {
+    val dir = Files.createTempDirectory("graft-stk").toFile
+    val chk = Files.createTempDirectory("graft-stkchk").toFile
+    // window [0, 3600): m_total gauges u1=5 (latest of 2,5), u2=9, u3=9,
+    // u4=1 — top-3 must be u2, u3 (tie on series asc), u1
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "m_total", 100, "u1", 2.0),
+        metricJson("2", "m_total", 900, "u1", 5.0),
+        metricJson("3", "m_total", 500, "u2", 9.0),
+        metricJson("4", "m_total", 600, "u3", 9.0),
+        metricJson("5", "m_total", 700, "u4", 1.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.topkSeriesClosed(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath), k = 3)
+      .writeStream.format("memory").queryName("stk_t").outputMode("append")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(metricJson("9", "m_total", 8000, "u1", 1.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val streamed = spark.table("stk_t")
+        .filter(col("win_start") === timestamp_seconds(lit(0)))
+        .collect()
+        .map(r => r.getAs[Long]("rnk") ->
+          ((r.getAs[String]("series"), r.getAs[Double]("last_value"))))
+        .toMap
+      assert(streamed ===
+        Map(1L -> (("user=u2", 9.0)), 2L -> (("user=u3", 9.0)), 3L -> (("user=u1", 5.0))))
+      // batch reference: rank the same window's gauges with the native
+      // top-k operator — identical rows
+      import org.apache.spark.sql.graft.GraftOps
+      val gauges = graft.operators.Firehose.gaugeLatestLabeled(
+        graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath)
+          .filter(col("timestamp") < 3600))
+      val batch = GraftOps.topKPerKey(
+          gauges.select(col("name"), col("series"), col("last_value")),
+          keys = Seq("name"),
+          orderBy = Seq("last_value" -> true, "series" -> false),
+          k = 3)
+        .collect().map(r => r.getAs[String]("series") -> r.getAs[Double]("last_value"))
+        .toSet
+      assert(streamed.values.toSet === batch)
+    } finally q.stop()
+  }
+
   test("streaming vector match equals batch vector match on the closed window") {
     val dir = Files.createTempDirectory("graft-vm").toFile
     val chk = Files.createTempDirectory("graft-vmchk").toFile
