@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Curate, Dedup, Firehose, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Curate, Dedup, Firehose, Multimodal, NativeHist, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -504,6 +504,28 @@ object SparkEntry {
       promql.PromQl.compile(
         "(increase(view_total[1h]) > 0) / scalar(sum(increase(view_total[1h])))",
         Firehose.metricsFromEvents(s, dir))),
+    // ---- m37: Prometheus NATIVE histograms (exponential sparse buckets,
+    // base 2^(2^-schema); index from the IEEE exponent — no runtime log)
+    "m37_native_hist" -> ((s, dir) =>
+      NativeHist.nativeHistogram(Firehose.metricsFromEvents(s, dir), schema = 0)
+        .select(col("component"), col("name"), col("win_start"), col("schema"),
+          col("zero_count"), col("n_samples"),
+          NativeHist.bucketsString(col("buckets")).as("buckets"))),
+    // interpolated 0.9-quantile straight from the sparse bucket array
+    "m37b_native_quantile" -> ((s, dir) =>
+      NativeHist.quantile(
+        NativeHist.nativeHistogram(Firehose.metricsFromEvents(s, dir), schema = 0),
+        0.9)
+        .select("component", "name", "win_start", "q_value")),
+    // rollup-tier merge over histogram rows only; the oracle RECOMPUTES
+    // at the long window, so merge == recompute is hash-proven
+    "m37c_native_merge" -> ((s, dir) =>
+      NativeHist.merge(
+        NativeHist.nativeHistogram(Firehose.metricsFromEvents(s, dir), schema = 0),
+        longSec = 86400L)
+        .select(col("component"), col("name"), col("win_start"), col("schema"),
+          col("zero_count"), col("n_samples"),
+          NativeHist.bucketsString(col("buckets")).as("buckets"))),
     // per-source gopher-rule failure funnel
     "t18_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
@@ -2150,6 +2172,62 @@ object SparkEntry {
           |  e.increase / sc.sv AS value
           |FROM win e JOIN sc ON e.win_start = sc.win_start
           |WHERE e.name = 'view_total' AND e.increase > 0""".stripMargin),
+    // native histogram (schema 0): bucket k covers (2^(k-1), 2^k] — the
+    // oracle's ceil(log2) agrees with the engine's exact IEEE-exponent
+    // index because log2 is exact at powers of two and 2-dp data sits
+    // ≫1 ulp from every other boundary
+    "m37_native_hist" ->
+      (NativeHistCte(3600) +
+        """SELECT component, name, win_start, 0 AS schema,
+          |  CAST(COALESCE(sum(CASE WHEN idx IS NULL THEN c END), 0) AS BIGINT)
+          |    AS zero_count,
+          |  CAST(sum(c) AS BIGINT) AS n_samples,
+          |  COALESCE(string_agg(CASE WHEN idx IS NOT NULL
+          |    THEN idx || ':' || c END, ',' ORDER BY idx), '') AS buckets
+          |FROM c GROUP BY 1, 2, 3, 4""".stripMargin),
+    // interpolated quantile from the cumulative sparse buckets (exact
+    // integer cumulatives as doubles; the interpolation tree mirrors the
+    // engine's fold)
+    "m37b_native_quantile" ->
+      (NativeHistCte(3600) +
+        """, z AS (
+          |  SELECT component, name, win_start,
+          |    COALESCE(sum(CASE WHEN idx IS NULL THEN c END), 0) AS zero_count,
+          |    sum(c) AS total
+          |  FROM c GROUP BY 1, 2, 3),
+          |r AS (
+          |  SELECT c.component, c.name, c.win_start, c.idx, c.c, z.zero_count,
+          |    0.9 * CAST(z.total AS DOUBLE) AS rank,
+          |    CAST(z.zero_count AS DOUBLE)
+          |      + CAST(sum(c.c) OVER (PARTITION BY c.component, c.name, c.win_start
+          |          ORDER BY c.idx) AS DOUBLE) AS cum
+          |  FROM c JOIN z USING (component, name, win_start)
+          |  WHERE c.idx IS NOT NULL),
+          |pick AS (
+          |  SELECT *, row_number() OVER (PARTITION BY component, name, win_start
+          |    ORDER BY idx) AS rn
+          |  FROM r WHERE cum >= rank),
+          |sel AS (SELECT * FROM pick WHERE rn = 1)
+          |SELECT z.component, z.name, z.win_start,
+          |  CASE WHEN 0.9 * CAST(z.total AS DOUBLE) <= CAST(z.zero_count AS DOUBLE)
+          |       THEN 0.0
+          |       ELSE power(2.0, CAST(s.idx - 1 AS DOUBLE))
+          |         + (power(2.0, CAST(s.idx AS DOUBLE))
+          |            - power(2.0, CAST(s.idx - 1 AS DOUBLE)))
+          |           * ((s.rank - (s.cum - CAST(s.c AS DOUBLE))) / CAST(s.c AS DOUBLE))
+          |  END AS q_value
+          |FROM z LEFT JOIN sel s USING (component, name, win_start)""".stripMargin),
+    // merge == recompute: the oracle builds the DAILY histogram straight
+    // from raw samples; the engine merges the hourly tier
+    "m37c_native_merge" ->
+      (NativeHistCte(86400) +
+        """SELECT component, name, win_start, 0 AS schema,
+          |  CAST(COALESCE(sum(CASE WHEN idx IS NULL THEN c END), 0) AS BIGINT)
+          |    AS zero_count,
+          |  CAST(sum(c) AS BIGINT) AS n_samples,
+          |  COALESCE(string_agg(CASE WHEN idx IS NOT NULL
+          |    THEN idx || ':' || c END, ',' ORDER BY idx), '') AS buckets
+          |FROM c GROUP BY 1, 2, 3, 4""".stripMargin),
     // decimal sums make avg/stdvar derive from order-independent
     // numerators; variance via the algebraic form over those exact sums
     "m24_over_time" ->
@@ -3414,6 +3492,25 @@ object SparkEntry {
       |    max(x) AS mx
       |  FROM b GROUP BY 1, 2, 3, 4),
       |t AS (SELECT *, CAST(n AS DOUBLE) * sxx - sx * sx AS den FROM g)
+      |""".stripMargin
+
+  /** Native-histogram bucket counts at `widthSec` (schema 0): per
+    * (component, name, window, idx) sample counts, NULL idx for the zero
+    * bucket. ceil(log2) here is exact where the engine's IEEE-exponent
+    * index needs it to be (powers of two; 2-dp data clears every other
+    * boundary by ≫1 ulp).
+    */
+  private def NativeHistCte(widthSec: Long): String =
+    s"""WITH m AS (
+      |  SELECT 'app' AS component, event_type || '_total' AS name, value,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      |  FROM events),
+      |w AS (SELECT component, name, value,
+      |        ts_sec - ts_sec % $widthSec AS win_start FROM m),
+      |b AS (SELECT *, CASE WHEN value > 0
+      |        THEN CAST(ceil(log2(value)) AS INT) END AS idx FROM w),
+      |c AS (SELECT component, name, win_start, idx, count(*) AS c
+      |      FROM b GROUP BY 1, 2, 3, 4)
       |""".stripMargin
 
   /** Shared DuckDB CTE fragments (kept identical across oracles). */

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{BpeCount, CosineSim, GraftBridge, Md5Prefix60, MinHashSig, PolyFingerprint, SimHash64}
+import org.apache.spark.sql.graft.{BpeCount, CosineSim, Exp2Bucket, GraftBridge, Md5Prefix60, MinHashSig, PolyFingerprint, SimHash64}
 
 /** Column-API and SQL registration for graft's custom Catalyst expressions. */
 object GraftFunctions {
@@ -22,6 +22,13 @@ object GraftFunctions {
 
   def minhash_sig(terms: Column, k: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(terms), k))
+
+  /** Prometheus native-histogram bucket index of a positive double at
+    * `schema` (base 2^(2^-schema)); non-positive values yield
+    * Int.MinValue — route them to the zero bucket upstream.
+    */
+  def exp2_bucket(v: Column, schema: Int): Column =
+    GraftBridge.column(Exp2Bucket(GraftBridge.expression(v), schema))
 
   /** Exact token count under an ordered BPE merge table (see
     * [[graft.operators.Bpe]] for training one on a corpus).

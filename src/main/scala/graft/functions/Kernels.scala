@@ -368,4 +368,39 @@ object Kernels {
     }
     syms
   }
+
+  /** The upper mantissa boundaries of one octave's sub-buckets at
+    * `schema`: tbl(j) = 2^(j / 2^schema) for j = 0..2^schema, computed
+    * once per plan (a reference object, like the IVF codebooks). The
+    * boundary IS this double — bucket membership is an exact double
+    * comparison at runtime, never a runtime logarithm.
+    */
+  def exp2Boundaries(schema: Int): Array[Double] = {
+    require(schema >= 0 && schema <= 8, s"native-histogram schema must be in [0, 8], got $schema")
+    val n = 1 << schema
+    Array.tabulate(n + 1)(j => StrictMath.pow(2.0, j.toDouble / n))
+  }
+
+  /** Prometheus native-histogram bucket index: the k with
+    * v ∈ (base^(k-1), base^k], base = 2^(2^-schema) — i.e.
+    * k = ceil(2^schema · log2 v), computed EXACTLY from the IEEE
+    * exponent and mantissa (`getExponent`/`scalb` are exact; the
+    * sub-octave step is an exact comparison against the boundary
+    * table) — no runtime log, so no cross-engine last-ulp bucket flips
+    * at powers of two. Non-positive / non-finite values return
+    * Int.MinValue (callers route them to the zero bucket / drop them
+    * before this kernel).
+    */
+  def exp2Bucket(v: Double, schema: Int, tbl: Array[Double]): Int = {
+    if (!(v > 0.0) || java.lang.Double.isInfinite(v)) return Int.MinValue
+    val e = java.lang.Math.getExponent(v)
+    if (schema == 0) {
+      if (v == java.lang.Math.scalb(1.0, e)) e else e + 1
+    } else {
+      val m = java.lang.Math.scalb(v, -e) // mantissa in [1, 2), exact
+      var j = 0
+      while (m > tbl(j)) j += 1
+      (e << schema) + j
+    }
+  }
 }

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Prometheus NATIVE (exponential / sparse) histograms — the modern
+  * histogram type classic `le`-bucket histograms (m11) are being replaced
+  * by: bucket k covers `(base^(k-1), base^k]` with `base = 2^(2^-schema)`,
+  * so resolution is relative everywhere on the axis and only OCCUPIED
+  * buckets are stored (sparse). References: the Prometheus native
+  * histogram design and OpenTelemetry's exponential histogram — both
+  * public specs of the same base-2 bucketing.
+  *
+  * Determinism is the engine discipline: the bucket index is computed
+  * EXACTLY from the IEEE exponent/mantissa
+  * ([[org.apache.spark.sql.graft.Exp2Bucket]] — no runtime logarithm, so
+  * a value sitting exactly on a power of two can never flip buckets
+  * between engines), buckets render as a SORTED (idx, cnt) array, and
+  * every count is an exact long.
+  *
+  * Scale shape: ONE scan into (group, window, bucket) counts —
+  * map-side-combinable, the shuffled relation is groups × windows ×
+  * occupied-buckets; the pack into the sparse array is a second
+  * aggregation over that already-tiny relation. Merging rollup tiers
+  * ([[merge]]) touches only histogram rows, never raw samples — the
+  * m19 maintenance argument. The quantile ([[quantile]]) is a row-local
+  * fold over the sorted bucket array (occupied-bucket-bounded), fully
+  * codegen.
+  */
+object NativeHist {
+
+  private def winCol(widthSec: Long): Column =
+    (col("timestamp") - pmod(col("timestamp"), lit(widthSec))).cast("long")
+
+  /** Build per-(group, window) native histograms from raw samples.
+    * Non-positive values land in `zero_count` (the zero bucket; the
+    * stream carries no negatives — a negative-bucket set would mirror
+    * the positive one). Output: group cols, `win_start`, `schema`,
+    * `zero_count`, `n_samples`, `buckets: array<struct<idx,cnt>>`
+    * sorted by idx.
+    */
+  def nativeHistogram(
+      metrics: DataFrame,
+      schema: Int = 0,
+      widthSec: Long = 3600,
+      by: Seq[String] = Seq("component", "name")): DataFrame = {
+    val keyed = metrics
+      .withColumn("win_start", winCol(widthSec))
+      .withColumn("_idx",
+        when(col("value") > 0, GraftFunctions.exp2_bucket(col("value"), schema)))
+    val keys = by.map(col) :+ col("win_start")
+    keyed
+      .groupBy(keys :+ col("_idx"): _*)
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(keys: _*)
+      .agg(
+        coalesce(sum(when(col("_idx").isNull, col("_c"))), lit(0L)).as("zero_count"),
+        sum(col("_c")).as("n_samples"),
+        sort_array(collect_list(when(col("_idx").isNotNull,
+          struct(col("_idx").as("idx"), col("_c").as("cnt"))))).as("buckets"))
+      .withColumn("schema", lit(schema))
+  }
+
+  /** Canonical string rendering of a sparse bucket array
+    * ("idx:cnt,idx:cnt", ascending idx) — the oracle-comparable form.
+    */
+  def bucketsString(buckets: Column): Column =
+    array_join(
+      transform(buckets, b =>
+        concat(b.getField("idx").cast("string"), lit(":"),
+          b.getField("cnt").cast("string"))),
+      ",")
+
+  /** Merge short-window histograms into `longSec` windows — rollup-tier
+    * maintenance over histogram rows only (raw history never re-read;
+    * the m19 argument). Counts are exact longs, so merge == recompute
+    * bit-for-bit. Assumes a uniform `schema` across inputs (enforced).
+    */
+  def merge(
+      hists: DataFrame,
+      longSec: Long,
+      by: Seq[String] = Seq("component", "name")): DataFrame = {
+    val longWin =
+      (col("win_start") - pmod(col("win_start"), lit(longSec))).cast("long").as("win_start")
+    val keys = by.map(col) :+ longWin
+    val keyNames = by :+ "win_start"
+    val zeros = hists
+      .groupBy(keys: _*)
+      .agg(
+        sum(col("zero_count")).as("zero_count"),
+        sum(col("n_samples")).as("n_samples"),
+        min(col("schema")).as("schema"),
+        max(col("schema")).as("_smax"))
+    val bcounts = hists
+      .select(by.map(col) :+ col("win_start") :+ explode(col("buckets")).as("_b"): _*)
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_list(struct(col("_b.idx").as("idx"), col("_b.cnt")))).as("_raw"))
+      // the same idx may arrive from several short windows — re-sum
+      .withColumn("buckets",
+        transform(
+          array_distinct(transform(col("_raw"), b => b.getField("idx"))),
+          i => struct(
+            i.as("idx"),
+            aggregate(
+              filter(col("_raw"), b => b.getField("idx") === i),
+              lit(0L), (a, b) => a + b.getField("cnt")).as("cnt"))))
+      .drop("_raw")
+    zeros
+      .join(bcounts, keyNames, "left")
+      .withColumn("buckets",
+        coalesce(col("buckets"),
+          array().cast("array<struct<idx:int,cnt:bigint>>")))
+      .withColumn("schema",
+        when(col("schema") === col("_smax"), col("schema"))
+          .otherwise(raise_error(lit("cannot merge native histograms of mixed schemas"))
+            .cast("int")))
+      .drop("_smax")
+  }
+
+  /** The `q`-quantile of each native histogram row — linear interpolation
+    * within the covering bucket (Prometheus's rule), 0 when the rank
+    * falls in the zero bucket. A row-local fold over the sorted sparse
+    * bucket array; `pow(2, k)` on integral exponents is exact, so the
+    * bucket bounds are the same doubles in any engine.
+    */
+  def quantile(hists: DataFrame, q: Double): DataFrame = {
+    val total = (col("zero_count") +
+      aggregate(col("buckets"), lit(0L), (a, b) => a + b.getField("cnt"))).cast("double")
+    val rank = lit(q) * total
+    val div = pow(lit(2.0), col("schema").cast("double"))
+    val walk = aggregate(
+      col("buckets"),
+      struct(col("zero_count").cast("double").as("cum"),
+        lit(null).cast("double").as("ans")),
+      (acc, b) => {
+        val cnt = b.getField("cnt").cast("double")
+        val cum2 = acc.getField("cum") + cnt
+        val idx = b.getField("idx").cast("double")
+        val lo = pow(lit(2.0), (idx - 1) / div)
+        val hi = pow(lit(2.0), idx / div)
+        struct(
+          cum2.as("cum"),
+          when(acc.getField("ans").isNotNull, acc.getField("ans"))
+            .when(cum2 >= rank,
+              lo + (hi - lo) * ((rank - acc.getField("cum")) / cnt))
+            .as("ans"))
+      })
+    hists.withColumn("q_value",
+      when(rank <= col("zero_count").cast("double"), lit(0.0))
+        .otherwise(walk.getField("ans")))
+  }
+}

@@ -1281,6 +1281,40 @@ object FirehoseStream {
       .select(
         col("window.start").as("win_start"), col("name"), col("le"), col("n"))
 
+  /** Streaming NATIVE histograms — [[graft.operators.NativeHist]]'s
+    * incremental sibling: per (window, metric), the sparse exponential
+    * bucket array built by TWO chained streaming aggregations (the
+    * (window, metric, bucket) counts feed the per-metric pack, whose
+    * collect is occupied-bucket-bounded — the instantAgg chaining
+    * argument). The bucket index is the same exact IEEE-exponent
+    * expression as batch, so closed windows are batch-identical
+    * (spec-pinned). Emits on window close (Append mode).
+    */
+  def nativeHistogramClosed(
+      metrics: DataFrame,
+      schema: Int = 0,
+      width: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val keyed = metrics
+      .withColumn("eventTime", timestamp_seconds(col("timestamp")))
+      .withWatermark("eventTime", watermarkDelay)
+      .withColumn("_idx",
+        when(col("value") > 0,
+          graft.functions.GraftFunctions.exp2_bucket(col("value"), schema)))
+    keyed
+      .groupBy(window(col("eventTime"), width), col("name"), col("_idx"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(window(col("window"), width), col("name"))
+      .agg(
+        coalesce(sum(when(col("_idx").isNull, col("_c"))), lit(0L)).as("zero_count"),
+        sum(col("_c")).as("n_samples"),
+        sort_array(collect_list(when(col("_idx").isNotNull,
+          struct(col("_idx").as("idx"), col("_c").as("cnt"))))).as("buckets"))
+      .select(col("window.start").as("win_start"), col("name"),
+        col("zero_count"), col("n_samples"), col("buckets"),
+        lit(schema).as("schema"))
+  }
+
   /** Streaming gap-based session windows per series (the built-in
     * `session_window` — dynamic-gap sessionization with watermark-bounded
     * state; the streaming sibling of the batch `Relational.qSessionize`).

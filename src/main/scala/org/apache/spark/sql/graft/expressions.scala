@@ -280,6 +280,34 @@ case class BpeCount(child: Expression, merges: Array[Array[String]])
 }
 
 /** Column ↔ Expression bridge re-exported for graft's public function API. */
+/** Codegen'd Prometheus native-histogram bucket index
+  * ([[graft.functions.Kernels.exp2Bucket]]): k with
+  * v ∈ (base^(k-1), base^k], base = 2^(2^-schema), computed exactly from
+  * the IEEE exponent/mantissa — no runtime logarithm, so no cross-engine
+  * bucket flips at powers of two. The sub-octave boundary table rides
+  * into the generated code as a plan-time reference object (the IVF
+  * codebook pattern).
+  */
+case class Exp2Bucket(child: Expression, schema: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = IntegerType
+
+  private lazy val tbl: Array[Double] = Kernels.exp2Boundaries(schema)
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.exp2Bucket(v.asInstanceOf[Double], schema, tbl)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("exp2tbl", tbl, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.exp2Bucket($c, $schema, $tRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Exp2Bucket =
+    copy(child = newChild)
+}
+
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)

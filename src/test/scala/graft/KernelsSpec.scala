@@ -59,4 +59,29 @@ class KernelsSpec extends AnyFunSuite {
     val single = ArrayData.toArrayData(Array(u("abc")))
     assert(Kernels.simhash(single) === Kernels.md5Prefix60(u("abc")))
   }
+
+  test("exp2Bucket: exact IEEE bucketing at powers of two and sub-octave schemas") {
+    val t0 = Kernels.exp2Boundaries(0)
+    // bucket k covers (2^(k-1), 2^k]: the power itself belongs DOWN
+    assert(Kernels.exp2Bucket(32.0, 0, t0) === 5)
+    assert(Kernels.exp2Bucket(math.nextUp(32.0), 0, t0) === 6)
+    assert(Kernels.exp2Bucket(1.0, 0, t0) === 0)
+    assert(Kernels.exp2Bucket(0.25, 0, t0) === -2)
+    assert(Kernels.exp2Bucket(0.01, 0, t0) === -6)
+    assert(Kernels.exp2Bucket(490.02, 0, t0) === 9)
+    assert(Kernels.exp2Bucket(0.0, 0, t0) === Int.MinValue)
+    assert(Kernels.exp2Bucket(-3.0, 0, t0) === Int.MinValue)
+    assert(Kernels.exp2Bucket(Double.NaN, 0, t0) === Int.MinValue)
+    assert(Kernels.exp2Bucket(Double.PositiveInfinity, 0, t0) === Int.MinValue)
+    // schema 2 (base 2^(1/4)): agrees with ceil(4·log2 v) away from
+    // boundaries, where the log formulation is itself safe
+    val t2b = Kernels.exp2Boundaries(2)
+    for (v <- Seq(1.0, 1.01, 1.19, 1.2, 2.0, 3.0, 5.5, 100.0, 0.3)) {
+      val want = math.ceil(4.0 * (math.log(v) / math.log(2.0))).toInt
+      assert(Kernels.exp2Bucket(v, 2, t2b) === want, s"v=$v")
+    }
+    // a value exactly ON a sub-octave boundary belongs to its own bucket
+    // (2^2 · 2^(1/4): power-of-two scaling keeps the mantissa exact)
+    assert(Kernels.exp2Bucket(t2b(1) * 4.0, 2, t2b) === 2 * 4 + 1)
+  }
 }

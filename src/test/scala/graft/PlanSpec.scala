@@ -463,6 +463,20 @@ class PlanSpec extends SparkSuite {
     assert(scans <= 1, s"documents scanned $scans times:\n$plan")
   }
 
+  test("whole-stage codegen covers the native-histogram bucket index") {
+    // the sub-octave boundary table rides in as a reference object; the
+    // index is one static kernel call fused into the scan's stage
+    val proj = graft.operators.Firehose.metricsFromEvents(spark, sfDir)
+      .select(graft.functions.GraftFunctions.exp2_bucket(col("value"), 2).as("b"))
+    proj.collect()
+    val plan = planOf(proj)
+    assert(plan.contains("*("), s"expected codegen in:\n$plan")
+    assert(plan.toLowerCase.contains("exp2bucket"),
+      s"bucket expression missing from plan:\n$plan")
+    assert(graft.operators.NativeHist.nativeHistogram(
+      graft.operators.Firehose.metricsFromEvents(spark, sfDir), schema = 2).count() > 0)
+  }
+
   test("whole-stage codegen covers the BPE token counter") {
     // the merge table rides in as a reference object; the count must be
     // one static kernel call fused into the scan's codegen stage

@@ -41,6 +41,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming native histograms equal batch buckets on the closed window") {
+    val dir = Files.createTempDirectory("graft-snh").toFile
+    val chk = Files.createTempDirectory("graft-snhchk").toFile
+    // window [0, 3600): values hit buckets (2,4]=2×, (4,8]=1×, (16,32]=1×
+    // (32.0 exactly — the power belongs DOWN, the boundary rule)
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "m_total", 100, "u1", 3.0),
+        metricJson("2", "m_total", 200, "u2", 4.0),
+        metricJson("3", "m_total", 300, "u1", 5.0),
+        metricJson("4", "m_total", 400, "u3", 32.0)).mkString("\n").getBytes)
+    val q = FirehoseStream.nativeHistogramClosed(
+        FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath), schema = 0)
+      .select(col("win_start"), col("name"),
+        graft.operators.NativeHist.bucketsString(col("buckets")).as("b"),
+        col("zero_count"), col("n_samples"))
+      .writeStream.format("memory").queryName("snh_t").outputMode("append")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(metricJson("9", "m_total", 8000, "u1", 1.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val got = spark.table("snh_t")
+        .filter(col("win_start") === timestamp_seconds(lit(0)))
+        .collect().map(r => (r.getAs[String]("name"), r.getAs[String]("b"),
+          r.getAs[Long]("zero_count"), r.getAs[Long]("n_samples"))).toSet
+      assert(got === Set(("m_total", "2:2,3:1,5:1", 0L, 4L)))
+      // batch reference over the same window's rows — identical buckets
+      val batch = graft.operators.NativeHist.nativeHistogram(
+          graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath)
+            .filter(col("timestamp") < 3600),
+          schema = 0, by = Seq("name"))
+        .select(col("name"),
+          graft.operators.NativeHist.bucketsString(col("buckets")).as("b"),
+          col("zero_count"), col("n_samples"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("streaming windowed top-k equals the batch rank on the closed window") {
     val dir = Files.createTempDirectory("graft-stk").toFile
     val chk = Files.createTempDirectory("graft-stkchk").toFile
