@@ -46,6 +46,10 @@ object FirehoseApp {
       |                    event-derived metric stream in <sfDir>, show up to
       |                    n rows, exit (promql.step.seconds / promql.sliding
       |                    config keys select the evaluation grid)
+      |  --rules <file> <sfDir> [n]
+      |                    batch mode: evaluate a recording-rule file (one
+      |                    `name = expr` per line) in order, show up to n rows
+      |                    of each recorded series, exit
       |  --list-queries    print the available query names and exit
       |  -h | --help       print this help""".stripMargin
 
@@ -81,6 +85,13 @@ object FirehoseApp {
         case "--promql" =>
           m.put("app.promql", operand("--promql <expr> <sfDir>"))
           m.put("app.query.sfdir", operand("--promql <expr> <sfDir>", 2))
+          i += 3
+          if (i < args.length && args(i).forall(_.isDigit)) {
+            m.put("app.query.rows", args(i)); i += 1
+          }
+        case "--rules" =>
+          m.put("app.rules", operand("--rules <file> <sfDir>"))
+          m.put("app.query.sfdir", operand("--rules <file> <sfDir>", 2))
           i += 3
           if (i < args.length && args(i).forall(_.isDigit)) {
             m.put("app.query.rows", args(i)); i += 1
@@ -175,6 +186,25 @@ object FirehoseApp {
           else promql.PromQl.compile(query, metrics, step)
         df.orderBy("series", "win_start")
           .show(cfg.getInt("app.query.rows", 20), truncate = false)
+      } finally spark.stop()
+      return
+    }
+    // recording rules: evaluate a rule file against the event stream
+    cfg.get("app.rules").foreach { file =>
+      val text = new String(java.nio.file.Files.readAllBytes(Paths.get(file)))
+      val spark = Sessions.local(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-rules")
+      try {
+        val metrics = graft.operators.Firehose.metricsFromEvents(
+          spark, cfg.getOrElse("app.query.sfdir", "/root/testdata/sf0.001"))
+        val outs = promql.PromQlRules.evaluate(
+          text, metrics, cfg.getInt("promql.step.seconds", 3600).toLong,
+          cfg.getBoolean("promql.sliding", default = false))
+        promql.PromQlRules.parse(text).foreach { r =>
+          println(s"[graft] rule ${r.name} = ${r.expr}")
+          outs(r.name).orderBy("series", "win_start")
+            .show(cfg.getInt("app.query.rows", 20), truncate = false)
+        }
       } finally spark.stop()
       return
     }

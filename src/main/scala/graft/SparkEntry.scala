@@ -504,6 +504,15 @@ object SparkEntry {
       promql.PromQl.compile(
         "(increase(view_total[1h]) > 0) / scalar(sum(increase(view_total[1h])))",
         Firehose.metricsFromEvents(s, dir))),
+    // m38: RECORDING rules — a two-rule chain where the second rule
+    // selects the first BY NAME (the recorded series re-enters the
+    // metric universe as ordinary samples)
+    "m38_promql_rules" -> ((s, dir) =>
+      promql.PromQlRules.evaluate(
+        """# per-user hourly view increases, then their top-3
+          |app:view:increase1h = sum by (user) (increase(view_total[1h]))
+          |app:view:top = topk(3, app:view:increase1h)""".stripMargin,
+        Firehose.metricsFromEvents(s, dir))("app:view:top")),
     // ---- m37: Prometheus NATIVE histograms (exponential sparse buckets,
     // base 2^(2^-schema); index from the IEEE exponent — no runtime log)
     "m37_native_hist" -> ((s, dir) =>
@@ -2172,6 +2181,20 @@ object SparkEntry {
           |  e.increase / sc.sv AS value
           |FROM win e JOIN sc ON e.win_start = sc.win_start
           |WHERE e.name = 'view_total' AND e.increase > 0""".stripMargin),
+    // the rule chain collapses to m32_promql_topk's relation, recorded
+    // under the second rule's name
+    "m38_promql_rules" ->
+      (IncreaseCte(3600) +
+        """, agg AS (
+          |  SELECT component, series, win_start,
+          |    CAST(sum(CAST(increase AS DECIMAL(26,6))) AS DOUBLE) AS value
+          |  FROM win WHERE name = 'view_total' GROUP BY 1, 2, 3),
+          |r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY component, win_start
+          |    ORDER BY value DESC, series) AS rnk
+          |  FROM agg)
+          |SELECT component, 'app:view:top' AS name, series, win_start, value
+          |FROM r WHERE rnk <= 3""".stripMargin),
     // native histogram (schema 0): bucket k covers (2^(k-1), 2^k] — the
     // oracle's ceil(log2) agrees with the engine's exact IEEE-exponent
     // index because log2 is exact at powers of two and 2-dp data sits

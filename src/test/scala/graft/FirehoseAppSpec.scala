@@ -35,6 +35,7 @@ class FirehoseAppSpec extends SparkSuite {
     intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("-c")))
     intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("--mode")))
     intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("--promql", "up")))
+    intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("--rules", "f")))
   }
 
   test("--promql args parse with the step/sliding config keys layering") {

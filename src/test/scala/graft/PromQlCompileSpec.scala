@@ -421,6 +421,34 @@ class PromQlCompileSpec extends SparkSuite {
     assert(z.nonEmpty && z.forall(_.getAs[Double]("value") == 0.0))
   }
 
+  test("recording rules: a chain equals the directly-composed expression") {
+    import graft.promql.PromQlRules
+    val outs = PromQlRules.evaluate(
+      """# chain: per-user increases, then a grand total over them
+        |r:inc = sum by (user) (increase(view_total[1h]))
+        |r:total = sum(r:inc)""".stripMargin,
+      metrics)
+    val chained = outs("r:total")
+      .select("win_start", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val direct = PromQl.compile("sum(sum by (user) (increase(view_total[1h])))", metrics)
+      .select("win_start", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(chained.nonEmpty && chained === direct)
+    // the recorded series carries the RULE's name
+    assert(outs("r:inc").select("name").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("r:inc"))
+    // landing-ready union covers both rules
+    val all = PromQlRules.samples(
+      "r:inc = sum by (user) (increase(view_total[1h]))\nr:total = sum(r:inc)",
+      metrics)
+    assert(all.select("name").distinct().count() === 2L)
+    // loud failures: malformed line, duplicate name, bad name
+    assertThrows[PromQlCompileException](PromQlRules.parse("just text"))
+    assertThrows[PromQlCompileException](PromQlRules.parse("a = up\na = up"))
+    assertThrows[PromQlCompileException](PromQlRules.parse("9bad = up"))
+  }
+
   test("many-to-many without group_left raises at runtime") {
     val ex = intercept[Exception] {
       PromQl.compile("sum by (user) (view_total) / on() view_total", metrics)
