@@ -201,7 +201,11 @@ object FirehoseApp {
           text, metrics, cfg.getInt("promql.step.seconds", 3600).toLong,
           cfg.getBoolean("promql.sliding", default = false))
         promql.PromQlRules.parse(text).foreach { r =>
-          println(s"[graft] rule ${r.name} = ${r.expr}")
+          val kind = r match {
+            case _: promql.PromQlRules.Alert => "alert"
+            case _ => "rule"
+          }
+          println(s"[graft] $kind ${r.name}")
           outs(r.name).orderBy("series", "win_start")
             .show(cfg.getInt("app.query.rows", 20), truncate = false)
         }

@@ -513,6 +513,15 @@ object SparkEntry {
           |app:view:increase1h = sum by (user) (increase(view_total[1h]))
           |app:view:top = topk(3, app:view:increase1h)""".stripMargin,
         Firehose.metricsFromEvents(s, dir))("app:view:top")),
+    // m39: ALERTING rule with a `for` duration — fires where the
+    // condition held for TWO consecutive hourly windows (the m22 streak
+    // shape on the compiled relation; errors are hourly-sparse at small
+    // sf, so the streak is the discriminating part)
+    "m39_promql_alert" -> ((s, dir) =>
+      promql.PromQlRules.evaluate(
+        """r:err1h = sum by (user) (increase(error_total[1h]))
+          |alert HighErr = r:err1h > 0 for 1h""".stripMargin,
+        Firehose.metricsFromEvents(s, dir))("HighErr")),
     // ---- m37: Prometheus NATIVE histograms (exponential sparse buckets,
     // base 2^(2^-schema); index from the IEEE exponent — no runtime log)
     "m37_native_hist" -> ((s, dir) =>
@@ -2181,6 +2190,21 @@ object SparkEntry {
           |  e.increase / sc.sv AS value
           |FROM win e JOIN sc ON e.win_start = sc.win_start
           |WHERE e.name = 'view_total' AND e.increase > 0""".stripMargin),
+    // the alert fires where the per-user error increase was positive in
+    // TWO consecutive hourly windows (for 1h = 1 extra lookback step)
+    "m39_promql_alert" ->
+      (IncreaseCte(3600) +
+        """, agg AS (
+          |  SELECT component, series, win_start,
+          |    CAST(sum(CAST(increase AS DECIMAL(26,6))) AS DOUBLE) AS value
+          |  FROM win WHERE name = 'error_total' GROUP BY 1, 2, 3),
+          |cond AS (SELECT * FROM agg WHERE value > 0),
+          |flag AS (
+          |  SELECT *, lag(win_start, 1) OVER (PARTITION BY component, series
+          |    ORDER BY win_start) AS back1
+          |  FROM cond)
+          |SELECT component, 'HighErr' AS name, series, win_start, value
+          |FROM flag WHERE back1 = win_start - 3600""".stripMargin),
     // the rule chain collapses to m32_promql_topk's relation, recorded
     // under the second rule's name
     "m38_promql_rules" ->

@@ -35,24 +35,50 @@ import graft.operators.Firehose
   */
 object PromQlRules {
 
-  final case class Rule(name: String, expr: String)
+  sealed trait Line { def name: String }
+
+  final case class Rule(name: String, expr: String) extends Line
+
+  /** An alerting rule: fires at evaluation windows where `expr` has
+    * produced a row for the series in `forSec/step` CONSECUTIVE windows
+    * (Prometheus's `for:` pending→firing transition, window-quantized).
+    */
+  final case class Alert(name: String, expr: String, forSec: Long) extends Line
 
   private val NameRe = "[A-Za-z_:][A-Za-z0-9_:]*".r
 
-  /** Parse rule text: `name = expr` lines, `#` comments, blanks skipped.
-    * Duplicate names and malformed lines are refused loudly.
+  /** Parse rule text: `name = expr` recording lines and
+    * `alert name = expr [for <duration>]` alerting lines; `#` comments
+    * and blanks skipped. Duplicate names and malformed lines are
+    * refused loudly.
     */
-  def parse(text: String): Seq[Rule] = {
-    val rules = text.linesIterator
+  def parse(text: String): Seq[Line] = {
+    val rules: Seq[Line] = text.linesIterator
       .map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l =>
         val i = l.indexOf('=')
         if (i <= 0) throw PromQlCompileException(s"malformed rule line: '$l'")
-        val name = l.take(i).trim
-        if (!NameRe.pattern.matcher(name).matches())
-          throw PromQlCompileException(s"invalid rule name: '$name'")
-        Rule(name, l.drop(i + 1).trim)
+        val head = l.take(i).trim
+        val body = l.drop(i + 1).trim
+        def checkName(n: String): String = {
+          if (!NameRe.pattern.matcher(n).matches())
+            throw PromQlCompileException(s"invalid rule name: '$n'")
+          n
+        }
+        if (head.startsWith("alert ")) {
+          val name = checkName(head.stripPrefix("alert ").trim)
+          val forIdx = body.lastIndexOf(" for ")
+          if (forIdx < 0) Alert(name, body, 0L)
+          else {
+            val dur = body.drop(forIdx + 5).trim
+            PromQlDurations.parse(dur) match {
+              case Right(sec) => Alert(name, body.take(forIdx).trim, sec)
+              // no duration after `for`: the word belonged to the expr
+              case Left(_) => Alert(name, body, 0L)
+            }
+          }
+        } else Rule(checkName(head), body)
       }
       .toSeq
     val dup = rules.groupBy(_.name).collect { case (n, rs) if rs.size > 1 => n }
@@ -61,34 +87,68 @@ object PromQlRules {
     rules
   }
 
-  /** Evaluate every rule in file order; returns rule name → its rendered
+  /** Evaluate every line in file order; returns name → its rendered
     * relation `(component, name, series, win_start, value)` with `name`
-    * the RULE's name (it is a recorded metric now).
+    * the RULE's (or alert's) name. Recording rules re-enter the metric
+    * universe; alert outputs do not (Prometheus exposes firing alerts as
+    * the synthetic ALERTS series, not as scrapeable metrics — select the
+    * recording rule an alert derives from instead).
+    *
+    * An alert with `for d` fires at windows where the expression held
+    * for `d/step` consecutive evaluation windows — the m22 streak shape:
+    * one `lag(win, k-1)` over the series ordering, firing where the
+    * window `k-1` steps back is exactly `(k-1)·step` seconds back.
+    * `d` must be a multiple of the evaluation step, and the alert
+    * expression must land on the step grid (instant selectors,
+    * `R == step` range functions, or sliding mode — where EVERY
+    * expression lands on the step grid, the natural alerting mode).
     */
   def evaluate(
       rulesText: String,
       metrics: DataFrame,
       stepSec: Long = 3600L,
       sliding: Boolean = false): Map[String, DataFrame] = {
+    import org.apache.spark.sql.expressions.Window
     val rules = parse(rulesText)
     var universe =
       (if (metrics.columns.contains("labels")) metrics else Firehose.tagFilter(metrics))
         .select(col("component"), col("name"), col("labels"),
           col("timestamp"), col("id"), col("value"))
     val out = Map.newBuilder[String, DataFrame]
-    rules.foreach { r =>
-      val vec =
-        if (sliding) PromQlCompiler.compileSlidingVector(r.expr, universe, stepSec)
-        else PromQlCompiler.compileVector(r.expr, universe, stepSec)
-      // the recorded series: rule name, window start as sample time
-      val recorded = vec.select(
-        col("component"), lit(r.name).as("name"), col("labels"),
-        col("win_start").as("timestamp"), lit("").as("id"), col("value"))
-      universe = universe.unionByName(recorded)
-      out += r.name -> recorded.select(
-        col("component"), col("name"),
-        Firehose.seriesKey(col("labels")).as("series"),
-        col("timestamp").as("win_start"), col("value"))
+    def compileOne(expr: String): DataFrame =
+      if (sliding) PromQlCompiler.compileSlidingVector(expr, universe, stepSec)
+      else PromQlCompiler.compileVector(expr, universe, stepSec)
+    rules.foreach {
+      case Rule(name, expr) =>
+        // the recorded series: rule name, window start as sample time
+        val recorded = compileOne(expr).select(
+          col("component"), lit(name).as("name"), col("labels"),
+          col("win_start").as("timestamp"), lit("").as("id"), col("value"))
+        universe = universe.unionByName(recorded)
+        out += name -> recorded.select(
+          col("component"), col("name"),
+          Firehose.seriesKey(col("labels")).as("series"),
+          col("timestamp").as("win_start"), col("value"))
+      case Alert(name, expr, forSec) =>
+        if (forSec % stepSec != 0)
+          throw PromQlCompileException(
+            s"alert '$name': for ${forSec}s must be a multiple of the ${stepSec}s step")
+        val k = (forSec / stepSec).toInt + 1
+        val vec = compileOne(expr)
+          .withColumn("series", Firehose.seriesKey(col("labels")))
+        val streak =
+          if (k == 1) vec
+          else {
+            val w = Window.partitionBy(col("component"), col("name"), col("series"))
+              .orderBy(col("win_start"))
+            vec
+              .withColumn("_back", lag(col("win_start"), k - 1).over(w))
+              .filter(col("_back") === col("win_start") - lit((k - 1) * stepSec))
+              .drop("_back")
+          }
+        out += name -> streak.select(
+          col("component"), lit(name).as("name"), col("series"),
+          col("win_start"), col("value"))
     }
     out.result()
   }

@@ -449,6 +449,35 @@ class PromQlCompileSpec extends SparkSuite {
     assertThrows[PromQlCompileException](PromQlRules.parse("9bad = up"))
   }
 
+  test("alerting rules: for-duration streaks fire only after consecutive windows") {
+    import spark.implicits._
+    import graft.promql.PromQlRules
+    // u1 breaches two CONSECUTIVE hourly windows; u2's two breaches have
+    // a gap — only u1's second window fires under `for 1h`
+    val planted = Seq(
+      ("app", "c_total", Map("user" -> "u1"), 100L, "a", 10.0),
+      ("app", "c_total", Map("user" -> "u1"), 3700L, "b", 20.0),
+      ("app", "c_total", Map("user" -> "u1"), 7300L, "c", 35.0),
+      ("app", "c_total", Map("user" -> "u2"), 200L, "d", 5.0),
+      ("app", "c_total", Map("user" -> "u2"), 7400L, "e", 9.0)
+    ).toDF("component", "name", "tags", "timestamp", "id", "value")
+    val fired = PromQlRules.evaluate(
+      "alert A = increase(c_total[1h]) > 0 for 1h", planted)("A")
+      .select("series", "win_start").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fired === Set(("user=u1", 7200L)))
+    // without `for`, the alert fires at every breach window
+    val immediate = PromQlRules.evaluate(
+      "alert A = increase(c_total[1h]) > 0", planted)("A")
+      .select("series", "win_start").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(immediate ===
+      Set(("user=u1", 3600L), ("user=u1", 7200L), ("user=u2", 7200L)))
+    // a for-duration off the step grid is refused
+    assertThrows[PromQlCompileException](
+      PromQlRules.evaluate("alert B = c_total > 0 for 90m", planted))
+  }
+
   test("many-to-many without group_left raises at runtime") {
     val ex = intercept[Exception] {
       PromQl.compile("sum by (user) (view_total) / on() view_total", metrics)
