@@ -124,6 +124,51 @@ object PromQlStream {
   private val setOps = Set("and", "or", "unless")
   private val comparisons = Set("==", "!=", "<", ">", "<=", ">=")
 
+  private def applyScalar(
+      base: DataFrame, s: Double, op: String,
+      vecOnLeft: Boolean, boolMod: Boolean): DataFrame = {
+    def ap(f: (Column, Column) => Column): Column =
+      if (vecOnLeft) f(col("value"), lit(s)) else f(lit(s), col("value"))
+    if (comparisons(op)) {
+      if (boolMod) base.withColumn("value", ap(PromQlCompiler.cmpPred(op, _, _)).cast("double"))
+      else base.filter(ap(PromQlCompiler.cmpPred(op, _, _)))
+    } else base.withColumn("value", ap(PromQlCompiler.arith(op, _, _)).cast("double"))
+  }
+
+  /** A single `alert name = expr` line running CONTINUOUSLY: the
+    * expression lowers to its streaming shape (single-valued, window-
+    * closed — the threshold comparison is the usual guard) and every
+    * breach window emits an alert sample `(component, name = alert name,
+    * series, win_start, value)` as it closes.
+    *
+    * `for d` durations are refused here, deliberately: the streak needs
+    * a stateful operator chained AFTER the expression's aggregation, and
+    * Spark's chained-stateful support requires the window STRUCT the
+    * operator-native relations project away (a re-declared mid-stream
+    * watermark stalls — verified, not assumed). The for-duration forms
+    * that stream are [[graft.streaming.FirehoseTws.forDurationAlert]]
+    * (custom state, the m22 sibling) and the batch rule evaluator
+    * ([[PromQlRules.evaluate]]) over a landed stream.
+    */
+  def compileAlert(
+      line: String,
+      metrics: DataFrame,
+      stepSec: Long = 3600L,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val alert = PromQlRules.parse(line) match {
+      case Seq(a: PromQlRules.Alert) => a
+      case _ => err("compileAlert takes exactly one `alert name = expr` line")
+    }
+    if (alert.forSec != 0)
+      err(s"alert '${alert.name}': `for` durations are not in the streaming " +
+        "subset (use FirehoseTws.forDurationAlert or the batch rule evaluator)")
+    val breaches = lower(PromQlParser.parse(alert.expr), metrics, stepSec, watermarkDelay)
+    if (!breaches.columns.contains("value") || !breaches.columns.contains("win_start"))
+      err("alert expressions must lower to a single-valued windowed shape")
+    breaches.select(col("component"), lit(alert.name).as("name"),
+      col("series"), col("win_start"), col("value"))
+  }
+
   private def lower(
       ast: PromExpr,
       metrics: DataFrame,
@@ -212,6 +257,23 @@ object PromQlStream {
           err(s"aggregation '$other' is not in the streaming subset " +
             "(use the batch compiler)")
       }
+
+    // vector ⊕ scalar on any single-valued lowered shape — the alert
+    // threshold form (`avg_over_time(x[1h]) > 5`): comparisons filter
+    // (or 0/1 under bool), arithmetic maps, on the operator's own value
+    // column, sharing the batch compiler's op semantics
+    case Binary(op, l, NumberLit(s), _, boolMod) if !setOps(op) =>
+      val base = lower(l, metrics, stepSec, wm)
+      if (!base.columns.contains("value"))
+        err("scalar arithmetic needs a single-valued streaming shape " +
+          "(not gaugeLatest/count_values — compare a windowed function)")
+      applyScalar(base, s, op, vecOnLeft = true, boolMod)
+    case Binary(op, NumberLit(s), r, _, boolMod) if !setOps(op) =>
+      val base = lower(r, metrics, stepSec, wm)
+      if (!base.columns.contains("value"))
+        err("scalar arithmetic needs a single-valued streaming shape " +
+          "(not gaugeLatest/count_values — compare a windowed function)")
+      applyScalar(base, s, op, vecOnLeft = false, boolMod)
 
     case b: Binary =>
       val vm = b.matching.getOrElse(VectorMatching())

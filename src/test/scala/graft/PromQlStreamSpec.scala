@@ -92,6 +92,52 @@ class PromQlStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming alert rule fires per breach window, batch-identically") {
+    val dir = Files.createTempDirectory("graft-pqs-al").toFile
+    val chk = Files.createTempDirectory("graft-pqs-alchk").toFile
+    // hourly avg breaches > 4 in windows 0 and 3600, recovers in 7200
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "g", 100, "u1", 5.0),
+        metricJson("2", "g", 3700, "u1", 6.0),
+        metricJson("3", "g", 7300, "u1", 1.0)).mkString("\n").getBytes)
+    val line = "alert HighAvg = avg_over_time(g[1h]) > 4"
+    val q = PromQlStream.compileAlert(
+        line,
+        graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath))
+      .writeStream.format("memory").queryName("pqs_al").outputMode("append")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(metricJson("9", "g", 40000, "u1", 1.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val streamed = spark.table("pqs_al")
+        .collect()
+        .map(r => (r.getAs[String]("name"), r.getAs[String]("series"),
+          r.getAs[java.sql.Timestamp]("win_start").toInstant.getEpochSecond,
+          r.getAs[Double]("value")))
+        .toSet
+      assert(streamed ===
+        Set(("HighAvg", "user=u1", 0L, 5.0), ("HighAvg", "user=u1", 3600L, 6.0)))
+      // the batch rule evaluator over the same samples agrees
+      val batch = graft.promql.PromQlRules.evaluate(
+          line,
+          graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath)
+            .filter(col("timestamp") < 39000))("HighAvg")
+        .collect()
+        .map(r => (r.getAs[String]("name"), r.getAs[String]("series"),
+          r.getAs[Long]("win_start"), r.getAs[Double]("value")))
+        .toSet
+      assert(streamed === batch)
+      // for-durations are refused in the streaming subset, loudly
+      assertThrows[PromQlCompileException](PromQlStream.compileAlert(
+        "alert A = avg_over_time(g[1h]) > 4 for 1h",
+        graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)))
+    } finally q.stop()
+  }
+
   test("streaming text over_time matches batch; out-of-subset shapes raise") {
     val dir = Files.createTempDirectory("graft-pqs-ot").toFile
     val chk = Files.createTempDirectory("graft-pqs-otchk").toFile
