@@ -82,6 +82,29 @@ class PromDiffFuzzSpec extends SparkSuite {
           k -> v
         }
 
+    /** Per-window OLS slope under the engine's exact numeric discipline:
+      * x centered on the window's min timestamp (exact integers), sums
+      * as exact decimal folds cast to double, the slope algebra in IEEE
+      * doubles in the engine's expression order.
+      */
+    def deriv(ss: Seq[Sample], r: Long, sliding: Boolean): RVec =
+      ss.flatMap(s => winsOf(s.ts, r, sliding).map(w => (s, w)))
+        .groupBy { case (s, w) => (s.name, s.labels, w) }
+        .flatMap { case (k, g0) =>
+          val g = g0.map(_._1)
+          val t0 = g.map(_.ts).min
+          val xs = g.map(s => (s.ts - t0, s.value))
+          val n = xs.size
+          val nd = n.toDouble
+          val sx = xs.map(x => BigDecimal(x._1)).sum.toDouble
+          val sxx = xs.map(x => BigDecimal(x._1) * BigDecimal(x._1)).sum.toDouble
+          val sy = xs.map(x => dec(x._2, 6)).sum.toDouble
+          val sxy = xs.map(x => BigDecimal(x._1) * dec(x._2, 6)).sum.toDouble
+          val den = nd * sxx - sx * sx
+          if (n >= 2 && den != 0.0) Some(k -> ((nd * sxy - sx * sy) / den))
+          else None
+        }
+
     def agg(v: RVec, op: String, by: Option[String]): RVec =
       v.groupBy { case ((_, l, w), _) =>
         (by.fold(Map.empty[String, String])(b => l.filter(_._1 == b)), w)
@@ -174,6 +197,8 @@ class PromDiffFuzzSpec extends SparkSuite {
         increase(ss.filter(_.name == n), r, asRate = false, sliding)
       case Call("rate", Seq(RangeSelector(VectorSelector(Some(n), Nil, 0L, None), r))) =>
         increase(ss.filter(_.name == n), r, asRate = true, sliding)
+      case Call("deriv", Seq(RangeSelector(VectorSelector(Some(n), Nil, 0L, None), r))) =>
+        deriv(ss.filter(_.name == n), r, sliding)
       case Call(fn, Seq(RangeSelector(VectorSelector(Some(n), Nil, 0L, None), r))) =>
         overTime(ss.filter(_.name == n), r, fn, sliding)
       case Agg(op, inner, None, g) =>
@@ -228,12 +253,15 @@ class PromDiffFuzzSpec extends SparkSuite {
     val overTimeFns = Seq("sum_over_time", "min_over_time", "max_over_time",
       "count_over_time", "avg_over_time", "last_over_time")
 
-    def genLeaf(): PromExpr = rnd.nextInt(3) match {
+    def genLeaf(): PromExpr = rnd.nextInt(4) match {
       case 0 => VectorSelector(Some(names(rnd.nextInt(2))))
       case 1 => Call(if (rnd.nextBoolean()) "increase" else "rate",
         Seq(RangeSelector(VectorSelector(Some(names(rnd.nextInt(2)))),
           ranges(rnd.nextInt(3)))))
       case 2 => Call(overTimeFns(rnd.nextInt(overTimeFns.length)),
+        Seq(RangeSelector(VectorSelector(Some(names(rnd.nextInt(2)))),
+          ranges(rnd.nextInt(3)))))
+      case 3 => Call("deriv",
         Seq(RangeSelector(VectorSelector(Some(names(rnd.nextInt(2)))),
           ranges(rnd.nextInt(3)))))
     }
