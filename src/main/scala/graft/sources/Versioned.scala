@@ -566,9 +566,28 @@ object Versioned {
       root: String,
       bloomCols: Seq[String] = Nil,
       expectedKeysPerFile: Long = 100000L,
-      statsCols: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.StructType
+      statsCols: Seq[String] = Nil): Long =
+    appendCommitWithRetry(df, root, bloomCols, expectedKeysPerFile, statsCols,
+      maxRetries = 0)
+
+  /** [[appendCommit]] with optimistic-concurrency RETRY — how many
+    * committers an append-only landing actually has. Appends COMMUTE, so
+    * a committer that loses the `CREATE_NEW` marker race re-reads the
+    * new latest manifest and re-publishes its ALREADY-POOLED delta on
+    * top: the data stages and pools exactly once (content-addressed,
+    * never orphaned by a lost race), and each retry costs one manifest
+    * read + one marker write. `maxRetries = 0` is plain first-writer-wins
+    * [[appendCommit]]. Non-commuting commits (delete/upsert/compact)
+    * deliberately have NO retry form — their read-set went stale, the
+    * caller must re-derive it.
+    */
+  def appendCommitWithRetry(
+      df: DataFrame,
+      root: String,
+      bloomCols: Seq[String] = Nil,
+      expectedKeysPerFile: Long = 100000L,
+      statsCols: Seq[String] = Nil,
+      maxRetries: Int = 5): Long = {
     val staging = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.mode("errorifexists").parquet(s"$root/$staging")
     // per-file BLOOM FILTERS over key columns — the point-lookup skipping
@@ -579,13 +598,23 @@ object Versioned {
       df.sparkSession, s"$root/$staging", df.schema, statsCols)
     val delta = poolStaged(root, staging, statsByFile, strStatsByFile,
       bloomsByFile = bloomsFor(df.sparkSession, s"$root/$staging", bloomCols, expectedKeysPerFile))
-    val prevV = latestVersion(root)
-    val prev = if (prevV < 0) Nil else manifest(root, prevV)
-    val merged = mergedSchema(if (prevV < 0) None else markerSchema(root, prevV), df)
-    writeMarker(root, prevV + 1, prev ++ delta,
-      schemaJson = Some(merged.json),
-      deleteKey = if (prevV < 0) None else deleteKeyOf(root, prevV))
-    prevV + 1
+    var attempt = 0
+    while (true) {
+      val prevV = latestVersion(root)
+      val prev = if (prevV < 0) Nil else manifest(root, prevV)
+      val merged = mergedSchema(if (prevV < 0) None else markerSchema(root, prevV), df)
+      try {
+        writeMarker(root, prevV + 1, prev ++ delta,
+          schemaJson = Some(merged.json),
+          deleteKey = if (prevV < 0) None else deleteKeyOf(root, prevV))
+        return prevV + 1
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** Add-column schema evolution shared by [[appendCommit]] and

@@ -580,6 +580,32 @@ class SourcesSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("versioned table: concurrent appenders all land via optimistic retry") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-conc").toFile.getAbsolutePath
+    Versioned.commit(Seq((0L, "base")).toDF("k", "name").coalesce(1), root)
+    // eight committers race the CREATE_NEW marker; appends commute, so
+    // every one must land (losers retry marker-only on the new latest)
+    val dfs = (1 to 8).map(i => Seq((i.toLong, s"t$i")).toDF("k", "name").coalesce(1))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = dfs.map { d =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long =
+            Versioned.appendCommitWithRetry(d, root, maxRetries = 50)
+        })
+      }
+      val versions = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versions.toSet === (1L to 8L).toSet, "every committer lands a distinct version")
+    } finally pool.shutdown()
+    assert(Versioned.history(root) === (0L to 8L))
+    assert(Versioned.latest(spark, root).as[(Long, String)].collect().toSet ===
+      (Set(0L -> "base") ++ (1 to 8).map(i => i.toLong -> s"t$i")).map {
+        case (k, n) => (k, n)
+      })
+  }
+
   test("versioned table: shallow clone shares bytes and diverges independently") {
     import spark.implicits._
     import graft.sources.Versioned
