@@ -523,6 +523,19 @@ object SparkEntry {
           |alert HighErr = r:err1h > 0 for 1h""".stripMargin,
         Firehose.metricsFromEvents(s, dir))("HighErr")),
     // ---- m37: Prometheus NATIVE histograms (exponential sparse buckets,
+    // m40: timestamp() + the calendar family — hour-of-day of each
+    // window's freshest raw sample (tz-independent modular arithmetic)
+    "m40_promql_time" -> ((s, dir) =>
+      promql.PromQl.compile(
+        "hour(timestamp(view_total))",
+        Firehose.metricsFromEvents(s, dir))),
+    // day-of-week (Sunday = 0) via the epoch-day DateType route; the
+    // oracle recomputes with DuckDB's own calendar — two independent
+    // Gregorian implementations hash-compared
+    "m40b_promql_calendar" -> ((s, dir) =>
+      promql.PromQl.compile(
+        "day_of_week(timestamp(error_total))",
+        Firehose.metricsFromEvents(s, dir))),
     // base 2^(2^-schema); index from the IEEE exponent — no runtime log)
     "m37_native_hist" -> ((s, dir) =>
       NativeHist.nativeHistogram(Firehose.metricsFromEvents(s, dir), schema = 0)
@@ -2190,6 +2203,37 @@ object SparkEntry {
           |  e.increase / sc.sv AS value
           |FROM win e JOIN sc ON e.win_start = sc.win_start
           |WHERE e.name = 'view_total' AND e.increase > 0""".stripMargin),
+    // hour-of-day of each hourly window's freshest sample: both sides
+    // are pure modular arithmetic on the max epoch second
+    "m40_promql_time" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |g AS (
+        |  SELECT component, name, series,
+        |         ts_sec - ts_sec % 3600 AS win_start, max(ts_sec) AS mts
+        |  FROM m WHERE name = 'view_total' GROUP BY 1, 2, 3, 4)
+        |SELECT component, name, series, win_start,
+        |  CAST((mts % 86400) // 3600 AS DOUBLE) AS value
+        |FROM g""".stripMargin,
+    // day_of_week via DuckDB's own calendar (Sunday = 0 both sides) —
+    // an independent Gregorian implementation against Spark's DateType
+    "m40b_promql_calendar" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |g AS (
+        |  SELECT component, name, series,
+        |         ts_sec - ts_sec % 3600 AS win_start, max(ts_sec) AS mts
+        |  FROM m WHERE name = 'error_total' GROUP BY 1, 2, 3, 4)
+        |SELECT component, name, series, win_start,
+        |  CAST(dayofweek(DATE '1970-01-01'
+        |    + CAST(mts // 86400 AS INTEGER)) AS DOUBLE) AS value
+        |FROM g""".stripMargin,
     // the alert fires where the per-user error increase was positive in
     // TWO consecutive hourly windows (for 1h = 1 extra lookback step)
     "m39_promql_alert" ->

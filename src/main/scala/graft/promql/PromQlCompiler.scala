@@ -92,8 +92,16 @@ final case class PromQlCompileException(msg: String) extends RuntimeException(ms
   *    arithmetic on `win_start`; `vector(s)` lifts one back onto the
   *    stream-span grid with the empty labelset. `scalar` of a
   *    several-element window is NaN, per PromQL.
+  *  - `timestamp(sel)` returns the window's freshest raw-sample
+  *    timestamp for a direct selector, the evaluation window start for
+  *    any derived vector; the calendar family (`minute`..`year`) is
+  *    timezone-independent modular/epoch-day arithmetic (the UTC
+  *    calendar regardless of `spark.sql.session.timeZone`);
+  *    `sort`/`sort_desc` order the OUTPUT relation (presentation
+  *    ordering is all they mean in PromQL too).
   *  - Unsupported (compile error, never silently wrong):
-  *    `sort`/`sort_desc` (presentation-only), native histograms.
+  *    native histograms (the m37 [[graft.operators.NativeHist]] family
+  *    covers those on the batch path).
   */
 object PromQlCompiler {
 
@@ -674,9 +682,83 @@ object PromQlCompiler {
         if (args.length != 2) err("histogram_quantile expects (scalar, vector)")
         val q = scalarArg(args(0), "histogram_quantile quantile")
         Vec(histogramQuantile(q, vecArg(args(1), fn)))
+      case "timestamp" =>
+        require1(fn, args)
+        Vec(timestampVec(args.head))
+      case f if timeComponentFns(f) =>
+        if (args.length > 1) err(s"$f expects at most one argument")
+        val base = if (args.isEmpty) vectorOf(timeVal) else eval(args.head)
+        base match {
+          case Vec(df) =>
+            Vec(df.withColumn("value", timeComponent(f, col("value")).cast("double")))
+          case _ => err(s"$f expects an instant vector argument")
+        }
+      case "sort" | "sort_desc" =>
+        require1(fn, args)
+        val v = vecArg(args.head, fn)
+        val key =
+          if (fn == "sort") col("value").asc_nulls_last else col("value").desc_nulls_last
+        Vec(v.orderBy(
+          key, col("component"), col("name"),
+          Firehose.seriesKey(col("labels")), col("win_start")))
       case other =>
-        err(s"unsupported function '$other' " +
-          "(sort/sort_desc are presentation-only and out of compiler scope)")
+        err(s"unsupported function '$other'")
+    }
+
+    /** Calendar-component functions over values interpreted as Unix
+      * SECONDS, truncated toward zero (PromQL's int64 cast). All
+      * timezone-INDEPENDENT on purpose: minute/hour are modular epoch
+      * arithmetic, and the date parts go through the epoch-day offset
+      * onto a `DateType` (whose calendar extraction ignores
+      * `spark.sql.session.timeZone`) — the UTC calendar PromQL
+      * specifies, whatever the session is configured to render in.
+      */
+    private val timeComponentFns = Set(
+      "minute", "hour", "day_of_week", "day_of_month", "day_of_year",
+      "days_in_month", "month", "year")
+
+    private def timeComponent(f: String, v: Column): Column = {
+      val secs = v.cast("long")
+      lazy val day = date_add(
+        to_date(lit("1970-01-01")),
+        ((secs - pmod(secs, lit(86400L))) / lit(86400L)).cast("int"))
+      f match {
+        case "minute" => floor(pmod(secs, lit(3600L)) / lit(60L))
+        case "hour" => floor(pmod(secs, lit(86400L)) / lit(3600L))
+        case "day_of_week" => dayofweek(day) - lit(1) // 0 = Sunday, per PromQL
+        case "day_of_month" => dayofmonth(day)
+        case "day_of_year" => dayofyear(day)
+        case "days_in_month" => dayofmonth(last_day(day))
+        case "month" => month(day)
+        case "year" => year(day)
+      }
+    }
+
+    /** `timestamp(v)`: each element's sample timestamp as its value, in
+      * seconds. For a DIRECT selector that is the window's freshest
+      * raw-sample timestamp — the very sample [[instant]]'s `max_by`
+      * picks (post-`offset`, so the surfaced time; `@` pins spread
+      * exactly like the selector itself would). Any derived vector's
+      * samples are synthetic at evaluation time, so the value is the
+      * evaluation window start (Prometheus's convention for
+      * non-selector arguments).
+      */
+    private def timestampVec(arg: PromExpr): DataFrame = arg match {
+      case sel: VectorSelector =>
+        val ts = samples(sel)
+          .withColumn("win_start", winStart(col("timestamp"), stepSec))
+          .groupBy(
+            col("component"), col("name"),
+            Firehose.seriesKey(col("labels")).as("_sk"), col("win_start"))
+          .agg(
+            any_value(col("labels")).as("labels"),
+            max(col("timestamp")).as("_ts"))
+          .select(col("component"), col("name"), col("labels"), col("win_start"),
+            col("_ts").cast("double").as("value"))
+        sel.atSec.fold(ts)(t => pinSpread(ts, t, stepSec))
+      case other =>
+        vecArg(other, "timestamp")
+          .withColumn("value", col("win_start").cast("double"))
     }
 
     private def require1(fn: String, args: Seq[PromExpr]): Unit =

@@ -33,6 +33,10 @@ class PromDiffFuzzSpec extends SparkSuite {
 
   private def win(ts: Long, w: Long): Long = ts - java.lang.Math.floorMod(ts, w)
 
+  private val calFns = Seq(
+    "minute", "hour", "day_of_week", "day_of_month", "day_of_year",
+    "days_in_month", "month", "year")
+
   private object Ref {
     /** The windows a range-fn sample (or delta) lands in: its tumbling
       * window of the range's own grid, or — sliding — every step-grid
@@ -104,6 +108,26 @@ class PromDiffFuzzSpec extends SparkSuite {
           if (n >= 2 && den != 0.0) Some(k -> ((nd * sxy - sx * sy) / den))
           else None
         }
+
+    /** Calendar family via java.time — an INDEPENDENT Gregorian
+      * implementation against the compiler's modular/epoch-day
+      * arithmetic on Spark's DateType.
+      */
+    def calendar(fn: String, v: RVec): RVec = v.map { case (k, x) =>
+      val z = java.time.Instant.ofEpochSecond(x.toLong)
+        .atZone(java.time.ZoneOffset.UTC)
+      val out = fn match {
+        case "minute" => z.getMinute
+        case "hour" => z.getHour
+        case "day_of_week" => z.getDayOfWeek.getValue % 7
+        case "day_of_month" => z.getDayOfMonth
+        case "day_of_year" => z.getDayOfYear
+        case "days_in_month" => z.toLocalDate.lengthOfMonth
+        case "month" => z.getMonthValue
+        case "year" => z.getYear
+      }
+      k -> out.toDouble
+    }
 
     def agg(v: RVec, op: String, by: Option[String]): RVec =
       v.groupBy { case ((_, l, w), _) =>
@@ -201,6 +225,8 @@ class PromDiffFuzzSpec extends SparkSuite {
         deriv(ss.filter(_.name == n), r, sliding)
       case Call(fn, Seq(RangeSelector(VectorSelector(Some(n), Nil, 0L, None), r))) =>
         overTime(ss.filter(_.name == n), r, fn, sliding)
+      case Call(fn, Seq(inner)) if calFns.contains(fn) =>
+        calendar(fn, eval(inner, ss, sliding))
       case Agg(op, inner, None, g) =>
         val by = g match {
           case AggGroup.All => None
@@ -268,8 +294,12 @@ class PromDiffFuzzSpec extends SparkSuite {
 
     def gen(depth: Int): PromExpr =
       if (depth == 0) genLeaf()
-      else rnd.nextInt(5) match {
+      else rnd.nextInt(6) match {
         case 0 => genLeaf()
+        case 5 =>
+          // calendar fns wrap LEAVES only: leaf values are always finite
+          // (no division), so both sides' epoch-second casts agree
+          Call(calFns(rnd.nextInt(calFns.length)), Seq(genLeaf()))
         case 1 =>
           val g = if (rnd.nextBoolean()) AggGroup.All else AggGroup.By(Seq("user"))
           Agg(Seq("sum", "min", "max", "count", "avg")(rnd.nextInt(5)), gen(depth - 1), None, g)

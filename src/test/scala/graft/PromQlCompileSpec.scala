@@ -266,7 +266,7 @@ class PromQlCompileSpec extends SparkSuite {
   }
 
   test("compile errors: unsupported function, scalar-only expression, bad range") {
-    assertThrows[PromQlCompileException](PromQl.compile("sort(x)", metrics))
+    assertThrows[PromQlCompileException](PromQl.compile("mad_over_time(x[5m])", metrics))
     assertThrows[PromQlCompileException](PromQl.compile("1 + 2", metrics))
     assertThrows[PromQlCompileException](PromQl.compile("view_total[1h]", metrics))
     assertThrows[PromQlCompileException](
@@ -485,5 +485,63 @@ class PromQlCompileSpec extends SparkSuite {
     }
     assert(ex.getMessage.contains("many-to-many") ||
       Option(ex.getCause).exists(_.getMessage.contains("many-to-many")))
+  }
+
+  test("timestamp(sel) is the window's freshest sample time; derived gets win_start") {
+    val got = PromQl.compile("timestamp(view_total)", metrics)
+      .select("series", "win_start", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = Firehose.tagFilter(metrics).filter(col("name") === "view_total")
+      .groupBy(col("labels").getItem("user").as("u"),
+        (col("timestamp") - pmod(col("timestamp"), lit(3600L))).cast("long").as("w"))
+      .agg(max(col("timestamp")).as("mts"))
+      .collect()
+      .map(r => (s"user=${r.getString(0)}", r.getLong(1), r.getLong(2).toDouble)).toSet
+    assert(got.nonEmpty && got === expected)
+    // any non-selector argument's samples are synthetic at eval time
+    val derived = PromQl.compile("timestamp(abs(view_total))", metrics)
+      .select("win_start", "value").collect()
+    assert(derived.nonEmpty && derived.forall(r => r.getDouble(1) == r.getLong(0).toDouble))
+  }
+
+  test("calendar family matches java.time's UTC calendar on real sample times") {
+    import java.time.{Instant, ZoneOffset}
+    def got(q: String): Map[(String, Long), Double] =
+      PromQl.compile(q, metrics).select("series", "win_start", "value")
+        .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ts = got("timestamp(error_total)")
+    assert(ts.nonEmpty)
+    def utc(sec: Double) = Instant.ofEpochSecond(sec.toLong).atZone(ZoneOffset.UTC)
+    val checks = Map(
+      "minute" -> ((s: Double) => utc(s).getMinute.toDouble),
+      "hour" -> ((s: Double) => utc(s).getHour.toDouble),
+      "day_of_week" -> ((s: Double) => utc(s).getDayOfWeek.getValue % 7.0), // Sunday = 0
+      "day_of_month" -> ((s: Double) => utc(s).getDayOfMonth.toDouble),
+      "day_of_year" -> ((s: Double) => utc(s).getDayOfYear.toDouble),
+      "days_in_month" -> ((s: Double) => utc(s).toLocalDate.lengthOfMonth.toDouble),
+      "month" -> ((s: Double) => utc(s).getMonthValue.toDouble),
+      "year" -> ((s: Double) => utc(s).getYear.toDouble))
+    checks.foreach { case (fn, ref) =>
+      val g = got(s"$fn(timestamp(error_total))")
+      assert(g.keySet === ts.keySet, fn)
+      g.foreach { case (k, v) => assert(v === ref(ts(k)), s"$fn at $k") }
+    }
+  }
+
+  test("argless hour() is hour(vector(time())): the grid's own window starts") {
+    val g = PromQl.compile("hour()", metrics)
+      .select("win_start", "value").collect()
+    assert(g.nonEmpty && g.forall(r =>
+      r.getDouble(1) == (r.getLong(0) % 86400L) / 3600L))
+  }
+
+  test("sort_desc orders the output relation by value descending") {
+    val vals = PromQl.compile("sort_desc(sum by (user) (increase(view_total[1h])))",
+        metrics)
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(vals.nonEmpty && vals === vals.sorted(Ordering[Double].reverse))
+    val asc = PromQl.compile("sort(sum by (user) (increase(view_total[1h])))", metrics)
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(asc === vals.sorted)
   }
 }
