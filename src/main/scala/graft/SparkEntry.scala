@@ -557,6 +557,14 @@ object SparkEntry {
         .select(col("component"), col("name"), col("win_start"), col("schema"),
           col("zero_count"), col("n_samples"),
           NativeHist.bucketsString(col("buckets")).as("buckets"))),
+    // interpolated fraction of observations in (3, 50] per histogram —
+    // the histogram_fraction accessor (order-robust split: exact long
+    // cumulatives + one covering-bucket interpolation term)
+    "m37d_native_fraction" -> ((s, dir) =>
+      NativeHist.fraction(
+        NativeHist.nativeHistogram(Firehose.metricsFromEvents(s, dir), schema = 0),
+        lower = 3.0, upper = 50.0)
+        .select("component", "name", "win_start", "fraction")),
     // per-source gopher-rule failure funnel
     "t18_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
@@ -2319,6 +2327,43 @@ object SparkEntry {
           |  COALESCE(string_agg(CASE WHEN idx IS NOT NULL
           |    THEN idx || ':' || c END, ',' ORDER BY idx), '') AS buckets
           |FROM c GROUP BY 1, 2, 3, 4""".stripMargin),
+    // interpolated fraction in (3, 50]: exact BIGINT cumulatives + one
+    // covering-bucket term per bound — the identical IEEE expression
+    // tree the engine's order-robust split evaluates
+    "m37d_native_fraction" ->
+      (NativeHistCte(3600) +
+        """, z AS (
+          |  SELECT component, name, win_start,
+          |    COALESCE(sum(CASE WHEN idx IS NULL THEN c END), 0) AS zero_count,
+          |    sum(c) AS total
+          |  FROM c GROUP BY 1, 2, 3),
+          |f AS (
+          |  SELECT component, name, win_start,
+          |    sum(CASE WHEN power(2.0, CAST(idx AS DOUBLE)) <= 50.0
+          |        THEN c ELSE 0 END) AS wu,
+          |    sum(CASE WHEN power(2.0, CAST(idx AS DOUBLE)) <= 3.0
+          |        THEN c ELSE 0 END) AS wl,
+          |    sum(CASE WHEN power(2.0, CAST(idx - 1 AS DOUBLE)) < 50.0
+          |          AND power(2.0, CAST(idx AS DOUBLE)) > 50.0
+          |        THEN CAST(c AS DOUBLE)
+          |          * ((50.0 - power(2.0, CAST(idx - 1 AS DOUBLE)))
+          |             / (power(2.0, CAST(idx AS DOUBLE))
+          |                - power(2.0, CAST(idx - 1 AS DOUBLE))))
+          |        ELSE 0.0 END) AS fu,
+          |    sum(CASE WHEN power(2.0, CAST(idx - 1 AS DOUBLE)) < 3.0
+          |          AND power(2.0, CAST(idx AS DOUBLE)) > 3.0
+          |        THEN CAST(c AS DOUBLE)
+          |          * ((3.0 - power(2.0, CAST(idx - 1 AS DOUBLE)))
+          |             / (power(2.0, CAST(idx AS DOUBLE))
+          |                - power(2.0, CAST(idx - 1 AS DOUBLE))))
+          |        ELSE 0.0 END) AS fl
+          |  FROM c WHERE idx IS NOT NULL GROUP BY 1, 2, 3)
+          |SELECT z.component, z.name, z.win_start,
+          |  CASE WHEN z.total = 0 THEN 'NaN'::DOUBLE ELSE
+          |    ((CAST(z.zero_count + COALESCE(f.wu, 0) AS DOUBLE) + COALESCE(f.fu, 0.0))
+          |     - (CAST(z.zero_count + COALESCE(f.wl, 0) AS DOUBLE) + COALESCE(f.fl, 0.0)))
+          |    / CAST(z.total AS DOUBLE) END AS fraction
+          |FROM z LEFT JOIN f USING (component, name, win_start)""".stripMargin),
     // decimal sums make avg/stdvar derive from order-independent
     // numerators; variance via the algebraic form over those exact sums
     "m24_over_time" ->

@@ -151,4 +151,51 @@ object NativeHist {
       when(rank <= col("zero_count").cast("double"), lit(0.0))
         .otherwise(walk.getField("ans")))
   }
+
+  /** `histogram_fraction(lower, upper, h)`: the estimated fraction of
+    * observations in `(lower, upper]` — the interpolated cumulative
+    * count at each bound (linear within the covering bucket, the same
+    * rule [[quantile]] applies), differenced and divided by the total.
+    * Zero-bucket observations are counted by a bound ≥ 0, so they
+    * contribute to the fraction exactly when the interval spans zero
+    * (`lower < 0 ≤ upper`) and cancel otherwise.
+    *
+    * Determinism shape: each cumulative splits into an EXACT long count
+    * (zero bucket + every bucket fully below the bound — integer
+    * addition commutes, so any fold order is bit-identical) plus ONE
+    * fractional interpolation term from the unique covering bucket (all
+    * other fold steps add literal 0.0, which is exact) — so the result
+    * is a fixed IEEE expression tree an oracle can reproduce,
+    * independent of aggregation order. NaN on an empty histogram.
+    */
+  def fraction(hists: DataFrame, lower: Double, upper: Double): DataFrame = {
+    require(lower <= upper, "histogram fraction needs lower <= upper")
+    val total = (col("zero_count") +
+      aggregate(col("buckets"), lit(0L), (a, b) => a + b.getField("cnt"))).cast("double")
+    val div = pow(lit(2.0), col("schema").cast("double"))
+    def boundsOf(b: Column): (Column, Column) = {
+      val idx = b.getField("idx").cast("double")
+      (pow(lit(2.0), (idx - 1) / div), pow(lit(2.0), idx / div))
+    }
+    def cumLe(bound: Double): Column =
+      if (bound < 0) lit(0.0)
+      else {
+        val whole = col("zero_count") + aggregate(
+          col("buckets"), lit(0L),
+          (a, b) => a + when(boundsOf(b)._2 <= lit(bound), b.getField("cnt"))
+            .otherwise(lit(0L)))
+        val frac = aggregate(
+          col("buckets"), lit(0.0),
+          (a, b) => {
+            val (lo, hi) = boundsOf(b)
+            a + when(lo < lit(bound) && hi > lit(bound),
+              b.getField("cnt").cast("double") * ((lit(bound) - lo) / (hi - lo)))
+              .otherwise(lit(0.0))
+          })
+        whole.cast("double") + frac
+      }
+    hists.withColumn("fraction",
+      when(total === 0.0, lit(Double.NaN))
+        .otherwise((cumLe(upper) - cumLe(lower)) / total))
+  }
 }
