@@ -769,6 +769,28 @@ object SparkEntry {
     // PlanSpec pins the composition's scan census)
     "p8_full_curate" -> ((s, dir) =>
       Curate.fullCurate(Tables(s, dir, "documents"), Tables(s, dir, "embeddings"))),
+    // p9: INCREMENTAL materialized view — create over a partial load,
+    // then two O(delta) refreshes (an append span, then a delete span);
+    // the final view must equal a from-scratch GROUP BY over the final
+    // table state bit-exactly (decimal sums). The oracle recomputes
+    // directly from the surviving rows.
+    "p9_mv_refresh" -> ((s, dir) => {
+      import graft.sources.{MaterializedView, Versioned}
+      val docs = Tables(s, dir, "documents")
+      val src = java.nio.file.Files.createTempDirectory("graft-mv-src")
+        .toFile.getAbsolutePath
+      val view = java.nio.file.Files.createTempDirectory("graft-mv-view")
+        .toFile.getAbsolutePath
+      Versioned.appendCommit(docs.filter(col("doc_id") % 3 =!= 0), src,
+        bloomCols = Seq("doc_id"))
+      MaterializedView.create(s, src, view, Seq("lang", "source"), Seq("n_chars"))
+      Versioned.appendCommit(docs.filter(col("doc_id") % 3 === 0), src,
+        bloomCols = Seq("doc_id"))
+      MaterializedView.refresh(s, view)
+      Versioned.deleteWhere(s, src, "doc_id", col("doc_id") % 7 === 0)
+      MaterializedView.refresh(s, view)
+      MaterializedView.read(s, view).select("lang", "source", "cnt", "sum_n_chars")
+    }),
     "d7_sample_per_source" -> ((s, dir) =>
       Curate.samplePerGroup(Tables(s, dir, "documents"), "source", k = 5)))
 
@@ -2211,6 +2233,12 @@ object SparkEntry {
           |  e.increase / sc.sv AS value
           |FROM win e JOIN sc ON e.win_start = sc.win_start
           |WHERE e.name = 'view_total' AND e.increase > 0""".stripMargin),
+    // the incrementally-refreshed view vs a direct GROUP BY over the
+    // final surviving rows — exact decimal sums make them bit-equal
+    "p9_mv_refresh" ->
+      """SELECT lang, source, count(*) AS cnt,
+        |  CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) AS sum_n_chars
+        |FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1, 2""".stripMargin,
     // hour-of-day of each hourly window's freshest sample: both sides
     // are pure modular arithmetic on the max epoch second
     "m40_promql_time" ->

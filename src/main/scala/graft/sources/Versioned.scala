@@ -238,7 +238,8 @@ object Versioned {
       next: Long,
       entries: Seq[Entry],
       schemaJson: Option[String] = None,
-      deleteKey: Option[String] = None): Unit = {
+      deleteKey: Option[String] = None,
+      props: Map[String, String] = Map.empty): Unit = {
     val missing = entries.filterNot(e => new File(root, e.path).exists())
     if (missing.nonEmpty)
       throw new IllegalStateException(
@@ -283,6 +284,11 @@ object Versioned {
     marker.put("ts", System.currentTimeMillis())
     schemaJson.foreach(marker.put("schema", _))
     deleteKey.foreach(marker.put("deleteKey", _))
+    if (props.nonEmpty) {
+      val p = Json.createObjectNode()
+      props.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
+      marker.set[com.fasterxml.jackson.databind.JsonNode]("props", p)
+    }
     marker.set[com.fasterxml.jackson.databind.JsonNode]("files", files)
     try
       Files.write(
@@ -308,6 +314,29 @@ object Versioned {
     if (!node.has("schema")) None
     else Some(org.apache.spark.sql.types.DataType.fromJson(node.get("schema").asText())
       .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Version `v`'s commit PROPERTIES — the free-form key→value metadata
+    * a committer attached ([[writeMarker]]'s `props`; the Delta
+    * transaction-appId / Iceberg snapshot-summary shape). The atomicity
+    * lever for derived state: a consumer that records its progress
+    * watermark in the SAME marker as its output commit can never
+    * double-apply or lose a delta, whatever it crashes between. Legacy
+    * markers yield an empty map.
+    */
+  def markerProps(root: String, v: Long): Map[String, String] = {
+    require(markerFile(root, v).exists(), s"version $v is not committed in $root")
+    val node = Json.readTree(markerFile(root, v))
+    if (!node.has("props")) Map.empty
+    else {
+      val b = Map.newBuilder[String, String]
+      val fields = node.get("props").fields()
+      while (fields.hasNext) {
+        val f = fields.next()
+        b += f.getKey -> f.getValue.asText()
+      }
+      b.result()
+    }
   }
 
   /** The tombstone key column of version `v`, present iff some ancestor
@@ -566,9 +595,10 @@ object Versioned {
       root: String,
       bloomCols: Seq[String] = Nil,
       expectedKeysPerFile: Long = 100000L,
-      statsCols: Seq[String] = Nil): Long =
+      statsCols: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty): Long =
     appendCommitWithRetry(df, root, bloomCols, expectedKeysPerFile, statsCols,
-      maxRetries = 0)
+      maxRetries = 0, props = props)
 
   /** [[appendCommit]] with optimistic-concurrency RETRY — how many
     * committers an append-only landing actually has. Appends COMMUTE, so
@@ -587,7 +617,8 @@ object Versioned {
       bloomCols: Seq[String] = Nil,
       expectedKeysPerFile: Long = 100000L,
       statsCols: Seq[String] = Nil,
-      maxRetries: Int = 5): Long = {
+      maxRetries: Int = 5,
+      props: Map[String, String] = Map.empty): Long = {
     val staging = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.mode("errorifexists").parquet(s"$root/$staging")
     // per-file BLOOM FILTERS over key columns — the point-lookup skipping
@@ -606,7 +637,8 @@ object Versioned {
       try {
         writeMarker(root, prevV + 1, prev ++ delta,
           schemaJson = Some(merged.json),
-          deleteKey = if (prevV < 0) None else deleteKeyOf(root, prevV))
+          deleteKey = if (prevV < 0) None else deleteKeyOf(root, prevV),
+          props = props)
         return prevV + 1
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -815,6 +847,56 @@ object Versioned {
     writeMarker(root, v + 1, updated ++ delta,
       schemaJson = Some(mergedSchema(markerSchema(root, v), df).json),
       deleteKey = if (anyTombs) Some(keyCol) else deleteKeyOf(root, v))
+    v + 1
+  }
+
+  /** The general O(delta) delete-and-insert primitive [[upsertCommit]]
+    * and [[deleteCommit]] are special cases of: ONE version that
+    * tombstones `deleteKeys` ∪ `df`'s keys in exactly the files holding
+    * them and appends `df` (bloom-indexed on the key). Either side may be
+    * empty — an empty `df` is a pure tombstone commit, empty `deleteKeys`
+    * is a plain upsert, BOTH empty is a metadata-only commit (same file
+    * list, `props` recorded). The point of the fused form is ATOMICITY
+    * for derived state: a maintainer whose refresh must delete some keys,
+    * replace others, and advance a watermark (in `props`) does all three
+    * in one marker — no crash point between them can double-apply or
+    * lose the delta. Returns the committed version.
+    */
+  def replaceCommit(
+      df: DataFrame,
+      root: String,
+      keyCol: String,
+      deleteKeys: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      expectedKeysPerFile: Long = 100000L,
+      props: Map[String, String] = Map.empty): Long = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val v = latestVersion(root)
+    require(v >= 0, s"no committed versions in $root")
+    deleteKeyOf(root, v).foreach(k => require(k == keyCol,
+      s"table carries tombstones on '$k'; a second delete key '$keyCol' " +
+        "requires a compact() first"))
+    val dfKeys = df.select(col(keyCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val allKeys = (deleteKeys ++ dfKeys).distinct.sorted
+    val updated =
+      if (allKeys.isEmpty) manifest(root, v)
+      else withTombstones(spark, root, v, keyCol, allKeys, manifest(root, v))
+    val delta =
+      if (dfKeys.isEmpty) Nil
+      else {
+        val allBloomCols = (bloomCols :+ keyCol).distinct
+        val staging = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
+        df.write.mode("errorifexists").parquet(s"$root/$staging")
+        poolStaged(root, staging,
+          bloomsByFile = bloomsFor(spark, s"$root/$staging", allBloomCols, expectedKeysPerFile))
+      }
+    val anyTombs = updated.exists(_.deletes.nonEmpty)
+    writeMarker(root, v + 1, updated ++ delta,
+      schemaJson = Some(mergedSchema(markerSchema(root, v), df).json),
+      deleteKey = if (anyTombs) Some(keyCol) else deleteKeyOf(root, v),
+      props = props)
     v + 1
   }
 

@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.{MaterializedView, Versioned}
+
+/** The incremental-view contract: after ANY source commit sequence, a
+  * refreshed view equals a from-scratch recompute BIT-EXACTLY (decimal
+  * sums), each refresh is exactly one view commit, and a compact
+  * boundary nets out to a watermark-only commit.
+  */
+class MaterializedViewSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def tmp(pfx: String): String =
+    Files.createTempDirectory(pfx).toFile.getAbsolutePath
+
+  private def rows(df: DataFrame): Set[(Option[String], Long, Double)] =
+    df.select(col("g"), col("cnt"), col("sum_x")).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(2))).toSet
+
+  private def recompute(src: String): Set[(Option[String], Long, Double)] =
+    rows(Versioned.latest(spark, src).groupBy("g")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("x").cast("decimal(18,6)")).cast("double").as("sum_x")))
+
+  private def mkSource(root: String, data: Seq[(Long, String, Double)]): Unit =
+    Versioned.appendCommit(data.toDF("k", "g", "x").coalesce(1), root,
+      bloomCols = Seq("k"))
+
+  test("create equals a full recompute, including a null group") {
+    val src = tmp("mv-src"); val view = tmp("mv-view")
+    mkSource(src, Seq((1L, "a", 1.5), (2L, "a", 2.0), (3L, "b", 4.0)))
+    Versioned.appendCommit(
+      Seq((4L, Option.empty[String], 9.0)).toDF("k", "g", "x"), src)
+    MaterializedView.create(spark, src, view, Seq("g"), Seq("x"))
+    assert(rows(MaterializedView.read(spark, view)) === recompute(src))
+    assert(recompute(src).exists(_._1.isEmpty), "null group present")
+    // avg derives from the exact sums
+    val avg = MaterializedView.read(spark, view)
+      .filter(col("g") === "a").select("avg_x").head.getDouble(0)
+    assert(avg === 1.75)
+  }
+
+  test("append + delete + upsert each refresh to the recompute in ONE commit") {
+    val src = tmp("mv-src"); val view = tmp("mv-view")
+    mkSource(src, Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "b", 3.0)))
+    MaterializedView.create(spark, src, view, Seq("g"), Seq("x"))
+
+    // append: new group c, growth in a
+    Versioned.appendCommit(
+      Seq((4L, "c", 10.0), (5L, "a", 0.5)).toDF("k", "g", "x").coalesce(1),
+      src, bloomCols = Seq("k"))
+    val h0 = Versioned.history(view).size
+    assert(MaterializedView.refresh(spark, view) >= 0)
+    assert(Versioned.history(view).size === h0 + 1, "exactly one view commit")
+    assert(rows(MaterializedView.read(spark, view)) === recompute(src))
+
+    // caught up: refresh is a no-op, no commit
+    val h1 = Versioned.history(view).size
+    assert(MaterializedView.refresh(spark, view) === -1L)
+    assert(Versioned.history(view).size === h1)
+
+    // delete group c entirely: its view row must disappear
+    Versioned.deleteCommit(spark, src, "k", Seq("4"))
+    MaterializedView.refresh(spark, view)
+    assert(rows(MaterializedView.read(spark, view)) === recompute(src))
+    assert(!MaterializedView.read(spark, view).collect()
+      .exists(r => r.getString(0) == "c"))
+
+    // upsert: same count, changed sum (dcnt = 0, dsum != 0)
+    Versioned.upsertCommit(
+      Seq((2L, "b", 20.0)).toDF("k", "g", "x").coalesce(1), src, "k")
+    MaterializedView.refresh(spark, view)
+    assert(rows(MaterializedView.read(spark, view)) === recompute(src))
+    assert(rows(MaterializedView.read(spark, view))
+      .contains((Some("b"), 2L, 23.0)))
+  }
+
+  test("a compact boundary nets to a watermark-only commit") {
+    val src = tmp("mv-src"); val view = tmp("mv-view")
+    mkSource(src, Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    Versioned.deleteCommit(spark, src, "k", Seq("1"))
+    MaterializedView.create(spark, src, view, Seq("g"), Seq("x"))
+    val filesBefore =
+      Versioned.manifest(view, Versioned.latestVersion(view)).map(_.path)
+    Versioned.compact(spark, src)
+    val v = MaterializedView.refresh(spark, view)
+    assert(v >= 0, "watermark must advance across the compact")
+    assert(Versioned.manifest(view, v).map(_.path) === filesBefore,
+      "compact nets out: same view file list, metadata-only commit")
+    assert(rows(MaterializedView.read(spark, view)) === recompute(src))
+    assert(MaterializedView.refresh(spark, view) === -1L)
+  }
+
+  test("fuzz: random append/delete/upsert/compact sequences always refresh exact") {
+    val rnd = new scala.util.Random(20260814L)
+    val src = tmp("mv-src"); val view = tmp("mv-view")
+    val groups = Vector("a", "b", "c", "d")
+    var nextK = 0L
+    var live = Map.empty[Long, (String, Double)]
+    def freshRows(n: Int): Seq[(Long, String, Double)] =
+      (0 until n).map { _ =>
+        nextK += 1
+        val r = (nextK, groups(rnd.nextInt(groups.size)),
+          math.round(rnd.nextDouble() * 1000) / 100.0)
+        live += r._1 -> ((r._2, r._3)); r
+      }
+    mkSource(src, freshRows(6))
+    MaterializedView.create(spark, src, view, Seq("g"), Seq("x"))
+    for (step <- 0 until 12) {
+      rnd.nextInt(4) match {
+        case 0 => // append 1-3 rows
+          Versioned.appendCommit(freshRows(rnd.nextInt(3) + 1)
+            .toDF("k", "g", "x").coalesce(1), src, bloomCols = Seq("k"))
+        case 1 if live.nonEmpty => // delete 1-2 live keys
+          val doomed = rnd.shuffle(live.keys.toSeq).take(rnd.nextInt(2) + 1)
+          doomed.foreach(k => live -= k)
+          Versioned.deleteCommit(spark, src, "k", doomed.map(_.toString).sorted)
+        case 2 if live.nonEmpty => // upsert: move a key to a new group/value
+          val k = rnd.shuffle(live.keys.toSeq).head
+          val r = (k, groups(rnd.nextInt(groups.size)),
+            math.round(rnd.nextDouble() * 1000) / 100.0)
+          live += k -> ((r._2, r._3))
+          Versioned.upsertCommit(Seq(r).toDF("k", "g", "x").coalesce(1), src, "k")
+        case _ =>
+          Versioned.compact(spark, src)
+      }
+      MaterializedView.refresh(spark, view)
+      val model = live.toSeq.groupBy(_._2._1).map { case (g, rs) =>
+        (Option(g), rs.size.toLong,
+          rs.map(r => BigDecimal(r._2._2)).sum.toDouble)
+      }.toSet
+      assert(rows(MaterializedView.read(spark, view)) === model, s"step $step")
+    }
+  }
+}
