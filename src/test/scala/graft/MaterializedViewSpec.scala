@@ -97,6 +97,44 @@ class MaterializedViewSpec extends SparkSuite {
     assert(MaterializedView.refresh(spark, view) === -1L)
   }
 
+  test("streaming: per-micro-batch landing + refresh keeps the view exact") {
+    val src = tmp("mv-ssrc"); val view = tmp("mv-sview")
+    mkSource(src, Seq((1L, "a", 1.0)))
+    MaterializedView.create(spark, src, view, Seq("g"), Seq("x"))
+    val dir = Files.createTempDirectory("mv-in").toFile
+    val chk = Files.createTempDirectory("mv-chk").toFile
+    Files.write(dir.toPath.resolve("b1.json"),
+      """{"k":2,"g":"a","x":2.5}
+        |{"k":3,"g":"b","x":4.0}""".stripMargin.getBytes)
+    val stream = spark.readStream
+      .schema("k LONG, g STRING, x DOUBLE").json(dir.getAbsolutePath)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          Versioned.appendCommit(batch.coalesce(1), src, bloomCols = Seq("k"))
+          MaterializedView.refresh(spark, view)
+          ()
+        }
+      }
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(rows(MaterializedView.read(spark, view)) === recompute(src))
+      assert(rows(MaterializedView.read(spark, view))
+        .contains((Some("a"), 2L, 3.5)))
+      Files.write(dir.toPath.resolve("b2.json"),
+        """{"k":4,"g":"b","x":6.0}""".getBytes)
+      q.processAllAvailable()
+      assert(rows(MaterializedView.read(spark, view)) === recompute(src))
+      assert(rows(MaterializedView.read(spark, view))
+        .contains((Some("b"), 2L, 10.0)))
+      // one landing commit + one view commit per non-empty batch
+      assert(Versioned.history(src).length === 3)
+      assert(Versioned.history(view).length === 3)
+    } finally q.stop()
+  }
+
   test("fuzz: random append/delete/upsert/compact sequences always refresh exact") {
     val rnd = new scala.util.Random(20260814L)
     val src = tmp("mv-src"); val view = tmp("mv-view")
