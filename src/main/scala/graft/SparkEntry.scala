@@ -536,6 +536,12 @@ object SparkEntry {
       promql.PromQl.compile(
         "day_of_week(timestamp(error_total))",
         Firehose.metricsFromEvents(s, dir))),
+    // m41: median absolute deviation over each hourly window — the
+    // exact nested median on the bounded per-(series, window) multiset
+    "m41_promql_mad" -> ((s, dir) =>
+      promql.PromQl.compile(
+        "mad_over_time(view_total[1h])",
+        Firehose.metricsFromEvents(s, dir))),
     // base 2^(2^-schema); index from the IEEE exponent — no runtime log)
     "m37_native_hist" -> ((s, dir) =>
       NativeHist.nativeHistogram(Firehose.metricsFromEvents(s, dir), schema = 0)
@@ -2270,6 +2276,25 @@ object SparkEntry {
         |  CAST(dayofweek(DATE '1970-01-01'
         |    + CAST(mts // 86400 AS INTEGER)) AS DOUBLE) AS value
         |FROM g""".stripMargin,
+    // nested exact medians: quantile_cont(0.5) inner per window (the
+    // m18 equivalence convention), outer rounded to 4 dp
+    "m41_promql_mad" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |w AS (
+        |  SELECT component, name, series, value,
+        |         ts_sec - ts_sec % 3600 AS win_start
+        |  FROM m WHERE name = 'view_total'),
+        |med AS (
+        |  SELECT *, quantile_cont(value, 0.5) OVER (
+        |    PARTITION BY component, name, series, win_start) AS med
+        |  FROM w)
+        |SELECT component, name, series, win_start,
+        |  round(quantile_cont(abs(value - med), 0.5), 4) AS value
+        |FROM med GROUP BY 1, 2, 3, 4""".stripMargin,
     // the alert fires where the per-user error increase was positive in
     // TWO consecutive hourly windows (for 1h = 1 extra lookback step)
     "m39_promql_alert" ->

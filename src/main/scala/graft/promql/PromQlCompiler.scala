@@ -394,6 +394,26 @@ object PromQlCompiler {
       })
     }
 
+    /** `mad_over_time`: the median absolute deviation around the
+      * window's median — EXACT on the bounded per-(series, window)
+      * multiset, like `quantile_over_time` (Prometheus computes the same
+      * two nested medians over its in-memory window). The inner median
+      * rides a whole-partition window aggregate on the SAME keys the
+      * outer groupBy uses, so both evaluate inside one exchange; the
+      * outer median rounds to 4 dp (the engine's quantile portability
+      * contract).
+      */
+    private def madOverTime(ds: DataFrame, r: Long): DataFrame = {
+      val w = Window.partitionBy(rangeKeys: _*)
+      val agg = withSeriesWin(ds, r)
+        .withColumn("_med", percentile(col("value"), lit(0.5)).over(w))
+        .groupBy(rangeKeys: _*)
+        .agg(
+          any_value(col("labels")).as("labels"),
+          round(percentile(abs(col("value") - col("_med")), lit(0.5)), 4).as("_mad"))
+      out(agg, col("_mad"))
+    }
+
     /** `delta`/`idelta`/`irate`: [[Firehose.irateDelta]]'s endpoint
       * family — first/last/second-to-last located by one row_number +
       * count sharing a single exchange; <2-sample windows emit nothing.
@@ -624,12 +644,12 @@ object PromQlCompiler {
         val (ds, r, at) = rangeSamples(fn, args.head)
         Vec(pinMaybe(trend(ds, r, fn, h), at, r))
       case "absent" | "absent_over_time" => absentVec(fn, args)
-      case "holt_winters" =>
-        if (args.length != 3) err("holt_winters expects (range-vector, sf, tf)")
-        val sf = scalarArg(args(1), "holt_winters smoothing factor")
-        val tf = scalarArg(args(2), "holt_winters trend factor")
-        if (sf <= 0 || sf >= 1) err("holt_winters smoothing factor must be in (0, 1)")
-        if (tf <= 0 || tf > 1) err("holt_winters trend factor must be in (0, 1]")
+      case "holt_winters" | "double_exponential_smoothing" =>
+        if (args.length != 3) err(s"$fn expects (range-vector, sf, tf)")
+        val sf = scalarArg(args(1), s"$fn smoothing factor")
+        val tf = scalarArg(args(2), s"$fn trend factor")
+        if (sf <= 0 || sf >= 1) err(s"$fn smoothing factor must be in (0, 1)")
+        if (tf <= 0 || tf > 1) err(s"$fn trend factor must be in (0, 1]")
         val (ds, r, at) = rangeSamples(fn, args.head)
         Vec(pinMaybe(holtWintersVec(ds, r, sf, tf), at, r))
       case "quantile_over_time" =>
@@ -637,6 +657,10 @@ object PromQlCompiler {
         val q = scalarArg(args(0), s"$fn quantile")
         val (ds, r, at) = rangeSamples(fn, args(1))
         Vec(pinMaybe(overTime(ds, r, fn, q), at, r))
+      case "mad_over_time" =>
+        require1(fn, args)
+        val (ds, r, at) = rangeSamples(fn, args.head)
+        Vec(pinMaybe(madOverTime(ds, r), at, r))
       case f if overTimeFns(f) =>
         require1(fn, args)
         val (ds, r, at) = rangeSamples(fn, args.head)

@@ -424,6 +424,18 @@ class PlanSpec extends SparkSuite {
       s"or not union+anti:\n$orPlan")
   }
 
+  test("m41 mad nests both medians inside ONE exchange") {
+    // the inner median is a whole-partition window aggregate on exactly
+    // the keys the outer groupBy uses, so the grouped median must reuse
+    // the window's hash layout — a second exchange would mean the nested
+    // median shuffles the window twice at corpus scale
+    val df = SparkEntry.queries("m41_promql_mad")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+    assert(shuffles === 1, s"expected one shuffle, got $shuffles:\n$plan")
+  }
+
   test("m33 sliding evaluation replicates map-side below one aggregation exchange") {
     // the R/step tile explode must be a Generate BELOW the grouped
     // aggregation's single exchange — sliding costs replication factor,

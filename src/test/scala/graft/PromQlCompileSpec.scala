@@ -266,7 +266,7 @@ class PromQlCompileSpec extends SparkSuite {
   }
 
   test("compile errors: unsupported function, scalar-only expression, bad range") {
-    assertThrows[PromQlCompileException](PromQl.compile("mad_over_time(x[5m])", metrics))
+    assertThrows[PromQlCompileException](PromQl.compile("histogram_avg(x)", metrics))
     assertThrows[PromQlCompileException](PromQl.compile("1 + 2", metrics))
     assertThrows[PromQlCompileException](PromQl.compile("view_total[1h]", metrics))
     assertThrows[PromQlCompileException](
@@ -533,6 +533,36 @@ class PromQlCompileSpec extends SparkSuite {
       .select("win_start", "value").collect()
     assert(g.nonEmpty && g.forall(r =>
       r.getDouble(1) == (r.getLong(0) % 86400L) / 3600L))
+  }
+
+  test("mad_over_time is the exact nested median; the des alias == holt_winters") {
+    val got = PromQl.compile("mad_over_time(view_total[1h])", metrics)
+      .select("series", "win_start", "value").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    // independent nested-median on the collected multisets
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val expected = Firehose.tagFilter(metrics).filter(col("name") === "view_total")
+      .select(concat(lit("user="), col("labels").getItem("user")).as("series"),
+        (col("timestamp") - pmod(col("timestamp"), lit(3600L))).cast("long").as("w"),
+        col("value"))
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (k, vs) =>
+        val xs = vs.map(_._2).toSeq
+        val m = median(xs)
+        k -> BigDecimal(median(xs.map(x => math.abs(x - m))))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    assert(got.nonEmpty && got === expected)
+    val hw = PromQl.compile("holt_winters(view_total[1h], 0.5, 0.25)", metrics)
+    val des = PromQl.compile(
+      "double_exponential_smoothing(view_total[1h], 0.5, 0.25)", metrics)
+    assert(rendered(hw) === rendered(des))
   }
 
   test("sort_desc orders the output relation by value descending") {
