@@ -45,6 +45,7 @@ class VersionedFuzzSpec extends SparkSuite {
           case 5 | 6 if live.nonEmpty  => "delete"
           case 7 if live.nonEmpty      => "compact"
           case 8 if model.length >= 4  => "vacuum"
+          case 9 if live.nonEmpty      => "replace"
           case 10 if model.length >= 3 => "restore"
           case 11 if live.size >= 2    => "cdc"
           case _                       => "append"
@@ -89,6 +90,26 @@ class VersionedFuzzSpec extends SparkSuite {
               current ++ Seq(up -> s"c$up-$step", ins -> s"c$ins-$step") - del)
             deletedKeys += del
             opKind += "cdc"
+          case "replace" =>
+            // the fused tombstone+append+props commit: delete one live
+            // key, rewrite 0-1 others, insert 0-1 fresh — ONE marker,
+            // with commit props round-tripped
+            val ks = rnd.shuffle(live.keys.toSeq)
+            val del = ks.take(1)
+            val up = ks.drop(1).take(rnd.nextInt(2))
+            val fresh = (0 until rnd.nextInt(2)).map { _ => nextKey += 1; nextKey }
+            val rows = (up ++ fresh).map(k => k -> s"r$k-$step")
+            Versioned.replaceCommit(
+              rows.toDF("k", "name").coalesce(1), root, "k",
+              deleteKeys = del.map(_.toString),
+              expectedKeysPerFile = 256L,
+              props = Map("fuzz.step" -> step.toString))
+            assert(Versioned.markerProps(root, Versioned.latestVersion(root))
+              === Map("fuzz.step" -> step.toString),
+              s"seed=$seed step=$step props")
+            model += Some(current ++ rows -- del)
+            deletedKeys ++= del
+            opKind += "replace"
           case "restore" =>
             val retainedVs = model.zipWithIndex.collect { case (Some(_), i) => i }
             val v = retainedVs(rnd.nextInt(retainedVs.length))
