@@ -561,8 +561,15 @@ object SparkEntry {
         NativeHist.nativeHistogram(Firehose.metricsFromEvents(s, dir), schema = 0),
         longSec = 86400L)
         .select(col("component"), col("name"), col("win_start"), col("schema"),
-          col("zero_count"), col("n_samples"),
+          col("zero_count"), col("n_samples"), col("sum").cast("double").as("sum"),
           NativeHist.bucketsString(col("buckets")).as("buckets"))),
+    // histogram_count/sum/avg accessors: count recomputed FROM the
+    // sparse fields, sum the exact decimal field Prometheus native
+    // histograms carry next to the buckets
+    "m37e_native_sum" -> ((s, dir) =>
+      NativeHist.accessors(
+        NativeHist.nativeHistogram(Firehose.metricsFromEvents(s, dir), schema = 0))
+        .select("component", "name", "win_start", "h_count", "h_sum", "h_avg")),
     // interpolated fraction of observations in (3, 50] per histogram —
     // the histogram_fraction accessor (order-robust split: exact long
     // cumulatives + one covering-bucket interpolation term)
@@ -2373,13 +2380,32 @@ object SparkEntry {
     // from raw samples; the engine merges the hourly tier
     "m37c_native_merge" ->
       (NativeHistCte(86400) +
-        """SELECT component, name, win_start, 0 AS schema,
-          |  CAST(COALESCE(sum(CASE WHEN idx IS NULL THEN c END), 0) AS BIGINT)
+        """, s AS (
+          |  SELECT component, name, ts_sec - ts_sec % 86400 AS win_start,
+          |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum
+          |  FROM m GROUP BY 1, 2, 3)
+          |SELECT c.component, c.name, c.win_start, 0 AS schema,
+          |  CAST(COALESCE(sum(CASE WHEN idx IS NULL THEN c.c END), 0) AS BIGINT)
           |    AS zero_count,
-          |  CAST(sum(c) AS BIGINT) AS n_samples,
+          |  CAST(sum(c.c) AS BIGINT) AS n_samples,
+          |  min(s.sum) AS sum,
           |  COALESCE(string_agg(CASE WHEN idx IS NOT NULL
-          |    THEN idx || ':' || c END, ',' ORDER BY idx), '') AS buckets
-          |FROM c GROUP BY 1, 2, 3, 4""".stripMargin),
+          |    THEN idx || ':' || c.c END, ',' ORDER BY idx), '') AS buckets
+          |FROM c JOIN s USING (component, name, win_start)
+          |GROUP BY 1, 2, 3, 4""".stripMargin),
+    // count/sum/avg straight off the raw rows — proving the histogram's
+    // stored fields reconstruct them exactly (decimal sum, IEEE quotient)
+    "m37e_native_sum" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events)
+        |SELECT component, name, ts_sec - ts_sec % 3600 AS win_start,
+        |  count(*) AS h_count,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS h_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS h_avg
+        |FROM m GROUP BY 1, 2, 3""".stripMargin,
     // interpolated fraction in (3, 50]: exact BIGINT cumulatives + one
     // covering-bucket term per bound — the identical IEEE expression
     // tree the engine's order-robust split evaluates

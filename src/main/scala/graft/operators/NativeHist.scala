@@ -53,14 +53,35 @@ object NativeHist {
     val keys = by.map(col) :+ col("win_start")
     keyed
       .groupBy(keys :+ col("_idx"): _*)
-      .agg(count(lit(1)).as("_c"))
+      .agg(
+        count(lit(1)).as("_c"),
+        // exact per-bucket pre-sums: the histogram's `sum` field
+        // (Prometheus native histograms carry count + sum next to the
+        // buckets) folds in order-independent decimals, so merge ==
+        // recompute holds for it exactly like the counts
+        sum(col("value").cast("decimal(18,2)")).as("_s"))
       .groupBy(keys: _*)
       .agg(
         coalesce(sum(when(col("_idx").isNull, col("_c"))), lit(0L)).as("zero_count"),
         sum(col("_c")).as("n_samples"),
+        sum(col("_s")).cast("decimal(28,2)").as("sum"),
         sort_array(collect_list(when(col("_idx").isNotNull,
           struct(col("_idx").as("idx"), col("_c").as("cnt"))))).as("buckets"))
       .withColumn("schema", lit(schema))
+  }
+
+  /** The `histogram_count` / `histogram_sum` / `histogram_avg` accessors:
+    * count recomputed FROM the sparse fields (zero bucket + Σ bucket
+    * counts — provably `n_samples` for a well-formed histogram), sum the
+    * exact decimal field as a double, avg their IEEE quotient.
+    */
+  def accessors(hists: DataFrame): DataFrame = {
+    val cnt = col("zero_count") +
+      aggregate(col("buckets"), lit(0L), (a, b) => a + b.getField("cnt"))
+    hists
+      .withColumn("h_count", cnt)
+      .withColumn("h_sum", col("sum").cast("double"))
+      .withColumn("h_avg", col("h_sum") / col("h_count").cast("double"))
   }
 
   /** Canonical string rendering of a sparse bucket array
@@ -91,6 +112,7 @@ object NativeHist {
       .agg(
         sum(col("zero_count")).as("zero_count"),
         sum(col("n_samples")).as("n_samples"),
+        sum(col("sum")).cast("decimal(28,2)").as("sum"),
         min(col("schema")).as("schema"),
         max(col("schema")).as("_smax"))
     val bcounts = hists

@@ -1303,15 +1303,18 @@ object FirehoseStream {
           graft.functions.GraftFunctions.exp2_bucket(col("value"), schema)))
     keyed
       .groupBy(window(col("eventTime"), width), col("name"), col("_idx"))
-      .agg(count(lit(1)).as("_c"))
+      .agg(
+        count(lit(1)).as("_c"),
+        sum(col("value").cast("decimal(18,2)")).as("_s"))
       .groupBy(window(col("window"), width), col("name"))
       .agg(
         coalesce(sum(when(col("_idx").isNull, col("_c"))), lit(0L)).as("zero_count"),
         sum(col("_c")).as("n_samples"),
+        sum(col("_s")).cast("decimal(28,2)").as("sum"),
         sort_array(collect_list(when(col("_idx").isNotNull,
           struct(col("_idx").as("idx"), col("_c").as("cnt"))))).as("buckets"))
       .select(col("window.start").as("win_start"), col("name"),
-        col("zero_count"), col("n_samples"), col("buckets"),
+        col("zero_count"), col("n_samples"), col("sum"), col("buckets"),
         lit(schema).as("schema"))
   }
 

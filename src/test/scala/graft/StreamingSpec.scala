@@ -56,7 +56,7 @@ class StreamingSpec extends SparkSuite {
         FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath), schema = 0)
       .select(col("win_start"), col("name"),
         graft.operators.NativeHist.bucketsString(col("buckets")).as("b"),
-        col("zero_count"), col("n_samples"))
+        col("zero_count"), col("n_samples"), col("sum").cast("double").as("s"))
       .writeStream.format("memory").queryName("snh_t").outputMode("append")
       .option("checkpointLocation", chk.getAbsolutePath)
       .start()
@@ -68,18 +68,19 @@ class StreamingSpec extends SparkSuite {
       val got = spark.table("snh_t")
         .filter(col("win_start") === timestamp_seconds(lit(0)))
         .collect().map(r => (r.getAs[String]("name"), r.getAs[String]("b"),
-          r.getAs[Long]("zero_count"), r.getAs[Long]("n_samples"))).toSet
-      assert(got === Set(("m_total", "2:2,3:1,5:1", 0L, 4L)))
-      // batch reference over the same window's rows — identical buckets
+          r.getAs[Long]("zero_count"), r.getAs[Long]("n_samples"),
+          r.getAs[Double]("s"))).toSet
+      assert(got === Set(("m_total", "2:2,3:1,5:1", 0L, 4L, 44.0)))
+      // batch reference over the same window's rows — identical fields
       val batch = graft.operators.NativeHist.nativeHistogram(
           graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath)
             .filter(col("timestamp") < 3600),
           schema = 0, by = Seq("name"))
         .select(col("name"),
           graft.operators.NativeHist.bucketsString(col("buckets")).as("b"),
-          col("zero_count"), col("n_samples"))
+          col("zero_count"), col("n_samples"), col("sum").cast("double").as("s"))
         .collect().map(r => (r.getString(0), r.getString(1),
-          r.getLong(2), r.getLong(3))).toSet
+          r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
       assert(got === batch)
     } finally q.stop()
   }
