@@ -804,6 +804,28 @@ object SparkEntry {
       MaterializedView.refresh(s, view)
       MaterializedView.read(s, view).select("lang", "source", "cnt", "sum_n_chars")
     }),
+    // p9b: the min/max hybrid — inserts self-maintain the extremes, the
+    // delete span recomputes exactly the groups it touched (the
+    // non-self-maintainable case production IVM engines recompute too)
+    "p9b_mv_minmax" -> ((s, dir) => {
+      import graft.sources.{MaterializedView, Versioned}
+      val docs = Tables(s, dir, "documents")
+      val src = java.nio.file.Files.createTempDirectory("graft-mvb-src")
+        .toFile.getAbsolutePath
+      val view = java.nio.file.Files.createTempDirectory("graft-mvb-view")
+        .toFile.getAbsolutePath
+      Versioned.appendCommit(docs.filter(col("doc_id") % 3 =!= 0), src,
+        bloomCols = Seq("doc_id"))
+      MaterializedView.create(s, src, view, Seq("lang", "source"),
+        Seq("n_chars"), minMaxCols = Seq("n_chars"))
+      Versioned.appendCommit(docs.filter(col("doc_id") % 3 === 0), src,
+        bloomCols = Seq("doc_id"))
+      MaterializedView.refresh(s, view)
+      Versioned.deleteWhere(s, src, "doc_id", col("doc_id") % 7 === 0)
+      MaterializedView.refresh(s, view)
+      MaterializedView.read(s, view).select(
+        "lang", "source", "cnt", "sum_n_chars", "min_n_chars", "max_n_chars")
+    }),
     "d7_sample_per_source" -> ((s, dir) =>
       Curate.samplePerGroup(Tables(s, dir, "documents"), "source", k = 5)))
 
@@ -2246,6 +2268,12 @@ object SparkEntry {
           |  e.increase / sc.sv AS value
           |FROM win e JOIN sc ON e.win_start = sc.win_start
           |WHERE e.name = 'view_total' AND e.increase > 0""".stripMargin),
+    // min/max through the hybrid maintenance path vs the direct extremes
+    "p9b_mv_minmax" ->
+      """SELECT lang, source, count(*) AS cnt,
+        |  CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) AS sum_n_chars,
+        |  min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
+        |FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1, 2""".stripMargin,
     // the incrementally-refreshed view vs a direct GROUP BY over the
     // final surviving rows — exact decimal sums make them bit-equal
     "p9_mv_refresh" ->

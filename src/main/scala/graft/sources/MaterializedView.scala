@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /** Incrementally-maintained GROUP BY aggregates over a [[Versioned]]
   * table — the materialized-view shape (Delta Live Tables / Materialize /
   * the IVM literature): the view holds `cnt` + exact decimal `sum_<c>`
-  * per group, and [[refresh]] advances it by consuming ONLY the change
-  * feed ([[Versioned.changesBetween]]) since the last refresh — O(delta)
-  * regardless of table or view size. Count and sum are the self-
-  * maintainable aggregates (inserts add, deletes subtract — no history
-  * needed); avg derives as sum/cnt at read time. Min/max are NOT
-  * self-maintainable under deletes (a retracted max needs the runner-up,
-  * which only the base data knows) and are deliberately out of scope.
+  * per group (avg derives as sum/cnt at read time), optionally
+  * `min_<c>`/`max_<c>`, and [[refresh]] advances it by consuming ONLY
+  * the change feed ([[Versioned.changesBetween]]) since the last
+  * refresh. Count and sum are SELF-MAINTAINABLE (inserts add, deletes
+  * subtract — O(delta) always). Min/max are self-maintainable only
+  * under inserts; a delete that might retract the extremum needs the
+  * runner-up, which only the base data knows — those groups are
+  * RECOMPUTED from the source (the hybrid strategy production IVM
+  * engines use), costing O(affected groups' rows), never O(table).
   *
   * == Correctness levers ==
   *
@@ -27,20 +29,27 @@ import org.apache.spark.sql.functions._
   *    (watermark advanced) or none of it (watermark unchanged; the next
   *    refresh re-reads the same change span). Double-apply is
   *    structurally impossible.
-  *  - **Snapshot boundaries**: across a source [[Versioned.compact]] the
-  *    change feed degenerates to delete-all + insert-all; the per-group
-  *    deltas cancel EXACTLY (decimal arithmetic) and are filtered out,
-  *    so the refresh is a watermark-only metadata commit.
+  *  - **The no-touch lemma**: a group whose change-span insert-side
+  *    stats equal its delete-side stats — count, decimal sum per sum
+  *    column, min AND max per min/max column — provably has an
+  *    unchanged view row: deletes only retract existing rows, so
+  *    `min(D) ≥ min(M)`; if `min(M) ∈ D` then `min(I) = min(D) =
+  *    min(M)` restores it, else `min(M − D) = min(M)` kept it (dually
+  *    for max; cnt/sum trivially). Across a source
+  *    [[Versioned.compact]] the feed degenerates to delete-all +
+  *    insert-all of IDENTICAL rows, so every group passes the lemma and
+  *    the refresh is a watermark-only metadata commit — even with
+  *    min/max columns maintained.
   *
   * == Scale shape ==
   *
   * The refresh reads the change span (delta files only on append/delete
   * lineage), aggregates it map-side into per-group deltas (bounded by
   * |affected groups| ≤ |delta|), bloom-point-reads exactly the view
-  * files holding the affected groups, and commits O(affected groups).
-  * Nothing is O(table) except crossing a compact boundary's read (which
-  * nets out to a metadata commit). Group keys travel to the driver only
-  * as the point-read probe list — the same O(delta) contract
+  * files holding the affected groups, recomputes only the groups a
+  * delete touched (one source scan filtered to those group keys), and
+  * commits O(affected groups). Group keys travel to the driver only as
+  * the point-read probe list — the same O(delta) contract
   * [[Versioned.applyCdc]] documents; payloads never leave the cluster.
   */
 object MaterializedView {
@@ -62,12 +71,14 @@ object MaterializedView {
       sourceRoot: String,
       groupCols: Seq[String],
       sumCols: Seq[String],
+      minMaxCols: Seq[String],
       srcVersion: Long)
 
   private def propsOf(d: Def): Map[String, String] = Map(
     "mv.sourceRoot" -> d.sourceRoot,
     "mv.groupCols" -> d.groupCols.mkString(","),
     "mv.sumCols" -> d.sumCols.mkString(","),
+    "mv.minMaxCols" -> d.minMaxCols.mkString(","),
     "mv.sourceVersion" -> d.srcVersion.toString)
 
   private def defOf(viewRoot: String): Def = {
@@ -76,36 +87,52 @@ object MaterializedView {
     val p = Versioned.markerProps(viewRoot, v)
     require(p.contains("mv.sourceVersion"),
       s"$viewRoot is not a materialized view (no mv.* props on v$v)")
-    Def(p("mv.sourceRoot"), p("mv.groupCols").split(',').toSeq,
-      p("mv.sumCols").split(',').toSeq, p("mv.sourceVersion").toLong)
+    def cols(k: String): Seq[String] =
+      p.getOrElse(k, "").split(',').toSeq.filter(_.nonEmpty)
+    Def(p("mv.sourceRoot"), cols("mv.groupCols"), cols("mv.sumCols"),
+      cols("mv.minMaxCols"), p("mv.sourceVersion").toLong)
   }
 
-  private def aggregated(
-      src: DataFrame, groupCols: Seq[String], sumCols: Seq[String]): DataFrame =
-    src.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("cnt"), sumCols.map(decSum): _*)
-      .withColumn(GK, gkOf(groupCols))
+  /** The full per-group aggregation — create's one O(table) pass, and
+    * the recompute arm's per-group authority.
+    */
+  private def aggregated(src: DataFrame, d: Def): DataFrame =
+    src.groupBy(d.groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("cnt"),
+        d.sumCols.map(decSum) ++
+          d.minMaxCols.flatMap(c => Seq(
+            min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+      .withColumn(GK, gkOf(d.groupCols))
+
+  private def viewCols(d: Def): Seq[Column] =
+    (d.groupCols.map(col) :+ col("cnt")) ++
+      d.sumCols.map(c => col(s"sum_$c")) ++
+      d.minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))) :+ col(GK)
 
   /** Materialize the view over `sourceRoot`'s LATEST version into a new
     * Versioned table at `viewRoot` (the one O(table) pass; every later
-    * [[refresh]] is O(delta)). Returns the view's committed version.
+    * [[refresh]] is O(delta + delete-affected group rows)). Returns the
+    * view's committed version.
     */
   def create(
       spark: SparkSession,
       sourceRoot: String,
       viewRoot: String,
       groupCols: Seq[String],
-      sumCols: Seq[String]): Long = {
+      sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil): Long = {
     val srcV = Versioned.latestVersion(sourceRoot)
     require(srcV >= 0, s"no committed versions in $sourceRoot")
+    val d = Def(sourceRoot, groupCols, sumCols, minMaxCols, srcV)
     Versioned.appendCommit(
-      aggregated(Versioned.asOf(spark, sourceRoot, srcV), groupCols, sumCols),
-      viewRoot, bloomCols = Seq(GK),
-      props = propsOf(Def(sourceRoot, groupCols, sumCols, srcV)))
+      aggregated(Versioned.asOf(spark, sourceRoot, srcV), d),
+      viewRoot, bloomCols = Seq(GK), props = propsOf(d))
   }
 
   /** The view's current contents: group columns, `cnt`, each sum as a
-    * double `sum_<c>`, and the derived `avg_<c>`.
+    * double `sum_<c>` with the derived `avg_<c>`, and any maintained
+    * `min_<c>`/`max_<c>` in their source types.
     */
   def read(spark: SparkSession, viewRoot: String): DataFrame = {
     val d = defOf(viewRoot)
@@ -130,18 +157,31 @@ object MaterializedView {
     if (vNow == d.srcVersion) return -1L
     val newProps = propsOf(d.copy(srcVersion = vNow))
     val cdf = Versioned.changesBetween(spark, d.sourceRoot, d.srcVersion, vNow)
-    val sign = when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1))
+    val isIns = col("_change_type") === "insert"
+    val sign = when(isIns, lit(1)).otherwise(lit(-1))
     val zero = lit(0).cast("decimal(28,6)")
     val delta = cdf.groupBy(d.groupCols.map(col): _*)
       .agg(
         sum(sign).cast("bigint").as("_dcnt"),
         d.sumCols.map(c =>
           sum(sign * col(c).cast("decimal(18,6)"))
-            .cast("decimal(28,6)").as(s"_dsum_$c")): _*)
-      // compact-boundary cancellation: a group whose delta nets to zero
-      // everywhere (exact decimals) needs no touch at all
-      .filter(d.sumCols.map(c => col(s"_dsum_$c") =!= zero)
-        .foldLeft(col("_dcnt") =!= 0L)(_ || _))
+            .cast("decimal(28,6)").as(s"_dsum_$c")) ++
+          Seq(max(when(!isIns, lit(1)).otherwise(lit(0))).as("_del")) ++
+          d.minMaxCols.flatMap(c => Seq(
+            min(when(isIns, col(c))).as(s"_imin_$c"),
+            max(when(isIns, col(c))).as(s"_imax_$c"),
+            min(when(!isIns, col(c))).as(s"_rmin_$c"),
+            max(when(!isIns, col(c))).as(s"_rmax_$c"))): _*)
+      // the no-touch lemma: a group whose insert-side stats equal its
+      // delete-side stats (cnt, every decimal sum, and min AND max per
+      // maintained column) provably keeps its exact view row — this is
+      // what makes a compact boundary a watermark-only commit
+      .filter(
+        (d.sumCols.map(c => col(s"_dsum_$c") =!= zero) ++
+          d.minMaxCols.flatMap(c => Seq(
+            !(col(s"_imin_$c") <=> col(s"_rmin_$c")),
+            !(col(s"_imax_$c") <=> col(s"_rmax_$c")))))
+          .foldLeft(col("_dcnt") =!= 0L)(_ || _))
       .withColumn(GK, gkOf(d.groupCols))
       .localCheckpoint()
     val keys = delta.select(col(GK)).collect().map(_.getString(0)).toSeq.sorted
@@ -152,7 +192,14 @@ object MaterializedView {
         viewRoot, GK, props = newProps)
     val old = Versioned.pointRead(
       spark, viewRoot, Versioned.latestVersion(viewRoot), GK, keys)
-    val merged = delta.alias("d")
+    // groups a delete touched (and that failed the lemma) lose their
+    // extremum evidence — recompute exactly those from the source
+    val recomputeKeys =
+      if (d.minMaxCols.isEmpty) Nil
+      else delta.filter(col("_del") === 1)
+        .select(col(GK)).collect().map(_.getString(0)).toSeq.sorted
+    val incr = delta.filter(col("_del") === 0 || lit(d.minMaxCols.isEmpty))
+      .alias("d")
       .join(old.alias("o"), Seq(GK), "left")
       .select(
         Seq(col(GK),
@@ -160,19 +207,34 @@ object MaterializedView {
         d.groupCols.map(c => col(s"d.$c")) ++
         d.sumCols.map(c =>
           (coalesce(col(s"o.sum_$c"), zero) + col(s"d._dsum_$c"))
-            .cast("decimal(28,6)").as(s"sum_$c")): _*)
+            .cast("decimal(28,6)").as(s"sum_$c")) ++
+        // insert-only groups self-maintain the extremes
+        d.minMaxCols.flatMap(c => Seq(
+          least(col(s"o.min_$c"), col(s"d._imin_$c")).as(s"min_$c"),
+          greatest(col(s"o.max_$c"), col(s"d._imax_$c")).as(s"max_$c"))): _*)
       .withColumn("cnt",
         when(col("cnt") < 0L,
           raise_error(concat(lit("materialized view underflow on group "),
             col(GK))).cast("bigint"))
           .otherwise(col("cnt")))
       .localCheckpoint()
-    val survivors = merged.filter(col("cnt") > 0L)
-      .select((d.groupCols.map(col) :+ col("cnt")) ++
-        d.sumCols.map(c => col(s"sum_$c")) :+ col(GK): _*)
-    val zeroed = merged.filter(col("cnt") === 0L)
-      .select(col(GK)).collect().map(_.getString(0)).toSeq.sorted
+    val recomputed =
+      if (recomputeKeys.isEmpty) None
+      else Some(aggregated(Versioned.asOf(spark, d.sourceRoot, vNow), d)
+        .filter(col(GK).isin(recomputeKeys: _*))
+        .localCheckpoint())
+    val survivors = (incr.filter(col("cnt") > 0L).select(viewCols(d): _*) +:
+      recomputed.map(_.select(viewCols(d): _*)).toSeq).reduce(_.unionByName(_))
+    // zero-count incremental groups vanish; so do recompute-arm groups
+    // whose source rows are all gone (present in the probe list, absent
+    // from the recompute)
+    val zeroed = incr.filter(col("cnt") === 0L)
+      .select(col(GK)).collect().map(_.getString(0)).toSeq ++
+      recomputed.map { r =>
+        val alive = r.select(col(GK)).collect().map(_.getString(0)).toSet
+        recomputeKeys.filterNot(alive)
+      }.getOrElse(Nil)
     Versioned.replaceCommit(
-      survivors, viewRoot, GK, deleteKeys = zeroed, props = newProps)
+      survivors, viewRoot, GK, deleteKeys = zeroed.sorted, props = newProps)
   }
 }

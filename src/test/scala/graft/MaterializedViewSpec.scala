@@ -97,6 +97,63 @@ class MaterializedViewSpec extends SparkSuite {
     assert(MaterializedView.refresh(spark, view) === -1L)
   }
 
+  private def rowsMM(df: DataFrame): Set[(Option[String], Long, Double, Double, Double)] =
+    df.select(col("g"), col("cnt"), col("sum_x"), col("min_x"), col("max_x"))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+
+  private def recomputeMM(src: String): Set[(Option[String], Long, Double, Double, Double)] =
+    rowsMM(Versioned.latest(spark, src).groupBy("g")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("x").cast("decimal(18,6)")).cast("double").as("sum_x"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x")))
+
+  test("min/max: inserts self-maintain, a deleted extremum falls to the runner-up") {
+    val src = tmp("mv-src"); val view = tmp("mv-view")
+    mkSource(src, Seq((1L, "a", 5.0), (2L, "a", 9.0), (3L, "b", 4.0)))
+    MaterializedView.create(spark, src, view, Seq("g"), Seq("x"),
+      minMaxCols = Seq("x"))
+    assert(rowsMM(MaterializedView.read(spark, view)) === recomputeMM(src))
+    // insert-only refresh extends the extremes without touching the base
+    Versioned.appendCommit(
+      Seq((4L, "a", 12.0), (5L, "a", 1.0)).toDF("k", "g", "x").coalesce(1),
+      src, bloomCols = Seq("k"))
+    MaterializedView.refresh(spark, view)
+    assert(rowsMM(MaterializedView.read(spark, view)) === recomputeMM(src))
+    assert(rowsMM(MaterializedView.read(spark, view))
+      .contains((Some("a"), 4L, 27.0, 1.0, 12.0)))
+    // delete the max row: the NON-self-maintainable case — the view must
+    // recompute group a from source and land the runner-up (9.0)
+    Versioned.deleteCommit(spark, src, "k", Seq("4"))
+    MaterializedView.refresh(spark, view)
+    assert(rowsMM(MaterializedView.read(spark, view)) === recomputeMM(src))
+    assert(rowsMM(MaterializedView.read(spark, view))
+      .contains((Some("a"), 3L, 15.0, 1.0, 9.0)))
+    // delete ALL of group b: the recompute arm must tombstone it
+    Versioned.deleteCommit(spark, src, "k", Seq("3"))
+    MaterializedView.refresh(spark, view)
+    assert(rowsMM(MaterializedView.read(spark, view)) === recomputeMM(src))
+    assert(!MaterializedView.read(spark, view).collect()
+      .exists(r => r.getString(0) == "b"))
+  }
+
+  test("compact stays metadata-only even with min/max maintained (the lemma)") {
+    val src = tmp("mv-src"); val view = tmp("mv-view")
+    mkSource(src, Seq((1L, "a", 5.0), (2L, "a", 9.0), (3L, "b", 4.0)))
+    Versioned.deleteCommit(spark, src, "k", Seq("1"))
+    MaterializedView.create(spark, src, view, Seq("g"), Seq("x"),
+      minMaxCols = Seq("x"))
+    val filesBefore =
+      Versioned.manifest(view, Versioned.latestVersion(view)).map(_.path)
+    Versioned.compact(spark, src)
+    val v = MaterializedView.refresh(spark, view)
+    assert(v >= 0)
+    assert(Versioned.manifest(view, v).map(_.path) === filesBefore,
+      "delete-all+insert-all cancels under the no-touch lemma")
+    assert(rowsMM(MaterializedView.read(spark, view)) === recomputeMM(src))
+  }
+
   test("streaming: per-micro-batch landing + refresh keeps the view exact") {
     val src = tmp("mv-ssrc"); val view = tmp("mv-sview")
     mkSource(src, Seq((1L, "a", 1.0)))
@@ -149,7 +206,8 @@ class MaterializedViewSpec extends SparkSuite {
         live += r._1 -> ((r._2, r._3)); r
       }
     mkSource(src, freshRows(6))
-    MaterializedView.create(spark, src, view, Seq("g"), Seq("x"))
+    MaterializedView.create(spark, src, view, Seq("g"), Seq("x"),
+      minMaxCols = Seq("x"))
     for (step <- 0 until 12) {
       rnd.nextInt(4) match {
         case 0 => // append 1-3 rows
@@ -170,10 +228,11 @@ class MaterializedViewSpec extends SparkSuite {
       }
       MaterializedView.refresh(spark, view)
       val model = live.toSeq.groupBy(_._2._1).map { case (g, rs) =>
-        (Option(g), rs.size.toLong,
-          rs.map(r => BigDecimal(r._2._2)).sum.toDouble)
+        val xs = rs.map(_._2._2)
+        (Option(g), rs.size.toLong, xs.map(BigDecimal(_)).sum.toDouble,
+          xs.min, xs.max)
       }.toSet
-      assert(rows(MaterializedView.read(spark, view)) === model, s"step $step")
+      assert(rowsMM(MaterializedView.read(spark, view)) === model, s"step $step")
     }
   }
 }
