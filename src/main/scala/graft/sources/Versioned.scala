@@ -76,6 +76,7 @@ object Versioned {
 
   private def commitsDir(root: String) = new File(root, "_commits")
   private def poolDir(root: String) = new File(root, "_files")
+  private def manifestsDir(root: String) = new File(root, "_manifests")
 
   private def markerFile(root: String, v: Long) =
     new File(commitsDir(root), s"v$v.json")
@@ -102,8 +103,44 @@ object Versioned {
   def manifest(root: String, v: Long): Seq[Entry] = {
     require(markerFile(root, v).exists(), s"version $v is not committed in $root")
     val node = Json.readTree(markerFile(root, v))
-    if (node.has("files")) {
-      val it = node.get("files").elements()
+    if (node.has("manifests"))
+      chunkRefsOf(root, v).flatMap { r =>
+        val f = new File(manifestsDir(root), r)
+        require(f.exists(), s"manifest chunk $r of $root v$v is missing " +
+          "(vacuumed while referenced?)")
+        parseEntries(Json.readTree(f).get("files"))
+      }
+    else if (node.has("files")) parseEntries(node.get("files"))
+    else {
+      // legacy full-snapshot marker: one data directory per version
+      val dir = new File(root, node.get("data").asText())
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .map(f => Entry(s"${node.get("data").asText()}/${f.getName}", ""))
+        .toSeq
+    }
+  }
+
+  /** The manifest-CHUNK references of a two-level marker (empty for
+    * inline/legacy markers): immutable content-addressed files under
+    * `_manifests/`, shared across markers — the Iceberg manifest-list
+    * shape that makes an append's commit metadata O(delta) instead of
+    * O(table files).
+    */
+  private[graft] def chunkRefsOf(root: String, v: Long): Seq[String] = {
+    val node = Json.readTree(markerFile(root, v))
+    if (!node.has("manifests")) Nil
+    else {
+      val it = node.get("manifests").elements()
+      val out = Seq.newBuilder[String]
+      while (it.hasNext) out += it.next().asText()
+      out.result()
+    }
+  }
+
+  private def parseEntries(filesNode: com.fasterxml.jackson.databind.JsonNode): Seq[Entry] = {
+    {
+      val it = filesNode.elements()
       val out = Seq.newBuilder[Entry]
       while (it.hasNext) {
         val e = it.next()
@@ -152,13 +189,6 @@ object Versioned {
           stats, strStats, deletes, blooms)
       }
       out.result()
-    } else {
-      // legacy full-snapshot marker: one data directory per version
-      val dir = new File(root, node.get("data").asText())
-      Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        .map(f => Entry(s"${node.get("data").asText()}/${f.getName}", ""))
-        .toSeq
     }
   }
 
@@ -239,14 +269,11 @@ object Versioned {
       entries: Seq[Entry],
       schemaJson: Option[String] = None,
       deleteKey: Option[String] = None,
-      props: Map[String, String] = Map.empty): Unit = {
-    val missing = entries.filterNot(e => new File(root, e.path).exists())
-    if (missing.nonEmpty)
-      throw new IllegalStateException(
-        s"commit on $root version $next references files removed mid-commit " +
-          s"(concurrent vacuum?): ${missing.map(_.path).mkString(", ")}; " +
-          "retry the commit to re-stage the data")
-    commitsDir(root).mkdirs()
+      props: Map[String, String] = Map.empty): Unit =
+    writeMarkerChunked(root, next, Nil, entries, schemaJson, deleteKey, props)
+
+  private def entriesJson(
+      entries: Seq[Entry]): com.fasterxml.jackson.databind.node.ArrayNode = {
     val files = Json.createArrayNode()
     entries.foreach { e =>
       val o = Json.createObjectNode()
@@ -279,6 +306,63 @@ object Versioned {
       }
       files.add(o)
     }
+    files
+  }
+
+  /** Write `entries` as an immutable content-addressed manifest CHUNK
+    * under `_manifests/` and return its reference. Identical content
+    * dedupes for free (same bytes ⇒ same name); a lost creation race IS
+    * the dedupe case, exactly like the data pool.
+    */
+  private def writeChunk(root: String, entries: Seq[Entry]): String = {
+    val chunk = Json.createObjectNode()
+    chunk.set[com.fasterxml.jackson.databind.JsonNode]("files", entriesJson(entries))
+    val bytes = Json.writeValueAsBytes(chunk)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val name = s"c-${md.digest(bytes).map("%02x".format(_)).mkString}.json"
+    manifestsDir(root).mkdirs()
+    val f = new File(manifestsDir(root), name)
+    if (!f.exists())
+      try Files.write(f.toPath, bytes, StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    name
+  }
+
+  /** Publish a TWO-LEVEL marker: `reuseChunks` (immutable manifest
+    * chunks carried over from the previous version, verbatim) plus one
+    * new chunk holding `delta` — the Iceberg manifest-list shape. An
+    * append's commit metadata is O(delta): the reused chunks are never
+    * read, re-serialized, or re-verified file-by-file (their existence
+    * IS re-checked, closing the same vacuum race the per-file check
+    * closes for the delta). `reuseChunks = Nil` degrades to a
+    * single-chunk marker — what every non-append committer writes.
+    * `CREATE_NEW` on the marker stays the one atomic contention point.
+    */
+  private[graft] def writeMarkerChunked(
+      root: String,
+      next: Long,
+      reuseChunks: Seq[String],
+      delta: Seq[Entry],
+      schemaJson: Option[String] = None,
+      deleteKey: Option[String] = None,
+      props: Map[String, String] = Map.empty): Unit = {
+    val missing = delta.filterNot(e => new File(root, e.path).exists())
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"commit on $root version $next references files removed mid-commit " +
+          s"(concurrent vacuum?): ${missing.map(_.path).mkString(", ")}; " +
+          "retry the commit to re-stage the data")
+    val missingChunks =
+      reuseChunks.filterNot(r => new File(manifestsDir(root), r).exists())
+    if (missingChunks.nonEmpty)
+      throw new IllegalStateException(
+        s"commit on $root version $next references manifest chunks removed " +
+          s"mid-commit (concurrent vacuum?): ${missingChunks.mkString(", ")}; " +
+          "retry the commit on the new latest")
+    commitsDir(root).mkdirs()
+    val refs = reuseChunks ++
+      (if (delta.nonEmpty || reuseChunks.isEmpty) Seq(writeChunk(root, delta))
+       else Nil)
     val marker = Json.createObjectNode()
     marker.put("version", next)
     marker.put("ts", System.currentTimeMillis())
@@ -289,7 +373,9 @@ object Versioned {
       props.toSeq.sortBy(_._1).foreach { case (k, v) => p.put(k, v) }
       marker.set[com.fasterxml.jackson.databind.JsonNode]("props", p)
     }
-    marker.set[com.fasterxml.jackson.databind.JsonNode]("files", files)
+    val ms = Json.createArrayNode()
+    refs.foreach(ms.add)
+    marker.set[com.fasterxml.jackson.databind.JsonNode]("manifests", ms)
     try
       Files.write(
         markerFile(root, next).toPath,
@@ -632,13 +718,20 @@ object Versioned {
     var attempt = 0
     while (true) {
       val prevV = latestVersion(root)
-      val prev = if (prevV < 0) Nil else manifest(root, prevV)
       val merged = mergedSchema(if (prevV < 0) None else markerSchema(root, prevV), df)
+      val dk = if (prevV < 0) None else deleteKeyOf(root, prevV)
+      // two-level metadata: the previous version's manifest chunks carry
+      // over verbatim, so the append never reads — let alone rewrites —
+      // the table's full file list: commit metadata is O(delta)
+      val reuse = if (prevV < 0) Nil else chunkRefsOf(root, prevV)
       try {
-        writeMarker(root, prevV + 1, prev ++ delta,
-          schemaJson = Some(merged.json),
-          deleteKey = if (prevV < 0) None else deleteKeyOf(root, prevV),
-          props = props)
+        if (prevV < 0 || reuse.nonEmpty)
+          writeMarkerChunked(root, prevV + 1, reuse, delta,
+            schemaJson = Some(merged.json), deleteKey = dk, props = props)
+        else
+          // inline/legacy previous marker: one-time consolidation
+          writeMarker(root, prevV + 1, manifest(root, prevV) ++ delta,
+            schemaJson = Some(merged.json), deleteKey = dk, props = props)
         return prevV + 1
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -716,34 +809,86 @@ object Versioned {
     * files × key-set size). Unaffected entries pass through untouched, so
     * they never pay the read-side anti-join.
     */
-  private def withTombstones(
+  /** Locate which files physically hold `keys`: blooms prune the
+    * candidate set, one scan over the survivors only. Returns
+    * file-suffix → hit keys.
+    */
+  private def tombstoneHits(
       spark: SparkSession,
       root: String,
       v: Long,
       keyCol: String,
       keys: Seq[String],
-      entries: Seq[Entry]): Seq[Entry] = {
+      entries: Seq[Entry]): Map[String, Seq[String]] = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val hashes = keys.map(org.apache.spark.sql.graft.GraftBridge.xxhash64String)
     val candidates = entries.filterNot(e => bloomSkippable(e, keyCol, hashes))
     val keysDf = keys.toDF("_del_key")
     val schema = markerSchema(root, v)
-    val hits =
-      if (candidates.isEmpty) Map.empty[String, Seq[String]]
-      else schema.map(spark.read.schema).getOrElse(spark.read)
-        .parquet(candidates.map(e => s"$root/${e.path}"): _*)
-        .select(input_file_name().as("_f"), col(keyCol).cast("string").as("_k"))
-        .join(broadcast(keysDf), col("_k") === col("_del_key"))
-        .groupBy(col("_f")).agg(collect_set(col("_k")).as("_ks"))
-        .collect()
-        .map(r => suffixOf(r.getString(0)) -> r.getSeq[String](1)).toMap
+    if (candidates.isEmpty) Map.empty[String, Seq[String]]
+    else schema.map(spark.read.schema).getOrElse(spark.read)
+      .parquet(candidates.map(e => s"$root/${e.path}"): _*)
+      .select(input_file_name().as("_f"), col(keyCol).cast("string").as("_k"))
+      .join(broadcast(keysDf), col("_k") === col("_del_key"))
+      .groupBy(col("_f")).agg(collect_set(col("_k")).as("_ks"))
+      .collect()
+      .map(r => suffixOf(r.getString(0)) -> r.getSeq[String](1)).toMap
+  }
+
+  private def applyTombs(
+      entries: Seq[Entry], hits: Map[String, Seq[String]]): Seq[Entry] =
     entries.map { e =>
       hits.get(suffixOf(e.path)) match {
         case Some(ks) => e.copy(deletes = (e.deletes ++ ks).distinct.sorted)
         case None => e
       }
     }
+
+  private def withTombstones(
+      spark: SparkSession,
+      root: String,
+      v: Long,
+      keyCol: String,
+      keys: Seq[String],
+      entries: Seq[Entry]): Seq[Entry] =
+    applyTombs(entries, tombstoneHits(spark, root, v, keyCol, keys, entries))
+
+  /** Version `v`'s manifest chunks WITH their parsed entries, in marker
+    * order (empty for inline/legacy markers).
+    */
+  private def chunksWithEntries(root: String, v: Long): Seq[(String, Seq[Entry])] =
+    chunkRefsOf(root, v).map { r =>
+      r -> parseEntries(
+        Json.readTree(new File(manifestsDir(root), r)).get("files"))
+    }
+
+  /** Publish `v + 1` with `hits` tombstones applied and `delta`
+    * appended, rewriting ONLY the manifest chunks that hold an affected
+    * file — every untouched chunk's reference carries over verbatim, so
+    * a delete/upsert's commit metadata is O(affected chunks + delta),
+    * not O(table files). Falls back to a full single-chunk marker when
+    * the previous marker was inline/legacy.
+    */
+  private def commitTombstoned(
+      root: String,
+      v: Long,
+      hits: Map[String, Seq[String]],
+      delta: Seq[Entry],
+      schemaJson: Option[String],
+      deleteKey: Option[String],
+      props: Map[String, String] = Map.empty): Unit = {
+    val parts = chunksWithEntries(root, v)
+    if (parts.nonEmpty) {
+      val refs = parts.map { case (ref, es) =>
+        if (hits.nonEmpty && es.exists(e => hits.contains(suffixOf(e.path))))
+          writeChunk(root, applyTombs(es, hits))
+        else ref
+      }
+      writeMarkerChunked(root, v + 1, refs, delta, schemaJson, deleteKey, props)
+    } else
+      writeMarker(root, v + 1, applyTombs(manifest(root, v), hits) ++ delta,
+        schemaJson, deleteKey, props)
   }
 
   /** Row-level DELETE as an O(delta) commit — the deletion-vector shape
@@ -774,8 +919,8 @@ object Versioned {
       s"table carries tombstones on '$k'; a second delete key '$keyCol' " +
         "requires a compact() first"))
     val entries = manifest(root, v)
-    val updated = withTombstones(spark, root, v, keyCol, keys, entries)
-    writeMarker(root, v + 1, updated,
+    val hits = tombstoneHits(spark, root, v, keyCol, keys, entries)
+    commitTombstoned(root, v, hits, delta = Nil,
       schemaJson = markerSchema(root, v).map(_.json),
       deleteKey = Some(keyCol))
     v + 1
@@ -836,15 +981,16 @@ object Versioned {
     val keys = df.select(col(keyCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     require(keys.nonEmpty, "upsertCommit needs a non-empty changeset")
-    val updated = withTombstones(spark, root, v, keyCol, keys, manifest(root, v))
+    val entries = manifest(root, v)
+    val hits = tombstoneHits(spark, root, v, keyCol, keys, entries)
     // stage + pool the changeset (appendCommit's write path): data lands
     // fully before the marker publishes — crash leaves invisible orphans
     val staging = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.mode("errorifexists").parquet(s"$root/$staging")
     val delta = poolStaged(root, staging,
       bloomsByFile = bloomsFor(spark, s"$root/$staging", allBloomCols, expectedKeysPerFile))
-    val anyTombs = updated.exists(_.deletes.nonEmpty)
-    writeMarker(root, v + 1, updated ++ delta,
+    val anyTombs = hits.nonEmpty || entries.exists(_.deletes.nonEmpty)
+    commitTombstoned(root, v, hits, delta,
       schemaJson = Some(mergedSchema(markerSchema(root, v), df).json),
       deleteKey = if (anyTombs) Some(keyCol) else deleteKeyOf(root, v))
     v + 1
@@ -880,9 +1026,10 @@ object Versioned {
     val dfKeys = df.select(col(keyCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq
     val allKeys = (deleteKeys ++ dfKeys).distinct.sorted
-    val updated =
-      if (allKeys.isEmpty) manifest(root, v)
-      else withTombstones(spark, root, v, keyCol, allKeys, manifest(root, v))
+    val entries = manifest(root, v)
+    val hits =
+      if (allKeys.isEmpty) Map.empty[String, Seq[String]]
+      else tombstoneHits(spark, root, v, keyCol, allKeys, entries)
     val delta =
       if (dfKeys.isEmpty) Nil
       else {
@@ -892,8 +1039,8 @@ object Versioned {
         poolStaged(root, staging,
           bloomsByFile = bloomsFor(spark, s"$root/$staging", allBloomCols, expectedKeysPerFile))
       }
-    val anyTombs = updated.exists(_.deletes.nonEmpty)
-    writeMarker(root, v + 1, updated ++ delta,
+    val anyTombs = hits.nonEmpty || entries.exists(_.deletes.nonEmpty)
+    commitTombstoned(root, v, hits, delta,
       schemaJson = Some(mergedSchema(markerSchema(root, v), df).json),
       deleteKey = if (anyTombs) Some(keyCol) else deleteKeyOf(root, v),
       props = props)
@@ -929,8 +1076,14 @@ object Versioned {
       s"cannot drop tombstone key column '$k'; compact() first"))
     val remaining = StructType(schema.fields.filterNot(f => cols.contains(f.name)))
     require(remaining.nonEmpty, "cannot drop every column")
-    writeMarker(root, v + 1, manifest(root, v),
-      schemaJson = Some(remaining.json), deleteKey = delKey)
+    val refs = chunkRefsOf(root, v)
+    if (refs.nonEmpty)
+      // truly metadata-only: the same chunks verbatim, one new marker
+      writeMarkerChunked(root, v + 1, refs, Nil,
+        schemaJson = Some(remaining.json), deleteKey = delKey)
+    else
+      writeMarker(root, v + 1, manifest(root, v),
+        schemaJson = Some(remaining.json), deleteKey = delKey)
     v + 1
   }
 
@@ -1140,9 +1293,9 @@ object Versioned {
     val hasAppends = !appendDf.isEmpty
     if (tomb.isEmpty && !hasAppends) return -1L
     val entries = manifest(root, v)
-    val updated =
-      if (tomb.isEmpty) entries
-      else withTombstones(spark, root, v, keyCol, tomb, entries)
+    val hits =
+      if (tomb.isEmpty) Map.empty[String, Seq[String]]
+      else tombstoneHits(spark, root, v, keyCol, tomb, entries)
     val delta =
       if (!hasAppends) Nil
       else {
@@ -1151,8 +1304,8 @@ object Versioned {
         poolStaged(root, staging,
           bloomsByFile = bloomsFor(spark, s"$root/$staging", allBloomCols, expectedKeysPerFile))
       }
-    val anyTombs = updated.exists(_.deletes.nonEmpty)
-    writeMarker(root, v + 1, updated ++ delta,
+    val anyTombs = hits.nonEmpty || entries.exists(_.deletes.nonEmpty)
+    commitTombstoned(root, v, hits, delta,
       schemaJson = Some(mergedSchema(markerSchema(root, v), appendDf).json),
       deleteKey = if (anyTombs) Some(keyCol) else deleteKeyOf(root, v))
     v + 1
@@ -1171,10 +1324,16 @@ object Versioned {
   def restore(root: String, v: Long): Long = {
     val cur = latestVersion(root)
     require(cur >= 0, s"no committed versions in $root")
-    val entries = manifest(root, v)
-    writeMarker(root, cur + 1, entries,
-      schemaJson = markerSchema(root, v).map(_.json),
-      deleteKey = deleteKeyOf(root, v))
+    val refs = chunkRefsOf(root, v)
+    if (refs.nonEmpty)
+      // `v`'s chunks verbatim: the rollback is one marker, zero rewrites
+      writeMarkerChunked(root, cur + 1, refs, Nil,
+        schemaJson = markerSchema(root, v).map(_.json),
+        deleteKey = deleteKeyOf(root, v))
+    else
+      writeMarker(root, cur + 1, manifest(root, v),
+        schemaJson = markerSchema(root, v).map(_.json),
+        deleteKey = deleteKeyOf(root, v))
     cur + 1
   }
 
@@ -1308,11 +1467,19 @@ object Versioned {
     val dropped = all.dropRight(keepLast).filterNot(pinned.contains)
     val droppedSet = dropped.toSet
     val dropRefs = dropped.flatMap(v => manifest(root, v).map(_.path)).toSet
-    // resolve file lists BEFORE dropping markers
-    val keptRefs = all.filterNot(droppedSet.contains)
-      .flatMap(v => manifest(root, v).map(_.path)).toSet
+    // resolve file AND chunk lists BEFORE dropping markers
+    val kept = all.filterNot(droppedSet.contains)
+    val keptRefs = kept.flatMap(v => manifest(root, v).map(_.path)).toSet
+    val keptChunks = kept.flatMap(v => chunkRefsOf(root, v)).toSet
     dropped.foreach(v => Files.deleteIfExists(markerFile(root, v).toPath))
     val horizon = System.currentTimeMillis() - minAgeMs
+    // manifest-chunk mark-sweep mirrors the pool sweep: a chunk survives
+    // as long as one retained marker lists it; the same retention-age
+    // gate protects a chunk an in-flight commit just wrote
+    Option(manifestsDir(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => !keptChunks.contains(f.getName) &&
+        (minAgeMs <= 0L || f.lastModified() < horizon))
+      .foreach(f => Files.deleteIfExists(f.toPath))
     (dropRefs -- keptRefs).toSeq.sorted.foreach { p =>
       val f = new File(root, p)
       if (minAgeMs <= 0L || !f.exists() || f.lastModified() < horizon) {
@@ -1342,14 +1509,21 @@ object Versioned {
     * publication, so it is never touched. Returns the deleted paths.
     */
   def vacuumOrphans(root: String, minAgeMs: Long): Seq[String] = {
-    val referenced = history(root)
-      .flatMap(v => manifest(root, v).map(_.path)).toSet
+    val live = history(root)
+    val referenced = live.flatMap(v => manifest(root, v).map(_.path)).toSet
+    val refChunks = live.flatMap(v => chunkRefsOf(root, v)).toSet
     val horizon = System.currentTimeMillis() - minAgeMs
-    Option(poolDir(root).listFiles()).getOrElse(Array.empty)
+    val pools = Option(poolDir(root).listFiles()).getOrElse(Array.empty)
       .filter(f => !referenced.contains(s"_files/${f.getName}") &&
         f.lastModified() <= horizon)
       .sortBy(_.getName)
       .map { f => Files.delete(f.toPath); s"_files/${f.getName}" }
       .toSeq
+    val chunks = Option(manifestsDir(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => !refChunks.contains(f.getName) && f.lastModified() <= horizon)
+      .sortBy(_.getName)
+      .map { f => Files.delete(f.toPath); s"_manifests/${f.getName}" }
+      .toSeq
+    pools ++ chunks
   }
 }

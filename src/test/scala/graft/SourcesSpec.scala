@@ -580,6 +580,68 @@ class SourcesSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("versioned table: append markers reuse manifest chunks — O(delta) metadata") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-chunk").toFile.getAbsolutePath
+    def refs(v: Long): Seq[String] = Versioned.chunkRefsOf(root, v)
+    def markerBytes(v: Long): Long =
+      new java.io.File(s"$root/_commits/v$v.json").length()
+    for (i <- 0 until 4)
+      Versioned.appendCommit(
+        Seq((i.toLong, s"n$i")).toDF("k", "name").coalesce(1), root,
+        bloomCols = Seq("k"), expectedKeysPerFile = 256L)
+    // each append carries the previous marker's chunks VERBATIM plus one
+    // new chunk — the previous file list (and its bloom blobs) is never
+    // re-read or re-serialized
+    for (v <- 1L to 3L) {
+      assert(refs(v).take(refs(v - 1).length) === refs(v - 1),
+        s"v$v must reuse v${v - 1}'s chunks")
+      assert(refs(v).length === refs(v - 1).length + 1)
+    }
+    // the marker itself stays tiny (chunk refs, not entries-with-blooms);
+    // the bloom blobs live once in the shared chunks
+    assert(markerBytes(3) < 2048,
+      s"marker should hold refs only, got ${markerBytes(3)} bytes")
+    assert(refs(3).toSet.size === 4)
+    // reads, stats, and blooms all flow through the chunk indirection
+    assert(Versioned.latest(spark, root).count() === 4L)
+    assert(Versioned.pointRead(spark, root, 3L, "k", Seq("2"))
+      .collect().map(_.getString(1)).toSeq === Seq("n2"))
+    // a compact collapses to one fresh chunk; vacuum then sweeps every
+    // chunk no retained marker lists
+    Versioned.compact(spark, root, numFiles = 1)
+    assert(refs(4L).length === 1)
+    Versioned.vacuum(root, keepLast = 1)
+    val left = Option(new java.io.File(s"$root/_manifests").listFiles())
+      .getOrElse(Array.empty).map(_.getName).toSet
+    assert(left === refs(4L).toSet, s"stale chunks not swept: $left")
+    assert(Versioned.latest(spark, root).count() === 4L)
+  }
+
+  test("versioned table: a delete rewrites only the chunks holding its keys") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-chunkdel").toFile.getAbsolutePath
+    for (i <- 0 until 3)
+      Versioned.appendCommit(
+        Seq((i.toLong, s"n$i")).toDF("k", "name").coalesce(1), root,
+        bloomCols = Seq("k"), expectedKeysPerFile = 256L)
+    val before = Versioned.chunkRefsOf(root, 2L)
+    // key 1 lives only in the second append's file → only its chunk
+    // (and no other) may change; a restore reuses ALL chunks verbatim
+    Versioned.deleteCommit(spark, root, "k", Seq("1"))
+    val after = Versioned.chunkRefsOf(root, 3L)
+    assert(after.length === before.length)
+    val changed = before.zip(after).count { case (a, b) => a != b }
+    assert(changed === 1, s"expected exactly one rewritten chunk:\n$before\n$after")
+    assert(Versioned.latest(spark, root).as[(Long, String)].collect().toSet ===
+      Set((0L, "n0"), (2L, "n2")))
+    val rv = Versioned.restore(root, 2L)
+    assert(Versioned.chunkRefsOf(root, rv) === before, "restore reuses chunks")
+    assert(Versioned.latest(spark, root).count() === 3L)
+  }
+
   test("versioned table: concurrent appenders all land via optimistic retry") {
     import spark.implicits._
     import graft.sources.Versioned
