@@ -443,13 +443,15 @@ object Versioned {
       df: DataFrame,
       root: String,
       bloomCols: Seq[String] = Nil,
-      expectedKeysPerFile: Long = 100000L): Long = {
+      expectedKeysPerFile: Long = 100000L,
+      props: Map[String, String] = Map.empty): Long = {
     val staging = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
     df.write.mode("errorifexists").parquet(s"$root/$staging")
     val entries = poolStaged(root, staging,
       bloomsByFile = bloomsFor(df.sparkSession, s"$root/$staging", bloomCols, expectedKeysPerFile))
     val next = latestVersion(root) + 1
-    writeMarker(root, next, entries, schemaJson = Some(df.schema.json))
+    writeMarker(root, next, entries, schemaJson = Some(df.schema.json),
+      props = props)
     next
   }
 
@@ -552,7 +554,8 @@ object Versioned {
       bits: Int = 16,
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      expectedKeysPerFile: Long = 100000L): Long = {
+      expectedKeysPerFile: Long = 100000L,
+      props: Map[String, String] = Map.empty): Long = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
@@ -568,7 +571,8 @@ object Versioned {
     val entries = poolStaged(root, staging, statsByFile, strStatsByFile,
       bloomsFor(spark, s"$root/$staging", bloomCols, expectedKeysPerFile))
     val next = latestVersion(root) + 1
-    writeMarker(root, next, entries, schemaJson = Some(df.schema.json))
+    writeMarker(root, next, entries, schemaJson = Some(df.schema.json),
+      props = props)
     next
   }
 
@@ -1080,10 +1084,12 @@ object Versioned {
     if (refs.nonEmpty)
       // truly metadata-only: the same chunks verbatim, one new marker
       writeMarkerChunked(root, v + 1, refs, Nil,
-        schemaJson = Some(remaining.json), deleteKey = delKey)
+        schemaJson = Some(remaining.json), deleteKey = delKey,
+        props = markerProps(root, v))
     else
       writeMarker(root, v + 1, manifest(root, v),
-        schemaJson = Some(remaining.json), deleteKey = delKey)
+        schemaJson = Some(remaining.json), deleteKey = delKey,
+        props = markerProps(root, v))
     v + 1
   }
 
@@ -1230,10 +1236,36 @@ object Versioned {
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil): Long = {
     val snap = latest(spark, root)
+    // a compact is MAINTENANCE on the same logical state: the current
+    // version's commit props (e.g. a materialized view's watermark)
+    // carry forward, exactly like its schema does
+    val carried = markerProps(root, latestVersion(root))
     if (zorderCols.nonEmpty)
       commitZordered(snap, root, zorderCols, numFiles,
-        statsCols = statsCols, bloomCols = bloomCols)
-    else commit(snap.coalesce(numFiles), root, bloomCols = bloomCols)
+        statsCols = statsCols, bloomCols = bloomCols, props = carried)
+    else commit(snap.coalesce(numFiles), root, bloomCols = bloomCols,
+      props = carried)
+  }
+
+  /** Metadata-only manifest COMPACTION (Iceberg's `rewrite_manifests`):
+    * after N appends a marker carries N chunk refs; this merges them
+    * into ONE chunk in a new version — no data file moves, schema /
+    * tombstones / props carry forward — so manifest reads go back to a
+    * single fetch while commit metadata stays O(delta) for the appends
+    * that follow. The data-file [[compact]] does this implicitly; this
+    * is for the landing that appends forever and never pays a data
+    * rewrite. Returns the committed version, or -1 when the manifest is
+    * already a single chunk (no empty commit).
+    */
+  def rewriteManifests(root: String): Long = {
+    val v = latestVersion(root)
+    require(v >= 0, s"no committed versions in $root")
+    if (chunkRefsOf(root, v).length <= 1) return -1L
+    writeMarker(root, v + 1, manifest(root, v),
+      schemaJson = markerSchema(root, v).map(_.json),
+      deleteKey = deleteKeyOf(root, v),
+      props = markerProps(root, v))
+    v + 1
   }
 
   /** CDC APPLY as an O(delta) commit — [[Curate.mergeUpsert]]'s
@@ -1329,11 +1361,13 @@ object Versioned {
       // `v`'s chunks verbatim: the rollback is one marker, zero rewrites
       writeMarkerChunked(root, cur + 1, refs, Nil,
         schemaJson = markerSchema(root, v).map(_.json),
-        deleteKey = deleteKeyOf(root, v))
+        deleteKey = deleteKeyOf(root, v),
+        props = markerProps(root, v))
     else
       writeMarker(root, cur + 1, manifest(root, v),
         schemaJson = markerSchema(root, v).map(_.json),
-        deleteKey = deleteKeyOf(root, v))
+        deleteKey = deleteKeyOf(root, v),
+        props = markerProps(root, v))
     cur + 1
   }
 

@@ -642,6 +642,32 @@ class SourcesSpec extends SparkSuite {
     assert(Versioned.latest(spark, root).count() === 3L)
   }
 
+  test("versioned table: rewriteManifests merges chunks; maintenance carries props") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-rwm").toFile.getAbsolutePath
+    Versioned.appendCommit(Seq((0L, "a")).toDF("k", "name").coalesce(1), root,
+      props = Map("w" -> "7"))
+    for (i <- 1 to 3)
+      Versioned.appendCommit(Seq((i.toLong, s"n$i")).toDF("k", "name").coalesce(1),
+        root, props = Map("w" -> s"${7 + i}"))
+    assert(Versioned.chunkRefsOf(root, 3L).length === 4)
+    val before = Versioned.latest(spark, root).as[(Long, String)].collect().toSet
+    // merge to one chunk, nothing else changes — props carry forward
+    val rv = Versioned.rewriteManifests(root)
+    assert(rv === 4L)
+    assert(Versioned.chunkRefsOf(root, rv).length === 1)
+    assert(Versioned.latest(spark, root).as[(Long, String)].collect().toSet === before)
+    assert(Versioned.markerProps(root, rv) === Map("w" -> "10"))
+    assert(Versioned.rewriteManifests(root) === -1L, "already one chunk")
+    // compact and restore are maintenance/state ops: props survive both
+    Versioned.compact(spark, root, numFiles = 1)
+    assert(Versioned.markerProps(root, 5L) === Map("w" -> "10"))
+    Versioned.restore(root, 2L)
+    assert(Versioned.markerProps(root, 6L) === Map("w" -> "9"),
+      "restore restores the restored version's props")
+  }
+
   test("versioned table: concurrent appenders all land via optimistic retry") {
     import spark.implicits._
     import graft.sources.Versioned
