@@ -72,6 +72,7 @@ object MaterializedView {
       groupCols: Seq[String],
       sumCols: Seq[String],
       minMaxCols: Seq[String],
+      where: String,
       srcVersion: Long)
 
   private def propsOf(d: Def): Map[String, String] = Map(
@@ -79,7 +80,17 @@ object MaterializedView {
     "mv.groupCols" -> d.groupCols.mkString(","),
     "mv.sumCols" -> d.sumCols.mkString(","),
     "mv.minMaxCols" -> d.minMaxCols.mkString(","),
+    "mv.where" -> d.where,
     "mv.sourceVersion" -> d.srcVersion.toString)
+
+  /** The view's WHERE predicate applied to a relation. A change-feed row
+    * is filtered IDENTICALLY whether it arrives as insert or delete
+    * (the predicate is a deterministic row function), so filtering the
+    * feed before the delta aggregation maintains exactly the filtered
+    * view — the standard selection-pushes-through-Δ rule of IVM.
+    */
+  private def filtered(df: DataFrame, d: Def): DataFrame =
+    if (d.where.isEmpty) df else df.filter(expr(d.where))
 
   private def defOf(viewRoot: String): Def = {
     val v = Versioned.latestVersion(viewRoot)
@@ -90,7 +101,8 @@ object MaterializedView {
     def cols(k: String): Seq[String] =
       p.getOrElse(k, "").split(',').toSeq.filter(_.nonEmpty)
     Def(p("mv.sourceRoot"), cols("mv.groupCols"), cols("mv.sumCols"),
-      cols("mv.minMaxCols"), p("mv.sourceVersion").toLong)
+      cols("mv.minMaxCols"), p.getOrElse("mv.where", ""),
+      p("mv.sourceVersion").toLong)
   }
 
   /** The full per-group aggregation — create's one O(table) pass, and
@@ -121,12 +133,13 @@ object MaterializedView {
       viewRoot: String,
       groupCols: Seq[String],
       sumCols: Seq[String],
-      minMaxCols: Seq[String] = Nil): Long = {
+      minMaxCols: Seq[String] = Nil,
+      where: String = ""): Long = {
     val srcV = Versioned.latestVersion(sourceRoot)
     require(srcV >= 0, s"no committed versions in $sourceRoot")
-    val d = Def(sourceRoot, groupCols, sumCols, minMaxCols, srcV)
+    val d = Def(sourceRoot, groupCols, sumCols, minMaxCols, where, srcV)
     Versioned.appendCommit(
-      aggregated(Versioned.asOf(spark, sourceRoot, srcV), d),
+      aggregated(filtered(Versioned.asOf(spark, sourceRoot, srcV), d), d),
       viewRoot, bloomCols = Seq(GK), props = propsOf(d))
   }
 
@@ -156,7 +169,8 @@ object MaterializedView {
       s"source ${d.sourceRoot} went backwards ($vNow < ${d.srcVersion})")
     if (vNow == d.srcVersion) return -1L
     val newProps = propsOf(d.copy(srcVersion = vNow))
-    val cdf = Versioned.changesBetween(spark, d.sourceRoot, d.srcVersion, vNow)
+    val cdf = filtered(
+      Versioned.changesBetween(spark, d.sourceRoot, d.srcVersion, vNow), d)
     val isIns = col("_change_type") === "insert"
     val sign = when(isIns, lit(1)).otherwise(lit(-1))
     val zero = lit(0).cast("decimal(28,6)")
@@ -220,9 +234,10 @@ object MaterializedView {
       .localCheckpoint()
     val recomputed =
       if (recomputeKeys.isEmpty) None
-      else Some(aggregated(Versioned.asOf(spark, d.sourceRoot, vNow), d)
-        .filter(col(GK).isin(recomputeKeys: _*))
-        .localCheckpoint())
+      else Some(
+        aggregated(filtered(Versioned.asOf(spark, d.sourceRoot, vNow), d), d)
+          .filter(col(GK).isin(recomputeKeys: _*))
+          .localCheckpoint())
     val survivors = (incr.filter(col("cnt") > 0L).select(viewCols(d): _*) +:
       recomputed.map(_.select(viewCols(d): _*)).toSeq).reduce(_.unionByName(_))
     // zero-count incremental groups vanish; so do recompute-arm groups

@@ -97,6 +97,39 @@ class MaterializedViewSpec extends SparkSuite {
     assert(MaterializedView.refresh(spark, view) === -1L)
   }
 
+  test("a WHERE-filtered view maintains exactly the predicate subset") {
+    val src = tmp("mv-src"); val view = tmp("mv-view")
+    mkSource(src, Seq((1L, "a", 1.0), (2L, "a", -3.0), (3L, "b", 2.0)))
+    MaterializedView.create(spark, src, view, Seq("g"), Seq("x"),
+      where = "x > 0")
+    def recomputeW: Set[(Option[String], Long, Double)] =
+      rows(Versioned.latest(spark, src).filter(col("x") > 0).groupBy("g")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("x").cast("decimal(18,6)")).cast("double").as("sum_x")))
+    assert(rows(MaterializedView.read(spark, view)) === recomputeW)
+    // inserts on both sides of the predicate; only matching rows count
+    Versioned.appendCommit(
+      Seq((4L, "b", -9.0), (5L, "b", 7.0)).toDF("k", "g", "x").coalesce(1),
+      src, bloomCols = Seq("k"))
+    MaterializedView.refresh(spark, view)
+    assert(rows(MaterializedView.read(spark, view)) === recomputeW)
+    assert(rows(MaterializedView.read(spark, view))
+      .contains((Some("b"), 2L, 9.0)))
+    // deleting a row the predicate excludes is a no-op for the view
+    val h = Versioned.history(view).size
+    Versioned.deleteCommit(spark, src, "k", Seq("2"))
+    MaterializedView.refresh(spark, view)
+    assert(rows(MaterializedView.read(spark, view)) === recomputeW)
+    // (the watermark still advances — one metadata-or-data commit)
+    assert(Versioned.history(view).size === h + 1)
+    // deleting a matching row retracts it
+    Versioned.deleteCommit(spark, src, "k", Seq("1"))
+    MaterializedView.refresh(spark, view)
+    assert(rows(MaterializedView.read(spark, view)) === recomputeW)
+    assert(!MaterializedView.read(spark, view).collect()
+      .exists(r => r.getString(0) == "a"))
+  }
+
   private def rowsMM(df: DataFrame): Set[(Option[String], Long, Double, Double, Double)] =
     df.select(col("g"), col("cnt"), col("sum_x"), col("min_x"), col("max_x"))
       .collect()
