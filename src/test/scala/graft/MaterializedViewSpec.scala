@@ -225,6 +225,41 @@ class MaterializedViewSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("view over view: a second-order rollup refreshes through both levels") {
+    // level 1: per-(g, h) counts+sums over the source; level 2: per-g
+    // rollup OVER THE LEVEL-1 TABLE — its change feed is replaceCommit
+    // lineage (tombstone + append pairs), which must read back as exact
+    // retract/insert deltas for the downstream view
+    val src = tmp("mv-src"); val l1 = tmp("mv-l1"); val l2 = tmp("mv-l2")
+    Versioned.appendCommit(
+      Seq((1L, "a", "x", 1.0), (2L, "a", "y", 2.0), (3L, "b", "x", 4.0))
+        .toDF("k", "g", "h", "x").coalesce(1),
+      src, bloomCols = Seq("k"))
+    MaterializedView.create(spark, src, l1, Seq("g", "h"), Seq("x"))
+    MaterializedView.create(spark, l1, l2, Seq("g"), Seq("cnt"))
+    def l2rows: Set[(String, Long, Double)] =
+      MaterializedView.read(spark, l2)
+        .select(col("g"), col("cnt"), col("sum_cnt")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // cnt at level 2 counts level-1 GROUPS; sum_cnt sums their row counts
+    assert(l2rows === Set(("a", 2L, 2.0), ("b", 1L, 1.0)))
+    // source mutation ripples: new (a, z) group + a delete emptying (b, x)
+    Versioned.appendCommit(
+      Seq((4L, "a", "z", 8.0)).toDF("k", "g", "h", "x").coalesce(1),
+      src, bloomCols = Seq("k"))
+    Versioned.deleteCommit(spark, src, "k", Seq("3"))
+    MaterializedView.refresh(spark, l1)
+    MaterializedView.refresh(spark, l2)
+    assert(l2rows === Set(("a", 3L, 3.0)))
+    // and an update that only changes a level-1 sum (not cnt) flows as a
+    // retract/insert pair whose cnt-delta is zero at level 2
+    Versioned.upsertCommit(
+      Seq((1L, "a", "x", 10.0)).toDF("k", "g", "h", "x").coalesce(1), src, "k")
+    MaterializedView.refresh(spark, l1)
+    MaterializedView.refresh(spark, l2)
+    assert(l2rows === Set(("a", 3L, 3.0)), "cnt rollup unchanged by a value edit")
+  }
+
   test("fuzz: random append/delete/upsert/compact sequences always refresh exact") {
     val rnd = new scala.util.Random(20260814L)
     val src = tmp("mv-src"); val view = tmp("mv-view")
