@@ -536,6 +536,19 @@ object SparkEntry {
       promql.PromQl.compile(
         "day_of_week(timestamp(error_total))",
         Firehose.metricsFromEvents(s, dir))),
+    // m42: the experimental sampling aggregators, deterministic on the
+    // canonical series-key rank (documented deviation from Prometheus's
+    // arbitrary/hashed selection — any engine picks the same rows)
+    "m42_promql_limitk" -> ((s, dir) =>
+      promql.PromQl.compile(
+        "limitk(3, sum by (user) (increase(view_total[1h])))",
+        Firehose.metricsFromEvents(s, dir))),
+    // the complement form: limit_ratio(-0.5) keeps exactly the series
+    // limit_ratio(0.5) drops
+    "m42b_promql_limit_ratio" -> ((s, dir) =>
+      promql.PromQl.compile(
+        "limit_ratio(-0.5, sum by (user) (increase(view_total[1h])))",
+        Firehose.metricsFromEvents(s, dir))),
     // m41: median absolute deviation over each hourly window — the
     // exact nested median on the bounded per-(series, window) multiset
     "m41_promql_mad" -> ((s, dir) =>
@@ -2311,6 +2324,33 @@ object SparkEntry {
         |  CAST(dayofweek(DATE '1970-01-01'
         |    + CAST(mts // 86400 AS INTEGER)) AS DOUBLE) AS value
         |FROM g""".stripMargin,
+    // first-3-by-series-rank per window over the per-user sums
+    "m42_promql_limitk" ->
+      (IncreaseCte(3600) +
+        """, agg AS (
+          |  SELECT component, '' AS name, series, win_start,
+          |    CAST(sum(CAST(increase AS DECIMAL(26,6))) AS DOUBLE) AS value
+          |  FROM win WHERE name = 'view_total' GROUP BY 1, 2, 3, 4),
+          |r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY component, win_start
+          |    ORDER BY name, series) AS rnk
+          |  FROM agg)
+          |SELECT component, name, series, win_start, value
+          |FROM r WHERE rnk <= 3""".stripMargin),
+    // the complement: keep ranks ABOVE ceil((1 - 0.5) * n)
+    "m42b_promql_limit_ratio" ->
+      (IncreaseCte(3600) +
+        """, agg AS (
+          |  SELECT component, '' AS name, series, win_start,
+          |    CAST(sum(CAST(increase AS DECIMAL(26,6))) AS DOUBLE) AS value
+          |  FROM win WHERE name = 'view_total' GROUP BY 1, 2, 3, 4),
+          |r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY component, win_start
+          |    ORDER BY name, series) AS rnk,
+          |    count(*) OVER (PARTITION BY component, win_start) AS n
+          |  FROM agg)
+          |SELECT component, name, series, win_start, value
+          |FROM r WHERE rnk > ceil(0.5 * n)""".stripMargin),
     // nested exact medians: quantile_cont(0.5) inner per window (the
     // m18 equivalence convention), outer rounded to 4 dp
     "m41_promql_mad" ->

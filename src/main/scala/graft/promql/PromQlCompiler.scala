@@ -921,6 +921,39 @@ object PromQlCompiler {
             .withColumn("_rn", row_number().over(w))
             .filter(col("_rn") <= k)
             .select("component", "name", "labels", "win_start", "value"))
+        case "limitk" | "limit_ratio" =>
+          // Prometheus's experimental sampling aggregators, made
+          // DETERMINISTIC (documented deviation: Prometheus picks
+          // "arbitrary" series for limitk and hashes labelsets for
+          // limit_ratio; here selection ranks on the canonical series
+          // key, so any engine — and the oracle — picks the same rows).
+          // limit_ratio keeps the FIRST ceil(r·n) series of each group
+          // for r ≥ 0 and the complement of ceil((1+r)·n) for r < 0, so
+          // limit_ratio(r) ∪ limit_ratio(r − 1) is exactly the input.
+          val w = Window
+            .partitionBy(col("component"), col("win_start"), col("_gk"))
+            .orderBy(col("name").asc, col("_sk").asc)
+          val ranked = v
+            .withColumn("_gk", Firehose.seriesKey(gl))
+            .withColumn("_sk", Firehose.seriesKey(col("labels")))
+            .withColumn("_rn", row_number().over(w))
+          val kept =
+            if (a.op == "limitk") {
+              val k = scalarArg(
+                a.param.getOrElse(err("limitk requires a parameter")), "limitk k").toInt
+              if (k <= 0) err("limitk k must be positive")
+              ranked.filter(col("_rn") <= k)
+            } else {
+              val r = scalarArg(
+                a.param.getOrElse(err("limit_ratio requires a parameter")),
+                "limit_ratio ratio")
+              if (r < -1 || r > 1) err("limit_ratio ratio must be in [-1, 1]")
+              val counted = ranked.withColumn("_n", count(lit(1)).over(
+                Window.partitionBy(col("component"), col("win_start"), col("_gk"))))
+              if (r >= 0) counted.filter(col("_rn") <= ceil(lit(r) * col("_n")))
+              else counted.filter(col("_rn") > ceil(lit(1 + r) * col("_n")))
+            }
+          Vec(kept.select("component", "name", "labels", "win_start", "value"))
         case "count_values" =>
           val label = a.param match {
             case Some(StringLit(s)) => s

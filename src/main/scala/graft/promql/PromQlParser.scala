@@ -100,8 +100,9 @@ object PromQlParser {
 
   private val aggOps = Set(
     "sum", "avg", "min", "max", "count", "stddev", "stdvar", "group",
-    "topk", "bottomk", "quantile", "count_values")
-  private val paramAggOps = Set("topk", "bottomk", "quantile", "count_values")
+    "topk", "bottomk", "quantile", "count_values", "limitk", "limit_ratio")
+  private val paramAggOps = Set(
+    "topk", "bottomk", "quantile", "count_values", "limitk", "limit_ratio")
   private val keywords = Set(
     "and", "or", "unless", "by", "without", "on", "ignoring",
     "group_left", "group_right", "offset", "bool")

@@ -565,6 +565,29 @@ class PromQlCompileSpec extends SparkSuite {
     assert(rendered(hw) === rendered(des))
   }
 
+  test("limitk/limit_ratio: deterministic selection, exact complements") {
+    def rows(q: String): Set[(String, Long, Double)] =
+      PromQl.compile(q, metrics).select("series", "win_start", "value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val all = rows("sum by (user) (increase(view_total[1h]))")
+    val k3 = rows("limitk(3, sum by (user) (increase(view_total[1h])))")
+    assert(k3.nonEmpty && k3.subsetOf(all))
+    assert(k3.groupBy(_._2).values.forall(_.size <= 3))
+    // determinism: rank on the canonical series key — first 3 users by
+    // string order per window
+    k3.groupBy(_._2).foreach { case (w, rs) =>
+      val winAll = all.filter(_._2 == w).map(_._1).toSeq.sorted
+      assert(rs.map(_._1) === winAll.take(rs.size).toSet, s"window $w")
+    }
+    // limit_ratio(r) and limit_ratio(r - 1) partition the input exactly
+    val half = rows("limit_ratio(0.5, sum by (user) (increase(view_total[1h])))")
+    val rest = rows("limit_ratio(-0.5, sum by (user) (increase(view_total[1h])))")
+    assert(half.intersect(rest).isEmpty)
+    assert((half ++ rest) === all)
+    assertThrows[PromQlCompileException](
+      PromQl.compile("limit_ratio(1.5, view_total)", metrics))
+  }
+
   test("sort_desc orders the output relation by value descending") {
     val vals = PromQl.compile("sort_desc(sum by (user) (increase(view_total[1h])))",
         metrics)
