@@ -536,6 +536,14 @@ object SparkEntry {
       promql.PromQl.compile(
         "day_of_week(timestamp(error_total))",
         Firehose.metricsFromEvents(s, dir))),
+    // m43: @ end() — the span's final window resolved LAZILY (no literal
+    // timestamp in the query text; the bound is two aggregate scalars),
+    // here the all-series increase total of that closing window spread
+    // across the evaluation grid
+    "m43_promql_at_edge" -> ((s, dir) =>
+      promql.PromQl.compile(
+        """sum(increase({__name__=~".+"}[1h] @ end()))""",
+        Firehose.metricsFromEvents(s, dir))),
     // m42: the experimental sampling aggregators, deterministic on the
     // canonical series-key rank (documented deviation from Prometheus's
     // arbitrary/hashed selection — any engine picks the same rows)
@@ -2324,6 +2332,21 @@ object SparkEntry {
         |  CAST(dayofweek(DATE '1970-01-01'
         |    + CAST(mts // 86400 AS INTEGER)) AS DOUBLE) AS value
         |FROM g""".stripMargin,
+    // the closing window's all-series increase total, replicated onto
+    // the span grid (the @-pin spread shape with a computed bound)
+    "m43_promql_at_edge" ->
+      (IncreaseCte(3600) +
+        """, p AS (
+          |  SELECT CAST(sum(CAST(increase AS DECIMAL(26,6))) AS DOUBLE) AS sv
+          |  FROM win WHERE win_start = (SELECT max(win_start) FROM win)),
+          |g AS (
+          |  SELECT component,
+          |    unnest(generate_series(min(win_start), max(win_start), 3600))
+          |      AS win_start
+          |  FROM win GROUP BY component)
+          |SELECT g.component, '' AS name, '' AS series, g.win_start,
+          |  p.sv AS value
+          |FROM g, p""".stripMargin),
     // first-3-by-series-rank per window over the per-user sums
     "m42_promql_limitk" ->
       (IncreaseCte(3600) +

@@ -35,6 +35,15 @@ object MatchOp {
   case object NotRe extends MatchOp("!~")
 }
 
+/** Sentinel `atSec` values for `@ start()` / `@ end()` — the evaluation
+  * span's bounds, resolved lazily at compile time (no literal unix
+  * second can collide: the parser caps literals at |t| < 1e15).
+  */
+object PromQlAst {
+  val AtStart: Long = Long.MinValue
+  val AtEnd: Long = Long.MaxValue
+}
+
 /** Instant vector selector: `name{matchers} offset 5m`. A selector with
   * no name and only `__name__` matchers is legal PromQL and supported.
   * `offsetSec` > 0 looks back (`offset 5m`), < 0 forward (`offset -5m`).
@@ -187,7 +196,11 @@ object PromQlPrinter {
     else s" offset -${PromQlDurations.render(-off)}"
 
   private def atSuffix(at: Option[Long]): String =
-    at.map(t => s" @ $t").getOrElse("")
+    at.map {
+      case PromQlAst.AtStart => " @ start()"
+      case PromQlAst.AtEnd => " @ end()"
+      case t => s" @ $t"
+    }.getOrElse("")
 
   private def grouping(g: AggGroup): String = g match {
     case AggGroup.All => ""

@@ -285,8 +285,24 @@ object PromQlCompiler {
       * grid bounded, so the spread join is broadcast-sized.
       */
     private def pinSpread(df: DataFrame, at: Long, quantum: Long): DataFrame = {
-      val pinWin = at - java.lang.Math.floorMod(at, quantum)
-      val pinned = df.filter(col("win_start") === lit(pinWin)).drop("win_start")
+      val pinned =
+        if (at == PromQlAst.AtStart || at == PromQlAst.AtEnd) {
+          // `@ start()` / `@ end()`: the span's bound window, resolved
+          // LAZILY (two aggregate scalars over the stream, broadcast) —
+          // compile stays action-free; the span derives from the stream
+          // itself, the same convention absent's grid uses (Prometheus
+          // resolves these from the query-range parameters, which a
+          // relation-in/relation-out compile has no channel for)
+          val winCol = winStart(col("timestamp"), quantum)
+          val bound = metrics.agg(
+            (if (at == PromQlAst.AtStart) min(winCol) else max(winCol))
+              .as("_pin_win"))
+          df.join(broadcast(bound), col("win_start") === col("_pin_win"))
+            .drop("_pin_win", "win_start")
+        } else {
+          val pinWin = at - java.lang.Math.floorMod(at, quantum)
+          df.filter(col("win_start") === lit(pinWin)).drop("win_start")
+        }
       streamGrid(quantum)
         .join(pinned, Seq("component"))
         .select(col("component"), col("name"), col("labels"),

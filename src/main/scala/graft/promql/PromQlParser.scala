@@ -289,7 +289,14 @@ object PromQlParser {
               if (v != math.floor(v) || math.abs(v) >= 1e15)
                 fail("@ timestamp must be integral unix seconds")
               v.toLong
-            case _ => fail("expected a unix-seconds timestamp after @")
+            case TIdent(id, _) if id == "start" || id == "end" =>
+              // `@ start()` / `@ end()` — the evaluation span's bounds
+              advance()
+              if (!isOp("(")) fail(s"expected ( after @ $id"); advance()
+              if (!isOp(")")) fail(s"expected ) after @ $id("); advance()
+              if (id == "start") PromQlAst.AtStart else PromQlAst.AtEnd
+            case _ => fail("expected a unix-seconds timestamp, start(), " +
+              "or end() after @")
           }
           e = e match {
             case s: VectorSelector =>

@@ -588,6 +588,29 @@ class PromQlCompileSpec extends SparkSuite {
       PromQl.compile("limit_ratio(1.5, view_total)", metrics))
   }
 
+  test("@ start()/end() pin the span's bound windows, lazily") {
+    // literal-equivalence against the stream's GLOBAL min/max hourly
+    // windows (start/end resolve from the whole stream's span — a
+    // selector with no samples in the bound window pins empty, per the
+    // @ rule, which view_total's late start exercises below)
+    val labeled = Firehose.tagFilter(metrics)
+    val winExpr = (col("timestamp") - pmod(col("timestamp"), lit(3600L))).cast("long")
+    val span = labeled.select(winExpr.as("w")).agg(min(col("w")), max(col("w"))).head
+    val (w0, w1) = (span.getLong(0), span.getLong(1))
+    def rows(q: String) = rendered(PromQl.compile(q, metrics))
+    for (q <- Seq("increase(view_total[1h] @ %s)", "error_total @ %s")) {
+      assert(rows(q.format("start()")) === rows(q.format(w0)), q)
+      assert(rows(q.format("end()")) === rows(q.format(w1)), q)
+    }
+    // a name actually reporting in the bound window pins non-empty
+    val nameAtEnd = labeled.filter(winExpr === w1).select("name").head.getString(0)
+    assert(rows(s"$nameAtEnd @ end()").nonEmpty)
+    // printer round-trips the forms
+    import graft.promql.{PromQlParser, PromQlPrinter}
+    val q = "increase(view_total[1h] @ start()) / increase(view_total[1h] @ end())"
+    assert(PromQlPrinter.print(PromQlParser.parse(q)) === q)
+  }
+
   test("sort_desc orders the output relation by value descending") {
     val vals = PromQl.compile("sort_desc(sum by (user) (increase(view_total[1h])))",
         metrics)
