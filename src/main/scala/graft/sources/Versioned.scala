@@ -1471,6 +1471,26 @@ object Versioned {
       .toSeq.sorted
   }
 
+  /** `DESCRIBE HISTORY` — one row per committed version: timestamp,
+    * file/chunk/tombstone counts, schema width, delete key, and the
+    * commit props. Pure marker/manifest metadata (no data files read);
+    * the operational surface for retention planning, debugging a CDC
+    * consumer's watermark, or auditing what a commit changed.
+    */
+  def describeHistory(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    history(root).map { v =>
+      val entries = manifest(root, v)
+      (v, commitTime(root, v), entries.size.toLong,
+        chunkRefsOf(root, v).size.toLong,
+        entries.map(_.deletes.size.toLong).sum,
+        markerSchema(root, v).map(_.fields.length.toLong).getOrElse(-1L),
+        deleteKeyOf(root, v).getOrElse(""),
+        markerProps(root, v))
+    }.toDF("version", "commit_ts", "num_files", "num_chunks",
+      "num_tombstones", "num_columns", "delete_key", "props")
+  }
+
   /** Retention vacuum as a manifest-scoped MARK-SWEEP: drop every version
     * older than the latest `keepLast`, then delete exactly the files those
     * dropped manifests reference that NO kept version still lists — a

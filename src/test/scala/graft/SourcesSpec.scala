@@ -668,6 +668,26 @@ class SourcesSpec extends SparkSuite {
       "restore restores the restored version's props")
   }
 
+  test("versioned table: describeHistory reports per-version metadata") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-desc").toFile.getAbsolutePath
+    Versioned.appendCommit(Seq((1L, "a"), (2L, "b")).toDF("k", "name").coalesce(1),
+      root, bloomCols = Seq("k"), props = Map("job" -> "j1"))
+    Versioned.appendCommit(Seq((3L, "c")).toDF("k", "name").coalesce(1), root)
+    Versioned.deleteCommit(spark, root, "k", Seq("2"))
+    val h = Versioned.describeHistory(spark, root)
+      .orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    assert(h.map(_.getAs[Long]("num_files")).toSeq === Seq(1L, 2L, 2L))
+    assert(h.map(_.getAs[Long]("num_chunks")).toSeq === Seq(1L, 2L, 2L))
+    assert(h.map(_.getAs[Long]("num_tombstones")).toSeq === Seq(0L, 0L, 1L))
+    assert(h.map(_.getAs[String]("delete_key")).toSeq === Seq("", "", "k"))
+    assert(h.head.getAs[Map[String, String]]("props") === Map("job" -> "j1"))
+    assert(h.forall(_.getAs[Long]("num_columns") === 2L))
+    assert(h.forall(_.getAs[Long]("commit_ts") > 0L))
+  }
+
   test("versioned table: concurrent appenders all land via optimistic retry") {
     import spark.implicits._
     import graft.sources.Versioned
