@@ -778,6 +778,10 @@ object SparkEntry {
     // image-modality real decoder: genuine 24-bit BMPs, format-real parse
     "mm5_bmp_decode" -> ((s, dir) =>
       Multimodal.bmpFeatures(Multimodal.asBmp(Tables(s, dir, "documents")))),
+    // compressed-image real codec: genuine PNGs (CRC-verified chunks,
+    // zlib IDAT, all five filter types) decoded by the real parser
+    "mm7_png_decode" -> ((s, dir) =>
+      Multimodal.pngFeatures(Multimodal.asPng(Tables(s, dir, "documents")))),
     // video-modality real demuxer: genuine AVI containers, one row per frame
     "mm6_avi_frames" -> ((s, dir) =>
       Multimodal.aviFrames(Multimodal.asAvi(Tables(s, dir, "documents")))
@@ -3328,6 +3332,28 @@ object SparkEntry {
     // code point at fixed width 32, final row zero-padded (those pixels
     // count toward n_pixels with zero luminance), mean over 3 equal
     // channels = channel-sum / (3 * n_pixels)
+    // same zero-padded fixed-width luminance layout as mm5, one grayscale
+    // channel: mean = pixel sum / (32 * height) — the PNG compression and
+    // filtering must reconstruct the exact bytes for this to hash-match
+    "mm7_png_decode" ->
+      """WITH s AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+        |    list_transform(generate_series(1, CAST(length(text) AS INTEGER)),
+        |      i -> ord(substr(text, i, 1)) % 256) AS px
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    greatest(CAST(1 AS BIGINT), (n + 31) // 32) AS h,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), px), (a, v) -> a + v) AS lum
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(32 AS BIGINT) AS width,
+        |  h AS height,
+        |  CAST(8 AS BIGINT) AS bit_depth,
+        |  CAST(0 AS BIGINT) AS color_type,
+        |  32 * h AS n_pixels,
+        |  CAST(lum AS DOUBLE) / CAST(32 * h AS DOUBLE) AS mean_lum
+        |FROM d""".stripMargin,
     "mm5_bmp_decode" ->
       """WITH s AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** The PNG codec's contract: round-trip through every filter type,
+  * byte-level agreement with the JDK's own ImageIO codec in BOTH
+  * directions (our encoder read by ImageIO, ImageIO's adaptive-filter
+  * encoder read by us), truecolor support, and loud rejection of
+  * malformed payloads.
+  */
+class PngSpec extends SparkSuite {
+
+  private val pixels: Array[Int] =
+    Array.tabulate(32 * 7 - 5)(i => (i * 37 + 11) % 256) // 7 rows: all filters
+
+  test("round trip: the writer's five rotating filters all unfilter exactly") {
+    val png = Multimodal.encodePng(pixels, 32)
+    val m = Multimodal.decodePng(png).get
+    assert(m.width === 32 && m.height === 7)
+    assert(m.bitDepth === 8 && m.colorType === 0)
+    assert(m.nPixels === 224L)
+    val padded = pixels.padTo(224, 0)
+    assert(m.meanLum === padded.sum.toDouble / 224)
+  }
+
+  test("ImageIO reads our PNGs pixel-exactly; we read ImageIO's") {
+    import java.awt.image.BufferedImage
+    // ours -> ImageIO
+    val png = Multimodal.encodePng(pixels, 32)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === 32 && img.getHeight === 7)
+    val padded = pixels.padTo(224, 0)
+    for (r <- 0 until 7; x <- 0 until 32)
+      assert((img.getRaster.getSample(x, r, 0) & 0xff) === padded(r * 32 + x),
+        s"pixel ($x,$r)")
+    // ImageIO (adaptive filters, its own zlib strategy) -> ours
+    val ref = new BufferedImage(32, 7, BufferedImage.TYPE_BYTE_GRAY)
+    for (r <- 0 until 7; x <- 0 until 32)
+      ref.getRaster.setSample(x, r, 0, padded(r * 32 + x))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(ref, "png", bos))
+    val m = Multimodal.decodePng(bos.toByteArray).get
+    assert(m.width === 32 && m.height === 7 && m.colorType === 0)
+    assert(m.meanLum === padded.sum.toDouble / 224)
+  }
+
+  test("truecolor (color type 2) PNGs decode with 3-channel luminance") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(5, 3, BufferedImage.TYPE_INT_RGB)
+    var sum = 0L
+    for (y <- 0 until 3; x <- 0 until 5) {
+      val (r, g, b) = ((x * 50) % 256, (y * 90) % 256, (x * y * 30) % 256)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      sum += r + g + b
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val m = Multimodal.decodePng(bos.toByteArray).get
+    assert(m.width === 5 && m.height === 3 && m.colorType === 2)
+    assert(m.nPixels === 15L)
+    assert(m.meanLum === sum.toDouble / 45)
+  }
+
+  test("malformed payloads decode to None, never garbage") {
+    val good = Multimodal.encodePng(pixels, 32)
+    assert(Multimodal.decodePng("nope".getBytes).isEmpty)
+    assert(Multimodal.decodePng(good.take(30)).isEmpty, "truncated")
+    val corrupted = good.clone()
+    corrupted(40) = (corrupted(40) ^ 0x55).toByte // inside IHDR/IDAT body
+    assert(Multimodal.decodePng(corrupted).isEmpty, "CRC mismatch must reject")
+    val sigFlip = good.clone()
+    sigFlip(0) = 0x42
+    assert(Multimodal.decodePng(sigFlip).isEmpty)
+  }
+
+  test("pngFeatures over the documents table matches the BMP luminance law") {
+    // same textToPixels stream, same zero-padded fixed-width layout —
+    // the grayscale PNG mean must equal the BMP channel mean per doc
+    val docs = Tables(spark, sfDir, "documents").limit(50)
+    val png = Multimodal.pngFeatures(Multimodal.asPng(docs))
+      .select(col("doc_id"), col("mean_lum"), col("height"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val bmp = Multimodal.bmpFeatures(Multimodal.asBmp(docs))
+      .select(col("doc_id"), col("mean_lum"), col("height"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(png.nonEmpty && png.keySet === bmp.keySet)
+    png.foreach { case (id, (lum, h)) =>
+      assert(bmp(id)._2 === h, s"doc $id height")
+      assert(math.abs(bmp(id)._1 - lum) < 1e-12, s"doc $id lum")
+    }
+  }
+}
