@@ -807,6 +807,19 @@ object SparkEntry {
     // PlanSpec pins the composition's scan census)
     "p8_full_curate" -> ((s, dir) =>
       Curate.fullCurate(Tables(s, dir, "documents"), Tables(s, dir, "embeddings"))),
+    // p10: incremental curation — three ingest batches gated and deduped
+    // against the landing via its bloom indexes, each an O(batch) commit;
+    // the final landed corpus must equal the one-shot gate+dedup with
+    // first-batch-wins tie-breaking
+    "p10_incremental_curate" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val docs = Tables(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft-p10")
+        .toFile.getAbsolutePath
+      for (b <- 0 to 2)
+        Curate.curateBatchCommit(root, docs.filter(col("doc_id") % 3 === b))
+      Versioned.latest(s, root).select("doc_id", "source", "text")
+    }),
     // p9: INCREMENTAL materialized view — create over a partial load,
     // then two O(delta) refreshes (an append span, then a delete span);
     // the final view must equal a from-scratch GROUP BY over the final
@@ -3522,6 +3535,27 @@ object SparkEntry {
     // d24's scoring/budget CTEs feed d14's recursive packing — each block
     // token-identical to its stage's own verified oracle, re-rooted on the
     // previous block's output instead of the raw table
+    // one-shot equivalent of the three-batch incremental build: the
+    // survivor per content hash is min by (batch, doc_id) over the
+    // quality-gated docs — first batch wins, then lowest doc_id
+    "p10_incremental_curate" ->
+      s"""WITH base AS (
+        | SELECT doc_id, source, text,
+        |   CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |   CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '')) AS BIGINT) AS n_words,
+        |   CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+        |   CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+        |     x -> x != '' AND list_contains(['the','and','of','to','a','in'], x))) AS BIGINT) AS n_stop
+        | FROM documents),
+        |rq AS (SELECT *, n_punct::DOUBLE / nullif(n_chars_actual, 0) AS punct_ratio,
+        |        n_stop::DOUBLE / nullif(n_words, 0) AS stop_ratio FROM base),
+        |q AS (SELECT *,
+        |  least(n_words::DOUBLE / 50.0, 1.0) * 0.5 + (1.0 - punct_ratio) * 0.3
+        |    + least(stop_ratio * 5.0, 1.0) * 0.2 AS quality FROM rq),
+        |keptq AS (SELECT doc_id, source, text FROM q WHERE quality >= 0.5),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+        |        ORDER BY doc_id % 3, doc_id) AS rn FROM keptq)
+        |SELECT doc_id, source, text FROM r WHERE rn = 1""".stripMargin,
     "p8_full_curate" ->
       s"""WITH RECURSIVE base AS (
         | SELECT doc_id, source, text,

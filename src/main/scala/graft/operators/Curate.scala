@@ -517,6 +517,46 @@ object Curate {
     * plan (PlanSpec-pinned) — each stage's own shuffles are bounded as
     * documented on the stage operators.
     */
+  /** INCREMENTAL corpus curation (p10) — the continuous-ingest form of
+    * the gate+dedup front of [[fullCurate]]: one BATCH of raw documents
+    * is [[qualityGate]]d (heuristic floor + in-batch exact dedup), then
+    * deduped against the LANDED corpus and appended as an O(batch)
+    * [[graft.sources.Versioned.appendCommit]]. The cross-batch dedup
+    * never scans the landed corpus: the batch's content hashes probe the
+    * landing's per-file BLOOM indexes ([[graft.sources.Versioned
+    * .pointRead]]), so only files that might hold a duplicate are read —
+    * at 100 TB a batch consults a handful of files, not the table. The
+    * probe list is driver-held and O(batch) (the applyCdc contract);
+    * document payloads never leave the cluster. First-batch-wins
+    * semantics: a hash landed by an earlier batch wins over any later
+    * arrival (within a batch, lowest doc_id wins — qualityGate's rule).
+    * Returns the committed version, or -1 when the batch added nothing.
+    */
+  def curateBatchCommit(
+      root: String,
+      batch: DataFrame,
+      minQuality: Double = 0.5): Long = {
+    import graft.sources.Versioned
+    val spark = batch.sparkSession
+    val gated = qualityGate(batch, minQuality)
+      .withColumn("_h", md5(to_binary(col("text"), lit("utf-8"))))
+    val v = Versioned.latestVersion(root)
+    val additions =
+      if (v < 0) gated
+      else {
+        val probes = gated.select(col("_h")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        if (probes.isEmpty) gated.filter(lit(false))
+        else {
+          val existing = Versioned.pointRead(spark, root, v, "_h", probes)
+            .select(col("_h")).distinct()
+          gated.join(broadcast(existing), Seq("_h"), "left_anti")
+        }
+      }
+    if (additions.isEmpty) -1L
+    else Versioned.appendCommit(additions, root, bloomCols = Seq("_h"))
+  }
+
   def fullCurate(
       docs: DataFrame,
       embeddings: DataFrame,

@@ -688,6 +688,28 @@ class SourcesSpec extends SparkSuite {
     assert(h.forall(_.getAs[Long]("commit_ts") > 0L))
   }
 
+  test("incremental curation: batches dedup against the landing via blooms") {
+    import graft.sources.Versioned
+    import graft.operators.Curate
+    val root = Files.createTempDirectory("graft-p10s").toFile.getAbsolutePath
+    val docs = Tables(spark, sfDir, "documents").limit(120)
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    assert(Curate.curateBatchCommit(root, b0) === 0L)
+    val n0 = Versioned.latest(spark, root).count()
+    assert(n0 > 0)
+    // re-ingesting the SAME batch adds nothing — every hash bloom-hits
+    assert(Curate.curateBatchCommit(root, b0) === -1L)
+    assert(Versioned.history(root) === Seq(0L))
+    // a second batch lands only its genuinely-new docs, one delta commit
+    assert(Curate.curateBatchCommit(root, docs) === 1L)
+    val n1 = Versioned.latest(spark, root).count()
+    assert(n1 > n0)
+    // final state equals the one-shot gate over the union
+    val oneShot = Curate.qualityGate(docs).count()
+    assert(n1 === oneShot)
+    assert(Versioned.history(root) === Seq(0L, 1L))
+  }
+
   test("versioned table: concurrent appenders all land via optimistic retry") {
     import spark.implicits._
     import graft.sources.Versioned
