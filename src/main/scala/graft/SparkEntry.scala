@@ -591,6 +591,11 @@ object SparkEntry {
       NativeHist.accessors(
         NativeHist.nativeHistogram(Firehose.metricsFromEvents(s, dir), schema = 0))
         .select("component", "name", "win_start", "h_count", "h_sum", "h_avg")),
+    // bucket-midpoint variance/stddev around the exact sum/count mean
+    "m37f_native_spread" -> ((s, dir) =>
+      NativeHist.spread(
+        NativeHist.nativeHistogram(Firehose.metricsFromEvents(s, dir), schema = 0))
+        .select("component", "name", "win_start", "h_stdvar", "h_stddev")),
     // interpolated fraction of observations in (3, 50] per histogram —
     // the histogram_fraction accessor (order-robust split: exact long
     // cumulatives + one covering-bucket interpolation term)
@@ -2514,6 +2519,44 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS h_avg
         |FROM m GROUP BY 1, 2, 3""".stripMargin,
+    // midpoint variance replayed as the SAME left fold: ordered list of
+    // per-bucket terms (ascending idx), zero-bucket term prepended, each
+    // term the identical ((c*d)*d) association
+    "m37f_native_spread" ->
+      (NativeHistCte(3600) +
+        """, z AS (
+          |  SELECT component, name, win_start,
+          |    COALESCE(sum(CASE WHEN idx IS NULL THEN c END), 0) AS zc,
+          |    sum(c) AS total
+          |  FROM c GROUP BY 1, 2, 3),
+          |mn AS (
+          |  SELECT component, name, ts_sec - ts_sec % 3600 AS win_start,
+          |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+          |  FROM m GROUP BY 1, 2, 3),
+          |mm AS (
+          |  SELECT z.component, z.name, z.win_start, z.zc, z.total,
+          |    mn.vsum / CAST(z.total AS DOUBLE) AS mean
+          |  FROM z JOIN mn USING (component, name, win_start)),
+          |terms AS (
+          |  SELECT c.component, c.name, c.win_start,
+          |    list(CAST(c.c AS DOUBLE)
+          |      * ((power(2.0, CAST(c.idx - 1 AS DOUBLE))
+          |          + power(2.0, CAST(c.idx AS DOUBLE))) / 2.0 - mm.mean)
+          |      * ((power(2.0, CAST(c.idx - 1 AS DOUBLE))
+          |          + power(2.0, CAST(c.idx AS DOUBLE))) / 2.0 - mm.mean)
+          |      ORDER BY c.idx) AS ts
+          |  FROM c JOIN mm USING (component, name, win_start)
+          |  WHERE c.idx IS NOT NULL GROUP BY 1, 2, 3),
+          |f AS (
+          |  SELECT mm.component, mm.name, mm.win_start,
+          |    list_reduce(
+          |      list_prepend(CAST(mm.zc AS DOUBLE) * mm.mean * mm.mean,
+          |        COALESCE(t.ts, [])),
+          |      (a, b) -> a + b) / CAST(mm.total AS DOUBLE) AS h_stdvar
+          |  FROM mm LEFT JOIN terms t USING (component, name, win_start))
+          |SELECT component, name, win_start, h_stdvar,
+          |  sqrt(h_stdvar) AS h_stddev
+          |FROM f""".stripMargin),
     // interpolated fraction in (3, 50]: exact BIGINT cumulatives + one
     // covering-bucket term per bound — the identical IEEE expression
     // tree the engine's order-robust split evaluates

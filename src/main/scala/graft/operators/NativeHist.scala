@@ -174,6 +174,35 @@ object NativeHist {
         .otherwise(walk.getField("ans")))
   }
 
+  /** `histogram_stddev` / `histogram_stdvar` estimators: the variance of
+    * the bucket-MIDPOINT distribution (each bucket's count at its
+    * arithmetic midpoint, the zero bucket at 0) around the exact mean
+    * `sum/count` — computable because the histogram carries the true
+    * `sum` field. Determinism: one left fold over the SORTED sparse
+    * array (ascending idx, the same order an oracle's ordered list
+    * fold replays), every term the fixed IEEE tree
+    * `cnt * (mid - mean) * (mid - mean)`. NaN on an empty histogram.
+    */
+  def spread(hists: DataFrame): DataFrame = {
+    val total = (col("zero_count") +
+      aggregate(col("buckets"), lit(0L), (a, b) => a + b.getField("cnt"))).cast("double")
+    val mean = col("sum").cast("double") / total
+    val div = pow(lit(2.0), col("schema").cast("double"))
+    val init = col("zero_count").cast("double") * mean * mean
+    val acc = aggregate(
+      col("buckets"), init,
+      (a, b) => {
+        val idx = b.getField("idx").cast("double")
+        val mid = (pow(lit(2.0), (idx - 1) / div) + pow(lit(2.0), idx / div)) / 2
+        val d = mid - mean
+        a + b.getField("cnt").cast("double") * d * d
+      })
+    hists
+      .withColumn("h_stdvar",
+        when(total === 0.0, lit(Double.NaN)).otherwise(acc / total))
+      .withColumn("h_stddev", sqrt(col("h_stdvar")))
+  }
+
   /** `histogram_fraction(lower, upper, h)`: the estimated fraction of
     * observations in `(lower, upper]` — the interpolated cumulative
     * count at each bound (linear within the covering bucket, the same

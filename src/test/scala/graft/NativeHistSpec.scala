@@ -49,6 +49,17 @@ class NativeHistSpec extends SparkSuite {
     assert(math.abs(frac(0.0, 3.0) + frac(3.0, 16.0) - frac(0.0, 16.0)) < 1e-12)
   }
 
+  test("spread: bucket-midpoint variance around the exact mean") {
+    val r = NativeHist.spread(hists).select("h_stdvar", "h_stddev").head
+    // mean = (0 - 1 + 1.5 + 2 + 3 + 12) / 6; midpoints: b1 -> 1.5 (2x),
+    // b2 -> 3, b4 -> 12; zero bucket (2 samples) at 0
+    val mean = 17.5 / 6
+    val expected = (2 * mean * mean + 2 * (1.5 - mean) * (1.5 - mean) +
+      (3 - mean) * (3 - mean) + (12 - mean) * (12 - mean)) / 6
+    assert(math.abs(r.getDouble(0) - expected) < 1e-12)
+    assert(r.getDouble(1) === math.sqrt(r.getDouble(0)))
+  }
+
   test("fraction of an empty histogram is NaN") {
     val empty = NativeHist.nativeHistogram(
       Seq.empty[(String, String, Long, Double)]
