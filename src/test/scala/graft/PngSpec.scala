@@ -75,6 +75,28 @@ class PngSpec extends SparkSuite {
     assert(Multimodal.decodePng(sigFlip).isEmpty)
   }
 
+  test("corruption fuzz: 300 random mutations never crash, only reject or decode") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val good = Multimodal.encodePng(pixels, 32)
+    var rejected = 0
+    for (_ <- 0 until 300) {
+      val mutated = good.clone()
+      val flips = rnd.nextInt(4) + 1
+      for (_ <- 0 until flips)
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      // must never throw; CRC verification catches essentially all of
+      // these (a mutation that leaves every CRC valid decodes fine)
+      Multimodal.decodePng(mutated) match {
+        case None => rejected += 1
+        case Some(m) => assert(m.width === 32 && m.height === 7)
+      }
+      // random truncation as well
+      val cut = rnd.nextInt(good.length)
+      assert(Multimodal.decodePng(good.take(cut)).isEmpty || cut == good.length)
+    }
+    assert(rejected > 250, s"CRCs should reject nearly all mutations, got $rejected")
+  }
+
   test("pngFeatures over the documents table matches the BMP luminance law") {
     // same textToPixels stream, same zero-padded fixed-width layout —
     // the grayscale PNG mean must equal the BMP channel mean per doc

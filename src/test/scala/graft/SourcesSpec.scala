@@ -710,6 +710,40 @@ class SourcesSpec extends SparkSuite {
     assert(Versioned.history(root) === Seq(0L, 1L))
   }
 
+  test("streaming incremental curation: each micro-batch lands one deduped commit") {
+    import graft.sources.Versioned
+    import graft.operators.Curate
+    val root = Files.createTempDirectory("graft-p10st").toFile.getAbsolutePath
+    val dir = Files.createTempDirectory("p10-in").toFile
+    val chk = Files.createTempDirectory("p10-chk").toFile
+    // quality-passing docs need enough words + stopwords; doc 2 is an
+    // exact duplicate of doc 1 across batches
+    val body = ("the quick brown fox jumps over the lazy dog and runs " * 6).trim
+    def line(id: Long, text: String) =
+      s"""{"doc_id":$id,"source":"s","text":"$text"}"""
+    Files.write(dir.toPath.resolve("b1.json"), line(1L, body).getBytes)
+    val stream = spark.readStream
+      .schema("doc_id LONG, source STRING, text STRING").json(dir.getAbsolutePath)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) { Curate.curateBatchCommit(root, batch); () }
+      }
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(Versioned.latest(spark, root).count() === 1L)
+      // batch 2: one exact dupe (bloom-hit, dropped) + one new doc
+      Files.write(dir.toPath.resolve("b2.json"),
+        (line(2L, body) + "\n" + line(3L, body + " extra words here")).getBytes)
+      q.processAllAvailable()
+      val docs = Versioned.latest(spark, root)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(docs === Set(1L, 3L), "the cross-batch duplicate must not land")
+      assert(Versioned.history(root) === Seq(0L, 1L))
+    } finally q.stop()
+  }
+
   test("versioned table: concurrent appenders all land via optimistic retry") {
     import spark.implicits._
     import graft.sources.Versioned
