@@ -50,6 +50,12 @@ object FirehoseApp {
       |                    batch mode: evaluate a recording-rule file (one
       |                    `name = expr` per line) in order, show up to n rows
       |                    of each recorded series, exit
+      |  --table <cmd> <root> [n]
+      |                    versioned-table maintenance: describe (history
+      |                    with file/chunk/tombstone counts and props),
+      |                    compact [n files], rewrite-manifests (merge
+      |                    chunk refs, metadata-only), vacuum [keep n],
+      |                    mv-refresh (advance a materialized view)
       |  --list-queries    print the available query names and exit
       |  -h | --help       print this help""".stripMargin
 
@@ -95,6 +101,13 @@ object FirehoseApp {
           i += 3
           if (i < args.length && args(i).forall(_.isDigit)) {
             m.put("app.query.rows", args(i)); i += 1
+          }
+        case "--table" =>
+          m.put("app.table", operand("--table <cmd> <root>"))
+          m.put("app.table.root", operand("--table <cmd> <root>", 2))
+          i += 3
+          if (i < args.length && args(i).forall(_.isDigit)) {
+            m.put("app.table.n", args(i)); i += 1
           }
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
@@ -146,6 +159,40 @@ object FirehoseApp {
           .option("checkpointLocation", checkpointDir)
           .start()
         Running(q, Some(registry), () => { q.stop(); server.stop(0) })
+    }
+  }
+
+  /** The `--table` maintenance dispatch (session-injected so embedders
+    * and tests run it without owning the session lifecycle).
+    */
+  private[graft] def tableCommand(
+      spark: SparkSession, cmd: String, root: String, n: Option[Int]): Unit = {
+    import graft.sources.{MaterializedView, Versioned}
+    cmd match {
+      case "describe" =>
+        Versioned.describeHistory(spark, root)
+          .orderBy("version")
+          .show(n.getOrElse(100), truncate = false)
+      case "compact" =>
+        val v = Versioned.compact(spark, root, numFiles = n.getOrElse(1))
+        println(s"[graft] compacted $root to v$v")
+      case "rewrite-manifests" =>
+        val v = Versioned.rewriteManifests(root)
+        println(
+          if (v < 0) s"[graft] $root already has a single manifest chunk"
+          else s"[graft] merged manifests of $root into v$v")
+      case "vacuum" =>
+        val dropped = Versioned.vacuum(root, keepLast = n.getOrElse(2))
+        println(s"[graft] vacuumed $root: dropped versions " +
+          (if (dropped.isEmpty) "(none)" else dropped.mkString(", ")))
+      case "mv-refresh" =>
+        val v = MaterializedView.refresh(spark, root)
+        println(
+          if (v < 0) s"[graft] view $root already caught up"
+          else s"[graft] refreshed view $root to v$v")
+      case other => throw new IllegalArgumentException(
+        s"unknown --table command '$other' (describe|compact|" +
+          "rewrite-manifests|vacuum|mv-refresh)")
     }
   }
 
@@ -210,6 +257,16 @@ object FirehoseApp {
             .show(cfg.getInt("app.query.rows", 20), truncate = false)
         }
       } finally spark.stop()
+      return
+    }
+    // versioned-table maintenance: the operational CLI for the storage layer
+    cfg.get("app.table").foreach { cmd =>
+      val root = cfg.get("app.table.root").getOrElse(
+        throw new IllegalArgumentException("--table needs a table root"))
+      val spark = Sessions.local(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-table")
+      try tableCommand(spark, cmd, root, cfg.get("app.table.n").map(_.toInt))
+      finally spark.stop()
       return
     }
     // reference parity: print the effective layered configuration at startup

@@ -49,6 +49,33 @@ class FirehoseAppSpec extends SparkSuite {
     assert(cfg.getBoolean("promql.sliding", default = false))
   }
 
+  test("--table args parse; mv-refresh and maintenance run end-to-end") {
+    import graft.sources.{MaterializedView, Versioned}
+    import spark.implicits._
+    val parsed = FirehoseApp.parseArgs(
+      Array("--table", "vacuum", "/tmp/t", "3"))
+    assert(parsed("app.table") === "vacuum")
+    assert(parsed("app.table.root") === "/tmp/t")
+    assert(parsed("app.table.n") === "3")
+    // end-to-end through main: build a view, mutate the source, refresh
+    // and maintain it via the CLI entry point
+    val src = java.nio.file.Files.createTempDirectory("app-src")
+      .toFile.getAbsolutePath
+    val view = java.nio.file.Files.createTempDirectory("app-view")
+      .toFile.getAbsolutePath
+    Versioned.appendCommit(Seq((1L, "a", 2.0)).toDF("k", "g", "x").coalesce(1), src)
+    MaterializedView.create(spark, src, view, Seq("g"), Seq("x"))
+    Versioned.appendCommit(Seq((2L, "a", 3.0)).toDF("k", "g", "x").coalesce(1), src)
+    FirehoseApp.tableCommand(spark, "mv-refresh", view, None)
+    assert(MaterializedView.read(spark, view)
+      .select("cnt", "sum_x").head.toSeq === Seq(2L, 5.0))
+    FirehoseApp.tableCommand(spark, "rewrite-manifests", src, None)
+    assert(Versioned.chunkRefsOf(src, Versioned.latestVersion(src)).length === 1)
+    FirehoseApp.tableCommand(spark, "describe", view, None)
+    intercept[IllegalArgumentException](
+      FirehoseApp.tableCommand(spark, "bogus", view, None))
+  }
+
   test("end-to-end pull-mode app: file source to scrapeable /metrics") {
     val dir = Files.createTempDirectory("graft-app").toFile
     val chk = Files.createTempDirectory("graft-appchk").toString
