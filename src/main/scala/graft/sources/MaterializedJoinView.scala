@@ -1,0 +1,215 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained GROUP BY aggregates over an EQUI-JOIN of two
+  * [[Versioned]] tables — the join-view half of IVM next to
+  * [[MaterializedView]]'s single-table form. The delta identity is the
+  * classic one: with signed change feeds (insert = +1, delete = −1),
+  *
+  *   Δ(A ⋈ B)  =  ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+  *
+  * where the OLD images come from time travel ([[Versioned.asOf]] at the
+  * recorded watermarks — the storage layer's versioning is what makes
+  * join maintenance expressible at all), and each old side is read
+  * through its per-file BLOOM indexes probed with the OTHER side's delta
+  * join keys ([[Versioned.pointRead]]) — at 100 TB a delta of k rows
+  * consults the handful of files that might join with it, never the
+  * table. Counts and DECIMAL(28,6) sums make the signed aggregation
+  * exact, so a refreshed view is BIT-IDENTICAL to a recompute; each
+  * refresh is ONE [[Versioned.replaceCommit]] carrying both watermarks
+  * in the marker `props` (crash-atomic, double-apply impossible — the
+  * [[MaterializedView]] discipline).
+  *
+  * Scope: one join column (same name both sides; the bloom-probe list
+  * is driver-held and O(delta), the applyCdc contract), remaining
+  * column names disjoint across the two tables, count/sum aggregates
+  * (self-maintainable under the signed algebra; min/max would need the
+  * single-table hybrid's recompute arm and is out of scope here).
+  */
+object MaterializedJoinView {
+
+  private val GK = "_gk"
+
+  private def gkOf(groupCols: Seq[String]): Column =
+    concat_ws("\u0001",
+      groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+
+  private case class Def(
+      leftRoot: String,
+      rightRoot: String,
+      joinCol: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      leftVersion: Long,
+      rightVersion: Long)
+
+  private def propsOf(d: Def): Map[String, String] = Map(
+    "mvj.leftRoot" -> d.leftRoot,
+    "mvj.rightRoot" -> d.rightRoot,
+    "mvj.joinCol" -> d.joinCol,
+    "mvj.groupCols" -> d.groupCols.mkString(","),
+    "mvj.sumCols" -> d.sumCols.mkString(","),
+    "mvj.leftVersion" -> d.leftVersion.toString,
+    "mvj.rightVersion" -> d.rightVersion.toString)
+
+  private def defOf(viewRoot: String): Def = {
+    val v = Versioned.latestVersion(viewRoot)
+    require(v >= 0, s"no committed versions in $viewRoot")
+    val p = Versioned.markerProps(viewRoot, v)
+    require(p.contains("mvj.leftVersion"),
+      s"$viewRoot is not a materialized join view (no mvj.* props on v$v)")
+    Def(p("mvj.leftRoot"), p("mvj.rightRoot"), p("mvj.joinCol"),
+      p("mvj.groupCols").split(',').toSeq, p("mvj.sumCols").split(',').toSeq,
+      p("mvj.leftVersion").toLong, p("mvj.rightVersion").toLong)
+  }
+
+  private def aggregated(joined: DataFrame, d: Def): DataFrame =
+    joined.groupBy(d.groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("cnt"),
+        d.sumCols.map(c =>
+          sum(col(c).cast("decimal(18,6)")).cast("decimal(28,6)")
+            .as(s"sum_$c")): _*)
+      .withColumn(GK, gkOf(d.groupCols))
+
+  /** Materialize the join view over both tables' LATEST versions (the
+    * one O(|A ⋈ B|) pass; every later [[refresh]] is delta-bounded).
+    */
+  def create(
+      spark: SparkSession,
+      leftRoot: String,
+      rightRoot: String,
+      viewRoot: String,
+      joinCol: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String]): Long = {
+    val lv = Versioned.latestVersion(leftRoot)
+    val rv = Versioned.latestVersion(rightRoot)
+    require(lv >= 0 && rv >= 0, "both sources need a committed version")
+    val d = Def(leftRoot, rightRoot, joinCol, groupCols, sumCols, lv, rv)
+    val joined = Versioned.asOf(spark, leftRoot, lv)
+      .join(Versioned.asOf(spark, rightRoot, rv), joinCol)
+    Versioned.appendCommit(aggregated(joined, d), viewRoot,
+      bloomCols = Seq(GK), props = propsOf(d))
+  }
+
+  /** The view's current contents: group columns, `cnt`, each sum as a
+    * double `sum_<c>`.
+    */
+  def read(spark: SparkSession, viewRoot: String): DataFrame = {
+    val d = defOf(viewRoot)
+    d.sumCols.foldLeft(Versioned.latest(spark, viewRoot).drop(GK)) { (df, c) =>
+      df.withColumn(s"sum_$c", col(s"sum_$c").cast("double"))
+    }
+  }
+
+  /** Signed change feed of `root` between versions: the rows plus a
+    * `_sgn` column (+1 insert, −1 delete); None when the span is empty.
+    */
+  private def signedDelta(
+      spark: SparkSession, root: String, fromV: Long, toV: Long): Option[DataFrame] =
+    if (toV == fromV) None
+    else Some(Versioned.changesBetween(spark, root, fromV, toV)
+      .withColumn("_sgn",
+        when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1)))
+      .drop("_change_type")
+      .localCheckpoint())
+
+  /** The other table's OLD image restricted to the delta's join keys —
+    * a bloom-pruned point read, never a table scan. None when the delta
+    * (and hence the probe list) is empty.
+    */
+  private def prunedOld(
+      spark: SparkSession,
+      root: String,
+      v: Long,
+      joinCol: String,
+      delta: Option[DataFrame]): Option[DataFrame] =
+    delta.flatMap { d =>
+      val keys = d.select(col(joinCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (keys.isEmpty) None
+      else Some(Versioned.pointRead(spark, root, v, joinCol, keys))
+    }
+
+  /** Advance the view to both sources' latest versions — ONE atomic
+    * commit (or -1 when both are caught up).
+    */
+  def refresh(spark: SparkSession, viewRoot: String): Long = {
+    val d = defOf(viewRoot)
+    val lv = Versioned.latestVersion(d.leftRoot)
+    val rv = Versioned.latestVersion(d.rightRoot)
+    require(lv >= d.leftVersion && rv >= d.rightVersion,
+      s"a source of $viewRoot went backwards")
+    if (lv == d.leftVersion && rv == d.rightVersion) return -1L
+    val newProps = propsOf(d.copy(leftVersion = lv, rightVersion = rv))
+    val dl = signedDelta(spark, d.leftRoot, d.leftVersion, lv)
+    val dr = signedDelta(spark, d.rightRoot, d.rightVersion, rv)
+    // the three delta-join terms, each sign-weighted
+    val parts = Seq.newBuilder[DataFrame]
+    prunedOld(spark, d.rightRoot, d.rightVersion, d.joinCol, dl).foreach { rOld =>
+      parts += dl.get.join(rOld, d.joinCol).withColumn("_w", col("_sgn"))
+    }
+    prunedOld(spark, d.leftRoot, d.leftVersion, d.joinCol, dr).foreach { lOld =>
+      parts += lOld.join(dr.get, d.joinCol).withColumn("_w", col("_sgn"))
+    }
+    (dl, dr) match {
+      case (Some(l), Some(r)) =>
+        parts += l.withColumnRenamed("_sgn", "_sl")
+          .join(r.withColumnRenamed("_sgn", "_sr"), d.joinCol)
+          .withColumn("_w", col("_sl") * col("_sr"))
+      case _ => ()
+    }
+    val zero = lit(0).cast("decimal(28,6)")
+    val all = parts.result()
+    val delta =
+      if (all.isEmpty) None
+      else Some(all.map(_.select(
+          (d.groupCols.map(col) :+ col("_w")) ++
+            d.sumCols.map(col): _*))
+        .reduce(_.unionByName(_))
+        .groupBy(d.groupCols.map(col): _*)
+        .agg(
+          sum(col("_w")).cast("bigint").as("_dcnt"),
+          d.sumCols.map(c =>
+            sum(col("_w") * col(c).cast("decimal(18,6)"))
+              .cast("decimal(28,6)").as(s"_dsum_$c")): _*)
+        .filter(d.sumCols.map(c => col(s"_dsum_$c") =!= zero)
+          .foldLeft(col("_dcnt") =!= 0L)(_ || _))
+        .withColumn(GK, gkOf(d.groupCols))
+        .localCheckpoint())
+    val keys = delta.map(_.select(col(GK)).collect().map(_.getString(0)).toSeq.sorted)
+      .getOrElse(Nil)
+    if (keys.isEmpty)
+      // watermark-only metadata commit
+      return Versioned.replaceCommit(
+        Versioned.latest(spark, viewRoot).filter(lit(false)),
+        viewRoot, GK, props = newProps)
+    val old = Versioned.pointRead(
+      spark, viewRoot, Versioned.latestVersion(viewRoot), GK, keys)
+    val merged = delta.get.alias("d")
+      .join(old.alias("o"), Seq(GK), "left")
+      .select(
+        Seq(col(GK),
+          (coalesce(col("o.cnt"), lit(0L)) + col("d._dcnt")).as("cnt")) ++
+        d.groupCols.map(c => col(s"d.$c")) ++
+        d.sumCols.map(c =>
+          (coalesce(col(s"o.sum_$c"), zero) + col(s"d._dsum_$c"))
+            .cast("decimal(28,6)").as(s"sum_$c")): _*)
+      .withColumn("cnt",
+        when(col("cnt") < 0L,
+          raise_error(concat(lit("join view underflow on group "),
+            col(GK))).cast("bigint"))
+          .otherwise(col("cnt")))
+      .localCheckpoint()
+    val survivors = merged.filter(col("cnt") > 0L)
+      .select((d.groupCols.map(col) :+ col("cnt")) ++
+        d.sumCols.map(c => col(s"sum_$c")) :+ col(GK): _*)
+    val zeroed = merged.filter(col("cnt") === 0L)
+      .select(col(GK)).collect().map(_.getString(0)).toSeq.sorted
+    Versioned.replaceCommit(
+      survivors, viewRoot, GK, deleteKeys = zeroed, props = newProps)
+  }
+}
