@@ -498,8 +498,9 @@ object SparkEntry {
     // m36: scalar() — per-series share of the global per-window total,
     // the share-of-total idiom that needs no label matching (numerator
     // filtered > 0 first, so a zero-total window divides nothing — NaN
-    // never enters the relation; Spark treats NaN > 0 as TRUE, so a
-    // post-division filter would NOT drop it)
+    // never enters the relation; since round 11 cmpPred is IEEE, so a
+    // post-division > filter would ALSO drop NaN, matching Prometheus —
+    // the numerator-first shape is kept for the oracle's simplicity)
     "m36_promql_scalar" -> ((s, dir) =>
       promql.PromQl.compile(
         "(increase(view_total[1h]) > 0) / scalar(sum(increase(view_total[1h])))",
@@ -868,6 +869,42 @@ object SparkEntry {
       MaterializedView.refresh(s, view)
       MaterializedView.read(s, view).select(
         "lang", "source", "cnt", "sum_n_chars", "min_n_chars", "max_n_chars")
+    }),
+    // p11: INCREMENTAL materialized JOIN view — create over a partial
+    // fact load, then three delta-bounded refreshes (a fact-append span,
+    // a dim-upsert span that migrates every joined fact across groups,
+    // and a fact-delete span through the min/max recompute arm); the
+    // final view must equal DuckDB's direct join + GROUP BY over the
+    // surviving rows bit-exactly (decimal sums)
+    "p11_mvj_refresh" -> ((s, dir) => {
+      import graft.sources.{MaterializedJoinView, Versioned}
+      val orders = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("custkey"),
+        col("o_totalprice").as("price"))
+      val cust = Tables(s, dir, "customer").select(
+        col("c_custkey").as("custkey"), col("c_mktsegment").as("segment"))
+      val fact = java.nio.file.Files.createTempDirectory("graft-mvj-fact")
+        .toFile.getAbsolutePath
+      val dim = java.nio.file.Files.createTempDirectory("graft-mvj-dim")
+        .toFile.getAbsolutePath
+      val view = java.nio.file.Files.createTempDirectory("graft-mvj-view")
+        .toFile.getAbsolutePath
+      Versioned.appendCommit(orders.filter(col("o_orderkey") % 3 =!= 0), fact,
+        bloomCols = Seq("custkey", "o_orderkey"))
+      Versioned.appendCommit(cust, dim, bloomCols = Seq("custkey"))
+      MaterializedJoinView.create(s, fact, dim, view, "custkey",
+        Seq("segment"), Seq("price"), minMaxCols = Seq("price"))
+      Versioned.appendCommit(orders.filter(col("o_orderkey") % 3 === 0), fact,
+        bloomCols = Seq("custkey", "o_orderkey"))
+      MaterializedJoinView.refresh(s, view)
+      Versioned.upsertCommit(
+        cust.filter(col("custkey") % 10 === 0)
+          .withColumn("segment", lit("MOVED")), dim, "custkey")
+      MaterializedJoinView.refresh(s, view)
+      Versioned.deleteWhere(s, fact, "o_orderkey", col("o_orderkey") % 100 === 0)
+      MaterializedJoinView.refresh(s, view)
+      MaterializedJoinView.read(s, view).select(
+        "segment", "cnt", "sum_price", "min_price", "max_price")
     }),
     "d7_sample_per_source" -> ((s, dir) =>
       Curate.samplePerGroup(Tables(s, dir, "documents"), "source", k = 5)))
@@ -2317,6 +2354,18 @@ object SparkEntry {
         |  CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) AS sum_n_chars,
         |  min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
         |FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1, 2""".stripMargin,
+    // the incrementally-refreshed JOIN view vs DuckDB's direct
+    // join + GROUP BY over the surviving rows (dim movers re-segmented,
+    // deleted facts gone) — exact decimal sums make them bit-equal
+    "p11_mvj_refresh" ->
+      """SELECT CASE WHEN c_custkey % 10 = 0 THEN 'MOVED'
+        |            ELSE c_mktsegment END AS segment,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 100 <> 0
+        |GROUP BY 1""".stripMargin,
     // the incrementally-refreshed view vs a direct GROUP BY over the
     // final surviving rows — exact decimal sums make them bit-equal
     "p9_mv_refresh" ->

@@ -596,7 +596,10 @@ object Multimodal {
     while (!done) {
       if (bb.remaining() < 12) return None
       val len = bb.getInt
-      if (len < 0 || bb.remaining() < len + 8) return None
+      // length arithmetic in Long: a crafted len near Int.MaxValue must
+      // fail THIS check, not overflow into a passing one and throw on
+      // the buffer positioning below
+      if (len < 0 || bb.remaining().toLong < len.toLong + 8L) return None
       val typStart = bb.position()
       val typ = new String(payload, typStart, 4, "US-ASCII")
       bb.position(typStart + 4)
@@ -623,9 +626,12 @@ object Multimodal {
     }
     if (width < 0 || idat.size() == 0) return None
     val bpp = if (colorType == 0) 1 else 3
-    val rowLen = width * bpp
-    val expected = (rowLen + 1).toLong * height
-    if (expected > Int.MaxValue) return None
+    // dimension arithmetic in Long: CRC-valid but huge IHDR dimensions
+    // must decode to None, never overflow Int into a negative array size
+    val rowLenL = width.toLong * bpp
+    val expected = (rowLenL + 1L) * height
+    if (rowLenL * height > Int.MaxValue || expected > Int.MaxValue) return None
+    val rowLen = rowLenL.toInt
     val raw = new Array[Byte](expected.toInt)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)

@@ -148,6 +148,13 @@ object NativeHist {
     * bucket bounds are the same doubles in any engine.
     */
   def quantile(hists: DataFrame, q: Double): DataFrame = {
+    // Prometheus's histogram_quantile convention for out-of-range φ:
+    // φ < 0 → -Inf, φ > 1 → +Inf, NaN → NaN — applied at the API
+    // boundary so a bad φ never silently yields null (fold exhausted)
+    // or a spurious 0.0 (empty zero bucket)
+    if (q.isNaN) return hists.withColumn("q_value", lit(Double.NaN))
+    if (q < 0) return hists.withColumn("q_value", lit(Double.NegativeInfinity))
+    if (q > 1) return hists.withColumn("q_value", lit(Double.PositiveInfinity))
     val total = (col("zero_count") +
       aggregate(col("buckets"), lit(0L), (a, b) => a + b.getField("cnt"))).cast("double")
     val rank = lit(q) * total

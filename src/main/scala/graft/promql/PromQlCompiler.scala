@@ -78,7 +78,12 @@ final case class PromQlCompileException(msg: String) extends RuntimeException(ms
   *    so aggregates are order-independent and engine-portable — the
   *    discipline every exact-sum operator in the library uses.
   *  - `/` by zero yields ±Inf/NaN explicitly (IEEE, like PromQL) rather
-  *    than relying on engine-specific division semantics.
+  *    than relying on engine-specific division semantics. Comparison
+  *    operators are IEEE too ([[cmpPred]]): a NaN operand makes every
+  *    comparison false except `!=` (true) — Spark's SQL ordering, which
+  *    treats NaN == NaN as true and NaN as greatest, never leaks into
+  *    a PromQL filter or bool result. (Not a divergence — listed here
+  *    because it is explicitly spelled out rather than inherited.)
   *  - Exact quantiles ride the bounded per-group multiset and round to
   *    4 dp ([[Firehose.quantileOverTime]]'s portability contract).
   *  - `predict_linear` extrapolates from the window's NEWEST sample
@@ -179,13 +184,23 @@ object PromQlCompiler {
     case "^" => pow(l, r)
   }
 
-  private[promql] def cmpPred(op: String, l: Column, r: Column): Column = op match {
-    case "==" => l === r
-    case "!=" => l =!= r
-    case "<" => l < r
-    case ">" => l > r
-    case "<=" => l <= r
-    case ">=" => l >= r
+  /** PromQL comparisons are Go float64 (IEEE 754) comparisons: when
+    * either side is NaN, every operator yields false EXCEPT `!=`, which
+    * yields true. Spark's SQL ordering diverges (NaN == NaN is true and
+    * NaN sorts greatest), and NaN is reachable from [[arith]] itself
+    * (0/0, x%0, `scalar()` of a multi-element vector) — so the IEEE
+    * branch is spelled out rather than inherited.
+    */
+  private[promql] def cmpPred(op: String, l: Column, r: Column): Column = {
+    val anyNan = isnan(l) || isnan(r)
+    op match {
+      case "==" => !anyNan && l === r
+      case "!=" => anyNan || l =!= r
+      case "<" => !anyNan && l < r
+      case ">" => !anyNan && l > r
+      case "<=" => !anyNan && l <= r
+      case ">=" => !anyNan && l >= r
+    }
   }
 
   private final class Eval(metrics: DataFrame, stepSec: Long, sliding: Boolean = false) {

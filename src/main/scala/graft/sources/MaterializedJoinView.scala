@@ -22,11 +22,26 @@ import org.apache.spark.sql.functions._
   * in the marker `props` (crash-atomic, double-apply impossible — the
   * [[MaterializedView]] discipline).
   *
+  * Feature parity with the single-table view:
+  *
+  *   - an optional WHERE predicate over the JOINED relation (selection
+  *     commutes with Δ, so each delta term filters identically);
+  *   - optional `min_<c>`/`max_<c>` via the HYBRID strategy — inserts
+  *     self-maintain the extremes, a group any retraction touched is
+  *     recomputed from the source join (O(affected groups), with the
+  *     same no-touch lemma that makes a compact span a watermark-only
+  *     commit);
+  *   - intermediate deltas land through
+  *     [[graft.Tables.materializeStage]] — a DURABLE Versioned stage,
+  *     not a `localCheckpoint`, so executor loss mid-refresh re-reads
+  *     landed files instead of dying on lost lineage-truncated blocks.
+  *
   * Scope: one join column (same name both sides; the bloom-probe list
-  * is driver-held and O(delta), the applyCdc contract), remaining
-  * column names disjoint across the two tables, count/sum aggregates
-  * (self-maintainable under the signed algebra; min/max would need the
-  * single-table hybrid's recompute arm and is out of scope here).
+  * is driver-held and O(delta), the applyCdc contract) and remaining
+  * column names disjoint across the two tables. Second-order
+  * composition works because the view root IS a Versioned table: a
+  * [[MaterializedView]] created over a join-view root consumes its
+  * replaceCommit change feed like any other source.
   */
 object MaterializedJoinView {
 
@@ -42,6 +57,8 @@ object MaterializedJoinView {
       joinCol: String,
       groupCols: Seq[String],
       sumCols: Seq[String],
+      minMaxCols: Seq[String],
+      where: String,
       leftVersion: Long,
       rightVersion: Long)
 
@@ -51,6 +68,8 @@ object MaterializedJoinView {
     "mvj.joinCol" -> d.joinCol,
     "mvj.groupCols" -> d.groupCols.mkString(","),
     "mvj.sumCols" -> d.sumCols.mkString(","),
+    "mvj.minMaxCols" -> d.minMaxCols.mkString(","),
+    "mvj.where" -> d.where,
     "mvj.leftVersion" -> d.leftVersion.toString,
     "mvj.rightVersion" -> d.rightVersion.toString)
 
@@ -60,10 +79,30 @@ object MaterializedJoinView {
     val p = Versioned.markerProps(viewRoot, v)
     require(p.contains("mvj.leftVersion"),
       s"$viewRoot is not a materialized join view (no mvj.* props on v$v)")
+    def cols(k: String): Seq[String] =
+      p.getOrElse(k, "").split(',').toSeq.filter(_.nonEmpty)
     Def(p("mvj.leftRoot"), p("mvj.rightRoot"), p("mvj.joinCol"),
-      p("mvj.groupCols").split(',').toSeq, p("mvj.sumCols").split(',').toSeq,
+      cols("mvj.groupCols"), cols("mvj.sumCols"), cols("mvj.minMaxCols"),
+      p.getOrElse("mvj.where", ""),
       p("mvj.leftVersion").toLong, p("mvj.rightVersion").toLong)
   }
+
+  /** The view's WHERE predicate over the joined relation — a
+    * deterministic row function, so it filters a change-feed term
+    * identically whether the row arrives signed +1 or −1 (selection
+    * pushes through Δ, the standard IVM rule).
+    */
+  private def filtered(joined: DataFrame, d: Def): DataFrame =
+    if (d.where.isEmpty) joined else joined.filter(expr(d.where))
+
+  /** The full join at explicit versions — create's one O(|A ⋈ B|) pass,
+    * and the recompute arm's per-group authority.
+    */
+  private def joinedAt(
+      spark: SparkSession, d: Def, lv: Long, rv: Long): DataFrame =
+    filtered(
+      Versioned.asOf(spark, d.leftRoot, lv)
+        .join(Versioned.asOf(spark, d.rightRoot, rv), d.joinCol), d)
 
   private def aggregated(joined: DataFrame, d: Def): DataFrame =
     joined.groupBy(d.groupCols.map(col): _*)
@@ -71,8 +110,15 @@ object MaterializedJoinView {
         count(lit(1)).as("cnt"),
         d.sumCols.map(c =>
           sum(col(c).cast("decimal(18,6)")).cast("decimal(28,6)")
-            .as(s"sum_$c")): _*)
+            .as(s"sum_$c")) ++
+          d.minMaxCols.flatMap(c => Seq(
+            min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
       .withColumn(GK, gkOf(d.groupCols))
+
+  private def viewCols(d: Def): Seq[Column] =
+    (d.groupCols.map(col) :+ col("cnt")) ++
+      d.sumCols.map(c => col(s"sum_$c")) ++
+      d.minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))) :+ col(GK)
 
   /** Materialize the join view over both tables' LATEST versions (the
     * one O(|A ⋈ B|) pass; every later [[refresh]] is delta-bounded).
@@ -84,38 +130,43 @@ object MaterializedJoinView {
       viewRoot: String,
       joinCol: String,
       groupCols: Seq[String],
-      sumCols: Seq[String]): Long = {
+      sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil,
+      where: String = ""): Long = {
     val lv = Versioned.latestVersion(leftRoot)
     val rv = Versioned.latestVersion(rightRoot)
     require(lv >= 0 && rv >= 0, "both sources need a committed version")
-    val d = Def(leftRoot, rightRoot, joinCol, groupCols, sumCols, lv, rv)
-    val joined = Versioned.asOf(spark, leftRoot, lv)
-      .join(Versioned.asOf(spark, rightRoot, rv), joinCol)
-    Versioned.appendCommit(aggregated(joined, d), viewRoot,
+    val d = Def(leftRoot, rightRoot, joinCol, groupCols, sumCols, minMaxCols,
+      where, lv, rv)
+    Versioned.appendCommit(aggregated(joinedAt(spark, d, lv, rv), d), viewRoot,
       bloomCols = Seq(GK), props = propsOf(d))
   }
 
   /** The view's current contents: group columns, `cnt`, each sum as a
-    * double `sum_<c>`.
+    * double `sum_<c>` with the derived `avg_<c>`, and any maintained
+    * `min_<c>`/`max_<c>` in their source types.
     */
   def read(spark: SparkSession, viewRoot: String): DataFrame = {
     val d = defOf(viewRoot)
     d.sumCols.foldLeft(Versioned.latest(spark, viewRoot).drop(GK)) { (df, c) =>
-      df.withColumn(s"sum_$c", col(s"sum_$c").cast("double"))
+      df.withColumn(s"avg_$c", (col(s"sum_$c") / col("cnt")).cast("double"))
+        .withColumn(s"sum_$c", col(s"sum_$c").cast("double"))
     }
   }
 
   /** Signed change feed of `root` between versions: the rows plus a
-    * `_sgn` column (+1 insert, −1 delete); None when the span is empty.
+    * `_sgn` column (+1 insert, −1 delete), landed DURABLY as a stage
+    * table (it is read by up to two join terms and the final merge);
+    * None when the span is empty.
     */
   private def signedDelta(
       spark: SparkSession, root: String, fromV: Long, toV: Long): Option[DataFrame] =
     if (toV == fromV) None
-    else Some(Versioned.changesBetween(spark, root, fromV, toV)
-      .withColumn("_sgn",
-        when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1)))
-      .drop("_change_type")
-      .localCheckpoint())
+    else Some(graft.Tables.materializeStage(
+      Versioned.changesBetween(spark, root, fromV, toV)
+        .withColumn("_sgn",
+          when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1)))
+        .drop("_change_type")))
 
   /** The other table's OLD image restricted to the delta's join keys —
     * a bloom-pruned point read, never a table scan. None when the delta
@@ -147,39 +198,56 @@ object MaterializedJoinView {
     val newProps = propsOf(d.copy(leftVersion = lv, rightVersion = rv))
     val dl = signedDelta(spark, d.leftRoot, d.leftVersion, lv)
     val dr = signedDelta(spark, d.rightRoot, d.rightVersion, rv)
-    // the three delta-join terms, each sign-weighted
+    // the three delta-join terms, each sign-weighted and WHERE-filtered
     val parts = Seq.newBuilder[DataFrame]
     prunedOld(spark, d.rightRoot, d.rightVersion, d.joinCol, dl).foreach { rOld =>
-      parts += dl.get.join(rOld, d.joinCol).withColumn("_w", col("_sgn"))
+      parts += filtered(dl.get.join(rOld, d.joinCol), d)
+        .withColumn("_w", col("_sgn"))
     }
     prunedOld(spark, d.leftRoot, d.leftVersion, d.joinCol, dr).foreach { lOld =>
-      parts += lOld.join(dr.get, d.joinCol).withColumn("_w", col("_sgn"))
+      parts += filtered(lOld.join(dr.get, d.joinCol), d)
+        .withColumn("_w", col("_sgn"))
     }
     (dl, dr) match {
       case (Some(l), Some(r)) =>
-        parts += l.withColumnRenamed("_sgn", "_sl")
-          .join(r.withColumnRenamed("_sgn", "_sr"), d.joinCol)
+        parts += filtered(
+            l.withColumnRenamed("_sgn", "_sl")
+              .join(r.withColumnRenamed("_sgn", "_sr"), d.joinCol), d)
           .withColumn("_w", col("_sl") * col("_sr"))
       case _ => ()
     }
     val zero = lit(0).cast("decimal(28,6)")
     val all = parts.result()
+    val isIns = col("_w") > 0
     val delta =
       if (all.isEmpty) None
-      else Some(all.map(_.select(
+      else Some(graft.Tables.materializeStage(all.map(_.select(
           (d.groupCols.map(col) :+ col("_w")) ++
-            d.sumCols.map(col): _*))
+            (d.sumCols ++ d.minMaxCols).distinct.map(col): _*))
         .reduce(_.unionByName(_))
         .groupBy(d.groupCols.map(col): _*)
         .agg(
           sum(col("_w")).cast("bigint").as("_dcnt"),
           d.sumCols.map(c =>
             sum(col("_w") * col(c).cast("decimal(18,6)"))
-              .cast("decimal(28,6)").as(s"_dsum_$c")): _*)
-        .filter(d.sumCols.map(c => col(s"_dsum_$c") =!= zero)
-          .foldLeft(col("_dcnt") =!= 0L)(_ || _))
-        .withColumn(GK, gkOf(d.groupCols))
-        .localCheckpoint())
+              .cast("decimal(28,6)").as(s"_dsum_$c")) ++
+            Seq(max(when(!isIns, lit(1)).otherwise(lit(0))).as("_del")) ++
+            d.minMaxCols.flatMap(c => Seq(
+              min(when(isIns, col(c))).as(s"_imin_$c"),
+              max(when(isIns, col(c))).as(s"_imax_$c"),
+              min(when(!isIns, col(c))).as(s"_rmin_$c"),
+              max(when(!isIns, col(c))).as(s"_rmax_$c"))): _*)
+        // the no-touch lemma (see [[MaterializedView]]): a group whose
+        // insert-side stats equal its retraction-side stats provably
+        // keeps its exact view row — a compact span on either source
+        // becomes a watermark-only commit even with min/max maintained
+        .filter(
+          (d.sumCols.map(c => col(s"_dsum_$c") =!= zero) ++
+            d.minMaxCols.flatMap(c => Seq(
+              !(col(s"_imin_$c") <=> col(s"_rmin_$c")),
+              !(col(s"_imax_$c") <=> col(s"_rmax_$c")))))
+            .foldLeft(col("_dcnt") =!= 0L)(_ || _))
+        .withColumn(GK, gkOf(d.groupCols))))
     val keys = delta.map(_.select(col(GK)).collect().map(_.getString(0)).toSeq.sorted)
       .getOrElse(Nil)
     if (keys.isEmpty)
@@ -189,7 +257,14 @@ object MaterializedJoinView {
         viewRoot, GK, props = newProps)
     val old = Versioned.pointRead(
       spark, viewRoot, Versioned.latestVersion(viewRoot), GK, keys)
-    val merged = delta.get.alias("d")
+    // groups a retraction touched (and that failed the lemma) lose their
+    // extremum evidence — recompute exactly those from the source join
+    val recomputeKeys =
+      if (d.minMaxCols.isEmpty) Nil
+      else delta.get.filter(col("_del") === 1)
+        .select(col(GK)).collect().map(_.getString(0)).toSeq.sorted
+    val incr = delta.get.filter(col("_del") === 0 || lit(d.minMaxCols.isEmpty))
+      .alias("d")
       .join(old.alias("o"), Seq(GK), "left")
       .select(
         Seq(col(GK),
@@ -197,19 +272,33 @@ object MaterializedJoinView {
         d.groupCols.map(c => col(s"d.$c")) ++
         d.sumCols.map(c =>
           (coalesce(col(s"o.sum_$c"), zero) + col(s"d._dsum_$c"))
-            .cast("decimal(28,6)").as(s"sum_$c")): _*)
+            .cast("decimal(28,6)").as(s"sum_$c")) ++
+        // insert-only groups self-maintain the extremes
+        d.minMaxCols.flatMap(c => Seq(
+          least(col(s"o.min_$c"), col(s"d._imin_$c")).as(s"min_$c"),
+          greatest(col(s"o.max_$c"), col(s"d._imax_$c")).as(s"max_$c"))): _*)
       .withColumn("cnt",
         when(col("cnt") < 0L,
           raise_error(concat(lit("join view underflow on group "),
             col(GK))).cast("bigint"))
           .otherwise(col("cnt")))
-      .localCheckpoint()
-    val survivors = merged.filter(col("cnt") > 0L)
-      .select((d.groupCols.map(col) :+ col("cnt")) ++
-        d.sumCols.map(c => col(s"sum_$c")) :+ col(GK): _*)
+    val merged = graft.Tables.materializeStage(incr)
+    val recomputed =
+      if (recomputeKeys.isEmpty) None
+      else Some(graft.Tables.materializeStage(
+        aggregated(joinedAt(spark, d, lv, rv), d)
+          .filter(col(GK).isin(recomputeKeys: _*))))
+    val survivors = (merged.filter(col("cnt") > 0L).select(viewCols(d): _*) +:
+      recomputed.map(_.select(viewCols(d): _*)).toSeq).reduce(_.unionByName(_))
+    // zero-count incremental groups vanish; so do recompute-arm groups
+    // whose joined rows are all gone
     val zeroed = merged.filter(col("cnt") === 0L)
-      .select(col(GK)).collect().map(_.getString(0)).toSeq.sorted
+      .select(col(GK)).collect().map(_.getString(0)).toSeq ++
+      recomputed.map { r =>
+        val alive = r.select(col(GK)).collect().map(_.getString(0)).toSet
+        recomputeKeys.filterNot(alive)
+      }.getOrElse(Nil)
     Versioned.replaceCommit(
-      survivors, viewRoot, GK, deleteKeys = zeroed, props = newProps)
+      survivors, viewRoot, GK, deleteKeys = zeroed.sorted, props = newProps)
   }
 }

@@ -82,6 +82,159 @@ class MaterializedJoinViewSpec extends SparkSuite {
     assert(Versioned.history(view).size === h)
   }
 
+  test("WHERE predicate: the filtered view maintains through both sides' deltas") {
+    val left = tmp("mvjw-l"); val right = tmp("mvjw-r"); val view = tmp("mvjw-v")
+    def recomputeW: Set[(Long, Long, Double)] =
+      Versioned.latest(spark, left)
+        .join(Versioned.latest(spark, right), "s")
+        .filter(col("x") >= 2.0 && col("tier") =!= 9L)
+        .groupBy("tier")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("x").cast("decimal(18,6)")).cast("double").as("sum_x"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Versioned.appendCommit(
+      Seq((1L, "s1", 1.0), (2L, "s1", 2.0), (3L, "s2", 4.0))
+        .toDF("k", "s", "x").coalesce(1), left, bloomCols = Seq("s", "k"))
+    Versioned.appendCommit(
+      Seq(("s1", 0L), ("s2", 1L)).toDF("s", "tier").coalesce(1),
+      right, bloomCols = Seq("s"))
+    MaterializedJoinView.create(spark, left, right, view, "s",
+      Seq("tier"), Seq("x"), where = "x >= 2.0 AND tier != 9")
+    assert(rows(view) === recomputeW)
+    assert(rows(view) === Set((0L, 1L, 2.0), (1L, 1L, 4.0)))
+    // a sub-threshold fact joins but is filtered out of the view
+    Versioned.appendCommit(
+      Seq((4L, "s1", 0.5), (5L, "s2", 8.0)).toDF("k", "s", "x").coalesce(1),
+      left, bloomCols = Seq("s", "k"))
+    MaterializedJoinView.refresh(spark, view)
+    assert(rows(view) === recomputeW)
+    // a dim move INTO the excluded tier drops the group's facts from the
+    // view (the retraction side filters identically)
+    Versioned.upsertCommit(Seq(("s2", 9L)).toDF("s", "tier").coalesce(1),
+      right, "s")
+    MaterializedJoinView.refresh(spark, view)
+    assert(rows(view) === recomputeW)
+    assert(rows(view) === Set((0L, 1L, 2.0)))
+  }
+
+  test("min/max: inserts self-maintain, retractions hit the recompute arm") {
+    val left = tmp("mvjm-l"); val right = tmp("mvjm-r"); val view = tmp("mvjm-v")
+    def rowsMM: Set[(Long, Long, Double, Double, Double)] =
+      MaterializedJoinView.read(spark, view)
+        .select(col("tier"), col("cnt"), col("sum_x"), col("min_x"), col("max_x"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+    def recomputeMM: Set[(Long, Long, Double, Double, Double)] =
+      Versioned.latest(spark, left)
+        .join(Versioned.latest(spark, right), "s")
+        .groupBy("tier")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("x").cast("decimal(18,6)")).cast("double").as("sum_x"),
+          min("x").as("min_x"), max("x").as("max_x"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+    Versioned.appendCommit(
+      Seq((1L, "s1", 1.0), (2L, "s1", 7.0), (3L, "s2", 4.0))
+        .toDF("k", "s", "x").coalesce(1), left, bloomCols = Seq("s", "k"))
+    Versioned.appendCommit(
+      Seq(("s1", 0L), ("s2", 1L)).toDF("s", "tier").coalesce(1),
+      right, bloomCols = Seq("s"))
+    MaterializedJoinView.create(spark, left, right, view, "s",
+      Seq("tier"), Seq("x"), minMaxCols = Seq("x"))
+    assert(rowsMM === recomputeMM)
+    // insert-only span: extremes extend without touching the base
+    Versioned.appendCommit(
+      Seq((4L, "s1", 9.0), (5L, "s1", 0.5)).toDF("k", "s", "x").coalesce(1),
+      left, bloomCols = Seq("s", "k"))
+    MaterializedJoinView.refresh(spark, view)
+    assert(rowsMM === recomputeMM)
+    assert(rowsMM.exists { case (t, _, _, mn, mx) => t == 0L && mn == 0.5 && mx == 9.0 })
+    // deleting the max forces the hybrid recompute of exactly that group
+    Versioned.deleteCommit(spark, left, "k", Seq("4"))
+    MaterializedJoinView.refresh(spark, view)
+    assert(rowsMM === recomputeMM)
+    assert(rowsMM.exists { case (t, _, _, mn, mx) => t == 0L && mn == 0.5 && mx == 7.0 })
+    // a dim move retracts every joined fact from the old group and
+    // re-inserts into the new — both arms in one refresh
+    Versioned.upsertCommit(Seq(("s2", 0L)).toDF("s", "tier").coalesce(1),
+      right, "s")
+    MaterializedJoinView.refresh(spark, view)
+    assert(rowsMM === recomputeMM)
+  }
+
+  test("second order: a MaterializedView over the join-view root refreshes through") {
+    import graft.sources.MaterializedView
+    val left = tmp("mvj2-l"); val right = tmp("mvj2-r")
+    val view = tmp("mvj2-v"); val roll = tmp("mvj2-roll")
+    Versioned.appendCommit(
+      Seq((1L, "s1", 1.0), (2L, "s2", 2.0), (3L, "s3", 4.0))
+        .toDF("k", "s", "x").coalesce(1), left, bloomCols = Seq("s", "k"))
+    Versioned.appendCommit(
+      Seq(("s1", 0L), ("s2", 0L), ("s3", 1L)).toDF("s", "tier").coalesce(1),
+      right, bloomCols = Seq("s"))
+    MaterializedJoinView.create(spark, left, right, view, "s",
+      Seq("tier"), Seq("x"))
+    // level 2: count of tiers + total joined rows, OVER THE VIEW TABLE —
+    // its change feed is replaceCommit lineage (tombstone + append)
+    MaterializedView.create(spark, view, roll, Nil, Seq("cnt"))
+    def rollRows: Set[(Long, Double)] =
+      MaterializedView.read(spark, roll).select(col("cnt"), col("sum_cnt"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rollRows === Set((2L, 3.0))) // 2 tier groups, 3 joined rows
+    // ripple: new fact in a NEW tier + a dim move emptying tier 1
+    Versioned.appendCommit(Seq((4L, "s4", 8.0)).toDF("k", "s", "x").coalesce(1),
+      left, bloomCols = Seq("s", "k"))
+    Versioned.upsertCommit(
+      Seq(("s4", 5L), ("s3", 0L)).toDF("s", "tier").coalesce(1), right, "s")
+    MaterializedJoinView.refresh(spark, view)
+    MaterializedView.refresh(spark, roll)
+    assert(rows(view) === recompute(left, right))
+    assert(rollRows === Set((2L, 4.0))) // tiers {0, 5}, 4 joined rows
+  }
+
+  test("streaming: per-micro-batch fact landing + join-view refresh stays exact") {
+    val left = tmp("mvjs-l"); val right = tmp("mvjs-r"); val view = tmp("mvjs-v")
+    Versioned.appendCommit(
+      Seq((1L, "s1", 1.0)).toDF("k", "s", "x").coalesce(1),
+      left, bloomCols = Seq("s", "k"))
+    Versioned.appendCommit(
+      Seq(("s1", 0L), ("s2", 1L)).toDF("s", "tier").coalesce(1),
+      right, bloomCols = Seq("s"))
+    MaterializedJoinView.create(spark, left, right, view, "s",
+      Seq("tier"), Seq("x"))
+    val dir = Files.createTempDirectory("mvj-in").toFile
+    val chk = Files.createTempDirectory("mvj-chk").toFile
+    Files.write(dir.toPath.resolve("b1.json"),
+      """{"k":2,"s":"s1","x":2.5}
+        |{"k":3,"s":"s2","x":4.0}""".stripMargin.getBytes)
+    val q = spark.readStream
+      .schema("k LONG, s STRING, x DOUBLE").json(dir.getAbsolutePath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          Versioned.appendCommit(batch.coalesce(1), left, bloomCols = Seq("s", "k"))
+          MaterializedJoinView.refresh(spark, view)
+          ()
+        }
+      }
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(rows(view) === recompute(left, right))
+      Files.write(dir.toPath.resolve("b2.json"),
+        """{"k":4,"s":"s2","x":6.0}""".getBytes)
+      q.processAllAvailable()
+      assert(rows(view) === recompute(left, right))
+      assert(rows(view) === Set((0L, 2L, 3.5), (1L, 2L, 10.0)))
+      // one fact landing + one view commit per non-empty batch
+      assert(Versioned.history(left).length === 3)
+      assert(Versioned.history(view).length === 3)
+    } finally q.stop()
+  }
+
   test("fuzz: random two-sided op sequences always refresh to the recompute") {
     val rnd = new scala.util.Random(271828L)
     val left = tmp("mvj-l"); val right = tmp("mvj-r"); val view = tmp("mvj-v")
@@ -96,13 +249,20 @@ class MaterializedJoinViewSpec extends SparkSuite {
           math.round(rnd.nextDouble() * 1000) / 100.0)
         facts += r._1 -> ((r._2, r._3)); r
       }
+    def rowsMM: Set[(Long, Long, Double, Option[Double], Option[Double])] =
+      MaterializedJoinView.read(spark, view)
+        .select(col("tier"), col("cnt"), col("sum_x"), col("min_x"), col("max_x"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSet
     Versioned.appendCommit(factRows(5).toDF("k", "s", "x").coalesce(1),
       left, bloomCols = Seq("s", "k"))
     Versioned.appendCommit(dims.toSeq.toDF("s", "tier").coalesce(1),
       right, bloomCols = Seq("s"))
     MaterializedJoinView.create(spark, left, right, view, "s",
-      Seq("tier"), Seq("x"))
-    for (step <- 0 until 10) {
+      Seq("tier"), Seq("x"), minMaxCols = Seq("x"))
+    for (step <- 0 until 12) {
       // each step mutates one or both sides before refreshing
       if (rnd.nextBoolean())
         Versioned.appendCommit(factRows(rnd.nextInt(2) + 1)
@@ -125,9 +285,10 @@ class MaterializedJoinViewSpec extends SparkSuite {
         .flatMap { case (_, (s, x)) => dims.get(s).map(t => (t, x)) }
         .groupBy(_._1)
         .map { case (t, xs) =>
-          (t, xs.size.toLong, xs.map(v => BigDecimal(v._2)).sum.toDouble)
+          (t, xs.size.toLong, xs.map(v => BigDecimal(v._2)).sum.toDouble,
+            Option(xs.map(_._2).min), Option(xs.map(_._2).max))
         }.toSet
-      assert(rows(view) === model, s"step $step")
+      assert(rowsMM === model, s"step $step")
       assert(rows(view) === recompute(left, right), s"step $step vs recompute")
     }
   }

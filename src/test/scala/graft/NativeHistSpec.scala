@@ -60,6 +60,17 @@ class NativeHistSpec extends SparkSuite {
     assert(r.getDouble(1) === math.sqrt(r.getDouble(0)))
   }
 
+  test("out-of-range quantile q maps to -Inf/+Inf/NaN, never null or 0.0") {
+    def q(phi: Double): Double =
+      NativeHist.quantile(hists, phi).select("q_value").collect().head.getDouble(0)
+    assert(q(-0.1).isNegInfinity)
+    assert(q(1.5).isPosInfinity)
+    assert(q(Double.NaN).isNaN)
+    // in-range sanity rides along: the median of the planted set falls
+    // in bucket 1's interpolated span
+    assert(q(0.5) > 1.0 && q(0.5) <= 2.0)
+  }
+
   test("fraction of an empty histogram is NaN") {
     val empty = NativeHist.nativeHistogram(
       Seq.empty[(String, String, Long, Double)]

@@ -75,6 +75,54 @@ class PngSpec extends SparkSuite {
     assert(Multimodal.decodePng(sigFlip).isEmpty)
   }
 
+  test("overflow-crafted payloads decode to None, never throw") {
+    // CRC-valid chunks carrying adversarial arithmetic: a chunk length
+    // near Int.MaxValue (len + 8 wraps negative) and huge CRC-valid IHDR
+    // dimensions (width * bpp / rowLen * height wrap) — both must take
+    // the None path, not crash the task inside pngFeatures
+    def chunk(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+      bb.putInt(body.length)
+      val tb = typ.getBytes("US-ASCII")
+      bb.put(tb); bb.put(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    def ihdr(w: Int, h: Int, colorType: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(13)
+      b.putInt(w).putInt(h)
+      b.put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      chunk("IHDR", b.array())
+    }
+    // 1. chunk length Int.MaxValue - 4: old `remaining < len + 8` wrapped
+    val hugeLen = {
+      val bb = java.nio.ByteBuffer.allocate(8 + 12)
+      bb.put(sig)
+      bb.putInt(Int.MaxValue - 4)
+      bb.put("IHDR".getBytes("US-ASCII"))
+      bb.putInt(0)
+      bb.array()
+    }
+    assert(Multimodal.decodePng(hugeLen).isEmpty)
+    // 2. truecolor with width so large width * 3 wraps negative
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(Array[Byte](0)); d.finish()
+      val out = new Array[Byte](64); val n = d.deflate(out); d.end()
+      out.take(n)
+    }
+    val hugeW = sig ++ ihdr(0x60000000, 1, 2) ++
+      chunk("IDAT", deflated) ++ chunk("IEND", Array.empty)
+    assert(Multimodal.decodePng(hugeW).isEmpty)
+    // 3. rowLen * height wraps: both dims large, individually valid
+    val hugeWH = sig ++ ihdr(0x10000, 0x10000, 0) ++
+      chunk("IDAT", deflated) ++ chunk("IEND", Array.empty)
+    assert(Multimodal.decodePng(hugeWH).isEmpty)
+  }
+
   test("corruption fuzz: 300 random mutations never crash, only reject or decode") {
     val rnd = new scala.util.Random(0xC0FFEE)
     val good = Multimodal.encodePng(pixels, 32)

@@ -611,6 +611,26 @@ class PromQlCompileSpec extends SparkSuite {
     assert(PromQlPrinter.print(PromQlParser.parse(q)) === q)
   }
 
+  test("comparisons are IEEE on NaN: only != keeps NaN rows (filter and bool)") {
+    // x % 0 is NaN for every sample (the compiler's own arith), so the
+    // whole relation is the NaN operand Prometheus's Go-float semantics
+    // define: ==/</>/<=/>= drop it, != keeps it — Spark's SQL ordering
+    // (NaN == NaN true, NaN greatest) must never leak through cmpPred
+    val base = PromQl.compile("view_total % 0", metrics)
+    val n = base.count()
+    assert(n > 0 && base.filter(!isnan(col("value"))).count() === 0L)
+    for (op <- Seq("==", ">", "<", ">=", "<="))
+      assert(PromQl.compile(s"(view_total % 0) $op 0", metrics).count() === 0L,
+        s"NaN $op 0 must filter out")
+    assert(PromQl.compile("(view_total % 0) != 0", metrics).count() === n)
+    val boolVals = PromQl.compile("(view_total % 0) >= bool 0", metrics)
+      .select("value").collect().map(_.getDouble(0)).toSet
+    assert(boolVals === Set(0.0))
+    val neqVals = PromQl.compile("(view_total % 0) != bool 0", metrics)
+      .select("value").collect().map(_.getDouble(0)).toSet
+    assert(neqVals === Set(1.0))
+  }
+
   test("sort_desc orders the output relation by value descending") {
     val vals = PromQl.compile("sort_desc(sum by (user) (increase(view_total[1h])))",
         metrics)

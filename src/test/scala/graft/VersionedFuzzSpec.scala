@@ -34,12 +34,14 @@ class VersionedFuzzSpec extends SparkSuite {
       // which ops produced each version, for change-feed checks
       val opKind = scala.collection.mutable.ArrayBuffer.empty[String]
       val deletedKeys = scala.collection.mutable.ArrayBuffer.empty[Long]
+      // version -> the (k, name) a same-value upsert rewrote
+      val usame = scala.collection.mutable.Map.empty[Long, (Long, String)]
 
       def current: Map[Long, String] = model.lastOption.flatten.getOrElse(Map.empty)
 
       for (step <- 0 until 40) {
         val live = current
-        val op = rnd.nextInt(12) match {
+        val op = rnd.nextInt(13) match {
           case 0 | 1 | 2 | 3           => "append"
           case 4 if live.nonEmpty      => "upsert"
           case 5 | 6 if live.nonEmpty  => "delete"
@@ -48,6 +50,7 @@ class VersionedFuzzSpec extends SparkSuite {
           case 9 if live.nonEmpty      => "replace"
           case 10 if model.length >= 3 => "restore"
           case 11 if live.size >= 2    => "cdc"
+          case 12 if live.nonEmpty     => "usame"
           case _                       => "append"
         }
         op match {
@@ -110,6 +113,21 @@ class VersionedFuzzSpec extends SparkSuite {
             model += Some(current ++ rows -- del)
             deletedKeys ++= del
             opKind += "replace"
+          case "usame" =>
+            // SAME-VALUE upsert twice: the second commit's single-row
+            // delta is byte-identical to the first's and dedupes to the
+            // SAME pool path — the content-address identity case the
+            // multiset CDF diff exists for. The model never moves.
+            val k = rnd.shuffle(live.keys.toSeq).head
+            val v0 = live(k)
+            for (leg <- Seq("usame-a", "usame-b")) {
+              Versioned.upsertCommit(
+                Seq(k -> v0).toDF("k", "name").coalesce(1), root, "k",
+                expectedKeysPerFile = 256L)
+              model += Some(current)
+              opKind += leg
+              usame(model.length - 1L) = k -> v0
+            }
           case "restore" =>
             val retainedVs = model.zipWithIndex.collect { case (Some(_), i) => i }
             val v = retainedVs(rnd.nextInt(retainedVs.length))
@@ -178,13 +196,29 @@ class VersionedFuzzSpec extends SparkSuite {
           val got = Versioned.changesBetween(spark, root, v1, v2)
             .select("_change_type", "k", "name").collect()
             .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
-          // an upsert's replaced key reports as delete(old) + insert(new)
-          val replaced = (m1.keySet & m2.keySet).filter(k => m1(k) != m2(k))
-          val want =
-            (m2.keySet -- m1.keySet).map(k => ("insert", k, m2(k))) ++
-              (m1.keySet -- m2.keySet).map(k => ("delete", k, m1(k))) ++
-              replaced.flatMap(k => Seq(("delete", k, m1(k)), ("insert", k, m2(k))))
-          assert(got === want, s"seed=$seed changes($v1,$v2)")
+          kinds(v2.toInt) match {
+            case "usame-a" =>
+              // first same-value upsert: a rewrite pair — unless its
+              // single-row delta deduped against a pool file the fromV
+              // manifest still lists compatibly, which nets to empty
+              val (k, n) = usame(v2)
+              val pair = Set(("delete", k, n), ("insert", k, n))
+              assert(got === pair || got.isEmpty,
+                s"seed=$seed changes($v1,$v2) usame-a")
+            case "usame-b" =>
+              // second same-value upsert: the delta is byte-identical to
+              // the first's — tombstone + deduped re-append MUST net to
+              // an exactly empty feed (the unpaired-delete judge case)
+              assert(got.isEmpty, s"seed=$seed changes($v1,$v2) usame-b")
+            case _ =>
+              // an upsert's replaced key reports as delete(old) + insert(new)
+              val replaced = (m1.keySet & m2.keySet).filter(k => m1(k) != m2(k))
+              val want =
+                (m2.keySet -- m1.keySet).map(k => ("insert", k, m2(k))) ++
+                  (m1.keySet -- m2.keySet).map(k => ("delete", k, m1(k))) ++
+                  replaced.flatMap(k => Seq(("delete", k, m1(k)), ("insert", k, m2(k))))
+              assert(got === want, s"seed=$seed changes($v1,$v2)")
+          }
         }
       }
     }
