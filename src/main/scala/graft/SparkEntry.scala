@@ -34,6 +34,24 @@ object SparkEntry {
     })
   }
 
+  /** The PARSED metric stream feeds every m-family query (the reference's
+    * whole surface derives from it). Each `queries` entry stays
+    * independently callable, but within one Verify/Bench run the
+    * JSON-parse + projection of the events table should run ONCE — the
+    * d2 memo discipline, closing the round-10 bench-hygiene note (18
+    * PromQL-text queries re-paying the same parse); a real deployment
+    * parses once at landing and queries the landed relation. Same
+    * (session, dir) keying and sweep hygiene as [[jaccardPairs]].
+    */
+  private val metricsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def metricsOf(s: SparkSession, dir: String): DataFrame = {
+    sweepStoppedMemos()
+    metricsMemo.computeIfAbsent((s, dir), { key =>
+      Tables.materializeSmall(Firehose.metricsFromEvents(key._1, key._2))
+    })
+  }
+
   /** Memo hygiene: entries whose session's context has stopped are dead —
     * their blocks are already gone with the executors, and retaining the
     * (session → plan) strong reference would pin the stopped session for the
@@ -41,8 +59,10 @@ object SparkEntry {
     * live session×dataset entries, so the sweep is O(handful)).
     */
   private def sweepStoppedMemos(): Unit = {
-    val it = jaccardPairsMemo.keySet.iterator
-    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    Seq(jaccardPairsMemo, metricsMemo).foreach { m =>
+      val it = m.keySet.iterator
+      while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
   }
 
   /** Drop this session's memoized relations and release their checkpoint
@@ -53,25 +73,27 @@ object SparkEntry {
     * Sessions with a checkpoint dir take the reliable-file path in
     * [[Tables.materializeSmall]] and don't have that failure mode.
     */
-  def invalidateMemos(s: SparkSession): Unit = {
-    val it = jaccardPairsMemo.entrySet.iterator
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 eq s) {
-        e.getValue.queryExecution.logical match {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.unpersist(blocking = false)
-          case _ => ()
+  def invalidateMemos(s: SparkSession): Unit =
+    Seq(jaccardPairsMemo, metricsMemo).foreach { m =>
+      val it = m.entrySet.iterator
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 eq s) {
+          e.getValue.queryExecution.logical match {
+            case lr: org.apache.spark.sql.execution.LogicalRDD =>
+              lr.rdd.unpersist(blocking = false)
+            case _ => ()
+          }
+          it.remove()
         }
-        it.remove()
       }
     }
-  }
 
   /** Test seam: live memo entries held for `s`. */
   private[graft] def memoEntries(s: SparkSession): Int = {
     var n = 0
-    jaccardPairsMemo.keySet.forEach(k => if (k._1 eq s) n += 1)
+    Seq(jaccardPairsMemo, metricsMemo).foreach(
+      _.keySet.forEach(k => if (k._1 eq s) n += 1))
     n
   }
 
@@ -87,7 +109,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.1 firehose core ----
     "m1_parse_metrics" -> ((s, dir) =>
-      Firehose.metricsFromEvents(s, dir).select(
+      metricsOf(s, dir).select(
         col("id"), col("name"), col("timestamp").as("ts_sec"), col("component"),
         col("tags").getItem("user").as("user_tag"),
         col("tags").getItem("unit").as("unit_tag"),
@@ -96,21 +118,21 @@ object SparkEntry {
         col("window.to").as("win_to"),
         col("window.interval").as("win_interval"))),
     "m2_gauge_latest" -> ((s, dir) =>
-      Firehose.gaugeLatest(Firehose.metricsFromEvents(s, dir))),
+      Firehose.gaugeLatest(metricsOf(s, dir))),
     "m3_tag_filter" -> ((s, dir) =>
-      Firehose.tagFilter(Firehose.metricsFromEvents(s, dir))
+      Firehose.tagFilter(metricsOf(s, dir))
         .select(col("id"), Firehose.seriesKey(col("labels")).as("series"))),
     "m4_lookup_remap" -> ((s, dir) => {
       val lookup = Tables(s, dir, "customer")
         .select(col("c_custkey").cast("string").as("from"), col("c_name").as("to"))
       Firehose.lookupRemap(
-          Firehose.tagFilter(Firehose.metricsFromEvents(s, dir)), "user", lookup)
+          Firehose.tagFilter(metricsOf(s, dir)), "user", lookup)
         .select(col("id"), col("labels").getItem("user").as("user_label"))
     }),
     "m5_window_agg" -> ((s, dir) =>
-      Firehose.windowAgg(Firehose.metricsFromEvents(s, dir), 60)),
+      Firehose.windowAgg(metricsOf(s, dir), 60)),
     "m6_prom_render" -> ((s, dir) =>
-      Firehose.promRender(Firehose.gaugeLatest(Firehose.metricsFromEvents(s, dir)))),
+      Firehose.promRender(Firehose.gaugeLatest(metricsOf(s, dir)))),
     "m7_series_rate" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = Firehose.eventsRaw(s, dir).withColumn("ts_us", expr("ts div 1000"))
@@ -123,18 +145,18 @@ object SparkEntry {
     }),
     "m8_gauge_expiry" -> ((s, dir) =>
       Firehose.gaugeExpiry(
-        Firehose.gaugeLatest(Firehose.metricsFromEvents(s, dir)),
+        Firehose.gaugeLatest(metricsOf(s, dir)),
         ttlSec = 604800)),
     // registry max-size eviction (the reference's maximumSize(10000) LRU):
     // cap small enough that eviction actually bites at sf0.01
     "m15_absent_alert" -> ((s, dir) =>
-      Firehose.absentAlert(Firehose.metricsFromEvents(s, dir), widthSec = 3600)),
+      Firehose.absentAlert(metricsOf(s, dir), widthSec = 3600)),
     "m8b_gauge_capacity" -> ((s, dir) =>
       Firehose.gaugeCapacity(
-        Firehose.gaugeLatest(Firehose.metricsFromEvents(s, dir)),
+        Firehose.gaugeLatest(metricsOf(s, dir)),
         maxSeries = 100)),
     "m14_ratio_alert" -> ((s, dir) =>
-      Firehose.ratioAlert(Firehose.metricsFromEvents(s, dir))),
+      Firehose.ratioAlert(metricsOf(s, dir))),
     // Prometheus deriv()/predict_linear(): per-series OLS trend over the
     // raw events (series = event_type × user), one-hour extrapolation
     "m16_predict_linear" -> ((s, dir) => {
@@ -146,15 +168,15 @@ object SparkEntry {
         .orderBy(col("event_type"), col("user_id"))
     }),
     "m9_counter_increase" -> ((s, dir) =>
-      Firehose.counterIncrease(Firehose.metricsFromEvents(s, dir))),
+      Firehose.counterIncrease(metricsOf(s, dir))),
     "m10_topk_series" -> ((s, dir) => Relational.mTopkSeries(s, dir)),
     "m11_hist_quantile" -> ((s, dir) =>
-      Firehose.histogramQuantile(Firehose.metricsFromEvents(s, dir))),
+      Firehose.histogramQuantile(metricsOf(s, dir))),
     "q_grouping_sets" -> ((s, dir) => Relational.qGroupingSets(s, dir)),
     "m13_gap_fill" -> ((s, dir) =>
       // hourly grid: the synthetic stream spans weeks, so a 60 s grid would
       // be ~98% fill rows — step is a parameter of the operator
-      Firehose.gapFill(Firehose.metricsFromEvents(s, dir), stepSec = 3600)),
+      Firehose.gapFill(metricsOf(s, dir), stepSec = 3600)),
     // semi-structured: extract a field from the embedded JSON props column
     // (get_json_object ≡ DuckDB json_extract) and aggregate it
     "m12_props_extract" -> ((s, dir) =>
@@ -212,9 +234,9 @@ object SparkEntry {
     "q21_lone_late" -> ((s, dir) => Relational.q21LoneLateSupplier(s, dir)),
     "q2_mincost_supplier" -> ((s, dir) => Relational.q2MinCostSupplier(s, dir)),
     "m17_resets_changes" -> ((s, dir) =>
-      Firehose.resetsChanges(Firehose.metricsFromEvents(s, dir))),
+      Firehose.resetsChanges(metricsOf(s, dir))),
     "m18_quantile_over_time" -> ((s, dir) =>
-      Firehose.quantileOverTime(Firehose.metricsFromEvents(s, dir))),
+      Firehose.quantileOverTime(metricsOf(s, dir))),
     "t14_bm25_search" -> ((s, dir) =>
       TextAnalysis.bm25Search(Tables(s, dir, "documents"),
         queryTerms = Seq("spark", "stream", "merge", "window"))),
@@ -236,7 +258,7 @@ object SparkEntry {
     "t15_tfidf_keywords" -> ((s, dir) =>
       TextAnalysis.tfidfKeywords(Tables(s, dir, "documents"))),
     "m22_for_duration" -> ((s, dir) =>
-      Firehose.forDurationAlert(Firehose.metricsFromEvents(s, dir), widthSec = 86400)),
+      Firehose.forDurationAlert(metricsOf(s, dir), widthSec = 86400)),
     "d20_epoch_upsample" -> ((s, dir) =>
       Curate.epochUpsample(Tables(s, dir, "documents"),
         epochs = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.3))),
@@ -287,7 +309,7 @@ object SparkEntry {
     "p3_expectations" -> ((s, dir) => Relational.p3Expectations(s, dir)),
     // PromQL's instant-window family over the landed stream
     "m23_irate_delta" -> ((s, dir) =>
-      Firehose.irateDelta(Firehose.metricsFromEvents(s, dir))),
+      Firehose.irateDelta(metricsOf(s, dir))),
     // quasi-identifier k-anonymity suppression (structured sibling of t5)
     "p5_k_anonymity" -> ((s, dir) =>
       Curate.kAnonymitySuppress(
@@ -321,26 +343,26 @@ object SparkEntry {
     }),
     // PromQL *_over_time aggregation family (one plain aggregation)
     "m24_over_time" -> ((s, dir) =>
-      Firehose.overTimeAgg(Firehose.metricsFromEvents(s, dir))),
+      Firehose.overTimeAgg(metricsOf(s, dir))),
     // PromQL label_replace + label_join (row-local map rewrite)
     "m26_label_ops" -> ((s, dir) =>
-      Firehose.labelOps(Firehose.metricsFromEvents(s, dir))),
+      Firehose.labelOps(metricsOf(s, dir))),
     // PromQL count_values (sample count per distinct value per metric)
     "m27_count_values" -> ((s, dir) =>
-      Firehose.countValues(Firehose.metricsFromEvents(s, dir))),
+      Firehose.countValues(metricsOf(s, dir))),
     // PromQL instant-vector aggregation without(user) over the registry
     "m28_instant_agg" -> ((s, dir) =>
-      Firehose.instantAgg(Firehose.metricsFromEvents(s, dir))),
+      Firehose.instantAgg(metricsOf(s, dir))),
     // PromQL holt_winters double exponential smoothing per series/window
     "m25_holt_winters" -> ((s, dir) =>
-      Firehose.holtWinters(Firehose.metricsFromEvents(s, dir))),
+      Firehose.holtWinters(metricsOf(s, dir))),
     // PromQL vector-matching binary op, one-to-one: error_total /
     // view_total latest-gauge ratio matched on the full label set (the
     // generic join form; the gauge registry is materialized once and both
     // operand selections read it — registry-sized, broadcast under AQE)
     "m29_vector_match" -> ((s, dir) => {
       val g = Tables.materializeSmall(
-        Firehose.gaugeLatestLabeled(Firehose.metricsFromEvents(s, dir)))
+        Firehose.gaugeLatestLabeled(metricsOf(s, dir)))
       Firehose.vectorMatch(
         g.filter(col("name") === "error_total"),
         g.filter(col("name") === "view_total"),
@@ -350,13 +372,13 @@ object SparkEntry {
     // PromQL subquery: avg/min/max_over_time(rate(x[1h])[6h:1h]) — one
     // increase pass, exact-decimal outer rollup
     "m30_subquery" -> ((s, dir) =>
-      Firehose.subqueryOverTime(Firehose.metricsFromEvents(s, dir))),
+      Firehose.subqueryOverTime(metricsOf(s, dir))),
     // PromQL group_left one-to-many: each metric's latest gauge divided by
     // the cross-metric per-user total — on("user") matching against a
     // coarser right vector (the share-of-total shape)
     "m29b_group_left" -> ((s, dir) => {
       val g = Tables.materializeSmall(
-        Firehose.gaugeLatestLabeled(Firehose.metricsFromEvents(s, dir)))
+        Firehose.gaugeLatestLabeled(metricsOf(s, dir)))
       val tot = g
         .groupBy(col("component"), try_element_at(col("labels"), lit("user")).as("_u"))
         .agg(sum(col("last_value").cast("decimal(18,2)")).cast("double").as("last_value"))
@@ -371,7 +393,7 @@ object SparkEntry {
     // key — right values never flow into the result)
     "m31_and" -> ((s, dir) => {
       val g = Tables.materializeSmall(
-        Firehose.gaugeLatestLabeled(Firehose.metricsFromEvents(s, dir)))
+        Firehose.gaugeLatestLabeled(metricsOf(s, dir)))
       Firehose.vectorSetOp(
         g.filter(col("name") === "error_total"),
         g.filter(col("name") === "view_total" && col("last_value") > 50),
@@ -379,7 +401,7 @@ object SparkEntry {
     }),
     "m31_unless" -> ((s, dir) => {
       val g = Tables.materializeSmall(
-        Firehose.gaugeLatestLabeled(Firehose.metricsFromEvents(s, dir)))
+        Firehose.gaugeLatestLabeled(metricsOf(s, dir)))
       Firehose.vectorSetOp(
         g.filter(col("name") === "error_total"),
         g.filter(col("name") === "view_total" && col("last_value") > 50),
@@ -389,7 +411,7 @@ object SparkEntry {
     // view series (right entries only where the left key is absent)
     "m31_or" -> ((s, dir) => {
       val g = Tables.materializeSmall(
-        Firehose.gaugeLatestLabeled(Firehose.metricsFromEvents(s, dir)))
+        Firehose.gaugeLatestLabeled(metricsOf(s, dir)))
       Firehose.vectorSetOp(
         g.filter(col("name") === "error_total" && col("last_value") > 50),
         g.filter(col("name") === "view_total"),
@@ -400,7 +422,7 @@ object SparkEntry {
     // vectorMatch machinery
     "m31b_bool_cmp" -> ((s, dir) => {
       val g = Tables.materializeSmall(
-        Firehose.gaugeLatestLabeled(Firehose.metricsFromEvents(s, dir)))
+        Firehose.gaugeLatestLabeled(metricsOf(s, dir)))
       Firehose.vectorMatch(
         g.filter(col("name") === "error_total"),
         g.filter(col("name") === "view_total"),
@@ -412,7 +434,7 @@ object SparkEntry {
     // null drop on the same arithmetic machinery)
     "m31c_cmp_filter" -> ((s, dir) => {
       val g = Tables.materializeSmall(
-        Firehose.gaugeLatestLabeled(Firehose.metricsFromEvents(s, dir)))
+        Firehose.gaugeLatestLabeled(metricsOf(s, dir)))
       Firehose.vectorMatch(
         g.filter(col("name") === "error_total"),
         g.filter(col("name") === "view_total"),
@@ -427,33 +449,33 @@ object SparkEntry {
     "m32_promql_increase" -> ((s, dir) =>
       promql.PromQl.compile(
         """increase(view_total{user=~"1.*"}[1h])""",
-        Firehose.metricsFromEvents(s, dir))),
+        metricsOf(s, dir))),
     // cross-metric aggregation: sum by (user) over every *_total series
     "m32_promql_agg" -> ((s, dir) =>
       promql.PromQl.compile(
         """sum by (user) (increase({__name__=~".*_total"}[1h]))""",
-        Firehose.metricsFromEvents(s, dir))),
+        metricsOf(s, dir))),
     // vector/vector arithmetic with a comparison-filtered denominator —
     // the PromQL-idiomatic zero-guard (the > 0 filter drops the pair)
     "m32_promql_ratio" -> ((s, dir) =>
       promql.PromQl.compile(
         "increase(error_total[1h]) / (increase(view_total[1h]) > 0)",
-        Firehose.metricsFromEvents(s, dir))),
+        metricsOf(s, dir))),
     // set op from text: errors unless the high-traffic view windows
     "m32_promql_unless" -> ((s, dir) =>
       promql.PromQl.compile(
         "increase(error_total[1h]) unless (increase(view_total[1h]) > 10)",
-        Firehose.metricsFromEvents(s, dir))),
+        metricsOf(s, dir))),
     // subquery: hourly increases range-aggregated over 6h outer windows
     "m32_promql_subquery" -> ((s, dir) =>
       promql.PromQl.compile(
         "max_over_time(increase(view_total[1h])[6h:1h])",
-        Firehose.metricsFromEvents(s, dir))),
+        metricsOf(s, dir))),
     // composed flagship: topk over a grouped sum of a compiled range fn
     "m32_promql_topk" -> ((s, dir) =>
       promql.PromQl.compile(
         "topk(3, sum by (user) (increase(view_total[1h])))",
-        Firehose.metricsFromEvents(s, dir))),
+        metricsOf(s, dir))),
     // ---- m33: SLIDING evaluation (R > step) — Prometheus's actual
     // range-query model: every expression on the 15m step grid, range
     // functions looking back their own 1h range over overlapping windows
@@ -461,40 +483,40 @@ object SparkEntry {
     "m33_promql_sliding" -> ((s, dir) =>
       promql.PromQl.compileSliding(
         "sum by (user) (increase(view_total[1h]))",
-        Firehose.metricsFromEvents(s, dir), stepSec = 900L)),
+        metricsOf(s, dir), stepSec = 900L)),
     // sliding *_over_time: raw samples tiled onto the step grid, the
     // exact-decimal mean per overlapping lookback window
     "m33b_sliding_avg" -> ((s, dir) =>
       promql.PromQl.compileSliding(
         "avg_over_time(error_total[1h])",
-        Firehose.metricsFromEvents(s, dir), stepSec = 900L)),
+        metricsOf(s, dir), stepSec = 900L)),
     // ---- m34: the trend + absence function family, from text
     // per-window OLS slope (exact-decimal sums, min-ts centering)
     "m34_promql_deriv" -> ((s, dir) =>
       promql.PromQl.compile(
-        "deriv(view_total[1h])", Firehose.metricsFromEvents(s, dir))),
+        "deriv(view_total[1h])", metricsOf(s, dir))),
     // trend extrapolated 30m past the window's newest sample
     "m34b_promql_predict" -> ((s, dir) =>
       promql.PromQl.compile(
         "predict_linear(view_total[1h], 1800)",
-        Firehose.metricsFromEvents(s, dir))),
+        metricsOf(s, dir))),
     // scrape-absence: windows of the stream's span where the asserted
     // series reported nothing (labels = the selector's equality matchers)
     "m34c_promql_absent" -> ((s, dir) =>
       promql.PromQl.compile(
         """absent(error_total{user="1"})""",
-        Firehose.metricsFromEvents(s, dir))),
+        metricsOf(s, dir))),
     // double exponential smoothing from text (m25's fold, dyadic factors)
     "m34d_promql_holt" -> ((s, dir) =>
       promql.PromQl.compile(
         "holt_winters(view_total[1h], 0.5, 0.25)",
-        Firehose.metricsFromEvents(s, dir))),
+        metricsOf(s, dir))),
     // m35: the @ modifier — current increases against the baseline window
     // pinned at a fixed timestamp (zero baselines comparison-filtered out)
     "m35_promql_at" -> ((s, dir) =>
       promql.PromQl.compile(
         "increase(error_total[1h]) / (increase(error_total[1h] @ 1705276800) > 0)",
-        Firehose.metricsFromEvents(s, dir))),
+        metricsOf(s, dir))),
     // m36: scalar() — per-series share of the global per-window total,
     // the share-of-total idiom that needs no label matching (numerator
     // filtered > 0 first, so a zero-total window divides nothing — NaN
@@ -504,7 +526,7 @@ object SparkEntry {
     "m36_promql_scalar" -> ((s, dir) =>
       promql.PromQl.compile(
         "(increase(view_total[1h]) > 0) / scalar(sum(increase(view_total[1h])))",
-        Firehose.metricsFromEvents(s, dir))),
+        metricsOf(s, dir))),
     // m38: RECORDING rules — a two-rule chain where the second rule
     // selects the first BY NAME (the recorded series re-enters the
     // metric universe as ordinary samples)
@@ -513,7 +535,7 @@ object SparkEntry {
         """# per-user hourly view increases, then their top-3
           |app:view:increase1h = sum by (user) (increase(view_total[1h]))
           |app:view:top = topk(3, app:view:increase1h)""".stripMargin,
-        Firehose.metricsFromEvents(s, dir))("app:view:top")),
+        metricsOf(s, dir))("app:view:top")),
     // m39: ALERTING rule with a `for` duration — fires where the
     // condition held for TWO consecutive hourly windows (the m22 streak
     // shape on the compiled relation; errors are hourly-sparse at small
@@ -522,21 +544,21 @@ object SparkEntry {
       promql.PromQlRules.evaluate(
         """r:err1h = sum by (user) (increase(error_total[1h]))
           |alert HighErr = r:err1h > 0 for 1h""".stripMargin,
-        Firehose.metricsFromEvents(s, dir))("HighErr")),
+        metricsOf(s, dir))("HighErr")),
     // ---- m37: Prometheus NATIVE histograms (exponential sparse buckets,
     // m40: timestamp() + the calendar family — hour-of-day of each
     // window's freshest raw sample (tz-independent modular arithmetic)
     "m40_promql_time" -> ((s, dir) =>
       promql.PromQl.compile(
         "hour(timestamp(view_total))",
-        Firehose.metricsFromEvents(s, dir))),
+        metricsOf(s, dir))),
     // day-of-week (Sunday = 0) via the epoch-day DateType route; the
     // oracle recomputes with DuckDB's own calendar — two independent
     // Gregorian implementations hash-compared
     "m40b_promql_calendar" -> ((s, dir) =>
       promql.PromQl.compile(
         "day_of_week(timestamp(error_total))",
-        Firehose.metricsFromEvents(s, dir))),
+        metricsOf(s, dir))),
     // m43: @ end() — the span's final window resolved LAZILY (no literal
     // timestamp in the query text; the bound is two aggregate scalars),
     // here the all-series increase total of that closing window spread
@@ -544,43 +566,43 @@ object SparkEntry {
     "m43_promql_at_edge" -> ((s, dir) =>
       promql.PromQl.compile(
         """sum(increase({__name__=~".+"}[1h] @ end()))""",
-        Firehose.metricsFromEvents(s, dir))),
+        metricsOf(s, dir))),
     // m42: the experimental sampling aggregators, deterministic on the
     // canonical series-key rank (documented deviation from Prometheus's
     // arbitrary/hashed selection — any engine picks the same rows)
     "m42_promql_limitk" -> ((s, dir) =>
       promql.PromQl.compile(
         "limitk(3, sum by (user) (increase(view_total[1h])))",
-        Firehose.metricsFromEvents(s, dir))),
+        metricsOf(s, dir))),
     // the complement form: limit_ratio(-0.5) keeps exactly the series
     // limit_ratio(0.5) drops
     "m42b_promql_limit_ratio" -> ((s, dir) =>
       promql.PromQl.compile(
         "limit_ratio(-0.5, sum by (user) (increase(view_total[1h])))",
-        Firehose.metricsFromEvents(s, dir))),
+        metricsOf(s, dir))),
     // m41: median absolute deviation over each hourly window — the
     // exact nested median on the bounded per-(series, window) multiset
     "m41_promql_mad" -> ((s, dir) =>
       promql.PromQl.compile(
         "mad_over_time(view_total[1h])",
-        Firehose.metricsFromEvents(s, dir))),
+        metricsOf(s, dir))),
     // base 2^(2^-schema); index from the IEEE exponent — no runtime log)
     "m37_native_hist" -> ((s, dir) =>
-      NativeHist.nativeHistogram(Firehose.metricsFromEvents(s, dir), schema = 0)
+      NativeHist.nativeHistogram(metricsOf(s, dir), schema = 0)
         .select(col("component"), col("name"), col("win_start"), col("schema"),
           col("zero_count"), col("n_samples"),
           NativeHist.bucketsString(col("buckets")).as("buckets"))),
     // interpolated 0.9-quantile straight from the sparse bucket array
     "m37b_native_quantile" -> ((s, dir) =>
       NativeHist.quantile(
-        NativeHist.nativeHistogram(Firehose.metricsFromEvents(s, dir), schema = 0),
+        NativeHist.nativeHistogram(metricsOf(s, dir), schema = 0),
         0.9)
         .select("component", "name", "win_start", "q_value")),
     // rollup-tier merge over histogram rows only; the oracle RECOMPUTES
     // at the long window, so merge == recompute is hash-proven
     "m37c_native_merge" -> ((s, dir) =>
       NativeHist.merge(
-        NativeHist.nativeHistogram(Firehose.metricsFromEvents(s, dir), schema = 0),
+        NativeHist.nativeHistogram(metricsOf(s, dir), schema = 0),
         longSec = 86400L)
         .select(col("component"), col("name"), col("win_start"), col("schema"),
           col("zero_count"), col("n_samples"), col("sum").cast("double").as("sum"),
@@ -590,21 +612,42 @@ object SparkEntry {
     // histograms carry next to the buckets
     "m37e_native_sum" -> ((s, dir) =>
       NativeHist.accessors(
-        NativeHist.nativeHistogram(Firehose.metricsFromEvents(s, dir), schema = 0))
+        NativeHist.nativeHistogram(metricsOf(s, dir), schema = 0))
         .select("component", "name", "win_start", "h_count", "h_sum", "h_avg")),
     // bucket-midpoint variance/stddev around the exact sum/count mean
     "m37f_native_spread" -> ((s, dir) =>
       NativeHist.spread(
-        NativeHist.nativeHistogram(Firehose.metricsFromEvents(s, dir), schema = 0))
+        NativeHist.nativeHistogram(metricsOf(s, dir), schema = 0))
         .select("component", "name", "win_start", "h_stdvar", "h_stddev")),
     // interpolated fraction of observations in (3, 50] per histogram —
     // the histogram_fraction accessor (order-robust split: exact long
     // cumulatives + one covering-bucket interpolation term)
     "m37d_native_fraction" -> ((s, dir) =>
       NativeHist.fraction(
-        NativeHist.nativeHistogram(Firehose.metricsFromEvents(s, dir), schema = 0),
+        NativeHist.nativeHistogram(metricsOf(s, dir), schema = 0),
         lower = 3.0, upper = 50.0)
         .select("component", "name", "win_start", "fraction")),
+    // m44: native histograms from TEXT — a RANGE argument selects the
+    // native path (the range's observations build the sparse exponential
+    // histogram per tumbling window, the m37 derivation model); the
+    // oracle is the m37b bucket-walk restricted to the selected metric
+    "m44_promql_native_quantile" -> ((s, dir) =>
+      promql.PromQl.compile(
+        "histogram_quantile(0.9, view_total[1h])",
+        metricsOf(s, dir))
+        .select("component", "name", "win_start", "value")),
+    // interpolated fraction in (3, 50] from text, m37d's math
+    "m44b_promql_native_fraction" -> ((s, dir) =>
+      promql.PromQl.compile(
+        "histogram_fraction(3, 50, view_total[1h])",
+        metricsOf(s, dir))
+        .select("component", "name", "win_start", "value")),
+    // bucket-midpoint stddev from text, m37f's estimator
+    "m44c_promql_native_stddev" -> ((s, dir) =>
+      promql.PromQl.compile(
+        "histogram_stddev(view_total[1h])",
+        metricsOf(s, dir))
+        .select("component", "name", "win_start", "value")),
     // per-source gopher-rule failure funnel
     "t18_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
@@ -634,14 +677,14 @@ object SparkEntry {
     }),
     "m21_prom_parse" -> ((s, dir) =>
       Firehose.promParse(
-        Firehose.promRender(Firehose.gaugeLatest(Firehose.metricsFromEvents(s, dir))))),
+        Firehose.promRender(Firehose.gaugeLatest(metricsOf(s, dir))))),
     "m20_sliding_window" -> ((s, dir) =>
-      Firehose.slidingWindowAgg(Firehose.metricsFromEvents(s, dir))),
+      Firehose.slidingWindowAgg(metricsOf(s, dir))),
     "q_window_ranks" -> ((s, dir) => Relational.qWindowRanks(s, dir)),
     "m19_rollup_merge" -> ((s, dir) => {
       // merge == recompute: two half-corpus rollups (sample-id parity
       // split) merged against the one-pass oracle over ALL events
-      val m = Firehose.metricsFromEvents(s, dir)
+      val m = metricsOf(s, dir)
       Firehose.rollupMerge(
         Firehose.windowAgg(m.filter(col("id").cast("long") % 2 === 0), 60),
         Firehose.windowAgg(m.filter(col("id").cast("long") % 2 === 1), 60))
@@ -2538,6 +2581,107 @@ object SparkEntry {
           |           * ((s.rank - (s.cum - CAST(s.c AS DOUBLE))) / CAST(s.c AS DOUBLE))
           |  END AS q_value
           |FROM z LEFT JOIN sel s USING (component, name, win_start)""".stripMargin),
+    // the text-compiled native quantile: m37b's bucket walk restricted
+    // to the selected metric, final column aliased to the vector shape
+    "m44_promql_native_quantile" ->
+      (NativeHistCte(3600) +
+        """, z AS (
+          |  SELECT component, name, win_start,
+          |    COALESCE(sum(CASE WHEN idx IS NULL THEN c END), 0) AS zero_count,
+          |    sum(c) AS total
+          |  FROM c WHERE name = 'view_total' GROUP BY 1, 2, 3),
+          |r AS (
+          |  SELECT c.component, c.name, c.win_start, c.idx, c.c, z.zero_count,
+          |    0.9 * CAST(z.total AS DOUBLE) AS rank,
+          |    CAST(z.zero_count AS DOUBLE)
+          |      + CAST(sum(c.c) OVER (PARTITION BY c.component, c.name, c.win_start
+          |          ORDER BY c.idx) AS DOUBLE) AS cum
+          |  FROM c JOIN z USING (component, name, win_start)
+          |  WHERE c.idx IS NOT NULL),
+          |pick AS (
+          |  SELECT *, row_number() OVER (PARTITION BY component, name, win_start
+          |    ORDER BY idx) AS rn
+          |  FROM r WHERE cum >= rank),
+          |sel AS (SELECT * FROM pick WHERE rn = 1)
+          |SELECT z.component, z.name, z.win_start,
+          |  CASE WHEN 0.9 * CAST(z.total AS DOUBLE) <= CAST(z.zero_count AS DOUBLE)
+          |       THEN 0.0
+          |       ELSE power(2.0, CAST(s.idx - 1 AS DOUBLE))
+          |         + (power(2.0, CAST(s.idx AS DOUBLE))
+          |            - power(2.0, CAST(s.idx - 1 AS DOUBLE)))
+          |           * ((s.rank - (s.cum - CAST(s.c AS DOUBLE))) / CAST(s.c AS DOUBLE))
+          |  END AS value
+          |FROM z LEFT JOIN sel s USING (component, name, win_start)""".stripMargin),
+    // the text-compiled fraction: m37d's order-robust split, restricted
+    "m44b_promql_native_fraction" ->
+      (NativeHistCte(3600) +
+        """, z AS (
+          |  SELECT component, name, win_start,
+          |    COALESCE(sum(CASE WHEN idx IS NULL THEN c END), 0) AS zero_count,
+          |    sum(c) AS total
+          |  FROM c WHERE name = 'view_total' GROUP BY 1, 2, 3),
+          |f AS (
+          |  SELECT component, name, win_start,
+          |    sum(CASE WHEN power(2.0, CAST(idx AS DOUBLE)) <= 50.0
+          |        THEN c ELSE 0 END) AS wu,
+          |    sum(CASE WHEN power(2.0, CAST(idx AS DOUBLE)) <= 3.0
+          |        THEN c ELSE 0 END) AS wl,
+          |    sum(CASE WHEN power(2.0, CAST(idx - 1 AS DOUBLE)) < 50.0
+          |          AND power(2.0, CAST(idx AS DOUBLE)) > 50.0
+          |        THEN CAST(c AS DOUBLE)
+          |          * ((50.0 - power(2.0, CAST(idx - 1 AS DOUBLE)))
+          |             / (power(2.0, CAST(idx AS DOUBLE))
+          |                - power(2.0, CAST(idx - 1 AS DOUBLE))))
+          |        ELSE 0.0 END) AS fu,
+          |    sum(CASE WHEN power(2.0, CAST(idx - 1 AS DOUBLE)) < 3.0
+          |          AND power(2.0, CAST(idx AS DOUBLE)) > 3.0
+          |        THEN CAST(c AS DOUBLE)
+          |          * ((3.0 - power(2.0, CAST(idx - 1 AS DOUBLE)))
+          |             / (power(2.0, CAST(idx AS DOUBLE))
+          |                - power(2.0, CAST(idx - 1 AS DOUBLE))))
+          |        ELSE 0.0 END) AS fl
+          |  FROM c WHERE idx IS NOT NULL GROUP BY 1, 2, 3)
+          |SELECT z.component, z.name, z.win_start,
+          |  CASE WHEN z.total = 0 THEN 'NaN'::DOUBLE ELSE
+          |    ((CAST(z.zero_count + COALESCE(f.wu, 0) AS DOUBLE) + COALESCE(f.fu, 0.0))
+          |     - (CAST(z.zero_count + COALESCE(f.wl, 0) AS DOUBLE) + COALESCE(f.fl, 0.0)))
+          |    / CAST(z.total AS DOUBLE) END AS value
+          |FROM z LEFT JOIN f USING (component, name, win_start)""".stripMargin),
+    // the text-compiled stddev: m37f's midpoint estimator, restricted
+    "m44c_promql_native_stddev" ->
+      (NativeHistCte(3600) +
+        """, z AS (
+          |  SELECT component, name, win_start,
+          |    COALESCE(sum(CASE WHEN idx IS NULL THEN c END), 0) AS zc,
+          |    sum(c) AS total
+          |  FROM c WHERE name = 'view_total' GROUP BY 1, 2, 3),
+          |mn AS (
+          |  SELECT component, name, ts_sec - ts_sec % 3600 AS win_start,
+          |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vsum
+          |  FROM m GROUP BY 1, 2, 3),
+          |mm AS (
+          |  SELECT z.component, z.name, z.win_start, z.zc, z.total,
+          |    mn.vsum / CAST(z.total AS DOUBLE) AS mean
+          |  FROM z JOIN mn USING (component, name, win_start)),
+          |terms AS (
+          |  SELECT c.component, c.name, c.win_start,
+          |    list(CAST(c.c AS DOUBLE)
+          |      * ((power(2.0, CAST(c.idx - 1 AS DOUBLE))
+          |          + power(2.0, CAST(c.idx AS DOUBLE))) / 2.0 - mm.mean)
+          |      * ((power(2.0, CAST(c.idx - 1 AS DOUBLE))
+          |          + power(2.0, CAST(c.idx AS DOUBLE))) / 2.0 - mm.mean)
+          |      ORDER BY c.idx) AS ts
+          |  FROM c JOIN mm USING (component, name, win_start)
+          |  WHERE c.idx IS NOT NULL GROUP BY 1, 2, 3),
+          |f AS (
+          |  SELECT mm.component, mm.name, mm.win_start,
+          |    list_reduce(
+          |      list_prepend(CAST(mm.zc AS DOUBLE) * mm.mean * mm.mean,
+          |        COALESCE(t.ts, [])),
+          |      (a, b) -> a + b) / CAST(mm.total AS DOUBLE) AS h_stdvar
+          |  FROM mm LEFT JOIN terms t USING (component, name, win_start))
+          |SELECT component, name, win_start, sqrt(h_stdvar) AS value
+          |FROM f""".stripMargin),
     // merge == recompute: the oracle builds the DAILY histogram straight
     // from raw samples; the engine merges the hourly tier
     "m37c_native_merge" ->

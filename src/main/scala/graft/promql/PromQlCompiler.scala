@@ -104,9 +104,16 @@ final case class PromQlCompileException(msg: String) extends RuntimeException(ms
   *    calendar regardless of `spark.sql.session.timeZone`);
   *    `sort`/`sort_desc` order the OUTPUT relation (presentation
   *    ordering is all they mean in PromQL too).
-  *  - Unsupported (compile error, never silently wrong):
-  *    native histograms (the m37 [[graft.operators.NativeHist]] family
-  *    covers those on the batch path).
+  *  - Native histograms (round 11): the `histogram_quantile(φ, m[1h])` /
+  *    `histogram_count/sum/avg/stddev/stdvar(m[1h])` /
+  *    `histogram_fraction(lo, hi, m[1h])` family compiles onto the m37
+  *    [[graft.operators.NativeHist]] kernels — a RANGE argument selects
+  *    the native path (the range's observations build the sparse
+  *    exponential histogram per window, schema 0, the m37 derivation
+  *    model), an instant-vector argument keeps the classic `le` path.
+  *    Sliding evaluation and `@` pins on native-histogram selectors are
+  *    the remaining unsupported surface (compile error, never silently
+  *    wrong).
   */
 object PromQlCompiler {
 
@@ -736,7 +743,33 @@ object PromQlCompiler {
       case "histogram_quantile" =>
         if (args.length != 2) err("histogram_quantile expects (scalar, vector)")
         val q = scalarArg(args(0), "histogram_quantile quantile")
-        Vec(histogramQuantile(q, vecArg(args(1), fn)))
+        args(1) match {
+          // a RANGE argument selects the NATIVE-histogram path: the
+          // range's observations build the sparse exponential histogram
+          case r: RangeSelector =>
+            Vec(nativeVecOf(
+              graft.operators.NativeHist.quantile(nativeHistOf(fn, r), q),
+              "q_value"))
+          case other => Vec(histogramQuantile(q, vecArg(other, fn)))
+        }
+      case "histogram_count" | "histogram_sum" | "histogram_avg" =>
+        require1(fn, args)
+        val acc = graft.operators.NativeHist.accessors(
+          nativeHistOf(fn, rangeArgOf(fn, args.head)))
+        Vec(nativeVecOf(acc, "h_" + fn.stripPrefix("histogram_")))
+      case "histogram_stddev" | "histogram_stdvar" =>
+        require1(fn, args)
+        val sp = graft.operators.NativeHist.spread(
+          nativeHistOf(fn, rangeArgOf(fn, args.head)))
+        Vec(nativeVecOf(sp, "h_" + fn.stripPrefix("histogram_")))
+      case "histogram_fraction" =>
+        if (args.length != 3) err("histogram_fraction expects (lower, upper, vector)")
+        val lo = scalarArg(args(0), "histogram_fraction lower")
+        val hi = scalarArg(args(1), "histogram_fraction upper")
+        Vec(nativeVecOf(
+          graft.operators.NativeHist.fraction(
+            nativeHistOf(fn, rangeArgOf(fn, args(2))), lo, hi),
+          "fraction"))
       case "timestamp" =>
         require1(fn, args)
         Vec(timestampVec(args.head))
@@ -876,6 +909,49 @@ object PromQlCompiler {
         case _ => err(s"$fn: arguments after the vector must be string literals")
       }
     }
+
+    /** NATIVE-histogram path shared by the `histogram_*` family: the
+      * range selector's raw observations build per-(component, name,
+      * window) sparse exponential histograms
+      * ([[graft.operators.NativeHist.nativeHistogram]], schema 0 — the
+      * IEEE-exponent bucketing, no runtime log) on the range's own
+      * TUMBLING grid. This is the m37 derivation model: the engine's
+      * metric streams carry scalar observations, so the native histogram
+      * is DERIVED per window rather than ingested pre-bucketed (a
+      * pre-bucketed native-histogram exposition would land on the same
+      * relation); label-split histograms come from label matchers on the
+      * selector. Sliding evaluation and `@` pins are refused loudly —
+      * the documented unsupported remainder.
+      */
+    private def nativeHistOf(fnName: String, rs: RangeSelector): DataFrame = {
+      if (sliding)
+        err(s"$fnName over native histograms evaluates on the range's " +
+          "tumbling grid only (sliding unsupported)")
+      if (rs.sel.atSec.nonEmpty)
+        err(s"$fnName over native histograms does not support @ pins")
+      graft.operators.NativeHist.nativeHistogram(
+        samples(rs.sel).select(
+          col("component"), col("name"), col("timestamp"), col("value")),
+        schema = 0, widthSec = rs.rangeSec)
+    }
+
+    private def rangeArgOf(fnName: String, arg: PromExpr): RangeSelector =
+      arg match {
+        case r: RangeSelector => r
+        case _ => err(s"$fnName expects a range vector (m[1h]) — native " +
+          "histograms derive from the range's observations")
+      }
+
+    /** Native-histogram results back onto the standard vector shape:
+      * per-(component, name) identity, empty labels (the histogram
+      * aggregates the metric's series — label splits come from selector
+      * matchers), the chosen accessor as `value`.
+      */
+    private def nativeVecOf(df: DataFrame, valueCol: String): DataFrame =
+      df.select(
+        col("component"), col("name"),
+        map_filter(map(lit(""), lit("")), (_, _) => lit(false)).as("labels"),
+        col("win_start"), col(valueCol).cast("double").as("value"))
 
     /** `histogram_quantile(q, v)` over a classic cumulative-`le`-bucket
       * vector: per (component, window, labels-minus-le) group, locate the

@@ -141,14 +141,22 @@ object PromQlStream {
     * breach window emits an alert sample `(component, name = alert name,
     * series, win_start, value)` as it closes.
     *
-    * `for d` durations are refused here, deliberately: the streak needs
-    * a stateful operator chained AFTER the expression's aggregation, and
-    * Spark's chained-stateful support requires the window STRUCT the
-    * operator-native relations project away (a re-declared mid-stream
-    * watermark stalls — verified, not assumed). The for-duration forms
-    * that stream are [[graft.streaming.FirehoseTws.forDurationAlert]]
-    * (custom state, the m22 sibling) and the batch rule evaluator
-    * ([[PromQlRules.evaluate]]) over a landed stream.
+    * `for d` durations stream for the SELECTOR-THRESHOLD shape
+    * (round 11): `increase(sel[W]) > c for d` / `rate(sel[W]) > c for d`
+    * with `d` a multiple of `W` lowers onto the m22
+    * [[graft.streaming.FirehoseTws.forDurationAlert]] operator —
+    * `k = d/W + 1` consecutive breaching CLOSED windows before the first
+    * fire, rate thresholds rescaled to per-window increases (`c·W`),
+    * exactly the batch rule evaluator's presence-streak on that shape
+    * (a window with increase ≤ c produces no row batch-side and resets
+    * the streak stream-side; a wholly-absent window breaks both). Every
+    * OTHER `for` expression keeps the documented refusal: the general
+    * streak needs a stateful operator chained AFTER an arbitrary
+    * expression's aggregation, and Spark's chained-stateful support
+    * requires the window STRUCT the operator-native relations project
+    * away (a re-declared mid-stream watermark stalls — verified, not
+    * assumed). The batch rule evaluator ([[PromQlRules.evaluate]]) over
+    * a landed stream covers those.
     */
   def compileAlert(
       line: String,
@@ -160,8 +168,25 @@ object PromQlStream {
       case _ => err("compileAlert takes exactly one `alert name = expr` line")
     }
     if (alert.forSec != 0)
-      err(s"alert '${alert.name}': `for` durations are not in the streaming " +
-        "subset (use FirehoseTws.forDurationAlert or the batch rule evaluator)")
+      return PromQlParser.parse(alert.expr) match {
+        case Binary(">", Call(fn @ ("increase" | "rate"),
+            Seq(RangeSelector(sel, r))), NumberLit(c), _, false) =>
+          if (alert.forSec % r != 0)
+            err(s"alert '${alert.name}': for ${alert.forSec}s must be a " +
+              s"multiple of the ${r}s range")
+          val k = (alert.forSec / r).toInt + 1
+          val minInc = if (fn == "increase") c else c * r
+          graft.streaming.FirehoseTws.forDurationAlert(
+              filtered(metrics, sel), r, minInc, k, watermarkDelay).toDF()
+            .select(col("component"), lit(alert.name).as("name"),
+              col("series"), col("fire_win").as("win_start"),
+              col("increase").as("value"))
+        case _ =>
+          err(s"alert '${alert.name}': `for` durations stream only for the " +
+            "selector-threshold shape increase/rate(sel[W]) > c (use " +
+            "FirehoseTws.forDurationAlert or the batch rule evaluator " +
+            "for other expressions)")
+      }
     val breaches = lower(PromQlParser.parse(alert.expr), metrics, stepSec, watermarkDelay)
     if (!breaches.columns.contains("value") || !breaches.columns.contains("win_start"))
       err("alert expressions must lower to a single-valued windowed shape")

@@ -43,6 +43,9 @@ class ContractSpec extends SparkSuite {
     assert(SparkEntry.memoEntries(spark) === 1, "memo not populated by d2")
     val added = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(added.nonEmpty, "expected the localCheckpoint to persist a block set")
+    // the parsed-metric-stream memo populates on first m-family use
+    SparkEntry.queries("m2_gauge_latest")(spark, sfDir).count()
+    assert(SparkEntry.memoEntries(spark) === 2, "metrics memo not populated by m2")
     SparkEntry.invalidateMemos(spark)
     assert(SparkEntry.memoEntries(spark) === 0, "memo entry survived invalidation")
     val after = spark.sparkContext.getPersistentRDDs.keySet

@@ -611,6 +611,42 @@ class PromQlCompileSpec extends SparkSuite {
     assert(PromQlPrinter.print(PromQlParser.parse(q)) === q)
   }
 
+  test("histogram_* over a range compiles onto the NativeHist kernels exactly") {
+    import graft.operators.NativeHist
+    val nh = NativeHist.nativeHistogram(
+      metrics.filter(col("name") === "view_total")
+        .select("component", "name", "timestamp", "value"),
+      schema = 0, widthSec = 3600)
+    def got(q: String): Set[(String, Long, Double)] =
+      promql.PromQl.compile(q, metrics)
+        .select("name", "win_start", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    def exp(df: org.apache.spark.sql.DataFrame, c: String): Set[(String, Long, Double)] =
+      df.select(col("name"), col("win_start"), col(c).cast("double")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got("histogram_quantile(0.9, view_total[1h])")
+      === exp(NativeHist.quantile(nh, 0.9), "q_value"))
+    assert(got("histogram_count(view_total[1h])")
+      === exp(NativeHist.accessors(nh), "h_count"))
+    assert(got("histogram_sum(view_total[1h])")
+      === exp(NativeHist.accessors(nh), "h_sum"))
+    assert(got("histogram_avg(view_total[1h])")
+      === exp(NativeHist.accessors(nh), "h_avg"))
+    assert(got("histogram_stdvar(view_total[1h])")
+      === exp(NativeHist.spread(nh), "h_stdvar"))
+    assert(got("histogram_fraction(3, 50, view_total[1h])")
+      === exp(NativeHist.fraction(nh, 3.0, 50.0), "fraction"))
+    // the classic le path still takes instant-vector arguments; native
+    // accessors refuse them loudly
+    val e1 = intercept[PromQlCompileException](
+      promql.PromQl.compile("histogram_count(view_total)", metrics))
+    assert(e1.getMessage.contains("range vector"))
+    val e2 = intercept[PromQlCompileException](
+      promql.PromQl.compile("histogram_quantile(0.9, view_total[1h] @ 1705276800)",
+        metrics))
+    assert(e2.getMessage.contains("@"))
+  }
+
   test("comparisons are IEEE on NaN: only != keeps NaN rows (filter and bool)") {
     // x % 0 is NaN for every sample (the compiler's own arith), so the
     // whole relation is the NaN operand Prometheus's Go-float semantics

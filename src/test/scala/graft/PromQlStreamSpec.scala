@@ -131,12 +131,74 @@ class PromQlStreamSpec extends SparkSuite {
           r.getAs[Long]("win_start"), r.getAs[Double]("value")))
         .toSet
       assert(streamed === batch)
-      // for-durations are refused in the streaming subset, loudly
+      // for-durations outside the selector-threshold shape are refused
       assertThrows[PromQlCompileException](PromQlStream.compileAlert(
         "alert A = avg_over_time(g[1h]) > 4 for 1h",
         graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)))
     } finally q.stop()
   }
+
+  // transformWithState (the lowered for-duration operator) is RocksDB-only
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("streaming `for` duration fires after k consecutive windows, batch-identically") { withRocksDb {
+    val dir = Files.createTempDirectory("graft-pqs-for").toFile
+    val chk = Files.createTempDirectory("graft-pqs-forchk").toFile
+    // counter increases of 10 in windows 0/3600/7200, then 1 in 10800
+    // (streak broken); a far sample closes everything
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "c_total", 100, "u1", 0.0),
+        metricJson("2", "c_total", 3500, "u1", 10.0),
+        metricJson("3", "c_total", 7100, "u1", 20.0),
+        metricJson("4", "c_total", 10700, "u1", 30.0),
+        metricJson("5", "c_total", 14300, "u1", 31.0)).mkString("\n").getBytes)
+    val line = "alert Hot = increase(c_total[1h]) > 5 for 1h"
+    val q = PromQlStream.compileAlert(
+        line,
+        graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath))
+      .writeStream.format("memory").queryName("pqs_for").outputMode("append")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(metricJson("9", "c_total", 40000, "u1", 31.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val streamed = spark.table("pqs_for")
+        .collect()
+        .map(r => (r.getAs[String]("name"), r.getAs[String]("series"),
+          r.getAs[Long]("win_start"), r.getAs[Double]("value")))
+        .toSet
+      // k = 2: the 2nd and 3rd consecutive breaching windows fire; the
+      // broken window 10800 does not
+      assert(streamed ===
+        Set(("Hot", "user=u1", 3600L, 10.0), ("Hot", "user=u1", 7200L, 10.0)))
+      // the batch rule evaluator over the same closed samples agrees
+      val batch = graft.promql.PromQlRules.evaluate(
+          line,
+          graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath)
+            .filter(col("timestamp") < 39000))("Hot")
+        .collect()
+        .map(r => (r.getAs[String]("name"), r.getAs[String]("series"),
+          r.getAs[Long]("win_start"), r.getAs[Double]("value")))
+        .toSet
+      assert(streamed === batch)
+      // a duration that does not tile the range is refused
+      assertThrows[PromQlCompileException](PromQlStream.compileAlert(
+        "alert A = increase(c_total[1h]) > 5 for 90m",
+        graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)))
+    } finally q.stop()
+  } }
 
   test("streaming text over_time matches batch; out-of-subset shapes raise") {
     val dir = Files.createTempDirectory("graft-pqs-ot").toFile
