@@ -45,9 +45,20 @@ object NativeHist {
       metrics: DataFrame,
       schema: Int = 0,
       widthSec: Long = 3600,
+      by: Seq[String] = Seq("component", "name")): DataFrame =
+    nativeHistogramKeyed(
+      metrics.withColumn("win_start", winCol(widthSec)), schema, by)
+
+  /** [[nativeHistogram]] over a PRE-ASSIGNED `win_start` column — the
+    * seam sliding evaluation needs: the caller replicates each sample
+    * onto every step-grid window whose lookback holds it (the compiler's
+    * tile explode) and the histogram build is unchanged from there.
+    */
+  def nativeHistogramKeyed(
+      keyedIn: DataFrame,
+      schema: Int = 0,
       by: Seq[String] = Seq("component", "name")): DataFrame = {
-    val keyed = metrics
-      .withColumn("win_start", winCol(widthSec))
+    val keyed = keyedIn
       .withColumn("_idx",
         when(col("value") > 0, GraftFunctions.exp2_bucket(col("value"), schema)))
     val keys = by.map(col) :+ col("win_start")

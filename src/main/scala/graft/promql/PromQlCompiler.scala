@@ -111,9 +111,10 @@ final case class PromQlCompileException(msg: String) extends RuntimeException(ms
   *    the native path (the range's observations build the sparse
   *    exponential histogram per window, schema 0, the m37 derivation
   *    model), an instant-vector argument keeps the classic `le` path.
-  *    Sliding evaluation and `@` pins on native-histogram selectors are
-  *    the remaining unsupported surface (compile error, never silently
-  *    wrong).
+  *    Sliding evaluation (the step-grid tile assignment every range
+  *    function uses) and `@` pins (histogram at the pinned window,
+  *    spread across the grid) both work — the native-histogram surface
+  *    is complete.
   */
 object PromQlCompiler {
 
@@ -747,28 +748,28 @@ object PromQlCompiler {
           // a RANGE argument selects the NATIVE-histogram path: the
           // range's observations build the sparse exponential histogram
           case r: RangeSelector =>
-            Vec(nativeVecOf(
+            Vec(nativeVecOf(r,
               graft.operators.NativeHist.quantile(nativeHistOf(fn, r), q),
               "q_value"))
           case other => Vec(histogramQuantile(q, vecArg(other, fn)))
         }
       case "histogram_count" | "histogram_sum" | "histogram_avg" =>
         require1(fn, args)
-        val acc = graft.operators.NativeHist.accessors(
-          nativeHistOf(fn, rangeArgOf(fn, args.head)))
-        Vec(nativeVecOf(acc, "h_" + fn.stripPrefix("histogram_")))
+        val r = rangeArgOf(fn, args.head)
+        val acc = graft.operators.NativeHist.accessors(nativeHistOf(fn, r))
+        Vec(nativeVecOf(r, acc, "h_" + fn.stripPrefix("histogram_")))
       case "histogram_stddev" | "histogram_stdvar" =>
         require1(fn, args)
-        val sp = graft.operators.NativeHist.spread(
-          nativeHistOf(fn, rangeArgOf(fn, args.head)))
-        Vec(nativeVecOf(sp, "h_" + fn.stripPrefix("histogram_")))
+        val r = rangeArgOf(fn, args.head)
+        val sp = graft.operators.NativeHist.spread(nativeHistOf(fn, r))
+        Vec(nativeVecOf(r, sp, "h_" + fn.stripPrefix("histogram_")))
       case "histogram_fraction" =>
         if (args.length != 3) err("histogram_fraction expects (lower, upper, vector)")
         val lo = scalarArg(args(0), "histogram_fraction lower")
         val hi = scalarArg(args(1), "histogram_fraction upper")
-        Vec(nativeVecOf(
-          graft.operators.NativeHist.fraction(
-            nativeHistOf(fn, rangeArgOf(fn, args(2))), lo, hi),
+        val r = rangeArgOf(fn, args(2))
+        Vec(nativeVecOf(r,
+          graft.operators.NativeHist.fraction(nativeHistOf(fn, r), lo, hi),
           "fraction"))
       case "timestamp" =>
         require1(fn, args)
@@ -924,15 +925,25 @@ object PromQlCompiler {
       * the documented unsupported remainder.
       */
     private def nativeHistOf(fnName: String, rs: RangeSelector): DataFrame = {
-      if (sliding)
-        err(s"$fnName over native histograms evaluates on the range's " +
-          "tumbling grid only (sliding unsupported)")
-      if (rs.sel.atSec.nonEmpty)
-        err(s"$fnName over native histograms does not support @ pins")
-      graft.operators.NativeHist.nativeHistogram(
-        samples(rs.sel).select(
-          col("component"), col("name"), col("timestamp"), col("value")),
-        schema = 0, widthSec = rs.rangeSec)
+      val base = samples(rs.sel).select(
+        col("component"), col("name"), col("timestamp"), col("value"))
+      if (!sliding || rs.rangeSec == stepSec)
+        graft.operators.NativeHist.nativeHistogram(
+          base, schema = 0, widthSec = rs.rangeSec)
+      else {
+        // sliding: the same tile-replication assignment every range
+        // function uses ([[assignWin]]'s rule) — each observation lands
+        // in every step-grid window whose [w, w + R) lookback holds it,
+        // then the histogram build is the tumbling one per window
+        if (rs.rangeSec % stepSec != 0)
+          err(s"sliding evaluation: range ${rs.rangeSec}s must be a " +
+            s"multiple of the ${stepSec}s step")
+        val ws = winStart(col("timestamp"), stepSec)
+        graft.operators.NativeHist.nativeHistogramKeyed(
+          base.withColumn("win_start",
+            explode(sequence(ws - lit(rs.rangeSec - stepSec), ws, lit(stepSec)))),
+          schema = 0)
+      }
     }
 
     private def rangeArgOf(fnName: String, arg: PromExpr): RangeSelector =
@@ -945,13 +956,18 @@ object PromQlCompiler {
     /** Native-histogram results back onto the standard vector shape:
       * per-(component, name) identity, empty labels (the histogram
       * aggregates the metric's series — label splits come from selector
-      * matchers), the chosen accessor as `value`.
+      * matchers), the chosen accessor as `value`, the selector's `@` pin
+      * applied like any other range selector's (the histogram computed
+      * at the pinned window, spread across the evaluation grid).
       */
-    private def nativeVecOf(df: DataFrame, valueCol: String): DataFrame =
-      df.select(
-        col("component"), col("name"),
-        map_filter(map(lit(""), lit("")), (_, _) => lit(false)).as("labels"),
-        col("win_start"), col(valueCol).cast("double").as("value"))
+    private def nativeVecOf(
+        rs: RangeSelector, df: DataFrame, valueCol: String): DataFrame =
+      pinMaybe(
+        df.select(
+          col("component"), col("name"),
+          map_filter(map(lit(""), lit("")), (_, _) => lit(false)).as("labels"),
+          col("win_start"), col(valueCol).cast("double").as("value")),
+        rs.sel.atSec, rs.rangeSec)
 
     /** `histogram_quantile(q, v)` over a classic cumulative-`le`-bucket
       * vector: per (component, window, labels-minus-le) group, locate the

@@ -155,18 +155,24 @@ object MaterializedJoinView {
   }
 
   /** Signed change feed of `root` between versions: the rows plus a
-    * `_sgn` column (+1 insert, −1 delete), landed DURABLY as a stage
-    * table (it is read by up to two join terms and the final merge);
-    * None when the span is empty.
+    * `_sgn` column (+1 insert, −1 delete); None when the span is empty.
+    * Deliberately NOT landed: the CDF plan reads only immutable
+    * content-addressed delta files resolved from pinned manifests, so
+    * each of its few consumers (the join terms, the probe-key collect)
+    * re-reads the same bytes deterministically — the durability a stage
+    * landing exists to provide is inherent here, and landing would add
+    * an O(delta) write per source per refresh for nothing. The AGGREGATED
+    * delta (consumed by the key collect, the incremental arm, and the
+    * recompute filter — and expensive to re-derive) is what lands.
     */
   private def signedDelta(
       spark: SparkSession, root: String, fromV: Long, toV: Long): Option[DataFrame] =
     if (toV == fromV) None
-    else Some(graft.Tables.materializeStage(
+    else Some(
       Versioned.changesBetween(spark, root, fromV, toV)
         .withColumn("_sgn",
           when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1)))
-        .drop("_change_type")))
+        .drop("_change_type"))
 
   /** The other table's OLD image restricted to the delta's join keys —
     * a bloom-pruned point read, never a table scan. None when the delta

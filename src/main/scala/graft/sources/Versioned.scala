@@ -1288,6 +1288,41 @@ object Versioned {
     else all.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** [[changesBetween]] in Delta's four-type CDF rendering: a key whose
+    * span carries BOTH a delete and an insert (an upsert/CDC rewrite)
+    * reports its old rows as `update_preimage` and its new rows as
+    * `update_postimage`; pure inserts and pure deletes keep their types.
+    * Pairing is per KEY over the span (one extra hash shuffle on the
+    * table's delete key, O(changes)); the signed consumers
+    * ([[MaterializedView]], [[MaterializedJoinView]]) keep the two-type
+    * form — pre/postimage exist for external CDC sinks that distinguish
+    * updates (Debezium-style consumers, audit trails). Requires the
+    * table to have a delete key; a key-less (append-only) table has no
+    * update identity and feeds unchanged.
+    */
+  def changesBetweenUpdateForm(
+      spark: SparkSession, root: String, fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val feed = changesBetween(spark, root, fromV, toV)
+    deleteKeyOf(root, toV) match {
+      case None => feed
+      case Some(keyCol) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol).cast("string"))
+        feed
+          .withColumn("_ins",
+            max(when(col("_change_type") === "insert", 1).otherwise(0)).over(w))
+          .withColumn("_del",
+            max(when(col("_change_type") === "delete", 1).otherwise(0)).over(w))
+          .withColumn("_change_type",
+            when(col("_ins") === 1 && col("_del") === 1,
+              when(col("_change_type") === "delete", lit("update_preimage"))
+                .otherwise(lit("update_postimage")))
+              .otherwise(col("_change_type")))
+          .drop("_ins", "_del")
+    }
+  }
+
   /** The latest committed snapshot. */
   def latest(spark: SparkSession, root: String): DataFrame = {
     val v = latestVersion(root)

@@ -306,13 +306,16 @@ class PromDiffFuzzSpec extends SparkSuite {
         case 2 => Neg(gen(depth - 1))
         case 3 =>
           val op = Seq("+", "-", "*", "/", "%")(rnd.nextInt(5))
-          if (rnd.nextBoolean()) Binary(op, gen(depth - 1), NumberLit(rnd.nextInt(20) + 1.0))
+          // scalar 0 is reachable (p = 1/20): x/0 and x%0 make NaN/Inf
+          // real inputs, so downstream comparisons exercise the IEEE
+          // NaN branch differentially (round 11)
+          if (rnd.nextBoolean()) Binary(op, gen(depth - 1), NumberLit(rnd.nextInt(20).toDouble))
           else Binary(op, gen(depth - 1), gen(depth - 1))
         case 4 =>
-          val cmpOps = Seq(">", "<", ">=", "<=")
+          val cmpOps = Seq(">", "<", ">=", "<=", "==", "!=")
           val setOpsSeq = Seq("and", "or", "unless")
           if (rnd.nextBoolean())
-            Binary(cmpOps(rnd.nextInt(4)), gen(depth - 1),
+            Binary(cmpOps(rnd.nextInt(cmpOps.length)), gen(depth - 1),
               NumberLit(rnd.nextInt(100).toDouble), None, boolMod = rnd.nextBoolean())
           else Binary(setOpsSeq(rnd.nextInt(3)), gen(depth - 1), gen(depth - 1))
       }

@@ -641,10 +641,47 @@ class PromQlCompileSpec extends SparkSuite {
     val e1 = intercept[PromQlCompileException](
       promql.PromQl.compile("histogram_count(view_total)", metrics))
     assert(e1.getMessage.contains("range vector"))
-    val e2 = intercept[PromQlCompileException](
-      promql.PromQl.compile("histogram_quantile(0.9, view_total[1h] @ 1705276800)",
-        metrics))
-    assert(e2.getMessage.contains("@"))
+  }
+
+  test("sliding + @-pinned native histograms land on the step grid") {
+    import graft.operators.NativeHist
+    // sliding: each 900s-step window's histogram covers its [w, w+3600)
+    // lookback — first-principles recompute via the same tile assignment
+    val got = promql.PromQl.compileSliding(
+        "histogram_count(view_total[1h])", metrics, stepSec = 900L)
+      .select("win_start", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val base = metrics.filter(col("name") === "view_total")
+      .select(col("component"), col("name"), col("timestamp"), col("value"))
+    val ws = (col("timestamp") - pmod(col("timestamp"), lit(900L))).cast("long")
+    val exp = NativeHist.accessors(NativeHist.nativeHistogramKeyed(
+        base.withColumn("win_start",
+          explode(sequence(ws - lit(3600L - 900L), ws, lit(900L))))))
+      .select("win_start", "h_count").collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    assert(got.nonEmpty && got === exp)
+    // the tumbling-grid count at each R-aligned window agrees with the
+    // tumbling compile (a sliding window aligned to the R grid sees the
+    // same lookback)
+    val tumb = promql.PromQl.compile("histogram_count(view_total[1h])", metrics)
+      .select("win_start", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // sliding window w covers [w, w+3600) = tumbling window at w
+    tumb.foreach { case (w, v) => assert(got.get(w).contains(v), s"window $w") }
+    // @ pins: the histogram computed at the pinned window, spread across
+    // the whole evaluation grid — pinned to view_total's own first
+    // window (an explicit timestamp; `@ start()` resolves the GLOBAL
+    // span's first window, where view_total happens to be absent at this
+    // SF — a pin into an empty window is empty, per PromQL, pinned too)
+    val firstWin = tumb.keys.min
+    val pinned = promql.PromQl.compile(
+        s"histogram_count(view_total[1h] @ $firstWin)", metrics)
+      .select("win_start", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pinned.nonEmpty)
+    assert(pinned.values.toSet === Set(tumb(firstWin)))
+    assert(promql.PromQl.compile(
+      "histogram_count(view_total[1h] @ start())", metrics).count() === 0L)
   }
 
   test("comparisons are IEEE on NaN: only != keeps NaN rows (filter and bool)") {

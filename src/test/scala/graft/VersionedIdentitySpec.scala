@@ -101,6 +101,29 @@ class VersionedIdentitySpec extends SparkSuite {
     assert(vC >= 0)
   }
 
+  test("update-form CDF pairs a key's delete+insert as pre/postimage") {
+    val root = tmp("graft-ident-cdf4")
+    Versioned.appendCommit(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name").coalesce(1), root,
+      bloomCols = Seq("k"))
+    // one span: update k=1, delete k=2, insert k=4
+    val v1 = Versioned.replaceCommit(
+      Seq((1L, "a2"), (4L, "d")).toDF("k", "name").coalesce(1), root, "k",
+      deleteKeys = Seq("2"))
+    val got = Versioned.changesBetweenUpdateForm(spark, root, 0L, v1)
+      .select("_change_type", "k", "name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq.sorted
+    assert(got === Seq(
+      ("delete", 2L, "b"),
+      ("insert", 4L, "d"),
+      ("update_postimage", 1L, "a2"),
+      ("update_preimage", 1L, "a")))
+    // the two-type form is untouched (the signed consumers' contract)
+    assert(Versioned.changesBetween(spark, root, 0L, v1)
+      .select("_change_type").distinct().collect().map(_.getString(0)).toSet
+      === Set("insert", "delete"))
+  }
+
   test("vacuum never sweeps a chunk no dropped marker referenced (in-flight commit)") {
     val root = tmp("graft-ident-vac")
     for (i <- 1 to 2)
