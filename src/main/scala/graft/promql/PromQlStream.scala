@@ -42,6 +42,10 @@ import graft.streaming.FirehoseStream
   *   - `selL and/or/unless selR` → [[FirehoseStream.vectorSetOp]]
   *   - `agg_over_time(rate(x[R])[Router:R])` (min/max/avg) →
   *     [[FirehoseStream.subqueryOverTimeClosed]]
+  *   - `histogram_quantile/count/sum/avg/stddev/stdvar/fraction` over a
+  *     range → [[FirehoseStream.nativeHistogramClosed]] + the batch
+  *     [[graft.operators.NativeHist]] kernels (round 11 — the native-
+  *     histogram family streams with occupied-bucket-bounded state)
   *
   * Anything else — nested function composition, `group_left/right`,
   * `offset`, `on()` with an empty list, scalar-vector arithmetic —
@@ -115,6 +119,26 @@ object PromQlStream {
   private def rangeArg(fn: String, e: PromExpr): (VectorSelector, Long) = e match {
     case RangeSelector(sel, r) => (sel, r)
     case _ => err(s"$fn expects a plain range selector (x[5m]) in the streaming compile")
+  }
+
+  /** The streaming native-histogram lowering shared by the
+    * `histogram_*` family: the range's observations build the sparse
+    * exponential histogram per closed window
+    * ([[graft.streaming.FirehoseStream.nativeHistogramClosed]] — state
+    * bounded by occupied buckets via the chained bucket-count
+    * aggregation), then the BATCH kernels apply unchanged (quantile /
+    * accessors / spread / fraction are row-local folds over the sorted
+    * bucket array — stateless projections, legal after the streaming
+    * aggregation). The m37 derivation model, the same one the batch
+    * text compiler uses — text, batch, and stream cannot drift.
+    */
+  private def nativeHist(
+      fn: String, arg: PromExpr, metrics: DataFrame, wm: String): DataFrame = {
+    val (sel, r) = rangeArg(fn, arg)
+    FirehoseStream.nativeHistogramClosed(
+        filtered(metrics, sel), schema = 0, width = s"$r seconds",
+        watermarkDelay = wm)
+      .withColumn("series", lit(""))
   }
 
   private def single(df: DataFrame, valueCol: Column): DataFrame =
@@ -214,6 +238,22 @@ object PromQlStream {
       single(
         FirehoseStream.overTimeAgg(filtered(metrics, sel), width(r), wm),
         col(overTimeCols(fn)))
+
+    case Call("histogram_quantile", Seq(qe, arg)) =>
+      val q = scalarLit(qe, "histogram_quantile quantile")
+      single(graft.operators.NativeHist.quantile(
+        nativeHist("histogram_quantile", arg, metrics, wm), q), col("q_value"))
+    case Call(fn @ ("histogram_count" | "histogram_sum" | "histogram_avg"), Seq(arg)) =>
+      single(graft.operators.NativeHist.accessors(nativeHist(fn, arg, metrics, wm)),
+        col("h_" + fn.stripPrefix("histogram_")))
+    case Call(fn @ ("histogram_stddev" | "histogram_stdvar"), Seq(arg)) =>
+      single(graft.operators.NativeHist.spread(nativeHist(fn, arg, metrics, wm)),
+        col("h_" + fn.stripPrefix("histogram_")))
+    case Call("histogram_fraction", Seq(loE, hiE, arg)) =>
+      val lo = scalarLit(loE, "histogram_fraction lower")
+      val hi = scalarLit(hiE, "histogram_fraction upper")
+      single(graft.operators.NativeHist.fraction(
+        nativeHist("histogram_fraction", arg, metrics, wm), lo, hi), col("fraction"))
 
     case Call("present_over_time", Seq(arg)) =>
       val (sel, r) = rangeArg("present_over_time", arg)

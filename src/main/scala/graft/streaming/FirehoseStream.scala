@@ -1282,7 +1282,7 @@ object FirehoseStream {
         col("window.start").as("win_start"), col("name"), col("le"), col("n"))
 
   /** Streaming NATIVE histograms — [[graft.operators.NativeHist]]'s
-    * incremental sibling: per (window, metric), the sparse exponential
+    * incremental sibling: per (window, component, metric), the sparse exponential
     * bucket array built by TWO chained streaming aggregations (the
     * (window, metric, bucket) counts feed the per-metric pack, whose
     * collect is occupied-bucket-bounded — the instantAgg chaining
@@ -1302,18 +1302,19 @@ object FirehoseStream {
         when(col("value") > 0,
           graft.functions.GraftFunctions.exp2_bucket(col("value"), schema)))
     keyed
-      .groupBy(window(col("eventTime"), width), col("name"), col("_idx"))
+      .groupBy(window(col("eventTime"), width),
+        col("component"), col("name"), col("_idx"))
       .agg(
         count(lit(1)).as("_c"),
         sum(col("value").cast("decimal(18,2)")).as("_s"))
-      .groupBy(window(col("window"), width), col("name"))
+      .groupBy(window(col("window"), width), col("component"), col("name"))
       .agg(
         coalesce(sum(when(col("_idx").isNull, col("_c"))), lit(0L)).as("zero_count"),
         sum(col("_c")).as("n_samples"),
         sum(col("_s")).cast("decimal(28,2)").as("sum"),
         sort_array(collect_list(when(col("_idx").isNotNull,
           struct(col("_idx").as("idx"), col("_c").as("cnt"))))).as("buckets"))
-      .select(col("window.start").as("win_start"), col("name"),
+      .select(col("window.start").as("win_start"), col("component"), col("name"),
         col("zero_count"), col("n_samples"), col("sum"), col("buckets"),
         lit(schema).as("schema"))
   }

@@ -138,6 +138,48 @@ class PromQlStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming text histogram family matches the batch compile on closed windows") {
+    val dir = Files.createTempDirectory("graft-pqs-nh").toFile
+    val chk = Files.createTempDirectory("graft-pqs-nhchk").toFile
+    // window [0, 3600): buckets (2,4]=2, (4,8]=1, zero bucket 1
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "m_total", 100, "u1", 3.0),
+        metricJson("2", "m_total", 200, "u2", 4.0),
+        metricJson("3", "m_total", 300, "u1", 5.0),
+        metricJson("4", "m_total", 400, "u3", 0.0)).mkString("\n").getBytes)
+    for ((q, name) <- Seq(
+        ("histogram_quantile(0.9, m_total[1h])", "pqs_nhq"),
+        ("histogram_count(m_total[1h])", "pqs_nhc"),
+        ("histogram_fraction(2, 8, m_total[1h])", "pqs_nhf"))) {
+      val qy = PromQlStream.compile(
+          q, graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-pqs-nhc").toFile.getAbsolutePath)
+        .start()
+      try {
+        qy.processAllAvailable()
+        Files.write(dir.toPath.resolve(s"close-$name.json"),
+          Seq(metricJson("9", "m_total", 40000, "u1", 1.0)).mkString("\n").getBytes)
+        qy.processAllAvailable()
+        val streamed = spark.table(name)
+          .filter(col("win_start") === timestamp_seconds(lit(0)))
+          .collect()
+          .map(r => (r.getAs[String]("name"), r.getAs[String]("series"),
+            r.getAs[Double]("value"))).toSet
+        val batch = PromQl.compile(
+            q, graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath)
+              .filter(col("timestamp") < 3600))
+          .collect()
+          .map(r => (r.getAs[String]("name"), r.getAs[String]("series"),
+            r.getAs[Double]("value"))).toSet
+        assert(streamed.nonEmpty && streamed === batch, q)
+      } finally qy.stop()
+    }
+    assert(chk.exists())
+  }
+
   // transformWithState (the lowered for-duration operator) is RocksDB-only
   private def withRocksDb[T](body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
