@@ -194,6 +194,47 @@ class MaterializedJoinViewSpec extends SparkSuite {
     assert(rollRows === Set((2L, 4.0))) // tiers {0, 5}, 4 joined rows
   }
 
+  test("third order: a join view whose LEFT source is another join view") {
+    val facts = tmp("mvj3-f"); val dims = tmp("mvj3-d")
+    val tiers = tmp("mvj3-t"); val l1 = tmp("mvj3-l1"); val l2 = tmp("mvj3-l2")
+    Versioned.appendCommit(
+      Seq((1L, "s1", 1.0), (2L, "s2", 2.0), (3L, "s3", 4.0))
+        .toDF("k", "s", "x").coalesce(1), facts, bloomCols = Seq("s", "k"))
+    Versioned.appendCommit(
+      Seq(("s1", 0L), ("s2", 0L), ("s3", 1L)).toDF("s", "tier").coalesce(1),
+      dims, bloomCols = Seq("s"))
+    // tier metadata joined ABOVE the level-1 aggregate
+    Versioned.appendCommit(
+      Seq((0L, "basic"), (1L, "premium"), (5L, "vip"))
+        .toDF("tier", "plan").coalesce(1), tiers, bloomCols = Seq("tier"))
+    MaterializedJoinView.create(spark, facts, dims, l1, "s",
+      Seq("tier"), Seq("x"))
+    // level 2: per-plan rollup of the level-1 view — its LEFT change feed
+    // is the view's own replaceCommit lineage
+    MaterializedJoinView.create(spark, l1, tiers, l2, "tier",
+      Seq("plan"), Seq("sum_x"))
+    def l2rows: Set[(String, Long, Double)] =
+      MaterializedJoinView.read(spark, l2)
+        .select(col("plan"), col("cnt"), col("sum_sum_x")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // cnt counts level-1 GROUPS per plan; sum_sum_x sums their sums
+    assert(l2rows === Set(("basic", 1L, 3.0), ("premium", 1L, 4.0)))
+    // ripple: a new fact lands in a NEW tier, a dim move drains tier 1
+    Versioned.appendCommit(Seq((4L, "s4", 8.0)).toDF("k", "s", "x").coalesce(1),
+      facts, bloomCols = Seq("s", "k"))
+    Versioned.upsertCommit(
+      Seq(("s4", 5L), ("s3", 0L)).toDF("s", "tier").coalesce(1), dims, "s")
+    MaterializedJoinView.refresh(spark, l1)
+    MaterializedJoinView.refresh(spark, l2)
+    assert(rows(l1) === recompute(facts, dims))
+    assert(l2rows === Set(("basic", 1L, 7.0), ("vip", 1L, 8.0)))
+    // a fact delete that empties a level-1 group tombstones it at level 2
+    Versioned.deleteCommit(spark, facts, "k", Seq("4"))
+    MaterializedJoinView.refresh(spark, l1)
+    MaterializedJoinView.refresh(spark, l2)
+    assert(l2rows === Set(("basic", 1L, 7.0)))
+  }
+
   test("streaming: per-micro-batch fact landing + join-view refresh stays exact") {
     val left = tmp("mvjs-l"); val right = tmp("mvjs-r"); val view = tmp("mvjs-v")
     Versioned.appendCommit(

@@ -46,6 +46,32 @@ class MaterializedViewSpec extends SparkSuite {
     assert(avg === 1.75)
   }
 
+  test("byte-identical deltas feed the view correctly (content-address identity)") {
+    val src = tmp("mv-src"); val view = tmp("mv-view")
+    val batch = Seq((1L, "a", 1.5), (2L, "b", 2.0)).toDF("k", "g", "x").coalesce(1)
+    Versioned.appendCommit(batch, src, bloomCols = Seq("k"))
+    MaterializedView.create(spark, src, view, Seq("g"), Seq("x"))
+    // a byte-identical RE-APPEND dedupes to the same pool path — the
+    // feed must still report its rows, doubling every group
+    Versioned.appendCommit(batch, src, bloomCols = Seq("k"))
+    MaterializedView.refresh(spark, view)
+    assert(rows(MaterializedView.read(spark, view)) === recompute(src))
+    assert(rows(MaterializedView.read(spark, view))
+      === Set((Some("a"), 2L, 3.0), (Some("b"), 2L, 4.0)))
+    // a SAME-VALUE upsert collapses the duplicated key to one row (both
+    // copies tombstoned, one re-inserted); repeating it is the judge
+    // case — tombstone + byte-identical re-append nets to an EMPTY feed,
+    // so the second upsert leaves the view untouched
+    Versioned.upsertCommit(Seq((1L, "a", 1.5)).toDF("k", "g", "x").coalesce(1),
+      src, "k")
+    Versioned.upsertCommit(Seq((1L, "a", 1.5)).toDF("k", "g", "x").coalesce(1),
+      src, "k")
+    MaterializedView.refresh(spark, view)
+    assert(rows(MaterializedView.read(spark, view)) === recompute(src))
+    assert(rows(MaterializedView.read(spark, view))
+      === Set((Some("a"), 1L, 1.5), (Some("b"), 2L, 4.0)))
+  }
+
   test("append + delete + upsert each refresh to the recompute in ONE commit") {
     val src = tmp("mv-src"); val view = tmp("mv-view")
     mkSource(src, Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "b", 3.0)))
