@@ -626,11 +626,19 @@ object Multimodal {
     }
     if (width < 0 || idat.size() == 0) return None
     val bpp = if (colorType == 0) 1 else 3
-    // dimension arithmetic in Long: CRC-valid but huge IHDR dimensions
-    // must decode to None, never overflow Int into a negative array size
+    // dimension arithmetic must not overflow even in LONG: width and
+    // height are each up to 2^31-1, so rowLenL * height can exceed 2^63
+    // and wrap past a plain `> Int.MaxValue` check — bound by division
+    // first (rowLenL itself is ≤ 3·(2^31-1), always exact)
     val rowLenL = width.toLong * bpp
+    if (rowLenL > Int.MaxValue.toLong / height) return None
+    // now rowLenL·height ≤ Int.MaxValue, so this product fits in Long
     val expected = (rowLenL + 1L) * height
-    if (rowLenL * height > Int.MaxValue || expected > Int.MaxValue) return None
+    if (expected > Int.MaxValue) return None
+    // zlib expands at most ~1032:1 — a tiny IDAT declaring huge
+    // dimensions is malformed, and must take the None path BEFORE the
+    // allocation (a ~100-byte payload must never force a ~2 GB buffer)
+    if (expected > idat.size().toLong * 1032L + 64L) return None
     val rowLen = rowLenL.toInt
     val raw = new Array[Byte](expected.toInt)
     val inflater = new java.util.zip.Inflater()

@@ -914,37 +914,24 @@ object PromQlCompiler {
     /** NATIVE-histogram path shared by the `histogram_*` family: the
       * range selector's raw observations build per-(component, name,
       * window) sparse exponential histograms
-      * ([[graft.operators.NativeHist.nativeHistogram]], schema 0 — the
-      * IEEE-exponent bucketing, no runtime log) on the range's own
-      * TUMBLING grid. This is the m37 derivation model: the engine's
-      * metric streams carry scalar observations, so the native histogram
-      * is DERIVED per window rather than ingested pre-bucketed (a
-      * pre-bucketed native-histogram exposition would land on the same
-      * relation); label-split histograms come from label matchers on the
-      * selector. Sliding evaluation and `@` pins are refused loudly —
-      * the documented unsupported remainder.
+      * ([[graft.operators.NativeHist.nativeHistogramKeyed]], schema 0 —
+      * the IEEE-exponent bucketing, no runtime log) with window
+      * assignment from the SAME [[assignWin]] seam every range function
+      * uses — the range's own grid tumbling, the step-grid tile explode
+      * sliding; `@` pins apply in [[nativeVecOf]]. This is the m37
+      * derivation model: the engine's metric streams carry scalar
+      * observations, so the native histogram is DERIVED per window
+      * rather than ingested pre-bucketed (a pre-bucketed exposition
+      * would land on the same relation); label-split histograms come
+      * from label matchers on the selector.
       */
-    private def nativeHistOf(fnName: String, rs: RangeSelector): DataFrame = {
-      val base = samples(rs.sel).select(
-        col("component"), col("name"), col("timestamp"), col("value"))
-      if (!sliding || rs.rangeSec == stepSec)
-        graft.operators.NativeHist.nativeHistogram(
-          base, schema = 0, widthSec = rs.rangeSec)
-      else {
-        // sliding: the same tile-replication assignment every range
-        // function uses ([[assignWin]]'s rule) — each observation lands
-        // in every step-grid window whose [w, w + R) lookback holds it,
-        // then the histogram build is the tumbling one per window
-        if (rs.rangeSec % stepSec != 0)
-          err(s"sliding evaluation: range ${rs.rangeSec}s must be a " +
-            s"multiple of the ${stepSec}s step")
-        val ws = winStart(col("timestamp"), stepSec)
-        graft.operators.NativeHist.nativeHistogramKeyed(
-          base.withColumn("win_start",
-            explode(sequence(ws - lit(rs.rangeSec - stepSec), ws, lit(stepSec)))),
-          schema = 0)
-      }
-    }
+    private def nativeHistOf(fnName: String, rs: RangeSelector): DataFrame =
+      graft.operators.NativeHist.nativeHistogramKeyed(
+        assignWin(
+          samples(rs.sel).select(
+            col("component"), col("name"), col("timestamp"), col("value")),
+          rs.rangeSec),
+        schema = 0)
 
     private def rangeArgOf(fnName: String, arg: PromExpr): RangeSelector =
       arg match {

@@ -246,13 +246,28 @@ object MaterializedJoinView {
         // the no-touch lemma (see [[MaterializedView]]): a group whose
         // insert-side stats equal its retraction-side stats provably
         // keeps its exact view row — a compact span on either source
-        // becomes a watermark-only commit even with min/max maintained
+        // becomes a watermark-only commit even with min/max maintained.
+        // SOUNDNESS BOUNDARY (round 11): the lemma's premise is that
+        // retractions are rows the group actually held, which holds for
+        // any SINGLE-source span (each signed row is a genuine join row
+        // against the other side's old image) but fails when BOTH
+        // sources move in one span — the ΔA⋈ΔB correction term plants
+        // identical phantom values on BOTH extremum-evidence sides of a
+        // group (e.g. a new fact whose dim row simultaneously leaves the
+        // group appears as +x and −x), which can mask genuine extremum
+        // churn that is cnt- and sum-neutral. In that case, with min/max
+        // maintained, every touched group stays in the delta:
+        // retraction-touched groups route to the honest recompute arm,
+        // insert-only groups still self-maintain. The cnt/sum clauses
+        // stay exact under any span (they are linear — phantoms cancel).
         .filter(
-          (d.sumCols.map(c => col(s"_dsum_$c") =!= zero) ++
-            d.minMaxCols.flatMap(c => Seq(
-              !(col(s"_imin_$c") <=> col(s"_rmin_$c")),
-              !(col(s"_imax_$c") <=> col(s"_rmax_$c")))))
-            .foldLeft(col("_dcnt") =!= 0L)(_ || _))
+          if (d.minMaxCols.nonEmpty && dl.nonEmpty && dr.nonEmpty) lit(true)
+          else
+            (d.sumCols.map(c => col(s"_dsum_$c") =!= zero) ++
+              d.minMaxCols.flatMap(c => Seq(
+                !(col(s"_imin_$c") <=> col(s"_rmin_$c")),
+                !(col(s"_imax_$c") <=> col(s"_rmax_$c")))))
+              .foldLeft(col("_dcnt") =!= 0L)(_ || _))
         .withColumn(GK, gkOf(d.groupCols))))
     val keys = delta.map(_.select(col(GK)).collect().map(_.getString(0)).toSeq.sorted)
       .getOrElse(Nil)

@@ -1227,12 +1227,31 @@ object Versioned {
         fRest ++= f.drop(n)
         tRest ++= t.drop(n)
       }
-      val fr = fRest.result().sortBy(dk)
-      val tr = tRest.result().sortBy(dk)
-      val n = math.min(fr.size, tr.size)
-      paired ++= fr.take(n).zip(tr.take(n))
-      droppedFiles ++= fr.drop(n)
-      inserted ++= tr.drop(n)
+      // SUBSET-aware pairing: tombstones only grow on a continued entry,
+      // so pair each from-entry with a to-entry whose tombstones contain
+      // its own — any pairing yields the same SIGNED net (contributions
+      // are linear), but a subset-blind pairing can emit spurious
+      // delete+insert pairs for unchanged keys, which the update-form
+      // rendering would show external CDC consumers as phantom updates.
+      // Leftovers (tombstones released by a restore) pair positionally.
+      val fr = fRest.result().sortBy(e => (e.deletes.size, dk(e)))
+      val tr = tRest.result().sortBy(e => (e.deletes.size, dk(e)))
+      val used = Array.fill(tr.size)(false)
+      val frLeft = Seq.newBuilder[Entry]
+      fr.foreach { f =>
+        val fSet = f.deletes.toSet
+        val i = tr.indices.find(j => !used(j) && fSet.subsetOf(tr(j).deletes.toSet))
+        i match {
+          case Some(j) => used(j) = true; paired += ((f, tr(j)))
+          case None => frLeft += f
+        }
+      }
+      val remF = frLeft.result()
+      val remT = tr.indices.filterNot(used).map(tr)
+      val n = math.min(remF.size, remT.size)
+      paired ++= remF.take(n).zip(remT.take(n))
+      droppedFiles ++= remF.drop(n)
+      inserted ++= remT.drop(n)
     }
     val pairs = paired.result()
     // keys newly tombstoned / newly un-tombstoned on paired entries

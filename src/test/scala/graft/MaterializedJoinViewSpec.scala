@@ -164,6 +164,38 @@ class MaterializedJoinViewSpec extends SparkSuite {
     assert(rowsMM === recomputeMM)
   }
 
+  test("min/max: a both-source span with phantom evidence still recomputes") {
+    // the lemma-unsoundness construction: in ONE span, a group's facts
+    // churn cnt- and sum-neutrally ({5,9} → {6,8}) while new facts {3,10}
+    // land on a source whose dim row simultaneously leaves the group —
+    // the ΔA⋈ΔB term plants 3 and 10 on BOTH evidence sides, so insert
+    // and retraction stats match exactly (cnt 0, sum 0, min 3=3,
+    // max 10=10) yet the true extremes moved 5/9 → 6/8. The lemma must
+    // NOT cancel this group; the recompute arm must fix it.
+    val left = tmp("mvjp-l"); val right = tmp("mvjp-r"); val view = tmp("mvjp-v")
+    Versioned.appendCommit(
+      Seq((1L, "s1", 5.0), (2L, "s1", 9.0)).toDF("k", "s", "x").coalesce(1),
+      left, bloomCols = Seq("s", "k"))
+    Versioned.appendCommit(
+      Seq(("s1", 0L), ("s2", 0L)).toDF("s", "tier").coalesce(1),
+      right, bloomCols = Seq("s"))
+    MaterializedJoinView.create(spark, left, right, view, "s",
+      Seq("tier"), Seq("x"), minMaxCols = Seq("x"))
+    Versioned.deleteCommit(spark, left, "k", Seq("1", "2"))
+    Versioned.appendCommit(
+      Seq((3L, "s1", 6.0), (4L, "s1", 8.0), (5L, "s2", 3.0), (6L, "s2", 10.0))
+        .toDF("k", "s", "x").coalesce(1), left, bloomCols = Seq("s", "k"))
+    Versioned.upsertCommit(Seq(("s2", 1L)).toDF("s", "tier").coalesce(1),
+      right, "s")
+    MaterializedJoinView.refresh(spark, view)
+    val got = MaterializedJoinView.read(spark, view)
+      .select(col("tier"), col("cnt"), col("sum_x"), col("min_x"), col("max_x"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got === Set((0L, 2L, 14.0, 6.0, 8.0), (1L, 2L, 13.0, 3.0, 10.0)))
+  }
+
   test("second order: a MaterializedView over the join-view root refreshes through") {
     import graft.sources.MaterializedView
     val left = tmp("mvj2-l"); val right = tmp("mvj2-r")

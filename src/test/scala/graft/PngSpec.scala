@@ -121,6 +121,18 @@ class PngSpec extends SparkSuite {
     val hugeWH = sig ++ ihdr(0x10000, 0x10000, 0) ++
       chunk("IDAT", deflated) ++ chunk("IEND", Array.empty)
     assert(Multimodal.decodePng(hugeWH).isEmpty)
+    // 4. BOTH dims at Int.MaxValue, truecolor: rowLen * height overflows
+    // even LONG (3·(2^31-1)² ≈ 1.4e19 > 2^63), wrapping negative past a
+    // plain `> Int.MaxValue` check — the division-bounded guard rejects
+    val hugeLong = sig ++ ihdr(Int.MaxValue, Int.MaxValue, 2) ++
+      chunk("IDAT", deflated) ++ chunk("IEND", Array.empty)
+    assert(Multimodal.decodePng(hugeLong).isEmpty)
+    // 5. dimensions that pass the Int bound but declare ~2 GB from a
+    // 10-byte IDAT: the zlib inflation bound (~1032:1) rejects BEFORE
+    // the allocation — no OOM path from a 100-byte payload
+    val oomBait = sig ++ ihdr(46000, 46000, 0) ++
+      chunk("IDAT", deflated) ++ chunk("IEND", Array.empty)
+    assert(Multimodal.decodePng(oomBait).isEmpty)
   }
 
   test("corruption fuzz: 300 random mutations never crash, only reject or decode") {

@@ -101,6 +101,26 @@ class VersionedIdentitySpec extends SparkSuite {
     assert(vC >= 0)
   }
 
+  test("subset-aware pairing never reports phantom churn on duplicate paths") {
+    // append → delete a → byte-identical re-append → delete b leaves the
+    // manifest {P:{a,b}, P:{b}}; a size-blind pairing of the previous
+    // {P:{a}, P:{}} against it would pair ({}, {a,b}) and ({a}, {b}),
+    // reporting key a as deleted AND re-inserted (a phantom update to
+    // external CDC consumers) — the subset pairing reports exactly the
+    // two live copies of b dying
+    val root = tmp("graft-ident-pair")
+    val batch = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name").coalesce(1)
+    Versioned.appendCommit(batch, root, bloomCols = Seq("k"))
+    Versioned.deleteCommit(spark, root, "k", Seq("1"))
+    val v2 = Versioned.appendCommit(batch, root, bloomCols = Seq("k"))
+    val v3 = Versioned.deleteCommit(spark, root, "k", Seq("2"))
+    assert(feed(root, v2, v3) === Seq(("delete", 2L, "b"), ("delete", 2L, "b")))
+    val upd = Versioned.changesBetweenUpdateForm(spark, root, v2, v3)
+      .select("_change_type", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(upd === Seq(("delete", 2L), ("delete", 2L)), "no phantom update of key 1")
+  }
+
   test("update-form CDF pairs a key's delete+insert as pre/postimage") {
     val root = tmp("graft-ident-cdf4")
     Versioned.appendCommit(
