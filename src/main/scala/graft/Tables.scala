@@ -107,7 +107,16 @@ object Tables {
     * lands a NEW single-version table — stages are anonymous
     * intermediates, not evolving tables.
     */
-  def materializeStage(df: DataFrame): DataFrame = {
+  def materializeStage(df: DataFrame): DataFrame = materializeStageOwned(df)._1
+
+  /** [[materializeStage]] returning the landed root too, for callers
+    * that OWN the stage's lifetime: a REFRESH LOOP (the materialized
+    * views) deletes its stages via [[dropStage]] once its commit has
+    * published — otherwise a loop refreshing every few minutes grows the
+    * stage volume without bound. One-shot pipelines may ignore the root
+    * and leave cleanup to stageDir retention.
+    */
+  def materializeStageOwned(df: DataFrame): (DataFrame, String) = {
     val spark = df.sparkSession
     val base = spark.conf.getOption("spark.graft.stageDir")
     val root = base match {
@@ -118,6 +127,18 @@ object Tables {
         java.nio.file.Files.createTempDirectory("graft-stage-").toFile.getAbsolutePath
     }
     graft.sources.Versioned.appendCommit(df, root)
-    graft.sources.Versioned.latest(spark, root)
+    (graft.sources.Versioned.latest(spark, root), root)
+  }
+
+  /** Delete a stage landing created by [[materializeStageOwned]] — safe
+    * only AFTER every consumer of the returned frame has executed (the
+    * owning commit has published).
+    */
+  def dropStage(root: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rec)
+      f.delete(); ()
+    }
+    rec(new java.io.File(root))
   }
 }

@@ -1,0 +1,156 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The signed-aggregation machinery SHARED by [[MaterializedView]] and
+  * [[MaterializedJoinView]] — one implementation of the per-group
+  * evidence aggregation, the no-touch lemma, the incremental merge, and
+  * the view-row projection, so a fix to either view's maintenance core
+  * is structurally a fix to both (the two views previously duplicated
+  * ~100 lines of this and had already begun to drift).
+  *
+  * Both views feed it SIGNED rows (+1 insert, −1 retraction — the
+  * single-table view signs by `_change_type`, the join view by the
+  * delta-term weight product) and differ only in where those rows come
+  * from and in small hooks: an extra aggregate (the join view's ΔA⋈ΔB
+  * taint flag) and an extra lemma-keep predicate.
+  */
+private[sources] object Ivm {
+
+  val GK = "_gk"
+
+  /** The concatenated group-key column — the view table's upsert key.
+    * Unit separator between columns; nulls render distinct from the
+    * string "null" via a sentinel.
+    */
+  def gkOf(groupCols: Seq[String]): Column =
+    concat_ws("\u0001",
+      groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+
+  def zero: Column = lit(0).cast("decimal(28,6)")
+
+  /** Signed per-group evidence over change rows: `_dcnt` (net count),
+    * exact decimal `_dsum_<c>` per sum column, `_del` (any retraction),
+    * and — when min/max are maintained — the four extremum-evidence
+    * stats per column (insert-side min/max, retraction-side min/max).
+    */
+  def evidenceAgg(
+      rows: DataFrame,
+      sign: Column,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      minMaxCols: Seq[String],
+      extraAggs: Seq[Column] = Nil): DataFrame = {
+    val isIns = sign > 0
+    rows.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(sign).cast("bigint").as("_dcnt"),
+        sumCols.map(c =>
+          sum(sign * col(c).cast("decimal(18,6)"))
+            .cast("decimal(28,6)").as(s"_dsum_$c")) ++
+          Seq(max(when(!isIns, lit(1)).otherwise(lit(0))).as("_del")) ++
+          extraAggs ++
+          minMaxCols.flatMap(c => Seq(
+            min(when(isIns, col(c))).as(s"_imin_$c"),
+            max(when(isIns, col(c))).as(s"_imax_$c"),
+            min(when(!isIns, col(c))).as(s"_rmin_$c"),
+            max(when(!isIns, col(c))).as(s"_rmax_$c"))): _*)
+  }
+
+  /** The no-touch LEMMA keep-predicate: a group whose insert-side stats
+    * equal its retraction-side stats — count, each decimal sum, min AND
+    * max per maintained column — provably keeps its exact view row
+    * (deletes only retract existing rows: if min(M)∈D then
+    * min(I)=min(D)=min(M) restores it, else min(M−D)=min(M) kept it;
+    * dually for max; cnt/sum trivially by linearity), which is what
+    * makes a compact span a watermark-only commit. `extraKeep` ORs in a
+    * caller-side soundness override (the join view keeps every group its
+    * correction term touched — see its lemma note).
+    */
+  def lemmaKeep(
+      sumCols: Seq[String],
+      minMaxCols: Seq[String],
+      extraKeep: Option[Column] = None): Column = {
+    val base =
+      (sumCols.map(c => col(s"_dsum_$c") =!= zero) ++
+        minMaxCols.flatMap(c => Seq(
+          !(col(s"_imin_$c") <=> col(s"_rmin_$c")),
+          !(col(s"_imax_$c") <=> col(s"_rmax_$c")))))
+        .foldLeft(col("_dcnt") =!= 0L)(_ || _)
+    extraKeep.fold(base)(base || _)
+  }
+
+  /** The incremental arm's merge: each delta group joined to its current
+    * view row (absent = fresh group), counts and exact decimal sums
+    * added, extremes self-maintained via `least`/`greatest` (sound for
+    * insert-only groups — retraction-touched groups take the caller's
+    * recompute arm instead), and a count below zero raising loudly
+    * (`what` names the view flavor in the error).
+    */
+  def mergeIncr(
+      delta: DataFrame,
+      old: DataFrame,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      minMaxCols: Seq[String],
+      what: String): DataFrame =
+    delta.alias("d")
+      .join(old.alias("o"), Seq(GK), "left")
+      .select(
+        Seq(col(GK),
+          (coalesce(col("o.cnt"), lit(0L)) + col("d._dcnt")).as("cnt")) ++
+        groupCols.map(c => col(s"d.$c")) ++
+        sumCols.map(c =>
+          (coalesce(col(s"o.sum_$c"), zero) + col(s"d._dsum_$c"))
+            .cast("decimal(28,6)").as(s"sum_$c")) ++
+        minMaxCols.flatMap(c => Seq(
+          least(col(s"o.min_$c"), col(s"d._imin_$c")).as(s"min_$c"),
+          greatest(col(s"o.max_$c"), col(s"d._imax_$c")).as(s"max_$c"))): _*)
+      .withColumn("cnt",
+        when(col("cnt") < 0L,
+          raise_error(concat(lit(s"$what underflow on group "),
+            col(GK))).cast("bigint"))
+          .otherwise(col("cnt")))
+
+  /** The view table's column set, in its canonical order. */
+  def viewCols(
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      minMaxCols: Seq[String]): Seq[Column] =
+    (groupCols.map(col) :+ col("cnt")) ++
+      sumCols.map(c => col(s"sum_$c")) ++
+      minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))) :+ col(GK)
+
+  /** Read-side projection: each exact decimal sum as a double
+    * `sum_<c>` with the derived `avg_<c>` alongside.
+    */
+  def readWithAvg(df: DataFrame, sumCols: Seq[String]): DataFrame =
+    sumCols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(s"avg_$c", (col(s"sum_$c") / col("cnt")).cast("double"))
+        .withColumn(s"sum_$c", col(s"sum_$c").cast("double"))
+    }
+
+  /** Split the merged incremental arm + optional recompute arm into the
+    * commit's survivors and the group keys to tombstone: zero-count
+    * incremental groups vanish, and so do recompute-arm probe keys whose
+    * recomputed relation came back empty (all their rows are gone).
+    * The key collects are group-bounded — the established O(delta)
+    * driver contract.
+    */
+  def survivorsAndZeroed(
+      merged: DataFrame,
+      recomputed: Option[DataFrame],
+      recomputeKeys: Seq[String],
+      cols: Seq[Column]): (DataFrame, Seq[String]) = {
+    val survivors = (merged.filter(col("cnt") > 0L).select(cols: _*) +:
+      recomputed.map(_.select(cols: _*)).toSeq).reduce(_.unionByName(_))
+    val zeroed = merged.filter(col("cnt") === 0L)
+      .select(col(GK)).collect().map(_.getString(0)).toSeq ++
+      recomputed.map { r =>
+        val alive = r.select(col(GK)).collect().map(_.getString(0)).toSet
+        recomputeKeys.filterNot(alive)
+      }.getOrElse(Nil)
+    (survivors, zeroed)
+  }
+}

@@ -45,11 +45,9 @@ import org.apache.spark.sql.functions._
   */
 object MaterializedJoinView {
 
-  private val GK = "_gk"
+  private val GK = Ivm.GK
 
-  private def gkOf(groupCols: Seq[String]): Column =
-    concat_ws("\u0001",
-      groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+  private def gkOf(groupCols: Seq[String]): Column = Ivm.gkOf(groupCols)
 
   private case class Def(
       leftRoot: String,
@@ -116,9 +114,7 @@ object MaterializedJoinView {
       .withColumn(GK, gkOf(d.groupCols))
 
   private def viewCols(d: Def): Seq[Column] =
-    (d.groupCols.map(col) :+ col("cnt")) ++
-      d.sumCols.map(c => col(s"sum_$c")) ++
-      d.minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))) :+ col(GK)
+    Ivm.viewCols(d.groupCols, d.sumCols, d.minMaxCols)
 
   /** Materialize the join view over both tables' LATEST versions (the
     * one O(|A ⋈ B|) pass; every later [[refresh]] is delta-bounded).
@@ -148,10 +144,7 @@ object MaterializedJoinView {
     */
   def read(spark: SparkSession, viewRoot: String): DataFrame = {
     val d = defOf(viewRoot)
-    d.sumCols.foldLeft(Versioned.latest(spark, viewRoot).drop(GK)) { (df, c) =>
-      df.withColumn(s"avg_$c", (col(s"sum_$c") / col("cnt")).cast("double"))
-        .withColumn(s"sum_$c", col(s"sum_$c").cast("double"))
-    }
+    Ivm.readWithAvg(Versioned.latest(spark, viewRoot).drop(GK), d.sumCols)
   }
 
   /** Signed change feed of `root` between versions: the rows plus a
@@ -196,130 +189,138 @@ object MaterializedJoinView {
     */
   def refresh(spark: SparkSession, viewRoot: String): Long = {
     val d = defOf(viewRoot)
+    // optimistic-concurrency read-set version (see MaterializedView)
+    val viewV = Versioned.latestVersion(viewRoot)
     val lv = Versioned.latestVersion(d.leftRoot)
     val rv = Versioned.latestVersion(d.rightRoot)
     require(lv >= d.leftVersion && rv >= d.rightVersion,
       s"a source of $viewRoot went backwards")
     if (lv == d.leftVersion && rv == d.rightVersion) return -1L
     val newProps = propsOf(d.copy(leftVersion = lv, rightVersion = rv))
+    // refresh-scoped stage landings: durable while this refresh runs,
+    // deleted once its commit has published (or the refresh failed) — a
+    // refresh LOOP must not grow the stage volume without bound
+    val stages = scala.collection.mutable.ArrayBuffer.empty[String]
+    def stage(df: DataFrame): DataFrame = {
+      val (out, root) = graft.Tables.materializeStageOwned(df)
+      stages += root
+      out
+    }
+    try {
     val dl = signedDelta(spark, d.leftRoot, d.leftVersion, lv)
     val dr = signedDelta(spark, d.rightRoot, d.rightVersion, rv)
     // the three delta-join terms, each sign-weighted and WHERE-filtered
     val parts = Seq.newBuilder[DataFrame]
     prunedOld(spark, d.rightRoot, d.rightVersion, d.joinCol, dl).foreach { rOld =>
       parts += filtered(dl.get.join(rOld, d.joinCol), d)
-        .withColumn("_w", col("_sgn"))
+        .withColumn("_w", col("_sgn")).withColumn("_t3", lit(0))
     }
     prunedOld(spark, d.leftRoot, d.leftVersion, d.joinCol, dr).foreach { lOld =>
       parts += filtered(lOld.join(dr.get, d.joinCol), d)
-        .withColumn("_w", col("_sgn"))
+        .withColumn("_w", col("_sgn")).withColumn("_t3", lit(0))
     }
     (dl, dr) match {
       case (Some(l), Some(r)) =>
+        // the correction term is TAGGED: its rows are the only source of
+        // phantom extremum evidence (see the lemma note below)
         parts += filtered(
             l.withColumnRenamed("_sgn", "_sl")
               .join(r.withColumnRenamed("_sgn", "_sr"), d.joinCol), d)
-          .withColumn("_w", col("_sl") * col("_sr"))
+          .withColumn("_w", col("_sl") * col("_sr")).withColumn("_t3", lit(1))
       case _ => ()
     }
-    val zero = lit(0).cast("decimal(28,6)")
     val all = parts.result()
-    val isIns = col("_w") > 0
     val delta =
       if (all.isEmpty) None
-      else Some(graft.Tables.materializeStage(all.map(_.select(
-          (d.groupCols.map(col) :+ col("_w")) ++
-            (d.sumCols ++ d.minMaxCols).distinct.map(col): _*))
-        .reduce(_.unionByName(_))
-        .groupBy(d.groupCols.map(col): _*)
-        .agg(
-          sum(col("_w")).cast("bigint").as("_dcnt"),
-          d.sumCols.map(c =>
-            sum(col("_w") * col(c).cast("decimal(18,6)"))
-              .cast("decimal(28,6)").as(s"_dsum_$c")) ++
-            Seq(max(when(!isIns, lit(1)).otherwise(lit(0))).as("_del")) ++
-            d.minMaxCols.flatMap(c => Seq(
-              min(when(isIns, col(c))).as(s"_imin_$c"),
-              max(when(isIns, col(c))).as(s"_imax_$c"),
-              min(when(!isIns, col(c))).as(s"_rmin_$c"),
-              max(when(!isIns, col(c))).as(s"_rmax_$c"))): _*)
-        // the no-touch lemma (see [[MaterializedView]]): a group whose
-        // insert-side stats equal its retraction-side stats provably
-        // keeps its exact view row — a compact span on either source
-        // becomes a watermark-only commit even with min/max maintained.
-        // SOUNDNESS BOUNDARY (round 11): the lemma's premise is that
-        // retractions are rows the group actually held, which holds for
-        // any SINGLE-source span (each signed row is a genuine join row
-        // against the other side's old image) but fails when BOTH
-        // sources move in one span — the ΔA⋈ΔB correction term plants
-        // identical phantom values on BOTH extremum-evidence sides of a
-        // group (e.g. a new fact whose dim row simultaneously leaves the
-        // group appears as +x and −x), which can mask genuine extremum
-        // churn that is cnt- and sum-neutral. In that case, with min/max
-        // maintained, every touched group stays in the delta:
-        // retraction-touched groups route to the honest recompute arm,
-        // insert-only groups still self-maintain. The cnt/sum clauses
-        // stay exact under any span (they are linear — phantoms cancel).
-        .filter(
-          if (d.minMaxCols.nonEmpty && dl.nonEmpty && dr.nonEmpty) lit(true)
-          else
-            (d.sumCols.map(c => col(s"_dsum_$c") =!= zero) ++
-              d.minMaxCols.flatMap(c => Seq(
-                !(col(s"_imin_$c") <=> col(s"_rmin_$c")),
-                !(col(s"_imax_$c") <=> col(s"_rmax_$c")))))
-              .foldLeft(col("_dcnt") =!= 0L)(_ || _))
-        .withColumn(GK, gkOf(d.groupCols))))
+      else Some(stage(
+        // signed evidence + the no-touch lemma — the shared [[Ivm]]
+        // core, with the join-specific hooks: the ΔA⋈ΔB taint flag
+        // aggregates alongside, and a tainted group is NEVER
+        // lemma-cancelled. SOUNDNESS BOUNDARY: the lemma's premise
+        // (retractions are rows the group actually held) holds for every
+        // row of the two single-source terms, but the correction term
+        // can plant identical phantom values on BOTH extremum-evidence
+        // sides of a group (a new fact whose dim row simultaneously
+        // leaves the group appears as +x and −x), masking cnt- and
+        // sum-neutral extremum churn — so with min/max maintained, a
+        // _t3-touched group stays in the delta and its retractions route
+        // to the recompute arm. Groups the correction term never reached
+        // (all of them in any single-source span — e.g. a compact of one
+        // source beside an append on the other) keep the full lemma, so
+        // compact spans stay watermark-only. cnt/sum cancellation is
+        // exact under any span (linear — phantoms cancel).
+        Ivm.evidenceAgg(
+            all.map(_.select(
+              (d.groupCols.map(col) :+ col("_w") :+ col("_t3")) ++
+                (d.sumCols ++ d.minMaxCols).distinct.map(col): _*))
+              .reduce(_.unionByName(_)),
+            col("_w"), d.groupCols, d.sumCols, d.minMaxCols,
+            extraAggs = Seq(max(col("_t3")).as("_t3")))
+          .filter(Ivm.lemmaKeep(d.sumCols, d.minMaxCols,
+            extraKeep =
+              if (d.minMaxCols.isEmpty) None else Some(col("_t3") === 1)))
+          .withColumn(GK, gkOf(d.groupCols))))
     val keys = delta.map(_.select(col(GK)).collect().map(_.getString(0)).toSeq.sorted)
       .getOrElse(Nil)
     if (keys.isEmpty)
       // watermark-only metadata commit
       return Versioned.replaceCommit(
         Versioned.latest(spark, viewRoot).filter(lit(false)),
-        viewRoot, GK, props = newProps)
-    val old = Versioned.pointRead(
-      spark, viewRoot, Versioned.latestVersion(viewRoot), GK, keys)
+        viewRoot, GK, props = newProps, expectedVersion = viewV)
+    val old = Versioned.pointRead(spark, viewRoot, viewV, GK, keys)
     // groups a retraction touched (and that failed the lemma) lose their
     // extremum evidence — recompute exactly those from the source join
     val recomputeKeys =
       if (d.minMaxCols.isEmpty) Nil
       else delta.get.filter(col("_del") === 1)
         .select(col(GK)).collect().map(_.getString(0)).toSeq.sorted
-    val incr = delta.get.filter(col("_del") === 0 || lit(d.minMaxCols.isEmpty))
-      .alias("d")
-      .join(old.alias("o"), Seq(GK), "left")
-      .select(
-        Seq(col(GK),
-          (coalesce(col("o.cnt"), lit(0L)) + col("d._dcnt")).as("cnt")) ++
-        d.groupCols.map(c => col(s"d.$c")) ++
-        d.sumCols.map(c =>
-          (coalesce(col(s"o.sum_$c"), zero) + col(s"d._dsum_$c"))
-            .cast("decimal(28,6)").as(s"sum_$c")) ++
-        // insert-only groups self-maintain the extremes
-        d.minMaxCols.flatMap(c => Seq(
-          least(col(s"o.min_$c"), col(s"d._imin_$c")).as(s"min_$c"),
-          greatest(col(s"o.max_$c"), col(s"d._imax_$c")).as(s"max_$c"))): _*)
-      .withColumn("cnt",
-        when(col("cnt") < 0L,
-          raise_error(concat(lit("join view underflow on group "),
-            col(GK))).cast("bigint"))
-          .otherwise(col("cnt")))
-    val merged = graft.Tables.materializeStage(incr)
+    val incr = Ivm.mergeIncr(
+      delta.get.filter(col("_del") === 0 || lit(d.minMaxCols.isEmpty)),
+      old, d.groupCols, d.sumCols, d.minMaxCols, "join view")
+    val merged = stage(incr)
+    // The recompute arm's authority is the source join restricted to the
+    // affected groups. The group-key filter is on a derived concat
+    // column, so it cannot prune at the scans by itself — decompose the
+    // keys into PER-COLUMN value sets and pre-filter each side on the
+    // group columns it carries (a superset of the exact key set —
+    // cartesian across columns — so the final GK filter stays): with the
+    // usual star shape (group columns on the dimension side) the dim
+    // scan prunes to the affected groups' rows via pushed In-filters and
+    // the join shrinks accordingly; a fact-side group column prunes the
+    // fact scan the same way. recomputeKeys is bounded by
+    // retraction-touched groups (delta-bounded under the _t3 taint — a
+    // single-source compact never lands here), the established
+    // driver-held O(delta) contract.
     val recomputed =
       if (recomputeKeys.isEmpty) None
-      else Some(graft.Tables.materializeStage(
-        aggregated(joinedAt(spark, d, lv, rv), d)
-          .filter(col(GK).isin(recomputeKeys: _*))))
-    val survivors = (merged.filter(col("cnt") > 0L).select(viewCols(d): _*) +:
-      recomputed.map(_.select(viewCols(d): _*)).toSeq).reduce(_.unionByName(_))
-    // zero-count incremental groups vanish; so do recompute-arm groups
-    // whose joined rows are all gone
-    val zeroed = merged.filter(col("cnt") === 0L)
-      .select(col(GK)).collect().map(_.getString(0)).toSeq ++
-      recomputed.map { r =>
-        val alive = r.select(col(GK)).collect().map(_.getString(0)).toSet
-        recomputeKeys.filterNot(alive)
-      }.getOrElse(Nil)
+      else {
+        val perCol = d.groupCols.zipWithIndex.map { case (c, i) =>
+          val vals = recomputeKeys.map(_.split("\u0001", -1)(i)).distinct
+          val nonNull = vals.filterNot(_ == "\u0000")
+          val pred =
+            if (nonNull.isEmpty) col(c).isNull
+            else if (nonNull.size == vals.size)
+              col(c).cast("string").isin(nonNull: _*)
+            else col(c).cast("string").isin(nonNull: _*) || col(c).isNull
+          c -> pred
+        }
+        def pruned(df: DataFrame): DataFrame =
+          perCol.foldLeft(df) { case (acc, (c, pred)) =>
+            if (acc.columns.contains(c)) acc.filter(pred) else acc
+          }
+        Some(stage(
+          aggregated(
+            filtered(
+              pruned(Versioned.asOf(spark, d.leftRoot, lv))
+                .join(pruned(Versioned.asOf(spark, d.rightRoot, rv)),
+                  d.joinCol), d), d)
+            .filter(col(GK).isin(recomputeKeys: _*))))
+      }
+    val (survivors, zeroed) =
+      Ivm.survivorsAndZeroed(merged, recomputed, recomputeKeys, viewCols(d))
     Versioned.replaceCommit(
-      survivors, viewRoot, GK, deleteKeys = zeroed.sorted, props = newProps)
+      survivors, viewRoot, GK, deleteKeys = zeroed.sorted, props = newProps,
+      expectedVersion = viewV)
+    } finally stages.foreach(graft.Tables.dropStage)
   }
 }

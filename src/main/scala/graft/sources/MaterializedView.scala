@@ -58,11 +58,9 @@ object MaterializedView {
     * Unit separator between columns; nulls render distinct from the
     * string "null" via a sentinel.
     */
-  private val GK = "_gk"
+  private val GK = Ivm.GK
 
-  private def gkOf(groupCols: Seq[String]): Column =
-    concat_ws("\u0001",
-      groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+  private def gkOf(groupCols: Seq[String]): Column = Ivm.gkOf(groupCols)
 
   private def decSum(c: String): Column =
     sum(col(c).cast("decimal(18,6)")).cast("decimal(28,6)").as(s"sum_$c")
@@ -118,9 +116,7 @@ object MaterializedView {
       .withColumn(GK, gkOf(d.groupCols))
 
   private def viewCols(d: Def): Seq[Column] =
-    (d.groupCols.map(col) :+ col("cnt")) ++
-      d.sumCols.map(c => col(s"sum_$c")) ++
-      d.minMaxCols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))) :+ col(GK)
+    Ivm.viewCols(d.groupCols, d.sumCols, d.minMaxCols)
 
   /** Materialize the view over `sourceRoot`'s LATEST version into a new
     * Versioned table at `viewRoot` (the one O(table) pass; every later
@@ -149,12 +145,7 @@ object MaterializedView {
     */
   def read(spark: SparkSession, viewRoot: String): DataFrame = {
     val d = defOf(viewRoot)
-    val base = Versioned.latest(spark, viewRoot).drop(GK)
-    d.sumCols.foldLeft(base) { (df, c) =>
-      df.withColumn(s"avg_$c",
-        (col(s"sum_$c") / col("cnt")).cast("double"))
-        .withColumn(s"sum_$c", col(s"sum_$c").cast("double"))
-    }
+    Ivm.readWithAvg(Versioned.latest(spark, viewRoot).drop(GK), d.sumCols)
   }
 
   /** Advance the view to the source's latest version by consuming the
@@ -164,6 +155,11 @@ object MaterializedView {
     */
   def refresh(spark: SparkSession, viewRoot: String): Long = {
     val d = defOf(viewRoot)
+    // the view version this refresh's reads are based on — passed to the
+    // replaceCommit as its optimistic-concurrency expectation, so a
+    // concurrent refresher that commits first fails THIS one loudly
+    // (retry re-reads) instead of double-applying the same change span
+    val viewV = Versioned.latestVersion(viewRoot)
     val vNow = Versioned.latestVersion(d.sourceRoot)
     require(vNow >= d.srcVersion,
       s"source ${d.sourceRoot} went backwards ($vNow < ${d.srcVersion})")
@@ -171,31 +167,11 @@ object MaterializedView {
     val newProps = propsOf(d.copy(srcVersion = vNow))
     val cdf = filtered(
       Versioned.changesBetween(spark, d.sourceRoot, d.srcVersion, vNow), d)
-    val isIns = col("_change_type") === "insert"
-    val sign = when(isIns, lit(1)).otherwise(lit(-1))
-    val zero = lit(0).cast("decimal(28,6)")
-    val delta = cdf.groupBy(d.groupCols.map(col): _*)
-      .agg(
-        sum(sign).cast("bigint").as("_dcnt"),
-        d.sumCols.map(c =>
-          sum(sign * col(c).cast("decimal(18,6)"))
-            .cast("decimal(28,6)").as(s"_dsum_$c")) ++
-          Seq(max(when(!isIns, lit(1)).otherwise(lit(0))).as("_del")) ++
-          d.minMaxCols.flatMap(c => Seq(
-            min(when(isIns, col(c))).as(s"_imin_$c"),
-            max(when(isIns, col(c))).as(s"_imax_$c"),
-            min(when(!isIns, col(c))).as(s"_rmin_$c"),
-            max(when(!isIns, col(c))).as(s"_rmax_$c"))): _*)
-      // the no-touch lemma: a group whose insert-side stats equal its
-      // delete-side stats (cnt, every decimal sum, and min AND max per
-      // maintained column) provably keeps its exact view row — this is
-      // what makes a compact boundary a watermark-only commit
-      .filter(
-        (d.sumCols.map(c => col(s"_dsum_$c") =!= zero) ++
-          d.minMaxCols.flatMap(c => Seq(
-            !(col(s"_imin_$c") <=> col(s"_rmin_$c")),
-            !(col(s"_imax_$c") <=> col(s"_rmax_$c")))))
-          .foldLeft(col("_dcnt") =!= 0L)(_ || _))
+    val sign = when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1))
+    // signed evidence + the no-touch lemma — the shared [[Ivm]] core
+    // (this is what makes a compact span a watermark-only commit)
+    val delta = Ivm.evidenceAgg(cdf, sign, d.groupCols, d.sumCols, d.minMaxCols)
+      .filter(Ivm.lemmaKeep(d.sumCols, d.minMaxCols))
       .withColumn(GK, gkOf(d.groupCols))
       .localCheckpoint()
     val keys = delta.select(col(GK)).collect().map(_.getString(0)).toSeq.sorted
@@ -203,34 +179,17 @@ object MaterializedView {
       // watermark-only metadata commit (e.g. the span was a compact)
       return Versioned.replaceCommit(
         Versioned.latest(spark, viewRoot).filter(lit(false)),
-        viewRoot, GK, props = newProps)
-    val old = Versioned.pointRead(
-      spark, viewRoot, Versioned.latestVersion(viewRoot), GK, keys)
+        viewRoot, GK, props = newProps, expectedVersion = viewV)
+    val old = Versioned.pointRead(spark, viewRoot, viewV, GK, keys)
     // groups a delete touched (and that failed the lemma) lose their
     // extremum evidence — recompute exactly those from the source
     val recomputeKeys =
       if (d.minMaxCols.isEmpty) Nil
       else delta.filter(col("_del") === 1)
         .select(col(GK)).collect().map(_.getString(0)).toSeq.sorted
-    val incr = delta.filter(col("_del") === 0 || lit(d.minMaxCols.isEmpty))
-      .alias("d")
-      .join(old.alias("o"), Seq(GK), "left")
-      .select(
-        Seq(col(GK),
-          (coalesce(col("o.cnt"), lit(0L)) + col("d._dcnt")).as("cnt")) ++
-        d.groupCols.map(c => col(s"d.$c")) ++
-        d.sumCols.map(c =>
-          (coalesce(col(s"o.sum_$c"), zero) + col(s"d._dsum_$c"))
-            .cast("decimal(28,6)").as(s"sum_$c")) ++
-        // insert-only groups self-maintain the extremes
-        d.minMaxCols.flatMap(c => Seq(
-          least(col(s"o.min_$c"), col(s"d._imin_$c")).as(s"min_$c"),
-          greatest(col(s"o.max_$c"), col(s"d._imax_$c")).as(s"max_$c"))): _*)
-      .withColumn("cnt",
-        when(col("cnt") < 0L,
-          raise_error(concat(lit("materialized view underflow on group "),
-            col(GK))).cast("bigint"))
-          .otherwise(col("cnt")))
+    val incr = Ivm.mergeIncr(
+        delta.filter(col("_del") === 0 || lit(d.minMaxCols.isEmpty)),
+        old, d.groupCols, d.sumCols, d.minMaxCols, "materialized view")
       .localCheckpoint()
     val recomputed =
       if (recomputeKeys.isEmpty) None
@@ -238,18 +197,10 @@ object MaterializedView {
         aggregated(filtered(Versioned.asOf(spark, d.sourceRoot, vNow), d), d)
           .filter(col(GK).isin(recomputeKeys: _*))
           .localCheckpoint())
-    val survivors = (incr.filter(col("cnt") > 0L).select(viewCols(d): _*) +:
-      recomputed.map(_.select(viewCols(d): _*)).toSeq).reduce(_.unionByName(_))
-    // zero-count incremental groups vanish; so do recompute-arm groups
-    // whose source rows are all gone (present in the probe list, absent
-    // from the recompute)
-    val zeroed = incr.filter(col("cnt") === 0L)
-      .select(col(GK)).collect().map(_.getString(0)).toSeq ++
-      recomputed.map { r =>
-        val alive = r.select(col(GK)).collect().map(_.getString(0)).toSet
-        recomputeKeys.filterNot(alive)
-      }.getOrElse(Nil)
+    val (survivors, zeroed) =
+      Ivm.survivorsAndZeroed(incr, recomputed, recomputeKeys, viewCols(d))
     Versioned.replaceCommit(
-      survivors, viewRoot, GK, deleteKeys = zeroed.sorted, props = newProps)
+      survivors, viewRoot, GK, deleteKeys = zeroed.sorted, props = newProps,
+      expectedVersion = viewV)
   }
 }

@@ -1049,11 +1049,21 @@ object Versioned {
       deleteKeys: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
       expectedKeysPerFile: Long = 100000L,
-      props: Map[String, String] = Map.empty): Long = {
+      props: Map[String, String] = Map.empty,
+      expectedVersion: Long = -1L): Long = {
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
-    val v = latestVersion(root)
+    // `expectedVersion` is the OPTIMISTIC-CONCURRENCY read-set check for
+    // derived-state writers (the materialized-view refreshes): a caller
+    // that computed its changeset against version E passes E, and the
+    // commit lands E+1 through the marker's CREATE_NEW — so a concurrent
+    // commit that already took E+1 fails THIS commit loudly instead of
+    // letting a stale changeset double-apply on top of it. Default −1
+    // keeps last-writer-wins for plain upsert callers.
+    val v = if (expectedVersion >= 0) expectedVersion else latestVersion(root)
     require(v >= 0, s"no committed versions in $root")
+    require(markerFile(root, v).exists(),
+      s"expected version $v is not committed in $root")
     deleteKeyOf(root, v).foreach(k => require(k == keyCol,
       s"table carries tombstones on '$k'; a second delete key '$keyCol' " +
         "requires a compact() first"))

@@ -196,6 +196,66 @@ class MaterializedJoinViewSpec extends SparkSuite {
     assert(got === Set((0L, 2L, 14.0, 6.0, 8.0), (1L, 2L, 13.0, 3.0, 10.0)))
   }
 
+  test("compact + other-side move in one span: untainted groups keep the lemma") {
+    // a compact of the fact side coinciding with a dim move must NOT
+    // disable the lemma globally (that would recompute the whole view):
+    // only groups the ΔA⋈ΔB correction term actually touched (_t3) lose
+    // it. Group 0's compact churn cancels and its view file survives the
+    // refresh untouched; groups 1→2 (the dim move) recompute exactly.
+    val left = tmp("mvjc-l"); val right = tmp("mvjc-r"); val view = tmp("mvjc-v")
+    Versioned.appendCommit(
+      Seq((1L, "s1", 5.0), (2L, "s2", 7.0)).toDF("k", "s", "x").coalesce(1),
+      left, bloomCols = Seq("s", "k"))
+    Versioned.appendCommit(
+      Seq(("s1", 0L), ("s2", 1L)).toDF("s", "tier").coalesce(1),
+      right, bloomCols = Seq("s"))
+    MaterializedJoinView.create(spark, left, right, view, "s",
+      Seq("tier"), Seq("x"), minMaxCols = Seq("x"))
+    val before = Versioned.manifest(view, Versioned.latestVersion(view))
+      .map(_.path).toSet
+    // one span: fact-side compact + dim move s2: 1 → 2
+    Versioned.compact(spark, left, numFiles = 1)
+    Versioned.upsertCommit(Seq(("s2", 2L)).toDF("s", "tier").coalesce(1),
+      right, "s")
+    MaterializedJoinView.refresh(spark, view)
+    val got = MaterializedJoinView.read(spark, view)
+      .select(col("tier"), col("cnt"), col("sum_x"), col("min_x"), col("max_x"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got === Set((0L, 1L, 5.0, 5.0, 5.0), (2L, 1L, 7.0, 7.0, 7.0)))
+    // the untainted group's pre-refresh data file is still listed — the
+    // compact span cancelled under the lemma instead of rewriting it
+    val after = Versioned.manifest(view, Versioned.latestVersion(view))
+      .map(_.path).toSet
+    assert(before.intersect(after).nonEmpty,
+      "compact-span group was rewritten despite the lemma")
+  }
+
+  test("refresh cleans up its stage landings (stageDir does not grow)") {
+    val left = tmp("mvjs2-l"); val right = tmp("mvjs2-r"); val view = tmp("mvjs2-v")
+    val stageDir = tmp("mvjs2-stage")
+    spark.conf.set("spark.graft.stageDir", stageDir)
+    try {
+      Versioned.appendCommit(
+        Seq((1L, "s1", 1.0)).toDF("k", "s", "x").coalesce(1),
+        left, bloomCols = Seq("s", "k"))
+      Versioned.appendCommit(
+        Seq(("s1", 0L)).toDF("s", "tier").coalesce(1), right, bloomCols = Seq("s"))
+      MaterializedJoinView.create(spark, left, right, view, "s",
+        Seq("tier"), Seq("x"), minMaxCols = Seq("x"))
+      Versioned.appendCommit(
+        Seq((2L, "s1", 3.0)).toDF("k", "s", "x").coalesce(1),
+        left, bloomCols = Seq("s", "k"))
+      Versioned.deleteCommit(spark, left, "k", Seq("1"))
+      MaterializedJoinView.refresh(spark, view)
+      assert(rows(view) === recompute(left, right))
+      // every refresh-scoped stage landing was deleted after the commit
+      assert(new java.io.File(stageDir).list().isEmpty,
+        "stage landings leaked after refresh")
+    } finally spark.conf.unset("spark.graft.stageDir")
+  }
+
   test("second order: a MaterializedView over the join-view root refreshes through") {
     import graft.sources.MaterializedView
     val left = tmp("mvj2-l"); val right = tmp("mvj2-r")

@@ -144,6 +144,30 @@ class VersionedIdentitySpec extends SparkSuite {
       === Set("insert", "delete"))
   }
 
+  test("replaceCommit expectedVersion fails loudly on a stale read set") {
+    // the derived-state writer's optimistic concurrency: a refresher
+    // that computed its changeset against version E commits E+1; if a
+    // concurrent commit took E+1 first, THIS commit must fail loudly
+    // instead of double-applying the stale changeset on top
+    val root = tmp("graft-ident-occ")
+    val v0 = Versioned.appendCommit(
+      Seq((1L, "a")).toDF("k", "name").coalesce(1), root)
+    // a concurrent committer advances the table past the read set
+    Versioned.appendCommit(Seq((2L, "b")).toDF("k", "name").coalesce(1), root)
+    intercept[java.util.ConcurrentModificationException](
+      Versioned.replaceCommit(
+        Seq((1L, "a2")).toDF("k", "name").coalesce(1), root, "k",
+        expectedVersion = v0))
+    // the stale changeset was NOT applied
+    assert(snap(root) === Seq((1L, "a"), (2L, "b")))
+    // re-read and retry on the new latest succeeds
+    val vOk = Versioned.replaceCommit(
+      Seq((1L, "a2")).toDF("k", "name").coalesce(1), root, "k",
+      expectedVersion = Versioned.latestVersion(root))
+    assert(vOk === 2L)
+    assert(snap(root) === Seq((1L, "a2"), (2L, "b")))
+  }
+
   test("vacuum never sweeps a chunk no dropped marker referenced (in-flight commit)") {
     val root = tmp("graft-ident-vac")
     for (i <- 1 to 2)
