@@ -178,7 +178,13 @@ object PromQlPrinter {
     } + "\""
 
   private def renderNum(v: Double): String =
-    if (v == v.toLong.toDouble && math.abs(v) < 1e15) v.toLong.toString
+    if (v.isNaN) "NaN"
+    else if (v == Double.PositiveInfinity) "Inf"
+    else if (v == Double.NegativeInfinity) "-Inf"
+    // -0.0 equals 0.0 under ==, but must keep its sign through a
+    // print -> parse round trip (the unary fold makes NumberLit(-0.0))
+    else if (v == 0.0 && 1.0 / v < 0) "-0"
+    else if (v == v.toLong.toDouble && math.abs(v) < 1e15) v.toLong.toString
     else v.toString
 
   private def matchers(ms: Seq[LabelMatcher]): String =
@@ -222,8 +228,19 @@ object PromQlPrinter {
     }
   }
 
+  private def negLit(e: PromExpr): Boolean = e match {
+    // a literal that PRINTS with a leading '-' (the unary fold makes
+    // these) re-parses as a Neg, so it needs the same parenthesization
+    // as Neg in power/postfix contexts
+    case NumberLit(v) =>
+      v < 0 || v == Double.NegativeInfinity || (v == 0.0 && 1.0 / v < 0)
+    case _ => false
+  }
+
   private def p(e: PromExpr, ctx: Int): String = e match {
-    case NumberLit(v) => renderNum(v)
+    case n @ NumberLit(v) =>
+      val out = renderNum(v)
+      if (negLit(n) && ctx > 5) "(" + out + ")" else out
     case StringLit(s) => quote(s)
     case s: VectorSelector => selector(s)
     case RangeSelector(s, r) =>
@@ -237,6 +254,7 @@ object PromQlPrinter {
       // non-atomic inner expression for re-parse fidelity
       val innerStr = inner match {
         case _: Binary | _: Neg => "(" + p(inner, 0) + ")"
+        case n: NumberLit if negLit(n) => "(" + p(inner, 0) + ")"
         case _ => p(inner, 0)
       }
       innerStr + s"[${PromQlDurations.render(r)}:${step.map(PromQlDurations.render).getOrElse("")}]"

@@ -183,10 +183,14 @@ object PromQlCompiler {
     case "-" => l - r
     case "*" => l * r
     case "/" =>
+      // the zero branch must respect the divisor's SIGN OF ZERO (IEEE:
+      // x/+0 = +Inf, x/-0 = -Inf for x > 0) — Spark equates -0.0 and
+      // 0.0 under ===, so the sign comes from the string rendering
+      val negZero = r.cast("string").startsWith("-")
       when(r === 0.0,
-        when(l > 0, lit(Double.PositiveInfinity))
-          .when(l < 0, lit(Double.NegativeInfinity))
-          .otherwise(lit(Double.NaN)))
+        when(isnan(l) || l === 0.0, lit(Double.NaN))
+          .otherwise(when((l > 0) === negZero, lit(Double.NegativeInfinity))
+            .otherwise(lit(Double.PositiveInfinity))))
         .otherwise(l / r)
     case "%" => when(r === 0.0, lit(Double.NaN)).otherwise(l % r)
     case "^" => pow(l, r)
@@ -406,17 +410,23 @@ object PromQlCompiler {
     private def overTime(ds: DataFrame, r: Long, fn: String, q: Double): DataFrame = {
       val dv = col("value").cast("decimal(18,6)")
       val n = col("_n").cast("double")
+      // the exact-percentile aggregate buffers the full per-group value
+      // multiset — added ONLY when the quantile is actually asked for,
+      // so sum/min/max/avg keep the map-side-combinable shape
+      val baseAggs = Seq(
+        count(lit(1)).as("_n"),
+        min(col("value")).as("_min"),
+        max(col("value")).as("_max"),
+        sum(dv).cast("double").as("_sum"),
+        sum((dv * dv).cast("decimal(38,12)")).cast("double").as("_sumsq"),
+        max_by(col("value"), struct(col("timestamp"), col("id"))).as("_last"))
+      val aggs =
+        if (fn == "quantile_over_time")
+          baseAggs :+ round(percentile(col("value"), lit(q)), 4).as("_q")
+        else baseAggs
       val agg = withSeriesWin(ds, r)
         .groupBy(rangeKeys: _*)
-        .agg(
-          any_value(col("labels")).as("labels"),
-          count(lit(1)).as("_n"),
-          min(col("value")).as("_min"),
-          max(col("value")).as("_max"),
-          sum(dv).cast("double").as("_sum"),
-          sum((dv * dv).cast("decimal(38,12)")).cast("double").as("_sumsq"),
-          max_by(col("value"), struct(col("timestamp"), col("id"))).as("_last"),
-          round(percentile(col("value"), lit(q)), 4).as("_q"))
+        .agg(any_value(col("labels")).as("labels"), aggs: _*)
       val stdvar =
         greatest((col("_sumsq") - col("_sum") * col("_sum") / n) / n, lit(0.0))
       out(agg, fn match {
@@ -491,9 +501,16 @@ object PromQlCompiler {
     private def transitions(ds: DataFrame, r: Long, fn: String): DataFrame = {
       val wsw = withSeriesWin(ds, r)
       val w = Window.partitionBy(rangeKeys: _*).orderBy(col("timestamp"), col("id"))
+      // NaN-exact transition rules (Prometheus's own): a reset is the
+      // IEEE `v < prev` — false whenever either side is NaN (Spark's raw
+      // < treats NaN as greatest and would count a spurious reset after
+      // a NaN sample); a change is the IEEE `v != prev` EXCEPT the
+      // NaN -> NaN pair, which Prometheus exempts explicitly
       val pred = fn match {
-        case "resets" => col("value") < col("_prev")
-        case "changes" => col("value") =!= col("_prev")
+        case "resets" => cmpPred("<", col("value"), col("_prev"))
+        case "changes" =>
+          cmpPred("!=", col("value"), col("_prev")) &&
+            !(isnan(col("value")) && isnan(col("_prev")))
       }
       val agg = wsw
         .withColumn("_prev", lag(col("value"), 1).over(w))
@@ -709,14 +726,26 @@ object PromQlCompiler {
       case "floor" => mapFn(fn, args)(floor(_).cast("double"))
       case "sqrt" => mapFn(fn, args)(sqrt)
       case "exp" => mapFn(fn, args)(exp)
-      case "ln" => mapFn(fn, args)(log)
-      case "log2" => mapFn(fn, args)(log2)
-      case "log10" => mapFn(fn, args)(log10)
+      case "ln" | "log2" | "log10" =>
+        // Spark's log family returns NULL for inputs <= 0; PromQL (Go)
+        // gives ln(0) = -Inf and ln(x<0) = NaN — spelled out so a zero
+        // sample never becomes a silently-vanishing null row
+        val f: Column => Column = fn match {
+          case "ln" => log(_); case "log2" => log2(_); case _ => log10(_)
+        }
+        mapFn(fn, args)(v =>
+          when(isnan(v), lit(Double.NaN))
+            .when(v === 0.0, lit(Double.NegativeInfinity))
+            .when(v < 0, lit(Double.NaN))
+            .otherwise(f(v)))
       case "sgn" => mapFn(fn, args)(signum)
       case "round" =>
         val to = if (args.length == 2) scalarArg(args(1), "round to_nearest") else 1.0
         if (to <= 0) err("round to_nearest must be positive")
-        mapFn(fn, args.take(1))(v => round(v / lit(to), 0) * lit(to))
+        // PromQL rounds ties toward +Inf (floor(v/to + 0.5)·to); Spark's
+        // round() is HALF_UP away from zero, off by one unit at every
+        // negative midpoint
+        mapFn(fn, args.take(1))(v => floor(v / lit(to) + lit(0.5)) * lit(to))
       case "clamp" =>
         if (args.length != 3) err("clamp expects (vector, min, max)")
         val lo = scalarArg(args(1), "clamp min")
@@ -1093,14 +1122,18 @@ object PromQlCompiler {
               Firehose.seriesKey(col("_gl")).as("_gk"))
             .agg(
               any_value(col("_gl")).as("labels"),
-              count(lit(1)).as("_n"),
-              min(col("value")).as("_min"),
-              max(col("value")).as("_max"),
-              sum(dv).cast("double").as("_sum"),
-              sum((dv * dv).cast("decimal(38,12)")).cast("double").as("_sumsq"),
-              round(percentile(col("value"),
-                lit(a.param.map(p => scalarArg(p, "quantile")).getOrElse(0.5))), 4)
-                .as("_q"))
+              Seq(
+                count(lit(1)).as("_n"),
+                min(col("value")).as("_min"),
+                max(col("value")).as("_max"),
+                sum(dv).cast("double").as("_sum"),
+                sum((dv * dv).cast("decimal(38,12)")).cast("double").as("_sumsq")) ++
+                // the value-buffering exact percentile only when asked
+                (if (op == "quantile")
+                  Seq(round(percentile(col("value"),
+                    lit(a.param.map(p => scalarArg(p, "quantile")).getOrElse(0.5))), 4)
+                    .as("_q"))
+                else Nil): _*)
           val n = col("_n").cast("double")
           val stdvar =
             greatest((col("_sumsq") - col("_sum") * col("_sum") / n) / n, lit(0.0))
@@ -1254,6 +1287,9 @@ object PromQlCompiler {
       * no cardinality contract (many-to-many legal, per PromQL).
       */
     private def vecSet(op: String, l: DataFrame, r: DataFrame, vm: VectorMatching): DataFrame = {
+      if (vm.groupLeft || vm.groupRight)
+        err(s"no grouping allowed for '$op' (set operations) — " +
+          "group_left/group_right apply to arithmetic/comparison matching")
       def keyed(df: DataFrame): DataFrame =
         df.withColumn("_vm_key", matchKeyCol(vm))
       val lk = keyed(l)

@@ -327,6 +327,14 @@ object PromQlParser {
           (next match { case TIdent(k, _) => k == "by" || k == "without"; case _ => false })
       } => parseAgg(id)
       case TIdent(id, _) if keywords(id) => fail(s"unexpected keyword '$id'")
+      // PromQL's special number literals lex as identifiers here: `Inf`
+      // and `NaN` (case-insensitive) are NUMBERS, unconditionally — a
+      // metric literally named "inf" must be selected via
+      // {__name__="inf"}, exactly Prometheus's rule
+      case TIdent(id, _) if id.equalsIgnoreCase("inf") =>
+        advance(); NumberLit(Double.PositiveInfinity)
+      case TIdent(id, _) if id.equalsIgnoreCase("nan") =>
+        advance(); NumberLit(Double.NaN)
       case TIdent(id, _) =>
         val next = toks(i + 1)
         next match {

@@ -133,6 +133,29 @@ object PromQlRules {
         if (forSec % stepSec != 0)
           throw PromQlCompileException(
             s"alert '$name': for ${forSec}s must be a multiple of the ${stepSec}s step")
+        // the streak filter below demands consecutive windows exactly
+        // stepSec apart; in tumbling mode a range function lands on ITS
+        // OWN grid, so a for-duration over e.g. increase(x[30m]) at a
+        // 3600s step would silently never fire — enforce the documented
+        // requirement loudly instead (sliding mode lands everything on
+        // the step grid and needs no check)
+        if (forSec > 0 && !sliding) {
+          def ranges(e: PromExpr): Seq[Long] = e match {
+            case RangeSelector(_, r) => Seq(r)
+            case Subquery(inner, _, _) => ranges(inner)
+            case Call(_, args) => args.flatMap(ranges)
+            case Agg(_, inner, param, _) => ranges(inner) ++ param.toSeq.flatMap(ranges)
+            case Neg(inner) => ranges(inner)
+            case b: Binary => ranges(b.lhs) ++ ranges(b.rhs)
+            case _ => Nil
+          }
+          val off = ranges(PromQlParser.parse(expr)).filter(_ != stepSec)
+          if (off.nonEmpty)
+            throw PromQlCompileException(
+              s"alert '$name': `for` needs the expression on the ${stepSec}s " +
+                s"step grid, but it uses range(s) ${off.mkString(", ")}s — " +
+                "use sliding evaluation or match the range to the step")
+        }
         val k = (forSec / stepSec).toInt + 1
         val vec = compileOne(expr)
           .withColumn("series", Firehose.seriesKey(col("labels")))
@@ -160,9 +183,14 @@ object PromQlRules {
       rulesText: String,
       metrics: DataFrame,
       stepSec: Long = 3600L,
-      sliding: Boolean = false): DataFrame =
-    evaluate(rulesText, metrics, stepSec, sliding).values
+      sliding: Boolean = false): DataFrame = {
+    val outs = evaluate(rulesText, metrics, stepSec, sliding).values
+    if (outs.isEmpty)
+      throw PromQlCompileException(
+        "rule text contains no rules (only comments/blank lines)")
+    outs
       .map(_.select(col("component"), col("name"), col("series"),
         col("win_start"), col("value")))
       .reduce(_ unionByName _)
+  }
 }

@@ -684,6 +684,65 @@ class PromQlCompileSpec extends SparkSuite {
       "histogram_count(view_total[1h] @ start())", metrics).count() === 0L)
   }
 
+  test("rules guardrails: empty rule text and off-grid for-durations refuse") {
+    import graft.promql.PromQlRules
+    val e1 = intercept[PromQlCompileException](
+      PromQlRules.samples("# only a comment\n", metrics))
+    assert(e1.getMessage.contains("no rules"))
+    // a tumbling-mode for-duration whose expression lands off the step
+    // grid would silently never fire — it must refuse instead
+    val e2 = intercept[PromQlCompileException](
+      PromQlRules.evaluate(
+        "alert A = increase(view_total[30m]) > 0 for 2h", metrics,
+        stepSec = 3600L))
+    assert(e2.getMessage.contains("step grid"))
+    // on-grid and sliding forms still evaluate
+    assert(PromQlRules.evaluate(
+      "alert A = increase(view_total[1h]) > 0 for 2h", metrics,
+      stepSec = 3600L).contains("A"))
+    assert(PromQlRules.evaluate(
+      "alert A = increase(view_total[30m]) > 0 for 1h", metrics,
+      stepSec = 900L, sliding = true).contains("A"))
+  }
+
+  test("IEEE edges: -0 division, ln of zero/negative, round ties, Inf literal") {
+    def vals(q: String): Set[Double] =
+      PromQl.compile(q, metrics).select("value").collect()
+        .map(_.getDouble(0)).toSet
+    // x / -0 is -Inf for positive x (Spark's === equates -0.0 and 0.0;
+    // the divisor's sign of zero must survive)
+    assert(vals("view_total / -0") === Set(Double.NegativeInfinity))
+    assert(vals("view_total / 0") === Set(Double.PositiveInfinity))
+    // ln(0) = -Inf, ln(x<0) = NaN — never a silently-vanishing null
+    assert(vals("ln(view_total - view_total)") === Set(Double.NegativeInfinity))
+    assert(vals("ln(0 - view_total)").forall(_.isNaN))
+    // round ties go toward +Inf (floor(v + 0.5)), not away from zero
+    assert(vals("round(vector(0 - 2.5))") === Set(-2.0))
+    assert(vals("round(vector(2.5))") === Set(3.0))
+    // Inf/NaN are number literals, not metric selectors
+    assert(PromQl.compile("view_total > Inf", metrics).count() === 0L)
+    assert(PromQl.compile("view_total < Inf", metrics).count()
+      === PromQl.compile("view_total", metrics).count())
+    assert(PromQl.compile("view_total == NaN", metrics).count() === 0L)
+    // group modifiers on set operations are refused, per Prometheus
+    val e = intercept[PromQlCompileException](
+      PromQl.compile("view_total and group_left error_total", metrics))
+    assert(e.getMessage.contains("no grouping allowed"))
+  }
+
+  test("non-quantile aggregations never pay the value-buffering percentile") {
+    for (q <- Seq("sum_over_time(view_total[1h])",
+        "sum by (user) (view_total)", "max_over_time(view_total[1h])")) {
+      val plan = PromQl.compile(q, metrics).queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("percentile"),
+        s"$q buffers the full value multiset")
+    }
+    // the quantile paths still carry it
+    val qp = PromQl.compile("quantile_over_time(0.9, view_total[1h])", metrics)
+      .queryExecution.optimizedPlan.toString
+    assert(qp.toLowerCase.contains("percentile"))
+  }
+
   test("comparisons are IEEE on NaN: only != keeps NaN rows (filter and bool)") {
     // x % 0 is NaN for every sample (the compiler's own arith), so the
     // whole relation is the NaN operand Prometheus's Go-float semantics

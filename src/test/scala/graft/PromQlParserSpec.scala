@@ -99,6 +99,28 @@ class PromQlParserSpec extends AnyFunSuite {
     assert(p("2 ^ -3") === Binary("^", NumberLit(2), NumberLit(-3)))
   }
 
+  test("negative literals round-trip through power/postfix contexts") {
+    // (-5)^2 folds to Binary(^, NumberLit(-5), 2); the printer must
+    // parenthesize the negative literal or the reparse flips it to
+    // -(5^2) — same in the subquery-postfix position
+    for (q <- Seq("(-5) ^ 2", "2 ^ (-3) ^ 2", "(-5)[1h:]", "-5 ^ 2")) {
+      val ast = p(q)
+      assert(p(graft.promql.PromQlPrinter.print(ast)) === ast, q)
+    }
+    // Inf/NaN are number literals (case-insensitive), never selectors,
+    // and they survive the print round trip
+    assert(p("Inf") === NumberLit(Double.PositiveInfinity))
+    assert(p("-inf") === NumberLit(Double.NegativeInfinity))
+    assert(p(graft.promql.PromQlPrinter.print(p("x > Inf")))
+      === Binary(">", VectorSelector(Some("x")),
+        NumberLit(Double.PositiveInfinity)))
+    val nan = p("NaN")
+    assert(nan.isInstanceOf[NumberLit] &&
+      nan.asInstanceOf[NumberLit].v.isNaN)
+    // -0 keeps its sign through the round trip
+    assert(graft.promql.PromQlPrinter.print(p("-0")) === "-0")
+  }
+
   test("comparison, set-op and arithmetic layering") {
     // or < and/unless < comparison < add < mul
     assert(p("a and b or c") ===
