@@ -648,6 +648,21 @@ object SparkEntry {
         "histogram_stddev(view_total[1h])",
         metricsOf(s, dir))
         .select("component", "name", "win_start", "value")),
+    // m45: the trigonometric family from text — atan2 as PromQL's
+    // binary operator (vector match on the full label set, the error/
+    // view increase angle in degrees), floor-based round bounding the
+    // cross-engine libm ulp drift below the compare grid
+    "m45_promql_trig" -> ((s, dir) =>
+      promql.PromQl.compile(
+        "round(deg(increase(error_total[1h]) " +
+          "atan2 increase(view_total[1h])), 0.000001)",
+        metricsOf(s, dir))),
+    // sin over the window-latest gauge compressed into radians — the
+    // value-mapping trig path on the instant-vector shape
+    "m45b_promql_sin" -> ((s, dir) =>
+      promql.PromQl.compile(
+        "round(sin(rad(view_total)), 0.000001)",
+        metricsOf(s, dir))),
     // per-source gopher-rule failure funnel
     "t18_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
@@ -2682,6 +2697,37 @@ object SparkEntry {
           |  FROM mm LEFT JOIN terms t USING (component, name, win_start))
           |SELECT component, name, win_start, sqrt(h_stdvar) AS value
           |FROM f""".stripMargin),
+    // deg(atan2(err_inc, view_inc)): the increases are exact decimal
+    // sums (bit-identical across engines), atan2/degrees differ only in
+    // libm ulps — the shared floor-based round puts both under one grid
+    "m45_promql_trig" ->
+      (IncreaseCte(3600) +
+        """SELECT e.component, '' AS name, e.series, e.win_start,
+          |  floor(degrees(atan2(e.increase, v.increase)) / 0.000001 + 0.5)
+          |    * 0.000001 AS value
+          |FROM win e JOIN win v
+          |  ON e.component = v.component AND e.series = v.series
+          | AND e.win_start = v.win_start
+          |WHERE e.name = 'error_total' AND v.name = 'view_total'""".stripMargin),
+    // sin(radians(gauge)) over each window's freshest sample (ts desc,
+    // id desc — the instant selector's max_by tie-break)
+    "m45b_promql_sin" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series, value,
+        |         CAST(event_id AS VARCHAR) AS id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |g AS (
+        |  SELECT component, name, series,
+        |         ts_sec - ts_sec % 3600 AS win_start, value,
+        |         row_number() OVER (
+        |           PARTITION BY component, name, series, ts_sec - ts_sec % 3600
+        |           ORDER BY ts_sec DESC, id DESC) AS rn
+        |  FROM m WHERE name = 'view_total')
+        |SELECT component, name, series, win_start,
+        |  floor(sin(radians(value)) / 0.000001 + 0.5) * 0.000001 AS value
+        |FROM g WHERE rn = 1""".stripMargin,
     // merge == recompute: the oracle builds the DAILY histogram straight
     // from raw samples; the engine merges the hourly tier
     "m37c_native_merge" ->

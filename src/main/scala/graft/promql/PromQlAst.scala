@@ -162,7 +162,7 @@ object PromQlPrinter {
     case "and" | "unless" => 2
     case "==" | "!=" | "<" | ">" | "<=" | ">=" => 3
     case "+" | "-" => 4
-    case "*" | "/" | "%" => 5
+    case "*" | "/" | "%" | "atan2" => 5
     case "^" => 6
   }
 

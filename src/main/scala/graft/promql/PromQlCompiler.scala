@@ -86,6 +86,15 @@ final case class PromQlCompileException(msg: String) extends RuntimeException(ms
   *    because it is explicitly spelled out rather than inherited.)
   *  - Exact quantiles ride the bounded per-group multiset and round to
   *    4 dp ([[Firehose.quantileOverTime]]'s portability contract).
+  *  - The trigonometric family (round 11) rides `java.lang.Math`, the
+  *    same fdlibm lineage Go's math package mirrors — domain edges are
+  *    Go-exact (asin/acos outside [-1,1] are NaN never null; `atan2`
+  *    distinguishes the sign of zero operands, which Spark's builtin
+  *    normalizes away; `atanh(±1)` is ±Inf; `asinh` reflects through
+  *    its odd symmetry so large negatives never cancel to -Inf), while
+  *    VALUES may differ from Go in the last ulp (different libm builds;
+  *    `deg`/`rad` additionally order the π-constant multiply the way
+  *    `Math.toDegrees/toRadians` do, not the way Go's PromQL spells it).
   *  - `predict_linear` extrapolates from the window's NEWEST sample
   *    (the m16 convention); Prometheus extrapolates from the eval
   *    timestamp. `absent`/`absent_over_time` take their evaluation grid
@@ -194,6 +203,20 @@ object PromQlCompiler {
         .otherwise(l / r)
     case "%" => when(r === 0.0, lit(Double.NaN)).otherwise(l % r)
     case "^" => pow(l, r)
+    case "atan2" =>
+      // Go's math.Atan2 zero cases: atan2(±0, x<0 or -0) = ±π and
+      // atan2(±0, x>0 or +0) = ±0, by the SIGN of each zero — Spark's
+      // atan2 normalizes -0.0 operands to +0.0, so the zero-y cases are
+      // spelled out (the sign of a zero read off the string rendering,
+      // as in division above; a nonzero y is unaffected by either
+      // operand's zero sign)
+      def negZ(c: Column): Column = c === 0.0 && c.cast("string").startsWith("-")
+      when(isnan(l) || isnan(r), lit(Double.NaN))
+        .when(l === 0.0,
+          when((r < 0.0) || negZ(r),
+            when(negZ(l), lit(-math.Pi)).otherwise(lit(math.Pi)))
+            .otherwise(when(negZ(l), lit(-0.0)).otherwise(lit(0.0))))
+        .otherwise(atan2(l, r))
   }
 
   /** PromQL comparisons are Go float64 (IEEE 754) comparisons: when
@@ -726,6 +749,44 @@ object PromQlCompiler {
       case "floor" => mapFn(fn, args)(floor(_).cast("double"))
       case "sqrt" => mapFn(fn, args)(sqrt)
       case "exp" => mapFn(fn, args)(exp)
+      case "sin" | "cos" | "tan" | "asin" | "acos" | "atan" |
+           "sinh" | "cosh" | "tanh" | "deg" | "rad" =>
+        // the PromQL trigonometric family: Spark's builtins are the same
+        // java.lang.Math calls Go's math package mirrors, with matching
+        // domain edges (asin/acos outside [-1,1] are NaN, never null)
+        val f: Column => Column = fn match {
+          case "sin" => sin(_); case "cos" => cos(_); case "tan" => tan(_)
+          case "asin" => asin(_); case "acos" => acos(_); case "atan" => atan(_)
+          case "sinh" => sinh(_); case "cosh" => cosh(_); case "tanh" => tanh(_)
+          case "deg" => degrees(_); case _ => radians(_)
+        }
+        mapFn(fn, args)(f)
+      case "asinh" =>
+        // NOT Spark's asinh: log(x + sqrt(x²+1)) cancels catastrophically
+        // for negative x (asinh(-1e10) would come out -Inf) — reflect
+        // through the odd symmetry so only the stable branch is evaluated
+        mapFn(fn, args)(v =>
+          when(isnan(v), lit(Double.NaN))
+            .when(v === 0.0, v) // asinh(±0) = ±0, sign preserved
+            .when(v < 0, -log(-v + sqrt(v * v + lit(1.0))))
+            .otherwise(log(v + sqrt(v * v + lit(1.0)))))
+      case "acosh" =>
+        // domain x >= 1; Spark's log would turn the x < 1 arm into null,
+        // Go gives NaN
+        mapFn(fn, args)(v =>
+          when(isnan(v) || v < 1, lit(Double.NaN))
+            .otherwise(log(v + sqrt(v * v - lit(1.0)))))
+      case "atanh" =>
+        // domain |x| <= 1 with ±1 mapping to ±Inf (Go's math.Atanh);
+        // Spark's log-of-nonpositive null is unreachable this way
+        mapFn(fn, args)(v =>
+          when(isnan(v) || abs(v) > 1, lit(Double.NaN))
+            .when(v === 1.0, lit(Double.PositiveInfinity))
+            .when(v === -1.0, lit(Double.NegativeInfinity))
+            .otherwise(lit(0.5) * log((lit(1.0) + v) / (lit(1.0) - v))))
+      case "pi" =>
+        if (args.nonEmpty) err("pi() takes no arguments")
+        Scal(math.Pi)
       case "ln" | "log2" | "log10" =>
         // Spark's log family returns NULL for inputs <= 0; PromQL (Go)
         // gives ln(0) = -Inf and ln(x<0) = NaN — spelled out so a zero
@@ -1184,6 +1245,7 @@ object PromQlCompiler {
         case "/" => a / b
         case "%" => a % b
         case "^" => math.pow(a, b)
+        case "atan2" => math.atan2(a, b)
       }
 
     private def vecScalar(

@@ -6,7 +6,7 @@ final case class PromQlParseException(msg: String, pos: Int)
 
 /** Hand-rolled lexer + recursive-descent parser for the PromQL subset in
   * [[PromQlAst]]. Grammar and precedence follow the Prometheus parser:
-  * `or` < `and`/`unless` < comparisons < `+ -` < `* / %` < unary < `^`
+  * `or` < `and`/`unless` < comparisons < `+ -` < `* / % atan2` < unary < `^`
   * (right-associative), with `bool` / `on` / `ignoring` /
   * `group_left` / `group_right` as post-operator modifiers, and
   * `[range]` / `[range:step]` / `offset d` as postfix forms. Grouping
@@ -104,7 +104,7 @@ object PromQlParser {
   private val paramAggOps = Set(
     "topk", "bottomk", "quantile", "count_values", "limitk", "limit_ratio")
   private val keywords = Set(
-    "and", "or", "unless", "by", "without", "on", "ignoring",
+    "and", "or", "unless", "atan2", "by", "without", "on", "ignoring",
     "group_left", "group_right", "offset", "bool")
 
   def parse(q: String): PromExpr = {
@@ -145,7 +145,7 @@ object PromQlParser {
       case 2 => Set("and", "unless")
       case 3 => Set("==", "!=", "<", ">", "<=", ">=")
       case 4 => Set("+", "-")
-      case 5 => Set("*", "/", "%")
+      case 5 => Set("*", "/", "%", "atan2")
     }
 
     private def peekBinOp(level: Int): Option[String] = {

@@ -148,14 +148,19 @@ class PromDiffFuzzSpec extends SparkSuite {
       case "+" => l + r
       case "-" => l - r
       case "*" => l * r
-      case "/" =>
-        if (r == 0.0) {
-          if (l > 0) Double.PositiveInfinity
-          else if (l < 0) Double.NegativeInfinity
-          else Double.NaN
-        } else l / r
+      // JVM double division IS IEEE 754 (x/±0 = ±Inf by both signs,
+      // 0/0 = NaN) — exactly Go's, no special-casing needed
+      case "/" => l / r
       case "%" => if (r == 0.0) Double.NaN else l % r
+      case "atan2" => math.atan2(l, r)
     }
+
+    /** Value-mapping trig functions — same java.lang.Math calls the
+      * compiled plan's codegen emits, so equality is bit-exact.
+      */
+    val trigFns: Map[String, Double => Double] = Map(
+      "sin" -> math.sin, "cos" -> math.cos, "atan" -> math.atan,
+      "tanh" -> math.tanh, "deg" -> math.toDegrees, "rad" -> math.toRadians)
 
     def cmp(op: String, l: Double, r: Double): Boolean = op match {
       case ">" => l > r
@@ -227,6 +232,8 @@ class PromDiffFuzzSpec extends SparkSuite {
         overTime(ss.filter(_.name == n), r, fn, sliding)
       case Call(fn, Seq(inner)) if calFns.contains(fn) =>
         calendar(fn, eval(inner, ss, sliding))
+      case Call(fn, Seq(inner)) if trigFns.contains(fn) =>
+        eval(inner, ss, sliding).map { case (k, v) => k -> trigFns(fn)(v) }
       case Agg(op, inner, None, g) =>
         val by = g match {
           case AggGroup.All => None
@@ -294,8 +301,13 @@ class PromDiffFuzzSpec extends SparkSuite {
 
     def gen(depth: Int): PromExpr =
       if (depth == 0) genLeaf()
-      else rnd.nextInt(6) match {
+      else rnd.nextInt(7) match {
         case 0 => genLeaf()
+        case 6 =>
+          // value-mapping trig over any subtree (NaN/Inf inputs ride
+          // through from division subtrees — differential on both sides)
+          val pool = Seq("sin", "cos", "atan", "tanh", "deg", "rad")
+          Call(pool(rnd.nextInt(pool.length)), Seq(gen(depth - 1)))
         case 5 =>
           // calendar fns wrap LEAVES only: leaf values are always finite
           // (no division), so both sides' epoch-second casts agree
@@ -305,7 +317,7 @@ class PromDiffFuzzSpec extends SparkSuite {
           Agg(Seq("sum", "min", "max", "count", "avg")(rnd.nextInt(5)), gen(depth - 1), None, g)
         case 2 => Neg(gen(depth - 1))
         case 3 =>
-          val op = Seq("+", "-", "*", "/", "%")(rnd.nextInt(5))
+          val op = Seq("+", "-", "*", "/", "%", "atan2")(rnd.nextInt(6))
           // scalar 0 is reachable (p = 1/20): x/0 and x%0 make NaN/Inf
           // real inputs, so downstream comparisons exercise the IEEE
           // NaN branch differentially (round 11)

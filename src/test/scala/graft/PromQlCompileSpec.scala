@@ -743,6 +743,84 @@ class PromQlCompileSpec extends SparkSuite {
     assert(qp.toLowerCase.contains("percentile"))
   }
 
+  test("trigonometric family is bit-exact vs java.lang.Math on the real stream") {
+    def keyed(q: String): Map[(String, Long), Double] =
+      PromQl.compile(q, metrics).select("series", "win_start", "value")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val base = keyed("view_total")
+    assert(base.nonEmpty)
+    val fns: Seq[(String, Double => Double)] = Seq(
+      "sin" -> math.sin, "cos" -> math.cos, "tan" -> math.tan,
+      "asin" -> math.asin, "acos" -> math.acos, "atan" -> math.atan,
+      "sinh" -> math.sinh, "cosh" -> math.cosh, "tanh" -> math.tanh,
+      "deg" -> math.toDegrees, "rad" -> math.toRadians)
+    for ((fn, f) <- fns) {
+      val got = keyed(s"$fn(view_total)")
+      assert(got.keySet === base.keySet, fn)
+      got.foreach { case (k, v) =>
+        val w = f(base(k))
+        assert((v.isNaN && w.isNaN) || v === w, s"$fn at $k: got $v want $w")
+      }
+    }
+    // gauge values are large counters, so asin/acos are the NaN branch —
+    // pin the in-domain arc values through rad-compression too
+    val inDomain = keyed("sin(rad(view_total))")
+    assert(inDomain.values.forall(v => !v.isNaN && math.abs(v) <= 1.0))
+    assert(keyed("asin(sin(rad(view_total)))").values.forall(v => !v.isNaN))
+  }
+
+  test("inverse hyperbolics: Go domain edges, no catastrophic cancellation") {
+    def vals(q: String): Set[Double] =
+      PromQl.compile(q, metrics).select("value").collect()
+        .map(_.getDouble(0)).toSet
+    // atanh: ±1 -> ±Inf, |x|>1 -> NaN (never a vanishing null row)
+    assert(vals("atanh(view_total * 0 + 1)") === Set(Double.PositiveInfinity))
+    assert(vals("atanh(view_total * 0 - 1)") === Set(Double.NegativeInfinity))
+    assert(vals("atanh(view_total + 2)").forall(_.isNaN)) // all > 1
+    // acosh: x < 1 -> NaN; x >= 1 finite and positive
+    assert(vals("acosh(view_total * 0 + 0.5)").forall(_.isNaN))
+    assert(vals("acosh(view_total + 1.5)").forall(v => v > 0 && !v.isInfinite))
+    // asinh is odd and stable for large negatives (the naive
+    // log(x + sqrt(x²+1)) form collapses to -Inf long before 1e10)
+    val pos = vals("asinh(view_total * 0 + 10000000000)")
+    val neg = vals("asinh(view_total * 0 - 10000000000)")
+    assert(pos.size === 1 && neg === pos.map(-_) && pos.head < 24.0 &&
+      !pos.head.isInfinite)
+    // asinh(±0) keeps the sign of zero
+    assert(vals("asinh(-(view_total * 0))").map(v => 1.0 / v)
+      === Set(Double.NegativeInfinity))
+  }
+
+  test("atan2 binary operator: vector match, zero-sign cases, pi()") {
+    import graft.promql.{PromQlParser, PromQlPrinter}
+    // vector atan2 vector through the standard match join
+    def keyed(q: String): Map[(String, Long), Double] =
+      PromQl.compile(q, metrics).select("series", "win_start", "value")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val l = keyed("view_total")
+    val r = keyed("error_total")
+    val got = keyed("view_total atan2 error_total")
+    val want = l.keySet.intersect(r.keySet)
+      .map(k => k -> math.atan2(l(k), r(k))).toMap
+    assert(got.nonEmpty && got === want)
+    // vector atan2 scalar with a negative-zero y: Go's sign-of-zero cases
+    assert(keyed("-(view_total * 0) atan2 -1").values.toSet === Set(-math.Pi))
+    assert(keyed("(view_total * 0) atan2 -1").values.toSet === Set(math.Pi))
+    assert(keyed("(view_total * 0) atan2 1").values.toSet === Set(0.0))
+    assert(keyed("(view_total * 0) atan2 -(view_total * 0)").values.toSet
+      === Set(math.Pi))
+    // scalar fold and the pi() literal
+    assert(keyed("vector(-0 atan2 -1)").values.toSet === Set(-math.Pi))
+    assert(keyed("vector(pi())").values.toSet === Set(math.Pi))
+    assert(PromQl.compile("vector(pi())", metrics).count()
+      === PromQl.compile("vector(1)", metrics).count())
+    // NaN operands propagate
+    assert(keyed("(view_total % 0) atan2 1").values.forall(_.isNaN))
+    // printer round-trips the operator with matching modifiers
+    val ast = PromQlParser.parse("view_total atan2 on (user) error_total")
+    assert(PromQlParser.parse(PromQlPrinter.print(ast)) === ast)
+  }
+
   test("comparisons are IEEE on NaN: only != keeps NaN rows (filter and bool)") {
     // x % 0 is NaN for every sample (the compiler's own arith), so the
     // whole relation is the NaN operand Prometheus's Go-float semantics

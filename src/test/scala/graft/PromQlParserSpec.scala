@@ -121,6 +121,29 @@ class PromQlParserSpec extends AnyFunSuite {
     assert(graft.promql.PromQlPrinter.print(p("-0")) === "-0")
   }
 
+  test("atan2 binds like multiplication and is a reserved keyword") {
+    val (a, b, c) = (VectorSelector(Some("a")), VectorSelector(Some("b")),
+      VectorSelector(Some("c")))
+    assert(p("a atan2 b + c") === Binary("+", Binary("atan2", a, b), c))
+    assert(p("a + b atan2 c") === Binary("+", a, Binary("atan2", b, c)))
+    // unary and power bind tighter
+    assert(p("a atan2 b ^ 2") ===
+      Binary("atan2", a, Binary("^", b, NumberLit(2))))
+    assert(p("a atan2 -b") === Binary("atan2", a, Neg(b)))
+    // vector-matching modifiers attach like any arithmetic operator
+    assert(p("a atan2 on (user) b") ===
+      Binary("atan2", a, b, Some(VectorMatching(on = Some(Seq("user"))))))
+    // round trip, left-associativity preserved
+    for (q <- Seq("a atan2 b atan2 c", "(a + b) atan2 c", "a atan2 (b or c)")) {
+      val ast = p(q)
+      assert(p(PromQlPrinter.print(ast)) === ast, q)
+    }
+    // reserved: a bare metric named atan2 needs {__name__="atan2"}
+    assertThrows[PromQlParseException](p("atan2"))
+    // bool is a comparison-only modifier
+    assertThrows[PromQlParseException](p("a atan2 bool b"))
+  }
+
   test("comparison, set-op and arithmetic layering") {
     // or < and/unless < comparison < add < mul
     assert(p("a and b or c") ===
@@ -254,7 +277,7 @@ class PromQlParserSpec extends AnyFunSuite {
           }
           Agg(Seq("sum", "avg", "min", "max", "count")(rnd.nextInt(5)), gen(depth - 1), None, g)
         case 2 =>
-          val op = Seq("+", "-", "*", "/", "%", "^")(rnd.nextInt(6))
+          val op = Seq("+", "-", "*", "/", "%", "^", "atan2")(rnd.nextInt(7))
           val vm = rnd.nextInt(3) match {
             case 0 => None
             case 1 => Some(VectorMatching(on = Some(Seq(labels(rnd.nextInt(labels.length))))))
