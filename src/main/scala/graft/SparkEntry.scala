@@ -2703,8 +2703,8 @@ object SparkEntry {
     "m45_promql_trig" ->
       (IncreaseCte(3600) +
         """SELECT e.component, '' AS name, e.series, e.win_start,
-          |  floor(degrees(atan2(e.increase, v.increase)) / 0.000001 + 0.5)
-          |    * 0.000001 AS value
+          |  floor(degrees(atan2(e.increase, v.increase)) * (1.0 / 0.000001)
+          |    + 0.5) / (1.0 / 0.000001) AS value
           |FROM win e JOIN win v
           |  ON e.component = v.component AND e.series = v.series
           | AND e.win_start = v.win_start
@@ -2726,7 +2726,8 @@ object SparkEntry {
         |           ORDER BY ts_sec DESC, id DESC) AS rn
         |  FROM m WHERE name = 'view_total')
         |SELECT component, name, series, win_start,
-        |  floor(sin(radians(value)) / 0.000001 + 0.5) * 0.000001 AS value
+        |  floor(sin(radians(value)) * (1.0 / 0.000001) + 0.5)
+        |    / (1.0 / 0.000001) AS value
         |FROM g WHERE rn = 1""".stripMargin,
     // merge == recompute: the oracle builds the DAILY histogram straight
     // from raw samples; the engine merges the hourly tier

@@ -86,15 +86,37 @@ final case class PromQlCompileException(msg: String) extends RuntimeException(ms
   *    because it is explicitly spelled out rather than inherited.)
   *  - Exact quantiles ride the bounded per-group multiset and round to
   *    4 dp ([[Firehose.quantileOverTime]]'s portability contract).
+  *    Out-of-range φ follows Prometheus (φ<0 → -Inf, φ>1 → +Inf, NaN →
+  *    NaN per present group) instead of Spark's analysis-time refusal.
+  *    One divergence stands: a window CONTAINING NaN samples sorts them
+  *    greatest (Spark/JVM total order) where Go's sort puts NaN first,
+  *    so quantiles of NaN-polluted windows can differ — reachable only
+  *    through NaN arithmetic, never from parsed metric streams.
+  *  - Non-finite vector values (the x/0 family) ride every aggregation
+  *    lane: the exact-decimal sums sum the finite lane and reconstruct
+  *    NaN/±Inf via max-flags exactly as an IEEE fold would (any NaN or
+  *    both infinities → NaN, else the surviving infinity); stddev/
+  *    stdvar/deriv/predict_linear over a non-finite window are NaN
+  *    (Go's float64 sums land in the Inf−Inf fold); `max` skips NaN
+  *    unless every sample is NaN (Go's fold), `min` already matched;
+  *    floor/ceil/round propagate NaN/±Inf (Spark's LongType floor
+  *    would ANSI-fail on Inf); the calendar family maps non-finite and
+  *    calendar-absurd (|v| ≥ 1e14 s) inputs to NaN, where Go's
+  *    int64-of-Inf is platform-defined garbage.
   *  - The trigonometric family (round 11) rides `java.lang.Math`, the
   *    same fdlibm lineage Go's math package mirrors — domain edges are
   *    Go-exact (asin/acos outside [-1,1] are NaN never null; `atan2`
   *    distinguishes the sign of zero operands, which Spark's builtin
-  *    normalizes away; `atanh(±1)` is ±Inf; `asinh` reflects through
-  *    its odd symmetry so large negatives never cancel to -Inf), while
-  *    VALUES may differ from Go in the last ulp (different libm builds;
-  *    `deg`/`rad` additionally order the π-constant multiply the way
-  *    `Math.toDegrees/toRadians` do, not the way Go's PromQL spells it).
+  *    normalizes away; `atanh(±1)` is ±Inf), the inverse hyperbolics
+  *    are the FDLIBM range reductions themselves (log1p arms for small
+  *    arguments, log(2x)/log+ln2 for large — Go-identical branch
+  *    structure, so tiny arguments return themselves and huge ones
+  *    never overflow x²), while VALUES may differ from Go in the last
+  *    ulp (different libm builds; `deg`/`rad` additionally order the
+  *    π-constant multiply the way `Math.toDegrees/toRadians` do, not
+  *    the way Go's PromQL spells it). `round` uses the inverse-grid
+  *    spelling `floor(v·(1/to) + 0.5) / (1/to)`, promql/functions.go's
+  *    own formula.
   *  - `predict_linear` extrapolates from the window's NEWEST sample
   *    (the m16 convention); Prometheus extrapolates from the eval
   *    timestamp. `absent`/`absent_over_time` take their evaluation grid
@@ -126,6 +148,17 @@ final case class PromQlCompileException(msg: String) extends RuntimeException(ms
   *    is complete.
   */
 object PromQlCompiler {
+
+  /** FDLIBM range-reduction thresholds shared by the inverse
+    * hyperbolics (Go math.Asinh/Acosh/Atanh): below 2⁻²⁸ the function
+    * IS its argument to double precision; above 2²⁸ the x²±1 terms are
+    * absorbed (or would overflow) and log(x)+ln2 is exact.
+    */
+  private object Asinh {
+    val Tiny: Double = java.lang.Math.scalb(1.0, -28)
+    val Huge: Double = java.lang.Math.scalb(1.0, 28)
+    val Ln2: Double = 0.6931471805599453
+  }
 
   private val comparisons = Set("==", "!=", "<", ">", "<=", ">=")
   private val setOps = Set("and", "or", "unless")
@@ -418,20 +451,89 @@ object PromQlCompiler {
           when(col("delta").isNull, lit(0.0))
             .when(col("delta") < 0, col("value"))
             .otherwise(col("delta")))
+      // a subquery can feed non-finite inner values (x/0): the finite
+      // lane + flag reconstruction keeps increase(+Inf-series) = +Inf
+      // instead of failing the decimal cast
       val agg = assignWin(withInc, r)
         .groupBy(rangeKeys: _*)
         .agg(
           any_value(col("labels")).as("labels"),
-          sum(col("inc").cast("decimal(18,6)")).cast("double").as("_inc"))
-      out(agg, if (asRate) col("_inc") / lit(r.toDouble) else col("_inc"))
+          (sum(finiteOr0(col("inc")).cast("decimal(18,6)")).cast("double").as("_incf")
+            +: nfFlagAggs(col("inc"), "i")): _*)
+      val inc = nfApply(col("_incf"), "i")
+      out(agg, if (asRate) inc / lit(r.toDouble) else inc)
     }
+
+    /** floor/ceil on DOUBLES that propagate NaN/±Inf like Go's
+      * math.Floor/Ceil: Spark's floor()/ceil() land in LongType, so
+      * +Inf ANSI-overflows the cast and NaN collapses to 0 — query
+      * crashes or silent zeros where PromQL carries the value through
+      * (round(x/0) must be +Inf, ceil(0/0) must be NaN). Above 2⁵²
+      * every double is already integral, so the identity arm covers
+      * huge finites and both non-finite edges at once; below it the
+      * long round-trip is exact.
+      */
+    private def dfloor(x: Column): Column =
+      when(isnan(x) || abs(x) >= lit(9.007199254740992e15), x)
+        .otherwise(floor(x).cast("double"))
+    private def dceil(x: Column): Column =
+      when(isnan(x) || abs(x) >= lit(9.007199254740992e15), x)
+        .otherwise(ceil(x).cast("double"))
+
+    /** PromQL's IEEE non-finite algebra for the exact-decimal sum
+      * lanes: Spark's decimal cast cannot carry NaN/±Inf (the ANSI
+      * cast fails the whole query, the legacy cast nulls the value out
+      * of the sum — both wrong), but `x / 0` makes them ordinary
+      * vector values. The decimal lane therefore sums FINITE values
+      * only (order-independent, exact) and three max-flags
+      * reconstruct what an IEEE double sum would produce: any NaN →
+      * NaN, both infinities present → NaN (the Inf − Inf fold), one
+      * infinity → that infinity, else the exact finite sum.
+      */
+    private def isFiniteC(v: Column): Column =
+      !(isnan(v) || abs(v) === lit(Double.PositiveInfinity))
+    private def finiteOr0(v: Column): Column =
+      when(isFiniteC(v), v).otherwise(lit(0.0))
+    private def nfFlagAggs(v: Column, p: String): Seq[Column] = Seq(
+      max(isnan(v).cast("int")).as(s"_${p}nan"),
+      max((v === lit(Double.PositiveInfinity)).cast("int")).as(s"_${p}pi"),
+      max((v === lit(Double.NegativeInfinity)).cast("int")).as(s"_${p}ni"))
+    private def nfApply(fin: Column, p: String): Column =
+      when(col(s"_${p}nan") === 1 ||
+          (col(s"_${p}pi") === 1 && col(s"_${p}ni") === 1), lit(Double.NaN))
+        .when(col(s"_${p}pi") === 1, lit(Double.PositiveInfinity))
+        .when(col(s"_${p}ni") === 1, lit(Double.NegativeInfinity))
+        .otherwise(fin)
+    private def nfAny(p: String): Column =
+      col(s"_${p}nan") === 1 || col(s"_${p}pi") === 1 || col(s"_${p}ni") === 1
+    /** Prometheus's max skips NaN unless every sample is NaN (Go's
+      * `v > max || isNaN(max)` fold); Spark's max orders NaN greatest
+      * and would return NaN whenever one sample is. (Spark's min
+      * already matches: NaN-greatest ordering picks the finite
+      * minimum, and an all-NaN group yields NaN either way.)
+      */
+    private def promMax(v: Column): Column =
+      coalesce(max(when(isnan(v), lit(null)).otherwise(v)), max(v))
+
+    /** Exact percentile under Prometheus's out-of-range-φ convention:
+      * φ < 0 → -Inf, φ > 1 → +Inf, NaN → NaN per present group —
+      * Spark's percentile() would refuse those φ at analysis time and
+      * fail the whole query. φ is a plan-time scalar, so the constant
+      * arm costs nothing; in-range φ keeps the engine's 4-dp quantile
+      * portability round.
+      */
+    private def promPercentile(v: Column, q: Double): Column =
+      if (q.isNaN) max(lit(Double.NaN))
+      else if (q < 0) max(lit(Double.NegativeInfinity))
+      else if (q > 1) max(lit(Double.PositiveInfinity))
+      else round(percentile(v, lit(q)), 4)
 
     /** The one-aggregation `*_over_time` family
       * ([[Firehose.overTimeAgg]]'s numeric discipline: exact-decimal
       * sums, algebraic variance clamped at zero).
       */
     private def overTime(ds: DataFrame, r: Long, fn: String, q: Double): DataFrame = {
-      val dv = col("value").cast("decimal(18,6)")
+      val dv = finiteOr0(col("value")).cast("decimal(18,6)")
       val n = col("_n").cast("double")
       // the exact-percentile aggregate buffers the full per-group value
       // multiset — added ONLY when the quantile is actually asked for,
@@ -439,25 +541,29 @@ object PromQlCompiler {
       val baseAggs = Seq(
         count(lit(1)).as("_n"),
         min(col("value")).as("_min"),
-        max(col("value")).as("_max"),
-        sum(dv).cast("double").as("_sum"),
+        promMax(col("value")).as("_max"),
+        sum(dv).cast("double").as("_sumf"),
         sum((dv * dv).cast("decimal(38,12)")).cast("double").as("_sumsq"),
-        max_by(col("value"), struct(col("timestamp"), col("id"))).as("_last"))
+        max_by(col("value"), struct(col("timestamp"), col("id"))).as("_last")) ++
+        nfFlagAggs(col("value"), "s")
       val aggs =
         if (fn == "quantile_over_time")
-          baseAggs :+ round(percentile(col("value"), lit(q)), 4).as("_q")
+          baseAggs :+ promPercentile(col("value"), q).as("_q")
         else baseAggs
       val agg = withSeriesWin(ds, r)
         .groupBy(rangeKeys: _*)
         .agg(any_value(col("labels")).as("labels"), aggs: _*)
-      val stdvar =
-        greatest((col("_sumsq") - col("_sum") * col("_sum") / n) / n, lit(0.0))
+      val sumV = nfApply(col("_sumf"), "s")
+      // any non-finite sample makes the variance fold hit Inf − Inf →
+      // NaN (Go's incremental mean/aux does the same)
+      val stdvar = when(nfAny("s"), lit(Double.NaN)).otherwise(
+        greatest((col("_sumsq") - col("_sumf") * col("_sumf") / n) / n, lit(0.0)))
       out(agg, fn match {
-        case "sum_over_time" => col("_sum")
+        case "sum_over_time" => sumV
         case "min_over_time" => col("_min")
         case "max_over_time" => col("_max")
         case "count_over_time" => n
-        case "avg_over_time" => col("_sum") / n
+        case "avg_over_time" => sumV / n
         case "last_over_time" => col("_last")
         case "stdvar_over_time" => stdvar
         case "stddev_over_time" => sqrt(stdvar)
@@ -560,28 +666,33 @@ object PromQlCompiler {
       val based = withSeriesWin(ds, r)
         .withColumn("_x", col("timestamp") - min(col("timestamp")).over(wAll))
         .withColumn("_y", col("value").cast("double"))
+      val yFin = finiteOr0(col("_y"))
       val g = based
         .groupBy(rangeKeys: _*)
         .agg(
           any_value(col("labels")).as("labels"),
-          count(lit(1)).as("_n"),
-          sum(col("_x").cast("decimal(19,0)")).cast("double").as("_sx"),
-          // x*x is exact in long (centered x ≤ the range in seconds); the
-          // decimal cast only makes the SUM overflow-proof
-          sum((col("_x") * col("_x")).cast("decimal(28,0)")).cast("double").as("_sxx"),
-          sum(col("_y").cast("decimal(18,6)")).cast("double").as("_sy"),
-          sum(col("_x").cast("decimal(19,0)") * col("_y").cast("decimal(18,6)"))
-            .cast("double").as("_sxy"),
-          max(col("_x")).as("_mx"))
+          Seq(
+            count(lit(1)).as("_n"),
+            sum(col("_x").cast("decimal(19,0)")).cast("double").as("_sx"),
+            // x*x is exact in long (centered x ≤ the range in seconds); the
+            // decimal cast only makes the SUM overflow-proof
+            sum((col("_x") * col("_x")).cast("decimal(28,0)")).cast("double").as("_sxx"),
+            sum(yFin.cast("decimal(18,6)")).cast("double").as("_sy"),
+            sum(col("_x").cast("decimal(19,0)") * yFin.cast("decimal(18,6)"))
+              .cast("double").as("_sxy"),
+            max(col("_x")).as("_mx")) ++ nfFlagAggs(col("_y"), "t"): _*)
       val nd = col("_n").cast("double")
       val den = nd * col("_sxx") - col("_sx") * col("_sx")
       val slope = (nd * col("_sxy") - col("_sx") * col("_sy")) / den
       val intercept = (col("_sy") - slope * col("_sx")) / nd
-      val v = fn match {
+      val v0 = fn match {
         case "deriv" => slope
         case "predict_linear" =>
           intercept + slope * (col("_mx").cast("double") + lit(horizon))
       }
+      // a non-finite sample turns the regression sums into the
+      // Inf − Inf fold → NaN (Go's float64 sums land there too)
+      val v = when(nfAny("t"), lit(Double.NaN)).otherwise(v0)
       out(g.filter(col("_n") >= 2 && den =!= lit(0.0)), v)
     }
 
@@ -745,8 +856,8 @@ object PromQlCompiler {
         val (ds, r, at) = rangeSamples(fn, args.head)
         Vec(pinMaybe(overTime(ds, r, f, 0.5), at, r))
       case "abs" => mapFn(fn, args)(abs)
-      case "ceil" => mapFn(fn, args)(ceil(_).cast("double"))
-      case "floor" => mapFn(fn, args)(floor(_).cast("double"))
+      case "ceil" => mapFn(fn, args)(dceil)
+      case "floor" => mapFn(fn, args)(dfloor)
       case "sqrt" => mapFn(fn, args)(sqrt)
       case "exp" => mapFn(fn, args)(exp)
       case "sin" | "cos" | "tan" | "asin" | "acos" | "atan" |
@@ -762,28 +873,57 @@ object PromQlCompiler {
         }
         mapFn(fn, args)(f)
       case "asinh" =>
-        // NOT Spark's asinh: log(x + sqrt(x²+1)) cancels catastrophically
-        // for negative x (asinh(-1e10) would come out -Inf) — reflect
-        // through the odd symmetry so only the stable branch is evaluated
-        mapFn(fn, args)(v =>
+        // Go's math.Asinh (FDLIBM s_asinh.c), not the naive
+        // log(x + sqrt(x²+1)): that form cancels catastrophically for
+        // negative x, returns 0 for |x| < ~1e-8, and overflows x² to
+        // +Inf above ~1.3e154. The FDLIBM range reduction — x itself
+        // below 2⁻²⁸, log1p forms through |x| ≤ 2, log(2x)+correction
+        // to 2²⁸, log(x)+ln2 beyond — is stable everywhere, reflected
+        // through the odd symmetry so only |x| is ever evaluated
+        mapFn(fn, args) { v =>
+          val a = abs(v)
+          val mag = when(a < lit(Asinh.Tiny), a)
+            .when(a > lit(Asinh.Huge), log(a) + lit(Asinh.Ln2))
+            .when(a > 2.0,
+              log(lit(2.0) * a + lit(1.0) / (a + sqrt(a * a + lit(1.0)))))
+            .otherwise(
+              log1p(a + a * a / (lit(1.0) + sqrt(lit(1.0) + a * a))))
           when(isnan(v), lit(Double.NaN))
             .when(v === 0.0, v) // asinh(±0) = ±0, sign preserved
-            .when(v < 0, -log(-v + sqrt(v * v + lit(1.0))))
-            .otherwise(log(v + sqrt(v * v + lit(1.0)))))
+            .when(v < 0, -mag)
+            .otherwise(mag)
+        }
       case "acosh" =>
-        // domain x >= 1; Spark's log would turn the x < 1 arm into null,
-        // Go gives NaN
-        mapFn(fn, args)(v =>
+        // Go's math.Acosh (FDLIBM e_acosh.c): NaN below the x >= 1
+        // domain (Spark's log would yield null), log1p near 1 (the
+        // naive x²-1 loses half the significant digits there),
+        // log(x)+ln2 above 2²⁸ (the naive x² overflows to +Inf)
+        mapFn(fn, args) { v =>
+          val t = v - lit(1.0)
           when(isnan(v) || v < 1, lit(Double.NaN))
-            .otherwise(log(v + sqrt(v * v - lit(1.0)))))
+            .when(v >= lit(Asinh.Huge), log(v) + lit(Asinh.Ln2))
+            .when(v > 2.0,
+              log(lit(2.0) * v - lit(1.0) / (v + sqrt(v * v - lit(1.0)))))
+            .otherwise(log1p(t + sqrt(lit(2.0) * t + t * t)))
+        }
       case "atanh" =>
-        // domain |x| <= 1 with ±1 mapping to ±Inf (Go's math.Atanh);
-        // Spark's log-of-nonpositive null is unreachable this way
-        mapFn(fn, args)(v =>
-          when(isnan(v) || abs(v) > 1, lit(Double.NaN))
+        // Go's math.Atanh (FDLIBM s_atanh.c): domain |x| <= 1 with ±1
+        // mapping to ±Inf; x itself below 2⁻²⁸ and log1p forms above
+        // (the naive 0.5·log((1+x)/(1-x)) rounds 1±x to 1.0 and
+        // returns exactly 0 for tiny x)
+        mapFn(fn, args) { v =>
+          val a = abs(v)
+          val mag = when(a < lit(Asinh.Tiny), a)
+            .when(a > 0.5, lit(0.5) * log1p((a + a) / (lit(1.0) - a)))
+            .otherwise(
+              lit(0.5) * log1p((a + a) + (a + a) * a / (lit(1.0) - a)))
+          when(isnan(v) || a > 1, lit(Double.NaN))
             .when(v === 1.0, lit(Double.PositiveInfinity))
             .when(v === -1.0, lit(Double.NegativeInfinity))
-            .otherwise(lit(0.5) * log((lit(1.0) + v) / (lit(1.0) - v))))
+            .when(v === 0.0, v) // atanh(±0) = ±0, sign preserved
+            .when(v < 0, -mag)
+            .otherwise(mag)
+        }
       case "pi" =>
         if (args.nonEmpty) err("pi() takes no arguments")
         Scal(math.Pi)
@@ -803,10 +943,14 @@ object PromQlCompiler {
       case "round" =>
         val to = if (args.length == 2) scalarArg(args(1), "round to_nearest") else 1.0
         if (to <= 0) err("round to_nearest must be positive")
-        // PromQL rounds ties toward +Inf (floor(v/to + 0.5)·to); Spark's
-        // round() is HALF_UP away from zero, off by one unit at every
-        // negative midpoint
-        mapFn(fn, args.take(1))(v => floor(v / lit(to) + lit(0.5)) * lit(to))
+        // PromQL rounds ties toward +Inf via the INVERSE spelling —
+        // floor(v·(1/to) + 0.5) / (1/to), promql/functions.go's
+        // funcRound — which differs from floor(v/to + 0.5)·to by an
+        // ulp near halfway points of non-dyadic to_nearest; Spark's
+        // own round() is HALF_UP away from zero, off by one unit at
+        // every negative midpoint
+        val inv = 1.0 / to
+        mapFn(fn, args.take(1))(v => dfloor(v * lit(inv) + lit(0.5)) / lit(inv))
       case "clamp" =>
         if (args.length != 3) err("clamp expects (vector, min, max)")
         val lo = scalarArg(args(1), "clamp min")
@@ -897,11 +1041,17 @@ object PromQlCompiler {
       "days_in_month", "month", "year")
 
     private def timeComponent(f: String, v: Column): Column = {
-      val secs = v.cast("long")
+      // a non-finite (or calendar-absurd) value names no calendar
+      // point: NaN, never an ANSI cast failure mid-query (Go's
+      // int64(±Inf/NaN) is platform-defined garbage — NaN is the only
+      // defined answer). The bound keeps the epoch-day offset inside
+      // DateType's int day count (±1e14 s ≈ year ±3.1M)
+      val castable = isFiniteC(v) && abs(v) < lit(1.0e14)
+      val secs = when(castable, v).otherwise(lit(0.0)).cast("long")
       lazy val day = date_add(
         to_date(lit("1970-01-01")),
         ((secs - pmod(secs, lit(86400L))) / lit(86400L)).cast("int"))
-      f match {
+      val res = f match {
         case "minute" => floor(pmod(secs, lit(3600L)) / lit(60L))
         case "hour" => floor(pmod(secs, lit(86400L)) / lit(3600L))
         case "day_of_week" => dayofweek(day) - lit(1) // 0 = Sunday, per PromQL
@@ -911,6 +1061,7 @@ object PromQlCompiler {
         case "month" => month(day)
         case "year" => year(day)
       }
+      when(castable, res.cast("double")).otherwise(lit(Double.NaN))
     }
 
     /** `timestamp(v)`: each element's sample timestamp as its value, in
@@ -1175,7 +1326,7 @@ object PromQlCompiler {
             .select(col("component"), lit("").as("name"), col("labels"),
               col("win_start"), col("value")))
         case op =>
-          val dv = col("value").cast("decimal(26,6)")
+          val dv = finiteOr0(col("value")).cast("decimal(26,6)")
           val agg = v
             .withColumn("_gl", gl)
             .groupBy(
@@ -1186,24 +1337,26 @@ object PromQlCompiler {
               Seq(
                 count(lit(1)).as("_n"),
                 min(col("value")).as("_min"),
-                max(col("value")).as("_max"),
-                sum(dv).cast("double").as("_sum"),
+                promMax(col("value")).as("_max"),
+                sum(dv).cast("double").as("_sumf"),
                 sum((dv * dv).cast("decimal(38,12)")).cast("double").as("_sumsq")) ++
+                nfFlagAggs(col("value"), "s") ++
                 // the value-buffering exact percentile only when asked
                 (if (op == "quantile")
-                  Seq(round(percentile(col("value"),
-                    lit(a.param.map(p => scalarArg(p, "quantile")).getOrElse(0.5))), 4)
+                  Seq(promPercentile(col("value"),
+                    a.param.map(p => scalarArg(p, "quantile")).getOrElse(0.5))
                     .as("_q"))
                 else Nil): _*)
           val n = col("_n").cast("double")
-          val stdvar =
-            greatest((col("_sumsq") - col("_sum") * col("_sum") / n) / n, lit(0.0))
+          val sumV = nfApply(col("_sumf"), "s")
+          val stdvar = when(nfAny("s"), lit(Double.NaN)).otherwise(
+            greatest((col("_sumsq") - col("_sumf") * col("_sumf") / n) / n, lit(0.0)))
           val value = op match {
-            case "sum" => col("_sum")
+            case "sum" => sumV
             case "min" => col("_min")
             case "max" => col("_max")
             case "count" => n
-            case "avg" => col("_sum") / n
+            case "avg" => sumV / n
             case "stdvar" => stdvar
             case "stddev" => sqrt(stdvar)
             case "group" => lit(1.0)

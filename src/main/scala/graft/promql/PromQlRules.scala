@@ -102,6 +102,9 @@ object PromQlRules {
     * expression must land on the step grid (instant selectors,
     * `R == step` range functions, or sliding mode — where EVERY
     * expression lands on the step grid, the natural alerting mode).
+    * A subquery's OUTPUT lands on the subquery's own range grid, so
+    * the guard checks that range — the inner expression's grids are
+    * consumed inside the subquery and never reach the alert.
     */
   def evaluate(
       rulesText: String,
@@ -142,7 +145,10 @@ object PromQlRules {
         if (forSec > 0 && !sliding) {
           def ranges(e: PromExpr): Seq[Long] = e match {
             case RangeSelector(_, r) => Seq(r)
-            case Subquery(inner, _, _) => ranges(inner)
+            // the enclosing range function lands its output on the
+            // SUBQUERY's range grid; the inner expression's grid is
+            // consumed inside rangeSamples and never reaches the output
+            case Subquery(_, r, _) => Seq(r)
             case Call(_, args) => args.flatMap(ranges)
             case Agg(_, inner, param, _) => ranges(inner) ++ param.toSeq.flatMap(ranges)
             case Neg(inner) => ranges(inner)

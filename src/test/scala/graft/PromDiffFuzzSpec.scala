@@ -37,6 +37,29 @@ class PromDiffFuzzSpec extends SparkSuite {
     "minute", "hour", "day_of_week", "day_of_month", "day_of_year",
     "days_in_month", "month", "year")
 
+  /** The IEEE non-finite sum algebra the engine's finite-decimal-lane
+    * + flag reconstruction implements: any NaN → NaN, both infinities
+    * → NaN, one infinity → that infinity, else the exact decimal sum.
+    */
+  private def decSumNF(vs: Seq[Double]): Double = {
+    val pi = vs.contains(Double.PositiveInfinity)
+    val ni = vs.contains(Double.NegativeInfinity)
+    if (vs.exists(_.isNaN) || (pi && ni)) Double.NaN
+    else if (pi) Double.PositiveInfinity
+    else if (ni) Double.NegativeInfinity
+    else vs.map(dec(_, 6)).sum.toDouble
+  }
+
+  /** Prometheus's min/max skip NaN unless every sample is NaN. */
+  private def promMin(vs: Seq[Double]): Double = {
+    val f = vs.filterNot(_.isNaN)
+    if (f.isEmpty) Double.NaN else f.min
+  }
+  private def promMax(vs: Seq[Double]): Double = {
+    val f = vs.filterNot(_.isNaN)
+    if (f.isEmpty) Double.NaN else f.max
+  }
+
   private object Ref {
     /** The windows a range-fn sample (or delta) lands in: its tumbling
       * window of the range's own grid, or — sliding — every step-grid
@@ -64,7 +87,7 @@ class PromDiffFuzzSpec extends SparkSuite {
           winsOf(s.ts, r, sliding).map(w => (w, inc))
         }
         incs.groupBy(_._1).map { case (w, is) =>
-          val total = is.map(x => dec(x._2, 6)).sum.toDouble
+          val total = decSumNF(is.map(_._2))
           (n, l, w) -> (if (asRate) total / r.toDouble else total)
         }
       }.toMap
@@ -76,11 +99,11 @@ class PromDiffFuzzSpec extends SparkSuite {
           val g = g0.map(_._1)
           val vals = g.map(_.value)
           val v = fn match {
-            case "sum_over_time" => g.map(s => dec(s.value, 6)).sum.toDouble
-            case "min_over_time" => vals.min
-            case "max_over_time" => vals.max
+            case "sum_over_time" => decSumNF(vals)
+            case "min_over_time" => promMin(vals)
+            case "max_over_time" => promMax(vals)
             case "count_over_time" => g.size.toDouble
-            case "avg_over_time" => g.map(s => dec(s.value, 6)).sum.toDouble / g.size
+            case "avg_over_time" => decSumNF(vals) / g.size
             case "last_over_time" => g.maxBy(s => (s.ts, s.id)).value
           }
           k -> v
@@ -96,6 +119,17 @@ class PromDiffFuzzSpec extends SparkSuite {
         .groupBy { case (s, w) => (s.name, s.labels, w) }
         .flatMap { case (k, g0) =>
           val g = g0.map(_._1)
+          if (g.exists(s => s.value.isNaN || s.value.isInfinite)) {
+            // non-finite samples turn the regression sums into the
+            // Inf − Inf fold — NaN, matching the engine's flag arm
+            val t0 = g.map(_.ts).min
+            val xs = g.map(s => (s.ts - t0).toDouble)
+            val n = xs.size
+            val sx = xs.sum
+            val sxx = xs.map(x => x * x).sum
+            val den = n * sxx - sx * sx
+            if (n >= 2 && den != 0.0) Some(k -> Double.NaN) else None
+          } else {
           val t0 = g.map(_.ts).min
           val xs = g.map(s => (s.ts - t0, s.value))
           val n = xs.size
@@ -107,6 +141,7 @@ class PromDiffFuzzSpec extends SparkSuite {
           val den = nd * sxx - sx * sx
           if (n >= 2 && den != 0.0) Some(k -> ((nd * sxy - sx * sy) / den))
           else None
+          }
         }
 
     /** Calendar family via java.time — an INDEPENDENT Gregorian
@@ -135,13 +170,20 @@ class PromDiffFuzzSpec extends SparkSuite {
       }.map { case ((gl, w), g) =>
         val vals = g.values.toSeq
         val out = op match {
-          case "sum" => vals.map(dec(_, 6)).sum.toDouble
-          case "min" => vals.min
-          case "max" => vals.max
+          case "sum" => decSumNF(vals)
+          case "min" => promMin(vals)
+          case "max" => promMax(vals)
           case "count" => vals.size.toDouble
-          case "avg" => vals.map(dec(_, 6)).sum.toDouble / vals.size
+          case "avg" => decSumNF(vals) / vals.size
         }
         ("", gl, w) -> out
+      }
+
+    def aggQuantile(v: RVec, q: Double, by: Option[String]): RVec =
+      v.groupBy { case ((_, l, w), _) =>
+        (by.fold(Map.empty[String, String])(b => l.filter(_._1 == b)), w)
+      }.map { case ((gl, w), g) =>
+        ("", gl, w) -> percentile4(g.values.toSeq, q)
       }
 
     def arith(op: String, l: Double, r: Double): Double = op match {
@@ -156,11 +198,74 @@ class PromDiffFuzzSpec extends SparkSuite {
     }
 
     /** Value-mapping trig functions — same java.lang.Math calls the
-      * compiled plan's codegen emits, so equality is bit-exact.
+      * compiled plan's codegen emits, so equality is bit-exact. The
+      * inverse hyperbolics are the FDLIBM algorithms spelled in plain
+      * Scala doubles (the spec here IS the algorithm — Go-exact range
+      * reduction), checking the compiler's Column translation of the
+      * same branch structure bit-for-bit.
       */
-    val trigFns: Map[String, Double => Double] = Map(
-      "sin" -> math.sin, "cos" -> math.cos, "atan" -> math.atan,
-      "tanh" -> math.tanh, "deg" -> math.toDegrees, "rad" -> math.toRadians)
+    val trigFns: Map[String, Double => Double] = {
+      val tiny = java.lang.Math.scalb(1.0, -28)
+      val huge = java.lang.Math.scalb(1.0, 28)
+      val ln2 = 0.6931471805599453
+      def asinh(v: Double): Double =
+        if (v.isNaN) Double.NaN
+        else if (v == 0.0) v
+        else {
+          val a = math.abs(v)
+          val m =
+            if (a < tiny) a
+            else if (a > huge) math.log(a) + ln2
+            else if (a > 2.0) math.log(2.0 * a + 1.0 / (a + math.sqrt(a * a + 1.0)))
+            else math.log1p(a + a * a / (1.0 + math.sqrt(1.0 + a * a)))
+          if (v < 0) -m else m
+        }
+      def acosh(v: Double): Double =
+        if (v.isNaN || v < 1) Double.NaN
+        else if (v >= huge) math.log(v) + ln2
+        else if (v > 2.0) math.log(2.0 * v - 1.0 / (v + math.sqrt(v * v - 1.0)))
+        else { val t = v - 1.0; math.log1p(t + math.sqrt(2.0 * t + t * t)) }
+      def atanh(v: Double): Double =
+        if (v.isNaN || math.abs(v) > 1) Double.NaN
+        else if (v == 1.0) Double.PositiveInfinity
+        else if (v == -1.0) Double.NegativeInfinity
+        else if (v == 0.0) v
+        else {
+          val a = math.abs(v)
+          val m =
+            if (a < tiny) a
+            else if (a > 0.5) 0.5 * math.log1p((a + a) / (1.0 - a))
+            else 0.5 * math.log1p((a + a) + (a + a) * a / (1.0 - a))
+          if (v < 0) -m else m
+        }
+      Map(
+        "sin" -> math.sin, "cos" -> math.cos, "atan" -> math.atan,
+        "tanh" -> math.tanh, "deg" -> math.toDegrees, "rad" -> math.toRadians,
+        "asinh" -> asinh, "acosh" -> acosh, "atanh" -> atanh)
+    }
+
+    /** Spark's exact-percentile interpolation (sorted values, position
+      * φ·(n−1), `(hi−pos)·lower + (pos−lo)·higher` in that order) under
+      * the engine's 4-dp portability round, with Prometheus's
+      * out-of-range-φ convention — the `promPercentile` contract.
+      */
+    def percentile4(vals: Seq[Double], q: Double): Double =
+      if (q.isNaN) Double.NaN
+      else if (q < 0) Double.NegativeInfinity
+      else if (q > 1) Double.PositiveInfinity
+      else {
+        val sorted = vals.sorted
+        val pos = q * (sorted.size - 1)
+        val lo = math.floor(pos).toInt
+        val hi = math.ceil(pos).toInt
+        // Spark's Percentile skips interpolation when the two keys are
+        // equal (duplicate values) — the ulp-identity matters here
+        val raw =
+          if (hi == lo || sorted(lo) == sorted(hi)) sorted(lo)
+          else (hi - pos) * sorted(lo) + (pos - lo) * sorted(hi)
+        BigDecimal.decimal(raw, MathContext.UNLIMITED)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
 
     def cmp(op: String, l: Double, r: Double): Boolean = op match {
       case ">" => l > r
@@ -228,6 +333,22 @@ class PromDiffFuzzSpec extends SparkSuite {
         increase(ss.filter(_.name == n), r, asRate = true, sliding)
       case Call("deriv", Seq(RangeSelector(VectorSelector(Some(n), Nil, 0L, None), r))) =>
         deriv(ss.filter(_.name == n), r, sliding)
+      case Call("quantile_over_time",
+          Seq(NumberLit(q), RangeSelector(VectorSelector(Some(n), Nil, 0L, None), r))) =>
+        ss.filter(_.name == n)
+          .flatMap(s => winsOf(s.ts, r, sliding).map(w => (s, w)))
+          .groupBy { case (s, w) => (s.name, s.labels, w) }
+          .map { case (k, g) => k -> percentile4(g.map(_._1.value), q) }
+      case Call("round", Seq(inner)) =>
+        eval(inner, ss, sliding).map { case (k, v) =>
+          k -> (math.floor(v + 0.5) / 1.0)
+        }
+      case Call("round", Seq(inner, NumberLit(to))) =>
+        // the inverse spelling — promql/functions.go's funcRound
+        val inv = 1.0 / to
+        eval(inner, ss, sliding).map { case (k, v) =>
+          k -> math.floor(v * inv + 0.5) / inv
+        }
       case Call(fn, Seq(RangeSelector(VectorSelector(Some(n), Nil, 0L, None), r))) =>
         overTime(ss.filter(_.name == n), r, fn, sliding)
       case Call(fn, Seq(inner)) if calFns.contains(fn) =>
@@ -241,6 +362,13 @@ class PromDiffFuzzSpec extends SparkSuite {
           case other => sys.error(s"generator produced $other")
         }
         agg(eval(inner, ss, sliding), op, by)
+      case Agg("quantile", inner, Some(NumberLit(q)), g) =>
+        val by = g match {
+          case AggGroup.All => None
+          case AggGroup.By(Seq(l)) => Some(l)
+          case other => sys.error(s"generator produced $other")
+        }
+        aggQuantile(eval(inner, ss, sliding), q, by)
       case Neg(inner) => eval(inner, ss, sliding).map { case (k, v) => k -> (-v) }
       case Binary(op, l, NumberLit(s), None, b) =>
         vecScalar(eval(l, ss, sliding), s, op, vecLeft = true, b)
@@ -286,7 +414,19 @@ class PromDiffFuzzSpec extends SparkSuite {
     val overTimeFns = Seq("sum_over_time", "min_over_time", "max_over_time",
       "count_over_time", "avg_over_time", "last_over_time")
 
-    def genLeaf(): PromExpr = rnd.nextInt(4) match {
+    // out-of-range φ makes ±Inf/NaN leaf values — fine everywhere
+    // except under the calendar family, which draws genFiniteLeaf
+    def genLeaf(): PromExpr = rnd.nextInt(5) match {
+      case 4 =>
+        val phis = Seq(0.25, 0.5, 0.9, -1.0, 1.5, Double.NaN)
+        Call("quantile_over_time",
+          Seq(NumberLit(phis(rnd.nextInt(phis.length))),
+            RangeSelector(VectorSelector(Some(names(rnd.nextInt(2)))),
+              ranges(rnd.nextInt(3)))))
+      case n => genFiniteLeaf(n)
+    }
+
+    def genFiniteLeaf(n: Int): PromExpr = n match {
       case 0 => VectorSelector(Some(names(rnd.nextInt(2))))
       case 1 => Call(if (rnd.nextBoolean()) "increase" else "rate",
         Seq(RangeSelector(VectorSelector(Some(names(rnd.nextInt(2)))),
@@ -305,16 +445,46 @@ class PromDiffFuzzSpec extends SparkSuite {
         case 0 => genLeaf()
         case 6 =>
           // value-mapping trig over any subtree (NaN/Inf inputs ride
-          // through from division subtrees — differential on both sides)
-          val pool = Seq("sin", "cos", "atan", "tanh", "deg", "rad")
-          Call(pool(rnd.nextInt(pool.length)), Seq(gen(depth - 1)))
+          // through from division subtrees — differential on both
+          // sides); the inverse hyperbolics exercise the FDLIBM branch
+          // structure (gauge-scale values take the log(2x)/log+ln2
+          // arms, tanh-compressed ones the log1p arms, out-of-domain
+          // ones the NaN edges), and round's non-dyadic grids pin the
+          // inverse spelling through the print-parse round trip too
+          rnd.nextInt(3) match {
+            case 0 =>
+              val pool = Seq("sin", "cos", "atan", "tanh", "deg", "rad")
+              Call(pool(rnd.nextInt(pool.length)), Seq(gen(depth - 1)))
+            case 1 =>
+              val pool = Seq("asinh", "acosh", "atanh")
+              val inner =
+                if (rnd.nextBoolean()) gen(depth - 1)
+                // tanh compresses into atanh's open domain / the
+                // small-argument log1p arms
+                else Call("tanh", Seq(gen(depth - 1)))
+              Call(pool(rnd.nextInt(pool.length)), Seq(inner))
+            case _ =>
+              val tos = Seq(0.1, 0.001, 0.5, 2.0, 7.0)
+              if (rnd.nextBoolean()) Call("round", Seq(gen(depth - 1)))
+              else Call("round",
+                Seq(gen(depth - 1), NumberLit(tos(rnd.nextInt(tos.length)))))
+          }
         case 5 =>
-          // calendar fns wrap LEAVES only: leaf values are always finite
-          // (no division), so both sides' epoch-second casts agree
-          Call(calFns(rnd.nextInt(calFns.length)), Seq(genLeaf()))
+          // calendar fns wrap FINITE leaves only (no division, no
+          // out-of-range φ), so both sides' epoch-second casts agree
+          Call(calFns(rnd.nextInt(calFns.length)), Seq(genFiniteLeaf(rnd.nextInt(4))))
         case 1 =>
           val g = if (rnd.nextBoolean()) AggGroup.All else AggGroup.By(Seq("user"))
-          Agg(Seq("sum", "min", "max", "count", "avg")(rnd.nextInt(5)), gen(depth - 1), None, g)
+          if (rnd.nextInt(4) == 0) {
+            // quantile with in- AND out-of-range φ: the out-of-range
+            // constants (±Inf/NaN per present group) and the exact
+            // interpolated percentile under the 4-dp round, both
+            // through the print-parse round trip
+            val phis = Seq(0.25, 0.5, 0.9, -1.0, 1.5, Double.NaN)
+            Agg("quantile", gen(depth - 1),
+              Some(NumberLit(phis(rnd.nextInt(phis.length)))), g)
+          } else
+            Agg(Seq("sum", "min", "max", "count", "avg")(rnd.nextInt(5)), gen(depth - 1), None, g)
         case 2 => Neg(gen(depth - 1))
         case 3 =>
           val op = Seq("+", "-", "*", "/", "%", "atan2")(rnd.nextInt(6))

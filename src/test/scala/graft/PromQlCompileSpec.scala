@@ -703,6 +703,20 @@ class PromQlCompileSpec extends SparkSuite {
     assert(PromQlRules.evaluate(
       "alert A = increase(view_total[30m]) > 0 for 1h", metrics,
       stepSec = 900L, sliding = true).contains("A"))
+    // a SUBQUERY's output lands on the subquery's own range grid — the
+    // guard must check that range, not recurse into the inner
+    // expression's ranges: [2h:1h] at a 1h step is off-grid (refuse)
+    // even though the inner has no range selector at all …
+    val e3 = intercept[PromQlCompileException](
+      PromQlRules.evaluate(
+        "alert A = avg_over_time(view_total[2h:1h]) > 0 for 1h", metrics,
+        stepSec = 3600L))
+    assert(e3.getMessage.contains("step grid"))
+    // … and [1h:5m] at a 1h step is ON-grid (accept) even though the
+    // inner 5m range would be off-grid if it reached the output
+    assert(PromQlRules.evaluate(
+      "alert A = max_over_time(increase(view_total[5m])[1h:5m]) > 0 for 1h",
+      metrics, stepSec = 3600L).contains("A"))
   }
 
   test("IEEE edges: -0 division, ln of zero/negative, round ties, Inf literal") {
@@ -789,6 +803,101 @@ class PromQlCompileSpec extends SparkSuite {
     // asinh(±0) keeps the sign of zero
     assert(vals("asinh(-(view_total * 0))").map(v => 1.0 / v)
       === Set(Double.NegativeInfinity))
+    // FDLIBM range reduction (Go's algorithms), not the naive forms:
+    // tiny arguments return x itself (the naive 1±x rounds to 1.0 and
+    // yields exactly 0), huge arguments take log(x)+ln2 (the naive x²
+    // overflows to +Inf around 1.3e154)
+    val ln2 = 0.6931471805599453
+    assert(vals("atanh(view_total * 0 + 1e-20)") === Set(1e-20))
+    assert(vals("asinh(view_total * 0 + 1e-20)") === Set(1e-20))
+    assert(vals("asinh(view_total * 0 + 1e160)")
+      === Set(math.log(1e160) + ln2))
+    assert(vals("asinh(view_total * 0 - 1e160)")
+      === Set(-(math.log(1e160) + ln2)))
+    assert(vals("acosh(view_total * 0 + 1e200)")
+      === Set(math.log(1e200) + ln2))
+    // acosh just above 1: the log1p arm keeps the digits the naive
+    // x²-1 cancellation would halve (t derives from the ROUNDED
+    // double 1+1e-10, same as the engine's v - 1.0)
+    val tAcosh = (1.0 + 1e-10) - 1.0
+    assert(vals("acosh(view_total * 0 + 1 + 1e-10)")
+      === Set(math.log1p(tAcosh + math.sqrt(2.0 * tAcosh + tAcosh * tAcosh))))
+    // and the log1p arms agree bit-for-bit with the FDLIBM spellings
+    // in the mid ranges
+    assert(vals("atanh(view_total * 0 + 0.25)")
+      === Set(0.5 * math.log1p(0.5 + 0.5 * 0.25 / 0.75)))
+    assert(vals("atanh(view_total * 0 + 0.9)")
+      === Set(0.5 * math.log1p((0.9 + 0.9) / (1.0 - 0.9))))
+    assert(vals("asinh(view_total * 0 + 1.5)")
+      === Set(math.log1p(1.5 + 1.5 * 1.5 / (1.0 + math.sqrt(1.0 + 1.5 * 1.5)))))
+    assert(vals("asinh(view_total * 0 + 100)")
+      === Set(math.log(2.0 * 100 + 1.0 / (100 + math.sqrt(100.0 * 100 + 1)))))
+  }
+
+  test("non-finite vector values ride aggregation sums, floors and calendars") {
+    def vals(q: String): Set[Double] =
+      PromQl.compile(q, metrics).select("value").collect()
+        .map(_.getDouble(0)).toSet
+    // x/0 makes ordinary +Inf vector elements; the decimal sum lanes
+    // must carry them as IEEE would, not fail the ANSI cast or
+    // silently null them out of the sum
+    assert(vals("sum(view_total / 0)") === Set(Double.PositiveInfinity))
+    assert(vals("sum by (user) (0 - view_total / 0)")
+      === Set(Double.NegativeInfinity))
+    assert(vals("avg(view_total / 0)") === Set(Double.PositiveInfinity))
+    assert(vals("stddev(view_total / 0)").forall(_.isNaN))
+    assert(vals("sum(view_total * NaN)").forall(_.isNaN))
+    // the *_over_time and rate/increase lanes via a subquery feed
+    assert(vals("sum_over_time((view_total / 0)[1h:1h])")
+      === Set(Double.PositiveInfinity))
+    // increase over an ALL-Inf series: every delta is Inf − Inf = NaN
+    // (single-sample windows contribute their 0.0 first-delta) — the
+    // same fold Prometheus's extrapolatedRate lands in
+    assert(vals("increase((view_total / 0)[1h:1h])")
+      .forall(v => v.isNaN || v == 0.0))
+    assert(vals("deriv((view_total / 0)[1h:1h])").forall(_.isNaN))
+    // Prometheus max skips NaN unless every sample is (Spark's native
+    // max would return NaN whenever one is); min already matches
+    assert(vals("max((view_total * NaN) or vector(7))") === Set(7.0))
+    assert(vals("max(view_total * NaN)").forall(_.isNaN))
+    // floor/ceil/round propagate non-finites (Spark's LongType floor
+    // would ANSI-overflow on Inf and zero NaN)
+    assert(vals("ceil(view_total / 0)") === Set(Double.PositiveInfinity))
+    assert(vals("floor(0 - view_total / 0)") === Set(Double.NegativeInfinity))
+    assert(vals("round(view_total / 0, 0.001)") === Set(Double.PositiveInfinity))
+    assert(vals("round(view_total * NaN)").forall(_.isNaN))
+    // a non-finite value names no calendar point: NaN, never a crash
+    assert(vals("hour(view_total / 0)").forall(_.isNaN))
+    assert(vals("month(view_total * NaN)").forall(_.isNaN))
+  }
+
+  test("out-of-range quantile phi follows Prometheus, round uses the inverse grid") {
+    def vals(q: String): Set[Double] =
+      PromQl.compile(q, metrics).select("value").collect()
+        .map(_.getDouble(0)).toSet
+    // Prometheus: phi > 1 -> +Inf, phi < 0 -> -Inf, NaN -> NaN per
+    // present group; Spark's percentile() would fail the whole query
+    // at analysis time instead
+    assert(vals("quantile_over_time(1.5, view_total[1h])")
+      === Set(Double.PositiveInfinity))
+    assert(vals("quantile_over_time(0 - 1, view_total[1h])")
+      === Set(Double.NegativeInfinity))
+    assert(vals("quantile_over_time(NaN, view_total[1h])").forall(_.isNaN))
+    assert(vals("quantile(1.5, view_total)") === Set(Double.PositiveInfinity))
+    assert(vals("quantile(0 - 0.5, view_total)")
+      === Set(Double.NegativeInfinity))
+    assert(vals("quantile by (user) (NaN, view_total)").forall(_.isNaN))
+    // out-of-range phi keeps the group shape: one row per present group
+    assert(PromQl.compile("quantile(2, view_total)", metrics).count()
+      === PromQl.compile("quantile(0.5, view_total)", metrics).count())
+    // round(v, to) = floor(v·(1/to) + 0.5) / (1/to) — promql/
+    // functions.go's inverse spelling, an ulp off floor(v/to + 0.5)·to
+    // for non-dyadic to
+    val inv = 1.0 / 0.1
+    assert(vals("round(vector(0.35), 0.1)")
+      === Set(math.floor(0.35 * inv + 0.5) / inv))
+    assert(vals("round(vector(12.345678), 0.001)")
+      === Set(math.floor(12.345678 * (1.0 / 0.001) + 0.5) / (1.0 / 0.001)))
   }
 
   test("atan2 binary operator: vector match, zero-sign cases, pi()") {
