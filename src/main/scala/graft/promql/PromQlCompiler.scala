@@ -98,7 +98,16 @@ final case class PromQlCompileException(msg: String) extends RuntimeException(ms
   *    both infinities → NaN, else the surviving infinity); stddev/
   *    stdvar/deriv/predict_linear over a non-finite window are NaN
   *    (Go's float64 sums land in the Inf−Inf fold); `max` skips NaN
-  *    unless every sample is NaN (Go's fold), `min` already matched;
+  *    unless every sample is NaN (Go's fold), `min` already matched.
+  *    One deliberate divergence: `increase`/`rate` are delta-sums
+  *    here (the m14 tiling convention), so a NaN sample poisons both
+  *    adjacent deltas and the window is NaN — Go's last−first spelling
+  *    makes an INTERIOR NaN invisible when both endpoints are finite.
+  *    Large FINITE values past the decimal lane's cap (|v| ≥ 9e11)
+  *    flag their group onto a plain IEEE-double sidecar sum — the
+  *    arithmetic Prometheus itself runs — instead of failing the ANSI
+  *    decimal cast; only such groups give up summation-order
+  *    independence;
   *    floor/ceil/round propagate NaN/±Inf (Spark's LongType floor
   *    would ANSI-fail on Inf); the calendar family maps non-finite and
   *    calendar-absurd (|v| ≥ 1e14 s) inputs to NaN, where Go's
@@ -492,18 +501,40 @@ object PromQlCompiler {
       */
     private def isFiniteC(v: Column): Column =
       !(isnan(v) || abs(v) === lit(Double.PositiveInfinity))
+    /** Large FINITE values are the decimal cast's other cliff:
+      * decimal(18,6) cannot represent |v| ≳ 1e12 (and the squared lane
+      * caps around the same point through its own headroom), so a
+      * value just below the bound that the cast's half-up rounding
+      * would push over must stay out of the decimal lane too — the cap
+      * keeps a full digit of margin. A group holding any such value is
+      * `big`-flagged and reads its sum from a plain IEEE-double
+      * sidecar instead (the arithmetic Prometheus itself runs; order
+      * dependence exists only for groups that already left the exact
+      * regime).
+      */
+    private val DecCap = 9.0e11
+    private def inDecLane(v: Column): Column =
+      isFiniteC(v) && abs(v) < lit(DecCap)
+    /** The decimal lane: finite, in-range values; everything else 0. */
     private def finiteOr0(v: Column): Column =
+      when(inDecLane(v), v).otherwise(lit(0.0))
+    /** The double sidecar lane: every finite value; non-finites 0. */
+    private def maskFinite(v: Column): Column =
       when(isFiniteC(v), v).otherwise(lit(0.0))
     private def nfFlagAggs(v: Column, p: String): Seq[Column] = Seq(
       max(isnan(v).cast("int")).as(s"_${p}nan"),
       max((v === lit(Double.PositiveInfinity)).cast("int")).as(s"_${p}pi"),
-      max((v === lit(Double.NegativeInfinity)).cast("int")).as(s"_${p}ni"))
+      max((v === lit(Double.NegativeInfinity)).cast("int")).as(s"_${p}ni"),
+      max((isFiniteC(v) && abs(v) >= lit(DecCap)).cast("int")).as(s"_${p}big"),
+      sum(maskFinite(v)).as(s"_${p}dsum"))
     private def nfApply(fin: Column, p: String): Column =
       when(col(s"_${p}nan") === 1 ||
           (col(s"_${p}pi") === 1 && col(s"_${p}ni") === 1), lit(Double.NaN))
         .when(col(s"_${p}pi") === 1, lit(Double.PositiveInfinity))
         .when(col(s"_${p}ni") === 1, lit(Double.NegativeInfinity))
+        .when(col(s"_${p}big") === 1, col(s"_${p}dsum"))
         .otherwise(fin)
+    private def bigLane(p: String): Column = col(s"_${p}big") === 1
     private def nfAny(p: String): Column =
       col(s"_${p}nan") === 1 || col(s"_${p}pi") === 1 || col(s"_${p}ni") === 1
     /** Prometheus's max skips NaN unless every sample is NaN (Go's
@@ -544,6 +575,7 @@ object PromQlCompiler {
         promMax(col("value")).as("_max"),
         sum(dv).cast("double").as("_sumf"),
         sum((dv * dv).cast("decimal(38,12)")).cast("double").as("_sumsq"),
+        sum(maskFinite(col("value")) * maskFinite(col("value"))).as("_sdsq"),
         max_by(col("value"), struct(col("timestamp"), col("id"))).as("_last")) ++
         nfFlagAggs(col("value"), "s")
       val aggs =
@@ -555,9 +587,13 @@ object PromQlCompiler {
         .agg(any_value(col("labels")).as("labels"), aggs: _*)
       val sumV = nfApply(col("_sumf"), "s")
       // any non-finite sample makes the variance fold hit Inf − Inf →
-      // NaN (Go's incremental mean/aux does the same)
-      val stdvar = when(nfAny("s"), lit(Double.NaN)).otherwise(
-        greatest((col("_sumsq") - col("_sumf") * col("_sumf") / n) / n, lit(0.0)))
+      // NaN (Go's incremental mean/aux does the same); a big-finite
+      // group reads the double sidecar algebra
+      val stdvar = when(nfAny("s"), lit(Double.NaN))
+        .when(bigLane("s"), greatest(
+          (col("_sdsq") - col("_sdsum") * col("_sdsum") / n) / n, lit(0.0)))
+        .otherwise(
+          greatest((col("_sumsq") - col("_sumf") * col("_sumf") / n) / n, lit(0.0)))
       out(agg, fn match {
         case "sum_over_time" => sumV
         case "min_over_time" => col("_min")
@@ -677,14 +713,18 @@ object PromQlCompiler {
             // x*x is exact in long (centered x ≤ the range in seconds); the
             // decimal cast only makes the SUM overflow-proof
             sum((col("_x") * col("_x")).cast("decimal(28,0)")).cast("double").as("_sxx"),
-            sum(yFin.cast("decimal(18,6)")).cast("double").as("_sy"),
+            sum(yFin.cast("decimal(18,6)")).cast("double").as("_syd"),
             sum(col("_x").cast("decimal(19,0)") * yFin.cast("decimal(18,6)"))
-              .cast("double").as("_sxy"),
+              .cast("double").as("_sxyd"),
+            sum(col("_x").cast("double") * maskFinite(col("_y"))).as("_dsxy"),
             max(col("_x")).as("_mx")) ++ nfFlagAggs(col("_y"), "t"): _*)
       val nd = col("_n").cast("double")
+      // a big-finite group reads the double sidecar sums (_tdsum, _dsxy)
+      val sy = when(bigLane("t"), col("_tdsum")).otherwise(col("_syd"))
+      val sxy = when(bigLane("t"), col("_dsxy")).otherwise(col("_sxyd"))
       val den = nd * col("_sxx") - col("_sx") * col("_sx")
-      val slope = (nd * col("_sxy") - col("_sx") * col("_sy")) / den
-      val intercept = (col("_sy") - slope * col("_sx")) / nd
+      val slope = (nd * sxy - col("_sx") * sy) / den
+      val intercept = (sy - slope * col("_sx")) / nd
       val v0 = fn match {
         case "deriv" => slope
         case "predict_linear" =>
@@ -1339,7 +1379,8 @@ object PromQlCompiler {
                 min(col("value")).as("_min"),
                 promMax(col("value")).as("_max"),
                 sum(dv).cast("double").as("_sumf"),
-                sum((dv * dv).cast("decimal(38,12)")).cast("double").as("_sumsq")) ++
+                sum((dv * dv).cast("decimal(38,12)")).cast("double").as("_sumsq"),
+                sum(maskFinite(col("value")) * maskFinite(col("value"))).as("_sdsq")) ++
                 nfFlagAggs(col("value"), "s") ++
                 // the value-buffering exact percentile only when asked
                 (if (op == "quantile")
@@ -1349,8 +1390,11 @@ object PromQlCompiler {
                 else Nil): _*)
           val n = col("_n").cast("double")
           val sumV = nfApply(col("_sumf"), "s")
-          val stdvar = when(nfAny("s"), lit(Double.NaN)).otherwise(
-            greatest((col("_sumsq") - col("_sumf") * col("_sumf") / n) / n, lit(0.0)))
+          val stdvar = when(nfAny("s"), lit(Double.NaN))
+            .when(bigLane("s"), greatest(
+              (col("_sdsq") - col("_sdsum") * col("_sdsum") / n) / n, lit(0.0)))
+            .otherwise(
+              greatest((col("_sumsq") - col("_sumf") * col("_sumf") / n) / n, lit(0.0)))
           val value = op match {
             case "sum" => sumV
             case "min" => col("_min")

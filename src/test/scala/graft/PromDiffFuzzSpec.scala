@@ -47,6 +47,11 @@ class PromDiffFuzzSpec extends SparkSuite {
     if (vs.exists(_.isNaN) || (pi && ni)) Double.NaN
     else if (pi) Double.PositiveInfinity
     else if (ni) Double.NegativeInfinity
+    // past the decimal lane's cap the engine reads its IEEE-double
+    // sidecar (whose partial-sum order Spark doesn't pin — the
+    // generator keeps magnitudes far below the cap, so this arm only
+    // guards a future generator change against a BigDecimal crash)
+    else if (vs.exists(v => math.abs(v) >= 9.0e11)) vs.sum
     else vs.map(dec(_, 6)).sum.toDouble
   }
 
@@ -119,28 +124,22 @@ class PromDiffFuzzSpec extends SparkSuite {
         .groupBy { case (s, w) => (s.name, s.labels, w) }
         .flatMap { case (k, g0) =>
           val g = g0.map(_._1)
-          if (g.exists(s => s.value.isNaN || s.value.isInfinite)) {
-            // non-finite samples turn the regression sums into the
-            // Inf − Inf fold — NaN, matching the engine's flag arm
-            val t0 = g.map(_.ts).min
-            val xs = g.map(s => (s.ts - t0).toDouble)
-            val n = xs.size
-            val sx = xs.sum
-            val sxx = xs.map(x => x * x).sum
-            val den = n * sxx - sx * sx
-            if (n >= 2 && den != 0.0) Some(k -> Double.NaN) else None
-          } else {
           val t0 = g.map(_.ts).min
           val xs = g.map(s => (s.ts - t0, s.value))
           val n = xs.size
           val nd = n.toDouble
           val sx = xs.map(x => BigDecimal(x._1)).sum.toDouble
           val sxx = xs.map(x => BigDecimal(x._1) * BigDecimal(x._1)).sum.toDouble
-          val sy = xs.map(x => dec(x._2, 6)).sum.toDouble
-          val sxy = xs.map(x => BigDecimal(x._1) * dec(x._2, 6)).sum.toDouble
           val den = nd * sxx - sx * sx
-          if (n >= 2 && den != 0.0) Some(k -> ((nd * sxy - sx * sy) / den))
-          else None
+          if (n < 2 || den == 0.0) None
+          else if (g.exists(s => s.value.isNaN || s.value.isInfinite))
+            // non-finite samples turn the regression sums into the
+            // Inf − Inf fold — NaN, matching the engine's flag arm
+            Some(k -> Double.NaN)
+          else {
+            val sy = xs.map(x => dec(x._2, 6)).sum.toDouble
+            val sxy = xs.map(x => BigDecimal(x._1) * dec(x._2, 6)).sum.toDouble
+            Some(k -> ((nd * sxy - sx * sy) / den))
           }
         }
 
@@ -259,11 +258,16 @@ class PromDiffFuzzSpec extends SparkSuite {
         val lo = math.floor(pos).toInt
         val hi = math.ceil(pos).toInt
         // Spark's Percentile skips interpolation when the two keys are
-        // equal (duplicate values) — the ulp-identity matters here
+        // equal (duplicate values, incl. boxed-NaN equality) — the
+        // ulp-identity matters here
         val raw =
-          if (hi == lo || sorted(lo) == sorted(hi)) sorted(lo)
+          if (hi == lo || sorted(lo) == sorted(hi) ||
+              (sorted(lo).isNaN && sorted(hi).isNaN)) sorted(lo)
           else (hi - pos) * sorted(lo) + (pos - lo) * sorted(hi)
-        BigDecimal.decimal(raw, MathContext.UNLIMITED)
+        // Spark's round() passes non-finite doubles through; BigDecimal
+        // would throw on them
+        if (raw.isNaN || raw.isInfinite) raw
+        else BigDecimal.decimal(raw, MathContext.UNLIMITED)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       }
 

@@ -871,6 +871,52 @@ class PromQlCompileSpec extends SparkSuite {
     assert(vals("month(view_total * NaN)").forall(_.isNaN))
   }
 
+  test("big finite values ride the double sidecar, never fail the decimal cast") {
+    def keyed(q: String): Map[(String, Long), Double] =
+      PromQl.compile(q, metrics).select("series", "win_start", "value")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def vals(q: String): Seq[Double] =
+      PromQl.compile(q, metrics).select("value").collect().map(_.getDouble(0)).toSeq
+    // gauge·2⁴⁸ exceeds decimal(18,6) (~1e12 cap) for every non-zero
+    // gauge — the scaling is an exact exponent shift, so the sidecar's
+    // IEEE sum equals 2⁴⁸·(the same values summed in double) and can
+    // differ from the exact-decimal small sum only by summation-order
+    // ulps
+    val Sc = "281474976710656" // 2^48
+    def close(a: Double, b: Double): Boolean =
+      a == b || math.abs(a - b) <= 1e-12 * math.max(math.abs(a), math.abs(b))
+    val big = keyed(s"sum by (user) (view_total * $Sc)")
+    val small = keyed("sum by (user) (view_total)")
+    assert(big.keySet === small.keySet && big.nonEmpty)
+    big.foreach { case (k, v) =>
+      assert(!v.isNaN && !v.isInfinite && close(v, small(k) * 2.81474976710656e14), k)
+    }
+    val bigOt = keyed(s"sum_over_time((view_total * $Sc)[1h:1h])")
+    val smallOt = keyed("sum_over_time(view_total[1h:1h])")
+    assert(bigOt.keySet === smallOt.keySet && bigOt.nonEmpty)
+    bigOt.foreach { case (k, v) =>
+      assert(!v.isNaN && !v.isInfinite && close(v, smallOt(k) * 2.81474976710656e14), k)
+    }
+    // variance/regression read their own double sidecars: finite and
+    // scale-consistent (v² leaves the 2^53 exact regime — tolerance)
+    val sdBig = vals(s"stddev(view_total * $Sc)")
+    val sdSmall = vals("stddev(view_total)")
+    assert(sdBig.nonEmpty && sdBig.forall(v => !v.isNaN && !v.isInfinite))
+    // the two lanes cancel differently at the noise floor (a
+    // near-constant group's tiny variance can clamp to 0 on one side
+    // and ~1e-6 on the other) — 1e-5 absolute floor + relative band
+    sdBig.sorted.zip(sdSmall.sorted).foreach { case (b, s) =>
+      assert(math.abs(b / 2.81474976710656e14 - s) <= 1e-5 + 1e-6 * s,
+        s"big=$b small=$s scaled=${b / 2.81474976710656e14}")
+    }
+    val dvBig = vals(s"deriv((view_total * $Sc)[2h:1h])")
+    assert(dvBig.nonEmpty && dvBig.forall(v => !v.isNaN && !v.isInfinite))
+    // increase over big-but-finite counters sums its deltas in the
+    // sidecar too
+    assert(vals(s"increase((view_total * $Sc)[1h:1h])")
+      .forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   test("out-of-range quantile phi follows Prometheus, round uses the inverse grid") {
     def vals(q: String): Set[Double] =
       PromQl.compile(q, metrics).select("value").collect()
