@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.IeeeLanes
 import graft.model.FirehoseMetric
 import graft.sources.MetricJson
 
@@ -136,16 +137,23 @@ object Firehose {
     * interpolation stays engine-portable.
     */
   def instantAgg(metrics: DataFrame, q: Double = 0.5): DataFrame = {
-    val dv = col("last_value").cast("decimal(18,2)")
-    gaugeLatest(metrics)
-      .groupBy(col("component"), col("name"))
-      .agg(
-        count(lit(1)).as("n_series"),
-        min(col("last_value")).as("min_value"),
-        max(col("last_value")).as("max_value"),
-        sum(dv).cast("double").as("sum_value"),
-        round(percentile(col("last_value"), lit(q)), 4).as("q_value"))
-      .withColumn("avg_value", col("sum_value") / col("n_series").cast("double"))
+    val lv = col("last_value")
+    val dv = IeeeLanes.decLane(lv, IeeeLanes.Cap2dp).cast("decimal(18,2)")
+    IeeeLanes.dropFlags(
+      gaugeLatest(metrics)
+        .groupBy(col("component"), col("name"))
+        .agg(
+          count(lit(1)).as("n_series"),
+          Seq(
+            min(lv).as("min_value"),
+            max(lv).as("max_value"),
+            sum(dv).cast("double").as("_sum_dec"),
+            round(percentile(lv, lit(q)), 4).as("q_value")) ++
+            IeeeLanes.flagAggs(lv, "v", IeeeLanes.Cap2dp): _*)
+        .withColumn("sum_value", IeeeLanes.reconstruct(col("_sum_dec"), "v"))
+        .withColumn("avg_value", col("sum_value") / col("n_series").cast("double"))
+        .drop("_sum_dec"),
+      "v")
   }
 
   /** Prometheus `absent()`-style scrape-staleness alert: a series that
@@ -212,17 +220,23 @@ object Firehose {
     * (decimal-summed) aggregates so results are order-independent.
     */
   def windowAgg(metrics: DataFrame, widthSec: Int = 60): DataFrame =
-    metrics
-      .withColumn("win_start", (col("timestamp") - pmod(col("timestamp"), lit(widthSec.toLong))).cast("long"))
-      .groupBy(col("component"), col("name"), col("win_start"))
-      .agg(
-        count(lit(1)).as("n"),
-        min(col("value")).as("min_value"),
-        max(col("value")).as("max_value"),
-        sum(col("value").cast("decimal(18,2)")).as("_sum_dec"))
-      .withColumn("sum_value", col("_sum_dec").cast("double"))
-      .withColumn("avg_value", col("_sum_dec").cast("double") / col("n"))
-      .drop("_sum_dec")
+    IeeeLanes.dropFlags(
+      metrics
+        .withColumn("win_start", (col("timestamp") - pmod(col("timestamp"), lit(widthSec.toLong))).cast("long"))
+        .groupBy(col("component"), col("name"), col("win_start"))
+        .agg(
+          count(lit(1)).as("n"),
+          Seq(
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value"),
+            sum(IeeeLanes.decLane(col("value"), IeeeLanes.Cap2dp)
+              .cast("decimal(18,2)")).as("_sum_dec")) ++
+            IeeeLanes.flagAggs(col("value"), "v", IeeeLanes.Cap2dp): _*)
+        .withColumn("sum_value",
+          IeeeLanes.reconstruct(col("_sum_dec").cast("double"), "v"))
+        .withColumn("avg_value", col("sum_value") / col("n"))
+        .drop("_sum_dec"),
+      "v")
 
   /** Prometheus text-exposition PARSING — the inverse of [[promRender]] and
     * the ingest half of a scrape/federation path: `name{k="v",...} value
@@ -359,12 +373,16 @@ object Firehose {
       .groupBy(col("component"), col("name"), col("win_start"))
       .agg(
         count(lit(1)).as("n"),
-        min(col("value")).as("min_value"),
-        max(col("value")).as("max_value"),
-        sum(col("value").cast("decimal(18,2)")).as("_sum_dec"))
-      .withColumn("sum_value", col("_sum_dec").cast("double"))
-      .withColumn("avg_value", col("_sum_dec").cast("double") / col("n"))
-      .drop("_sum_dec", "k")
+        Seq(
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          sum(IeeeLanes.decLane(col("value"), IeeeLanes.Cap2dp)
+            .cast("decimal(18,2)")).as("_sum_dec")) ++
+          IeeeLanes.flagAggs(col("value"), "v", IeeeLanes.Cap2dp): _*)
+      .withColumn("sum_value",
+        IeeeLanes.reconstruct(col("_sum_dec").cast("double"), "v"))
+      .withColumn("avg_value", col("sum_value") / col("n"))
+      .drop(IeeeLanes.flagCols("v") :+ "_sum_dec" :+ "k": _*)
   }
 
   /** Incremental rollup maintenance — merge a new batch's windowed partial
@@ -381,16 +399,22 @@ object Firehose {
     * again.
     */
   def rollupMerge(summary: DataFrame, delta: DataFrame): DataFrame =
-    summary.unionByName(delta)
-      .groupBy(col("component"), col("name"), col("win_start"))
-      .agg(
-        sum(col("n")).as("n"),
-        min(col("min_value")).as("min_value"),
-        max(col("max_value")).as("max_value"),
-        sum(col("sum_value").cast("decimal(18,2)")).as("_sum_dec"))
-      .withColumn("sum_value", col("_sum_dec").cast("double"))
-      .withColumn("avg_value", col("_sum_dec").cast("double") / col("n"))
-      .drop("_sum_dec")
+    IeeeLanes.dropFlags(
+      summary.unionByName(delta)
+        .groupBy(col("component"), col("name"), col("win_start"))
+        .agg(
+          sum(col("n")).as("n"),
+          Seq(
+            min(col("min_value")).as("min_value"),
+            max(col("max_value")).as("max_value"),
+            sum(IeeeLanes.decLane(col("sum_value"), IeeeLanes.Cap2dp)
+              .cast("decimal(18,2)")).as("_sum_dec")) ++
+            IeeeLanes.flagAggs(col("sum_value"), "v", IeeeLanes.Cap2dp): _*)
+        .withColumn("sum_value",
+          IeeeLanes.reconstruct(col("_sum_dec").cast("double"), "v"))
+        .withColumn("avg_value", col("sum_value") / col("n"))
+        .drop("_sum_dec"),
+      "v")
 
   /** Prometheus text-exposition rendering (what PrometheusPusher/Puller emit
     * via the client lib): `component_name{labels} value ts_millis`, one line
@@ -508,9 +532,15 @@ object Firehose {
       .groupBy(col("component"), col("name"), col("series"), col("win_start"))
       .agg(
         // (18,6): deltas of 2-dp inputs quantize unambiguously well inside
-        // 6 dp, and the oracle uses the same precision
-        sum(col("inc").cast("decimal(18,6)")).cast("double").as("increase"),
-        count(lit(1)).as("n_samples"))
+        // 6 dp, and the oracle uses the same precision; the lanes carry
+        // non-finite and beyond-cap deltas a poisoned or byte-counter
+        // stream produces
+        sum(IeeeLanes.decLane(col("inc"), IeeeLanes.Cap6dp)
+          .cast("decimal(18,6)")).cast("double").as("_inc_dec"),
+        (count(lit(1)).as("n_samples") +:
+          IeeeLanes.flagAggs(col("inc"), "i", IeeeLanes.Cap6dp)): _*)
+      .withColumn("increase", IeeeLanes.reconstruct(col("_inc_dec"), "i"))
+      .drop(IeeeLanes.flagCols("i") :+ "_inc_dec": _*)
   }
 
   /** PromQL's instant-window family — `delta` / `idelta` / `irate` per
@@ -574,28 +604,45 @@ object Firehose {
   def overTimeAgg(metrics: DataFrame, widthSec: Long = 3600): DataFrame = {
     val labeled =
       if (metrics.columns.contains("labels")) metrics else tagFilter(metrics)
-    val dv = col("value").cast("decimal(18,2)")
+    val dv = IeeeLanes.decLane(col("value"), IeeeLanes.Cap2dp).cast("decimal(18,2)")
+    val fv = IeeeLanes.finLane(col("value"))
     val n = col("n_samples").cast("double")
-    labeled
-      .withColumn("series", seriesKey(col("labels")))
-      .withColumn(
-        "win_start",
-        (col("timestamp") - pmod(col("timestamp"), lit(widthSec))).cast("long"))
-      .groupBy(col("component"), col("name"), col("series"), col("win_start"))
-      .agg(
-        count(lit(1)).as("n_samples"),
-        min(col("value")).as("min_value"),
-        max(col("value")).as("max_value"),
-        sum(dv).cast("double").as("sum_value"),
-        sum((dv * dv).cast("decimal(38,4)")).cast("double").as("sumsq_value"),
-        max_by(col("value"), struct(col("timestamp"), col("id"))).as("last_value"))
-      .withColumn("avg_value", col("sum_value") / n)
-      .withColumn(
-        "stdvar_value",
-        greatest(
-          (col("sumsq_value") - col("sum_value") * col("sum_value") / n) / n,
-          lit(0.0)))
-      .withColumn("stddev_value", sqrt(col("stdvar_value")))
+    IeeeLanes.dropFlags(
+      labeled
+        .withColumn("series", seriesKey(col("labels")))
+        .withColumn(
+          "win_start",
+          (col("timestamp") - pmod(col("timestamp"), lit(widthSec))).cast("long"))
+        .groupBy(col("component"), col("name"), col("series"), col("win_start"))
+        .agg(
+          count(lit(1)).as("n_samples"),
+          Seq(
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value"),
+            sum(dv).cast("double").as("_sum_dec"),
+            sum((dv * dv).cast("decimal(38,4)")).cast("double").as("_sumsq_dec"),
+            sum(fv * fv).as("_dsq"),
+            max_by(col("value"), struct(col("timestamp"), col("id"))).as("last_value")) ++
+            IeeeLanes.flagAggs(col("value"), "v", IeeeLanes.Cap2dp): _*)
+        .withColumn("sum_value", IeeeLanes.reconstruct(col("_sum_dec"), "v"))
+        // a big-finite group derives its moments from the IEEE sidecars;
+        // a non-finite group's variance is the Inf − Inf fold → NaN
+        .withColumn("sumsq_value",
+          when(IeeeLanes.anyNonFinite("v"), lit(Double.NaN))
+            .when(IeeeLanes.isBig("v"), col("_dsq"))
+            .otherwise(col("_sumsq_dec")))
+        .withColumn("avg_value", col("sum_value") / n)
+        .withColumn(
+          "stdvar_value",
+          when(IeeeLanes.anyNonFinite("v"), lit(Double.NaN))
+            .when(IeeeLanes.isBig("v"), greatest(
+              (col("_dsq") - col("_vdsum") * col("_vdsum") / n) / n, lit(0.0)))
+            .otherwise(greatest(
+              (col("_sumsq_dec") - col("_sum_dec") * col("_sum_dec") / n) / n,
+              lit(0.0))))
+        .withColumn("stddev_value", sqrt(col("stdvar_value")))
+        .drop("_sum_dec", "_sumsq_dec", "_dsq"),
+      "v")
   }
 
   /** PromQL `holt_winters()` (double exponential smoothing) per series per
@@ -969,17 +1016,29 @@ object Firehose {
       op: (Column, Column) => Column,
       out: String,
       valueCol: String = "value"): DataFrame =
-    vec
-      .filter(col("name").isin(leftName, rightName))
-      .groupBy(matchCols.map(col): _*)
-      .agg(
-        sum(when(col("name") === leftName, col(valueCol).cast("decimal(18,6)")))
-          .cast("double").as("_vm_l"),
-        sum(when(col("name") === rightName, col(valueCol).cast("decimal(18,6)")))
-          .cast("double").as("_vm_r"))
-      .withColumn(out, op(col("_vm_l"), col("_vm_r")))
-      .filter(col(out).isNotNull)
-      .drop("_vm_l", "_vm_r")
+    {
+      // each side's lane masks to its own metric name (null elsewhere —
+      // aggregate-skip keeps the absent-side-null contract intact)
+      val lv = when(col("name") === leftName, col(valueCol))
+      val rv = when(col("name") === rightName, col(valueCol))
+      IeeeLanes.dropFlags(
+        vec
+          .filter(col("name").isin(leftName, rightName))
+          .groupBy(matchCols.map(col): _*)
+          .agg(
+            sum(IeeeLanes.decLane(lv, IeeeLanes.Cap6dp).cast("decimal(18,6)"))
+              .cast("double").as("_vm_ld"),
+            (sum(IeeeLanes.decLane(rv, IeeeLanes.Cap6dp).cast("decimal(18,6)"))
+              .cast("double").as("_vm_rd") +:
+              (IeeeLanes.flagAggs(lv, "l", IeeeLanes.Cap6dp) ++
+                IeeeLanes.flagAggs(rv, "r", IeeeLanes.Cap6dp))): _*)
+          .withColumn("_vm_l", IeeeLanes.reconstruct(col("_vm_ld"), "l"))
+          .withColumn("_vm_r", IeeeLanes.reconstruct(col("_vm_rd"), "r"))
+          .withColumn(out, op(col("_vm_l"), col("_vm_r")))
+          .filter(col(out).isNotNull)
+          .drop("_vm_l", "_vm_r", "_vm_ld", "_vm_rd"),
+        "l", "r")
+    }
 
   /** Multiwindow ratio alert — the SLO burn-rate shape Prometheus alerting
     * builds on counters: the ratio of two counters' windowed increases
@@ -1060,13 +1119,17 @@ object Firehose {
       .groupBy(col("component"), col("name"), col("series"), col("outer_win"))
       .agg(
         count(lit(1)).as("n_points"),
-        (min(col("increase")) / lit(innerSec.toDouble)).as("min_rate"),
-        (max(col("increase")) / lit(innerSec.toDouble)).as("max_rate"),
-        sum(col("increase").cast("decimal(18,6)")).cast("double").as("_sum_inc"))
+        Seq(
+          (min(col("increase")) / lit(innerSec.toDouble)).as("min_rate"),
+          (max(col("increase")) / lit(innerSec.toDouble)).as("max_rate"),
+          sum(IeeeLanes.decLane(col("increase"), IeeeLanes.Cap6dp)
+            .cast("decimal(18,6)")).cast("double").as("_sum_inc")) ++
+          IeeeLanes.flagAggs(col("increase"), "i", IeeeLanes.Cap6dp): _*)
       .withColumn(
         "avg_rate",
-        col("_sum_inc") / (col("n_points").cast("double") * lit(innerSec.toDouble)))
-      .drop("_sum_inc")
+        IeeeLanes.reconstruct(col("_sum_inc"), "i")
+          / (col("n_points").cast("double") * lit(innerSec.toDouble)))
+      .drop(IeeeLanes.flagCols("i") :+ "_sum_inc": _*)
   }
 
   /** Prometheus `for:`-duration alerting quantized to windows: the
@@ -1175,22 +1238,35 @@ object Firehose {
     */
   private[graft] def olsTrend(
       based: DataFrame, seriesCols: Seq[String], horizonSec: Long): DataFrame = {
+    val yDec = IeeeLanes.decLane(col("_y"), IeeeLanes.Cap2dp).cast("decimal(18,2)")
+    val yFin = IeeeLanes.finLane(col("_y"))
     val g = based
       .groupBy(seriesCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        sum(col("_x").cast("decimal(19,0)")).as("_sx"),
-        // x*x is exact in long (centered x ≤ series span in seconds);
-        // the decimal cast only makes the SUM overflow-proof
-        sum((col("_x") * col("_x")).cast("decimal(28,0)")).as("_sxx"),
-        sum(col("_y").cast("decimal(18,2)")).as("_sy"),
-        sum(col("_x").cast("decimal(19,0)") * col("_y").cast("decimal(18,2)")).as("_sxy"),
-        max(col("_x")).as("_mx"))
+        Seq(
+          sum(col("_x").cast("decimal(19,0)")).as("_sx"),
+          // x*x is exact in long (centered x ≤ series span in seconds);
+          // the decimal cast only makes the SUM overflow-proof
+          sum((col("_x") * col("_x")).cast("decimal(28,0)")).as("_sxx"),
+          sum(yDec).as("_sy"),
+          sum(col("_x").cast("decimal(19,0)") * yDec).as("_sxy"),
+          sum(col("_x").cast("double") * yFin).as("_dsxy"),
+          max(col("_x")).as("_mx")) ++
+          IeeeLanes.flagAggs(col("_y"), "t", IeeeLanes.Cap2dp): _*)
     val nd = col("n").cast("double")
     val sxd = col("_sx").cast("double")
     val sxxd = col("_sxx").cast("double")
-    val syd = col("_sy").cast("double")
-    val sxyd = col("_sxy").cast("double")
+    // a big-finite group reads the IEEE sidecar sums; a non-finite
+    // group's regression is the Inf − Inf fold → NaN (applied at the
+    // slope/intercept consumers below through syd/sxyd)
+    val nfNaN = when(IeeeLanes.anyNonFinite("t"), lit(Double.NaN))
+    val syd = nfNaN
+      .when(IeeeLanes.isBig("t"), col("_tdsum"))
+      .otherwise(col("_sy").cast("double"))
+    val sxyd = nfNaN
+      .when(IeeeLanes.isBig("t"), col("_dsxy"))
+      .otherwise(col("_sxy").cast("double"))
     val den = nd * sxxd - sxd * sxd
     val slope = (nd * sxyd - sxd * syd) / den
     val intercept = (syd - slope * sxd) / nd

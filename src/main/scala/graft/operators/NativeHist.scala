@@ -20,6 +20,15 @@ import graft.functions.GraftFunctions
   * between engines), buckets render as a SORTED (idx, cnt) array, and
   * every count is an exact long.
   *
+  * Input domain: observations must be FINITE doubles (the exact-long
+  * count / exact-decimal sum representation cannot carry NaN/±Inf, and
+  * a histogram of non-finite observations is semantically void — Go's
+  * client would turn `sum` into NaN and bucket nothing). The metric
+  * ingest can surface non-finite values (see
+  * [[graft.functions.IeeeLanes]]); filter them ahead of the histogram
+  * build (`!isnan(v) && abs(v) != Inf`) — the aggregation lanes
+  * elsewhere carry them, histograms refuse them by contract.
+  *
   * Scale shape: ONE scan into (group, window, bucket) counts —
   * map-side-combinable, the shuffled relation is groups × windows ×
   * occupied-buckets; the pack into the sparse array is a second

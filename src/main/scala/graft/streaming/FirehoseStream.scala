@@ -6,6 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
+import graft.functions.IeeeLanes
 import graft.operators.Firehose
 import graft.sources.MetricJson
 
@@ -475,9 +476,19 @@ object SubqueryCore {
       .map { case (ow, m) =>
         val incs = m.toSeq.sortBy(_._1).map(_._2)
         val n = incs.size.toLong
-        val sum = incs
-          .map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
-          .sum.toDouble
+        // the IeeeLanes algebra in miniature: BigDecimal cannot carry
+        // NaN/±Inf (and caps on big finites), so classify first and use
+        // the exact decimal fold only inside the finite regime
+        val pi = incs.contains(Double.PositiveInfinity)
+        val ni = incs.contains(Double.NegativeInfinity)
+        val sum =
+          if (incs.exists(_.isNaN) || (pi && ni)) Double.NaN
+          else if (pi) Double.PositiveInfinity
+          else if (ni) Double.NegativeInfinity
+          else if (incs.exists(v => math.abs(v) >= IeeeLanes.Cap6dp)) incs.sum
+          else incs
+            .map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble
         SubqueryOut(component, name, series, ow, n,
           incs.min / innerSec.toDouble,
           incs.max / innerSec.toDouble,
@@ -965,12 +976,16 @@ object FirehoseStream {
       .groupBy(window(col("eventTime"), width), col("component"), col("name"))
       .agg(
         count(lit(1)).as("n"),
-        min(col("value")).as("min_value"),
-        max(col("value")).as("max_value"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        Seq(
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          sum(IeeeLanes.decLane(col("value"), IeeeLanes.Cap2dp)
+            .cast("decimal(18,2)")).cast("double").as("_sum_dec")) ++
+          IeeeLanes.flagAggs(col("value"), "v", IeeeLanes.Cap2dp): _*)
       .select(
         col("window.start").as("win_start"), col("component"), col("name"),
-        col("n"), col("min_value"), col("max_value"), col("sum_value"))
+        col("n"), col("min_value"), col("max_value"),
+        IeeeLanes.reconstruct(col("_sum_dec"), "v").as("sum_value"))
 
   /** Streaming hopping windows — the incremental sibling of the batch
     * [[graft.operators.Firehose.slidingWindowAgg]], via Spark's native
@@ -987,12 +1002,16 @@ object FirehoseStream {
       .groupBy(window(col("eventTime"), width, slide), col("component"), col("name"))
       .agg(
         count(lit(1)).as("n"),
-        min(col("value")).as("min_value"),
-        max(col("value")).as("max_value"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        Seq(
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          sum(IeeeLanes.decLane(col("value"), IeeeLanes.Cap2dp)
+            .cast("decimal(18,2)")).cast("double").as("_sum_dec")) ++
+          IeeeLanes.flagAggs(col("value"), "v", IeeeLanes.Cap2dp): _*)
       .select(
         col("window.start").as("win_start"), col("component"), col("name"),
-        col("n"), col("min_value"), col("max_value"), col("sum_value"))
+        col("n"), col("min_value"), col("max_value"),
+        IeeeLanes.reconstruct(col("_sum_dec"), "v").as("sum_value"))
 
   /** Streaming per-series linear trend + extrapolation — the incremental
     * sibling of the batch [[graft.operators.Firehose.predictLinear]]
@@ -1163,19 +1182,23 @@ object FirehoseStream {
         col("series"))
       .agg(max_by(col("value"),
         struct(col("timestamp").cast("long").as("ts"), col("id"))).as("last_value"))
-    val dv = col("last_value").cast("decimal(18,2)")
+    val lv = col("last_value")
+    val dv = IeeeLanes.decLane(lv, IeeeLanes.Cap2dp).cast("decimal(18,2)")
+    val sumV = IeeeLanes.reconstruct(col("_sum_dec"), "v")
     latest
       .groupBy(window(col("window"), width), col("component"), col("name"))
       .agg(
         count(lit(1)).as("n_series"),
-        min(col("last_value")).as("min_value"),
-        max(col("last_value")).as("max_value"),
-        sum(dv).cast("double").as("sum_value"),
-        round(percentile(col("last_value"), lit(q)), 4).as("q_value"))
+        Seq(
+          min(lv).as("min_value"),
+          max(lv).as("max_value"),
+          sum(dv).cast("double").as("_sum_dec"),
+          round(percentile(lv, lit(q)), 4).as("q_value")) ++
+          IeeeLanes.flagAggs(lv, "v", IeeeLanes.Cap2dp): _*)
       .select(col("window.start").as("win_start"), col("component"),
         col("name"), col("n_series"), col("min_value"), col("max_value"),
-        col("sum_value"), col("q_value"),
-        (col("sum_value") / col("n_series").cast("double")).as("avg_value"))
+        sumV.as("sum_value"), col("q_value"),
+        (sumV / col("n_series").cast("double")).as("avg_value"))
   }
 
   /** Streaming `*_over_time` family — the incremental sibling of the batch
@@ -1191,29 +1214,41 @@ object FirehoseStream {
       metrics: DataFrame,
       width: String = "1 hour",
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    val dv = col("value").cast("decimal(18,2)")
+    val dv = IeeeLanes.decLane(col("value"), IeeeLanes.Cap2dp).cast("decimal(18,2)")
+    val fv = IeeeLanes.finLane(col("value"))
     val n = col("n_samples").cast("double")
+    // the same lane reconstruction as batch overTimeAgg — the parity
+    // pin holds on poisoned and byte-counter streams too
+    val sumV = IeeeLanes.reconstruct(col("_sum_dec"), "v")
+    val sumsqV = when(IeeeLanes.anyNonFinite("v"), lit(Double.NaN))
+      .when(IeeeLanes.isBig("v"), col("_dsq"))
+      .otherwise(col("_sumsq_dec"))
+    val stdvarV = when(IeeeLanes.anyNonFinite("v"), lit(Double.NaN))
+      .when(IeeeLanes.isBig("v"), greatest(
+        (col("_dsq") - col("_vdsum") * col("_vdsum") / n) / n, lit(0.0)))
+      .otherwise(greatest(
+        (col("_sumsq_dec") - col("_sum_dec") * col("_sum_dec") / n) / n,
+        lit(0.0)))
     keyedPoints(metrics, watermarkDelay)
       .groupBy(window(col("eventTime"), width), col("component"), col("name"), col("series"))
       .agg(
         count(lit(1)).as("n_samples"),
-        min(col("value")).as("min_value"),
-        max(col("value")).as("max_value"),
-        sum(dv).cast("double").as("sum_value"),
-        sum((dv * dv).cast("decimal(38,4)")).cast("double").as("sumsq_value"),
-        max_by(col("value"),
-          struct(col("timestamp").cast("long").as("ts"), col("id"))).as("last_value"))
+        Seq(
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          sum(dv).cast("double").as("_sum_dec"),
+          sum((dv * dv).cast("decimal(38,4)")).cast("double").as("_sumsq_dec"),
+          sum(fv * fv).as("_dsq"),
+          max_by(col("value"),
+            struct(col("timestamp").cast("long").as("ts"), col("id"))).as("last_value")) ++
+          IeeeLanes.flagAggs(col("value"), "v", IeeeLanes.Cap2dp): _*)
       .select(
         col("window.start").as("win_start"), col("component"), col("name"),
         col("series"), col("n_samples"), col("min_value"), col("max_value"),
-        col("sum_value"), col("sumsq_value"), col("last_value"),
-        (col("sum_value") / n).as("avg_value"),
-        greatest(
-          (col("sumsq_value") - col("sum_value") * col("sum_value") / n) / n,
-          lit(0.0)).as("stdvar_value"),
-        sqrt(greatest(
-          (col("sumsq_value") - col("sum_value") * col("sum_value") / n) / n,
-          lit(0.0))).as("stddev_value"))
+        sumV.as("sum_value"), sumsqV.as("sumsq_value"), col("last_value"),
+        (sumV / n).as("avg_value"),
+        stdvarV.as("stdvar_value"),
+        sqrt(stdvarV).as("stddev_value"))
   }
 
   /** Streaming `holt_winters` — the incremental sibling of the batch
@@ -1333,11 +1368,14 @@ object FirehoseStream {
       .groupBy(session_window(col("eventTime"), gap), col("component"), col("name"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        (sum(IeeeLanes.decLane(col("value"), IeeeLanes.Cap2dp)
+          .cast("decimal(18,2)")).cast("double").as("_sum_dec") +:
+          IeeeLanes.flagAggs(col("value"), "v", IeeeLanes.Cap2dp)): _*)
       .select(
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
-        col("component"), col("name"), col("n_events"), col("sum_value"))
+        col("component"), col("name"), col("n_events"),
+        IeeeLanes.reconstruct(col("_sum_dec"), "v").as("sum_value"))
 
   /** Partitioned parquet landing of the parsed firehose — the write side of
     * the 100 TB story: payload lands columnar, partitioned by component and
