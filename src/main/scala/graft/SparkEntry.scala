@@ -663,6 +663,36 @@ object SparkEntry {
       promql.PromQl.compile(
         "round(sin(rad(view_total)), 0.000001)",
         metricsOf(s, dir))),
+    // m46: the 3.x experimental timestamp-of-extremum family from text —
+    // value = the extremum sample's epoch-second timestamp, ties taking
+    // the LATEST occurrence (Prometheus's `>= || isNaN` update loop)
+    "m46_promql_ts_of_max" -> ((s, dir) =>
+      promql.PromQl.compile(
+        "ts_of_max_over_time(view_total[1h])", metricsOf(s, dir))),
+    "m46b_promql_ts_of_min" -> ((s, dir) =>
+      promql.PromQl.compile(
+        "ts_of_min_over_time(error_total[1h])", metricsOf(s, dir))),
+    // m47: sort_by_label_desc from text — the natural-sort ordering
+    // (digit runs compare as integers: user=10 after user=9, not after
+    // user=1) materialized as a per-window rank over the operator's OWN
+    // sort keys; the oracle's independent natural-key ORDER BY is what
+    // checks the ordering semantics. Rank partitions by (component,
+    // name, win_start) — parallel by window, never a global single
+    // partition.
+    "m47_sort_by_label" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sorted = promql.PromQl.compileVector(
+        "sort_by_label_desc(increase(view_total[1h]), \"user\")",
+        metricsOf(s, dir))
+      sorted
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("component"), col("name"), col("win_start"))
+            .orderBy(promql.PromQlCompiler.sortByLabelKeys(
+              Seq("user"), desc = true): _*)))
+        .select(col("component"), col("name"),
+          Firehose.seriesKey(col("labels")).as("series"),
+          col("win_start"), col("value"), col("rank"))
+    }),
     // per-source gopher-rule failure funnel
     "t18_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
@@ -2729,6 +2759,55 @@ object SparkEntry {
         |  floor(sin(radians(value)) * (1.0 / 0.000001) + 0.5)
         |    / (1.0 / 0.000001) AS value
         |FROM g WHERE rn = 1""".stripMargin,
+    // the latest timestamp among the window's max-valued samples — the
+    // `>=` in Prometheus's update loop makes the LAST occurrence win
+    "m46_promql_ts_of_max" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |g AS (
+        |  SELECT component, name, series,
+        |         ts_sec - ts_sec % 3600 AS win_start, value, ts_sec,
+        |         max(value) OVER (PARTITION BY component, name, series,
+        |           ts_sec - ts_sec % 3600) AS mx
+        |  FROM m WHERE name = 'view_total')
+        |SELECT component, name, series, win_start,
+        |  CAST(max(ts_sec) FILTER (WHERE value = mx) AS DOUBLE) AS value
+        |FROM g GROUP BY component, name, series, win_start""".stripMargin,
+    "m46b_promql_ts_of_min" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |g AS (
+        |  SELECT component, name, series,
+        |         ts_sec - ts_sec % 3600 AS win_start, value, ts_sec,
+        |         min(value) OVER (PARTITION BY component, name, series,
+        |           ts_sec - ts_sec % 3600) AS mn
+        |  FROM m WHERE name = 'error_total')
+        |SELECT component, name, series, win_start,
+        |  CAST(max(ts_sec) FILTER (WHERE value = mn) AS DOUBLE) AS value
+        |FROM g GROUP BY component, name, series, win_start""".stripMargin,
+    // the natural-sort rank computed INDEPENDENTLY: tokenize the user
+    // label value into digit/non-digit runs, left-pad digit runs so
+    // byte order ranks them numerically, ORDER BY that key desc with
+    // the series tiebreak — DuckDB's own ordering defines the expected
+    // rank the engine's sort_by_label_desc must reproduce
+    "m47_sort_by_label" ->
+      (IncreaseCte(3600) +
+        """SELECT component, name, series, win_start, increase AS value,
+          |  CAST(row_number() OVER (
+          |    PARTITION BY component, name, win_start
+          |    ORDER BY
+          |      array_to_string(list_transform(
+          |        regexp_extract_all(substr(series, 6), '[0-9]+|[^0-9]+'),
+          |        x -> CASE WHEN regexp_matches(x, '^[0-9]{1,24}$')
+          |             THEN lpad(x, 24, '0') ELSE x END), '') DESC,
+          |      series DESC) AS INTEGER) AS rank
+          |FROM win WHERE name = 'view_total'""".stripMargin),
     // merge == recompute: the oracle builds the DAILY histogram straight
     // from raw samples; the engine merges the hourly tier
     "m37c_native_merge" ->

@@ -144,6 +144,17 @@ final case class PromQlCompileException(msg: String) extends RuntimeException(ms
   *    calendar regardless of `spark.sql.session.timeZone`);
   *    `sort`/`sort_desc` order the OUTPUT relation (presentation
   *    ordering is all they mean in PromQL too).
+  *  - The 3.x experimental family (round 11): `ts_of_max_over_time` /
+  *    `ts_of_min_over_time` / `ts_of_last_over_time` return the
+  *    extremum/freshest sample's epoch-second timestamp with
+  *    Prometheus's exact update rule (ties take the LATEST occurrence,
+  *    an all-NaN window its latest sample — the `>= || isNaN` loop);
+  *    `sort_by_label`/`sort_by_label_desc` order the output by the
+  *    given labels' values under a natural-sort key
+  *    ([[naturalSortKey]]: digit runs compare as integers), full
+  *    series key as tiebreak, `desc` reversing every key. Digit runs
+  *    longer than 24 characters and equal-value/different-leading-zero
+  *    runs fall to the tiebreak rather than natsort's finer rules.
   *  - Native histograms (round 11): the `histogram_quantile(φ, m[1h])` /
   *    `histogram_count/sum/avg/stddev/stdvar(m[1h])` /
   *    `histogram_fraction(lo, hi, m[1h])` family compiles onto the m37
@@ -220,6 +231,38 @@ object PromQlCompiler {
     val labeled =
       if (metrics.columns.contains("labels")) metrics else Firehose.tagFilter(metrics)
     new Eval(labeled, stepSec, sliding = true).evalVec(PromQlParser.parse(query))
+  }
+
+  /** Natural-sort key: every digit run left-padded to a fixed width so
+    * that byte-order comparison ranks runs numerically (`pod2` before
+    * `pod10`), the ordering `sort_by_label` uses (Prometheus sorts label
+    * values naturally — digit chunks compare as integers). Runs past the
+    * pad width fall back to their raw text (Spark's `lpad` would
+    * TRUNCATE them); numerically-equal runs with different leading-zero
+    * counts key equal and fall to the series tiebreak. Pure codegen'd
+    * string functions — no UDF.
+    */
+  def naturalSortKey(s: Column): Column =
+    concat_ws(
+      "",
+      transform(
+        split(s, "(?<=[0-9])(?=[^0-9])|(?<=[^0-9])(?=[0-9])"),
+        t => when(t.rlike("^[0-9]{1,24}$"), lpad(t, 24, "0")).otherwise(t)))
+
+  /** The total ordering behind `sort_by_label` / `sort_by_label_desc`:
+    * the requested labels' values under [[naturalSortKey]] (absent
+    * labels order as empty strings, before every present value), then
+    * the full canonical series key, name, component and window as the
+    * deterministic tiebreak. `desc` reverses every key, tiebreak
+    * included. Exposed so a caller materializing the ordering as a rank
+    * column ranks by the operator's own keys.
+    */
+  def sortByLabelKeys(labels: Seq[String], desc: Boolean): Seq[Column] = {
+    val keys = labels.map(l =>
+      naturalSortKey(coalesce(try_element_at(col("labels"), lit(l)), lit("")))) ++
+      Seq(Firehose.seriesKey(col("labels")), col("name"), col("component"),
+        col("win_start"))
+    if (desc) keys.map(_.desc_nulls_last) else keys.map(_.asc_nulls_last)
   }
 
   private def err(msg: String): Nothing = throw PromQlCompileException(msg)
@@ -578,10 +621,30 @@ object PromQlCompiler {
         sum(maskFinite(col("value")) * maskFinite(col("value"))).as("_sdsq"),
         max_by(col("value"), struct(col("timestamp"), col("id"))).as("_last")) ++
         nfFlagAggs(col("value"), "s")
-      val aggs =
-        if (fn == "quantile_over_time")
+      // ts_of_* (Prometheus 3.1 experimental family): the extremum
+      // aggregates ride the same map-side-combinable aggregation. The
+      // struct key mirrors Prometheus's `f.F >= maxVal || isNaN(maxVal)`
+      // update loop exactly: any non-NaN sample beats every NaN one
+      // (first field), ties on the extremum value resolve to the LATEST
+      // timestamp (the >= makes the last occurrence win), and an
+      // all-NaN window yields its latest timestamp (NaNs order as equal,
+      // the timestamp field decides). `id` only breaks same-timestamp
+      // ties, where the output timestamp is equal either way.
+      val aggs = fn match {
+        case "quantile_over_time" =>
           baseAggs :+ promPercentile(col("value"), q).as("_q")
-        else baseAggs
+        case "ts_of_max_over_time" =>
+          baseAggs :+ max_by(col("timestamp"), struct(
+            (!isnan(col("value"))).cast("int"), col("value"),
+            col("timestamp"), col("id"))).as("_tso")
+        case "ts_of_min_over_time" =>
+          baseAggs :+ max_by(col("timestamp"), struct(
+            (!isnan(col("value"))).cast("int"), -col("value"),
+            col("timestamp"), col("id"))).as("_tso")
+        case "ts_of_last_over_time" =>
+          baseAggs :+ max(col("timestamp")).as("_tso")
+        case _ => baseAggs
+      }
       val agg = withSeriesWin(ds, r)
         .groupBy(rangeKeys: _*)
         .agg(any_value(col("labels")).as("labels"), aggs: _*)
@@ -605,6 +668,8 @@ object PromQlCompiler {
         case "stddev_over_time" => sqrt(stdvar)
         case "present_over_time" => lit(1.0)
         case "quantile_over_time" => col("_q")
+        case "ts_of_max_over_time" | "ts_of_min_over_time" |
+            "ts_of_last_over_time" => col("_tso")
       })
     }
 
@@ -739,7 +804,8 @@ object PromQlCompiler {
     private val overTimeFns = Set(
       "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
       "count_over_time", "last_over_time", "stddev_over_time",
-      "stdvar_over_time", "present_over_time", "quantile_over_time")
+      "stdvar_over_time", "present_over_time", "quantile_over_time",
+      "ts_of_max_over_time", "ts_of_min_over_time", "ts_of_last_over_time")
 
     /** `holt_winters(x[R], sf, tf)`: double exponential smoothing per
       * range window — [[Firehose.holtWinters]]'s exact fold (s₀ = v₀,
@@ -1064,6 +1130,12 @@ object PromQlCompiler {
         Vec(v.orderBy(
           key, col("component"), col("name"),
           Firehose.seriesKey(col("labels")), col("win_start")))
+      case "sort_by_label" | "sort_by_label_desc" =>
+        if (args.length < 2) err(s"$fn expects (vector, label, ...)")
+        val lbls = stringArgs(args.drop(1), args.length - 1, fn)
+        val v = vecArg(args.head, fn)
+        Vec(v.orderBy(
+          PromQlCompiler.sortByLabelKeys(lbls, desc = fn.endsWith("_desc")): _*))
       case other =>
         err(s"unsupported function '$other'")
     }

@@ -110,6 +110,24 @@ class PromDiffFuzzSpec extends SparkSuite {
             case "count_over_time" => g.size.toDouble
             case "avg_over_time" => decSumNF(vals) / g.size
             case "last_over_time" => g.maxBy(s => (s.ts, s.id)).value
+            // ts_of_*: Prometheus's `>= || isNaN` update loop — any
+            // non-NaN sample beats every NaN one, value ties take the
+            // LATEST timestamp, an all-NaN window its latest sample
+            case "ts_of_last_over_time" => g.map(_.ts).max.toDouble
+            case "ts_of_max_over_time" =>
+              val nn = g.filterNot(_.value.isNaN)
+              if (nn.isEmpty) g.map(_.ts).max.toDouble
+              else {
+                val mx = nn.map(_.value).max
+                nn.filter(_.value == mx).map(_.ts).max.toDouble
+              }
+            case "ts_of_min_over_time" =>
+              val nn = g.filterNot(_.value.isNaN)
+              if (nn.isEmpty) g.map(_.ts).max.toDouble
+              else {
+                val mn = nn.map(_.value).min
+                nn.filter(_.value == mn).map(_.ts).max.toDouble
+              }
           }
           k -> v
         }
@@ -416,7 +434,8 @@ class PromDiffFuzzSpec extends SparkSuite {
       .toDF("component", "name", "tags", "timestamp", "id", "value")
 
     val overTimeFns = Seq("sum_over_time", "min_over_time", "max_over_time",
-      "count_over_time", "avg_over_time", "last_over_time")
+      "count_over_time", "avg_over_time", "last_over_time",
+      "ts_of_max_over_time", "ts_of_min_over_time", "ts_of_last_over_time")
 
     // out-of-range φ makes ±Inf/NaN leaf values — fine everywhere
     // except under the calendar family, which draws genFiniteLeaf

@@ -1005,4 +1005,59 @@ class PromQlCompileSpec extends SparkSuite {
       .select("value").collect().map(_.getDouble(0)).toSeq
     assert(asc === vals.sorted)
   }
+
+  test("ts_of_* family: Prometheus tie and NaN update rules; last == timestamp") {
+    import spark.implicits._
+    // u1: a value tie at the max (9 at t=200 and t=300) — the `>=` in
+    // Prometheus's loop keeps the LATEST occurrence; u2: NaN samples
+    // never beat a non-NaN one; u3: an all-NaN window reports its
+    // latest sample's timestamp (every iteration fires `isNaN(maxVal)`)
+    val planted = Seq(
+      ("app", "g_total", Map("user" -> "u1"), 100L, "a", 5.0),
+      ("app", "g_total", Map("user" -> "u1"), 200L, "b", 9.0),
+      ("app", "g_total", Map("user" -> "u1"), 300L, "c", 9.0),
+      ("app", "g_total", Map("user" -> "u2"), 100L, "d", Double.NaN),
+      ("app", "g_total", Map("user" -> "u2"), 200L, "e", 7.0),
+      ("app", "g_total", Map("user" -> "u2"), 300L, "f", Double.NaN),
+      ("app", "g_total", Map("user" -> "u3"), 100L, "g", Double.NaN),
+      ("app", "g_total", Map("user" -> "u3"), 250L, "h", Double.NaN)
+    ).toDF("component", "name", "tags", "timestamp", "id", "value")
+    def tsOf(fn: String): Map[String, Double] =
+      PromQl.compile(s"$fn(g_total[1h])", planted)
+        .select("series", "value").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(tsOf("ts_of_max_over_time") ===
+      Map("user=u1" -> 300.0, "user=u2" -> 200.0, "user=u3" -> 250.0))
+    assert(tsOf("ts_of_min_over_time") ===
+      Map("user=u1" -> 100.0, "user=u2" -> 200.0, "user=u3" -> 250.0))
+    assert(tsOf("ts_of_last_over_time") ===
+      Map("user=u1" -> 300.0, "user=u2" -> 300.0, "user=u3" -> 250.0))
+    // on the real stream with range == step, the freshest sample's
+    // timestamp is exactly what timestamp(sel) returns
+    val lastTs = rendered(PromQl.compile("ts_of_last_over_time(view_total[1h])", metrics))
+    val tsSel = rendered(PromQl.compile("timestamp(view_total)", metrics))
+    assert(lastTs.nonEmpty && lastTs === tsSel)
+  }
+
+  test("sort_by_label orders naturally: digit runs compare as integers") {
+    import spark.implicits._
+    val planted = Seq(
+      ("app", "g_total", Map("user" -> "pod10"), 100L, "a", 1.0),
+      ("app", "g_total", Map("user" -> "pod2"), 100L, "b", 2.0),
+      ("app", "g_total", Map("user" -> "pod1x"), 100L, "c", 3.0),
+      ("app", "g_total", Map("user" -> "abc"), 100L, "d", 4.0),
+      ("app", "g_total", Map.empty[String, String], 100L, "e", 5.0)
+    ).toDF("component", "name", "tags", "timestamp", "id", "value")
+    def order(q: String): Seq[String] =
+      PromQl.compile(q, planted).select("series").collect().map(_.getString(0)).toSeq
+    // absent label keys as "" (first), then lexicographic segments with
+    // numeric digit runs: pod1x < pod2 < pod10
+    assert(order("""sort_by_label(g_total, "user")""") ===
+      Seq("", "user=abc", "user=pod1x", "user=pod2", "user=pod10"))
+    assert(order("""sort_by_label_desc(g_total, "user")""") ===
+      Seq("user=pod10", "user=pod2", "user=pod1x", "user=abc", ""))
+    // string args parse, print and round-trip through the text front-end
+    val printed = PromQl.print(PromQl.parse("""sort_by_label(x, "a", "b")"""))
+    assert(PromQl.print(PromQl.parse(printed)) === printed)
+  }
 }
