@@ -914,6 +914,33 @@ object SparkEntry {
         Curate.curateBatchCommit(root, docs.filter(col("doc_id") % 3 === b))
       Versioned.latest(s, root).select("doc_id", "source", "text")
     }),
+    // p12: a PromQL recording rule maintained INCREMENTALLY — the rule
+    // lowers onto a materialized view over the landed metric corpus
+    // (win_start and the by-label as computed view columns, the matcher
+    // as the view's WHERE), then create on a partial landing + an
+    // append refresh + a delete refresh, each O(delta); the recorded
+    // series must equal DuckDB's direct aggregation over the survivors
+    // bit-exactly (decimal sums)
+    "p12_record_incremental" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val m = Firehose.tagFilter(metricsOf(s, dir))
+        .select(col("component"), col("name"), col("labels"),
+          col("timestamp"), col("id"), col("value"))
+      val src = java.nio.file.Files.createTempDirectory("graft-rec-src")
+        .toFile.getAbsolutePath
+      val view = java.nio.file.Files.createTempDirectory("graft-rec-view")
+        .toFile.getAbsolutePath
+      val part = col("id").cast("long") % 3
+      Versioned.appendCommit(m.filter(part =!= 0), src)
+      promql.PromQlRecord.create(s,
+        "app:views:1h = sum by (user) (sum_over_time(view_total[1h]))",
+        src, view)
+      Versioned.appendCommit(m.filter(part === 0), src)
+      promql.PromQlRecord.refresh(s, view)
+      Versioned.deleteWhere(s, src, "id", col("id").cast("long") % 7 === 0)
+      promql.PromQlRecord.refresh(s, view)
+      promql.PromQlRecord.read(s, view)
+    }),
     // p9: INCREMENTAL materialized view — create over a partial load,
     // then two O(delta) refreshes (an append span, then a delete span);
     // the final view must equal a from-scratch GROUP BY over the final
@@ -2460,6 +2487,22 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS cnt,
         |  CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) AS sum_n_chars
         |FROM documents WHERE doc_id % 7 <> 0 GROUP BY 1, 2""".stripMargin,
+    // the recorded series recomputed directly over the SURVIVING
+    // samples (event_id % 7 tombstoned) — sum by (user, hourly window)
+    // in the same exact-decimal lane the view maintains
+    "p12_record_incremental" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         user_id, value, event_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events)
+        |SELECT 'app' AS component, 'app:views:1h' AS name,
+        |  'user=' || CAST(user_id AS VARCHAR) AS series,
+        |  ts_sec - ts_sec % 3600 AS win_start,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+        |FROM m
+        |WHERE name = 'view_total' AND event_id % 7 <> 0
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
     // hour-of-day of each hourly window's freshest sample: both sides
     // are pure modular arithmetic on the max epoch second
     "m40_promql_time" ->

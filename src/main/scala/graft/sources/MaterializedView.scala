@@ -71,7 +71,15 @@ object MaterializedView {
       sumCols: Seq[String],
       minMaxCols: Seq[String],
       where: String,
-      srcVersion: Long)
+      srcVersion: Long,
+      exprCols: Seq[(String, String)] = Nil)
+
+  // expression-column encoding in the marker props: SQL text can hold
+  // commas and newlines, so pairs join on the ASCII record separator
+  // and name/sql on the group separator (neither appears in SQL the
+  // engine accepts — both are rejected by the lexer as control chars)
+  private val ExprRS = "\u001E"
+  private val ExprGS = "\u001D"
 
   private def propsOf(d: Def): Map[String, String] = Map(
     "mv.sourceRoot" -> d.sourceRoot,
@@ -79,16 +87,24 @@ object MaterializedView {
     "mv.sumCols" -> d.sumCols.mkString(","),
     "mv.minMaxCols" -> d.minMaxCols.mkString(","),
     "mv.where" -> d.where,
+    "mv.exprCols" -> d.exprCols.map { case (n, s) => n + ExprGS + s }.mkString(ExprRS),
     "mv.sourceVersion" -> d.srcVersion.toString)
 
-  /** The view's WHERE predicate applied to a relation. A change-feed row
-    * is filtered IDENTICALLY whether it arrives as insert or delete
-    * (the predicate is a deterministic row function), so filtering the
-    * feed before the delta aggregation maintains exactly the filtered
-    * view — the standard selection-pushes-through-Δ rule of IVM.
+  /** The view's computed columns followed by its WHERE predicate. Both
+    * are DETERMINISTIC row functions of the source columns, so a
+    * change-feed row derives and filters IDENTICALLY whether it arrives
+    * as insert or delete — the standard projection/selection-pushes-
+    * through-Δ rule of IVM. Computed columns let the view group by
+    * derived keys (a window bucket of a timestamp, a rendered series
+    * key of a label map) the source doesn't store physically; they
+    * apply before WHERE, so the predicate may reference them.
     */
-  private def filtered(df: DataFrame, d: Def): DataFrame =
-    if (d.where.isEmpty) df else df.filter(expr(d.where))
+  private def filtered(df: DataFrame, d: Def): DataFrame = {
+    val derived = d.exprCols.foldLeft(df) {
+      case (acc, (n, sql)) => acc.withColumn(n, expr(sql))
+    }
+    if (d.where.isEmpty) derived else derived.filter(expr(d.where))
+  }
 
   private def defOf(viewRoot: String): Def = {
     val v = Versioned.latestVersion(viewRoot)
@@ -98,9 +114,15 @@ object MaterializedView {
       s"$viewRoot is not a materialized view (no mv.* props on v$v)")
     def cols(k: String): Seq[String] =
       p.getOrElse(k, "").split(',').toSeq.filter(_.nonEmpty)
+    val exprCols = p.getOrElse("mv.exprCols", "")
+      .split(ExprRS).toSeq.filter(_.nonEmpty)
+      .map { pair =>
+        val i = pair.indexOf(ExprGS)
+        (pair.take(i), pair.drop(i + 1))
+      }
     Def(p("mv.sourceRoot"), cols("mv.groupCols"), cols("mv.sumCols"),
       cols("mv.minMaxCols"), p.getOrElse("mv.where", ""),
-      p("mv.sourceVersion").toLong)
+      p("mv.sourceVersion").toLong, exprCols)
   }
 
   /** The full per-group aggregation — create's one O(table) pass, and
@@ -130,13 +152,15 @@ object MaterializedView {
       groupCols: Seq[String],
       sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil,
-      where: String = ""): Long = {
+      where: String = "",
+      exprCols: Seq[(String, String)] = Nil,
+      extraProps: Map[String, String] = Map.empty): Long = {
     val srcV = Versioned.latestVersion(sourceRoot)
     require(srcV >= 0, s"no committed versions in $sourceRoot")
-    val d = Def(sourceRoot, groupCols, sumCols, minMaxCols, where, srcV)
+    val d = Def(sourceRoot, groupCols, sumCols, minMaxCols, where, srcV, exprCols)
     Versioned.appendCommit(
       aggregated(filtered(Versioned.asOf(spark, sourceRoot, srcV), d), d),
-      viewRoot, bloomCols = Seq(GK), props = propsOf(d))
+      viewRoot, bloomCols = Seq(GK), props = extraProps ++ propsOf(d))
   }
 
   /** The view's current contents: group columns, `cnt`, each sum as a
@@ -164,7 +188,11 @@ object MaterializedView {
     require(vNow >= d.srcVersion,
       s"source ${d.sourceRoot} went backwards ($vNow < ${d.srcVersion})")
     if (vNow == d.srcVersion) return -1L
-    val newProps = propsOf(d.copy(srcVersion = vNow))
+    // caller-owned props (e.g. a recording rule's rule.* metadata) carry
+    // forward across refreshes; the mv.* definition keys are rewritten
+    val carried = Versioned.markerProps(viewRoot, viewV)
+      .filterNot { case (k, _) => k.startsWith("mv.") }
+    val newProps = carried ++ propsOf(d.copy(srcVersion = vNow))
     val cdf = filtered(
       Versioned.changesBetween(spark, d.sourceRoot, d.srcVersion, vNow), d)
     val sign = when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1))
