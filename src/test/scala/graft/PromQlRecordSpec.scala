@@ -116,6 +116,50 @@ class PromQlRecordSpec extends SparkSuite {
     assert(Versioned.manifest(src, Versioned.latestVersion(src)).size <= filesBefore)
   }
 
+  test("streaming: per-micro-batch landing + rule refresh tracks the batch loop") {
+    val rule = "v:1h = sum by (user) (sum_over_time(view_total[1h]))"
+    val src = tmp("recs-src"); val view = tmp("recs-view")
+    // seed landing so the view has a create baseline
+    Versioned.appendCommit(metrics.filter(col("id").cast("long") % 2 === 0), src)
+    PromQlRecord.create(spark, rule, src, view)
+    val dir = Files.createTempDirectory("recs-in").toFile
+    val chk = Files.createTempDirectory("recs-chk").toFile
+    def landLine(f: String, json: String): Unit =
+      Files.write(dir.toPath.resolve(f), json.getBytes)
+    landLine("b1.json",
+      """{"component":"app","name":"view_total","labels":{"user":"77"},"timestamp":100,"id":"x1","value":5.25}
+        |{"component":"app","name":"error_total","labels":{"user":"77"},"timestamp":130,"id":"x2","value":1.0}""".stripMargin)
+    val stream = spark.readStream
+      .schema("component STRING, name STRING, labels MAP<STRING,STRING>, " +
+        "timestamp LONG, id STRING, value DOUBLE")
+      .json(dir.getAbsolutePath)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          Versioned.appendCommit(batch.coalesce(1), src)
+          PromQlRecord.refresh(spark, view)
+          ()
+        }
+      }
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      val landed1 = Versioned.latest(spark, src)
+      assert(rendered(PromQlRecord.read(spark, view)) === batch(rule, landed1))
+      // the new series landed (error_total filtered out by the WHERE)
+      assert(rendered(PromQlRecord.read(spark, view))
+        .get(("v:1h", "user=77", 0L)).contains(5.25))
+      landLine("b2.json",
+        """{"component":"app","name":"view_total","labels":{"user":"77"},"timestamp":200,"id":"x3","value":1.75}""")
+      q.processAllAvailable()
+      assert(rendered(PromQlRecord.read(spark, view))
+        .get(("v:1h", "user=77", 0L)).contains(7.0))
+      assert(rendered(PromQlRecord.read(spark, view)) ===
+        batch(rule, Versioned.latest(spark, src)))
+    } finally q.stop()
+  }
+
   test("non-incrementalizable rules refuse loudly with the supported grammar") {
     val src = tmp("recref-src")
     Versioned.appendCommit(metrics.limit(10), src)
