@@ -50,12 +50,19 @@ object FirehoseApp {
       |                    batch mode: evaluate a recording-rule file (one
       |                    `name = expr` per line) in order, show up to n rows
       |                    of each recorded series, exit
+      |  --record <rule> <sourceRoot> <viewRoot>
+      |                    create an INCREMENTAL recording rule: lower the
+      |                    `name = expr` rule onto a materialized view over
+      |                    the landed metric table at <sourceRoot>; advance
+      |                    it later with `--table mv-refresh <viewRoot>`,
+      |                    render it with `--table record-read <viewRoot>`
       |  --table <cmd> <root> [n]
       |                    versioned-table maintenance: describe (history
       |                    with file/chunk/tombstone counts and props),
       |                    compact [n files], rewrite-manifests (merge
       |                    chunk refs, metadata-only), vacuum [keep n],
-      |                    mv-refresh (advance a materialized view)
+      |                    mv-refresh (advance a materialized view),
+      |                    record-read (show a recorded series' rows)
       |  --list-queries    print the available query names and exit
       |  -h | --help       print this help""".stripMargin
 
@@ -102,6 +109,13 @@ object FirehoseApp {
           if (i < args.length && args(i).forall(_.isDigit)) {
             m.put("app.query.rows", args(i)); i += 1
           }
+        case "--record" =>
+          m.put("app.record", operand("--record <rule> <sourceRoot> <viewRoot>"))
+          m.put("app.record.source",
+            operand("--record <rule> <sourceRoot> <viewRoot>", 2))
+          m.put("app.record.view",
+            operand("--record <rule> <sourceRoot> <viewRoot>", 3))
+          i += 4
         case "--table" =>
           m.put("app.table", operand("--table <cmd> <root>"))
           m.put("app.table.root", operand("--table <cmd> <root>", 2))
@@ -190,9 +204,13 @@ object FirehoseApp {
         println(
           if (v < 0) s"[graft] view $root already caught up"
           else s"[graft] refreshed view $root to v$v")
+      case "record-read" =>
+        graft.promql.PromQlRecord.read(spark, root)
+          .orderBy("series", "win_start")
+          .show(n.getOrElse(20), truncate = false)
       case other => throw new IllegalArgumentException(
         s"unknown --table command '$other' (describe|compact|" +
-          "rewrite-manifests|vacuum|mv-refresh)")
+          "rewrite-manifests|vacuum|mv-refresh|record-read)")
     }
   }
 
@@ -267,6 +285,19 @@ object FirehoseApp {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-table")
       try tableCommand(spark, cmd, root, cfg.get("app.table.n").map(_.toInt))
       finally spark.stop()
+      return
+    }
+    // incremental recording rule: one create (the O(table) pass); later
+    // intervals advance it with `--table mv-refresh <viewRoot>`
+    cfg.get("app.record").foreach { rule =>
+      val source = cfg.get("app.record.source").get
+      val view = cfg.get("app.record.view").get
+      val spark = Sessions.local(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-record")
+      try {
+        val v = graft.promql.PromQlRecord.create(spark, rule, source, view)
+        println(s"[graft] recorded '$rule' as incremental view $view (v$v)")
+      } finally spark.stop()
       return
     }
     // reference parity: print the effective layered configuration at startup

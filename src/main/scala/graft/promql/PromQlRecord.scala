@@ -95,7 +95,9 @@ object PromQlRecord {
       "e -> concat(e.key, '=', e.value)), ',')"
 
   private def matcherSql(m: LabelMatcher): String = {
-    val v = labelValSql(m.label)
+    // the compiler's labelVal special case: __name__ reads the metric
+    // name column, not the label map
+    val v = if (m.label == "__name__") "name" else labelValSql(m.label)
     def anchored = sqlStr("^(?:" + m.value + ")$")
     m.op match {
       case MatchOp.Eq => s"$v = ${sqlStr(m.value)}"
@@ -139,16 +141,22 @@ object PromQlRecord {
         err("avg by (…) of per-series averages is not a flat average")
       case _ => err(s"rule '${rule.name}' is not incrementalizable")
     }
-    val name = sel.name.getOrElse(err("the selector needs a metric name"))
+    if (sel.name.isEmpty && sel.matchers.isEmpty)
+      err("the selector needs a metric name or at least one matcher")
     if (sel.offsetSec != 0 || sel.atSec.nonEmpty)
       err("offset/@ modifiers don't lower")
-    val where = (s"name = ${sqlStr(name)}" +:
+    val where = (sel.name.map(n => s"name = ${sqlStr(n)}").toSeq ++
       sel.matchers.map(matcherSql)).mkString(" AND ")
     val winSql = s"timestamp - timestamp % $rangeSec"
     val (exprCols, groupCols) = byLabels match {
       case None =>
+        // `name` stays in the group key: a nameless or __name__-regex
+        // selector spans several metrics, and the compiler's per-series
+        // identity is (name, series) — read() renames to the rule name
+        // AFTER grouping, exactly like the batch loop's recorded-series
+        // rename (which also keeps the underlying rows distinct)
         (Seq("series" -> seriesKeySql, "win_start" -> winSql),
-          Seq("component", "series", "win_start"))
+          Seq("component", "name", "series", "win_start"))
       case Some(ls) =>
         val sorted = ls.sorted
         (sorted.map(l => s"_lbl_$l" -> s"try_element_at(labels, ${sqlStr(l)})") :+
@@ -198,8 +206,10 @@ object PromQlRecord {
   def read(spark: SparkSession, viewRoot: String): DataFrame = {
     val p = graft.sources.Versioned.markerProps(
       viewRoot, graft.sources.Versioned.latestVersion(viewRoot))
-    val ruleName = p.getOrElse("rule.name",
-      err(s"$viewRoot carries no rule.* props"))
+    require(p.contains("rule.name") && p.contains("rule.fn"),
+      s"$viewRoot is not an incremental recording rule " +
+        "(no rule.* props on its latest marker)")
+    val ruleName = p("rule.name")
     val fn = p("rule.fn")
     val by = p.getOrElse("rule.by", "").split(',').toSeq.filter(_.nonEmpty)
     val v = MaterializedView.read(spark, viewRoot)

@@ -76,6 +76,39 @@ class FirehoseAppSpec extends SparkSuite {
       FirehoseApp.tableCommand(spark, "bogus", view, None))
   }
 
+  test("--record args parse; create + mv-refresh + record-read run end-to-end") {
+    import graft.sources.Versioned
+    import spark.implicits._
+    val parsed = FirehoseApp.parseArgs(Array(
+      "--record", "v:1h = sum_over_time(v_total[1h])", "/s", "/v"))
+    assert(parsed("app.record") === "v:1h = sum_over_time(v_total[1h])")
+    assert(parsed("app.record.source") === "/s")
+    assert(parsed("app.record.view") === "/v")
+    val src = java.nio.file.Files.createTempDirectory("app-rec-src")
+      .toFile.getAbsolutePath
+    val view = java.nio.file.Files.createTempDirectory("app-rec-view")
+      .toFile.getAbsolutePath
+    def sample(ts: Long, id: String, v: Double) =
+      ("app", "v_total", Map("user" -> "u1"), ts, id, v)
+    Versioned.appendCommit(
+      Seq(sample(100L, "a", 2.0))
+        .toDF("component", "name", "labels", "timestamp", "id", "value")
+        .coalesce(1), src)
+    graft.promql.PromQlRecord.create(
+      spark, "v:1h = sum_over_time(v_total[1h])", src, view)
+    Versioned.appendCommit(
+      Seq(sample(200L, "b", 3.5))
+        .toDF("component", "name", "labels", "timestamp", "id", "value")
+        .coalesce(1), src)
+    // the CLI refresh verb advances the rule view like any MV
+    FirehoseApp.tableCommand(spark, "mv-refresh", view, None)
+    assert(graft.promql.PromQlRecord.read(spark, view)
+      .select("name", "series", "win_start", "value").head.toSeq ===
+      Seq("v:1h", "user=u1", 0L, 5.5))
+    // and record-read renders it without throwing
+    FirehoseApp.tableCommand(spark, "record-read", view, None)
+  }
+
   test("end-to-end pull-mode app: file source to scrapeable /metrics") {
     val dir = Files.createTempDirectory("graft-app").toFile
     val chk = Files.createTempDirectory("graft-appchk").toString

@@ -406,13 +406,21 @@ class PromDiffFuzzSpec extends SparkSuite {
 
   // ---- the generator + harness ----
 
+  // extended local bug-hunts override the pinned defaults:
+  //   GRAFT_FUZZ_SEED=... GRAFT_FUZZ_ITERS=300 sbt "testOnly *PromDiffFuzzSpec"
+  // (CI/driver runs stay deterministic at the committed seeds)
+  private val fuzzSeed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong)
+  private val fuzzIters = sys.env.get("GRAFT_FUZZ_ITERS").map(_.toInt).getOrElse(60)
+
   test("compiled plans match the independent interpreter on random trees") {
-    runFuzz(sliding = false, ranges = Seq(1800L, 3600L, 7200L), seed = 4242L)
+    runFuzz(sliding = false, ranges = Seq(1800L, 3600L, 7200L),
+      seed = fuzzSeed.getOrElse(4242L))
   }
 
   test("sliding compiled plans match the sliding interpreter on random trees") {
     // sliding requires every range to be a step multiple
-    runFuzz(sliding = true, ranges = Seq(3600L, 7200L, 10800L), seed = 77L)
+    runFuzz(sliding = true, ranges = Seq(3600L, 7200L, 10800L),
+      seed = fuzzSeed.map(_ + 1).getOrElse(77L))
   }
 
   private def runFuzz(sliding: Boolean, ranges: Seq[Long], seed: Long): Unit = {
@@ -531,7 +539,7 @@ class PromDiffFuzzSpec extends SparkSuite {
 
     var nonEmpty = 0
     var raises = 0
-    for (iter <- 0 until 60) {
+    for (iter <- 0 until fuzzIters) {
       val ast = gen(2)
       val query = PromQlPrinter.print(ast)
       val got: Either[String, Map[(String, Map[String, String], Long), Double]] =

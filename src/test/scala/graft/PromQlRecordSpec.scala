@@ -116,6 +116,31 @@ class PromQlRecordSpec extends SparkSuite {
     assert(Versioned.manifest(src, Versioned.latestVersion(src)).size <= filesBefore)
   }
 
+  test("nameless and __name__-matcher selectors span metrics, grouped per (name, series)") {
+    val src = tmp("recname-src")
+    Versioned.appendCommit(metrics, src)
+    // rows stay distinct per underlying metric even after the rule
+    // rename (the batch loop's recorded-series rename behaves the same)
+    // — compare as sorted multisets, not maps
+    def multiset(df: DataFrame): Seq[(String, String, Long, Double)] =
+      df.select("name", "series", "win_start", "value").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+    val rule = """all:u7 = sum_over_time({user="7"}[1h])"""
+    val view = tmp("recname-view")
+    PromQlRecord.create(spark, rule, src, view)
+    val name = rule.split('=').head.trim
+    assert(multiset(PromQlRecord.read(spark, view)) ===
+      multiset(PromQlRules.evaluate(rule, metrics)(name)))
+    // a __name__ regex matcher reads the name COLUMN, not the label map
+    val re = """some:v = max_over_time({__name__=~"view_.*|error_.*", user="3"}[1h])"""
+    val rv = tmp("recname-re")
+    PromQlRecord.create(spark, re, src, rv)
+    val got = multiset(PromQlRecord.read(spark, rv))
+    assert(got.nonEmpty &&
+      got === multiset(PromQlRules.evaluate(re, metrics)("some:v")))
+  }
+
   test("streaming: per-micro-batch landing + rule refresh tracks the batch loop") {
     val rule = "v:1h = sum by (user) (sum_over_time(view_total[1h]))"
     val src = tmp("recs-src"); val view = tmp("recs-view")
