@@ -693,6 +693,28 @@ object SparkEntry {
           Firehose.seriesKey(col("labels")).as("series"),
           col("win_start"), col("value"), col("rank"))
     }),
+    // m48: info() from text — the 3.x experimental info-metric label
+    // join. The target_info stream derives from the view_total samples
+    // (one info row per (user, window) carrying a tier data label on
+    // the (instance, job) identifying pair), so a user's error series
+    // gains tier exactly in the windows where that user also viewed —
+    // windows without a view exercise the pass-through arm
+    "m48_promql_info" -> ((s, dir) => {
+      val base = Firehose.tagFilter(metricsOf(s, dir))
+        .select(col("component"), col("name"), col("labels"),
+          col("timestamp"), col("id"), col("value"))
+      val u = try_element_at(col("labels"), lit("user"))
+      val identified = base.withColumn("labels",
+        map_concat(col("labels"),
+          map(lit("instance"), u, lit("job"), lit("events"))))
+      val info = identified.filter(col("name") === "view_total")
+        .withColumn("name", lit("target_info"))
+        .withColumn("labels", map(
+          lit("instance"), u, lit("job"), lit("events"),
+          lit("tier"), (u.cast("long") % 3).cast("string")))
+        .withColumn("value", lit(1.0))
+      promql.PromQl.compile("info(error_total)", identified.unionByName(info))
+    }),
     // per-source gopher-rule failure funnel
     "t18_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
@@ -2834,6 +2856,35 @@ object SparkEntry {
         |SELECT component, name, series, win_start,
         |  CAST(max(ts_sec) FILTER (WHERE value = mn) AS DOUBLE) AS value
         |FROM g GROUP BY component, name, series, win_start""".stripMargin,
+    // each user's window-latest error value, with the tier data label
+    // joined on when (and only when) that (user, window) also carries a
+    // view_total sample — DuckDB recomputes the info join as a LEFT
+    // JOIN against the distinct view windows
+    "m48_promql_info" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         user_id, value, CAST(event_id AS VARCHAR) AS id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |e AS (
+        |  SELECT user_id, value, ts_sec - ts_sec % 3600 AS win_start,
+        |         row_number() OVER (
+        |           PARTITION BY user_id, ts_sec - ts_sec % 3600
+        |           ORDER BY ts_sec DESC, id DESC) AS rn
+        |  FROM m WHERE name = 'error_total'),
+        |vt AS (
+        |  SELECT DISTINCT user_id, ts_sec - ts_sec % 3600 AS win_start
+        |  FROM m WHERE name = 'view_total')
+        |SELECT 'app' AS component, 'error_total' AS name,
+        |  CASE WHEN vt.user_id IS NULL THEN
+        |    'instance=' || e.user_id || ',job=events,user=' || e.user_id
+        |  ELSE
+        |    'instance=' || e.user_id || ',job=events,tier=' ||
+        |      (e.user_id % 3) || ',user=' || e.user_id END AS series,
+        |  e.win_start, e.value
+        |FROM e LEFT JOIN vt
+        |  ON e.user_id = vt.user_id AND e.win_start = vt.win_start
+        |WHERE e.rn = 1""".stripMargin,
     // the natural-sort rank computed INDEPENDENTLY: tokenize the user
     // label value into digit/non-digit runs, left-pad digit runs so
     // byte order ranks them numerically, ORDER BY that key desc with

@@ -155,6 +155,12 @@ final case class PromQlCompileException(msg: String) extends RuntimeException(ms
   *    series key as tiebreak, `desc` reversing every key. Digit runs
   *    longer than 24 characters and equal-value/different-leading-zero
   *    runs fall to the tiebreak rather than natsort's finer rules.
+  *    `info(v[, {sel}])` joins info-metric data labels on the
+  *    hardcoded (instance, job) identifying pair (see [[infoVec]];
+  *    one documented divergence: an info group with conflicting data
+  *    labels raises even when no `v` sample joins it — the check rides
+  *    the build side's aggregation, where Prometheus only errors on a
+  *    consumed conflict).
   *  - Native histograms (round 11): the `histogram_quantile(φ, m[1h])` /
   *    `histogram_count/sum/avg/stddev/stdvar(m[1h])` /
   *    `histogram_fraction(lo, hi, m[1h])` family compiles onto the m37
@@ -1136,6 +1142,7 @@ object PromQlCompiler {
         val v = vecArg(args.head, fn)
         Vec(v.orderBy(
           PromQlCompiler.sortByLabelKeys(lbls, desc = fn.endsWith("_desc")): _*))
+      case "info" => infoVec(args)
       case other =>
         err(s"unsupported function '$other'")
     }
@@ -1201,6 +1208,86 @@ object PromQlCompiler {
       case other =>
         vecArg(other, "timestamp")
           .withColumn("value", col("win_start").cast("double"))
+    }
+
+    /** `info(v[, {data-label-selector}])` — the Prometheus 3.x
+      * experimental info-metric label join: each sample of `v` gains the
+      * DATA labels of the info series sharing its IDENTIFYING labels
+      * (`instance`, `job` — the hardcoded pair the experimental
+      * implementation uses pending metadata-driven identification) in
+      * the same evaluation window.
+      *
+      *  - The optional second argument is a plain `{…}` selector:
+      *    `__name__` matchers pick the info metrics (default
+      *    `target_info`); any OTHER matcher both restricts the info
+      *    series considered AND limits the copied labels to the
+      *    matched label names (the documented selector behavior —
+      *    `{k8s_cluster_name=~".+"}` copies only that label).
+      *  - Samples with no matching info series pass through unchanged;
+      *    `v`'s own labels always win over copied data labels.
+      *  - Several matching info series with CONFLICTING copied labels
+      *    raise (the PromQL error), enforced by a codegen'd
+      *    `raise_error` riding the join's own aggregation; identical
+      *    data labels deduplicate silently.
+      *
+      * Shape: the info side is registry-sized (one row per target per
+      * window — the window-latest `instant` relation), so the equi-join
+      * on (component, window, identifying key) broadcasts it under AQE,
+      * the m29 vector-match shape.
+      */
+    private def infoVec(args: Seq[PromExpr]): Value = {
+      if (args.isEmpty || args.length > 2)
+        err("info expects (vector[, data-label-selector])")
+      val v = vecArg(args.head, "info")
+      val (nameMs, dataMs) = args.lift(1) match {
+        case None =>
+          (Seq(LabelMatcher("__name__", MatchOp.Eq, "target_info")), Nil)
+        case Some(VectorSelector(None, ms, 0L, None)) =>
+          val (n, d) = ms.partition(_.label == "__name__")
+          (if (n.isEmpty) Seq(LabelMatcher("__name__", MatchOp.Eq, "target_info"))
+           else n, d)
+        case _ =>
+          err("info: the second argument must be a plain {…} label selector " +
+            "(no name, offset or @)")
+      }
+      val ident = Seq("instance", "job")
+      val identArr = array(ident.map(lit): _*)
+      def ikeyOf: Column = concat_ws("\u0001", ident.map(l =>
+        coalesce(try_element_at(col("labels"), lit(l)), lit(""))): _*)
+      // window-latest info samples satisfying every matcher
+      val inf = instant(VectorSelector(None, nameMs ++ dataMs))
+      val copied = {
+        val base = map_filter(col("labels"), (k, _) => !array_contains(identArr, k))
+        if (dataMs.isEmpty) base
+        else {
+          val keep = array(dataMs.map(_.label).distinct.map(lit): _*)
+          map_filter(base, (k, _) => array_contains(keep, k))
+        }
+      }
+      val infoKeyed = inf
+        .withColumn("_ikey", ikeyOf)
+        .withColumn("_data", copied)
+        .withColumn("_dk", Firehose.seriesKey(col("_data")))
+        .groupBy(col("component"), col("win_start"), col("_ikey"))
+        .agg(
+          countDistinct(col("_dk")).as("_ndk"),
+          max_by(col("_data"), col("_dk")).as("_data"))
+        .withColumn("_data",
+          when(col("_ndk") === 1, col("_data")).otherwise(
+            raise_error(lit("info: matching info series carry conflicting " +
+              "data labels")).cast("map<string,string>")))
+        .select(col("component"), col("win_start"), col("_ikey"), col("_data"))
+      val joined = v
+        .withColumn("_ikey", ikeyOf)
+        .join(infoKeyed, Seq("component", "win_start", "_ikey"), "left")
+      Vec(joined
+        .withColumn("labels",
+          when(col("_data").isNull, col("labels")).otherwise(
+            map_concat(
+              map_filter(col("_data"),
+                (k, _) => !map_contains_key(col("labels"), k)),
+              col("labels"))))
+        .drop("_ikey", "_data", "_ndk"))
     }
 
     private def require1(fn: String, args: Seq[PromExpr]): Unit =

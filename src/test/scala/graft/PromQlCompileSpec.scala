@@ -1039,6 +1039,66 @@ class PromQlCompileSpec extends SparkSuite {
     assert(lastTs.nonEmpty && lastTs === tsSel)
   }
 
+  test("info(): data-label join on (instance, job), pass-through, conflicts raise") {
+    import spark.implicits._
+    def row(name: String, tags: Map[String, String], ts: Long, id: String, v: Double) =
+      ("app", name, tags, ts, id, v)
+    val planted = Seq(
+      // v: two series with identifying labels, one without a match
+      row("req_total", Map("instance" -> "i1", "job" -> "api", "path" -> "/a"), 100L, "a", 1.0),
+      row("req_total", Map("instance" -> "i2", "job" -> "api"), 110L, "b", 2.0),
+      row("req_total", Map("instance" -> "i9", "job" -> "api"), 120L, "c", 3.0),
+      // target_info for i1/i2 (i9 has none)
+      row("target_info", Map("instance" -> "i1", "job" -> "api",
+        "cluster" -> "us", "path" -> "/info-side"), 130L, "d", 1.0),
+      row("target_info", Map("instance" -> "i2", "job" -> "api",
+        "cluster" -> "eu"), 140L, "e", 1.0),
+      // an alternate info metric for the __name__-selector case
+      row("build_info", Map("instance" -> "i2", "job" -> "api",
+        "version" -> "2.1"), 150L, "f", 1.0)
+    ).toDF("component", "name", "tags", "timestamp", "id", "value")
+    def series(q: String): Set[String] =
+      PromQl.compile(q, planted).select("series").collect().map(_.getString(0)).toSet
+    // default selector = target_info; v's own `path` wins over the info
+    // side's; i9 passes through unchanged
+    assert(series("info(req_total)") === Set(
+      "cluster=us,instance=i1,job=api,path=/a",
+      "cluster=eu,instance=i2,job=api",
+      "instance=i9,job=api"))
+    // a data-label matcher restricts the copied labels to its names AND
+    // the considered series to those matching it
+    assert(series("""info(req_total, {cluster="eu"})""") === Set(
+      "instance=i1,job=api,path=/a",
+      "cluster=eu,instance=i2,job=api",
+      "instance=i9,job=api"))
+    // __name__ matchers pick the info metric
+    assert(series("""info(req_total, {__name__="build_info"})""") === Set(
+      "instance=i1,job=api,path=/a",
+      "instance=i2,job=api,version=2.1",
+      "instance=i9,job=api"))
+    // two info series on the same (instance, job) with conflicting data
+    // labels raise; identical data labels deduplicate silently
+    val conflict = planted.unionByName(Seq(
+      row("target_info", Map("instance" -> "i1", "job" -> "api",
+        "cluster" -> "ap"), 160L, "g", 1.0)
+    ).toDF("component", "name", "tags", "timestamp", "id", "value"))
+    val e = intercept[Exception](
+      PromQl.compile("info(req_total)", conflict).collect())
+    assert(e.getMessage.contains("conflicting data labels"))
+    // distinct info series whose COPIED labels agree (a restricted
+    // selector copies only `cluster`, and both i2 series carry eu)
+    // deduplicate silently instead of raising
+    val dup = planted.unionByName(Seq(
+      row("target_info", Map("instance" -> "i2", "job" -> "api",
+        "cluster" -> "eu", "zone" -> "b"), 170L, "h", 1.0)
+    ).toDF("component", "name", "tags", "timestamp", "id", "value"))
+    assert(PromQl.compile("""info(req_total, {cluster=~".+"})""", dup)
+      .select("series").collect().map(_.getString(0)).toSet === Set(
+      "cluster=us,instance=i1,job=api,path=/a",
+      "cluster=eu,instance=i2,job=api",
+      "instance=i9,job=api"))
+  }
+
   test("sort_by_label orders naturally: digit runs compare as integers") {
     import spark.implicits._
     val planted = Seq(
