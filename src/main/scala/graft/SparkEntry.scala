@@ -715,6 +715,26 @@ object SparkEntry {
         .withColumn("value", lit(1.0))
       promql.PromQl.compile("info(error_total)", identified.unionByName(info))
     }),
+    // m49: INSTANT-query evaluation (Prometheus /api/v1/query): the
+    // per-user 2h increase AT the stream's newest timestamp — one
+    // lookback-anchored point, window-INTERIOR deltas over (t−2h, t]
+    // (t resolved with one tiny aggregate action, the anchor a real
+    // dashboard query supplies explicitly)
+    "m49_promql_instant" -> ((s, dir) => {
+      val m = metricsOf(s, dir)
+      val t = m.agg(max(col("timestamp"))).head().getLong(0)
+      promql.PromQl.compileInstant(
+        "sum by (user) (increase(view_total[2h]))", m, t)
+    }),
+    // m49b: the instant SELECTOR itself — each series' freshest sample
+    // in the lookback window (widened to a day so every live series
+    // answers; the default 5m is a production-scrape cadence, not the
+    // synthetic stream's)
+    "m49b_promql_instant_gauge" -> ((s, dir) => {
+      val m = metricsOf(s, dir)
+      val t = m.agg(max(col("timestamp"))).head().getLong(0)
+      promql.PromQl.compileInstant("view_total", m, t, lookbackSec = 86400L)
+    }),
     // per-source gopher-rule failure funnel
     "t18_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
@@ -2885,6 +2905,52 @@ object SparkEntry {
         |FROM e LEFT JOIN vt
         |  ON e.user_id = vt.user_id AND e.win_start = vt.win_start
         |WHERE e.rn = 1""".stripMargin,
+    // instant increase at t = max(ts): interior deltas (lag among the
+    // samples of (t−7200, t] only — the window filter runs BEFORE the
+    // lag, unlike the tumbling IncreaseCte), decimal-summed per user
+    "m49_promql_instant" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         CAST(event_id AS VARCHAR) AS id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |tt AS (SELECT max(ts_sec) AS t FROM m),
+        |w AS (
+        |  SELECT m.* FROM m, tt
+        |  WHERE m.name = 'view_total'
+        |    AND m.ts_sec > tt.t - 7200 AND m.ts_sec <= tt.t),
+        |d AS (
+        |  SELECT *, value - lag(value) OVER (
+        |    PARTITION BY component, name, series ORDER BY ts_sec, id) AS delta
+        |  FROM w),
+        |i AS (
+        |  SELECT component, series,
+        |    CASE WHEN delta IS NULL THEN 0.0
+        |         WHEN delta < 0 THEN value ELSE delta END AS inc
+        |  FROM d)
+        |SELECT component, '' AS name, series,
+        |  (SELECT t FROM tt) AS win_start,
+        |  CAST(sum(CAST(inc AS DECIMAL(18,6))) AS DOUBLE) AS value
+        |FROM i GROUP BY component, series""".stripMargin,
+    // the freshest sample per series in (t − 86400, t]
+    "m49b_promql_instant_gauge" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         CAST(event_id AS VARCHAR) AS id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |tt AS (SELECT max(ts_sec) AS t FROM m),
+        |r AS (
+        |  SELECT m.*, tt.t,
+        |    row_number() OVER (PARTITION BY component, name, series
+        |      ORDER BY ts_sec DESC, id DESC) AS rn
+        |  FROM m, tt
+        |  WHERE m.name = 'view_total'
+        |    AND m.ts_sec > tt.t - 86400 AND m.ts_sec <= tt.t)
+        |SELECT component, name, series, t AS win_start, value
+        |FROM r WHERE rn = 1""".stripMargin,
     // the natural-sort rank computed INDEPENDENTLY: tokenize the user
     // label value into digit/non-digit runs, left-pad digit runs so
     // byte order ranks them numerically, ORDER BY that key desc with

@@ -53,6 +53,14 @@ object Bpe {
 
   /** Train `numMerges` BPE merges on the corpus; stops early when the best
     * remaining pair falls under `minFreq`. Returns ranks in merge order.
+    *
+    * The per-merge `localCheckpoint` carries the usual cluster-fault
+    * caveat (an executor loss loses the truncated-lineage blocks): fine
+    * here because the trainer's loop is RESTARTABLE from its inputs —
+    * the vocabulary relation is one corpus scan away and merges are a
+    * driver-held list — unlike a view refresh, whose staging is durable
+    * ([[graft.sources.Ivm.Stages]]) because its intermediates feed a
+    * published commit.
     */
   def train(
       docs: DataFrame,

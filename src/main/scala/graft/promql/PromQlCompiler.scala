@@ -239,6 +239,45 @@ object PromQlCompiler {
     new Eval(labeled, stepSec, sliding = true).evalVec(PromQlParser.parse(query))
   }
 
+  /** INSTANT-query evaluation — Prometheus `/api/v1/query` semantics:
+    * the expression evaluates AT `tSec` (epoch seconds). Instant
+    * selectors take each series' latest sample in `(t − lookback, t]`
+    * (staleness-aware: a freshest-sample NaN marks the series stale and
+    * absent); range functions evaluate over `(t − R, t]` (the 3.x
+    * left-open range selector) on the window's INTERIOR samples;
+    * `offset` and `@` become constant timestamp shifts (`start()` /
+    * `end()` resolve to t). Result rows carry `win_start = t` — the
+    * evaluation timestamp — in the standard vector shape, so instant
+    * results union/join with grid results unchanged. `subqueryStepSec`
+    * sets the default step of `expr[R:]` subqueries (their inner
+    * expression evaluates on its tumbling step grid, whose points the
+    * outer range then selects — the engine's documented subquery model).
+    *
+    * Remaining divergences from a Prometheus server, both engine-wide
+    * and documented in the class doc: `rate`/`increase` are interior
+    * delta-sums (no boundary extrapolation), and exact-decimal /
+    * exact-quantile arithmetic replaces Go's float folds.
+    */
+  def compileInstant(
+      query: String, metrics: DataFrame, tSec: Long,
+      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L): DataFrame =
+    compileInstantVector(query, metrics, tSec, lookbackSec, subqueryStepSec)
+      .select(
+        col("component"), col("name"),
+        Firehose.seriesKey(col("labels")).as("series"),
+        col("win_start"), col("value"))
+
+  /** [[compileInstant]] to the labels-map relation. */
+  def compileInstantVector(
+      query: String, metrics: DataFrame, tSec: Long,
+      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L): DataFrame = {
+    require(lookbackSec > 0, s"lookback must be positive, got ${lookbackSec}s")
+    val labeled =
+      if (metrics.columns.contains("labels")) metrics else Firehose.tagFilter(metrics)
+    new Eval(labeled, subqueryStepSec, instantAt = Some(tSec),
+      lookbackSec = lookbackSec).evalVec(PromQlParser.parse(query))
+  }
+
   /** Natural-sort key: every digit run left-padded to a fixed width so
     * that byte-order comparison ranks runs numerically (`pod2` before
     * `pod10`), the ordering `sort_by_label` uses (Prometheus sorts label
@@ -329,10 +368,61 @@ object PromQlCompiler {
     }
   }
 
-  private final class Eval(metrics: DataFrame, stepSec: Long, sliding: Boolean = false) {
+  /** @param instantAt INSTANT evaluation mode (Prometheus
+    *                    `/api/v1/query`): the whole expression evaluates
+    *                    AT one point in time t instead of on a window
+    *                    grid. Instant selectors take each series' latest
+    *                    sample in the lookback window `(t − lookback, t]`
+    *                    (staleness-aware: a series whose freshest lookback
+    *                    sample is NaN — the engine's staleness-marker
+    *                    rendering, since parsed metric streams cannot
+    *                    carry NaN values — is ABSENT, per Prometheus);
+    *                    range functions evaluate over `(t − R, t]`
+    *                    (Prometheus 3.x's left-open range selector), with
+    *                    markers dropped from range vectors and the lag
+    *                    family (`increase`/`rate`) computing deltas among
+    *                    IN-WINDOW samples only — Prometheus's
+    *                    window-interior model, minus its boundary
+    *                    extrapolation (the engine-wide delta-sum
+    *                    divergence, documented above). `@` pins and
+    *                    `offset` become constant timestamp shifts
+    *                    (`start()`/`end()` both resolve to t — an instant
+    *                    query's range is the point itself); subqueries
+    *                    evaluate their inner expression on its tumbling
+    *                    step grid and range-select the grid points in
+    *                    `(t − R, t]`. Every result row carries
+    *                    `win_start = t` (the evaluation timestamp), so
+    *                    downstream joins/unions with grid results keep
+    *                    working. `stepSec` only sets the default subquery
+    *                    step in this mode.
+    * @param lookbackSec the instant-selector lookback delta (Prometheus's
+    *                    `--query.lookback-delta`, default 5m).
+    */
+  private final class Eval(
+      metrics: DataFrame, stepSec: Long, sliding: Boolean = false,
+      instantAt: Option[Long] = None, lookbackSec: Long = 300L) {
 
     private def winStart(ts: Column, w: Long): Column =
       (ts - pmod(ts, lit(w))).cast("long")
+
+    /** Resolve an `@` pin under instant evaluation: a literal timestamp
+      * stands; `start()`/`end()` both resolve to the evaluation time
+      * (an instant query's start and end ARE t, per Prometheus).
+      */
+    private def resolvePin(at: Long): Long =
+      if (at == PromQlAst.AtStart || at == PromQlAst.AtEnd) instantAt.get else at
+
+    /** The constant timestamp shift a selector's `@` pin induces under
+      * instant evaluation: samples move forward by (t − pin) so the one
+      * lookback/range window anchored at t selects exactly what a window
+      * anchored at the pin would — the pin is CONSUMED here, [[pinMaybe]]
+      * and the selector spread are identity in instant mode.
+      */
+    private def pinShift(sel: VectorSelector): Long =
+      (instantAt, sel.atSec) match {
+        case (Some(t), Some(a)) => t - resolvePin(a)
+        case _ => 0L
+      }
 
     private def labelVal(m: LabelMatcher): Column =
       if (m.label == "__name__") col("name")
@@ -360,24 +450,41 @@ object PromQlCompiler {
           metrics
       }
       val filtered = sel.matchers.foldLeft(named)((df, m) => df.filter(matcherPred(m)))
-      if (sel.offsetSec == 0) filtered
-      else filtered.withColumn("timestamp", col("timestamp") + lit(sel.offsetSec))
+      val shift = sel.offsetSec + pinShift(sel)
+      if (shift == 0) filtered
+      else filtered.withColumn("timestamp", col("timestamp") + lit(shift))
     }
 
     /** Instant selector: the window's latest sample per series — one
       * map-side-combinable `max_by` aggregation ([[Firehose.gaugeLatest]]
-      * per window).
+      * per window). Instant mode: ONE lookback window `(t − lookback, t]`
+      * with the staleness rule (freshest sample NaN → series absent).
       */
-    private def instant(sel: VectorSelector): DataFrame =
-      samples(sel)
-        .withColumn("win_start", winStart(col("timestamp"), stepSec))
-        .groupBy(
-          col("component"), col("name"),
-          Firehose.seriesKey(col("labels")).as("_sk"), col("win_start"))
-        .agg(
-          any_value(col("labels")).as("labels"),
-          max_by(col("value"), struct(col("timestamp"), col("id"))).as("value"))
-        .select("component", "name", "labels", "win_start", "value")
+    private def instant(sel: VectorSelector): DataFrame = instantAt match {
+      case Some(t) =>
+        samples(sel)
+          .filter(col("timestamp") > lit(t - lookbackSec) &&
+            col("timestamp") <= lit(t))
+          .groupBy(
+            col("component"), col("name"),
+            Firehose.seriesKey(col("labels")).as("_sk"))
+          .agg(
+            any_value(col("labels")).as("labels"),
+            max_by(col("value"), struct(col("timestamp"), col("id"))).as("value"))
+          .filter(!isnan(col("value")))
+          .select(col("component"), col("name"), col("labels"),
+            lit(t).as("win_start"), col("value"))
+      case None =>
+        samples(sel)
+          .withColumn("win_start", winStart(col("timestamp"), stepSec))
+          .groupBy(
+            col("component"), col("name"),
+            Firehose.seriesKey(col("labels")).as("_sk"), col("win_start"))
+          .agg(
+            any_value(col("labels")).as("labels"),
+            max_by(col("value"), struct(col("timestamp"), col("id"))).as("value"))
+          .select("component", "name", "labels", "win_start", "value")
+    }
 
     /** Range-vector argument of a range function: either a range selector
       * (raw samples, range R) or a subquery (the inner expression's
@@ -388,9 +495,18 @@ object PromQlCompiler {
     private def rangeSamples(
         fnName: String, arg: PromExpr): (DataFrame, Long, Option[Long]) = arg match {
       case RangeSelector(sel, r) =>
-        (samples(sel).select(
+        val raw = samples(sel).select(
           col("component"), col("name"), col("labels"),
-          col("timestamp"), col("id"), col("value")), r, sel.atSec)
+          col("timestamp"), col("id"), col("value"))
+        // instant mode: range vectors hold the window's interior only —
+        // filtered to (t − R, t] BEFORE the lag family runs (so
+        // increase's deltas are between in-window samples, Prometheus's
+        // model), with staleness markers dropped (a raw-stream NaN can
+        // only be an injected marker; derived subquery NaNs stay)
+        val windowed = instantAt.fold(raw)(t =>
+          raw.filter(col("timestamp") > lit(t - r) &&
+            col("timestamp") <= lit(t) && !isnan(col("value"))))
+        (windowed, r, sel.atSec)
       case Subquery(inner, r, step) =>
         val s = step.getOrElse(stepSec)
         if (r % s != 0) err(s"subquery step ${s}s must tile the range ${r}s")
@@ -407,13 +523,20 @@ object PromQlCompiler {
       * Shared by `absent` (report windows with nothing present) and the
       * `@` modifier (spread a pinned value across evaluation windows).
       */
-    private def streamGrid(gridStep: Long): DataFrame = {
-      val winCol = winStart(col("timestamp"), gridStep)
-      metrics
-        .groupBy(col("component"))
-        .agg(min(winCol).as("_w0"), max(winCol).as("_w1"))
-        .select(col("component"),
-          explode(sequence(col("_w0"), col("_w1"), lit(gridStep))).as("win_start"))
+    private def streamGrid(gridStep: Long): DataFrame = instantAt match {
+      case Some(t) =>
+        // instant mode: the "grid" is the one evaluation point — each
+        // observed component at win_start = t (absent still needs the
+        // component universe; time()/vector() take the single cell)
+        metrics.select(col("component")).distinct()
+          .withColumn("win_start", lit(t))
+      case None =>
+        val winCol = winStart(col("timestamp"), gridStep)
+        metrics
+          .groupBy(col("component"))
+          .agg(min(winCol).as("_w0"), max(winCol).as("_w1"))
+          .select(col("component"),
+            explode(sequence(col("_w0"), col("_w1"), lit(gridStep))).as("win_start"))
     }
 
     /** PromQL's `@` modifier: the relation pinned to the window holding
@@ -455,7 +578,9 @@ object PromQlCompiler {
       * own grid when tumbling, the step grid when sliding).
       */
     private def pinMaybe(df: DataFrame, at: Option[Long], r: Long): DataFrame =
-      at.fold(df)(t => pinSpread(df, t, if (sliding) stepSec else r))
+      // instant mode consumed the pin as a timestamp shift in samples()
+      if (instantAt.isDefined) df
+      else at.fold(df)(t => pinSpread(df, t, if (sliding) stepSec else r))
 
     private def addSeries(df: DataFrame): DataFrame =
       df.withColumn("series", Firehose.seriesKey(col("labels")))
@@ -467,7 +592,14 @@ object PromQlCompiler {
       * map-side ([[Firehose.slidingWindowAgg]]'s assignment rule).
       */
     private def assignWin(df: DataFrame, r: Long): DataFrame =
-      if (!sliding || r == stepSec)
+      if (instantAt.isDefined) {
+        val t = instantAt.get
+        // one window, anchored at the evaluation point (range-selector
+        // paths arrive pre-filtered from rangeSamples; absent's presence
+        // side and subquery grid points are filtered here)
+        df.filter(col("timestamp") > lit(t - r) && col("timestamp") <= lit(t))
+          .withColumn("win_start", lit(t))
+      } else if (!sliding || r == stepSec)
         df.withColumn("win_start", winStart(col("timestamp"), r))
       else {
         if (r % stepSec != 0)
@@ -868,10 +1000,19 @@ object PromQlCompiler {
           if (fnName == "absent") "vector selector" else "range selector"}")
       }
       if (sel.atSec.isDefined) err(s"@ is not meaningful under $fnName")
-      val gridStep = if (sliding) stepSec else r
+      // instant mode: `absent(x)` reports on the LOOKBACK window (the
+      // selector's own visibility), staleness-aware through instant();
+      // `absent_over_time(x[R])` on (t − R, t] with markers dropped
+      val rEff = if (instantAt.isDefined && fnName == "absent") lookbackSec else r
+      val gridStep = if (sliding) stepSec else rEff
       val grid = streamGrid(gridStep)
-      val present = assignWin(samples(sel), r)
-        .select(col("component"), col("win_start")).distinct()
+      val present =
+        if (instantAt.isDefined && fnName == "absent")
+          instant(sel).select(col("component"), col("win_start")).distinct()
+        else assignWin(
+          if (instantAt.isDefined) samples(sel).filter(!isnan(col("value")))
+          else samples(sel), rEff)
+          .select(col("component"), col("win_start")).distinct()
       val eqs = sel.matchers.filter(m => m.op == MatchOp.Eq && m.label != "__name__")
       val labelsCol =
         if (eqs.isEmpty) map_filter(map(lit(""), lit("")), (_, _) => lit(false))
@@ -1193,6 +1334,26 @@ object PromQlCompiler {
       * non-selector arguments).
       */
     private def timestampVec(arg: PromExpr): DataFrame = arg match {
+      case sel: VectorSelector if instantAt.isDefined =>
+        val t = instantAt.get
+        // the lookback's freshest sample, staleness-aware; the value is
+        // the sample's SURFACED time (post-offset, like the tumbling
+        // path) with the pin's evaluation shift removed — a pin moves
+        // where the selector evaluates, not when its sample happened
+        samples(sel)
+          .filter(col("timestamp") > lit(t - lookbackSec) &&
+            col("timestamp") <= lit(t))
+          .groupBy(
+            col("component"), col("name"),
+            Firehose.seriesKey(col("labels")).as("_sk"))
+          .agg(
+            any_value(col("labels")).as("labels"),
+            max_by(col("value"), struct(col("timestamp"), col("id"))).as("_v"),
+            max(col("timestamp")).as("_ts"))
+          .filter(!isnan(col("_v")))
+          .select(col("component"), col("name"), col("labels"),
+            lit(t).as("win_start"),
+            (col("_ts") - lit(pinShift(sel))).cast("double").as("value"))
       case sel: VectorSelector =>
         val ts = samples(sel)
           .withColumn("win_start", winStart(col("timestamp"), stepSec))
@@ -1365,13 +1526,15 @@ object PromQlCompiler {
       * would land on the same relation); label-split histograms come
       * from label matchers on the selector.
       */
-    private def nativeHistOf(fnName: String, rs: RangeSelector): DataFrame =
+    private def nativeHistOf(fnName: String, rs: RangeSelector): DataFrame = {
+      val raw = samples(rs.sel).select(
+        col("component"), col("name"), col("timestamp"), col("value"))
+      // instant mode: staleness markers drop from range vectors (the
+      // same rule rangeSamples applies; window filtering is assignWin's)
+      val obs = if (instantAt.isDefined) raw.filter(!isnan(col("value"))) else raw
       graft.operators.NativeHist.nativeHistogramKeyed(
-        assignWin(
-          samples(rs.sel).select(
-            col("component"), col("name"), col("timestamp"), col("value")),
-          rs.rangeSec),
-        schema = 0)
+        assignWin(obs, rs.rangeSec), schema = 0)
+    }
 
     private def rangeArgOf(fnName: String, arg: PromExpr): RangeSelector =
       arg match {
@@ -1808,8 +1971,10 @@ object PromQlCompiler {
       case s: VectorSelector =>
         // `x @ t`: the window-quantized gauge at t, spread across the
         // evaluation grid (offset, if any, applies first — samples shift,
-        // then the pin selects the shifted window)
-        Vec(s.atSec.fold(instant(s))(t => pinSpread(instant(s), t, stepSec)))
+        // then the pin selects the shifted window). Instant mode consumed
+        // the pin as a timestamp shift inside samples().
+        if (instantAt.isDefined) Vec(instant(s))
+        else Vec(s.atSec.fold(instant(s))(t => pinSpread(instant(s), t, stepSec)))
       case _: RangeSelector => err("range selector only valid as a range-function argument")
       case _: Subquery => err("subquery only valid as a range-function argument")
       case c: Call => evalCall(c.fn, c.args)
@@ -1846,4 +2011,12 @@ object PromQl {
     PromQlCompiler.compileSliding(query, metrics, stepSec)
   def compileSlidingVector(query: String, metrics: DataFrame, stepSec: Long = 900L): DataFrame =
     PromQlCompiler.compileSlidingVector(query, metrics, stepSec)
+  def compileInstant(
+      query: String, metrics: DataFrame, tSec: Long,
+      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L): DataFrame =
+    PromQlCompiler.compileInstant(query, metrics, tSec, lookbackSec, subqueryStepSec)
+  def compileInstantVector(
+      query: String, metrics: DataFrame, tSec: Long,
+      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L): DataFrame =
+    PromQlCompiler.compileInstantVector(query, metrics, tSec, lookbackSec, subqueryStepSec)
 }

@@ -20,6 +20,28 @@ private[sources] object Ivm {
 
   val GK = "_gk"
 
+  /** Refresh-scoped DURABLE staging, shared by both view flavors: each
+    * intermediate a refresh re-reads (the collected delta, the merged
+    * incremental arm, the recompute arm) lands as files via
+    * [[graft.Tables.materializeStageOwned]] instead of a bare
+    * `localCheckpoint` — truncated-lineage blocks are unrecoverable
+    * after executor loss on a real cluster, where a landed stage just
+    * re-reads. Stages live exactly as long as their refresh: the owner
+    * calls [[dropAll]] in a `finally` once the commit has published (or
+    * the refresh failed), so a refresh LOOP never grows the stage
+    * volume. A failed refresh retries safely either way — the commit's
+    * `expectedVersion` check makes double-apply impossible.
+    */
+  final class Stages {
+    private val roots = scala.collection.mutable.ArrayBuffer.empty[String]
+    def apply(df: DataFrame): DataFrame = {
+      val (out, root) = graft.Tables.materializeStageOwned(df)
+      roots += root
+      out
+    }
+    def dropAll(): Unit = roots.foreach(graft.Tables.dropStage)
+  }
+
   /** The concatenated group-key column — the view table's upsert key.
     * Unit separator between columns; nulls render distinct from the
     * string "null" via a sentinel.

@@ -200,12 +200,7 @@ object MaterializedJoinView {
     // refresh-scoped stage landings: durable while this refresh runs,
     // deleted once its commit has published (or the refresh failed) — a
     // refresh LOOP must not grow the stage volume without bound
-    val stages = scala.collection.mutable.ArrayBuffer.empty[String]
-    def stage(df: DataFrame): DataFrame = {
-      val (out, root) = graft.Tables.materializeStageOwned(df)
-      stages += root
-      out
-    }
+    val stage = new Ivm.Stages
     try {
     val dl = signedDelta(spark, d.leftRoot, d.leftVersion, lv)
     val dr = signedDelta(spark, d.rightRoot, d.rightVersion, rv)
@@ -321,6 +316,6 @@ object MaterializedJoinView {
     Versioned.replaceCommit(
       survivors, viewRoot, GK, deleteKeys = zeroed.sorted, props = newProps,
       expectedVersion = viewV)
-    } finally stages.foreach(graft.Tables.dropStage)
+    } finally stage.dropAll()
   }
 }

@@ -193,42 +193,46 @@ object MaterializedView {
     val carried = Versioned.markerProps(viewRoot, viewV)
       .filterNot { case (k, _) => k.startsWith("mv.") }
     val newProps = carried ++ propsOf(d.copy(srcVersion = vNow))
-    val cdf = filtered(
-      Versioned.changesBetween(spark, d.sourceRoot, d.srcVersion, vNow), d)
-    val sign = when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1))
-    // signed evidence + the no-touch lemma — the shared [[Ivm]] core
-    // (this is what makes a compact span a watermark-only commit)
-    val delta = Ivm.evidenceAgg(cdf, sign, d.groupCols, d.sumCols, d.minMaxCols)
-      .filter(Ivm.lemmaKeep(d.sumCols, d.minMaxCols))
-      .withColumn(GK, gkOf(d.groupCols))
-      .localCheckpoint()
-    val keys = delta.select(col(GK)).collect().map(_.getString(0)).toSeq.sorted
-    if (keys.isEmpty)
-      // watermark-only metadata commit (e.g. the span was a compact)
-      return Versioned.replaceCommit(
-        Versioned.latest(spark, viewRoot).filter(lit(false)),
-        viewRoot, GK, props = newProps, expectedVersion = viewV)
-    val old = Versioned.pointRead(spark, viewRoot, viewV, GK, keys)
-    // groups a delete touched (and that failed the lemma) lose their
-    // extremum evidence — recompute exactly those from the source
-    val recomputeKeys =
-      if (d.minMaxCols.isEmpty) Nil
-      else delta.filter(col("_del") === 1)
-        .select(col(GK)).collect().map(_.getString(0)).toSeq.sorted
-    val incr = Ivm.mergeIncr(
+    // refresh-scoped DURABLE staging (the shared [[Ivm.Stages]] core,
+    // the same fault story as the join view's): intermediates the
+    // refresh re-reads land as files, never lineage-truncated blocks
+    val stage = new Ivm.Stages
+    try {
+      val cdf = filtered(
+        Versioned.changesBetween(spark, d.sourceRoot, d.srcVersion, vNow), d)
+      val sign = when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1))
+      // signed evidence + the no-touch lemma — the shared [[Ivm]] core
+      // (this is what makes a compact span a watermark-only commit)
+      val delta = stage(
+        Ivm.evidenceAgg(cdf, sign, d.groupCols, d.sumCols, d.minMaxCols)
+          .filter(Ivm.lemmaKeep(d.sumCols, d.minMaxCols))
+          .withColumn(GK, gkOf(d.groupCols)))
+      val keys = delta.select(col(GK)).collect().map(_.getString(0)).toSeq.sorted
+      if (keys.isEmpty)
+        // watermark-only metadata commit (e.g. the span was a compact)
+        return Versioned.replaceCommit(
+          Versioned.latest(spark, viewRoot).filter(lit(false)),
+          viewRoot, GK, props = newProps, expectedVersion = viewV)
+      val old = Versioned.pointRead(spark, viewRoot, viewV, GK, keys)
+      // groups a delete touched (and that failed the lemma) lose their
+      // extremum evidence — recompute exactly those from the source
+      val recomputeKeys =
+        if (d.minMaxCols.isEmpty) Nil
+        else delta.filter(col("_del") === 1)
+          .select(col(GK)).collect().map(_.getString(0)).toSeq.sorted
+      val incr = stage(Ivm.mergeIncr(
         delta.filter(col("_del") === 0 || lit(d.minMaxCols.isEmpty)),
-        old, d.groupCols, d.sumCols, d.minMaxCols, "materialized view")
-      .localCheckpoint()
-    val recomputed =
-      if (recomputeKeys.isEmpty) None
-      else Some(
-        aggregated(filtered(Versioned.asOf(spark, d.sourceRoot, vNow), d), d)
-          .filter(col(GK).isin(recomputeKeys: _*))
-          .localCheckpoint())
-    val (survivors, zeroed) =
-      Ivm.survivorsAndZeroed(incr, recomputed, recomputeKeys, viewCols(d))
-    Versioned.replaceCommit(
-      survivors, viewRoot, GK, deleteKeys = zeroed.sorted, props = newProps,
-      expectedVersion = viewV)
+        old, d.groupCols, d.sumCols, d.minMaxCols, "materialized view"))
+      val recomputed =
+        if (recomputeKeys.isEmpty) None
+        else Some(stage(
+          aggregated(filtered(Versioned.asOf(spark, d.sourceRoot, vNow), d), d)
+            .filter(col(GK).isin(recomputeKeys: _*))))
+      val (survivors, zeroed) =
+        Ivm.survivorsAndZeroed(incr, recomputed, recomputeKeys, viewCols(d))
+      Versioned.replaceCommit(
+        survivors, viewRoot, GK, deleteKeys = zeroed.sorted, props = newProps,
+        expectedVersion = viewV)
+    } finally stage.dropAll()
   }
 }

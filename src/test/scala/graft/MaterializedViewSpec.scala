@@ -329,4 +329,29 @@ class MaterializedViewSpec extends SparkSuite {
       assert(rowsMM(MaterializedView.read(spark, view)) === model, s"step $step")
     }
   }
+
+  test("refresh cleans up its stage landings (stageDir does not grow)") {
+    // the single-table flavor routes staging through the same shared
+    // Ivm.Stages core the join view uses — durable while the refresh
+    // runs, dropped once its commit has published
+    val src = tmp("mv-stage-src"); val view = tmp("mv-stage-view")
+    val stageDir = tmp("mv-stage-stage")
+    spark.conf.set("spark.graft.stageDir", stageDir)
+    try {
+      mkSource(src, Seq((1L, "a", 1.5), (2L, "a", 2.0), (3L, "b", 4.0)))
+      MaterializedView.create(spark, src, view, Seq("g"), Seq("x"),
+        minMaxCols = Seq("x"))
+      mkSource(src, Seq((4L, "b", 6.0)))
+      // a delete span exercises the recompute arm's stage too
+      Versioned.deleteCommit(spark, src, "k", Seq("1"))
+      MaterializedView.refresh(spark, view)
+      val got = MaterializedView.read(spark, view)
+        .select(col("g"), col("cnt"), col("sum_x"), col("min_x"), col("max_x"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      assert(got === Set(("a", 1L, 2.0, 2.0, 2.0), ("b", 2L, 10.0, 4.0, 6.0)))
+      assert(new java.io.File(stageDir).list().isEmpty,
+        "stage landings leaked after refresh")
+    } finally spark.conf.unset("spark.graft.stageDir")
+  }
 }

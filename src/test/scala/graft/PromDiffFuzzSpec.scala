@@ -28,6 +28,14 @@ class PromDiffFuzzSpec extends SparkSuite {
 
   private val Step = 3600L
 
+  /** The three evaluation models under differential test: the tumbling /
+    * sliding window grids, and round 12's instant-at-t (Prometheus
+    * `/api/v1/query` — one lookback-anchored point).
+    */
+  private sealed trait Mode
+  private case class Grid(sliding: Boolean) extends Mode
+  private case class InstantMode(t: Long, lookback: Long) extends Mode
+
   private def dec(d: Double, scale: Int): BigDecimal =
     BigDecimal.decimal(d, MathContext.UNLIMITED).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
 
@@ -70,17 +78,37 @@ class PromDiffFuzzSpec extends SparkSuite {
       * window of the range's own grid, or — sliding — every step-grid
       * window whose `[w, w + R)` lookback holds it (the m33 assignment).
       */
-    private def winsOf(ts: Long, r: Long, sliding: Boolean): Seq[Long] =
-      if (!sliding || r == Step) Seq(win(ts, r))
-      else (0L until r / Step).map(j => win(ts, Step) - j * Step)
+    private def winsOf(ts: Long, r: Long, mode: Mode): Seq[Long] = mode match {
+      case Grid(false) => Seq(win(ts, r))
+      case Grid(true) if r == Step => Seq(win(ts, r))
+      case Grid(true) => (0L until r / Step).map(j => win(ts, Step) - j * Step)
+      // instant: the one window (t - r, t], or nowhere
+      case InstantMode(t, _) => if (ts > t - r && ts <= t) Seq(t) else Nil
+    }
 
-    def instant(ss: Seq[Sample]): RVec =
-      ss.groupBy(s => (s.name, s.labels, win(s.ts, Step))).map { case (k, g) =>
-        k -> g.maxBy(s => (s.ts, s.id)).value
+    def instant(ss: Seq[Sample], mode: Mode): RVec = mode match {
+      case _: Grid =>
+        ss.groupBy(s => (s.name, s.labels, win(s.ts, Step))).map { case (k, g) =>
+          k -> g.maxBy(s => (s.ts, s.id)).value
+        }
+      case InstantMode(t, lb) =>
+        // latest lookback sample per series, NaN-latest = stale = absent
+        ss.filter(s => s.ts > t - lb && s.ts <= t)
+          .groupBy(s => (s.name, s.labels))
+          .flatMap { case ((n, l), g) =>
+            val v = g.maxBy(s => (s.ts, s.id)).value
+            if (v.isNaN) None else Some((n, l, t) -> v)
+          }
+    }
+
+    def increase(ss: Seq[Sample], r: Long, asRate: Boolean, mode: Mode): RVec = {
+      // instant evaluation is window-INTERIOR: deltas among the samples
+      // of (t - r, t] only (the compiled path's documented model)
+      val base = mode match {
+        case InstantMode(t, _) => ss.filter(s => s.ts > t - r && s.ts <= t)
+        case _ => ss
       }
-
-    def increase(ss: Seq[Sample], r: Long, asRate: Boolean, sliding: Boolean): RVec =
-      ss.groupBy(s => (s.name, s.labels)).toSeq.flatMap { case ((n, l), g) =>
+      base.groupBy(s => (s.name, s.labels)).toSeq.flatMap { case ((n, l), g) =>
         val sorted = g.sortBy(s => (s.ts, s.id))
         val incs = sorted.zipWithIndex.flatMap { case (s, i) =>
           val inc =
@@ -89,16 +117,17 @@ class PromDiffFuzzSpec extends SparkSuite {
               val d = s.value - sorted(i - 1).value
               if (d < 0) s.value else d
             }
-          winsOf(s.ts, r, sliding).map(w => (w, inc))
+          winsOf(s.ts, r, mode).map(w => (w, inc))
         }
         incs.groupBy(_._1).map { case (w, is) =>
           val total = decSumNF(is.map(_._2))
           (n, l, w) -> (if (asRate) total / r.toDouble else total)
         }
       }.toMap
+    }
 
-    def overTime(ss: Seq[Sample], r: Long, fn: String, sliding: Boolean): RVec =
-      ss.flatMap(s => winsOf(s.ts, r, sliding).map(w => (s, w)))
+    def overTime(ss: Seq[Sample], r: Long, fn: String, mode: Mode): RVec =
+      ss.flatMap(s => winsOf(s.ts, r, mode).map(w => (s, w)))
         .groupBy { case (s, w) => (s.name, s.labels, w) }
         .map { case (k, g0) =>
           val g = g0.map(_._1)
@@ -137,8 +166,8 @@ class PromDiffFuzzSpec extends SparkSuite {
       * as exact decimal folds cast to double, the slope algebra in IEEE
       * doubles in the engine's expression order.
       */
-    def deriv(ss: Seq[Sample], r: Long, sliding: Boolean): RVec =
-      ss.flatMap(s => winsOf(s.ts, r, sliding).map(w => (s, w)))
+    def deriv(ss: Seq[Sample], r: Long, mode: Mode): RVec =
+      ss.flatMap(s => winsOf(s.ts, r, mode).map(w => (s, w)))
         .groupBy { case (s, w) => (s.name, s.labels, w) }
         .flatMap { case (k, g0) =>
           val g = g0.map(_._1)
@@ -347,59 +376,59 @@ class PromDiffFuzzSpec extends SparkSuite {
         } else Some(k -> arith(op, l, r))
       }
 
-    def eval(e: PromExpr, ss: Seq[Sample], sliding: Boolean = false): RVec = e match {
-      case VectorSelector(Some(n), Nil, 0L, None) => instant(ss.filter(_.name == n))
+    def eval(e: PromExpr, ss: Seq[Sample], mode: Mode = Grid(false)): RVec = e match {
+      case VectorSelector(Some(n), Nil, 0L, None) => instant(ss.filter(_.name == n), mode)
       case Call("increase", Seq(RangeSelector(VectorSelector(Some(n), Nil, 0L, None), r))) =>
-        increase(ss.filter(_.name == n), r, asRate = false, sliding)
+        increase(ss.filter(_.name == n), r, asRate = false, mode)
       case Call("rate", Seq(RangeSelector(VectorSelector(Some(n), Nil, 0L, None), r))) =>
-        increase(ss.filter(_.name == n), r, asRate = true, sliding)
+        increase(ss.filter(_.name == n), r, asRate = true, mode)
       case Call("deriv", Seq(RangeSelector(VectorSelector(Some(n), Nil, 0L, None), r))) =>
-        deriv(ss.filter(_.name == n), r, sliding)
+        deriv(ss.filter(_.name == n), r, mode)
       case Call("quantile_over_time",
           Seq(NumberLit(q), RangeSelector(VectorSelector(Some(n), Nil, 0L, None), r))) =>
         ss.filter(_.name == n)
-          .flatMap(s => winsOf(s.ts, r, sliding).map(w => (s, w)))
+          .flatMap(s => winsOf(s.ts, r, mode).map(w => (s, w)))
           .groupBy { case (s, w) => (s.name, s.labels, w) }
           .map { case (k, g) => k -> percentile4(g.map(_._1.value), q) }
       case Call("round", Seq(inner)) =>
-        eval(inner, ss, sliding).map { case (k, v) =>
+        eval(inner, ss, mode).map { case (k, v) =>
           k -> (math.floor(v + 0.5) / 1.0)
         }
       case Call("round", Seq(inner, NumberLit(to))) =>
         // the inverse spelling — promql/functions.go's funcRound
         val inv = 1.0 / to
-        eval(inner, ss, sliding).map { case (k, v) =>
+        eval(inner, ss, mode).map { case (k, v) =>
           k -> math.floor(v * inv + 0.5) / inv
         }
       case Call(fn, Seq(RangeSelector(VectorSelector(Some(n), Nil, 0L, None), r))) =>
-        overTime(ss.filter(_.name == n), r, fn, sliding)
+        overTime(ss.filter(_.name == n), r, fn, mode)
       case Call(fn, Seq(inner)) if calFns.contains(fn) =>
-        calendar(fn, eval(inner, ss, sliding))
+        calendar(fn, eval(inner, ss, mode))
       case Call(fn, Seq(inner)) if trigFns.contains(fn) =>
-        eval(inner, ss, sliding).map { case (k, v) => k -> trigFns(fn)(v) }
+        eval(inner, ss, mode).map { case (k, v) => k -> trigFns(fn)(v) }
       case Agg(op, inner, None, g) =>
         val by = g match {
           case AggGroup.All => None
           case AggGroup.By(Seq(l)) => Some(l)
           case other => sys.error(s"generator produced $other")
         }
-        agg(eval(inner, ss, sliding), op, by)
+        agg(eval(inner, ss, mode), op, by)
       case Agg("quantile", inner, Some(NumberLit(q)), g) =>
         val by = g match {
           case AggGroup.All => None
           case AggGroup.By(Seq(l)) => Some(l)
           case other => sys.error(s"generator produced $other")
         }
-        aggQuantile(eval(inner, ss, sliding), q, by)
-      case Neg(inner) => eval(inner, ss, sliding).map { case (k, v) => k -> (-v) }
+        aggQuantile(eval(inner, ss, mode), q, by)
+      case Neg(inner) => eval(inner, ss, mode).map { case (k, v) => k -> (-v) }
       case Binary(op, l, NumberLit(s), None, b) =>
-        vecScalar(eval(l, ss, sliding), s, op, vecLeft = true, b)
+        vecScalar(eval(l, ss, mode), s, op, vecLeft = true, b)
       case Binary(op, NumberLit(s), r, None, b) =>
-        vecScalar(eval(r, ss, sliding), s, op, vecLeft = false, b)
+        vecScalar(eval(r, ss, mode), s, op, vecLeft = false, b)
       case Binary(op, l, r, None, b) if Set("and", "or", "unless")(op) =>
-        setOp(op, eval(l, ss, sliding), eval(r, ss, sliding))
+        setOp(op, eval(l, ss, mode), eval(r, ss, mode))
       case Binary(op, l, r, None, b) =>
-        binary(op, b, eval(l, ss, sliding), eval(r, ss, sliding))
+        binary(op, b, eval(l, ss, mode), eval(r, ss, mode))
       case other => sys.error(s"generator produced unsupported $other")
     }
   }
@@ -413,17 +442,26 @@ class PromDiffFuzzSpec extends SparkSuite {
   private val fuzzIters = sys.env.get("GRAFT_FUZZ_ITERS").map(_.toInt).getOrElse(60)
 
   test("compiled plans match the independent interpreter on random trees") {
-    runFuzz(sliding = false, ranges = Seq(1800L, 3600L, 7200L),
+    runFuzz(Grid(false), ranges = Seq(1800L, 3600L, 7200L),
       seed = fuzzSeed.getOrElse(4242L))
   }
 
   test("sliding compiled plans match the sliding interpreter on random trees") {
     // sliding requires every range to be a step multiple
-    runFuzz(sliding = true, ranges = Seq(3600L, 7200L, 10800L),
+    runFuzz(Grid(true), ranges = Seq(3600L, 7200L, 10800L),
       seed = fuzzSeed.map(_ + 1).getOrElse(77L))
   }
 
-  private def runFuzz(sliding: Boolean, ranges: Seq[Long], seed: Long): Unit = {
+  test("instant compiled plans match the instant interpreter on random trees") {
+    // t sits inside the planted 4h span, deliberately OFF the grid
+    // (instant evaluation has no quantization to hide behind); the
+    // 1800s lookback covers the last few samples of every series
+    runFuzz(InstantMode(1704067200L + 13500L, 1800L),
+      ranges = Seq(1800L, 3600L, 7200L),
+      seed = fuzzSeed.map(_ + 2).getOrElse(1212L))
+  }
+
+  private def runFuzz(mode: Mode, ranges: Seq[Long], seed: Long): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(seed)
     val names = Seq("a_total", "b_total")
@@ -544,15 +582,19 @@ class PromDiffFuzzSpec extends SparkSuite {
       val query = PromQlPrinter.print(ast)
       val got: Either[String, Map[(String, Map[String, String], Long), Double]] =
         try
-          Right((if (sliding) PromQlCompiler.compileSlidingVector(query, metrics, Step)
-                 else PromQlCompiler.compileVector(query, metrics, Step))
+          Right((mode match {
+            case Grid(true) => PromQlCompiler.compileSlidingVector(query, metrics, Step)
+            case Grid(false) => PromQlCompiler.compileVector(query, metrics, Step)
+            case InstantMode(t, lb) =>
+              PromQlCompiler.compileInstantVector(query, metrics, t, lb, Step)
+          })
             .collect()
             .map(r => (r.getAs[String]("name"), r.getAs[Map[String, String]]("labels"),
               r.getAs[Long]("win_start")) -> r.getAs[Double]("value"))
             .toMap)
         catch { case e: Throwable if isM2m(e) => Left("many-to-many") }
       val want: Either[String, RVec] =
-        try Right(Ref.eval(PromQlParser.parse(query), samples, sliding))
+        try Right(Ref.eval(PromQlParser.parse(query), samples, mode))
         catch { case _: Ref.ManyToMany => Left("many-to-many") }
       (got, want) match {
         case (Left(_), Left(_)) => raises += 1 // both enforce the contract
