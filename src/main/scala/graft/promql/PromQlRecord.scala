@@ -1,9 +1,10 @@
 package graft.promql
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.sources.MaterializedView
+import graft.sources.{Ivm, MaterializedView, Versioned}
 
 /** INCREMENTAL recording rules — a PromQL `record` rule maintained as a
   * materialized view over a LANDED [[graft.sources.Versioned]] metric
@@ -44,10 +45,27 @@ import graft.sources.MaterializedView
   * avgs is NOT a flat average and `count by` counts SERIES, not
   * samples — both refused.
   *
-  * Everything else — `increase` (a lag over series order, not a group
-  * aggregate), subqueries, offsets/`@` pins, binary operators — refuses
-  * loudly with the supported grammar in the message; the batch loop
-  * remains the general path.
+  * `increase`/`rate` rules — the rules production fleets most commonly
+  * precompute — are NOT group aggregates (each sample's contribution is
+  * a lag over series order), so they take a dedicated maintainer
+  * instead of the view lowering: the table holds the per-(series,
+  * window) exact decimal increase PLUS one state row per series (the
+  * series' freshest `(ts, id, value)` — the same fold state
+  * [[graft.streaming.FirehoseStream.counterIncrease]] carries), and a
+  * refresh seeds the new span's first delta per series from that state.
+  * Sound ONLY on APPEND-ONLY, per-series-in-order lineage (a scrape
+  * pipeline's natural shape — and the only shape where a window's
+  * interior deltas are final): a change span that retracts samples, or
+  * appends behind a series' recorded head, refuses loudly and points at
+  * the batch loop (a compact's self-cancelling delete+insert pairs net
+  * out and stay maintainable). Both commits of a refresh ride ONE
+  * atomic `replaceCommit` — window rows and state rows live in the same
+  * table under kind-prefixed keys, so a crash can never tear state from
+  * sums.
+  *
+  * Everything else — subqueries, offsets/`@` pins, binary operators —
+  * refuses loudly with the supported grammar in the message; the batch
+  * loop remains the general path.
   *
   * Value contract: the landed samples must be finite (the view's exact
   * decimal lanes, like every Versioned numeric column, carry no
@@ -110,9 +128,10 @@ object PromQlRecord {
   private def err(msg: String): Nothing = throw PromQlCompileException(
     msg + " — incremental recording supports " +
       "`agg_over_time(metric{matchers}[R])` for agg in " +
-      "sum/min/max/count/avg, and the flat compositions " +
+      "sum/min/max/count/avg, the flat compositions " +
       "`sum by (ls) (sum_over_time|count_over_time)`, " +
-      "`min by (ls) (min_over_time)`, `max by (ls) (max_over_time)`; " +
+      "`min by (ls) (min_over_time)`, `max by (ls) (max_over_time)`, " +
+      "and `increase|rate(metric{matchers}[R])` on append-only lineage; " +
       "use the batch rule loop (PromQlRules.evaluate) for everything else")
 
   private case class Lowered(
@@ -183,27 +202,32 @@ object PromQlRecord {
       spark: SparkSession,
       ruleLine: String,
       sourceRoot: String,
-      viewRoot: String): Long = {
-    val lo = lower(ruleLine)
-    MaterializedView.create(
-      spark, sourceRoot, viewRoot, lo.groupCols, lo.sumCols,
-      minMaxCols = lo.minMaxCols, where = lo.where, exprCols = lo.exprCols,
-      extraProps = Map(
-        "rule.name" -> lo.ruleName,
-        "rule.fn" -> lo.fn,
-        "rule.by" -> lo.byLabels.map(_.mkString(",")).getOrElse("")))
+      viewRoot: String): Long = counterShape(ruleLine) match {
+    case Some(c) => Counter.create(spark, c, sourceRoot, viewRoot)
+    case None =>
+      val lo = lower(ruleLine)
+      MaterializedView.create(
+        spark, sourceRoot, viewRoot, lo.groupCols, lo.sumCols,
+        minMaxCols = lo.minMaxCols, where = lo.where, exprCols = lo.exprCols,
+        extraProps = Map(
+          "rule.name" -> lo.ruleName,
+          "rule.fn" -> lo.fn,
+          "rule.by" -> lo.byLabels.map(_.mkString(",")).getOrElse("")))
   }
 
   /** Advance the recorded series to the source's latest version —
-    * O(delta) via the change feed ([[MaterializedView.refresh]]).
+    * O(delta) via the change feed ([[MaterializedView.refresh]] for the
+    * group-aggregate lowerings, [[Counter.refresh]] for increase/rate).
     */
   def refresh(spark: SparkSession, viewRoot: String): Long =
-    MaterializedView.refresh(spark, viewRoot)
+    if (isCounter(viewRoot)) Counter.refresh(spark, viewRoot)
+    else MaterializedView.refresh(spark, viewRoot)
 
   /** The recorded series, rendered like every rule output:
     * `(component, name = rule name, series, win_start, value)`.
     */
   def read(spark: SparkSession, viewRoot: String): DataFrame = {
+    if (isCounter(viewRoot)) return Counter.read(spark, viewRoot)
     val p = graft.sources.Versioned.markerProps(
       viewRoot, graft.sources.Versioned.latestVersion(viewRoot))
     require(p.contains("rule.name") && p.contains("rule.fn"),
@@ -236,5 +260,259 @@ object PromQlRecord {
     v.select(
       col("component"), lit(ruleName).as("name"), series.as("series"),
       col("win_start"), value.as("value"))
+  }
+
+  // ───────────────────── increase / rate rules ─────────────────────
+
+  private case class LoweredCounter(
+      ruleName: String, fn: String, rangeSec: Long, where: String)
+
+  /** `Some` when the rule is a counter rule (`name =
+    * increase|rate(metric{matchers}[R])`), with the counter family's own
+    * refusals; `None` hands the rule to the group-aggregate lowering.
+    */
+  private def counterShape(ruleLine: String): Option[LoweredCounter] = {
+    val rule = PromQlRules.parse(ruleLine) match {
+      case Seq(r: PromQlRules.Rule) => r
+      case _ => err("expected exactly one `name = expr` recording rule")
+    }
+    PromQlParser.parse(rule.expr) match {
+      case Call(f @ ("increase" | "rate"), Seq(RangeSelector(sel, r))) =>
+        if (sel.name.isEmpty && sel.matchers.isEmpty)
+          err("the selector needs a metric name or at least one matcher")
+        if (sel.offsetSec != 0 || sel.atSec.nonEmpty)
+          err("offset/@ modifiers don't lower")
+        val where = (sel.name.map(n => s"name = ${sqlStr(n)}").toSeq ++
+          sel.matchers.map(matcherSql)).mkString(" AND ")
+        Some(LoweredCounter(rule.name, f, r, where))
+      case _ => None
+    }
+  }
+
+  private def isCounter(viewRoot: String): Boolean =
+    Versioned.markerProps(viewRoot, Versioned.latestVersion(viewRoot))
+      .contains("cr.sourceVersion")
+
+  /** The increase/rate maintainer — see the class doc's counter-rule
+    * section for the model. One Versioned table holds BOTH row kinds
+    * under kind-prefixed upsert keys:
+    *
+    *  - window rows (`_gk = W␟component␟name␟series␟win`): `cnt` samples,
+    *    exact decimal `inc` — the window's summed reset-clamped deltas,
+    *    the SAME per-sample math as the compiler's `increase`
+    *    (delta vs the series' previous sample anywhere in history,
+    *    a negative delta reads as a counter reset contributing `value`,
+    *    a series' first-ever sample contributes 0);
+    *  - state rows (`_gk = S␟component␟name␟series`): the series'
+    *    freshest `(last_ts, last_id, last_value)` — the seed for the
+    *    next span's first delta.
+    *
+    * Scale shape: create is the one O(table) pass (a shuffle by series
+    * for the lag — the compiler's own increase shape); each refresh
+    * reads only the change span's delta files, shuffles only the span,
+    * bloom point-reads exactly the state/window rows the span touches,
+    * and commits O(touched series + touched windows). The span's series
+    * and window keys travel to the driver only as point-read probe
+    * lists — the established O(delta) contract.
+    */
+  private object Counter {
+
+    private val GK = Ivm.GK
+    private val Sep = "\u001F"
+
+    private def winGk: Column = concat_ws(Sep, lit("W"), col("component"),
+      col("name"), col("series"), col("win_start").cast("string"))
+    private def stateGk: Column = concat_ws(Sep, lit("S"), col("component"),
+      col("name"), col("series"))
+
+    /** The engine's per-sample increase contribution, `prev` being the
+      * series' previous value (null = first-ever sample).
+      */
+    private def incOf(prev: Column): Column =
+      when(prev.isNull, lit(0.0))
+        .when(col("value") - prev < 0, col("value"))
+        .otherwise(col("value") - prev)
+
+    private def decSumInc: Column =
+      sum(col("_inc").cast("decimal(18,6)")).cast("decimal(28,6)").as("inc")
+
+    /** Normalize a metric relation to the counter table's input shape:
+      * the rule's WHERE, then `(component, name, series, timestamp, id,
+      * value)` with the rendered series key.
+      */
+    private def normalized(
+        df: DataFrame, where: String, extra: Seq[Column] = Nil): DataFrame = {
+      val kept = if (where.isEmpty) df else df.filter(expr(where))
+      kept.select(
+        Seq(col("component"), col("name"),
+          graft.operators.Firehose.seriesKey(col("labels")).as("series"),
+          col("timestamp").cast("long").as("timestamp"),
+          col("id").cast("string").as("id"),
+          col("value").cast("double").as("value")) ++ extra: _*)
+    }
+
+    private def lagWin =
+      Window.partitionBy("component", "name", "series")
+        .orderBy(col("timestamp"), col("id"))
+
+    private def winRows(windows: DataFrame): DataFrame =
+      windows.select(
+        col("component"), col("name"), col("series"), col("win_start"),
+        col("cnt"), col("inc"),
+        lit(null).cast("long").as("last_ts"),
+        lit(null).cast("string").as("last_id"),
+        lit(null).cast("double").as("last_value"),
+        winGk.as(GK))
+
+    private def stateRows(src: DataFrame): DataFrame =
+      src.groupBy(col("component"), col("name"), col("series"))
+        .agg(max(struct(col("timestamp"), col("id"), col("value"))).as("_l"))
+        .select(
+          col("component"), col("name"), col("series"),
+          lit(null).cast("long").as("win_start"),
+          lit(null).cast("long").as("cnt"),
+          lit(null).cast("decimal(28,6)").as("inc"),
+          col("_l.timestamp").as("last_ts"),
+          col("_l.id").as("last_id"),
+          col("_l.value").as("last_value"),
+          stateGk.as(GK))
+
+    private def propsOf(
+        c: LoweredCounter, sourceRoot: String, srcV: Long): Map[String, String] =
+      Map(
+        "rule.name" -> c.ruleName,
+        "rule.fn" -> c.fn,
+        "cr.range" -> c.rangeSec.toString,
+        "cr.where" -> c.where,
+        "cr.sourceRoot" -> sourceRoot,
+        "cr.sourceVersion" -> srcV.toString)
+
+    private def defOf(viewRoot: String): (LoweredCounter, String, Long) = {
+      val p = Versioned.markerProps(viewRoot, Versioned.latestVersion(viewRoot))
+      (LoweredCounter(p("rule.name"), p("rule.fn"), p("cr.range").toLong,
+        p.getOrElse("cr.where", "")),
+        p("cr.sourceRoot"), p("cr.sourceVersion").toLong)
+    }
+
+    def create(
+        spark: SparkSession,
+        c: LoweredCounter,
+        sourceRoot: String,
+        viewRoot: String): Long = {
+      val srcV = Versioned.latestVersion(sourceRoot)
+      require(srcV >= 0, s"no committed versions in $sourceRoot")
+      val src = normalized(Versioned.asOf(spark, sourceRoot, srcV), c.where)
+      val incs = src
+        .withColumn("_inc", incOf(lag(col("value"), 1).over(lagWin)))
+        .withColumn("win_start",
+          (col("timestamp") - pmod(col("timestamp"), lit(c.rangeSec))).cast("long"))
+      val windows = incs
+        .groupBy(col("component"), col("name"), col("series"), col("win_start"))
+        .agg(count(lit(1)).as("cnt"), decSumInc)
+      Versioned.appendCommit(
+        winRows(windows).unionByName(stateRows(src)), viewRoot,
+        bloomCols = Seq(GK), props = propsOf(c, sourceRoot, srcV))
+    }
+
+    def refresh(spark: SparkSession, viewRoot: String): Long = {
+      val (c, sourceRoot, srcV) = defOf(viewRoot)
+      val viewV = Versioned.latestVersion(viewRoot)
+      val vNow = Versioned.latestVersion(sourceRoot)
+      require(vNow >= srcV,
+        s"source $sourceRoot went backwards ($vNow < $srcV)")
+      if (vNow == srcV) return -1L
+      val newProps = propsOf(c, sourceRoot, vNow)
+      val stage = new Ivm.Stages
+      try {
+        val span = normalized(
+          Versioned.changesBetween(spark, sourceRoot, srcV, vNow), c.where,
+          extra = Seq(when(col("_change_type") === "insert", lit(1))
+            .otherwise(lit(-1)).as("_sign")))
+        // net multiplicity per sample: a compact's delete+insert of the
+        // same rows cancels to 0 (maintainable, possibly watermark-only);
+        // +1 is a genuinely appended sample; anything else breaks the
+        // append-only contract this maintainer is sound under
+        val netted = stage(span
+          .groupBy(col("component"), col("name"), col("series"),
+            col("timestamp"), col("id"), col("value"))
+          .agg(sum(col("_sign")).as("_net")))
+        val bad = netted.filter(col("_net") < 0 || col("_net") > 1)
+          .select(col("series"), col("timestamp"), col("id"), col("_net"))
+          .limit(1).collect()
+        if (bad.nonEmpty) {
+          val b = bad.head
+          throw new IllegalStateException(
+            s"counter rule '${c.ruleName}': the change span " +
+              s"v$srcV→v$vNow of $sourceRoot " +
+              (if (b.getLong(3) < 0) "retracts" else "re-appends") +
+              s" sample (series=${b.getString(0)}, ts=${b.getLong(1)}, " +
+              s"id=${b.getString(2)}) — increase/rate rules maintain " +
+              "APPEND-ONLY lineage; rebuild with create() or use the " +
+              "batch rule loop (PromQlRules.evaluate) for delete lineage")
+        }
+        val fresh = netted.filter(col("_net") === 1).drop("_net")
+        val sKeys = fresh.select(stateGk).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        if (sKeys.isEmpty)
+          // self-cancelling span (a compact): watermark-only commit
+          return Versioned.replaceCommit(
+            Versioned.latest(spark, viewRoot).filter(lit(false)),
+            viewRoot, GK, props = newProps, expectedVersion = viewV)
+        val state = Versioned.pointRead(spark, viewRoot, viewV, GK, sKeys)
+          .select(col("component"), col("name"), col("series"),
+            col("last_ts"), col("last_id"), col("last_value"))
+        // the seed is only valid when every new sample lands AFTER the
+        // series' recorded head — a backfill behind it would need the
+        // already-summed deltas around the insertion point re-cut
+        val ooo = fresh
+          .groupBy(col("component"), col("name"), col("series"))
+          .agg(min(struct(col("timestamp"), col("id"))).as("_first"))
+          .join(state, Seq("component", "name", "series"))
+          .filter(struct(col("last_ts"), col("last_id")) >= col("_first"))
+          .select(col("series"), col("_first.timestamp"))
+          .limit(1).collect()
+        if (ooo.nonEmpty)
+          throw new IllegalStateException(
+            s"counter rule '${c.ruleName}': the change span appends " +
+              s"sample(s) at/behind series ${ooo.head.getString(0)}'s " +
+              s"recorded head (ts=${ooo.head.getLong(1)}) — out-of-order " +
+              "backfills need create() or the batch rule loop")
+        val incs = fresh
+          .withColumn("_prev", lag(col("value"), 1).over(lagWin))
+          .join(state.select(col("component"), col("name"), col("series"),
+            col("last_value")), Seq("component", "name", "series"), "left")
+          .withColumn("_inc", incOf(coalesce(col("_prev"), col("last_value"))))
+          .withColumn("win_start",
+            (col("timestamp") - pmod(col("timestamp"), lit(c.rangeSec))).cast("long"))
+        val deltas = stage(incs
+          .groupBy(col("component"), col("name"), col("series"), col("win_start"))
+          .agg(count(lit(1)).as("_dcnt"), decSumInc.as("_dinc")))
+        val wKeys = deltas.select(winGk).collect().map(_.getString(0)).toSeq.sorted
+        val old = Versioned.pointRead(spark, viewRoot, viewV, GK, wKeys)
+          .select(col(GK), col("cnt"), col("inc"))
+        val merged = deltas.withColumn(GK, winGk).alias("d")
+          .join(old.alias("o"), Seq(GK), "left")
+          .select(
+            col("d.component"), col("d.name"), col("d.series"),
+            col("d.win_start"),
+            (coalesce(col("o.cnt"), lit(0L)) + col("d._dcnt")).as("cnt"),
+            (coalesce(col("o.inc"), Ivm.zero) + col("d._dinc"))
+              .cast("decimal(28,6)").as("inc"))
+        Versioned.replaceCommit(
+          winRows(merged).unionByName(stateRows(fresh)), viewRoot, GK,
+          bloomCols = Seq(GK), props = newProps, expectedVersion = viewV)
+      } finally stage.dropAll()
+    }
+
+    def read(spark: SparkSession, viewRoot: String): DataFrame = {
+      val (c, _, _) = defOf(viewRoot)
+      val value =
+        if (c.fn == "rate") (col("inc").cast("double") / lit(c.rangeSec.toDouble))
+        else col("inc").cast("double")
+      Versioned.latest(spark, viewRoot)
+        .filter(col("win_start").isNotNull)
+        .select(col("component"), lit(c.ruleName).as("name"), col("series"),
+          col("win_start"), value.as("value"))
+    }
   }
 }

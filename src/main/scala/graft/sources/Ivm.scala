@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * from and in small hooks: an extra aggregate (the join view's ΔA⋈ΔB
   * taint flag) and an extra lemma-keep predicate.
   */
-private[sources] object Ivm {
+private[graft] object Ivm {
 
   val GK = "_gk"
 

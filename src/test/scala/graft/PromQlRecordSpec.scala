@@ -193,12 +193,104 @@ class PromQlRecordSpec extends SparkSuite {
         PromQlRecord.create(spark, rule, src, tmp("recref-view")))
       assert(e.getMessage.contains("incremental recording supports"), rule)
     }
-    refused("r = increase(view_total[1h])")                  // lag, not a group agg
+    refused("r = sum by (user) (increase(view_total[1h]))")  // lag under an agg
     refused("r = avg by (user) (avg_over_time(view_total[1h]))") // avg-of-avgs
     refused("r = count by (user) (count_over_time(view_total[1h]))") // series count
     refused("r = sum by (user) (min_over_time(view_total[1h]))") // op/fn mismatch
     refused("r = sum_over_time(view_total[1h] offset 1h)")   // offset
     refused("r = sum_over_time(view_total[1h:30m])")         // subquery
     refused("r = view_total + 1")                            // binary
+    refused("r = increase(view_total[1h] offset 1h)")        // counter + offset
+    refused("r = rate(view_total[1h] @ 120)")                // counter + pin
+  }
+
+  // ───────────────── increase / rate counter rules ─────────────────
+
+  /** Timestamp cut points splitting the stream into three PER-SERIES
+    * IN-ORDER landings — the append-only lineage counter rules maintain.
+    */
+  private lazy val (cut1, cut2) = {
+    val r = metrics.agg(
+      expr("percentile(timestamp, 0.4)"), expr("percentile(timestamp, 0.7)"))
+      .head()
+    (r.getDouble(0).toLong, r.getDouble(1).toLong)
+  }
+
+  test("increase lifecycle: create, two append-span refreshes == batch loop") {
+    val rule = "app:views:inc1h = increase(view_total[1h])"
+    val src = tmp("recinc-src"); val view = tmp("recinc-view")
+    Versioned.appendCommit(metrics.filter(col("timestamp") <= cut1), src)
+    PromQlRecord.create(spark, rule, src, view)
+    assert(rendered(PromQlRecord.read(spark, view)) ===
+      batch(rule, metrics.filter(col("timestamp") <= cut1)))
+    // first append span: state rows seed the boundary-crossing deltas
+    Versioned.appendCommit(
+      metrics.filter(col("timestamp") > cut1 && col("timestamp") <= cut2), src)
+    assert(PromQlRecord.refresh(spark, view) >= 0)
+    assert(rendered(PromQlRecord.read(spark, view)) ===
+      batch(rule, metrics.filter(col("timestamp") <= cut2)))
+    // second append span; final view equals the batch loop over all
+    // samples bit-exactly (per-refresh decimal partials add exactly)
+    Versioned.appendCommit(metrics.filter(col("timestamp") > cut2), src)
+    assert(PromQlRecord.refresh(spark, view) >= 0)
+    assert(rendered(PromQlRecord.read(spark, view)) === batch(rule, metrics))
+    // caught-up refresh is a no-op
+    assert(PromQlRecord.refresh(spark, view) === -1L)
+  }
+
+  test("rate + matcher form equals the batch loop through a refresh") {
+    val rule = """app:v17:rate = rate(view_total{user=~"1.*|7"}[2h])"""
+    val src = tmp("recrate-src"); val view = tmp("recrate-view")
+    Versioned.appendCommit(metrics.filter(col("timestamp") <= cut2), src)
+    PromQlRecord.create(spark, rule, src, view)
+    Versioned.appendCommit(metrics.filter(col("timestamp") > cut2), src)
+    assert(PromQlRecord.refresh(spark, view) >= 0)
+    val got = rendered(PromQlRecord.read(spark, view))
+    val want = batch(rule, metrics)
+    assert(got.keySet === want.keySet && got.nonEmpty)
+    // rate divides the exact decimal increase by R as the last step —
+    // one double division, like the compiler
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, k) }
+  }
+
+  test("a source compact is a watermark-only refresh for counter rules too") {
+    val rule = "app:views:inc = increase(view_total[1h])"
+    val src = tmp("reccompinc-src"); val view = tmp("reccompinc-view")
+    Versioned.appendCommit(metrics.filter(col("timestamp") <= cut1), src)
+    Versioned.appendCommit(metrics.filter(col("timestamp") > cut1), src)
+    PromQlRecord.create(spark, rule, src, view)
+    val before = rendered(PromQlRecord.read(spark, view))
+    Versioned.compact(spark, src)
+    assert(PromQlRecord.refresh(spark, view) >= 0)
+    assert(rendered(PromQlRecord.read(spark, view)) === before)
+    // compact + append in ONE span: the compact's pairs net out, the
+    // appended samples maintain
+    Versioned.compact(spark, src)
+    Versioned.appendCommit(metrics.filter(col("timestamp") > cut1)
+      .withColumn("timestamp", col("timestamp") + lit(10000000L))
+      .withColumn("id", concat(lit("re-"), col("id"))), src)
+    assert(PromQlRecord.refresh(spark, view) >= 0)
+    assert(rendered(PromQlRecord.read(spark, view)) ===
+      batch(rule, Versioned.latest(spark, src)))
+  }
+
+  test("counter rules refuse delete spans and out-of-order appends loudly") {
+    val rule = "app:views:inc = increase(view_total[1h])"
+    val src = tmp("recrefinc-src"); val view = tmp("recrefinc-view")
+    Versioned.appendCommit(metrics.filter(col("timestamp") > cut1), src)
+    PromQlRecord.create(spark, rule, src, view)
+    // an append BEHIND the recorded heads (the earlier tercile) refuses
+    Versioned.appendCommit(metrics.filter(col("timestamp") <= cut1), src)
+    val e1 = intercept[IllegalStateException](PromQlRecord.refresh(spark, view))
+    assert(e1.getMessage.contains("recorded head"))
+    // rebuild (create is always sound — here over BOTH landings), then
+    // a delete span refuses
+    val view2 = tmp("recrefinc-view2")
+    PromQlRecord.create(spark, rule, src, view2)
+    Versioned.deleteWhere(spark, src, "id", col("id").cast("long") % 11 === 0)
+    val e2 = intercept[IllegalStateException](PromQlRecord.refresh(spark, view2))
+    assert(e2.getMessage.contains("APPEND-ONLY"))
+    // the refused refresh left the view untouched (watermark and rows)
+    assert(rendered(PromQlRecord.read(spark, view2)) === batch(rule, metrics))
   }
 }
