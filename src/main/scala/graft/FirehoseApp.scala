@@ -56,6 +56,11 @@ object FirehoseApp {
       |                    the landed metric table at <sourceRoot>; advance
       |                    it later with `--table mv-refresh <viewRoot>`,
       |                    render it with `--table record-read <viewRoot>`
+      |  --serve <root> [port]
+      |                    serve the Prometheus query API (/api/v1/query,
+      |                    /api/v1/query_range) over the landed metric
+      |                    table at <root> — each request answers from the
+      |                    newest committed version; port 0 picks a free one
       |  --table <cmd> <root> [n]
       |                    versioned-table maintenance: describe (history
       |                    with file/chunk/tombstone counts and props),
@@ -116,6 +121,12 @@ object FirehoseApp {
           m.put("app.record.view",
             operand("--record <rule> <sourceRoot> <viewRoot>", 3))
           i += 4
+        case "--serve" =>
+          m.put("app.serve", operand("--serve <root>"))
+          i += 2
+          if (i < args.length && args(i).forall(_.isDigit)) {
+            m.put("app.serve.port", args(i)); i += 1
+          }
         case "--table" =>
           m.put("app.table", operand("--table <cmd> <root>"))
           m.put("app.table.root", operand("--table <cmd> <root>", 2))
@@ -299,6 +310,19 @@ object FirehoseApp {
         println(s"[graft] recorded '$rule' as incremental view $view (v$v)")
       } finally spark.stop()
       return
+    }
+    // query API server: scrape in, store in Versioned, query out — the
+    // deployment loop's read side (PromQlHttp carries the semantics and
+    // its own end-to-end spec; this is just the operational wiring)
+    cfg.get("app.serve").foreach { root =>
+      val spark = Sessions.local(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-serve")
+      val server = graft.promql.PromQlHttp.startLandingServer(
+        spark, root, cfg.getInt("app.serve.port", 0))
+      println(s"[graft] query API on http://127.0.0.1:${
+        server.getAddress.getPort} over $root")
+      try Thread.currentThread().join() // serve until killed
+      finally { server.stop(0); spark.stop() }
     }
     // reference parity: print the effective layered configuration at startup
     // (ConfigUtils.printProperties / PrometheusPusher.java:127-130)

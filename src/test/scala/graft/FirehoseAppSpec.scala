@@ -29,6 +29,15 @@ class FirehoseAppSpec extends SparkSuite {
     assert(noRows.getBoolean("app.once", default = false))
   }
 
+  test("--serve args parse with optional port") {
+    val cfg = FirehoseApp.buildConfig(Array("--serve", "/x/landing", "9123"))
+    assert(cfg.getOrElse("app.serve", "?") === "/x/landing")
+    assert(cfg.getInt("app.serve.port", -1) === 9123)
+    val freePort = FirehoseApp.buildConfig(Array("--serve", "/x/landing"))
+    assert(freePort.getInt("app.serve.port", 0) === 0)
+    intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("--serve")))
+  }
+
   test("truncated operand lists report usage errors, not index crashes") {
     intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("--query", "q_cube")))
     intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("--query")))
