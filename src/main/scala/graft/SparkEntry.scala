@@ -735,6 +735,32 @@ object SparkEntry {
       val t = m.agg(max(col("timestamp"))).head().getLong(0)
       promql.PromQl.compileInstant("view_total", m, t, lookbackSec = 86400L)
     }),
+    // m50: the m49 instant query answered through TIME-RANGE FILE
+    // PRUNING — the metric corpus landed as a Versioned table in three
+    // time-split commits (per-file timestamp range stats), the query's
+    // visibility bounds walked from the AST, and only the intersecting
+    // files handed to the reader (PromQlVersionedSpec pins the scan
+    // census; at 100 TB this is the hours-not-the-year read). Same
+    // oracle as m49: pruning must not change a row.
+    "m50_promql_pruned_instant" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val m = Firehose.tagFilter(metricsOf(s, dir))
+        .select(col("component"), col("name"), col("labels"),
+          col("timestamp"), col("id"), col("value"))
+      val cuts = m.agg(
+        expr("percentile(timestamp, 0.4)"),
+        expr("percentile(timestamp, 0.7)"), max(col("timestamp"))).head()
+      val (c1, c2, t) =
+        (cuts.getDouble(0).toLong, cuts.getDouble(1).toLong, cuts.getLong(2))
+      val root = java.nio.file.Files.createTempDirectory("graft-m50")
+        .toFile.getAbsolutePath
+      promql.PromQlVersioned.land(m.filter(col("timestamp") <= c1), root)
+      promql.PromQlVersioned.land(
+        m.filter(col("timestamp") > c1 && col("timestamp") <= c2), root)
+      promql.PromQlVersioned.land(m.filter(col("timestamp") > c2), root)
+      promql.PromQlVersioned.compileInstant(
+        s, root, "sum by (user) (increase(view_total[2h]))", t)
+    }),
     // per-source gopher-rule failure funnel
     "t18_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
@@ -980,6 +1006,37 @@ object SparkEntry {
       Versioned.appendCommit(m.filter(part === 0), src)
       promql.PromQlRecord.refresh(s, view)
       Versioned.deleteWhere(s, src, "id", col("id").cast("long") % 7 === 0)
+      promql.PromQlRecord.refresh(s, view)
+      promql.PromQlRecord.read(s, view)
+    }),
+    // p13: an increase() recording rule maintained INCREMENTALLY on
+    // append-only lineage — the counter maintainer: per-(series,window)
+    // exact decimal increase rows + per-series head-state rows in one
+    // Versioned table, each refresh seeding the span's first delta from
+    // the recorded head (deletes/backfills refuse to the batch loop).
+    // Create on the oldest 40% of the stream, then two time-ordered
+    // append-span refreshes; the final series must equal DuckDB's
+    // full-history tumbling increase bit-exactly
+    "p13_record_increase" -> ((s, dir) => {
+      import graft.sources.Versioned
+      val m = Firehose.tagFilter(metricsOf(s, dir))
+        .select(col("component"), col("name"), col("labels"),
+          col("timestamp"), col("id"), col("value"))
+      val cuts = m.agg(
+        expr("percentile(timestamp, 0.4)"),
+        expr("percentile(timestamp, 0.7)")).head()
+      val (c1, c2) = (cuts.getDouble(0).toLong, cuts.getDouble(1).toLong)
+      val src = java.nio.file.Files.createTempDirectory("graft-p13-src")
+        .toFile.getAbsolutePath
+      val view = java.nio.file.Files.createTempDirectory("graft-p13-view")
+        .toFile.getAbsolutePath
+      Versioned.appendCommit(m.filter(col("timestamp") <= c1), src)
+      promql.PromQlRecord.create(s,
+        "app:views:inc1h = increase(view_total[1h])", src, view)
+      Versioned.appendCommit(
+        m.filter(col("timestamp") > c1 && col("timestamp") <= c2), src)
+      promql.PromQlRecord.refresh(s, view)
+      Versioned.appendCommit(m.filter(col("timestamp") > c2), src)
       promql.PromQlRecord.refresh(s, view)
       promql.PromQlRecord.read(s, view)
     }),
@@ -2545,6 +2602,15 @@ object SparkEntry {
         |FROM m
         |WHERE name = 'view_total' AND event_id % 7 <> 0
         |GROUP BY 1, 2, 3, 4""".stripMargin,
+    // p13: the incrementally-maintained increase rule must equal the
+    // full-history tumbling increase (reset-clamped lag deltas, the
+    // boundary-crossing delta counted in the window holding the later
+    // sample, exact decimal sums) under the rule's recorded name
+    "p13_record_increase" ->
+      (IncreaseCte(3600) +
+        """SELECT component, 'app:views:inc1h' AS name, series, win_start,
+          |  increase AS value
+          |FROM win WHERE name = 'view_total'""".stripMargin),
     // hour-of-day of each hourly window's freshest sample: both sides
     // are pure modular arithmetic on the max epoch second
     "m40_promql_time" ->
@@ -2909,6 +2975,34 @@ object SparkEntry {
     // samples of (t−7200, t] only — the window filter runs BEFORE the
     // lag, unlike the tumbling IncreaseCte), decimal-summed per user
     "m49_promql_instant" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         CAST(event_id AS VARCHAR) AS id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |tt AS (SELECT max(ts_sec) AS t FROM m),
+        |w AS (
+        |  SELECT m.* FROM m, tt
+        |  WHERE m.name = 'view_total'
+        |    AND m.ts_sec > tt.t - 7200 AND m.ts_sec <= tt.t),
+        |d AS (
+        |  SELECT *, value - lag(value) OVER (
+        |    PARTITION BY component, name, series ORDER BY ts_sec, id) AS delta
+        |  FROM w),
+        |i AS (
+        |  SELECT component, series,
+        |    CASE WHEN delta IS NULL THEN 0.0
+        |         WHEN delta < 0 THEN value ELSE delta END AS inc
+        |  FROM d)
+        |SELECT component, '' AS name, series,
+        |  (SELECT t FROM tt) AS win_start,
+        |  CAST(sum(CAST(inc AS DECIMAL(18,6))) AS DOUBLE) AS value
+        |FROM i GROUP BY component, series""".stripMargin,
+    // m50 answers the SAME instant query through the pruned landed
+    // read — the oracle is byte-identical to m49's: file pruning must
+    // never change a row
+    "m50_promql_pruned_instant" ->
       """WITH m AS (
         |  SELECT 'app' AS component, event_type || '_total' AS name,
         |         'user=' || CAST(user_id AS VARCHAR) AS series,
