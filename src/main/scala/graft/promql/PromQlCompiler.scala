@@ -278,6 +278,24 @@ object PromQlCompiler {
       lookbackSec = lookbackSec).evalVec(PromQlParser.parse(query))
   }
 
+  /** A label matcher's filter predicate over the labeled metric shape —
+    * `__name__` reads the name column, absent labels read as "", regexes
+    * are PromQL-anchored. ONE spelling shared by the compiler's selector
+    * filtering and the HTTP metadata endpoints' `match[]` handling.
+    */
+  private[promql] def matcherPred(m: LabelMatcher): Column = {
+    val v =
+      if (m.label == "__name__") col("name")
+      else coalesce(try_element_at(col("labels"), lit(m.label)), lit(""))
+    def anchored = "^(?:" + m.value + ")$"
+    m.op match {
+      case MatchOp.Eq => v === lit(m.value)
+      case MatchOp.Neq => v =!= lit(m.value)
+      case MatchOp.Re => v.rlike(anchored)
+      case MatchOp.NotRe => !v.rlike(anchored)
+    }
+  }
+
   /** Natural-sort key: every digit run left-padded to a fixed width so
     * that byte-order comparison ranks runs numerically (`pod2` before
     * `pod10`), the ordering `sort_by_label` uses (Prometheus sorts label
@@ -424,19 +442,11 @@ object PromQlCompiler {
         case _ => 0L
       }
 
-    private def labelVal(m: LabelMatcher): Column =
-      if (m.label == "__name__") col("name")
-      else coalesce(try_element_at(col("labels"), lit(m.label)), lit(""))
-
     /** PromQL regexes are fully anchored. */
     private def anchored(re: String): String = "^(?:" + re + ")$"
 
-    private def matcherPred(m: LabelMatcher): Column = m.op match {
-      case MatchOp.Eq => labelVal(m) === lit(m.value)
-      case MatchOp.Neq => labelVal(m) =!= lit(m.value)
-      case MatchOp.Re => labelVal(m).rlike(anchored(m.value))
-      case MatchOp.NotRe => !labelVal(m).rlike(anchored(m.value))
-    }
+    private def matcherPred(m: LabelMatcher): Column =
+      PromQlCompiler.matcherPred(m)
 
     /** Matcher-filtered raw samples of a selector, with `offset` applied
       * as a forward timestamp shift (a sample at t surfaces at evaluation

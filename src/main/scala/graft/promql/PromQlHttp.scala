@@ -35,6 +35,14 @@ import org.apache.spark.sql.functions._
   *    the right evaluation for the landed windows the engine maintains.
   *    `step` accepts seconds or a PromQL duration (`15s`, `1m`, `2h`).
   *
+  * The METADATA endpoints Grafana's autocomplete asks for are served
+  * too: `/api/v1/labels` (label names), `/api/v1/label/<n>/values`,
+  * and `/api/v1/series` — each over the optional `start`/`end` span
+  * (file-pruned on a landing server) filtered to the union of
+  * repeatable `match[]` series selectors through the compiler's own
+  * matcher predicate; the engine's `component` dimension and
+  * `__name__` surface as labels. Results are registry-sized.
+  *
   * Responses are Prometheus-exact JSON envelopes:
   * `{"status":"success","data":{"resultType":"vector"|"matrix",
   * "result":[{"metric":{…},"value":[t,"v"]|"values":[[t,"v"],…]}]}}`;
@@ -66,8 +74,16 @@ object PromQlHttp {
       (q, start, end, step) =>
         PromQl.compileSlidingVector(q, metrics(), step)
           .filter(col("win_start") >= lit(start) && col("win_start") <= lit(end)),
+      (startOpt, endOpt) => timeFiltered(metrics(), startOpt, endOpt),
       () => newestTs(metrics()),
       port)
+
+  private def timeFiltered(
+      m: DataFrame, startOpt: Option[Long], endOpt: Option[Long]): DataFrame = {
+    val lo = startOpt.fold(lit(true))(s => col("timestamp") >= lit(s))
+    val hi = endOpt.fold(lit(true))(e => col("timestamp") <= lit(e))
+    m.filter(lo && hi)
+  }
 
   /** The server over a [[graft.sources.Versioned]] LANDING with
     * time-range FILE PRUNING on both endpoints ([[PromQlVersioned]]):
@@ -88,12 +104,23 @@ object PromQlHttp {
           lookbackSec = lookback),
       (q, start, end, step) =>
         PromQlVersioned.compileRangeVector(spark, root, q, start, end, step),
+      (startOpt, endOpt) => (startOpt, endOpt) match {
+        // a bounded metadata span prunes files exactly like a query —
+        // the dominant Grafana pattern (label autocomplete scoped to
+        // the dashboard's time range)
+        case (Some(s), Some(e)) => graft.sources.Versioned.prunedRead(
+          spark, root, graft.sources.Versioned.latestVersion(root),
+          Seq(("timestamp", s.toDouble, e.toDouble)))
+        case _ => timeFiltered(
+          graft.sources.Versioned.latest(spark, root), startOpt, endOpt)
+      },
       () => newestTs(graft.sources.Versioned.latest(spark, root)),
       port)
 
   private def serve(
       instantFn: (String, Long, Long) => DataFrame,
       rangeFn: (String, Long, Long, Long) => DataFrame,
+      spanFn: (Option[Long], Option[Long]) => DataFrame,
       defaultTime: () => Long,
       port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -149,36 +176,122 @@ object PromQlHttp {
             "resultType" -> "\"matrix\"",
             "result" -> entries.mkString("[", ",", "]")))))
       })
+    // metadata endpoints — what Grafana's autocomplete asks for. All
+    // three answer over the (optionally time-bounded, match[]-filtered)
+    // span; results are registry-sized (distinct labels/values/series),
+    // never corpus-sized.
+    server.createContext("/api/v1/labels", (ex: HttpExchange) =>
+      respond(ex) { params =>
+        val m = matched(spanFn(params.get("start").map(parseTime),
+          params.get("end").map(parseTime)), params.matches)
+        val names = m.select(explode(map_keys(col("labels"))).as("l"))
+          .distinct().collect().map(_.getString(0)).toSet ++
+          Set("__name__", "component")
+        strListJson(names.toSeq.sorted)
+      })
+    // /api/v1/label/<name>/values — the label name rides the path
+    server.createContext("/api/v1/label", (ex: HttpExchange) =>
+      respond(ex) { params =>
+        val parts = ex.getRequestURI.getPath.split('/').toSeq.filter(_.nonEmpty)
+        // ("api", "v1", "label", <name>, "values")
+        if (parts.length != 5 || parts(4) != "values")
+          throw new IllegalArgumentException(
+            "expected /api/v1/label/<name>/values")
+        val label = URLDecoder.decode(parts(3), StandardCharsets.UTF_8)
+        val m = matched(spanFn(params.get("start").map(parseTime),
+          params.get("end").map(parseTime)), params.matches)
+        val valueCol = label match {
+          case "__name__" => col("name")
+          case "component" => col("component")
+          case l => try_element_at(col("labels"), lit(l))
+        }
+        val values = m.select(valueCol.as("v")).filter(col("v").isNotNull)
+          .distinct().collect().map(_.getString(0))
+        strListJson(values.toSeq.sorted)
+      })
+    server.createContext("/api/v1/series", (ex: HttpExchange) =>
+      respond(ex) { params =>
+        if (params.matches.isEmpty) throw new IllegalArgumentException(
+          "missing required parameter 'match[]'")
+        val m = matched(spanFn(params.get("start").map(parseTime),
+          params.get("end").map(parseTime)), params.matches)
+        // distinct SERIES — deduped on the rendered series key (a map
+        // column cannot join Spark's set operations directly)
+        val entries = m
+          .withColumn("_sk", graft.operators.Firehose.seriesKey(col("labels")))
+          .dropDuplicates("component", "name", "_sk")
+          .select(col("component"), col("name"), col("labels"))
+          .collect().toSeq
+          .map(r => metricJson(r.getString(0), r.getString(1),
+            r.getMap[String, String](2).toMap))
+          .sorted
+        jsonObj(Seq(
+          "status" -> "\"success\"",
+          "data" -> entries.mkString("[", ",", "]")))
+      })
     server.start()
     server
   }
 
+  /** The span filtered to the UNION of the `match[]` selectors (each a
+    * plain instant selector — Prometheus's series-selector grammar),
+    * through the compiler's own matcher predicate. No selectors = the
+    * whole span.
+    */
+  private def matched(span: DataFrame, matches: Seq[String]): DataFrame =
+    if (matches.isEmpty) span
+    else {
+      val preds = matches.map { m =>
+        PromQlParser.parse(m) match {
+          case VectorSelector(name, matchers, 0L, None) =>
+            (name.map(n => LabelMatcher("__name__", MatchOp.Eq, n)).toSeq ++
+              matchers)
+              .map(PromQlCompiler.matcherPred)
+              .reduceOption(_ && _).getOrElse(lit(true))
+          case _ => throw new IllegalArgumentException(
+            s"match[] must be a plain series selector, got: $m")
+        }
+      }
+      span.filter(preds.reduce(_ || _))
+    }
+
+  private def strListJson(xs: Seq[String]): String =
+    jsonObj(Seq(
+      "status" -> "\"success\"",
+      "data" -> xs.map(s => s""""${esc(s)}"""").mkString("[", ",", "]")))
+
   // ───────────────────────── request plumbing ─────────────────────────
+
+  /** Parsed request params: last-one-wins singles plus the MULTI-valued
+    * `match[]` list (the one param Prometheus reads as repeatable).
+    */
+  private final case class Params(kv: Map[String, String], matches: Seq[String]) {
+    def get(name: String): Option[String] = kv.get(name)
+  }
 
   /** Query-string + form-body params (Prometheus accepts both GET query
     * strings and POSTed `application/x-www-form-urlencoded` bodies; a
     * param in both places reads from the body, like Go's `FormValue`).
     */
-  private def paramsOf(ex: HttpExchange): Map[String, String] = {
-    def parse(s: String): Map[String, String] =
+  private def paramsOf(ex: HttpExchange): Params = {
+    def parse(s: String): Seq[(String, String)] =
       s.split('&').toSeq.filter(_.nonEmpty).flatMap { kv =>
         val i = kv.indexOf('=')
         if (i <= 0) None
         else Some(
           URLDecoder.decode(kv.take(i), StandardCharsets.UTF_8) ->
             URLDecoder.decode(kv.drop(i + 1), StandardCharsets.UTF_8))
-      }.toMap
-    val fromQuery = Option(ex.getRequestURI.getRawQuery).fold(
-      Map.empty[String, String])(parse)
-    val fromBody =
-      if (ex.getRequestMethod == "POST")
-        parse(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
-      else Map.empty[String, String]
-    fromQuery ++ fromBody
+      }
+    val pairs =
+      Option(ex.getRequestURI.getRawQuery).fold(Seq.empty[(String, String)])(parse) ++
+        (if (ex.getRequestMethod == "POST")
+          parse(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+        else Nil)
+    Params(pairs.toMap, pairs.collect { case ("match[]", v) => v })
   }
 
-  private def required(params: Map[String, String], name: String): String =
-    params.getOrElse(name,
+  private def required(params: Params, name: String): String =
+    params.get(name).getOrElse(
       throw new IllegalArgumentException(s"missing required parameter '$name'"))
 
   /** The landed stream's newest sample timestamp — the instant
@@ -206,7 +319,7 @@ object PromQlHttp {
         s"cannot parse '$s' as a duration: $msg"),
       identity))
 
-  private def respond(ex: HttpExchange)(body: Map[String, String] => String): Unit = {
+  private def respond(ex: HttpExchange)(body: Params => String): Unit = {
     val (code, json) =
       try (200, body(paramsOf(ex)))
       catch {

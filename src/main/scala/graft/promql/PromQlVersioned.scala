@@ -66,8 +66,13 @@ object PromQlVersioned {
     // `@`-pinned selector spreads its pinned value across the
     // component's OBSERVED window span (pinSpread over streamGrid) —
     // that span is itself universe-shaped, so pruning could drop grid
-    // windows a component earned only from out-of-span samples
-    case Subquery(inner, _, _) => hasPin(inner) || needsUniverse(inner)
+    // windows a component earned only from out-of-span samples. The
+    // same grid evaluation gives an inner `rate`/`increase` the
+    // FULL-SERIES crossing-delta lag — unbounded back-reach, also
+    // unprunable (caught by the pruning fuzz on
+    // `sum_over_time((increase(x[2d] offset 1h))[2d:1d])`)
+    case Subquery(inner, _, _) =>
+      hasPin(inner) || hasSeriesLag(inner) || needsUniverse(inner)
     case RangeSelector(sel, _) => needsUniverse(sel)
     case _: VectorSelector | _: NumberLit | _: StringLit => false
   }

@@ -153,6 +153,44 @@ class PromQlHttpSpec extends SparkSuite {
     } finally { plain.stop(0); landing.stop(0) }
   }
 
+  test("metadata endpoints: labels, label values, series — match[]-filtered") {
+    val server = PromQlHttp.startLandingServer(spark, root)
+    try {
+      val port = server.getAddress.getPort
+      // label names = map keys + the __name__/component dimensions
+      val (c1, labels) = get(port, "/api/v1/labels")
+      assert(c1 === 200)
+      assert(labels ===
+        """{"status":"success","data":["__name__","component","user"]}""")
+      // values of __name__ under a match[] filter
+      val (c2, names) = get(port,
+        s"/api/v1/label/__name__/values?match[]=${enc("""{user="7"}""")}")
+      assert(c2 === 200)
+      val direct = metrics.filter(expr("""try_element_at(labels, 'user') = '7'"""))
+        .select("name").distinct().collect().map(_.getString(0)).sorted
+      assert(names ===
+        s"""{"status":"success","data":[${direct.map("\"" + _ + "\"").mkString(",")}]}""")
+      // series for a selector, time-bounded to a half-day span
+      val t0 = tMax - 43200
+      val (c3, series) = get(port,
+        s"/api/v1/series?match[]=${enc("view_total")}&start=$t0&end=$tMax")
+      assert(c3 === 200)
+      val want = metrics.filter(col("name") === "view_total" &&
+        col("timestamp") >= t0 && col("timestamp") <= tMax)
+        .select(expr("try_element_at(labels, 'user')").as("u"))
+        .distinct().collect().map(_.getString(0)).sorted
+        .map(u =>
+          s"""{"__name__":"view_total","component":"app","user":"$u"}""")
+      assert(series ===
+        s"""{"status":"success","data":[${want.mkString(",")}]}""")
+      // series without match[] is a bad_data error, like Prometheus
+      assert(get(port, "/api/v1/series")._1 === 400)
+      // a non-selector match[] is refused
+      assert(get(port,
+        s"/api/v1/labels?match[]=${enc("sum(view_total)")}")._1 === 400)
+    } finally server.stop(0)
+  }
+
   test("malformed expressions get Prometheus's bad_data envelope") {
     val server = PromQlHttp.startQueryServer(
       () => Versioned.latest(spark, root))

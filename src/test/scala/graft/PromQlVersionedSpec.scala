@@ -161,6 +161,76 @@ class PromQlVersionedSpec extends SparkSuite {
       s, e, 900) === (s, e + 7200 + 1800))
   }
 
+  test("fuzz: pruned reads are row-identical to full scans (instant + grid legs)") {
+    // the bounds walks are interval arithmetic over the AST — exactly
+    // the kind of code an off-by-one hides in (two gaps were found by
+    // hand during construction: the fold-seed widening and the
+    // pin-under-subquery universe dependence), so a seeded differential
+    // fuzz guards them: random expressions drawing every bound-relevant
+    // construct, random evaluation anchors, pruned == full row sets
+    val seed = sys.env.getOrElse("GRAFT_FUZZ_SEED", "20260815").toLong
+    val iters = sys.env.getOrElse("GRAFT_FUZZ_ITERS", "15").toInt
+    val rnd = new scala.util.Random(seed)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.length))
+    val sels = Seq("view_total", "click_total", """view_total{user=~"1.*"}""",
+      """{user="7"}""")
+    val ranges = Seq("12h", "1d", "2d")
+    val overs = Seq("sum_over_time", "min_over_time", "max_over_time",
+      "count_over_time", "avg_over_time")
+    def modifier(): String = rnd.nextInt(4) match {
+      case 0 => ""
+      case 1 => s" offset ${pick(Seq("1h", "1d", "-2h"))}"
+      case 2 => s" @ ${q1 + rnd.nextInt(((q3 - q1) / 2).toInt.max(1))}"
+      case 3 => s" @ ${pick(Seq("start()", "end()"))}"
+    }
+    def leaf(): String = rnd.nextInt(5) match {
+      case 0 => s"${pick(sels)}${modifier()}"
+      case 1 | 2 => s"${pick(overs)}(${pick(sels)}[${pick(ranges)}]${modifier()})"
+      case 3 => s"increase(${pick(sels)}[${pick(ranges)}]${modifier()})"
+      case 4 => s"absent(${pick(sels)}${modifier()})"
+    }
+    def expr(depth: Int): String =
+      if (depth == 0) leaf()
+      else rnd.nextInt(4) match {
+        case 0 => leaf()
+        case 1 => s"sum by (user) (${expr(depth - 1)})"
+        case 2 => s"(${expr(depth - 1)}) ${pick(Seq("+", "or", "unless"))} (${expr(depth - 1)})"
+        case 3 => s"${pick(overs)}((${leaf()})[2d:1d])"
+      }
+    val full = Versioned.latest(spark, root)
+    // a drawn expression may be ILLEGAL (e.g. a 12h range inside a
+    // sliding-step evaluation that doesn't tile) — then both legs must
+    // refuse with the SAME error; Either-parity covers both worlds
+    def attempt(f: => Set[(String, String, Long, Double)]) =
+      try Right(f)
+      catch { case e: graft.promql.PromQlCompileException => Left(e.getMessage) }
+    (1 to iters).foreach { i =>
+      val q = expr(1 + rnd.nextInt(2))
+      // instant leg at a random (often non-aligned) anchor
+      val t = q1 + (rnd.nextLong().abs % (tMax - q1).max(1))
+      val lb = pick(Seq(3600L, 86400L))
+      val got = attempt(rows(
+        PromQlVersioned.compileInstant(spark, root, q, t, lookbackSec = lb)))
+      val want = attempt(rows(PromQl.compileInstant(q, full, t, lookbackSec = lb)))
+      assert(got === want, s"instant iter $i: $q @ $t lb=$lb")
+      // grid leg over a random sub-span (12h step: every drawn range
+      // and the [2d:1d] subquery tile it)
+      val step = 43200L
+      val start = q1 + (rnd.nextLong().abs % (q3 - q1).max(1))
+      val end = start + step * (1 + rnd.nextInt(7))
+      val gq = expr(1)
+      if (!gq.contains("@")) { // grid pins fall back — exercised above
+        val g = attempt(rows(
+          PromQlVersioned.compileRangeVector(spark, root, gq, start, end, step)
+            .select(col("name"), Firehose.seriesKey(col("labels")).as("series"),
+              col("win_start"), col("value"))))
+        val w = attempt(rows(PromQl.compileSliding(gq, full, step)
+          .filter(col("win_start") >= lit(start) && col("win_start") <= lit(end))))
+        assert(g === w, s"grid iter $i: $gq [$start, $end]")
+      }
+    }
+  }
+
   test("instantBounds interval arithmetic") {
     import graft.promql.PromQlVersioned.instantBounds
     val t = 1000000L
