@@ -761,6 +761,18 @@ object SparkEntry {
       promql.PromQlVersioned.compileInstant(
         s, root, "sum by (user) (increase(view_total[2h]))", t)
     }),
+    // m51: POINT-GRID range evaluation (Prometheus /api/v1/query_range,
+    // exactly): the per-user 2d interior increase at THREE daily points
+    // ending at the stream head — every point an independent instant
+    // evaluation, all in one plan (each sample explodes to the ≤ R/step
+    // + 1 points whose window sees it)
+    "m51_promql_range" -> ((s, dir) => {
+      val m = metricsOf(s, dir)
+      val t = m.agg(max(col("timestamp"))).head().getLong(0)
+      promql.PromQl.compileRange(
+        "sum by (user) (increase(view_total[2d]))", m,
+        t - 2 * 86400L, t, 86400L)
+    }),
     // per-source gopher-rule failure funnel
     "t18_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
@@ -3027,6 +3039,35 @@ object SparkEntry {
         |  (SELECT t FROM tt) AS win_start,
         |  CAST(sum(CAST(inc AS DECIMAL(18,6))) AS DOUBLE) AS value
         |FROM i GROUP BY component, series""".stripMargin,
+    // m51: the same interior-increase math at EACH of the three points
+    // independently — a points relation cross-joined into the window
+    // filter, the lag partitioned per point so every point's deltas are
+    // its own window's interior
+    "m51_promql_range" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         CAST(event_id AS VARCHAR) AS id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |tt AS (SELECT max(ts_sec) AS t FROM m),
+        |pts AS (SELECT t - 86400 * k AS p FROM tt, (VALUES (0), (1), (2)) v(k)),
+        |w AS (
+        |  SELECT m.*, pts.p FROM m, pts
+        |  WHERE m.name = 'view_total'
+        |    AND m.ts_sec > pts.p - 172800 AND m.ts_sec <= pts.p),
+        |d AS (
+        |  SELECT *, value - lag(value) OVER (
+        |    PARTITION BY component, name, series, p ORDER BY ts_sec, id) AS delta
+        |  FROM w),
+        |i AS (
+        |  SELECT component, series, p,
+        |    CASE WHEN delta IS NULL THEN 0.0
+        |         WHEN delta < 0 THEN value ELSE delta END AS inc
+        |  FROM d)
+        |SELECT component, '' AS name, series, p AS win_start,
+        |  CAST(sum(CAST(inc AS DECIMAL(18,6))) AS DOUBLE) AS value
+        |FROM i GROUP BY component, series, p""".stripMargin,
     // the freshest sample per series in (t − 86400, t]
     "m49b_promql_instant_gauge" ->
       """WITH m AS (

@@ -278,6 +278,48 @@ object PromQlCompiler {
       lookbackSec = lookbackSec).evalVec(PromQlParser.parse(query))
   }
 
+  /** RANGE-query evaluation — Prometheus `/api/v1/query_range`
+    * semantics, exactly: the expression evaluates independently at every
+    * point `p = startSec + i·stepSec ≤ endSec`, each point under the
+    * [[compileInstant]] rules (lookback-latest selectors with staleness
+    * markers, left-open `(p − R, p]` range windows with interior deltas,
+    * `start()`/`end()` = the range bounds, pins point-constant,
+    * absolute-time-aligned subquery grids). One Spark plan evaluates all
+    * points — each sample explodes to the ≤ ext/step + 1 points whose
+    * window sees it, the sliding tile bound, and every aggregation is
+    * already keyed per point. Result rows carry `win_start = p`.
+    *
+    * `compileRange(q, m, start, end, step)` filtered to one point ==
+    * `compileInstant(q, m, p)` row-for-row — the equivalence the spec
+    * and the range fuzz pin. The engine's own windowed models remain
+    * [[compile]] (tumbling) and [[compileSliding]] (step grid).
+    */
+  def compileRange(
+      query: String, metrics: DataFrame, startSec: Long, endSec: Long,
+      stepSec: Long, lookbackSec: Long = 300L,
+      subqueryStepSec: Long = 3600L): DataFrame =
+    compileRangeVector(query, metrics, startSec, endSec, stepSec,
+      lookbackSec, subqueryStepSec)
+      .select(
+        col("component"), col("name"),
+        Firehose.seriesKey(col("labels")).as("series"),
+        col("win_start"), col("value"))
+
+  /** [[compileRange]] to the labels-map relation. */
+  def compileRangeVector(
+      query: String, metrics: DataFrame, startSec: Long, endSec: Long,
+      stepSec: Long, lookbackSec: Long = 300L,
+      subqueryStepSec: Long = 3600L): DataFrame = {
+    require(stepSec > 0, s"step must be positive, got ${stepSec}s")
+    require(endSec >= startSec, s"end ($endSec) is before start ($startSec)")
+    require(lookbackSec > 0, s"lookback must be positive, got ${lookbackSec}s")
+    val labeled =
+      if (metrics.columns.contains("labels")) metrics else Firehose.tagFilter(metrics)
+    new Eval(labeled, subqueryStepSec, lookbackSec = lookbackSec,
+      pointGrid = Some((startSec, endSec, stepSec)))
+      .evalVec(PromQlParser.parse(query))
+  }
+
   /** A label matcher's filter predicate over the labeled metric shape —
     * `__name__` reads the name column, absent labels read as "", regexes
     * are PromQL-anchored. ONE spelling shared by the compiler's selector
@@ -415,20 +457,100 @@ object PromQlCompiler {
     *                    step in this mode.
     * @param lookbackSec the instant-selector lookback delta (Prometheus's
     *                    `--query.lookback-delta`, default 5m).
+    * @param pointGrid POINT-GRID evaluation — Prometheus
+    *                    `/api/v1/query_range` semantics, exactly: the
+    *                    expression evaluates INDEPENDENTLY at every point
+    *                    `p = start + i·step ≤ end`, each point with the
+    *                    instant rules (latest lookback sample per series,
+    *                    staleness-aware; range functions over the
+    *                    left-open `(p − R, p]` interior; `start()`/
+    *                    `end()` resolve to the range bounds). ONE Spark
+    *                    plan evaluates all points: each sample explodes
+    *                    to the grid points whose window sees it (≤
+    *                    ext/step + 1 copies — the sliding tile bound),
+    *                    and every window-local operator is already keyed
+    *                    by `win_start`, so per-point evaluation falls out
+    *                    of the same aggregations. The lag family gets a
+    *                    window-INTERIOR guard (a delta counts at p only
+    *                    when both endpoints lie in `(p − R, p]` — the
+    *                    instant model per point). `@`-pinned selectors
+    *                    are CONSTANT across points: the pinned call
+    *                    evaluates once in a nested instant Eval at the
+    *                    pin and cross-spreads over the LITERAL point
+    *                    sequence (never the observed stream span — no
+    *                    universe dependence). Subqueries keep the
+    *                    engine's inner tumbling-grid model (the instant
+    *                    convention — point p selects the inner grid
+    *                    points in `(p − R, p]`), with arbitrary R/step
+    *                    combinations legal since the selection is an
+    *                    explode, not a tiling. Mutually exclusive with
+    *                    `instantAt`/`sliding`; `stepSec` only sets the
+    *                    default subquery step. The one engine-wide
+    *                    divergence remains rate/increase's missing
+    *                    boundary extrapolation (interior delta sums).
     */
   private final class Eval(
       metrics: DataFrame, stepSec: Long, sliding: Boolean = false,
-      instantAt: Option[Long] = None, lookbackSec: Long = 300L) {
+      instantAt: Option[Long] = None, lookbackSec: Long = 300L,
+      pointGrid: Option[(Long, Long, Long)] = None) {
 
     private def winStart(ts: Column, w: Long): Column =
       (ts - pmod(ts, lit(w))).cast("long")
 
-    /** Resolve an `@` pin under instant evaluation: a literal timestamp
-      * stands; `start()`/`end()` both resolve to the evaluation time
-      * (an instant query's start and end ARE t, per Prometheus).
+    /** Resolve an `@` pin under instant/point-grid evaluation: a literal
+      * timestamp stands; `start()`/`end()` resolve to the evaluation
+      * time under instant (an instant query's start and end ARE t) and
+      * to the range bounds under a point grid — Prometheus's rule.
       */
-    private def resolvePin(at: Long): Long =
-      if (at == PromQlAst.AtStart || at == PromQlAst.AtEnd) instantAt.get else at
+    private def resolvePin(at: Long): Long = (instantAt, pointGrid) match {
+      case (Some(t), _) =>
+        if (at == PromQlAst.AtStart || at == PromQlAst.AtEnd) t else at
+      case (_, Some((s, e, _))) =>
+        if (at == PromQlAst.AtStart) s
+        else if (at == PromQlAst.AtEnd) e
+        else at
+      case _ => at
+    }
+
+    /** Point-grid: the grid points whose left-open window `(p − ext, p]`
+      * holds a sample at `ts` — `p ≥ ts` and `p < ts + ext`, clamped to
+      * the grid. Each sample lands in at most `ext/step + 1` points (the
+      * sliding tile bound); a sample outside every window explodes to
+      * nothing. The index arithmetic runs in doubles — exact here, since
+      * epochs and extents sit far below 2⁵².
+      */
+    private def coveringPoints(ts: Column, ext: Long): Column = {
+      val (s, e, st) = pointGrid.get
+      val n = (e - s) / st // last grid index
+      val d = ts - lit(s)
+      val iLo = when(d <= 0, lit(0L))
+        .otherwise(ceil(d.cast("double") / lit(st.toDouble)).cast("long"))
+      val iHi = least(lit(n),
+        floor((d + lit(ext - 1)).cast("double") / lit(st.toDouble)).cast("long"))
+      when(iLo <= iHi,
+        sequence(lit(s) + iLo * lit(st), lit(s) + iHi * lit(st), lit(st)))
+        .otherwise(array().cast("array<long>"))
+    }
+
+    /** The coarse sample-time bound outside which no grid point sees a
+      * sample — pushed to the scan so a bounded range query over a long
+      * stream reads its span, not the history.
+      */
+    private def pointSpanFilter(ext: Long): Column = {
+      val (s, e, st) = pointGrid.get
+      val last = s + ((e - s) / st) * st
+      col("timestamp") > lit(s - ext) && col("timestamp") <= lit(last)
+    }
+
+    /** Cross-spread a nested instant evaluation (a pinned, point-constant
+      * subexpression) over the LITERAL point sequence.
+      */
+    private def spreadPoints(df: DataFrame): DataFrame = {
+      val (s, e, st) = pointGrid.get
+      val last = s + ((e - s) / st) * st
+      df.drop("win_start")
+        .withColumn("win_start", explode(sequence(lit(s), lit(last), lit(st))))
+    }
 
     /** The constant timestamp shift a selector's `@` pin induces under
       * instant evaluation: samples move forward by (t − pin) so the one
@@ -484,6 +606,21 @@ object PromQlCompiler {
           .filter(!isnan(col("value")))
           .select(col("component"), col("name"), col("labels"),
             lit(t).as("win_start"), col("value"))
+      case None if pointGrid.isDefined =>
+        // per point p: the freshest sample in (p − lookback, p],
+        // staleness-aware — one explode + one map-side-combinable max_by
+        samples(sel)
+          .filter(pointSpanFilter(lookbackSec))
+          .withColumn("win_start",
+            explode(coveringPoints(col("timestamp"), lookbackSec)))
+          .groupBy(
+            col("component"), col("name"),
+            Firehose.seriesKey(col("labels")).as("_sk"), col("win_start"))
+          .agg(
+            any_value(col("labels")).as("labels"),
+            max_by(col("value"), struct(col("timestamp"), col("id"))).as("value"))
+          .filter(!isnan(col("value")))
+          .select("component", "name", "labels", "win_start", "value")
       case None =>
         samples(sel)
           .withColumn("win_start", winStart(col("timestamp"), stepSec))
@@ -513,13 +650,27 @@ object PromQlCompiler {
         // increase's deltas are between in-window samples, Prometheus's
         // model), with staleness markers dropped (a raw-stream NaN can
         // only be an injected marker; derived subquery NaNs stay)
-        val windowed = instantAt.fold(raw)(t =>
-          raw.filter(col("timestamp") > lit(t - r) &&
-            col("timestamp") <= lit(t) && !isnan(col("value"))))
+        val windowed =
+          if (pointGrid.isDefined)
+            // markers drop globally (only raw-stream NaNs can be
+            // markers); per-point window filtering is assignWin's —
+            // plus the pushable coarse span bound
+            raw.filter(pointSpanFilter(r) && !isnan(col("value")))
+          else instantAt.fold(raw)(t =>
+            raw.filter(col("timestamp") > lit(t - r) &&
+              col("timestamp") <= lit(t) && !isnan(col("value"))))
         (windowed, r, sel.atSec)
       case Subquery(inner, r, step) =>
+        // the engine's subquery model in every mode: the inner
+        // expression evaluates on its TUMBLING step grid, and the outer
+        // range selects the grid points — per evaluation window when
+        // tumbling/sliding (where the step must tile the range so points
+        // assign whole), per left-open point window under instant/point
+        // evaluation (a filter/explode — ANY range/step combination is
+        // legal there, as in Prometheus)
         val s = step.getOrElse(stepSec)
-        if (r % s != 0) err(s"subquery step ${s}s must tile the range ${r}s")
+        if (instantAt.isEmpty && pointGrid.isEmpty && r % s != 0)
+          err(s"subquery step ${s}s must tile the range ${r}s")
         val inner0 = new Eval(metrics, s, sliding).evalVec(inner)
         (inner0.select(
           col("component"), col("name"), col("labels"),
@@ -540,6 +691,9 @@ object PromQlCompiler {
         // component universe; time()/vector() take the single cell)
         metrics.select(col("component")).distinct()
           .withColumn("win_start", lit(t))
+      case None if pointGrid.isDefined =>
+        // point grid: components × the LITERAL point sequence
+        spreadPoints(metrics.select(col("component")).distinct())
       case None =>
         val winCol = winStart(col("timestamp"), gridStep)
         metrics
@@ -588,9 +742,14 @@ object PromQlCompiler {
       * own grid when tumbling, the step grid when sliding).
       */
     private def pinMaybe(df: DataFrame, at: Option[Long], r: Long): DataFrame =
-      // instant mode consumed the pin as a timestamp shift in samples()
+      // instant mode consumed the pin as a timestamp shift in samples();
+      // point-grid mode intercepted pinned calls in evalCall (nested
+      // instant + literal spread) before any aggregation ran
       if (instantAt.isDefined) df
-      else at.fold(df)(t => pinSpread(df, t, if (sliding) stepSec else r))
+      else if (pointGrid.isDefined) {
+        if (at.isDefined) err("unreachable: @ pin survived to pinMaybe under a point grid")
+        df
+      } else at.fold(df)(t => pinSpread(df, t, if (sliding) stepSec else r))
 
     private def addSeries(df: DataFrame): DataFrame =
       df.withColumn("series", Firehose.seriesKey(col("labels")))
@@ -609,6 +768,10 @@ object PromQlCompiler {
         // side and subquery grid points are filtered here)
         df.filter(col("timestamp") > lit(t - r) && col("timestamp") <= lit(t))
           .withColumn("win_start", lit(t))
+      } else if (pointGrid.isDefined) {
+        // one left-open window per grid point the sample can serve —
+        // the instant window, vectorized across the grid
+        df.withColumn("win_start", explode(coveringPoints(col("timestamp"), r)))
       } else if (!sliding || r == stepSec)
         df.withColumn("win_start", winStart(col("timestamp"), r))
       else {
@@ -646,15 +809,31 @@ object PromQlCompiler {
       // included the window
       val withInc = addSeries(ds)
         .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+        .withColumn("_prev_ts", lag(col("timestamp"), 1).over(w))
         .withColumn(
           "inc",
           when(col("delta").isNull, lit(0.0))
             .when(col("delta") < 0, col("value"))
             .otherwise(col("delta")))
+      val assigned = assignWin(withInc, r)
+      // point grid: a delta counts at point p only when BOTH endpoints
+      // lie in (p − R, p] — the window-INTERIOR model each point's
+      // instant evaluation uses (the full-order lag equals the in-window
+      // lag exactly when the previous sample is in the window; a
+      // window's first sample contributes 0, like instant mode's
+      // post-filter lag). Tumbling/sliding keep the engine's
+      // crossing-delta attribution unchanged.
+      val interior =
+        if (pointGrid.isEmpty) assigned
+        else assigned.withColumn(
+          "inc",
+          when(col("_prev_ts").isNull ||
+            col("_prev_ts") <= col("win_start") - lit(r), lit(0.0))
+            .otherwise(col("inc")))
       // a subquery can feed non-finite inner values (x/0): the finite
       // lane + flag reconstruction keeps increase(+Inf-series) = +Inf
       // instead of failing the decimal cast
-      val agg = assignWin(withInc, r)
+      val agg = interior
         .groupBy(rangeKeys: _*)
         .agg(
           any_value(col("labels")).as("labels"),
@@ -1010,17 +1189,19 @@ object PromQlCompiler {
           if (fnName == "absent") "vector selector" else "range selector"}")
       }
       if (sel.atSec.isDefined) err(s"@ is not meaningful under $fnName")
-      // instant mode: `absent(x)` reports on the LOOKBACK window (the
-      // selector's own visibility), staleness-aware through instant();
-      // `absent_over_time(x[R])` on (t − R, t] with markers dropped
-      val rEff = if (instantAt.isDefined && fnName == "absent") lookbackSec else r
+      // instant/point modes: `absent(x)` reports on the LOOKBACK window
+      // (the selector's own visibility), staleness-aware through
+      // instant(); `absent_over_time(x[R])` on the left-open range
+      // window with markers dropped
+      val pointish = instantAt.isDefined || pointGrid.isDefined
+      val rEff = if (pointish && fnName == "absent") lookbackSec else r
       val gridStep = if (sliding) stepSec else rEff
       val grid = streamGrid(gridStep)
       val present =
-        if (instantAt.isDefined && fnName == "absent")
+        if (pointish && fnName == "absent")
           instant(sel).select(col("component"), col("win_start")).distinct()
         else assignWin(
-          if (instantAt.isDefined) samples(sel).filter(!isnan(col("value")))
+          if (pointish) samples(sel).filter(!isnan(col("value")))
           else samples(sel), rEff)
           .select(col("component"), col("win_start")).distinct()
       val eqs = sel.matchers.filter(m => m.op == MatchOp.Eq && m.label != "__name__")
@@ -1074,7 +1255,76 @@ object PromQlCompiler {
       case Vec(_) => err("vector() expects a scalar argument")
     }
 
-    private def evalCall(fn: String, args: Seq[PromExpr]): Value = fn match {
+    /** Point-grid `@`: a pinned subexpression is CONSTANT across the
+      * evaluation points, so it evaluates ONCE — a nested instant Eval
+      * at the resolved pin (the instant machinery already carries the
+      * pin-as-shift semantics) — and cross-spreads over the literal
+      * point sequence. Never consults the observed stream span, so the
+      * spread is universe-free, unlike grid mode's pinSpread.
+      */
+    private def pointPinnedEval(e: PromExpr, atRaw: Long): Value = {
+      val p = resolvePin(atRaw)
+      val rewritten = rewritePins(e, p)
+      new Eval(metrics, stepSec, sliding = false, instantAt = Some(p),
+        lookbackSec = lookbackSec).eval(rewritten) match {
+        case Vec(df) => Vec(spreadPoints(df))
+        case WinScal(df) =>
+          // a per-window scalar (scalar(x @ p)) is point-constant too
+          val (s, e, st) = pointGrid.get
+          val last = s + ((e - s) / st) * st
+          WinScal(df.drop("_ws_win").withColumn("_ws_win",
+            explode(sequence(lit(s), lit(last), lit(st)))))
+        case other => other // plain scalars are point-independent anyway
+      }
+    }
+
+    private def rewritePins(e: PromExpr, p: Long): PromExpr = e match {
+      case s: VectorSelector if s.atSec.isDefined => s.copy(atSec = Some(p))
+      case RangeSelector(s, r) if s.atSec.isDefined =>
+        RangeSelector(s.copy(atSec = Some(p)), r)
+      case Call(fn, args) => Call(fn, args.map(rewritePins(_, p)))
+      case other => other
+    }
+
+    /** Point-grid interception for calls whose DIRECT selector argument
+      * is `@`-pinned: the whole call is point-constant — nested instant
+      * at the pin, literal spread. A call mixing a pinned selector with
+      * another per-point vector argument (info's data side) refuses
+      * loudly rather than silently pinning both.
+      */
+    private def pointPinCall(fn: String, args: Seq[PromExpr]): Option[Value] = {
+      val pins = args.flatMap {
+        case RangeSelector(s, _) => s.atSec.toSeq
+        case s: VectorSelector => s.atSec.toSeq
+        case _ => Seq.empty
+      }
+      if (pointGrid.isEmpty || pins.isEmpty) None
+      else {
+        val resolved = pins.map(resolvePin).distinct
+        if (resolved.length > 1)
+          err(s"$fn: mixed @ pins in one call are not supported under range evaluation")
+        val unpinnedVector = args.exists {
+          case _: NumberLit | _: StringLit => false
+          case RangeSelector(s, _) => s.atSec.isEmpty
+          case s: VectorSelector => s.atSec.isEmpty
+          case _ => true // a nested expression evaluates per point
+        }
+        if (unpinnedVector)
+          err(s"$fn: @ on one argument beside a per-point vector argument " +
+            "is not supported under range evaluation")
+        Some(pointPinnedEval(Call(fn, args), resolved.head))
+      }
+    }
+
+    private def evalCall(fn: String, args: Seq[PromExpr]): Value = {
+      pointPinCall(fn, args) match {
+        case Some(v) => return v
+        case None =>
+      }
+      evalCall0(fn, args)
+    }
+
+    private def evalCall0(fn: String, args: Seq[PromExpr]): Value = fn match {
       case "rate" | "increase" =>
         require1(fn, args)
         val (ds, r, at) = rangeSamples(fn, args.head)
@@ -1364,6 +1614,24 @@ object PromQlCompiler {
           .select(col("component"), col("name"), col("labels"),
             lit(t).as("win_start"),
             (col("_ts") - lit(pinShift(sel))).cast("double").as("value"))
+      case sel: VectorSelector if pointGrid.isDefined =>
+        // per point: the lookback's freshest sample's surfaced time,
+        // staleness-aware (pins never reach here — evalCall's nested
+        // instant shortcut consumed them)
+        samples(sel)
+          .filter(pointSpanFilter(lookbackSec))
+          .withColumn("win_start",
+            explode(coveringPoints(col("timestamp"), lookbackSec)))
+          .groupBy(
+            col("component"), col("name"),
+            Firehose.seriesKey(col("labels")).as("_sk"), col("win_start"))
+          .agg(
+            any_value(col("labels")).as("labels"),
+            max_by(col("value"), struct(col("timestamp"), col("id"))).as("_v"),
+            max(col("timestamp")).as("_ts"))
+          .filter(!isnan(col("_v")))
+          .select(col("component"), col("name"), col("labels"),
+            col("win_start"), col("_ts").cast("double").as("value"))
       case sel: VectorSelector =>
         val ts = samples(sel)
           .withColumn("win_start", winStart(col("timestamp"), stepSec))
@@ -1539,9 +1807,13 @@ object PromQlCompiler {
     private def nativeHistOf(fnName: String, rs: RangeSelector): DataFrame = {
       val raw = samples(rs.sel).select(
         col("component"), col("name"), col("timestamp"), col("value"))
-      // instant mode: staleness markers drop from range vectors (the
-      // same rule rangeSamples applies; window filtering is assignWin's)
-      val obs = if (instantAt.isDefined) raw.filter(!isnan(col("value"))) else raw
+      // instant/point modes: staleness markers drop from range vectors
+      // (the same rule rangeSamples applies; window filtering is
+      // assignWin's)
+      val obs =
+        if (instantAt.isDefined || pointGrid.isDefined)
+          raw.filter(!isnan(col("value")))
+        else raw
       graft.operators.NativeHist.nativeHistogramKeyed(
         assignWin(obs, rs.rangeSec), schema = 0)
     }
@@ -1982,8 +2254,12 @@ object PromQlCompiler {
         // `x @ t`: the window-quantized gauge at t, spread across the
         // evaluation grid (offset, if any, applies first — samples shift,
         // then the pin selects the shifted window). Instant mode consumed
-        // the pin as a timestamp shift inside samples().
+        // the pin as a timestamp shift inside samples(); a point grid
+        // evaluates the pinned selector ONCE at the pin (nested instant)
+        // and spreads it over the literal point sequence.
         if (instantAt.isDefined) Vec(instant(s))
+        else if (pointGrid.isDefined)
+          s.atSec.fold[Value](Vec(instant(s)))(a => pointPinnedEval(s, a))
         else Vec(s.atSec.fold(instant(s))(t => pinSpread(instant(s), t, stepSec)))
       case _: RangeSelector => err("range selector only valid as a range-function argument")
       case _: Subquery => err("subquery only valid as a range-function argument")
@@ -2029,4 +2305,12 @@ object PromQl {
       query: String, metrics: DataFrame, tSec: Long,
       lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L): DataFrame =
     PromQlCompiler.compileInstantVector(query, metrics, tSec, lookbackSec, subqueryStepSec)
+  def compileRange(
+      query: String, metrics: DataFrame, startSec: Long, endSec: Long,
+      stepSec: Long, lookbackSec: Long = 300L): DataFrame =
+    PromQlCompiler.compileRange(query, metrics, startSec, endSec, stepSec, lookbackSec)
+  def compileRangeVector(
+      query: String, metrics: DataFrame, startSec: Long, endSec: Long,
+      stepSec: Long, lookbackSec: Long = 300L): DataFrame =
+    PromQlCompiler.compileRangeVector(query, metrics, startSec, endSec, stepSec, lookbackSec)
 }

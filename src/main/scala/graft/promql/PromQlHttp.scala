@@ -26,14 +26,16 @@ import org.apache.spark.sql.functions._
   *    (seconds or PromQL duration) overrides the 5m delta — the server
   *    flag `--query.lookback-delta`, exposed per-query because each
   *    request may target a differently-scraped landing.
-  *  - `GET|POST /api/v1/query_range?query=Q&start=S&end=E&step=W` — the
-  *    ENGINE'S grid evaluation ([[PromQl.compileSlidingVector]] on the
-  *    `step` grid), filtered to `win_start ∈ [start, end]`. This is the
-  *    documented divergence from a Prometheus server (SURVEY m32): grid
-  *    windows are tumbling/step-sliding lookbacks, not per-point
-  *    5m-lookback instants — consistent with every batch operator, and
-  *    the right evaluation for the landed windows the engine maintains.
-  *    `step` accepts seconds or a PromQL duration (`15s`, `1m`, `2h`).
+  *  - `GET|POST /api/v1/query_range?query=Q&start=S&end=E&step=W` —
+  *    PROMETHEUS-EXACT point-grid evaluation by default
+  *    ([[PromQl.compileRangeVector]]: every point `start + i·step ≤ end`
+  *    evaluates independently under the instant rules — the wire
+  *    contract a Grafana client expects), with the engine's own windowed
+  *    step-grid model ([[PromQl.compileSlidingVector]] filtered to the
+  *    span) behind `mode=grid` for consumers of the landed-window
+  *    semantics every batch operator shares. `step` accepts seconds or
+  *    a PromQL duration (`15s`, `1m`, `2h`); `lookback` applies per
+  *    point like the instant endpoint's.
   *
   * The METADATA endpoints Grafana's autocomplete asks for are served
   * too: `/api/v1/labels` (label names), `/api/v1/label/<n>/values`,
@@ -71,9 +73,11 @@ object PromQlHttp {
     serve(
       (q, t, lookback) =>
         PromQl.compileInstantVector(q, metrics(), t, lookbackSec = lookback),
-      (q, start, end, step) =>
-        PromQl.compileSlidingVector(q, metrics(), step)
-          .filter(col("win_start") >= lit(start) && col("win_start") <= lit(end)),
+      (q, start, end, step, lookback, grid) =>
+        if (grid)
+          PromQl.compileSlidingVector(q, metrics(), step)
+            .filter(col("win_start") >= lit(start) && col("win_start") <= lit(end))
+        else PromQl.compileRangeVector(q, metrics(), start, end, step, lookback),
       (startOpt, endOpt) => timeFiltered(metrics(), startOpt, endOpt),
       () => newestTs(metrics()),
       port)
@@ -102,8 +106,11 @@ object PromQlHttp {
       (q, t, lookback) =>
         PromQlVersioned.compileInstantVector(spark, root, q, t,
           lookbackSec = lookback),
-      (q, start, end, step) =>
-        PromQlVersioned.compileRangeVector(spark, root, q, start, end, step),
+      (q, start, end, step, lookback, grid) =>
+        if (grid)
+          PromQlVersioned.compileGridRangeVector(spark, root, q, start, end, step)
+        else PromQlVersioned.compileRangeVector(
+          spark, root, q, start, end, step, lookbackSec = lookback),
       (startOpt, endOpt) => (startOpt, endOpt) match {
         // a bounded metadata span prunes files exactly like a query —
         // the dominant Grafana pattern (label autocomplete scoped to
@@ -119,7 +126,7 @@ object PromQlHttp {
 
   private def serve(
       instantFn: (String, Long, Long) => DataFrame,
-      rangeFn: (String, Long, Long, Long) => DataFrame,
+      rangeFn: (String, Long, Long, Long, Long, Boolean) => DataFrame,
       spanFn: (Option[Long], Option[Long]) => DataFrame,
       defaultTime: () => Long,
       port: Int): HttpServer = {
@@ -154,7 +161,17 @@ object PromQlHttp {
         if (end < start) throw new IllegalArgumentException(
           s"end ($end) is before start ($start)")
         if (step <= 0) throw new IllegalArgumentException("step must be positive")
-        val rows = rangeFn(q, start, end, step)
+        val lookback = params.get("lookback").map(parseDuration).getOrElse(300L)
+        // default = Prometheus point semantics (every point an instant
+        // evaluation); mode=grid selects the engine's windowed step-grid
+        // model instead
+        val grid = params.get("mode") match {
+          case None | Some("prometheus") => false
+          case Some("grid") => true
+          case Some(other) => throw new IllegalArgumentException(
+            s"unknown mode '$other' (expected 'prometheus' or 'grid')")
+        }
+        val rows = rangeFn(q, start, end, step, lookback, grid)
           .select(col("component"), col("name"), col("labels"),
             col("win_start"), col("value"))
           .collect()

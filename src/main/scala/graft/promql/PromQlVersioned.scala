@@ -115,9 +115,23 @@ object PromQlVersioned {
     */
   def instantBounds(
       expr: PromExpr, tSec: Long,
+      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L): (Long, Long) =
+    pointBounds(expr, tSec, tSec, lookbackSec, subqueryStepSec)
+
+  /** The closed sample interval a POINT-GRID evaluation over
+    * `[startSec, endSec]` can touch — [[instantBounds]] generalized:
+    * every point's backward reach anchors the relative interval to the
+    * span (`[start + lo, end + hi]`), pins stay absolute, and
+    * `start()`/`end()` resolve to the range bounds (the point-grid
+    * rule).
+    */
+  def pointBounds(
+      expr: PromExpr, startSec: Long, endSec: Long,
       lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L): (Long, Long) = {
     def resolvePin(a: Long): Long =
-      if (a == PromQlAst.AtStart || a == PromQlAst.AtEnd) tSec else a
+      if (a == PromQlAst.AtStart) startSec
+      else if (a == PromQlAst.AtEnd) endSec
+      else a
     def selReach(sel: VectorSelector, ext: Long): Reach = sel.atSec match {
       case Some(a) =>
         val base = resolvePin(a) - sel.offsetSec
@@ -149,11 +163,12 @@ object PromQlVersioned {
     }
     val r = walk(expr)
     // a fully-pinned expression (every selector `@`-anchored) needs
-    // nothing near t — its scan collapses to the pins alone, the case
-    // the far-lookback dashboards (`metric @ <last week>`) want
-    val rels = r.rel.map { case (lo, hi) => (tSec + lo, tSec + hi) }.toSeq
+    // nothing near the span — its scan collapses to the pins alone, the
+    // case the far-lookback dashboards (`metric @ <last week>`) want
+    val rels = r.rel.map { case (lo, hi) => (startSec + lo, endSec + hi) }.toSeq
     val all =
-      if (rels.isEmpty && r.pinned.isEmpty) Seq((tSec - lookbackSec, tSec))
+      if (rels.isEmpty && r.pinned.isEmpty)
+        Seq((startSec - lookbackSec, endSec))
       else rels ++ r.pinned
     (all.map(_._1).min, all.map(_._2).max)
   }
@@ -247,11 +262,12 @@ object PromQlVersioned {
     else (real.map(_._1).min, real.map(_._2).max)
   }
 
-  /** The metric relation a grid evaluation over `[startSec, endSec]`
-    * reads: pruned when the shape allows (universe-independent, pin-free,
-    * lag-free), the full version otherwise.
+  /** The metric relation the engine's step-GRID evaluation over
+    * `[startSec, endSec]` reads: pruned when the shape allows
+    * (universe-independent, pin-free, lag-free), the full version
+    * otherwise.
     */
-  def rangeMetrics(
+  def gridRangeMetrics(
       spark: SparkSession, root: String, query: String,
       startSec: Long, endSec: Long, stepSec: Long,
       subqueryStepSec: Long = 3600L): DataFrame = {
@@ -267,18 +283,55 @@ object PromQlVersioned {
     }
   }
 
-  /** The engine's step-grid (query_range) evaluation over the landing,
+  /** The engine's step-grid (windowed) evaluation over the landing,
     * file-pruned to the requested span, restricted to
     * `win_start ∈ [startSec, endSec]` — the labels-map relation.
     */
-  def compileRangeVector(
+  def compileGridRangeVector(
       spark: SparkSession, root: String, query: String,
       startSec: Long, endSec: Long, stepSec: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     PromQlCompiler.compileSlidingVector(query,
-      rangeMetrics(spark, root, query, startSec, endSec, stepSec), stepSec)
+      gridRangeMetrics(spark, root, query, startSec, endSec, stepSec), stepSec)
       .filter(col("win_start") >= lit(startSec) && col("win_start") <= lit(endSec))
   }
+
+  /** The metric relation a POINT-GRID (Prometheus `query_range`)
+    * evaluation over `[startSec, endSec]` reads. Point evaluation is
+    * strictly MORE prunable than the engine grid: every point's
+    * visibility is finite and backward-anchored, top-level pins spread
+    * over a LITERAL point sequence (no observed-span dependence), and
+    * increase/rate are window-interior per point — so the fallbacks
+    * reduce to exactly the instant rules ([[needsUniverse]]: the
+    * component-universe family plus pins/lag UNDER subqueries, whose
+    * inner still evaluates in grid mode).
+    */
+  def pointRangeMetrics(
+      spark: SparkSession, root: String, query: String,
+      startSec: Long, endSec: Long,
+      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L): DataFrame = {
+    val ast = PromQlParser.parse(query)
+    val v = Versioned.latestVersion(root)
+    require(v >= 0, s"no committed versions in $root")
+    if (needsUniverse(ast)) Versioned.asOf(spark, root, v)
+    else {
+      val (lo, hi) = pointBounds(ast, startSec, endSec, lookbackSec, subqueryStepSec)
+      Versioned.prunedRead(spark, root, v,
+        Seq(("timestamp", lo.toDouble, hi.toDouble)))
+    }
+  }
+
+  /** [[PromQl.compileRange]] (point-grid Prometheus `query_range`
+    * semantics) over the landing, file-pruned to the queried span —
+    * the labels-map relation.
+    */
+  def compileRangeVector(
+      spark: SparkSession, root: String, query: String,
+      startSec: Long, endSec: Long, stepSec: Long,
+      lookbackSec: Long = 300L): DataFrame =
+    PromQlCompiler.compileRangeVector(query,
+      pointRangeMetrics(spark, root, query, startSec, endSec, lookbackSec),
+      startSec, endSec, stepSec, lookbackSec)
 
   /** [[PromQl.compileInstant]] over the landing at `root`, reading only
     * the files whose timestamp stats intersect the query's visibility.

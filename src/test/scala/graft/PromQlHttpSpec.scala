@@ -99,7 +99,7 @@ class PromQlHttpSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
-  test("query_range over HTTP == the step-grid compile in [start, end]") {
+  test("query_range over HTTP == the point-grid compile (default), grid mode behind mode=grid") {
     val server = PromQlHttp.startQueryServer(
       () => Versioned.latest(spark, root))
     try {
@@ -107,15 +107,33 @@ class PromQlHttpSpec extends SparkSuite {
       val q = "sum by (user) (view_total)"
       val (start, end, step) = (tMax - 7 * 86400L, tMax, 86400L)
       val (code, body) = get(port,
-        s"/api/v1/query_range?query=${enc(q)}&start=$start&end=$end&step=1d")
+        s"/api/v1/query_range?query=${enc(q)}&start=$start&end=$end&step=1d" +
+          "&lookback=1d")
       assert(code === 200)
       assert(body.startsWith(
         """{"status":"success","data":{"resultType":"matrix","result":["""))
-      // every (series, point, value) the direct compile yields in the
-      // span appears as a values pair of its series' matrix entry
-      val direct = PromQl.compileSlidingVector(
+      // mode=grid selects the engine's windowed evaluation instead
+      val (gc, gBody) = get(port,
+        s"/api/v1/query_range?query=${enc(q)}&start=$start&end=$end&step=1d" +
+          "&mode=grid")
+      assert(gc === 200 && gBody != body)
+      val gDirect = PromQl.compileSlidingVector(
         q, Versioned.latest(spark, root), step)
         .filter(col("win_start") >= lit(start) && col("win_start") <= lit(end))
+        .select("labels", "win_start", "value").collect()
+      assert(gDirect.nonEmpty)
+      gDirect.foreach { r =>
+        val v = r.getDouble(2)
+        val fmt =
+          if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+          else v.toString
+        assert(gBody.contains(s"""[${r.getLong(1)},"$fmt"]"""),
+          s"grid mode missing point ${r.getLong(1)}")
+      }
+      // every (series, point, value) the direct POINT compile yields in
+      // the span appears as a values pair of its series' matrix entry
+      val direct = PromQl.compileRangeVector(
+        q, Versioned.latest(spark, root), start, end, step, lookbackSec = 86400L)
         .select("labels", "win_start", "value").collect()
       assert(direct.nonEmpty)
       direct.foreach { r =>

@@ -112,13 +112,13 @@ class PromQlVersionedSpec extends SparkSuite {
       rows(PromQl.compileInstant(sq, Versioned.latest(spark, root), tMax)))
   }
 
-  test("grid (query_range) pruning: a week's dashboard span reads its quarter") {
+  test("grid-mode range pruning: a week's dashboard span reads its quarter") {
     // window-local shape over the last week of the landed month
     val (start, end, step) = (tMax - 7 * 86400L, tMax, 86400L)
     val q = "sum by (user) (sum_over_time(view_total[1d]))"
-    val pruned = PromQlVersioned.rangeMetrics(spark, root, q, start, end, step)
+    val pruned = PromQlVersioned.gridRangeMetrics(spark, root, q, start, end, step)
     assert(files(pruned).size < allFiles.size && files(pruned).nonEmpty)
-    val got = rows(PromQlVersioned.compileRangeVector(
+    val got = rows(PromQlVersioned.compileGridRangeVector(
       spark, root, q, start, end, step)
       .select(col("name"), Firehose.seriesKey(col("labels")).as("series"),
         col("win_start"), col("value")))
@@ -134,12 +134,12 @@ class PromQlVersionedSpec extends SparkSuite {
     for (q <- Seq("increase(view_total[1d])",
         "sum by (user) (rate(view_total[1d]))",
         s"sum_over_time(view_total[1d] @ $q1)")) {
-      assert(files(PromQlVersioned.rangeMetrics(
+      assert(files(PromQlVersioned.gridRangeMetrics(
         spark, root, q, start, end, step)) === allFiles, q)
     }
     // and the fallback's rows still match the direct compile
     val q = "increase(view_total[1d])"
-    assert(rows(PromQlVersioned.compileRangeVector(spark, root, q, start, end, step)
+    assert(rows(PromQlVersioned.compileGridRangeVector(spark, root, q, start, end, step)
       .select(col("name"), Firehose.seriesKey(col("labels")).as("series"),
         col("win_start"), col("value"))) ===
       rows(PromQl.compileSliding(q, Versioned.latest(spark, root), step)
@@ -221,14 +221,49 @@ class PromQlVersionedSpec extends SparkSuite {
       val gq = expr(1)
       if (!gq.contains("@")) { // grid pins fall back — exercised above
         val g = attempt(rows(
-          PromQlVersioned.compileRangeVector(spark, root, gq, start, end, step)
+          PromQlVersioned.compileGridRangeVector(spark, root, gq, start, end, step)
             .select(col("name"), Firehose.seriesKey(col("labels")).as("series"),
               col("win_start"), col("value"))))
         val w = attempt(rows(PromQl.compileSliding(gq, full, step)
           .filter(col("win_start") >= lit(start) && col("win_start") <= lit(end))))
         assert(g === w, s"grid iter $i: $gq [$start, $end]")
       }
+      // point-range leg: the PRUNED point-grid compile == the full-scan
+      // one (pins and increase are prunable here, unlike grid mode)
+      val pg = attempt(rows(
+        PromQlVersioned.compileRangeVector(spark, root, q, start, end, step, lb)
+          .select(col("name"), Firehose.seriesKey(col("labels")).as("series"),
+            col("win_start"), col("value"))))
+      val pw = attempt(rows(
+        PromQl.compileRange(q, full, start, end, step, lookbackSec = lb)))
+      assert(pg === pw, s"point-range iter $i: $q [$start, $end]")
     }
+  }
+
+  test("point-range pruning: pins and increase ARE prunable per point") {
+    val (start, end, step) = (tMax - 2 * 86400L, tMax, 86400L)
+    // window-interior increase: backward-bounded visibility per point
+    val q = "sum by (user) (increase(view_total[1d]))"
+    val pruned = PromQlVersioned.pointRangeMetrics(spark, root, q, start, end)
+    assert(files(pruned).size === 1, "increase should prune under point semantics")
+    val got = rows(PromQlVersioned.compileRangeVector(
+      spark, root, q, start, end, step)
+      .select(col("name"), Firehose.seriesKey(col("labels")).as("series"),
+        col("win_start"), col("value")))
+    assert(got.nonEmpty && got ===
+      rows(PromQl.compileRange(q, Versioned.latest(spark, root), start, end, step)))
+    // a pinned call spreads over the LITERAL point sequence — its scan
+    // collapses to the pin's quarter, even under a range
+    val pin = (q1 + q2) / 2
+    val pq = s"sum_over_time(view_total[1d] @ $pin)"
+    assert(files(PromQlVersioned.pointRangeMetrics(
+      spark, root, pq, start, end)).size === 1)
+    val pGot = rows(PromQlVersioned.compileRangeVector(
+      spark, root, pq, start, end, step)
+      .select(col("name"), Firehose.seriesKey(col("labels")).as("series"),
+        col("win_start"), col("value")))
+    assert(pGot.nonEmpty && pGot ===
+      rows(PromQl.compileRange(pq, Versioned.latest(spark, root), start, end, step)))
   }
 
   test("instantBounds interval arithmetic") {
