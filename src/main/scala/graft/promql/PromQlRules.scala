@@ -110,7 +110,42 @@ object PromQlRules {
       rulesText: String,
       metrics: DataFrame,
       stepSec: Long = 3600L,
-      sliding: Boolean = false): Map[String, DataFrame] = {
+      sliding: Boolean = false): Map[String, DataFrame] =
+    evalCore(rulesText, metrics, stepSec,
+      (expr, universe) =>
+        if (sliding) PromQlCompiler.compileSlidingVector(expr, universe, stepSec)
+        else PromQlCompiler.compileVector(expr, universe, stepSec),
+      checkTumblingRanges = !sliding)
+
+  /** The rule fleet evaluated on a POINT GRID — Prometheus's own rule
+    * cadence: every rule evaluates as an instant query at each point
+    * `start + i·step ≤ end` ([[PromQlCompiler.compileRangeVector]]),
+    * recording rules re-entering the universe as samples AT their
+    * evaluation points (a later rule's instant selector sees them — the
+    * left-open lookback window includes its own point, exactly
+    * Prometheus's same-cycle visibility), and an alert's `for d` firing
+    * after `d/step + 1` consecutive breaching points (`d` a multiple of
+    * the step; no grid-alignment demands — every output lands on the
+    * point grid by construction).
+    */
+  def evaluateRange(
+      rulesText: String,
+      metrics: DataFrame,
+      startSec: Long,
+      endSec: Long,
+      stepSec: Long,
+      lookbackSec: Long = 300L): Map[String, DataFrame] =
+    evalCore(rulesText, metrics, stepSec,
+      (expr, universe) => PromQlCompiler.compileRangeVector(
+        expr, universe, startSec, endSec, stepSec, lookbackSec),
+      checkTumblingRanges = false)
+
+  private def evalCore(
+      rulesText: String,
+      metrics: DataFrame,
+      stepSec: Long,
+      compileOne0: (String, DataFrame) => DataFrame,
+      checkTumblingRanges: Boolean): Map[String, DataFrame] = {
     import org.apache.spark.sql.expressions.Window
     val rules = parse(rulesText)
     var universe =
@@ -118,9 +153,7 @@ object PromQlRules {
         .select(col("component"), col("name"), col("labels"),
           col("timestamp"), col("id"), col("value"))
     val out = Map.newBuilder[String, DataFrame]
-    def compileOne(expr: String): DataFrame =
-      if (sliding) PromQlCompiler.compileSlidingVector(expr, universe, stepSec)
-      else PromQlCompiler.compileVector(expr, universe, stepSec)
+    def compileOne(expr: String): DataFrame = compileOne0(expr, universe)
     rules.foreach {
       case Rule(name, expr) =>
         // the recorded series: rule name, window start as sample time
@@ -142,7 +175,7 @@ object PromQlRules {
         // 3600s step would silently never fire — enforce the documented
         // requirement loudly instead (sliding mode lands everything on
         // the step grid and needs no check)
-        if (forSec > 0 && !sliding) {
+        if (forSec > 0 && checkTumblingRanges) {
           def ranges(e: PromExpr): Seq[Long] = e match {
             case RangeSelector(_, r) => Seq(r)
             // the enclosing range function lands its output on the

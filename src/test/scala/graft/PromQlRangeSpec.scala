@@ -122,6 +122,43 @@ class PromQlRangeSpec extends SparkSuite {
     pin("vector(1)", nonEmpty = true)
   }
 
+  test("rules on the point cadence: chain, same-cycle visibility, for-duration") {
+    import graft.promql.PromQlRules
+    // a record-rule chain evaluated per point equals the direct
+    // composition — the recorded samples land AT their points and the
+    // next rule's instant selector sees them same-cycle (the left-open
+    // lookback window includes its own point)
+    val outs = PromQlRules.evaluateRange(
+      """r:inc = sum by (user) (increase(view_total[2d]))
+        |r:total = sum(r:inc)""".stripMargin,
+      m, start, end, Step)
+    val direct = rows(PromQl.compileRange(
+      "sum(sum by (user) (increase(view_total[2d])))", m, start, end, Step))
+      .map { case (_, s, w, v) => (s, w, v) }
+    val chained = rows(outs("r:total")).map { case (_, s, w, v) => (s, w, v) }
+    assert(chained.nonEmpty && chained === direct)
+    assert(rows(outs("r:inc")).map(_._1) === Set("r:inc"))
+    // alert for-duration: k = for/step + 1 consecutive breaching POINTS
+    import spark.implicits._
+    val planted = Seq(
+      // u1 breaches at three consecutive daily points (values persist
+      // through the day-long lookback); u2's breaches straddle a gap
+      ("app", "c_total", Map("user" -> "u1"), start - 10, "a", 50.0),
+      ("app", "c_total", Map("user" -> "u1"), start + Step - 10, "b", 60.0),
+      ("app", "c_total", Map("user" -> "u1"), start + 2 * Step - 10, "c", 70.0),
+      ("app", "c_total", Map("user" -> "u2"), start - 10, "d", 55.0),
+      ("app", "c_total", Map("user" -> "u2"), start + Step - 10, "e", 1.0),
+      ("app", "c_total", Map("user" -> "u2"), start + 2 * Step - 10, "f", 66.0))
+      .toDF("component", "name", "labels", "timestamp", "id", "value")
+    val alerts = PromQlRules.evaluateRange(
+      s"alert hot = c_total > 40 for ${Step}s",
+      planted, start, end, Step, lookbackSec = Step)
+    val fired = rows(alerts("hot")).map { case (_, s, w, _) => (s, w) }
+    // u1: breaches at points 0,1,2 → fires at points 1 and 2; u2 never
+    // holds two consecutive points
+    assert(fired === Set(("user=u1", start + Step), ("user=u1", start + 2 * Step)))
+  }
+
   test("fuzz: random expressions, range == per-point instant") {
     val seed = sys.env.getOrElse("GRAFT_FUZZ_SEED", "20260815").toLong
     val iters = sys.env.getOrElse("GRAFT_FUZZ_ITERS", "10").toInt
