@@ -45,7 +45,12 @@ object FirehoseApp {
       |                    batch mode: compile a PromQL expression against the
       |                    event-derived metric stream in <sfDir>, show up to
       |                    n rows, exit (promql.step.seconds / promql.sliding
-      |                    config keys select the evaluation grid)
+      |                    select the engine's windowed grid;
+      |                    promql.instant.t=<sec> evaluates Prometheus
+      |                    /api/v1/query semantics at that instant, and
+      |                    promql.range.start/end the point-grid
+      |                    /api/v1/query_range; promql.lookback.seconds
+      |                    sets the lookback delta, default 300)
       |  --rules <file> <sfDir> [n]
       |                    batch mode: evaluate a recording-rule file (one
       |                    `name = expr` per line) in order, show up to n rows
@@ -256,10 +261,29 @@ object FirehoseApp {
         val metrics = graft.operators.Firehose.metricsFromEvents(
           spark, cfg.getOrElse("app.query.sfdir", "/root/testdata/sf0.001"))
         val step = cfg.getInt("promql.step.seconds", 3600).toLong
-        val df =
-          if (cfg.getBoolean("promql.sliding", default = false))
-            promql.PromQl.compileSliding(query, metrics, step)
-          else promql.PromQl.compile(query, metrics, step)
+        val lookback = cfg.getInt("promql.lookback.seconds", 300).toLong
+        // evaluation model selection: promql.instant.t = Prometheus
+        // /api/v1/query at that unix second; promql.range.start/end =
+        // Prometheus /api/v1/query_range on the step grid; default =
+        // the engine's windowed grids (tumbling, or sliding with
+        // promql.sliding=true)
+        val df = (cfg.get("promql.instant.t"),
+            cfg.get("promql.range.start"), cfg.get("promql.range.end")) match {
+          case (Some(t), _, _) =>
+            promql.PromQl.compileInstant(query, metrics, t.toLong, lookback)
+          case (_, Some(s0), Some(e0)) =>
+            promql.PromQl.compileRange(
+              query, metrics, s0.toLong, e0.toLong, step, lookback)
+          case (_, s0, e0) if s0.isDefined != e0.isDefined =>
+            // a half-specified range would silently print the windowed
+            // grid where the user expected query_range points
+            throw new IllegalArgumentException(
+              "promql.range.start and promql.range.end must be set together")
+          case _ =>
+            if (cfg.getBoolean("promql.sliding", default = false))
+              promql.PromQl.compileSliding(query, metrics, step)
+            else promql.PromQl.compile(query, metrics, step)
+        }
         df.orderBy("series", "win_start")
           .show(cfg.getInt("app.query.rows", 20), truncate = false)
       } finally spark.stop()

@@ -2986,59 +2986,11 @@ object SparkEntry {
     // instant increase at t = max(ts): interior deltas (lag among the
     // samples of (t−7200, t] only — the window filter runs BEFORE the
     // lag, unlike the tumbling IncreaseCte), decimal-summed per user
-    "m49_promql_instant" ->
-      """WITH m AS (
-        |  SELECT 'app' AS component, event_type || '_total' AS name,
-        |         'user=' || CAST(user_id AS VARCHAR) AS series,
-        |         CAST(event_id AS VARCHAR) AS id, value,
-        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
-        |  FROM events),
-        |tt AS (SELECT max(ts_sec) AS t FROM m),
-        |w AS (
-        |  SELECT m.* FROM m, tt
-        |  WHERE m.name = 'view_total'
-        |    AND m.ts_sec > tt.t - 7200 AND m.ts_sec <= tt.t),
-        |d AS (
-        |  SELECT *, value - lag(value) OVER (
-        |    PARTITION BY component, name, series ORDER BY ts_sec, id) AS delta
-        |  FROM w),
-        |i AS (
-        |  SELECT component, series,
-        |    CASE WHEN delta IS NULL THEN 0.0
-        |         WHEN delta < 0 THEN value ELSE delta END AS inc
-        |  FROM d)
-        |SELECT component, '' AS name, series,
-        |  (SELECT t FROM tt) AS win_start,
-        |  CAST(sum(CAST(inc AS DECIMAL(18,6))) AS DOUBLE) AS value
-        |FROM i GROUP BY component, series""".stripMargin,
+    "m49_promql_instant" -> InstantIncreaseOracle,
     // m50 answers the SAME instant query through the pruned landed
     // read — the oracle is byte-identical to m49's: file pruning must
     // never change a row
-    "m50_promql_pruned_instant" ->
-      """WITH m AS (
-        |  SELECT 'app' AS component, event_type || '_total' AS name,
-        |         'user=' || CAST(user_id AS VARCHAR) AS series,
-        |         CAST(event_id AS VARCHAR) AS id, value,
-        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
-        |  FROM events),
-        |tt AS (SELECT max(ts_sec) AS t FROM m),
-        |w AS (
-        |  SELECT m.* FROM m, tt
-        |  WHERE m.name = 'view_total'
-        |    AND m.ts_sec > tt.t - 7200 AND m.ts_sec <= tt.t),
-        |d AS (
-        |  SELECT *, value - lag(value) OVER (
-        |    PARTITION BY component, name, series ORDER BY ts_sec, id) AS delta
-        |  FROM w),
-        |i AS (
-        |  SELECT component, series,
-        |    CASE WHEN delta IS NULL THEN 0.0
-        |         WHEN delta < 0 THEN value ELSE delta END AS inc
-        |  FROM d)
-        |SELECT component, '' AS name, series,
-        |  (SELECT t FROM tt) AS win_start,
-        |  CAST(sum(CAST(inc AS DECIMAL(18,6))) AS DOUBLE) AS value
-        |FROM i GROUP BY component, series""".stripMargin,
+    "m50_promql_pruned_instant" -> InstantIncreaseOracle,
     // m51: the same interior-increase math at EACH of the three points
     // independently — a points relation cross-joined into the window
     // filter, the lag partitioned per point so every point's deltas are
@@ -4434,6 +4386,37 @@ object SparkEntry {
     * oracle and the m22 for-duration alert oracle; ends with
     * `win(component, name, series, win_start, increase, n_samples)`.
     */
+  /** m49 and m50 share ONE oracle text by construction: m50 answers the
+    * SAME instant query through the pruned landed read, and pruning must
+    * never change a row — the byte-identity is the point (review catch:
+    * a duplicated string invites silent drift).
+    */
+  private val InstantIncreaseOracle: String =
+    """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         CAST(event_id AS VARCHAR) AS id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |tt AS (SELECT max(ts_sec) AS t FROM m),
+        |w AS (
+        |  SELECT m.* FROM m, tt
+        |  WHERE m.name = 'view_total'
+        |    AND m.ts_sec > tt.t - 7200 AND m.ts_sec <= tt.t),
+        |d AS (
+        |  SELECT *, value - lag(value) OVER (
+        |    PARTITION BY component, name, series ORDER BY ts_sec, id) AS delta
+        |  FROM w),
+        |i AS (
+        |  SELECT component, series,
+        |    CASE WHEN delta IS NULL THEN 0.0
+        |         WHEN delta < 0 THEN value ELSE delta END AS inc
+        |  FROM d)
+        |SELECT component, '' AS name, series,
+        |  (SELECT t FROM tt) AS win_start,
+        |  CAST(sum(CAST(inc AS DECIMAL(18,6))) AS DOUBLE) AS value
+        |FROM i GROUP BY component, series""".stripMargin
+
   private def IncreaseCte(widthSec: Long): String =
     s"""WITH m AS (
       |  SELECT 'app' AS component, event_type || '_total' AS name,

@@ -672,9 +672,23 @@ object PromQlCompiler {
         if (instantAt.isEmpty && pointGrid.isEmpty && r % s != 0)
           err(s"subquery step ${s}s must tile the range ${r}s")
         val inner0 = new Eval(metrics, s, sliding).evalVec(inner)
-        (inner0.select(
-          col("component"), col("name"), col("labels"),
-          col("win_start").as("timestamp"), lit("").as("id"), col("value")), r, None)
+          .select(
+            col("component"), col("name"), col("labels"),
+            col("win_start").as("timestamp"), lit("").as("id"), col("value"))
+        // instant mode: the subquery's range vector holds the window's
+        // INTERIOR inner grid points only — filtered BEFORE the lag
+        // family runs, exactly like the raw-selector branch, so
+        // increase's deltas stay in-window (review catch: without this,
+        // an instant increase over a subquery counted the crossing
+        // delta from an out-of-window inner point, diverging from the
+        // per-point compileRange and making the pruned read unsound).
+        // Derived NaNs STAY (only raw-stream NaNs are markers). Point
+        // grids need no pre-filter: assignWin windows per point and the
+        // interior lag guard covers increase.
+        val windowed = instantAt.fold(inner0)(t =>
+          inner0.filter(col("timestamp") > lit(t - r) &&
+            col("timestamp") <= lit(t)))
+        (windowed, r, None)
       case _ => err(s"$fnName expects a range vector (x[5m] or a subquery)")
     }
 

@@ -131,6 +131,18 @@ object PromQlHttp {
       defaultTime: () => Long,
       port: Int): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // handlers run Spark ACTIONS (unlike the scrape endpoint's in-memory
+    // renders) — without an executor every request serializes on the one
+    // dispatch thread and a slow query_range blocks a whole dashboard's
+    // panel fan-out. Spark drivers accept concurrent jobs; daemon threads
+    // so an un-stopped server never pins the JVM (review catch)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+      8,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-query-api")
+        t.setDaemon(true)
+        t
+      }))
     server.createContext("/api/v1/query", (ex: HttpExchange) =>
       respond(ex) { params =>
         val q = required(params, "query")

@@ -56,6 +56,17 @@ class FirehoseAppSpec extends SparkSuite {
     assert(cfg.getInt("app.query.rows", -1) === 5)
     assert(cfg.getInt("promql.step.seconds", -1) === 900)
     assert(cfg.getBoolean("promql.sliding", default = false))
+    // the instant / point-range evaluation-model knobs layer the same way
+    val inst = FirehoseApp.buildConfig(Array(
+      "--promql", "view_total", "/x/sf",
+      "-c", "promql.instant.t=1706659032,promql.lookback.seconds=600"))
+    assert(inst.get("promql.instant.t").map(_.toLong) === Some(1706659032L))
+    assert(inst.getInt("promql.lookback.seconds", -1) === 600)
+    val rng = FirehoseApp.buildConfig(Array(
+      "--promql", "view_total", "/x/sf",
+      "-c", "promql.range.start=100,promql.range.end=400"))
+    assert(rng.get("promql.range.start").map(_.toLong) === Some(100L))
+    assert(rng.get("promql.range.end").map(_.toLong) === Some(400L))
   }
 
   test("--table args parse; mv-refresh and maintenance run end-to-end") {

@@ -84,6 +84,11 @@ class PromQlRangeSpec extends SparkSuite {
     // engine's tumbling/sliding grids still refuse it)
     pin("max_over_time(sum_over_time(view_total[6h])[1d:7h])", nonEmpty = false)
     pin("sum_over_time(increase(view_total[12h])[2d:6h])")
+    // the lag family OVER a subquery must be window-interior too (the
+    // review-caught divergence: instant counted a crossing delta from
+    // an out-of-window inner grid point)
+    pin("increase(sum_over_time(view_total[1d])[2d:1d])", nonEmpty = false)
+    pin("rate(view_total[2d:12h])", nonEmpty = false)
     intercept[PromQlCompileException](
       PromQl.compile("max_over_time(sum_over_time(x[1h])[1d:7h])", m).collect())
   }
@@ -172,11 +177,12 @@ class PromQlRangeSpec extends SparkSuite {
       case 1 => s" offset ${pick(Seq("6h", "1d", "-3h"))}"
       case 2 => s" @ ${start - 86400 + rnd.nextInt(2 * 86400)}"
     }
-    def leaf(): String = rnd.nextInt(4) match {
+    def leaf(): String = rnd.nextInt(5) match {
       case 0 => s"${pick(sels)}${modifier()}"
       case 1 => s"${pick(overs)}(${pick(sels)}[${pick(ranges)}]${modifier()})"
       case 2 => s"increase(${pick(sels)}[${pick(ranges)}]${modifier()})"
       case 3 => s"${pick(overs)}((${pick(sels)})[1d:7h])" // non-tiling inner step
+      case 4 => s"increase((${pick(sels)})[${pick(Seq("1d", "2d"))}:6h])" // lag OVER a subquery
     }
     def expr(depth: Int): String =
       if (depth == 0) leaf()

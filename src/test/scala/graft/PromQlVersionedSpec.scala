@@ -183,11 +183,14 @@ class PromQlVersionedSpec extends SparkSuite {
       case 2 => s" @ ${q1 + rnd.nextInt(((q3 - q1) / 2).toInt.max(1))}"
       case 3 => s" @ ${pick(Seq("start()", "end()"))}"
     }
-    def leaf(): String = rnd.nextInt(5) match {
+    def leaf(): String = rnd.nextInt(6) match {
       case 0 => s"${pick(sels)}${modifier()}"
       case 1 | 2 => s"${pick(overs)}(${pick(sels)}[${pick(ranges)}]${modifier()})"
       case 3 => s"increase(${pick(sels)}[${pick(ranges)}]${modifier()})"
       case 4 => s"absent(${pick(sels)}${modifier()})"
+      // the lag OVER a subquery: window-interior since the review catch,
+      // so its pruning reach is the subquery walk's — exercised here
+      case 5 => s"increase((${pick(sels)})[2d:1d])"
     }
     def expr(depth: Int): String =
       if (depth == 0) leaf()
