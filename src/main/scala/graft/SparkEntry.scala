@@ -773,6 +773,16 @@ object SparkEntry {
         "sum by (user) (increase(view_total[2d]))", m,
         t - 2 * 86400L, t, 86400L)
     }),
+    // m52: EXTRAPOLATED rate (opt-in Prometheus boundary extrapolation,
+    // Go's extrapolatedRate transcribed) at the stream head — the last
+    // documented divergence, closed behind a flag; the oracle replays
+    // the same branch structure (zero-floor before threshold) in DuckDB
+    "m52_promql_rate_extrapolated" -> ((s, dir) => {
+      val m = metricsOf(s, dir)
+      val t = m.agg(max(col("timestamp"))).head().getLong(0)
+      promql.PromQl.compileInstant(
+        "rate(view_total[2d])", m, t, extrapolate = true)
+    }),
     // per-source gopher-rule failure funnel
     "t18_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
@@ -3020,6 +3030,59 @@ object SparkEntry {
         |SELECT component, '' AS name, series, p AS win_start,
         |  CAST(sum(CAST(inc AS DECIMAL(18,6))) AS DOUBLE) AS value
         |FROM i GROUP BY component, series, p""".stripMargin,
+    // m52: Go's extrapolatedRate replayed in SQL — interior delta sum,
+    // then the boundary extension with the counter zero-floor clamp
+    // applied BEFORE the average-interval threshold (Go's order), in
+    // the engine's exact IEEE operation order
+    "m52_promql_rate_extrapolated" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         CAST(event_id AS VARCHAR) AS id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |tt AS (SELECT max(ts_sec) AS t FROM m),
+        |w AS (
+        |  SELECT m.*, tt.t FROM m, tt
+        |  WHERE m.name = 'view_total'
+        |    AND m.ts_sec > tt.t - 172800 AND m.ts_sec <= tt.t),
+        |d AS (
+        |  SELECT *, value - lag(value) OVER (
+        |      PARTITION BY component, name, series ORDER BY ts_sec, id) AS delta,
+        |    row_number() OVER (
+        |      PARTITION BY component, name, series ORDER BY ts_sec, id) AS rn
+        |  FROM w),
+        |i AS (
+        |  SELECT *, CASE WHEN delta IS NULL THEN 0.0
+        |                 WHEN delta < 0 THEN value ELSE delta END AS inc
+        |  FROM d),
+        |g AS (
+        |  SELECT component, name, series, t,
+        |    CAST(sum(CAST(inc AS DECIMAL(18,6))) AS DOUBLE) AS rv,
+        |    min(ts_sec) AS fts, max(ts_sec) AS lts, count(*) AS n,
+        |    max(CASE WHEN rn = 1 THEN value END) AS fval
+        |  FROM i GROUP BY 1, 2, 3, 4
+        |  HAVING count(*) >= 2),
+        |y AS (
+        |  SELECT *,
+        |    CAST(lts - fts AS DOUBLE) AS sampled,
+        |    CAST(lts - fts AS DOUBLE) / (n - 1) AS avgiv,
+        |    CAST(fts - (t - 172800) AS DOUBLE) AS ds0,
+        |    CAST(t - lts AS DOUBLE) AS de0
+        |  FROM g),
+        |z AS (
+        |  SELECT *, CASE WHEN rv > 0 AND fval >= 0
+        |                      AND sampled * (fval / rv) < ds0
+        |                 THEN sampled * (fval / rv) ELSE ds0 END AS ds1
+        |  FROM y),
+        |q AS (
+        |  SELECT *,
+        |    CASE WHEN ds1 >= avgiv * 1.1 THEN avgiv / 2 ELSE ds1 END AS dstart,
+        |    CASE WHEN de0 >= avgiv * 1.1 THEN avgiv / 2 ELSE de0 END AS dend
+        |  FROM z)
+        |SELECT component, name, series, t AS win_start,
+        |  rv * ((sampled + dstart + dend) / sampled) / 172800.0 AS value
+        |FROM q""".stripMargin,
     // the freshest sample per series in (t − 86400, t]
     "m49b_promql_instant_gauge" ->
       """WITH m AS (

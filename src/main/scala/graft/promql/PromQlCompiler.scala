@@ -260,8 +260,10 @@ object PromQlCompiler {
     */
   def compileInstant(
       query: String, metrics: DataFrame, tSec: Long,
-      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L): DataFrame =
-    compileInstantVector(query, metrics, tSec, lookbackSec, subqueryStepSec)
+      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L,
+      extrapolate: Boolean = false): DataFrame =
+    compileInstantVector(query, metrics, tSec, lookbackSec, subqueryStepSec,
+      extrapolate)
       .select(
         col("component"), col("name"),
         Firehose.seriesKey(col("labels")).as("series"),
@@ -270,12 +272,14 @@ object PromQlCompiler {
   /** [[compileInstant]] to the labels-map relation. */
   def compileInstantVector(
       query: String, metrics: DataFrame, tSec: Long,
-      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L): DataFrame = {
+      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L,
+      extrapolate: Boolean = false): DataFrame = {
     require(lookbackSec > 0, s"lookback must be positive, got ${lookbackSec}s")
     val labeled =
       if (metrics.columns.contains("labels")) metrics else Firehose.tagFilter(metrics)
     new Eval(labeled, subqueryStepSec, instantAt = Some(tSec),
-      lookbackSec = lookbackSec).evalVec(PromQlParser.parse(query))
+      lookbackSec = lookbackSec, extrapolate = extrapolate)
+      .evalVec(PromQlParser.parse(query))
   }
 
   /** RANGE-query evaluation — Prometheus `/api/v1/query_range`
@@ -297,9 +301,9 @@ object PromQlCompiler {
   def compileRange(
       query: String, metrics: DataFrame, startSec: Long, endSec: Long,
       stepSec: Long, lookbackSec: Long = 300L,
-      subqueryStepSec: Long = 3600L): DataFrame =
+      subqueryStepSec: Long = 3600L, extrapolate: Boolean = false): DataFrame =
     compileRangeVector(query, metrics, startSec, endSec, stepSec,
-      lookbackSec, subqueryStepSec)
+      lookbackSec, subqueryStepSec, extrapolate)
       .select(
         col("component"), col("name"),
         Firehose.seriesKey(col("labels")).as("series"),
@@ -309,14 +313,14 @@ object PromQlCompiler {
   def compileRangeVector(
       query: String, metrics: DataFrame, startSec: Long, endSec: Long,
       stepSec: Long, lookbackSec: Long = 300L,
-      subqueryStepSec: Long = 3600L): DataFrame = {
+      subqueryStepSec: Long = 3600L, extrapolate: Boolean = false): DataFrame = {
     require(stepSec > 0, s"step must be positive, got ${stepSec}s")
     require(endSec >= startSec, s"end ($endSec) is before start ($startSec)")
     require(lookbackSec > 0, s"lookback must be positive, got ${lookbackSec}s")
     val labeled =
       if (metrics.columns.contains("labels")) metrics else Firehose.tagFilter(metrics)
     new Eval(labeled, subqueryStepSec, lookbackSec = lookbackSec,
-      pointGrid = Some((startSec, endSec, stepSec)))
+      pointGrid = Some((startSec, endSec, stepSec)), extrapolate = extrapolate)
       .evalVec(PromQlParser.parse(query))
   }
 
@@ -487,12 +491,32 @@ object PromQlCompiler {
     *                    `instantAt`/`sliding`; `stepSec` only sets the
     *                    default subquery step. The one engine-wide
     *                    divergence remains rate/increase's missing
-    *                    boundary extrapolation (interior delta sums).
+    *                    boundary extrapolation (interior delta sums) —
+    *                    unless `extrapolate` turns it on.
+    * @param extrapolate opt-in Prometheus BOUNDARY EXTRAPOLATION for
+    *                    `rate`/`increase` under instant/point evaluation
+    *                    (promql/functions.go `extrapolatedRate`,
+    *                    transcribed branch-for-branch): the interior
+    *                    delta sum extends toward the window bounds by
+    *                    the average sample interval (half of it when a
+    *                    boundary gap exceeds 1.1× the average), with the
+    *                    counter zero-floor clamp applied BEFORE the
+    *                    threshold check (Go's order), and windows below
+    *                    two samples emit NOTHING (Prometheus's rule —
+    *                    the default engine model emits 0 there). Default
+    *                    OFF: the delta-sum model keeps the engine-wide
+    *                    exact-decimal, oracle-portable discipline; this
+    *                    flag buys server-exact values when a consumer
+    *                    compares against a live Prometheus.
     */
   private final class Eval(
       metrics: DataFrame, stepSec: Long, sliding: Boolean = false,
       instantAt: Option[Long] = None, lookbackSec: Long = 300L,
-      pointGrid: Option[(Long, Long, Long)] = None) {
+      pointGrid: Option[(Long, Long, Long)] = None,
+      extrapolate: Boolean = false) {
+
+    require(!extrapolate || instantAt.isDefined || pointGrid.isDefined,
+      "extrapolation is defined for instant/point evaluation only")
 
     private def winStart(ts: Column, w: Long): Column =
       (ts - pmod(ts, lit(w))).cast("long")
@@ -847,14 +871,47 @@ object PromQlCompiler {
       // a subquery can feed non-finite inner values (x/0): the finite
       // lane + flag reconstruction keeps increase(+Inf-series) = +Inf
       // instead of failing the decimal cast
+      val extraAggs =
+        if (!extrapolate) Seq.empty[Column]
+        else Seq(
+          min(struct(col("timestamp"), col("id"), col("value"))).as("_fst"),
+          max(col("timestamp")).as("_lst"),
+          count(lit(1)).as("_n"))
       val agg = interior
         .groupBy(rangeKeys: _*)
         .agg(
           any_value(col("labels")).as("labels"),
           (sum(finiteOr0(col("inc")).cast("decimal(18,6)")).cast("double").as("_incf")
-            +: nfFlagAggs(col("inc"), "i")): _*)
+            +: (nfFlagAggs(col("inc"), "i") ++ extraAggs)): _*)
       val inc = nfApply(col("_incf"), "i")
-      out(agg, if (asRate) inc / lit(r.toDouble) else inc)
+      if (!extrapolate)
+        out(agg, if (asRate) inc / lit(r.toDouble) else inc)
+      else {
+        // Go's extrapolatedRate (promql/functions.go), branch-for-branch.
+        // rangeStart = win_start − R, rangeEnd = win_start (the left-open
+        // instant window); the interior delta sum IS Go's resultFloat
+        // (consecutive-pair deltas with the reset correction).
+        val sampled = (col("_lst") - col("_fst.timestamp")).cast("double")
+        val avgIv = sampled / (col("_n") - lit(1)).cast("double")
+        val thresh = avgIv * lit(1.1)
+        val d0Start = (col("_fst.timestamp") -
+          (col("win_start") - lit(r))).cast("double")
+        val firstVal = col("_fst.value")
+        // counter zero-floor clamp BEFORE the threshold check — Go's
+        // order (rate/increase are counters; NaN predicates are false,
+        // so poisoned windows skip the clamp and propagate through)
+        val dZero = sampled * (firstVal / inc)
+        val dStartZ = when(inc > 0 && firstVal >= 0 && dZero < d0Start, dZero)
+          .otherwise(d0Start)
+        val dStart = when(dStartZ >= thresh, avgIv / 2).otherwise(dStartZ)
+        val d0End = (col("win_start") - col("_lst")).cast("double")
+        val dEnd = when(d0End >= thresh, avgIv / 2).otherwise(d0End)
+        val factor = (sampled + dStart + dEnd) / sampled
+        val v = inc * factor
+        // Prometheus emits nothing below two samples
+        out(agg.filter(col("_n") >= 2),
+          if (asRate) v / lit(r.toDouble) else v)
+      }
     }
 
     /** floor/ceil on DOUBLES that propagate NaN/±Inf like Go's
@@ -1280,7 +1337,8 @@ object PromQlCompiler {
       val p = resolvePin(atRaw)
       val rewritten = rewritePins(e, p)
       new Eval(metrics, stepSec, sliding = false, instantAt = Some(p),
-        lookbackSec = lookbackSec).eval(rewritten) match {
+        lookbackSec = lookbackSec, extrapolate = extrapolate)
+        .eval(rewritten) match {
         case Vec(df) => Vec(spreadPoints(df))
         case WinScal(df) =>
           // a per-window scalar (scalar(x @ p)) is point-constant too
@@ -2313,18 +2371,28 @@ object PromQl {
     PromQlCompiler.compileSlidingVector(query, metrics, stepSec)
   def compileInstant(
       query: String, metrics: DataFrame, tSec: Long,
-      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L): DataFrame =
-    PromQlCompiler.compileInstant(query, metrics, tSec, lookbackSec, subqueryStepSec)
+      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L,
+      extrapolate: Boolean = false): DataFrame =
+    PromQlCompiler.compileInstant(
+      query, metrics, tSec, lookbackSec, subqueryStepSec, extrapolate)
   def compileInstantVector(
       query: String, metrics: DataFrame, tSec: Long,
-      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L): DataFrame =
-    PromQlCompiler.compileInstantVector(query, metrics, tSec, lookbackSec, subqueryStepSec)
+      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L,
+      extrapolate: Boolean = false): DataFrame =
+    PromQlCompiler.compileInstantVector(
+      query, metrics, tSec, lookbackSec, subqueryStepSec, extrapolate)
   def compileRange(
       query: String, metrics: DataFrame, startSec: Long, endSec: Long,
-      stepSec: Long, lookbackSec: Long = 300L): DataFrame =
-    PromQlCompiler.compileRange(query, metrics, startSec, endSec, stepSec, lookbackSec)
+      stepSec: Long, lookbackSec: Long = 300L,
+      extrapolate: Boolean = false): DataFrame =
+    PromQlCompiler.compileRange(
+      query, metrics, startSec, endSec, stepSec, lookbackSec,
+      extrapolate = extrapolate)
   def compileRangeVector(
       query: String, metrics: DataFrame, startSec: Long, endSec: Long,
-      stepSec: Long, lookbackSec: Long = 300L): DataFrame =
-    PromQlCompiler.compileRangeVector(query, metrics, startSec, endSec, stepSec, lookbackSec)
+      stepSec: Long, lookbackSec: Long = 300L,
+      extrapolate: Boolean = false): DataFrame =
+    PromQlCompiler.compileRangeVector(
+      query, metrics, startSec, endSec, stepSec, lookbackSec,
+      extrapolate = extrapolate)
 }

@@ -71,13 +71,15 @@ object PromQlHttp {
     */
   def startQueryServer(metrics: () => DataFrame, port: Int = 0): HttpServer =
     serve(
-      (q, t, lookback) =>
-        PromQl.compileInstantVector(q, metrics(), t, lookbackSec = lookback),
-      (q, start, end, step, lookback, grid) =>
+      (q, t, lookback, xp) =>
+        PromQl.compileInstantVector(q, metrics(), t, lookbackSec = lookback,
+          extrapolate = xp),
+      (q, start, end, step, lookback, grid, xp) =>
         if (grid)
           PromQl.compileSlidingVector(q, metrics(), step)
             .filter(col("win_start") >= lit(start) && col("win_start") <= lit(end))
-        else PromQl.compileRangeVector(q, metrics(), start, end, step, lookback),
+        else PromQl.compileRangeVector(q, metrics(), start, end, step, lookback,
+          extrapolate = xp),
       (startOpt, endOpt) => timeFiltered(metrics(), startOpt, endOpt),
       () => newestTs(metrics()),
       port)
@@ -103,14 +105,15 @@ object PromQlHttp {
       spark: org.apache.spark.sql.SparkSession, root: String,
       port: Int = 0): HttpServer =
     serve(
-      (q, t, lookback) =>
+      (q, t, lookback, xp) =>
         PromQlVersioned.compileInstantVector(spark, root, q, t,
-          lookbackSec = lookback),
-      (q, start, end, step, lookback, grid) =>
+          lookbackSec = lookback, extrapolate = xp),
+      (q, start, end, step, lookback, grid, xp) =>
         if (grid)
           PromQlVersioned.compileGridRangeVector(spark, root, q, start, end, step)
         else PromQlVersioned.compileRangeVector(
-          spark, root, q, start, end, step, lookbackSec = lookback),
+          spark, root, q, start, end, step, lookbackSec = lookback,
+          extrapolate = xp),
       (startOpt, endOpt) => (startOpt, endOpt) match {
         // a bounded metadata span prunes files exactly like a query —
         // the dominant Grafana pattern (label autocomplete scoped to
@@ -125,8 +128,8 @@ object PromQlHttp {
       port)
 
   private def serve(
-      instantFn: (String, Long, Long) => DataFrame,
-      rangeFn: (String, Long, Long, Long, Long, Boolean) => DataFrame,
+      instantFn: (String, Long, Long, Boolean) => DataFrame,
+      rangeFn: (String, Long, Long, Long, Long, Boolean, Boolean) => DataFrame,
       spanFn: (Option[Long], Option[Long]) => DataFrame,
       defaultTime: () => Long,
       port: Int): HttpServer = {
@@ -148,7 +151,7 @@ object PromQlHttp {
         val q = required(params, "query")
         val t = params.get("time").map(parseTime).getOrElse(defaultTime())
         val lookback = params.get("lookback").map(parseDuration).getOrElse(300L)
-        val rows = instantFn(q, t, lookback)
+        val rows = instantFn(q, t, lookback, parseExtrapolate(params))
           .select(col("component"), col("name"), col("labels"),
             col("win_start"), col("value"))
           .collect()
@@ -183,7 +186,8 @@ object PromQlHttp {
           case Some(other) => throw new IllegalArgumentException(
             s"unknown mode '$other' (expected 'prometheus' or 'grid')")
         }
-        val rows = rangeFn(q, start, end, step, lookback, grid)
+        val rows = rangeFn(q, start, end, step, lookback, grid,
+          parseExtrapolate(params))
           .select(col("component"), col("name"), col("labels"),
             col("win_start"), col("value"))
           .collect()
@@ -333,6 +337,18 @@ object PromQlHttp {
       "the metric relation is empty — pass an explicit 'time'")
     r.getLong(0)
   }
+
+  /** Non-standard knob: `extrapolate=true` turns on Prometheus's
+    * rate/increase boundary extrapolation (Go-exact); the default keeps
+    * the engine's exact-decimal interior delta sums.
+    */
+  private def parseExtrapolate(params: Params): Boolean =
+    params.get("extrapolate") match {
+      case None | Some("false") => false
+      case Some("true") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"cannot parse '$other' as extrapolate (true|false)")
+    }
 
   /** Unix seconds, integer or float (Prometheus floors sub-second). */
   private def parseTime(s: String): Long =

@@ -328,26 +328,28 @@ object PromQlVersioned {
   def compileRangeVector(
       spark: SparkSession, root: String, query: String,
       startSec: Long, endSec: Long, stepSec: Long,
-      lookbackSec: Long = 300L): DataFrame =
+      lookbackSec: Long = 300L, extrapolate: Boolean = false): DataFrame =
     PromQlCompiler.compileRangeVector(query,
       pointRangeMetrics(spark, root, query, startSec, endSec, lookbackSec),
-      startSec, endSec, stepSec, lookbackSec)
+      startSec, endSec, stepSec, lookbackSec, extrapolate = extrapolate)
 
   /** [[PromQl.compileInstant]] over the landing at `root`, reading only
     * the files whose timestamp stats intersect the query's visibility.
     */
   def compileInstant(
       spark: SparkSession, root: String, query: String, tSec: Long,
-      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L): DataFrame =
+      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L,
+      extrapolate: Boolean = false): DataFrame =
     PromQlCompiler.compileInstant(query,
       prunedMetrics(spark, root, query, tSec, lookbackSec, subqueryStepSec),
-      tSec, lookbackSec, subqueryStepSec)
+      tSec, lookbackSec, subqueryStepSec, extrapolate)
 
   /** [[compileInstant]] to the labels-map relation. */
   def compileInstantVector(
       spark: SparkSession, root: String, query: String, tSec: Long,
-      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L): DataFrame =
+      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L,
+      extrapolate: Boolean = false): DataFrame =
     PromQlCompiler.compileInstantVector(query,
       prunedMetrics(spark, root, query, tSec, lookbackSec, subqueryStepSec),
-      tSec, lookbackSec, subqueryStepSec)
+      tSec, lookbackSec, subqueryStepSec, extrapolate)
 }

@@ -164,6 +164,59 @@ class PromQlRangeSpec extends SparkSuite {
     assert(fired === Set(("user=u1", start + Step), ("user=u1", start + 2 * Step)))
   }
 
+  test("extrapolation: Go's extrapolatedRate branch matrix, opt-in") {
+    import spark.implicits._
+    val W = 1755000 * 3600L
+    val t = W + 3600
+    // five series, one per Go branch: interior (no clamps), both-edges
+    // threshold + zero-floor-then-threshold, counter reset, single
+    // sample (emits NOTHING extrapolated), zero-floor clamp proper
+    val planted = Seq(
+      ("app", "x_total", Map("user" -> "a"), W + 600, "a1", 10.0),
+      ("app", "x_total", Map("user" -> "a"), W + 1800, "a2", 16.0),
+      ("app", "x_total", Map("user" -> "a"), W + 3000, "a3", 25.0),
+      ("app", "x_total", Map("user" -> "b"), W + 1700, "b1", 5.0),
+      ("app", "x_total", Map("user" -> "b"), W + 1900, "b2", 9.0),
+      ("app", "x_total", Map("user" -> "c"), W + 1000, "c1", 10.0),
+      ("app", "x_total", Map("user" -> "c"), W + 2000, "c2", 3.0),
+      ("app", "x_total", Map("user" -> "d"), W + 500, "d1", 7.0),
+      ("app", "x_total", Map("user" -> "e"), W + 300, "e1", 1.0),
+      ("app", "x_total", Map("user" -> "e"), W + 3300, "e2", 100.0))
+      .toDF("component", "name", "labels", "timestamp", "id", "value")
+    def incAt(xp: Boolean): Map[String, Double] =
+      PromQl.compileInstant("increase(x_total[1h])", planted, t, extrapolate = xp)
+        .select("series", "value").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dflt = incAt(xp = false)
+    assert(dflt === Map("user=a" -> 15.0, "user=b" -> 4.0, "user=c" -> 3.0,
+      "user=d" -> 0.0, "user=e" -> 99.0))
+    val xp = incAt(xp = true)
+    // a: factor (2400+600+600)/2400 = 1.5; no clamp fires
+    assert(xp("user=a") === 15.0 * 1.5)
+    // b: zero-floor (200·5/4 = 250) clamps 1700 FIRST, then 250 ≥
+    // threshold 220 → avg/2 = 100 both edges → factor 2 (Go's order)
+    assert(xp("user=b") === 8.0)
+    // c: reset keeps resultValue 3; end gap 1600 ≥ 1100 → 500
+    assert(xp("user=c") === 3.0 * (1000.0 + 1000.0 + 500.0) / 1000.0)
+    // d: single sample emits nothing under extrapolation (Prometheus)
+    assert(!xp.contains("user=d"))
+    // e: the zero-floor clamp itself (3000·1/99 < 300), same IEEE order
+    val eZero = 3000.0 * (1.0 / 99.0)
+    assert(xp("user=e") === 99.0 * ((3000.0 + eZero + 300.0) / 3000.0))
+    // rate is the extrapolated increase / R, and the point-grid leg
+    // equals per-point instant with the flag on
+    val rate = PromQl.compileInstant("rate(x_total[1h])", planted, t, extrapolate = true)
+      .select("series", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    xp.foreach { case (s, v) => assert(rate(s) === v / 3600.0, s) }
+    val rng = rows(PromQl.compileRange(
+      "increase(x_total[1h])", planted, t - 3600, t, 3600, extrapolate = true))
+    val per = Seq(t - 3600, t).flatMap(p =>
+      rows(PromQl.compileInstant("increase(x_total[1h])", planted, p,
+        extrapolate = true))).toSet
+    assert(rng === per && rng.nonEmpty)
+  }
+
   test("fuzz: random expressions, range == per-point instant") {
     val seed = sys.env.getOrElse("GRAFT_FUZZ_SEED", "20260815").toLong
     val iters = sys.env.getOrElse("GRAFT_FUZZ_ITERS", "10").toInt
