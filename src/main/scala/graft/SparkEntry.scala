@@ -783,6 +783,60 @@ object SparkEntry {
       promql.PromQl.compileInstant(
         "rate(view_total[2d])", m, t, extrapolate = true)
     }),
+    // m53: the landing's hottest dashboard shape — mode=grid
+    // rate(x[1d]) over a week of a time-split landed corpus — through
+    // the HEAD-SEEDED pruned read: the scan lists the week's files, the
+    // crossing delta at the span edge is seeded from each series' one
+    // predecessor row (gridLagHeads: a newest-first manifest walk, one
+    // margin file in an append-ordered landing), and the result is
+    // row-identical to the full-scan grid compile. The oracle replays
+    // the FULL-stream crossing-delta rate and filters to the week — so
+    // a seeding bug (wrong head, lost delta) hash-mismatches.
+    "m53_promql_grid_pruned_rate" -> ((s, dir) => {
+      val m = Firehose.tagFilter(metricsOf(s, dir))
+        .select(col("component"), col("name"), col("labels"),
+          col("timestamp"), col("id"), col("value"))
+      val cuts = m.agg(
+        expr("percentile(timestamp, 0.4)"),
+        expr("percentile(timestamp, 0.7)"), max(col("timestamp"))).head()
+      val (c1, c2, t) =
+        (cuts.getDouble(0).toLong, cuts.getDouble(1).toLong, cuts.getLong(2))
+      val root = java.nio.file.Files.createTempDirectory("graft-m53")
+        .toFile.getAbsolutePath
+      promql.PromQlVersioned.land(m.filter(col("timestamp") <= c1), root)
+      promql.PromQlVersioned.land(
+        m.filter(col("timestamp") > c1 && col("timestamp") <= c2), root)
+      promql.PromQlVersioned.land(m.filter(col("timestamp") > c2), root)
+      promql.PromQlVersioned.compileGridRangeVector(
+        s, root, "rate(view_total[1d])", t - 7 * 86400L, t, 86400L)
+        .select(col("component"), col("name"),
+          Firehose.seriesKey(col("labels")).as("series"),
+          col("win_start"), col("value"))
+    }),
+    // m54: a FAR `@` pin beside a live lookback — the split-interval
+    // pruned read (Versioned.prunedReadAny): the scan lists the pin's
+    // files and the lookback's files, nothing between. Current per-user
+    // daily peak vs the peak of the day ending two days into the stream.
+    "m54_promql_pin_split" -> ((s, dir) => {
+      val m = Firehose.tagFilter(metricsOf(s, dir))
+        .select(col("component"), col("name"), col("labels"),
+          col("timestamp"), col("id"), col("value"))
+      val cuts = m.agg(min(col("timestamp")),
+        expr("percentile(timestamp, 0.4)"),
+        expr("percentile(timestamp, 0.7)"), max(col("timestamp"))).head()
+      val (t0, c1, c2, t) = (cuts.getLong(0), cuts.getDouble(1).toLong,
+        cuts.getDouble(2).toLong, cuts.getLong(3))
+      val pin = t0 + 2 * 86400L
+      val root = java.nio.file.Files.createTempDirectory("graft-m54")
+        .toFile.getAbsolutePath
+      promql.PromQlVersioned.land(m.filter(col("timestamp") <= c1), root)
+      promql.PromQlVersioned.land(
+        m.filter(col("timestamp") > c1 && col("timestamp") <= c2), root)
+      promql.PromQlVersioned.land(m.filter(col("timestamp") > c2), root)
+      promql.PromQlVersioned.compileInstant(s, root,
+        s"max_over_time(view_total[1d] @ $pin) / max_over_time(view_total[1d])",
+        t)
+    }),
     // per-source gopher-rule failure funnel
     "t18_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
@@ -3083,6 +3137,42 @@ object SparkEntry {
         |SELECT component, name, series, t AS win_start,
         |  rv * ((sampled + dstart + dend) / sampled) / 172800.0 AS value
         |FROM q""".stripMargin,
+    // m53: the engine's grid-mode rate over the PRUNED landed read must
+    // equal the crossing-delta rate computed over the FULL stream (the
+    // oracle never prunes: full-order lag, reset clamp, decimal window
+    // sums, /86400), filtered to the requested week — a head-seeding
+    // bug (wrong predecessor, lost edge delta) breaks the hash
+    "m53_promql_grid_pruned_rate" ->
+      (IncreaseCte(86400) +
+        """, tt AS (SELECT max(ts_sec) AS t FROM m)
+          |SELECT w.component, w.name, w.series, w.win_start,
+          |  w.increase / 86400.0 AS value
+          |FROM win w, tt WHERE w.name = 'view_total'
+          |  AND w.win_start >= tt.t - 604800 AND w.win_start <= tt.t""".stripMargin),
+    // m54: per-series daily peak now vs the peak of the day ending two
+    // days into the stream (the far pin) — one-to-one match drops the
+    // name; both windows left-open per the instant rules
+    "m54_promql_pin_split" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |tt AS (SELECT max(ts_sec) AS t, min(ts_sec) + 172800 AS pin FROM m),
+        |l AS (
+        |  SELECT component, series, max(value) AS v FROM m, tt
+        |  WHERE name = 'view_total'
+        |    AND ts_sec > tt.pin - 86400 AND ts_sec <= tt.pin
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT component, series, max(value) AS v FROM m, tt
+        |  WHERE name = 'view_total'
+        |    AND ts_sec > tt.t - 86400 AND ts_sec <= tt.t
+        |  GROUP BY 1, 2)
+        |SELECT l.component, '' AS name, l.series,
+        |  (SELECT t FROM tt) AS win_start, l.v / r.v AS value
+        |FROM l JOIN r
+        |  ON l.component = r.component AND l.series = r.series""".stripMargin,
     // the freshest sample per series in (t − 86400, t]
     "m49b_promql_instant_gauge" ->
       """WITH m AS (

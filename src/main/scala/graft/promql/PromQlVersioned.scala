@@ -27,10 +27,11 @@ import graft.sources.Versioned
   * pin (`start()`/`end()` both resolve to `t` — an instant query's
   * range is the point itself); a subquery widens its inner expression's
   * reach by the subquery range plus one inner step (tumbling-grid
-  * slop on both sides). The final span is one covering interval — a
-  * far-away `@` pin widens it rather than splitting it (manifest
-  * pruning takes one conjunctive range; a pinned dashboard query's
-  * pins cluster near its evaluation time in practice).
+  * slop on both sides). The intervals stay SEPARATE: a far-away `@`
+  * pin prunes to ITS files plus the lookback's files and nothing
+  * between ([[Versioned.prunedReadAny]] takes a union of disjoint
+  * ranges — `metric @ <last year> / metric` reads two slices of the
+  * year, not the year).
   *
   * The one shape that cannot prune: expressions whose value depends on
   * the COMPONENT UNIVERSE — `absent`/`absent_over_time` (report
@@ -38,6 +39,21 @@ import graft.sources.Versioned
   * observed component) — where dropping a file could drop a component
   * observed only outside the span. Those fall back to the full
   * version read, detected by [[needsUniverse]] and pinned by spec.
+  *
+  * The SERIES-LAG family (`rate`/`increase` under grid evaluation —
+  * top-level in `mode=grid` range queries, under a subquery in every
+  * mode) reaches back to the previous sample ANYWHERE in history for
+  * its first crossing delta — but that is ONE sample per series, not
+  * a scan: [[gridLagHeads]] finds each in-span series' predecessor by
+  * walking the manifest newest-first (reading a one-file margin in the
+  * common append-ordered landing) and unions those head rows into the
+  * pruned span. Soundness: a delta is attributed to the window(s) of
+  * its LATER sample, and any sample below the pruning bound only
+  * produces windows below the requested span (the bounds walk's own
+  * invariant) — so in-span windows receive deltas only from in-span
+  * later samples, whose predecessors are the in-span rows plus exactly
+  * the per-series head. Pinned by the pruning fuzz (seeded,
+  * row-identical vs full scan) and the head-census spec.
   */
 object PromQlVersioned {
 
@@ -66,13 +82,12 @@ object PromQlVersioned {
     // `@`-pinned selector spreads its pinned value across the
     // component's OBSERVED window span (pinSpread over streamGrid) —
     // that span is itself universe-shaped, so pruning could drop grid
-    // windows a component earned only from out-of-span samples. The
-    // same grid evaluation gives an inner `rate`/`increase` the
-    // FULL-SERIES crossing-delta lag — unbounded back-reach, also
-    // unprunable (caught by the pruning fuzz on
-    // `sum_over_time((increase(x[2d] offset 1h))[2d:1d])`)
+    // windows a component earned only from out-of-span samples. (An
+    // inner `rate`/`increase`'s full-series crossing lag, previously
+    // also a fallback here, is handled by the head seed instead —
+    // [[hasSubqueryLag]] routes it through [[gridLagHeads]].)
     case Subquery(inner, _, _) =>
-      hasPin(inner) || hasSeriesLag(inner) || needsUniverse(inner)
+      hasPin(inner) || needsUniverse(inner)
     case RangeSelector(sel, _) => needsUniverse(sel)
     case _: VectorSelector | _: NumberLit | _: StringLit => false
   }
@@ -118,16 +133,36 @@ object PromQlVersioned {
       lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L): (Long, Long) =
     pointBounds(expr, tSec, tSec, lookbackSec, subqueryStepSec)
 
+  /** [[instantBounds]] kept as SEPARATE intervals — the relative reach
+    * anchored at `tSec` plus one absolute interval per `@` pin — so the
+    * scan reads the pin's files and the lookback's files, not the span
+    * between them.
+    */
+  def instantIntervals(
+      expr: PromExpr, tSec: Long,
+      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L): Seq[(Long, Long)] =
+    pointIntervals(expr, tSec, tSec, lookbackSec, subqueryStepSec)
+
   /** The closed sample interval a POINT-GRID evaluation over
     * `[startSec, endSec]` can touch — [[instantBounds]] generalized:
     * every point's backward reach anchors the relative interval to the
     * span (`[start + lo, end + hi]`), pins stay absolute, and
     * `start()`/`end()` resolve to the range bounds (the point-grid
-    * rule).
+    * rule). One covering interval; [[pointIntervals]] keeps the pieces.
     */
   def pointBounds(
       expr: PromExpr, startSec: Long, endSec: Long,
       lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L): (Long, Long) = {
+    val all = pointIntervals(expr, startSec, endSec, lookbackSec, subqueryStepSec)
+    (all.map(_._1).min, all.map(_._2).max)
+  }
+
+  /** [[pointBounds]] as separate intervals: the relative reach anchored
+    * to the span plus each pin's absolute interval.
+    */
+  def pointIntervals(
+      expr: PromExpr, startSec: Long, endSec: Long,
+      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L): Seq[(Long, Long)] = {
     def resolvePin(a: Long): Long =
       if (a == PromQlAst.AtStart) startSec
       else if (a == PromQlAst.AtEnd) endSec
@@ -144,16 +179,19 @@ object PromQlVersioned {
       case RangeSelector(sel, r) => selReach(sel, r)
       case Subquery(inner, r, step) =>
         val s = step.getOrElse(subqueryStepSec)
-        // the outer range selects inner grid points in (t − r, t]; the
-        // inner tumbling windows around those points add one step of
-        // slop each side, and the inner expression's own reach rides on
-        // every selected point. The subquery's range anchors at the
-        // evaluation time, so the reach is relative regardless of the
-        // inner shape (a fully-pinned inner is universe-shaped and
-        // never reaches pruning anyway).
-        val w = walk(inner).widen(s)
-        val (ilo, ihi) = w.rel.getOrElse((0L, 0L))
-        Reach(Some((ilo - r, ihi)), w.pinned)
+        // the outer range selects inner GRID windows w ∈ (t − r, t],
+        // and the inner expression evaluates on the tumbling/sliding
+        // grid — where a window w touches samples in [w + glo, w + ghi)
+        // ([[gridReach]], the forward-covering model; the instant walk
+        // under-reached here: a [2d] range inside a [2d:1d] subquery
+        // sees samples up to 2d AFTER its window timestamp, caught by
+        // the pruning fuzz). The subquery's reach anchors at the
+        // evaluation time regardless of the inner shape (a pinned
+        // inner is universe-shaped and never reaches pruning).
+        gridReach(inner, s, subqueryStepSec) match {
+          case Empty => Reach(Some((-r, 0L)), Nil)
+          case (glo, ghi) => Reach(Some((glo - r, ghi)), Nil)
+        }
       case Call(_, args) => args.map(walk).foldLeft(NoReach)(_ union _)
       case Agg(_, inner, param, _) =>
         walk(inner) union param.map(walk).getOrElse(NoReach)
@@ -166,17 +204,17 @@ object PromQlVersioned {
     // nothing near the span — its scan collapses to the pins alone, the
     // case the far-lookback dashboards (`metric @ <last week>`) want
     val rels = r.rel.map { case (lo, hi) => (startSec + lo, endSec + hi) }.toSeq
-    val all =
-      if (rels.isEmpty && r.pinned.isEmpty)
-        Seq((startSec - lookbackSec, endSec))
-      else rels ++ r.pinned
-    (all.map(_._1).min, all.map(_._2).max)
+    if (rels.isEmpty && r.pinned.isEmpty)
+      Seq((startSec - lookbackSec, endSec))
+    else rels ++ r.pinned
   }
 
   /** The metric relation an instant evaluation at `tSec` reads: the
-    * file-pruned span when the expression's bounds are finite and
-    * universe-independent, the full version otherwise. Exposed so
-    * PlanSpec can pin the pruned scan's file census.
+    * file-pruned interval union when the expression's bounds are finite
+    * and universe-independent (plus the per-series lag heads when a
+    * subquery hides a grid-mode `rate`/`increase`), the full version
+    * otherwise. Exposed so PlanSpec can pin the pruned scan's file
+    * census.
     */
   def prunedMetrics(
       spark: SparkSession, root: String, query: String, tSec: Long,
@@ -185,23 +223,40 @@ object PromQlVersioned {
     val v = Versioned.latestVersion(root)
     require(v >= 0, s"no committed versions in $root")
     if (needsUniverse(ast)) Versioned.asOf(spark, root, v)
-    else {
-      val (lo, hi) = instantBounds(ast, tSec, lookbackSec, subqueryStepSec)
-      Versioned.prunedRead(spark, root, v,
-        Seq(("timestamp", lo.toDouble, hi.toDouble)))
-    }
+    else seededRead(spark, root, v, ast,
+      pointIntervals(ast, tSec, tSec, lookbackSec, subqueryStepSec))
   }
+
+  /** The pruned read over the intervals — plus, when the expression
+    * hides a grid-evaluated `rate`/`increase` inside a subquery, the
+    * per-series head rows that seed the crossing delta at the earliest
+    * interval's edge (one covering interval then: the head argument
+    * needs every sample above the seed bound present).
+    */
+  private def seededRead(
+      spark: SparkSession, root: String, v: Long, ast: PromExpr,
+      intervals: Seq[(Long, Long)]): DataFrame =
+    if (hasSubqueryLag(ast)) {
+      val lo = intervals.map(_._1).min
+      val hi = intervals.map(_._2).max
+      val span = Versioned.prunedRead(spark, root, v,
+        Seq(("timestamp", lo.toDouble, hi.toDouble)))
+      span.unionByName(gridLagHeads(spark, root, v, lo, span)._1)
+    } else
+      Versioned.prunedReadAny(spark, root, v, "timestamp",
+        intervals.map { case (lo, hi) => (lo.toDouble, hi.toDouble) })
 
   // ───────────────────── grid (query_range) pruning ─────────────────────
 
   /** Does the expression contain `rate`/`increase` — the one family the
     * GRID evaluation computes with a FULL-SERIES lag (the window's first
     * delta reaches back to the previous sample anywhere in history, the
-    * engine's documented crossing-delta model)? Unbounded back-reach —
-    * no file cut is sound. (The INSTANT evaluation's increase is
-    * window-interior and prunes fine; a rate dashboard that wants the
-    * pruned read asks the instant endpoint, which is what Prometheus
-    * itself evaluates per point.)
+    * engine's documented crossing-delta model)? The back-reach is one
+    * SAMPLE per series, not a span: [[gridLagHeads]] seeds it from a
+    * bounded newest-first manifest walk, so these shapes prune too.
+    * (The INSTANT evaluation's top-level increase is window-interior
+    * and needs no seed; under a subquery the inner evaluates on the
+    * grid and does.)
     */
   def hasSeriesLag(e: PromExpr): Boolean = e match {
     case Call(fn, args) =>
@@ -214,6 +269,23 @@ object PromQlVersioned {
     case _ => false
   }
 
+  /** Does a SUBQUERY anywhere in the expression contain the series-lag
+    * family? Under instant/point evaluation the top-level lag is
+    * window-interior, but a subquery's inner expression evaluates on
+    * the tumbling grid — the one instant-mode shape that needs the
+    * [[gridLagHeads]] seed to prune.
+    */
+  def hasSubqueryLag(e: PromExpr): Boolean = e match {
+    case Subquery(inner, _, _) => hasSeriesLag(inner) || hasSubqueryLag(inner)
+    case Call(_, args) => args.exists(hasSubqueryLag)
+    case Agg(_, expr, param, _) =>
+      hasSubqueryLag(expr) || param.exists(hasSubqueryLag)
+    case Binary(_, l, r, _, _) => hasSubqueryLag(l) || hasSubqueryLag(r)
+    case Neg(inner) => hasSubqueryLag(inner)
+    case RangeSelector(sel, _) => hasSubqueryLag(sel)
+    case _ => false
+  }
+
   /** The closed sample interval a GRID evaluation restricted to windows
     * `win_start ∈ [startSec, endSec]` can touch, for the prunable shapes
     * (no pins — grid-mode pinSpread is universe-shaped — and no
@@ -223,34 +295,45 @@ object PromQlVersioned {
     */
   def gridBounds(
       expr: PromExpr, startSec: Long, endSec: Long,
-      stepSec: Long, subqueryStepSec: Long = 3600L): (Long, Long) = {
-    def walk(e: PromExpr, step: Long): (Long, Long) = e match {
-      case sel: VectorSelector =>
-        (-sel.offsetSec, step - sel.offsetSec)
-      case RangeSelector(sel, r) =>
-        (-sel.offsetSec, r - sel.offsetSec)
-      case Subquery(inner, r, s) =>
-        // the outer window w range-selects inner grid points in
-        // [w, w + r); the inner expression's reach rides on each point
-        // at ITS step
-        walk(inner, s.getOrElse(subqueryStepSec)) match {
-          case Empty => Empty
-          case (ilo, ihi) => (ilo, r + ihi)
-        }
-      case Call(_, args) => merge(args.map(walk(_, step)))
-      case Agg(_, inner, param, _) =>
-        merge(walk(inner, step) +: param.map(walk(_, step)).toSeq)
-      case Binary(_, l, r, _, _) => merge(Seq(walk(l, step), walk(r, step)))
-      case Neg(inner) => walk(inner, step)
-      // a selector-free subtree reaches nowhere — the EMPTY interval,
-      // which must not widen a sibling's bound (a literal beside an
-      // offset selector would otherwise drag the interval back to 0)
-      case _: NumberLit | _: StringLit => Empty
-    }
-    walk(expr, stepSec) match {
+      stepSec: Long, subqueryStepSec: Long = 3600L): (Long, Long) =
+    gridReach(expr, stepSec, subqueryStepSec) match {
       case Empty => (startSec, endSec + stepSec) // literal-only: one grid cell
       case (lo, hi) => (startSec + lo, endSec + hi)
     }
+
+  /** Per-window sample reach of a GRID evaluation of `e` at `step`: a
+    * window `w` touches samples in `[w + lo, w + hi)`. Shared by
+    * [[gridBounds]] (top-level `mode=grid`) and [[pointIntervals]]'s
+    * subquery case (a subquery's inner ALWAYS evaluates on the grid,
+    * whatever the outer mode).
+    */
+  private def gridReach(
+      e: PromExpr, step: Long, subqueryStepSec: Long): (Long, Long) = e match {
+    case sel: VectorSelector =>
+      (-sel.offsetSec, step - sel.offsetSec)
+    case RangeSelector(sel, r) =>
+      (-sel.offsetSec, r - sel.offsetSec)
+    case Subquery(inner, r, s) =>
+      // the outer window w range-selects inner grid points in
+      // [w, w + r); the inner expression's reach rides on each point
+      // at ITS step
+      gridReach(inner, s.getOrElse(subqueryStepSec), subqueryStepSec) match {
+        case Empty => Empty
+        case (ilo, ihi) => (ilo, r + ihi)
+      }
+    case Call(_, args) =>
+      merge(args.map(gridReach(_, step, subqueryStepSec)))
+    case Agg(_, inner, param, _) =>
+      merge(gridReach(inner, step, subqueryStepSec) +:
+        param.map(gridReach(_, step, subqueryStepSec)).toSeq)
+    case Binary(_, l, r, _, _) =>
+      merge(Seq(gridReach(l, step, subqueryStepSec),
+        gridReach(r, step, subqueryStepSec)))
+    case Neg(inner) => gridReach(inner, step, subqueryStepSec)
+    // a selector-free subtree reaches nowhere — the EMPTY interval,
+    // which must not widen a sibling's bound (a literal beside an
+    // offset selector would otherwise drag the interval back to 0)
+    case _: NumberLit | _: StringLit => Empty
   }
 
   private val Empty: (Long, Long) = (Long.MaxValue, Long.MinValue)
@@ -264,8 +347,12 @@ object PromQlVersioned {
 
   /** The metric relation the engine's step-GRID evaluation over
     * `[startSec, endSec]` reads: pruned when the shape allows
-    * (universe-independent, pin-free, lag-free), the full version
-    * otherwise.
+    * (universe-independent and pin-free), the full version otherwise.
+    * The series-lag family (`rate`/`increase` — the landing's hottest
+    * `mode=grid` dashboard shape) prunes too: its one-sample-per-series
+    * back-reach is seeded by [[gridLagHeads]], so a week's rate
+    * dashboard over a landed year reads the week's files plus a
+    * one-margin head probe, not the year.
     */
   def gridRangeMetrics(
       spark: SparkSession, root: String, query: String,
@@ -274,12 +361,106 @@ object PromQlVersioned {
     val ast = PromQlParser.parse(query)
     val v = Versioned.latestVersion(root)
     require(v >= 0, s"no committed versions in $root")
-    if (needsUniverse(ast) || hasPin(ast) || hasSeriesLag(ast))
-      Versioned.asOf(spark, root, v)
+    if (needsUniverse(ast) || hasPin(ast)) Versioned.asOf(spark, root, v)
     else {
       val (lo, hi) = gridBounds(ast, startSec, endSec, stepSec, subqueryStepSec)
-      Versioned.prunedRead(spark, root, v,
+      val span = Versioned.prunedRead(spark, root, v,
         Seq(("timestamp", lo.toDouble, hi.toDouble)))
+      if (hasSeriesLag(ast))
+        span.unionByName(gridLagHeads(spark, root, v, lo, span)._1)
+      else span
+    }
+  }
+
+  /** The per-series PREDECESSOR samples ("heads") of a pruned span: for
+    * every series with a sample in `span`, its latest sample strictly
+    * before `loSec` — the one row the grid crossing-delta lag reaches
+    * back to. Found by a driver-side manifest walk, newest file first:
+    * read a batch of candidate files (those whose timestamp stats admit
+    * samples below `loSec`), keep the best (timestamp, id) row per
+    * series, and SETTLE a series once its best head is provably newer
+    * than everything unread (its timestamp exceeds the next candidate's
+    * max stat) — in an append-ordered landing every live series settles
+    * in the first batch, so the walk reads a one-margin file census
+    * regardless of history depth. Series collection is registry-sized
+    * (the engine's scrape-registry posture; the same driver bound the
+    * HTTP result collects and p13's span keys carry).
+    *
+    * Returns the head relation (a local relation — adds no scanned
+    * files) and the file census the walk actually read, pinned by spec.
+    */
+  private[graft] def gridLagHeads(
+      spark: SparkSession, root: String, v: Long, loSec: Long,
+      span: DataFrame): (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    val KEY = "_hk"
+    val keyCol = concat_ws("\u0000", col("component"), col("name"),
+      graft.operators.Firehose.seriesKey(col("labels")))
+    val cols = span.columns.toSeq
+    val schema = span.schema
+    def empty = spark.createDataFrame(
+      new java.util.ArrayList[Row](), schema)
+    val spanKeys = span.select(keyCol.as(KEY)).distinct()
+      .collect().map(_.getString(0))
+    if (spanKeys.isEmpty) return (empty, Nil)
+    // candidate files that can hold samples before the span, newest
+    // first; a file without timestamp stats could hold anything — it
+    // sorts first and blocks settling until read
+    def maxOf(st: Option[(Double, Double)]): Double =
+      st.filter(s => java.lang.Double.isFinite(s._2)).fold(Double.MaxValue)(_._2)
+    val candidates = Versioned.manifest(root, v)
+      .map(e => (e, e.stats.get("timestamp")))
+      .filter { case (_, st) =>
+        st.forall { case (mn, _) => !java.lang.Double.isFinite(mn) || mn < loSec }
+      }
+      .sortBy { case (_, st) => -maxOf(st) }
+    var remaining = spanKeys.toSet
+    val best = scala.collection.mutable.Map.empty[String, (Long, String, Row)]
+    val readFiles = Seq.newBuilder[String]
+    // doubling probe: the first batch is the single newest candidate —
+    // in an append-ordered landing every live series' head is there and
+    // the walk stops after ONE margin file; a quiet series doubles the
+    // batch instead of paying one job per historical file
+    var batchSize = 1
+    var i = 0
+    while (i < candidates.length && remaining.nonEmpty) {
+      val batch = candidates.slice(i, i + batchSize)
+      i += batchSize
+      batchSize = math.min(batchSize * 2, 64)
+      val nextMax =
+        if (i >= candidates.length) Double.NegativeInfinity
+        else maxOf(candidates(i)._2)
+      readFiles ++= batch.map(_._1.path)
+      val keys = spark.createDataset(remaining.toSeq)(
+        org.apache.spark.sql.Encoders.STRING).toDF(KEY)
+      val rows = Versioned.readSubset(spark, root, v, batch.map(_._1))
+        .filter(col("timestamp") < lit(loSec))
+        .withColumn(KEY, keyCol)
+        .join(broadcast(keys), Seq(KEY))
+        .groupBy(col(KEY))
+        .agg(max_by(struct(cols.map(col): _*),
+          struct(col("timestamp"), col("id"))).as("_r"))
+        .select(col(KEY), col("_r.*"))
+        .collect()
+      val tsIdx = 1 + cols.indexOf("timestamp")
+      val idIdx = 1 + cols.indexOf("id")
+      rows.foreach { r =>
+        val k = r.getString(0)
+        val ts = r.getLong(tsIdx)
+        val id = r.getString(idIdx)
+        val better = best.get(k).forall { case (bts, bid, _) =>
+          ts > bts || (ts == bts && id > bid)
+        }
+        if (better) best(k) = (ts, id, Row.fromSeq(r.toSeq.tail))
+      }
+      remaining = remaining.filter(k => best.get(k).forall(_._1.toDouble <= nextMax))
+    }
+    val heads = best.values.map(_._3).toSeq
+    if (heads.isEmpty) (empty, readFiles.result())
+    else {
+      import scala.jdk.CollectionConverters._
+      (spark.createDataFrame(heads.asJava, schema), readFiles.result())
     }
   }
 
@@ -314,11 +495,35 @@ object PromQlVersioned {
     val v = Versioned.latestVersion(root)
     require(v >= 0, s"no committed versions in $root")
     if (needsUniverse(ast)) Versioned.asOf(spark, root, v)
-    else {
-      val (lo, hi) = pointBounds(ast, startSec, endSec, lookbackSec, subqueryStepSec)
-      Versioned.prunedRead(spark, root, v,
-        Seq(("timestamp", lo.toDouble, hi.toDouble)))
-    }
+    else seededRead(spark, root, v, ast,
+      pointIntervals(ast, startSec, endSec, lookbackSec, subqueryStepSec))
+  }
+
+  /** The metric relation a rule-fleet evaluation ([[PromQlRules
+    * .evaluateRange]]) over `[startSec, endSec]` reads: the pruned
+    * union of EVERY rule expression's point-grid visibility. Recorded
+    * series re-enter the universe as compile-time unions (they are
+    * never read from the landing), and their samples land inside
+    * `[startSec, endSec]` — inside every rule's own relative reach — so
+    * pruning the raw relation cannot drop them. Universe-dependent or
+    * subquery-lag rules fall back to the full read (the lag seed's head
+    * argument needs a single covering span, which a fleet of
+    * heterogeneous rules does not have).
+    */
+  def ruleSpanMetrics(
+      spark: SparkSession, root: String, exprs: Seq[String],
+      startSec: Long, endSec: Long,
+      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L): DataFrame = {
+    val v = Versioned.latestVersion(root)
+    require(v >= 0, s"no committed versions in $root")
+    val asts = exprs.map(PromQlParser.parse)
+    if (asts.exists(a => needsUniverse(a) || hasSubqueryLag(a)))
+      Versioned.asOf(spark, root, v)
+    else
+      Versioned.prunedReadAny(spark, root, v, "timestamp",
+        asts.flatMap(
+          pointIntervals(_, startSec, endSec, lookbackSec, subqueryStepSec))
+          .map { case (lo, hi) => (lo.toDouble, hi.toDouble) })
   }
 
   /** [[PromQl.compileRange]] (point-grid Prometheus `query_range`

@@ -628,6 +628,67 @@ object Versioned {
     else readEntries(spark, root, v, keep).filter(rowFilter)
   }
 
+  /** [[prunedRead]] for a UNION of disjoint intervals on one numeric
+    * column: keep files whose stats block intersects ANY interval, with
+    * the matching OR row filter — so a query whose visibility splits
+    * (an `@`-pinned selector far from the evaluation time plus the
+    * lookback near it) reads the pin's files and the lookback's files
+    * and NOTHING between. Intervals are coalesced first (overlaps
+    * merge), files without stats for the column are kept, and results
+    * are identical to a full scan + OR filter.
+    */
+  def prunedReadAny(
+      spark: SparkSession,
+      root: String,
+      v: Long,
+      statCol: String,
+      intervals: Seq[(Double, Double)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(intervals.nonEmpty, "need at least one (lo, hi) interval")
+    val merged = coalesceIntervals(intervals)
+    val keep = manifest(root, v).filter { e =>
+      e.stats.get(statCol).forall { case (mn, mx) =>
+        !(java.lang.Double.isFinite(mn) && java.lang.Double.isFinite(mx)) ||
+          merged.exists { case (lo, hi) => mn <= hi && mx >= lo }
+      }
+    }
+    val schema = markerSchema(root, v)
+    def numExpr(c: String): org.apache.spark.sql.Column =
+      schema.flatMap(_.fields.find(_.name == c)).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.DateType) |
+            Some(org.apache.spark.sql.types.TimestampType) =>
+          col(c).cast(org.apache.spark.sql.types.TimestampType).cast("long").cast("double")
+        case _ => col(c)
+      }
+    val rowFilter = merged
+      .map { case (lo, hi) => numExpr(statCol) >= lit(lo) && numExpr(statCol) <= lit(hi) }
+      .reduce(_ || _)
+    if (keep.isEmpty) asOf(spark, root, v).filter(lit(false))
+    else readEntries(spark, root, v, keep).filter(rowFilter)
+  }
+
+  /** Sort + merge overlapping/touching closed intervals. */
+  def coalesceIntervals(xs: Seq[(Double, Double)]): Seq[(Double, Double)] = {
+    val sorted = xs.sortBy(_._1)
+    sorted.tail.foldLeft(Vector(sorted.head)) { case (acc, (lo, hi)) =>
+      val (plo, phi) = acc.last
+      if (lo <= phi) acc.init :+ ((plo, math.max(phi, hi)))
+      else acc :+ ((lo, hi))
+    }
+  }
+
+  /** Read a caller-chosen subset of version `v`'s manifest entries
+    * through the shared read path (version schema, tombstones applied) —
+    * the primitive an iterative driver-side scan (e.g. the PromQL
+    * grid-lag head search walking files newest-first) builds on. The
+    * entries must come from `manifest(root, v)`.
+    */
+  def readSubset(
+      spark: SparkSession, root: String, v: Long, entries: Seq[Entry]): DataFrame =
+    if (entries.isEmpty)
+      asOf(spark, root, v).filter(org.apache.spark.sql.functions.lit(false))
+    else readEntries(spark, root, v, entries)
+
   /** Read a subset of version `v`'s entries with the version's schema
     * (missing columns as null — add-column evolution) and its tombstones
     * applied. Only entries CARRYING tombstones pay the anti-join; clean

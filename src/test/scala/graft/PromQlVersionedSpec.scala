@@ -127,23 +127,98 @@ class PromQlVersionedSpec extends SparkSuite {
     assert(got.nonEmpty && got === want)
   }
 
-  test("grid pruning falls back for the series-lag family and pins") {
+  test("grid rate/increase PRUNE via the head seed; pins still fall back") {
     val (start, end, step) = (tMax - 2 * 86400L, tMax, 86400L)
     // rate/increase reach back to the previous sample anywhere in
-    // history (the engine's crossing-delta model) — unprunable
+    // history (the engine's crossing-delta model) — but that is ONE
+    // sample per series: the scan reads the span's quarter, and the
+    // crossing delta is seeded from gridLagHeads (a local relation —
+    // it adds no scanned files to the plan)
     for (q <- Seq("increase(view_total[1d])",
-        "sum by (user) (rate(view_total[1d]))",
-        s"sum_over_time(view_total[1d] @ $q1)")) {
+        "sum by (user) (rate(view_total[1d]))")) {
       assert(files(PromQlVersioned.gridRangeMetrics(
-        spark, root, q, start, end, step)) === allFiles, q)
+        spark, root, q, start, end, step)).size === 1, q)
     }
-    // and the fallback's rows still match the direct compile
-    val q = "increase(view_total[1d])"
-    assert(rows(PromQlVersioned.compileGridRangeVector(spark, root, q, start, end, step)
-      .select(col("name"), Firehose.seriesKey(col("labels")).as("series"),
-        col("win_start"), col("value"))) ===
-      rows(PromQl.compileSliding(q, Versioned.latest(spark, root), step)
-        .filter(col("win_start") >= lit(start) && col("win_start") <= lit(end))))
+    // a grid-mode pin spreads over the OBSERVED span — still unprunable
+    assert(files(PromQlVersioned.gridRangeMetrics(
+      spark, root, s"sum_over_time(view_total[1d] @ $q1)",
+      start, end, step)) === allFiles)
+    // and the seeded rows exactly match the full-scan compile
+    for (q <- Seq("increase(view_total[1d])",
+        "sum by (user) (rate(view_total[1d]))")) {
+      assert(rows(PromQlVersioned.compileGridRangeVector(spark, root, q, start, end, step)
+        .select(col("name"), Firehose.seriesKey(col("labels")).as("series"),
+          col("win_start"), col("value"))) ===
+        rows(PromQl.compileSliding(q, Versioned.latest(spark, root), step)
+          .filter(col("win_start") >= lit(start) && col("win_start") <= lit(end))), q)
+    }
+  }
+
+  test("head-seed census: a dense landing's probe reads ONE margin file") {
+    // ten daily one-file commits of three hourly-sampled series — the
+    // production shape (live series, append-ordered landing). A 2-day
+    // dashboard's head probe must read exactly the newest pre-span
+    // file: every series' predecessor is there, the walk settles in
+    // its first (single-file) batch, and nine days of history are
+    // never listed.
+    val r = tmp("pql-heads")
+    val day = 86400L
+    import spark.implicits._
+    val dense = spark.range(10 * 24).select(
+      explode(array(lit("a"), lit("b"), lit("c"))).as("u"),
+      (col("id") * 3600L).as("timestamp"))
+      .select(lit("app").as("component"), lit("cpu_total").as("name"),
+        map(lit("user"), col("u")).as("labels"), col("timestamp"),
+        concat(col("u"), col("timestamp")).as("id"),
+        (col("timestamp") / 100.0).as("value"))
+    (0 until 10).foreach { d =>
+      PromQlVersioned.land(
+        dense.filter(col("timestamp") >= lit(d * day) &&
+          col("timestamp") < lit((d + 1) * day)).coalesce(1), r)
+    }
+    val v = Versioned.latestVersion(r)
+    val lo = 8 * day + 7200L // a span starting inside day 9's file
+    val span = Versioned.prunedRead(spark, r, v,
+      Seq(("timestamp", lo.toDouble, (10 * day).toDouble)))
+    val (heads, read) = PromQlVersioned.gridLagHeads(spark, r, v, lo, span)
+    assert(read.size === 1)
+    // one predecessor per series, each the hour before the bound
+    val h = heads.select(col("timestamp"),
+      Firehose.seriesKey(col("labels")).as("s")).collect()
+    assert(h.length === 3 && h.forall(_.getLong(0) === lo - 3600L))
+    // and on the shared sparse landing the walk still stops early: it
+    // reads a newest-first prefix, never the whole candidate list
+    val (start2, end2, step2) = (tMax - 2 * 86400L, tMax, 86400L)
+    val ast = PromQlParser.parse("increase(view_total[1d])")
+    val (lo2, _) = PromQlVersioned.gridBounds(ast, start2, end2, step2)
+    val v2 = Versioned.latestVersion(root)
+    val span2 = Versioned.prunedRead(spark, root, v2,
+      Seq(("timestamp", lo2.toDouble, Double.MaxValue)))
+    val (h2, read2) = PromQlVersioned.gridLagHeads(spark, root, v2, lo2, span2)
+    assert(read2.size < allFiles.size) // sparse series: 3 of 4 quarters
+    assert(h2.select(col("timestamp")).collect().forall(_.getLong(0) < lo2))
+  }
+
+  test("a far pin splits the scan: pin's file + lookback's file, nothing between") {
+    val pin = (q1 + q2) / 2 // mid second quarter
+    val q = s"sum_over_time(view_total[1d] @ $pin) / sum_over_time(view_total[1d])"
+    val pruned = PromQlVersioned.prunedMetrics(spark, root, q, tMax)
+    // two disjoint intervals → exactly two of the four quarter files
+    assert(files(pruned).size === 2)
+    val got = rows(PromQlVersioned.compileInstant(spark, root, q, tMax))
+    assert(got.nonEmpty && got ===
+      rows(PromQl.compileInstant(q, Versioned.latest(spark, root), tMax)))
+  }
+
+  test("instant-mode subquery increase prunes with the head seed") {
+    // the inner increase evaluates on the tumbling grid (crossing-delta
+    // lag) — previously a full-scan fallback, now span + head seed
+    val q = "sum_over_time((increase(view_total[12h]))[1d:12h])"
+    val pruned = PromQlVersioned.prunedMetrics(spark, root, q, tMax)
+    assert(files(pruned).size < allFiles.size)
+    val got = rows(PromQlVersioned.compileInstant(spark, root, q, tMax))
+    assert(got.nonEmpty && got ===
+      rows(PromQl.compileInstant(q, Versioned.latest(spark, root), tMax)))
   }
 
   test("gridBounds interval arithmetic (forward-covering windows)") {
@@ -202,11 +277,18 @@ class PromQlVersionedSpec extends SparkSuite {
       }
     val full = Versioned.latest(spark, root)
     // a drawn expression may be ILLEGAL (e.g. a 12h range inside a
-    // sliding-step evaluation that doesn't tile) — then both legs must
-    // refuse with the SAME error; Either-parity covers both worlds
+    // sliding-step evaluation that doesn't tile) or REFUSED at runtime
+    // (the engine's many-to-many vector-match raise — data-dependent,
+    // so pruning must not change whether it fires) — then both legs
+    // must refuse with the SAME error; Either-parity covers both worlds
     def attempt(f: => Set[(String, String, Long, Double)]) =
       try Right(f)
-      catch { case e: graft.promql.PromQlCompileException => Left(e.getMessage) }
+      catch {
+        case e: graft.promql.PromQlCompileException => Left(e.getMessage)
+        case e: org.apache.spark.SparkThrowable
+            if e.getCondition == "USER_RAISED_EXCEPTION" =>
+          Left(e.asInstanceOf[Throwable].getMessage)
+      }
     (1 to iters).foreach { i =>
       val q = expr(1 + rnd.nextInt(2))
       // instant leg at a random (often non-aligned) anchor
@@ -285,10 +367,12 @@ class PromQlVersionedSpec extends SparkSuite {
     assert(instantBounds(PromQlParser.parse(
       s"x_total + sum_over_time(x_total[1h] @ ${t - 86400})"), t) ===
       (t - 86400 - 3600, t))
-    // subquery: range + inner step slop both sides + inner reach
+    // subquery: the inner evaluates on the GRID (forward-covering
+    // windows) — selected inner windows w ∈ (t − 2h, t], each touching
+    // samples [w, w + 30m): reach (t − 2h, t + 30m)
     assert(instantBounds(
       PromQlParser.parse("max_over_time(rate(x_total[30m])[2h:15m])"), t) ===
-      (t - 7200 - 900 - 1800, t + 900))
+      (t - 7200, t + 1800))
     // negative offset reaches forward
     assert(instantBounds(PromQlParser.parse("x_total offset -10m"), t) ===
       (t + 600 - 300, t + 600))
