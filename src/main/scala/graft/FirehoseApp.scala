@@ -132,6 +132,9 @@ object FirehoseApp {
           if (i < args.length && args(i).forall(_.isDigit)) {
             m.put("app.serve.port", args(i)); i += 1
           }
+        case "--rules" =>
+          m.put("app.rules", operand("--rules <file>"))
+          i += 2
         case "--table" =>
           m.put("app.table", operand("--table <cmd> <root>"))
           m.put("app.table.root", operand("--table <cmd> <root>", 2))
@@ -341,8 +344,12 @@ object FirehoseApp {
     cfg.get("app.serve").foreach { root =>
       val spark = Sessions.local(
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-serve")
+      // `--rules <file>` arms /api/v1/rules + /api/v1/alerts
+      val rules = cfg.get("app.rules").map(p =>
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+          java.nio.charset.StandardCharsets.UTF_8))
       val server = graft.promql.PromQlHttp.startLandingServer(
-        spark, root, cfg.getInt("app.serve.port", 0))
+        spark, root, cfg.getInt("app.serve.port", 0), rules)
       println(s"[graft] query API on http://127.0.0.1:${
         server.getAddress.getPort} over $root")
       try Thread.currentThread().join() // serve until killed

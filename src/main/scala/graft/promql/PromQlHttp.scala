@@ -60,6 +60,34 @@ import org.apache.spark.sql.functions._
   * posture as the scrape registries — are collected and rendered. The
   * relation is a thunk, re-resolved per request, so a server over
   * `Versioned.latest` always answers from the newest committed version.
+  *
+  * Round 13 closes the loop's INGEST half and the rule surface:
+  *
+  *  - `POST /api/v1/ingest?component=C[&time=T]` (landing server) —
+  *    text-exposition body parsed by the same [[graft.operators
+  *    .Firehose.PromGrammar]] the DSv2 `prom` source scans, landed as
+  *    one retry-append commit with timestamp stats (so ingested batches
+  *    are immediately file-prunable). Per-line timestamps are exposition
+  *    millis; lines without one take `time` (unix sec). JDK-only — the
+  *    remote-write protobuf+snappy path is environmentally blocked, and
+  *    text exposition is what every Prometheus client lib can emit.
+  *  - `GET /federate?match[]=S` — the latest-gauge registry of the
+  *    matched series as text exposition (`component_name{labels} value
+  *    ts_millis`), Prometheus's federation surface: a downstream
+  *    scraper (or this engine's own `prom` DSv2 source) re-ingests it
+  *    round-trip series-exact.
+  *  - `GET /api/v1/rules` + `/api/v1/alerts` — the rule fleet
+  *    ([[PromQlRules]], when the server is given a rules file) served
+  *    in the Prometheus wire format: recording rules listed with their
+  *    query text; alerting rules evaluated on the point grid over the
+  *    trailing `for:` horizon (`time`/`step`/`lookback` params, newest
+  *    sample default) with firing/pending/inactive state, per-series
+  *    alert rows, `activeAt` = the current breach streak's first point.
+  *
+  * The landing server memoizes `newestTs` PER COMMITTED VERSION: the
+  * default-time aggregate runs once per append, not once per request
+  * (on a 100 TB landing that max(timestamp) job is the difference
+  * between a dashboard poll costing a scan and costing a map lookup).
   */
 object PromQlHttp {
 
@@ -69,7 +97,9 @@ object PromQlHttp {
     * landing's newest committed version, or a constant relation for a
     * fixed corpus.
     */
-  def startQueryServer(metrics: () => DataFrame, port: Int = 0): HttpServer =
+  def startQueryServer(
+      metrics: () => DataFrame, port: Int = 0,
+      rulesText: Option[String] = None): HttpServer =
     serve(
       (q, t, lookback, xp) =>
         PromQl.compileInstantVector(q, metrics(), t, lookbackSec = lookback,
@@ -82,7 +112,12 @@ object PromQlHttp {
           extrapolate = xp),
       (startOpt, endOpt) => timeFiltered(metrics(), startOpt, endOpt),
       () => newestTs(metrics()),
-      port)
+      port,
+      Extras(
+        federate = Some(params => federateBody(metrics(), params)),
+        rules = rulesText.map(rt => (params: Params, alertsOnly: Boolean) =>
+          rulesBody(rt, (_, _) => metrics(), params,
+            () => newestTs(metrics()), alertsOnly))))
 
   private def timeFiltered(
       m: DataFrame, startOpt: Option[Long], endOpt: Option[Long]): DataFrame = {
@@ -103,7 +138,20 @@ object PromQlHttp {
     */
   def startLandingServer(
       spark: org.apache.spark.sql.SparkSession, root: String,
-      port: Int = 0): HttpServer =
+      port: Int = 0, rulesText: Option[String] = None): HttpServer = {
+    import graft.sources.Versioned
+    rulesText.foreach(PromQlRules.parse) // a bad rules file fails at START
+    // newestTs memoized per committed version: a dashboard fleet polling
+    // the instant endpoint with no `time` pays the max(timestamp)
+    // aggregate once per APPEND, not once per request
+    val tsCache =
+      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+    def cachedNewest(): Long = {
+      val v = Versioned.latestVersion(root)
+      require(v >= 0, "the landing is empty — pass an explicit 'time'")
+      tsCache.computeIfAbsent(v,
+        _ => newestTs(Versioned.asOf(spark, root, v))).longValue()
+    }
     serve(
       (q, t, lookback, xp) =>
         PromQlVersioned.compileInstantVector(spark, root, q, t,
@@ -118,21 +166,46 @@ object PromQlHttp {
         // a bounded metadata span prunes files exactly like a query —
         // the dominant Grafana pattern (label autocomplete scoped to
         // the dashboard's time range)
-        case (Some(s), Some(e)) => graft.sources.Versioned.prunedRead(
-          spark, root, graft.sources.Versioned.latestVersion(root),
+        case (Some(s), Some(e)) => Versioned.prunedRead(
+          spark, root, Versioned.latestVersion(root),
           Seq(("timestamp", s.toDouble, e.toDouble)))
-        case _ => timeFiltered(
-          graft.sources.Versioned.latest(spark, root), startOpt, endOpt)
+        case _ => timeFiltered(Versioned.latest(spark, root), startOpt, endOpt)
       },
-      () => newestTs(graft.sources.Versioned.latest(spark, root)),
-      port)
+      () => cachedNewest(),
+      port,
+      Extras(
+        ingest = Some((params, body) => ingestBody(spark, root, params, body)),
+        federate = Some(params =>
+          federateBody(Versioned.latest(spark, root), params)),
+        rules = rulesText.map(rt => (params: Params, alertsOnly: Boolean) =>
+          rulesBody(rt,
+            (s, e) => PromQlVersioned.ruleSpanMetrics(spark, root,
+              PromQlRules.parse(rt).map {
+                case PromQlRules.Rule(_, x) => x
+                case PromQlRules.Alert(_, x, _) => x
+              }, s, e,
+              params.get("lookback").map(parseDuration).getOrElse(300L)),
+            params, () => cachedNewest(), alertsOnly))))
+  }
+
+  /** Optional per-server surfaces beyond the query/metadata endpoints:
+    * `ingest` (landing servers only — POST text exposition), `federate`
+    * (text-exposition body of the matched latest-gauge registry), and
+    * `rules` ((params, alertsOnly) → the /api/v1/rules or /alerts JSON,
+    * present when the server was given a rules file).
+    */
+  private final case class Extras(
+      ingest: Option[(Params, String) => String] = None,
+      federate: Option[Params => String] = None,
+      rules: Option[(Params, Boolean) => String] = None)
 
   private def serve(
       instantFn: (String, Long, Long, Boolean) => DataFrame,
       rangeFn: (String, Long, Long, Long, Long, Boolean, Boolean) => DataFrame,
       spanFn: (Option[Long], Option[Long]) => DataFrame,
       defaultTime: () => Long,
-      port: Int): HttpServer = {
+      port: Int,
+      extras: Extras = Extras()): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     // handlers run Spark ACTIONS (unlike the scrape endpoint's in-memory
     // renders) — without an executor every request serializes on the one
@@ -262,8 +335,248 @@ object PromQlHttp {
           "status" -> "\"success\"",
           "data" -> entries.mkString("[", ",", "]")))
       })
+    extras.ingest.foreach { body =>
+      // the POST body here is the raw text exposition, NOT form params —
+      // request params come from the query string alone
+      server.createContext("/api/v1/ingest", (ex: HttpExchange) =>
+        respondWith(ex) {
+          if (ex.getRequestMethod != "POST")
+            throw new IllegalArgumentException("ingest requires POST")
+          val raw = new String(
+            ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          body(queryParamsOf(ex), raw)
+        })
+    }
+    extras.federate.foreach { body =>
+      server.createContext("/federate", (ex: HttpExchange) =>
+        respondText(ex)(body(paramsOf(ex))))
+    }
+    extras.rules.foreach { body =>
+      server.createContext("/api/v1/rules", (ex: HttpExchange) =>
+        respond(ex)(params => body(params, false)))
+      server.createContext("/api/v1/alerts", (ex: HttpExchange) =>
+        respond(ex)(params => body(params, true)))
+    }
     server.start()
     server
+  }
+
+  // ───────────────────────── ingest (scrape-in) ─────────────────────────
+
+  private final case class IngestRow(
+      component: String, name: String, labels: Map[String, String],
+      timestamp: Long, id: String, value: Double)
+
+  /** POST body = text exposition; parsed with the shared
+    * [[graft.operators.Firehose.PromGrammar]] (comment/blank lines
+    * skipped, malformed lines REJECTED loudly — an ingest must not
+    * silently drop samples the way a scraper's skip-and-continue does),
+    * landed as one retry-append commit with timestamp stats. Params:
+    * `component` (the engine's stream dimension, default "scrape"),
+    * `time` (unix sec — the sample time for lines without an exposition
+    * timestamp).
+    */
+  private def ingestBody(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      params: Params, body: String): String = {
+    val component = params.get("component").getOrElse("scrape")
+    val defaultSec = params.get("time").map(parseTime)
+    val batch = java.util.UUID.randomUUID().toString.take(12)
+    val rows = body.linesIterator.zipWithIndex.flatMap { case (line, i) =>
+      val t = line.trim
+      if (t.isEmpty || t.startsWith("#")) None
+      else parseExpositionLine(t) match {
+        case None => throw new IllegalArgumentException(
+          s"malformed exposition line ${i + 1}: '$t'")
+        case Some((metric, labels, value, tsMs)) =>
+          val sec = tsMs.map(Math.floorDiv(_, 1000L)).orElse(defaultSec)
+            .getOrElse(throw new IllegalArgumentException(
+              s"line ${i + 1} has no timestamp and no 'time' param"))
+          Some(IngestRow(component, metric, labels, sec,
+            s"ingest-$batch-${i + 1}", value))
+      }
+    }.toSeq
+    if (rows.isEmpty)
+      throw new IllegalArgumentException("the body contains no samples")
+    val df = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[IngestRow]).toDF()
+    // retry-append: concurrent scrapers' commits commute (the landing is
+    // append-only), each retry costs one manifest read + marker write
+    val v = graft.sources.Versioned.appendCommitWithRetry(
+      df, root, statsCols = Seq("timestamp"))
+    jsonObj(Seq(
+      "status" -> "\"success\"",
+      "data" -> jsonObj(Seq(
+        "version" -> v.toString,
+        "samples" -> rows.length.toString))))
+  }
+
+  // compiled once from the SAME grammar strings the DSv2 scanner and the
+  // promParse expression chain use — three readers, one grammar
+  private val LinePattern = java.util.regex.Pattern.compile(
+    graft.operators.Firehose.PromGrammar.LineRe)
+  private val PairPattern = java.util.regex.Pattern.compile(
+    graft.operators.Firehose.PromGrammar.PairRe)
+  private val BlockPattern = java.util.regex.Pattern.compile(
+    graft.operators.Firehose.PromGrammar.BlockRe)
+
+  /** One exposition line → (metric, labels, value, ts_ms) — the
+    * [[graft.sources.PromSource.parseLine]] semantics, keeping the label
+    * PAIRS (the landing's map column) instead of the rendered series key.
+    */
+  private def parseExpositionLine(
+      line: String): Option[(String, Map[String, String], Double, Option[Long])] = {
+    import graft.operators.Firehose.PromGrammar
+    val m = LinePattern.matcher(line)
+    if (!m.matches()) return None
+    val block = Option(m.group(3)).getOrElse("")
+    if (!BlockPattern.matcher(block).matches()) return None
+    val labels = Map.newBuilder[String, String]
+    val pm = PairPattern.matcher(block)
+    while (pm.find())
+      labels += pm.group(1) -> PromGrammar.unescapeLabelValue(pm.group(2))
+    PromGrammar.parseDoubleToken(m.group(4)).flatMap { value =>
+      try {
+        val ts = Option(m.group(6)).map(java.lang.Long.parseLong)
+        Some((m.group(1), labels.result(), value, ts))
+      } catch { case _: NumberFormatException => None }
+    }
+  }
+
+  // ──────────────────────── federate (scrape-out) ────────────────────────
+
+  /** The latest-gauge registry of the `match[]`-selected series as text
+    * exposition — Prometheus's `/federate`: `component_name{labels}
+    * value ts_millis`, one line per live series, scrape-able by a
+    * downstream Prometheus or this engine's own DSv2 `prom` source
+    * (round-trip spec-pinned). The render is the m6 operator
+    * ([[graft.operators.Firehose.promRender]]); only registry-sized
+    * result lines are collected.
+    */
+  private def federateBody(metrics: DataFrame, params: Params): String = {
+    if (params.matches.isEmpty) throw new IllegalArgumentException(
+      "missing required parameter 'match[]'")
+    import graft.operators.Firehose
+    val lines = Firehose.promRender(
+      Firehose.gaugeLatest(matched(metrics, params.matches)))
+      .collect().map(_.getString(0)).sorted
+    lines.mkString("", "\n", "\n")
+  }
+
+  // ───────────────────────── rules and alerts ─────────────────────────
+
+  /** `/api/v1/rules` (alertsOnly = false) and `/api/v1/alerts` (true) in
+    * the Prometheus wire format. Recording rules are listed statically
+    * (their outputs are queries, not state); alerting rules evaluate on
+    * the POINT grid over the trailing `for:` horizon ending at `time`
+    * (default: the newest sample): state = firing when the streaked
+    * alert emits a row at the end point, pending when the bare
+    * condition holds there but the streak is incomplete, inactive
+    * otherwise. `activeAt` is the first point of the current
+    * consecutive breach run — Prometheus's pending-start.
+    */
+  private def rulesBody(
+      rulesText: String,
+      metricsFor: (Long, Long) => DataFrame,
+      params: Params,
+      defaultTime: () => Long,
+      alertsOnly: Boolean): String = {
+    val lines = PromQlRules.parse(rulesText)
+    val alerts = lines.collect { case a: PromQlRules.Alert => a }
+    val end = params.get("time").map(parseTime).getOrElse(defaultTime())
+    val step = params.get("step").map(parseDuration).getOrElse(60L)
+    val lookback = params.get("lookback").map(parseDuration).getOrElse(300L)
+    val maxFor = (0L +: alerts.map(_.forSec)).max
+    // the horizon holds every streak the end point can complete, plus
+    // one step so a just-started breach has a preceding point to differ
+    val start = end - maxFor - step
+    // fired rows per alert at every grid point (streaked), and the bare
+    // condition rows (for: stripped) for pending detection + activeAt
+    def evalAll(text: String): Map[String, DataFrame] =
+      PromQlRules.evaluateRange(text, metricsFor(start, end), start, end,
+        step, lookback)
+    val fired =
+      if (alerts.isEmpty) Map.empty[String, DataFrame] else evalAll(rulesText)
+    val bare =
+      if (alerts.isEmpty) Map.empty[String, DataFrame]
+      else evalAll(lines.map {
+        case PromQlRules.Rule(n, x) => s"$n = $x"
+        case PromQlRules.Alert(n, x, _) => s"alert $n = $x"
+      }.mkString("\n"))
+    case class AlertRow(
+        component: String, series: String, winStart: Long, value: Double) {
+      def key: (String, String) = (component, series)
+    }
+    def rowsOf(df: DataFrame): Seq[AlertRow] =
+      df.select(col("component"), col("series"), col("win_start"),
+        col("value")).collect()
+        .map(r => AlertRow(r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    def alertJson(a: PromQlRules.Alert): (String, Seq[String]) = {
+      val condRows = rowsOf(bare(a.name))
+      val firedNow = rowsOf(fired(a.name)).filter(_.winStart == end)
+      val condNow = condRows.filter(_.winStart == end)
+      val state =
+        if (firedNow.nonEmpty) "firing"
+        else if (condNow.nonEmpty) "pending" else "inactive"
+      val firingKeys = firedNow.map(_.key).toSet
+      val entries = condNow.sortBy(_.key).map { r =>
+        // activeAt: walk the series' breach run back from the end point
+        val pts = condRows.filter(_.key == r.key).map(_.winStart).toSet
+        var first = end
+        while (pts.contains(first - step) && first - step >= start)
+          first -= step
+        // the series key is the canonical `k=v,...` rendering — split on
+        // the pair boundaries for the wire's flat label object (values
+        // containing commas render as Prometheus's own series text does)
+        val labels = (Seq("alertname" -> a.name, "component" -> r.component) ++
+          r.series.split(',').toSeq.filter(_.contains("="))
+            .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) })
+          .sortBy(_._1)
+        jsonObj(Seq(
+          "labels" -> jsonObj(labels.map { case (k, v) =>
+            k -> s""""${esc(v)}"""" }),
+          "annotations" -> "{}",
+          "state" -> s""""${if (firingKeys.contains(r.key)) "firing"
+            else "pending"}"""",
+          "activeAt" -> s""""${java.time.Instant.ofEpochSecond(first)}"""",
+          "value" -> s""""${r.value}""""))
+      }
+      (state, entries)
+    }
+    if (alertsOnly) {
+      val entries = alerts.flatMap(a => alertJson(a)._2)
+      jsonObj(Seq(
+        "status" -> "\"success\"",
+        "data" -> jsonObj(Seq(
+          "alerts" -> entries.mkString("[", ",", "]")))))
+    } else {
+      val ruleEntries = lines.map {
+        case PromQlRules.Rule(n, x) =>
+          jsonObj(Seq(
+            "name" -> s""""${esc(n)}"""",
+            "query" -> s""""${esc(x)}"""",
+            "health" -> "\"ok\"",
+            "type" -> "\"recording\""))
+        case a @ PromQlRules.Alert(n, x, forSec) =>
+          val (state, entries) = alertJson(a)
+          jsonObj(Seq(
+            "name" -> s""""${esc(n)}"""",
+            "query" -> s""""${esc(x)}"""",
+            "duration" -> forSec.toString,
+            "health" -> "\"ok\"",
+            "state" -> s""""$state"""",
+            "alerts" -> entries.mkString("[", ",", "]"),
+            "type" -> "\"alerting\""))
+      }
+      jsonObj(Seq(
+        "status" -> "\"success\"",
+        "data" -> jsonObj(Seq(
+          "groups" -> ("[" + jsonObj(Seq(
+            "name" -> "\"graft\"",
+            "file" -> "\"rules.graft\"",
+            "rules" -> ruleEntries.mkString("[", ",", "]"))) + "]")))))
+    }
   }
 
   /** The span filtered to the UNION of the `match[]` selectors (each a
@@ -306,20 +619,32 @@ object PromQlHttp {
     * strings and POSTed `application/x-www-form-urlencoded` bodies; a
     * param in both places reads from the body, like Go's `FormValue`).
     */
+  private def parsePairs(s: String): Seq[(String, String)] =
+    s.split('&').toSeq.filter(_.nonEmpty).flatMap { kv =>
+      val i = kv.indexOf('=')
+      if (i <= 0) None
+      else Some(
+        URLDecoder.decode(kv.take(i), StandardCharsets.UTF_8) ->
+          URLDecoder.decode(kv.drop(i + 1), StandardCharsets.UTF_8))
+    }
+
   private def paramsOf(ex: HttpExchange): Params = {
-    def parse(s: String): Seq[(String, String)] =
-      s.split('&').toSeq.filter(_.nonEmpty).flatMap { kv =>
-        val i = kv.indexOf('=')
-        if (i <= 0) None
-        else Some(
-          URLDecoder.decode(kv.take(i), StandardCharsets.UTF_8) ->
-            URLDecoder.decode(kv.drop(i + 1), StandardCharsets.UTF_8))
-      }
     val pairs =
-      Option(ex.getRequestURI.getRawQuery).fold(Seq.empty[(String, String)])(parse) ++
+      Option(ex.getRequestURI.getRawQuery)
+        .fold(Seq.empty[(String, String)])(parsePairs) ++
         (if (ex.getRequestMethod == "POST")
-          parse(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+          parsePairs(new String(
+            ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
         else Nil)
+    Params(pairs.toMap, pairs.collect { case ("match[]", v) => v })
+  }
+
+  /** Query-string params ONLY — for endpoints whose POST body is a raw
+    * payload (text-exposition ingest), not form-encoded params.
+    */
+  private def queryParamsOf(ex: HttpExchange): Params = {
+    val pairs = Option(ex.getRequestURI.getRawQuery)
+      .fold(Seq.empty[(String, String)])(parsePairs)
     Params(pairs.toMap, pairs.collect { case ("match[]", v) => v })
   }
 
@@ -364,9 +689,15 @@ object PromQlHttp {
         s"cannot parse '$s' as a duration: $msg"),
       identity))
 
-  private def respond(ex: HttpExchange)(body: Params => String): Unit = {
+  private def respond(ex: HttpExchange)(body: Params => String): Unit =
+    respondWith(ex)(body(paramsOf(ex)))
+
+  /** JSON response with the Prometheus error envelope on failure; the
+    * body is by-name so param parsing itself falls under the handler.
+    */
+  private def respondWith(ex: HttpExchange)(body: => String): Unit = {
     val (code, json) =
-      try (200, body(paramsOf(ex)))
+      try (200, body)
       catch {
         case e @ (_: PromQlParseException | _: PromQlCompileException |
             _: IllegalArgumentException) =>
@@ -374,8 +705,28 @@ object PromQlHttp {
         case e: Exception =>
           (500, errorJson("internal", s"${e.getClass.getSimpleName}: ${e.getMessage}"))
       }
-    val bytes = json.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.add("Content-Type", "application/json")
+    send(ex, code, json, "application/json")
+  }
+
+  /** text/plain response (the federation surface); errors still JSON. */
+  private def respondText(ex: HttpExchange)(body: => String): Unit = {
+    val (code, text, ct) =
+      try (200, body, "text/plain; version=0.0.4; charset=utf-8")
+      catch {
+        case e @ (_: PromQlParseException | _: PromQlCompileException |
+            _: IllegalArgumentException) =>
+          (400, errorJson("bad_data", e.getMessage), "application/json")
+        case e: Exception =>
+          (500, errorJson("internal",
+            s"${e.getClass.getSimpleName}: ${e.getMessage}"), "application/json")
+      }
+    send(ex, code, text, ct)
+  }
+
+  private def send(
+      ex: HttpExchange, code: Int, body: String, contentType: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", contentType)
     ex.sendResponseHeaders(code, bytes.length)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()

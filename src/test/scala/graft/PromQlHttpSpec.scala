@@ -209,6 +209,161 @@ class PromQlHttpSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  private def postRaw(port: Int, path: String, body: String): (Int, String) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("ingest: POSTed text exposition lands and is immediately queryable") {
+    val r = Files.createTempDirectory("pqlingest").toFile.getAbsolutePath
+    val server = PromQlHttp.startLandingServer(spark, r)
+    try {
+      val port = server.getAddress.getPort
+      val body =
+        """# HELP cpu_seconds total cpu
+          |cpu_seconds{host="a"} 1.5 1700000000000
+          |cpu_seconds{host="a"} 2.5 1700003600000
+          |cpu_seconds{host="b"} 7 1700003600000
+          |""".stripMargin
+      val (c1, resp1) = postRaw(port, "/api/v1/ingest?component=node", body)
+      assert(c1 === 200)
+      assert(resp1 ===
+        """{"status":"success","data":{"version":0,"samples":3}}""")
+      // the landed batch answers the instant endpoint at once
+      val (c2, q) = get(port,
+        s"/api/v1/query?query=${enc("cpu_seconds")}&time=1700003600&lookback=2h")
+      assert(c2 === 200)
+      assert(q.contains("""[1700003600,"2.5"]""") &&
+        q.contains("""[1700003600,"7"]"""), q)
+      assert(q.contains(""""component":"node"""") &&
+        q.contains(""""host":"a""""), q)
+      // lines without exposition timestamps take the `time` param
+      val (c3, resp3) = postRaw(port,
+        "/api/v1/ingest?component=node&time=1700007200",
+        "cpu_seconds{host=\"a\"} 9\n")
+      assert(c3 === 200 && resp3.contains("\"version\":1"), resp3)
+      val (_, q2) = get(port,
+        s"/api/v1/query?query=${enc("cpu_seconds")}&time=1700007200")
+      assert(q2.contains("""[1700007200,"9"]"""), q2)
+      // a malformed line REFUSES the whole batch (nothing lands)...
+      val before = Versioned.latestVersion(r)
+      assert(postRaw(port, "/api/v1/ingest?component=node",
+        "cpu_seconds{oops} 1 1700000000000\n")._1 === 400)
+      // ...and so do an empty body and a timestamp-less line with no
+      // `time` param
+      assert(postRaw(port, "/api/v1/ingest", "# only comments\n")._1 === 400)
+      assert(postRaw(port, "/api/v1/ingest",
+        "cpu_seconds{host=\"a\"} 9\n")._1 === 400)
+      assert(Versioned.latestVersion(r) === before)
+      // GET is refused
+      assert(get(port, "/api/v1/ingest")._1 === 400)
+    } finally server.stop(0)
+  }
+
+  test("federate: the matched registry as text exposition; the DSv2 prom source round-trips it") {
+    val server = PromQlHttp.startLandingServer(spark, root)
+    try {
+      val port = server.getAddress.getPort
+      val (code, text) = get(port, s"/federate?match[]=${enc("view_total")}")
+      assert(code === 200)
+      // scrape the federation output with the engine's own DSv2 reader
+      val dir = Files.createTempDirectory("federate").toFile
+      java.nio.file.Files.writeString(
+        new java.io.File(dir, "scrape.prom").toPath, text)
+      val back = spark.read.format("prom").load(dir.getAbsolutePath)
+        .select("metric", "series", "value", "ts_ms").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      val want = Firehose.gaugeLatest(
+        metrics.filter(col("name") === "view_total"))
+        .collect()
+        .map(r => ("app_" + r.getString(1), r.getString(2),
+          math.rint(r.getDouble(3) * 1e6) / 1e6, r.getLong(4) * 1000L))
+        .toSet
+      assert(back.nonEmpty && back === want)
+      // match[] is required, like Prometheus
+      assert(get(port, "/federate")._1 === 400)
+    } finally server.stop(0)
+  }
+
+  test("the landing server memoizes newestTs per committed version") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val r = Files.createTempDirectory("pqlcache").toFile.getAbsolutePath
+    PromQlVersioned.land(metrics.filter(col("timestamp") < lit(tMax)), r)
+    val server = PromQlHttp.startLandingServer(spark, r)
+    try {
+      val port = server.getAddress.getPort
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val l = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      def jobsFor(path: String): (Int, String) = {
+        org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+        jobs.set(0)
+        val (c, b) = get(port, path)
+        assert(c === 200)
+        org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+        (jobs.get(), b)
+      }
+      try {
+        val u = s"/api/v1/query?query=${enc("sum by (user) (increase(view_total[2d]))")}"
+        val (n1, b1) = jobsFor(u) // pays the newestTs aggregate
+        val (n2, b2) = jobsFor(u) // memoized: the query's own jobs only
+        val (n3, b3) = jobsFor(u)
+        assert(b1 === b2 && b2 === b3)
+        assert(n2 === n3, s"repeat requests must cost the same ($n2 vs $n3)")
+        assert(n2 < n1, s"the cached request must skip the aggregate ($n2 vs $n1)")
+        // an append moves the version: the cache recomputes and the
+        // answer reflects the new newest sample
+        PromQlVersioned.land(metrics.filter(col("timestamp") >= lit(tMax)), r)
+        val (n4, b4) = jobsFor(u)
+        assert(n4 > n2 && b4 != b2)
+        assert(jobsFor(u)._1 === n2)
+      } finally spark.sparkContext.removeSparkListener(l)
+    } finally server.stop(0)
+  }
+
+  test("rules + alerts endpoints serve the fleet in the Prometheus wire format") {
+    val rules =
+      """# per-user current views, and a breach alert held for 2h
+        |r:views = sum by (user) (view_total)
+        |alert ManyViews = sum(view_total) > 0 for 2h""".stripMargin
+    val server = PromQlHttp.startLandingServer(spark, root, rulesText = Some(rules))
+    try {
+      val port = server.getAddress.getPort
+      val (c1, body) = get(port,
+        s"/api/v1/rules?time=$tMax&step=1h&lookback=1d")
+      assert(c1 === 200)
+      // the recording rule renders statically, wire-exact
+      assert(body.contains(
+        """{"name":"r:views","query":"sum by (user) (view_total)",""" +
+          """"health":"ok","type":"recording"}"""), body)
+      // the alert: every hourly point in (tMax − 1d-lookback) sees the
+      // newest sample, so the 2h streak is complete at tMax → firing
+      assert(body.contains(""""name":"ManyViews"""") &&
+        body.contains(""""duration":7200""") &&
+        body.contains(""""state":"firing""""), body)
+      assert(body.startsWith(
+        """{"status":"success","data":{"groups":[{"name":"graft","file":"rules.graft","rules":["""))
+      val (c2, alerts) = get(port,
+        s"/api/v1/alerts?time=$tMax&step=1h&lookback=1d")
+      assert(c2 === 200)
+      assert(alerts.contains(""""alertname":"ManyViews"""") &&
+        alerts.contains(""""state":"firing"""") &&
+        alerts.contains(""""activeAt":""""), alerts)
+      // without a rules file the endpoints are absent (404 from the JDK
+      // server's default handler)
+      val bare = PromQlHttp.startLandingServer(spark, root)
+      try assert(get(bare.getAddress.getPort, "/api/v1/rules")._1 === 404)
+      finally bare.stop(0)
+    } finally server.stop(0)
+  }
+
   test("malformed expressions get Prometheus's bad_data envelope") {
     val server = PromQlHttp.startQueryServer(
       () => Versioned.latest(spark, root))
