@@ -34,7 +34,16 @@ class PromDiffFuzzSpec extends SparkSuite {
     */
   private sealed trait Mode
   private case class Grid(sliding: Boolean) extends Mode
-  private case class InstantMode(t: Long, lookback: Long) extends Mode
+  private case class InstantMode(
+      t: Long, lookback: Long, xp: Boolean = false) extends Mode
+  /** Prometheus `query_range`: every `start + i·step ≤ end` an
+    * independent instant evaluation — the harness compiles ONE
+    * point-grid plan and the reference evaluates [[InstantMode]] per
+    * point (two decompositions of the same semantics).
+    */
+  private case class PointMode(
+      start: Long, end: Long, step: Long, lookback: Long,
+      xp: Boolean = false) extends Mode
 
   private def dec(d: Double, scale: Int): BigDecimal =
     BigDecimal.decimal(d, MathContext.UNLIMITED).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
@@ -83,7 +92,8 @@ class PromDiffFuzzSpec extends SparkSuite {
       case Grid(true) if r == Step => Seq(win(ts, r))
       case Grid(true) => (0L until r / Step).map(j => win(ts, Step) - j * Step)
       // instant: the one window (t - r, t], or nowhere
-      case InstantMode(t, _) => if (ts > t - r && ts <= t) Seq(t) else Nil
+      case InstantMode(t, _, _) => if (ts > t - r && ts <= t) Seq(t) else Nil
+      case m: PointMode => sys.error(s"PointMode evaluates per point: $m")
     }
 
     def instant(ss: Seq[Sample], mode: Mode): RVec = mode match {
@@ -91,7 +101,8 @@ class PromDiffFuzzSpec extends SparkSuite {
         ss.groupBy(s => (s.name, s.labels, win(s.ts, Step))).map { case (k, g) =>
           k -> g.maxBy(s => (s.ts, s.id)).value
         }
-      case InstantMode(t, lb) =>
+      case m: PointMode => sys.error(s"PointMode evaluates per point: $m")
+      case InstantMode(t, lb, _) =>
         // latest lookback sample per series, NaN-latest = stale = absent
         ss.filter(s => s.ts > t - lb && s.ts <= t)
           .groupBy(s => (s.name, s.labels))
@@ -102,10 +113,15 @@ class PromDiffFuzzSpec extends SparkSuite {
     }
 
     def increase(ss: Seq[Sample], r: Long, asRate: Boolean, mode: Mode): RVec = {
+      mode match {
+        case InstantMode(t, _, true) =>
+          return increaseExtrapolated(ss, r, asRate, t)
+        case _ =>
+      }
       // instant evaluation is window-INTERIOR: deltas among the samples
       // of (t - r, t] only (the compiled path's documented model)
       val base = mode match {
-        case InstantMode(t, _) => ss.filter(s => s.ts > t - r && s.ts <= t)
+        case InstantMode(t, _, _) => ss.filter(s => s.ts > t - r && s.ts <= t)
         case _ => ss
       }
       base.groupBy(s => (s.name, s.labels)).toSeq.flatMap { case ((n, l), g) =>
@@ -125,6 +141,46 @@ class PromDiffFuzzSpec extends SparkSuite {
         }
       }.toMap
     }
+
+    /** Go's `extrapolatedRate` (promql/functions.go) from scratch, in
+      * the engine's documented operation order: the interior delta sum
+      * IS Go's resultFloat, the counter zero-floor clamp runs BEFORE
+      * the average-interval threshold, sub-2-sample windows emit
+      * nothing, and every step is one IEEE double op.
+      */
+    private def increaseExtrapolated(
+        ss: Seq[Sample], r: Long, asRate: Boolean, t: Long): RVec =
+      ss.filter(s => s.ts > t - r && s.ts <= t)
+        .groupBy(s => (s.name, s.labels)).toSeq.flatMap { case ((nm, l), g) =>
+          val sorted = g.sortBy(s => (s.ts, s.id))
+          if (sorted.size < 2) None
+          else {
+            val incs = sorted.zipWithIndex.map { case (s, i) =>
+              if (i == 0) 0.0
+              else {
+                val d = s.value - sorted(i - 1).value
+                if (d < 0) s.value else d
+              }
+            }
+            val inc = decSumNF(incs)
+            val fst = sorted.head
+            val lst = sorted.last
+            val sampled = (lst.ts - fst.ts).toDouble
+            val avgIv = sampled / (sorted.size - 1).toDouble
+            val thresh = avgIv * 1.1
+            val d0Start = (fst.ts - (t - r)).toDouble
+            val dZero = sampled * (fst.value / inc)
+            // NaN predicates are false, like the engine's codegen'd when()
+            val dStartZ =
+              if (inc > 0 && fst.value >= 0 && dZero < d0Start) dZero
+              else d0Start
+            val dStart = if (dStartZ >= thresh) avgIv / 2 else dStartZ
+            val d0End = (t - lst.ts).toDouble
+            val dEnd = if (d0End >= thresh) avgIv / 2 else d0End
+            val v = inc * ((sampled + dStart + dEnd) / sampled)
+            Some((nm, l, t) -> (if (asRate) v / r.toDouble else v))
+          }
+        }.toMap
 
     def overTime(ss: Seq[Sample], r: Long, fn: String, mode: Mode): RVec =
       ss.flatMap(s => winsOf(s.ts, r, mode).map(w => (s, w)))
@@ -254,6 +310,12 @@ class PromDiffFuzzSpec extends SparkSuite {
       val tiny = java.lang.Math.scalb(1.0, -28)
       val huge = java.lang.Math.scalb(1.0, 28)
       val ln2 = 0.6931471805599453
+      // Spark's Log/Log1p expressions call StrictMath (platform-pinned
+      // fdlibm), while scala's math.log is the Math.log INTRINSIC — they
+      // differ by 1 ulp on real inputs (found by fuzz seed 777000:
+      // asinh(-43.88)); the reference must mirror the engine's call
+      def slog(x: Double): Double = StrictMath.log(x)
+      def slog1p(x: Double): Double = StrictMath.log1p(x)
       def asinh(v: Double): Double =
         if (v.isNaN) Double.NaN
         else if (v == 0.0) v
@@ -261,16 +323,16 @@ class PromDiffFuzzSpec extends SparkSuite {
           val a = math.abs(v)
           val m =
             if (a < tiny) a
-            else if (a > huge) math.log(a) + ln2
-            else if (a > 2.0) math.log(2.0 * a + 1.0 / (a + math.sqrt(a * a + 1.0)))
-            else math.log1p(a + a * a / (1.0 + math.sqrt(1.0 + a * a)))
+            else if (a > huge) slog(a) + ln2
+            else if (a > 2.0) slog(2.0 * a + 1.0 / (a + math.sqrt(a * a + 1.0)))
+            else slog1p(a + a * a / (1.0 + math.sqrt(1.0 + a * a)))
           if (v < 0) -m else m
         }
       def acosh(v: Double): Double =
         if (v.isNaN || v < 1) Double.NaN
-        else if (v >= huge) math.log(v) + ln2
-        else if (v > 2.0) math.log(2.0 * v - 1.0 / (v + math.sqrt(v * v - 1.0)))
-        else { val t = v - 1.0; math.log1p(t + math.sqrt(2.0 * t + t * t)) }
+        else if (v >= huge) slog(v) + ln2
+        else if (v > 2.0) slog(2.0 * v - 1.0 / (v + math.sqrt(v * v - 1.0)))
+        else { val t = v - 1.0; slog1p(t + math.sqrt(2.0 * t + t * t)) }
       def atanh(v: Double): Double =
         if (v.isNaN || math.abs(v) > 1) Double.NaN
         else if (v == 1.0) Double.PositiveInfinity
@@ -280,8 +342,8 @@ class PromDiffFuzzSpec extends SparkSuite {
           val a = math.abs(v)
           val m =
             if (a < tiny) a
-            else if (a > 0.5) 0.5 * math.log1p((a + a) / (1.0 - a))
-            else 0.5 * math.log1p((a + a) + (a + a) * a / (1.0 - a))
+            else if (a > 0.5) 0.5 * slog1p((a + a) / (1.0 - a))
+            else 0.5 * slog1p((a + a) + (a + a) * a / (1.0 - a))
           if (v < 0) -m else m
         }
       Map(
@@ -461,6 +523,28 @@ class PromDiffFuzzSpec extends SparkSuite {
       seed = fuzzSeed.map(_ + 2).getOrElse(1212L))
   }
 
+  test("EXTRAPOLATED instant plans match the Go-exact interpreter arm") {
+    // same harness, extrapolate=true: every drawn increase/rate runs
+    // Go's extrapolatedRate on both sides — branch agreement (zero
+    // clamp, threshold halving, sub-2-sample emptiness) bit-for-bit
+    runFuzz(InstantMode(1704067200L + 13500L, 1800L, xp = true),
+      ranges = Seq(1800L, 3600L, 7200L),
+      seed = fuzzSeed.map(_ + 3).getOrElse(9090L))
+  }
+
+  test("point-grid compiled plans match the per-point interpreter") {
+    runFuzz(PointMode(1704067200L + 5400L, 1704067200L + 12600L, 1800L, 1800L),
+      ranges = Seq(1800L, 3600L, 7200L),
+      seed = fuzzSeed.map(_ + 4).getOrElse(3434L))
+  }
+
+  test("EXTRAPOLATED point-grid plans match the per-point interpreter") {
+    runFuzz(PointMode(1704067200L + 5400L, 1704067200L + 12600L, 1800L, 1800L,
+      xp = true),
+      ranges = Seq(1800L, 3600L, 7200L),
+      seed = fuzzSeed.map(_ + 5).getOrElse(5656L))
+  }
+
   private def runFuzz(mode: Mode, ranges: Seq[Long], seed: Long): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(seed)
@@ -585,8 +669,12 @@ class PromDiffFuzzSpec extends SparkSuite {
           Right((mode match {
             case Grid(true) => PromQlCompiler.compileSlidingVector(query, metrics, Step)
             case Grid(false) => PromQlCompiler.compileVector(query, metrics, Step)
-            case InstantMode(t, lb) =>
-              PromQlCompiler.compileInstantVector(query, metrics, t, lb, Step)
+            case InstantMode(t, lb, xp) =>
+              PromQlCompiler.compileInstantVector(query, metrics, t, lb, Step,
+                extrapolate = xp)
+            case PointMode(s0, e0, st, lb, xp) =>
+              PromQlCompiler.compileRangeVector(query, metrics, s0, e0, st, lb,
+                Step, extrapolate = xp)
           })
             .collect()
             .map(r => (r.getAs[String]("name"), r.getAs[Map[String, String]]("labels"),
@@ -594,7 +682,15 @@ class PromDiffFuzzSpec extends SparkSuite {
             .toMap)
         catch { case e: Throwable if isM2m(e) => Left("many-to-many") }
       val want: Either[String, RVec] =
-        try Right(Ref.eval(PromQlParser.parse(query), samples, mode))
+        try Right(mode match {
+          // the reference decomposes a point grid into per-point instants
+          case PointMode(s0, e0, st, lb, xp) =>
+            Iterator.iterate(s0)(_ + st).takeWhile(_ <= e0)
+              .map(p => Ref.eval(PromQlParser.parse(query), samples,
+                InstantMode(p, lb, xp)))
+              .foldLeft(Map.empty: RVec)(_ ++ _)
+          case m => Ref.eval(PromQlParser.parse(query), samples, m)
+        })
         catch { case _: Ref.ManyToMany => Left("many-to-many") }
       (got, want) match {
         case (Left(_), Left(_)) => raises += 1 // both enforce the contract
