@@ -126,8 +126,16 @@ object Tables {
       case None =>
         java.nio.file.Files.createTempDirectory("graft-stage-").toFile.getAbsolutePath
     }
-    graft.sources.Versioned.appendCommit(df, root)
-    (graft.sources.Versioned.latest(spark, root), root)
+    // a PLAIN parquet write, not a Versioned commit: the durability claim
+    // needs only re-readable files (executor loss re-reads them — the
+    // localCheckpoint contrast), while a stage is anonymous, single-writer
+    // and refresh-scoped — the commit ceremony it would pay (per-file
+    // sha256 content pooling, manifest + marker writes, schema JSON) is
+    // pure write amplification on the view-refresh hot path (measured at
+    // sf0.1: the r12 switch to committed stages cost p9/p9b/p12 ~7-20%;
+    // this drops the ceremony while keeping the files)
+    df.write.mode("errorifexists").parquet(s"$root/d")
+    (spark.read.parquet(s"$root/d"), root)
   }
 
   /** Delete a stage landing created by [[materializeStageOwned]] — safe
