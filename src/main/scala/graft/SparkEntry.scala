@@ -837,6 +837,35 @@ object SparkEntry {
         s"max_over_time(view_total[1d] @ $pin) / max_over_time(view_total[1d])",
         t)
     }),
+    // m55: TSDB RETENTION on the landing — three time-split commits,
+    // then expire(cutoff just past the oldest split): the oldest files
+    // drop at FILE granularity (no rewrite, no data read — the same
+    // timestamp stats that prune queries prove which files wholly aged
+    // out), and the surviving corpus is exactly the rows newer than the
+    // first cut. Cuts are INTEGER arithmetic so the oracle replays them
+    // bit-exactly (percentile cuts would have to match Spark's
+    // interpolation).
+    "m55_landing_retention" -> ((s, dir) => {
+      val m = Firehose.tagFilter(metricsOf(s, dir))
+        .select(col("component"), col("name"), col("labels"),
+          col("timestamp"), col("id"), col("value"))
+      val mm = m.agg(min(col("timestamp")), max(col("timestamp"))).head()
+      val (t0, t1) = (mm.getLong(0), mm.getLong(1))
+      val c1 = t0 + (t1 - t0) * 2 / 5
+      val c2 = t0 + (t1 - t0) * 7 / 10
+      val root = java.nio.file.Files.createTempDirectory("graft-m55")
+        .toFile.getAbsolutePath
+      promql.PromQlVersioned.land(m.filter(col("timestamp") <= c1), root)
+      promql.PromQlVersioned.land(
+        m.filter(col("timestamp") > c1 && col("timestamp") <= c2), root)
+      promql.PromQlVersioned.land(m.filter(col("timestamp") > c2), root)
+      promql.PromQlVersioned.expire(root, c1 + 1)
+      graft.sources.Versioned.latest(s, root)
+        .withColumn("series", Firehose.seriesKey(col("labels")))
+        .groupBy(col("component"), col("name"), col("series"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    }),
     // per-source gopher-rule failure funnel
     "t18_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
@@ -3173,6 +3202,22 @@ object SparkEntry {
         |  (SELECT t FROM tt) AS win_start, l.v / r.v AS value
         |FROM l JOIN r
         |  ON l.component = r.component AND l.series = r.series""".stripMargin,
+    // m55: after file-granular expiry at cutoff c1+1, the surviving
+    // corpus is exactly the rows with ts > c1 (the oldest commit's
+    // files all prove max ≤ c1 < cutoff; the younger splits' files all
+    // hold rows > c1). Integer cut arithmetic replayed exactly.
+    "m55_landing_retention" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |tt AS (SELECT min(ts_sec) + (max(ts_sec) - min(ts_sec)) * 2 // 5 AS c1
+        |       FROM m)
+        |SELECT component, name, series, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM m, tt WHERE ts_sec > tt.c1
+        |GROUP BY 1, 2, 3""".stripMargin,
     // the freshest sample per series in (t − 86400, t]
     "m49b_promql_instant_gauge" ->
       """WITH m AS (

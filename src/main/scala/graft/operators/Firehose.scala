@@ -328,6 +328,36 @@ object Firehose {
     def unescapeLabelValue(raw: String): String =
       raw.replaceAll(NewlineEscRe, "$1\n").replaceAll(AnyEscRe, "$1")
 
+    // compiled once per JVM from the same grammar strings — the
+    // pairs-keeping scanner below shares them with every other reader
+    private lazy val LinePattern = java.util.regex.Pattern.compile(LineRe)
+    private lazy val PairPattern = java.util.regex.Pattern.compile(PairRe)
+    private lazy val BlockPattern = java.util.regex.Pattern.compile(BlockRe)
+
+    /** One exposition line → (metric, label PAIRS, value, ts_ms) —
+      * [[graft.sources.PromSource.parseLine]]'s semantics keeping the
+      * pairs as a map (the landing's `labels` column) instead of the
+      * rendered series key. Shared by the HTTP ingest endpoint and the
+      * scrape client, so every reader of the format runs one grammar.
+      */
+    def parseLineLabels(
+        line: String): Option[(String, Map[String, String], Double, Option[Long])] = {
+      val m = LinePattern.matcher(line)
+      if (!m.matches()) return None
+      val block = Option(m.group(3)).getOrElse("")
+      if (!BlockPattern.matcher(block).matches()) return None
+      val labels = Map.newBuilder[String, String]
+      val pm = PairPattern.matcher(block)
+      while (pm.find())
+        labels += pm.group(1) -> unescapeLabelValue(pm.group(2))
+      parseDoubleToken(m.group(4)).flatMap { value =>
+        try {
+          val ts = Option(m.group(6)).map(java.lang.Long.parseLong)
+          Some((m.group(1), labels.result(), value, ts))
+        } catch { case _: NumberFormatException => None }
+      }
+    }
+
     /** Scanner-side value-token parse mirroring Spark's
       * `try_cast(tok AS double)` exactly: Java `parseDouble` PLUS Spark's
       * case-insensitive special floating-point literals. Prometheus's

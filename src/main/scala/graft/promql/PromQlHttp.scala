@@ -363,15 +363,9 @@ object PromQlHttp {
 
   // ───────────────────────── ingest (scrape-in) ─────────────────────────
 
-  private final case class IngestRow(
-      component: String, name: String, labels: Map[String, String],
-      timestamp: Long, id: String, value: Double)
-
-  /** POST body = text exposition; parsed with the shared
-    * [[graft.operators.Firehose.PromGrammar]] (comment/blank lines
-    * skipped, malformed lines REJECTED loudly — an ingest must not
-    * silently drop samples the way a scraper's skip-and-continue does),
-    * landed as one retry-append commit with timestamp stats. Params:
+  /** POST body = text exposition; parsed and landed by the shared
+    * [[PromQlVersioned.landExposition]] core (the same grammar +
+    * refusal discipline the [[PromScraper]] client runs). Params:
     * `component` (the engine's stream dimension, default "scrape"),
     * `time` (unix sec — the sample time for lines without an exposition
     * timestamp).
@@ -379,68 +373,16 @@ object PromQlHttp {
   private def ingestBody(
       spark: org.apache.spark.sql.SparkSession, root: String,
       params: Params, body: String): String = {
-    val component = params.get("component").getOrElse("scrape")
-    val defaultSec = params.get("time").map(parseTime)
-    val batch = java.util.UUID.randomUUID().toString.take(12)
-    val rows = body.linesIterator.zipWithIndex.flatMap { case (line, i) =>
-      val t = line.trim
-      if (t.isEmpty || t.startsWith("#")) None
-      else parseExpositionLine(t) match {
-        case None => throw new IllegalArgumentException(
-          s"malformed exposition line ${i + 1}: '$t'")
-        case Some((metric, labels, value, tsMs)) =>
-          val sec = tsMs.map(Math.floorDiv(_, 1000L)).orElse(defaultSec)
-            .getOrElse(throw new IllegalArgumentException(
-              s"line ${i + 1} has no timestamp and no 'time' param"))
-          Some(IngestRow(component, metric, labels, sec,
-            s"ingest-$batch-${i + 1}", value))
-      }
-    }.toSeq
-    if (rows.isEmpty)
-      throw new IllegalArgumentException("the body contains no samples")
-    val df = spark.createDataset(rows)(
-      org.apache.spark.sql.Encoders.product[IngestRow]).toDF()
-    // retry-append: concurrent scrapers' commits commute (the landing is
-    // append-only), each retry costs one manifest read + marker write
-    val v = graft.sources.Versioned.appendCommitWithRetry(
-      df, root, statsCols = Seq("timestamp"))
+    val (v, n) = PromQlVersioned.landExposition(
+      spark, root, body,
+      params.get("component").getOrElse("scrape"),
+      params.get("time").map(parseTime),
+      s"ingest-${java.util.UUID.randomUUID().toString.take(12)}")
     jsonObj(Seq(
       "status" -> "\"success\"",
       "data" -> jsonObj(Seq(
         "version" -> v.toString,
-        "samples" -> rows.length.toString))))
-  }
-
-  // compiled once from the SAME grammar strings the DSv2 scanner and the
-  // promParse expression chain use — three readers, one grammar
-  private val LinePattern = java.util.regex.Pattern.compile(
-    graft.operators.Firehose.PromGrammar.LineRe)
-  private val PairPattern = java.util.regex.Pattern.compile(
-    graft.operators.Firehose.PromGrammar.PairRe)
-  private val BlockPattern = java.util.regex.Pattern.compile(
-    graft.operators.Firehose.PromGrammar.BlockRe)
-
-  /** One exposition line → (metric, labels, value, ts_ms) — the
-    * [[graft.sources.PromSource.parseLine]] semantics, keeping the label
-    * PAIRS (the landing's map column) instead of the rendered series key.
-    */
-  private def parseExpositionLine(
-      line: String): Option[(String, Map[String, String], Double, Option[Long])] = {
-    import graft.operators.Firehose.PromGrammar
-    val m = LinePattern.matcher(line)
-    if (!m.matches()) return None
-    val block = Option(m.group(3)).getOrElse("")
-    if (!BlockPattern.matcher(block).matches()) return None
-    val labels = Map.newBuilder[String, String]
-    val pm = PairPattern.matcher(block)
-    while (pm.find())
-      labels += pm.group(1) -> PromGrammar.unescapeLabelValue(pm.group(2))
-    PromGrammar.parseDoubleToken(m.group(4)).flatMap { value =>
-      try {
-        val ts = Option(m.group(6)).map(java.lang.Long.parseLong)
-        Some((m.group(1), labels.result(), value, ts))
-      } catch { case _: NumberFormatException => None }
-    }
+        "samples" -> n.toString))))
   }
 
   // ──────────────────────── federate (scrape-out) ────────────────────────

@@ -66,6 +66,59 @@ object PromQlVersioned {
   def land(df: DataFrame, root: String): Long =
     Versioned.appendCommit(df, root, statsCols = Seq("timestamp"))
 
+  private case class ExpoRow(
+      component: String, name: String, labels: Map[String, String],
+      timestamp: Long, id: String, value: Double)
+
+  /** Parse a text-exposition body and append it to the landing — the
+    * shared ingest core of the HTTP `POST /api/v1/ingest` endpoint and
+    * the [[PromScraper]] client. Comment/blank lines skip; a MALFORMED
+    * line refuses the whole batch (an ingest must not silently drop
+    * samples the way a scraper's skip-and-continue does); per-line
+    * exposition timestamps are millis, lines without one take
+    * `defaultSec` or refuse. The append retries on marker races
+    * (concurrent scrapers commute) and lands timestamp stats, so the
+    * batch is immediately file-prunable. Returns (version, samples).
+    */
+  def landExposition(
+      spark: SparkSession, root: String, body: String, component: String,
+      defaultSec: Option[Long], idPrefix: String): (Long, Int) = {
+    import graft.operators.Firehose.PromGrammar
+    val rows = body.linesIterator.zipWithIndex.flatMap { case (line, i) =>
+      val t = line.trim
+      if (t.isEmpty || t.startsWith("#")) None
+      else PromGrammar.parseLineLabels(t) match {
+        case None => throw new IllegalArgumentException(
+          s"malformed exposition line ${i + 1}: '$t'")
+        case Some((metric, labels, value, tsMs)) =>
+          val sec = tsMs.map(Math.floorDiv(_, 1000L)).orElse(defaultSec)
+            .getOrElse(throw new IllegalArgumentException(
+              s"line ${i + 1} has no timestamp and no default time"))
+          Some(ExpoRow(component, metric, labels, sec,
+            s"$idPrefix-${i + 1}", value))
+      }
+    }.toSeq
+    if (rows.isEmpty)
+      throw new IllegalArgumentException("the body contains no samples")
+    val df = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[ExpoRow]).toDF()
+    (Versioned.appendCommitWithRetry(df, root, statsCols = Seq("timestamp")),
+      rows.length)
+  }
+
+  /** TSDB RETENTION for the landing: commit a new version dropping
+    * every file whose timestamp stats prove all its samples older than
+    * `cutoffSec` — file-granular, like Prometheus's own block
+    * retention: everything at/after the cutoff always survives; older
+    * samples linger only until their file wholly ages out (straddling
+    * files stay untouched — no rewrite, no data read, O(manifest)
+    * driver work). A later [[Versioned.vacuum]] reclaims the dropped
+    * files' pool bytes. Returns the committed version, or -1 when
+    * nothing expired.
+    */
+  def expire(root: String, cutoffSec: Long): Long =
+    Versioned.expireBefore(root, "timestamp", cutoffSec.toDouble)
+
   /** Does the expression's value depend on the component universe
     * (components with samples only OUTSIDE the pruned span)? Those
     * expressions read the full version — pruning could change rows.

@@ -1,0 +1,67 @@
+package graft.promql
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.SparkSession
+
+/** The SCRAPE-IN client — the loop a Prometheus server runs against
+  * every target, pointed at any text-exposition endpoint and landing
+  * each scrape as one prunable append: poll `GET url`, parse the body
+  * with the shared [[graft.operators.Firehose.PromGrammar]] (the same
+  * grammar the DSv2 `prom` source, the HTTP ingest endpoint, and the
+  * expression-level `promParse` run), stamp lines without exposition
+  * timestamps with the scrape time, and
+  * [[PromQlVersioned.landExposition]] the batch. Together with
+  * [[PromQlHttp]] this closes the full deployment circle engine-side:
+  * scrape in (this client, or POSTed ingest, or the DSv2 file source) →
+  * Versioned landing → PromQL out (`/api/v1/query*`) → text exposition
+  * back out (`/federate`) → scrape-able again — each arc spec-pinned
+  * round-trip-exact.
+  *
+  * Scale shape: each scrape is one O(batch) retry-append (concurrent
+  * scrapers commute on the append-only landing); the landing grows by
+  * registry-sized files carrying timestamp stats, so dashboards over it
+  * prune to their windows and [[PromQlVersioned.expire]] retires whole
+  * files as they age past retention — the complete TSDB lifecycle with
+  * no component bigger than a scrape batch.
+  */
+object PromScraper {
+
+  private lazy val client = HttpClient.newHttpClient()
+
+  /** One scrape: GET `url`, land the parsed batch at `root`. Lines
+    * without exposition timestamps take `tsSec` (defaults to the wall
+    * clock — the scrape time, Prometheus's own stamping rule). A
+    * non-200 response or malformed body refuses loudly; nothing lands.
+    * Returns (committed version, samples landed).
+    */
+  def scrapeOnce(
+      spark: SparkSession, url: String, root: String,
+      component: String = "scrape", tsSec: Option[Long] = None): (Long, Int) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new IllegalStateException(
+        s"scrape of $url failed: HTTP ${resp.statusCode()}")
+    val stamp = tsSec.getOrElse(System.currentTimeMillis() / 1000L)
+    PromQlVersioned.landExposition(spark, root, resp.body(), component,
+      Some(stamp), s"scrape-$stamp-${java.util.UUID.randomUUID().toString.take(8)}")
+  }
+
+  /** The scrape LOOP: `ticks` scrapes, `intervalMs` apart (pass
+    * `Int.MaxValue` ticks for a production loop; tests pass small
+    * counts). Returns each scrape's (version, samples).
+    */
+  def run(
+      spark: SparkSession, url: String, root: String,
+      component: String = "scrape", intervalMs: Long = 15000L,
+      ticks: Int = Int.MaxValue,
+      tsSec: Int => Option[Long] = _ => None): Seq[(Long, Int)] =
+    (1 to ticks).map { i =>
+      val v = scrapeOnce(spark, url, root, component, tsSec(i))
+      if (i < ticks) Thread.sleep(intervalMs)
+      v
+    }
+}

@@ -1041,6 +1041,34 @@ object Versioned {
     else deleteCommit(spark, root, keyCol, doomed.sorted)
   }
 
+  /** RETENTION — file-granular expiry by column stats: commit a new
+    * version whose manifest DROPS every file whose `statCol` range
+    * stats PROVE all its rows below `cutoff` (finite max < cutoff);
+    * files straddling the cutoff or carrying no stats for the column
+    * are kept whole. This is TSDB block retention for a landed corpus:
+    * O(manifest) driver work, zero data reads or rewrites, the
+    * previous version still time-travels exactly, and a later
+    * [[vacuum]] reclaims the dropped files' pool bytes once no live
+    * marker references them. Kept entries carry their tombstones, the
+    * schema/deleteKey/props ride forward unchanged. Returns the
+    * committed version, or -1 when nothing expires (no empty commit).
+    */
+  def expireBefore(root: String, statCol: String, cutoff: Double): Long = {
+    val v = latestVersion(root)
+    require(v >= 0, s"no committed versions in $root")
+    val (dead, kept) = manifest(root, v).partition(e =>
+      e.stats.get(statCol).exists { case (mn, mx) =>
+        java.lang.Double.isFinite(mn) && java.lang.Double.isFinite(mx) &&
+          mx < cutoff
+      })
+    if (dead.isEmpty) return -1L
+    writeMarker(root, v + 1, kept,
+      schemaJson = markerSchema(root, v).map(_.json),
+      deleteKey = deleteKeyOf(root, v),
+      props = markerProps(root, v))
+    v + 1
+  }
+
   /** MERGE as an O(delta) commit — upsert-by-key with NOTHING rewritten
     * (the deletion-vector MERGE shape, vs [[mergeCommit]]'s full-snapshot
     * rewrite): ONE new version whose manifest (a) tombstones the

@@ -289,6 +289,40 @@ class PromQlHttpSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("the scrape client closes the circle: /federate of landing A lands into landing B") {
+    val server = PromQlHttp.startLandingServer(spark, root)
+    try {
+      val port = server.getAddress.getPort
+      val rootB = Files.createTempDirectory("scrapeB").toFile.getAbsolutePath
+      val url = s"http://127.0.0.1:$port/federate?match[]=${enc("view_total")}"
+      val (v1, n1) = graft.promql.PromScraper.scrapeOnce(
+        spark, url, rootB, component = "fed")
+      assert(v1 === 0L && n1 > 0)
+      // the scraped registry == landing A's latest gauges (values at the
+      // exposition render's 6-dp, timestamps from the exposition millis)
+      val back = Versioned.latest(spark, rootB)
+        .select(col("name"), Firehose.seriesKey(col("labels")).as("s"),
+          col("timestamp"), col("value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val want = Firehose.gaugeLatest(
+        metrics.filter(col("name") === "view_total"))
+        .collect().map(r => ("app_view_total", r.getString(2), r.getLong(4),
+          math.rint(r.getDouble(3) * 1e6) / 1e6)).toSet
+      assert(back === want)
+      // a second scrape tick appends another prunable version
+      val (v2, n2) = graft.promql.PromScraper.run(
+        spark, url, rootB, component = "fed", intervalMs = 0L, ticks = 1).head
+      assert(v2 === 1L && n2 === n1)
+      // a dead target refuses loudly, nothing lands
+      intercept[IllegalStateException] {
+        graft.promql.PromScraper.scrapeOnce(
+          spark, s"http://127.0.0.1:$port/nosuch", rootB)
+      }
+      assert(Versioned.latestVersion(rootB) === 1L)
+    } finally server.stop(0)
+  }
+
   test("the landing server memoizes newestTs per committed version") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val r = Files.createTempDirectory("pqlcache").toFile.getAbsolutePath

@@ -221,6 +221,43 @@ class PromQlVersionedSpec extends SparkSuite {
       rows(PromQl.compileInstant(q, Versioned.latest(spark, root), tMax)))
   }
 
+  test("retention: expire drops wholly-aged files, keeps straddlers, vacuum reclaims") {
+    val r = tmp("pql-retain")
+    val day = 86400L
+    import spark.implicits._
+    val rows = (0 until 6 * 24).map { h =>
+      ("app", "cpu_total", Map("host" -> "a"), h * 3600L, s"id$h",
+        h.toDouble)
+    }.toDF("component", "name", "labels", "timestamp", "id", "value")
+    // three 2-day commits of one file each
+    (0 until 3).foreach { d =>
+      PromQlVersioned.land(rows.filter(
+        col("timestamp") >= lit(d * 2 * day) &&
+          col("timestamp") < lit((d + 1) * 2 * day)).coalesce(1), r)
+    }
+    assert(files(Versioned.latest(spark, r)).size === 3)
+    val before = Versioned.latestVersion(r)
+    // cutoff INSIDE the second file's range: file 1 (max < cutoff)
+    // drops; file 2 STRADDLES and stays whole — Prometheus block
+    // retention semantics (old rows linger until their file ages out)
+    val v = PromQlVersioned.expire(r, 3 * day)
+    assert(v === before + 1)
+    val kept = Versioned.latest(spark, r)
+    assert(files(kept).size === 2)
+    assert(kept.count() === 4 * 24)
+    assert(kept.agg(min(col("timestamp"))).head().getLong(0) === 2 * day)
+    // the previous version still time-travels exactly
+    assert(Versioned.asOf(spark, r, before).count() === 6 * 24)
+    // nothing left to expire below the same cutoff → no empty commit
+    assert(PromQlVersioned.expire(r, 3 * day) === -1L)
+    // vacuum past the expired version reclaims the dropped file's bytes
+    val pool = new java.io.File(r, "_files")
+    val nBefore = pool.listFiles().length
+    Versioned.vacuum(r, keepLast = 1)
+    assert(pool.listFiles().length === nBefore - 1)
+    assert(Versioned.latest(spark, r).count() === 4 * 24)
+  }
+
   test("gridBounds interval arithmetic (forward-covering windows)") {
     import graft.promql.PromQlVersioned.gridBounds
     val (s, e) = (1000000L, 1086400L)

@@ -1003,21 +1003,28 @@ class SourcesSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("stage landing is a readable single-version Versioned table") {
+  test("stage landing is a durable re-readable file landing (no commit ceremony)") {
     import spark.implicits._
-    val landed = graft.Tables.materializeStage(
+    val (landed, root) = graft.Tables.materializeStageOwned(
       Seq((1L, "a"), (2L, "b")).toDF("k", "name"))
     assert(landed.as[(Long, String)].collect().toSet ===
       Set((1L, "a"), (2L, "b")))
-    // the landing is a real Versioned table: its files live in a content
-    // pool whose root resolves version 0 — the durable fault story (an
-    // executor loss re-reads landed files; nothing rides lost lineage)
-    val pool = new java.io.File(new java.net.URI(landed.inputFiles.head)).getParentFile
-    assert(pool.getName === "_files")
-    val root = pool.getParentFile.getAbsolutePath
-    assert(graft.sources.Versioned.history(root) === Seq(0L))
-    assert(graft.sources.Versioned.latest(spark, root)
+    // the stage is plain landed parquet — the durable fault story (an
+    // executor loss re-reads landed files; nothing rides lost lineage) —
+    // with NONE of a Versioned commit's ceremony: no driver-side sha256
+    // content pooling of the staged bytes, no manifest/marker writes
+    // (r13 verdict #4 — the ceremony was pure write amplification for an
+    // anonymous, single-writer, refresh-scoped intermediate)
+    val dataDir = new java.io.File(new java.net.URI(landed.inputFiles.head))
+      .getParentFile
+    assert(dataDir.getParentFile.getAbsolutePath === root)
+    assert(!new java.io.File(root, "_commits").exists())
+    assert(!new java.io.File(root, "_files").exists())
+    // a fresh reader over the same root sees the same rows (re-readable)
+    assert(spark.read.parquet(dataDir.getAbsolutePath)
       .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    graft.Tables.dropStage(root)
+    assert(!new java.io.File(root).exists())
   }
 
   test("streaming curation lands append-only manifest commits per micro-batch") {
