@@ -335,6 +335,37 @@ object PromQlHttp {
           "status" -> "\"success\"",
           "data" -> entries.mkString("[", ",", "]")))
       })
+    // the liveness + capability surfaces a Grafana datasource probes
+    // before it sends queries: buildinfo (feature gating), metric
+    // metadata (autocomplete help texts — the engine tracks no
+    // HELP/TYPE, so entries carry Prometheus's "unknown"), and the
+    // health/readiness pair
+    server.createContext("/api/v1/status/buildinfo", (ex: HttpExchange) =>
+      respondWith(ex)(jsonObj(Seq(
+        "status" -> "\"success\"",
+        "data" -> jsonObj(Seq(
+          "version" -> "\"graft\"",
+          "revision" -> "\"\"",
+          "branch" -> "\"\"",
+          "buildUser" -> "\"\"",
+          "buildDate" -> "\"\"",
+          "goVersion" -> "\"\""))))))
+    server.createContext("/api/v1/metadata", (ex: HttpExchange) =>
+      respond(ex) { params =>
+        val names = spanFn(None, None)
+          .select(col("name")).distinct().collect()
+          .map(_.getString(0)).sorted.toSeq
+        val limited = params.get("limit").flatMap(_.toIntOption)
+          .fold(names)(names.take)
+        jsonObj(Seq(
+          "status" -> "\"success\"",
+          "data" -> jsonObj(limited.map(n => n ->
+            """[{"type":"unknown","help":"","unit":""}]"""))))
+      })
+    server.createContext("/-/healthy", (ex: HttpExchange) =>
+      respondText(ex)("graft is Healthy.\n"))
+    server.createContext("/-/ready", (ex: HttpExchange) =>
+      respondText(ex)("graft is Ready.\n"))
     extras.ingest.foreach { body =>
       // the POST body here is the raw text exposition, NOT form params —
       // request params come from the query string alone

@@ -398,6 +398,27 @@ class PromQlHttpSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("datasource probe surfaces: buildinfo, metadata, healthy/ready") {
+    val server = PromQlHttp.startLandingServer(spark, root)
+    try {
+      val port = server.getAddress.getPort
+      val (c1, bi) = get(port, "/api/v1/status/buildinfo")
+      assert(c1 === 200 && bi.contains(""""version":"graft""""), bi)
+      val (c2, md) = get(port, "/api/v1/metadata")
+      assert(c2 === 200)
+      val names = metrics.select("name").distinct()
+        .collect().map(_.getString(0)).sorted
+      names.foreach(n => assert(md.contains(
+        s""""$n":[{"type":"unknown","help":"","unit":""}]"""), md))
+      // limit caps the (sorted) name list
+      val (c3, md1) = get(port, "/api/v1/metadata?limit=1")
+      assert(c3 === 200 && md1.contains(names.head) &&
+        !md1.contains(names.last))
+      assert(get(port, "/-/healthy") === ((200, "graft is Healthy.\n")))
+      assert(get(port, "/-/ready") === ((200, "graft is Ready.\n")))
+    } finally server.stop(0)
+  }
+
   test("malformed expressions get Prometheus's bad_data envelope") {
     val server = PromQlHttp.startQueryServer(
       () => Versioned.latest(spark, root))
