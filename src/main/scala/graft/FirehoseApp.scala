@@ -132,9 +132,29 @@ object FirehoseApp {
           if (i < args.length && args(i).forall(_.isDigit)) {
             m.put("app.serve.port", args(i)); i += 1
           }
-        case "--rules" =>
-          m.put("app.rules", operand("--rules <file>"))
+        // arms /api/v1/rules + /api/v1/alerts on --serve (distinct from
+        // the standalone `--rules <file> <sfDir>` batch evaluator)
+        case "--serve-rules" =>
+          m.put("app.serve.rules", operand("--serve-rules <file>"))
           i += 2
+        // the scrape-in target loop: poll a text-exposition endpoint,
+        // land each scrape (PromScraper); 0 ticks = forever
+        case "--scrape" =>
+          m.put("app.scrape", operand("--scrape <url> <root> [intervalMs [ticks]]"))
+          m.put("app.scrape.root",
+            operand("--scrape <url> <root> [intervalMs [ticks]]", 2))
+          i += 3
+          if (i < args.length && args(i).forall(_.isDigit)) {
+            m.put("app.scrape.interval", args(i)); i += 1
+            if (i < args.length && args(i).forall(_.isDigit)) {
+              m.put("app.scrape.ticks", args(i)); i += 1
+            }
+          }
+        // file-granular retention: drop files wholly older than the cutoff
+        case "--expire" =>
+          m.put("app.expire", operand("--expire <root> <cutoffSec>"))
+          m.put("app.expire.cutoff", operand("--expire <root> <cutoffSec>", 2))
+          i += 3
         case "--table" =>
           m.put("app.table", operand("--table <cmd> <root>"))
           m.put("app.table.root", operand("--table <cmd> <root>", 2))
@@ -341,11 +361,37 @@ object FirehoseApp {
     // query API server: scrape in, store in Versioned, query out — the
     // deployment loop's read side (PromQlHttp carries the semantics and
     // its own end-to-end spec; this is just the operational wiring)
+    // retention tick: one manifest-only commit, then exit
+    cfg.get("app.expire").foreach { root =>
+      val cutoff = cfg.get("app.expire.cutoff").get.toLong
+      val v = graft.promql.PromQlVersioned.expire(root, cutoff)
+      println(
+        if (v < 0) s"[graft] nothing to expire below $cutoff in $root"
+        else s"[graft] expired $root below $cutoff (v$v)")
+      return
+    }
+    // scrape loop: poll the target, land each scrape as one prunable
+    // append; 0 ticks = run until killed
+    cfg.get("app.scrape").foreach { url =>
+      val root = cfg.get("app.scrape.root").get
+      val interval = cfg.getInt("app.scrape.interval", 15000).toLong
+      val ticks0 = cfg.getInt("app.scrape.ticks", 0)
+      val ticks = if (ticks0 <= 0) Int.MaxValue else ticks0
+      val spark = Sessions.local(
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-scrape")
+      try graft.promql.PromScraper.run(spark, url, root,
+        intervalMs = interval, ticks = ticks)
+        .foreach { case (v, n) =>
+          println(s"[graft] scraped $n samples from $url into $root (v$v)")
+        }
+      finally spark.stop()
+      return
+    }
     cfg.get("app.serve").foreach { root =>
       val spark = Sessions.local(
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-serve")
-      // `--rules <file>` arms /api/v1/rules + /api/v1/alerts
-      val rules = cfg.get("app.rules").map(p =>
+      // `--serve-rules <file>` arms /api/v1/rules + /api/v1/alerts
+      val rules = cfg.get("app.serve.rules").map(p =>
         new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
           java.nio.charset.StandardCharsets.UTF_8))
       val server = graft.promql.PromQlHttp.startLandingServer(

@@ -38,6 +38,28 @@ class FirehoseAppSpec extends SparkSuite {
     intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("--serve")))
   }
 
+  test("--scrape/--expire/--serve-rules args parse") {
+    val s = FirehoseApp.buildConfig(Array(
+      "--scrape", "http://127.0.0.1:9/metrics", "/x/land", "500", "3"))
+    assert(s.getOrElse("app.scrape", "?") === "http://127.0.0.1:9/metrics")
+    assert(s.getOrElse("app.scrape.root", "?") === "/x/land")
+    assert(s.getInt("app.scrape.interval", -1) === 500)
+    assert(s.getInt("app.scrape.ticks", -1) === 3)
+    val loop = FirehoseApp.buildConfig(Array(
+      "--scrape", "http://t/metrics", "/x/land"))
+    assert(loop.getInt("app.scrape.ticks", 0) === 0) // 0 = run forever
+    val e = FirehoseApp.buildConfig(Array("--expire", "/x/land", "12345"))
+    assert(e.getOrElse("app.expire", "?") === "/x/land")
+    assert(e.getOrElse("app.expire.cutoff", "?") === "12345")
+    val r = FirehoseApp.buildConfig(Array(
+      "--serve", "/x/land", "--serve-rules", "/x/rules.graft"))
+    assert(r.getOrElse("app.serve.rules", "?") === "/x/rules.graft")
+    intercept[IllegalArgumentException](
+      FirehoseApp.parseArgs(Array("--scrape", "http://t")))
+    intercept[IllegalArgumentException](
+      FirehoseApp.parseArgs(Array("--expire", "/x/land")))
+  }
+
   test("truncated operand lists report usage errors, not index crashes") {
     intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("--query", "q_cube")))
     intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("--query")))
