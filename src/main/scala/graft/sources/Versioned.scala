@@ -1235,7 +1235,13 @@ object Versioned {
   def asOf(spark: SparkSession, root: String, v: Long): DataFrame = {
     val entries = manifest(root, v)
     if (entries.isEmpty)
-      spark.emptyDataFrame
+      // a zero-file version (everything expired/deleted) still reads
+      // with its RECORDED schema — downstream projections must resolve
+      markerSchema(root, v) match {
+        case Some(s) =>
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+        case None => spark.emptyDataFrame
+      }
     else
       readEntries(spark, root, v, entries)
   }

@@ -258,6 +258,59 @@ class PromQlVersionedSpec extends SparkSuite {
     assert(Versioned.latest(spark, r).count() === 4 * 24)
   }
 
+  test("retention property fuzz: expiry is monotone, cutoff-sound, and query-transparent") {
+    // random multi-commit landings × random cutoffs; three invariants
+    // that hold WITHOUT modeling file assignment: (a) expiry only ever
+    // removes rows (monotone), (b) every removed row is older than the
+    // cutoff (file-granular soundness — survivors may include older
+    // rows from straddling files, removed rows may not include newer
+    // ones), (c) the pruned instant compile over the expired landing
+    // still equals the full-scan compile (retention and pruning share
+    // the stats and must stay consistent)
+    val seed = sys.env.getOrElse("GRAFT_FUZZ_SEED", "20260815").toLong
+    val rnd = new scala.util.Random(seed)
+    import spark.implicits._
+    (1 to 3).foreach { iter =>
+      val r = tmp(s"pql-retfuzz$iter")
+      val span = 10 * 86400L
+      val data = (0 until 400).map { i =>
+        ("app", "m_total", Map("u" -> (i % 5).toString),
+          rnd.nextLong().abs % span, f"id$i%04d", rnd.nextInt(1000) / 10.0)
+      }.toDF("component", "name", "labels", "timestamp", "id", "value")
+      // 2-5 commits of random slices (overlapping ranges allowed — the
+      // straddle case is the point)
+      val nCommits = 2 + rnd.nextInt(4)
+      (0 until nCommits).foreach { _ =>
+        val lo = rnd.nextLong().abs % span
+        val hi = lo + rnd.nextLong().abs % (span - lo).max(1)
+        val slice = data.filter(col("timestamp") >= lit(lo) &&
+          col("timestamp") <= lit(hi))
+        if (slice.limit(1).collect().nonEmpty) PromQlVersioned.land(slice, r)
+      }
+      if (Versioned.latestVersion(r) >= 0) {
+        def all: Set[(Long, String)] = Versioned.latest(spark, r)
+          .select(col("timestamp"), col("id")).collect()
+          .map(x => (x.getLong(0), x.getString(1))).toSet
+        val before = all
+        val cutoff = rnd.nextLong().abs % (span + 86400L)
+        PromQlVersioned.expire(r, cutoff)
+        val after = all
+        assert(after.subsetOf(before), s"iter $iter: expiry added rows")
+        val removed = before -- after
+        assert(removed.forall(_._1 < cutoff),
+          s"iter $iter: removed a row at/after cutoff $cutoff")
+        assert(before.filter(_._1 >= cutoff).subsetOf(after),
+          s"iter $iter: lost a row at/after cutoff $cutoff")
+        // query transparency over the expired landing
+        val t = span
+        val q = "sum by (u) (count_over_time(m_total[5d]))"
+        assert(rows(PromQlVersioned.compileInstant(spark, r, q, t)) ===
+          rows(PromQl.compileInstant(q, Versioned.latest(spark, r), t)),
+          s"iter $iter: pruned != full after expiry")
+      }
+    }
+  }
+
   test("gridBounds interval arithmetic (forward-covering windows)") {
     import graft.promql.PromQlVersioned.gridBounds
     val (s, e) = (1000000L, 1086400L)
