@@ -152,6 +152,16 @@ object PromQlHttp {
       tsCache.computeIfAbsent(v,
         _ => newestTs(Versioned.asOf(spark, root, v))).longValue()
     }
+    // the metadata name universe, same per-version discipline
+    val nameCache =
+      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Seq[String]]()
+    def cachedNames(): Seq[String] = {
+      val v = Versioned.latestVersion(root)
+      if (v < 0) Nil
+      else nameCache.computeIfAbsent(v, _ =>
+        Versioned.asOf(spark, root, v).select(col("name")).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq)
+    }
     serve(
       (q, t, lookback, xp) =>
         PromQlVersioned.compileInstantVector(spark, root, q, t,
@@ -177,6 +187,7 @@ object PromQlHttp {
         ingest = Some((params, body) => ingestBody(spark, root, params, body)),
         federate = Some(params =>
           federateBody(Versioned.latest(spark, root), params)),
+        metadataNames = Some(() => cachedNames()),
         rules = rulesText.map(rt => (params: Params, alertsOnly: Boolean) =>
           rulesBody(rt,
             (s, e) => PromQlVersioned.ruleSpanMetrics(spark, root,
@@ -197,7 +208,11 @@ object PromQlHttp {
   private final case class Extras(
       ingest: Option[(Params, String) => String] = None,
       federate: Option[Params => String] = None,
-      rules: Option[(Params, Boolean) => String] = None)
+      rules: Option[(Params, Boolean) => String] = None,
+      // /api/v1/metadata's name universe — the landing server supplies a
+      // per-version memo so the distinct-name scan runs once per append,
+      // not once per datasource probe
+      metadataNames: Option[() => Seq[String]] = None)
 
   private def serve(
       instantFn: (String, Long, Long, Boolean) => DataFrame,
@@ -352,9 +367,9 @@ object PromQlHttp {
           "goVersion" -> "\"\""))))))
     server.createContext("/api/v1/metadata", (ex: HttpExchange) =>
       respond(ex) { params =>
-        val names = spanFn(None, None)
-          .select(col("name")).distinct().collect()
-          .map(_.getString(0)).sorted.toSeq
+        val names = extras.metadataNames.map(_()).getOrElse(
+          spanFn(None, None).select(col("name")).distinct().collect()
+            .map(_.getString(0)).sorted.toSeq)
         val limited = params.get("limit").flatMap(_.toIntOption)
           .fold(names)(names.take)
         jsonObj(Seq(

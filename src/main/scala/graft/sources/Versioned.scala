@@ -100,18 +100,39 @@ object Versioned {
     * whole-directory marker shape (`{"data": "d-…"}`) by listing that
     * directory's parquet files with an empty digest.
     */
+  // parsed-manifest memo: a committed version's file list is IMMUTABLE
+  // (markers never rewrite; chunks are content-addressed), so the JSON
+  // parse — MBs at 10k files — need happen once per (root, version) per
+  // driver, not once per query. The marker-EXISTENCE check stays fresh
+  // on every call (a vacuumed version must keep failing loudly, one
+  // stat() instead of a reparse); legacy whole-directory markers list
+  // the directory at call time and bypass the memo. Crude size bound:
+  // immutable content makes clearing always safe.
+  private val manifestMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[Entry]]()
+
   def manifest(root: String, v: Long): Seq[Entry] = {
     require(markerFile(root, v).exists(), s"version $v is not committed in $root")
+    val key = (new File(root).getAbsolutePath, v)
+    val cached = manifestMemo.get(key)
+    if (cached != null) return cached
     val node = Json.readTree(markerFile(root, v))
-    if (node.has("manifests"))
-      chunkRefsOf(root, v).flatMap { r =>
+    if (node.has("manifests")) {
+      val parsed = chunkRefsOf(root, v).flatMap { r =>
         val f = new File(manifestsDir(root), r)
         require(f.exists(), s"manifest chunk $r of $root v$v is missing " +
           "(vacuumed while referenced?)")
         parseEntries(Json.readTree(f).get("files"))
       }
-    else if (node.has("files")) parseEntries(node.get("files"))
-    else {
+      if (manifestMemo.size > 256) manifestMemo.clear()
+      manifestMemo.put(key, parsed)
+      parsed
+    } else if (node.has("files")) {
+      val parsed = parseEntries(node.get("files"))
+      if (manifestMemo.size > 256) manifestMemo.clear()
+      manifestMemo.put(key, parsed)
+      parsed
+    } else {
       // legacy full-snapshot marker: one data directory per version
       val dir = new File(root, node.get("data").asText())
       Option(dir.listFiles()).getOrElse(Array.empty)

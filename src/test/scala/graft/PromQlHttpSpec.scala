@@ -416,6 +416,24 @@ class PromQlHttpSpec extends SparkSuite {
         !md1.contains(names.last))
       assert(get(port, "/-/healthy") === ((200, "graft is Healthy.\n")))
       assert(get(port, "/-/ready") === ((200, "graft is Ready.\n")))
+      // the name universe memoizes per version: a repeat metadata probe
+      // runs ZERO Spark jobs (the handler has no other Spark work)
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val l = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+      spark.sparkContext.addSparkListener(l)
+      try {
+        assert(get(port, "/api/v1/metadata")._1 === 200)
+        org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+        jobs.set(0)
+        assert(get(port, "/api/v1/metadata")._2 === md)
+        org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+        assert(jobs.get() === 0, "repeat metadata probe must be a map lookup")
+      } finally spark.sparkContext.removeSparkListener(l)
     } finally server.stop(0)
   }
 
