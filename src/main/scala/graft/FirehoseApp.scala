@@ -66,13 +66,27 @@ object FirehoseApp {
       |                    /api/v1/query_range) over the landed metric
       |                    table at <root> — each request answers from the
       |                    newest committed version; port 0 picks a free one
+      |  --serve-rules <file>
+      |                    with --serve: arm /api/v1/rules + /api/v1/alerts
+      |                    from a rule file (one `name = expr` or
+      |                    `alert N = expr [for D]` per line)
+      |  --scrape <url> <root> [intervalMs [ticks [compactEvery]]]
+      |                    scrape-in loop: poll a text-exposition endpoint
+      |                    and land each scrape as one prunable append;
+      |                    0 ticks = forever; compactEvery > 0 bin-packs
+      |                    the small tick files every N scrapes
+      |  --expire <root> <cutoffSec>
+      |                    retention tick: drop files whose timestamp stats
+      |                    prove all samples older than the cutoff (no
+      |                    rewrite; vacuum reclaims the bytes)
       |  --table <cmd> <root> [n]
       |                    versioned-table maintenance: describe (history
       |                    with file/chunk/tombstone counts and props),
-      |                    compact [n files], rewrite-manifests (merge
-      |                    chunk refs, metadata-only), vacuum [keep n],
-      |                    mv-refresh (advance a materialized view),
-      |                    record-read (show a recorded series' rows)
+      |                    compact [n files], compact-small [threshold KB]
+      |                    (bin-pack only small files), rewrite-manifests
+      |                    (merge chunk refs, metadata-only), vacuum
+      |                    [keep n], mv-refresh (advance a materialized
+      |                    view), record-read (show a recorded series' rows)
       |  --list-queries    print the available query names and exit
       |  -h | --help       print this help""".stripMargin
 
@@ -138,16 +152,21 @@ object FirehoseApp {
           m.put("app.serve.rules", operand("--serve-rules <file>"))
           i += 2
         // the scrape-in target loop: poll a text-exposition endpoint,
-        // land each scrape (PromScraper); 0 ticks = forever
+        // land each scrape (PromScraper); 0 ticks = forever;
+        // compactEvery > 0 bin-packs the tick files every N scrapes
         case "--scrape" =>
-          m.put("app.scrape", operand("--scrape <url> <root> [intervalMs [ticks]]"))
+          m.put("app.scrape",
+            operand("--scrape <url> <root> [intervalMs [ticks [compactEvery]]]"))
           m.put("app.scrape.root",
-            operand("--scrape <url> <root> [intervalMs [ticks]]", 2))
+            operand("--scrape <url> <root> [intervalMs [ticks [compactEvery]]]", 2))
           i += 3
           if (i < args.length && args(i).forall(_.isDigit)) {
             m.put("app.scrape.interval", args(i)); i += 1
             if (i < args.length && args(i).forall(_.isDigit)) {
               m.put("app.scrape.ticks", args(i)); i += 1
+              if (i < args.length && args(i).forall(_.isDigit)) {
+                m.put("app.scrape.compactEvery", args(i)); i += 1
+              }
             }
           }
         // file-granular retention: drop files wholly older than the cutoff
@@ -229,6 +248,13 @@ object FirehoseApp {
       case "compact" =>
         val v = Versioned.compact(spark, root, numFiles = n.getOrElse(1))
         println(s"[graft] compacted $root to v$v")
+      // bin-pack only the small files (n = threshold KB, default 4096)
+      case "compact-small" =>
+        val v = Versioned.compactSmall(spark, root,
+          maxBytes = n.getOrElse(4096).toLong * 1024L)
+        println(
+          if (v < 0) s"[graft] fewer than two small files in $root"
+          else s"[graft] compacted small files of $root to v$v")
       case "rewrite-manifests" =>
         val v = Versioned.rewriteManifests(root)
         println(
@@ -248,7 +274,7 @@ object FirehoseApp {
           .orderBy("series", "win_start")
           .show(n.getOrElse(20), truncate = false)
       case other => throw new IllegalArgumentException(
-        s"unknown --table command '$other' (describe|compact|" +
+        s"unknown --table command '$other' (describe|compact|compact-small|" +
           "rewrite-manifests|vacuum|mv-refresh|record-read)")
     }
   }
@@ -380,7 +406,8 @@ object FirehoseApp {
       val spark = Sessions.local(
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-scrape")
       try graft.promql.PromScraper.run(spark, url, root,
-        intervalMs = interval, ticks = ticks)
+        intervalMs = interval, ticks = ticks,
+        compactEvery = cfg.getInt("app.scrape.compactEvery", 0))
         .foreach { case (v, n) =>
           println(s"[graft] scraped $n samples from $url into $root (v$v)")
         }

@@ -866,6 +866,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
     }),
+    // m56: SMALL-FILE COMPACTION is layout-only — four scrape-shaped
+    // tick commits bin-packed into one file must aggregate exactly like
+    // the raw stream (the oracle never sees the landing at all; any
+    // row lost or duplicated by the rewrite breaks the hash).
+    "m56_landing_autocompact" -> ((s, dir) => {
+      val m = Firehose.tagFilter(metricsOf(s, dir))
+        .select(col("component"), col("name"), col("labels"),
+          col("timestamp"), col("id"), col("value"))
+      val mm = m.agg(min(col("timestamp")), max(col("timestamp"))).head()
+      val (t0, t1) = (mm.getLong(0), mm.getLong(1))
+      val c1 = t0 + (t1 - t0) / 4
+      val c2 = t0 + (t1 - t0) / 2
+      val c3 = t0 + (t1 - t0) * 3 / 4
+      val root = java.nio.file.Files.createTempDirectory("graft-m56")
+        .toFile.getAbsolutePath
+      promql.PromQlVersioned.land(m.filter(col("timestamp") <= c1), root)
+      promql.PromQlVersioned.land(
+        m.filter(col("timestamp") > c1 && col("timestamp") <= c2), root)
+      promql.PromQlVersioned.land(
+        m.filter(col("timestamp") > c2 && col("timestamp") <= c3), root)
+      promql.PromQlVersioned.land(m.filter(col("timestamp") > c3), root)
+      graft.sources.Versioned.compactSmall(s, root, maxBytes = Long.MaxValue)
+      graft.sources.Versioned.latest(s, root)
+        .withColumn("series", Firehose.seriesKey(col("labels")))
+        .groupBy(col("component"), col("name"), col("series"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    }),
     // per-source gopher-rule failure funnel
     "t18_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
@@ -3217,6 +3245,18 @@ object SparkEntry {
         |SELECT component, name, series, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM m, tt WHERE ts_sec > tt.c1
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // m56: compaction is layout-only, so the landed-then-compacted
+    // aggregate equals the raw stream's — the oracle is the plain
+    // aggregate with no landing at all
+    "m56_landing_autocompact" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series, value
+        |  FROM events)
+        |SELECT component, name, series, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM m
         |GROUP BY 1, 2, 3""".stripMargin,
     // the freshest sample per series in (t − 86400, t]
     "m49b_promql_instant_gauge" ->

@@ -84,10 +84,23 @@ import org.apache.spark.sql.functions._
   *    sample default) with firing/pending/inactive state, per-series
   *    alert rows, `activeAt` = the current breach streak's first point.
   *
-  * The landing server memoizes `newestTs` PER COMMITTED VERSION: the
-  * default-time aggregate runs once per append, not once per request
-  * (on a 100 TB landing that max(timestamp) job is the difference
-  * between a dashboard poll costing a scan and costing a map lookup).
+  * Probe surfaces beyond the rule/metadata endpoints:
+  * `/api/v1/format_query` (the parser+printer round-trip as a linting
+  * endpoint), `/api/v1/status/flags` (the engine's effective defaults),
+  * and `/api/v1/status/tsdb` (Grafana's TSDB-status cardinality page:
+  * head stats + four top-10 lists). The query endpoints take
+  * Prometheus's `limit` param (cap the SERIES count; a truncated
+  * response carries the warning annotation).
+  *
+  * The landing server memoizes PER COMMITTED VERSION (a committed
+  * version is immutable, so each entry is computed once per append,
+  * not once per request): `newestTs` (the default-time max(timestamp)
+  * aggregate — on a 100 TB landing the difference between a dashboard
+  * poll costing a scan and costing a map lookup), the `/api/v1/
+  * metadata` name universe, and the rules/alerts responses keyed by
+  * the resolved (version, time, step, lookback) evaluation grid — a
+  * polled alert list pays the two rule-fleet evaluateRange passes once
+  * per append, not once per poll.
   */
 object PromQlHttp {
 
@@ -162,6 +175,23 @@ object PromQlHttp {
         Versioned.asOf(spark, root, v).select(col("name")).distinct()
           .collect().map(_.getString(0)).sorted.toSeq)
     }
+    // the TSDB-status cardinality page, same per-version discipline
+    val tsdbCache =
+      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, String]()
+    def cachedTsdb(): String = {
+      val v = Versioned.latestVersion(root)
+      require(v >= 0, "the landing is empty")
+      tsdbCache.computeIfAbsent(v,
+        _ => tsdbBody(Versioned.asOf(spark, root, v)))
+    }
+    // rules/alerts responses, same discipline keyed by the resolved
+    // evaluation grid: an alert list POLLING /api/v1/alerts costs the
+    // two rule-fleet evaluateRange passes once per (append, grid), not
+    // once per poll — the rules text is fixed for the server's lifetime,
+    // and a committed version's answer at a grid is immutable. Bounded
+    // like the manifest memo (immutable content — clearing always safe).
+    val rulesCache = new java.util.concurrent.ConcurrentHashMap[
+      (Long, Long, Long, Long, Boolean), String]()
     serve(
       (q, t, lookback, xp) =>
         PromQlVersioned.compileInstantVector(spark, root, q, t,
@@ -188,15 +218,25 @@ object PromQlHttp {
         federate = Some(params =>
           federateBody(Versioned.latest(spark, root), params)),
         metadataNames = Some(() => cachedNames()),
-        rules = rulesText.map(rt => (params: Params, alertsOnly: Boolean) =>
-          rulesBody(rt,
-            (s, e) => PromQlVersioned.ruleSpanMetrics(spark, root,
-              PromQlRules.parse(rt).map {
-                case PromQlRules.Rule(_, x) => x
-                case PromQlRules.Alert(_, x, _) => x
-              }, s, e,
-              params.get("lookback").map(parseDuration).getOrElse(300L)),
-            params, () => cachedNewest(), alertsOnly))))
+        tsdbStats = Some(() => cachedTsdb()),
+        rules = rulesText.map(rt => (params: Params, alertsOnly: Boolean) => {
+          val v = Versioned.latestVersion(root)
+          // resolve the grid BEFORE keying, so an omitted `time` and an
+          // explicit time equal to the newest sample share one entry
+          val end = params.get("time").map(parseTime).getOrElse(cachedNewest())
+          val step = params.get("step").map(parseDuration).getOrElse(60L)
+          val lookback =
+            params.get("lookback").map(parseDuration).getOrElse(300L)
+          if (rulesCache.size > 256) rulesCache.clear()
+          rulesCache.computeIfAbsent((v, end, step, lookback, alertsOnly), _ =>
+            rulesBody(rt,
+              (s, e) => PromQlVersioned.ruleSpanMetrics(spark, root,
+                PromQlRules.parse(rt).map {
+                  case PromQlRules.Rule(_, x) => x
+                  case PromQlRules.Alert(_, x, _) => x
+                }, s, e, lookback),
+              params, () => end, alertsOnly))
+        })))
   }
 
   /** Optional per-server surfaces beyond the query/metadata endpoints:
@@ -212,7 +252,11 @@ object PromQlHttp {
       // /api/v1/metadata's name universe — the landing server supplies a
       // per-version memo so the distinct-name scan runs once per append,
       // not once per datasource probe
-      metadataNames: Option[() => Seq[String]] = None)
+      metadataNames: Option[() => Seq[String]] = None,
+      // /api/v1/status/tsdb — the landing server memoizes the cardinality
+      // aggregates per committed version (the TSDB-status page is a
+      // corpus-wide scan; a probe must not pay it per click)
+      tsdbStats: Option[() => String] = None)
 
   private def serve(
       instantFn: (String, Long, Long, Boolean) => DataFrame,
@@ -249,11 +293,13 @@ object PromQlHttp {
               r.getMap[String, String](2).toMap),
             "value" -> sample(r.getLong(3), r.getDouble(4))))
         }.sorted // deterministic body (Prometheus guarantees no order)
+        val (kept, truncated) = limitEntries(params, entries)
         jsonObj(Seq(
           "status" -> "\"success\"",
           "data" -> jsonObj(Seq(
             "resultType" -> "\"vector\"",
-            "result" -> entries.mkString("[", ",", "]")))))
+            "result" -> kept.mkString("[", ",", "]")))) ++
+          (if (truncated) Seq("warnings" -> TruncationWarning) else Nil))
       })
     server.createContext("/api/v1/query_range", (ex: HttpExchange) =>
       respond(ex) { params =>
@@ -291,11 +337,13 @@ object PromQlHttp {
                 .map(r => sample(r.getLong(3), r.getDouble(4)))
                 .mkString("[", ",", "]")))
           }
+        val (kept, truncated) = limitEntries(params, entries)
         jsonObj(Seq(
           "status" -> "\"success\"",
           "data" -> jsonObj(Seq(
             "resultType" -> "\"matrix\"",
-            "result" -> entries.mkString("[", ",", "]")))))
+            "result" -> kept.mkString("[", ",", "]")))) ++
+          (if (truncated) Seq("warnings" -> TruncationWarning) else Nil))
       })
     // metadata endpoints — what Grafana's autocomplete asks for. All
     // three answer over the (optionally time-bounded, match[]-filtered)
@@ -377,6 +425,31 @@ object PromQlHttp {
           "data" -> jsonObj(limited.map(n => n ->
             """[{"type":"unknown","help":"","unit":""}]"""))))
       })
+    // format_query: the canonical pretty-print of a parsed expression —
+    // Prometheus's /api/v1/format_query; parse errors get the bad_data
+    // envelope, so a UI can lint expressions against this endpoint
+    server.createContext("/api/v1/format_query", (ex: HttpExchange) =>
+      respond(ex) { params =>
+        val q = required(params, "query")
+        jsonObj(Seq(
+          "status" -> "\"success\"",
+          "data" -> s""""${esc(PromQlPrinter.print(PromQlParser.parse(q)))}""""))
+      })
+    // the server's effective flags — what Prometheus serves for the
+    // flags probe; values are this engine's real defaults
+    server.createContext("/api/v1/status/flags", (ex: HttpExchange) =>
+      respondWith(ex)(jsonObj(Seq(
+        "status" -> "\"success\"",
+        "data" -> jsonObj(Seq(
+          "query.lookback-delta" -> "\"5m\"",
+          "storage.tsdb.retention.time" -> "\"0s\"",
+          "web.enable-remote-write-receiver" -> "\"false\""))))))
+    // the TSDB-status cardinality page (Grafana's "TSDB Status"):
+    // head stats + the four top-10 cardinality lists, all registry-sized
+    // results computed in a handful of aggregate jobs
+    server.createContext("/api/v1/status/tsdb", (ex: HttpExchange) =>
+      respondWith(ex)(
+        extras.tsdbStats.map(_()).getOrElse(tsdbBody(spanFn(None, None)))))
     server.createContext("/-/healthy", (ex: HttpExchange) =>
       respondText(ex)("graft is Healthy.\n"))
     server.createContext("/-/ready", (ex: HttpExchange) =>
@@ -450,6 +523,80 @@ object PromQlHttp {
       .collect().map(_.getString(0)).sorted
     lines.mkString("", "\n", "\n")
   }
+
+  // ───────────────────────── TSDB status ─────────────────────────
+
+  /** `/api/v1/status/tsdb` body: head stats (series / label-pair counts,
+    * min/max sample time in MILLIS — Prometheus's unit; chunkCount 0,
+    * the engine has no chunk concept) plus the four top-10 cardinality
+    * lists, computed over the engine's labels map (`component` and
+    * `__name__` surface as query labels but are not label PAIRS here —
+    * the page exists to find expensive real labels). A handful of
+    * aggregate jobs, registry-sized results; the landing server
+    * memoizes the rendered body per committed version.
+    */
+  private def tsdbBody(m: DataFrame): String = {
+    import graft.operators.Firehose
+    val base = m.select(col("component"), col("name"),
+      Firehose.seriesKey(col("labels")).as("_sk"), col("labels"),
+      col("timestamp"))
+    val tr = base.agg(min(col("timestamp").cast("long")),
+      max(col("timestamp").cast("long"))).head()
+    val (minT, maxT) =
+      if (tr.isNullAt(0)) (0L, 0L) else (tr.getLong(0) * 1000L, tr.getLong(1) * 1000L)
+    val series = base.dropDuplicates("component", "name", "_sk")
+    val numSeries = series.count()
+    val pairs = m.select(explode(col("labels")).as(Seq("_k", "_v"))).distinct()
+    val numPairs = pairs.count()
+    def top10(df: DataFrame): Seq[(String, Long)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy { case (n, c) => (-c, n) }.take(10)
+    val byMetric = top10(series.groupBy(col("name"))
+      .agg(count(lit(1)).cast("long").as("c")))
+    val valuesPerLabel = top10(pairs.groupBy(col("_k"))
+      .agg(count(lit(1)).cast("long").as("c")))
+    val seriesPerPair = top10(series
+      .select(col("_sk"), explode(col("labels")).as(Seq("_k", "_v")))
+      .select(concat(col("_k"), lit("="), col("_v")).as("_p"))
+      .groupBy(col("_p")).agg(count(lit(1)).cast("long").as("c")))
+    val bytesPerLabel = top10(pairs.groupBy(col("_k"))
+      .agg(sum(length(col("_k")) + length(col("_v"))).cast("long").as("c")))
+    def statList(xs: Seq[(String, Long)]): String =
+      xs.map { case (n, v) =>
+        jsonObj(Seq("name" -> s""""${esc(n)}"""", "value" -> v.toString))
+      }.mkString("[", ",", "]")
+    jsonObj(Seq(
+      "status" -> "\"success\"",
+      "data" -> jsonObj(Seq(
+        "headStats" -> jsonObj(Seq(
+          "numSeries" -> numSeries.toString,
+          "numLabelPairs" -> numPairs.toString,
+          "chunkCount" -> "0",
+          "minTime" -> minT.toString,
+          "maxTime" -> maxT.toString)),
+        "seriesCountByMetricName" -> statList(byMetric),
+        "labelValueCountByLabelName" -> statList(valuesPerLabel),
+        "memoryInBytesByLabelName" -> statList(bytesPerLabel),
+        "seriesCountByLabelValuePair" -> statList(seriesPerPair)))))
+  }
+
+  /** Prometheus's `limit` param on the query endpoints: cap the number
+    * of SERIES in the result (0 = disabled); a truncated response
+    * carries the warning annotation Prometheus emits.
+    */
+  private def limitEntries(
+      params: Params, entries: Seq[String]): (Seq[String], Boolean) =
+    params.get("limit").map(s => s.toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot parse '$s' as limit (integer)"))) match {
+      case Some(n) if n < 0 =>
+        throw new IllegalArgumentException("limit must be non-negative")
+      case Some(n) if n > 0 && entries.size > n => (entries.take(n), true)
+      case _ => (entries, false)
+    }
+
+  private val TruncationWarning =
+    """["results truncated due to limit"]"""
 
   // ───────────────────────── rules and alerts ─────────────────────────
 

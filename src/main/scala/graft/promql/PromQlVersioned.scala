@@ -294,7 +294,7 @@ object PromQlVersioned {
       val hi = intervals.map(_._2).max
       val span = Versioned.prunedRead(spark, root, v,
         Seq(("timestamp", lo.toDouble, hi.toDouble)))
-      span.unionByName(gridLagHeads(spark, root, v, lo, span)._1)
+      span.unionByName(cachedLagHeads(spark, root, v, lo, span)._1)
     } else
       Versioned.prunedReadAny(spark, root, v, "timestamp",
         intervals.map { case (lo, hi) => (lo.toDouble, hi.toDouble) })
@@ -420,7 +420,7 @@ object PromQlVersioned {
       val span = Versioned.prunedRead(spark, root, v,
         Seq(("timestamp", lo.toDouble, hi.toDouble)))
       if (hasSeriesLag(ast))
-        span.unionByName(gridLagHeads(spark, root, v, lo, span)._1)
+        span.unionByName(cachedLagHeads(spark, root, v, lo, span)._1)
       else span
     }
   }
@@ -445,18 +445,94 @@ object PromQlVersioned {
   private[graft] def gridLagHeads(
       spark: SparkSession, root: String, v: Long, loSec: Long,
       span: DataFrame): (DataFrame, Seq[String]) = {
+    val schema = span.schema
+    val spanKeys = spanKeysOf(span)
+    if (spanKeys.isEmpty) return (emptyOf(spark, schema), Nil)
+    val (best, readFiles) = headWalk(spark, root, v, loSec,
+      spanKeys.toSet, schema)
+    (framed(spark, schema, spanKeys.flatMap(best.get)), readFiles)
+  }
+
+  /** [[gridLagHeads]] MEMOIZED per (root, version, loSec): a committed
+    * version's per-series head at a bound is immutable, so a dashboard's
+    * panels (and its polls within one append) pay the manifest walk once
+    * — later requests at the same (version, bound) resolve their span
+    * series from the memo and walk only for series it has not seen (a
+    * wider span fills incrementally; a fully-covered request reads ZERO
+    * files). Returns (heads, the file census THIS call had to read —
+    * empty on a full memo hit, the spec's pin). Same bounded-clear
+    * discipline as the manifest memo: entries are immutable, clearing is
+    * always safe; values are registry-sized (one row per live series).
+    */
+  private val headsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long),
+    scala.collection.concurrent.TrieMap[
+      String, Option[org.apache.spark.sql.Row]]]()
+
+  private[graft] def cachedLagHeads(
+      spark: SparkSession, root: String, v: Long, loSec: Long,
+      span: DataFrame): (DataFrame, Seq[String]) = {
+    val schema = span.schema
+    val spanKeys = spanKeysOf(span)
+    if (spanKeys.isEmpty) return (emptyOf(spark, schema), Nil)
+    val key = (new java.io.File(root).getAbsolutePath, v, loSec)
+    if (headsMemo.size > 64) headsMemo.clear()
+    val memo = headsMemo.computeIfAbsent(key,
+      _ => scala.collection.concurrent.TrieMap.empty)
+    val missing = spanKeys.filterNot(memo.contains)
+    val census =
+      if (missing.isEmpty) Nil
+      else {
+        val (best, readFiles) = headWalk(spark, root, v, loSec,
+          missing.toSet, schema)
+        missing.foreach(k => memo.put(k, best.get(k)))
+        readFiles
+      }
+    (framed(spark, schema, spanKeys.flatMap(k => memo(k))), census)
+  }
+
+  private def headKeyCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    concat_ws("\u0000", col("component"), col("name"),
+      graft.operators.Firehose.seriesKey(col("labels")))
+  }
+
+  private def spanKeysOf(span: DataFrame): Seq[String] =
+    span.select(headKeyCol.as("_hk")).distinct()
+      .collect().map(_.getString(0)).toSeq
+
+  private def emptyOf(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
+  private def framed(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+    if (rows.isEmpty) emptyOf(spark, schema)
+    else {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, schema)
+    }
+
+  /** The head WALK: for each of `keys`, its latest sample strictly
+    * before `loSec` in version `v`. Per-key results are independent of
+    * the key SET (the settling criterion compares a key's own best
+    * against the unread candidates), which is what lets
+    * [[cachedLagHeads]] fill incrementally. Returns (best row per key
+    * that has one, files read).
+    */
+  private def headWalk(
+      spark: SparkSession, root: String, v: Long, loSec: Long,
+      keys: Set[String],
+      schema: org.apache.spark.sql.types.StructType)
+      : (Map[String, org.apache.spark.sql.Row], Seq[String]) = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.Row
     val KEY = "_hk"
-    val keyCol = concat_ws("\u0000", col("component"), col("name"),
-      graft.operators.Firehose.seriesKey(col("labels")))
-    val cols = span.columns.toSeq
-    val schema = span.schema
-    def empty = spark.createDataFrame(
-      new java.util.ArrayList[Row](), schema)
-    val spanKeys = span.select(keyCol.as(KEY)).distinct()
-      .collect().map(_.getString(0))
-    if (spanKeys.isEmpty) return (empty, Nil)
+    val cols = schema.fieldNames.toSeq
     // candidate files that can hold samples before the span, newest
     // first; a file without timestamp stats could hold anything — it
     // sorts first and blocks settling until read
@@ -468,7 +544,7 @@ object PromQlVersioned {
         st.forall { case (mn, _) => !java.lang.Double.isFinite(mn) || mn < loSec }
       }
       .sortBy { case (_, st) => -maxOf(st) }
-    var remaining = spanKeys.toSet
+    var remaining = keys
     val best = scala.collection.mutable.Map.empty[String, (Long, String, Row)]
     val readFiles = Seq.newBuilder[String]
     // doubling probe: the first batch is the single newest candidate —
@@ -485,12 +561,12 @@ object PromQlVersioned {
         if (i >= candidates.length) Double.NegativeInfinity
         else maxOf(candidates(i)._2)
       readFiles ++= batch.map(_._1.path)
-      val keys = spark.createDataset(remaining.toSeq)(
+      val keyDf = spark.createDataset(remaining.toSeq)(
         org.apache.spark.sql.Encoders.STRING).toDF(KEY)
       val rows = Versioned.readSubset(spark, root, v, batch.map(_._1))
         .filter(col("timestamp") < lit(loSec))
-        .withColumn(KEY, keyCol)
-        .join(broadcast(keys), Seq(KEY))
+        .withColumn(KEY, headKeyCol)
+        .join(broadcast(keyDf), Seq(KEY))
         .groupBy(col(KEY))
         .agg(max_by(struct(cols.map(col): _*),
           struct(col("timestamp"), col("id"))).as("_r"))
@@ -509,12 +585,7 @@ object PromQlVersioned {
       }
       remaining = remaining.filter(k => best.get(k).forall(_._1.toDouble <= nextMax))
     }
-    val heads = best.values.map(_._3).toSeq
-    if (heads.isEmpty) (empty, readFiles.result())
-    else {
-      import scala.jdk.CollectionConverters._
-      (spark.createDataFrame(heads.asJava, schema), readFiles.result())
-    }
+    (best.view.mapValues(_._3).toMap, readFiles.result())
   }
 
   /** The engine's step-grid (windowed) evaluation over the landing,

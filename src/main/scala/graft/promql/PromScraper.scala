@@ -52,15 +52,29 @@ object PromScraper {
 
   /** The scrape LOOP: `ticks` scrapes, `intervalMs` apart (pass
     * `Int.MaxValue` ticks for a production loop; tests pass small
-    * counts). Returns each scrape's (version, samples).
+    * counts). `compactEvery > 0` arms the AUTO-COMPACT tick — every
+    * N scrapes, [[graft.sources.Versioned.compactSmall]] bin-packs the
+    * accumulated registry-sized tick files (≤ `compactMaxBytes` each)
+    * into one, so a loop that appends one small file per tick holds its
+    * file count at O(compactEvery + large files) instead of O(ticks) —
+    * together with the retention tick ([[PromQlVersioned.expire]]),
+    * the landing's full lifecycle automation. A lost compaction race
+    * (another committer won the marker) is skipped, not fatal: the
+    * next armed tick compacts again. Returns each scrape's
+    * (version, samples).
     */
   def run(
       spark: SparkSession, url: String, root: String,
       component: String = "scrape", intervalMs: Long = 15000L,
       ticks: Int = Int.MaxValue,
-      tsSec: Int => Option[Long] = _ => None): Seq[(Long, Int)] =
+      tsSec: Int => Option[Long] = _ => None,
+      compactEvery: Int = 0,
+      compactMaxBytes: Long = 4L << 20): Seq[(Long, Int)] =
     (1 to ticks).map { i =>
       val v = scrapeOnce(spark, url, root, component, tsSec(i))
+      if (compactEvery > 0 && i % compactEvery == 0)
+        try graft.sources.Versioned.compactSmall(spark, root, compactMaxBytes)
+        catch { case _: java.util.ConcurrentModificationException => () }
       if (i < ticks) Thread.sleep(intervalMs)
       v
     }

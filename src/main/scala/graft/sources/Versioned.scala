@@ -1521,6 +1521,52 @@ object Versioned {
       props = carried)
   }
 
+  /** SMALL-FILE compaction as a COMMIT — the maintenance tick a
+    * forever-appending landing (a scrape loop lands one registry-sized
+    * file per tick) actually needs, costing O(small bytes), never
+    * O(table): files at/below `maxBytes` are read (their tombstones
+    * materialized away), rewritten as ONE pooled file, and the next
+    * version's manifest is (untouched entries) ++ (the merged file) —
+    * large files are never listed to the reader, let alone rewritten,
+    * so the tick stays cheap no matter how big the table has grown
+    * (the real formats' OPTIMIZE bin-packing, sized-targeted). The
+    * merged file records range/lexical stats for the UNION of the stat
+    * columns the compacted files carried (and rebuilds blooms
+    * likewise), so a stats-pruned landing never LOSES skipping to its
+    * own maintenance. Rows are untouched; time travel still reads every
+    * pre-compaction version. Like [[compact]], this does not commute
+    * with concurrent commits — a lost `CREATE_NEW` race throws and the
+    * caller re-derives (the scrape loop just compacts again next tick).
+    * Returns the committed version, or -1 when fewer than two files are
+    * small enough to be worth merging (no empty commit).
+    */
+  def compactSmall(
+      spark: SparkSession,
+      root: String,
+      maxBytes: Long = 32L << 20,
+      expectedKeysPerFile: Long = 100000L): Long = {
+    val v = latestVersion(root)
+    require(v >= 0, s"no committed versions in $root")
+    val entries = manifest(root, v)
+    val (small, keep) = entries.partition(e =>
+      new File(root, e.path).length() <= maxBytes)
+    if (small.size < 2) return -1L
+    val statCols = small.flatMap(e => e.stats.keys ++ e.strStats.keys).distinct
+    val bloomCols = small.flatMap(e => e.blooms.keys).distinct
+    val merged = readSubset(spark, root, v, small).coalesce(1)
+    val staging = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
+    merged.write.mode("errorifexists").parquet(s"$root/$staging")
+    val (statsByFile, strStatsByFile) = statsFor(
+      spark, s"$root/$staging", merged.schema, statCols)
+    val newEntries = poolStaged(root, staging, statsByFile, strStatsByFile,
+      bloomsFor(spark, s"$root/$staging", bloomCols, expectedKeysPerFile))
+    writeMarker(root, v + 1, keep ++ newEntries,
+      schemaJson = markerSchema(root, v).map(_.json),
+      deleteKey = deleteKeyOf(root, v),
+      props = markerProps(root, v))
+    v + 1
+  }
+
   /** Metadata-only manifest COMPACTION (Iceberg's `rewrite_manifests`):
     * after N appends a marker carries N chunk refs; this merges them
     * into ONE chunk in a new version — no data file moves, schema /

@@ -323,6 +323,31 @@ class PromQlHttpSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("the scrape loop's auto-compact tick holds the file count down") {
+    val server = PromQlHttp.startLandingServer(spark, root)
+    try {
+      val port = server.getAddress.getPort
+      val rootB = Files.createTempDirectory("scrapeC").toFile.getAbsolutePath
+      val url = s"http://127.0.0.1:$port/federate?match[]=${enc("view_total")}"
+      // four ticks, compacting every second one: versions interleave
+      // scrape appends with compaction commits
+      val landed = graft.promql.PromScraper.run(
+        spark, url, rootB, component = "fed", intervalMs = 0L, ticks = 4,
+        compactEvery = 2)
+      assert(landed.map(_._1) === Seq(0L, 1L, 3L, 4L))
+      val n = landed.head._2
+      assert(landed.forall(_._2 === n))
+      // the final compaction bin-packed everything into ONE file…
+      val vLast = Versioned.latestVersion(rootB)
+      assert(vLast === 5L)
+      assert(Versioned.manifest(rootB, vLast).size === 1)
+      // …losing no rows (four ticks of the registry, distinct ids)
+      assert(Versioned.asOf(spark, rootB, vLast).count() === 4L * n)
+      // and the merged file keeps its timestamp stats (prunable landing)
+      assert(Versioned.manifest(rootB, vLast).head.stats.contains("timestamp"))
+    } finally server.stop(0)
+  }
+
   test("the landing server memoizes newestTs per committed version") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val r = Files.createTempDirectory("pqlcache").toFile.getAbsolutePath
@@ -398,6 +423,53 @@ class PromQlHttpSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("rules/alerts responses memoize per (version, evaluation grid)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val rules = "alert ManyViews = sum(view_total) > 0 for 2h"
+    val r = Files.createTempDirectory("pqlrulescache").toFile.getAbsolutePath
+    PromQlVersioned.land(metrics.filter(col("timestamp") < lit(tMax)), r)
+    val server = PromQlHttp.startLandingServer(spark, r, rulesText = Some(rules))
+    try {
+      val port = server.getAddress.getPort
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val l = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      def jobsFor(path: String): (Int, String) = {
+        org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+        jobs.set(0)
+        val (c, b) = get(port, path)
+        assert(c === 200, b)
+        org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+        (jobs.get(), b)
+      }
+      try {
+        val u = s"/api/v1/alerts?time=${tMax - 86400L}&step=1h&lookback=1d"
+        val (n1, b1) = jobsFor(u) // pays the two evaluateRange passes
+        assert(n1 > 0)
+        // a poll of the same grid at the same version is a map lookup
+        val (n2, b2) = jobsFor(u)
+        assert(n2 === 0, "repeat alert poll must run zero Spark jobs")
+        assert(b2 === b1)
+        // a different grid is a different entry (no stale cross-talk)...
+        assert(jobsFor(s"/api/v1/alerts?time=${tMax - 86400L}&step=2h" +
+          "&lookback=1d")._1 > 0)
+        // ...and /api/v1/rules at the firing grid keys separately
+        val (nr, br) = jobsFor(s"/api/v1/rules?time=${tMax - 86400L}&step=1h" +
+          "&lookback=1d")
+        assert(nr > 0 && br.contains(""""type":"alerting""""))
+        assert(jobsFor(s"/api/v1/rules?time=${tMax - 86400L}&step=1h" +
+          "&lookback=1d") === ((0, br)))
+        // an APPEND invalidates: same grid re-evaluates at the new version
+        PromQlVersioned.land(metrics.filter(col("timestamp") >= lit(tMax)), r)
+        assert(jobsFor(u)._1 > 0)
+        assert(jobsFor(u)._1 === 0)
+      } finally spark.sparkContext.removeSparkListener(l)
+    } finally server.stop(0)
+  }
+
   test("datasource probe surfaces: buildinfo, metadata, healthy/ready") {
     val server = PromQlHttp.startLandingServer(spark, root)
     try {
@@ -434,6 +506,80 @@ class PromQlHttpSpec extends SparkSuite {
         org.apache.spark.graft.TestBus.drain(spark.sparkContext)
         assert(jobs.get() === 0, "repeat metadata probe must be a map lookup")
       } finally spark.sparkContext.removeSparkListener(l)
+    } finally server.stop(0)
+  }
+
+  test("format_query, flags, and the TSDB-status cardinality page") {
+    val server = PromQlHttp.startLandingServer(spark, root)
+    try {
+      val port = server.getAddress.getPort
+      // format_query: the parser+printer round-trip as a wire endpoint
+      val (c1, fq) = get(port,
+        s"/api/v1/format_query?query=${enc("sum  by(user) (rate(view_total[ 5m ]))")}")
+      assert(c1 === 200)
+      val want = graft.promql.PromQlPrinter.print(
+        graft.promql.PromQlParser.parse("sum by (user) (rate(view_total[5m]))"))
+      assert(fq === s"""{"status":"success","data":"$want"}""")
+      assert(get(port, s"/api/v1/format_query?query=${enc("sum(")}")._1 === 400)
+      // flags: the engine's effective defaults
+      val (c2, fl) = get(port, "/api/v1/status/flags")
+      assert(c2 === 200 && fl.contains(""""query.lookback-delta":"5m""""), fl)
+      // tsdb status: head stats pinned against an independent recount
+      val (c3, td) = get(port, "/api/v1/status/tsdb")
+      assert(c3 === 200)
+      val numSeries = metrics
+        .select(col("component"), col("name"),
+          Firehose.seriesKey(col("labels")).as("s"))
+        .distinct().count()
+      val mm = metrics.agg(min(col("timestamp")), max(col("timestamp"))).head()
+      assert(td.contains(s""""numSeries":$numSeries"""), td)
+      assert(td.contains(s""""minTime":${mm.getLong(0) * 1000L}"""), td)
+      assert(td.contains(s""""maxTime":${mm.getLong(1) * 1000L}"""), td)
+      assert(td.contains(""""seriesCountByMetricName":[{"name":""""), td)
+      // ... and memoized per version: a repeat probe runs zero jobs
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val l = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+      spark.sparkContext.addSparkListener(l)
+      try {
+        jobs.set(0)
+        assert(get(port, "/api/v1/status/tsdb")._2 === td)
+        org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+        assert(jobs.get() === 0, "repeat tsdb probe must be a map lookup")
+      } finally spark.sparkContext.removeSparkListener(l)
+    } finally server.stop(0)
+  }
+
+  test("the limit param caps the series count with Prometheus's warning") {
+    val server = PromQlHttp.startQueryServer(
+      () => Versioned.latest(spark, root))
+    try {
+      val port = server.getAddress.getPort
+      val q = enc("sum by (user) (view_total)")
+      val (c0, all) = get(port, s"/api/v1/query?query=$q&time=$tMax&lookback=1d")
+      assert(c0 === 200 && !all.contains("warnings"))
+      val n = all.sliding(8).count(_ == "\"metric\"")
+      assert(n > 1)
+      val (c1, one) = get(port,
+        s"/api/v1/query?query=$q&time=$tMax&lookback=1d&limit=1")
+      assert(c1 === 200)
+      assert(one.sliding(8).count(_ == "\"metric\"") === 1)
+      assert(one.endsWith(""","warnings":["results truncated due to limit"]}"""), one)
+      // a limit at/above the series count truncates nothing
+      val (c2, full) = get(port,
+        s"/api/v1/query?query=$q&time=$tMax&lookback=1d&limit=$n")
+      assert(c2 === 200 && full === all)
+      // query_range takes it too
+      val (c3, m1) = get(port, s"/api/v1/query_range?query=$q" +
+        s"&start=${tMax - 86400L}&end=$tMax&step=1d&lookback=1d&limit=1")
+      assert(c3 === 200 && m1.contains("results truncated due to limit"))
+      // malformed / negative limits are bad_data
+      assert(get(port, s"/api/v1/query?query=$q&time=$tMax&limit=x")._1 === 400)
+      assert(get(port, s"/api/v1/query?query=$q&time=$tMax&limit=-1")._1 === 400)
     } finally server.stop(0)
   }
 

@@ -199,6 +199,64 @@ class PromQlVersionedSpec extends SparkSuite {
     assert(h2.select(col("timestamp")).collect().forall(_.getLong(0) < lo2))
   }
 
+  test("cached heads: a repeat request at the same (version, bound) reads zero files") {
+    val r = tmp("pql-headmemo")
+    val day = 86400L
+    val dense = spark.range(3 * 24).select(
+      explode(array(lit("a"), lit("b"), lit("c"))).as("u"),
+      (col("id") * 3600L).as("timestamp"))
+      .select(lit("app").as("component"), lit("cpu_total").as("name"),
+        map(lit("user"), col("u")).as("labels"), col("timestamp"),
+        concat(col("u"), col("timestamp")).as("id"),
+        (col("timestamp") / 100.0).as("value"))
+    // series d exists ONLY in day 2 — in-span, no predecessor
+    val dOnly = spark.range(24).select(
+      lit("app").as("component"), lit("cpu_total").as("name"),
+      map(lit("user"), lit("d")).as("labels"),
+      (lit(2 * day) + col("id") * 3600L).as("timestamp"),
+      concat(lit("d"), col("id")).as("id"),
+      lit(1.0).as("value"))
+    (0 until 3).foreach { d =>
+      val slice = dense.filter(col("timestamp") >= lit(d * day) &&
+        col("timestamp") < lit((d + 1) * day))
+      PromQlVersioned.land(
+        (if (d == 2) slice.unionByName(dOnly) else slice).coalesce(1), r)
+    }
+    val v = Versioned.latestVersion(r)
+    val lo = 2 * day
+    val span = Versioned.prunedRead(spark, r, v,
+      Seq(("timestamp", lo.toDouble, (3 * day).toDouble)))
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(Firehose.seriesKey(col("labels")).as("s"), col("timestamp"))
+        .collect().map(x => s"${x.getString(0)}@${x.getLong(1)}").sorted.toSeq
+    // first request over a SUBSET of the span's series pays the walk
+    val sub = span.filter(element_at(col("labels"), "user").isin("a", "b"))
+    val (h1, c1) = PromQlVersioned.cachedLagHeads(spark, r, v, lo, sub)
+    assert(c1.nonEmpty)
+    assert(rowsOf(h1) === rowsOf(
+      PromQlVersioned.gridLagHeads(spark, r, v, lo, sub)._1))
+    // a repeat of the same request reads ZERO files, answer unchanged
+    val (h2, c2) = PromQlVersioned.cachedLagHeads(spark, r, v, lo, sub)
+    assert(c2 === Nil)
+    assert(rowsOf(h2) === rowsOf(h1))
+    // a wider span fills INCREMENTALLY: the walk runs for the unseen
+    // series (c settles; d memoizes its no-predecessor answer)...
+    val (h3, c3) = PromQlVersioned.cachedLagHeads(spark, r, v, lo, span)
+    assert(c3.nonEmpty)
+    assert(rowsOf(h3) === rowsOf(
+      PromQlVersioned.gridLagHeads(spark, r, v, lo, span)._1))
+    assert(h3.filter(element_at(col("labels"), "user") === "d").count() === 0)
+    // ...and then the full span is covered too
+    assert(PromQlVersioned.cachedLagHeads(spark, r, v, lo, span)._2 === Nil)
+    // an APPEND bumps the version — a new key, the walk runs again
+    PromQlVersioned.land(dOnly.withColumn("timestamp",
+      col("timestamp") + lit(day)).coalesce(1), r)
+    val v2 = Versioned.latestVersion(r)
+    val span2 = Versioned.prunedRead(spark, r, v2,
+      Seq(("timestamp", lo.toDouble, (4 * day).toDouble)))
+    assert(PromQlVersioned.cachedLagHeads(spark, r, v2, lo, span2)._2.nonEmpty)
+  }
+
   test("a far pin splits the scan: pin's file + lookback's file, nothing between") {
     val pin = (q1 + q2) / 2 // mid second quarter
     val q = s"sum_over_time(view_total[1d] @ $pin) / sum_over_time(view_total[1d])"
@@ -413,6 +471,47 @@ class PromQlVersionedSpec extends SparkSuite {
         PromQl.compileRange(q, full, start, end, step, lookbackSec = lb)))
       assert(pg === pw, s"point-range iter $i: $q [$start, $end]")
     }
+  }
+
+  test("pruning + head seeds survive small-file compaction of the landing") {
+    // the landing's own maintenance must be invisible to every pruned
+    // path: bin-pack the two SMALLEST quarter files into one merged file
+    // (whose stats are the union — possibly a wide or disjoint-union
+    // range, the adversarial stats shape), leave the others as-is, and
+    // every pruned compile must stay row-identical to the full scan —
+    // including the manifest-walking head seed and the far-pin split
+    val rC = tmp("pql-compactprune")
+    val cuts = Seq(Long.MinValue, q1, q2, q3, Long.MaxValue)
+    cuts.sliding(2).foreach { case Seq(lo, hi) =>
+      PromQlVersioned.land(
+        metrics.filter(col("timestamp") > lo && col("timestamp") <= hi)
+          .coalesce(1), rC)
+    }
+    val v0 = Versioned.latestVersion(rC)
+    val sizes = Versioned.manifest(rC, v0)
+      .map(e => new java.io.File(rC, e.path).length()).sorted
+    val vC = Versioned.compactSmall(spark, rC, maxBytes = sizes(1))
+    assert(vC === v0 + 1)
+    assert(Versioned.manifest(rC, vC).size === 3)
+    val full = Versioned.latest(spark, rC)
+    val pin = (q1 + q2) / 2
+    for (q <- Seq(
+        "sum by (user) (increase(view_total[1d]))",
+        s"sum_over_time(view_total[1d] @ $pin) / sum_over_time(view_total[1d])",
+        "max_over_time((increase(view_total[12h]))[2d:1d])")) {
+      assert(rows(PromQlVersioned.compileInstant(spark, rC, q, tMax)) ===
+        rows(PromQl.compileInstant(q, full, tMax)), s"instant: $q")
+    }
+    // grid leg: the head seed walks the COMPACTED manifest
+    val (start, end, step) = (tMax - 2 * 86400L, tMax, 43200L)
+    val gq = "increase(view_total[1d])"
+    assert(rows(
+      PromQlVersioned.compileGridRangeVector(spark, rC, gq, start, end, step)
+        .select(col("name"), Firehose.seriesKey(col("labels")).as("series"),
+          col("win_start"), col("value"))) ===
+      rows(PromQl.compileSliding(gq, full, step)
+        .filter(col("win_start") >= lit(start) && col("win_start") <= lit(end))),
+      s"grid: $gq")
   }
 
   test("point-range pruning: pins and increase ARE prunable per point") {

@@ -1111,4 +1111,65 @@ class SourcesSpec extends SparkSuite {
     assert(pr.inputFiles.length === 1)
     assert(pr.select("k").as[Long].collect().toSeq === Seq(42L))
   }
+
+  test("versioned table: small-file compaction bin-packs ONLY the small files") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-csm").toFile.getAbsolutePath
+    // the scrape-landing shape: one big historical file plus five tiny
+    // tick files, all carrying timestamp stats
+    def slice(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("k"), (col("id") % 5).as("g"),
+        (col("id") * 2.0).as("v"), (lit(lo) + col("id")).as("ts"))
+    Versioned.appendCommit(slice(0L, 200000L).coalesce(1), root,
+      statsCols = Seq("ts"))
+    (0 until 5).foreach { i =>
+      Versioned.appendCommit(
+        slice(2000000L + i * 1000L, 50L).coalesce(1), root,
+        statsCols = Seq("ts"))
+    }
+    val v0 = Versioned.latestVersion(root)
+    val m0 = Versioned.manifest(root, v0)
+    assert(m0.size === 6)
+    val bigEntry = m0.maxBy(e => new java.io.File(root, e.path).length())
+    val threshold = new java.io.File(root, bigEntry.path).length() - 1
+    def snap(v: Long) = Versioned.asOf(spark, root, v)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val before = snap(v0)
+    val v1 = Versioned.compactSmall(spark, root, maxBytes = threshold)
+    assert(v1 === v0 + 1)
+    val m1 = Versioned.manifest(root, v1)
+    // big file untouched (same path AND digest — never rewritten);
+    // the five ticks merged into one
+    assert(m1.size === 2)
+    assert(m1.exists(e => e.path == bigEntry.path && e.sha256 == bigEntry.sha256))
+    // rows identical; the pre-compaction version still time-travels
+    assert(snap(v1) === before)
+    assert(Versioned.asOf(spark, root, v0).count() === before.size.toLong)
+    // the merged file KEEPS the skipping index: its ts stats are the
+    // union of the compacted ticks', so a tick-range query still lists
+    // one file, not the big one
+    val merged = m1.find(_.path != bigEntry.path).get
+    assert(merged.stats("ts") === ((2000000.0, 2004049.0)))
+    val pr = Versioned.prunedRead(spark, root, v1,
+      Seq(("ts", 2000000.0, 3000000.0)))
+    assert(pr.inputFiles.length === 1 && pr.count() === 250L)
+    // nothing left to merge: one small file is not worth a commit
+    assert(Versioned.compactSmall(spark, root, maxBytes = threshold) === -1L)
+    // tombstones on small files MATERIALIZE away in the rewrite: delete
+    // a merged-tick key, land one more tick (two small files again),
+    // compact — the new merged file carries no tombstones and the
+    // deleted row is gone for good
+    Versioned.deleteCommit(spark, root, "k", Seq("2000000"))
+    Versioned.appendCommit(slice(3000000L, 50L).coalesce(1), root,
+      statsCols = Seq("ts"))
+    val v3 = Versioned.compactSmall(spark, root, maxBytes = threshold)
+    assert(v3 > 0)
+    val m3 = Versioned.manifest(root, v3)
+    assert(m3.size === 2 && m3.forall(_.deletes.isEmpty))
+    assert(m3.find(_.path != bigEntry.path).get.stats("ts") ===
+      ((2000001.0, 3000049.0)))
+    assert(Versioned.asOf(spark, root, v3).filter(col("k") === 2000000L).count() === 0L)
+    assert(Versioned.asOf(spark, root, v3).count() === before.size.toLong + 50 - 1)
+  }
 }

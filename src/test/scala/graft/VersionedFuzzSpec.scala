@@ -41,7 +41,7 @@ class VersionedFuzzSpec extends SparkSuite {
 
       for (step <- 0 until 40) {
         val live = current
-        val op = rnd.nextInt(13) match {
+        val op = rnd.nextInt(14) match {
           case 0 | 1 | 2 | 3           => "append"
           case 4 if live.nonEmpty      => "upsert"
           case 5 | 6 if live.nonEmpty  => "delete"
@@ -51,6 +51,7 @@ class VersionedFuzzSpec extends SparkSuite {
           case 10 if model.length >= 3 => "restore"
           case 11 if live.size >= 2    => "cdc"
           case 12 if live.nonEmpty     => "usame"
+          case 13 if live.nonEmpty     => "compactsmall"
           case _                       => "append"
         }
         op match {
@@ -144,6 +145,15 @@ class VersionedFuzzSpec extends SparkSuite {
             Versioned.compact(spark, root, numFiles = 1)
             model += Some(current)
             opKind += "compact"
+          case "compactsmall" =>
+            // layout-only like compact, but bin-packing ONLY sub-threshold
+            // files; a 1-byte threshold exercises the no-op (-1) path
+            val threshold = if (rnd.nextBoolean()) Long.MaxValue else 1L
+            val v = Versioned.compactSmall(spark, root, maxBytes = threshold)
+            if (v >= 0) {
+              model += Some(current)
+              opKind += "compactsmall"
+            }
           case "vacuum" =>
             val dropped = Versioned.vacuum(root, keepLast = 2)
             dropped.foreach(v => model(v.toInt) = None)
@@ -192,7 +202,8 @@ class VersionedFuzzSpec extends SparkSuite {
       for (pair <- retained.sliding(2) if pair.length == 2) {
         val (v1, m1) = pair(0)
         val (v2, m2) = pair(1)
-        if (v2 == v1 + 1 && kinds(v2.toInt) != "compact" && kinds(v2.toInt) != "restore") {
+        if (v2 == v1 + 1 && kinds(v2.toInt) != "compact" &&
+            kinds(v2.toInt) != "compactsmall" && kinds(v2.toInt) != "restore") {
           val got = Versioned.changesBetween(spark, root, v1, v2)
             .select("_change_type", "k", "name").collect()
             .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
