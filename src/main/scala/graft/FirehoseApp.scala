@@ -70,6 +70,14 @@ object FirehoseApp {
       |                    with --serve: arm /api/v1/rules + /api/v1/alerts
       |                    from a rule file (one `name = expr` or
       |                    `alert N = expr [for D]` per line)
+      |  --serve-retention <duration>
+      |                    with --serve: retention daemon — every tick,
+      |                    expire files wholly older than now - duration
+      |  --serve-compact <KB>
+      |                    with --serve: compaction daemon — every tick,
+      |                    bin-pack files at/below the threshold
+      |  --serve-tick <seconds>
+      |                    maintenance tick interval (default 60)
       |  --scrape <url> <root> [intervalMs [ticks [compactEvery]]]
       |                    scrape-in loop: poll a text-exposition endpoint
       |                    and land each scrape as one prunable append;
@@ -151,6 +159,18 @@ object FirehoseApp {
         case "--serve-rules" =>
           m.put("app.serve.rules", operand("--serve-rules <file>"))
           i += 2
+        // arms the serving-side maintenance daemon: retention window
+        // (PromQL duration or seconds) and/or small-file compaction
+        // threshold (KB), applied every --serve-tick seconds
+        case "--serve-retention" =>
+          m.put("app.serve.retention", operand("--serve-retention <duration>"))
+          i += 2
+        case "--serve-compact" =>
+          m.put("app.serve.compactKb", operand("--serve-compact <KB>"))
+          i += 2
+        case "--serve-tick" =>
+          m.put("app.serve.tickSec", operand("--serve-tick <seconds>"))
+          i += 2
         // the scrape-in target loop: poll a text-exposition endpoint,
         // land each scrape (PromScraper); 0 ticks = forever;
         // compactEvery > 0 bin-packs the tick files every N scrapes
@@ -231,6 +251,32 @@ object FirehoseApp {
           .option("checkpointLocation", checkpointDir)
           .start()
         Running(q, Some(registry), () => { q.stop(); server.stop(0) })
+    }
+  }
+
+  /** One serving-side MAINTENANCE tick: expire files wholly older than
+    * `nowSec − retentionSec` (Prometheus's wall-clock retention window),
+    * then bin-pack the small files — both manifest-level commits a
+    * months-running landing server applies to ITSELF, so the operator
+    * never schedules external `--expire`/`--table compact-small` jobs.
+    * A lost commit race (a concurrent scraper/ingester won the marker)
+    * skips the tick — the next one retries; an empty landing no-ops.
+    * Extracted from the daemon loop so specs drive it directly with a
+    * pinned clock.
+    */
+  private[graft] def maintenanceTick(
+      spark: SparkSession, root: String,
+      retentionSec: Option[Long], compactMaxBytes: Option[Long],
+      nowSec: Long): Unit = {
+    import graft.sources.Versioned
+    if (Versioned.latestVersion(root) < 0) return
+    retentionSec.foreach { r =>
+      try graft.promql.PromQlVersioned.expire(root, nowSec - r)
+      catch { case _: java.util.ConcurrentModificationException => () }
+    }
+    compactMaxBytes.foreach { mb =>
+      try Versioned.compactSmall(spark, root, maxBytes = mb)
+      catch { case _: java.util.ConcurrentModificationException => () }
     }
   }
 
@@ -425,6 +471,32 @@ object FirehoseApp {
         spark, root, cfg.getInt("app.serve.port", 0), rules)
       println(s"[graft] query API on http://127.0.0.1:${
         server.getAddress.getPort} over $root")
+      // serving-side lifecycle daemon: retention + small-file compaction
+      // ticks against the landing the server answers from
+      val retention = cfg.get("app.serve.retention").map(s =>
+        s.toLongOption.getOrElse(graft.promql.PromQlDurations.parse(s).fold(
+          msg => throw new IllegalArgumentException(
+            s"cannot parse '$s' as a retention duration: $msg"),
+          identity)))
+      val compactBytes = cfg.get("app.serve.compactKb").map(_.toLong * 1024L)
+      if (retention.isDefined || compactBytes.isDefined) {
+        val tickMs = cfg.getInt("app.serve.tickSec", 60) * 1000L
+        val t = new Thread(() => {
+          while (true) {
+            Thread.sleep(tickMs)
+            try maintenanceTick(spark, root, retention, compactBytes,
+              System.currentTimeMillis() / 1000L)
+            catch { case e: Exception =>
+              System.err.println(s"[graft] maintenance tick failed: ${e.getMessage}")
+            }
+          }
+        }, "graft-serve-maintenance")
+        t.setDaemon(true)
+        t.start()
+        println(s"[graft] maintenance daemon armed (retention=${
+          retention.fold("off")(r => s"${r}s")}, compact=${
+          compactBytes.fold("off")(b => s"${b}B")}, tick=${tickMs}ms)")
+      }
       try Thread.currentThread().join() // serve until killed
       finally { server.stop(0); spark.stop() }
     }

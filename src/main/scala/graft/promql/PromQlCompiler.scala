@@ -152,15 +152,13 @@ final case class PromQlCompileException(msg: String) extends RuntimeException(ms
   *    `sort_by_label`/`sort_by_label_desc` order the output by the
   *    given labels' values under a natural-sort key
   *    ([[naturalSortKey]]: digit runs compare as integers), full
-  *    series key as tiebreak, `desc` reversing every key. Digit runs
-  *    longer than 24 characters and equal-value/different-leading-zero
-  *    runs fall to the tiebreak rather than natsort's finer rules.
+  *    series key as tiebreak, `desc` reversing every key; digit runs
+  *    rank numerically at any length (length-prefixed keys), with
+  *    equal-value/different-leading-zero runs falling to the tiebreak.
   *    `info(v[, {sel}])` joins info-metric data labels on the
-  *    hardcoded (instance, job) identifying pair (see [[infoVec]];
-  *    one documented divergence: an info group with conflicting data
-  *    labels raises even when no `v` sample joins it — the check rides
-  *    the build side's aggregation, where Prometheus only errors on a
-  *    consumed conflict).
+  *    hardcoded (instance, job) identifying pair (see [[infoVec]]);
+  *    a conflicting info group raises only when a `v` sample consumes
+  *    it, matching Prometheus.
   *  - Native histograms (round 11): the `histogram_quantile(φ, m[1h])` /
   *    `histogram_count/sum/avg/stddev/stdvar(m[1h])` /
   *    `histogram_fraction(lo, hi, m[1h])` family compiles onto the m37
@@ -342,21 +340,27 @@ object PromQlCompiler {
     }
   }
 
-  /** Natural-sort key: every digit run left-padded to a fixed width so
-    * that byte-order comparison ranks runs numerically (`pod2` before
-    * `pod10`), the ordering `sort_by_label` uses (Prometheus sorts label
-    * values naturally — digit chunks compare as integers). Runs past the
-    * pad width fall back to their raw text (Spark's `lpad` would
-    * TRUNCATE them); numerically-equal runs with different leading-zero
-    * counts key equal and fall to the series tiebreak. Pure codegen'd
-    * string functions — no UDF.
+  /** Natural-sort key: every digit run encoded LENGTH-PREFIXED —
+    * leading zeros stripped, then an 8-digit width of the remaining run
+    * length, then the digits — so byte-order comparison ranks runs
+    * numerically at ANY length (`pod2` before `pod10`; a longer
+    * stripped run has a greater prefix, equal lengths compare digit
+    * bytes), the ordering `sort_by_label` uses (Prometheus sorts label
+    * values naturally — digit chunks compare as integers). Runs beyond
+    * 10^8 digits would truncate the prefix — past any real label value.
+    * Numerically-equal runs with different leading-zero counts key
+    * equal and fall to the series tiebreak. Pure codegen'd string
+    * functions — no UDF.
     */
   def naturalSortKey(s: Column): Column =
     concat_ws(
       "",
       transform(
         split(s, "(?<=[0-9])(?=[^0-9])|(?<=[^0-9])(?=[0-9])"),
-        t => when(t.rlike("^[0-9]{1,24}$"), lpad(t, 24, "0")).otherwise(t)))
+        t => when(t.rlike("^[0-9]+$"), {
+          val stripped = regexp_replace(t, "^0+", "")
+          concat(lpad(length(stripped).cast("string"), 8, "0"), stripped)
+        }).otherwise(t)))
 
   /** The total ordering behind `sort_by_label` / `sort_by_label_desc`:
     * the requested labels' values under [[naturalSortKey]] (absent
@@ -1737,9 +1741,11 @@ object PromQlCompiler {
       *  - Samples with no matching info series pass through unchanged;
       *    `v`'s own labels always win over copied data labels.
       *  - Several matching info series with CONFLICTING copied labels
-      *    raise (the PromQL error), enforced by a codegen'd
-      *    `raise_error` riding the join's own aggregation; identical
-      *    data labels deduplicate silently.
+      *    raise (the PromQL error) — but only when a `v` sample
+      *    actually CONSUMES the conflicted group (Prometheus's
+      *    behavior): the codegen'd `raise_error` rides the probe side
+      *    after the join, so an unconsumed info group may disagree with
+      *    itself harmlessly; identical data labels deduplicate silently.
       *
       * Shape: the info side is registry-sized (one row per target per
       * window — the window-latest `instant` relation), so the equi-join
@@ -1783,15 +1789,19 @@ object PromQlCompiler {
         .agg(
           countDistinct(col("_dk")).as("_ndk"),
           max_by(col("_data"), col("_dk")).as("_data"))
-        .withColumn("_data",
-          when(col("_ndk") === 1, col("_data")).otherwise(
-            raise_error(lit("info: matching info series carry conflicting " +
-              "data labels")).cast("map<string,string>")))
-        .select(col("component"), col("win_start"), col("_ikey"), col("_data"))
+        .select(col("component"), col("win_start"), col("_ikey"),
+          col("_ndk"), col("_data"))
       val joined = v
         .withColumn("_ikey", ikeyOf)
         .join(infoKeyed, Seq("component", "win_start", "_ikey"), "left")
+      // the conflict check rides the PROBE side, after the join: only a
+      // CONSUMED conflict raises (Prometheus's behavior — an info group
+      // no `v` sample joins may disagree with itself harmlessly)
       Vec(joined
+        .withColumn("_data",
+          when(col("_ndk").isNull || col("_ndk") === 1, col("_data")).otherwise(
+            raise_error(lit("info: matching info series carry conflicting " +
+              "data labels")).cast("map<string,string>")))
         .withColumn("labels",
           when(col("_data").isNull, col("labels")).otherwise(
             map_concat(

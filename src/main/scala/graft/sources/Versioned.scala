@@ -1551,8 +1551,14 @@ object Versioned {
     val (small, keep) = entries.partition(e =>
       new File(root, e.path).length() <= maxBytes)
     if (small.size < 2) return -1L
-    val statCols = small.flatMap(e => e.stats.keys ++ e.strStats.keys).distinct
-    val bloomCols = small.flatMap(e => e.blooms.keys).distinct
+    // a dropColumns may have removed a column an old file still carries
+    // stats for — only live columns are re-statted (reading a dropped
+    // column would fail; its stats are dead weight anyway)
+    val liveCols = markerSchema(root, v).map(_.fieldNames.toSet)
+    def live(c: String): Boolean = liveCols.forall(_.contains(c))
+    val statCols =
+      small.flatMap(e => e.stats.keys ++ e.strStats.keys).distinct.filter(live)
+    val bloomCols = small.flatMap(e => e.blooms.keys).distinct.filter(live)
     val merged = readSubset(spark, root, v, small).coalesce(1)
     val staging = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
     merged.write.mode("errorifexists").parquet(s"$root/$staging")

@@ -64,6 +64,52 @@ class FirehoseAppSpec extends SparkSuite {
       FirehoseApp.parseArgs(Array("--expire", "/x/land")))
   }
 
+  test("the serving-side maintenance tick expires and compacts the landing") {
+    // args parse (duration form and bare seconds)
+    val c = FirehoseApp.buildConfig(Array(
+      "--serve", "/x/land", "--serve-retention", "30d",
+      "--serve-compact", "4096", "--serve-tick", "5"))
+    assert(c.getOrElse("app.serve.retention", "?") === "30d")
+    assert(c.getInt("app.serve.compactKb", -1) === 4096)
+    assert(c.getInt("app.serve.tickSec", -1) === 5)
+    // the tick itself, driven with a pinned clock: three daily one-file
+    // commits, retention = 1.5 days → the oldest file expires; the
+    // compaction leg bin-packs the two survivors into one
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-tick")
+      .toFile.getAbsolutePath
+    val day = 86400L
+    (0 until 3).foreach { d =>
+      graft.promql.PromQlVersioned.land(
+        spark.range(24).select(
+          lit("app").as("component"), lit("cpu_total").as("name"),
+          map(lit("user"), lit("u1")).as("labels"),
+          (lit(d * day) + col("id") * 3600L).as("timestamp"),
+          concat(lit(d), lit("-"), col("id")).as("id"),
+          lit(1.0).as("value")).coalesce(1), root)
+    }
+    import graft.sources.Versioned
+    assert(Versioned.manifest(root, 2L).size === 3)
+    FirehoseApp.maintenanceTick(spark, root,
+      retentionSec = Some((day * 3) / 2), compactMaxBytes = Some(1L << 20),
+      nowSec = 3 * day)
+    val v = Versioned.latestVersion(root)
+    assert(v === 4L) // one expire commit + one compaction commit
+    assert(Versioned.manifest(root, v).size === 1)
+    assert(Versioned.latest(spark, root).agg(min(col("timestamp"))).head()
+      .getLong(0) === day) // day 0 aged out, days 1-2 survive merged
+    assert(Versioned.latest(spark, root).count() === 48L)
+    // a repeat tick is a no-op (nothing to expire, one file already)
+    FirehoseApp.maintenanceTick(spark, root,
+      retentionSec = Some((day * 3) / 2), compactMaxBytes = Some(1L << 20),
+      nowSec = 3 * day)
+    assert(Versioned.latestVersion(root) === v)
+    // an empty landing no-ops instead of crashing
+    val empty = java.nio.file.Files.createTempDirectory("graft-tick0")
+      .toFile.getAbsolutePath
+    FirehoseApp.maintenanceTick(spark, empty, Some(day), Some(1L), 0L)
+  }
+
   test("truncated operand lists report usage errors, not index crashes") {
     intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("--query", "q_cube")))
     intercept[IllegalArgumentException](FirehoseApp.parseArgs(Array("--query")))

@@ -1085,6 +1085,20 @@ class PromQlCompileSpec extends SparkSuite {
     val e = intercept[Exception](
       PromQl.compile("info(req_total)", conflict).collect())
     assert(e.getMessage.contains("conflicting data labels"))
+    // an UNCONSUMED conflict is harmless (Prometheus only errors when a
+    // sample joins the conflicted group): i7 has two disagreeing info
+    // series but no req_total sample — everything else still answers
+    val idle = planted.unionByName(Seq(
+      row("target_info", Map("instance" -> "i7", "job" -> "api",
+        "cluster" -> "us"), 160L, "g", 1.0),
+      row("target_info", Map("instance" -> "i7", "job" -> "api",
+        "cluster" -> "ap"), 161L, "h", 1.0)
+    ).toDF("component", "name", "tags", "timestamp", "id", "value"))
+    assert(PromQl.compile("info(req_total)", idle)
+      .select("series").collect().map(_.getString(0)).toSet === Set(
+      "cluster=us,instance=i1,job=api,path=/a",
+      "cluster=eu,instance=i2,job=api",
+      "instance=i9,job=api"))
     // distinct info series whose COPIED labels agree (a restricted
     // selector copies only `cluster`, and both i2 series carry eu)
     // deduplicate silently instead of raising
@@ -1119,5 +1133,20 @@ class PromQlCompileSpec extends SparkSuite {
     // string args parse, print and round-trip through the text front-end
     val printed = PromQl.print(PromQl.parse("""sort_by_label(x, "a", "b")"""))
     assert(PromQl.print(PromQl.parse(printed)) === printed)
+    // digit runs past any fixed pad width still rank numerically (the
+    // length-prefixed key: a longer stripped run is strictly greater),
+    // and leading zeros key equal-then-tiebreak
+    val big = Seq(
+      ("app", "g_total", Map("user" -> ("v" + "9" * 30)), 100L, "a", 1.0),
+      ("app", "g_total", Map("user" -> ("v1" + "0" * 30)), 100L, "b", 2.0),
+      ("app", "g_total", Map("user" -> "v2"), 100L, "c", 3.0),
+      ("app", "g_total", Map("user" -> "v002"), 100L, "d", 4.0)
+    ).toDF("component", "name", "tags", "timestamp", "id", "value")
+    val got = PromQl.compile("""sort_by_label(g_total, "user")""", big)
+      .select("series").collect().map(_.getString(0)).toSeq
+    // v2 == v002 numerically (series-key tiebreak: "v002" < "v2"), then
+    // 30 nines, then 1 followed by 30 zeros (31 digits — one longer)
+    assert(got === Seq("user=v002", "user=v2",
+      "user=v" + "9" * 30, "user=v1" + "0" * 30))
   }
 }

@@ -1171,5 +1171,17 @@ class SourcesSpec extends SparkSuite {
       ((2000001.0, 3000049.0)))
     assert(Versioned.asOf(spark, root, v3).filter(col("k") === 2000000L).count() === 0L)
     assert(Versioned.asOf(spark, root, v3).count() === before.size.toLong + 50 - 1)
+    // stats on a DROPPED column (old files still carry ts stats after the
+    // drop) must not break the rewrite — the merged file just re-stats
+    // the live columns
+    Versioned.dropColumns(root, Seq("ts"))
+    Versioned.appendCommit(slice(4000000L, 50L).coalesce(1)
+      .drop("ts"), root)
+    val v4 = Versioned.compactSmall(spark, root, maxBytes = threshold)
+    assert(v4 > 0)
+    assert(Versioned.manifest(root, v4).size === 2)
+    assert(Versioned.manifest(root, v4).forall(e => !e.stats.contains("ts") ||
+      e.path == bigEntry.path))
+    assert(Versioned.asOf(spark, root, v4).count() === before.size.toLong + 100 - 1)
   }
 }
