@@ -269,6 +269,10 @@ object FirehoseApp {
       retentionSec: Option[Long], compactMaxBytes: Option[Long],
       nowSec: Long): Unit = {
     import graft.sources.Versioned
+    // a zero/negative window would expire everything (or the future)
+    // every tick — only ever operator error; None disables retention
+    retentionSec.foreach(r => require(r > 0,
+      s"retention window must be positive (got $r)"))
     if (Versioned.latestVersion(root) < 0) return
     retentionSec.foreach { r =>
       try graft.promql.PromQlVersioned.expire(root, nowSec - r)
@@ -294,10 +298,12 @@ object FirehoseApp {
       case "compact" =>
         val v = Versioned.compact(spark, root, numFiles = n.getOrElse(1))
         println(s"[graft] compacted $root to v$v")
-      // bin-pack only the small files (n = threshold KB, default 4096)
+      // bin-pack only the small files (n = threshold KB; default = the
+      // shared Versioned.DefaultSmallFileBytes)
       case "compact-small" =>
         val v = Versioned.compactSmall(spark, root,
-          maxBytes = n.getOrElse(4096).toLong * 1024L)
+          maxBytes = n.map(_.toLong * 1024L)
+            .getOrElse(Versioned.DefaultSmallFileBytes))
         println(
           if (v < 0) s"[graft] fewer than two small files in $root"
           else s"[graft] compacted small files of $root to v$v")
@@ -451,12 +457,13 @@ object FirehoseApp {
       val ticks = if (ticks0 <= 0) Int.MaxValue else ticks0
       val spark = Sessions.local(
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-scrape")
+      // progress rides the onScrape hook — a forever loop never returns,
+      // so a post-hoc foreach over the result would print nothing
       try graft.promql.PromScraper.run(spark, url, root,
         intervalMs = interval, ticks = ticks,
-        compactEvery = cfg.getInt("app.scrape.compactEvery", 0))
-        .foreach { case (v, n) =>
-          println(s"[graft] scraped $n samples from $url into $root (v$v)")
-        }
+        compactEvery = cfg.getInt("app.scrape.compactEvery", 0),
+        onScrape = (v, n) =>
+          println(s"[graft] scraped $n samples from $url into $root (v$v)"))
       finally spark.stop()
       return
     }
@@ -478,6 +485,13 @@ object FirehoseApp {
           msg => throw new IllegalArgumentException(
             s"cannot parse '$s' as a retention duration: $msg"),
           identity)))
+      // Prometheus's 0s means retention DISABLED; here retention is
+      // opt-in per flag, so 0 (expire everything every tick) and
+      // negatives (expire the future) can only be operator error —
+      // refuse at start, not on the first destructive tick
+      retention.foreach(r => require(r > 0,
+        s"--serve-retention must be positive (got $r; " +
+          "omit the flag to disable retention)"))
       val compactBytes = cfg.get("app.serve.compactKb").map(_.toLong * 1024L)
       if (retention.isDefined || compactBytes.isDefined) {
         val tickMs = cfg.getInt("app.serve.tickSec", 60) * 1000L

@@ -3277,10 +3277,12 @@ object SparkEntry {
         |SELECT component, name, series, t AS win_start, value
         |FROM r WHERE rn = 1""".stripMargin,
     // the natural-sort rank computed INDEPENDENTLY: tokenize the user
-    // label value into digit/non-digit runs, left-pad digit runs so
-    // byte order ranks them numerically, ORDER BY that key desc with
-    // the series tiebreak — DuckDB's own ordering defines the expected
-    // rank the engine's sort_by_label_desc must reproduce
+    // label value into digit/non-digit runs, encode each digit run
+    // length-prefixed (leading zeros stripped, 8-digit run-length, then
+    // the digits — the engine's any-length numeric ordering, spelled in
+    // DuckDB's own functions), ORDER BY that key desc with the series
+    // tiebreak — DuckDB's ordering defines the expected rank the
+    // engine's sort_by_label_desc must reproduce
     "m47_sort_by_label" ->
       (IncreaseCte(3600) +
         """SELECT component, name, series, win_start, increase AS value,
@@ -3289,8 +3291,10 @@ object SparkEntry {
           |    ORDER BY
           |      array_to_string(list_transform(
           |        regexp_extract_all(substr(series, 6), '[0-9]+|[^0-9]+'),
-          |        x -> CASE WHEN regexp_matches(x, '^[0-9]{1,24}$')
-          |             THEN lpad(x, 24, '0') ELSE x END), '') DESC,
+          |        x -> CASE WHEN regexp_matches(x, '^[0-9]+$')
+          |             THEN lpad(CAST(length(ltrim(x, '0')) AS VARCHAR), 8, '0')
+          |                    || ltrim(x, '0')
+          |             ELSE x END), '') DESC,
           |      series DESC) AS INTEGER) AS rank
           |FROM win WHERE name = 'view_total'""".stripMargin),
     // merge == recompute: the oracle builds the DAILY histogram straight

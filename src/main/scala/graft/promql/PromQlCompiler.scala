@@ -157,8 +157,9 @@ final case class PromQlCompileException(msg: String) extends RuntimeException(ms
   *    equal-value/different-leading-zero runs falling to the tiebreak.
   *    `info(v[, {sel}])` joins info-metric data labels on the
   *    hardcoded (instance, job) identifying pair (see [[infoVec]]);
-  *    a conflicting info group raises only when a `v` sample consumes
-  *    it, matching Prometheus.
+  *    matching info series MERGE disjoint data labels, and a per-label
+  *    value conflict raises only when a `v` sample consumes the group,
+  *    matching Prometheus.
   *  - Native histograms (round 11): the `histogram_quantile(φ, m[1h])` /
   *    `histogram_count/sum/avg/stddev/stdvar(m[1h])` /
   *    `histogram_fraction(lo, hi, m[1h])` family compiles onto the m37
@@ -1740,12 +1741,14 @@ object PromQlCompiler {
       *    `{k8s_cluster_name=~".+"}` copies only that label).
       *  - Samples with no matching info series pass through unchanged;
       *    `v`'s own labels always win over copied data labels.
-      *  - Several matching info series with CONFLICTING copied labels
-      *    raise (the PromQL error) — but only when a `v` sample
-      *    actually CONSUMES the conflicted group (Prometheus's
+      *  - Several matching info series MERGE their copied labels
+      *    (disjoint data labels — the multi-exporter case — all copy);
+      *    a label carrying two distinct values across the matching
+      *    series raises (the PromQL error) — but only when a `v`
+      *    sample actually CONSUMES the conflicted group (Prometheus's
       *    behavior): the codegen'd `raise_error` rides the probe side
       *    after the join, so an unconsumed info group may disagree with
-      *    itself harmlessly; identical data labels deduplicate silently.
+      *    itself harmlessly; identical values deduplicate silently.
       *
       * Shape: the info side is registry-sized (one row per target per
       * window — the window-latest `instant` relation), so the equi-join
@@ -1781,14 +1784,25 @@ object PromQlCompiler {
           map_filter(base, (k, _) => array_contains(keep, k))
         }
       }
+      // conflict detection is PER LABEL, not per whole map: several info
+      // series for one identity MERGE their disjoint data labels (the
+      // normal multi-exporter case — {cluster=us} + {env=prod} copies
+      // both), and only a label carrying two distinct values across the
+      // matching series is a conflict. Groups whose copied maps are all
+      // empty drop out of the explode and take the pass-through arm —
+      // indistinguishable from joining an empty map.
       val infoKeyed = inf
         .withColumn("_ikey", ikeyOf)
-        .withColumn("_data", copied)
-        .withColumn("_dk", Firehose.seriesKey(col("_data")))
+        .select(col("component"), col("win_start"), col("_ikey"),
+          explode(copied).as(Seq("_k", "_v")))
+        .groupBy(col("component"), col("win_start"), col("_ikey"), col("_k"))
+        .agg(countDistinct(col("_v")).as("_nv"), max(col("_v")).as("_vv"))
         .groupBy(col("component"), col("win_start"), col("_ikey"))
         .agg(
-          countDistinct(col("_dk")).as("_ndk"),
-          max_by(col("_data"), col("_dk")).as("_data"))
+          max(col("_nv")).as("_ndk"),
+          map_from_entries(
+            array_sort(collect_list(struct(col("_k"), col("_vv")))))
+            .as("_data"))
         .select(col("component"), col("win_start"), col("_ikey"),
           col("_ndk"), col("_data"))
       val joined = v

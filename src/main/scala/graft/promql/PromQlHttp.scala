@@ -162,6 +162,7 @@ object PromQlHttp {
     def cachedNewest(): Long = {
       val v = Versioned.latestVersion(root)
       require(v >= 0, "the landing is empty — pass an explicit 'time'")
+      if (tsCache.size > 4096) tsCache.clear() // entries are per dead version
       tsCache.computeIfAbsent(v,
         _ => newestTs(Versioned.asOf(spark, root, v))).longValue()
     }
@@ -171,9 +172,12 @@ object PromQlHttp {
     def cachedNames(): Seq[String] = {
       val v = Versioned.latestVersion(root)
       if (v < 0) Nil
-      else nameCache.computeIfAbsent(v, _ =>
-        Versioned.asOf(spark, root, v).select(col("name")).distinct()
-          .collect().map(_.getString(0)).sorted.toSeq)
+      else {
+        if (nameCache.size > 64) nameCache.clear()
+        nameCache.computeIfAbsent(v, _ =>
+          Versioned.asOf(spark, root, v).select(col("name")).distinct()
+            .collect().map(_.getString(0)).sorted.toSeq)
+      }
     }
     // the TSDB-status cardinality page, same per-version discipline
     val tsdbCache =
@@ -181,6 +185,7 @@ object PromQlHttp {
     def cachedTsdb(): String = {
       val v = Versioned.latestVersion(root)
       require(v >= 0, "the landing is empty")
+      if (tsdbCache.size > 8) tsdbCache.clear() // multi-KB bodies, latest-only reads
       tsdbCache.computeIfAbsent(v,
         _ => tsdbBody(Versioned.asOf(spark, root, v)))
     }
@@ -220,10 +225,19 @@ object PromQlHttp {
         metadataNames = Some(() => cachedNames()),
         tsdbStats = Some(() => cachedTsdb()),
         rules = rulesText.map(rt => (params: Params, alertsOnly: Boolean) => {
+          // pin the version ONCE and thread it through everything the
+          // cached body reads: an append racing the request must not
+          // cache newer (or internally mixed) data under this key
           val v = Versioned.latestVersion(root)
+          require(v >= 0, "the landing is empty — pass an explicit 'time'")
           // resolve the grid BEFORE keying, so an omitted `time` and an
           // explicit time equal to the newest sample share one entry
-          val end = params.get("time").map(parseTime).getOrElse(cachedNewest())
+          // (the newest-sample default reads the PINNED version too)
+          val end = params.get("time").map(parseTime).getOrElse {
+            if (tsCache.size > 4096) tsCache.clear()
+            tsCache.computeIfAbsent(v,
+              _ => newestTs(Versioned.asOf(spark, root, v))).longValue()
+          }
           val step = params.get("step").map(parseDuration).getOrElse(60L)
           val lookback =
             params.get("lookback").map(parseDuration).getOrElse(300L)
@@ -234,7 +248,7 @@ object PromQlHttp {
                 PromQlRules.parse(rt).map {
                   case PromQlRules.Rule(_, x) => x
                   case PromQlRules.Alert(_, x, _) => x
-                }, s, e, lookback),
+                }, s, e, lookback, version = Some(v)),
               params, () => end, alertsOnly))
         })))
   }

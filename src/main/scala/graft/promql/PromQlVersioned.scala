@@ -66,10 +66,6 @@ object PromQlVersioned {
   def land(df: DataFrame, root: String): Long =
     Versioned.appendCommit(df, root, statsCols = Seq("timestamp"))
 
-  private case class ExpoRow(
-      component: String, name: String, labels: Map[String, String],
-      timestamp: Long, id: String, value: Double)
-
   /** Parse a text-exposition body and append it to the landing — the
     * shared ingest core of the HTTP `POST /api/v1/ingest` endpoint and
     * the [[PromScraper]] client. Comment/blank lines skip; a MALFORMED
@@ -84,6 +80,9 @@ object PromQlVersioned {
       spark: SparkSession, root: String, body: String, component: String,
       defaultSec: Option[Long], idPrefix: String): (Long, Int) = {
     import graft.operators.Firehose.PromGrammar
+    // tuple rows, not a nested case class: an object-nested Product's
+    // accessors defeat the encoder's codegen (interpreted-projection
+    // fallback on every ingest batch)
     val rows = body.linesIterator.zipWithIndex.flatMap { case (line, i) =>
       val t = line.trim
       if (t.isEmpty || t.startsWith("#")) None
@@ -94,14 +93,13 @@ object PromQlVersioned {
           val sec = tsMs.map(Math.floorDiv(_, 1000L)).orElse(defaultSec)
             .getOrElse(throw new IllegalArgumentException(
               s"line ${i + 1} has no timestamp and no default time"))
-          Some(ExpoRow(component, metric, labels, sec,
-            s"$idPrefix-${i + 1}", value))
+          Some((component, metric, labels, sec, s"$idPrefix-${i + 1}", value))
       }
     }.toSeq
     if (rows.isEmpty)
       throw new IllegalArgumentException("the body contains no samples")
-    val df = spark.createDataset(rows)(
-      org.apache.spark.sql.Encoders.product[ExpoRow]).toDF()
+    import spark.implicits._
+    val df = rows.toDF("component", "name", "labels", "timestamp", "id", "value")
     (Versioned.appendCommitWithRetry(df, root, statsCols = Seq("timestamp")),
       rows.length)
   }
@@ -637,8 +635,14 @@ object PromQlVersioned {
   def ruleSpanMetrics(
       spark: SparkSession, root: String, exprs: Seq[String],
       startSec: Long, endSec: Long,
-      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L): DataFrame = {
-    val v = Versioned.latestVersion(root)
+      lookbackSec: Long = 300L, subqueryStepSec: Long = 3600L,
+      version: Option[Long] = None): DataFrame = {
+    // callers that memoize per version (the landing server's rules
+    // cache) PIN the version they keyed on — re-resolving latest here
+    // would let an append racing the request cache newer (or, across
+    // the two evaluateRange passes, internally MIXED) data under the
+    // old version's key
+    val v = version.getOrElse(Versioned.latestVersion(root))
     require(v >= 0, s"no committed versions in $root")
     val asts = exprs.map(PromQlParser.parse)
     if (asts.exists(a => needsUniverse(a) || hasSubqueryLag(a)))

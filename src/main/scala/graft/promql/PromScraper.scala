@@ -52,16 +52,23 @@ object PromScraper {
 
   /** The scrape LOOP: `ticks` scrapes, `intervalMs` apart (pass
     * `Int.MaxValue` ticks for a production loop; tests pass small
-    * counts). `compactEvery > 0` arms the AUTO-COMPACT tick — every
-    * N scrapes, [[graft.sources.Versioned.compactSmall]] bin-packs the
-    * accumulated registry-sized tick files (≤ `compactMaxBytes` each)
-    * into one, so a loop that appends one small file per tick holds its
-    * file count at O(compactEvery + large files) instead of O(ticks) —
-    * together with the retention tick ([[PromQlVersioned.expire]]),
-    * the landing's full lifecycle automation. A lost compaction race
-    * (another committer won the marker) is skipped, not fatal: the
-    * next armed tick compacts again. Returns each scrape's
-    * (version, samples).
+    * counts). A FAILED tick (non-200, malformed body, a lost commit
+    * race) logs and SKIPS — Prometheus's own target loop records a
+    * failed scrape and keeps going; one transient target restart must
+    * not kill a months-running loop ([[scrapeOnce]] keeps the loud
+    * single-shot refusal). `compactEvery > 0` arms the AUTO-COMPACT
+    * tick — every N scrapes, [[graft.sources.Versioned.compactSmall]]
+    * bin-packs the accumulated registry-sized tick files
+    * (≤ `compactMaxBytes` each) into one, so a loop that appends one
+    * small file per tick holds its file count at
+    * O(compactEvery + large files) instead of O(ticks) — together with
+    * the retention tick ([[PromQlVersioned.expire]]), the landing's
+    * full lifecycle automation; its failures skip the same way (the
+    * next armed tick compacts again). `onScrape` fires after each
+    * successful scrape — the progress hook a forever loop needs, since
+    * it never returns. Returns the successful scrapes'
+    * (version, samples) for FINITE loops; forever mode accumulates
+    * nothing (a year of 15 s ticks must not grow a driver-side vector).
     */
   def run(
       spark: SparkSession, url: String, root: String,
@@ -69,13 +76,30 @@ object PromScraper {
       ticks: Int = Int.MaxValue,
       tsSec: Int => Option[Long] = _ => None,
       compactEvery: Int = 0,
-      compactMaxBytes: Long = 4L << 20): Seq[(Long, Int)] =
-    (1 to ticks).map { i =>
-      val v = scrapeOnce(spark, url, root, component, tsSec(i))
+      compactMaxBytes: Long = graft.sources.Versioned.DefaultSmallFileBytes,
+      onScrape: (Long, Int) => Unit = (_, _) => ()): Seq[(Long, Int)] = {
+    val out = Seq.newBuilder[(Long, Int)]
+    var i = 1
+    while (i <= ticks) {
+      try {
+        val (v, n) = scrapeOnce(spark, url, root, component, tsSec(i))
+        onScrape(v, n)
+        if (ticks != Int.MaxValue) out += ((v, n))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] scrape $i of $url failed, skipping: " +
+            e.getMessage)
+      }
       if (compactEvery > 0 && i % compactEvery == 0)
         try graft.sources.Versioned.compactSmall(spark, root, compactMaxBytes)
-        catch { case _: java.util.ConcurrentModificationException => () }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft] auto-compact of $root skipped: " +
+              e.getMessage)
+        }
       if (i < ticks) Thread.sleep(intervalMs)
-      v
+      i += 1
     }
+    out.result()
+  }
 }

@@ -1540,10 +1540,17 @@ object Versioned {
     * Returns the committed version, or -1 when fewer than two files are
     * small enough to be worth merging (no empty commit).
     */
+  /** The one small-file threshold every compaction surface shares
+    * (API default, CLI `--table compact-small`, the scrape loop's
+    * auto-compact, the serve daemon) — divergent defaults across
+    * entry points would silently leave mid-sized files unmerged.
+    */
+  val DefaultSmallFileBytes: Long = 32L << 20
+
   def compactSmall(
       spark: SparkSession,
       root: String,
-      maxBytes: Long = 32L << 20,
+      maxBytes: Long = DefaultSmallFileBytes,
       expectedKeysPerFile: Long = 100000L): Long = {
     val v = latestVersion(root)
     require(v >= 0, s"no committed versions in $root")

@@ -108,6 +108,13 @@ class FirehoseAppSpec extends SparkSuite {
     val empty = java.nio.file.Files.createTempDirectory("graft-tick0")
       .toFile.getAbsolutePath
     FirehoseApp.maintenanceTick(spark, empty, Some(day), Some(1L), 0L)
+    // a zero/negative retention window (expire EVERYTHING every tick —
+    // Prometheus's 0s means disabled) refuses instead of destroying
+    intercept[IllegalArgumentException](
+      FirehoseApp.maintenanceTick(spark, root, Some(0L), None, 3 * day))
+    intercept[IllegalArgumentException](
+      FirehoseApp.maintenanceTick(spark, root, Some(-3600L), None, 3 * day))
+    assert(Versioned.latestVersion(root) === v)
   }
 
   test("truncated operand lists report usage errors, not index crashes") {

@@ -1085,6 +1085,19 @@ class PromQlCompileSpec extends SparkSuite {
     val e = intercept[Exception](
       PromQl.compile("info(req_total)", conflict).collect())
     assert(e.getMessage.contains("conflicting data labels"))
+    // DISJOINT data labels across matching info series MERGE (the
+    // multi-exporter case): a second i2 info metric contributes env
+    // while the first keeps cluster — the sample copies both
+    val merged = planted.unionByName(Seq(
+      row("env_info", Map("instance" -> "i2", "job" -> "api",
+        "env" -> "prod"), 165L, "m", 1.0)
+    ).toDF("component", "name", "tags", "timestamp", "id", "value"))
+    assert(PromQl.compile(
+      """info(req_total, {__name__=~"target_info|env_info"})""", merged)
+      .select("series").collect().map(_.getString(0)).toSet === Set(
+      "cluster=us,instance=i1,job=api,path=/a",
+      "cluster=eu,env=prod,instance=i2,job=api",
+      "instance=i9,job=api"))
     // an UNCONSUMED conflict is harmless (Prometheus only errors when a
     // sample joins the conflicted group): i7 has two disagreeing info
     // series but no req_total sample — everything else still answers

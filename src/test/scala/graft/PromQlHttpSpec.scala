@@ -345,6 +345,15 @@ class PromQlHttpSpec extends SparkSuite {
       assert(Versioned.asOf(spark, rootB, vLast).count() === 4L * n)
       // and the merged file keeps its timestamp stats (prunable landing)
       assert(Versioned.manifest(rootB, vLast).head.stats.contains("timestamp"))
+      // a transient target failure SKIPS the tick instead of killing the
+      // loop (scrapeOnce keeps the loud single-shot refusal): two ticks
+      // against a 404 target return no scrapes, throw nothing, land
+      // nothing
+      val failed = graft.promql.PromScraper.run(
+        spark, s"http://127.0.0.1:$port/nosuch", rootB,
+        intervalMs = 0L, ticks = 2)
+      assert(failed === Nil)
+      assert(Versioned.latestVersion(rootB) === vLast)
     } finally server.stop(0)
   }
 
