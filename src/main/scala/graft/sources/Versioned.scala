@@ -1521,25 +1521,6 @@ object Versioned {
       props = carried)
   }
 
-  /** SMALL-FILE compaction as a COMMIT — the maintenance tick a
-    * forever-appending landing (a scrape loop lands one registry-sized
-    * file per tick) actually needs, costing O(small bytes), never
-    * O(table): files at/below `maxBytes` are read (their tombstones
-    * materialized away), rewritten as ONE pooled file, and the next
-    * version's manifest is (untouched entries) ++ (the merged file) —
-    * large files are never listed to the reader, let alone rewritten,
-    * so the tick stays cheap no matter how big the table has grown
-    * (the real formats' OPTIMIZE bin-packing, sized-targeted). The
-    * merged file records range/lexical stats for the UNION of the stat
-    * columns the compacted files carried (and rebuilds blooms
-    * likewise), so a stats-pruned landing never LOSES skipping to its
-    * own maintenance. Rows are untouched; time travel still reads every
-    * pre-compaction version. Like [[compact]], this does not commute
-    * with concurrent commits — a lost `CREATE_NEW` race throws and the
-    * caller re-derives (the scrape loop just compacts again next tick).
-    * Returns the committed version, or -1 when fewer than two files are
-    * small enough to be worth merging (no empty commit).
-    */
   /** The one small-file threshold every compaction surface shares
     * (API default, CLI `--table compact-small`, the scrape loop's
     * auto-compact, the serve daemon) — divergent defaults across
@@ -1547,6 +1528,31 @@ object Versioned {
     */
   val DefaultSmallFileBytes: Long = 32L << 20
 
+  /** SMALL-FILE compaction as a COMMIT — the maintenance tick a
+    * forever-appending landing (a scrape loop lands one registry-sized
+    * file per tick) actually needs, costing O(small bytes), never
+    * O(table): files at/below `maxBytes` are BIN-PACKED — range-adjacent
+    * runs (ordered on the table's first stat column, so merged stats
+    * stay as tight as the inputs') greedily filled until a bin's bytes
+    * CROSS `maxBytes`, each bin rewritten as one pooled file (tombstones
+    * materialized away) — and the next version's manifest is (untouched
+    * entries) ++ (unmerged singleton bins) ++ (the merged files). Large
+    * files are never listed to the reader, let alone rewritten, so the
+    * tick stays cheap no matter how big the table has grown, and a bin
+    * that crossed the threshold has SETTLED: it is no longer small and
+    * is never rewritten again — only the trailing partial bin keeps
+    * absorbing future ticks, so per-tick write amplification is bounded
+    * by `maxBytes` (the real formats' sized-targeted OPTIMIZE
+    * bin-packing). Each merged file records range/lexical stats for the
+    * UNION of the stat columns the compacted files carried (and rebuilds
+    * blooms likewise), so a stats-pruned landing never LOSES skipping to
+    * its own maintenance. Rows are untouched; time travel still reads
+    * every pre-compaction version. Like [[compact]], this does not
+    * commute with concurrent commits — a lost `CREATE_NEW` race throws
+    * and the caller re-derives (the scrape loop just compacts again next
+    * tick). Returns the committed version, or -1 when no bin holds two
+    * files (no empty commit).
+    */
   def compactSmall(
       spark: SparkSession,
       root: String,
@@ -1555,8 +1561,8 @@ object Versioned {
     val v = latestVersion(root)
     require(v >= 0, s"no committed versions in $root")
     val entries = manifest(root, v)
-    val (small, keep) = entries.partition(e =>
-      new File(root, e.path).length() <= maxBytes)
+    def sizeOf(e: Entry): Long = new File(root, e.path).length()
+    val (small, keep) = entries.partition(sizeOf(_) <= maxBytes)
     if (small.size < 2) return -1L
     // a dropColumns may have removed a column an old file still carries
     // stats for — only live columns are re-statted (reading a dropped
@@ -1566,14 +1572,34 @@ object Versioned {
     val statCols =
       small.flatMap(e => e.stats.keys ++ e.strStats.keys).distinct.filter(live)
     val bloomCols = small.flatMap(e => e.blooms.keys).distinct.filter(live)
-    val merged = readSubset(spark, root, v, small).coalesce(1)
-    val staging = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
-    merged.write.mode("errorifexists").parquet(s"$root/$staging")
-    val (statsByFile, strStatsByFile) = statsFor(
-      spark, s"$root/$staging", merged.schema, statCols)
-    val newEntries = poolStaged(root, staging, statsByFile, strStatsByFile,
-      bloomsFor(spark, s"$root/$staging", bloomCols, expectedKeysPerFile))
-    writeMarker(root, v + 1, keep ++ newEntries,
+    // range-adjacency order: the first stat column's min (stat-less
+    // files sort first, grouping together); path tiebreak for
+    // determinism
+    val orderCol = statCols.sorted.headOption
+    val ordered = small.sortBy(e =>
+      (orderCol.flatMap(e.stats.get).map(_._1)
+        .getOrElse(Double.NegativeInfinity), e.path))
+    val bins = Seq.newBuilder[Seq[Entry]]
+    var bin = Vector.empty[Entry]
+    var sum = 0L
+    ordered.foreach { e =>
+      bin :+= e
+      sum += sizeOf(e)
+      if (sum > maxBytes) { bins += bin; bin = Vector.empty; sum = 0L }
+    }
+    if (bin.nonEmpty) bins += bin
+    val (merge, leave) = bins.result().partition(_.size >= 2)
+    if (merge.isEmpty) return -1L
+    val newEntries = merge.flatMap { b =>
+      val staging = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
+      val merged = readSubset(spark, root, v, b).coalesce(1)
+      merged.write.mode("errorifexists").parquet(s"$root/$staging")
+      val (statsByFile, strStatsByFile) = statsFor(
+        spark, s"$root/$staging", merged.schema, statCols)
+      poolStaged(root, staging, statsByFile, strStatsByFile,
+        bloomsFor(spark, s"$root/$staging", bloomCols, expectedKeysPerFile))
+    }
+    writeMarker(root, v + 1, keep ++ leave.flatten ++ newEntries,
       schemaJson = markerSchema(root, v).map(_.json),
       deleteKey = deleteKeyOf(root, v),
       props = markerProps(root, v))

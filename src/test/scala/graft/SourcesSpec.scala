@@ -1112,6 +1112,44 @@ class SourcesSpec extends SparkSuite {
     assert(pr.select("k").as[Long].collect().toSeq === Seq(42L))
   }
 
+  test("versioned table: bin-packed compaction settles full bins for good") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val root = Files.createTempDirectory("graft-bins").toFile.getAbsolutePath
+    // payload-dominated files (distinct strings defeat compression), so
+    // a merged bin's OUTPUT also crosses the threshold — the settle
+    // property is about output bytes, and tiny footer-dominated files
+    // would shrink on merge
+    def slice(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("k"), (lit(lo) + col("id")).as("ts"),
+        sha2(concat(lit("s"), col("id") + lo), 256).as("payload"))
+    // six equal-size tick files; threshold ≈ 2.5 files: greedy fill
+    // crosses after the third file → two settled outputs of ~3 files
+    (0 until 6).foreach { i =>
+      Versioned.appendCommit(slice(i * 10000L, 5000L).coalesce(1), root,
+        statsCols = Seq("ts"))
+    }
+    val v0 = Versioned.latestVersion(root)
+    val sizes = Versioned.manifest(root, v0)
+      .map(e => new java.io.File(root, e.path).length())
+    val threshold = (sizes.max * 5) / 2
+    val before = Versioned.asOf(spark, root, v0)
+      .as[(Long, Long, String)].collect().toSet
+    val v1 = Versioned.compactSmall(spark, root, maxBytes = threshold)
+    val m1 = Versioned.manifest(root, v1)
+    assert(m1.size === 2)
+    // bins are RANGE-ADJACENT (ordered on the ts stats), so each output
+    // covers a contiguous tick run — the pruning index stays tight
+    assert(m1.map(_.stats("ts")).toSet ===
+      Set((0.0, 24999.0), (30000.0, 54999.0)))
+    // both outputs crossed the threshold: they SETTLED, and the next
+    // tick has nothing small to merge — no rewrite churn on a hot landing
+    assert(m1.forall(e => new java.io.File(root, e.path).length() > threshold))
+    assert(Versioned.compactSmall(spark, root, maxBytes = threshold) === -1L)
+    assert(Versioned.asOf(spark, root, v1)
+      .as[(Long, Long, String)].collect().toSet === before)
+  }
+
   test("versioned table: small-file compaction bin-packs ONLY the small files") {
     import spark.implicits._
     import graft.sources.Versioned
