@@ -130,7 +130,8 @@ object PromQlHttp {
         federate = Some(params => federateBody(metrics(), params)),
         rules = rulesText.map(rt => (params: Params, alertsOnly: Boolean) =>
           rulesBody(rt, (_, _) => metrics(), params,
-            () => newestTs(metrics()), alertsOnly))))
+            () => newestTs(metrics()), alertsOnly)),
+        configText = rulesText))
 
   private def timeFiltered(
       m: DataFrame, startOpt: Option[Long], endOpt: Option[Long]): DataFrame = {
@@ -224,6 +225,7 @@ object PromQlHttp {
           federateBody(Versioned.latest(spark, root), params)),
         metadataNames = Some(() => cachedNames()),
         tsdbStats = Some(() => cachedTsdb()),
+        configText = rulesText,
         rules = rulesText.map(rt => (params: Params, alertsOnly: Boolean) => {
           // pin the version ONCE and thread it through everything the
           // cached body reads: an append racing the request must not
@@ -270,7 +272,10 @@ object PromQlHttp {
       // /api/v1/status/tsdb — the landing server memoizes the cardinality
       // aggregates per committed version (the TSDB-status page is a
       // corpus-wide scan; a probe must not pay it per click)
-      tsdbStats: Option[() => String] = None)
+      tsdbStats: Option[() => String] = None,
+      // /api/v1/status/config — the server's effective rule file (the
+      // honest analogue of Prometheus's loaded YAML); empty without one
+      configText: Option[String] = None)
 
   private def serve(
       instantFn: (String, Long, Long, Boolean) => DataFrame,
@@ -464,6 +469,28 @@ object PromQlHttp {
     server.createContext("/api/v1/status/tsdb", (ex: HttpExchange) =>
       respondWith(ex)(
         extras.tsdbStats.map(_()).getOrElse(tsdbBody(spanFn(None, None)))))
+    // runtime info: real JVM values where Prometheus reports Go's (the
+    // two fields a UI actually reads are startTime and retention)
+    val started = java.time.Instant.now()
+    server.createContext("/api/v1/status/runtimeinfo", (ex: HttpExchange) =>
+      respondWith(ex)(jsonObj(Seq(
+        "status" -> "\"success\"",
+        "data" -> jsonObj(Seq(
+          "startTime" -> s""""$started"""",
+          "CWD" -> s""""${esc(System.getProperty("user.dir", ""))}"""",
+          "reloadConfigSuccess" -> "true",
+          "lastConfigTime" -> s""""$started"""",
+          "corruptionCount" -> "0",
+          "goroutineCount" -> Thread.activeCount().toString,
+          "GOMAXPROCS" -> Runtime.getRuntime.availableProcessors().toString,
+          "storageRetention" -> "\"0s\""))))))
+    // the loaded configuration — the server's rule file text (empty
+    // without one), in Prometheus's {"yaml": ...} envelope
+    server.createContext("/api/v1/status/config", (ex: HttpExchange) =>
+      respondWith(ex)(jsonObj(Seq(
+        "status" -> "\"success\"",
+        "data" -> jsonObj(Seq(
+          "yaml" -> s""""${esc(extras.configText.getOrElse(""))}""""))))))
     server.createContext("/-/healthy", (ex: HttpExchange) =>
       respondText(ex)("graft is Healthy.\n"))
     server.createContext("/-/ready", (ex: HttpExchange) =>

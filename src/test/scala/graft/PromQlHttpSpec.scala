@@ -533,6 +533,18 @@ class PromQlHttpSpec extends SparkSuite {
       // flags: the engine's effective defaults
       val (c2, fl) = get(port, "/api/v1/status/flags")
       assert(c2 === 200 && fl.contains(""""query.lookback-delta":"5m""""), fl)
+      // runtimeinfo: real JVM values in Prometheus's field names
+      val (cr, ri) = get(port, "/api/v1/status/runtimeinfo")
+      assert(cr === 200 && ri.contains(""""startTime":"""") &&
+        ri.contains(""""GOMAXPROCS":"""), ri)
+      // config: no rules file -> empty yaml; with one -> its text
+      assert(get(port, "/api/v1/status/config")._2 ===
+        """{"status":"success","data":{"yaml":""}}""")
+      val withRules = PromQlHttp.startLandingServer(spark, root,
+        rulesText = Some("r:x = sum(view_total)"))
+      try assert(get(withRules.getAddress.getPort, "/api/v1/status/config")._2
+        .contains("""r:x = sum(view_total)"""))
+      finally withRules.stop(0)
       // tsdb status: head stats pinned against an independent recount
       val (c3, td) = get(port, "/api/v1/status/tsdb")
       assert(c3 === 200)
