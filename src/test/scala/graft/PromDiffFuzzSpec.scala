@@ -395,6 +395,58 @@ class PromDiffFuzzSpec extends SparkSuite {
       */
     final class ManyToMany extends RuntimeException("many-to-many")
 
+    /** A CONSUMED per-label info conflict — the engine's raise. */
+    final class InfoConflict extends RuntimeException("info-conflict")
+
+    /** `info(v[, {sel}])`: each v row gains the merged data labels of
+      * the `target_info` series sharing its (instance, job) identity in
+      * the same window — per-label merge across matching series, v's
+      * own labels winning, a label with two distinct values raising
+      * ONLY when a v row consumes the group, data matchers restricting
+      * both the considered series and the copied label names. The
+      * from-scratch spelling of the compiled join.
+      */
+    def infoJoin(
+        v: RVec, ss: Seq[Sample], mode: Mode,
+        dataMs: Seq[LabelMatcher]): RVec = {
+      def mOk(m: LabelMatcher, l: Labels): Boolean = {
+        val value = l.get(m.label)
+        m.op match {
+          case MatchOp.Eq => value.contains(m.value)
+          case MatchOp.Neq => !value.contains(m.value)
+          case MatchOp.Re => value.exists(_.matches(m.value))
+          case MatchOp.NotRe => !value.exists(_.matches(m.value))
+        }
+      }
+      val ident = Set("instance", "job")
+      val copyKeys = dataMs.map(_.label).toSet
+      def copiedOf(l: Labels): Labels = {
+        val base = l.view.filterKeys(!ident(_)).toMap
+        if (dataMs.isEmpty) base
+        else base.view.filterKeys(copyKeys).toMap
+      }
+      val inf = instant(
+        ss.filter(s => s.name == "target_info" && dataMs.forall(mOk(_, s.labels))),
+        mode)
+      def ikeyOf(l: Labels): (String, String) =
+        (l.getOrElse("instance", ""), l.getOrElse("job", ""))
+      val groups: Map[((String, String), Long), Seq[Labels]] =
+        inf.toSeq.groupBy { case ((_, l, w), _) => (ikeyOf(l), w) }
+          .view.mapValues(_.map { case ((_, l, _), _) => copiedOf(l) }).toMap
+      v.map { case ((n, l, w), value) =>
+        groups.get((ikeyOf(l), w)) match {
+          case None => ((n, l, w), value)
+          case Some(maps) =>
+            val merged = maps.flatten.groupBy(_._1).map { case (k, kvs) =>
+              val vs = kvs.map(_._2).distinct
+              if (vs.size > 1) throw new InfoConflict
+              k -> vs.head
+            }
+            ((n, l ++ (merged -- l.keys), w), value)
+        }
+      }
+    }
+
     /** One-to-one vector binary on the full label set per (labels, win).
       * Arithmetic and bool comparisons drop the name; comparisons without
       * bool keep the left row intact.
@@ -482,6 +534,10 @@ class PromDiffFuzzSpec extends SparkSuite {
           case other => sys.error(s"generator produced $other")
         }
         aggQuantile(eval(inner, ss, mode), q, by)
+      case Call("info", Seq(inner)) =>
+        infoJoin(eval(inner, ss, mode), ss, mode, Nil)
+      case Call("info", Seq(inner, VectorSelector(None, ms, 0L, None))) =>
+        infoJoin(eval(inner, ss, mode), ss, mode, ms)
       case Neg(inner) => eval(inner, ss, mode).map { case (k, v) => k -> (-v) }
       case Binary(op, l, NumberLit(s), None, b) =>
         vecScalar(eval(l, ss, mode), s, op, vecLeft = true, b)
@@ -552,13 +608,32 @@ class PromDiffFuzzSpec extends SparkSuite {
     val users = Seq("u1", "u2", "u3")
     val base = 1704067200L
     // planted stream: 2 metrics × 3 series × 24 samples over 4 hours,
-    // 2-dp values, zero-padded ids so string and tuple orderings agree
-    val samples = for {
+    // 2-dp values, zero-padded ids so string and tuple orderings agree;
+    // each user rides one (instance, job) identity so info() joins are
+    // meaningful on every mode's windows
+    val vSamples = for {
       n <- names; u <- users; i <- 0 until 24
-    } yield Sample(n, Map("user" -> u),
+    } yield Sample(n,
+      Map("user" -> u, "instance" -> u.replace("u", "i"), "job" -> "api"),
       base + i * 600L + rnd.nextInt(300),
       f"id${i}%03d",
       rnd.nextInt(10000) / 100.0)
+    // the info side, every 1800 s so every instant/point lookback and
+    // every grid window sees a row: i1 carries TWO series with DISJOINT
+    // data labels (cluster + env — the merge case), i2 one (cluster),
+    // i3 under job=batch carries a CONFLICT (two cluster values) that
+    // no v sample consumes — the consumed-only raise, differentially
+    val infoSamples = for {
+      (ls, tag) <- Seq(
+        (Map("instance" -> "i1", "job" -> "api", "cluster" -> "us"), "a"),
+        (Map("instance" -> "i1", "job" -> "api", "env" -> "prod"), "b"),
+        (Map("instance" -> "i2", "job" -> "api", "cluster" -> "eu"), "c"),
+        (Map("instance" -> "i3", "job" -> "batch", "cluster" -> "x1"), "d"),
+        (Map("instance" -> "i3", "job" -> "batch", "cluster" -> "x2"), "e"))
+      k <- 0 until 8
+    } yield Sample("target_info", ls, base + k * 1800L + 50L,
+      f"inf$tag%s${k}%03d", 1.0)
+    val samples = vSamples ++ infoSamples
     val metrics = samples.map(s =>
         ("app", s.name, s.labels, s.ts, s.id, s.value))
       .toDF("component", "name", "tags", "timestamp", "id", "value")
@@ -594,8 +669,20 @@ class PromDiffFuzzSpec extends SparkSuite {
 
     def gen(depth: Int): PromExpr =
       if (depth == 0) genLeaf()
-      else rnd.nextInt(7) match {
+      else rnd.nextInt(8) match {
         case 0 => genLeaf()
+        case 7 =>
+          // info(): default selector, the copied-label restriction, and
+          // an Eq restriction — joined against the planted target_info
+          // families (disjoint-label merge on i1, the unconsumed i3
+          // conflict exercising the consumed-only raise differentially)
+          rnd.nextInt(3) match {
+            case 0 => Call("info", Seq(gen(depth - 1)))
+            case 1 => Call("info", Seq(gen(depth - 1),
+              VectorSelector(None, Seq(LabelMatcher("cluster", MatchOp.Re, ".+")))))
+            case _ => Call("info", Seq(gen(depth - 1),
+              VectorSelector(None, Seq(LabelMatcher("cluster", MatchOp.Eq, "us")))))
+          }
         case 6 =>
           // value-mapping trig over any subtree (NaN/Inf inputs ride
           // through from division subtrees — differential on both
@@ -655,9 +742,12 @@ class PromDiffFuzzSpec extends SparkSuite {
           else Binary(setOpsSeq(rnd.nextInt(3)), gen(depth - 1), gen(depth - 1))
       }
 
-    def isM2m(e: Throwable): Boolean =
+    def msgHas(e: Throwable, needle: String): Boolean =
       Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
-        .exists(t => Option(t.getMessage).exists(_.contains("many-to-many")))
+        .exists(t => Option(t.getMessage).exists(_.contains(needle)))
+    def isM2m(e: Throwable): Boolean = msgHas(e, "many-to-many")
+    def isInfoConflict(e: Throwable): Boolean =
+      msgHas(e, "conflicting data labels")
 
     var nonEmpty = 0
     var raises = 0
@@ -680,7 +770,10 @@ class PromDiffFuzzSpec extends SparkSuite {
             .map(r => (r.getAs[String]("name"), r.getAs[Map[String, String]]("labels"),
               r.getAs[Long]("win_start")) -> r.getAs[Double]("value"))
             .toMap)
-        catch { case e: Throwable if isM2m(e) => Left("many-to-many") }
+        catch {
+          case e: Throwable if isM2m(e) => Left("many-to-many")
+          case e: Throwable if isInfoConflict(e) => Left("info-conflict")
+        }
       val want: Either[String, RVec] =
         try Right(mode match {
           // the reference decomposes a point grid into per-point instants
@@ -691,7 +784,10 @@ class PromDiffFuzzSpec extends SparkSuite {
               .foldLeft(Map.empty: RVec)(_ ++ _)
           case m => Ref.eval(PromQlParser.parse(query), samples, m)
         })
-        catch { case _: Ref.ManyToMany => Left("many-to-many") }
+        catch {
+          case _: Ref.ManyToMany => Left("many-to-many")
+          case _: Ref.InfoConflict => Left("info-conflict")
+        }
       (got, want) match {
         case (Left(_), Left(_)) => raises += 1 // both enforce the contract
         case (Right(g), Right(w)) =>
