@@ -375,7 +375,7 @@ object PromQlHttp {
         val names = m.select(explode(map_keys(col("labels"))).as("l"))
           .distinct().collect().map(_.getString(0)).toSet ++
           Set("__name__", "component")
-        strListJson(names.toSeq.sorted)
+        strListJson(params, names.toSeq.sorted)
       })
     // /api/v1/label/<name>/values — the label name rides the path
     server.createContext("/api/v1/label", (ex: HttpExchange) =>
@@ -395,7 +395,7 @@ object PromQlHttp {
         }
         val values = m.select(valueCol.as("v")).filter(col("v").isNotNull)
           .distinct().collect().map(_.getString(0))
-        strListJson(values.toSeq.sorted)
+        strListJson(params, values.toSeq.sorted)
       })
     server.createContext("/api/v1/series", (ex: HttpExchange) =>
       respond(ex) { params =>
@@ -413,9 +413,11 @@ object PromQlHttp {
           .map(r => metricJson(r.getString(0), r.getString(1),
             r.getMap[String, String](2).toMap))
           .sorted
+        val (kept, truncated) = limitEntries(params, entries)
         jsonObj(Seq(
           "status" -> "\"success\"",
-          "data" -> entries.mkString("[", ",", "]")))
+          "data" -> kept.mkString("[", ",", "]")) ++
+          (if (truncated) Seq("warnings" -> TruncationWarning) else Nil))
       })
     // the liveness + capability surfaces a Grafana datasource probes
     // before it sends queries: buildinfo (feature gating), metric
@@ -777,10 +779,18 @@ object PromQlHttp {
       span.filter(preds.reduce(_ || _))
     }
 
-  private def strListJson(xs: Seq[String]): String =
+  /** The sorted string-list envelope with Prometheus's metadata `limit`
+    * (3.x: labels / label values / series all take it; truncation
+    * carries the same warning annotation as the query endpoints).
+    */
+  private def strListJson(params: Params, xs: Seq[String]): String = {
+    val entries = xs.map(s => s""""${esc(s)}"""")
+    val (kept, truncated) = limitEntries(params, entries)
     jsonObj(Seq(
       "status" -> "\"success\"",
-      "data" -> xs.map(s => s""""${esc(s)}"""").mkString("[", ",", "]")))
+      "data" -> kept.mkString("[", ",", "]")) ++
+      (if (truncated) Seq("warnings" -> TruncationWarning) else Nil))
+  }
 
   // ───────────────────────── request plumbing ─────────────────────────
 

@@ -601,6 +601,15 @@ class PromQlHttpSpec extends SparkSuite {
       // malformed / negative limits are bad_data
       assert(get(port, s"/api/v1/query?query=$q&time=$tMax&limit=x")._1 === 400)
       assert(get(port, s"/api/v1/query?query=$q&time=$tMax&limit=-1")._1 === 400)
+      // the metadata endpoints take it too (Prometheus 3.x)
+      val (cl, lv) = get(port, "/api/v1/label/user/values?limit=1")
+      assert(cl === 200)
+      assert(lv.matches(""".*"data":\["[^"]*"\].*""") &&
+        lv.contains("warnings"), lv)
+      val (cs, sr) = get(port,
+        s"/api/v1/series?match[]=${enc("view_total")}&limit=1")
+      assert(cs === 200 && sr.contains("results truncated due to limit"), sr)
+      assert(get(port, "/api/v1/labels?limit=100")._2.contains("\"user\""))
     } finally server.stop(0)
   }
 
