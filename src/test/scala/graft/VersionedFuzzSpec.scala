@@ -24,7 +24,11 @@ class VersionedFuzzSpec extends SparkSuite {
 
   test("random op sequences keep table, time travel, and change feed model-exact") {
     import spark.implicits._
-    for (seed <- Seq(11L, 23L)) {
+    // committed seeds are deterministic for CI/driver runs; extended
+    // local soaks override: GRAFT_FUZZ_SEED=777 sbt "testOnly *VersionedFuzzSpec"
+    val seeds = sys.env.get("GRAFT_FUZZ_SEED")
+      .map(s => Seq(s.toLong)).getOrElse(Seq(11L, 23L))
+    for (seed <- seeds) {
       val rnd = new scala.util.Random(seed)
       val root = Files.createTempDirectory(s"graft-fuzz$seed").toFile.getAbsolutePath
       // model: one (k -> name) map per committed version, aligned with
