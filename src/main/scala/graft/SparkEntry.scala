@@ -894,6 +894,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
     }),
+    // m57: the INCREMENTAL latest-gauge registry — three time-split
+    // appends with a compaction between, the registry refreshed after
+    // every transition (so the incremental fold, the maintenance
+    // recompute, and a second fold ALL feed the final state) — must
+    // equal the plain latest-per-series over the raw stream (the
+    // oracle never sees the landing; a merge bug that loses or
+    // regresses one series' head breaks the hash).
+    "m57_registry_incremental" -> ((s, dir) => {
+      val m = Firehose.tagFilter(metricsOf(s, dir))
+        .select(col("component"), col("name"), col("labels"),
+          col("timestamp"), col("id"), col("value"))
+      val mm = m.agg(min(col("timestamp")), max(col("timestamp"))).head()
+      val (t0, t1) = (mm.getLong(0), mm.getLong(1))
+      val c1 = t0 + (t1 - t0) / 3
+      val c2 = t0 + (t1 - t0) * 2 / 3
+      val root = java.nio.file.Files.createTempDirectory("graft-m57")
+        .toFile.getAbsolutePath
+      promql.PromQlVersioned.land(m.filter(col("timestamp") <= c1), root)
+      promql.PromRegistry.current(s, root) // full build
+      promql.PromQlVersioned.land(
+        m.filter(col("timestamp") > c1 && col("timestamp") <= c2), root)
+      promql.PromRegistry.current(s, root) // incremental delta fold
+      graft.sources.Versioned.compactSmall(s, root, maxBytes = Long.MaxValue)
+      promql.PromRegistry.current(s, root) // maintenance recompute
+      promql.PromQlVersioned.land(m.filter(col("timestamp") > c2), root)
+      promql.PromRegistry.frame(s, promql.PromRegistry.current(s, root))
+        .select(col("component"), col("name"), col("series"),
+          col("last_value"), col("last_ts"))
+    }),
     // per-source gopher-rule failure funnel
     "t18_quality_funnel" -> ((s, dir) =>
       TextAnalysis.qualityFunnel(Tables(s, dir, "documents"))),
@@ -3246,6 +3275,24 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM m, tt WHERE ts_sec > tt.c1
         |GROUP BY 1, 2, 3""".stripMargin,
+    // m57: the incrementally-maintained registry must equal the plain
+    // latest-per-series pick over the raw stream — newest (ts, id)
+    // wins, id compared as VARCHAR exactly like the engine's max_by
+    // struct tie-break
+    "m57_registry_incremental" ->
+      """WITH m AS (
+        |  SELECT 'app' AS component, event_type || '_total' AS name,
+        |         'user=' || CAST(user_id AS VARCHAR) AS series,
+        |         CAST(event_id AS VARCHAR) AS id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY component, name, series
+        |    ORDER BY ts_sec DESC, id DESC) AS rn
+        |  FROM m)
+        |SELECT component, name, series, value AS last_value,
+        |  ts_sec AS last_ts
+        |FROM r WHERE rn = 1""".stripMargin,
     // m56: compaction is layout-only, so the landed-then-compacted
     // aggregate equals the raw stream's — the oracle is the plain
     // aggregate with no landing at all

@@ -112,7 +112,8 @@ object PromQlHttp {
     */
   def startQueryServer(
       metrics: () => DataFrame, port: Int = 0,
-      rulesText: Option[String] = None): HttpServer =
+      rulesText: Option[String] = None): HttpServer = {
+    rulesText.foreach(PromQlRules.parse) // a bad rules file fails at START
     serve(
       (q, t, lookback, xp) =>
         PromQl.compileInstantVector(q, metrics(), t, lookbackSec = lookback,
@@ -132,6 +133,7 @@ object PromQlHttp {
           rulesBody(rt, (_, _) => metrics(), params,
             () => newestTs(metrics()), alertsOnly)),
         configText = rulesText))
+  }
 
   private def timeFiltered(
       m: DataFrame, startOpt: Option[Long], endOpt: Option[Long]): DataFrame = {
@@ -155,53 +157,60 @@ object PromQlHttp {
       port: Int = 0, rulesText: Option[String] = None): HttpServer = {
     import graft.sources.Versioned
     rulesText.foreach(PromQlRules.parse) // a bad rules file fails at START
-    // newestTs memoized per committed version: a dashboard fleet polling
-    // the instant endpoint with no `time` pays the max(timestamp)
-    // aggregate once per APPEND, not once per request
-    val tsCache =
-      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+    // the landing's latest-gauge registry, maintained INCREMENTALLY per
+    // committed version (PromRegistry: an append folds only its delta
+    // files into the driver-held head map) — the default-time newestTs
+    // and the metadata name universe are pure driver-side folds over it
+    // (zero Spark jobs once the version is absorbed), and /federate and
+    // the tsdb page read its registry-sized local relation instead of
+    // the corpus. This is what keeps a downstream Prometheus's 15 s
+    // /federate poll from costing a full-landing scan per append.
+    def registry(): PromRegistry.State = PromRegistry.current(spark, root)
     def cachedNewest(): Long = {
-      val v = Versioned.latestVersion(root)
-      require(v >= 0, "the landing is empty — pass an explicit 'time'")
-      if (tsCache.size > 4096) tsCache.clear() // entries are per dead version
-      tsCache.computeIfAbsent(v,
-        _ => newestTs(Versioned.asOf(spark, root, v))).longValue()
+      val s = registry()
+      if (s.heads.isEmpty) throw new IllegalArgumentException(
+        "the landing is empty — pass an explicit 'time'")
+      s.maxTs
     }
-    // the metadata name universe, same per-version discipline
-    val nameCache =
-      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Seq[String]]()
-    def cachedNames(): Seq[String] = {
-      val v = Versioned.latestVersion(root)
-      if (v < 0) Nil
-      else {
-        if (nameCache.size > 64) nameCache.clear()
-        nameCache.computeIfAbsent(v, _ =>
-          Versioned.asOf(spark, root, v).select(col("name")).distinct()
-            .collect().map(_.getString(0)).sorted.toSeq)
-      }
-    }
-    // the TSDB-status cardinality page, same per-version discipline
+    def cachedNames(): Seq[String] =
+      if (Versioned.latestVersion(root) < 0) Nil else registry().names
+    // the TSDB-status cardinality page: computed over the registry's
+    // local relation, rendered body memoized per committed version.
+    // Computed OUTSIDE the map — a Spark job inside computeIfAbsent
+    // holds the bin lock against unrelated requests (review catch).
     val tsdbCache =
       new java.util.concurrent.ConcurrentHashMap[java.lang.Long, String]()
     def cachedTsdb(): String = {
-      val v = Versioned.latestVersion(root)
-      require(v >= 0, "the landing is empty")
-      if (tsdbCache.size > 8) tsdbCache.clear() // multi-KB bodies, latest-only reads
-      tsdbCache.computeIfAbsent(v,
-        _ => tsdbBody(Versioned.asOf(spark, root, v)))
+      val s = registry()
+      val hit = tsdbCache.get(s.version: java.lang.Long)
+      if (hit != null) hit
+      else {
+        val body = tsdbBodyOf(
+          PromRegistry.frame(spark, s)
+            .select(col("name"), col("series").as("_sk"), col("labels")),
+          if (s.heads.isEmpty) 0L else s.minTs * 1000L,
+          if (s.heads.isEmpty) 0L else s.maxTs * 1000L)
+        if (tsdbCache.size > 8) tsdbCache.clear() // multi-KB bodies
+        tsdbCache.putIfAbsent(s.version, body)
+        body
+      }
     }
-    // rules/alerts responses, same discipline keyed by the resolved
-    // evaluation grid: an alert list POLLING /api/v1/alerts costs the
-    // two rule-fleet evaluateRange passes once per (append, grid), not
-    // once per poll — the rules text is fixed for the server's lifetime,
-    // and a committed version's answer at a grid is immutable. Bounded
-    // like the manifest memo (immutable content — clearing always safe).
+    // rules/alerts responses memoized per resolved evaluation grid: an
+    // alert list POLLING /api/v1/alerts costs the two rule-fleet
+    // evaluateRange passes once per (append, grid), not once per poll —
+    // the rules text is fixed for the server's lifetime, and a committed
+    // version's answer at a grid is immutable. Bounded like the manifest
+    // memo (immutable content — clearing always safe).
     val rulesCache = new java.util.concurrent.ConcurrentHashMap[
       (Long, Long, Long, Long, Boolean), String]()
     serve(
       (q, t, lookback, xp) =>
-        PromQlVersioned.compileInstantVector(spark, root, q, t,
-          lookbackSec = lookback, extrapolate = xp),
+        // bare-selector instant queries answer from the registry (zero
+        // landed files; byte-identity spec-pinned); everything else
+        // takes the pruned landed compile
+        PromRegistry.instantFastPath(spark, root, q, t, lookback).getOrElse(
+          PromQlVersioned.compileInstantVector(spark, root, q, t,
+            lookbackSec = lookback, extrapolate = xp)),
       (q, start, end, step, lookback, grid, xp) =>
         if (grid)
           PromQlVersioned.compileGridRangeVector(spark, root, q, start, end, step)
@@ -222,36 +231,48 @@ object PromQlHttp {
       Extras(
         ingest = Some((params, body) => ingestBody(spark, root, params, body)),
         federate = Some(params =>
-          federateBody(Versioned.latest(spark, root), params)),
+          // the registry IS the latest-gauge relation — match[] filters
+          // its registry-sized local frame; no landed file is scanned
+          federateGauges(PromRegistry.frame(spark, registry()), params)),
         metadataNames = Some(() => cachedNames()),
         tsdbStats = Some(() => cachedTsdb()),
         configText = rulesText,
         rules = rulesText.map(rt => (params: Params, alertsOnly: Boolean) => {
-          // pin the version ONCE and thread it through everything the
-          // cached body reads: an append racing the request must not
-          // cache newer (or internally mixed) data under this key
-          val v = Versioned.latestVersion(root)
-          require(v >= 0, "the landing is empty — pass an explicit 'time'")
+          // pin the registry's version ONCE and thread it through
+          // everything the cached body reads: an append racing the
+          // request must not cache newer (or internally mixed) data
+          // under this key
+          val reg = registry()
+          val v = reg.version
           // resolve the grid BEFORE keying, so an omitted `time` and an
           // explicit time equal to the newest sample share one entry
-          // (the newest-sample default reads the PINNED version too)
+          // (the newest-sample default reads the PINNED registry too)
           val end = params.get("time").map(parseTime).getOrElse {
-            if (tsCache.size > 4096) tsCache.clear()
-            tsCache.computeIfAbsent(v,
-              _ => newestTs(Versioned.asOf(spark, root, v))).longValue()
+            if (reg.heads.isEmpty) throw new IllegalArgumentException(
+              "the landing is empty — pass an explicit 'time'")
+            reg.maxTs
           }
           val step = params.get("step").map(parseDuration).getOrElse(60L)
           val lookback =
             params.get("lookback").map(parseDuration).getOrElse(300L)
-          if (rulesCache.size > 256) rulesCache.clear()
-          rulesCache.computeIfAbsent((v, end, step, lookback, alertsOnly), _ =>
-            rulesBody(rt,
+          val key = (v, end, step, lookback, alertsOnly)
+          // compute outside the map: the two evaluateRange passes are
+          // multi-second Spark jobs; under computeIfAbsent they would
+          // hold the bin lock against unrelated keys (review catch)
+          val hit = rulesCache.get(key)
+          if (hit != null) hit
+          else {
+            val body = rulesBody(rt,
               (s, e) => PromQlVersioned.ruleSpanMetrics(spark, root,
                 PromQlRules.parse(rt).map {
                   case PromQlRules.Rule(_, x) => x
-                  case PromQlRules.Alert(_, x, _) => x
+                  case a: PromQlRules.Alert => a.expr
                 }, s, e, lookback, version = Some(v)),
-              params, () => end, alertsOnly))
+              params, () => end, alertsOnly)
+            if (rulesCache.size > 256) rulesCache.clear()
+            rulesCache.putIfAbsent(key, body)
+            body
+          }
         })))
   }
 
@@ -439,8 +460,9 @@ object PromQlHttp {
         val names = extras.metadataNames.map(_()).getOrElse(
           spanFn(None, None).select(col("name")).distinct().collect()
             .map(_.getString(0)).sorted.toSeq)
-        val limited = params.get("limit").flatMap(_.toIntOption)
-          .fold(names)(names.take)
+        // the same limit validation as every other endpoint: junk or
+        // negative values are 400 bad_data, never silently ignored
+        val (limited, _) = limitEntries(params, names)
         jsonObj(Seq(
           "status" -> "\"success\"",
           "data" -> jsonObj(limited.map(n => n ->
@@ -558,13 +580,32 @@ object PromQlHttp {
     * result lines are collected.
     */
   private def federateBody(metrics: DataFrame, params: Params): String = {
-    if (params.matches.isEmpty) throw new IllegalArgumentException(
-      "missing required parameter 'match[]'")
     import graft.operators.Firehose
     val lines = Firehose.promRender(
-      Firehose.gaugeLatest(matched(metrics, params.matches)))
+      Firehose.gaugeLatest(matchChecked(metrics, params)))
       .collect().map(_.getString(0)).sorted
     lines.mkString("", "\n", "\n")
+  }
+
+  /** [[federateBody]] over an ALREADY-LATEST gauge relation (the
+    * landing server's incremental registry — a registry-sized local
+    * relation, so a downstream Prometheus's poll scans zero landed
+    * files): `match[]` filters on the label map, then the m6 render.
+    */
+  private def federateGauges(gauges: DataFrame, params: Params): String = {
+    import graft.operators.Firehose
+    val lines = Firehose.promRender(
+      matchChecked(gauges, params)
+        .select(col("component"), col("name"), col("series"),
+          col("last_value"), col("last_ts")))
+      .collect().map(_.getString(0)).sorted
+    lines.mkString("", "\n", "\n")
+  }
+
+  private def matchChecked(df: DataFrame, params: Params): DataFrame = {
+    if (params.matches.isEmpty) throw new IllegalArgumentException(
+      "missing required parameter 'match[]'")
+    matched(df, params.matches)
   }
 
   // ───────────────────────── TSDB status ─────────────────────────
@@ -587,9 +628,22 @@ object PromQlHttp {
       max(col("timestamp").cast("long"))).head()
     val (minT, maxT) =
       if (tr.isNullAt(0)) (0L, 0L) else (tr.getLong(0) * 1000L, tr.getLong(1) * 1000L)
-    val series = base.dropDuplicates("component", "name", "_sk")
+    tsdbBodyOf(base.dropDuplicates("component", "name", "_sk")
+      .select(col("name"), col("_sk"), col("labels")), minT, maxT)
+  }
+
+  /** [[tsdbBody]] over a DISTINCT-SERIES relation `(name, _sk, labels)`
+    * — one row per (component, name, series) — with the time range
+    * supplied by the caller. The landing server feeds the incremental
+    * registry's local frame here (every series that ever appeared keeps
+    * a head, and a series' label set is its identity, so the four
+    * cardinality lists over the registry equal the corpus's) — the
+    * page costs a handful of jobs over a registry-sized relation, never
+    * a landed-file scan.
+    */
+  private def tsdbBodyOf(series: DataFrame, minT: Long, maxT: Long): String = {
     val numSeries = series.count()
-    val pairs = m.select(explode(col("labels")).as(Seq("_k", "_v"))).distinct()
+    val pairs = series.select(explode(col("labels")).as(Seq("_k", "_v"))).distinct()
     val numPairs = pairs.count()
     def top10(df: DataFrame): Seq[(String, Long)] =
       df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -646,12 +700,17 @@ object PromQlHttp {
   /** `/api/v1/rules` (alertsOnly = false) and `/api/v1/alerts` (true) in
     * the Prometheus wire format. Recording rules are listed statically
     * (their outputs are queries, not state); alerting rules evaluate on
-    * the POINT grid over the trailing `for:` horizon ending at `time`
-    * (default: the newest sample): state = firing when the streaked
-    * alert emits a row at the end point, pending when the bare
-    * condition holds there but the streak is incomplete, inactive
-    * otherwise. `activeAt` is the first point of the current
-    * consecutive breach run — Prometheus's pending-start.
+    * the POINT grid over the trailing `for:` (+ `keep_firing_for`)
+    * horizon ending at `time` (default: the newest sample): state =
+    * firing when the streaked alert emits a row at the end point
+    * (including the keep_firing_for tail past the last breach), pending
+    * when the bare condition holds there but the streak is incomplete,
+    * inactive otherwise. `activeAt` is the first point of the current
+    * consecutive breach run — Prometheus's pending-start. Alert labels
+    * come from the evaluation's label MAP (never re-split from the
+    * rendered series key — values containing commas stay lossless),
+    * with the rule's static labels merged over them (rule wins,
+    * Prometheus's merge) and its annotations verbatim.
     */
   private def rulesBody(
       rulesText: String,
@@ -664,32 +723,35 @@ object PromQlHttp {
     val end = params.get("time").map(parseTime).getOrElse(defaultTime())
     val step = params.get("step").map(parseDuration).getOrElse(60L)
     val lookback = params.get("lookback").map(parseDuration).getOrElse(300L)
-    val maxFor = (0L +: alerts.map(_.forSec)).max
-    // the horizon holds every streak the end point can complete, plus
-    // one step so a just-started breach has a preceding point to differ
+    val maxFor = (0L +: alerts.map(a => a.forSec + a.keepFiringForSec)).max
+    // the horizon holds every streak (and keep-firing tail) the end
+    // point can complete, plus one step so a just-started breach has a
+    // preceding point to differ
     val start = end - maxFor - step
-    // fired rows per alert at every grid point (streaked), and the bare
-    // condition rows (for: stripped) for pending detection + activeAt
+    // fired rows per alert at every grid point (streaked + keep tail),
+    // and the bare condition rows (for/keep stripped) for pending
+    // detection + activeAt
     def evalAll(text: String): Map[String, DataFrame] =
-      PromQlRules.evaluateRange(text, metricsFor(start, end), start, end,
-        step, lookback)
+      PromQlRules.evaluateRangeLabeled(text, metricsFor(start, end), start,
+        end, step, lookback)
     val fired =
       if (alerts.isEmpty) Map.empty[String, DataFrame] else evalAll(rulesText)
     val bare =
       if (alerts.isEmpty) Map.empty[String, DataFrame]
       else evalAll(lines.map {
         case PromQlRules.Rule(n, x) => s"$n = $x"
-        case PromQlRules.Alert(n, x, _) => s"alert $n = $x"
+        case a: PromQlRules.Alert => s"alert ${a.name} = ${a.expr}"
       }.mkString("\n"))
     case class AlertRow(
-        component: String, series: String, winStart: Long, value: Double) {
+        component: String, labels: Map[String, String], series: String,
+        winStart: Long, value: Double) {
       def key: (String, String) = (component, series)
     }
     def rowsOf(df: DataFrame): Seq[AlertRow] =
-      df.select(col("component"), col("series"), col("win_start"),
-        col("value")).collect()
-        .map(r => AlertRow(r.getString(0), r.getString(1), r.getLong(2),
-          r.getDouble(3))).toSeq
+      df.select(col("component"), col("labels"), col("series"),
+        col("win_start"), col("value")).collect()
+        .map(r => AlertRow(r.getString(0), r.getMap[String, String](1).toMap,
+          r.getString(2), r.getLong(3), r.getDouble(4))).toSeq
     def alertJson(a: PromQlRules.Alert): (String, Seq[String]) = {
       val condRows = rowsOf(bare(a.name))
       val firedNow = rowsOf(fired(a.name)).filter(_.winStart == end)
@@ -697,25 +759,31 @@ object PromQlHttp {
       val state =
         if (firedNow.nonEmpty) "firing"
         else if (condNow.nonEmpty) "pending" else "inactive"
-      val firingKeys = firedNow.map(_.key).toSet
-      val entries = condNow.sortBy(_.key).map { r =>
-        // activeAt: walk the series' breach run back from the end point
-        val pts = condRows.filter(_.key == r.key).map(_.winStart).toSet
-        var first = end
+      val firingByKey = firedNow.map(r => r.key -> r).toMap
+      val condByKey = condNow.map(r => r.key -> r).toMap
+      // active series: breaching at the end point, or kept firing by
+      // the keep_firing_for tail (fired at end with no breach there)
+      val active = (condByKey.keySet ++ firingByKey.keySet).toSeq.sorted
+      val entries = active.map { key =>
+        val r = condByKey.getOrElse(key, firingByKey(key))
+        // activeAt: walk the series' breach run back — anchored at the
+        // end point, or (keep-firing with no breach now) at the run's
+        // last breaching point
+        val pts = condRows.filter(_.key == key).map(_.winStart).toSet
+        var first =
+          if (pts.contains(end) || pts.isEmpty) end
+          else pts.filter(_ <= end).max
         while (pts.contains(first - step) && first - step >= start)
           first -= step
-        // the series key is the canonical `k=v,...` rendering — split on
-        // the pair boundaries for the wire's flat label object (values
-        // containing commas render as Prometheus's own series text does)
-        val labels = (Seq("alertname" -> a.name, "component" -> r.component) ++
-          r.series.split(',').toSeq.filter(_.contains("="))
-            .map { kv => val i = kv.indexOf('='); kv.take(i) -> kv.drop(i + 1) })
-          .sortBy(_._1)
+        // the rule's static labels merge OVER the series labels
+        val labels = (Map("alertname" -> a.name, "component" -> r.component) ++
+          r.labels ++ a.labels).toSeq.sortBy(_._1)
         jsonObj(Seq(
           "labels" -> jsonObj(labels.map { case (k, v) =>
             k -> s""""${esc(v)}"""" }),
-          "annotations" -> "{}",
-          "state" -> s""""${if (firingKeys.contains(r.key)) "firing"
+          "annotations" -> jsonObj(a.annotations.toSeq.sorted.map {
+            case (k, v) => k -> s""""${esc(v)}"""" }),
+          "state" -> s""""${if (firingByKey.contains(key)) "firing"
             else "pending"}"""",
           "activeAt" -> s""""${java.time.Instant.ofEpochSecond(first)}"""",
           "value" -> s""""${r.value}""""))
@@ -736,12 +804,17 @@ object PromQlHttp {
             "query" -> s""""${esc(x)}"""",
             "health" -> "\"ok\"",
             "type" -> "\"recording\""))
-        case a @ PromQlRules.Alert(n, x, forSec) =>
+        case a: PromQlRules.Alert =>
           val (state, entries) = alertJson(a)
           jsonObj(Seq(
-            "name" -> s""""${esc(n)}"""",
-            "query" -> s""""${esc(x)}"""",
-            "duration" -> forSec.toString,
+            "name" -> s""""${esc(a.name)}"""",
+            "query" -> s""""${esc(a.expr)}"""",
+            "duration" -> a.forSec.toString,
+            "keepFiringFor" -> a.keepFiringForSec.toString,
+            "labels" -> jsonObj(a.labels.toSeq.sorted.map { case (k, v) =>
+              k -> s""""${esc(v)}"""" }),
+            "annotations" -> jsonObj(a.annotations.toSeq.sorted.map {
+              case (k, v) => k -> s""""${esc(v)}"""" }),
             "health" -> "\"ok\"",
             "state" -> s""""$state"""",
             "alerts" -> entries.mkString("[", ",", "]"),

@@ -42,15 +42,55 @@ object PromQlRules {
   /** An alerting rule: fires at evaluation windows where `expr` has
     * produced a row for the series in `forSec/step` CONSECUTIVE windows
     * (Prometheus's `for:` pending→firing transition, window-quantized).
+    * A non-zero `keepFiringForSec` keeps a firing series firing for that
+    * long past its last breaching window (Prometheus's
+    * `keep_firing_for`); `labels` are the rule's STATIC labels, merged
+    * over the series labels on the alert wire bodies (rule label wins on
+    * conflict, Prometheus's own merge), and `annotations` ride the wire
+    * verbatim (the engine renders no templates).
     */
-  final case class Alert(name: String, expr: String, forSec: Long) extends Line
+  final case class Alert(
+      name: String, expr: String, forSec: Long,
+      keepFiringForSec: Long = 0L,
+      labels: Map[String, String] = Map.empty,
+      annotations: Map[String, String] = Map.empty) extends Line
 
   private val NameRe = "[A-Za-z_:][A-Za-z0-9_:]*".r
 
+  // trailing `labels {...}` / `annotations {...}` clause: the block
+  // extends to the line's LAST '}' and must tile as exposition label
+  // pairs (the shared PromGrammar) — a non-tiling block is not a clause
+  private val MapClauseRe =
+    "(?s)^(.*\\S)\\s+(labels|annotations)\\s*\\{(.*)\\}\\s*$".r
+  private val KeepRe = "(?s)^(.*\\S)\\s+keep_firing_for\\s+(\\S+)\\s*$".r
+  private lazy val BlockPattern = java.util.regex.Pattern.compile(
+    graft.operators.Firehose.PromGrammar.BlockRe)
+  private lazy val PairPattern = java.util.regex.Pattern.compile(
+    graft.operators.Firehose.PromGrammar.PairRe)
+
+  private def labelBlock(block: String): Option[Map[String, String]] =
+    if (!BlockPattern.matcher(block).matches()) None
+    else {
+      val b = Map.newBuilder[String, String]
+      val m = PairPattern.matcher(block)
+      while (m.find()) b += m.group(1) ->
+        graft.operators.Firehose.PromGrammar.unescapeLabelValue(m.group(2))
+      Some(b.result())
+    }
+
   /** Parse rule text: `name = expr` recording lines and
-    * `alert name = expr [for <duration>]` alerting lines; `#` comments
-    * and blanks skipped. Duplicate names and malformed lines are
-    * refused loudly.
+    * `alert name = expr [for <dur>] [keep_firing_for <dur>]
+    * [labels {k="v",…}] [annotations {k="v",…}]` alerting lines (the
+    * clause order is canonical; the two map clauses commute); `#`
+    * comments and blanks skipped. Duplicate names, duplicate clauses,
+    * and malformed lines are refused loudly. Clause keywords only bind
+    * when their payload parses (a duration after `for`/
+    * `keep_firing_for`, a label-pair tiling inside the braces) — an
+    * expression ending in e.g. `x > bool 5 for` stays part of the
+    * expression, same discipline the bare `for` always had; the one
+    * documented ambiguity is an expression ENDING in a selector
+    * literally named `labels`/`annotations` with a space before its
+    * brace, which reads as the clause (write it brace-adjacent).
     */
   def parse(text: String): Seq[Line] = {
     val rules: Seq[Line] = text.linesIterator
@@ -68,16 +108,55 @@ object PromQlRules {
         }
         if (head.startsWith("alert ")) {
           val name = checkName(head.stripPrefix("alert ").trim)
-          val forIdx = body.lastIndexOf(" for ")
-          if (forIdx < 0) Alert(name, body, 0L)
-          else {
-            val dur = body.drop(forIdx + 5).trim
-            PromQlDurations.parse(dur) match {
-              case Right(sec) => Alert(name, body.take(forIdx).trim, sec)
-              // no duration after `for`: the word belonged to the expr
-              case Left(_) => Alert(name, body, 0L)
+          // strip trailing clauses right-to-left: map clauses first
+          // (either order), then keep_firing_for, then for
+          var rest = body
+          var labels = Option.empty[Map[String, String]]
+          var annotations = Option.empty[Map[String, String]]
+          var more = true
+          while (more) {
+            rest match {
+              case MapClauseRe(pre, kw, block) =>
+                labelBlock(block) match {
+                  case Some(m) =>
+                    if (kw == "labels") {
+                      if (labels.nonEmpty) throw PromQlCompileException(
+                        s"alert '$name': duplicate labels clause")
+                      labels = Some(m)
+                    } else {
+                      if (annotations.nonEmpty) throw PromQlCompileException(
+                        s"alert '$name': duplicate annotations clause")
+                      annotations = Some(m)
+                    }
+                    rest = pre.trim
+                  case None => more = false
+                }
+              case _ => more = false
             }
           }
+          var keep = 0L
+          rest match {
+            case KeepRe(pre, dur) =>
+              PromQlDurations.parse(dur).foreach { sec =>
+                keep = sec
+                rest = pre.trim
+              }
+            case _ =>
+          }
+          var forSec = 0L
+          val forIdx = rest.lastIndexOf(" for ")
+          if (forIdx >= 0) {
+            val dur = rest.drop(forIdx + 5).trim
+            PromQlDurations.parse(dur) match {
+              case Right(sec) =>
+                forSec = sec
+                rest = rest.take(forIdx).trim
+              // no duration after `for`: the word belonged to the expr
+              case Left(_) =>
+            }
+          }
+          Alert(name, rest, forSec, keep,
+            labels.getOrElse(Map.empty), annotations.getOrElse(Map.empty))
         } else Rule(checkName(head), body)
       }
       .toSeq
@@ -115,7 +194,12 @@ object PromQlRules {
       (expr, universe) =>
         if (sliding) PromQlCompiler.compileSlidingVector(expr, universe, stepSec)
         else PromQlCompiler.compileVector(expr, universe, stepSec),
-      checkTumblingRanges = !sliding)
+      checkTumblingRanges = !sliding, clampEnd = None)
+      .view.mapValues(dropLabels).toMap
+
+  private def dropLabels(df: DataFrame): DataFrame =
+    df.select(col("component"), col("name"), col("series"),
+      col("win_start"), col("value"))
 
   /** The rule fleet evaluated on a POINT GRID — Prometheus's own rule
     * cadence: every rule evaluates as an instant query at each point
@@ -135,17 +219,33 @@ object PromQlRules {
       endSec: Long,
       stepSec: Long,
       lookbackSec: Long = 300L): Map[String, DataFrame] =
+    evaluateRangeLabeled(rulesText, metrics, startSec, endSec, stepSec,
+      lookbackSec).view.mapValues(dropLabels).toMap
+
+  /** [[evaluateRange]] keeping each output's label MAP alongside the
+    * rendered series key — the alert wire bodies build their flat label
+    * objects from it (splitting the rendered `k=v,…` key would truncate
+    * values containing commas; the map is lossless).
+    */
+  def evaluateRangeLabeled(
+      rulesText: String,
+      metrics: DataFrame,
+      startSec: Long,
+      endSec: Long,
+      stepSec: Long,
+      lookbackSec: Long = 300L): Map[String, DataFrame] =
     evalCore(rulesText, metrics, stepSec,
       (expr, universe) => PromQlCompiler.compileRangeVector(
         expr, universe, startSec, endSec, stepSec, lookbackSec),
-      checkTumblingRanges = false)
+      checkTumblingRanges = false, clampEnd = Some(endSec))
 
   private def evalCore(
       rulesText: String,
       metrics: DataFrame,
       stepSec: Long,
       compileOne0: (String, DataFrame) => DataFrame,
-      checkTumblingRanges: Boolean): Map[String, DataFrame] = {
+      checkTumblingRanges: Boolean,
+      clampEnd: Option[Long]): Map[String, DataFrame] = {
     import org.apache.spark.sql.expressions.Window
     val rules = parse(rulesText)
     var universe =
@@ -162,13 +262,17 @@ object PromQlRules {
           col("win_start").as("timestamp"), lit("").as("id"), col("value"))
         universe = universe.unionByName(recorded)
         out += name -> recorded.select(
-          col("component"), col("name"),
+          col("component"), col("name"), col("labels"),
           Firehose.seriesKey(col("labels")).as("series"),
           col("timestamp").as("win_start"), col("value"))
-      case Alert(name, expr, forSec) =>
+      case a: Alert =>
+        val Alert(name, expr, forSec, keepSec, _, _) = a
         if (forSec % stepSec != 0)
           throw PromQlCompileException(
             s"alert '$name': for ${forSec}s must be a multiple of the ${stepSec}s step")
+        if (keepSec % stepSec != 0)
+          throw PromQlCompileException(s"alert '$name': keep_firing_for " +
+            s"${keepSec}s must be a multiple of the ${stepSec}s step")
         // the streak filter below demands consecutive windows exactly
         // stepSec apart; in tumbling mode a range function lands on ITS
         // OWN grid, so a for-duration over e.g. increase(x[30m]) at a
@@ -198,19 +302,78 @@ object PromQlRules {
         val k = (forSec / stepSec).toInt + 1
         val vec = compileOne(expr)
           .withColumn("series", Firehose.seriesKey(col("labels")))
-        val streak =
-          if (k == 1) vec
-          else {
-            val w = Window.partitionBy(col("component"), col("name"), col("series"))
-              .orderBy(col("win_start"))
-            vec
+        val w = Window.partitionBy(col("component"), col("name"), col("series"))
+          .orderBy(col("win_start"))
+        val fired =
+          if (keepSec == 0) {
+            // the plain k-consecutive streak (the m22 shape)
+            if (k == 1) vec
+            else vec
               .withColumn("_back", lag(col("win_start"), k - 1).over(w))
               .filter(col("_back") === col("win_start") - lit((k - 1) * stepSec))
               .drop("_back")
+          } else {
+            // keep_firing_for: Prometheus's state machine on the step
+            // grid — firing starts when the k-streak completes and
+            // PERSISTS while the gap since the last breaching point
+            // stays ≤ keep (a breach during the keep window re-arms the
+            // firing without a fresh pending period), dying at the
+            // first point more than keep past the last breach. Encoded
+            // without a driver loop: breaching points SESSIONIZE on
+            // gap > keep (the chains that keep firing alive are exactly
+            // the intra-session chains — every intra-session grid point
+            // sits within keep of its preceding breach), a session
+            // fires from its first completed streak onward, and the
+            // non-breaching fired points (gaps between re-arming
+            // breaches plus the tail past the last breach) materialize
+            // as generated grid points carrying the PRECEDING breach's
+            // value (Prometheus keeps the alert's last value while the
+            // expression returns nothing), clamped to the evaluation
+            // end when the caller has one.
+            val keepN = lit(keepSec)
+            val complete =
+              if (k == 1) lit(true)
+              else lag(col("win_start"), k - 1).over(w) ===
+                col("win_start") - lit((k - 1) * stepSec)
+            val sessed = vec
+              .withColumn("_complete", complete)
+              .withColumn("_prev", lag(col("win_start"), 1).over(w))
+              .withColumn("_new",
+                (col("_prev").isNull ||
+                  col("win_start") - col("_prev") > keepN).cast("long"))
+              .withColumn("_sess", sum(col("_new")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            val sessAll = Window.partitionBy(
+              col("component"), col("name"), col("series"), col("_sess"))
+            val sessOrd = sessAll.orderBy(col("win_start"))
+            val firing = sessed
+              .withColumn("_firstC",
+                min(when(col("_complete"), col("win_start"))).over(sessAll))
+              .filter(col("_firstC").isNotNull &&
+                col("win_start") >= col("_firstC"))
+            val fires = firing.select(col("component"), col("name"),
+              col("labels"), col("series"), col("win_start"), col("value"))
+            // per firing breach: fill (breach, next breach) ∩ (breach,
+            // breach + keep], i.e. the false points it keeps alight
+            val gapHi0 = least(
+              col("win_start") + keepN,
+              coalesce(lead(col("win_start"), 1).over(sessOrd) - lit(stepSec),
+                col("win_start") + keepN))
+            val gapHi = clampEnd.fold(gapHi0)(e => least(gapHi0, lit(e)))
+            val gaps = firing
+              .withColumn("_hi", gapHi)
+              .withColumn("_gw", explode(
+                when(col("_hi") >= col("win_start") + lit(stepSec),
+                  sequence(col("win_start") + lit(stepSec), col("_hi"),
+                    lit(stepSec)))
+                  .otherwise(array())))
+              .select(col("component"), col("name"), col("labels"),
+                col("series"), col("_gw").as("win_start"), col("value"))
+            fires.unionByName(gaps)
           }
-        out += name -> streak.select(
-          col("component"), lit(name).as("name"), col("series"),
-          col("win_start"), col("value"))
+        out += name -> fired.select(
+          col("component"), lit(name).as("name"), col("labels"),
+          col("series"), col("win_start"), col("value"))
     }
     out.result()
   }

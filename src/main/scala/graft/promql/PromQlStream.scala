@@ -191,6 +191,9 @@ object PromQlStream {
       case Seq(a: PromQlRules.Alert) => a
       case _ => err("compileAlert takes exactly one `alert name = expr` line")
     }
+    if (alert.keepFiringForSec != 0)
+      err(s"alert '${alert.name}': keep_firing_for is batch-only (the " +
+        "firing tail needs the full grid; use the batch rule evaluator)")
     if (alert.forSec != 0)
       return PromQlParser.parse(alert.expr) match {
         case Binary(">", Call(fn @ ("increase" | "rate"),

@@ -478,6 +478,87 @@ class PromQlCompileSpec extends SparkSuite {
       PromQlRules.evaluate("alert B = c_total > 0 for 90m", planted))
   }
 
+  test("rule grammar: keep_firing_for, labels and annotations clauses") {
+    import graft.promql.PromQlRules
+    import graft.promql.PromQlRules.Alert
+    val parsed = PromQlRules.parse(
+      """alert Hot = rate(c_total[1h]) > 0.5 for 2h keep_firing_for 1h """ +
+        """labels {severity="page",team="db"} """ +
+        """annotations {summary="rate high {{ $value }}",runbook="https://r"}""")
+    val a = parsed.head.asInstanceOf[Alert]
+    assert(a.name === "Hot")
+    assert(a.expr === "rate(c_total[1h]) > 0.5")
+    assert(a.forSec === 7200L && a.keepFiringForSec === 3600L)
+    assert(a.labels === Map("severity" -> "page", "team" -> "db"))
+    assert(a.annotations === Map(
+      "summary" -> "rate high {{ $value }}", "runbook" -> "https://r"))
+    // map clauses commute; exposition escapes unescape in values
+    val b = PromQlRules.parse(
+      """alert B = up annotations {s="x"} labels {a="q\"z"}""")
+      .head.asInstanceOf[Alert]
+    assert(b.labels === Map("a" -> "q\"z") && b.annotations === Map("s" -> "x"))
+    assert(b.forSec === 0L && b.keepFiringForSec === 0L)
+    // keep_firing_for without for
+    val c = PromQlRules.parse("alert C = up keep_firing_for 5m")
+      .head.asInstanceOf[Alert]
+    assert(c.expr === "up" && c.forSec === 0L && c.keepFiringForSec === 300L)
+    // a non-duration after the keyword belongs to the expression (the
+    // bare `for` discipline), and a non-tiling block is not a clause
+    val d = PromQlRules.parse("alert D = c_total > x keep_firing_for quickly")
+      .head.asInstanceOf[Alert]
+    assert(d.expr === "c_total > x keep_firing_for quickly" &&
+      d.keepFiringForSec === 0L)
+    // duplicate clauses are refused loudly
+    assertThrows[PromQlCompileException](PromQlRules.parse(
+      """alert E = up labels {a="1"} labels {b="2"}"""))
+  }
+
+  test("keep_firing_for: the firing state machine on the point grid, " +
+      "hand-traced (re-arm without re-pending, gap fill, tail, death)") {
+    import spark.implicits._
+    import graft.promql.PromQlRules
+    // cond(t) = sample at t with value > 0; step 60, lookback 60 makes
+    // each grid point see exactly its own sample. for 1m → k = 2;
+    // keep_firing_for 2m. Hand trace of the Prometheus state machine:
+    //   t:     0   60  120 180 240 300 360 420 480 540 600 660 720
+    //   cond:  F   T   T   F   F   F   T   T   F   T   F   F   F
+    //   state: -   pnd FIR fir fir -   pnd FIR fir FIR fir fir -
+    // (120: streak completes; 180/240: tail of 120; 300: >keep past
+    // 120 → dies; 360: fresh pending; 420: completes; 480: gap kept
+    // alight by 420; 540: re-arms WITHOUT a new pending period — the
+    // keep_firing_for semantics a plain streak cannot express; 600/660:
+    // tail of 540; 720: dead.)
+    val planted = Seq(
+      (0L, "a0", -1.0), (60L, "a1", 11.0), (120L, "a2", 12.0),
+      (180L, "a3", -1.0), (240L, "a4", -1.0), (300L, "a5", -1.0),
+      (360L, "a6", 13.0), (420L, "a7", 14.0), (480L, "a8", -1.0),
+      (540L, "a9", 15.0), (600L, "b0", -1.0), (660L, "b1", -1.0),
+      (720L, "b2", -1.0)
+    ).map { case (t, id, v) => ("app", "c_total", Map("user" -> "u1"), t, id, v) }
+      .toDF("component", "name", "tags", "timestamp", "id", "value")
+    def fired(text: String, end: Long): Map[Long, Double] =
+      PromQlRules.evaluateRange(text, planted, 0L, end, 60L, lookbackSec = 60L)(
+        "K").select("win_start", "value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = fired("alert K = c_total > 0 for 1m keep_firing_for 2m", 720L)
+    // fired points carry the breach value; kept points carry the
+    // PRECEDING breach's value (Prometheus keeps the last value while
+    // the expression returns nothing)
+    assert(got === Map(
+      120L -> 12.0, 180L -> 12.0, 240L -> 12.0,
+      420L -> 14.0, 480L -> 14.0,
+      540L -> 15.0, 600L -> 15.0, 660L -> 15.0))
+    // without keep_firing_for the plain streak fires only at completions
+    assert(fired("alert K = c_total > 0 for 1m", 720L).keySet ===
+      Set(120L, 420L))
+    // the tail clamps to the evaluation end
+    assert(fired("alert K = c_total > 0 for 1m keep_firing_for 2m", 600L)
+      .keySet === Set(120L, 180L, 240L, 420L, 480L, 540L, 600L))
+    // off the step grid → loud refusal
+    assertThrows[PromQlCompileException](
+      fired("alert K = c_total > 0 keep_firing_for 90s", 720L))
+  }
+
   test("many-to-many without group_left raises at runtime") {
     val ex = intercept[Exception] {
       PromQl.compile("sum by (user) (view_total) / on() view_total", metrics)

@@ -289,6 +289,81 @@ class PromQlHttpSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("federate/metadata/newest answer from the incremental registry: " +
+      "an append folds only its delta files; warm probes run zero jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    graft.promql.PromRegistry.reset()
+    val r = Files.createTempDirectory("pqlreg").toFile.getAbsolutePath
+    PromQlVersioned.land(metrics.filter(col("timestamp") < lit(tMax)), r)
+    val server = PromQlHttp.startLandingServer(spark, r)
+    try {
+      val port = server.getAddress.getPort
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val l = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      def jobsFor(path: String): (Int, String) = {
+        org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+        jobs.set(0)
+        val (c, b) = get(port, path)
+        assert(c === 200)
+        org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+        (jobs.get(), b)
+      }
+      try {
+        val fed = s"/federate?match[]=${enc("view_total")}"
+        val (nCold, b1) = jobsFor(fed) // builds the registry
+        val (nWarm, b2) = jobsFor(fed) // registry-sized local render only
+        assert(b1 === b2)
+        assert(nWarm < nCold,
+          s"warm federate must skip the corpus scan ($nWarm vs $nCold)")
+        // metadata names and the default evaluation time are pure
+        // driver-side folds over the registry: ZERO jobs once warm
+        val (nMeta, meta) = jobsFor("/api/v1/metadata")
+        assert(nMeta === 0, s"warm metadata ran $nMeta jobs")
+        assert(meta.contains("\"view_total\""))
+        // an append advances the registry by its DELTA files only (a
+        // synthetic newest view_total sample, so the matched federate
+        // body must visibly change)
+        import spark.implicits._
+        PromQlVersioned.land(
+          Seq(("app", "view_total", Map("user" -> "0"), tMax + 100L,
+            "reg-append", 999.5))
+            .toDF("component", "name", "labels", "timestamp", "id", "value"),
+          r)
+        val v1 = Versioned.latestVersion(r)
+        val before = Versioned.manifest(r, v1 - 1).map(_.path).toSet
+        val delta = Versioned.manifest(r, v1).map(_.path).toSet -- before
+        val (_, census) = graft.promql.PromRegistry.refresh(spark, r)
+        assert(census.toSet === delta && delta.nonEmpty)
+        val (nAfter, b3) = jobsFor(fed)
+        assert(b3 !== b2, "the appended newest samples must show")
+        assert(nAfter === nWarm,
+          "federate after an absorbed append is again registry-local")
+        // the federate body matches a from-scratch full-scan render
+        val wantLines = Firehose.promRender(Firehose.gaugeLatest(
+            Versioned.latest(spark, r)
+              .filter(col("name") === "view_total")))
+          .collect().map(_.getString(0)).sorted
+        assert(b3 === wantLines.mkString("", "\n", "\n"))
+        // the bare-selector instant fast path rides the registry too:
+        // warm repeat = the local-relation job(s) only, stable
+        val iq = s"/api/v1/query?query=${enc("view_total")}&lookback=4w"
+        val (ni1, ib1) = jobsFor(iq)
+        val (ni2, ib2) = jobsFor(iq)
+        assert(ib1 === ib2 && ni1 === ni2)
+        // metadata limit rides the shared validation (review catch):
+        // junk and negative are 400, a real cap keeps one name
+        assert(get(port, "/api/v1/metadata?limit=x")._1 === 400)
+        assert(get(port, "/api/v1/metadata?limit=-1")._1 === 400)
+        val (cm, m1) = get(port, "/api/v1/metadata?limit=1")
+        assert(cm === 200 && m1.sliding(9).count(_ == "\"unknown\"") === 1)
+      } finally spark.sparkContext.removeSparkListener(l)
+    } finally server.stop(0)
+  }
+
   test("the scrape client closes the circle: /federate of landing A lands into landing B") {
     val server = PromQlHttp.startLandingServer(spark, root)
     try {
@@ -393,6 +468,65 @@ class PromQlHttpSpec extends SparkSuite {
         assert(n4 > n2 && b4 != b2)
         assert(jobsFor(u)._1 === n2)
       } finally spark.sparkContext.removeSparkListener(l)
+    } finally server.stop(0)
+  }
+
+  test("alert rules carry labels/annotations/keep_firing_for onto the wire; " +
+      "label values with commas stay lossless") {
+    import spark.implicits._
+    graft.promql.PromRegistry.reset()
+    // the hand-traced keep_firing_for corpus (see PromQlCompileSpec) plus
+    // a series whose label VALUE contains a comma and an '='
+    val planted = (Seq(
+      (0L, "a0", -1.0), (60L, "a1", 11.0), (120L, "a2", 12.0),
+      (180L, "a3", -1.0), (240L, "a4", -1.0), (300L, "a5", -1.0),
+      (360L, "a6", 13.0), (420L, "a7", 14.0), (480L, "a8", -1.0),
+      (540L, "a9", 15.0), (600L, "b0", -1.0), (660L, "b1", -1.0)
+    ).map { case (t, id, v) =>
+      ("app", "c_total", Map("user" -> "u1"), t, id, v)
+    } :+ ("app", "c_total", Map("user" -> "a,b=c"), 480L, "z1", 7.0))
+      .toDF("component", "name", "labels", "timestamp", "id", "value")
+    val r = Files.createTempDirectory("pqlkeep").toFile.getAbsolutePath
+    PromQlVersioned.land(planted, r)
+    val rules = """alert K = c_total{user="u1"} > 0 for 1m keep_firing_for 2m """ +
+      """labels {severity="page",user="override"} """ +
+      """annotations {summary="c broke"}""" + "\n" +
+      """alert L = c_total{user!="u1"} > 0"""
+    val server = PromQlHttp.startLandingServer(spark, r, rulesText = Some(rules))
+    try {
+      val port = server.getAddress.getPort
+      // t=480: cond false, but within keep of the 420 breach → FIRING,
+      // value = the last breach's; activeAt = the current run's start
+      // (360); the rule's static labels override the series label
+      val (c1, body) = get(port, "/api/v1/alerts?time=480&step=1m&lookback=1m")
+      assert(c1 === 200)
+      assert(body.contains(
+        """{"labels":{"alertname":"K","component":"app","severity":"page","user":"override"},""" +
+          """"annotations":{"summary":"c broke"},"state":"firing",""" +
+          """"activeAt":"1970-01-01T00:06:00Z","value":"14.0"}"""), body)
+      // the comma-bearing label value survives verbatim (the wire builds
+      // from the label MAP, never from re-splitting the series key)
+      assert(body.contains(
+        """{"labels":{"alertname":"L","component":"app","user":"a,b=c"},""" +
+          """"annotations":{},"state":"firing""""), body)
+      // /api/v1/rules: keepFiringFor + static labels/annotations at the
+      // rule level, and the firing state
+      val (c2, rb) = get(port, "/api/v1/rules?time=480&step=1m&lookback=1m")
+      assert(c2 === 200)
+      assert(rb.contains(""""name":"K""""), rb)
+      assert(rb.contains(""""duration":60,"keepFiringFor":120,""" +
+        """"labels":{"severity":"page","user":"override"},""" +
+        """"annotations":{"summary":"c broke"}"""), rb)
+      assert(rb.contains(""""state":"firing""""), rb)
+      // t=300: more than keep past the last breach → K inactive
+      val (c3, b3) = get(port, "/api/v1/alerts?time=300&step=1m&lookback=1m")
+      assert(c3 === 200 && !b3.contains(""""alertname":"K""""), b3)
+      // t=360: breaching again but the streak is incomplete → pending
+      val (c4, b4) = get(port, "/api/v1/alerts?time=360&step=1m&lookback=1m")
+      assert(c4 === 200)
+      assert(b4.contains(""""alertname":"K"""") &&
+        b4.contains(""""state":"pending"""") &&
+        b4.contains(""""value":"13.0""""), b4)
     } finally server.stop(0)
   }
 
