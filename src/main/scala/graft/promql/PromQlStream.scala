@@ -121,6 +121,27 @@ object PromQlStream {
     case _ => err(s"$fn expects a plain range selector (x[5m]) in the streaming compile")
   }
 
+  /** The output window grid of a CHAINABLE lowering — the shapes whose
+    * streaming plan is a window-native aggregation (emitting closed
+    * windows with `window.start` as the event-time column, so a second
+    * stateful operator can legally follow), through any scalar-threshold
+    * wrappers. None for everything else (the TWS/flatMapGroupsWithState
+    * family projects its event time away — nothing to chain on).
+    */
+  private def windowGrid(e: PromExpr): Option[Long] = e match {
+    case Call(fn, Seq(RangeSelector(_, r)))
+        if overTimeCols.contains(fn) || fn == "present_over_time" ||
+          fn == "histogram_count" || fn == "histogram_sum" ||
+          fn == "histogram_avg" || fn == "histogram_stddev" ||
+          fn == "histogram_stdvar" => Some(r)
+    case Call("quantile_over_time", Seq(_, RangeSelector(_, r))) => Some(r)
+    case Call("histogram_quantile", Seq(_, RangeSelector(_, r))) => Some(r)
+    case Call("histogram_fraction", Seq(_, _, RangeSelector(_, r))) => Some(r)
+    case Binary(op, l, NumberLit(_), _, _) if !setOps(op) => windowGrid(l)
+    case Binary(op, NumberLit(_), r, _, _) if !setOps(op) => windowGrid(r)
+    case _ => None
+  }
+
   /** The streaming native-histogram lowering shared by the
     * `histogram_*` family: the range's observations build the sparse
     * exponential histogram per closed window
@@ -165,22 +186,35 @@ object PromQlStream {
     * breach window emits an alert sample `(component, name = alert name,
     * series, win_start, value)` as it closes.
     *
-    * `for d` durations stream for the SELECTOR-THRESHOLD shape
-    * (round 11): `increase(sel[W]) > c for d` / `rate(sel[W]) > c for d`
-    * with `d` a multiple of `W` lowers onto the m22
-    * [[graft.streaming.FirehoseTws.forDurationAlert]] operator —
-    * `k = d/W + 1` consecutive breaching CLOSED windows before the first
-    * fire, rate thresholds rescaled to per-window increases (`c·W`),
-    * exactly the batch rule evaluator's presence-streak on that shape
-    * (a window with increase ≤ c produces no row batch-side and resets
-    * the streak stream-side; a wholly-absent window breaks both). Every
-    * OTHER `for` expression keeps the documented refusal: the general
-    * streak needs a stateful operator chained AFTER an arbitrary
-    * expression's aggregation, and Spark's chained-stateful support
-    * requires the window STRUCT the operator-native relations project
-    * away (a re-declared mid-stream watermark stalls — verified, not
-    * assumed). The batch rule evaluator ([[PromQlRules.evaluate]]) over
-    * a landed stream covers those.
+    * `for d` durations stream two ways (round 14 closes the last
+    * documented semantic gap):
+    *
+    *  - the SELECTOR-THRESHOLD shape (round 11): `increase(sel[W]) > c
+    *    for d` / `rate(sel[W]) > c for d` with `d` a multiple of `W`
+    *    lowers onto the m22 [[graft.streaming.FirehoseTws
+    *    .forDurationAlert]] operator — one stateful operator at the
+    *    raw-sample level, rate thresholds rescaled to per-window
+    *    increases (`c·W`).
+    *  - the GENERAL windowed shape (round 14): any WINDOW-NATIVE
+    *    lowering (the `*_over_time` family, `quantile_over_time`, the
+    *    native-histogram family — each a windowed aggregation emitting
+    *    on close — plus scalar-threshold wrappers over them) chains the
+    *    [[graft.streaming.FirehoseTws.ForStreakProcessor]] AFTER the
+    *    expression's own aggregation: `k = d/W + 1` consecutive
+    *    breaching CLOSED windows before the first fire, consecutiveness
+    *    broken by window spacing (a non-breaching window produces no
+    *    row — the batch evaluator's `lag(k-1)` presence streak,
+    *    spec-pinned batch-identical on closed windows). The chain works
+    *    because those relations keep `window.start` as their event-time
+    *    column — no watermark is re-declared mid-stream (the verified
+    *    stall), Spark's append-mode multi-stateful support does the
+    *    rest.
+    *
+    * Still refused loudly: `for` over the flatMapGroupsWithState/TWS
+    * family (delta/idelta/irate/holt_winters, rate with a non-threshold
+    * wrapper, subqueries) — their relations carry no event-time column
+    * to chain on; the batch rule evaluator ([[PromQlRules.evaluate]])
+    * over a landed stream covers those. `keep_firing_for` is batch-only.
     */
   def compileAlert(
       line: String,
@@ -208,11 +242,30 @@ object PromQlStream {
             .select(col("component"), lit(alert.name).as("name"),
               col("series"), col("fire_win").as("win_start"),
               col("increase").as("value"))
-        case _ =>
-          err(s"alert '${alert.name}': `for` durations stream only for the " +
-            "selector-threshold shape increase/rate(sel[W]) > c (use " +
-            "FirehoseTws.forDurationAlert or the batch rule evaluator " +
-            "for other expressions)")
+        case ast =>
+          windowGrid(ast) match {
+            case Some(grid) =>
+              if (alert.forSec % grid != 0)
+                err(s"alert '${alert.name}': for ${alert.forSec}s must be " +
+                  s"a multiple of the expression's ${grid}s window")
+              val k = (alert.forSec / grid).toInt + 1
+              val breaches = lower(ast, metrics, stepSec, watermarkDelay)
+              if (!breaches.columns.contains("value") ||
+                  !breaches.columns.contains("win_start") ||
+                  !breaches.columns.contains("series"))
+                err(s"alert '${alert.name}': `for` needs a single-valued " +
+                  "windowed per-series shape")
+              graft.streaming.FirehoseTws.forStreak(breaches, grid, k).toDF()
+                .select(col("component"), lit(alert.name).as("name"),
+                  col("series"), col("fire_win").as("win_start"),
+                  col("increase").as("value"))
+            case None =>
+              err(s"alert '${alert.name}': `for` durations stream for " +
+                "window-native shapes (*_over_time, quantile_over_time, " +
+                "histogram_*, with optional scalar thresholds) and the " +
+                "increase/rate selector-threshold shape; use the batch " +
+                "rule evaluator for the rest")
+          }
       }
     val breaches = lower(PromQlParser.parse(alert.expr), metrics, stepSec, watermarkDelay)
     if (!breaches.columns.contains("value") || !breaches.columns.contains("win_start"))

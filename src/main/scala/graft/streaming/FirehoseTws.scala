@@ -852,4 +852,83 @@ object FirehoseTws {
       .transformWithState(
         new IncreaseProcessor(widthSec, ttlMs), TimeMode.EventTime(), OutputMode.Update())
   }
+
+  /** The GENERAL for-duration streak — [[ForDurationProcessor]]'s
+    * `(lastWin, streak)` consecutiveness core lifted off the raw-sample
+    * increase fold and onto ALREADY-CLOSED breach windows: the input is
+    * any single-valued windowed relation in APPEND mode (a window row
+    * arrives exactly once, when the watermark closes it), so the
+    * processor needs no sample buffer, no finalized map, and no timers —
+    * state is one (lastWin, streak) pair per series. This is what lets
+    * an arbitrary windowed expression (the PromQL text compiler's
+    * `avg_over_time(x[1h]) > 5`-shaped alerts) take a `for:` duration
+    * streaming: the expression's own aggregation closes windows, the
+    * streak chains AFTER it as a second stateful operator (Spark's
+    * multi-stateful append-mode support; the window-native relations
+    * keep `window.start` as their event-time column, so no watermark is
+    * re-declared — the re-declared-watermark stall stays avoided).
+    *
+    * In-batch rows sort ascending per key (several windows of one
+    * series can close in one micro-batch); across batches the watermark
+    * is monotone, so closed windows arrive in order. A non-breaching
+    * window produces NO row upstream (the threshold filter dropped it),
+    * so streaks break via the lastWin SPACING check — exactly the batch
+    * rule evaluator's `lag(k-1)` presence formulation, spec-pinned
+    * against it.
+    */
+  class ForStreakProcessor(stepSec: Long, k: Int)
+      extends StatefulProcessor[SeriesKey, WinRow, ForDurationOut] {
+    @transient private var streak: ValueState[(Long, Int)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      streak = getHandle.getValueState[(Long, Int)](
+        "streak", Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt),
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: SeriesKey,
+        rows: Iterator[WinRow],
+        timers: TimerValues): Iterator[ForDurationOut] = {
+      var (lastWin, s) = if (streak.exists()) streak.get() else (Long.MinValue, 0)
+      val fires = rows.toSeq.sortBy(r => r.win_start.getTime).flatMap { r =>
+        val win = r.win_start.getTime / 1000L
+        s = if (lastWin == win - stepSec && s > 0) s + 1 else 1
+        lastWin = win
+        if (s >= k) Some(ForDurationOut(key._1, key._2, key._3, win, r.value))
+        else None
+      }
+      streak.update((lastWin, s))
+      fires.iterator
+    }
+  }
+
+  /** Chain the general streak after a closed-window breach relation
+    * `(component, name, series, win_start: timestamp, value)` — fires
+    * (as [[ForDurationOut]], epoch-second `fire_win`) from the k-th
+    * consecutive breaching window on.
+    */
+  def forStreak(breaches: DataFrame, stepSec: Long, k: Int): Dataset[ForDurationOut] = {
+    require(k >= 1, "for-duration streak needs k >= 1")
+    val spark = breaches.sparkSession
+    import spark.implicits._
+    breaches
+      .select(org.apache.spark.sql.functions.col("component"),
+        org.apache.spark.sql.functions.col("name"),
+        org.apache.spark.sql.functions.col("series"),
+        org.apache.spark.sql.functions.col("win_start"),
+        org.apache.spark.sql.functions.col("value").cast("double").as("value"))
+      .as[WinRow]
+      .groupByKey(r => (r.component, r.name, r.series))
+      .transformWithState(
+        new ForStreakProcessor(stepSec, k),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }
+
+/** One closed single-valued window row entering the general for-duration
+  * streak (the shape every window-native streaming lowering emits).
+  */
+case class WinRow(
+    component: String, name: String, series: String,
+    win_start: java.sql.Timestamp, value: Double)

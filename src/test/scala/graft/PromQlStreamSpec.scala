@@ -131,9 +131,12 @@ class PromQlStreamSpec extends SparkSuite {
           r.getAs[Long]("win_start"), r.getAs[Double]("value")))
         .toSet
       assert(streamed === batch)
-      // for-durations outside the selector-threshold shape are refused
+      // for-durations outside every streamable shape are refused (the
+      // TWS family carries no event-time column to chain the streak on;
+      // windowed shapes like avg_over_time now stream — see the general
+      // for-duration spec below)
       assertThrows[PromQlCompileException](PromQlStream.compileAlert(
-        "alert A = avg_over_time(g[1h]) > 4 for 1h",
+        "alert A = delta(g[1h]) > 4 for 1h",
         graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)))
     } finally q.stop()
   }
@@ -238,6 +241,74 @@ class PromQlStreamSpec extends SparkSuite {
       // a duration that does not tile the range is refused
       assertThrows[PromQlCompileException](PromQlStream.compileAlert(
         "alert A = increase(c_total[1h]) > 5 for 90m",
+        graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)))
+    } finally q.stop()
+  } }
+
+  test("general windowed `for` durations stream: the streak chains after " +
+      "the expression's own aggregation, batch-identically; late data " +
+      "pins at the watermark") { withRocksDb {
+    val dir = Files.createTempDirectory("graft-pqs-gfor").toFile
+    val chk = Files.createTempDirectory("graft-pqs-gforchk").toFile
+    // hourly avg > 4 in windows 0,3600 (streak k=2 fires at 3600), breaks
+    // at 7200, then 10800,14400 (fires at 14400); one sample per window
+    // keeps avg = value
+    Files.write(dir.toPath.resolve("b1.json"),
+      Seq(
+        metricJson("1", "g", 100, "u1", 5.0),
+        metricJson("2", "g", 3700, "u1", 6.0),
+        metricJson("3", "g", 7300, "u1", 2.0),
+        metricJson("4", "g", 10900, "u1", 7.0),
+        metricJson("5", "g", 14500, "u1", 8.0)).mkString("\n").getBytes)
+    val line = "alert Hot = avg_over_time(g[1h]) > 4 for 1h"
+    val q = PromQlStream.compileAlert(
+        line,
+        graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath))
+      .writeStream.format("memory").queryName("pqs_gfor").outputMode("append")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      // a far sample advances the watermark past every asserted window
+      Files.write(dir.toPath.resolve("b2.json"),
+        Seq(metricJson("9", "g", 40000, "u1", 0.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      def streamed(): Set[(String, String, Long, Double)] = spark.table("pqs_gfor")
+        .collect()
+        .map(r => (r.getAs[String]("name"), r.getAs[String]("series"),
+          r.getAs[Long]("win_start"), r.getAs[Double]("value")))
+        .toSet
+      val fires = streamed()
+      assert(fires ===
+        Set(("Hot", "user=u1", 3600L, 6.0), ("Hot", "user=u1", 14400L, 8.0)))
+      // the batch rule evaluator over the same closed samples agrees
+      val batch = graft.promql.PromQlRules.evaluate(
+          line,
+          graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath)
+            .filter(col("timestamp") < 39000))("Hot")
+        .collect()
+        .map(r => (r.getAs[String]("name"), r.getAs[String]("series"),
+          r.getAs[Long]("win_start"), r.getAs[Double]("value")))
+        .toSet
+      assert(fires === batch)
+      // LATE DATA pins at the watermark: a sample into the long-closed
+      // window 0 (which would break its breach and the first streak) is
+      // dropped by the expression's own aggregation — fires never
+      // retract, the emitted set is unchanged
+      Files.write(dir.toPath.resolve("b3.json"),
+        Seq(metricJson("L", "g", 200, "u1", -100.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      assert(streamed() === fires)
+      // a duration off the expression's window grid is refused; so is a
+      // TWS-family shape (no event-time column to chain on)
+      assertThrows[PromQlCompileException](PromQlStream.compileAlert(
+        "alert A = avg_over_time(g[1h]) > 4 for 90m",
+        graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)))
+      assertThrows[PromQlCompileException](PromQlStream.compileAlert(
+        "alert A = irate(g[1h]) > 4 for 1h",
+        graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)))
+      assertThrows[PromQlCompileException](PromQlStream.compileAlert(
+        "alert A = g > 4 for 1h keep_firing_for 1h",
         graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)))
     } finally q.stop()
   } }
