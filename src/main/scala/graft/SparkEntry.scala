@@ -953,6 +953,15 @@ object SparkEntry {
     "m21_prom_parse" -> ((s, dir) =>
       Firehose.promParse(
         Firehose.promRender(Firehose.gaugeLatest(metricsOf(s, dir))))),
+    // m59: OpenMetrics tolerance — the same render with an exemplar
+    // tail appended to EVERY line must parse to the identical relation
+    // (exemplars tolerated-and-dropped; the oracle is m21's, which
+    // never sees a tail)
+    "m59_openmetrics_exemplars" -> ((s, dir) =>
+      Firehose.promParse(
+        Firehose.promRender(Firehose.gaugeLatest(metricsOf(s, dir)))
+          .select(concat(col("line"),
+            lit(" # {trace_id=\"abc\",span_id=\"7\"} 0.5 1000")).as("line")))),
     "m20_sliding_window" -> ((s, dir) =>
       Firehose.slidingWindowAgg(metricsOf(s, dir))),
     "q_window_ranks" -> ((s, dir) => Relational.qWindowRanks(s, dir)),
@@ -1338,6 +1347,16 @@ object SparkEntry {
     "m6_prom_render" ->
       (PromLineCte + "SELECT line FROM lines"),
     "m21_prom_parse" ->
+      (PromLineCte +
+        """, p AS (SELECT string_split(line, ' ') AS parts FROM lines)
+          |SELECT regexp_extract(parts[1], '^([^{]+)', 1) AS metric,
+          |  replace(regexp_extract(parts[1], '\{(.*)\}', 1), '"', '') AS series,
+          |  CAST(parts[2] AS DOUBLE) AS value,
+          |  CAST(parts[3] AS BIGINT) AS ts_ms
+          |FROM p""".stripMargin),
+    // m59: the exemplar-bearing parse must equal m21's tail-free parse —
+    // the oracle IS m21's (it never sees an exemplar)
+    "m59_openmetrics_exemplars" ->
       (PromLineCte +
         """, p AS (SELECT string_split(line, ' ') AS parts FROM lines)
           |SELECT regexp_extract(parts[1], '^([^{]+)', 1) AS metric,

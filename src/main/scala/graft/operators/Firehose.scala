@@ -260,8 +260,17 @@ object Firehose {
     val pairRe = PromGrammar.PairRe
     lines
       .select(trim(col("line")).as("_l"))
-      .filter(length(col("_l")) > 0 && !col("_l").startsWith("#") &&
-        col("_l").rlike(re))
+      .filter(length(col("_l")) > 0 && !col("_l").startsWith("#"))
+      // OpenMetrics tolerance, the scanners' retry discipline as one
+      // codegen'd conditional: a line that does NOT already parse under
+      // the plain grammar (match + block tiling) sheds its exemplar
+      // tail; previously-valid lines are left byte-identical
+      .withColumn("_l",
+        when(col("_l").rlike(re) &&
+          regexp_extract(col("_l"), re, 3).rlike(PromGrammar.BlockRe),
+          col("_l"))
+          .otherwise(regexp_replace(col("_l"), PromGrammar.ExemplarTailRe, "")))
+      .filter(col("_l").rlike(re))
       .withColumn("_block", regexp_extract(col("_l"), re, 3))
       // a block that isn't a clean comma-tiling of label pairs is a
       // malformed LINE (drop), not a line whose series keeps the pairs
@@ -320,6 +329,17 @@ object Firehose {
       */
     val NewlineEscRe = "(?<!\\\\)((?:\\\\\\\\)*)\\\\n"
     val AnyEscRe = "\\\\(.)"
+    /** An OpenMetrics EXEMPLAR tail — ` # {labelset} value [ts]` after the
+      * sample — tolerated-and-dropped by every reader: a modern endpoint
+      * that negotiates OpenMetrics must not break the scraper (nor refuse
+      * a whole ingest batch) just because a counter carries trace
+      * exemplars. Stripping happens ONLY when the line does not already
+      * parse under the plain grammar, so no previously-valid line (e.g. a
+      * quoted label value that happens to contain ` # {`) changes meaning.
+      * Exemplar labelsets with braces inside quoted values stay
+      * unparseable (no real trace-id exemplar carries them).
+      */
+    val ExemplarTailRe = "\\s+#\\s+\\{[^{}]*\\}\\s+\\S+(\\s+\\S+)?\\s*$"
 
     /** Scanner-side unescape: the same two regex passes, in the same order,
       * on the same engine as the expression parser's `regexp_replace` chain
@@ -341,6 +361,16 @@ object Firehose {
       * scrape client, so every reader of the format runs one grammar.
       */
     def parseLineLabels(
+        line: String): Option[(String, Map[String, String], Double, Option[Long])] =
+      parseLineLabelsPlain(line).orElse {
+        // OpenMetrics tolerance: retry once with the exemplar tail
+        // stripped — a no-op (same None) for lines without one
+        val stripped = stripExemplarTail(line)
+        if (stripped == line) None else parseLineLabelsPlain(stripped)
+      }
+
+    /** [[parseLineLabels]] minus the exemplar retry. */
+    private def parseLineLabelsPlain(
         line: String): Option[(String, Map[String, String], Double, Option[Long])] = {
       val m = LinePattern.matcher(line)
       if (!m.matches()) return None
@@ -357,6 +387,15 @@ object Firehose {
         } catch { case _: NumberFormatException => None }
       }
     }
+
+    private lazy val ExemplarTailPattern =
+      java.util.regex.Pattern.compile(ExemplarTailRe)
+
+    /** The line with its OpenMetrics exemplar tail removed (unchanged
+      * when there is none) — shared by every scanner's retry path.
+      */
+    def stripExemplarTail(line: String): String =
+      ExemplarTailPattern.matcher(line).replaceFirst("")
 
     /** Scanner-side value-token parse mirroring Spark's
       * `try_cast(tok AS double)` exactly: Java `parseDouble` PLUS Spark's

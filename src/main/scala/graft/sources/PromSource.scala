@@ -53,6 +53,17 @@ object PromSource {
     */
   def parseLine(line: String): Option[(String, String, Double, java.lang.Long)] = {
     import graft.operators.Firehose.PromGrammar
+    parseLinePlain(line).orElse {
+      // OpenMetrics tolerance: exemplar tails drop, the sample stays —
+      // same retry discipline as PromGrammar.parseLineLabels
+      val stripped = PromGrammar.stripExemplarTail(line)
+      if (stripped == line) None else parseLinePlain(stripped)
+    }
+  }
+
+  private def parseLinePlain(
+      line: String): Option[(String, String, Double, java.lang.Long)] = {
+    import graft.operators.Firehose.PromGrammar
     val t = line.trim
     if (t.isEmpty || t.startsWith("#")) return None
     val m = LinePattern.matcher(t)

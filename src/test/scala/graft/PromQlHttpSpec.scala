@@ -398,6 +398,56 @@ class PromQlHttpSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("the scraper and the ingest endpoint tolerate an OpenMetrics body: " +
+      "exemplars drop, samples land, # EOF skips") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    // a modern endpoint's exposition: TYPE/HELP metadata, exemplar tails
+    // (with and without exemplar timestamps), and the # EOF terminator
+    val body =
+      """# TYPE http_req_total counter
+        |# HELP http_req_total requests
+        |http_req_total{path="/a"} 3 17000 # {trace_id="abc"} 1.0 16999
+        |http_req_total{path="/b"} 5 # {trace_id="def xyz"} 0.5
+        |bare_metric 7 21000
+        |# EOF
+        |""".stripMargin
+    val target = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    target.createContext("/metrics", (ex: HttpExchange) => {
+      val b = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, b.length)
+      val os = ex.getResponseBody
+      try os.write(b) finally os.close()
+    })
+    target.start()
+    try {
+      val r = Files.createTempDirectory("pqlscrex").toFile.getAbsolutePath
+      val (v, n) = graft.promql.PromScraper.scrapeOnce(spark,
+        s"http://127.0.0.1:${target.getAddress.getPort}/metrics", r,
+        tsSec = Some(9999L))
+      assert(v === 0L && n === 3)
+      val landed = Versioned.latest(spark, r)
+        .select(col("name"), Firehose.seriesKey(col("labels")).as("s"),
+          col("timestamp"), col("value"))
+        .collect()
+        .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+        .toSet
+      // exposition timestamps are millis → floor-seconds; the no-ts line
+      // takes the scrape stamp; exemplar labels never become series labels
+      assert(landed === Set(
+        ("http_req_total", "path=/a", 17L, 3.0),
+        ("http_req_total", "path=/b", 9999L, 5.0),
+        ("bare_metric", "", 21L, 7.0)))
+      // the POST ingest endpoint shares the grammar: same body lands too
+      val r2 = Files.createTempDirectory("pqlingex").toFile.getAbsolutePath
+      val server = PromQlHttp.startLandingServer(spark, r2)
+      try {
+        val (code, resp) = postRaw(server.getAddress.getPort,
+          "/api/v1/ingest?component=scrape&time=9999", body)
+        assert(code === 200 && resp.contains("\"samples\":3"), resp)
+      } finally server.stop(0)
+    } finally target.stop(0)
+  }
+
   test("the scrape loop's auto-compact tick holds the file count down") {
     val server = PromQlHttp.startLandingServer(spark, root)
     try {

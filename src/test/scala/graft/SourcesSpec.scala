@@ -82,7 +82,14 @@ class SourcesSpec extends SparkSuite {
       "bad{k=\"v\"} notanumber 1700000000006", // malformed value
       "badts{k=\"v\"} 1 notalong", // malformed timestamp
       "res{oops} 1 1700000000011", // malformed: label-block residue
-      "res2{k=\"v\" j=\"w\"} 1 1700000000012") // malformed: missing comma
+      "res2{k=\"v\" j=\"w\"} 1 1700000000012", // malformed: missing comma
+      // OpenMetrics tolerance: exemplar tails drop, the sample stays
+      "ex1{k=\"v\"} 3 1700000000013 # {trace_id=\"abc\"} 1.0 1700000000012",
+      "ex2{k=\"v2\"} 4 # {trace_id=\"d e\"} 0.5", // no sample ts, exemplar
+      "ex3 5 1700000000014 # {t=\"x\"} 2", // bare metric + exemplar
+      "# EOF", // OpenMetrics terminator → comment, skipped
+      "exbad{k=\"v\"} 6 # {unclosed 1.0", // malformed even after strip
+      "hashy{k=\"a # {b} c\"} 7 1700000000015") // ' # {' INSIDE a value: no strip
     Files.write(dir.toPath.resolve("adv.prom"), lines.mkString("\n").getBytes)
     val viaSource = spark.read.format("prom").load(dir.getAbsolutePath)
     val viaExpr = graft.operators.Firehose.promParse(
@@ -90,7 +97,7 @@ class SourcesSpec extends SparkSuite {
     val s = viaSource.collect().map(_.toString).sorted.toSeq
     val e = viaExpr.collect().map(_.toString).sorted.toSeq
     assert(s === e)
-    assert(s.length === 11) // exactly the well-formed samples survive
+    assert(s.length === 15) // exactly the well-formed samples survive
     val series = viaSource.collect().map(r => (r.getString(0), r.getString(1))).toMap
     assert(series("lat") === "job=a b,q=0.99")
     assert(series("esc") === "msg=say \"hi\"")
@@ -103,6 +110,17 @@ class SourcesSpec extends SparkSuite {
     assert(series("nl") === "msg=a\nb")
     assert(series("nl2") === "p=c:\\nx")
     assert(!series.contains("res") && !series.contains("res2"))
+    // exemplar-bearing lines keep their samples, tails dropped
+    assert(series("ex1") === "k=v" && series("ex2") === "k=v2" &&
+      series("ex3") === "")
+    assert(!series.contains("exbad"))
+    assert(series("hashy") === "k=a # {b} c")
+    val ex1 = viaSource.filter(col("metric") === "ex1").collect()(0)
+    assert(ex1.getDouble(ex1.fieldIndex("value")) === 3.0 &&
+      ex1.getLong(ex1.fieldIndex("ts_ms")) === 1700000000013L)
+    val ex2 = viaSource.filter(col("metric") === "ex2").collect()(0)
+    assert(ex2.getDouble(ex2.fieldIndex("value")) === 4.0 &&
+      ex2.isNullAt(ex2.fieldIndex("ts_ms")))
     val histVal = viaSource.filter(col("metric") === "hist").collect()(0)
     assert(histVal.getDouble(histVal.fieldIndex("value")).isPosInfinity)
     val nots = viaSource.filter(col("metric") === "nots").collect()(0)
