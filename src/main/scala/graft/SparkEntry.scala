@@ -546,6 +546,15 @@ object SparkEntry {
           |alert HighErr = r:err1h > 0 for 1h""".stripMargin,
         metricsOf(s, dir))("HighErr")),
     // ---- m37: Prometheus NATIVE histograms (exponential sparse buckets,
+    // m58: recording-rule STATIC labels — the first rule stamps
+    // tier="gold" onto every recorded series (part of the recorded
+    // identity), the second rule aggregates BY that label; the oracle
+    // replays the per-user hourly increases and their per-window total
+    "m58_rule_labels" -> ((s, dir) =>
+      promql.PromQlRules.evaluate(
+        """r:err = sum by (user) (increase(error_total[1h])) labels {tier="gold"}
+          |r:gold = sum by (tier) (r:err)""".stripMargin,
+        metricsOf(s, dir))("r:gold")),
     // m40: timestamp() + the calendar family — hour-of-day of each
     // window's freshest raw sample (tz-independent modular arithmetic)
     "m40_promql_time" -> ((s, dir) =>
@@ -2901,6 +2910,18 @@ object SparkEntry {
           |FROM flag WHERE back1 = win_start - 3600""".stripMargin),
     // the rule chain collapses to m32_promql_topk's relation, recorded
     // under the second rule's name
+    // m58: the per-user recorded increases (stamped tier=gold) summed by
+    // the STATIC label — the recorded identity carries the rule's label
+    // or the second rule groups nothing
+    "m58_rule_labels" ->
+      (IncreaseCte(3600) +
+        """, agg AS (
+          |  SELECT component, series, win_start,
+          |    CAST(sum(CAST(increase AS DECIMAL(26,6))) AS DOUBLE) AS v
+          |  FROM win WHERE name = 'error_total' GROUP BY 1, 2, 3)
+          |SELECT component, 'r:gold' AS name, 'tier=gold' AS series,
+          |  win_start, CAST(sum(CAST(v AS DECIMAL(26,6))) AS DOUBLE) AS value
+          |FROM agg GROUP BY 1, 4""".stripMargin),
     "m38_promql_rules" ->
       (IncreaseCte(3600) +
         """, agg AS (

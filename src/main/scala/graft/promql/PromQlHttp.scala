@@ -265,7 +265,7 @@ object PromQlHttp {
             val body = rulesBody(rt,
               (s, e) => PromQlVersioned.ruleSpanMetrics(spark, root,
                 PromQlRules.parse(rt).map {
-                  case PromQlRules.Rule(_, x) => x
+                  case r: PromQlRules.Rule => r.expr
                   case a: PromQlRules.Alert => a.expr
                 }, s, e, lookback, version = Some(v)),
               params, () => end, alertsOnly)
@@ -739,7 +739,11 @@ object PromQlHttp {
     val bare =
       if (alerts.isEmpty) Map.empty[String, DataFrame]
       else evalAll(lines.map {
-        case PromQlRules.Rule(n, x) => s"$n = $x"
+        // recording labels are part of the recorded series' identity —
+        // the bare rebuild keeps them and strips only for/keep/alert
+        // decorations
+        case r: PromQlRules.Rule =>
+          s"${r.name} = ${r.expr}" + PromQlRules.clauseText("labels", r.labels)
         case a: PromQlRules.Alert => s"alert ${a.name} = ${a.expr}"
       }.mkString("\n"))
     case class AlertRow(
@@ -798,12 +802,16 @@ object PromQlHttp {
           "alerts" -> entries.mkString("[", ",", "]")))))
     } else {
       val ruleEntries = lines.map {
-        case PromQlRules.Rule(n, x) =>
+        case r: PromQlRules.Rule =>
           jsonObj(Seq(
-            "name" -> s""""${esc(n)}"""",
-            "query" -> s""""${esc(x)}"""",
-            "health" -> "\"ok\"",
-            "type" -> "\"recording\""))
+            "name" -> s""""${esc(r.name)}"""",
+            "query" -> s""""${esc(r.expr)}"""") ++
+            (if (r.labels.isEmpty) Nil
+             else Seq("labels" -> jsonObj(r.labels.toSeq.sorted.map {
+               case (k, v) => k -> s""""${esc(v)}"""" }))) ++
+            Seq(
+              "health" -> "\"ok\"",
+              "type" -> "\"recording\""))
         case a: PromQlRules.Alert =>
           val (state, entries) = alertJson(a)
           jsonObj(Seq(

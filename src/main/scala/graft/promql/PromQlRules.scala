@@ -37,7 +37,14 @@ object PromQlRules {
 
   sealed trait Line { def name: String }
 
-  final case class Rule(name: String, expr: String) extends Line
+  /** A recording rule; `labels` are static labels merged into every
+    * recorded series' label set (rule label wins on conflict —
+    * Prometheus's own merge), becoming part of the recorded series
+    * IDENTITY that later rules and dashboards select on.
+    */
+  final case class Rule(
+      name: String, expr: String,
+      labels: Map[String, String] = Map.empty) extends Line
 
   /** An alerting rule: fires at evaluation windows where `expr` has
     * produced a row for the series in `forSec/step` CONSECUTIVE windows
@@ -67,6 +74,24 @@ object PromQlRules {
     graft.operators.Firehose.PromGrammar.BlockRe)
   private lazy val PairPattern = java.util.regex.Pattern.compile(
     graft.operators.Firehose.PromGrammar.PairRe)
+
+  /** Render a label map back to its clause text (`labels {k="v",…}`,
+    * empty string for no labels) — the exposition escapes inverted, so
+    * `parse(render(x)) == x`. Used to REBUILD rule lines (the wire
+    * layer's bare-condition rebuild must not strip recording labels —
+    * they are part of the recorded series' identity).
+    */
+  def clauseText(keyword: String, labels: Map[String, String]): String =
+    if (labels.isEmpty) ""
+    else labels.toSeq.sorted.map { case (k, v) =>
+      val escaped = v.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case '\n' => "\\n"
+        case c => c.toString
+      }
+      s"""$k="$escaped""""
+    }.mkString(s" $keyword {", ",", "}")
 
   private def labelBlock(block: String): Option[Map[String, String]] =
     if (!BlockPattern.matcher(block).matches()) None
@@ -157,7 +182,20 @@ object PromQlRules {
           }
           Alert(name, rest, forSec, keep,
             labels.getOrElse(Map.empty), annotations.getOrElse(Map.empty))
-        } else Rule(checkName(head), body)
+        } else {
+          // recording rules take the labels clause too (Prometheus
+          // merges rule labels into the recorded series); annotations
+          // are alert-only and refuse loudly
+          val name = checkName(head)
+          body match {
+            case MapClauseRe(pre, "labels", block) if labelBlock(block).nonEmpty =>
+              Rule(name, pre.trim, labelBlock(block).get)
+            case MapClauseRe(_, "annotations", block) if labelBlock(block).nonEmpty =>
+              throw PromQlCompileException(
+                s"rule '$name': annotations are alert-only")
+            case _ => Rule(name, body)
+          }
+        }
       }
       .toSeq
     val dup = rules.groupBy(_.name).collect { case (n, rs) if rs.size > 1 => n }
@@ -255,10 +293,18 @@ object PromQlRules {
     val out = Map.newBuilder[String, DataFrame]
     def compileOne(expr: String): DataFrame = compileOne0(expr, universe)
     rules.foreach {
-      case Rule(name, expr) =>
-        // the recorded series: rule name, window start as sample time
+      case Rule(name, expr, static) =>
+        // the recorded series: rule name, window start as sample time;
+        // static rule labels merge OVER the compiled labels (rule wins —
+        // Prometheus's merge) and become part of the series identity
+        val labelsCol =
+          if (static.isEmpty) col("labels")
+          else map_concat(
+            map_filter(col("labels"),
+              (k, _) => !k.isin(static.keys.toSeq: _*)),
+            typedLit(static))
         val recorded = compileOne(expr).select(
-          col("component"), lit(name).as("name"), col("labels"),
+          col("component"), lit(name).as("name"), labelsCol.as("labels"),
           col("win_start").as("timestamp"), lit("").as("id"), col("value"))
         universe = universe.unionByName(recorded)
         out += name -> recorded.select(

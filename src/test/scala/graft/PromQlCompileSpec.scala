@@ -513,6 +513,48 @@ class PromQlCompileSpec extends SparkSuite {
       """alert E = up labels {a="1"} labels {b="2"}"""))
   }
 
+  test("recording rules take static labels: merged over compiled labels " +
+      "(rule wins), part of the recorded identity, round-trippable") {
+    import spark.implicits._
+    import graft.promql.PromQlRules
+    val parsed = PromQlRules.parse(
+      """r:x = sum by (user) (view_total) labels {tier="gold",user="all"}""")
+      .head.asInstanceOf[PromQlRules.Rule]
+    assert(parsed.expr === "sum by (user) (view_total)")
+    assert(parsed.labels === Map("tier" -> "gold", "user" -> "all"))
+    // clause text round-trips through the parser (escapes included)
+    val rt = PromQlRules.clauseText("labels", Map("a" -> "q\"z", "b" -> "x,y"))
+    val back = PromQlRules.parse(s"r:y = up$rt").head
+      .asInstanceOf[PromQlRules.Rule]
+    assert(back.labels === Map("a" -> "q\"z", "b" -> "x,y"))
+    // annotations are alert-only
+    assertThrows[PromQlCompileException](
+      PromQlRules.parse("""r:z = up annotations {s="t"}"""))
+    // evaluation: the static label lands on every recorded series (rule
+    // value wins over a conflicting compiled label), and a SECOND rule
+    // groups on it — the label is recorded identity, not decoration
+    val planted = Seq(
+      ("app", "c_total", Map("user" -> "u1"), 100L, "a", 5.0),
+      ("app", "c_total", Map("user" -> "u2"), 200L, "b", 7.0)
+    ).toDF("component", "name", "tags", "timestamp", "id", "value")
+    val out = PromQlRules.evaluate(
+      """r:v = sum by (user) (c_total) labels {tier="gold"}
+        |r:sum = sum by (tier) (r:v)""".stripMargin, planted)
+    val rec = out("r:v").select("series", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rec ===
+      Map("tier=gold,user=u1" -> 5.0, "tier=gold,user=u2" -> 7.0))
+    val total = out("r:sum").select("series", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(total === Map("tier=gold" -> 12.0))
+    // a conflicting static label WINS over the compiled one
+    val conf = PromQlRules.evaluate(
+      """r:c = sum by (user) (c_total{user="u1"}) labels {user="all"}""",
+      planted)("r:c").select("series", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(conf === Map("user=all" -> 5.0))
+  }
+
   test("keep_firing_for: the firing state machine on the point grid, " +
       "hand-traced (re-arm without re-pending, gap fill, tail, death)") {
     import spark.implicits._
