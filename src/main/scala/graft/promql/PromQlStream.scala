@@ -131,12 +131,14 @@ object PromQlStream {
   private def windowGrid(e: PromExpr): Option[Long] = e match {
     case Call(fn, Seq(RangeSelector(_, r)))
         if overTimeCols.contains(fn) || fn == "present_over_time" ||
+          fn == "delta" || fn == "idelta" || fn == "irate" ||
           fn == "histogram_count" || fn == "histogram_sum" ||
           fn == "histogram_avg" || fn == "histogram_stddev" ||
           fn == "histogram_stdvar" => Some(r)
     case Call("quantile_over_time", Seq(_, RangeSelector(_, r))) => Some(r)
     case Call("histogram_quantile", Seq(_, RangeSelector(_, r))) => Some(r)
     case Call("histogram_fraction", Seq(_, _, RangeSelector(_, r))) => Some(r)
+    case Call("holt_winters", Seq(RangeSelector(_, r), _, _)) => Some(r)
     case Binary(op, l, NumberLit(_), _, _) if !setOps(op) => windowGrid(l)
     case Binary(op, NumberLit(_), r, _, _) if !setOps(op) => windowGrid(r)
     case _ => None
@@ -196,8 +198,9 @@ object PromQlStream {
     *    raw-sample level, rate thresholds rescaled to per-window
     *    increases (`c·W`).
     *  - the GENERAL windowed shape (round 14): any WINDOW-NATIVE
-    *    lowering (the `*_over_time` family, `quantile_over_time`, the
-    *    native-histogram family — each a windowed aggregation emitting
+    *    lowering (the `*_over_time` family, `quantile_over_time`,
+    *    `delta`/`idelta`/`irate`/`holt_winters`, the native-histogram
+    *    family — each a windowed aggregation emitting
     *    on close — plus scalar-threshold wrappers over them) chains the
     *    [[graft.streaming.FirehoseTws.ForStreakProcessor]] AFTER the
     *    expression's own aggregation: `k = d/W + 1` consecutive
@@ -210,11 +213,11 @@ object PromQlStream {
     *    stall), Spark's append-mode multi-stateful support does the
     *    rest.
     *
-    * Still refused loudly: `for` over the flatMapGroupsWithState/TWS
-    * family (delta/idelta/irate/holt_winters, rate with a non-threshold
-    * wrapper, subqueries) — their relations carry no event-time column
-    * to chain on; the batch rule evaluator ([[PromQlRules.evaluate]])
-    * over a landed stream covers those. `keep_firing_for` is batch-only.
+    * Still refused loudly: `for` over the Update-mode TWS family
+    * (rate/increase under non-threshold wrappers, subqueries) — their
+    * relations carry no event-time column to chain on; the batch rule
+    * evaluator ([[PromQlRules.evaluate]]) over a landed stream covers
+    * those. `keep_firing_for` is batch-only.
     */
   def compileAlert(
       line: String,
@@ -262,9 +265,10 @@ object PromQlStream {
             case None =>
               err(s"alert '${alert.name}': `for` durations stream for " +
                 "window-native shapes (*_over_time, quantile_over_time, " +
-                "histogram_*, with optional scalar thresholds) and the " +
-                "increase/rate selector-threshold shape; use the batch " +
-                "rule evaluator for the rest")
+                "delta/idelta/irate/holt_winters, histogram_*, with " +
+                "optional scalar thresholds) and the increase/rate " +
+                "selector-threshold shape; use the batch rule evaluator " +
+                "for the rest")
           }
       }
     val breaches = lower(PromQlParser.parse(alert.expr), metrics, stepSec, watermarkDelay)

@@ -221,37 +221,61 @@ object PromRegistry {
     spark.createDataFrame(rows, frameSchema)
   }
 
-  /** The bare-selector INSTANT fast path: a `/api/v1/query` whose
-    * expression is a plain series selector (no offset, no `@`)
-    * evaluated at `t` at or after the landing's newest sample answers
-    * from the registry — each series' latest sample overall IS its
-    * latest in the lookback window when nothing is newer than `t` —
-    * without touching the landing. Returns None (caller falls back to
-    * the landed compile) for every other shape, or when `t` precedes
-    * the newest sample (an older evaluation point needs the
-    * window-interior walk only the landed read can answer).
-    * Byte-identity with the landed compile is spec-pinned.
+  /** Is the expression INSTANT-SELECTOR-ONLY — every selector plain (no
+    * offset, no `@`), no range selectors, no subqueries? For those, an
+    * instant evaluation at `t ≥ newest` sees EXACTLY what the registry
+    * holds: each selector picks its series' latest sample in
+    * `(t − lookback, t]`, which over the full corpus is the series HEAD
+    * (or nothing — the head is the newest sample, so head outside the
+    * window ⟹ every sample outside), and the registry preserves the
+    * full (component, name, series) universe (every series ever seen
+    * keeps a head), so even the universe-dependent family
+    * (`absent`/`time`/`vector`) evaluates identically. Window-interior
+    * shapes (range selectors, subqueries) and re-anchored selectors
+    * (offset, `@`) see history the registry does not keep — excluded.
+    */
+  def instantOnly(e: PromExpr): Boolean = e match {
+    case s: VectorSelector => s.offsetSec == 0 && s.atSec.isEmpty
+    case _: RangeSelector | _: Subquery => false
+    case Call(_, args) => args.forall(instantOnly)
+    case Agg(_, inner, param, _) =>
+      instantOnly(inner) && param.forall(instantOnly)
+    case Binary(_, l, r, _, _) => instantOnly(l) && instantOnly(r)
+    case Neg(inner) => instantOnly(inner)
+    case _: NumberLit | _: StringLit => true
+  }
+
+  /** The registry's heads as a METRIC relation — the landed schema
+    * `(component, name, labels, timestamp, id, value)`, one row per
+    * live series, local (no scanned files in any plan over it).
+    */
+  def metricsFrame(spark: SparkSession, state: State): DataFrame =
+    frame(spark, state).select(
+      col("component"), col("name"), col("labels"),
+      col("last_ts").as("timestamp"), col("id"),
+      col("last_value").as("value"))
+
+  /** The INSTANT fast path: a `/api/v1/query` whose expression is
+    * instant-selector-only ([[instantOnly]] — bare selectors, instant
+    * aggregations, vector arithmetic/comparisons/set ops, the scalar
+    * and universe function families) evaluated at `t` at or after the
+    * landing's newest sample runs THE SAME COMPILED PLAN over the
+    * registry's registry-sized local relation instead of the landing —
+    * the whole Grafana "current values" dashboard class at zero landed
+    * files. Returns None (caller falls back to the pruned landed
+    * compile) for every other shape, or when `t` precedes the newest
+    * sample (an older evaluation point can see past a series' head).
+    * Byte-identity with the landed compile is spec-pinned across the
+    * shape classes.
     */
   def instantFastPath(
       spark: SparkSession, root: String, query: String, tSec: Long,
       lookbackSec: Long): Option[DataFrame] = {
-    val sel = PromQlParser.parse(query) match {
-      case s: VectorSelector if s.offsetSec == 0 && s.atSec.isEmpty => s
-      case _ => return None
-    }
+    val ast = PromQlParser.parse(query)
+    if (!instantOnly(ast)) return None
     val state = current(spark, root)
     if (state.heads.nonEmpty && tSec < state.maxTs) return None
-    val base = frame(spark, state)
-      .filter(col("last_ts") > lit(tSec - lookbackSec) &&
-        col("last_ts") <= lit(tSec))
-    val named = sel.name match {
-      case Some(n) => base.filter(col("name") === lit(n))
-      case None => base
-    }
-    val out = sel.matchers
-      .foldLeft(named)((df, m) => df.filter(PromQlCompiler.matcherPred(m)))
-      .select(col("component"), col("name"), col("labels"),
-        lit(tSec).as("win_start"), col("last_value").as("value"))
-    Some(out)
+    Some(PromQlCompiler.compileInstantVector(
+      query, metricsFrame(spark, state), tSec, lookbackSec))
   }
 }

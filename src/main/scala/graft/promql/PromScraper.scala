@@ -83,6 +83,11 @@ object PromScraper {
     while (i <= ticks) {
       try {
         val (v, n) = scrapeOnce(spark, url, root, component, tsSec(i))
+        // warm the latest-gauge registry EAGERLY: the delta fold runs on
+        // the scraper's clock, so the first /federate (or instant) poll
+        // after this append answers from the memo instead of paying it
+        try PromRegistry.refresh(spark, root)
+        catch { case scala.util.control.NonFatal(_) => () }
         onScrape(v, n)
         if (ticks != Int.MaxValue) out += ((v, n))
       } catch {

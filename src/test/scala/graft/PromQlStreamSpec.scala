@@ -132,11 +132,12 @@ class PromQlStreamSpec extends SparkSuite {
         .toSet
       assert(streamed === batch)
       // for-durations outside every streamable shape are refused (the
-      // TWS family carries no event-time column to chain the streak on;
-      // windowed shapes like avg_over_time now stream — see the general
+      // Update-mode TWS family — rate/increase under non-threshold
+      // wrappers, subqueries — carries no event-time column to chain
+      // the streak on; window-native shapes stream — see the general
       // for-duration spec below)
       assertThrows[PromQlCompileException](PromQlStream.compileAlert(
-        "alert A = delta(g[1h]) > 4 for 1h",
+        "alert A = increase(g[1h]) * 2 > 4 for 1h",
         graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)))
     } finally q.stop()
   }
@@ -305,8 +306,16 @@ class PromQlStreamSpec extends SparkSuite {
         "alert A = avg_over_time(g[1h]) > 4 for 90m",
         graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)))
       assertThrows[PromQlCompileException](PromQlStream.compileAlert(
-        "alert A = irate(g[1h]) > 4 for 1h",
+        "alert A = rate(g[1h]) * 2 > 4 for 1h",
         graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)))
+      // the delta/irate/holt family is window-native too — the chain
+      // builds (same agg→streak plan class the runtime leg above runs)
+      for (q <- Seq("alert D = idelta(g[1h]) > 0 for 1h",
+          "alert E = irate(g[1h]) > 0.5 for 2h",
+          "alert F = holt_winters(g[1h], 0.5, 0.5) > 1 for 1h"))
+        assert(PromQlStream.compileAlert(q,
+          graft.streaming.FirehoseStream.fromJsonFiles(
+            spark, dir.getAbsolutePath)).columns.contains("value"), q)
       assertThrows[PromQlCompileException](PromQlStream.compileAlert(
         "alert A = g > 4 for 1h keep_firing_for 1h",
         graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)))

@@ -128,8 +128,24 @@ class PromRegistrySpec extends SparkSuite {
         .map(r => s"${r.getString(0)}|${r.getString(1)}|${r.getString(2)}|" +
           s"${r.getLong(3)}|${r.getDouble(4)}")
         .sorted.toSeq
-    for (q <- Seq("view_total", """view_total{user="1"}""",
-        """{user=~"1|2",__name__=~".*_total"}""");
+    // the instant-selector-only class: bare selectors, instant aggs,
+    // vector arithmetic/comparisons/set ops, scalar + universe + label
+    // function families — each byte-identical to the landed compile
+    for (q <- Seq(
+        "view_total", """view_total{user="1"}""",
+        """{user=~"1|2",__name__=~".*_total"}""",
+        "sum by (user) (view_total)",
+        "topk(3, view_total)",
+        "view_total / on(user) click_total",
+        "view_total > 50",
+        "2 * view_total + 1",
+        "view_total and error_total",
+        "count_values(\"v\", round(view_total, 10))",
+        "absent(view_total)", """absent(nosuch_metric{user="1"})""",
+        "hour(timestamp(view_total))",
+        "label_replace(view_total, \"u2\", \"$1\", \"user\", \"(.*)\")",
+        "scalar(count(view_total)) * vector(1)",
+        "sort_desc(view_total)");
         (tt, lb) <- Seq((t, 300L), (t, 7 * 86400L), (t + 60L, 3600L))) {
       val fast = PromRegistry.instantFastPath(spark, root, q, tt, lb)
       assert(fast.nonEmpty, s"fast path must take '$q'")
@@ -137,10 +153,13 @@ class PromRegistrySpec extends SparkSuite {
         spark, root, q, tt, lookbackSec = lb)
       assert(rendered(fast.get) === rendered(slow), s"$q @ $tt lb=$lb")
     }
-    // declined shapes: offset, @, functions, and an evaluation time
-    // before the newest sample (older points need the landed walk)
+    // declined shapes: offset, @, window-interior functions, subqueries,
+    // and an evaluation time before the newest sample (older points can
+    // see past a series' head — only the landed walk answers those)
     for (q <- Seq("view_total offset 1h", s"view_total @ ${t - 3600}",
-        "rate(view_total[1h])", "sum(view_total)"))
+        "rate(view_total[1h])", "avg_over_time(view_total[1h])",
+        "sum_over_time((sum(view_total))[2h:1h])",
+        s"sum(view_total @ $t)"))
       assert(PromRegistry.instantFastPath(spark, root, q, t, 300L).isEmpty, q)
     assert(PromRegistry.instantFastPath(
       spark, root, "view_total", t - 1L, 300L).isEmpty)
