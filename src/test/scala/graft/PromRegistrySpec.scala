@@ -165,6 +165,97 @@ class PromRegistrySpec extends SparkSuite {
       spark, root, "view_total", t - 1L, 300L).isEmpty)
   }
 
+  test("instant-only tree fuzz: the registry fast path equals the landed " +
+      "compile on random expressions") {
+    import spark.implicits._
+    import graft.promql._
+    PromRegistry.reset()
+    val seeds = sys.env.get("GRAFT_FUZZ_SEED")
+      .map(s => Seq(s.toLong)).getOrElse(Seq(19L))
+    for (seed <- seeds) {
+      val rnd = new scala.util.Random(seed)
+      val base = 1704067200L
+      // two live metrics (heads near t), one STALE metric whose head
+      // falls out of small lookbacks, one series-sparse metric — the
+      // shapes that distinguish head-window filtering and absent()
+      val samples =
+        (for (n <- Seq("a_total", "b_total"); u <- Seq("u1", "u2", "u3");
+            i <- 0 until 12)
+          yield ("app", n, Map("user" -> u), base + i * 600L, f"i$i%03d",
+            rnd.nextInt(10000) / 100.0)) ++
+        (for (i <- 0 until 4)
+          yield ("app", "old_total", Map("user" -> "u1"), base - 86400L + i,
+            f"o$i%03d", i * 1.0)) :+
+        (("app", "rare_total", Map("user" -> "u2"), base + 7000L, "r001", 3.5))
+      val metrics = samples
+        .toDF("component", "name", "labels", "timestamp", "id", "value")
+      val root = Files.createTempDirectory(s"graft-regdiff$seed")
+        .toFile.getAbsolutePath
+      PromQlVersioned.land(metrics, root)
+      val t = samples.map(_._4).max
+      val names = Seq("a_total", "b_total", "old_total", "rare_total")
+      def leaf(): PromExpr = rnd.nextInt(4) match {
+        case 0 => VectorSelector(Some(names(rnd.nextInt(names.length))))
+        case 1 => VectorSelector(Some(names(rnd.nextInt(2))),
+          Seq(LabelMatcher("user", MatchOp.Re, "u1|u2")))
+        case 2 => VectorSelector(Some(names(rnd.nextInt(names.length))),
+          Seq(LabelMatcher("user", MatchOp.Neq, "u3")))
+        case 3 => VectorSelector(None,
+          Seq(LabelMatcher("__name__", MatchOp.Re, ".*_total")))
+      }
+      val fns = Seq("abs", "ceil", "floor", "sgn", "sqrt", "exp", "ln", "round")
+      val aggs = Seq("sum", "min", "max", "avg", "count")
+      def gen(d: Int): PromExpr =
+        if (d == 0) leaf()
+        else rnd.nextInt(9) match {
+          case 0 => leaf()
+          case 1 =>
+            val g = if (rnd.nextBoolean()) AggGroup.All
+              else AggGroup.By(Seq("user"))
+            Agg(aggs(rnd.nextInt(aggs.length)), gen(d - 1), None, g)
+          case 2 =>
+            val ops = Seq("+", "-", "*", "/", ">", "<", ">=", "==")
+            val op = ops(rnd.nextInt(ops.length))
+            Binary(op, gen(d - 1), NumberLit(rnd.nextInt(100) / 10.0), None,
+              boolMod = op.exists(">=<=".contains(_)) && rnd.nextBoolean())
+          case 3 =>
+            val ops = Seq("and", "or", "unless")
+            Binary(ops(rnd.nextInt(3)), leaf(), leaf(), None, boolMod = false)
+          case 4 => Call(fns(rnd.nextInt(fns.length)), Seq(gen(d - 1)))
+          case 5 => Call("absent", Seq(leaf()))
+          case 6 => Call("hour", Seq(Call("timestamp", Seq(leaf()))))
+          case 7 => Agg("topk", leaf(), Some(NumberLit(2)), AggGroup.All)
+          case 8 => Agg("count_values", leaf(), Some(StringLit("v")),
+            AggGroup.All)
+        }
+      def rendered(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.select(col("component"), col("name"),
+            Firehose.seriesKey(col("labels")).as("s"), col("win_start"),
+            col("value"))
+          .collect()
+          .map(r => s"${r.getString(0)}|${r.getString(1)}|${r.getString(2)}|" +
+            s"${r.getLong(3)}|${r.getDouble(4)}")
+          .sorted.toSeq
+      var taken = 0
+      for (i <- 0 until 60) {
+        val q = PromQlPrinter.print(gen(2))
+        val (tt, lb) = Seq((t, 300L), (t, 86400L * 3), (t + 120L, 7200L))(
+          rnd.nextInt(3))
+        PromRegistry.instantFastPath(spark, root, q, tt, lb) match {
+          case Some(fast) =>
+            taken += 1
+            val slow = PromQlVersioned.compileInstantVector(
+              spark, root, q, tt, lookbackSec = lb)
+            assert(rendered(fast) === rendered(slow),
+              s"seed $seed iter $i: $q @ $tt lb=$lb")
+          case None =>
+            fail(s"seed $seed iter $i: instant-only tree declined: $q")
+        }
+      }
+      assert(taken === 60)
+    }
+  }
+
   test("random append/compact/expire/delete sequences keep the registry " +
       "full-scan-exact at every step") {
     PromRegistry.reset()

@@ -565,6 +565,44 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("the incremental registry bootstraps the streaming gauge: a fresh " +
+      "deployment's stream starts from the landed heads") {
+    withRocksDb {
+      import spark.implicits._
+      graft.promql.PromRegistry.reset()
+      // land two ticks; the registry's head for u1 is 20.0 @ 2000
+      val root = Files.createTempDirectory("graft-tws-reg").toFile.getAbsolutePath
+      graft.promql.PromQlVersioned.land(
+        Seq(("app", "bytes_total", Map("user" -> "u1"), 1500L, "a", 7.0))
+          .toDF("component", "name", "labels", "timestamp", "id", "value"), root)
+      graft.promql.PromQlVersioned.land(
+        Seq(("app", "bytes_total", Map("user" -> "u1"), 2000L, "b", 20.0))
+          .toDF("component", "name", "labels", "timestamp", "id", "value"), root)
+      val snapshot = graft.promql.PromRegistry.frame(spark,
+        graft.promql.PromRegistry.current(spark, root))
+      val dir = Files.createTempDirectory("graft-tws-reg-in").toFile
+      val chk = Files.createTempDirectory("graft-tws-reg-chk").toFile
+      // the stream's first sample is STALE vs the landed head — the
+      // bootstrapped state must hold the registry value
+      Files.write(dir.toPath.resolve("b1.json"),
+        Seq(metricJson("9", "bytes_total", 1000, "u1", 5.0)).mkString("\n").getBytes)
+      val q = graft.streaming.FirehoseTws.gaugeLatestBootstrapped(
+          FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+          snapshot, watermarkDelay = "1 hour")
+        .writeStream.format("memory").queryName("tws_reg_t").outputMode("update")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .start()
+      try {
+        q.processAllAvailable()
+        val out = spark.table("tws_reg_t")
+          .groupBy("series").agg(max_by(col("last_value"), col("last_ts")).as("v"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(out === Map("user=u1" -> 20.0),
+          s"stale first sample beat the registry bootstrap: $out")
+      } finally q.stop()
+    }
+  }
+
   test("transformWithState counter increase keeps per-window accumulators (late-data parity)") {
     withRocksDb {
       val dir = Files.createTempDirectory("graft-tws-i").toFile
