@@ -361,17 +361,28 @@ object Firehose {
       * scrape client, so every reader of the format runs one grammar.
       */
     def parseLineLabels(
-        line: String): Option[(String, Map[String, String], Double, Option[Long])] =
-      parseLineLabelsPlain(line).orElse {
+        line: String,
+        omTimestamps: Boolean = false)
+        : Option[(String, Map[String, String], Double, Option[Long])] =
+      parseLineLabelsPlain(line, omTimestamps).orElse {
         // OpenMetrics tolerance: retry once with the exemplar tail
         // stripped — a no-op (same None) for lines without one
         val stripped = stripExemplarTail(line)
-        if (stripped == line) None else parseLineLabelsPlain(stripped)
+        if (stripped == line) None
+        else parseLineLabelsPlain(stripped, omTimestamps)
       }
 
-    /** [[parseLineLabels]] minus the exemplar retry. */
+    /** [[parseLineLabels]] minus the exemplar retry. `omTimestamps`
+      * selects the OpenMetrics timestamp unit — SECONDS, fractional
+      * allowed (the Prometheus text format's are integer MILLIS; the
+      * same line is valid in both, so the unit must come from the
+      * negotiated content type, never a guess). Returned as millis
+      * either way.
+      */
     private def parseLineLabelsPlain(
-        line: String): Option[(String, Map[String, String], Double, Option[Long])] = {
+        line: String,
+        omTimestamps: Boolean)
+        : Option[(String, Map[String, String], Double, Option[Long])] = {
       val m = LinePattern.matcher(line)
       if (!m.matches()) return None
       val block = Option(m.group(3)).getOrElse("")
@@ -382,7 +393,14 @@ object Firehose {
         labels += pm.group(1) -> unescapeLabelValue(pm.group(2))
       parseDoubleToken(m.group(4)).flatMap { value =>
         try {
-          val ts = Option(m.group(6)).map(java.lang.Long.parseLong)
+          val ts = Option(m.group(6)).map { tok =>
+            if (omTimestamps) {
+              val sec = java.lang.Double.parseDouble(tok)
+              if (sec.isNaN || sec.isInfinite)
+                throw new NumberFormatException(tok)
+              Math.floor(sec * 1000.0).toLong
+            } else java.lang.Long.parseLong(tok)
+          }
           Some((m.group(1), labels.result(), value, ts))
         } catch { case _: NumberFormatException => None }
       }

@@ -557,11 +557,21 @@ object PromQlHttp {
   private def ingestBody(
       spark: org.apache.spark.sql.SparkSession, root: String,
       params: Params, body: String): String = {
+    // `format=openmetrics` selects OpenMetrics timestamp units (float
+    // seconds); the default is the Prometheus text format's millis —
+    // the same line is valid in both, so the unit is the CALLER's call
+    val om = params.get("format") match {
+      case None | Some("prometheus") => false
+      case Some("openmetrics") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown format '$other' (expected 'prometheus' or 'openmetrics')")
+    }
     val (v, n) = PromQlVersioned.landExposition(
       spark, root, body,
       params.get("component").getOrElse("scrape"),
       params.get("time").map(parseTime),
-      s"ingest-${java.util.UUID.randomUUID().toString.take(12)}")
+      s"ingest-${java.util.UUID.randomUUID().toString.take(12)}",
+      omTimestamps = om)
     jsonObj(Seq(
       "status" -> "\"success\"",
       "data" -> jsonObj(Seq(

@@ -139,10 +139,40 @@ object PromQlStream {
     case Call("histogram_quantile", Seq(_, RangeSelector(_, r))) => Some(r)
     case Call("histogram_fraction", Seq(_, _, RangeSelector(_, r))) => Some(r)
     case Call("holt_winters", Seq(RangeSelector(_, r), _, _)) => Some(r)
+    // rate/increase chain too (round 14): the for-path lowers them onto
+    // the CLOSED-window increase (append mode, event-time-tagged output
+    // — the eventTimeColumnName chaining contract), not the Update-mode
+    // operator the plain lowering uses
+    case Call(fn, Seq(RangeSelector(_, r)))
+        if fn == "increase" || fn == "rate" => Some(r)
     case Binary(op, l, NumberLit(_), _, _) if !setOps(op) => windowGrid(l)
     case Binary(op, NumberLit(_), r, _, _) if !setOps(op) => windowGrid(r)
     case _ => None
   }
+
+  /** The for-path's lowering: rate/increase route onto the CLOSED
+    * append-mode increase (each window's FINAL total, event-time-tagged
+    * for the chained streak — the Update-mode running totals would both
+    * re-fire per update and refuse to chain); everything else lowers
+    * normally. Scalar wrappers recurse so `rate(x[1h]) * 60 > c for d`
+    * stays on the closed relation.
+    */
+  private def lowerForStreak(
+      ast: PromExpr, metrics: DataFrame, stepSec: Long, wm: String): DataFrame =
+    ast match {
+      case Call(fn @ ("increase" | "rate"), Seq(RangeSelector(sel, r))) =>
+        val closed = graft.streaming.FirehoseTws
+          .counterIncreaseClosed(filtered(metrics, sel), r, wm).toDF()
+        if (fn == "increase") closed
+        else closed.withColumn("value", col("value") / lit(r.toDouble))
+      case Binary(op, l, NumberLit(s), _, boolMod) if !setOps(op) =>
+        applyScalar(lowerForStreak(l, metrics, stepSec, wm), s, op,
+          vecOnLeft = true, boolMod)
+      case Binary(op, NumberLit(s), r, _, boolMod) if !setOps(op) =>
+        applyScalar(lowerForStreak(r, metrics, stepSec, wm), s, op,
+          vecOnLeft = false, boolMod)
+      case other => lower(other, metrics, stepSec, wm)
+    }
 
   /** The streaming native-histogram lowering shared by the
     * `histogram_*` family: the range's observations build the sparse
@@ -213,11 +243,21 @@ object PromQlStream {
     *    stall), Spark's append-mode multi-stateful support does the
     *    rest.
     *
-    * Still refused loudly: `for` over the Update-mode TWS family
-    * (rate/increase under non-threshold wrappers, subqueries) — their
-    * relations carry no event-time column to chain on; the batch rule
-    * evaluator ([[PromQlRules.evaluate]]) over a landed stream covers
-    * those. `keep_firing_for` is batch-only.
+    * rate/increase under NON-threshold wrappers chain too (round 14,
+    * second leg): the for-path lowers them onto
+    * [[graft.streaming.FirehoseTws.counterIncreaseClosed]] — each
+    * (series, window) FINAL total emitted exactly once in append mode
+    * with a declared `event_time` column (Spark 4's
+    * `eventTimeColumnName` transformWithState overload; the tag is
+    * max(window end, watermark + 1 ms) because the chaining contract
+    * forbids emitting behind the watermark, and a window closes exactly
+    * BECAUSE the watermark passed it) — so the streak, a second
+    * transformWithState, legally follows.
+    *
+    * Still refused loudly: `for` over subqueries (their closed totals
+    * park inside one processor with no chainable output grid); the
+    * batch rule evaluator ([[PromQlRules.evaluate]]) over a landed
+    * stream covers those. `keep_firing_for` is batch-only.
     */
   def compileAlert(
       line: String,
@@ -252,13 +292,19 @@ object PromQlStream {
                 err(s"alert '${alert.name}': for ${alert.forSec}s must be " +
                   s"a multiple of the expression's ${grid}s window")
               val k = (alert.forSec / grid).toInt + 1
-              val breaches = lower(ast, metrics, stepSec, watermarkDelay)
+              val breaches = lowerForStreak(ast, metrics, stepSec, watermarkDelay)
               if (!breaches.columns.contains("value") ||
                   !breaches.columns.contains("win_start") ||
                   !breaches.columns.contains("series"))
                 err(s"alert '${alert.name}': `for` needs a single-valued " +
                   "windowed per-series shape")
-              graft.streaming.FirehoseTws.forStreak(breaches, grid, k).toDF()
+              val fired =
+                // the closed-increase chain carries its event-time TAG
+                // column; window-native relations carry win_start itself
+                if (breaches.columns.contains("event_time"))
+                  graft.streaming.FirehoseTws.forStreakChained(breaches, grid, k)
+                else graft.streaming.FirehoseTws.forStreak(breaches, grid, k)
+              fired.toDF()
                 .select(col("component"), lit(alert.name).as("name"),
                   col("series"), col("fire_win").as("win_start"),
                   col("increase").as("value"))

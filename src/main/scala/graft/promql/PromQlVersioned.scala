@@ -71,14 +71,19 @@ object PromQlVersioned {
     * the [[PromScraper]] client. Comment/blank lines skip; a MALFORMED
     * line refuses the whole batch (an ingest must not silently drop
     * samples the way a scraper's skip-and-continue does); per-line
-    * exposition timestamps are millis, lines without one take
+    * exposition timestamps are millis — or float SECONDS under
+    * `omTimestamps = true`, the OpenMetrics unit, selected by the
+    * scraper's negotiated content type or the ingest `format` param
+    * (the same line is valid in both formats, so the unit is never
+    * guessed) — and lines without one take
     * `defaultSec` or refuse. The append retries on marker races
     * (concurrent scrapers commute) and lands timestamp stats, so the
     * batch is immediately file-prunable. Returns (version, samples).
     */
   def landExposition(
       spark: SparkSession, root: String, body: String, component: String,
-      defaultSec: Option[Long], idPrefix: String): (Long, Int) = {
+      defaultSec: Option[Long], idPrefix: String,
+      omTimestamps: Boolean = false): (Long, Int) = {
     import graft.operators.Firehose.PromGrammar
     // tuple rows, not a nested case class: an object-nested Product's
     // accessors defeat the encoder's codegen (interpreted-projection
@@ -86,7 +91,7 @@ object PromQlVersioned {
     val rows = body.linesIterator.zipWithIndex.flatMap { case (line, i) =>
       val t = line.trim
       if (t.isEmpty || t.startsWith("#")) None
-      else PromGrammar.parseLineLabels(t) match {
+      else PromGrammar.parseLineLabels(t, omTimestamps) match {
         case None => throw new IllegalArgumentException(
           s"malformed exposition line ${i + 1}: '$t'")
         case Some((metric, labels, value, tsMs)) =>

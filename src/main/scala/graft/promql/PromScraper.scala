@@ -40,14 +40,25 @@ object PromScraper {
       spark: SparkSession, url: String, root: String,
       component: String = "scrape", tsSec: Option[Long] = None): (Long, Int) = {
     val resp = client.send(
-      HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpRequest.newBuilder(URI.create(url)).GET()
+        // Prometheus's own negotiation: prefer the classic text format,
+        // accept OpenMetrics — and read the RESPONSE content type to
+        // pick the timestamp unit (millis vs float seconds; the same
+        // line is valid in both formats, so the unit is never guessed)
+        .header("Accept",
+          "text/plain;version=0.0.4;q=0.9," +
+            "application/openmetrics-text;version=1.0.0;q=0.8,*/*;q=0.1")
+        .build(),
       HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200)
       throw new IllegalStateException(
         s"scrape of $url failed: HTTP ${resp.statusCode()}")
+    val om = resp.headers().firstValue("Content-Type").orElse("")
+      .toLowerCase(java.util.Locale.ROOT).contains("application/openmetrics-text")
     val stamp = tsSec.getOrElse(System.currentTimeMillis() / 1000L)
     PromQlVersioned.landExposition(spark, root, resp.body(), component,
-      Some(stamp), s"scrape-$stamp-${java.util.UUID.randomUUID().toString.take(8)}")
+      Some(stamp), s"scrape-$stamp-${java.util.UUID.randomUUID().toString.take(8)}",
+      omTimestamps = om)
   }
 
   /** The scrape LOOP: `ticks` scrapes, `intervalMs` apart (pass

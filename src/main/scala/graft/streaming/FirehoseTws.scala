@@ -903,6 +903,184 @@ object FirehoseTws {
     }
   }
 
+  /** CLOSED-window counter increase in APPEND mode with the output's
+    * `win_start` declared as its EVENT-TIME column (Spark 4's
+    * `eventTimeColumnName` transformWithState overload — the designed
+    * mechanism for chaining stateful operators after a
+    * transformWithState): the same [[IncreaseCore]] fold as
+    * [[IncreaseProcessor]]/[[ForDurationProcessor]], but each (series,
+    * window) total emits exactly once when the watermark proves it
+    * final — which is what lets a DOWNSTREAM stateful operator (the
+    * general for-duration streak) legally consume rate/increase under
+    * arbitrary scalar wrappers, the shape the Update-mode operator
+    * could never chain. Timer re-arms to the earliest open window's end
+    * so quiet series still close; idle series evict after `ttlMs`.
+    */
+  class IncreaseClosedProcessor(widthSec: Long, ttlMs: Long)
+      extends StatefulProcessor[SeriesKey, GaugePoint, ClosedIncrease] {
+    @transient private var anchor: ValueState[CounterSample] = _
+    @transient private var buffer: ListState[CounterSample] = _
+    @transient private var finalized: MapState[Long, Double] = _
+    @transient private var timerTs: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      anchor = getHandle.getValueState[CounterSample](
+        "anchor", Encoders.product[CounterSample], TTLConfig.NONE)
+      buffer = getHandle.getListState[CounterSample](
+        "buffer", Encoders.product[CounterSample], TTLConfig.NONE)
+      finalized = getHandle.getMapState[Long, Double](
+        "finalized", Encoders.scalaLong, Encoders.scalaDouble, TTLConfig.NONE)
+      timerTs = getHandle.getValueState[Long](
+        "timer", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def armTimer(whenMs: Long): Unit = {
+      if (timerTs.exists()) getHandle.deleteTimer(timerTs.get())
+      getHandle.registerTimer(whenMs)
+      timerTs.update(whenMs)
+    }
+
+    private def stepAndEmit(
+        key: SeriesKey, incoming: Seq[GaugePoint], timers: TimerValues,
+        evictWhenIdle: Boolean): Iterator[ClosedIncrease] = {
+      val anchorOpt = if (anchor.exists()) Some(anchor.get()) else None
+      val st = IncreaseState(
+        hasAnchor = anchorOpt.isDefined,
+        anchorTs = anchorOpt.map(_.ts).getOrElse(0L),
+        anchorId = anchorOpt.map(_.id).getOrElse(""),
+        anchorValue = anchorOpt.map(_.value).getOrElse(0.0),
+        buffer = if (buffer.exists()) buffer.get().toSeq else Nil,
+        finalized =
+          if (finalized.exists()) finalized.iterator().map(t => t._1 -> t._2).toMap
+          else Map.empty)
+      val wmSec = timers.getCurrentWatermarkInMs() / 1000L
+      val samples = incoming.map(p => CounterSample(p.timestamp, p.id, p.value))
+      val r = IncreaseCore.step(st, samples, wmSec, widthSec)
+      val ns = r.state
+      // the declared event-time column must not lag the CURRENT
+      // watermark (Spark's chaining contract —
+      // EMITTING_ROWS_OLDER_THAN_WATERMARK_NOT_ALLOWED, hit verbatim in
+      // the first cut): a window closes exactly BECAUSE the watermark
+      // passed its end, so its own end is always in the past. The tag
+      // is therefore max(window end, watermark + 1 ms) — pure plumbing
+      // for the downstream operator's late-row bound; the REAL window
+      // rides the plain `win_start` column the streak folds on
+      val tagMs = math.max(timers.getCurrentWatermarkInMs() + 1L, 1L)
+      val out = r.closed.map { case (win, inc) =>
+        ClosedIncrease(key._1, key._2, key._3, win, inc,
+          new java.sql.Timestamp(math.max((win + widthSec) * 1000L, tagMs)))
+      }
+      val idle = ns.buffer.isEmpty && ns.finalized.isEmpty
+      if (evictWhenIdle && idle) {
+        anchor.clear(); buffer.clear(); finalized.clear(); timerTs.clear()
+      } else {
+        ns.finalized.foreach { case (win, v) =>
+          if (!st.finalized.get(win).contains(v)) finalized.updateValue(win, v)
+        }
+        st.finalized.keys.filterNot(ns.finalized.contains).foreach(finalized.removeKey)
+        if (ns.hasAnchor)
+          anchor.update(CounterSample(ns.anchorTs, ns.anchorId, ns.anchorValue))
+        buffer.clear()
+        if (ns.buffer.nonEmpty) buffer.put(ns.buffer.toArray)
+        val openEnds =
+          (ns.finalized.keys ++
+            ns.buffer.map(c => c.ts - math.floorMod(c.ts, widthSec)))
+            .map(win => (win + widthSec) * 1000L)
+        if (openEnds.nonEmpty) armTimer(openEnds.min)
+        else {
+          val wm = timers.getCurrentWatermarkInMs()
+          if (wm > 0) armTimer(wm + ttlMs)
+          else armTimer(math.max(ns.anchorTs, 1L) * 1000L + ttlMs)
+        }
+      }
+      out.iterator
+    }
+
+    override def handleInputRows(
+        key: SeriesKey,
+        rows: Iterator[GaugePoint],
+        timers: TimerValues): Iterator[ClosedIncrease] =
+      stepAndEmit(key, rows.toSeq, timers, evictWhenIdle = false)
+
+    override def handleExpiredTimer(
+        key: SeriesKey,
+        timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[ClosedIncrease] = {
+      timerTs.clear()
+      stepAndEmit(key, Nil, timers, evictWhenIdle = true)
+    }
+  }
+
+  /** [[IncreaseClosedProcessor]] wired: per-(series, window) FINAL
+    * increases in append mode, `win_start` tagged as the event-time
+    * column so downstream stateful operators (the for-duration streak)
+    * can chain.
+    */
+  def counterIncreaseClosed(
+      metrics: DataFrame,
+      widthSec: Long = 3600,
+      watermarkDelay: String = "10 minutes",
+      ttlMs: Long = 10 * 60 * 1000L): Dataset[ClosedIncrease] = {
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    FirehoseStream.keyedPoints(metrics, watermarkDelay)
+      .groupByKey(p => (p.component, p.name, p.series))
+      .transformWithState(
+        new IncreaseClosedProcessor(widthSec, ttlMs),
+        "event_time", OutputMode.Append())
+  }
+
+  /** [[forStreak]] for the CLOSED-increase chain: same fold, but the
+    * window identity is the plain epoch-second `win_start` and the
+    * declared `event_time` tag rides through to satisfy the downstream
+    * operator's event-time plumbing.
+    */
+  def forStreakChained(
+      breaches: DataFrame, stepSec: Long, k: Int): Dataset[ForDurationOut] = {
+    require(k >= 1, "for-duration streak needs k >= 1")
+    val spark = breaches.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    breaches
+      .select(col("component"), col("name"), col("series"), col("win_start"),
+        col("value").cast("double").as("value"), col("event_time"))
+      .as[ClosedIncrease]
+      .groupByKey(r => (r.component, r.name, r.series))
+      .transformWithState(
+        new ForStreakClosedProcessor(stepSec, k),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** [[ForStreakProcessor]] over [[ClosedIncrease]] rows (epoch-second
+    * windows) — the chained-closed input shape.
+    */
+  class ForStreakClosedProcessor(stepSec: Long, k: Int)
+      extends StatefulProcessor[SeriesKey, ClosedIncrease, ForDurationOut] {
+    @transient private var streak: ValueState[(Long, Int)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      streak = getHandle.getValueState[(Long, Int)](
+        "streak", Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt),
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: SeriesKey,
+        rows: Iterator[ClosedIncrease],
+        timers: TimerValues): Iterator[ForDurationOut] = {
+      var (lastWin, s) = if (streak.exists()) streak.get() else (Long.MinValue, 0)
+      val fires = rows.toSeq.sortBy(_.win_start).flatMap { r =>
+        s = if (lastWin == r.win_start - stepSec && s > 0) s + 1 else 1
+        lastWin = r.win_start
+        if (s >= k)
+          Some(ForDurationOut(key._1, key._2, key._3, r.win_start, r.value))
+        else None
+      }
+      streak.update((lastWin, s))
+      fires.iterator
+    }
+  }
+
   /** Chain the general streak after a closed-window breach relation
     * `(component, name, series, win_start: timestamp, value)` — fires
     * (as [[ForDurationOut]], epoch-second `fire_win`) from the k-th
@@ -932,3 +1110,13 @@ object FirehoseTws {
 case class WinRow(
     component: String, name: String, series: String,
     win_start: java.sql.Timestamp, value: Double)
+
+/** One FINAL per-(series, window) counter increase, emitted exactly once
+  * at watermark closure. `win_start` is the real window (epoch seconds);
+  * `event_time` is the declared event-time column — max(window end,
+  * watermark + 1 ms), the chaining contract's demand that emitted rows
+  * never lag the current watermark.
+  */
+case class ClosedIncrease(
+    component: String, name: String, series: String,
+    win_start: Long, value: Double, event_time: java.sql.Timestamp)

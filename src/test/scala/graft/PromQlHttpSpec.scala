@@ -446,6 +446,52 @@ class PromQlHttpSpec extends SparkSuite {
         assert(code === 200 && resp.contains("\"samples\":3"), resp)
       } finally server.stop(0)
     } finally target.stop(0)
+    // a target that NEGOTIATES OpenMetrics serves float-SECOND
+    // timestamps — the scraper reads the unit from the response
+    // content type, never from the line (which is valid in both
+    // formats); the ingest endpoint takes it as format=openmetrics
+    val omBody =
+      """om_metric{path="/a"} 3 1700000000.75 # {trace_id="t"} 1.0
+        |om_bare 7
+        |# EOF
+        |""".stripMargin
+    val omTarget = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    omTarget.createContext("/metrics", (ex: HttpExchange) => {
+      val b = omBody.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type",
+        "application/openmetrics-text; version=1.0.0; charset=utf-8")
+      ex.sendResponseHeaders(200, b.length)
+      val os = ex.getResponseBody
+      try os.write(b) finally os.close()
+    })
+    omTarget.start()
+    try {
+      val r3 = Files.createTempDirectory("pqlscrom").toFile.getAbsolutePath
+      val (_, n) = graft.promql.PromScraper.scrapeOnce(spark,
+        s"http://127.0.0.1:${omTarget.getAddress.getPort}/metrics", r3,
+        tsSec = Some(5555L))
+      assert(n === 2)
+      val landed = Versioned.latest(spark, r3)
+        .select(col("name"), col("timestamp")).collect()
+        .map(x => (x.getString(0), x.getLong(1))).toSet
+      // 1700000000.75 s floors to 1700000000 (NOT divided by 1000 —
+      // the millis misread would land year 55769…)
+      assert(landed === Set(("om_metric", 1700000000L), ("om_bare", 5555L)))
+      val r4 = Files.createTempDirectory("pqlingom").toFile.getAbsolutePath
+      val server = PromQlHttp.startLandingServer(spark, r4)
+      try {
+        val port = server.getAddress.getPort
+        val (c2, resp2) = postRaw(port,
+          "/api/v1/ingest?component=scrape&time=5555&format=openmetrics", omBody)
+        assert(c2 === 200 && resp2.contains("\"samples\":2"), resp2)
+        val got = Versioned.latest(spark, r4)
+          .select(col("name"), col("timestamp")).collect()
+          .map(x => (x.getString(0), x.getLong(1))).toSet
+        assert(got === Set(("om_metric", 1700000000L), ("om_bare", 5555L)))
+        assert(postRaw(port, "/api/v1/ingest?format=nonsense", omBody)._1 === 400)
+      } finally server.stop(0)
+    } finally omTarget.stop(0)
   }
 
   test("the scrape loop's auto-compact tick holds the file count down") {

@@ -131,13 +131,12 @@ class PromQlStreamSpec extends SparkSuite {
           r.getAs[Long]("win_start"), r.getAs[Double]("value")))
         .toSet
       assert(streamed === batch)
-      // for-durations outside every streamable shape are refused (the
-      // Update-mode TWS family — rate/increase under non-threshold
-      // wrappers, subqueries — carries no event-time column to chain
-      // the streak on; window-native shapes stream — see the general
-      // for-duration spec below)
+      // for-durations outside every streamable shape are refused
+      // (subqueries — no event-time column to chain the streak on;
+      // rate/increase under wrappers now chain via the closed-window
+      // increase — see the general for-duration spec below)
       assertThrows[PromQlCompileException](PromQlStream.compileAlert(
-        "alert A = increase(g[1h]) * 2 > 4 for 1h",
+        "alert A = max_over_time((rate(g[30m]))[1h:30m]) > 4 for 1h",
         graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)))
     } finally q.stop()
   }
@@ -243,6 +242,36 @@ class PromQlStreamSpec extends SparkSuite {
       assertThrows[PromQlCompileException](PromQlStream.compileAlert(
         "alert A = increase(c_total[1h]) > 5 for 90m",
         graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)))
+      // rate/increase under a WRAPPER (not the bare-threshold shape)
+      // chain too: the closed-window increase emits with win_start
+      // declared as its event time (the eventTimeColumnName overload),
+      // so the streak — a second transformWithState — legally follows;
+      // batch-identical on the same closed samples
+      val chk2 = Files.createTempDirectory("graft-pqs-forw").toFile
+      val line2 = "alert R = rate(c_total[1h]) * 3600 > 5 for 1h"
+      val q2 = PromQlStream.compileAlert(
+          line2,
+          graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath))
+        .writeStream.format("memory").queryName("pqs_forw").outputMode("append")
+        .option("checkpointLocation", chk2.getAbsolutePath)
+        .start()
+      try {
+        q2.processAllAvailable()
+        val streamed2 = spark.table("pqs_forw")
+          .collect()
+          .map(r => (r.getAs[String]("series"), r.getAs[Long]("win_start"),
+            r.getAs[Double]("value")))
+          .toSet
+        val batch2 = graft.promql.PromQlRules.evaluate(
+            line2,
+            graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath)
+              .filter(col("timestamp") < 39000))("R")
+          .collect()
+          .map(r => (r.getAs[String]("series"), r.getAs[Long]("win_start"),
+            r.getAs[Double]("value")))
+          .toSet
+        assert(streamed2.nonEmpty && streamed2 === batch2)
+      } finally q2.stop()
     } finally q.stop()
   } }
 
@@ -304,9 +333,6 @@ class PromQlStreamSpec extends SparkSuite {
       // TWS-family shape (no event-time column to chain on)
       assertThrows[PromQlCompileException](PromQlStream.compileAlert(
         "alert A = avg_over_time(g[1h]) > 4 for 90m",
-        graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)))
-      assertThrows[PromQlCompileException](PromQlStream.compileAlert(
-        "alert A = rate(g[1h]) * 2 > 4 for 1h",
         graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)))
       // the delta/irate/holt family is window-native too — the chain
       // builds (same agg→streak plan class the runtime leg above runs)
