@@ -224,6 +224,13 @@ object PromQlHttp {
         case (Some(s), Some(e)) => Versioned.prunedRead(
           spark, root, Versioned.latestVersion(root),
           Seq(("timestamp", s.toDouble, e.toDouble)))
+        // a time-UNBOUNDED probe (Grafana's global label autocomplete,
+        // fired per keystroke) answers from the registry: a label set
+        // rides its series identity and every series ever seen keeps a
+        // head, so distinct labels/values/series over the registry's
+        // local frame equal the corpus's — zero landed files per probe
+        case (None, None) =>
+          PromRegistry.metricsFrame(spark, PromRegistry.current(spark, root))
         case _ => timeFiltered(Versioned.latest(spark, root), startOpt, endOpt)
       },
       () => cachedNewest(),

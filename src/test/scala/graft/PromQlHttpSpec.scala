@@ -354,6 +354,21 @@ class PromQlHttpSpec extends SparkSuite {
         val (ni1, ib1) = jobsFor(iq)
         val (ni2, ib2) = jobsFor(iq)
         assert(ib1 === ib2 && ni1 === ni2)
+        // time-UNBOUNDED label/series probes answer from the registry's
+        // local frame — and must equal the full-scan span answers (the
+        // bounded path), since label sets ride series identity
+        val tEnd = tMax + 1000L
+        for (p <- Seq("/api/v1/labels", "/api/v1/label/user/values",
+            s"/api/v1/series?match[]=${enc("view_total")}")) {
+          val sep = if (p.contains("?")) "&" else "?"
+          val (cu, unbounded) = get(port, p)
+          val (cb, bounded) = get(port, s"$p${sep}start=0&end=$tEnd")
+          assert(cu === 200 && cb === 200)
+          assert(unbounded === bounded, p)
+        }
+        val (nl1, _) = jobsFor("/api/v1/labels")
+        val (nl2, _) = jobsFor("/api/v1/labels")
+        assert(nl1 === nl2, "warm unbounded label probes must cost the same")
         // metadata limit rides the shared validation (review catch):
         // junk and negative are 400, a real cap keeps one name
         assert(get(port, "/api/v1/metadata?limit=x")._1 === 400)
