@@ -231,7 +231,15 @@ object PromQlHttp {
         // local frame equal the corpus's — zero landed files per probe
         case (None, None) =>
           PromRegistry.metricsFrame(spark, PromRegistry.current(spark, root))
-        case _ => timeFiltered(Versioned.latest(spark, root), startOpt, endOpt)
+        // half-bounded spans prune one-sidedly (files wholly outside
+        // the bound never list; prunedRead applies the residual row
+        // filter itself, like the both-bounds case)
+        case (Some(s), None) => Versioned.prunedRead(
+          spark, root, Versioned.latestVersion(root),
+          Seq(("timestamp", s.toDouble, Double.MaxValue)))
+        case (None, Some(e)) => Versioned.prunedRead(
+          spark, root, Versioned.latestVersion(root),
+          Seq(("timestamp", -Double.MaxValue, e.toDouble)))
       },
       () => cachedNewest(),
       port,

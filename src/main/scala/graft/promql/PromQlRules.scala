@@ -360,22 +360,24 @@ object PromQlRules {
               .drop("_back")
           } else {
             // keep_firing_for: Prometheus's state machine on the step
-            // grid — firing starts when the k-streak completes and
-            // PERSISTS while the gap since the last breaching point
-            // stays ≤ keep (a breach during the keep window re-arms the
-            // firing without a fresh pending period), dying at the
-            // first point more than keep past the last breach. Encoded
-            // without a driver loop: breaching points SESSIONIZE on
-            // gap > keep (the chains that keep firing alive are exactly
-            // the intra-session chains — every intra-session grid point
-            // sits within keep of its preceding breach), a session
-            // fires from its first completed streak onward, and the
-            // non-breaching fired points (gaps between re-arming
-            // breaches plus the tail past the last breach) materialize
-            // as generated grid points carrying the PRECEDING breach's
-            // value (Prometheus keeps the alert's last value while the
-            // expression returns nothing), clamped to the evaluation
-            // end when the caller has one.
+            // grid — firing starts when the k-streak completes and DIES
+            // at the first NON-breaching point more than keep past the
+            // last breach (a breach reached while still firing re-arms
+            // it without a fresh pending period). Encoded without a
+            // driver loop: breaching points SESSIONIZE on
+            // gap > keep + step — the death check runs only at FALSE
+            // points, so two breaches keep + step apart are bridged by
+            // false points all within keep of the earlier one (the
+            // property fuzz caught the naive `gap > keep` cut firing
+            // one step early); every intra-session false point sits
+            // within keep of its preceding breach. A session fires from
+            // its first completed streak onward, and the non-breaching
+            // fired points (gaps between re-arming breaches plus the
+            // tail past the last breach) materialize as generated grid
+            // points carrying the PRECEDING breach's value (Prometheus
+            // keeps the alert's last value while the expression returns
+            // nothing), clamped to the evaluation end when the caller
+            // has one.
             val keepN = lit(keepSec)
             val complete =
               if (k == 1) lit(true)
@@ -386,7 +388,8 @@ object PromQlRules {
               .withColumn("_prev", lag(col("win_start"), 1).over(w))
               .withColumn("_new",
                 (col("_prev").isNull ||
-                  col("win_start") - col("_prev") > keepN).cast("long"))
+                  col("win_start") - col("_prev") >
+                    keepN + lit(stepSec)).cast("long"))
               .withColumn("_sess", sum(col("_new")).over(
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
             val sessAll = Window.partitionBy(

@@ -601,6 +601,70 @@ class PromQlCompileSpec extends SparkSuite {
       fired("alert K = c_total > 0 keep_firing_for 90s", 720L))
   }
 
+  test("keep_firing_for property fuzz: the sessionized plan matches a " +
+      "sequential reference state machine on random breach patterns") {
+    import spark.implicits._
+    import graft.promql.PromQlRules
+    val seeds = sys.env.get("GRAFT_FUZZ_SEED")
+      .map(s => Seq(s.toLong)).getOrElse(Seq(31L))
+    for (seed <- seeds) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20
+      val step = 60L
+      for (iter <- 0 until 25) {
+        val k = 1 + rnd.nextInt(3)
+        val keepSteps = rnd.nextInt(4)
+        // per grid point: Some(v > 0) breach, Some(-1) non-breach sample,
+        // None absent — absence and a failing sample must behave alike
+        val pattern: Seq[Option[Double]] = (0 until n).map { p =>
+          rnd.nextInt(4) match {
+            case 0 | 1 => Some(10.0 + p)
+            case 2 => Some(-1.0)
+            case 3 => None
+          }
+        }
+        val planted = pattern.zipWithIndex.flatMap {
+          case (Some(v), p) =>
+            Seq(("app", "c_total", Map("user" -> "u1"), p * step, f"s$p%03d", v))
+          case (None, _) => Nil
+        }.toDF("component", "name", "tags", "timestamp", "id", "value")
+        if (pattern.exists(_.exists(_ > 0))) {
+          val line = "alert K = c_total > 0" +
+            (if (k > 1) s" for ${(k - 1) * step}s" else "") +
+            (if (keepSteps > 0) s" keep_firing_for ${keepSteps * step}s" else "")
+          val got = PromQlRules.evaluateRange(line, planted, 0L,
+              (n - 1) * step, step, lookbackSec = step)("K")
+            .select("win_start", "value").collect()
+            .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          // the reference: Prometheus's machine, stepped sequentially
+          var s = 0
+          var firing = false
+          var lastTrue = -1
+          var lastVal = 0.0
+          val want = Map.newBuilder[Long, Double]
+          for (p <- 0 until n) {
+            val cond = pattern(p).exists(_ > 0)
+            if (cond) {
+              s += 1
+              if (firing || s >= k) {
+                firing = true; lastTrue = p; lastVal = pattern(p).get
+              }
+            } else {
+              s = 0
+              if (firing && (p - lastTrue) * step > keepSteps * step)
+                firing = false
+            }
+            if (firing) want += (p * step) ->
+              (if (cond) pattern(p).get else lastVal)
+          }
+          assert(got === want.result(),
+            s"seed $seed iter $iter k=$k keep=$keepSteps pattern=" +
+              pattern.map(_.fold("·")(v => if (v > 0) "T" else "F")).mkString)
+        }
+      }
+    }
+  }
+
   test("many-to-many without group_left raises at runtime") {
     val ex = intercept[Exception] {
       PromQl.compile("sum by (user) (view_total) / on() view_total", metrics)
