@@ -254,10 +254,20 @@ object PromQlStream {
     * BECAUSE the watermark passed it) — so the streak, a second
     * transformWithState, legally follows.
     *
+    * `keep_firing_for` STREAMS too (round 14, third leg): the
+    * [[graft.streaming.FirehoseTws.KeepStreakCore]] fold — firing dies
+    * at the first decided-false point more than keep past the last
+    * breach, keep-TAIL rows carry the preceding breach's value and emit
+    * as the watermark decides each grid point (an event-time timer
+    * re-arms at the next tail's decision time, so a quiet series keeps
+    * its tail flowing) — property-pinned against the same sequential
+    * reference machine as the batch evaluator, and batch-parity-pinned
+    * end-to-end.
+    *
     * Still refused loudly: `for` over subqueries (their closed totals
     * park inside one processor with no chainable output grid); the
     * batch rule evaluator ([[PromQlRules.evaluate]]) over a landed
-    * stream covers those. `keep_firing_for` is batch-only.
+    * stream covers those.
     */
   def compileAlert(
       line: String,
@@ -268,13 +278,11 @@ object PromQlStream {
       case Seq(a: PromQlRules.Alert) => a
       case _ => err("compileAlert takes exactly one `alert name = expr` line")
     }
-    if (alert.keepFiringForSec != 0)
-      err(s"alert '${alert.name}': keep_firing_for is batch-only (the " +
-        "firing tail needs the full grid; use the batch rule evaluator)")
-    if (alert.forSec != 0)
+    if (alert.forSec != 0 || alert.keepFiringForSec != 0)
       return PromQlParser.parse(alert.expr) match {
         case Binary(">", Call(fn @ ("increase" | "rate"),
-            Seq(RangeSelector(sel, r))), NumberLit(c), _, false) =>
+            Seq(RangeSelector(sel, r))), NumberLit(c), _, false)
+            if alert.keepFiringForSec == 0 =>
           if (alert.forSec % r != 0)
             err(s"alert '${alert.name}': for ${alert.forSec}s must be a " +
               s"multiple of the ${r}s range")
@@ -291,6 +299,10 @@ object PromQlStream {
               if (alert.forSec % grid != 0)
                 err(s"alert '${alert.name}': for ${alert.forSec}s must be " +
                   s"a multiple of the expression's ${grid}s window")
+              if (alert.keepFiringForSec % grid != 0)
+                err(s"alert '${alert.name}': keep_firing_for " +
+                  s"${alert.keepFiringForSec}s must be a multiple of the " +
+                  s"expression's ${grid}s window")
               val k = (alert.forSec / grid).toInt + 1
               val breaches = lowerForStreak(ast, metrics, stepSec, watermarkDelay)
               if (!breaches.columns.contains("value") ||
@@ -299,9 +311,13 @@ object PromQlStream {
                 err(s"alert '${alert.name}': `for` needs a single-valued " +
                   "windowed per-series shape")
               val fired =
+                // keep_firing_for takes the timer-driven keep streak;
                 // the closed-increase chain carries its event-time TAG
-                // column; window-native relations carry win_start itself
-                if (breaches.columns.contains("event_time"))
+                // column, window-native relations carry win_start itself
+                if (alert.keepFiringForSec != 0)
+                  graft.streaming.FirehoseTws.forStreakKeep(
+                    breaches, grid, k, alert.keepFiringForSec)
+                else if (breaches.columns.contains("event_time"))
                   graft.streaming.FirehoseTws.forStreakChained(breaches, grid, k)
                 else graft.streaming.FirehoseTws.forStreak(breaches, grid, k)
               fired.toDF()

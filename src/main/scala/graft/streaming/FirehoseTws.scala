@@ -903,6 +903,184 @@ object FirehoseTws {
     }
   }
 
+  /** Per-series keep_firing_for streak state: the breach-consecutiveness
+    * pair, plus — while firing — the last breach (window, value) and the
+    * highest window emitted (breach or keep-tail), the exactly-once
+    * guard.
+    */
+  final case class KeepStreakState(
+      lastWin: Long, streak: Int,
+      firing: Boolean, lastBreach: Long, lastVal: Double, emitted: Long)
+
+  /** The PURE keep_firing_for fold over CLOSED breach windows — the
+    * streaming sibling of the batch evaluator's sessionized encoding
+    * (both pinned against the same sequential reference machine):
+    * firing starts at the k-streak's completion and DIES at the first
+    * NON-breaching decided point more than keep past the last breach; a
+    * breach reached while still firing re-arms without a fresh pending
+    * period; non-breaching fired points carry the PRECEDING breach's
+    * value. A point q is DECIDED false once something later proves it
+    * (a later breach window arriving, or the watermark passing q's own
+    * closure deadline q + step — the upstream aggregation would have
+    * emitted q's breach by then). Emissions are exactly-once via the
+    * `emitted` frontier and never retract.
+    */
+  object KeepStreakCore {
+
+    val empty: KeepStreakState =
+      KeepStreakState(Long.MinValue, 0, firing = false, 0L, 0.0, 0L)
+
+    final case class Step(state: KeepStreakState, emits: Seq[(Long, Double)])
+
+    def step(
+        st0: KeepStreakState,
+        breaches: Seq[(Long, Double)],
+        wmSec: Long, stepSec: Long, k: Int, keepSec: Long): Step = {
+      var st = st0
+      val out = Seq.newBuilder[(Long, Double)]
+      // emit keep-tails for decided false points up to `upTo`; firing
+      // dies only when a point PAST the keep horizon is decided false
+      // (a breach exactly keep + step after the last one must still
+      // re-arm — the same boundary the batch property fuzz pinned)
+      def tails(upTo: Long): Unit =
+        if (st.firing) {
+          val cap = st.lastBreach + keepSec
+          var q = st.emitted + stepSec
+          while (q <= math.min(upTo, cap)) {
+            out += ((q, st.lastVal))
+            st = st.copy(emitted = q)
+            q += stepSec
+          }
+          if (upTo > cap) st = st.copy(firing = false)
+        }
+      breaches.sortBy(_._1).foreach { case (w, v) =>
+        tails(w - stepSec) // everything before an arrived window is decided
+        val s2 = if (st.lastWin == w - stepSec && st.streak > 0) st.streak + 1 else 1
+        st = st.copy(lastWin = w, streak = s2)
+        if (st.firing || s2 >= k) {
+          out += ((w, v))
+          st = st.copy(firing = true, lastBreach = w, lastVal = v, emitted = w)
+        }
+      }
+      tails(wmSec - stepSec) // q is decided once wm ≥ q + step
+      Step(st, out.result())
+    }
+  }
+
+  /** [[ForStreakProcessor]] with `keep_firing_for`: the [[KeepStreakCore]]
+    * fold wrapped in state + an event-time timer — keep-TAIL rows (fired
+    * points with no breach of their own) emit as the watermark decides
+    * them, re-armed at the next tail's decision time so a quiet series
+    * keeps its tail flowing while OTHER series advance the watermark.
+    */
+  class ForStreakKeepProcessor(stepSec: Long, k: Int, keepSec: Long)
+      extends StatefulProcessor[SeriesKey, WinRow, ForDurationOut] {
+    @transient private var state: ValueState[KeepStreakState] = _
+    @transient private var timerTs: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      state = getHandle.getValueState[KeepStreakState](
+        "keepstreak", Encoders.product[KeepStreakState], TTLConfig.NONE)
+      timerTs = getHandle.getValueState[Long](
+        "timer", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def armTimer(whenMs: Long): Unit = {
+      if (timerTs.exists()) getHandle.deleteTimer(timerTs.get())
+      getHandle.registerTimer(whenMs)
+      timerTs.update(whenMs)
+    }
+
+    private[streaming] def stepAndEmit(
+        key: SeriesKey, wins: Seq[(Long, Double)],
+        timers: TimerValues): Iterator[ForDurationOut] = {
+      val st0 = if (state.exists()) state.get() else KeepStreakCore.empty
+      val wmSec = timers.getCurrentWatermarkInMs() / 1000L
+      val r = KeepStreakCore.step(st0, wins, wmSec, stepSec, k, keepSec)
+      state.update(r.state)
+      if (r.state.firing)
+        armTimer((r.state.emitted + 2 * stepSec) * 1000L)
+      else if (timerTs.exists()) {
+        getHandle.deleteTimer(timerTs.get()); timerTs.clear()
+      }
+      r.emits.iterator.map { case (w, v) =>
+        ForDurationOut(key._1, key._2, key._3, w, v)
+      }
+    }
+
+    override def handleInputRows(
+        key: SeriesKey,
+        rows: Iterator[WinRow],
+        timers: TimerValues): Iterator[ForDurationOut] =
+      stepAndEmit(key,
+        rows.toSeq.map(r => (r.win_start.getTime / 1000L, r.value)), timers)
+
+    override def handleExpiredTimer(
+        key: SeriesKey,
+        timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[ForDurationOut] = {
+      timerTs.clear()
+      stepAndEmit(key, Nil, timers)
+    }
+  }
+
+  /** [[ForStreakKeepProcessor]] over [[ClosedIncrease]] rows — the
+    * chained-closed input shape.
+    */
+  class ForStreakKeepClosedProcessor(stepSec: Long, k: Int, keepSec: Long)
+      extends StatefulProcessor[SeriesKey, ClosedIncrease, ForDurationOut] {
+    private val inner = new ForStreakKeepProcessor(stepSec, k, keepSec)
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      inner.setHandle(getHandle)
+      inner.init(outputMode, timeMode)
+    }
+
+    override def handleInputRows(
+        key: SeriesKey,
+        rows: Iterator[ClosedIncrease],
+        timers: TimerValues): Iterator[ForDurationOut] =
+      inner.stepAndEmit(key, rows.toSeq.map(r => (r.win_start, r.value)), timers)
+
+    override def handleExpiredTimer(
+        key: SeriesKey,
+        timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[ForDurationOut] =
+      inner.handleExpiredTimer(key, timers, expired)
+  }
+
+  /** Chain the keep_firing_for streak after a closed-window breach
+    * relation — [[forStreak]]'s keep-capable sibling, accepting both the
+    * window-native shape (timestamp `win_start`) and the chained-closed
+    * shape (epoch `win_start` + `event_time` tag).
+    */
+  def forStreakKeep(
+      breaches: DataFrame, stepSec: Long, k: Int,
+      keepSec: Long): Dataset[ForDurationOut] = {
+    require(k >= 1, "for-duration streak needs k >= 1")
+    val spark = breaches.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    if (breaches.columns.contains("event_time"))
+      breaches
+        .select(col("component"), col("name"), col("series"), col("win_start"),
+          col("value").cast("double").as("value"), col("event_time"))
+        .as[ClosedIncrease]
+        .groupByKey(r => (r.component, r.name, r.series))
+        .transformWithState(
+          new ForStreakKeepClosedProcessor(stepSec, k, keepSec),
+          TimeMode.EventTime(), OutputMode.Append())
+    else
+      breaches
+        .select(col("component"), col("name"), col("series"), col("win_start"),
+          col("value").cast("double").as("value"))
+        .as[WinRow]
+        .groupByKey(r => (r.component, r.name, r.series))
+        .transformWithState(
+          new ForStreakKeepProcessor(stepSec, k, keepSec),
+          TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** CLOSED-window counter increase in APPEND mode with the output's
     * `win_start` declared as its EVENT-TIME column (Spark 4's
     * `eventTimeColumnName` transformWithState overload — the designed

@@ -348,6 +348,63 @@ class PromQlStreamSpec extends SparkSuite {
     } finally q.stop()
   } }
 
+  test("keep_firing_for streams: timer-driven keep tails, batch-identical " +
+      "to the tumbling rule evaluator on the hand-traced pattern") { withRocksDb {
+    val dir = Files.createTempDirectory("graft-pqs-keep").toFile
+    val chk = Files.createTempDirectory("graft-pqs-keepchk").toFile
+    // the PromQlCompileSpec hand trace as a stream: breach values at
+    // 60,120 (streak k=2 fires at 120), tails 180/240, death at 300,
+    // re-pend 360, fire 420, gap 480 kept alight, re-arm 540 WITHOUT
+    // re-pending, tails 600/660, death at 720
+    val vals = Seq(0L -> -1.0, 60L -> 11.0, 120L -> 12.0, 180L -> -1.0,
+      240L -> -1.0, 300L -> -1.0, 360L -> 13.0, 420L -> 14.0, 480L -> -1.0,
+      540L -> 15.0, 600L -> -1.0, 660L -> -1.0, 720L -> -1.0)
+    Files.write(dir.toPath.resolve("b1.json"),
+      vals.zipWithIndex.map { case ((t, v), i) =>
+        metricJson(f"a$i%02d", "c_total", t, "u1", v)
+      }.mkString("\n").getBytes)
+    val line = "alert K = max_over_time(c_total[1m]) > 0 for 1m keep_firing_for 2m"
+    val q = PromQlStream.compileAlert(
+        line,
+        graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+        stepSec = 60L)
+      .writeStream.format("memory").queryName("pqs_keep").outputMode("append")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      // far samples advance the watermark past every window AND give the
+      // keep-tail timers batches to fire in
+      for ((ts, b) <- Seq((40000L, "b2"), (80000L, "b3"))) {
+        Files.write(dir.toPath.resolve(s"$b.json"),
+          Seq(metricJson(s"f$b", "c_total", ts, "u1", -1.0)).mkString("\n").getBytes)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("pqs_keep")
+        .collect()
+        .map(r => (r.getAs[Long]("win_start"), r.getAs[Double]("value")))
+        .toMap
+      assert(streamed === Map(
+        120L -> 12.0, 180L -> 12.0, 240L -> 12.0,
+        420L -> 14.0, 480L -> 14.0,
+        540L -> 15.0, 600L -> 15.0, 660L -> 15.0))
+      // the batch rule evaluator (tumbling, same step) agrees
+      val batch = graft.promql.PromQlRules.evaluate(
+          line,
+          graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath)
+            .filter(col("timestamp") < 39000), stepSec = 60L)("K")
+        .collect()
+        .map(r => (r.getAs[Long]("win_start"), r.getAs[Double]("value")))
+        .toMap
+      assert(streamed === batch)
+      // off-grid keep durations refuse; subquery shapes still refuse
+      assertThrows[PromQlCompileException](PromQlStream.compileAlert(
+        "alert A = max_over_time(c_total[1m]) > 0 keep_firing_for 90s",
+        graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
+        stepSec = 60L))
+    } finally q.stop()
+  } }
+
   test("streaming text over_time matches batch; out-of-subset shapes raise") {
     val dir = Files.createTempDirectory("graft-pqs-ot").toFile
     val chk = Files.createTempDirectory("graft-pqs-otchk").toFile
