@@ -150,6 +150,10 @@ object PromQlRecord {
       case Seq(r: PromQlRules.Rule) => r
       case _ => err("expected exactly one `name = expr` recording rule")
     }
+    // never silently drop a clause the grammar accepted (round-14: rules
+    // may carry static labels — the incremental lowering doesn't)
+    if (rule.labels.nonEmpty)
+      err("static rule labels don't lower incrementally")
     val (fn, sel, rangeSec, byLabels) = PromQlParser.parse(rule.expr) match {
       case Call(f, Seq(RangeSelector(s, r))) if overTimeFns(f) =>
         (f, s, r, None)
@@ -276,6 +280,8 @@ object PromQlRecord {
       case Seq(r: PromQlRules.Rule) => r
       case _ => err("expected exactly one `name = expr` recording rule")
     }
+    if (rule.labels.nonEmpty)
+      err("static rule labels don't lower incrementally")
     PromQlParser.parse(rule.expr) match {
       case Call(f @ ("increase" | "rate"), Seq(RangeSelector(sel, r))) =>
         if (sel.name.isEmpty && sel.matchers.isEmpty)

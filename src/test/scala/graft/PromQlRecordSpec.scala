@@ -194,6 +194,10 @@ class PromQlRecordSpec extends SparkSuite {
       assert(e.getMessage.contains("incremental recording supports"), rule)
     }
     refused("r = sum by (user) (increase(view_total[1h]))")  // lag under an agg
+    // static rule labels (round 14) must refuse, never drop silently —
+    // on BOTH the group-aggregate and the counter lowering
+    refused("""r = sum_over_time(view_total[1h]) labels {tier="gold"}""")
+    refused("""r = increase(view_total[1h]) labels {tier="gold"}""")
     refused("r = avg by (user) (avg_over_time(view_total[1h]))") // avg-of-avgs
     refused("r = count by (user) (count_over_time(view_total[1h]))") // series count
     refused("r = sum by (user) (min_over_time(view_total[1h]))") // op/fn mismatch
