@@ -402,6 +402,45 @@ class PromQlStreamSpec extends SparkSuite {
         "alert A = max_over_time(c_total[1m]) > 0 keep_firing_for 90s",
         graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
         stepSec = 60L))
+      // keep over a rate WRAPPER rides the chained-closed branch
+      // (closed increase → keep streak, TWS → TWS) — batch-identical
+      val dir2 = Files.createTempDirectory("graft-pqs-keepc").toFile
+      val chk2 = Files.createTempDirectory("graft-pqs-keepcchk").toFile
+      // counter: +5 into w60 and w120 (k=2 fires at 120), flat after —
+      // keep 2m tails 180/240, dead at 300
+      Files.write(dir2.toPath.resolve("b1.json"),
+        Seq((30L, "c1", 1.0), (90L, "c2", 6.0), (150L, "c3", 11.0),
+          (210L, "c4", 11.0), (270L, "c5", 11.0), (40000L, "c9", 11.0))
+          .map { case (t, id, v) => metricJson(id, "c_total", t, "u1", v) }
+          .mkString("\n").getBytes)
+      val lineC = "alert R = rate(c_total[1m]) * 60 > 0 for 1m keep_firing_for 2m"
+      val qc = PromQlStream.compileAlert(
+          lineC,
+          graft.streaming.FirehoseStream.fromJsonFiles(spark, dir2.getAbsolutePath),
+          stepSec = 60L)
+        .writeStream.format("memory").queryName("pqs_keepc").outputMode("append")
+        .option("checkpointLocation", chk2.getAbsolutePath)
+        .start()
+      try {
+        qc.processAllAvailable()
+        Files.write(dir2.toPath.resolve("b2.json"),
+          Seq(metricJson("c10", "c_total", 80000L, "u1", 11.0))
+            .mkString("\n").getBytes)
+        qc.processAllAvailable()
+        val streamedC = spark.table("pqs_keepc")
+          .collect()
+          .map(r => (r.getAs[Long]("win_start"), r.getAs[Double]("value")))
+          .toMap
+        val batchC = graft.promql.PromQlRules.evaluate(
+            lineC,
+            graft.sources.MetricJson.readJsonLines(spark, dir2.getAbsolutePath)
+              .filter(col("timestamp") < 39000), stepSec = 60L)("R")
+          .collect()
+          .map(r => (r.getAs[Long]("win_start"), r.getAs[Double]("value")))
+          .toMap
+        assert(streamedC.keySet === Set(120L, 180L, 240L))
+        assert(streamedC === batchC)
+      } finally qc.stop()
     } finally q.stop()
   } }
 
