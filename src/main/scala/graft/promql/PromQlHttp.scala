@@ -804,9 +804,14 @@ object PromQlHttp {
           else pts.filter(_ <= end).max
         while (pts.contains(first - step) && first - step >= start)
           first -= step
-        // the rule's static labels merge OVER the series labels
-        val labels = (Map("alertname" -> a.name, "component" -> r.component) ++
-          r.labels ++ a.labels).toSeq.sortBy(_._1)
+        // the rule's static labels merge OVER the series labels, and the
+        // RESERVED keys apply last — Prometheus re-asserts `alertname`
+        // after rule labels, so a series or rule label literally named
+        // alertname (or component, the engine's reserved axis) can
+        // never override it (review catch)
+        val labels = (r.labels ++ a.labels ++
+          Map("alertname" -> a.name, "component" -> r.component)).toSeq
+          .sortBy(_._1)
         jsonObj(Seq(
           "labels" -> jsonObj(labels.map { case (k, v) =>
             k -> s""""${esc(v)}"""" }),

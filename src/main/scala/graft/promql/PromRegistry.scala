@@ -47,7 +47,7 @@ import graft.sources.Versioned
   * all), and the bare-selector instant fast path
   * ([[instantFastPath]]).
   *
-  * Correctness pin: [[graft.PromRegistryFuzzSpec]] replays random
+  * Correctness pin: [[graft.PromRegistrySpec]] replays random
   * append / compact / expire / delete sequences and asserts the
   * incremental state row-identical to `gaugeLatest` over the full
   * version after every step; the census spec pins that an append
@@ -57,11 +57,18 @@ object PromRegistry {
 
   /** One live series' head: its latest sample (by (timestamp, id) — the
     * same winner `gaugeLatest`'s `max_by` picks) plus the label map the
-    * wire surfaces render from.
+    * wire surfaces render from. `ts` is the epoch-SECOND the serving
+    * surfaces render; `tsFull` is the FULL-PRECISION timestamp (epoch
+    * seconds as double — exact to the micro for any real sample time),
+    * kept so the driver-side merge orders by EXACTLY the key the Spark
+    * `max_by` orders by: an incremental append-fold and a full
+    * recompute must pick the same winner even for sub-second samples
+    * (review catch — `land()` accepts arbitrary frames).
     */
   final case class Head(
       component: String, name: String, series: String,
-      labels: Map[String, String], value: Double, ts: Long, id: String)
+      labels: Map[String, String], value: Double, ts: Long, id: String,
+      tsFull: Double)
 
   /** The registry at `version`: heads keyed by (component, name,
     * series), plus the corpus-wide min sample timestamp (the one TSDB
@@ -94,7 +101,15 @@ object PromRegistry {
     val key = new java.io.File(root).getAbsolutePath
     val v = Versioned.latestVersion(root)
     require(v >= 0, s"no committed versions in $root")
-    val prev = Option(states.get(key)).filter(_.version <= v)
+    val cur = Option(states.get(key))
+    // a memo AHEAD of the landing's newest version is STALE — the landing
+    // was deleted and recreated at this root, so versions regressed; the
+    // forward-only publish below would pin the dead entry forever and
+    // every request would pay a full recompute (review catch). Evict it
+    // (CAS on the observed value — a racing legitimate advance just
+    // re-publishes).
+    cur.filter(_.version > v).foreach(st => states.remove(key, st))
+    val prev = cur.filter(_.version <= v)
     if (prev.exists(_.version == v)) return (prev.get, Nil)
     // compute OUTSIDE the map (Spark jobs under a ConcurrentHashMap bin
     // lock would serialize unrelated keys), publish forward-only
@@ -162,28 +177,52 @@ object PromRegistry {
       .agg(
         max_by(
           struct(col("labels"), col("value"),
-            col("timestamp").cast("long").as("timestamp"), col("id")),
+            col("timestamp").cast("long").as("timestamp"), col("id"),
+            col("timestamp").cast("double").as("ts_full")),
           struct(col("timestamp"), col("id"))).as("w"),
         min(col("timestamp").cast("long")).as("_mn"))
       .select(col("component"), col("name"), col("series"),
         col("w.labels"), col("w.value"), col("w.timestamp"), col("w.id"),
-        col("_mn"))
+        col("_mn"), col("w.ts_full"))
       .collect()
     var minT = Long.MaxValue
     val heads = Map.newBuilder[(String, String, String), Head]
     rows.foreach { r =>
       val h = Head(r.getString(0), r.getString(1), r.getString(2),
         r.getMap[String, String](3).toMap, r.getDouble(4), r.getLong(5),
-        r.getString(6))
+        r.getString(6), r.getDouble(8))
       heads += ((h.component, h.name, h.series) -> h)
       minT = math.min(minT, r.getLong(7))
     }
     (heads.result(), minT)
   }
 
+  /** `a > b` in Spark's UTF8String order — unsigned lexicographic over
+    * the UTF-8 bytes. The driver merge must tie-break ids EXACTLY as
+    * `max_by`'s struct comparison does; Scala's `String` order (UTF-16
+    * code units) diverges for supplementary characters (review catch).
+    */
+  private[graft] def utf8Gt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c > 0
+      i += 1
+    }
+    x.length > y.length
+  }
+
   /** The `max_by((timestamp, id))` semigroup applied driver-side: for
     * each series the newer (timestamp, id) head wins — folding delta
-    * winners into the previous state is the full recompute.
+    * winners into the previous state is the full recompute. Ordered on
+    * the FULL-PRECISION timestamp (`tsFull` — exact to the micro as a
+    * double, and monotone with the column `max_by` compares) and the
+    * UTF-8 byte order of `id`, so the driver fold and the Spark
+    * recompute cannot pick different winners on sub-second ties or
+    * non-ASCII ids (review catch).
     */
   private def mergeHeads(
       old: Map[(String, String, String), Head],
@@ -191,7 +230,8 @@ object PromRegistry {
       : Map[(String, String, String), Head] =
     delta.foldLeft(old) { case (acc, (k, h)) =>
       acc.get(k) match {
-        case Some(o) if o.ts > h.ts || (o.ts == h.ts && o.id > h.id) => acc
+        case Some(o) if o.tsFull > h.tsFull ||
+          (o.tsFull == h.tsFull && utf8Gt(o.id, h.id)) => acc
         case _ => acc.updated(k, h)
       }
     }

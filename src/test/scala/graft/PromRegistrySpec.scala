@@ -299,4 +299,76 @@ class PromRegistrySpec extends SparkSuite {
       }
     }
   }
+
+  test("the delta fold orders by the SAME key as the Spark max_by: " +
+      "sub-second timestamps and non-ASCII ids pick one winner") {
+    PromRegistry.reset()
+    // land() accepts arbitrary frames — a DOUBLE timestamp carries
+    // sub-second precision the old long-seconds merge truncated away
+    def mkd(rows: Seq[(String, String, Map[String, String], Double, String, Double)]) =
+      rows.toDF("component", "name", "labels", "timestamp", "id", "value")
+    val root = Files.createTempDirectory("graft-regord").toFile.getAbsolutePath
+    PromQlVersioned.land(mkd(Seq(
+      ("app", "m", Map("h" -> "a"), 100.25, "r1", 1.0))), root)
+    PromRegistry.refresh(spark, root)
+    // 100.75 > 100.25 but both truncate to second 100: the fold must
+    // still advance the head (the old merge saw a ts tie and kept the
+    // LARGER id — r1 — silently freezing the series)
+    PromQlVersioned.land(mkd(Seq(
+      ("app", "m", Map("h" -> "a"), 100.75, "q9", 2.0))), root)
+    val (s1, c1) = PromRegistry.refresh(spark, root)
+    assert(c1.nonEmpty, "append-only transition must delta-fold")
+    assert(s1.heads(("app", "m", "h=a")).value === 2.0)
+    // …and a sub-second OLDER sample must not displace it
+    PromQlVersioned.land(mkd(Seq(
+      ("app", "m", Map("h" -> "a"), 100.5, "z9", 3.0))), root)
+    assert(PromRegistry.refresh(spark, root)._1
+      .heads(("app", "m", "h=a")).value === 2.0)
+
+    // exact-tie ids compare in UTF8-binary order, Spark's struct order:
+    // U+1F600 (UTF-8 F0 9F 98 80) sorts ABOVE U+FFFD (EF BF BD) even
+    // though its UTF-16 lead surrogate D83D sorts below — the Scala
+    // string compare would pick the wrong winner
+    assert(PromRegistry.utf8Gt("😀", "�") &&
+      "😀" < "�")
+    val r2 = Files.createTempDirectory("graft-regord2").toFile.getAbsolutePath
+    PromQlVersioned.land(mk(Seq(
+      ("app", "m", Map("h" -> "a"), 100L, "�", 1.0))), r2)
+    PromRegistry.refresh(spark, r2)
+    PromQlVersioned.land(mk(Seq(
+      ("app", "m", Map("h" -> "a"), 100L, "😀", 2.0))), r2)
+    val (s2, c2) = PromRegistry.refresh(spark, r2)
+    assert(c2.nonEmpty)
+    assert(stateHeads(s2) === fullHeads(r2))
+    assert(s2.heads(("app", "m", "h=a")).value === 2.0)
+  }
+
+  test("a recreated landing (version regression) evicts the stale memo " +
+      "instead of poisoning it") {
+    PromRegistry.reset()
+    val dir = Files.createTempDirectory("graft-regpoison").toFile
+    val root = dir.getAbsolutePath
+    PromQlVersioned.land(mk(Seq(
+      ("app", "m", Map("h" -> "a"), 100L, "r1", 1.0))), root)
+    PromQlVersioned.land(mk(Seq(
+      ("app", "m", Map("h" -> "a"), 110L, "r2", 2.0))), root)
+    PromQlVersioned.land(mk(Seq(
+      ("app", "m", Map("h" -> "a"), 120L, "r3", 3.0))), root)
+    assert(PromRegistry.refresh(spark, root)._1.version === 2L)
+    // delete + recreate at the same root: latestVersion regresses to 0
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete()
+    }
+    rmrf(dir)
+    PromQlVersioned.land(mk(Seq(
+      ("app", "fresh", Map("h" -> "b"), 50L, "n1", 9.0))), root)
+    val (sa, _) = PromRegistry.refresh(spark, root)
+    assert(sa.version === 0L && sa.names === Seq("fresh"))
+    // the stale v2 memo must be GONE: the next refresh is a memo hit
+    // (before the fix the forward-only merge kept v2 pinned and every
+    // call recomputed the corpus)
+    val (sb, census) = PromRegistry.refresh(spark, root)
+    assert(census === Nil && sb.version === 0L)
+    assert(stateHeads(sb) === fullHeads(root))
+  }
 }
