@@ -341,6 +341,27 @@ object PromQlCompiler {
     }
   }
 
+  /** [[matcherPred]] as a DRIVER-side function over `(name, labels)` —
+    * the registry's zero-job serving folds evaluate selectors on the
+    * driver-held head map. Kept next to the Column spelling so the two
+    * cannot drift: absent labels read as "", regexes PromQL-anchored and
+    * matched with Java `find()` (what `rlike` compiles to).
+    */
+  private[promql] def matcherFn(
+      m: LabelMatcher): (String, Map[String, String]) => Boolean = {
+    lazy val re =
+      java.util.regex.Pattern.compile("^(?:" + m.value + ")$")
+    (name, labels) => {
+      val v = if (m.label == "__name__") name else labels.getOrElse(m.label, "")
+      m.op match {
+        case MatchOp.Eq => v == m.value
+        case MatchOp.Neq => v != m.value
+        case MatchOp.Re => re.matcher(v).find()
+        case MatchOp.NotRe => !re.matcher(v).find()
+      }
+    }
+  }
+
   /** Natural-sort key: every digit run encoded LENGTH-PREFIXED —
     * leading zeros stripped, then an 8-digit width of the remaining run
     * length, then the digits — so byte-order comparison ranks runs

@@ -246,9 +246,11 @@ object PromQlHttp {
       Extras(
         ingest = Some((params, body) => ingestBody(spark, root, params, body)),
         federate = Some(params =>
-          // the registry IS the latest-gauge relation — match[] filters
-          // its registry-sized local frame; no landed file is scanned
-          federateGauges(PromRegistry.frame(spark, registry()), params)),
+          // the registry IS the latest-gauge relation — the body renders
+          // ENTIRELY driver-side from the head map (zero landed files,
+          // zero Spark jobs per poll; byte-identity with the m6 render
+          // spec-pinned)
+          PromRegistry.federateBody(registry(), params.matches)),
         metadataNames = Some(() => cachedNames()),
         tsdbStats = Some(() => cachedTsdb()),
         configText = rulesText,
@@ -606,31 +608,32 @@ object PromQlHttp {
     */
   private def federateBody(metrics: DataFrame, params: Params): String = {
     import graft.operators.Firehose
+    if (params.matches.isEmpty) throw new IllegalArgumentException(
+      "missing required parameter 'match[]'")
     val lines = Firehose.promRender(
-      Firehose.gaugeLatest(matchChecked(metrics, params)))
+      Firehose.gaugeLatest(matched(metrics, params.matches)))
       .collect().map(_.getString(0)).sorted
     lines.mkString("", "\n", "\n")
   }
 
-  /** [[federateBody]] over an ALREADY-LATEST gauge relation (the
-    * landing server's incremental registry — a registry-sized local
-    * relation, so a downstream Prometheus's poll scans zero landed
-    * files): `match[]` filters on the label map, then the m6 render.
+  /** The SPARK-path `/federate` render over an already-latest gauge
+    * relation — `match[]` filters on the label map, then the m6 render.
+    * The landing server no longer serves from this (the body folds
+    * driver-side, [[PromRegistry.federateBody]]); it stays as the
+    * byte-identity REFERENCE the parity spec replays the driver render
+    * against.
     */
-  private def federateGauges(gauges: DataFrame, params: Params): String = {
+  private[graft] def federateSparkBody(
+      gauges: DataFrame, matches: Seq[String]): String = {
     import graft.operators.Firehose
+    if (matches.isEmpty) throw new IllegalArgumentException(
+      "missing required parameter 'match[]'")
     val lines = Firehose.promRender(
-      matchChecked(gauges, params)
+      matched(gauges, matches)
         .select(col("component"), col("name"), col("series"),
           col("last_value"), col("last_ts")))
       .collect().map(_.getString(0)).sorted
     lines.mkString("", "\n", "\n")
-  }
-
-  private def matchChecked(df: DataFrame, params: Params): DataFrame = {
-    if (params.matches.isEmpty) throw new IllegalArgumentException(
-      "missing required parameter 'match[]'")
-    matched(df, params.matches)
   }
 
   // ───────────────────────── TSDB status ─────────────────────────

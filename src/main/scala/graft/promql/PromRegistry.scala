@@ -122,7 +122,22 @@ object PromRegistry {
 
   private def advance(
       spark: SparkSession, root: String, v: Long,
-      prev: Option[State]): (State, Seq[String]) = {
+      prev0: Option[State]): (State, Seq[String]) = {
+    // COLD START (no memo — a restarted driver): bootstrap from the
+    // landed registry checkpoint when one exists, so the rebuild is
+    // checkpoint ∪ delta-files-since instead of the full corpus — the
+    // last O(corpus) driver event closed (r14 verdict #1). A checkpoint
+    // AHEAD of the landing (recreated root) is ignored; a checkpoint
+    // whose source version was vacuumed, or that predates a maintenance
+    // transition, falls through multisetDelta to the full recompute.
+    val (prev, ckptCensus) = prev0 match {
+      case Some(p) => (Some(p), Nil)
+      case None =>
+        loadCheckpoint(spark, root) match {
+          case Some((s, census)) if s.version <= v => (Some(s), census)
+          case _ => (None, Nil)
+        }
+    }
     val newManifest = Versioned.manifest(root, v)
     val deltaOpt = prev.flatMap { p =>
       val oldManifest =
@@ -132,16 +147,92 @@ object PromRegistry {
     }
     (prev, deltaOpt) match {
       case (Some(p), Some(delta)) if delta.isEmpty =>
-        (p.copy(version = v), Nil)
+        (p.copy(version = v), ckptCensus)
       case (Some(p), Some(delta)) =>
         val (heads, minT) =
           headsOf(Versioned.readSubset(spark, root, v, delta))
         (State(v, mergeHeads(p.heads, heads),
-          math.min(p.minTs, minT)), delta.map(_.path))
+          math.min(p.minTs, minT)), ckptCensus ++ delta.map(_.path))
       case _ =>
         val (heads, minT) = headsOf(Versioned.asOf(spark, root, v))
-        (State(v, heads, minT), newManifest.map(_.path))
+        (State(v, heads, minT), ckptCensus ++ newManifest.map(_.path))
     }
+  }
+
+  // ───────────────────── registry checkpoints ─────────────────────
+
+  /** The checkpoint sidecar: its OWN [[Versioned]] table nested under
+    * the landing root (`_`-prefixed like every metadata dir, so the
+    * outer landing's manifests, compaction, and orphan vacuum never see
+    * it). Each checkpoint is one registry-sized full-snapshot commit.
+    */
+  private[graft] def ckptRoot(root: String): String =
+    new java.io.File(root, "_registry_ckpt").getPath
+
+  private val ckptSchema = StructType(Seq(
+    StructField("component", StringType),
+    StructField("name", StringType),
+    StructField("series", StringType),
+    StructField("labels", MapType(StringType, StringType)),
+    StructField("value", DoubleType),
+    StructField("ts", LongType),
+    StructField("id", StringType),
+    StructField("ts_full", DoubleType)))
+
+  /** LAND the registry's head map as a checkpoint commit — one
+    * registry-sized snapshot file stamped with the landing version it
+    * represents, the durable half of the restart path: a cold driver
+    * bootstraps from `checkpoint ∪ delta-files-since` (the exact merge
+    * [[advance]] runs on every append) instead of scanning the corpus.
+    * O(registry) per call; the scrape loop lands one every
+    * `checkpointEvery` ticks ([[PromScraper.run]]). Returns the
+    * checkpoint table's committed version.
+    */
+  def checkpoint(spark: SparkSession, root: String): Long = {
+    val state = current(spark, root)
+    val rows: java.util.List[Row] = {
+      val l = new java.util.ArrayList[Row](state.heads.size)
+      state.heads.valuesIterator.foreach { h =>
+        l.add(Row(h.component, h.name, h.series, h.labels, h.value, h.ts,
+          h.id, h.tsFull))
+      }
+      l
+    }
+    Versioned.commit(
+      spark.createDataFrame(rows, ckptSchema).coalesce(1),
+      ckptRoot(root),
+      props = Map(
+        "ckpt.sourceVersion" -> state.version.toString,
+        "ckpt.minTs" -> state.minTs.toString))
+  }
+
+  /** The newest landed checkpoint as a [[State]] at its recorded source
+    * version, plus the checkpoint files read (the restart census pin) —
+    * None when no checkpoint exists or one is unreadable (cold start
+    * then pays the one full scan, exactly the pre-checkpoint behavior).
+    */
+  private def loadCheckpoint(
+      spark: SparkSession, root: String): Option[(State, Seq[String])] = {
+    val cr = ckptRoot(root)
+    val cv =
+      try Versioned.latestVersion(cr)
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    if (cv < 0) return None
+    try {
+      val props = Versioned.markerProps(cr, cv)
+      val srcV = props.get("ckpt.sourceVersion").map(_.toLong)
+      val minTs = props.get("ckpt.minTs").map(_.toLong)
+      if (srcV.isEmpty || minTs.isEmpty) return None
+      val heads = Map.newBuilder[(String, String, String), Head]
+      Versioned.asOf(spark, cr, cv).collect().foreach { r =>
+        val h = Head(r.getString(0), r.getString(1), r.getString(2),
+          r.getMap[String, String](3).toMap, r.getDouble(4), r.getLong(5),
+          r.getString(6), r.getDouble(7))
+        heads += ((h.component, h.name, h.series) -> h)
+      }
+      Some((State(srcV.get, heads.result(), minTs.get),
+        Versioned.manifest(cr, cv).map(e => s"_registry_ckpt/${e.path}")))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** `newM` minus `oldM` as MULTISETS of whole entries (the pool dedupes
@@ -295,6 +386,129 @@ object PromRegistry {
       col("last_ts").as("timestamp"), col("id"),
       col("last_value").as("value"))
 
+  // ──────────────────── zero-job serving folds ────────────────────
+
+  /** Driver-side predicate of one `match[]` series selector over
+    * `(name, labels)` — the same selector class and refusal message as
+    * the HTTP layer's Spark-side `matched`, evaluated through
+    * [[PromQlCompiler.matcherFn]] (the Column spelling's driver twin).
+    */
+  private def selectorFn(m: String): (String, Map[String, String]) => Boolean =
+    PromQlParser.parse(m) match {
+      case VectorSelector(name, matchers, 0L, None) =>
+        val fns =
+          (name.map(n => LabelMatcher("__name__", MatchOp.Eq, n)).toSeq ++
+            matchers).map(PromQlCompiler.matcherFn)
+        (nm, ls) => fns.forall(f => f(nm, ls))
+      case other => throw new IllegalArgumentException(
+        s"match[] must be a plain series selector, got: $m")
+    }
+
+  /** `/federate` body rendered ENTIRELY driver-side from the head map —
+    * zero Spark jobs per poll (the data already lives in a driver map;
+    * a 15 s downstream-Prometheus cadence should not pay job-scheduling
+    * overhead for it). Byte-identical to the m6 `promRender` Spark path
+    * it replaces, spec-pinned: same `match[]` predicate semantics
+    * ([[PromQlCompiler.matcherFn]]), same `component_name{k="v"} %.6f
+    * ts_millis` line rendering (Java regex + `Locale.US` formatter —
+    * the exact engines `regexp_replace`/`format_string` run), same
+    * UTF-16 line sort.
+    */
+  def federateBody(state: State, matches: Seq[String]): String = {
+    if (matches.isEmpty) throw new IllegalArgumentException(
+      "missing required parameter 'match[]'")
+    val preds = matches.map(selectorFn)
+    val lines = state.heads.valuesIterator
+      .filter(h => preds.exists(p => p(h.name, h.labels)))
+      .map { h =>
+        val series =
+          if (h.series.isEmpty) ""
+          else "{" + h.series.replaceAll("=([^,]*)", "=\"$1\"") + "}"
+        h.component + "_" + h.name + series + " " +
+          String.format(java.util.Locale.US, "%.6f", Double.box(h.value)) +
+          " " + (h.ts * 1000L).toString
+      }.toArray.sorted
+    lines.mkString("", "\n", "\n")
+  }
+
+  private val foldAggOps = Set("sum", "min", "max", "avg", "count", "group")
+
+  // the compiler's decimal-lane cap: finite |v| ≥ DecCap reads its sum
+  // from the order-dependent IEEE sidecar — the one regime the driver
+  // fold declines (byte-identity cannot be guaranteed there)
+  private val DecCap = 9.0e11
+
+  /** The UNGROUPED instant aggregation `op(selector)` folded driver-side
+    * over the head map — the dashboard-top-line class (`sum(metric)` at
+    * now) at zero Spark jobs. Returns the result ROWS of the compiled
+    * plan `(component, name = "", labels = {}, win_start = t, value)`,
+    * or None when byte-identity with the compiled evaluation is not
+    * guaranteed — any selected group holding a decimal-cap value (the
+    * compiler's IEEE-double sidecar lane is summation-order-dependent)
+    * declines, as does every other expression shape. The replayed
+    * algebra is the compiler's own, lane for lane: staleness-dropped
+    * NaN heads, `(t − lookback, t]` head windows, HALF_UP
+    * `decimal(26,6)` sums, ±Inf max-flags, Spark's NaN-greatest /
+    * `-0.0 < 0.0` double ordering for min, Prometheus's NaN-skipping
+    * max.
+    */
+  private def aggFold(
+      state: State, ast: PromExpr, tSec: Long,
+      lookbackSec: Long): Option[Seq[Row]] = ast match {
+    case Agg(op, sel: VectorSelector, None, AggGroup.All)
+        if foldAggOps(op) && (sel.name.nonEmpty || sel.matchers.nonEmpty) =>
+      val fns =
+        (sel.name.map(n => LabelMatcher("__name__", MatchOp.Eq, n)).toSeq ++
+          sel.matchers).map(PromQlCompiler.matcherFn)
+      val selected = state.heads.valuesIterator.filter { h =>
+        fns.forall(f => f(h.name, h.labels)) &&
+          h.ts > tSec - lookbackSec && h.ts <= tSec && !h.value.isNaN
+      }.toSeq
+      def finite(v: Double) = !v.isNaN && !v.isInfinite
+      val groups = selected.groupBy(_.component).toSeq
+      if ((op == "sum" || op == "avg") &&
+          groups.exists(_._2.exists(h =>
+            finite(h.value) && math.abs(h.value) >= DecCap)))
+        return None
+      Some(groups.map { case (comp, hs) =>
+        val vals = hs.map(_.value)
+        val n = vals.size.toDouble
+        def sumV: Double = {
+          val pi = vals.contains(Double.PositiveInfinity)
+          val ni = vals.contains(Double.NegativeInfinity)
+          if (pi && ni) Double.NaN
+          else if (pi) Double.PositiveInfinity
+          else if (ni) Double.NegativeInfinity
+          else vals.foldLeft(BigDecimal(0).setScale(6)) { (acc, v) =>
+            acc + BigDecimal.decimal(v)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          }.toDouble
+        }
+        val value = op match {
+          case "sum" => sumV
+          case "avg" => sumV / n
+          case "count" => n
+          case "group" => 1.0
+          case "min" => vals.reduce((a, b) =>
+            if (java.lang.Double.compare(a, b) <= 0) a else b)
+          case "max" =>
+            val nonNaN = vals.filterNot(_.isNaN)
+            if (nonNaN.isEmpty) Double.NaN
+            else nonNaN.reduce((a, b) =>
+              if (java.lang.Double.compare(a, b) >= 0) a else b)
+        }
+        Row(comp, "", Map.empty[String, String], tSec, value)
+      })
+    case _ => None
+  }
+
+  private val instantVecSchema = StructType(Seq(
+    StructField("component", StringType),
+    StructField("name", StringType),
+    StructField("labels", MapType(StringType, StringType)),
+    StructField("win_start", LongType),
+    StructField("value", DoubleType)))
+
   /** The INSTANT fast path: a `/api/v1/query` whose expression is
     * instant-selector-only ([[instantOnly]] — bare selectors, instant
     * aggregations, vector arithmetic/comparisons/set ops, the scalar
@@ -315,7 +529,18 @@ object PromRegistry {
     if (!instantOnly(ast)) return None
     val state = current(spark, root)
     if (state.heads.nonEmpty && tSec < state.maxTs) return None
-    Some(PromQlCompiler.compileInstantVector(
-      query, metricsFrame(spark, state), tSec, lookbackSec))
+    // the ungrouped-aggregation subclass folds DRIVER-side ([[aggFold]]):
+    // the result comes back as a LocalRelation, so the serving collect
+    // runs zero Spark jobs (LocalTableScan answers executeCollect
+    // directly) — byte-identity spec-pinned against the compiled plan
+    aggFold(state, ast, tSec, lookbackSec) match {
+      case Some(rows) =>
+        val l = new java.util.ArrayList[Row](rows.size)
+        rows.foreach(l.add)
+        Some(spark.createDataFrame(l, instantVecSchema))
+      case None =>
+        Some(PromQlCompiler.compileInstantVector(
+          query, metricsFrame(spark, state), tSec, lookbackSec))
+    }
   }
 }

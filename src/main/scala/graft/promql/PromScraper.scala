@@ -75,7 +75,13 @@ object PromScraper {
     * O(compactEvery + large files) instead of O(ticks) — together with
     * the retention tick ([[PromQlVersioned.expire]]), the landing's
     * full lifecycle automation; its failures skip the same way (the
-    * next armed tick compacts again). `onScrape` fires after each
+    * next armed tick compacts again). `checkpointEvery > 0` arms the
+    * REGISTRY-CHECKPOINT tick — every N scrapes,
+    * [[PromRegistry.checkpoint]] lands the head map as one
+    * registry-sized snapshot commit, so a RESTARTED server bootstraps
+    * from checkpoint ∪ delta-files-since instead of re-scanning the
+    * corpus (the registry's cold-start path); failures skip likewise.
+    * `onScrape` fires after each
     * successful scrape — the progress hook a forever loop needs, since
     * it never returns. Returns the successful scrapes'
     * (version, samples) for FINITE loops; forever mode accumulates
@@ -88,6 +94,7 @@ object PromScraper {
       tsSec: Int => Option[Long] = _ => None,
       compactEvery: Int = 0,
       compactMaxBytes: Long = graft.sources.Versioned.DefaultSmallFileBytes,
+      checkpointEvery: Int = 0,
       onScrape: (Long, Int) => Unit = (_, _) => ()): Seq[(Long, Int)] = {
     val out = Seq.newBuilder[(Long, Int)]
     var i = 1
@@ -112,6 +119,13 @@ object PromScraper {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[graft] auto-compact of $root skipped: " +
               e.getMessage)
+        }
+      if (checkpointEvery > 0 && i % checkpointEvery == 0)
+        try PromRegistry.checkpoint(spark, root)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[graft] registry checkpoint of $root skipped: " + e.getMessage)
         }
       if (i < ticks) Thread.sleep(intervalMs)
       i += 1

@@ -315,10 +315,11 @@ class PromQlHttpSpec extends SparkSuite {
       try {
         val fed = s"/federate?match[]=${enc("view_total")}"
         val (nCold, b1) = jobsFor(fed) // builds the registry
-        val (nWarm, b2) = jobsFor(fed) // registry-sized local render only
+        val (nWarm, b2) = jobsFor(fed) // driver-side render over the memo
         assert(b1 === b2)
-        assert(nWarm < nCold,
-          s"warm federate must skip the corpus scan ($nWarm vs $nCold)")
+        assert(nWarm === 0,
+          s"warm federate renders driver-side — zero jobs, ran $nWarm " +
+            s"(cold was $nCold)")
         // metadata names and the default evaluation time are pure
         // driver-side folds over the registry: ZERO jobs once warm
         val (nMeta, meta) = jobsFor("/api/v1/metadata")
@@ -354,6 +355,14 @@ class PromQlHttpSpec extends SparkSuite {
         val (ni1, ib1) = jobsFor(iq)
         val (ni2, ib2) = jobsFor(iq)
         assert(ib1 === ib2 && ni1 === ni2)
+        // the UNGROUPED instant aggregation folds driver-side: the fast
+        // path hands back a LocalRelation, so the whole request runs
+        // ZERO Spark jobs once the registry is warm
+        val sq = s"/api/v1/query?query=${enc("sum(view_total)")}&lookback=4w"
+        val (ns1, sb1) = jobsFor(sq)
+        assert(ns1 === 0, s"warm sum(metric) instant query ran $ns1 jobs")
+        assert(sb1.contains("\"resultType\":\"vector\"") &&
+          sb1.contains("\"result\":[{"))
         // time-UNBOUNDED label/series probes answer from the registry's
         // local frame — and must equal the full-scan span answers (the
         // bounded path), since label sets ride series identity
@@ -540,6 +549,61 @@ class PromQlHttpSpec extends SparkSuite {
         intervalMs = 0L, ticks = 2)
       assert(failed === Nil)
       assert(Versioned.latestVersion(rootB) === vLast)
+    } finally server.stop(0)
+  }
+
+  test("a scrape tick warms the registry eagerly and can land a " +
+      "checkpoint: the next poll reads zero files and runs zero jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    graft.promql.PromRegistry.reset()
+    val server = PromQlHttp.startLandingServer(spark, root)
+    try {
+      val port = server.getAddress.getPort
+      val rootB = Files.createTempDirectory("scrapeW").toFile.getAbsolutePath
+      val url = s"http://127.0.0.1:$port/federate?match[]=${enc("view_total")}"
+      // serve the scraped-into landing from its own server
+      val serverB = PromQlHttp.startLandingServer(spark, rootB)
+      try {
+        val portB = serverB.getAddress.getPort
+        // two ticks, checkpointing each one: the loop's eager warm runs
+        // the delta fold on the scraper's clock
+        graft.promql.PromScraper.run(
+          spark, url, rootB, component = "fed", intervalMs = 0L, ticks = 2,
+          checkpointEvery = 1)
+        // the poll FOLLOWING the tick: memo hit (zero files), driver
+        // render (zero jobs)
+        val (_, census) = graft.promql.PromRegistry.refresh(spark, rootB)
+        assert(census === Nil, "the scrape tick must have warmed the memo")
+        val jobs = new java.util.concurrent.atomic.AtomicInteger
+        val l = new SparkListener {
+          override def onJobStart(j: SparkListenerJobStart): Unit =
+            jobs.incrementAndGet()
+        }
+        spark.sparkContext.addSparkListener(l)
+        try {
+          org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+          jobs.set(0)
+          val (c, body) = get(portB,
+            s"/federate?match[]=${enc("""{__name__=~".*"}""")}")
+          org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+          assert(c === 200 && body.nonEmpty)
+          assert(jobs.get() === 0,
+            s"the poll after a scrape tick ran ${jobs.get()} jobs")
+        } finally spark.sparkContext.removeSparkListener(l)
+        // the checkpoint tick landed a bootstrap snapshot: a RESTART
+        // rebuilds from it without re-reading the scraped corpus
+        val ckptRoot = graft.promql.PromRegistry.ckptRoot(rootB)
+        val props = Versioned.markerProps(
+          ckptRoot, Versioned.latestVersion(ckptRoot))
+        assert(props("ckpt.sourceVersion").toLong ===
+          Versioned.latestVersion(rootB))
+        graft.promql.PromRegistry.reset()
+        val (s2, census2) = graft.promql.PromRegistry.refresh(spark, rootB)
+        assert(census2.nonEmpty &&
+          census2.forall(_.startsWith("_registry_ckpt/")),
+          s"restart census must be checkpoint-only, got $census2")
+        assert(s2.version === Versioned.latestVersion(rootB))
+      } finally serverB.stop(0)
     } finally server.stop(0)
   }
 

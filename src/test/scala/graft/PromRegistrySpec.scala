@@ -276,12 +276,18 @@ class PromRegistrySpec extends SparkSuite {
         }
       PromQlVersioned.land(mk(batch()), root)
       for (step <- 0 until 25) {
-        rnd.nextInt(6) match {
+        rnd.nextInt(8) match {
           case 0 | 1 | 2 => PromQlVersioned.land(mk(batch()), root)
           case 3 => Versioned.compactSmall(spark, root, maxBytes = Long.MaxValue)
           case 4 => PromQlVersioned.expire(root, (rnd.nextInt(300) + 1).toLong)
           case 5 => Versioned.deleteWhere(spark, root, "id",
             col("value") < lit(rnd.nextInt(30).toDouble))
+          // restart steps (r14 verdict #1): land a checkpoint / drop the
+          // memo — the next refresh cold-starts from checkpoint ∪ delta
+          // (or the full recompute when maintenance intervened) and must
+          // stay full-scan-exact either way
+          case 6 => PromRegistry.checkpoint(spark, root)
+          case 7 => PromRegistry.reset()
         }
         val live = Versioned.latest(spark, root)
         if (live.isEmpty) {
@@ -298,6 +304,172 @@ class PromRegistrySpec extends SparkSuite {
         }
       }
     }
+  }
+
+  test("the driver-side /federate render is byte-identical to the Spark " +
+      "promRender path across label/value/match edge shapes") {
+    PromRegistry.reset()
+    val root = Files.createTempDirectory("graft-regfed").toFile.getAbsolutePath
+    // edge corpus: empty label set, multi-label, regex-relevant names,
+    // integral / negative / tiny / NaN / ±Inf values, sub-second ts
+    PromQlVersioned.land(mk(Seq(
+      ("app", "up", Map.empty[String, String], 100L, "r1", 1.0),
+      ("app", "up", Map("host" -> "a", "zone" -> "eu-1"), 100L, "r2", 0.5),
+      ("app", "lat_ms", Map("q" -> "0.99"), 120L, "r3", 123.456789),
+      ("app", "lat_ms", Map("q" -> "0.50"), 120L, "r4", -7.25),
+      ("db", "up", Map("host" -> "b"), 130L, "r5", Double.NaN),
+      ("db", "conns", Map("host" -> "b"), 131L, "r6", Double.PositiveInfinity),
+      ("db", "conns", Map("host" -> "c"), 131L, "r7", Double.NegativeInfinity),
+      ("app", "tiny", Map("k" -> "v w", "j" -> "x,y"), 140L, "r8", 1.0e-9))), root)
+    val state = PromRegistry.current(spark, root)
+    val frame = PromRegistry.frame(spark, state)
+    for (m <- Seq(
+        Seq("up"),
+        Seq("""{__name__=~".*"}"""),
+        Seq("""up{host="a"}"""),
+        Seq("""{host=~"a|b"}"""),
+        Seq("""{zone!=""}"""),
+        Seq("""{q!~"0\\.5.*"}"""),
+        Seq("up", "lat_ms"), // union of selectors
+        Seq("""{nosuch="x"}"""))) {
+      assert(PromRegistry.federateBody(state, m) ===
+        graft.promql.PromQlHttp.federateSparkBody(frame, m), m.mkString(","))
+    }
+    assertThrows[IllegalArgumentException](
+      PromRegistry.federateBody(state, Nil))
+    assertThrows[IllegalArgumentException](
+      PromRegistry.federateBody(state, Seq("rate(up[5m])")))
+  }
+
+  test("the ungrouped instant-aggregation driver fold is byte-identical " +
+      "to the landed compile; the big-value lane declines to the plan") {
+    PromRegistry.reset()
+    def mkd(rows: Seq[(String, String, Map[String, String], Long, String, Double)]) =
+      rows.toDF("component", "name", "labels", "timestamp", "id", "value")
+    val root = Files.createTempDirectory("graft-regagg").toFile.getAbsolutePath
+    val t = 1000L
+    PromQlVersioned.land(mkd(Seq(
+      // in-window heads across two components, mixed magnitudes
+      ("app", "m", Map("u" -> "1"), 990L, "r1", 0.1),
+      ("app", "m", Map("u" -> "2"), 995L, "r2", 0.2),
+      ("app", "m", Map("u" -> "3"), t, "r3", -3.7),
+      ("db", "m", Map("u" -> "4"), 998L, "r4", 1.0e10),
+      // head EXACTLY at t - lookback: excluded (left-open window)
+      ("app", "m", Map("u" -> "old"), 700L, "r5", 100.0),
+      // NaN head: staleness drops the series
+      ("app", "m", Map("u" -> "stale"), 999L, "r6", Double.NaN),
+      // +Inf head: the flag lanes
+      ("db", "infm", Map("u" -> "5"), 999L, "r7", Double.PositiveInfinity))), root)
+    def renderedBits(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map { r =>
+        s"${r.getString(0)}|${r.getString(1)}|" +
+          s"${r.getMap[String, String](2).toSeq.sorted}|${r.getLong(3)}|" +
+          java.lang.Double.doubleToRawLongBits(r.getDouble(4)).toString
+      }.sorted.toSeq
+    val lookback = 300L
+    for (q <- Seq(
+        "sum(m)", "min(m)", "max(m)", "avg(m)", "count(m)", "group(m)",
+        """sum(m{u=~"1|2|3"})""", "sum(infm)", "max(infm)", "avg(infm)",
+        "sum(nosuch)", """count({__name__=~"m|infm"})""",
+        "sum(m or infm)" /* not the fold shape: falls to the plan */)) {
+      val fast = PromRegistry.instantFastPath(spark, root, q, t, lookback)
+      assert(fast.nonEmpty, q)
+      val slow = PromQlVersioned.compileInstantVector(
+        spark, root, q, t, lookbackSec = lookback)
+      assert(renderedBits(fast.get) === renderedBits(slow), q)
+    }
+    // ±Inf together in one group: the Inf − Inf sum must be NaN through
+    // the flag lanes on both sides
+    PromQlVersioned.land(mkd(Seq(
+      ("db", "infm", Map("u" -> "6"), 999L, "r8", Double.NegativeInfinity))), root)
+    for (q <- Seq("sum(infm)", "min(infm)", "max(infm)", "avg(infm)")) {
+      val fast = PromRegistry.instantFastPath(spark, root, q, t, lookback).get
+      val slow = PromQlVersioned.compileInstantVector(
+        spark, root, q, t, lookbackSec = lookback)
+      assert(renderedBits(fast) === renderedBits(slow), q)
+    }
+    // a decimal-cap value (≥ 9e11) routes sums through the IEEE sidecar:
+    // the fold DECLINES (order-dependent lane) and the fast path falls
+    // back to the compiled local plan — answers still identical
+    PromQlVersioned.land(mkd(Seq(
+      ("app", "big", Map("u" -> "7"), 999L, "r9", 5.0e12),
+      ("app", "big", Map("u" -> "8"), 999L, "rA", 1.25))), root)
+    for (q <- Seq("sum(big)", "avg(big)", "min(big)", "count(big)")) {
+      val fast = PromRegistry.instantFastPath(spark, root, q, t, lookback).get
+      val slow = PromQlVersioned.compileInstantVector(
+        spark, root, q, t, lookbackSec = lookback)
+      assert(renderedBits(fast) === renderedBits(slow), q)
+    }
+  }
+
+  test("cold start bootstraps from the landed checkpoint plus the delta " +
+      "files since — never the corpus; /federate identical across restart") {
+    PromRegistry.reset()
+    val root = Files.createTempDirectory("graft-regckpt").toFile.getAbsolutePath
+    PromQlVersioned.land(mk(Seq(
+      ("app", "m", Map("h" -> "a"), 100L, "r1", 1.0),
+      ("app", "m", Map("h" -> "b"), 110L, "r2", 2.0))), root)
+    PromQlVersioned.land(mk(Seq(
+      ("app", "n", Map("h" -> "a"), 120L, "r3", 3.0))), root)
+    // checkpoint at source version 1
+    PromRegistry.checkpoint(spark, root)
+    // two more appends AFTER the checkpoint
+    PromQlVersioned.land(mk(Seq(
+      ("app", "m", Map("h" -> "a"), 130L, "r4", 4.0))), root)
+    PromQlVersioned.land(mk(Seq(
+      ("app", "p", Map("h" -> "c"), 90L, "r5", 5.0))), root)
+    val preRestart = stateHeads(PromRegistry.current(spark, root))
+
+    // a landing server answering /federate before the restart
+    val server = graft.promql.PromQlHttp.startLandingServer(spark, root)
+    val port = server.getAddress.getPort
+    def federate(): String = {
+      val resp = java.net.http.HttpClient.newHttpClient().send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(
+          s"http://127.0.0.1:$port/federate?match[]=" +
+            java.net.URLEncoder.encode("""{__name__=~".*"}""",
+              java.nio.charset.StandardCharsets.UTF_8))).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200)
+      resp.body()
+    }
+    try {
+      val bodyBefore = federate()
+
+      // RESTART: the driver memo is gone; the rebuild's census must be
+      // (checkpoint + the two post-checkpoint delta files) ONLY
+      PromRegistry.reset()
+      val (s, census) = PromRegistry.refresh(spark, root)
+      val ckptFiles = Versioned
+        .manifest(PromRegistry.ckptRoot(root),
+          Versioned.latestVersion(PromRegistry.ckptRoot(root)))
+        .map(e => s"_registry_ckpt/${e.path}").toSet
+      val v1Files = Versioned.manifest(root, 1L).map(_.path).toSet
+      val deltaFiles = Versioned.manifest(root, 3L).map(_.path).toSet -- v1Files
+      assert(ckptFiles.nonEmpty && deltaFiles.size === 2)
+      assert(census.toSet === ckptFiles ++ deltaFiles,
+        "restart must read checkpoint + delta only")
+      assert(census.toSet.intersect(v1Files).isEmpty,
+        "no pre-checkpoint landed file may be re-read")
+      assert(stateHeads(s) === fullHeads(root))
+      assert(s.version === 3L && s.minTs === 90L)
+
+      // the serving surface agrees byte-for-byte across the restart
+      assert(federate() === bodyBefore)
+      assert(preRestart === stateHeads(PromRegistry.current(spark, root)))
+    } finally server.stop(0)
+
+    // a maintenance transition AFTER the checkpoint (compaction) makes
+    // the checkpoint's delta unsound — the cold start must fall back to
+    // the full recompute and still be exact
+    Versioned.compactSmall(spark, root, maxBytes = Long.MaxValue)
+    PromRegistry.reset()
+    val (s2, census2) = PromRegistry.refresh(spark, root)
+    assert(stateHeads(s2) === fullHeads(root))
+    val liveNow = Versioned
+      .manifest(root, Versioned.latestVersion(root)).map(_.path).toSet
+    assert(census2.toSet.intersect(liveNow) === liveNow,
+      "maintenance after checkpoint falls back to the full recompute")
   }
 
   test("the delta fold orders by the SAME key as the Spark max_by: " +
