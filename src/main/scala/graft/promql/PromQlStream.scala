@@ -145,6 +145,13 @@ object PromQlStream {
     // operator the plain lowering uses
     case Call(fn, Seq(RangeSelector(_, r)))
         if fn == "increase" || fn == "rate" => Some(r)
+    // the closed rate SUBQUERY chains too (round 15, the last streaming
+    // `for` gap): its outer windows tumble on the subquery's own range
+    // grid — the same grid the batch rule evaluator checks `for` against
+    case Call(fn, Seq(Subquery(Call("rate", Seq(RangeSelector(_, inner))),
+        outer, step)))
+        if (fn == "min_over_time" || fn == "max_over_time" ||
+          fn == "avg_over_time") && step.forall(_ == inner) => Some(outer)
     case Binary(op, l, NumberLit(_), _, _) if !setOps(op) => windowGrid(l)
     case Binary(op, NumberLit(_), r, _, _) if !setOps(op) => windowGrid(r)
     case _ => None
@@ -165,6 +172,22 @@ object PromQlStream {
           .counterIncreaseClosed(filtered(metrics, sel), r, wm).toDF()
         if (fn == "increase") closed
         else closed.withColumn("value", col("value") / lit(r.toDouble))
+      // the closed rate subquery (round 15): the subquery processor's
+      // per-outer-window aggregate emitted as the chainable append-mode
+      // grid (event-time-tagged), so the streak follows unchanged
+      case Call(fn @ ("min_over_time" | "max_over_time" | "avg_over_time"),
+          Seq(Subquery(Call("rate", Seq(RangeSelector(sel, inner))),
+            outer, step)))
+          if step.forall(_ == inner) =>
+        val field = fn match {
+          case "min_over_time" => "min_rate"
+          case "max_over_time" => "max_rate"
+          case "avg_over_time" => "avg_rate"
+        }
+        graft.streaming.FirehoseTws
+          .subqueryOverTimeChained(filtered(metrics, sel), inner, outer,
+            field, wm)
+          .toDF()
       case Binary(op, l, NumberLit(s), _, boolMod) if !setOps(op) =>
         applyScalar(lowerForStreak(l, metrics, stepSec, wm), s, op,
           vecOnLeft = true, boolMod)
@@ -264,8 +287,17 @@ object PromQlStream {
     * reference machine as the batch evaluator, and batch-parity-pinned
     * end-to-end.
     *
-    * Still refused loudly: `for` over subqueries (their closed totals
-    * park inside one processor with no chainable output grid); the
+    * The closed rate SUBQUERY chains too (round 15, closing the last
+    * streaming `for` gap): `agg_over_time(rate(x[inner])[outer:inner])
+    * > c for d` lowers the subquery processor onto
+    * [[graft.streaming.FirehoseTws.subqueryOverTimeChained]] — the same
+    * exactly-once closed fold, emitted in append mode with the
+    * event-time tag — and the streak (and `keep_firing_for`'s keep
+    * machine) follows unchanged on the subquery's outer-range grid, the
+    * grid the batch rule evaluator checks `for` against.
+    *
+    * Still refused loudly: `for` over shapes with no chainable window
+    * grid (gaugeLatest, instant aggregations, vector matches); the
     * batch rule evaluator ([[PromQlRules.evaluate]]) over a landed
     * stream covers those.
     */

@@ -465,6 +465,80 @@ object FirehoseTws {
         TimeMode.EventTime(), OutputMode.Update())
   }
 
+  /** [[SubqueryProcessor]] emitting the CHAINABLE closed shape — one
+    * selected aggregate (`min_rate`/`max_rate`/`avg_rate`) per closed
+    * (series, outer window) as a [[ClosedIncrease]] row with the
+    * `event_time` tag (max(outer window end, watermark + 1 ms) — the
+    * chaining contract's no-older-than-watermark demand), so the
+    * for-duration streak — a second `transformWithState` — can legally
+    * follow a subquery lowering. Wraps the Update-mode processor's own
+    * fold verbatim (the two cannot diverge); the rows are exactly-once
+    * by construction, so Append mode is sound.
+    */
+  class SubqueryClosedChainedProcessor(
+      innerSec: Long, outerSec: Long, ttlMs: Long, field: String)
+      extends StatefulProcessor[SeriesKey, GaugePoint, ClosedIncrease] {
+    private val inner = new SubqueryProcessor(innerSec, outerSec, ttlMs)
+    private val sel: SubqueryOut => Double = field match {
+      case "min_rate" => _.min_rate
+      case "max_rate" => _.max_rate
+      case "avg_rate" => _.avg_rate
+      case other => throw new IllegalArgumentException(
+        s"unknown subquery aggregate '$other'")
+    }
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      inner.setHandle(getHandle)
+      inner.init(outputMode, timeMode)
+    }
+
+    private def tag(
+        rows: Iterator[SubqueryOut],
+        timers: TimerValues): Iterator[ClosedIncrease] = {
+      val tagMs = math.max(timers.getCurrentWatermarkInMs() + 1L, 1L)
+      rows.map { o =>
+        ClosedIncrease(o.component, o.name, o.series, o.outer_win, sel(o),
+          new java.sql.Timestamp(math.max((o.outer_win + outerSec) * 1000L, tagMs)))
+      }
+    }
+
+    override def handleInputRows(
+        key: SeriesKey,
+        rows: Iterator[GaugePoint],
+        timers: TimerValues): Iterator[ClosedIncrease] =
+      tag(inner.handleInputRows(key, rows, timers), timers)
+
+    override def handleExpiredTimer(
+        key: SeriesKey,
+        timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[ClosedIncrease] =
+      tag(inner.handleExpiredTimer(key, timers, expired), timers)
+  }
+
+  /** [[subqueryOverTimeClosed]] with the output's window tagged as its
+    * event-time column — the chainable form the general for-duration
+    * streak consumes (`agg_over_time(rate(x[inner])[outer:inner]) … for
+    * d` streams by chaining [[forStreakChained]]/[[forStreakKeep]] after
+    * this relation, exactly like the rate/increase wrappers chain after
+    * [[counterIncreaseClosed]]).
+    */
+  def subqueryOverTimeChained(
+      metrics: DataFrame,
+      innerSec: Long,
+      outerSec: Long,
+      field: String,
+      watermarkDelay: String = "10 minutes",
+      ttlMs: Long = 10 * 60 * 1000L): Dataset[ClosedIncrease] = {
+    require(outerSec % innerSec == 0, "inner step must tile the outer range")
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    FirehoseStream.keyedPoints(metrics, watermarkDelay)
+      .groupByKey(p => (p.component, p.name, p.series))
+      .transformWithState(
+        new SubqueryClosedChainedProcessor(innerSec, outerSec, ttlMs, field),
+        "event_time", OutputMode.Append())
+  }
+
   /** Absent-alert processor — [[FirehoseStream.absentAlert]]'s fold
     * ([[AbsentCore]], shared verbatim) on the arbitrary-state API: the
     * decided (anchor, gapEmitted) pair is a `ValueState`, the undecided

@@ -131,12 +131,12 @@ class PromQlStreamSpec extends SparkSuite {
           r.getAs[Long]("win_start"), r.getAs[Double]("value")))
         .toSet
       assert(streamed === batch)
-      // for-durations outside every streamable shape are refused
-      // (subqueries — no event-time column to chain the streak on;
-      // rate/increase under wrappers now chain via the closed-window
-      // increase — see the general for-duration spec below)
+      // for-durations outside every streamable shape are refused (no
+      // chainable window grid: instant aggregations, gaugeLatest;
+      // rate/increase wrappers AND closed rate subqueries now chain —
+      // see the dedicated for-duration specs below)
       assertThrows[PromQlCompileException](PromQlStream.compileAlert(
-        "alert A = max_over_time((rate(g[30m]))[1h:30m]) > 4 for 1h",
+        "alert A = sum(g) > 4 for 1h",
         graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)))
     } finally q.stop()
   }
@@ -397,7 +397,7 @@ class PromQlStreamSpec extends SparkSuite {
         .map(r => (r.getAs[Long]("win_start"), r.getAs[Double]("value")))
         .toMap
       assert(streamed === batch)
-      // off-grid keep durations refuse; subquery shapes still refuse
+      // off-grid keep durations refuse
       assertThrows[PromQlCompileException](PromQlStream.compileAlert(
         "alert A = max_over_time(c_total[1m]) > 0 keep_firing_for 90s",
         graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath),
@@ -442,6 +442,105 @@ class PromQlStreamSpec extends SparkSuite {
         assert(streamedC === batchC)
       } finally qc.stop()
     } finally q.stop()
+  } }
+
+  test("`for` and keep_firing_for stream over closed rate subqueries: " +
+      "the subquery's chained grid feeds the streak, batch-identically; " +
+      "late data pins at the watermark") { withRocksDb {
+    val dir = Files.createTempDirectory("graft-pqs-sqfor").toFile
+    // counter sampled once per 10m inner window; per-outer-window (30m)
+    // min rates: W0 [0,1800) → 0 (first-ever sample), W1 → 0.1,
+    // W2 [3600,5400) → 0 (flat), W3 → 0.1, W4 [7200,9000) → 0.1
+    val samples = Seq(
+      (100L, 0.0), (700L, 60.0), (1300L, 120.0),
+      (1900L, 180.0), (2500L, 240.0), (3100L, 300.0),
+      (3700L, 300.0), (4300L, 300.0), (4900L, 300.0),
+      (5500L, 360.0), (6100L, 420.0), (6700L, 480.0),
+      (7300L, 540.0), (7900L, 600.0), (8500L, 660.0))
+    Files.write(dir.toPath.resolve("b1.json"),
+      samples.zipWithIndex.map { case ((t, v), i) =>
+        metricJson(f"s$i%02d", "c_total", t, "u1", v)
+      }.mkString("\n").getBytes)
+    // breaches at W1, W3, W4; k = 2 → fires at W4 (7200) only; keep 30m
+    // tails one decided-false grid point (9000) with W4's value
+    val line = "alert SQ = min_over_time(rate(c_total[10m])[30m:10m]) " +
+      "> 0.05 for 30m keep_firing_for 30m"
+    def src = graft.streaming.FirehoseStream.fromJsonFiles(spark, dir.getAbsolutePath)
+    val chk = Files.createTempDirectory("graft-pqs-sqforchk").toFile
+    val q = PromQlStream.compileAlert(line, src)
+      .writeStream.format("memory").queryName("pqs_sqfor").outputMode("append")
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      // far samples close every window and give the keep timer batches
+      for ((ts, b) <- Seq((40000L, "b2"), (80000L, "b3"))) {
+        Files.write(dir.toPath.resolve(s"$b.json"),
+          Seq(metricJson(s"f$b", "c_total", ts, "u1", 660.0)).mkString("\n").getBytes)
+        q.processAllAvailable()
+      }
+      def streamed(): Map[Long, Double] = spark.table("pqs_sqfor")
+        .collect()
+        .map(r => (r.getAs[Long]("win_start"), r.getAs[Double]("value")))
+        .toMap
+      val fires = streamed()
+      assert(fires === Map(7200L -> 0.1, 9000L -> 0.1))
+      // the batch rule evaluator on the subquery's own range grid agrees
+      val batch = graft.promql.PromQlRules.evaluate(
+          line,
+          graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath)
+            .filter(col("timestamp") < 39000), stepSec = 1800L)("SQ")
+        .collect()
+        .map(r => (r.getAs[Long]("win_start"), r.getAs[Double]("value")))
+        .toMap
+      assert(fires === batch)
+      // LATE DATA pins at the watermark: a sample into long-closed W3
+      // that would break its breach (a counter reset → huge clamp is
+      // irrelevant, rate min would change) is dropped by the subquery's
+      // own closed fold — the emitted set never changes
+      Files.write(dir.toPath.resolve("b4.json"),
+        Seq(metricJson("late", "c_total", 5600L, "u1", 0.0)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      assert(streamed() === fires)
+    } finally q.stop()
+    // plain `for` (no keep) rides the same chain
+    val chk2 = Files.createTempDirectory("graft-pqs-sqfor2chk").toFile
+    val line2 = "alert SQ2 = max_over_time(rate(c_total[10m])[30m:10m]) " +
+      "> 0.05 for 30m"
+    val q2 = PromQlStream.compileAlert(line2, src)
+      .writeStream.format("memory").queryName("pqs_sqfor2").outputMode("append")
+      .option("checkpointLocation", chk2.getAbsolutePath)
+      .start()
+    try {
+      q2.processAllAvailable()
+      // a fresh far sample triggers the post-watermark batch (this query
+      // started with the whole corpus already on disk — its first batch
+      // ran at watermark 0, parking everything)
+      Files.write(dir.toPath.resolve("b5.json"),
+        Seq(metricJson("f5", "c_total", 120000L, "u1", 660.0)).mkString("\n").getBytes)
+      q2.processAllAvailable()
+      val streamed2 = spark.table("pqs_sqfor2")
+        .collect()
+        .map(r => (r.getAs[Long]("win_start"), r.getAs[Double]("value")))
+        .toMap
+      val batch2 = graft.promql.PromQlRules.evaluate(
+          line2,
+          graft.sources.MetricJson.readJsonLines(spark, dir.getAbsolutePath)
+            .filter(col("timestamp") < 39000), stepSec = 1800L)("SQ2")
+        .collect()
+        .map(r => (r.getAs[Long]("win_start"), r.getAs[Double]("value")))
+        .toMap
+      assert(streamed2.nonEmpty && streamed2 === batch2)
+    } finally q2.stop()
+    // refusals stay loud: off-grid `for`, a step that does not match the
+    // inner range, and a non-rate inner expression
+    assertThrows[PromQlCompileException](PromQlStream.compileAlert(
+      "alert A = min_over_time(rate(c_total[10m])[30m:10m]) > 1 for 40m", src))
+    assertThrows[PromQlCompileException](PromQlStream.compileAlert(
+      "alert A = min_over_time(rate(c_total[10m])[30m:5m]) > 1 for 30m", src))
+    assertThrows[PromQlCompileException](PromQlStream.compileAlert(
+      "alert A = min_over_time(increase(c_total[10m])[30m:10m]) > 1 for 30m",
+      src))
   } }
 
   test("streaming text over_time matches batch; out-of-subset shapes raise") {
