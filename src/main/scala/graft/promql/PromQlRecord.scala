@@ -63,6 +63,12 @@ import graft.sources.{Ivm, MaterializedView, Versioned}
   * table under kind-prefixed keys, so a crash can never tear state from
   * sums.
   *
+  * Static rule labels (`name = expr labels {k: v}`, m58) lower too:
+  * the recorded series key is the batch evaluator's merge (static over
+  * series labels, rule wins) as ONE MORE deterministic computed column —
+  * grouped alongside the source series key (so per-source-series
+  * granularity matches the batch output exactly) and O(delta)-neutral.
+  *
   * Everything else — subqueries, offsets/`@` pins, binary operators —
   * refuses loudly with the supported grammar in the message; the batch
   * loop remains the general path.
@@ -112,6 +118,58 @@ object PromQlRecord {
     "array_join(transform(array_sort(map_entries(labels)), " +
       "e -> concat(e.key, '=', e.value)), ',')"
 
+  /** The RECORDED series key under static rule labels, in SQL text: the
+    * batch evaluator's m58 merge (`map_concat(map_filter(labels, rule
+    * keys out), static)` — rule wins, Prometheus's merge) rendered
+    * through the canonical series key. A deterministic per-row function
+    * of `labels`, so it rides the view as a computed column.
+    */
+  private def mergedSeriesSql(static: Map[String, String]): String = {
+    val keys = static.keys.toSeq.sorted.map(sqlStr).mkString(", ")
+    val kvs = static.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(sqlStr(k), sqlStr(v)) }.mkString(", ")
+    "array_join(transform(array_sort(map_entries(map_concat(" +
+      s"map_filter(labels, (k, v) -> k not in ($keys)), map($kvs)))), " +
+      "e -> concat(e.key, '=', e.value)), ',')"
+  }
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Static rule labels as a marker prop — JSON object with sorted keys
+    * (lossless for any label text; the marker writer escapes strings).
+    */
+  private def encodeLabels(m: Map[String, String]): String = {
+    val tm = new java.util.TreeMap[String, String]()
+    m.foreach { case (k, v) => tm.put(k, v) }
+    mapper.writeValueAsString(tm)
+  }
+
+  private def decodeLabels(s: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    if (s.isEmpty) Map.empty
+    else mapper.readTree(s).fields().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
+  /** The recorded OUTPUT series column of a `by`-grouped rule: the
+    * present by-label values (absent ones drop from the labelset, per
+    * PromQL) merged with the static rule labels (static wins — m58),
+    * rendered as the canonical sorted series key. With no statics this
+    * is exactly the pre-m58 rendering.
+    */
+  private def bySeriesCol(
+      by: Seq[String], static: Map[String, String]): Column = {
+    val keys = (by ++ static.keys).distinct.sorted
+    array_join(
+      filter(
+        array(keys.map(k =>
+          if (static.contains(k)) concat(lit(k + "="), lit(static(k)))
+          else when(col(s"_lbl_$k").isNotNull,
+            concat(lit(k + "="), col(s"_lbl_$k")))): _*),
+        x => x.isNotNull),
+      ",")
+  }
+
   private def matcherSql(m: LabelMatcher): String = {
     // the compiler's labelVal special case: __name__ reads the metric
     // name column, not the label map
@@ -143,17 +201,14 @@ object PromQlRecord {
       exprCols: Seq[(String, String)],
       groupCols: Seq[String],
       sumCols: Seq[String],
-      minMaxCols: Seq[String])
+      minMaxCols: Seq[String],
+      static: Map[String, String])
 
   private def lower(ruleLine: String): Lowered = {
     val rule = PromQlRules.parse(ruleLine) match {
       case Seq(r: PromQlRules.Rule) => r
       case _ => err("expected exactly one `name = expr` recording rule")
     }
-    // never silently drop a clause the grammar accepted (round-14: rules
-    // may carry static labels — the incremental lowering doesn't)
-    if (rule.labels.nonEmpty)
-      err("static rule labels don't lower incrementally")
     val (fn, sel, rangeSec, byLabels) = PromQlParser.parse(rule.expr) match {
       case Call(f, Seq(RangeSelector(s, r))) if overTimeFns(f) =>
         (f, s, r, None)
@@ -177,9 +232,18 @@ object PromQlRecord {
         // selector spans several metrics, and the compiler's per-series
         // identity is (name, series) — read() renames to the rule name
         // AFTER grouping, exactly like the batch loop's recorded-series
-        // rename (which also keeps the underlying rows distinct)
-        (Seq("series" -> seriesKeySql, "win_start" -> winSql),
-          Seq("component", "name", "series", "win_start"))
+        // rename (which also keeps the underlying rows distinct).
+        // Static rule labels (m58) ride as ONE MORE computed group
+        // column — the merged render is per-row deterministic and
+        // constant within a source series, so grouping by (series,
+        // _rseries) keeps the batch evaluator's per-source-series
+        // granularity while the output key carries the merge
+        ((Seq("series" -> seriesKeySql) ++
+          (if (rule.labels.isEmpty) Nil
+           else Seq("_rseries" -> mergedSeriesSql(rule.labels))) :+
+          ("win_start" -> winSql)),
+          ("component" +: "name" +: "series" +:
+            (if (rule.labels.isEmpty) Nil else Seq("_rseries"))) :+ "win_start")
       case Some(ls) =>
         val sorted = ls.sorted
         (sorted.map(l => s"_lbl_$l" -> s"try_element_at(labels, ${sqlStr(l)})") :+
@@ -192,7 +256,7 @@ object PromQlRecord {
       case "count_over_time" => (Nil, Nil)
     }
     Lowered(rule.name, fn, rangeSec, byLabels.map(_.sorted), where,
-      exprCols, groupCols, sumCols, minMaxCols)
+      exprCols, groupCols, sumCols, minMaxCols, rule.labels)
   }
 
   /** Lower `ruleLine` (one `name = expr` recording rule) onto a
@@ -216,7 +280,9 @@ object PromQlRecord {
         extraProps = Map(
           "rule.name" -> lo.ruleName,
           "rule.fn" -> lo.fn,
-          "rule.by" -> lo.byLabels.map(_.mkString(",")).getOrElse("")))
+          "rule.by" -> lo.byLabels.map(_.mkString(",")).getOrElse("")) ++
+          (if (lo.static.isEmpty) Map.empty[String, String]
+           else Map("rule.labels" -> encodeLabels(lo.static))))
   }
 
   /** Advance the recorded series to the source's latest version —
@@ -240,6 +306,7 @@ object PromQlRecord {
     val ruleName = p("rule.name")
     val fn = p("rule.fn")
     val by = p.getOrElse("rule.by", "").split(',').toSeq.filter(_.nonEmpty)
+    val static = decodeLabels(p.getOrElse("rule.labels", ""))
     val v = MaterializedView.read(spark, viewRoot)
     val value = (fn match {
       case "sum_over_time" => col("sum_value")
@@ -249,18 +316,15 @@ object PromQlRecord {
       case "max_over_time" => col("max_value")
     }).cast("double")
     val series =
-      if (by.isEmpty) col("series")
-      else
+      if (by.isEmpty) {
+        // statics merged INTO the group key at create ([[lower]]'s
+        // `_rseries` computed column — m58's merge, rule wins)
+        if (static.isEmpty) col("series") else col("_rseries")
+      } else
         // absent by-labels drop from the output labelset, per PromQL;
-        // label names pre-sorted, so the rendering is the canonical
-        // series key
-        array_join(
-          filter(
-            array(by.map(l =>
-              when(col(s"_lbl_$l").isNotNull,
-                concat(lit(l + "="), col(s"_lbl_$l")))): _*),
-            x => x.isNotNull),
-          ",")
+        // statics merge over the by-values (rule wins); label names
+        // pre-sorted, so the rendering is the canonical series key
+        bySeriesCol(by, static)
     v.select(
       col("component"), lit(ruleName).as("name"), series.as("series"),
       col("win_start"), value.as("value"))
@@ -269,7 +333,8 @@ object PromQlRecord {
   // ───────────────────── increase / rate rules ─────────────────────
 
   private case class LoweredCounter(
-      ruleName: String, fn: String, rangeSec: Long, where: String)
+      ruleName: String, fn: String, rangeSec: Long, where: String,
+      static: Map[String, String])
 
   /** `Some` when the rule is a counter rule (`name =
     * increase|rate(metric{matchers}[R])`), with the counter family's own
@@ -280,8 +345,6 @@ object PromQlRecord {
       case Seq(r: PromQlRules.Rule) => r
       case _ => err("expected exactly one `name = expr` recording rule")
     }
-    if (rule.labels.nonEmpty)
-      err("static rule labels don't lower incrementally")
     PromQlParser.parse(rule.expr) match {
       case Call(f @ ("increase" | "rate"), Seq(RangeSelector(sel, r))) =>
         if (sel.name.isEmpty && sel.matchers.isEmpty)
@@ -290,7 +353,7 @@ object PromQlRecord {
           err("offset/@ modifiers don't lower")
         val where = (sel.name.map(n => s"name = ${sqlStr(n)}").toSeq ++
           sel.matchers.map(matcherSql)).mkString(" AND ")
-        Some(LoweredCounter(rule.name, f, r, where))
+        Some(LoweredCounter(rule.name, f, r, where, rule.labels))
       case _ => None
     }
   }
@@ -361,27 +424,34 @@ object PromQlRecord {
       Window.partitionBy("component", "name", "series")
         .orderBy(col("timestamp"), col("id"))
 
-    private def winRows(windows: DataFrame): DataFrame =
+    // static rule labels (m58) ride window rows as the merged recorded
+    // series key `_rseries` (constant within a source series — computed
+    // in [[normalized]], grouped alongside it); state rows carry a null
+    private def winRows(windows: DataFrame, hasStatic: Boolean): DataFrame =
       windows.select(
-        col("component"), col("name"), col("series"), col("win_start"),
-        col("cnt"), col("inc"),
-        lit(null).cast("long").as("last_ts"),
-        lit(null).cast("string").as("last_id"),
-        lit(null).cast("double").as("last_value"),
-        winGk.as(GK))
+        Seq(col("component"), col("name"), col("series")) ++
+          (if (hasStatic) Seq(col("_rseries")) else Nil) ++
+          Seq(col("win_start"), col("cnt"), col("inc"),
+            lit(null).cast("long").as("last_ts"),
+            lit(null).cast("string").as("last_id"),
+            lit(null).cast("double").as("last_value"),
+            winGk.as(GK)): _*)
 
-    private def stateRows(src: DataFrame): DataFrame =
+    private def stateRows(src: DataFrame, hasStatic: Boolean): DataFrame =
       src.groupBy(col("component"), col("name"), col("series"))
         .agg(max(struct(col("timestamp"), col("id"), col("value"))).as("_l"))
         .select(
-          col("component"), col("name"), col("series"),
-          lit(null).cast("long").as("win_start"),
-          lit(null).cast("long").as("cnt"),
-          lit(null).cast("decimal(28,6)").as("inc"),
-          col("_l.timestamp").as("last_ts"),
-          col("_l.id").as("last_id"),
-          col("_l.value").as("last_value"),
-          stateGk.as(GK))
+          Seq(col("component"), col("name"), col("series")) ++
+            (if (hasStatic) Seq(lit(null).cast("string").as("_rseries"))
+             else Nil) ++
+            Seq(
+              lit(null).cast("long").as("win_start"),
+              lit(null).cast("long").as("cnt"),
+              lit(null).cast("decimal(28,6)").as("inc"),
+              col("_l.timestamp").as("last_ts"),
+              col("_l.id").as("last_id"),
+              col("_l.value").as("last_value"),
+              stateGk.as(GK)): _*)
 
     private def propsOf(
         c: LoweredCounter, sourceRoot: String, srcV: Long): Map[String, String] =
@@ -391,14 +461,26 @@ object PromQlRecord {
         "cr.range" -> c.rangeSec.toString,
         "cr.where" -> c.where,
         "cr.sourceRoot" -> sourceRoot,
-        "cr.sourceVersion" -> srcV.toString)
+        "cr.sourceVersion" -> srcV.toString) ++
+        (if (c.static.isEmpty) Map.empty[String, String]
+         else Map("rule.labels" -> encodeLabels(c.static)))
 
     private def defOf(viewRoot: String): (LoweredCounter, String, Long) = {
       val p = Versioned.markerProps(viewRoot, Versioned.latestVersion(viewRoot))
       (LoweredCounter(p("rule.name"), p("rule.fn"), p("cr.range").toLong,
-        p.getOrElse("cr.where", "")),
+        p.getOrElse("cr.where", ""),
+        decodeLabels(p.getOrElse("rule.labels", ""))),
         p("cr.sourceRoot"), p("cr.sourceVersion").toLong)
     }
+
+    private def staticExtra(c: LoweredCounter): Seq[Column] =
+      if (c.static.isEmpty) Nil
+      else Seq(expr(mergedSeriesSql(c.static)).as("_rseries"))
+
+    private def winGroup(c: LoweredCounter): Seq[Column] =
+      Seq(col("component"), col("name"), col("series")) ++
+        (if (c.static.isEmpty) Nil else Seq(col("_rseries"))) :+
+        col("win_start")
 
     def create(
         spark: SparkSession,
@@ -407,16 +489,18 @@ object PromQlRecord {
         viewRoot: String): Long = {
       val srcV = Versioned.latestVersion(sourceRoot)
       require(srcV >= 0, s"no committed versions in $sourceRoot")
-      val src = normalized(Versioned.asOf(spark, sourceRoot, srcV), c.where)
+      val src = normalized(Versioned.asOf(spark, sourceRoot, srcV), c.where,
+        extra = staticExtra(c))
       val incs = src
         .withColumn("_inc", incOf(lag(col("value"), 1).over(lagWin)))
         .withColumn("win_start",
           (col("timestamp") - pmod(col("timestamp"), lit(c.rangeSec))).cast("long"))
       val windows = incs
-        .groupBy(col("component"), col("name"), col("series"), col("win_start"))
+        .groupBy(winGroup(c): _*)
         .agg(count(lit(1)).as("cnt"), decSumInc)
       Versioned.appendCommit(
-        winRows(windows).unionByName(stateRows(src)), viewRoot,
+        winRows(windows, c.static.nonEmpty)
+          .unionByName(stateRows(src, c.static.nonEmpty)), viewRoot,
         bloomCols = Seq(GK), props = propsOf(c, sourceRoot, srcV))
     }
 
@@ -432,15 +516,17 @@ object PromQlRecord {
       try {
         val span = normalized(
           Versioned.changesBetween(spark, sourceRoot, srcV, vNow), c.where,
-          extra = Seq(when(col("_change_type") === "insert", lit(1))
-            .otherwise(lit(-1)).as("_sign")))
+          extra = staticExtra(c) :+
+            when(col("_change_type") === "insert", lit(1))
+              .otherwise(lit(-1)).as("_sign"))
         // net multiplicity per sample: a compact's delete+insert of the
         // same rows cancels to 0 (maintainable, possibly watermark-only);
         // +1 is a genuinely appended sample; anything else breaks the
         // append-only contract this maintainer is sound under
         val netted = stage(span
-          .groupBy(col("component"), col("name"), col("series"),
-            col("timestamp"), col("id"), col("value"))
+          .groupBy(Seq(col("component"), col("name"), col("series")) ++
+            (if (c.static.isEmpty) Nil else Seq(col("_rseries"))) ++
+            Seq(col("timestamp"), col("id"), col("value")): _*)
           .agg(sum(col("_sign")).as("_net")))
         val bad = netted.filter(col("_net") < 0 || col("_net") > 1)
           .select(col("series"), col("timestamp"), col("id"), col("_net"))
@@ -491,7 +577,7 @@ object PromQlRecord {
           .withColumn("win_start",
             (col("timestamp") - pmod(col("timestamp"), lit(c.rangeSec))).cast("long"))
         val deltas = stage(incs
-          .groupBy(col("component"), col("name"), col("series"), col("win_start"))
+          .groupBy(winGroup(c): _*)
           .agg(count(lit(1)).as("_dcnt"), decSumInc.as("_dinc")))
         val wKeys = deltas.select(winGk).collect().map(_.getString(0)).toSeq.sorted
         val old = Versioned.pointRead(spark, viewRoot, viewV, GK, wKeys)
@@ -499,13 +585,15 @@ object PromQlRecord {
         val merged = deltas.withColumn(GK, winGk).alias("d")
           .join(old.alias("o"), Seq(GK), "left")
           .select(
-            col("d.component"), col("d.name"), col("d.series"),
-            col("d.win_start"),
-            (coalesce(col("o.cnt"), lit(0L)) + col("d._dcnt")).as("cnt"),
-            (coalesce(col("o.inc"), Ivm.zero) + col("d._dinc"))
-              .cast("decimal(28,6)").as("inc"))
+            Seq(col("d.component"), col("d.name"), col("d.series")) ++
+              (if (c.static.isEmpty) Nil else Seq(col("d._rseries"))) ++
+              Seq(col("d.win_start"),
+                (coalesce(col("o.cnt"), lit(0L)) + col("d._dcnt")).as("cnt"),
+                (coalesce(col("o.inc"), Ivm.zero) + col("d._dinc"))
+                  .cast("decimal(28,6)").as("inc")): _*)
         Versioned.replaceCommit(
-          winRows(merged).unionByName(stateRows(fresh)), viewRoot, GK,
+          winRows(merged, c.static.nonEmpty)
+            .unionByName(stateRows(fresh, c.static.nonEmpty)), viewRoot, GK,
           bloomCols = Seq(GK), props = newProps, expectedVersion = viewV)
       } finally stage.dropAll()
     }
@@ -515,10 +603,12 @@ object PromQlRecord {
       val value =
         if (c.fn == "rate") (col("inc").cast("double") / lit(c.rangeSec.toDouble))
         else col("inc").cast("double")
+      val series =
+        if (c.static.isEmpty) col("series") else col("_rseries")
       Versioned.latest(spark, viewRoot)
         .filter(col("win_start").isNotNull)
-        .select(col("component"), lit(c.ruleName).as("name"), col("series"),
-          col("win_start"), value.as("value"))
+        .select(col("component"), lit(c.ruleName).as("name"),
+          series.as("series"), col("win_start"), value.as("value"))
     }
   }
 }

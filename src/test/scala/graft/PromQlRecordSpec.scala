@@ -194,10 +194,8 @@ class PromQlRecordSpec extends SparkSuite {
       assert(e.getMessage.contains("incremental recording supports"), rule)
     }
     refused("r = sum by (user) (increase(view_total[1h]))")  // lag under an agg
-    // static rule labels (round 14) must refuse, never drop silently —
-    // on BOTH the group-aggregate and the counter lowering
-    refused("""r = sum_over_time(view_total[1h]) labels {tier="gold"}""")
-    refused("""r = increase(view_total[1h]) labels {tier="gold"}""")
+    // static rule labels lower since round 15 (m58 parity) — see the
+    // labeled-rule lifecycle specs below
     refused("r = avg by (user) (avg_over_time(view_total[1h]))") // avg-of-avgs
     refused("r = count by (user) (count_over_time(view_total[1h]))") // series count
     refused("r = sum by (user) (min_over_time(view_total[1h]))") // op/fn mismatch
@@ -206,6 +204,68 @@ class PromQlRecordSpec extends SparkSuite {
     refused("r = view_total + 1")                            // binary
     refused("r = increase(view_total[1h] offset 1h)")        // counter + offset
     refused("r = rate(view_total[1h] @ 120)")                // counter + pin
+  }
+
+  test("static rule labels maintain incrementally, equal to the batch " +
+      "evaluator's m58 merge, on every lowering") {
+    // no-by form: statics merge over the full series label set (rule
+    // wins — `unit` is overridden, `tier` added); per-source-series
+    // granularity preserved through the merged group column
+    val rule = """app:v:lab1h = sum_over_time(view_total[1h]) """ +
+      """labels {tier="gold", unit="mb"}"""
+    val src = tmp("reclab-src"); val view = tmp("reclab-view")
+    val part = col("id").cast("long") % 3
+    Versioned.appendCommit(metrics.filter(part =!= 0), src)
+    PromQlRecord.create(spark, rule, src, view)
+    val afterCreate = rendered(PromQlRecord.read(spark, view))
+    assert(afterCreate === batch(rule, metrics.filter(part =!= 0)))
+    assert(afterCreate.keys.forall(_._2.contains("tier=gold")))
+    assert(afterCreate.keys.forall(k =>
+      k._2.contains("unit=mb") && !k._2.contains("unit=bytes")))
+    // O(delta) refresh through an append AND a delete span
+    Versioned.appendCommit(metrics.filter(part === 0), src)
+    assert(PromQlRecord.refresh(spark, view) >= 0)
+    assert(rendered(PromQlRecord.read(spark, view)) === batch(rule, metrics))
+    Versioned.deleteWhere(spark, src, "id", col("id").cast("long") % 7 === 0)
+    assert(PromQlRecord.refresh(spark, view) >= 0)
+    assert(rendered(PromQlRecord.read(spark, view)) ===
+      batch(rule, metrics.filter(col("id").cast("long") % 7 =!= 0)))
+
+    // by form: statics merge over the by-values (added key)
+    val ruleBy = """app:v:lab1hby = sum by (user) """ +
+      """(sum_over_time(view_total[1h])) labels {tier="gold"}"""
+    val srcB = tmp("reclabby-src"); val viewB = tmp("reclabby-view")
+    Versioned.appendCommit(metrics.filter(part =!= 0), srcB)
+    PromQlRecord.create(spark, ruleBy, srcB, viewB)
+    Versioned.appendCommit(metrics.filter(part === 0), srcB)
+    assert(PromQlRecord.refresh(spark, viewB) >= 0)
+    val gotBy = rendered(PromQlRecord.read(spark, viewB))
+    assert(gotBy === batch(ruleBy, metrics))
+    assert(gotBy.nonEmpty && gotBy.keys.forall(_._2.contains("tier=gold")))
+    // ...and a static OVERRIDING a by-label (rule wins, per Prometheus)
+    val ruleBy2 = """app:v:lab1hby2 = sum by (user) """ +
+      """(sum_over_time(view_total{user="1"}[1h])) labels {user="all"}"""
+    val srcB2 = tmp("reclabby2-src"); val viewB2 = tmp("reclabby2-view")
+    Versioned.appendCommit(metrics, srcB2)
+    PromQlRecord.create(spark, ruleBy2, srcB2, viewB2)
+    val gotBy2 = rendered(PromQlRecord.read(spark, viewB2))
+    assert(gotBy2 === batch(ruleBy2, metrics))
+    assert(gotBy2.nonEmpty && gotBy2.keys.forall(_._2 === "user=all"))
+
+    // counter form: increase with statics through create + refresh
+    val ruleC = """app:v:labinc = increase(view_total[1h]) """ +
+      """labels {tier="gold", unit="mb"}"""
+    val srcC = tmp("reclabc-src"); val viewC = tmp("reclabc-view")
+    Versioned.appendCommit(metrics.filter(col("timestamp") <= cut1), srcC)
+    PromQlRecord.create(spark, ruleC, srcC, viewC)
+    assert(rendered(PromQlRecord.read(spark, viewC)) ===
+      batch(ruleC, metrics.filter(col("timestamp") <= cut1)))
+    Versioned.appendCommit(metrics.filter(col("timestamp") > cut1), srcC)
+    assert(PromQlRecord.refresh(spark, viewC) >= 0)
+    val gotC = rendered(PromQlRecord.read(spark, viewC))
+    assert(gotC === batch(ruleC, metrics))
+    assert(gotC.nonEmpty && gotC.keys.forall(k =>
+      k._2.contains("tier=gold") && k._2.contains("unit=mb")))
   }
 
   // ───────────────── increase / rate counter rules ─────────────────
