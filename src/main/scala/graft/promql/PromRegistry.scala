@@ -438,69 +438,182 @@ object PromRegistry {
   // fold declines (byte-identity cannot be guaranteed there)
   private val DecCap = 9.0e11
 
-  /** The UNGROUPED instant aggregation `op(selector)` folded driver-side
-    * over the head map — the dashboard-top-line class (`sum(metric)` at
-    * now) at zero Spark jobs. Returns the result ROWS of the compiled
-    * plan `(component, name = "", labels = {}, win_start = t, value)`,
-    * or None when byte-identity with the compiled evaluation is not
-    * guaranteed — any selected group holding a decimal-cap value (the
-    * compiler's IEEE-double sidecar lane is summation-order-dependent)
-    * declines, as does every other expression shape. The replayed
-    * algebra is the compiler's own, lane for lane: staleness-dropped
-    * NaN heads, `(t − lookback, t]` head windows, HALF_UP
-    * `decimal(26,6)` sums, ±Inf max-flags, Spark's NaN-greatest /
-    * `-0.0 < 0.0` double ordering for min, Prometheus's NaN-skipping
-    * max.
+  /** One folded instant-vector row at the (implicit) evaluation point. */
+  private final case class FRow(
+      component: String, name: String, labels: Map[String, String],
+      value: Double)
+
+  /** The canonical series-key render in Spark's OWN string order —
+    * `array_sort(map_entries(m))` compares UTF8 binary, so the driver
+    * render sorts keys by UTF-8 bytes ([[utf8Gt]]) and therefore equals
+    * the compiled `_gk` byte-for-byte for ANY label text.
     */
-  private def aggFold(
+  private def renderKey(m: Map[String, String]): String =
+    m.toSeq.sortWith((x, y) => utf8Gt(y._1, x._1))
+      .map { case (k, v) => s"$k=$v" }.mkString(",")
+
+  /** The instant-vector DRIVER FOLD over the head map — the zero-job
+    * serving class generalized (round 15): bare selectors, grouped
+    * aggregations (`sum|min|max|avg|count|group`, `by`/`without`/
+    * ungrouped), vector⊕scalar arithmetic (`+ − * / %`) and comparisons
+    * (filter form and `bool`), and unary negation, COMPOSED — the whole
+    * Grafana current-value dashboard class. Returns None whenever
+    * byte-identity with the compiled plan is not guaranteed, falling
+    * back to the compiled local-relation plan (same answer, one job):
+    * decimal-cap (≥ 9e11) groups under sum/avg (the compiler's IEEE
+    * sidecar is summation-order-dependent), `^`/`atan2` (StrictMath-vs-
+    * Math nuances left to the compiled expressions), quantile/stddev/
+    * stdvar (interpolation and decimal-square precision rules), and
+    * every shape outside the fold grammar.
+    *
+    * The replayed algebra is the compiler's, lane for lane: selector =
+    * matcher-filtered heads in `(t − lookback, t]` with NaN staleness
+    * (one head per series IS the window max_by); aggregation groups by
+    * (component, the rendered group-label submap — Spark's UTF8 key
+    * order) with `any_value` determinism enforced (two DIFFERENT
+    * submaps sharing one render decline); sums on HALF_UP
+    * `decimal(26,6)` with NaN/±Inf max-flags (arith can synthesize NaN
+    * mid-tree — `sum(m / 0)`); min under Spark's NaN-greatest /
+    * `-0.0 < 0.0` double order; max under Prometheus's NaN-skip;
+    * division and modulo replaying [[PromQlCompiler.arith]]'s explicit
+    * zero branches (sign-of-zero included); comparisons replaying
+    * [[PromQlCompiler.cmpPred]]'s IEEE NaN branch.
+    */
+  private def foldVec(
       state: State, ast: PromExpr, tSec: Long,
-      lookbackSec: Long): Option[Seq[Row]] = ast match {
-    case Agg(op, sel: VectorSelector, None, AggGroup.All)
-        if foldAggOps(op) && (sel.name.nonEmpty || sel.matchers.nonEmpty) =>
+      lookbackSec: Long): Option[Seq[FRow]] = ast match {
+    case sel: VectorSelector
+        if (sel.name.nonEmpty || sel.matchers.nonEmpty) &&
+          sel.offsetSec == 0 && sel.atSec.isEmpty =>
       val fns =
         (sel.name.map(n => LabelMatcher("__name__", MatchOp.Eq, n)).toSeq ++
           sel.matchers).map(PromQlCompiler.matcherFn)
-      val selected = state.heads.valuesIterator.filter { h =>
+      Some(state.heads.valuesIterator.filter { h =>
         fns.forall(f => f(h.name, h.labels)) &&
           h.ts > tSec - lookbackSec && h.ts <= tSec && !h.value.isNaN
-      }.toSeq
-      def finite(v: Double) = !v.isNaN && !v.isInfinite
-      val groups = selected.groupBy(_.component).toSeq
-      if ((op == "sum" || op == "avg") &&
-          groups.exists(_._2.exists(h =>
-            finite(h.value) && math.abs(h.value) >= DecCap)))
-        return None
-      Some(groups.map { case (comp, hs) =>
-        val vals = hs.map(_.value)
-        val n = vals.size.toDouble
-        def sumV: Double = {
-          val pi = vals.contains(Double.PositiveInfinity)
-          val ni = vals.contains(Double.NegativeInfinity)
-          if (pi && ni) Double.NaN
-          else if (pi) Double.PositiveInfinity
-          else if (ni) Double.NegativeInfinity
-          else vals.foldLeft(BigDecimal(0).setScale(6)) { (acc, v) =>
-            acc + BigDecimal.decimal(v)
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-          }.toDouble
+      }.map(h => FRow(h.component, h.name, h.labels, h.value)).toSeq)
+
+    case Agg(op, inner, None, grouping) if foldAggOps(op) =>
+      foldVec(state, inner, tSec, lookbackSec).flatMap { rows =>
+        val sub: FRow => Map[String, String] = grouping match {
+          case AggGroup.All => _ => Map.empty
+          case AggGroup.By(ls) =>
+            r => r.labels.filter { case (k, _) => ls.contains(k) }
+          case AggGroup.Without(ls) =>
+            r => r.labels.filter { case (k, _) => !ls.contains(k) }
         }
-        val value = op match {
-          case "sum" => sumV
-          case "avg" => sumV / n
-          case "count" => n
-          case "group" => 1.0
-          case "min" => vals.reduce((a, b) =>
-            if (java.lang.Double.compare(a, b) <= 0) a else b)
-          case "max" =>
-            val nonNaN = vals.filterNot(_.isNaN)
-            if (nonNaN.isEmpty) Double.NaN
-            else nonNaN.reduce((a, b) =>
-              if (java.lang.Double.compare(a, b) >= 0) a else b)
-        }
-        Row(comp, "", Map.empty[String, String], tSec, value)
-      })
+        val groups = rows.groupBy(r => (r.component, renderKey(sub(r)))).toSeq
+        def finite(v: Double) = !v.isNaN && !v.isInfinite
+        // any_value(_gl) is only deterministic when every row of a group
+        // carries the SAME submap (a render collision between distinct
+        // maps is the one way they differ)
+        if (groups.exists(_._2.map(sub).distinct.sizeIs > 1)) None
+        else if ((op == "sum" || op == "avg") &&
+            groups.exists(_._2.exists(r =>
+              finite(r.value) && math.abs(r.value) >= DecCap))) None
+        else Some(groups.map { case ((comp, _), g) =>
+          val vals = g.map(_.value)
+          val n = vals.size.toDouble
+          def sumV: Double = {
+            val pi = vals.contains(Double.PositiveInfinity)
+            val ni = vals.contains(Double.NegativeInfinity)
+            if (vals.exists(_.isNaN) || (pi && ni)) Double.NaN
+            else if (pi) Double.PositiveInfinity
+            else if (ni) Double.NegativeInfinity
+            else vals.foldLeft(BigDecimal(0).setScale(6)) { (acc, v) =>
+              acc + BigDecimal.decimal(v)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            }.toDouble
+          }
+          val value = op match {
+            case "sum" => sumV
+            case "avg" => sumV / n
+            case "count" => n
+            case "group" => 1.0
+            case "min" => vals.reduce((a, b) =>
+              if (java.lang.Double.compare(a, b) <= 0) a else b)
+            case "max" =>
+              val nonNaN = vals.filterNot(_.isNaN)
+              if (nonNaN.isEmpty) Double.NaN
+              else nonNaN.reduce((a, b) =>
+                if (java.lang.Double.compare(a, b) >= 0) a else b)
+          }
+          FRow(comp, "", sub(g.head), value)
+        })
+      }
+
+    case Binary(op, l, NumberLit(s), _, boolMod) if scalarFoldOp(op) =>
+      foldVec(state, l, tSec, lookbackSec)
+        .map(applyScalarFold(_, s, op, vecOnLeft = true, boolMod))
+    case Binary(op, NumberLit(s), r, _, boolMod) if scalarFoldOp(op) =>
+      foldVec(state, r, tSec, lookbackSec)
+        .map(applyScalarFold(_, s, op, vecOnLeft = false, boolMod))
+
+    case Neg(inner) =>
+      foldVec(state, inner, tSec, lookbackSec)
+        .map(_.map(r => r.copy(value = -r.value)))
+
     case _ => None
   }
+
+  private val foldComparisons = Set("==", "!=", "<", ">", "<=", ">=")
+
+  private def scalarFoldOp(op: String): Boolean =
+    foldComparisons(op) || op == "+" || op == "-" || op == "*" ||
+      op == "/" || op == "%"
+
+  /** [[PromQlCompiler.cmpPred]]'s IEEE NaN branch on primitives. */
+  private def cmp(op: String, a: Double, b: Double): Boolean = {
+    val anyNaN = a.isNaN || b.isNaN
+    op match {
+      case "==" => !anyNaN && a == b
+      case "!=" => anyNaN || a != b
+      case "<" => !anyNaN && a < b
+      case ">" => !anyNaN && a > b
+      case "<=" => !anyNaN && a <= b
+      case ">=" => !anyNaN && a >= b
+    }
+  }
+
+  /** [[PromQlCompiler.arith]]'s explicit zero branches on primitives —
+    * division respecting the divisor's sign of zero, modulo-by-zero NaN.
+    */
+  private def arith(op: String, a: Double, b: Double): Double = op match {
+    case "+" => a + b
+    case "-" => a - b
+    case "*" => a * b
+    case "/" =>
+      if (b == 0.0) {
+        val negZero = java.lang.Double.doubleToRawLongBits(b) != 0L
+        if (a.isNaN || a == 0.0) Double.NaN
+        else if ((a > 0) == negZero) Double.NegativeInfinity
+        else Double.PositiveInfinity
+      } else a / b
+    case "%" => if (b == 0.0) Double.NaN else a % b
+  }
+
+  private def applyScalarFold(
+      rows: Seq[FRow], s: Double, op: String, vecOnLeft: Boolean,
+      boolMod: Boolean): Seq[FRow] = {
+    def ap(f: (Double, Double) => Double, r: FRow): Double =
+      if (vecOnLeft) f(r.value, s) else f(s, r.value)
+    if (foldComparisons(op)) {
+      def pred(r: FRow): Boolean =
+        if (vecOnLeft) cmp(op, r.value, s) else cmp(op, s, r.value)
+      if (boolMod) rows.map(r => r.copy(value = if (pred(r)) 1.0 else 0.0))
+      else rows.filter(pred)
+    } else rows.map(r => r.copy(value = ap(arith(op, _, _), r)))
+  }
+
+  /** [[foldVec]] as the fast path's row producer: the folded vector at
+    * `tSec` in the compiled output shape `(component, name, labels,
+    * win_start, value)`.
+    */
+  private def instantFold(
+      state: State, ast: PromExpr, tSec: Long,
+      lookbackSec: Long): Option[Seq[Row]] =
+    foldVec(state, ast, tSec, lookbackSec).map(_.map(r =>
+      Row(r.component, r.name, r.labels, tSec, r.value)))
 
   private val instantVecSchema = StructType(Seq(
     StructField("component", StringType),
@@ -529,11 +642,12 @@ object PromRegistry {
     if (!instantOnly(ast)) return None
     val state = current(spark, root)
     if (state.heads.nonEmpty && tSec < state.maxTs) return None
-    // the ungrouped-aggregation subclass folds DRIVER-side ([[aggFold]]):
-    // the result comes back as a LocalRelation, so the serving collect
-    // runs zero Spark jobs (LocalTableScan answers executeCollect
-    // directly) — byte-identity spec-pinned against the compiled plan
-    aggFold(state, ast, tSec, lookbackSec) match {
+    // the selector / grouped-aggregation / scalar-wrapper subclass folds
+    // DRIVER-side ([[foldVec]]): the result comes back as a
+    // LocalRelation, so the serving collect runs zero Spark jobs
+    // (LocalTableScan answers executeCollect directly) — byte-identity
+    // spec-pinned against the compiled plan
+    instantFold(state, ast, tSec, lookbackSec) match {
       case Some(rows) =>
         val l = new java.util.ArrayList[Row](rows.size)
         rows.foreach(l.add)

@@ -349,20 +349,25 @@ class PromQlHttpSpec extends SparkSuite {
               .filter(col("name") === "view_total")))
           .collect().map(_.getString(0)).sorted
         assert(b3 === wantLines.mkString("", "\n", "\n"))
-        // the bare-selector instant fast path rides the registry too:
-        // warm repeat = the local-relation job(s) only, stable
-        val iq = s"/api/v1/query?query=${enc("view_total")}&lookback=4w"
-        val (ni1, ib1) = jobsFor(iq)
-        val (ni2, ib2) = jobsFor(iq)
-        assert(ib1 === ib2 && ni1 === ni2)
-        // the UNGROUPED instant aggregation folds driver-side: the fast
-        // path hands back a LocalRelation, so the whole request runs
-        // ZERO Spark jobs once the registry is warm
-        val sq = s"/api/v1/query?query=${enc("sum(view_total)")}&lookback=4w"
-        val (ns1, sb1) = jobsFor(sq)
-        assert(ns1 === 0, s"warm sum(metric) instant query ran $ns1 jobs")
-        assert(sb1.contains("\"resultType\":\"vector\"") &&
-          sb1.contains("\"result\":[{"))
+        // the instant FOLD class (bare selectors, grouped aggregations,
+        // scalar wrappers — round 15) answers as a LocalRelation, so
+        // the whole request runs ZERO Spark jobs once the registry is
+        // warm; a shape outside the fold grammar still takes the
+        // local-relation compiled plan (stable job count)
+        for (q <- Seq("view_total", "sum(view_total)",
+            "sum by (user) (view_total)", "view_total > 50")) {
+          val iq = s"/api/v1/query?query=${enc(q)}&lookback=4w"
+          val (ni1, ib1) = jobsFor(iq)
+          val (ni2, ib2) = jobsFor(iq)
+          assert(ib1 === ib2 && ni1 === 0,
+            s"warm '$q' instant query ran $ni1 jobs")
+          assert(ib1.contains("\"resultType\":\"vector\"") &&
+            ib1.contains("\"result\":[{"), q)
+        }
+        val tq = s"/api/v1/query?query=${enc("topk(2, view_total)")}&lookback=4w"
+        val (nt1, _) = jobsFor(tq)
+        val (nt2, _) = jobsFor(tq)
+        assert(nt1 === nt2 && nt1 > 0)
         // time-UNBOUNDED label/series probes answer from the registry's
         // local frame — and must equal the full-scan span answers (the
         // bounded path), since label sets ride series identity

@@ -210,11 +210,14 @@ class PromRegistrySpec extends SparkSuite {
         else rnd.nextInt(9) match {
           case 0 => leaf()
           case 1 =>
-            val g = if (rnd.nextBoolean()) AggGroup.All
-              else AggGroup.By(Seq("user"))
+            val g = rnd.nextInt(3) match {
+              case 0 => AggGroup.All
+              case 1 => AggGroup.By(Seq("user"))
+              case 2 => AggGroup.Without(Seq("user"))
+            }
             Agg(aggs(rnd.nextInt(aggs.length)), gen(d - 1), None, g)
           case 2 =>
-            val ops = Seq("+", "-", "*", "/", ">", "<", ">=", "==")
+            val ops = Seq("+", "-", "*", "/", "%", ">", "<", ">=", "==")
             val op = ops(rnd.nextInt(ops.length))
             Binary(op, gen(d - 1), NumberLit(rnd.nextInt(100) / 10.0), None,
               boolMod = op.exists(">=<=".contains(_)) && rnd.nextBoolean())
@@ -371,7 +374,21 @@ class PromRegistrySpec extends SparkSuite {
         "sum(m)", "min(m)", "max(m)", "avg(m)", "count(m)", "group(m)",
         """sum(m{u=~"1|2|3"})""", "sum(infm)", "max(infm)", "avg(infm)",
         "sum(nosuch)", """count({__name__=~"m|infm"})""",
-        "sum(m or infm)" /* not the fold shape: falls to the plan */)) {
+        "sum(m or infm)", /* not the fold shape: falls to the plan */
+        // the generalized fold (round 15): grouped aggs, scalar
+        // wrappers (arith incl. the zero branches, both comparison
+        // forms), negation, and compositions — plus the NaN-mid-tree
+        // case arith synthesizes (m / 0 at a 0-valued head is NaN)
+        "sum by (u) (m)", "min by (u) (m)", "count without (u) (m)",
+        "sum without (u) (m)",
+        "m", """m{u!="old"}""", "-m", "m % 3", "m % 0", "2 * m + 1",
+        "m / 0", "sum by (u) (m / 0)", "avg(m / 0)",
+        "sum(m % 0)", "min(m % 0)", "max(m % 0)",
+        "m > bool 0", "m > 0.15", "0.15 < m", "3 - m", "6 / m",
+        "sum by (u) (2 * m) > bool 0.3", "-min(m)",
+        // declined shapes stay plan-served and identical
+        "stdvar(m)", "stddev by (u) (m)", "quantile(0.5, m)",
+        "m ^ 2", "m atan2 1", "topk(2, m)")) {
       val fast = PromRegistry.instantFastPath(spark, root, q, t, lookback)
       assert(fast.nonEmpty, q)
       val slow = PromQlVersioned.compileInstantVector(
