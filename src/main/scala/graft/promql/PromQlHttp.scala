@@ -253,6 +253,12 @@ object PromQlHttp {
           PromRegistry.federateBody(registry(), params.matches)),
         metadataNames = Some(() => cachedNames()),
         tsdbStats = Some(() => cachedTsdb()),
+        // time-unbounded metadata probes (Grafana's per-keystroke global
+        // autocomplete) fold over the registry's head map — zero jobs
+        metaFold = Some(MetaFold(
+          ms => PromRegistry.labelKeys(registry(), ms),
+          (l, ms) => PromRegistry.labelValues(registry(), l, ms),
+          ms => PromRegistry.seriesTriples(registry(), ms))),
         configText = rulesText,
         rules = rulesText.map(rt => (params: Params, alertsOnly: Boolean) => {
           // pin the registry's version ONCE and thread it through
@@ -313,7 +319,18 @@ object PromQlHttp {
       tsdbStats: Option[() => String] = None,
       // /api/v1/status/config — the server's effective rule file (the
       // honest analogue of Prometheus's loaded YAML); empty without one
-      configText: Option[String] = None)
+      configText: Option[String] = None,
+      // TIME-UNBOUNDED metadata probes folded driver-side (the landing
+      // server's registry): label keys / label values / series triples
+      // of the match[]-selected heads — zero Spark jobs per keystroke
+      // probe; bounded spans keep the pruned DataFrame path
+      metaFold: Option[MetaFold] = None)
+
+  /** Driver-side answers for the time-unbounded metadata probes. */
+  private[promql] final case class MetaFold(
+      labelKeys: Seq[String] => Set[String],
+      labelValues: (String, Seq[String]) => Seq[String],
+      series: Seq[String] => Seq[(String, String, Map[String, String])])
 
   private def serve(
       instantFn: (String, Long, Long, Boolean) => DataFrame,
@@ -408,12 +425,20 @@ object PromQlHttp {
     // never corpus-sized.
     server.createContext("/api/v1/labels", (ex: HttpExchange) =>
       respond(ex) { params =>
-        val m = matched(spanFn(params.get("start").map(parseTime),
-          params.get("end").map(parseTime)), params.matches)
-        val names = m.select(explode(map_keys(col("labels"))).as("l"))
-          .distinct().collect().map(_.getString(0)).toSet ++
-          Set("__name__", "component")
-        strListJson(params, names.toSeq.sorted)
+        val startOpt = params.get("start").map(parseTime)
+        val endOpt = params.get("end").map(parseTime)
+        // time-unbounded probes fold driver-side when the server carries
+        // a registry (zero jobs); bounded spans keep the pruned read
+        val keys = extras.metaFold match {
+          case Some(f) if startOpt.isEmpty && endOpt.isEmpty =>
+            f.labelKeys(params.matches)
+          case _ =>
+            matched(spanFn(startOpt, endOpt), params.matches)
+              .select(explode(map_keys(col("labels"))).as("l"))
+              .distinct().collect().map(_.getString(0)).toSet
+        }
+        strListJson(params,
+          (keys ++ Set("__name__", "component")).toSeq.sorted)
       })
     // /api/v1/label/<name>/values — the label name rides the path
     server.createContext("/api/v1/label", (ex: HttpExchange) =>
@@ -424,32 +449,46 @@ object PromQlHttp {
           throw new IllegalArgumentException(
             "expected /api/v1/label/<name>/values")
         val label = URLDecoder.decode(parts(3), StandardCharsets.UTF_8)
-        val m = matched(spanFn(params.get("start").map(parseTime),
-          params.get("end").map(parseTime)), params.matches)
-        val valueCol = label match {
-          case "__name__" => col("name")
-          case "component" => col("component")
-          case l => try_element_at(col("labels"), lit(l))
+        val startOpt = params.get("start").map(parseTime)
+        val endOpt = params.get("end").map(parseTime)
+        val values = extras.metaFold match {
+          case Some(f) if startOpt.isEmpty && endOpt.isEmpty =>
+            f.labelValues(label, params.matches)
+          case _ =>
+            val m = matched(spanFn(startOpt, endOpt), params.matches)
+            val valueCol = label match {
+              case "__name__" => col("name")
+              case "component" => col("component")
+              case l => try_element_at(col("labels"), lit(l))
+            }
+            m.select(valueCol.as("v")).filter(col("v").isNotNull)
+              .distinct().collect().map(_.getString(0)).toSeq
         }
-        val values = m.select(valueCol.as("v")).filter(col("v").isNotNull)
-          .distinct().collect().map(_.getString(0))
-        strListJson(params, values.toSeq.sorted)
+        strListJson(params, values.sorted)
       })
     server.createContext("/api/v1/series", (ex: HttpExchange) =>
       respond(ex) { params =>
         if (params.matches.isEmpty) throw new IllegalArgumentException(
           "missing required parameter 'match[]'")
-        val m = matched(spanFn(params.get("start").map(parseTime),
-          params.get("end").map(parseTime)), params.matches)
-        // distinct SERIES — deduped on the rendered series key (a map
-        // column cannot join Spark's set operations directly)
-        val entries = m
-          .withColumn("_sk", graft.operators.Firehose.seriesKey(col("labels")))
-          .dropDuplicates("component", "name", "_sk")
-          .select(col("component"), col("name"), col("labels"))
-          .collect().toSeq
-          .map(r => metricJson(r.getString(0), r.getString(1),
-            r.getMap[String, String](2).toMap))
+        val startOpt = params.get("start").map(parseTime)
+        val endOpt = params.get("end").map(parseTime)
+        val triples = extras.metaFold match {
+          case Some(f) if startOpt.isEmpty && endOpt.isEmpty =>
+            f.series(params.matches)
+          case _ =>
+            // distinct SERIES — deduped on the rendered series key (a
+            // map column cannot join Spark's set operations directly)
+            matched(spanFn(startOpt, endOpt), params.matches)
+              .withColumn("_sk",
+                graft.operators.Firehose.seriesKey(col("labels")))
+              .dropDuplicates("component", "name", "_sk")
+              .select(col("component"), col("name"), col("labels"))
+              .collect().toSeq
+              .map(r => (r.getString(0), r.getString(1),
+                r.getMap[String, String](2).toMap))
+        }
+        val entries = triples
+          .map { case (c, n, ls) => metricJson(c, n, ls) }
           .sorted
         val (kept, truncated) = limitEntries(params, entries)
         jsonObj(Seq(

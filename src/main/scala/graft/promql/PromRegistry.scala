@@ -431,6 +431,49 @@ object PromRegistry {
     lines.mkString("", "\n", "\n")
   }
 
+  /** Heads selected by the UNION of `match[]` selectors (none = all) —
+    * the same selector class and semantics as the HTTP layer's Spark
+    * `matched` path, through [[PromQlCompiler.matcherFn]].
+    */
+  private def matchedHeads(
+      state: State, matches: Seq[String]): Iterator[Head] =
+    if (matches.isEmpty) state.heads.valuesIterator
+    else {
+      val preds = matches.map(selectorFn)
+      state.heads.valuesIterator
+        .filter(h => preds.exists(p => p(h.name, h.labels)))
+    }
+
+  /** Distinct label KEYS of the matched heads — the time-unbounded
+    * `/api/v1/labels` body at zero jobs (a label set rides its series
+    * identity and every series ever seen keeps a head, so the fold
+    * equals the corpus scan — the m57 argument).
+    */
+  def labelKeys(state: State, matches: Seq[String]): Set[String] =
+    matchedHeads(state, matches).flatMap(_.labels.keysIterator).toSet
+
+  /** Distinct values of `label` over the matched heads (`__name__` and
+    * `component` read their columns, like the compiled path) — the
+    * time-unbounded `/api/v1/label/<l>/values` body at zero jobs.
+    */
+  def labelValues(
+      state: State, label: String, matches: Seq[String]): Seq[String] =
+    matchedHeads(state, matches).flatMap(h => label match {
+      case "__name__" => Some(h.name)
+      case "component" => Some(h.component)
+      case l => h.labels.get(l)
+    }).toSeq.distinct
+
+  /** The matched heads' (component, name, labels) triples — one per
+    * live series by construction — the time-unbounded `/api/v1/series`
+    * body at zero jobs.
+    */
+  def seriesTriples(
+      state: State,
+      matches: Seq[String]): Seq[(String, String, Map[String, String])] =
+    matchedHeads(state, matches)
+      .map(h => (h.component, h.name, h.labels)).toSeq
+
   private val foldAggOps = Set("sum", "min", "max", "avg", "count", "group")
 
   // the compiler's decimal-lane cap: finite |v| ≥ DecCap reads its sum

@@ -380,9 +380,12 @@ class PromQlHttpSpec extends SparkSuite {
           assert(cu === 200 && cb === 200)
           assert(unbounded === bounded, p)
         }
-        val (nl1, _) = jobsFor("/api/v1/labels")
-        val (nl2, _) = jobsFor("/api/v1/labels")
-        assert(nl1 === nl2, "warm unbounded label probes must cost the same")
+        // …and at ZERO jobs (round 15: the probes fold over the head map)
+        for (p <- Seq("/api/v1/labels", "/api/v1/label/user/values",
+            s"/api/v1/series?match[]=${enc("view_total")}")) {
+          val (nl, _) = jobsFor(p)
+          assert(nl === 0, s"warm unbounded probe $p ran $nl jobs")
+        }
         // metadata limit rides the shared validation (review catch):
         // junk and negative are 400, a real cap keeps one name
         assert(get(port, "/api/v1/metadata?limit=x")._1 === 400)
