@@ -187,12 +187,43 @@ object PromQlPrinter {
     else if (v == v.toLong.toDouble && math.abs(v) < 1e15) v.toLong.toString
     else v.toString
 
+  /** Does `s` re-lex as ONE identifier token (the lexer's rule: a
+    * letter/underscore start, letter/digit/underscore/colon
+    * continuation)? Non-conforming names print QUOTED — Prometheus
+    * 3.x's UTF-8 name syntax — so print → parse round-trips for any
+    * label text.
+    */
+  private def bareLabel(s: String): Boolean =
+    s.nonEmpty && (s.head.isLetter || s.head == '_') &&
+      s.tail.forall(c => c.isLetterOrDigit || c == '_' || c == ':')
+
+  /** A metric name prints bare only when it also re-PARSES as a name:
+    * keywords and the case-insensitive Inf/NaN number literals would
+    * change meaning, so they ride the quoted `{"name"}` form.
+    */
+  private def bareMetric(s: String): Boolean =
+    bareLabel(s) && !PromQlParser.keywords(s) &&
+      !s.equalsIgnoreCase("inf") && !s.equalsIgnoreCase("nan")
+
+  private def labelName(l: String): String =
+    if (bareLabel(l)) l else quote(l)
+
   private def matchers(ms: Seq[LabelMatcher]): String =
-    ms.map(m => s"${m.label}${m.op.render}${quote(m.value)}").mkString(",")
+    ms.map(m => s"${labelName(m.label)}${m.op.render}${quote(m.value)}")
+      .mkString(",")
 
   private def selector(s: VectorSelector): String = {
-    val base = s.name.getOrElse("") +
-      (if (s.matchers.nonEmpty || s.name.isEmpty) "{" + matchers(s.matchers) + "}" else "")
+    val base = s.name match {
+      case Some(n) if bareMetric(n) =>
+        n + (if (s.matchers.nonEmpty) "{" + matchers(s.matchers) + "}" else "")
+      case Some(n) =>
+        // the quoted metric-name shorthand — re-parses as a __name__
+        // equality matcher (semantically identical)
+        "{" + (quote(n) +: s.matchers.map(m =>
+          s"${labelName(m.label)}${m.op.render}${quote(m.value)}"))
+          .mkString(",") + "}"
+      case None => "{" + matchers(s.matchers) + "}"
+    }
     base + offsetSuffix(s.offsetSec) + atSuffix(s.atSec)
   }
 
@@ -210,8 +241,9 @@ object PromQlPrinter {
 
   private def grouping(g: AggGroup): String = g match {
     case AggGroup.All => ""
-    case AggGroup.By(ls) => s" by (${ls.mkString(",")})"
-    case AggGroup.Without(ls) => s" without (${ls.mkString(",")})"
+    case AggGroup.By(ls) => s" by (${ls.map(labelName).mkString(",")})"
+    case AggGroup.Without(ls) =>
+      s" without (${ls.map(labelName).mkString(",")})"
   }
 
   private def matching(m: Option[VectorMatching], boolMod: Boolean): String = {
@@ -219,8 +251,9 @@ object PromQlPrinter {
     m match {
       case None => b
       case Some(vm) =>
-        val onPart = vm.on.map(ls => s" on(${ls.mkString(",")})")
-          .orElse(vm.ignoring.map(ls => s" ignoring(${ls.mkString(",")})"))
+        val onPart = vm.on.map(ls => s" on(${ls.map(labelName).mkString(",")})")
+          .orElse(vm.ignoring.map(ls =>
+            s" ignoring(${ls.map(labelName).mkString(",")})"))
           .getOrElse("")
         val grp =
           if (vm.groupLeft) " group_left" else if (vm.groupRight) " group_right" else ""

@@ -103,7 +103,7 @@ object PromQlParser {
     "topk", "bottomk", "quantile", "count_values", "limitk", "limit_ratio")
   private val paramAggOps = Set(
     "topk", "bottomk", "quantile", "count_values", "limitk", "limit_ratio")
-  private val keywords = Set(
+  private[promql] val keywords = Set(
     "and", "or", "unless", "atan2", "by", "without", "on", "ignoring",
     "group_left", "group_right", "offset", "bool")
 
@@ -210,6 +210,9 @@ object PromQlParser {
         while (!done) {
           cur match {
             case TIdent(id, _) => ls += id; advance()
+            // Prometheus 3.x: quoted UTF-8 label names in grouping /
+            // matching lists (`by ("a.b")`, `on ("x y")`)
+            case TString(s, _) => ls += s; advance()
             case _ => fail("expected label name")
           }
           if (isOp(",")) advance() else done = true
@@ -384,25 +387,43 @@ object PromQlParser {
     private def parseSelector(name: Option[String]): PromExpr = {
       eatOp("{")
       val ms = Seq.newBuilder[LabelMatcher]
+      // Prometheus 3.x UTF-8 names: a QUOTED string in label-name
+      // position is either the metric-name shorthand ({"m"} ==
+      // {__name__="m"} — bare, followed by ',' or '}') or a quoted
+      // LABEL name (followed by a matcher operator); the metric name
+      // must not be set twice (a leading ident name or a second bare
+      // string both conflict), exactly Prometheus's rule
+      var nameSet = name.isDefined
+      def matcherTail(label: String): Unit = {
+        val op = cur match {
+          case TOp("=", _) => advance(); MatchOp.Eq
+          case TOp("!=", _) => advance(); MatchOp.Neq
+          case TOp("=~", _) => advance(); MatchOp.Re
+          case TOp("!~", _) => advance(); MatchOp.NotRe
+          case _ => fail("expected matcher operator (= != =~ !~)")
+        }
+        val value = cur match {
+          case TString(s, _) => advance(); s
+          case _ => fail("expected quoted matcher value")
+        }
+        ms += LabelMatcher(label, op, value)
+      }
       if (!isOp("}")) {
         var done = false
         while (!done) {
-          val label = cur match {
-            case TIdent(id, _) => advance(); id
+          cur match {
+            case TIdent(id, _) => advance(); matcherTail(id)
+            case TString(s, _) =>
+              advance()
+              cur match {
+                case TOp("=" | "!=" | "=~" | "!~", _) => matcherTail(s)
+                case _ =>
+                  if (nameSet) fail("metric name must not be set twice")
+                  nameSet = true
+                  ms += LabelMatcher("__name__", MatchOp.Eq, s)
+              }
             case _ => fail("expected label name")
           }
-          val op = cur match {
-            case TOp("=", _) => advance(); MatchOp.Eq
-            case TOp("!=", _) => advance(); MatchOp.Neq
-            case TOp("=~", _) => advance(); MatchOp.Re
-            case TOp("!~", _) => advance(); MatchOp.NotRe
-            case _ => fail("expected matcher operator (= != =~ !~)")
-          }
-          val value = cur match {
-            case TString(s, _) => advance(); s
-            case _ => fail("expected quoted matcher value")
-          }
-          ms += LabelMatcher(label, op, value)
           if (isOp(",")) {
             advance()
             if (isOp("}")) done = true // trailing comma

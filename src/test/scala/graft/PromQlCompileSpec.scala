@@ -1349,4 +1349,48 @@ class PromQlCompileSpec extends SparkSuite {
     assert(got === Seq("user=v002", "user=v2",
       "user=v" + "9" * 30, "user=v1" + "0" * 30))
   }
+
+  test("Prometheus 3.x quoted UTF-8 names evaluate end-to-end: selectors, " +
+      "grouping, and the registry fast path") {
+    import spark.implicits._
+    import graft.promql.{PromQlVersioned, PromRegistry}
+    val dotted = Seq(
+      ("app", "my.metric", Map("label.x" -> "v", "host zone" -> "eu 1"), 100L, "a", 1.0),
+      ("app", "my.metric", Map("label.x" -> "w", "host zone" -> "us 1"), 110L, "b", 2.0),
+      ("app", "plain", Map("label.x" -> "v"), 120L, "c", 4.0)
+    ).toDF("component", "name", "tags", "timestamp", "id", "value")
+    def vals(q: String): Set[Double] =
+      PromQl.compile(q, dotted).select("value").collect().map(_.getDouble(0)).toSet
+    // quoted metric-name shorthand and quoted label matchers
+    assert(vals("""{"my.metric"}""") === Set(1.0, 2.0))
+    assert(vals("""{"my.metric", "label.x"="v"}""") === Set(1.0))
+    assert(vals("""{"label.x"=~"v|w"}""") === Set(1.0, 2.0, 4.0))
+    assert(vals("""sum by ("host zone") ({"my.metric"})""") === Set(1.0, 2.0))
+    val grouped = PromQl.compile(
+        """sum by ("host zone") ({"my.metric"})""", dotted)
+      .select("series").collect().map(_.getString(0)).toSet
+    assert(grouped === Set("host zone=eu 1", "host zone=us 1"))
+    // the registry instant fold takes the same quoted shapes at zero
+    // landed files, byte-identical to the landed compile
+    PromRegistry.reset()
+    val root = java.nio.file.Files.createTempDirectory("graft-utf8")
+      .toFile.getAbsolutePath
+    PromQlVersioned.land(Firehose.tagFilter(dotted)
+      .select("component", "name", "labels", "timestamp", "id", "value"), root)
+    for (q <- Seq("""{"my.metric"}""",
+        """sum by ("host zone") ({"my.metric", "label.x"=~"v|w"})""")) {
+      val fast = PromRegistry.instantFastPath(spark, root, q, 120L, 300L)
+      assert(fast.nonEmpty, q)
+      val slow = graft.promql.PromQlVersioned.compileInstantVector(
+        spark, root, q, 120L, lookbackSec = 300L)
+      def r(df: DataFrame): Set[String] = df
+        .select(col("component"), col("name"),
+          Firehose.seriesKey(col("labels")).as("s"), col("win_start"), col("value"))
+        .collect()
+        .map(x => s"${x.getString(0)}|${x.getString(1)}|${x.getString(2)}|" +
+          s"${x.getLong(3)}|${x.getDouble(4)}")
+        .toSet
+      assert(r(fast.get) === r(slow), q)
+    }
+  }
 }

@@ -210,8 +210,56 @@ class PromQlParserSpec extends AnyFunSuite {
     assertThrows[PromQlParseException](p("x + "))
     assertThrows[PromQlParseException](p("(x"))
     assertThrows[PromQlParseException](p("x y"))          // trailing input
-    assertThrows[PromQlParseException](p("""x{"a"="b"}""")) // label must be ident
     assertThrows[PromQlParseException](p("a * group_left(extra) b")) // include labels unsupported
+  }
+
+  test("Prometheus 3.x quoted UTF-8 names: selectors, grouping lists, " +
+      "and the printer's quoted round trip") {
+    // bare quoted string = the metric-name shorthand
+    assert(p("""{"my.metric"}""") ===
+      VectorSelector(None, Seq(LabelMatcher("__name__", MatchOp.Eq, "my.metric"))))
+    // combined with quoted and bare label names, any order
+    assert(p("""{"my.metric", "label.x"="v", user!="3"}""") ===
+      VectorSelector(None, Seq(
+        LabelMatcher("__name__", MatchOp.Eq, "my.metric"),
+        LabelMatcher("label.x", MatchOp.Eq, "v"),
+        LabelMatcher("user", MatchOp.Neq, "3"))))
+    assert(p("""{x=~"a|b", "m"}""") ===
+      VectorSelector(None, Seq(
+        LabelMatcher("x", MatchOp.Re, "a|b"),
+        LabelMatcher("__name__", MatchOp.Eq, "m"))))
+    // quoted label names on a NAMED selector
+    assert(p("""x{"l w"=~"a|b"}""") ===
+      VectorSelector(Some("x"), Seq(LabelMatcher("l w", MatchOp.Re, "a|b"))))
+    // the metric name must not be set twice
+    assertThrows[PromQlParseException](p("""foo{"bar"}"""))
+    assertThrows[PromQlParseException](p("""{"a", "b"}"""))
+    // quoted names in grouping and matching lists
+    assert(p("""sum by ("a.b") (x)""") ===
+      Agg("sum", VectorSelector(Some("x")), None, AggGroup.By(Seq("a.b"))))
+    assert(p("""a / on("k 1") b""") ===
+      Binary("/", VectorSelector(Some("a")), VectorSelector(Some("b")),
+        Some(VectorMatching(on = Some(Seq("k 1")))), boolMod = false))
+    // print → parse round trips for non-identifier names (the printer
+    // quotes them) and for names that would re-lex as something else
+    // entirely (keywords, the Inf/NaN literals → the {"name"} form)
+    for (q <- Seq(
+        """{"my.metric"}""", """{"my.metric",user="1"}""",
+        """x{"l w"=~"a|b"}""", """sum by ("a.b") ({"m.n"})""",
+        """a / on("k 1") b""",
+        """sum without ("µ-label") (x{"é"!~"z.*"})""")) {
+      val ast = p(q)
+      assert(p(PromQlPrinter.print(ast)) === ast, q)
+    }
+    for (weird <- Seq("my.metric", "and", "inf", "NaN", "0abc", "a b")) {
+      val ast = VectorSelector(Some(weird), Seq(LabelMatcher("u", MatchOp.Eq, "1")))
+      val printed = PromQlPrinter.print(ast)
+      // semantic equivalence: the quoted form re-parses as the __name__
+      // matcher shorthand
+      assert(p(printed) === VectorSelector(None, Seq(
+        LabelMatcher("__name__", MatchOp.Eq, weird),
+        LabelMatcher("u", MatchOp.Eq, "1"))), weird)
+    }
   }
 
   test("comments and whitespace are skipped") {
