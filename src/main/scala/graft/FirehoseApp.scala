@@ -78,11 +78,13 @@ object FirehoseApp {
       |                    bin-pack files at/below the threshold
       |  --serve-tick <seconds>
       |                    maintenance tick interval (default 60)
-      |  --scrape <url> <root> [intervalMs [ticks [compactEvery]]]
+      |  --scrape <url> <root> [intervalMs [ticks [compactEvery [checkpointEvery]]]]
       |                    scrape-in loop: poll a text-exposition endpoint
       |                    and land each scrape as one prunable append;
       |                    0 ticks = forever; compactEvery > 0 bin-packs
-      |                    the small tick files every N scrapes
+      |                    the small tick files every N scrapes;
+      |                    checkpointEvery > 0 lands a registry checkpoint
+      |                    every N scrapes (restart = checkpoint + delta)
       |  --expire <root> <cutoffSec>
       |                    retention tick: drop files whose timestamp stats
       |                    prove all samples older than the cutoff (no
@@ -186,6 +188,9 @@ object FirehoseApp {
               m.put("app.scrape.ticks", args(i)); i += 1
               if (i < args.length && args(i).forall(_.isDigit)) {
                 m.put("app.scrape.compactEvery", args(i)); i += 1
+                if (i < args.length && args(i).forall(_.isDigit)) {
+                  m.put("app.scrape.checkpointEvery", args(i)); i += 1
+                }
               }
             }
           }
@@ -462,6 +467,7 @@ object FirehoseApp {
       try graft.promql.PromScraper.run(spark, url, root,
         intervalMs = interval, ticks = ticks,
         compactEvery = cfg.getInt("app.scrape.compactEvery", 0),
+        checkpointEvery = cfg.getInt("app.scrape.checkpointEvery", 0),
         onScrape = (v, n) =>
           println(s"[graft] scraped $n samples from $url into $root (v$v)"))
       finally spark.stop()

@@ -40,15 +40,19 @@ class FirehoseAppSpec extends SparkSuite {
 
   test("--scrape/--expire/--serve-rules args parse") {
     val s = FirehoseApp.buildConfig(Array(
-      "--scrape", "http://127.0.0.1:9/metrics", "/x/land", "500", "3", "2"))
+      "--scrape", "http://127.0.0.1:9/metrics", "/x/land", "500", "3", "2", "4"))
     assert(s.getOrElse("app.scrape", "?") === "http://127.0.0.1:9/metrics")
     assert(s.getOrElse("app.scrape.root", "?") === "/x/land")
     assert(s.getInt("app.scrape.interval", -1) === 500)
     assert(s.getInt("app.scrape.ticks", -1) === 3)
     assert(s.getInt("app.scrape.compactEvery", -1) === 2)
+    assert(s.getInt("app.scrape.checkpointEvery", -1) === 4)
     assert(FirehoseApp.buildConfig(Array(
       "--scrape", "http://t/m", "/x/land", "500", "3"))
       .getInt("app.scrape.compactEvery", 0) === 0) // 0 = never compact
+    assert(FirehoseApp.buildConfig(Array(
+      "--scrape", "http://t/m", "/x/land", "500", "3", "2"))
+      .getInt("app.scrape.checkpointEvery", 0) === 0) // 0 = never checkpoint
     val loop = FirehoseApp.buildConfig(Array(
       "--scrape", "http://t/metrics", "/x/land"))
     assert(loop.getInt("app.scrape.ticks", 0) === 0) // 0 = run forever
