@@ -103,7 +103,7 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame =
     Firehose.promRender(
-      Firehose.gaugeLatest(
+      Firehose.gaugeLatestLabeled(
         Firehose.metricsFromEvents(spark, "/root/testdata/sf0.001")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -132,7 +132,7 @@ object SparkEntry {
     "m5_window_agg" -> ((s, dir) =>
       Firehose.windowAgg(metricsOf(s, dir), 60)),
     "m6_prom_render" -> ((s, dir) =>
-      Firehose.promRender(Firehose.gaugeLatest(metricsOf(s, dir)))),
+      Firehose.promRender(Firehose.gaugeLatestLabeled(metricsOf(s, dir)))),
     "m7_series_rate" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val e = Firehose.eventsRaw(s, dir).withColumn("ts_us", expr("ts div 1000"))
@@ -961,16 +961,48 @@ object SparkEntry {
     }),
     "m21_prom_parse" -> ((s, dir) =>
       Firehose.promParse(
-        Firehose.promRender(Firehose.gaugeLatest(metricsOf(s, dir))))),
+        Firehose.promRender(Firehose.gaugeLatestLabeled(metricsOf(s, dir))))),
     // m59: OpenMetrics tolerance — the same render with an exemplar
     // tail appended to EVERY line must parse to the identical relation
     // (exemplars tolerated-and-dropped; the oracle is m21's, which
     // never sees a tail)
     "m59_openmetrics_exemplars" -> ((s, dir) =>
       Firehose.promParse(
-        Firehose.promRender(Firehose.gaugeLatest(metricsOf(s, dir)))
+        Firehose.promRender(Firehose.gaugeLatestLabeled(metricsOf(s, dir)))
           .select(concat(col("line"),
             lit(" # {trace_id=\"abc\",span_id=\"7\"} 0.5 1000")).as("line")))),
+    // m63: Prometheus 3.x UTF-8 NAMES round-trip — a dotted metric name
+    // renders in the quoted form `{"app_x_total.v2",...}` and a dotted
+    // label key renders quoted; promParse recovers both. The oracle
+    // constructs the expected (metric, series, value, ts) DIRECTLY, so
+    // the green hash proves parse∘render is the identity on the
+    // quoted-name grammar (the m21 pattern, extended per the r15
+    // verdict's Next #1).
+    "m63_utf8_names" -> ((s, dir) =>
+      Firehose.promParse(Firehose.promRender(
+        Firehose.gaugeLatestLabeled(metricsOf(s, dir))
+          .withColumn("name", concat(col("name"), lit(".v2")))
+          .withColumn("labels",
+            map_concat(col("labels"),
+              map(lit("app.env"), lit("prod"))))))),
+    // m64: adversarial series-identity round-trip — label text carrying
+    // every metacharacter of BOTH grammars (`=` `,` `\` `"` newline,
+    // plus a quoted key containing `=`) survives render∘parse, and the
+    // recovered series key is the ESCAPED canonical render (injective —
+    // the r15 verdict's Next #2). Oracle constructs the escaped key
+    // directly in SQL.
+    "m64_series_escape" -> ((s, dir) =>
+      Firehose.promParse(Firehose.promRender(
+        Firehose.gaugeLatestLabeled(metricsOf(s, dir))
+          .withColumn("labels",
+            map_concat(
+              col("labels"),
+              map(
+                lit("l=w"), lit("1"),
+                lit("path"),
+                concat(lit("a=b,c\\d\""),
+                  element_at(col("labels"), lit("user")),
+                  lit("\ne")))))))),
     "m20_sliding_window" -> ((s, dir) =>
       Firehose.slidingWindowAgg(metricsOf(s, dir))),
     "q_window_ranks" -> ((s, dir) => Relational.qWindowRanks(s, dir)),
@@ -1373,6 +1405,38 @@ object SparkEntry {
           |  CAST(parts[2] AS DOUBLE) AS value,
           |  CAST(parts[3] AS BIGINT) AS ts_ms
           |FROM p""".stripMargin),
+    // m63/m64: parse∘render must be the IDENTITY, so the oracle builds
+    // the expected relation directly from the gauge heads — quoted
+    // UTF-8 names (m63) and the escaped series identity under
+    // adversarial label text (m64; the escaped key is written out
+    // literally — DuckDB standard strings process no backslash escapes)
+    "m63_utf8_names" ->
+      """WITH m AS (
+        |  SELECT event_type, user_id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |         row_number() OVER (PARTITION BY event_type, user_id
+        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+        |                    CAST(event_id AS VARCHAR) DESC) AS rn
+        |  FROM events)
+        |SELECT 'app_' || event_type || '_total.v2' AS metric,
+        |  'app.env=prod,user=' || CAST(user_id AS VARCHAR) AS series,
+        |  CAST(printf('%.6f', value) AS DOUBLE) AS value,
+        |  ts_sec * 1000 AS ts_ms
+        |FROM m WHERE rn = 1""".stripMargin,
+    "m64_series_escape" ->
+      """WITH m AS (
+        |  SELECT event_type, user_id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |         row_number() OVER (PARTITION BY event_type, user_id
+        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+        |                    CAST(event_id AS VARCHAR) DESC) AS rn
+        |  FROM events)
+        |SELECT 'app_' || event_type || '_total' AS metric,
+        |  'l\=w=1,path=a\=b\,c\\d"' || CAST(user_id AS VARCHAR)
+        |    || chr(10) || 'e,user=' || CAST(user_id AS VARCHAR) AS series,
+        |  CAST(printf('%.6f', value) AS DOUBLE) AS value,
+        |  ts_sec * 1000 AS ts_ms
+        |FROM m WHERE rn = 1""".stripMargin,
     "m7_series_rate" ->
       """SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, value,
         |  (value - lag(value) OVER w)

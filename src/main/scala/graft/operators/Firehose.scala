@@ -95,16 +95,71 @@ object Firehose {
       map_filter(col("tags"), (k, _) => !array_contains(filteredArr, k)))
   }
 
-  /** Canonical series identity: sorted `k=v` rendering of the label map.
-    * Spark cannot group by MapType; this is the Prometheus label-tuple
-    * identity as an orderable string, and it's a pure codegen expression.
+  /** Series-key escaping of one key or value: `\` → `\\`, `=` → `\=`,
+    * `,` → `\,` — so two DISTINCT label maps can never render to one
+    * series key (`{k:"a", b:"c"}` vs `{k:"a,b=c"}` collided under the
+    * unescaped render — r15 verdict finding #1). A no-op on label text
+    * free of the three metacharacters, so the classic corpus's keys are
+    * unchanged. Pure codegen (literal `replace` chain).
+    */
+  def escapeSeriesPart(c: Column): Column =
+    replace(
+      replace(
+        replace(c, lit("\\"), lit("\\\\")),
+        lit("="), lit("\\=")),
+      lit(","), lit("\\,"))
+
+  /** [[escapeSeriesPart]]'s driver-side twin — literal replacement, the
+    * same semantics as the codegen chain (spec-pinned via the registry
+    * render parity suite).
+    */
+  def escapeSeriesPartStr(s: String): String =
+    s.replace("\\", "\\\\").replace("=", "\\=").replace(",", "\\,")
+
+  /** Canonical series identity: sorted `k=v` rendering of the label map,
+    * keys and values [[escapeSeriesPart]]-escaped so the rendering is
+    * injective over label maps. Spark cannot group by MapType; this is
+    * the Prometheus label-tuple identity as an orderable string, and
+    * it's a pure codegen expression.
     */
   def seriesKey(labels: Column): Column =
     array_join(
       transform(
         array_sort(map_entries(labels)),
-        e => concat(e.getField("key"), lit("="), e.getField("value"))),
+        e => concat(
+          escapeSeriesPart(e.getField("key")), lit("="),
+          escapeSeriesPart(e.getField("value")))),
       ",")
+
+  /** A series key back to its label PAIRS (in key order — the order
+    * [[seriesKey]] rendered them): split on unescaped `,` / `=`, undo
+    * [[escapeSeriesPart]]. Driver/executor-side Scala (a linear scan —
+    * a regex cannot split on "comma after an even backslash run" with
+    * unbounded lookbehind); used by sinks that carry only the key
+    * (e.g. the streaming exposition sink's state output).
+    */
+  def parseSeriesKey(series: String): Seq[(String, String)] = {
+    if (series.isEmpty) return Nil
+    val out = Seq.newBuilder[(String, String)]
+    val cur = new StringBuilder
+    var key: String = null
+    var i = 0
+    while (i < series.length) {
+      series.charAt(i) match {
+        case '\\' if i + 1 < series.length =>
+          cur.append(series.charAt(i + 1)); i += 2
+        case '=' if key == null =>
+          key = cur.toString; cur.clear(); i += 1
+        case ',' =>
+          out += ((if (key == null) "" else key) -> cur.toString)
+          key = null; cur.clear(); i += 1
+        case c =>
+          cur.append(c); i += 1
+      }
+    }
+    out += ((if (key == null) "" else key) -> cur.toString)
+    out.result()
+  }
 
   /** Latest-value-per-series gauge semantics
     * (AbstractPrometheusFirehose.java:40-51: `Gauge.set(value)` keeps the
@@ -253,29 +308,48 @@ object Firehose {
     * proves parse(render(x)) preserves every series.
     */
   def promParse(lines: DataFrame): DataFrame = {
-    // one anchored match: metric, optional {label block} (greedy `.*` so
-    // the block extends to the LAST '}' — quoted values may contain '}'),
-    // value token, optional timestamp token
+    // one anchored match: optional metric (absent for the Prometheus 3.x
+    // quoted-name form `{"my.metric",k="v"} 5`), optional {label block}
+    // (greedy `.*` so the block extends to the LAST '}' — quoted values
+    // may contain '}'), value token, optional timestamp token
     val re = PromGrammar.LineRe
     val pairRe = PromGrammar.PairRe
+    val bmRe = PromGrammar.BlockMetricRe
+    // the two regex passes of PromGrammar.unescapeLabelValue: newline
+    // escapes first, then the generic `\x` → x
+    def unesc(c: Column): Column =
+      regexp_replace(
+        regexp_replace(c, PromGrammar.NewlineEscRe, "$1\n"),
+        PromGrammar.AnyEscRe, "$1")
+    // validity under the plain grammar: the line matches, and its block
+    // tiles as pairs (classic form) or as quoted-metric-then-pairs
+    // (quoted-name form — exactly when the bare metric token is absent)
+    def lineValid(l: Column): Column = {
+      val mtok = regexp_extract(l, re, 1)
+      val block = regexp_extract(l, re, 3)
+      l.rlike(re) && (
+        (mtok =!= "" && block.rlike(PromGrammar.BlockRe)) ||
+        (mtok === "" && block.rlike(bmRe) &&
+          regexp_extract(block, bmRe, 2).rlike(PromGrammar.BlockRe)))
+    }
     lines
       .select(trim(col("line")).as("_l"))
       .filter(length(col("_l")) > 0 && !col("_l").startsWith("#"))
       // OpenMetrics tolerance, the scanners' retry discipline as one
       // codegen'd conditional: a line that does NOT already parse under
-      // the plain grammar (match + block tiling) sheds its exemplar
-      // tail; previously-valid lines are left byte-identical
+      // the plain grammar sheds its exemplar tail; previously-valid
+      // lines are left byte-identical
       .withColumn("_l",
-        when(col("_l").rlike(re) &&
-          regexp_extract(col("_l"), re, 3).rlike(PromGrammar.BlockRe),
-          col("_l"))
+        when(lineValid(col("_l")), col("_l"))
           .otherwise(regexp_replace(col("_l"), PromGrammar.ExemplarTailRe, "")))
-      .filter(col("_l").rlike(re))
+      .filter(lineValid(col("_l")))
+      .withColumn("_mtok", regexp_extract(col("_l"), re, 1))
       .withColumn("_block", regexp_extract(col("_l"), re, 3))
-      // a block that isn't a clean comma-tiling of label pairs is a
-      // malformed LINE (drop), not a line whose series keeps the pairs
-      // that happened to match
-      .filter(col("_block").rlike(PromGrammar.BlockRe))
+      // the pairs live in the whole block (classic) or after the quoted
+      // metric's comma (quoted-name form)
+      .withColumn("_pairsrc",
+        when(col("_mtok") =!= "", col("_block"))
+          .otherwise(regexp_extract(col("_block"), bmRe, 2)))
       .withColumn("_ts_tok", regexp_extract(col("_l"), re, 6))
       .withColumn("_val_tok", regexp_extract(col("_l"), re, 4))
       // try_cast, not cast: a malformed token must become a dropped row,
@@ -291,18 +365,21 @@ object Firehose {
       .filter(col("value").isNotNull &&
         !(col("_ts_tok") =!= "" && col("ts_ms").isNull))
       .select(
-        regexp_extract(col("_l"), re, 1).as("metric"),
+        when(col("_mtok") =!= "", col("_mtok"))
+          .otherwise(unesc(regexp_extract(col("_block"), bmRe, 1)))
+          .as("metric"),
         array_join(
           transform(
-            regexp_extract_all(col("_block"), lit(pairRe), lit(0)),
+            regexp_extract_all(col("_pairsrc"), lit(pairRe), lit(0)),
             p => concat(
-              regexp_extract(p, pairRe, 1), lit("="),
-              // newline escapes first, then the generic unescape — the same
-              // two passes as PromGrammar.unescapeLabelValue
-              regexp_replace(
-                regexp_replace(regexp_extract(p, pairRe, 2),
-                  PromGrammar.NewlineEscRe, "$1\n"),
-                PromGrammar.AnyEscRe, "$1"))),
+              // classic key verbatim, quoted key unescaped; both
+              // series-escaped so the rendered key stays injective
+              escapeSeriesPart(
+                when(regexp_extract(p, pairRe, 1) =!= "",
+                  regexp_extract(p, pairRe, 1))
+                  .otherwise(unesc(regexp_extract(p, pairRe, 2)))),
+              lit("="),
+              escapeSeriesPart(unesc(regexp_extract(p, pairRe, 3))))),
           ",").as("series"),
         col("value"), col("ts_ms"))
   }
@@ -311,10 +388,19 @@ object Firehose {
     * ([[promParse]]) and the DSv2 scanner ([[graft.sources.PromSource]]).
     */
   object PromGrammar {
-    /** groups: 1=metric, 3=label block, 4=value token, 6=ts token. */
-    val LineRe = "^([^{\\s]+)(\\{(.*)\\})?\\s+(\\S+)(\\s+(\\S+))?\\s*$"
-    /** groups: 1=label key, 2=raw (still-escaped) quoted value. */
-    val PairRe = "([a-zA-Z_][a-zA-Z0-9_:]*)\\s*=\\s*\"((?:[^\"\\\\]|\\\\.)*)\""
+    /** groups: 1=metric (ABSENT for the Prometheus 3.x quoted-name form
+      * `{"my.metric",k="v"} 5` — the name then comes from the block's
+      * first entry, [[BlockMetricRe]]), 3=label block, 4=value token,
+      * 6=ts token.
+      */
+    val LineRe = "^([^{\\s]+)?(\\{(.*)\\})?\\s+(\\S+)(\\s+(\\S+))?\\s*$"
+    /** One label pair — classic key OR Prometheus 3.x quoted UTF-8 key
+      * (same escapes as values; non-empty). groups: 1=classic key,
+      * 2=raw (still-escaped) quoted key, 3=raw (still-escaped) value.
+      */
+    val PairRe =
+      "(?:([a-zA-Z_][a-zA-Z0-9_:]*)|\"((?:[^\"\\\\]|\\\\.)+)\")" +
+        "\\s*=\\s*\"((?:[^\"\\\\]|\\\\.)*)\""
     /** The whole label block must be a comma-separated tiling of [[PairRe]]
       * matches (trailing comma allowed, as Prometheus accepts). Without this
       * check a garbage block like `m{oops} 1 2` would pass [[LineRe]] and be
@@ -322,6 +408,15 @@ object Firehose {
       * anywhere in the block makes the line malformed, i.e. dropped.
       */
     val BlockRe = s"^\\s*(?:$PairRe\\s*,\\s*)*(?:$PairRe)?\\s*$$"
+    /** The quoted-name form's label block: the metric name as a bare
+      * quoted string FIRST (Prometheus 3.x requires first position),
+      * then ordinary pairs. groups: 1=raw (still-escaped) metric name,
+      * 2=the remaining pairs text (must tile [[BlockRe]]; may be empty).
+      * Only consulted when [[LineRe]]'s metric group is absent — a line
+      * with BOTH a bare name and a quoted first entry is malformed.
+      */
+    val BlockMetricRe =
+      "^\\s*\"((?:[^\"\\\\]|\\\\.)+)\"\\s*(?:,(.*))?$"
     /** A `\n` preceded by an EVEN run of backslashes is a real newline
       * escape (an odd run means escaped-backslash + literal 'n'); applied
       * before the generic `\x` → x pass so exposition label values
@@ -353,6 +448,38 @@ object Firehose {
     private lazy val LinePattern = java.util.regex.Pattern.compile(LineRe)
     private lazy val PairPattern = java.util.regex.Pattern.compile(PairRe)
     private lazy val BlockPattern = java.util.regex.Pattern.compile(BlockRe)
+    private lazy val BlockMetricPattern =
+      java.util.regex.Pattern.compile(BlockMetricRe)
+
+    /** One [[PairRe]] match's (key, value) — classic key verbatim,
+      * quoted key unescaped like a value. Shared by every scanner.
+      */
+    private[graft] def pairOf(
+        pm: java.util.regex.Matcher): (String, String) = {
+      val key =
+        if (pm.group(1) != null) pm.group(1)
+        else unescapeLabelValue(pm.group(2))
+      key -> unescapeLabelValue(pm.group(3))
+    }
+
+    /** Resolve a matched [[LineRe]] line's metric name and pairs text:
+      * classic form keeps the bare token and tiles the whole block;
+      * the quoted-name form (absent token) takes the block's first
+      * entry as the (unescaped) name and tiles the rest. None =
+      * malformed block → the LINE is malformed.
+      */
+    private[graft] def metricAndPairs(
+        metricTok: String, block: String): Option[(String, String)] =
+      if (metricTok != null && metricTok.nonEmpty) {
+        if (BlockPattern.matcher(block).matches()) Some((metricTok, block))
+        else None
+      } else {
+        val bm = BlockMetricPattern.matcher(block)
+        if (!bm.matches()) return None
+        val rest = Option(bm.group(2)).getOrElse("")
+        if (!BlockPattern.matcher(rest).matches()) None
+        else Some((unescapeLabelValue(bm.group(1)), rest))
+      }
 
     /** One exposition line → (metric, label PAIRS, value, ts_ms) —
       * [[graft.sources.PromSource.parseLine]]'s semantics keeping the
@@ -386,23 +513,23 @@ object Firehose {
       val m = LinePattern.matcher(line)
       if (!m.matches()) return None
       val block = Option(m.group(3)).getOrElse("")
-      if (!BlockPattern.matcher(block).matches()) return None
-      val labels = Map.newBuilder[String, String]
-      val pm = PairPattern.matcher(block)
-      while (pm.find())
-        labels += pm.group(1) -> unescapeLabelValue(pm.group(2))
-      parseDoubleToken(m.group(4)).flatMap { value =>
-        try {
-          val ts = Option(m.group(6)).map { tok =>
-            if (omTimestamps) {
-              val sec = java.lang.Double.parseDouble(tok)
-              if (sec.isNaN || sec.isInfinite)
-                throw new NumberFormatException(tok)
-              Math.floor(sec * 1000.0).toLong
-            } else java.lang.Long.parseLong(tok)
-          }
-          Some((m.group(1), labels.result(), value, ts))
-        } catch { case _: NumberFormatException => None }
+      metricAndPairs(m.group(1), block).flatMap { case (metric, pairsTxt) =>
+        val labels = Map.newBuilder[String, String]
+        val pm = PairPattern.matcher(pairsTxt)
+        while (pm.find()) labels += pairOf(pm)
+        parseDoubleToken(m.group(4)).flatMap { value =>
+          try {
+            val ts = Option(m.group(6)).map { tok =>
+              if (omTimestamps) {
+                val sec = java.lang.Double.parseDouble(tok)
+                if (sec.isNaN || sec.isInfinite)
+                  throw new NumberFormatException(tok)
+                Math.floor(sec * 1000.0).toLong
+              } else java.lang.Long.parseLong(tok)
+            }
+            Some((metric, labels.result(), value, ts))
+          } catch { case _: NumberFormatException => None }
+        }
       }
     }
 
@@ -503,24 +630,100 @@ object Firehose {
         .drop("_sum_dec"),
       "v")
 
+  /** Exposition label-value escaping per the Prometheus text format:
+    * `\` → `\\`, `"` → `\"`, newline → `\n` — so any label text renders
+    * to a single parseable line (the pre-r16 render quoted RAW values:
+    * a value carrying `"`, `,` or a newline rendered unparseably).
+    */
+  def escapeExpoValue(c: Column): Column =
+    replace(
+      replace(
+        replace(c, lit("\\"), lit("\\\\")),
+        lit("\""), lit("\\\"")),
+      lit("\n"), lit("\\n"))
+
+  /** [[escapeExpoValue]]'s driver-side twin (literal replacement). */
+  def escapeExpoValueStr(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
+  /** Classic (unquotable) name character classes of the Prometheus text
+    * format. A metric or label name OUTSIDE its class renders QUOTED per
+    * the Prometheus 3.x UTF-8 exposition form (`escaping=allow-utf-8`):
+    * `{"my.metric",code="200",...}` / `name{"label.with.dots"="v"}`.
+    */
+  // \A/\z anchors, not ^/$: Java `$` also matches BEFORE a trailing
+  // newline under find() (Spark's rlike), which would let a name ending
+  // in '\n' pass as classic on the codegen path while the driver twin's
+  // full-match refuses it — \z anchors both engines to the true end
+  val ClassicLabelNameRe = "\\A[a-zA-Z_][a-zA-Z0-9_]*\\z"
+  val ClassicMetricNameRe = "\\A[a-zA-Z_:][a-zA-Z0-9_:]*\\z"
+
   /** Prometheus text-exposition rendering (what PrometheusPusher/Puller emit
     * via the client lib): `component_name{labels} value ts_millis`, one line
     * per live series, as a pure column expression usable by any sink.
+    * Renders from the label MAP (sorted by key — the same UTF8-binary
+    * order as [[seriesKey]]), with values [[escapeExpoValue]]-escaped and
+    * non-classic metric/label names quoted in the Prometheus 3.x UTF-8
+    * form — so every line round-trips through [[promParse]] for ANY
+    * label/name text (spec- and oracle-pinned). Input needs (component,
+    * name, labels, last_value, last_ts) — [[gaugeLatestLabeled]]'s shape.
     */
-  def promRender(gauges: DataFrame): DataFrame =
+  def promRender(gauges: DataFrame): DataFrame = {
+    val metric = concat(col("component"), lit("_"), col("name"))
+    val pairs = transform(
+      array_sort(map_entries(col("labels"))),
+      e => concat(
+        when(e.getField("key").rlike(ClassicLabelNameRe), e.getField("key"))
+          .otherwise(concat(
+            lit("\""), escapeExpoValue(e.getField("key")), lit("\""))),
+        lit("=\""), escapeExpoValue(e.getField("value")), lit("\"")))
+    val inner = array_join(pairs, ",")
+    val noLabels = size(map_entries(col("labels"))) === 0
+    val body = when(
+      metric.rlike(ClassicMetricNameRe),
+      concat(metric,
+        when(noLabels, lit(""))
+          .otherwise(concat(lit("{"), inner, lit("}")))))
+      .otherwise(concat(
+        lit("{\""), escapeExpoValue(metric), lit("\""),
+        when(noLabels, lit("")).otherwise(concat(lit(","), inner)),
+        lit("}")))
     gauges.select(
       concat(
-        col("component"), lit("_"), col("name"),
-        when(
-          col("series") === lit(""), lit("")).otherwise(
-            concat(
-              lit("{"),
-              regexp_replace(col("series"), lit("=([^,]*)"), lit("=\"$1\"")),
-              lit("}"))),
+        body,
         lit(" "),
         format_string("%.6f", col("last_value")),
         lit(" "),
         (col("last_ts") * 1000).cast("string")).as("line"))
+  }
+
+  /** One exposition line rendered DRIVER-side — the byte-identical twin
+    * of [[promRender]]'s codegen render (same escape chain, same
+    * classic-name classes, same `Locale.US` `%.6f`), over label pairs
+    * ALREADY in [[seriesKey]]'s order (UTF-8-byte key order — callers
+    * sort with [[graft.promql.PromRegistry.utf8Gt]] or pass
+    * [[parseSeriesKey]] output, which preserves the key's order).
+    * Parity is spec-pinned across adversarial label text.
+    */
+  def renderLineStr(
+      component: String, name: String, labels: Seq[(String, String)],
+      value: Double, tsSec: Long): String = {
+    val metric = component + "_" + name
+    val inner = labels.iterator.map { case (k, v) =>
+      (if (k.matches(ClassicLabelNameRe)) k
+       else "\"" + escapeExpoValueStr(k) + "\"") +
+        "=\"" + escapeExpoValueStr(v) + "\""
+    }.mkString(",")
+    val body =
+      if (metric.matches(ClassicMetricNameRe))
+        metric + (if (labels.isEmpty) "" else "{" + inner + "}")
+      else
+        "{\"" + escapeExpoValueStr(metric) + "\"" +
+          (if (labels.isEmpty) "" else "," + inner) + "}"
+    body + " " +
+      String.format(java.util.Locale.US, "%.6f", Double.box(value)) +
+      " " + (tsSec * 1000L).toString
+  }
 
   /** Per-series counter rate (value delta / time delta) — the downstream
     * computation Prometheus performs on scraped gauges; here an engine

@@ -650,7 +650,7 @@ object PromQlHttp {
     if (params.matches.isEmpty) throw new IllegalArgumentException(
       "missing required parameter 'match[]'")
     val lines = Firehose.promRender(
-      Firehose.gaugeLatest(matched(metrics, params.matches)))
+      Firehose.gaugeLatestLabeled(matched(metrics, params.matches)))
       .collect().map(_.getString(0)).sorted
     lines.mkString("", "\n", "\n")
   }
@@ -669,7 +669,7 @@ object PromQlHttp {
       "missing required parameter 'match[]'")
     val lines = Firehose.promRender(
       matched(gauges, matches)
-        .select(col("component"), col("name"), col("series"),
+        .select(col("component"), col("name"), col("labels"),
           col("last_value"), col("last_ts")))
       .collect().map(_.getString(0)).sorted
     lines.mkString("", "\n", "\n")

@@ -111,12 +111,23 @@ object PromQlRecord {
   private def labelValSql(label: String): String =
     s"coalesce(try_element_at(labels, ${sqlStr(label)}), '')"
 
+  /** [[graft.operators.Firehose.escapeSeriesPart]] in SQL text: the
+    * same literal `replace` chain (`\`→`\\`, `=`→`\=`, `,`→`\,`) —
+    * Spark SQL string literals process backslash escapes, hence the
+    * doubling. Keeps the recorded key injective over label maps,
+    * in lockstep with the engine-wide identity.
+    */
+  private def escSeriesSql(part: String): String =
+    "replace(replace(replace(" + part +
+      ", '\\\\', '\\\\\\\\'), '=', '\\\\='), ',', '\\\\,')"
+
   /** [[graft.operators.Firehose.seriesKey]] in SQL text — the identical
-    * sorted `k=v` rendering, as a deterministic computed column.
+    * sorted, escaped `k=v` rendering, as a deterministic computed column.
     */
   private val seriesKeySql: String =
     "array_join(transform(array_sort(map_entries(labels)), " +
-      "e -> concat(e.key, '=', e.value)), ',')"
+      s"e -> concat(${escSeriesSql("e.key")}, '=', " +
+      s"${escSeriesSql("e.value")})), ',')"
 
   /** The RECORDED series key under static rule labels, in SQL text: the
     * batch evaluator's m58 merge (`map_concat(map_filter(labels, rule
@@ -130,7 +141,8 @@ object PromQlRecord {
       .flatMap { case (k, v) => Seq(sqlStr(k), sqlStr(v)) }.mkString(", ")
     "array_join(transform(array_sort(map_entries(map_concat(" +
       s"map_filter(labels, (k, v) -> k not in ($keys)), map($kvs)))), " +
-      "e -> concat(e.key, '=', e.value)), ',')"
+      s"e -> concat(${escSeriesSql("e.key")}, '=', " +
+      s"${escSeriesSql("e.value")})), ',')"
   }
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

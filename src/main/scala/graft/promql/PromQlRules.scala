@@ -84,13 +84,12 @@ object PromQlRules {
   def clauseText(keyword: String, labels: Map[String, String]): String =
     if (labels.isEmpty) ""
     else labels.toSeq.sorted.map { case (k, v) =>
-      val escaped = v.flatMap {
-        case '\\' => "\\\\"
-        case '"' => "\\\""
-        case '\n' => "\\n"
-        case c => c.toString
-      }
-      s"""$k="$escaped""""
+      // non-classic keys render QUOTED (Prometheus 3.x form), exactly
+      // like the exposition render — the clause parser reads both
+      val key =
+        if (k.matches(graft.operators.Firehose.ClassicLabelNameRe)) k
+        else "\"" + graft.operators.Firehose.escapeExpoValueStr(k) + "\""
+      s"""$key="${graft.operators.Firehose.escapeExpoValueStr(v)}""""
     }.mkString(s" $keyword {", ",", "}")
 
   private def labelBlock(block: String): Option[Map[String, String]] =
@@ -98,8 +97,9 @@ object PromQlRules {
     else {
       val b = Map.newBuilder[String, String]
       val m = PairPattern.matcher(block)
-      while (m.find()) b += m.group(1) ->
-        graft.operators.Firehose.PromGrammar.unescapeLabelValue(m.group(2))
+      // pairOf resolves classic vs quoted (Prometheus 3.x UTF-8) keys —
+      // the clause grammar rides the shared exposition pair grammar
+      while (m.find()) b += graft.operators.Firehose.PromGrammar.pairOf(m)
       Some(b.result())
     }
 

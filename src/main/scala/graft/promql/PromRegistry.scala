@@ -188,6 +188,20 @@ object PromRegistry {
     * `checkpointEvery` ticks ([[PromScraper.run]]). Returns the
     * checkpoint table's committed version.
     */
+  /** The landing's GENERATION identity: its version-0 commit marker's
+    * timestamp. A landing deleted and recreated in place gets a fresh
+    * version 0, hence a fresh identity — the durable guard against a
+    * surviving `_registry_ckpt` sidecar feeding a DEAD generation's
+    * heads into a lookalike landing whose version count has regrown
+    * past the stale checkpoint's (the in-memory twin of this hazard is
+    * the memo eviction in [[refresh]]). None when version 0's marker
+    * was itself vacuumed — identity then can't be proven either way and
+    * the manifest-containment check remains the only (weaker) guard.
+    */
+  private def generationId(root: String): Option[Long] =
+    try Some(Versioned.commitTime(root, 0L))
+    catch { case scala.util.control.NonFatal(_) => None }
+
   def checkpoint(spark: SparkSession, root: String): Long = {
     val state = current(spark, root)
     val rows: java.util.List[Row] = {
@@ -198,12 +212,20 @@ object PromRegistry {
       }
       l
     }
-    Versioned.commit(
+    val v = Versioned.commit(
       spark.createDataFrame(rows, ckptSchema).coalesce(1),
       ckptRoot(root),
       props = Map(
         "ckpt.sourceVersion" -> state.version.toString,
-        "ckpt.minTs" -> state.minTs.toString))
+        "ckpt.minTs" -> state.minTs.toString) ++
+        generationId(root).map("ckpt.generation" -> _.toString))
+    // only the NEWEST checkpoint is ever loaded, so the sidecar stays
+    // O(1) snapshots — without this a forever --scrape loop grows it by
+    // one registry-sized snapshot every checkpointEvery ticks, unbounded
+    // (r15 ADVICE). keepLast 2: the newest plus the one a concurrent
+    // cold-start may just have resolved.
+    Versioned.vacuum(ckptRoot(root), keepLast = 2)
+    v
   }
 
   /** The newest landed checkpoint as a [[State]] at its recorded source
@@ -223,6 +245,16 @@ object PromRegistry {
       val srcV = props.get("ckpt.sourceVersion").map(_.toLong)
       val minTs = props.get("ckpt.minTs").map(_.toLong)
       if (srcV.isEmpty || minTs.isEmpty) return None
+      // generation identity (r15 ADVICE): a checkpoint recorded against
+      // a DIFFERENT landing generation (recreated root, sidecar
+      // survived) must never seed this one — `sourceVersion <= latest`
+      // alone passes once the new generation regrows past it. Compared
+      // only when both sides can prove an identity; an unprovable side
+      // (vacuumed version-0 marker, pre-r16 checkpoint) falls back to
+      // the manifest-containment guard downstream.
+      val gen = props.get("ckpt.generation").map(_.toLong)
+      val curGen = generationId(root)
+      if (gen.isDefined && curGen.isDefined && gen != curGen) return None
       val heads = Map.newBuilder[(String, String, String), Head]
       Versioned.asOf(spark, cr, cv).collect().foreach { r =>
         val h = Head(r.getString(0), r.getString(1), r.getString(2),
@@ -409,10 +441,12 @@ object PromRegistry {
     * a 15 s downstream-Prometheus cadence should not pay job-scheduling
     * overhead for it). Byte-identical to the m6 `promRender` Spark path
     * it replaces, spec-pinned: same `match[]` predicate semantics
-    * ([[PromQlCompiler.matcherFn]]), same `component_name{k="v"} %.6f
-    * ts_millis` line rendering (Java regex + `Locale.US` formatter —
-    * the exact engines `regexp_replace`/`format_string` run), same
-    * UTF-16 line sort.
+    * ([[PromQlCompiler.matcherFn]]), same line rendering
+    * ([[graft.operators.Firehose.renderLineStr]] — the exposition
+    * escape chain, UTF-8 quoted non-classic names, and `Locale.US`
+    * formatter promRender's codegen expressions run, over labels in
+    * [[utf8Gt]] key order = `array_sort(map_entries)`'s), same UTF-16
+    * line sort.
     */
   def federateBody(state: State, matches: Seq[String]): String = {
     if (matches.isEmpty) throw new IllegalArgumentException(
@@ -421,12 +455,10 @@ object PromRegistry {
     val lines = state.heads.valuesIterator
       .filter(h => preds.exists(p => p(h.name, h.labels)))
       .map { h =>
-        val series =
-          if (h.series.isEmpty) ""
-          else "{" + h.series.replaceAll("=([^,]*)", "=\"$1\"") + "}"
-        h.component + "_" + h.name + series + " " +
-          String.format(java.util.Locale.US, "%.6f", Double.box(h.value)) +
-          " " + (h.ts * 1000L).toString
+        graft.operators.Firehose.renderLineStr(
+          h.component, h.name,
+          h.labels.toSeq.sortWith((x, y) => utf8Gt(y._1, x._1)),
+          h.value, h.ts)
       }.toArray.sorted
     lines.mkString("", "\n", "\n")
   }
@@ -493,14 +525,22 @@ object PromRegistry {
     */
   private def renderKey(m: Map[String, String]): String =
     m.toSeq.sortWith((x, y) => utf8Gt(y._1, x._1))
-      .map { case (k, v) => s"$k=$v" }.mkString(",")
+      .map { case (k, v) =>
+        graft.operators.Firehose.escapeSeriesPartStr(k) + "=" +
+          graft.operators.Firehose.escapeSeriesPartStr(v)
+      }.mkString(",")
 
   /** The instant-vector DRIVER FOLD over the head map — the zero-job
-    * serving class generalized (round 15): bare selectors, grouped
-    * aggregations (`sum|min|max|avg|count|group`, `by`/`without`/
-    * ungrouped), vector⊕scalar arithmetic (`+ − * / %`) and comparisons
-    * (filter form and `bool`), and unary negation, COMPOSED — the whole
-    * Grafana current-value dashboard class. Returns None whenever
+    * serving class generalized (round 15, grown round 16): bare
+    * selectors, grouped aggregations (`sum|min|max|avg|count|group`,
+    * `by`/`without`/ungrouped), vector⊕scalar arithmetic (`+ − * / %`)
+    * and comparisons (filter form and `bool`) with FULL scalar
+    * subexpressions as the scalar side ([[foldScal]] — literals,
+    * `time()`, `scalar()`, scalar arithmetic incl. `^`/`atan2`), unary
+    * negation, `absent` (universe anti-join + Eq-matcher label
+    * synthesis), `vector`, and `label_replace`/`label_join`, COMPOSED —
+    * the whole Grafana current-value dashboard class. Returns None
+    * whenever
     * byte-identity with the compiled plan is not guaranteed, falling
     * back to the compiled local-relation plan (same answer, one job):
     * decimal-cap (≥ 9e11) groups under sum/avg (the compiler's IEEE
@@ -585,19 +625,170 @@ object PromRegistry {
         })
       }
 
-    case Binary(op, l, NumberLit(s), _, boolMod) if scalarFoldOp(op) =>
-      foldVec(state, l, tSec, lookbackSec)
-        .map(applyScalarFold(_, s, op, vecOnLeft = true, boolMod))
-    case Binary(op, NumberLit(s), r, _, boolMod) if scalarFoldOp(op) =>
-      foldVec(state, r, tSec, lookbackSec)
-        .map(applyScalarFold(_, s, op, vecOnLeft = false, boolMod))
+    // vector ⊕ SCALAR-SHAPED subexpression (r16 growth of the r15
+    // NumberLit-only cases): the compiled plan joins the vector against
+    // the scalar's one instant window — an EMPTY scalar relation
+    // (scalar() of an empty vector, time() on an empty registry)
+    // empties the join, a NaN scalar flows through arith/cmpPred
+    case Binary(op, l, r, _, boolMod)
+        if scalarFoldOp(op) && scalarShape(r) && !scalarShape(l) =>
+      foldScal(state, r, tSec, lookbackSec) match {
+        case None => None
+        case Some(None) => foldVec(state, l, tSec, lookbackSec).map(_ => Nil)
+        case Some(Some(s)) => foldVec(state, l, tSec, lookbackSec)
+          .map(applyScalarFold(_, s, op, vecOnLeft = true, boolMod))
+      }
+    case Binary(op, l, r, _, boolMod)
+        if scalarFoldOp(op) && scalarShape(l) && !scalarShape(r) =>
+      foldScal(state, l, tSec, lookbackSec) match {
+        case None => None
+        case Some(None) => foldVec(state, r, tSec, lookbackSec).map(_ => Nil)
+        case Some(Some(s)) => foldVec(state, r, tSec, lookbackSec)
+          .map(applyScalarFold(_, s, op, vecOnLeft = false, boolMod))
+      }
 
     case Neg(inner) =>
       foldVec(state, inner, tSec, lookbackSec)
         .map(_.map(r => r.copy(value = -r.value)))
 
+    // absent(sel) — the compiled instant lowering anti-joins the
+    // component UNIVERSE (every component with a head, windowless)
+    // against the selector's present components (matcher-filtered,
+    // in-window, staleness-dropped); output labels are the selector's
+    // equality matchers. Duplicate Eq labels decline (the compiled
+    // `map(...)` literal would fault on the duplicate key — the
+    // decline preserves exactly that behavior via the compiled plan).
+    case Call("absent", Seq(sel: VectorSelector))
+        if sel.offsetSec == 0 && sel.atSec.isEmpty =>
+      val eqs =
+        sel.matchers.filter(m => m.op == MatchOp.Eq && m.label != "__name__")
+      if (eqs.map(_.label).distinct.size != eqs.size) None
+      else {
+        val fns =
+          (sel.name.map(n => LabelMatcher("__name__", MatchOp.Eq, n)).toSeq ++
+            sel.matchers).map(PromQlCompiler.matcherFn)
+        val present = state.heads.valuesIterator.filter { h =>
+          fns.forall(f => f(h.name, h.labels)) &&
+            h.ts > tSec - lookbackSec && h.ts <= tSec && !h.value.isNaN
+        }.map(_.component).toSet
+        val universe = state.heads.keysIterator.map(_._1).toSet
+        val labels = eqs.map(m => m.label -> m.value).toMap
+        Some((universe -- present).toSeq.map(c => FRow(c, "", labels, 1.0)))
+      }
+
+    // vector(s) — one empty-labelset element per UNIVERSE component at
+    // the instant cell; an empty scalar relation (or empty registry)
+    // yields the empty vector, exactly like the compiled grid join
+    case Call("vector", Seq(arg)) if scalarShape(arg) =>
+      foldScal(state, arg, tSec, lookbackSec) match {
+        case None => None
+        case Some(None) => Some(Nil)
+        case Some(Some(s)) =>
+          Some(state.heads.keysIterator.map(_._1).toSeq.distinct
+            .map(c => FRow(c, "", Map.empty, s)))
+      }
+
+    // label_replace / label_join — per-row label-map rewrites replaying
+    // the compiled column expressions on the same engine primitives
+    // (java.util.regex find/replaceAll — regexp_replace's and rlike's
+    // own machinery). Any replay fault (bad regex, bad group ref)
+    // declines so the compiled plan faults the same way it always did.
+    case Call("label_replace", Seq(v, StringLit(dst), StringLit(repl),
+        StringLit(src), StringLit(re))) =>
+      foldVec(state, v, tSec, lookbackSec).flatMap { rows =>
+        try {
+          val p = java.util.regex.Pattern.compile("^(?:" + re + ")$")
+          Some(rows.map { r =>
+            val srcVal = r.labels.getOrElse(src, "")
+            if (!p.matcher(srcVal).find(0)) r
+            else {
+              val newVal = p.matcher(srcVal).replaceAll(repl)
+              r.copy(labels =
+                if (newVal.isEmpty) r.labels - dst
+                else r.labels - dst + (dst -> newVal))
+            }
+          })
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    case Call("label_join", v +: rest)
+        if rest.length >= 2 && rest.forall(_.isInstanceOf[StringLit]) =>
+      val strs = rest.map(_.asInstanceOf[StringLit].v)
+      val dst = strs.head
+      val sep = strs(1)
+      val srcs = strs.drop(2)
+      foldVec(state, v, tSec, lookbackSec).map(_.map { r =>
+        val joined = srcs.map(s => r.labels.getOrElse(s, "")).mkString(sep)
+        r.copy(labels =
+          if (joined.isEmpty) r.labels - dst
+          else r.labels - dst + (dst -> joined))
+      })
+
     case _ => None
   }
+
+  /** Is `e` a SCALAR-typed expression of the fold grammar? (Decides
+    * which Binary operand is the scalar side; a scalar⊕scalar Binary is
+    * a scalar query — not a vector fold — and declines.)
+    */
+  private def scalarShape(e: PromExpr): Boolean = e match {
+    case _: NumberLit => true
+    case Neg(i) => scalarShape(i)
+    case Call("time", args) => args.isEmpty
+    case Call("scalar", args) => args.lengthCompare(1) == 0
+    case Binary(_, l, r, _, _) => scalarShape(l) && scalarShape(r)
+    case _ => false
+  }
+
+  /** The scalar lane of the fold: Some(None) is the EMPTY per-window
+    * scalar relation (the compiled `scalar()` of an empty vector /
+    * `time()` over an empty registry — joins against it empty out),
+    * Some(Some(v)) a present value, None = outside the fold grammar.
+    * Replays the compiled lanes: `scalar()` is NaN on a multi-element
+    * vector; scalar⊖scalar arithmetic is the compiled `foldScalar`'s
+    * plain Java IEEE (`^`/`atan2` included — `math.pow`/`math.atan2`
+    * verbatim, unlike the declined COLUMN forms); scalar comparisons
+    * without `bool` decline (the compiled plan raises the same
+    * user-facing error).
+    */
+  private def foldScal(
+      state: State, e: PromExpr, tSec: Long,
+      lookbackSec: Long): Option[Option[Double]] = e match {
+    case NumberLit(v) => Some(Some(v))
+    case Neg(inner) =>
+      foldScal(state, inner, tSec, lookbackSec).map(_.map(x => -x))
+    case Call("time", Seq()) =>
+      Some(if (state.heads.isEmpty) None else Some(tSec.toDouble))
+    case Call("scalar", Seq(v)) =>
+      foldVec(state, v, tSec, lookbackSec).map { rows =>
+        if (rows.isEmpty) None
+        else if (rows.lengthCompare(1) == 0) Some(rows.head.value)
+        else Some(Double.NaN)
+      }
+    case Binary(op, l, r, _, boolMod)
+        if scalarShape(l) && scalarShape(r) &&
+          (scalArithOps(op) || (foldComparisons(op) && boolMod)) =>
+      for {
+        a <- foldScal(state, l, tSec, lookbackSec)
+        b <- foldScal(state, r, tSec, lookbackSec)
+      } yield (a, b) match {
+        case (Some(x), Some(y)) =>
+          Some(
+            if (foldComparisons(op)) { if (cmp(op, x, y)) 1.0 else 0.0 }
+            else op match {
+              case "+" => x + y
+              case "-" => x - y
+              case "*" => x * y
+              case "/" => x / y
+              case "%" => x % y
+              case "^" => math.pow(x, y)
+              case "atan2" => math.atan2(x, y)
+            })
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private val scalArithOps = Set("+", "-", "*", "/", "%", "^", "atan2")
 
   private val foldComparisons = Set("==", "!=", "<", ">", "<=", ">=")
 

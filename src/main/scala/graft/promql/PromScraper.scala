@@ -45,9 +45,14 @@ object PromScraper {
         // accept OpenMetrics — and read the RESPONSE content type to
         // pick the timestamp unit (millis vs float seconds; the same
         // line is valid in both formats, so the unit is never guessed)
+        // `escaping=allow-utf-8` advertises the Prometheus 3.x quoted
+        // UTF-8 name form (r16: all four readers speak it) — a 3.x
+        // endpoint may then expose `{"my.metric",k="v"}` lines instead
+        // of underscore-mangled names; classic endpoints ignore it
         .header("Accept",
-          "text/plain;version=0.0.4;q=0.9," +
-            "application/openmetrics-text;version=1.0.0;q=0.8,*/*;q=0.1")
+          "text/plain;version=0.0.4;escaping=allow-utf-8;q=0.9," +
+            "application/openmetrics-text;version=1.0.0;" +
+            "escaping=allow-utf-8;q=0.8,*/*;q=0.1")
         .build(),
       HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200)

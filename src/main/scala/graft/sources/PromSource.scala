@@ -40,8 +40,6 @@ object PromSource {
     java.util.regex.Pattern.compile(graft.operators.Firehose.PromGrammar.LineRe)
   private val PairPattern =
     java.util.regex.Pattern.compile(graft.operators.Firehose.PromGrammar.PairRe)
-  private val BlockPattern =
-    java.util.regex.Pattern.compile(graft.operators.Firehose.PromGrammar.BlockRe)
 
   /** One exposition line → (metric, series, value, ts_ms-or-null); None for
     * comment/blank/malformed lines. Token-for-token the semantics of
@@ -63,32 +61,38 @@ object PromSource {
 
   private def parseLinePlain(
       line: String): Option[(String, String, Double, java.lang.Long)] = {
-    import graft.operators.Firehose.PromGrammar
+    import graft.operators.Firehose
+    import Firehose.PromGrammar
     val t = line.trim
     if (t.isEmpty || t.startsWith("#")) return None
     val m = LinePattern.matcher(t)
     if (!m.matches()) return None
-    val metric = m.group(1)
     val block = Option(m.group(3)).getOrElse("")
-    // pairs must tile the block — residue means a malformed line, exactly
-    // like the expression parser's BlockRe filter
-    if (!BlockPattern.matcher(block).matches()) return None
-    val series = {
-      val sb = new StringBuilder
-      val pm = PairPattern.matcher(block)
-      while (pm.find()) {
-        if (sb.nonEmpty) sb.append(',')
-        sb.append(pm.group(1)).append('=')
-          .append(PromGrammar.unescapeLabelValue(pm.group(2)))
-      }
-      sb.toString
-    }
-    PromGrammar.parseDoubleToken(m.group(4)).flatMap { value =>
-      try {
-        val ts: java.lang.Long =
-          if (m.group(6) == null) null else java.lang.Long.valueOf(m.group(6))
-        Some((metric, series, value, ts))
-      } catch { case _: NumberFormatException => None }
+    // metric + pairs resolution shared with every reader: classic form
+    // tiles the whole block; the Prometheus 3.x quoted-name form takes
+    // the block's first entry as the name — residue means a malformed
+    // line, exactly like the expression parser's filters
+    PromGrammar.metricAndPairs(m.group(1), block).flatMap {
+      case (metric, pairsTxt) =>
+        val series = {
+          val sb = new StringBuilder
+          val pm = PairPattern.matcher(pairsTxt)
+          while (pm.find()) {
+            if (sb.nonEmpty) sb.append(',')
+            val (k, v) = PromGrammar.pairOf(pm)
+            sb.append(Firehose.escapeSeriesPartStr(k)).append('=')
+              .append(Firehose.escapeSeriesPartStr(v))
+          }
+          sb.toString
+        }
+        PromGrammar.parseDoubleToken(m.group(4)).flatMap { value =>
+          try {
+            val ts: java.lang.Long =
+              if (m.group(6) == null) null
+              else java.lang.Long.valueOf(m.group(6))
+            Some((metric, series, value, ts))
+          } catch { case _: NumberFormatException => None }
+        }
     }
   }
 

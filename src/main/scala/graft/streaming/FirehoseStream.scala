@@ -1588,7 +1588,16 @@ object FirehoseStream {
     gauges.writeStream
       .outputMode("update")
       .foreachBatch { (batch: Dataset[GaugeOut], _: Long) =>
-        val lines = Firehose.promRender(batch.toDF()).collect().map(_.getString(0))
+        // the state output carries the rendered series KEY, not the
+        // label map — recover the pairs (the key preserves their sorted
+        // order and is injective since the r16 escape) and render each
+        // line with promRender's driver twin; the collect is the
+        // already-registry-sized batch of changed series
+        val lines = batch.collect().map { g =>
+          Firehose.renderLineStr(
+            g.component, g.name, Firehose.parseSeriesKey(g.series),
+            g.last_value, g.last_ts)
+        }
         push(lines)
       }
 }

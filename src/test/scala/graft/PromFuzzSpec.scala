@@ -44,19 +44,36 @@ class PromFuzzSpec extends SparkSuite {
     case _ => "notanum" + rnd.nextInt(10) // malformed: both must drop
   }
 
+  // sometimes a Prometheus 3.x quoted UTF-8 key ("k.0" etc), sometimes
+  // classic — the parsers must treat both identically
+  private def randKey(i: Int): String =
+    if (rnd.nextBoolean()) s"k$i" else s""""k.$i""""
+
   private def randLine(): String = {
-    val metric = s"m${rnd.nextInt(100)}_total"
     val nLabels = rnd.nextInt(4)
-    val block =
-      if (nLabels == 0 && rnd.nextBoolean()) ""
-      else {
-        val pairs = (0 until nLabels).map(i => s"""k$i="${escape(randLabelValue())}"""")
-        val trail = if (rnd.nextBoolean() && nLabels > 0) "," else ""
-        "{" + pairs.mkString(",") + trail + "}"
+    val pairs =
+      (0 until nLabels).map(i => s"""${randKey(i)}="${escape(randLabelValue())}"""")
+    // 1-in-3: the quoted-name form — the metric moves into the block as
+    // its (escaped) first entry; else the classic bare-name form
+    val quotedName = rnd.nextInt(3) == 0
+    val head =
+      if (quotedName) {
+        val name = s"m${rnd.nextInt(100)}.total" // non-classic (dot)
+        val entries = s""""${escape(name)}"""" +: pairs
+        "{" + entries.mkString(",") + (if (rnd.nextBoolean()) "," else "") + "}"
+      } else {
+        val metric = s"m${rnd.nextInt(100)}_total"
+        val block =
+          if (nLabels == 0 && rnd.nextBoolean()) ""
+          else {
+            val trail = if (rnd.nextBoolean() && nLabels > 0) "," else ""
+            "{" + pairs.mkString(",") + trail + "}"
+          }
+        s"$metric$block"
       }
     val ts =
       if (rnd.nextBoolean()) s" ${1700000000000L + rnd.nextInt(100000)}" else ""
-    s"$metric$block ${randValueTok()}$ts"
+    s"$head ${randValueTok()}$ts"
   }
 
   private def corrupt(line: String): String = rnd.nextInt(4) match {
@@ -87,5 +104,65 @@ class PromFuzzSpec extends SparkSuite {
     // the generator must actually exercise both outcomes
     assert(viaScanner.size > 200, s"too few kept lines: ${viaScanner.size}")
     assert(viaScanner.size < lines.size, "no line was dropped — fuzzer too tame")
+  }
+
+  test("series identity is injective and round-trips; driver render twins " +
+      "match codegen byte-for-byte on 200 fuzzed label maps") {
+    import graft.promql.PromRegistry
+    // random label maps over the nasty alphabet (keys too — quoted-form
+    // territory), plus non-classic metric names
+    def randMap(): Map[String, String] = {
+      val n = rnd.nextInt(4)
+      (0 until n).map { i =>
+        val key =
+          if (rnd.nextBoolean()) s"k$i" else s"k$i${randLabelValue()}x"
+        key -> randLabelValue()
+      }.toMap
+    }
+    val rows = (1 to 200).map { i =>
+      val name = if (rnd.nextBoolean()) s"n${i}_total" else s"n$i.${randLabelValue()}t"
+      ("app", name, randMap(), 1000L + i, s"r$i", rnd.nextDouble())
+    }
+    import spark.implicits._
+    val df = rows.toDF("component", "name", "labels", "last_ts", "id", "last_value")
+      .withColumn("series", Firehose.seriesKey(col("labels")))
+    val got = df.select(col("name"), col("labels"), col("series"),
+        col("last_value"), col("last_ts")).collect()
+    // 1) the codegen key equals the driver escape render in utf8 key
+    //    order; 2) parseSeriesKey inverts it exactly
+    val seen = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    got.foreach { r =>
+      val labels = r.getMap[String, String](1).toMap
+      val series = r.getString(2)
+      val want = labels.toSeq
+        .sortWith((x, y) => PromRegistry.utf8Gt(y._1, x._1))
+        .map { case (k, v) =>
+          Firehose.escapeSeriesPartStr(k) + "=" + Firehose.escapeSeriesPartStr(v)
+        }.mkString(",")
+      assert(series === want, s"codegen/driver key drift for $labels")
+      assert(Firehose.parseSeriesKey(series).toMap === labels,
+        s"parseSeriesKey not inverse for $labels")
+      // injectivity: one key, one map
+      seen.get(series).foreach(prev => assert(prev === labels,
+        s"series-key collision: $prev vs $labels"))
+      seen(series) = labels
+    }
+    // 3) the exposition line renders byte-identically on the codegen and
+    //    driver paths for every map/name, quoted forms included
+    val lines = Firehose.promRender(df).collect().map(_.getString(0))
+    val driverLines = got.map { r =>
+      val labels = r.getMap[String, String](1).toMap
+      Firehose.renderLineStr("app", r.getString(0),
+        labels.toSeq.sortWith((x, y) => PromRegistry.utf8Gt(y._1, x._1)),
+        r.getDouble(3), r.getLong(4))
+    }
+    assert(lines.sorted.toSeq === driverLines.sorted.toSeq)
+    // 4) and each line round-trips through promParse to the same
+    //    (metric, series) identity
+    val parsed = Firehose.promParse(lines.toSeq.toDF("line"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val wantParsed = got.map(r =>
+      (s"app_${r.getString(0)}", r.getString(2))).sorted.toSeq
+    assert(parsed === wantParsed)
   }
 }

@@ -344,7 +344,7 @@ class PromQlHttpSpec extends SparkSuite {
         assert(nAfter === nWarm,
           "federate after an absorbed append is again registry-local")
         // the federate body matches a from-scratch full-scan render
-        val wantLines = Firehose.promRender(Firehose.gaugeLatest(
+        val wantLines = Firehose.promRender(Firehose.gaugeLatestLabeled(
             Versioned.latest(spark, r)
               .filter(col("name") === "view_total")))
           .collect().map(_.getString(0)).sorted
@@ -355,7 +355,12 @@ class PromQlHttpSpec extends SparkSuite {
         // warm; a shape outside the fold grammar still takes the
         // local-relation compiled plan (stable job count)
         for (q <- Seq("view_total", "sum(view_total)",
-            "sum by (user) (view_total)", "view_total > 50")) {
+            "sum by (user) (view_total)", "view_total > 50",
+            // r16 fold growth: absent / vector / scalar-expression
+            // operands / label functions serve at zero jobs too
+            "absent(nosuch_metric)", "vector(42)",
+            "view_total * scalar(sum(view_total))",
+            """label_join(view_total, "j", "-", "user", "user")""")) {
           val iq = s"/api/v1/query?query=${enc(q)}&lookback=4w"
           val (ni1, ib1) = jobsFor(iq)
           val (ni2, ib2) = jobsFor(iq)
@@ -428,6 +433,70 @@ class PromQlHttpSpec extends SparkSuite {
       }
       assert(Versioned.latestVersion(rootB) === 1L)
     } finally server.stop(0)
+  }
+
+  test("the scraper lands a Prometheus 3.x quoted-UTF-8 exposition, and " +
+      "/federate re-renders it quoted — the UTF-8 circle closes") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    // a 3.x endpoint negotiated to escaping=allow-utf-8: quoted metric
+    // names (first brace entry), quoted label keys, adversarial values
+    val body =
+      "{\"http.req.total\",path=\"/a\"} 3 17000\n" +
+        "{\"rpc latency\",\"quantile p\"=\"0.99\"} 1.5 18000\n" +
+        "classic{\"dot.key\"=\"x=y,z\\\\w\"} 2 19000\n" +
+        "{\"lone.metric\"} 7 21000\n"
+    val target = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    target.createContext("/metrics", (ex: HttpExchange) => {
+      // the scraper advertises the capability; assert the negotiation
+      val acc = ex.getRequestHeaders.getFirst("Accept")
+      assert(acc != null && acc.contains("escaping=allow-utf-8"))
+      val b = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, b.length)
+      val os = ex.getResponseBody
+      try os.write(b) finally os.close()
+    })
+    target.start()
+    val rootQ = Files.createTempDirectory("scrapeQ").toFile.getAbsolutePath
+    try {
+      val url = s"http://127.0.0.1:${target.getAddress.getPort}/metrics"
+      val (v, n) = graft.promql.PromScraper.scrapeOnce(
+        spark, url, rootQ, component = "q")
+      assert(v === 0L && n === 4)
+      val landed = Versioned.latest(spark, rootQ)
+        .select(col("name"), col("labels"), col("timestamp"), col("value"))
+        .collect().map(r => (r.getString(0),
+          r.getMap[String, String](1).toMap, r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(landed === Set(
+        ("http.req.total", Map("path" -> "/a"), 17L, 3.0),
+        ("rpc latency", Map("quantile p" -> "0.99"), 18L, 1.5),
+        ("classic", Map("dot.key" -> "x=y,z\\w"), 19L, 2.0),
+        ("lone.metric", Map.empty[String, String], 21L, 7.0)))
+      // the landing's /federate renders these names QUOTED (they are
+      // non-classic once component-prefixed) and the scrape client
+      // lands the re-exposition identically — the UTF-8 round trip
+      val server = PromQlHttp.startLandingServer(spark, rootQ)
+      try {
+        val port = server.getAddress.getPort
+        val fedUrl =
+          s"http://127.0.0.1:$port/federate?match[]=${enc("{__name__=~\".+\"}")}"
+        val fedBody = java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(fedUrl)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+        assert(fedBody.contains("{\"q_http.req.total\",path=\"/a\"}"))
+        assert(fedBody.contains("{\"q_rpc latency\",\"quantile p\"=\"0.99\"}"))
+        val rootR = Files.createTempDirectory("scrapeR").toFile.getAbsolutePath
+        val (_, n2) = graft.promql.PromScraper.scrapeOnce(
+          spark, fedUrl, rootR, component = "fed")
+        assert(n2 === 4)
+        val back = Versioned.latest(spark, rootR)
+          .select(col("name"), col("labels"), col("timestamp"))
+          .collect().map(r => (r.getString(0),
+            r.getMap[String, String](1).toMap, r.getLong(2))).toSet
+        assert(back === landed.map { case (nm, ls, ts, _) => (s"q_$nm", ls, ts) })
+      } finally server.stop(0)
+    } finally target.stop(0)
   }
 
   test("the scraper and the ingest endpoint tolerate an OpenMetrics body: " +

@@ -323,7 +323,14 @@ class PromRegistrySpec extends SparkSuite {
       ("db", "up", Map("host" -> "b"), 130L, "r5", Double.NaN),
       ("db", "conns", Map("host" -> "b"), 131L, "r6", Double.PositiveInfinity),
       ("db", "conns", Map("host" -> "c"), 131L, "r7", Double.NegativeInfinity),
-      ("app", "tiny", Map("k" -> "v w", "j" -> "x,y"), 140L, "r8", 1.0e-9))), root)
+      ("app", "tiny", Map("k" -> "v w", "j" -> "x,y"), 140L, "r8", 1.0e-9),
+      // r16 grammar round: adversarial label text (exposition escapes +
+      // series-identity metachars), a non-classic label KEY, and a
+      // non-classic metric NAME — all must render byte-identically on
+      // both paths (driver renderLineStr vs codegen promRender), the
+      // name and key in the Prometheus 3.x quoted form
+      ("app", "dot.metric", Map("path.key" -> "a=b,c\\d\"\ne"), 150L, "r9", 2.0),
+      ("app", "up", Map("l=w" -> "x\\", "host" -> "q\"z"), 151L, "r10", 3.0))), root)
     val state = PromRegistry.current(spark, root)
     val frame = PromRegistry.frame(spark, state)
     for (m <- Seq(
@@ -386,6 +393,24 @@ class PromRegistrySpec extends SparkSuite {
         "sum(m % 0)", "min(m % 0)", "max(m % 0)",
         "m > bool 0", "m > 0.15", "0.15 < m", "3 - m", "6 / m",
         "sum by (u) (2 * m) > bool 0.3", "-min(m)",
+        // the r16 fold growth: absent (universe anti-join + Eq-matcher
+        // label synthesis), vector/scalar/time (incl. the EMPTY-scalar
+        // join lane and scalar()'s NaN-on-many rule), scalar-expression
+        // operands beyond literals, and the label-function family
+        "absent(m)", "absent(nosuch)", """absent(m{u="1"})""",
+        """absent(m{u="zz"})""", """absent(nosuch{a="1",b="2"})""",
+        "vector(5)", "vector(2 ^ 3)", "vector(time())",
+        """vector(scalar(m{u="1"}))""", "vector(scalar(m))",
+        "vector(scalar(nosuch))", "vector(1 atan2 2)",
+        """m * scalar(m{u="1"})""", "m > scalar(nosuch)",
+        "m + time()", "time() - m", "m <= bool scalar(m)",
+        """label_replace(m, "w", "$1X", "u", "(.*)")""",
+        """label_replace(m, "u", "", "u", "1")""",
+        """label_replace(m, "w", "x", "u", "9\\d*")""",
+        """label_join(m, "j", "-", "u", "u")""",
+        """label_join(m, "u", "-")""",
+        """sum by (w) (label_replace(m, "w", "g$1", "u", "(1|2)"))""",
+        """count(label_join(m, "u", "-"))""",
         // declined shapes stay plan-served and identical
         "stdvar(m)", "stddev by (u) (m)", "quantile(0.5, m)",
         "m ^ 2", "m atan2 1", "topk(2, m)")) {
@@ -487,6 +512,82 @@ class PromRegistrySpec extends SparkSuite {
       .manifest(root, Versioned.latestVersion(root)).map(_.path).toSet
     assert(census2.toSet.intersect(liveNow) === liveNow,
       "maintenance after checkpoint falls back to the full recompute")
+  }
+
+  test("the landed-registry swap is mechanical: /federate serves straight " +
+      "from the checkpoint RELATION — no driver map — byte-identically") {
+    // the documented cardinality-beyond-the-driver path: the m60
+    // checkpoint IS a landed head table, so if series cardinality ever
+    // outgrows the driver, serving switches to the landed relation by
+    // construction — this pins that the switch is a column rename, not
+    // a redesign (r15 verdict Next #6)
+    PromRegistry.reset()
+    val root = Files.createTempDirectory("graft-regswap").toFile.getAbsolutePath
+    PromQlVersioned.land(mk(Seq(
+      ("app", "up", Map("host" -> "a"), 100L, "r1", 1.0),
+      ("app", "up", Map("host" -> "b", "z" -> "x,y=q\\"), 110L, "r2", 2.0),
+      ("app", "dot.name", Map("k.q" -> "v"), 120L, "r3", 3.0),
+      ("db", "up", Map.empty[String, String], 130L, "r4", 4.0))), root)
+    PromRegistry.checkpoint(spark, root)
+    val state = PromRegistry.current(spark, root)
+    val cr = PromRegistry.ckptRoot(root)
+    val ckpt = Versioned.asOf(spark, cr, Versioned.latestVersion(cr))
+      .select(col("component"), col("name"), col("labels"),
+        col("value").as("last_value"), col("ts").as("last_ts"))
+    for (m <- Seq(
+        Seq("""{__name__=~".*"}"""),
+        Seq("up"),
+        Seq("""up{host="a"}""", """{"dot.name"}"""))) {
+      assert(graft.promql.PromQlHttp.federateSparkBody(ckpt, m) ===
+        PromRegistry.federateBody(state, m), m.mkString(","))
+    }
+  }
+
+  test("the checkpoint sidecar stays O(1) snapshots and a recreated " +
+      "landing refuses a dead generation's checkpoint") {
+    PromRegistry.reset()
+    val root = Files.createTempDirectory("graft-reggen").toFile.getAbsolutePath
+    PromQlVersioned.land(mk(Seq(
+      ("app", "dead", Map("h" -> "a"), 100L, "r1", 1.0),
+      ("app", "dead", Map("h" -> "b"), 110L, "r2", 2.0))), root)
+    // repeated checkpoints must not grow the sidecar without bound: the
+    // post-commit vacuum (r15 ADVICE) keeps it at <= 2 live snapshots
+    (1 to 5).foreach { i =>
+      PromQlVersioned.land(mk(Seq(
+        ("app", "dead", Map("h" -> s"c$i"), 100L + i, s"x$i", i.toDouble))), root)
+      PromRegistry.checkpoint(spark, root)
+    }
+    val cr = PromRegistry.ckptRoot(root)
+    val cv = Versioned.latestVersion(cr)
+    val liveCkpts = (0L to cv).filter { v =>
+      try { Versioned.manifest(cr, v); true }
+      catch { case _: IllegalArgumentException => false }
+    }
+    assert(cv >= 4 && liveCkpts.size <= 2,
+      s"sidecar must be vacuumed to O(1) snapshots, live: $liveCkpts")
+
+    // RECREATE the landing in place, sidecar surviving (partial wipe /
+    // restore-from-backup): once the new generation's version count
+    // passes the stale checkpoint's sourceVersion, the old containment
+    // check alone would merge the DEAD generation's heads — the
+    // generation stamp must refuse the checkpoint instead
+    val srcV = Versioned.markerProps(cr, cv)("ckpt.sourceVersion").toLong
+    new java.io.File(root).listFiles().foreach { f =>
+      if (f.getName != "_registry_ckpt")
+        org.apache.commons.io.FileUtils.deleteQuietly(f)
+    }
+    Thread.sleep(5) // generation id is the v0 marker's millis timestamp
+    (0 to srcV.toInt + 1).foreach { i =>
+      PromQlVersioned.land(mk(Seq(
+        ("app", "fresh", Map("h" -> s"n$i"), 200L + i, s"f$i", i.toDouble))), root)
+    }
+    assert(Versioned.latestVersion(root) >= srcV,
+      "the new generation must regrow past the stale sourceVersion")
+    PromRegistry.reset()
+    val (s, _) = PromRegistry.refresh(spark, root)
+    assert(stateHeads(s) === fullHeads(root),
+      "a dead generation's heads must never merge into a recreated landing")
+    assert(!s.heads.keysIterator.exists(_._2 == "dead"))
   }
 
   test("the delta fold orders by the SAME key as the Spark max_by: " +

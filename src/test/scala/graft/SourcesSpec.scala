@@ -32,7 +32,7 @@ class SourcesSpec extends SparkSuite {
     // the expression-based parser over the same text
     val dir = Files.createTempDirectory("graft-prom").toFile
     val lines = graft.operators.Firehose.promRender(
-      graft.operators.Firehose.gaugeLatest(
+      graft.operators.Firehose.gaugeLatestLabeled(
         graft.operators.Firehose.metricsFromEvents(spark, sfDir)))
       .collect().map(_.getString(0))
     // sf0.001 yields 75 gauge series (one per event_type×user pair present);
@@ -89,7 +89,14 @@ class SourcesSpec extends SparkSuite {
       "ex3 5 1700000000014 # {t=\"x\"} 2", // bare metric + exemplar
       "# EOF", // OpenMetrics terminator → comment, skipped
       "exbad{k=\"v\"} 6 # {unclosed 1.0", // malformed even after strip
-      "hashy{k=\"a # {b} c\"} 7 1700000000015") // ' # {' INSIDE a value: no strip
+      "hashy{k=\"a # {b} c\"} 7 1700000000015", // ' # {' INSIDE a value: no strip
+      // Prometheus 3.x UTF-8 quoted-name forms (escaping=allow-utf-8)
+      "{\"my.metric\"} 11 1700000000016", // quoted name, no labels
+      "{\"my.metric2\",code=\"200\"} 12 1700000000017", // quoted name + pair
+      "{\"q m\",\"l w\"=\"x y\"} 13 1700000000018", // quoted name + quoted key
+      "cls{\"dot.key\"=\"v\"} 14 1700000000019", // classic name + quoted key
+      "{code=\"200\"} 15 1700000000020", // malformed: no name anywhere
+      "nm{\"also.name\",k=\"v\"} 16 1700000000021") // malformed: name twice
     Files.write(dir.toPath.resolve("adv.prom"), lines.mkString("\n").getBytes)
     val viaSource = spark.read.format("prom").load(dir.getAbsolutePath)
     val viaExpr = graft.operators.Firehose.promParse(
@@ -97,24 +104,34 @@ class SourcesSpec extends SparkSuite {
     val s = viaSource.collect().map(_.toString).sorted.toSeq
     val e = viaExpr.collect().map(_.toString).sorted.toSeq
     assert(s === e)
-    assert(s.length === 15) // exactly the well-formed samples survive
+    assert(s.length === 19) // exactly the well-formed samples survive
     val series = viaSource.collect().map(r => (r.getString(0), r.getString(1))).toMap
     assert(series("lat") === "job=a b,q=0.99")
     assert(series("esc") === "msg=say \"hi\"")
-    assert(series("esc2") === "path=c:\\tmp")
-    assert(series("brace") === "sel={a=b}")
+    // parsed label text re-renders through the ESCAPED series identity
+    // (r16): raw `\` doubles, raw `=` and `,` take a backslash
+    assert(series("esc2") === "path=c:\\\\tmp")
+    assert(series("brace") === "sel={a\\=b}")
     assert(series("up0") === "")
     assert(series("up") === "job=api")
     assert(series("hist") === "le=+Inf")
     assert(series("trail") === "k=v")
     assert(series("nl") === "msg=a\nb")
-    assert(series("nl2") === "p=c:\\nx")
+    assert(series("nl2") === "p=c:\\\\nx")
     assert(!series.contains("res") && !series.contains("res2"))
     // exemplar-bearing lines keep their samples, tails dropped
     assert(series("ex1") === "k=v" && series("ex2") === "k=v2" &&
       series("ex3") === "")
     assert(!series.contains("exbad"))
     assert(series("hashy") === "k=a # {b} c")
+    // the quoted-name forms parse: the first bare quoted entry IS the
+    // metric; quoted keys join the series like classic ones
+    assert(series("my.metric") === "")
+    assert(series("my.metric2") === "code=200")
+    assert(series("q m") === "l w=x y")
+    assert(series("cls") === "dot.key=v")
+    assert(!series.contains("")) // nameless block dropped
+    assert(!series.contains("nm") && !series.contains("also.name"))
     val ex1 = viaSource.filter(col("metric") === "ex1").collect()(0)
     assert(ex1.getDouble(ex1.fieldIndex("value")) === 3.0 &&
       ex1.getLong(ex1.fieldIndex("ts_ms")) === 1700000000013L)
