@@ -212,20 +212,24 @@ object PromQlPrinter {
     ms.map(m => s"${labelName(m.label)}${m.op.render}${quote(m.value)}")
       .mkString(",")
 
-  private def selector(s: VectorSelector): String = {
-    val base = s.name match {
-      case Some(n) if bareMetric(n) =>
-        n + (if (s.matchers.nonEmpty) "{" + matchers(s.matchers) + "}" else "")
-      case Some(n) =>
-        // the quoted metric-name shorthand — re-parses as a __name__
-        // equality matcher (semantically identical)
-        "{" + (quote(n) +: s.matchers.map(m =>
-          s"${labelName(m.label)}${m.op.render}${quote(m.value)}"))
-          .mkString(",") + "}"
-      case None => "{" + matchers(s.matchers) + "}"
-    }
-    base + offsetSuffix(s.offsetSec) + atSuffix(s.atSec)
+  /** The name + matcher-block part of a selector — shared by the
+    * instant and RANGE spellings (they differ only in where offset/@
+    * attach). Non-bare names ride the quoted `{"name",…}` shorthand,
+    * which re-parses as a `__name__` equality matcher (semantically
+    * identical).
+    */
+  private def selectorBase(s: VectorSelector): String = s.name match {
+    case Some(n) if bareMetric(n) =>
+      n + (if (s.matchers.nonEmpty) "{" + matchers(s.matchers) + "}" else "")
+    case Some(n) =>
+      "{" + (quote(n) +: s.matchers.map(m =>
+        s"${labelName(m.label)}${m.op.render}${quote(m.value)}"))
+        .mkString(",") + "}"
+    case None => "{" + matchers(s.matchers) + "}"
   }
+
+  private def selector(s: VectorSelector): String =
+    selectorBase(s) + offsetSuffix(s.offsetSec) + atSuffix(s.atSec)
 
   private def offsetSuffix(off: Long): String =
     if (off == 0) ""
@@ -278,9 +282,11 @@ object PromQlPrinter {
     case s: VectorSelector => selector(s)
     case RangeSelector(s, r) =>
       // offset and @ render AFTER the range per the grammar:
-      // x[5m] offset 1h @ 300
-      s.name.getOrElse("") +
-        (if (s.matchers.nonEmpty || s.name.isEmpty) "{" + matchers(s.matchers) + "}" else "") +
+      // x[5m] offset 1h @ 300. selectorBase quotes non-bare names —
+      // the raw `name.getOrElse` spelling printed `b.total[1h]`
+      // unparseably (r16 fuzz catch once the generator drew dotted
+      // names)
+      selectorBase(s) +
         s"[${PromQlDurations.render(r)}]" + offsetSuffix(s.offsetSec) + atSuffix(s.atSec)
     case Subquery(inner, r, step) =>
       // subquery binds tighter than any binary op; parenthesize any

@@ -490,6 +490,30 @@ class PromDiffFuzzSpec extends SparkSuite {
         } else Some(k -> arith(op, l, r))
       }
 
+    /** The quoted-name shorthand (`{"b.total"}`) re-parses as a lone
+      * `__name__` Eq matcher; fold it back into the name slot so the
+      * selector cases below stay on one spelling (the compiled path
+      * treats the two identically — r16, once the generator started
+      * drawing dotted names).
+      */
+    def normName(e: PromExpr): PromExpr = e match {
+      case VectorSelector(None, ms, off, at)
+          if ms.count(m => m.label == "__name__" && m.op == MatchOp.Eq) == 1 =>
+        val (n, rest) =
+          ms.partition(m => m.label == "__name__" && m.op == MatchOp.Eq)
+        VectorSelector(Some(n.head.value), rest, off, at)
+      case s: VectorSelector => s
+      case RangeSelector(s, r) =>
+        RangeSelector(normName(s).asInstanceOf[VectorSelector], r)
+      case Subquery(i, r, st) => Subquery(normName(i), r, st)
+      case Call(f, as) => Call(f, as.map(normName))
+      case Agg(op, i, p, g) => Agg(op, normName(i), p.map(normName), g)
+      case Binary(op, l, r, m, b) =>
+        Binary(op, normName(l), normName(r), m, b)
+      case Neg(i) => Neg(normName(i))
+      case other => other
+    }
+
     def eval(e: PromExpr, ss: Seq[Sample], mode: Mode = Grid(false)): RVec = e match {
       case VectorSelector(Some(n), Nil, 0L, None) => instant(ss.filter(_.name == n), mode)
       case Call("increase", Seq(RangeSelector(VectorSelector(Some(n), Nil, 0L, None), r))) =>
@@ -604,7 +628,10 @@ class PromDiffFuzzSpec extends SparkSuite {
   private def runFuzz(mode: Mode, ranges: Seq[Long], seed: Long): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(seed)
-    val names = Seq("a_total", "b_total")
+    // one classic name, one DOTTED (Prometheus 3.x UTF-8): every random
+    // tree that draws the second metric round-trips the quoted-name form
+    // through the printer → parser → compiler in every mode leg (r16)
+    val names = Seq("a_total", "b.total")
     val users = Seq("u1", "u2", "u3")
     val base = 1704067200L
     // planted stream: 2 metrics × 3 series × 24 samples over 4 hours,
@@ -779,10 +806,10 @@ class PromDiffFuzzSpec extends SparkSuite {
           // the reference decomposes a point grid into per-point instants
           case PointMode(s0, e0, st, lb, xp) =>
             Iterator.iterate(s0)(_ + st).takeWhile(_ <= e0)
-              .map(p => Ref.eval(PromQlParser.parse(query), samples,
-                InstantMode(p, lb, xp)))
+              .map(p => Ref.eval(Ref.normName(PromQlParser.parse(query)),
+                samples, InstantMode(p, lb, xp)))
               .foldLeft(Map.empty: RVec)(_ ++ _)
-          case m => Ref.eval(PromQlParser.parse(query), samples, m)
+          case m => Ref.eval(Ref.normName(PromQlParser.parse(query)), samples, m)
         })
         catch {
           case _: Ref.ManyToMany => Left("many-to-many")
