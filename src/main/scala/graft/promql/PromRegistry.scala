@@ -723,8 +723,108 @@ object PromRegistry {
           else r.labels - dst + (dst -> joined))
       })
 
+    // the IEEE-EXACT map-function family (r16): per-row value maps whose
+    // compiled Column forms are exact IEEE operations with one possible
+    // result (abs/signum/sqrt — correctly rounded by spec — the
+    // long-roundtrip floor/ceil, the two-op degree/radian scalings, and
+    // round/clamp, which are floor/multiply/compare compositions), so
+    // the driver replay cannot diverge by an ulp on ANY JVM. The
+    // TRANSCENDENTAL family (exp, ln/log2/log10, trig, inverse
+    // hyperbolics) stays DECLINED for the same reason `^`/`atan2` are:
+    // their codegen entry points are implementation-variant within the
+    // 1-ulp license (Math-vs-StrictMath), and the fold's contract is
+    // byte-identity or no answer.
+    case Call(fn, Seq(v)) if exactMapFns.contains(fn) =>
+      foldVec(state, v, tSec, lookbackSec)
+        .map(_.map(r => r.copy(value = exactMapFns(fn)(r.value))))
+    case Call("round", v +: rest)
+        if rest.isEmpty ||
+          (rest.lengthCompare(1) == 0 && litScalar(rest.head).exists(_ > 0)) =>
+      // PromQL's tie-toward-+Inf via the INVERSE spelling, exactly the
+      // compiled dfloor(v·(1/to) + 0.5) / (1/to); to <= 0 declines into
+      // the compiled plan's own error
+      val inv = 1.0 / rest.headOption.flatMap(litScalar).getOrElse(1.0)
+      foldVec(state, v, tSec, lookbackSec)
+        .map(_.map(r => r.copy(value = dfloorD(r.value * inv + 0.5) / inv)))
+    case Call("clamp", Seq(v, loE, hiE))
+        if litScalar(loE).isDefined && litScalar(hiE).isDefined =>
+      val lo = litScalar(loE).get
+      val hi = litScalar(hiE).get
+      foldVec(state, v, tSec, lookbackSec)
+        .map(_.map(r => r.copy(value = leastD(greatestD(r.value, lo), hi))))
+    case Call("clamp_min", Seq(v, loE)) if litScalar(loE).isDefined =>
+      val lo = litScalar(loE).get
+      foldVec(state, v, tSec, lookbackSec)
+        .map(_.map(r => r.copy(value = greatestD(r.value, lo))))
+    case Call("clamp_max", Seq(v, hiE)) if litScalar(hiE).isDefined =>
+      val hi = litScalar(hiE).get
+      foldVec(state, v, tSec, lookbackSec)
+        .map(_.map(r => r.copy(value = leastD(r.value, hi))))
+
     case _ => None
   }
+
+  /** The compiled `dfloor`/`dceil` replayed: identity on NaN and at or
+    * past 2⁵³ (where every double is integral and the long round-trip
+    * would overflow), the exact floor→long→double round-trip below.
+    */
+  private def dfloorD(x: Double): Double =
+    if (x.isNaN || math.abs(x) >= 9.007199254740992e15) x
+    else math.floor(x).toLong.toDouble
+  private def dceilD(x: Double): Double =
+    if (x.isNaN || math.abs(x) >= 9.007199254740992e15) x
+    else math.ceil(x).toLong.toDouble
+
+  /** Spark's `greatest`/`least` double semantics on two non-null
+    * operands — the NaN-greatest, −0.0 < 0.0 total order (java
+    * Math.min/max would differ on NaN: `least(NaN, hi)` is `hi` in
+    * Spark, NaN in `Math.min`).
+    */
+  private def greatestD(a: Double, b: Double): Double =
+    if (java.lang.Double.compare(a, b) >= 0) a else b
+  private def leastD(a: Double, b: Double): Double =
+    if (java.lang.Double.compare(a, b) <= 0) a else b
+
+  private val exactMapFns: Map[String, Double => Double] = Map(
+    "abs" -> math.abs,
+    "ceil" -> dceilD,
+    "floor" -> dfloorD,
+    "sqrt" -> math.sqrt, // IEEE-mandated correct rounding: one result
+    "sgn" -> math.signum,
+    "deg" -> math.toDegrees,
+    "rad" -> math.toRadians)
+
+  /** A scalar expression the COMPILED path evaluates to a `Scal`
+    * (literals, `pi()`, their arithmetic — `foldScalar`'s plain Java) —
+    * the class `scalarArg` accepts for round/clamp parameters. A
+    * per-window scalar (`time()`, `scalar()`) is NOT in it: the
+    * compiled `scalarArg` errors there, so the fold declines and the
+    * compiled plan raises its own error.
+    */
+  private def litScalar(e: PromExpr): Option[Double] = e match {
+    case NumberLit(v) => Some(v)
+    case Neg(i) => litScalar(i).map(x => -x)
+    case Call("pi", Seq()) => Some(math.Pi)
+    case Binary(op, l, r, _, boolMod)
+        if scalArithOps(op) || (foldComparisons(op) && boolMod) =>
+      for (a <- litScalar(l); b <- litScalar(r)) yield scalBin(op, a, b)
+    case _ => None
+  }
+
+  /** One scalar⊖scalar step of the compiled `foldScalar` (plain Java
+    * IEEE; comparisons assume the caller enforced `bool`).
+    */
+  private def scalBin(op: String, x: Double, y: Double): Double =
+    if (foldComparisons(op)) { if (cmp(op, x, y)) 1.0 else 0.0 }
+    else op match {
+      case "+" => x + y
+      case "-" => x - y
+      case "*" => x * y
+      case "/" => x / y
+      case "%" => x % y
+      case "^" => math.pow(x, y)
+      case "atan2" => math.atan2(x, y)
+    }
 
   /** Is `e` a SCALAR-typed expression of the fold grammar? (Decides
     * which Binary operand is the scalar side; a scalar⊕scalar Binary is
@@ -734,6 +834,7 @@ object PromRegistry {
     case _: NumberLit => true
     case Neg(i) => scalarShape(i)
     case Call("time", args) => args.isEmpty
+    case Call("pi", args) => args.isEmpty
     case Call("scalar", args) => args.lengthCompare(1) == 0
     case Binary(_, l, r, _, _) => scalarShape(l) && scalarShape(r)
     case _ => false
@@ -764,6 +865,7 @@ object PromRegistry {
         else if (rows.lengthCompare(1) == 0) Some(rows.head.value)
         else Some(Double.NaN)
       }
+    case Call("pi", Seq()) => Some(Some(math.Pi))
     case Binary(op, l, r, _, boolMod)
         if scalarShape(l) && scalarShape(r) &&
           (scalArithOps(op) || (foldComparisons(op) && boolMod)) =>
@@ -771,18 +873,7 @@ object PromRegistry {
         a <- foldScal(state, l, tSec, lookbackSec)
         b <- foldScal(state, r, tSec, lookbackSec)
       } yield (a, b) match {
-        case (Some(x), Some(y)) =>
-          Some(
-            if (foldComparisons(op)) { if (cmp(op, x, y)) 1.0 else 0.0 }
-            else op match {
-              case "+" => x + y
-              case "-" => x - y
-              case "*" => x * y
-              case "/" => x / y
-              case "%" => x % y
-              case "^" => math.pow(x, y)
-              case "atan2" => math.atan2(x, y)
-            })
+        case (Some(x), Some(y)) => Some(scalBin(op, x, y))
         case _ => None
       }
     case _ => None

@@ -360,7 +360,8 @@ class PromQlHttpSpec extends SparkSuite {
             // operands / label functions serve at zero jobs too
             "absent(nosuch_metric)", "vector(42)",
             "view_total * scalar(sum(view_total))",
-            """label_join(view_total, "j", "-", "user", "user")""")) {
+            """label_join(view_total, "j", "-", "user", "user")""",
+            "abs(view_total)", "clamp_min(round(view_total), 10)")) {
           val iq = s"/api/v1/query?query=${enc(q)}&lookback=4w"
           val (ni1, ib1) = jobsFor(iq)
           val (ni2, ib2) = jobsFor(iq)

@@ -411,6 +411,15 @@ class PromRegistrySpec extends SparkSuite {
         """label_join(m, "u", "-")""",
         """sum by (w) (label_replace(m, "w", "g$1", "u", "(1|2)"))""",
         """count(label_join(m, "u", "-"))""",
+        // the IEEE-exact map family folds; the transcendental family
+        // (exp/ln/trig) stays plan-served — both byte-identical
+        "abs(m)", "ceil(m)", "floor(m)", "sqrt(m)", "sgn(m)",
+        "deg(m)", "rad(m)", "round(m)", "round(m, 0.3)",
+        "round(m, pi() / 10)", "ceil(m / 0)", "floor(-m)",
+        "clamp(m, -1, 0.15)", "clamp(m, 1, -1)",
+        "clamp_min(m, 0.15)", "clamp_max(m, 0.15)",
+        "clamp(m, 0.1 * 1, 2 ^ -1)", "sum(abs(m))",
+        "exp(m)", "ln(m)", "sin(m)", "acosh(m)",
         // declined shapes stay plan-served and identical
         "stdvar(m)", "stddev by (u) (m)", "quantile(0.5, m)",
         "m ^ 2", "m atan2 1", "topk(2, m)")) {
