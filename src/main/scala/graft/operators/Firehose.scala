@@ -697,29 +697,71 @@ object Firehose {
         (col("last_ts") * 1000).cast("string")).as("line"))
   }
 
-  /** One exposition line rendered DRIVER-side — the byte-identical twin
-    * of [[promRender]]'s codegen render (same escape chain, same
-    * classic-name classes, same `Locale.US` `%.6f`), over label pairs
-    * ALREADY in [[seriesKey]]'s order (UTF-8-byte key order — callers
-    * sort with [[graft.promql.PromRegistry.utf8Gt]] or pass
-    * [[parseSeriesKey]] output, which preserves the key's order).
-    * Parity is spec-pinned across adversarial label text.
+  /** Prometheus's `escaping=underscores` name mangling — what a 3.x
+    * server serves to a NON-negotiating classic client: every character
+    * outside the classic class becomes `_` (lossy by design; distinct
+    * UTF-8 names may collide, exactly as in Prometheus itself).
+    */
+  def underscoreMetricName(s: String): String =
+    if (s.isEmpty) s
+    else {
+      val b = new StringBuilder(s.length)
+      b.append(
+        if (s.head.isLetter && s.head < 128 || s.head == '_' || s.head == ':')
+          s.head else '_')
+      s.tail.foreach { c =>
+        b.append(
+          if ((c.isLetterOrDigit && c < 128) || c == '_' || c == ':') c
+          else '_')
+      }
+      b.toString
+    }
+
+  /** [[underscoreMetricName]] for label names (no `:` in the class). */
+  def underscoreLabelName(s: String): String =
+    if (s.isEmpty) s
+    else {
+      val b = new StringBuilder(s.length)
+      b.append(
+        if (s.head.isLetter && s.head < 128 || s.head == '_') s.head else '_')
+      s.tail.foreach { c =>
+        b.append(
+          if ((c.isLetterOrDigit && c < 128) || c == '_') c else '_')
+      }
+      b.toString
+    }
+
+  /** One exposition line rendered DRIVER-side — with `utf8 = true` the
+    * byte-identical twin of [[promRender]]'s codegen render (same
+    * escape chain, same classic-name classes, same `Locale.US` `%.6f`),
+    * over label pairs ALREADY in [[seriesKey]]'s order (UTF-8-byte key
+    * order — callers sort with [[graft.promql.PromRegistry.utf8Gt]] or
+    * pass [[parseSeriesKey]] output, which preserves the key's order).
+    * Parity is spec-pinned across adversarial label text. With
+    * `utf8 = false` (a client that did NOT negotiate
+    * `escaping=allow-utf-8`) non-classic names are underscore-mangled
+    * instead of quoted — Prometheus 3.x's own downgrade for classic
+    * scrapers, so a 2.x federation consumer never sees a quoted line.
     */
   def renderLineStr(
       component: String, name: String, labels: Seq[(String, String)],
-      value: Double, tsSec: Long): String = {
+      value: Double, tsSec: Long, utf8: Boolean = true): String = {
     val metric = component + "_" + name
     val inner = labels.iterator.map { case (k, v) =>
       (if (k.matches(ClassicLabelNameRe)) k
-       else "\"" + escapeExpoValueStr(k) + "\"") +
+       else if (utf8) "\"" + escapeExpoValueStr(k) + "\""
+       else underscoreLabelName(k)) +
         "=\"" + escapeExpoValueStr(v) + "\""
     }.mkString(",")
     val body =
       if (metric.matches(ClassicMetricNameRe))
         metric + (if (labels.isEmpty) "" else "{" + inner + "}")
-      else
+      else if (utf8)
         "{\"" + escapeExpoValueStr(metric) + "\"" +
           (if (labels.isEmpty) "" else "," + inner) + "}"
+      else
+        underscoreMetricName(metric) +
+          (if (labels.isEmpty) "" else "{" + inner + "}")
     body + " " +
       String.format(java.util.Locale.US, "%.6f", Double.box(value)) +
       " " + (tsSec * 1000L).toString

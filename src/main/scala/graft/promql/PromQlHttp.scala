@@ -128,7 +128,8 @@ object PromQlHttp {
       () => newestTs(metrics()),
       port,
       Extras(
-        federate = Some(params => federateBody(metrics(), params)),
+        federate = Some((params, utf8) =>
+          federateBody(metrics(), params, utf8)),
         rules = rulesText.map(rt => (params: Params, alertsOnly: Boolean) =>
           rulesBody(rt, (_, _) => metrics(), params,
             () => newestTs(metrics()), alertsOnly)),
@@ -245,12 +246,12 @@ object PromQlHttp {
       port,
       Extras(
         ingest = Some((params, body) => ingestBody(spark, root, params, body)),
-        federate = Some(params =>
+        federate = Some((params, utf8) =>
           // the registry IS the latest-gauge relation — the body renders
           // ENTIRELY driver-side from the head map (zero landed files,
           // zero Spark jobs per poll; byte-identity with the m6 render
-          // spec-pinned)
-          PromRegistry.federateBody(registry(), params.matches)),
+          // spec-pinned); utf8 = the client's escaping negotiation
+          PromRegistry.federateBody(registry(), params.matches, utf8)),
         metadataNames = Some(() => cachedNames()),
         tsdbStats = Some(() => cachedTsdb()),
         // time-unbounded metadata probes (Grafana's per-keystroke global
@@ -307,7 +308,12 @@ object PromQlHttp {
     */
   private final case class Extras(
       ingest: Option[(Params, String) => String] = None,
-      federate: Option[Params => String] = None,
+      // (params, utf8Negotiated) — utf8Negotiated is true when the
+      // client's Accept header carries `escaping=allow-utf-8`
+      // (Prometheus 3.x negotiation): non-classic names then render in
+      // the quoted form; a classic client gets underscore-mangled
+      // names, exactly Prometheus's own downgrade
+      federate: Option[(Params, Boolean) => String] = None,
       rules: Option[(Params, Boolean) => String] = None,
       // /api/v1/metadata's name universe — the landing server supplies a
       // per-version memo so the distinct-name scan runs once per append,
@@ -588,8 +594,12 @@ object PromQlHttp {
         })
     }
     extras.federate.foreach { body =>
-      server.createContext("/federate", (ex: HttpExchange) =>
-        respondText(ex)(body(paramsOf(ex))))
+      server.createContext("/federate", (ex: HttpExchange) => {
+        val utf8 = Option(ex.getRequestHeaders.getFirst("Accept"))
+          .exists(_.toLowerCase(java.util.Locale.ROOT)
+            .contains("escaping=allow-utf-8"))
+        respondText(ex)(body(paramsOf(ex), utf8))
+      })
     }
     extras.rules.foreach { body =>
       server.createContext("/api/v1/rules", (ex: HttpExchange) =>
@@ -645,13 +655,26 @@ object PromQlHttp {
     * ([[graft.operators.Firehose.promRender]]); only registry-sized
     * result lines are collected.
     */
-  private def federateBody(metrics: DataFrame, params: Params): String = {
+  private def federateBody(
+      metrics: DataFrame, params: Params, utf8: Boolean = true): String = {
     import graft.operators.Firehose
     if (params.matches.isEmpty) throw new IllegalArgumentException(
       "missing required parameter 'match[]'")
-    val lines = Firehose.promRender(
-      Firehose.gaugeLatestLabeled(matched(metrics, params.matches)))
-      .collect().map(_.getString(0)).sorted
+    // gauge aggregation on the cluster, line render through promRender's
+    // driver twin (spec-pinned byte-identical on the utf8 leg) so the
+    // escaping negotiation applies here exactly as on the registry path
+    val lines = Firehose
+      .gaugeLatestLabeled(matched(metrics, params.matches))
+      .select(col("component"), col("name"), col("labels"),
+        col("last_value"), col("last_ts"))
+      .collect()
+      .map { r =>
+        Firehose.renderLineStr(
+          r.getString(0), r.getString(1),
+          r.getMap[String, String](2).toMap.toSeq
+            .sortWith((x, y) => PromRegistry.utf8Gt(y._1, x._1)),
+          r.getDouble(3), r.getLong(4), utf8)
+      }.sorted
     lines.mkString("", "\n", "\n")
   }
 

@@ -448,7 +448,8 @@ object PromRegistry {
     * [[utf8Gt]] key order = `array_sort(map_entries)`'s), same UTF-16
     * line sort.
     */
-  def federateBody(state: State, matches: Seq[String]): String = {
+  def federateBody(
+      state: State, matches: Seq[String], utf8: Boolean = true): String = {
     if (matches.isEmpty) throw new IllegalArgumentException(
       "missing required parameter 'match[]'")
     val preds = matches.map(selectorFn)
@@ -458,7 +459,7 @@ object PromRegistry {
         graft.operators.Firehose.renderLineStr(
           h.component, h.name,
           h.labels.toSeq.sortWith((x, y) => utf8Gt(y._1, x._1)),
-          h.value, h.ts)
+          h.value, h.ts, utf8)
       }.toArray.sorted
     lines.mkString("", "\n", "\n")
   }

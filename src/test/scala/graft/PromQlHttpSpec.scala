@@ -483,10 +483,27 @@ class PromQlHttpSpec extends SparkSuite {
           s"http://127.0.0.1:$port/federate?match[]=${enc("{__name__=~\".+\"}")}"
         val fedBody = java.net.http.HttpClient.newHttpClient().send(
           java.net.http.HttpRequest.newBuilder(
-            java.net.URI.create(fedUrl)).build(),
+            java.net.URI.create(fedUrl))
+            // the 3.x negotiation: only a client that asks for UTF-8
+            // names gets the quoted form (the scraper below does too)
+            .header("Accept",
+              "text/plain;version=0.0.4;escaping=allow-utf-8").build(),
           java.net.http.HttpResponse.BodyHandlers.ofString()).body()
         assert(fedBody.contains("{\"q_http.req.total\",path=\"/a\"}"))
         assert(fedBody.contains("{\"q_rpc latency\",\"quantile p\"=\"0.99\"}"))
+        // a CLASSIC client (no escaping=allow-utf-8 in its Accept)
+        // gets Prometheus 3.x's own downgrade: names underscore-mangled,
+        // never a quoted line it cannot parse
+        val classicBody = java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(fedUrl))
+            .header("Accept", "text/plain;version=0.0.4").build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+        assert(!classicBody.contains("{\""))
+        assert(classicBody.contains("q_http_req_total{path=\"/a\"}"))
+        assert(classicBody.contains("q_rpc_latency{quantile_p=\"0.99\"}"))
+        assert(classicBody.contains("q_lone_metric "))
+        assert(classicBody.contains("q_classic{dot_key="))
         val rootR = Files.createTempDirectory("scrapeR").toFile.getAbsolutePath
         val (_, n2) = graft.promql.PromScraper.scrapeOnce(
           spark, fedUrl, rootR, component = "fed")
