@@ -164,5 +164,18 @@ class PromFuzzSpec extends SparkSuite {
     val wantParsed = got.map(r =>
       (s"app_${r.getString(0)}", r.getString(2))).sorted.toSeq
     assert(parsed === wantParsed)
+    // 5) the classic downgrade (escaping not negotiated) must render a
+    //    PARSEABLE classic line for ANY name/label text: names
+    //    underscore-mangled per EscapeName, values intact
+    got.foreach { r =>
+      val labels = r.getMap[String, String](1).toMap
+      val line = Firehose.renderLineStr("app", r.getString(0),
+        labels.toSeq.sortWith((x, y) => PromRegistry.utf8Gt(y._1, x._1)),
+        r.getDouble(3), r.getLong(4), utf8 = false)
+      val p = PromSource.parseLine(line)
+      assert(p.nonEmpty, s"classic downgrade unparseable: $line")
+      assert(p.get._1 ===
+        Firehose.underscoreMetricName("app_" + r.getString(0)))
+    }
   }
 }
