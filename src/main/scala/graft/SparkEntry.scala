@@ -1003,6 +1003,19 @@ object SparkEntry {
                 concat(lit("a=b,c\\d\""),
                   element_at(col("labels"), lit("user")),
                   lit("\ne")))))))),
+    // m65: the CLASSIC federate downgrade (escaping not negotiated) —
+    // the same dotted name/key as m63 rendered with utf8 = false must
+    // come out underscore-mangled per Prometheus's EscapeName rule and
+    // still re-parse as a classic line; the oracle writes the mangled
+    // names directly
+    "m65_classic_downgrade" -> ((s, dir) =>
+      Firehose.promParse(Firehose.promRender(
+        Firehose.gaugeLatestLabeled(metricsOf(s, dir))
+          .withColumn("name", concat(col("name"), lit(".v2")))
+          .withColumn("labels",
+            map_concat(col("labels"),
+              map(lit("app.env"), lit("prod")))),
+        utf8 = false))),
     "m20_sliding_window" -> ((s, dir) =>
       Firehose.slidingWindowAgg(metricsOf(s, dir))),
     "q_window_ranks" -> ((s, dir) => Relational.qWindowRanks(s, dir)),
@@ -1420,6 +1433,19 @@ object SparkEntry {
         |  FROM events)
         |SELECT 'app_' || event_type || '_total.v2' AS metric,
         |  'app.env=prod,user=' || CAST(user_id AS VARCHAR) AS series,
+        |  CAST(printf('%.6f', value) AS DOUBLE) AS value,
+        |  ts_sec * 1000 AS ts_ms
+        |FROM m WHERE rn = 1""".stripMargin,
+    "m65_classic_downgrade" ->
+      """WITH m AS (
+        |  SELECT event_type, user_id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |         row_number() OVER (PARTITION BY event_type, user_id
+        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+        |                    CAST(event_id AS VARCHAR) DESC) AS rn
+        |  FROM events)
+        |SELECT 'app_' || event_type || '_total_v2' AS metric,
+        |  'app_env=prod,user=' || CAST(user_id AS VARCHAR) AS series,
         |  CAST(printf('%.6f', value) AS DOUBLE) AS value,
         |  ts_sec * 1000 AS ts_ms
         |FROM m WHERE rn = 1""".stripMargin,

@@ -658,6 +658,24 @@ object Firehose {
   val ClassicLabelNameRe = "\\A[a-zA-Z_][a-zA-Z0-9_]*\\z"
   val ClassicMetricNameRe = "\\A[a-zA-Z_:][a-zA-Z0-9_:]*\\z"
 
+  /** [[underscoreMetricName]] as a codegen expression. Granularity note:
+    * both this regex and the driver twin's char loop work in UTF-16
+    * units, so a surrogate-pair character mangles to TWO underscores on
+    * BOTH paths — internally consistent (the mangling is lossy anyway).
+    */
+  def underscoreMetricCol(c: Column): Column = {
+    val repl = regexp_replace(c, "[^a-zA-Z0-9_:]", "_")
+    when(repl.rlike("\\A[0-9]"),
+      concat(lit("_"), substring(repl, 2, Int.MaxValue))).otherwise(repl)
+  }
+
+  /** [[underscoreLabelName]] as a codegen expression (no `:`). */
+  def underscoreLabelCol(c: Column): Column = {
+    val repl = regexp_replace(c, "[^a-zA-Z0-9_]", "_")
+    when(repl.rlike("\\A[0-9]"),
+      concat(lit("_"), substring(repl, 2, Int.MaxValue))).otherwise(repl)
+  }
+
   /** Prometheus text-exposition rendering (what PrometheusPusher/Puller emit
     * via the client lib): `component_name{labels} value ts_millis`, one line
     * per live series, as a pure column expression usable by any sink.
@@ -665,29 +683,41 @@ object Firehose {
     * order as [[seriesKey]]), with values [[escapeExpoValue]]-escaped and
     * non-classic metric/label names quoted in the Prometheus 3.x UTF-8
     * form — so every line round-trips through [[promParse]] for ANY
-    * label/name text (spec- and oracle-pinned). Input needs (component,
-    * name, labels, last_value, last_ts) — [[gaugeLatestLabeled]]'s shape.
+    * label/name text (spec- and oracle-pinned). With `utf8 = false`
+    * (a consumer that did not negotiate `escaping=allow-utf-8`)
+    * non-classic names are underscore-mangled instead — the classic
+    * downgrade, [[renderLineStr]]'s codegen twin on both legs. Input
+    * needs (component, name, labels, last_value, last_ts) —
+    * [[gaugeLatestLabeled]]'s shape.
     */
-  def promRender(gauges: DataFrame): DataFrame = {
+  def promRender(gauges: DataFrame): DataFrame =
+    promRender(gauges, utf8 = true)
+
+  def promRender(gauges: DataFrame, utf8: Boolean): DataFrame = {
     val metric = concat(col("component"), lit("_"), col("name"))
     val pairs = transform(
       array_sort(map_entries(col("labels"))),
       e => concat(
         when(e.getField("key").rlike(ClassicLabelNameRe), e.getField("key"))
-          .otherwise(concat(
-            lit("\""), escapeExpoValue(e.getField("key")), lit("\""))),
+          .otherwise(
+            if (utf8)
+              concat(lit("\""), escapeExpoValue(e.getField("key")), lit("\""))
+            else underscoreLabelCol(e.getField("key"))),
         lit("=\""), escapeExpoValue(e.getField("value")), lit("\"")))
     val inner = array_join(pairs, ",")
     val noLabels = size(map_entries(col("labels"))) === 0
+    val braced =
+      when(noLabels, lit("")).otherwise(concat(lit("{"), inner, lit("}")))
     val body = when(
       metric.rlike(ClassicMetricNameRe),
-      concat(metric,
-        when(noLabels, lit(""))
-          .otherwise(concat(lit("{"), inner, lit("}")))))
-      .otherwise(concat(
-        lit("{\""), escapeExpoValue(metric), lit("\""),
-        when(noLabels, lit("")).otherwise(concat(lit(","), inner)),
-        lit("}")))
+      concat(metric, braced))
+      .otherwise(
+        if (utf8)
+          concat(
+            lit("{\""), escapeExpoValue(metric), lit("\""),
+            when(noLabels, lit("")).otherwise(concat(lit(","), inner)),
+            lit("}"))
+        else concat(underscoreMetricCol(metric), braced))
     gauges.select(
       concat(
         body,
@@ -702,34 +732,32 @@ object Firehose {
     * outside the classic class becomes `_` (lossy by design; distinct
     * UTF-8 names may collide, exactly as in Prometheus itself).
     */
-  def underscoreMetricName(s: String): String =
-    if (s.isEmpty) s
-    else {
-      val b = new StringBuilder(s.length)
-      b.append(
-        if (s.head.isLetter && s.head < 128 || s.head == '_' || s.head == ':')
-          s.head else '_')
-      s.tail.foreach { c =>
-        b.append(
-          if ((c.isLetterOrDigit && c < 128) || c == '_' || c == ':') c
-          else '_')
-      }
-      b.toString
+  // CODE-POINT iteration, not UTF-16 units: the codegen twin is a Java
+  // regex char class, which consumes one code point per match — an
+  // astral character must mangle to ONE underscore on both paths
+  private def underscoreName(s: String, allowColon: Boolean): String = {
+    if (s.isEmpty) return s
+    val b = new StringBuilder(s.length)
+    var i = 0
+    var first = true
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val classic =
+        (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') || cp == '_' ||
+          (allowColon && cp == ':') || (!first && cp >= '0' && cp <= '9')
+      b.append(if (classic) cp.toChar else '_')
+      i += Character.charCount(cp)
+      first = false
     }
+    b.toString
+  }
+
+  def underscoreMetricName(s: String): String =
+    underscoreName(s, allowColon = true)
 
   /** [[underscoreMetricName]] for label names (no `:` in the class). */
   def underscoreLabelName(s: String): String =
-    if (s.isEmpty) s
-    else {
-      val b = new StringBuilder(s.length)
-      b.append(
-        if (s.head.isLetter && s.head < 128 || s.head == '_') s.head else '_')
-      s.tail.foreach { c =>
-        b.append(
-          if ((c.isLetterOrDigit && c < 128) || c == '_') c else '_')
-      }
-      b.toString
-    }
+    underscoreName(s, allowColon = false)
 
   /** One exposition line rendered DRIVER-side — with `utf8 = true` the
     * byte-identical twin of [[promRender]]'s codegen render (same

@@ -166,8 +166,9 @@ class PromFuzzSpec extends SparkSuite {
     assert(parsed === wantParsed)
     // 5) the classic downgrade (escaping not negotiated) must render a
     //    PARSEABLE classic line for ANY name/label text: names
-    //    underscore-mangled per EscapeName, values intact
-    got.foreach { r =>
+    //    underscore-mangled per EscapeName, values intact — and the
+    //    codegen leg (promRender utf8 = false) byte-matches the driver
+    val classicDriver = got.map { r =>
       val labels = r.getMap[String, String](1).toMap
       val line = Firehose.renderLineStr("app", r.getString(0),
         labels.toSeq.sortWith((x, y) => PromRegistry.utf8Gt(y._1, x._1)),
@@ -176,6 +177,10 @@ class PromFuzzSpec extends SparkSuite {
       assert(p.nonEmpty, s"classic downgrade unparseable: $line")
       assert(p.get._1 ===
         Firehose.underscoreMetricName("app_" + r.getString(0)))
+      line
     }
+    val classicCodegen =
+      Firehose.promRender(df, utf8 = false).collect().map(_.getString(0))
+    assert(classicCodegen.sorted.toSeq === classicDriver.sorted.toSeq)
   }
 }
