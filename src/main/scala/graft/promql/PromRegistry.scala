@@ -188,6 +188,11 @@ object PromRegistry {
     * `checkpointEvery` ticks ([[PromScraper.run]]). Returns the
     * checkpoint table's committed version.
     */
+  /** The series-key format this engine writes and reads — bumped when
+    * the canonical identity changes (r16: "esc1", the escaped render).
+    */
+  private val KeyFormat = "esc1"
+
   /** The landing's GENERATION identity: its version-0 commit marker's
     * timestamp. A landing deleted and recreated in place gets a fresh
     * version 0, hence a fresh identity — the durable guard against a
@@ -217,7 +222,13 @@ object PromRegistry {
       ckptRoot(root),
       props = Map(
         "ckpt.sourceVersion" -> state.version.toString,
-        "ckpt.minTs" -> state.minTs.toString) ++
+        "ckpt.minTs" -> state.minTs.toString,
+        // the series-key FORMAT generation: "esc1" = the r16 escaped
+        // identity. A checkpoint written under an older key format
+        // must not seed a merge with newer-format delta keys (the same
+        // series would appear under two spellings) — loadCheckpoint
+        // refuses on mismatch and the cold start recomputes.
+        "ckpt.keyFormat" -> KeyFormat) ++
         generationId(root).map("ckpt.generation" -> _.toString))
     // only the NEWEST checkpoint is ever loaded, so the sidecar stays
     // O(1) snapshots — without this a forever --scrape loop grows it by
@@ -255,6 +266,10 @@ object PromRegistry {
       val gen = props.get("ckpt.generation").map(_.toLong)
       val curGen = generationId(root)
       if (gen.isDefined && curGen.isDefined && gen != curGen) return None
+      // a checkpoint under a different series-key format (pre-r16
+      // unescaped keys) cannot merge with this engine's delta keys —
+      // recompute instead of serving one series under two spellings
+      if (!props.get("ckpt.keyFormat").contains(KeyFormat)) return None
       val heads = Map.newBuilder[(String, String, String), Head]
       Versioned.asOf(spark, cr, cv).collect().foreach { r =>
         val h = Head(r.getString(0), r.getString(1), r.getString(2),

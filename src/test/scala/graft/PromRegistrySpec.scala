@@ -521,6 +521,25 @@ class PromRegistrySpec extends SparkSuite {
       .manifest(root, Versioned.latestVersion(root)).map(_.path).toSet
     assert(census2.toSet.intersect(liveNow) === liveNow,
       "maintenance after checkpoint falls back to the full recompute")
+
+    // a checkpoint under a FOREIGN series-key format (e.g. pre-r16
+    // unescaped keys) must never seed the merge, however tempting its
+    // sourceVersion — one series would otherwise live under two
+    // spellings. Plant a maximally tempting one (source = current
+    // latest, delta empty) with a doctored format stamp.
+    val cr = PromRegistry.ckptRoot(root)
+    val cv = Versioned.latestVersion(cr)
+    Versioned.commit(
+      Versioned.asOf(spark, cr, cv), cr,
+      props = Versioned.markerProps(cr, cv)
+        .updated("ckpt.keyFormat", "legacy0")
+        .updated("ckpt.sourceVersion",
+          Versioned.latestVersion(root).toString))
+    PromRegistry.reset()
+    val (s3, census3) = PromRegistry.refresh(spark, root)
+    assert(stateHeads(s3) === fullHeads(root))
+    assert(!census3.exists(_.startsWith("_registry_ckpt/")),
+      "a foreign-key-format checkpoint must not seed the restart")
   }
 
   test("the landed-registry swap is mechanical: /federate serves straight " +
