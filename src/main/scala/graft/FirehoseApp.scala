@@ -225,6 +225,10 @@ object FirehoseApp {
 
   /** Assemble the pipeline from config; returns the running query. */
   def start(spark: SparkSession, cfg: GraftConfig, checkpointDir: String): Running = {
+    // refuse a checkpoint whose streaming state is keyed under another
+    // series-key format BEFORE any query starts (r16 ADVICE — the
+    // streaming twin of the registry checkpoint's keyFormat refusal)
+    FirehoseStream.ensureCheckpointKeyFormat(spark, checkpointDir)
     val metrics = cfg.getOrElse("app.source", "kafka") match {
       case "kafka" =>
         FirehoseStream.fromKafka(

@@ -1003,6 +1003,27 @@ object SparkEntry {
                 concat(lit("a=b,c\\d\""),
                   element_at(col("labels"), lit("user")),
                   lit("\ne")))))))),
+    // m66: FULL-PRECISION value round-trip (the r16 verdict's Next #1)
+    // — values with >6 significant decimals, sub-microunit magnitudes,
+    // and >1e7 magnitudes (all of which the retired %.6f wire
+    // convention rounded or zeroed on the wire) survive render∘parse
+    // BIT-FOR-BIT. Three lanes per series: v*1e-9 (scientific small),
+    // v/3.0 (17 significant digits), v*1e13 (scientific large). The
+    // oracle computes the same IEEE transforms directly on the raw
+    // doubles — it never sees the rendered text — so the green hash
+    // proves parse(render(x)) == x exactly on every lane.
+    "m66_value_precision" -> ((s, dir) =>
+      Firehose.promParse(Firehose.promRender(
+        Firehose.gaugeLatestLabeled(metricsOf(s, dir))
+          .withColumn("lane",
+            explode(array(lit("e-9"), lit("div3"), lit("e13"))))
+          .withColumn("last_value",
+            when(col("lane") === "e-9", col("last_value") * 1e-9)
+              .when(col("lane") === "div3", col("last_value") / 3.0)
+              .otherwise(col("last_value") * 1e13))
+          .withColumn("labels",
+            map_concat(col("labels"), map(lit("lane"), col("lane"))))
+          .drop("lane")))),
     // m65: the CLASSIC federate downgrade (escaping not negotiated) —
     // the same dotted name/key as m63 rendered with utf8 = false must
     // come out underscore-mangled per Prometheus's EscapeName rule and
@@ -1433,7 +1454,7 @@ object SparkEntry {
         |  FROM events)
         |SELECT 'app_' || event_type || '_total.v2' AS metric,
         |  'app.env=prod,user=' || CAST(user_id AS VARCHAR) AS series,
-        |  CAST(printf('%.6f', value) AS DOUBLE) AS value,
+        |  value AS value,
         |  ts_sec * 1000 AS ts_ms
         |FROM m WHERE rn = 1""".stripMargin,
     "m65_classic_downgrade" ->
@@ -1446,7 +1467,7 @@ object SparkEntry {
         |  FROM events)
         |SELECT 'app_' || event_type || '_total_v2' AS metric,
         |  'app_env=prod,user=' || CAST(user_id AS VARCHAR) AS series,
-        |  CAST(printf('%.6f', value) AS DOUBLE) AS value,
+        |  value AS value,
         |  ts_sec * 1000 AS ts_ms
         |FROM m WHERE rn = 1""".stripMargin,
     "m64_series_escape" ->
@@ -1460,9 +1481,30 @@ object SparkEntry {
         |SELECT 'app_' || event_type || '_total' AS metric,
         |  'l\=w=1,path=a\=b\,c\\d"' || CAST(user_id AS VARCHAR)
         |    || chr(10) || 'e,user=' || CAST(user_id AS VARCHAR) AS series,
-        |  CAST(printf('%.6f', value) AS DOUBLE) AS value,
+        |  value AS value,
         |  ts_sec * 1000 AS ts_ms
         |FROM m WHERE rn = 1""".stripMargin,
+    // m66: the oracle replays the three value transforms on the RAW
+    // doubles (same IEEE ops, same literals → same bits in DuckDB and
+    // Spark); it never touches the rendered text, so a green hash is a
+    // bit-exact proof of the full-precision render∘parse identity
+    "m66_value_precision" ->
+      """WITH m AS (
+        |  SELECT event_type, user_id, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |         row_number() OVER (PARTITION BY event_type, user_id
+        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+        |                    CAST(event_id AS VARCHAR) DESC) AS rn
+        |  FROM events),
+        |l AS (SELECT * FROM m, (VALUES ('e-9'), ('div3'), ('e13')) t(lane)
+        |      WHERE rn = 1)
+        |SELECT 'app_' || event_type || '_total' AS metric,
+        |  'lane=' || lane || ',user=' || CAST(user_id AS VARCHAR) AS series,
+        |  CASE lane WHEN 'e-9' THEN value * 1e-9
+        |            WHEN 'div3' THEN value / 3.0
+        |            ELSE value * 1e13 END AS value,
+        |  ts_sec * 1000 AS ts_ms
+        |FROM l""".stripMargin,
     "m7_series_rate" ->
       """SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, value,
         |  (value - lag(value) OVER w)
@@ -4796,7 +4838,7 @@ object SparkEntry {
       |  FROM events),
       |lines AS (
       |  SELECT 'app_' || event_type || '_total{user="' || CAST(user_id AS VARCHAR)
-      |    || '"} ' || printf('%.6f', value) || ' ' || CAST(ts_sec * 1000 AS VARCHAR) AS line
+      |    || '"} ' || CAST(value AS VARCHAR) || ' ' || CAST(ts_sec * 1000 AS VARCHAR) AS line
       |  FROM m WHERE rn = 1)
       |""".stripMargin
 

@@ -95,6 +95,21 @@ object Firehose {
       map_filter(col("tags"), (k, _) => !array_contains(filteredArr, k)))
   }
 
+  /** The series-key FORMAT generation this engine writes and reads —
+    * bumped whenever the canonical series identity changes spelling
+    * ("esc1" = the r16 escaped render). ONE constant for every durable
+    * key-bearing artifact: the registry checkpoint stamps it into its
+    * commit props and refuses a foreign stamp, and the streaming
+    * checkpoint guard ([[graft.streaming.FirehoseStream
+    * .ensureCheckpointKeyFormat]]) stamps it as a marker file and
+    * refuses a checkpoint whose state was keyed under another format —
+    * a pre-esc1 streaming checkpoint restored under the escaped keys
+    * would silently SPLIT any series whose labels contain `\` `=` `,`
+    * (old-key state orphaned until timeout) and mis-split old keys in
+    * [[parseSeriesKey]].
+    */
+  val SeriesKeyFormat = "esc1"
+
   /** Series-key escaping of one key or value: `\` → `\\`, `=` → `\=`,
     * `,` → `\,` — so two DISTINCT label maps can never render to one
     * series key (`{k:"a", b:"c"}` vs `{k:"a,b=c"}` collided under the
@@ -333,16 +348,26 @@ object Firehose {
           regexp_extract(block, bmRe, 2).rlike(PromGrammar.BlockRe)))
     }
     lines
-      .select(trim(col("line")).as("_l"))
-      .filter(length(col("_l")) > 0 && !col("_l").startsWith("#"))
+      .select(trim(col("line")).as("_l0"))
+      .filter(length(col("_l0")) > 0 && !col("_l0").startsWith("#"))
       // OpenMetrics tolerance, the scanners' retry discipline as one
       // codegen'd conditional: a line that does NOT already parse under
       // the plain grammar sheds its exemplar tail; previously-valid
-      // lines are left byte-identical
-      .withColumn("_l",
-        when(lineValid(col("_l")), col("_l"))
-          .otherwise(regexp_replace(col("_l"), PromGrammar.ExemplarTailRe, "")))
-      .filter(lineValid(col("_l")))
+      // lines are left byte-identical. Raw-line validity is computed
+      // ONCE here (`_v0` — ProjectExec's subexpression elimination
+      // shares it with the `_l` conditional); the keep/drop filter
+      // below reads the materialized boolean and only re-runs the line
+      // grammar on the RETRY branch (codegen `Or` short-circuits), so a
+      // valid line engages the LineRe family once, not twice
+      .select(
+        col("_l0"),
+        lineValid(col("_l0")).as("_v0"))
+      .select(
+        col("_v0"),
+        when(col("_v0"), col("_l0"))
+          .otherwise(regexp_replace(col("_l0"), PromGrammar.ExemplarTailRe, ""))
+          .as("_l"))
+      .filter(col("_v0") || lineValid(col("_l")))
       .withColumn("_mtok", regexp_extract(col("_l"), re, 1))
       .withColumn("_block", regexp_extract(col("_l"), re, 3))
       // the pairs live in the whole block (classic) or after the quoted
@@ -659,9 +684,9 @@ object Firehose {
   val ClassicMetricNameRe = "\\A[a-zA-Z_:][a-zA-Z0-9_:]*\\z"
 
   /** [[underscoreMetricName]] as a codegen expression. Granularity note:
-    * both this regex and the driver twin's char loop work in UTF-16
-    * units, so a surrogate-pair character mangles to TWO underscores on
-    * BOTH paths — internally consistent (the mangling is lossy anyway).
+    * a Java regex char class consumes one CODE POINT per match, and the
+    * driver twin iterates code points, so a surrogate-pair (astral)
+    * character mangles to ONE underscore on BOTH paths.
     */
   def underscoreMetricCol(c: Column): Column = {
     val repl = regexp_replace(c, "[^a-zA-Z0-9_:]", "_")
@@ -722,10 +747,36 @@ object Firehose {
       concat(
         body,
         lit(" "),
-        format_string("%.6f", col("last_value")),
+        expoValueCol(col("last_value")),
         lit(" "),
         (col("last_ts") * 1000).cast("string")).as("line"))
   }
+
+  /** Full-precision exposition VALUE rendering as a codegen expression:
+    * `+Inf` / `-Inf` / `NaN` specials (the Prometheus wire spellings —
+    * client_java's `Collector.doubleToGoString`), otherwise Spark's
+    * double→string cast, which is byte-for-byte `java.lang.Double
+    * .toString` — the shortest decimal that round-trips, exactly what
+    * the reference's client_java emits. Replaces the historical `%.6f`
+    * convention, which silently rounded any value with more than six
+    * decimals (a gauge at 3e-7 federated as `0.000000`); with this
+    * rendering `parse(render(v))` recovers every finite double BIT-FOR-
+    * BIT (oracle- and fuzz-pinned).
+    */
+  def expoValueCol(c: Column): Column =
+    when(isnan(c), lit("NaN"))
+      .when(c === lit(Double.PositiveInfinity), lit("+Inf"))
+      .when(c === lit(Double.NegativeInfinity), lit("-Inf"))
+      .otherwise(c.cast("string"))
+
+  /** [[expoValueCol]]'s driver-side twin (byte parity fuzz-pinned:
+    * Spark's double→string cast is `Double.toString`).
+    */
+  def expoValueStr(v: Double): String =
+    if (v.isNaN) "NaN"
+    else if (v == Double.PositiveInfinity) "+Inf"
+    else if (v == Double.NegativeInfinity) "-Inf"
+    else java.lang.Double.toString(v)
 
   /** Prometheus's `escaping=underscores` name mangling — what a 3.x
     * server serves to a NON-negotiating classic client: every character
@@ -761,7 +812,8 @@ object Firehose {
 
   /** One exposition line rendered DRIVER-side — with `utf8 = true` the
     * byte-identical twin of [[promRender]]'s codegen render (same
-    * escape chain, same classic-name classes, same `Locale.US` `%.6f`),
+    * escape chain, same classic-name classes, same full-precision
+    * [[expoValueStr]] value spelling),
     * over label pairs ALREADY in [[seriesKey]]'s order (UTF-8-byte key
     * order — callers sort with [[graft.promql.PromRegistry.utf8Gt]] or
     * pass [[parseSeriesKey]] output, which preserves the key's order).
@@ -790,9 +842,7 @@ object Firehose {
       else
         underscoreMetricName(metric) +
           (if (labels.isEmpty) "" else "{" + inner + "}")
-    body + " " +
-      String.format(java.util.Locale.US, "%.6f", Double.box(value)) +
-      " " + (tsSec * 1000L).toString
+    body + " " + expoValueStr(value) + " " + (tsSec * 1000L).toString
   }
 
   /** Per-series counter rate (value delta / time delta) — the downstream

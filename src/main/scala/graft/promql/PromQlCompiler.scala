@@ -1566,15 +1566,29 @@ object PromQlCompiler {
         if (args.length != 3) err("clamp expects (vector, min, max)")
         val lo = scalarArg(args(1), "clamp min")
         val hi = scalarArg(args(2), "clamp max")
-        mapFn(fn, args.take(1))(v => least(greatest(v, lit(lo)), lit(hi)))
+        // PromQL funcClamp (promql/functions.go): `max < min` yields the
+        // EMPTY vector (Go `<`, so a NaN bound does NOT trigger it);
+        // otherwise math.Max(min, math.Min(max, v)) — Go's Min/Max
+        // PROPAGATE NaN from the value OR a bound, unlike Spark's
+        // NaN-greatest `least`/`greatest` total order (r16 ADVICE)
+        if (hi < lo) Vec(vecArg(args.head, fn).filter(lit(false)))
+        else if (lo.isNaN || hi.isNaN)
+          mapFn(fn, args.take(1))(_ => lit(Double.NaN))
+        else
+          mapFn(fn, args.take(1))(v =>
+            when(isnan(v), v).otherwise(least(greatest(v, lit(lo)), lit(hi))))
       case "clamp_min" =>
         if (args.length != 2) err("clamp_min expects (vector, min)")
         val lo = scalarArg(args(1), "clamp_min min")
-        mapFn(fn, args.take(1))(v => greatest(v, lit(lo)))
+        if (lo.isNaN) mapFn(fn, args.take(1))(_ => lit(Double.NaN))
+        else mapFn(fn, args.take(1))(v =>
+          when(isnan(v), v).otherwise(greatest(v, lit(lo))))
       case "clamp_max" =>
         if (args.length != 2) err("clamp_max expects (vector, max)")
         val hi = scalarArg(args(1), "clamp_max max")
-        mapFn(fn, args.take(1))(v => least(v, lit(hi)))
+        if (hi.isNaN) mapFn(fn, args.take(1))(_ => lit(Double.NaN))
+        else mapFn(fn, args.take(1))(v =>
+          when(isnan(v), v).otherwise(least(v, lit(hi))))
       case "time" =>
         if (args.nonEmpty) err("time() takes no arguments")
         timeVal

@@ -190,8 +190,11 @@ object PromRegistry {
     */
   /** The series-key format this engine writes and reads — bumped when
     * the canonical identity changes (r16: "esc1", the escaped render).
+    * One constant across every durable key-bearing artifact
+    * ([[graft.operators.Firehose.SeriesKeyFormat]] — the streaming
+    * checkpoint guard stamps the same value).
     */
-  private val KeyFormat = "esc1"
+  private val KeyFormat = graft.operators.Firehose.SeriesKeyFormat
 
   /** The landing's GENERATION identity: its version-0 commit marker's
     * timestamp. A landing deleted and recreated in place gets a fresh
@@ -762,20 +765,31 @@ object PromRegistry {
       val inv = 1.0 / rest.headOption.flatMap(litScalar).getOrElse(1.0)
       foldVec(state, v, tSec, lookbackSec)
         .map(_.map(r => r.copy(value = dfloorD(r.value * inv + 0.5) / inv)))
+    // PromQL funcClamp in LOCKSTEP with the compiled plan (r16 ADVICE):
+    // max < min → the EMPTY vector (Go `<`; NaN bounds do not trigger
+    // it); NaN — value or bound — PROPAGATES (Go math.Min/Max), never
+    // Spark's NaN-greatest total order
     case Call("clamp", Seq(v, loE, hiE))
         if litScalar(loE).isDefined && litScalar(hiE).isDefined =>
       val lo = litScalar(loE).get
       val hi = litScalar(hiE).get
-      foldVec(state, v, tSec, lookbackSec)
-        .map(_.map(r => r.copy(value = leastD(greatestD(r.value, lo), hi))))
+      if (hi < lo) foldVec(state, v, tSec, lookbackSec).map(_ => Nil)
+      else foldVec(state, v, tSec, lookbackSec)
+        .map(_.map(r => r.copy(value =
+          if (r.value.isNaN || lo.isNaN || hi.isNaN) Double.NaN
+          else leastD(greatestD(r.value, lo), hi))))
     case Call("clamp_min", Seq(v, loE)) if litScalar(loE).isDefined =>
       val lo = litScalar(loE).get
       foldVec(state, v, tSec, lookbackSec)
-        .map(_.map(r => r.copy(value = greatestD(r.value, lo))))
+        .map(_.map(r => r.copy(value =
+          if (r.value.isNaN || lo.isNaN) Double.NaN
+          else greatestD(r.value, lo))))
     case Call("clamp_max", Seq(v, hiE)) if litScalar(hiE).isDefined =>
       val hi = litScalar(hiE).get
       foldVec(state, v, tSec, lookbackSec)
-        .map(_.map(r => r.copy(value = leastD(r.value, hi))))
+        .map(_.map(r => r.copy(value =
+          if (r.value.isNaN || hi.isNaN) Double.NaN
+          else leastD(r.value, hi))))
 
     case _ => None
   }

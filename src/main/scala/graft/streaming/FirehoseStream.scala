@@ -1600,4 +1600,66 @@ object FirehoseStream {
         }
         push(lines)
       }
+
+  /** Marker file stamping the series-key FORMAT into a Structured
+    * Streaming checkpoint directory.
+    */
+  private val KeyFormatMarker = "_graft_key_format"
+
+  /** Refuse a streaming checkpoint whose state was keyed under another
+    * series-key format — the streaming twin of the registry
+    * checkpoint's `ckpt.keyFormat` refusal (r16 ADVICE). The stateful
+    * operators here key their state by the RENDERED series string
+    * ([[gaugeLatest]]'s `groupByKey` et al.), so a checkpoint written
+    * before the r16 escaped identity ("esc1"), restored under it,
+    * silently SPLITS any series whose labels contain `\` `=` `,` — the
+    * old-key state entry is orphaned until timeout and counter/increase
+    * folds restart from zero — and [[Firehose.parseSeriesKey]]
+    * mis-splits the old unescaped keys in the exposition sink.
+    *
+    * Call before `.start()` with the query's checkpoint location:
+    *  - fresh directory → stamps `_graft_key_format` with
+    *    [[Firehose.SeriesKeyFormat]] and proceeds;
+    *  - marker present and equal → proceeds (normal restart);
+    *  - marker present and DIFFERENT, or state present with NO marker
+    *    (a pre-stamp checkpoint — necessarily pre-esc1) → refuses
+    *    loudly. Streaming state is an opaque RocksDB/HDFS snapshot, so
+    *    unlike the registry there is no recompute path: the operator
+    *    must discard the checkpoint (re-ingest rebuilds state) or keep
+    *    running the old binary.
+    */
+  def ensureCheckpointKeyFormat(
+      spark: SparkSession, checkpointDir: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir, KeyFormatMarker)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val got =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (got != Firehose.SeriesKeyFormat)
+        throw new IllegalStateException(
+          s"streaming checkpoint $checkpointDir was written under series-" +
+            s"key format '$got' but this engine writes " +
+            s"'${Firehose.SeriesKeyFormat}': state keyed by the old " +
+            "rendering cannot be restored (series would split). Discard " +
+            "the checkpoint directory and re-ingest, or run the old build.")
+    } else if (fs.exists(new org.apache.hadoop.fs.Path(dir, "offsets"))) {
+      // a populated checkpoint with no stamp predates the marker —
+      // and therefore predates the esc1 key format
+      throw new IllegalStateException(
+        s"streaming checkpoint $checkpointDir has state but no " +
+          s"$KeyFormatMarker stamp: it predates series-key format " +
+          s"'${Firehose.SeriesKeyFormat}' and cannot be restored " +
+          "(series keyed under the old rendering would split). Discard " +
+          "the checkpoint directory and re-ingest.")
+    } else {
+      fs.mkdirs(dir)
+      val out = fs.create(marker, false)
+      try out.write(
+        (Firehose.SeriesKeyFormat + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
 }

@@ -227,7 +227,7 @@ class FirehoseAppSpec extends SparkSuite {
       running.query.processAllAvailable()
       assert(running.registry.get.size === 1)
       assert(running.registry.get.render
-        .contains("app_bytes_total{user=\"u9\"} 3.500000 1000000"))
+        .contains("app_bytes_total{user=\"u9\"} 3.5 1000000"))
     } finally running.stop()
   }
 }

@@ -183,4 +183,57 @@ class PromFuzzSpec extends SparkSuite {
       Firehose.promRender(df, utf8 = false).collect().map(_.getString(0))
     assert(classicCodegen.sorted.toSeq === classicDriver.sorted.toSeq)
   }
+
+  test("full-precision value wire spelling: codegen == driver == re-parse " +
+      "identity over adversarial doubles (the %.6f convention retired)") {
+    import spark.implicits._
+    // hand-picked adversarial values (everything %.6f lost or rounded)
+    // plus 300 uniform-random bit patterns (any finite double at all)
+    val picked = Seq(
+      3e-7, 1e21, -1e21, 0.0, -0.0, 1.0 / 3.0, math.Pi * 1e-20,
+      Double.MaxValue, Double.MinPositiveValue, java.lang.Double.MIN_NORMAL,
+      9999999.999999998, 1.0e7, 0.001, 1.0e-4, 123456789012345680.0,
+      -42.0, 560.21, 2.5000000000000004,
+      Double.PositiveInfinity, Double.NegativeInfinity, Double.NaN)
+    val random = (1 to 300).map { _ =>
+      java.lang.Double.longBitsToDouble(rnd.nextLong())
+    }
+    val vals = picked ++ random
+    // 1) codegen expoValueCol byte-matches the driver twin on every value
+    val rendered = vals.toDF("v")
+      .select(Firehose.expoValueCol(col("v")).as("s"))
+      .collect().map(_.getString(0))
+    vals.zip(rendered).foreach { case (v, s) =>
+      assert(s === Firehose.expoValueStr(v),
+        s"codegen/driver value-spelling drift for $v")
+      // 2) the spelling re-parses to the SAME BITS (NaN payloads
+      //    canonicalize — any NaN spelling parsing to any NaN is the
+      //    identity Prometheus itself guarantees)
+      val back =
+        if (s == "+Inf") Double.PositiveInfinity
+        else if (s == "-Inf") Double.NegativeInfinity
+        else java.lang.Double.parseDouble(s)
+      if (v.isNaN) assert(back.isNaN, s"NaN lost: $s")
+      else assert(
+        java.lang.Double.doubleToLongBits(back) ===
+          java.lang.Double.doubleToLongBits(v),
+        s"round-trip drift: $v -> $s -> $back")
+    }
+    // 3) the FULL line round-trips through promParse with the exact
+    //    value — render and parse as one circle over adversarial values
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      ("app", "bytes_total", Map("user" -> s"u$i"), 1000L + i, v)
+    }.toDF("component", "name", "labels", "last_ts", "last_value")
+    val got = Firehose.promParse(Firehose.promRender(df))
+      .select(col("series"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    vals.zipWithIndex.foreach { case (v, i) =>
+      val back = got(s"user=u$i")
+      if (v.isNaN) assert(back.isNaN)
+      else assert(
+        java.lang.Double.doubleToLongBits(back) ===
+          java.lang.Double.doubleToLongBits(v),
+        s"line round-trip drift for $v")
+    }
+  }
 }

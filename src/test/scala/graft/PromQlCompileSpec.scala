@@ -253,6 +253,25 @@ class PromQlCompileSpec extends SparkSuite {
     val neg = rendered(PromQl.compile("-view_total", metrics))
     val abs0 = rendered(PromQl.compile("abs(-view_total)", metrics))
     assert(abs0 === neg.map { case (n, s, w, x) => (n, s, w, math.abs(x)) })
+    // PromQL funcClamp edge semantics (r16 ADVICE): max < min → the
+    // EMPTY vector, not max-everywhere
+    assert(PromQl.compile("clamp(view_total, 20, 10)", metrics).count() === 0L)
+    // a NaN bound propagates NaN (Go math.Min/Max), it never becomes
+    // the bound — and the empty-vector check does NOT trigger on NaN
+    val nanB = PromQl.compile("clamp(view_total, 0/0, 10)", metrics)
+      .select("value").collect().map(_.getDouble(0))
+    assert(nanB.nonEmpty && nanB.forall(_.isNaN))
+    val nanMin = PromQl.compile("clamp_min(view_total, 0/0)", metrics)
+      .select("value").collect().map(_.getDouble(0))
+    assert(nanMin.nonEmpty && nanMin.forall(_.isNaN))
+    // a NaN VALUE stays NaN through finite bounds (Spark's NaN-greatest
+    // least/greatest would have returned the max bound)
+    val nanV = PromQl.compile("clamp(view_total * (0/0), 10, 20)", metrics)
+      .select("value").collect().map(_.getDouble(0))
+    assert(nanV.nonEmpty && nanV.forall(_.isNaN))
+    val nanVMax = PromQl.compile("clamp_max(view_total * (0/0), 20)", metrics)
+      .select("value").collect().map(_.getDouble(0))
+    assert(nanVMax.nonEmpty && nanVMax.forall(_.isNaN))
   }
 
   test("group_left divides each series by its per-user total") {

@@ -417,6 +417,7 @@ class PromRegistrySpec extends SparkSuite {
         "deg(m)", "rad(m)", "round(m)", "round(m, 0.3)",
         "round(m, pi() / 10)", "ceil(m / 0)", "floor(-m)",
         "clamp(m, -1, 0.15)", "clamp(m, 1, -1)",
+        "clamp(m, 0/0, 10)", "clamp_min(m, 0/0)", "clamp_max(m, 0/0)",
         "clamp_min(m, 0.15)", "clamp_max(m, 0.15)",
         "clamp(m, 0.1 * 1, 2 ^ -1)", "sum(abs(m))",
         "exp(m)", "ln(m)", "sin(m)", "acosh(m)",

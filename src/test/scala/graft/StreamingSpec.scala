@@ -1853,7 +1853,40 @@ class StreamingSpec extends SparkSuite {
     try {
       q.processAllAvailable()
       val lines = collected.toArray(Array.empty[String])
-      assert(lines.exists(_.startsWith("app_bytes_total{user=\"u1\"} 12.500000")))
+      assert(lines.exists(_.startsWith("app_bytes_total{user=\"u1\"} 12.5 ")))
     } finally q.stop()
+  }
+
+  test("streaming checkpoint key-format guard: stamps fresh dirs, accepts " +
+      "its own stamp, refuses foreign-format or pre-stamp checkpoints") {
+    import graft.operators.Firehose
+    // fresh directory: stamped and accepted
+    val fresh = Files.createTempDirectory("graft-kfmt").toFile.getAbsolutePath
+    FirehoseStream.ensureCheckpointKeyFormat(spark, fresh)
+    val marker = new java.io.File(fresh, "_graft_key_format")
+    assert(marker.exists())
+    assert(Files.readString(marker.toPath).trim === Firehose.SeriesKeyFormat)
+    // normal restart (same stamp): accepted, marker untouched
+    FirehoseStream.ensureCheckpointKeyFormat(spark, fresh)
+    assert(Files.readString(marker.toPath).trim === Firehose.SeriesKeyFormat)
+    // a checkpoint stamped under a FOREIGN key format (planted through
+    // the same FS API an older binary would use): refused loudly
+    // (state keyed by another rendering would split series on restore)
+    val hp = new org.apache.hadoop.fs.Path(fresh, "_graft_key_format")
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(hp, false)
+    val out = hfs.create(hp, false)
+    try out.write("esc0\n".getBytes("UTF-8")) finally out.close()
+    val e = intercept[IllegalStateException](
+      FirehoseStream.ensureCheckpointKeyFormat(spark, fresh))
+    assert(e.getMessage.contains("esc0"))
+    // a POPULATED pre-stamp checkpoint (offsets/ exists, no marker) is
+    // necessarily pre-esc1: refused, never silently restamped
+    val old = Files.createTempDirectory("graft-kfmt-old").toFile.getAbsolutePath
+    assert(new java.io.File(old, "offsets").mkdirs())
+    val e2 = intercept[IllegalStateException](
+      FirehoseStream.ensureCheckpointKeyFormat(spark, old))
+    assert(e2.getMessage.contains("predates"))
+    assert(!new java.io.File(old, "_graft_key_format").exists())
   }
 }
