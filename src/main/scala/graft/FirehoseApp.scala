@@ -485,7 +485,11 @@ object FirehoseApp {
         new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
           java.nio.charset.StandardCharsets.UTF_8))
       val server = graft.promql.PromQlHttp.startLandingServer(
-        spark, root, cfg.getInt("app.serve.port", 0), rules)
+        spark, root, cfg.getInt("app.serve.port", 0), rules,
+        // registry.mode=landed: serve the registry surfaces from the
+        // landed checkpoint relation (cardinality beyond driver heap is
+        // a config flip, not a rewrite)
+        cfg.getOrElse("registry.mode", "driver"))
       println(s"[graft] query API on http://127.0.0.1:${
         server.getAddress.getPort} over $root")
       // serving-side lifecycle daemon: retention + small-file compaction

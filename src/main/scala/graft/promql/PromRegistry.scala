@@ -220,12 +220,27 @@ object PromRegistry {
       }
       l
     }
-    val v = Versioned.commit(
+    commitCkpt(spark, root,
       spark.createDataFrame(rows, ckptSchema).coalesce(1),
+      state.version, state.minTs)
+  }
+
+  /** One checkpoint commit — frame already in [[ckptSchema]] order —
+    * with the stamp set every loader checks (source version, corpus min
+    * timestamp, series-key format, landing generation), followed by the
+    * O(1)-snapshots vacuum. Shared by [[checkpoint]] (the driver-map
+    * snapshot) and [[checkpointAdvance]] (the Spark-side landed-mode
+    * advance), so the two writers cannot drift on the guard props.
+    */
+  private def commitCkpt(
+      spark: SparkSession, root: String, frame: DataFrame,
+      srcVersion: Long, minTs: Long): Long = {
+    val v = Versioned.commit(
+      frame,
       ckptRoot(root),
       props = Map(
-        "ckpt.sourceVersion" -> state.version.toString,
-        "ckpt.minTs" -> state.minTs.toString,
+        "ckpt.sourceVersion" -> srcVersion.toString,
+        "ckpt.minTs" -> minTs.toString,
         // the series-key FORMAT generation: "esc1" = the r16 escaped
         // identity. A checkpoint written under an older key format
         // must not seed a merge with newer-format delta keys (the same
@@ -240,6 +255,83 @@ object PromRegistry {
     // cold-start may just have resolved.
     Versioned.vacuum(ckptRoot(root), keepLast = 2)
     v
+  }
+
+  /** Advance the landed checkpoint ENTIRELY Spark-side — the
+    * `registry.mode=landed` maintenance tick. Unlike [[checkpoint]]
+    * (which snapshots the driver-held map), the head set here never
+    * materializes on the driver: an append-only transition merges the
+    * checkpoint RELATION with the delta files' per-series winners in
+    * one Spark aggregation and commits the result; any other transition
+    * (compaction, retention, tombstones — or no usable checkpoint at
+    * all: missing, foreign key format, dead generation, vacuumed source
+    * manifest) recomputes the head table over the full landing. The
+    * SAME append-vs-maintenance split [[advance]] applies to the driver
+    * map, so the two modes cannot disagree on content; the winner order
+    * is the same (ts_full, id) struct comparison on both paths. Driver
+    * memory per call: one scalar row (the min-timestamp aggregate) plus
+    * commit metadata — series cardinality beyond driver heap is exactly
+    * the regime this exists for.
+    *
+    * Returns the checkpoint version serving should read (the current
+    * one when it already sits at the landing's newest version).
+    */
+  def checkpointAdvance(spark: SparkSession, root: String): Long = {
+    val v = Versioned.latestVersion(root)
+    require(v >= 0, s"no committed versions in $root")
+    val cr = ckptRoot(root)
+    val curGen = generationId(root)
+    // the newest USABLE checkpoint: same guards as loadCheckpoint (key
+    // format, generation, source version not ahead), but the rows stay
+    // landed — only the marker props are read
+    val cur: Option[(Long, Long, Long)] =
+      try {
+        val cv = Versioned.latestVersion(cr)
+        if (cv < 0) None
+        else {
+          val props = Versioned.markerProps(cr, cv)
+          val srcV = props.get("ckpt.sourceVersion").map(_.toLong)
+          val minTs = props.get("ckpt.minTs").map(_.toLong)
+          val gen = props.get("ckpt.generation").map(_.toLong)
+          if (srcV.isEmpty || minTs.isEmpty || srcV.get > v ||
+              (gen.isDefined && curGen.isDefined && gen != curGen) ||
+              !props.get("ckpt.keyFormat").contains(KeyFormat)) None
+          else Some((cv, srcV.get, minTs.get))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    def recompute(): (DataFrame, Long) = {
+      val m = Versioned.asOf(spark, root, v)
+      val mn = m.agg(min(col("timestamp").cast("long"))).head()
+      (headsFrame(m), if (mn.isNullAt(0)) Long.MaxValue else mn.getLong(0))
+    }
+    cur match {
+      case Some((cv, srcV, _)) if srcV == v => cv
+      case other =>
+        val (heads, minT) = other match {
+          case Some((cv, srcV, oldMin)) =>
+            val deltaOpt =
+              try multisetDelta(
+                Versioned.manifest(root, srcV), Versioned.manifest(root, v))
+              catch { case _: IllegalArgumentException => None }
+            deltaOpt match {
+              case Some(delta) if delta.isEmpty =>
+                // same content, newer version stamp — re-land the
+                // relation so `sourceVersion == newest` stays invariant
+                (Versioned.asOf(spark, cr, cv), oldMin)
+              case Some(delta) =>
+                val dm = Versioned.readSubset(spark, root, v, delta)
+                val dMin = dm.agg(min(col("timestamp").cast("long"))).head()
+                val newMin =
+                  if (dMin.isNullAt(0)) oldMin
+                  else math.min(oldMin, dMin.getLong(0))
+                (headsMerge(Versioned.asOf(spark, cr, cv), headsFrame(dm)),
+                  newMin)
+              case None => recompute()
+            }
+          case None => recompute()
+        }
+        commitCkpt(spark, root, heads, v, minT)
+    }
   }
 
   /** The newest landed checkpoint as a [[State]] at its recorded source
@@ -338,6 +430,52 @@ object PromRegistry {
     (heads.result(), minT)
   }
 
+  /** [[headsOf]]'s winner selection as a FRAME in [[ckptSchema]] column
+    * order — no driver collect: the landed-mode maintenance path
+    * ([[checkpointAdvance]]) commits this directly. One map-side-
+    * combinable `max_by` whose shuffle carries one candidate per series
+    * per input partition.
+    */
+  private def headsFrame(m: DataFrame): DataFrame = {
+    import graft.operators.Firehose
+    m.withColumn("series", Firehose.seriesKey(col("labels")))
+      .groupBy(col("component"), col("name"), col("series"))
+      .agg(
+        max_by(
+          struct(col("labels"), col("value"),
+            col("timestamp").cast("long").as("ts"), col("id"),
+            col("timestamp").cast("double").as("ts_full")),
+          struct(col("timestamp"), col("id"))).as("w"))
+      .select(col("component"), col("name"), col("series"),
+        col("w.labels").as("labels"), col("w.value").as("value"),
+        col("w.ts").as("ts"), col("w.id").as("id"),
+        col("w.ts_full").as("ts_full"))
+  }
+
+  /** The `max_by((ts_full, id))` head-merge semigroup applied SPARK-side
+    * over two [[ckptSchema]]-shaped relations — [[mergeHeads]]'s twin
+    * for the landed mode, ordered by exactly the same (full-precision
+    * timestamp, UTF-8-binary id) key, so the driver fold and the landed
+    * merge cannot pick different winners.
+    */
+  private def headsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("component"), col("name"), col("series"))
+      .agg(
+        max_by(
+          struct(col("labels"), col("value"), col("ts"), col("id"),
+            col("ts_full")),
+          struct(col("ts_full"), col("id"))).as("w"))
+      .select(col("component"), col("name"), col("series"),
+        col("w.labels").as("labels"), col("w.value").as("value"),
+        col("w.ts").as("ts"), col("w.id").as("id"),
+        col("w.ts_full").as("ts_full"))
+
+  /** How many roots hold a memoized driver-side registry — the landed
+    * mode's "driver map never built" spec pin.
+    */
+  private[graft] def memoSize: Int = states.size
+
   /** `a > b` in Spark's UTF8String order — unsigned lexicographic over
     * the UTF-8 bytes. The driver merge must tie-break ids EXACTLY as
     * `max_by`'s struct comparison does; Scala's `String` order (UTF-16
@@ -355,6 +493,12 @@ object PromRegistry {
     }
     x.length > y.length
   }
+
+  /** Three-way [[utf8Gt]] comparison (the fold twins of compiled
+    * `orderBy` on string columns rank with this).
+    */
+  private def utf8Cmp(a: String, b: String): Int =
+    if (utf8Gt(a, b)) 1 else if (utf8Gt(b, a)) -1 else 0
 
   /** The `max_by((timestamp, id))` semigroup applied driver-side: for
     * each series the newer (timestamp, id) head wins — folding delta
@@ -642,6 +786,77 @@ object PromRegistry {
           }
           FRow(comp, "", sub(g.head), value)
         })
+      }
+
+    // sort / sort_desc (r17 — the last presentation declines): row
+    // ORDER is the semantics here, so the fold replays the compiled
+    // plan's exact total order — value under Spark's NaN-greatest /
+    // -0.0 < 0.0 double order (asc for sort, desc for sort_desc; the
+    // tie columns stay ascending in both, like the compiled orderBy),
+    // then component, name, canonical series key, all UTF-8 binary.
+    // The LocalRelation preserves row sequence, so collect() returns
+    // the compiled orderBy's exact order (order-SENSITIVE spec pin).
+    case Call(fn @ ("sort" | "sort_desc"), Seq(v)) =>
+      val sign = if (fn == "sort") 1 else -1
+      foldVec(state, v, tSec, lookbackSec).map(_.sortWith { (a, b) =>
+        val c0 = sign * java.lang.Double.compare(a.value, b.value)
+        if (c0 != 0) c0 < 0
+        else {
+          val c1 = utf8Cmp(a.component, b.component)
+          if (c1 != 0) c1 < 0
+          else {
+            val c2 = utf8Cmp(a.name, b.name)
+            if (c2 != 0) c2 < 0
+            else utf8Cmp(renderKey(a.labels), renderKey(b.labels)) < 0
+          }
+        }
+      })
+
+    // topk / bottomk / limitk / limit_ratio (r17): SELECTION
+    // aggregators — the fold replays the compiled rank per (component,
+    // group key): (value desc|asc, name, series key) for topk/bottomk,
+    // (name, series key) for the limit family, and keeps exactly the
+    // compiled row set (limit_ratio's ceil arithmetic replayed
+    // operation for operation). Parameter declines (non-literal, k ≤ 0,
+    // ratio NaN or outside [−1, 1]) fall to the compiled plan so the
+    // error surface stays one.
+    case Agg(op @ ("topk" | "bottomk" | "limitk" | "limit_ratio"),
+        inner, Some(param), grouping) =>
+      litScalar(param) match {
+        case Some(p)
+            if (op == "limit_ratio" && !p.isNaN && p >= -1 && p <= 1) ||
+              (op != "limit_ratio" && p.toInt > 0) =>
+          foldVec(state, inner, tSec, lookbackSec).map { rows =>
+            val sub: FRow => Map[String, String] = grouping match {
+              case AggGroup.All => _ => Map.empty
+              case AggGroup.By(ls) =>
+                r => r.labels.filter { case (k, _) => ls.contains(k) }
+              case AggGroup.Without(ls) =>
+                r => r.labels.filter { case (k, _) => !ls.contains(k) }
+            }
+            rows.groupBy(r => (r.component, renderKey(sub(r)))).toSeq
+              .flatMap { case (_, g) =>
+                val ranked = g.sortWith { (a, b) =>
+                  val c0 = op match {
+                    case "topk" => -java.lang.Double.compare(a.value, b.value)
+                    case "bottomk" => java.lang.Double.compare(a.value, b.value)
+                    case _ => 0
+                  }
+                  if (c0 != 0) c0 < 0
+                  else {
+                    val c1 = utf8Cmp(a.name, b.name)
+                    if (c1 != 0) c1 < 0
+                    else utf8Cmp(renderKey(a.labels), renderKey(b.labels)) < 0
+                  }
+                }
+                if (op == "limit_ratio") {
+                  val n = ranked.size
+                  if (p >= 0) ranked.take(math.ceil(p * n).toInt)
+                  else ranked.drop(math.ceil((1 + p) * n).toInt)
+                } else ranked.take(p.toInt)
+              }
+          }
+        case _ => None
       }
 
     // vector ⊕ SCALAR-SHAPED subexpression (r16 growth of the r15

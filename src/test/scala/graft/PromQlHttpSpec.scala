@@ -361,7 +361,12 @@ class PromQlHttpSpec extends SparkSuite {
             "absent(nosuch_metric)", "vector(42)",
             "view_total * scalar(sum(view_total))",
             """label_join(view_total, "j", "-", "user", "user")""",
-            "abs(view_total)", "clamp_min(round(view_total), 10)")) {
+            "abs(view_total)", "clamp_min(round(view_total), 10)",
+            // r17 fold growth: the presentation/selection family serves
+            // at zero jobs too (row order pinned for sort/sort_desc)
+            "sort(view_total)", "sort_desc(view_total)",
+            "topk(2, view_total)", "bottomk(2, view_total)",
+            "limitk(2, view_total)", "limit_ratio(0.5, view_total)")) {
           val iq = s"/api/v1/query?query=${enc(q)}&lookback=4w"
           val (ni1, ib1) = jobsFor(iq)
           val (ni2, ib2) = jobsFor(iq)
@@ -370,7 +375,7 @@ class PromQlHttpSpec extends SparkSuite {
           assert(ib1.contains("\"resultType\":\"vector\"") &&
             ib1.contains("\"result\":[{"), q)
         }
-        val tq = s"/api/v1/query?query=${enc("topk(2, view_total)")}&lookback=4w"
+        val tq = s"/api/v1/query?query=${enc("quantile(0.5, view_total)")}&lookback=4w"
         val (nt1, _) = jobsFor(tq)
         val (nt2, _) = jobsFor(tq)
         assert(nt1 === nt2 && nt1 > 0)
@@ -1032,5 +1037,109 @@ class PromQlHttpSpec extends SparkSuite {
       assert(get(port,
         s"/api/v1/query_range?query=${enc("x")}&start=9&end=2&step=1")._1 === 400)
     } finally server.stop(0)
+  }
+
+  test("registry.mode=landed: every registry surface serves from the " +
+      "checkpoint RELATION byte-identically to driver mode — the driver " +
+      "map is never built") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import spark.implicits._
+    graft.promql.PromRegistry.reset()
+    val r = Files.createTempDirectory("pqllanded").toFile.getAbsolutePath
+    PromQlVersioned.land(metrics, r)
+    // adversarial heads: a quoted UTF-8 name + key, escape-relevant
+    // label text, sub-microunit and 17-significant-digit values (the
+    // r17 full-precision wire — %.6f would have federated 3.5e-7 as
+    // 0.000000)
+    PromQlVersioned.land(Seq(
+      ("app", "dot.name", Map("k.q" -> "v w"), tMax + 1L, "a1", 3.5e-7),
+      ("app", "up", Map("z" -> "x,y=q\\", "host" -> "a\nb"),
+        tMax + 2L, "a2", 1.0 / 3.0))
+      .toDF("component", "name", "labels", "timestamp", "id", "value"), r)
+    val landedSrv =
+      PromQlHttp.startLandingServer(spark, r, registryMode = "landed")
+    val qt = tMax + 2L
+    val paths = Seq(
+      s"/federate?match[]=${enc("{__name__=~\".*\"}")}",
+      s"/federate?match[]=${enc("view_total")}&match[]=${enc("up")}",
+      s"/api/v1/query?query=${enc("view_total")}&time=$qt",
+      s"/api/v1/query?query=${enc("sum by (user) (view_total)")}&time=$qt",
+      s"/api/v1/query?query=${enc("{\"dot.name\"}")}&time=$qt",
+      // outside the instant-only class: both modes compile the landing
+      s"/api/v1/query?query=${enc("rate(view_total[30m])")}&time=$qt",
+      "/api/v1/labels",
+      "/api/v1/label/user/values",
+      s"/api/v1/series?match[]=${enc("up")}",
+      "/api/v1/metadata",
+      "/api/v1/status/tsdb")
+    def fedUtf8(port: Int): String = client.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$port/federate?match[]=${enc("{__name__=~\".*\"}")}"))
+        .header("Accept", "text/plain;version=0.0.4;escaping=allow-utf-8")
+        .build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+    try {
+      val lp = landedSrv.getAddress.getPort
+      // serve EVERYTHING from the landed server first...
+      val landedBodies = paths.map { p =>
+        val (c, b) = get(lp, p)
+        assert(c === 200, s"$p -> $b")
+        p -> b
+      }
+      val landedUtf8 = fedUtf8(lp)
+      // ...full precision live on the wire...
+      assert(landedUtf8.contains(" 3.5E-7 "))
+      assert(landedUtf8.contains(" 0.3333333333333333 "))
+      assert(landedUtf8.contains("{\"app_dot.name\","))
+      // ...and the driver-held registry was NEVER built: the head table
+      // stayed a landed relation end to end
+      assert(graft.promql.PromRegistry.memoSize === 0,
+        "landed serving must not build the driver-held registry")
+      // honest cost pin: a WARM landed federate is a Spark query over
+      // the checkpoint relation — jobs > 0 (driver mode's fold is 0)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val l = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+        jobs.set(0)
+        assert(get(lp, paths.head)._1 === 200)
+        org.apache.spark.graft.TestBus.drain(spark.sparkContext)
+        assert(jobs.get() > 0,
+          "landed federate must run as a Spark query over the relation")
+      } finally spark.sparkContext.removeSparkListener(l)
+      // the DRIVER-mode server over the same landing: every surface
+      // byte-identical
+      val drvSrv = PromQlHttp.startLandingServer(spark, r)
+      try {
+        val dp = drvSrv.getAddress.getPort
+        landedBodies.foreach { case (p, lb) =>
+          val (c, db) = get(dp, p)
+          assert(c === 200, p)
+          assert(lb === db, p)
+        }
+        assert(fedUtf8(dp) === landedUtf8)
+        // an append: the landed checkpoint advances SPARK-side (merge of
+        // the checkpoint relation with the delta heads) and both modes
+        // move in lockstep
+        PromQlVersioned.land(Seq(
+          ("app", "up", Map("z" -> "x,y=q\\", "host" -> "a\nb"),
+            tMax + 50L, "a3", 2.0e-7))
+          .toDF("component", "name", "labels", "timestamp", "id", "value"), r)
+        val fed = s"/federate?match[]=${enc("up")}"
+        val (cl2, lb2) = get(lp, fed)
+        val (cd2, db2) = get(dp, fed)
+        assert(cl2 === 200 && cd2 === 200)
+        assert(lb2.contains(" 2.0E-7 "), lb2)
+        assert(lb2 === db2)
+        // the landed checkpoint sits at the landing's newest version
+        val cr = graft.promql.PromRegistry.ckptRoot(r)
+        val props = Versioned.markerProps(cr, Versioned.latestVersion(cr))
+        assert(props("ckpt.sourceVersion").toLong === Versioned.latestVersion(r))
+      } finally drvSrv.stop(0)
+    } finally landedSrv.stop(0)
   }
 }

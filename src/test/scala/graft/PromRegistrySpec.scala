@@ -153,6 +153,28 @@ class PromRegistrySpec extends SparkSuite {
         spark, root, q, tt, lookbackSec = lb)
       assert(rendered(fast.get) === rendered(slow), s"$q @ $tt lb=$lb")
     }
+    // r17: the sort/sort_desc FOLD must reproduce the compiled plan's
+    // exact ROW ORDER, not just its row set — order is the semantics of
+    // sort, the LocalRelation preserves row sequence, and the compiled
+    // orderBy is a total order (value, component, name, series key), so
+    // both collects are deterministic and must match position by
+    // position (ties exercised via the all-equal-values / 0 variant)
+    def ordered(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("component"), col("name"),
+          Firehose.seriesKey(col("labels")).as("s"), col("win_start"),
+          col("value"))
+        .collect()
+        .map(r => s"${r.getString(0)}|${r.getString(1)}|${r.getString(2)}|" +
+          s"${r.getLong(3)}|${r.getDouble(4)}")
+        .toSeq
+    for (q <- Seq("sort(view_total)", "sort_desc(view_total)",
+        "sort(view_total > bool 50)", "sort_desc(view_total * 0)")) {
+      val fast = PromRegistry.instantFastPath(spark, root, q, t, 7 * 86400L)
+      assert(fast.nonEmpty, q)
+      val slow = PromQlVersioned.compileInstantVector(
+        spark, root, q, t, lookbackSec = 7 * 86400L)
+      assert(ordered(fast.get) === ordered(slow), s"row ORDER must pin: $q")
+    }
     // declined shapes: offset, @, window-interior functions, subqueries,
     // and an evaluation time before the newest sample (older points can
     // see past a series' head — only the landed walk answers those)
@@ -423,7 +445,12 @@ class PromRegistrySpec extends SparkSuite {
         "exp(m)", "ln(m)", "sin(m)", "acosh(m)",
         // declined shapes stay plan-served and identical
         "stdvar(m)", "stddev by (u) (m)", "quantile(0.5, m)",
-        "m ^ 2", "m atan2 1", "topk(2, m)")) {
+        "m ^ 2", "m atan2 1",
+        // r17: the selection/presentation family folds (rank replayed)
+        "topk(2, m)", "bottomk(2, m)", "topk(1, m) by (u)",
+        "limitk(2, m)", "limit_ratio(0.5, m)", "limit_ratio(-0.5, m)",
+        "limit_ratio(1, m)", "sort(m)", "sort_desc(m)",
+        "sort(m / 0)", "topk(2, m / 0)")) {
       val fast = PromRegistry.instantFastPath(spark, root, q, t, lookback)
       assert(fast.nonEmpty, q)
       val slow = PromQlVersioned.compileInstantVector(
