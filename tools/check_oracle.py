@@ -13,6 +13,7 @@ import json
 import math
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -35,6 +36,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional per-oracle wall-clock budget (seconds) for large scale
+    # factors: the driver's gate runs at sf0.01 where every oracle is
+    # fast, but the sf1.0 sweep can hit DuckDB legs (recursive-CTE
+    # closures, all-pairs joins) whose cost is the ORACLE's, not the
+    # engine's — report those as ORACLE-TIMEOUT, distinct from FAIL
+    timeout = float(sys.argv[3]) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -43,6 +50,7 @@ def main() -> int:
         oracles = json.load(f)
 
     failures = 0
+    timeouts = 0
     for name in sorted(os.listdir(out_dir)):
         path = os.path.join(out_dir, name)
         if not os.path.isdir(path):
@@ -52,7 +60,25 @@ def main() -> int:
             print(f"  {name}: NO-ORACLE rows={len(got)} "
                   f"{'OK' if len(got) > 0 else 'EMPTY!'}")
             continue
-        want = canon(con.execute(oracles[name]).fetchdf())
+        if timeout:
+            import threading
+            t0 = time.time()
+            timer = threading.Timer(timeout, con.interrupt)
+            timer.start()
+            try:
+                want = canon(con.execute(oracles[name]).fetchdf())
+            except Exception as e:
+                timer.cancel()
+                if time.time() - t0 >= timeout - 1:
+                    timeouts += 1
+                    print(f"  {name}: ORACLE-TIMEOUT after {timeout:.0f}s "
+                          f"(engine rows={len(got)})")
+                    continue
+                raise e
+            finally:
+                timer.cancel()
+        else:
+            want = canon(con.execute(oracles[name]).fetchdf())
         ok = True
         msgs = []
         if list(got.columns) != list(want.columns):
@@ -104,6 +130,8 @@ def main() -> int:
             failures += 1
         print(f"  {name}: {status} rows={len(got)}" +
               ("" if ok else " | " + "; ".join(msgs[:4])))
+    if timeouts:
+        print(f"  ({timeouts} oracle legs exceeded the {timeout:.0f}s budget)")
     return 1 if failures else 0
 
 
