@@ -272,6 +272,11 @@ object SparkEntry {
         budgets = Map("src0" -> 3000L, "src1" -> 2000L, "src2" -> 1000L, "src3" -> 500L))),
     "d25_semdedup" -> ((s, dir) =>
       Dedup.semDedup(Tables(s, dir, "embeddings"))),
+    // the paper's two-phase shape: k-means cells as blocks, nlist ∝ corpus
+    // — rows-only (the seeded solver fit has no portable SQL oracle);
+    // agreement/recall floors + weight conservation are spec-pinned
+    "d27_semdedup_ivf" -> ((s, dir) =>
+      Dedup.semDedupIvf(Tables(s, dir, "embeddings"))),
     "t17_quality_pr" -> ((s, dir) =>
       TextAnalysis.qualityPrCurve(Tables(s, dir, "documents"))),
     // delta ingest vs landed registry: the d17-style id-mod split stands

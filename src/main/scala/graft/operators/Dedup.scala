@@ -761,15 +761,82 @@ object Dedup {
       threshold: Double = 0.35): DataFrame = {
     val pairs = embeddingNearDup(embeddings, blockCol, threshold)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    clusterSurvivors(embeddings, pairs, blockCol)
+  }
+
+  /** The shared SemDeDup tail: near-dup pairs → min-label clusters → keep
+    * the min-id representative per cluster, each survivor weighted by its
+    * cluster size (1 for untouched vectors). Weight is CONSERVED: the
+    * survivors' `n_merged` sums to the corpus row count exactly.
+    */
+  private def clusterSurvivors(
+      corpus: DataFrame, pairs: DataFrame, metaCol: String): DataFrame = {
     val clusters = resolveClusters(pairs) // (doc_id, cluster_rep)
     val sizes = clusters.groupBy(col("cluster_rep")).agg(count(lit(1)).as("n_merged"))
-    embeddings
+    corpus
       .join(clusters.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
       .filter(col("cluster_rep").isNull || col("cluster_rep") === col("vec_id"))
       .join(sizes.withColumnRenamed("cluster_rep", "vec_id"), Seq("vec_id"), "left")
       .select(
-        col("vec_id"), col(blockCol),
+        col("vec_id"), col(metaCol),
         coalesce(col("n_merged"), lit(1L)).as("n_merged"))
       .orderBy(col("vec_id"))
+  }
+
+  /** `nlist` for [[semDedupIvf]]: grows linearly with the corpus so the
+    * expected cell size stays at `targetCell` REGARDLESS of the data's own
+    * block/label structure — the property that makes the within-cell
+    * self-join linear in corpus size by construction. (The d5/d25
+    * exact-blocked forms are linear only while the block COLUMN's
+    * cardinality scales with the data; this variant carries its own
+    * guarantee.) Floor of 8 so tiny corpora still exercise the cell join;
+    * cap of 65536 bounds the literal centroid matrix the codegen
+    * assignment compiles against (at 64 dims that is ~32 MB of plan
+    * constants — past that an ingest pipeline would land the assignment
+    * as a column and this fit would shard, cf. [[Similarity.ivfIndex]]'s
+    * landed-index note).
+    */
+  private[graft] def ivfNlist(n: Long, targetCell: Int): Int =
+    math.max(8L, math.min(65536L, n / targetCell + 1L)).toInt
+
+  /** SemDeDup at corpus scale — the paper's own two-phase shape (Abbas et
+    * al. 2023, arXiv:2303.09540: k-means the embedding space FIRST, then
+    * dedup within clusters): the coarse k-means cell IS the block key, with
+    * `nlist` ∝ corpus size ([[ivfNlist]]) so cell sizes stay bounded at
+    * `targetCell` and the within-cell pairwise join is linear in the
+    * corpus by construction. [[semDedup]]/[[embeddingNearDup]] stay the
+    * EXACT blocked forms (oracle-checked bit-exactly, linear only while
+    * the block column's cardinality scales); this is the form a 100 TB
+    * deployment runs, at the usual approximate-blocking price — pairs
+    * whose endpoints land in different cells are not examined, exactly
+    * the pairs the paper's own clustering also skips.
+    *
+    * Reuses [[Similarity.ivfIndex]] wholesale: a bounded reservoir sample,
+    * a deterministic driver-local Lloyd fit (seeded — two runs of this
+    * operator are byte-identical), and the cell assignment as one
+    * whole-stage-codegen pass against the literal centroid matrix. One
+    * count() job sizes `nlist`; an ingest pipeline that has already landed
+    * the assignment (the IvfIndex note) skips both.
+    *
+    * Output matches [[semDedup]]'s shape with `cell` as the block column:
+    * (vec_id, cell, n_merged), min-id survivor per semantic cluster,
+    * weight conserved (Σ n_merged = corpus rows).
+    */
+  def semDedupIvf(
+      embeddings: DataFrame,
+      targetCell: Int = 256,
+      threshold: Double = 0.35,
+      maxTrainRows: Long = 4096L): DataFrame = {
+    val nlist = ivfNlist(embeddings.count(), targetCell)
+    val assigned = Similarity.ivfIndex(embeddings, nlist, maxTrainRows).assigned
+      .select(
+        col("neighbor_id").as("vec_id"), col("cand_emb").as("embedding"), col("cell"))
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(
+        GraftFunctions.cosine_sim(col("a.embedding"), col("b.embedding")) >= threshold)
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+    clusterSurvivors(assigned, pairs, "cell")
   }
 }

@@ -218,20 +218,6 @@ object Similarity {
     */
   final case class IvfIndex(centroids: Seq[Seq[Double]], assigned: DataFrame)
 
-  /** (squared-distance, cell) structs against the literal centroid matrix;
-    * struct order sorts by dist first, cell as the deterministic tiebreak.
-    */
-  private def cellDists(centroids: Seq[Seq[Double]], emb: Column): Seq[Column] =
-    centroids.indices.map { c =>
-      val sqDist = aggregate(
-        zip_with(emb, typedLit(centroids(c)), (x, m) => {
-          val d = x.cast("double") - m
-          d * d
-        }),
-        lit(0.0), (acc, x) => acc + x)
-      struct(sqDist.as("dist"), lit(c).as("cell"))
-    }
-
   /** Build the IVF index: fit the coarse quantizer driver-locally on a
     * bounded reservoir sample ([[lloydFit]]) and assign every corpus
     * vector to its nearest cell with a pure codegen'd expression — one
@@ -241,18 +227,28 @@ object Similarity {
       embeddings: DataFrame,
       nlist: Int = 16,
       maxTrainRows: Long = 4096L): IvfIndex = {
+    import org.apache.spark.sql.graft.{GraftBridge, PqCell}
     val sample = graft.Tables
       .reservoirSample(embeddings.select(col("embedding")), maxTrainRows, seedSalt = 1009L)
       .collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val centroids: Seq[Seq[Double]] =
       lloydFit(sample, nlist, iters = 8, seed = 42L).map(_.toSeq).toSeq
+    // assignment through the native kernel (same fold order, same strict-<
+    // tie-break as the struct-sort formulation — bit-identical cells): one
+    // codegen call per row against the centroid matrix as a reference
+    // object, so the plan stays a few nodes at ANY nlist. The HOF
+    // struct-array formulation this replaces built an O(nlist)-node tree
+    // per reference that Catalyst re-analyzed per action and evaluated
+    // interpreted — at corpus-proportional nlist ([[Dedup.ivfNlist]]) that
+    // dominated wall-clock (measured 44x scale-up on d27 before the swap).
     IvfIndex(
       centroids,
       embeddings.select(
         col("vec_id").as("neighbor_id"), col("embedding").as("cand_emb"),
-        element_at(array_sort(array(cellDists(centroids, col("embedding")): _*)), 1)
-          .getField("cell").as("cell")))
+        GraftBridge.column(PqCell(
+          GraftBridge.expression(col("embedding")),
+          centroids.map(_.toArray).toArray)).as("cell")))
   }
 
   /** Search a built (possibly landed-and-reloaded) index: probes explode to
@@ -265,12 +261,14 @@ object Similarity {
       probes: DataFrame,
       k: Int = 5,
       nprobe: Int = 4): DataFrame = {
-    val nearestCells =
-      slice(array_sort(array(cellDists(index.centroids, col("embedding")): _*)), 1, nprobe)
+    import org.apache.spark.sql.graft.{GraftBridge, NearestCells}
+    // same ascending-(distance, id) cell list as the struct-sort
+    // formulation, via the native kernel (see [[ivfIndex]]'s plan-size note)
     val p = probes
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
-        explode(nearestCells).as("pc"))
-      .select(col("probe_id"), col("probe_emb"), col("pc.cell").as("cell"))
+        explode(GraftBridge.column(NearestCells(
+          GraftBridge.expression(col("embedding")),
+          index.centroids.map(_.toArray).toArray, nprobe))).as("cell"))
     val scored = index.assigned
       .join(broadcast(p), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))

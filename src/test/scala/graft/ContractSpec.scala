@@ -14,7 +14,9 @@ class ContractSpec extends SparkSuite {
     // rows-only queries are the deliberate, documented exceptions: solver
     // outputs (KMeans cells, LR coefficients) have no portable oracle and
     // are spec-verified instead (recall floor / agreement floor)
-    assert(rowsOnly === Set("s3_ann_ivf", "s9_ann_ivfpq", "t10_quality_model"),
+    assert(
+      rowsOnly === Set(
+        "s3_ann_ivf", "s9_ann_ivfpq", "t10_quality_model", "d27_semdedup_ivf"),
       s"unexpected rows-only set: $rowsOnly")
   }
 

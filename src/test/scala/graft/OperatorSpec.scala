@@ -151,6 +151,84 @@ class OperatorSpec extends SparkSuite {
     assert(scans.exists(_.contains("idx")), s"landed index not read: $scans")
   }
 
+  test("IVF SemDeDup: weight conserved, removals sound, recall floored, deterministic") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val n = emb.count()
+    val out = Dedup.semDedupIvf(emb).collect()
+    // weight conservation — exact regardless of what the clustering found
+    assert(out.map(_.getLong(2)).sum === n, "survivor weights must sum to the corpus")
+    // determinism: the fit is a seeded reservoir sample + seeded Lloyd, so
+    // two runs are byte-identical
+    val again = Dedup.semDedupIvf(emb).collect()
+    assert(out.toSeq === again.toSeq)
+    // soundness (a theorem, asserted exactly): every within-cell pair the
+    // IVF form scores passes the SAME exact cosine predicate, so its pair
+    // set is a SUBSET of the all-pairs truth — removals can only be a
+    // subset of the exact form's removals, never a false removal
+    val truth = Dedup.semDedup(emb.withColumn("_one", lit(0)), "_one")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivfKept = out.map(_.getLong(0)).toSet
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val removedTrue = allIds -- truth
+    val removedIvf = allIds -- ivfKept
+    assert((removedIvf -- removedTrue).isEmpty,
+      s"IVF removed vectors the all-pairs truth keeps: ${removedIvf -- removedTrue}")
+    // worst-case-data recall, pinned not floored high: near-uniform random
+    // vectors at the permissive 0.35 threshold are IVF's pathological case
+    // ("duplicates" spread across the whole space with no cluster
+    // structure — same caveat as the ANN recall tests); deterministic
+    // value at the fixed sample + seed
+    assume(removedTrue.nonEmpty)
+    val recall = removedIvf.size.toDouble / removedTrue.size
+    info(f"IVF SemDeDup removal recall vs all-pairs (worst-case corpus): $recall%.2f " +
+      s"(${removedIvf.size}/${removedTrue.size})")
+    assert(recall >= 0.35, f"worst-case removal recall $recall%.2f below the 0.35 floor")
+    // the within-cell self-join must be an equi-join, never a cartesian
+    val plan = Dedup.semDedupIvf(emb).queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), "cell self-join fell to a cartesian product")
+  }
+
+  test("IVF SemDeDup co-locates planted near-duplicate clusters (deployment-shape recall)") {
+    import spark.implicits._
+    // the semantics the operator is FOR: near-dups are near-IDENTICAL
+    // (tiny perturbations, cosine ≥ ~0.99) — a perturbed copy lands in its
+    // base vector's cell unless the base sits exactly on a Voronoi edge,
+    // so cell blocking must recover nearly every planted duplicate
+    val rnd = new scala.util.Random(7L)
+    val dim = 16
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / nrm).toFloat)
+    }
+    val bases = Array.fill(120)(unit())
+    val rows = bases.zipWithIndex.flatMap { case (b, i) =>
+      val copies = if (i % 3 == 0) 2 else 0 // 40 planted clusters of size 3
+      (0 to copies).map { c =>
+        val v = b.zipWithIndex.map { case (x, j) =>
+          (x + (if (c == 0) 0.0 else 0.01 * rnd.nextGaussian())).toFloat }
+        (i.toLong * 10 + c, v, 0)
+      }
+    }.toSeq
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Dedup.semDedupIvf(emb, targetCell = 16, threshold = 0.9).collect()
+    val kept = out.map(_.getLong(0)).toSet
+    val planted = rows.map(_._1).filter(_ % 10 != 0).toSet // the perturbed copies
+    val removed = rows.map(_._1).toSet -- kept
+    val plantedRecall = (removed intersect planted).size.toDouble / planted.size
+    info(f"planted near-dup recall: $plantedRecall%.2f (${(removed intersect planted).size}/${planted.size})")
+    assert(plantedRecall >= 0.9,
+      f"planted recall $plantedRecall%.2f below the 0.9 floor — cells split near-identical vectors")
+  }
+
+  test("ivfNlist grows with the corpus and is bounded at both ends") {
+    assert(Dedup.ivfNlist(0L, 256) === 8)
+    assert(Dedup.ivfNlist(2048L, 256) === 9)
+    assert(Dedup.ivfNlist(1000000L, 256) === 3907)
+    // the 100 TB end: the centroid-literal cap, not a data-derived value
+    assert(Dedup.ivfNlist(100000000000L, 256) === 65536)
+  }
+
   test("IVF-PQ refined recall at defaults stays above the floor") {
     val emb = Tables(spark, sfDir, "embeddings")
     val probes = emb.filter(col("vec_id") < 10)

@@ -28,8 +28,16 @@ Scaling model (the 100 TB axis is entity cardinality, not time):
   instead of exploding the all-pairs relation with factor^2 cross-copy
   duplicates. n_chars recomputed from the new text.
 - embeddings: vec_id offset (same stride pool as doc_id in case of
-  doc<->vec joins); vectors copied verbatim - exact-duplicate vectors
-  across copies tie on cosine and every consumer tie-breaks on id.
+  doc<->vec joins) AND label offset by copy - the label column is the
+  block/cluster id pool (the stand-in for an IVF assignment at 100 TB),
+  and real corpora grow by adding CLUSTERS, not by inflating every
+  cluster <factor>x: offsetting keeps the per-block size distribution
+  fixed while block cardinality scales with the corpus, the exact
+  analogue of the documents token-suffix treatment (without it the
+  label-blocked self-joins in d5/d25/d26 go factor^2 on cross-copy
+  pairs - measured 25-34x for 10x data before the fix). Vectors are
+  copied verbatim - exact-duplicate vectors across copies tie on
+  cosine and every consumer tie-breaks on id.
 """
 import os
 import sys
@@ -125,7 +133,8 @@ def main():
 
     write(dst, "documents", copies(
         documents, [("doc_id", s_doc)], textfix=fix_docs))
-    write(dst, "embeddings", copies(embeddings, [("vec_id", s_doc)]))
+    write(dst, "embeddings", copies(
+        embeddings, [("vec_id", s_doc), ("label", stride_of(embeddings, "label"))]))
 
     for name in ("region", "nation", "customer", "supplier", "part",
                  "orders", "lineitem", "events", "documents", "embeddings"):
