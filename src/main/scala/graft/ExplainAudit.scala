@@ -28,6 +28,32 @@ object ExplainAudit {
       spark.stop()
       return
     }
+    // `--dump <outDir> <suffix> [names]`: write `.explain("formatted")` of
+    // each query to `<outDir>/<name>_<suffix>.txt` — the optimization-round
+    // evidence files (plans/r17/<query>_{before,after}.txt). Queries that
+    // LAND state to build their plan (p9–p13, m53–m57 …) execute their
+    // setup commits as a side effect of constructing the DataFrame; the
+    // dumped plan is the final declared query's plan, which is the one
+    // the round's claims are about.
+    if (args.headOption.contains("--dump")) {
+      val outDir = args(1)
+      val suffix = args(2)
+      val names = args.drop(3).headOption.map(_.split(",").toSet)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        if (names.forall(_.contains(name))) {
+          val txt =
+            try fn(spark, dir).queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            catch { case e: Throwable => "ERR " + e.getMessage }
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"), txt)
+          println(s"dumped $name (${txt.length} chars)")
+        }
+      }
+      spark.stop()
+      return
+    }
     val targets = args.headOption.map(_.split(",").toSet)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (targets.forall(_.contains(name))) {

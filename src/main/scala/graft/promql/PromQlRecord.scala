@@ -540,47 +540,88 @@ object PromQlRecord {
             (if (c.static.isEmpty) Nil else Seq(col("_rseries"))) ++
             Seq(col("timestamp"), col("id"), col("value")): _*)
           .agg(sum(col("_sign")).as("_net")))
-        val bad = netted.filter(col("_net") < 0 || col("_net") > 1)
-          .select(col("series"), col("timestamp"), col("id"), col("_net"))
-          .limit(1).collect()
-        if (bad.nonEmpty) {
-          val b = bad.head
+        // ONE per-series pass over the staged netted span replaces three
+        // separate actions (the append-only check, the state probe keys,
+        // the out-of-order firsts): per series — net bounds, a sample
+        // violating row for the error message, the earliest fresh
+        // (ts, id), and the rendered state key. Rows = touched series,
+        // the established O(delta) driver contract.
+        val perSeries = netted
+          .groupBy(col("component"), col("name"), col("series"))
+          .agg(
+            min(when(col("_net") < 0 || col("_net") > 1,
+              struct(col("timestamp"), col("id"), col("_net")))).as("_bad"),
+            min(when(col("_net") === 1,
+              struct(col("timestamp"), col("id")))).as("_first"),
+            max(col("_net")).as("_maxNet"))
+          .select(col("component"), col("name"), col("series"),
+            stateGk.as("_sgk"), col("_bad"), col("_first"), col("_maxNet"))
+          .collect()
+        perSeries.find(!_.isNullAt(4)).foreach { r =>
+          val b = r.getStruct(4)
           throw new IllegalStateException(
             s"counter rule '${c.ruleName}': the change span " +
               s"v$srcV→v$vNow of $sourceRoot " +
-              (if (b.getLong(3) < 0) "retracts" else "re-appends") +
-              s" sample (series=${b.getString(0)}, ts=${b.getLong(1)}, " +
-              s"id=${b.getString(2)}) — increase/rate rules maintain " +
+              (if (b.getLong(2) < 0) "retracts" else "re-appends") +
+              s" sample (series=${r.getString(2)}, ts=${b.getLong(0)}, " +
+              s"id=${b.getString(1)}) — increase/rate rules maintain " +
               "APPEND-ONLY lineage; rebuild with create() or use the " +
               "batch rule loop (PromQlRules.evaluate) for delete lineage")
         }
-        val fresh = netted.filter(col("_net") === 1).drop("_net")
-        val sKeys = fresh.select(stateGk).distinct()
-          .collect().map(_.getString(0)).toSeq.sorted
+        val freshSeries = perSeries.filter(_.getLong(6) == 1L)
+        val sKeys = freshSeries.map(_.getString(3)).toSeq.distinct.sorted
         if (sKeys.isEmpty)
           // self-cancelling span (a compact): watermark-only commit
           return Versioned.replaceCommit(
             Versioned.latest(spark, viewRoot).filter(lit(false)),
-            viewRoot, GK, props = newProps, expectedVersion = viewV)
-        val state = Versioned.pointRead(spark, viewRoot, viewV, GK, sKeys)
+            viewRoot, GK, props = newProps, expectedVersion = viewV,
+            knownKeys = Some(Nil))
+        val fresh = netted.filter(col("_net") === 1).drop("_net")
+        // the touched series' recorded heads, collected ONCE (state-row
+        // count = touched series — the same O(delta) bound as the probe
+        // keys) and re-used both driver-side (the out-of-order check) and
+        // as a LocalRelation in the seed join — the point read no longer
+        // re-executes per consumer
+        val stateDf = Versioned.pointRead(spark, viewRoot, viewV, GK, sKeys)
           .select(col("component"), col("name"), col("series"),
             col("last_ts"), col("last_id"), col("last_value"))
+        val stateRowsHeld = stateDf.collect()
         // the seed is only valid when every new sample lands AFTER the
         // series' recorded head — a backfill behind it would need the
-        // already-summed deltas around the insertion point re-cut
-        val ooo = fresh
-          .groupBy(col("component"), col("name"), col("series"))
-          .agg(min(struct(col("timestamp"), col("id"))).as("_first"))
-          .join(state, Seq("component", "name", "series"))
-          .filter(struct(col("last_ts"), col("last_id")) >= col("_first"))
-          .select(col("series"), col("_first.timestamp"))
-          .limit(1).collect()
-        if (ooo.nonEmpty)
-          throw new IllegalStateException(
-            s"counter rule '${c.ruleName}': the change span appends " +
-              s"sample(s) at/behind series ${ooo.head.getString(0)}'s " +
-              s"recorded head (ts=${ooo.head.getLong(1)}) — out-of-order " +
-              "backfills need create() or the batch rule loop")
+        // already-summed deltas around the insertion point re-cut.
+        // (ts, id) tuples compare like Spark's struct ordering: ts as
+        // long, id as UTF8 bytes (unsigned lexicographic).
+        def utf8Gte(a: String, b: String): Boolean = {
+          val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = math.min(x.length, y.length)
+          var i = 0
+          while (i < n) {
+            val d = (x(i) & 0xff) - (y(i) & 0xff)
+            if (d != 0) return d > 0
+            i += 1
+          }
+          x.length >= y.length
+        }
+        val firstBySeries = freshSeries.map(r =>
+          (r.getString(0), r.getString(1), r.getString(2)) -> r.getStruct(5))
+          .toMap
+        stateRowsHeld.foreach { s =>
+          firstBySeries.get((s.getString(0), s.getString(1), s.getString(2)))
+            .foreach { f =>
+              val atOrBehind = s.getLong(3) > f.getLong(0) ||
+                (s.getLong(3) == f.getLong(0) &&
+                  utf8Gte(s.getString(4), f.getString(1)))
+              if (atOrBehind)
+                throw new IllegalStateException(
+                  s"counter rule '${c.ruleName}': the change span appends " +
+                    s"sample(s) at/behind series ${s.getString(2)}'s " +
+                    s"recorded head (ts=${f.getLong(0)}) — out-of-order " +
+                    "backfills need create() or the batch rule loop")
+            }
+        }
+        val state = spark.createDataFrame(
+          java.util.Arrays.asList(stateRowsHeld: _*), stateDf.schema)
         val incs = fresh
           .withColumn("_prev", lag(col("value"), 1).over(lagWin))
           .join(state.select(col("component"), col("name"), col("series"),
@@ -606,7 +647,11 @@ object PromQlRecord {
         Versioned.replaceCommit(
           winRows(merged, c.static.nonEmpty)
             .unionByName(stateRows(fresh, c.static.nonEmpty)), viewRoot, GK,
-          bloomCols = Seq(GK), props = newProps, expectedVersion = viewV)
+          bloomCols = Seq(GK), props = newProps, expectedVersion = viewV,
+          // the commit's key set is already driver-held: the merged
+          // window keys (the left join preserves the delta's exactly)
+          // plus the fresh series' state keys
+          knownKeys = Some((wKeys ++ sKeys).distinct))
       } finally stage.dropAll()
     }
 

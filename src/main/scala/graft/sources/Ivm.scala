@@ -154,25 +154,36 @@ private[graft] object Ivm {
     }
 
   /** Split the merged incremental arm + optional recompute arm into the
-    * commit's survivors and the group keys to tombstone: zero-count
-    * incremental groups vanish, and so do recompute-arm probe keys whose
-    * recomputed relation came back empty (all their rows are gone).
-    * The key collects are group-bounded — the established O(delta)
-    * driver contract.
+    * commit's survivors, the group keys to tombstone, and the survivors'
+    * exact key set (handed to `replaceCommit(knownKeys = …)` so the
+    * commit never re-runs the survivor frame just to learn its keys):
+    * zero-count incremental groups vanish, and so do recompute-arm probe
+    * keys whose recomputed relation came back empty (all their rows are
+    * gone). ONE action: the zero-count keys and the recompute arm's
+    * alive keys collect as a single unioned scan of the (staged) arms —
+    * both group-bounded, the established O(delta) driver contract.
+    * `incrKeys` is the key set of the delta rows fed to [[mergeIncr]]
+    * (the caller already holds it from its delta collect); the merge's
+    * left join preserves it exactly, so survivors-from-merged =
+    * incrKeys − zeroed-from-merged without another pass.
     */
   def survivorsAndZeroed(
       merged: DataFrame,
       recomputed: Option[DataFrame],
       recomputeKeys: Seq[String],
-      cols: Seq[Column]): (DataFrame, Seq[String]) = {
+      cols: Seq[Column],
+      incrKeys: Seq[String]): (DataFrame, Seq[String], Seq[String]) = {
     val survivors = (merged.filter(col("cnt") > 0L).select(cols: _*) +:
       recomputed.map(_.select(cols: _*)).toSeq).reduce(_.unionByName(_))
-    val zeroed = merged.filter(col("cnt") === 0L)
-      .select(col(GK)).collect().map(_.getString(0)).toSeq ++
-      recomputed.map { r =>
-        val alive = r.select(col(GK)).collect().map(_.getString(0)).toSet
-        recomputeKeys.filterNot(alive)
-      }.getOrElse(Nil)
-    (survivors, zeroed)
+    val marks = (merged.filter(col("cnt") === 0L)
+      .select(col(GK), lit(0).as("_m")) +:
+      recomputed.map(_.select(col(GK), lit(1).as("_m"))).toSeq)
+      .reduce(_.unionByName(_)).collect()
+    val zeroFromMerged = marks.filter(_.getInt(1) == 0).map(_.getString(0)).toSeq
+    val alive = marks.filter(_.getInt(1) == 1).map(_.getString(0)).toSeq
+    val zeroed = zeroFromMerged ++ recomputeKeys.filterNot(alive.toSet)
+    val survivorKeys =
+      (incrKeys.filterNot(zeroFromMerged.toSet) ++ alive).distinct
+    (survivors, zeroed, survivorKeys)
   }
 }

@@ -255,20 +255,26 @@ object MaterializedJoinView {
             extraKeep =
               if (d.minMaxCols.isEmpty) None else Some(col("_t3") === 1)))
           .withColumn(GK, gkOf(d.groupCols))))
-    val keys = delta.map(_.select(col(GK)).collect().map(_.getString(0)).toSeq.sorted)
-      .getOrElse(Nil)
+    // ONE collect for both driver-held key lists (point-read probe set +
+    // recompute probe set) — see MaterializedView.refresh
+    val kd = delta.map(_.select(col(GK), col("_del")).collect())
+      .getOrElse(Array.empty[org.apache.spark.sql.Row])
+    val keys = kd.map(_.getString(0)).toSeq.sorted
     if (keys.isEmpty)
       // watermark-only metadata commit
       return Versioned.replaceCommit(
         Versioned.latest(spark, viewRoot).filter(lit(false)),
-        viewRoot, GK, props = newProps, expectedVersion = viewV)
+        viewRoot, GK, props = newProps, expectedVersion = viewV,
+        knownKeys = Some(Nil))
     val old = Versioned.pointRead(spark, viewRoot, viewV, GK, keys)
     // groups a retraction touched (and that failed the lemma) lose their
     // extremum evidence — recompute exactly those from the source join
     val recomputeKeys =
       if (d.minMaxCols.isEmpty) Nil
-      else delta.get.filter(col("_del") === 1)
-        .select(col(GK)).collect().map(_.getString(0)).toSeq.sorted
+      else kd.filter(_.getInt(1) == 1).map(_.getString(0)).toSeq.sorted
+    val incrKeys =
+      if (d.minMaxCols.isEmpty) keys
+      else kd.filter(_.getInt(1) == 0).map(_.getString(0)).toSeq
     val incr = Ivm.mergeIncr(
       delta.get.filter(col("_del") === 0 || lit(d.minMaxCols.isEmpty)),
       old, d.groupCols, d.sumCols, d.minMaxCols, "join view")
@@ -311,11 +317,12 @@ object MaterializedJoinView {
                   d.joinCol), d), d)
             .filter(col(GK).isin(recomputeKeys: _*))))
       }
-    val (survivors, zeroed) =
-      Ivm.survivorsAndZeroed(merged, recomputed, recomputeKeys, viewCols(d))
+    val (survivors, zeroed, survivorKeys) =
+      Ivm.survivorsAndZeroed(merged, recomputed, recomputeKeys, viewCols(d),
+        incrKeys)
     Versioned.replaceCommit(
       survivors, viewRoot, GK, deleteKeys = zeroed.sorted, props = newProps,
-      expectedVersion = viewV)
+      expectedVersion = viewV, knownKeys = Some(survivorKeys))
     } finally stage.dropAll()
   }
 }

@@ -207,19 +207,26 @@ object MaterializedView {
         Ivm.evidenceAgg(cdf, sign, d.groupCols, d.sumCols, d.minMaxCols)
           .filter(Ivm.lemmaKeep(d.sumCols, d.minMaxCols))
           .withColumn(GK, gkOf(d.groupCols)))
-      val keys = delta.select(col(GK)).collect().map(_.getString(0)).toSeq.sorted
+      // ONE collect for both driver-held key lists (the point-read probe
+      // set and the recompute probe set) — the staged delta is tiny but
+      // every action costs a scheduler round trip
+      val kd = delta.select(col(GK), col("_del")).collect()
+      val keys = kd.map(_.getString(0)).toSeq.sorted
       if (keys.isEmpty)
         // watermark-only metadata commit (e.g. the span was a compact)
         return Versioned.replaceCommit(
           Versioned.latest(spark, viewRoot).filter(lit(false)),
-          viewRoot, GK, props = newProps, expectedVersion = viewV)
+          viewRoot, GK, props = newProps, expectedVersion = viewV,
+          knownKeys = Some(Nil))
       val old = Versioned.pointRead(spark, viewRoot, viewV, GK, keys)
       // groups a delete touched (and that failed the lemma) lose their
       // extremum evidence — recompute exactly those from the source
       val recomputeKeys =
         if (d.minMaxCols.isEmpty) Nil
-        else delta.filter(col("_del") === 1)
-          .select(col(GK)).collect().map(_.getString(0)).toSeq.sorted
+        else kd.filter(_.getInt(1) == 1).map(_.getString(0)).toSeq.sorted
+      val incrKeys =
+        if (d.minMaxCols.isEmpty) keys
+        else kd.filter(_.getInt(1) == 0).map(_.getString(0)).toSeq
       val incr = stage(Ivm.mergeIncr(
         delta.filter(col("_del") === 0 || lit(d.minMaxCols.isEmpty)),
         old, d.groupCols, d.sumCols, d.minMaxCols, "materialized view"))
@@ -228,11 +235,12 @@ object MaterializedView {
         else Some(stage(
           aggregated(filtered(Versioned.asOf(spark, d.sourceRoot, vNow), d), d)
             .filter(col(GK).isin(recomputeKeys: _*))))
-      val (survivors, zeroed) =
-        Ivm.survivorsAndZeroed(incr, recomputed, recomputeKeys, viewCols(d))
+      val (survivors, zeroed, survivorKeys) =
+        Ivm.survivorsAndZeroed(incr, recomputed, recomputeKeys, viewCols(d),
+          incrKeys)
       Versioned.replaceCommit(
         survivors, viewRoot, GK, deleteKeys = zeroed.sorted, props = newProps,
-        expectedVersion = viewV)
+        expectedVersion = viewV, knownKeys = Some(survivorKeys))
     } finally stage.dropAll()
   }
 }

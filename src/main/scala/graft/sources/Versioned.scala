@@ -1160,7 +1160,8 @@ object Versioned {
       bloomCols: Seq[String] = Nil,
       expectedKeysPerFile: Long = 100000L,
       props: Map[String, String] = Map.empty,
-      expectedVersion: Long = -1L): Long = {
+      expectedVersion: Long = -1L,
+      knownKeys: Option[Seq[String]] = None): Long = {
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
     // `expectedVersion` is the OPTIMISTIC-CONCURRENCY read-set check for
@@ -1177,8 +1178,14 @@ object Versioned {
     deleteKeyOf(root, v).foreach(k => require(k == keyCol,
       s"table carries tombstones on '$k'; a second delete key '$keyCol' " +
         "requires a compact() first"))
-    val dfKeys = df.select(col(keyCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    // `knownKeys` lets a maintainer that ALREADY collected its changeset's
+    // key set (the view refreshes — their delta/zeroed collects hold it)
+    // skip re-running `df` here just to learn its keys. The caller asserts
+    // the set equals df's distinct keyCol values rendered as strings; the
+    // tombstone locate and the delta blooms below stay exact either way.
+    val dfKeys = knownKeys.getOrElse(
+      df.select(col(keyCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq)
     val allKeys = (deleteKeys ++ dfKeys).distinct.sorted
     val entries = manifest(root, v)
     val hits =
