@@ -403,4 +403,71 @@ object Kernels {
       (e << schema) + j
     }
   }
+
+  /** Single-pass Prometheus exposition-line parse — the codegen kernel
+    * behind [[graft.operators.Firehose.promParse]]. One compiled-pattern
+    * match per regex per line (the regexp-expression spelling it replaces
+    * ran the LineRe family once per extracted GROUP), the same grammar
+    * objects every other reader shares
+    * ([[graft.operators.Firehose.PromGrammar]]), and the series rendered
+    * exactly like the DSv2 scanner ([[graft.sources.PromSource.parseLine]]):
+    * pairs in BLOCK order, classic key verbatim / quoted key unescaped,
+    * both series-escaped. Returns null to DROP the line (comment, blank,
+    * malformed — the skip-and-continue discipline).
+    *
+    * Two deliberate try_cast fidelity points, so the kernel is
+    * byte-faithful to the expression leg it replaces (not just to the
+    * scanner): the leading trim is [[UTF8String.trim]] (ASCII space, like
+    * `functions.trim`), and the timestamp token parses via
+    * [[UTF8String.toLong]] — exactly `try_cast(tok AS bigint)`. The value
+    * token goes through [[graft.operators.Firehose.PromGrammar
+    * .parseDoubleToken]], the established spec-asserted `try_cast AS
+    * double` mirror.
+    */
+  def promLine(line: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    import graft.operators.Firehose.PromGrammar
+    val l0 = line.trim().toString
+    if (l0.isEmpty || l0.startsWith("#")) return null
+    val plain = promLinePlain(l0)
+    if (plain != null) return plain
+    val stripped = PromGrammar.stripExemplarTail(l0)
+    if (stripped == l0) null else promLinePlain(stripped)
+  }
+
+  private def promLinePlain(
+      l: String): org.apache.spark.sql.catalyst.InternalRow = {
+    import graft.operators.Firehose
+    import Firehose.PromGrammar
+    val m = PromGrammar.LinePattern.matcher(l)
+    if (!m.matches()) return null
+    val block = { val b = m.group(3); if (b == null) "" else b }
+    val mp = PromGrammar.metricAndPairs(m.group(1), block)
+    if (mp.isEmpty) return null
+    val (metric, pairsTxt) = mp.get
+    val value = PromGrammar.parseDoubleToken(m.group(4))
+    if (value.isEmpty) return null
+    val tsTok = m.group(6)
+    var tsNull = true
+    var ts = 0L
+    if (tsTok != null) {
+      // try_cast(tok AS bigint) semantics, exactly — a present-but-
+      // unparseable timestamp token makes the LINE malformed (drop)
+      val w = new UTF8String.LongWrapper
+      if (!UTF8String.fromString(tsTok).toLong(w)) return null
+      tsNull = false
+      ts = w.value
+    }
+    val sb = new java.lang.StringBuilder
+    val pm = PromGrammar.PairPattern.matcher(pairsTxt)
+    while (pm.find()) {
+      if (sb.length > 0) sb.append(',')
+      val (k, v) = PromGrammar.pairOf(pm)
+      sb.append(Firehose.escapeSeriesPartStr(k)).append('=')
+        .append(Firehose.escapeSeriesPartStr(v))
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        UTF8String.fromString(metric), UTF8String.fromString(sb.toString),
+        value.get, if (tsNull) null else java.lang.Long.valueOf(ts)))
+  }
 }

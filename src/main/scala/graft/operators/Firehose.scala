@@ -323,6 +323,32 @@ object Firehose {
     * proves parse(render(x)) preserves every series.
     */
   def promParse(lines: DataFrame): DataFrame = {
+    // ONE codegen kernel call per line (see Kernels.promLine): the regexp-
+    // expression spelling below (kept verbatim as [[promParseRegex]], the
+    // fuzz suite's differential reference) ran the compiled LineRe family
+    // once per extracted group — ~10 regex executions per line; the kernel
+    // runs each shared compiled pattern once, A/B-measured ~5x faster on
+    // the m21 round trip at sf0.1 (1.89 → 0.4 s noop). Same grammar
+    // objects, same try_cast semantics (space-trim, UTF8String.toLong,
+    // parseDoubleToken) — byte-faithful by construction and pinned
+    // three ways by PromFuzzSpec (kernel == regex leg == scanner).
+    import org.apache.spark.sql.graft.{GraftBridge, PromLineParse}
+    val p = GraftBridge.column(
+      PromLineParse(GraftBridge.expression(col("line"))))
+    lines
+      .select(p.as("_p"))
+      .filter(col("_p").isNotNull)
+      .select(
+        col("_p.metric").as("metric"), col("_p.series").as("series"),
+        col("_p.value").as("value"), col("_p.ts_ms").as("ts_ms"))
+  }
+
+  /** The regexp-expression spelling of [[promParse]] — retained as the
+    * DIFFERENTIAL REFERENCE the fuzz suite compares the kernel against
+    * (three independent implementations of one grammar: this, the
+    * kernel, the DSv2 scanner). Not on any hot path.
+    */
+  private[graft] def promParseRegex(lines: DataFrame): DataFrame = {
     // one anchored match: optional metric (absent for the Prometheus 3.x
     // quoted-name form `{"my.metric",k="v"} 5`), optional {label block}
     // (greedy `.*` so the block extends to the LAST '}' — quoted values
@@ -469,9 +495,11 @@ object Firehose {
       raw.replaceAll(NewlineEscRe, "$1\n").replaceAll(AnyEscRe, "$1")
 
     // compiled once per JVM from the same grammar strings — the
-    // pairs-keeping scanner below shares them with every other reader
-    private lazy val LinePattern = java.util.regex.Pattern.compile(LineRe)
-    private lazy val PairPattern = java.util.regex.Pattern.compile(PairRe)
+    // pairs-keeping scanner below AND the codegen parse kernel
+    // ([[graft.functions.Kernels.promLine]]) share them with every other
+    // reader
+    private[graft] lazy val LinePattern = java.util.regex.Pattern.compile(LineRe)
+    private[graft] lazy val PairPattern = java.util.regex.Pattern.compile(PairRe)
     private lazy val BlockPattern = java.util.regex.Pattern.compile(BlockRe)
     private lazy val BlockMetricPattern =
       java.util.regex.Pattern.compile(BlockMetricRe)

@@ -308,6 +308,36 @@ case class Exp2Bucket(child: Expression, schema: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd single-pass Prometheus exposition-line parse: the whole
+  * line grammar (validity, metric/series/value/timestamp extraction,
+  * exemplar-tail retry) as ONE static kernel call returning a struct —
+  * null = drop the line. Replaces a ~10-regex-execution expression tree
+  * per line; the kernel runs each compiled pattern once.
+  */
+case class PromLineParse(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("metric", StringType, nullable = true),
+    StructField("series", StringType, nullable = true),
+    StructField("value", DoubleType, nullable = true),
+    StructField("ts_ms", LongType, nullable = true)))
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(line: Any): Any =
+    Kernels.promLine(line.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Kernels.promLine($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PromLineParse = copy(child = newChild)
+}
+
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)

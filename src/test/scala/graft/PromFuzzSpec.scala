@@ -83,7 +83,7 @@ class PromFuzzSpec extends SparkSuite {
     case _ => line.replaceFirst("=", "~")
   }
 
-  test("scanner and expression parser agree on 600 fuzzed lines") {
+  test("scanner, parse kernel and regex parser agree on 600 fuzzed lines") {
     val lines = (1 to 500).map(_ => randLine()) ++
       (1 to 100).map(_ => corrupt(randLine()))
     // canonicalize values through bit patterns so NaN compares equal
@@ -94,13 +94,20 @@ class PromFuzzSpec extends SparkSuite {
       .map(t => canon(t._1, t._2, t._3, Option(t._4).map(_.longValue())))
       .sorted
     import spark.implicits._
-    val viaExpr = Firehose.promParse(lines.toDF("line"))
-      .collect()
-      .map(r => canon(r.getString(0), r.getString(1), r.getDouble(2),
-        if (r.isNullAt(3)) None else Some(r.getLong(3))))
-      .toSeq
-      .sorted
-    assert(viaExpr === viaScanner)
+    def run(parse: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      parse(lines.toDF("line"))
+        .collect()
+        .map(r => canon(r.getString(0), r.getString(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toSeq
+        .sorted
+    // THREE independent implementations of the one grammar: the codegen
+    // kernel (the hot path), the regexp-expression spelling it replaced
+    // (kept as the differential reference), and the Java-matcher scanner
+    val viaKernel = run(Firehose.promParse)
+    val viaRegex = run(Firehose.promParseRegex)
+    assert(viaKernel === viaScanner)
+    assert(viaRegex === viaScanner)
     // the generator must actually exercise both outcomes
     assert(viaScanner.size > 200, s"too few kept lines: ${viaScanner.size}")
     assert(viaScanner.size < lines.size, "no line was dropped — fuzzer too tame")
