@@ -541,20 +541,29 @@ object Curate {
     val gated = qualityGate(batch, minQuality)
       .withColumn("_h", md5(to_binary(col("text"), lit("utf-8"))))
     val v = Versioned.latestVersion(root)
-    val additions =
-      if (v < 0) gated
-      else {
-        val probes = gated.select(col("_h")).distinct()
-          .collect().map(_.getString(0)).toSeq.sorted
-        if (probes.isEmpty) gated.filter(lit(false))
-        else {
-          val existing = Versioned.pointRead(spark, root, v, "_h", probes)
-            .select(col("_h")).distinct()
-          gated.join(broadcast(existing), Seq("_h"), "left_anti")
-        }
-      }
-    if (additions.isEmpty) -1L
-    else Versioned.appendCommit(additions, root, bloomCols = Seq("_h"))
+    if (v < 0)
+      return if (gated.isEmpty) -1L
+      else Versioned.appendCommit(gated, root, bloomCols = Seq("_h"))
+    // ONE driver round trip decides both "which hashes are new" and
+    // "is the batch empty": the batch's distinct hashes collect once
+    // (O(batch), the applyCdc contract), the landing's hits collect once
+    // (bounded by the probe list), and the survivors' hash set is then
+    // driver-held — so the emptiness check costs nothing and the commit's
+    // write re-derives the gated batch exactly once (it previously ran
+    // three times: probes, isEmpty, write). The anti-join becomes a
+    // broadcast semi-join against the driver-held new-hash list.
+    val probes = gated.select(col("_h")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (probes.isEmpty) return -1L
+    val existing = Versioned.pointRead(spark, root, v, "_h", probes)
+      .select(col("_h")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val newHashes = probes.filterNot(existing)
+    if (newHashes.isEmpty) return -1L
+    import spark.implicits._
+    val keep = broadcast(newHashes.toDF("_h"))
+    Versioned.appendCommit(
+      gated.join(keep, Seq("_h"), "left_semi"), root, bloomCols = Seq("_h"))
   }
 
   def fullCurate(

@@ -657,8 +657,13 @@ object Dedup {
     cand.repartition(p, col("doc_a"))
       .join(pa, "doc_a")
       .join(pb, "doc_b")
-      .withColumn("edit_dist", levenshtein(col("_pa"), col("_pb")))
-      .filter(col("edit_dist") <= maxDist)
+      // threshold-bounded DP (Spark 3.5+ three-arg levenshtein): O(n·k)
+      // band instead of the O(n²) full matrix, early-exit when the band
+      // proves dist > maxDist (returns -1). Kept rows carry the identical
+      // exact distance, so the output relation is unchanged.
+      .withColumn("edit_dist",
+        levenshtein(col("_pa"), col("_pb"), maxDist))
+      .filter(col("edit_dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("edit_dist"))
   }
 

@@ -3,6 +3,8 @@ package graft.sources
 import java.io.File
 import java.nio.file.{Files, StandardOpenOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import com.fasterxml.jackson.databind.ObjectMapper
@@ -525,6 +527,71 @@ object Versioned {
     * file yields null bounds — no stats for that column (the file stays
     * un-prunable on it), never a fake (0, 0) range.
     */
+  /** FOOTER fast path for [[statsFor]]: when every requested column is a
+    * plain integral type (INT32/INT64 with no date/time/decimal logical
+    * annotation), the per-file (min, max) already sits in the parquet
+    * footers the write just produced — read them driver-side (file-count-
+    * bounded metadata IO) instead of scheduling a whole Spark aggregation
+    * job over the staged files. Exactness matches the Spark pass: footer
+    * min/max for integral physical types are exact (no truncation, no NaN
+    * ambiguity — the reason doubles/strings/timestamps deliberately fall
+    * back), all-null columns surface as no-stats (un-prunable) on both
+    * paths, and the Double conversion rounds exactly where the Spark
+    * pass's `cast("double")` did. Returns None to fall back whenever any
+    * footer lacks usable statistics.
+    */
+  private def statsFromFooters(
+      stagingPath: String,
+      schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String]): Option[Map[String, Map[String, (Double, Double)]]] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    if (!cols.forall(c => schema.fields.find(_.name == c).map(_.dataType)
+        .exists(t => t == LongType || t == IntegerType))) return None
+    val files = Option(new File(stagingPath).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val out = Map.newBuilder[String, Map[String, (Double, Double)]]
+    files.foreach { f =>
+      val footer =
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter finally r.close()
+        } catch { case _: Throwable => return None }
+      val perCol = Map.newBuilder[String, (Double, Double)]
+      cols.foreach { c =>
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        var any = false
+        val it = footer.getBlocks.iterator()
+        while (it.hasNext) {
+          val block = it.next()
+          val chunk = block.getColumns.asScala
+            .find(_.getPath.toDotString == c)
+            .getOrElse(return None)
+          val st = chunk.getStatistics
+          if (st == null || st.isEmpty) return None // writer gave no stats
+          if (st.hasNonNullValue) {
+            val (lo, hi) = st match {
+              case s: org.apache.parquet.column.statistics.LongStatistics =>
+                (s.getMin, s.getMax)
+              case s: org.apache.parquet.column.statistics.IntStatistics =>
+                (s.getMin.toLong, s.getMax.toLong)
+              case _ => return None
+            }
+            mn = math.min(mn, lo); mx = math.max(mx, hi); any = true
+          }
+        }
+        // all row groups all-null: no stats for this column (un-prunable),
+        // exactly the Spark pass's null → None
+        if (any) perCol += c -> ((mn.toDouble, mx.toDouble))
+      }
+      out += f.getName -> perCol.result()
+    }
+    Some(out.result())
+  }
+
   private def statsFor(
       spark: SparkSession,
       stagingPath: String,
@@ -535,7 +602,22 @@ object Versioned {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     if (cols.isEmpty) (Map.empty, Map.empty)
-    else {
+    else statsFromFooters(stagingPath, schema, cols) match {
+      case Some(byFile) => (byFile, Map.empty)
+      case None => statsForJob(spark, stagingPath, schema, cols)
+    }
+  }
+
+  private def statsForJob(
+      spark: SparkSession,
+      stagingPath: String,
+      schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String])
+    : (Map[String, Map[String, (Double, Double)]],
+       Map[String, Map[String, (String, String)]]) = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    {
       val (strCols, numCols) = cols.partition(c => schema(c).dataType == StringType)
       def asNum(c: String): org.apache.spark.sql.Column = schema(c).dataType match {
         case DateType | TimestampType => col(c).cast(TimestampType).cast("long").cast("double")
