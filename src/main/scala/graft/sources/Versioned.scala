@@ -484,6 +484,139 @@ object Versioned {
     * collect. Shared by every commit flavor so the probe-side hash
     * ([[pointRead]], [[deleteCommit]]) can never diverge from the build.
     */
+  /** Driver-side read of one column's values from a staged parquet dir —
+    * the fast path [[bloomsFor]] and [[tombstoneHits]] take for SMALL
+    * stagings, where scheduling a Spark job costs more than the bytes.
+    * Returns per-file values rendered exactly like `cast(col AS string)`
+    * (the Spark pass's spelling): strings verbatim, integral types via
+    * toString, null as None. None (fall back to the cluster pass) when
+    * the columns aren't string/integral (double→string rendering would
+    * have to reimplement Spark's shortest-round-trip spelling — not worth
+    * the drift risk), when any file is unreadable, or when the staging
+    * exceeds `spark.graft.driverCommitScanMaxBytes` (default 64 MB —
+    * commits bigger than that are data-sized, not metadata-sized, and
+    * belong on the cluster; the cap keeps the driver path to the
+    * commit-ceremony regime where the action count dominates).
+    */
+  /** One parquet file's `cols` values read driver-side, rendered exactly
+    * like `cast(col AS string)`: strings verbatim, integral via toString,
+    * null as None. None = unsupported shape (non-string/integral column,
+    * unreadable file) → the caller falls back to its Spark pass. The
+    * double/timestamp/decimal exclusions are deliberate: their string
+    * renderings would have to reimplement Spark's spelling and any drift
+    * corrupts blooms/tombstones silently.
+    */
+  private def fileColumnsDriver(
+      f: File, cols: Seq[String]): Option[Seq[Seq[Option[String]]]] =
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val path = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+      val fileSchema = {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getFileMetaData.getSchema finally r.close()
+      }
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      val fields: Seq[org.apache.parquet.schema.PrimitiveType] = cols.map { c =>
+        if (!fileSchema.containsField(c)) return None
+        val t = fileSchema.getType(Seq(c): _*)
+        if (t.isPrimitive) t.asPrimitiveType() else return None
+      }
+      fields.foreach { p =>
+        val ok = p.getPrimitiveTypeName match {
+          case BINARY =>
+            p.getLogicalTypeAnnotation ==
+              org.apache.parquet.schema.LogicalTypeAnnotation.stringType()
+          case INT64 => p.getLogicalTypeAnnotation == null
+          case INT32 => p.getLogicalTypeAnnotation == null
+          case _ => false
+        }
+        if (!ok) return None
+      }
+      val proj = new org.apache.parquet.schema.MessageType(
+        "proj", fields.map(_.asInstanceOf[org.apache.parquet.schema.Type]).asJava)
+      val readConf = new org.apache.hadoop.conf.Configuration(conf)
+      readConf.set(
+        org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        proj.toString)
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), path)
+        .withConf(readConf).build()
+      val perCol = cols.map(_ => Seq.newBuilder[Option[String]])
+      try {
+        var g = reader.read()
+        while (g != null) {
+          var i = 0
+          while (i < cols.length) {
+            val v =
+              if (g.getFieldRepetitionCount(i) == 0) None
+              else Some(fields(i).getPrimitiveTypeName match {
+                case BINARY => g.getString(i, 0)
+                case INT64 => java.lang.Long.toString(g.getLong(i, 0))
+                case INT32 => java.lang.Integer.toString(g.getInteger(i, 0))
+                case _ => return None
+              })
+            perCol(i) += v
+            i += 1
+          }
+          g = reader.read()
+        }
+      } finally reader.close()
+      Some(perCol.map(_.result()))
+    } catch { case _: Throwable => None }
+
+  private def driverScanMaxBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.driverCommitScanMaxBytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+
+  private def stagedColumnsDriver(
+      spark: SparkSession,
+      stagingPath: String,
+      cols: Seq[String]): Option[Map[String, Map[String, Seq[Option[String]]]]] = {
+    val files = Option(new File(stagingPath).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+    if (files.map(_.length).sum > driverScanMaxBytes(spark)) return None
+    val out = Map.newBuilder[String, Map[String, Seq[Option[String]]]]
+    files.foreach { f =>
+      fileColumnsDriver(f, cols) match {
+        case Some(perCol) => out += f.getName -> cols.zip(perCol).toMap
+        case None => return None
+      }
+    }
+    Some(out.result())
+  }
+
+  /** [[bloomsFor]] without the Spark job: the same
+    * `org.apache.spark.util.sketch.BloomFilter` class, the same
+    * (expectedItems, numBits) sizing, fed the same
+    * `xxhash64(cast(col AS string))` values ([[GraftBridge.xxhash64String]]
+    * IS that expression) — bit-identical filter bytes, since a Bloom
+    * filter's bit array is insert-order-independent. A null key hashes to
+    * the xxhash64 seed (42) exactly as the expression does (a null child
+    * leaves the running hash untouched). Zero-row files emit no bloom,
+    * like the Spark pass's empty group.
+    */
+  private def bloomsFromDriver(
+      byFile: Map[String, Map[String, Seq[Option[String]]]],
+      bloomCols: Seq[String],
+      expectedKeysPerFile: Long): Map[String, Map[String, String]] =
+    byFile.flatMap { case (name, colVals) =>
+      val n = colVals.get(bloomCols.head).map(_.size).getOrElse(0)
+      if (n == 0) None
+      else Some(name -> bloomCols.map { c =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(
+          expectedKeysPerFile, expectedKeysPerFile * 8)
+        colVals(c).foreach {
+          case Some(v) =>
+            bf.putLong(org.apache.spark.sql.graft.GraftBridge.xxhash64String(v))
+          case None => bf.putLong(42L) // xxhash64 of null = the seed
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        c -> java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+      }.toMap)
+    }
+
   private def bloomsFor(
       spark: SparkSession,
       stagingPath: String,
@@ -491,7 +624,20 @@ object Versioned {
       expectedKeysPerFile: Long): Map[String, Map[String, String]] = {
     import org.apache.spark.sql.functions._
     if (bloomCols.isEmpty) Map.empty
-    else {
+    else stagedColumnsDriver(spark, stagingPath, bloomCols) match {
+      case Some(byFile) =>
+        bloomsFromDriver(byFile, bloomCols, expectedKeysPerFile)
+      case None => bloomsForJob(spark, stagingPath, bloomCols, expectedKeysPerFile)
+    }
+  }
+
+  private def bloomsForJob(
+      spark: SparkSession,
+      stagingPath: String,
+      bloomCols: Seq[String],
+      expectedKeysPerFile: Long): Map[String, Map[String, String]] = {
+    import org.apache.spark.sql.functions._
+    {
       val aggs = bloomCols.map(c =>
         org.apache.spark.sql.graft.GraftBridge.bloomAgg(
           xxhash64(col(c).cast("string")),
@@ -1022,10 +1168,35 @@ object Versioned {
     import spark.implicits._
     val hashes = keys.map(org.apache.spark.sql.graft.GraftBridge.xxhash64String)
     val candidates = entries.filterNot(e => bloomSkippable(e, keyCol, hashes))
+    if (candidates.isEmpty) return Map.empty[String, Seq[String]]
+    // SMALL candidate sets take the driver read (the locate scan is the
+    // per-commit ceremony this removes a scheduler round trip from); the
+    // values compare as the same cast("string") rendering the cluster
+    // pass uses, so hits are identical. NOTE: candidates carry NO
+    // tombstone application here — neither does the cluster pass below
+    // (it scans raw candidate bytes), so behavior is unchanged.
+    locally {
+      val dir = new File(root)
+      val paths = candidates.map(e => new File(dir, e.path))
+      if (paths.forall(_.isFile) &&
+          paths.map(_.length).sum <= driverScanMaxBytes(spark)) {
+        val keySet = keys.toSet
+        val perFile = scala.collection.mutable.Map.empty[String, Seq[String]]
+        val allOk = candidates.forall { e =>
+          fileColumnsDriver(new File(dir, e.path), Seq(keyCol)) match {
+            case Some(Seq(vals)) =>
+              val hits = vals.flatten.filter(keySet).distinct
+              if (hits.nonEmpty) perFile += suffixOf(e.path) -> hits
+              true
+            case _ => false
+          }
+        }
+        if (allOk) return perFile.toMap
+      }
+    }
     val keysDf = keys.toDF("_del_key")
     val schema = markerSchema(root, v)
-    if (candidates.isEmpty) Map.empty[String, Seq[String]]
-    else schema.map(spark.read.schema).getOrElse(spark.read)
+    schema.map(spark.read.schema).getOrElse(spark.read)
       .parquet(candidates.map(e => s"$root/${e.path}"): _*)
       .select(input_file_name().as("_f"), col(keyCol).cast("string").as("_k"))
       .join(broadcast(keysDf), col("_k") === col("_del_key"))
