@@ -21,6 +21,15 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // ObjectHashAggregate (the max_by_ts_id route — see
+      // org.apache.spark.sql.graft.MaxByTsId) falls back to sort-based
+      // aggregation past this many distinct groups per task; the 128
+      // default is sized for space-heavy collect_list buffers. graft's
+      // typed buffers are ~100-byte fixed (ts, id, one value), so 64k
+      // groups is ~10 MB/task — keeps the latest-per-series aggregations
+      // hash-shaped at real per-task series cardinalities
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (64 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // reliable checkpoints written by Tables.materializeSmall must be
       // deleted when their RDD is GC'd — the default (false) leaks the

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{BpeCount, CosineSim, Exp2Bucket, GraftBridge, Md5Prefix60, MinHashSig, PolyFingerprint, SimHash64}
+import org.apache.spark.sql.graft.{BpeCount, CosineSim, Exp2Bucket, GraftBridge, MaxByTsId, Md5Prefix60, MinHashSig, PolyFingerprint, SimHash64}
 
 /** Column-API and SQL registration for graft's custom Catalyst expressions. */
 object GraftFunctions {
@@ -36,6 +36,19 @@ object GraftFunctions {
   def bpe_count(text: Column, merges: Seq[(String, String)]): Column =
     GraftBridge.column(BpeCount(
       GraftBridge.expression(text), merges.map(m => Array(m._1, m._2)).toArray))
+
+  /** `max_by(value, struct(ts, id))` routed through ObjectHashAggregate
+    * instead of SortAggregate — identical semantics (the struct ordering's
+    * field comparison, strict-greater replacement), see
+    * [[org.apache.spark.sql.graft.MaxByTsId]]. The engine-wide
+    * latest-sample selector.
+    */
+  def max_by_ts_id(value: Column, ts: Column, id: Column): Column =
+    GraftBridge.column(
+      MaxByTsId(
+        GraftBridge.expression(value),
+        GraftBridge.expression(ts),
+        GraftBridge.expression(id)).toAggregateExpression())
 
   /** Bind an expensive expression to a lambda variable so an expression tree
     * that references it many times evaluates it ONCE per row. Inlining a

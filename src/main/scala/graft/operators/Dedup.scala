@@ -657,6 +657,13 @@ object Dedup {
     cand.repartition(p, col("doc_a"))
       .join(pa, "doc_a")
       .join(pb, "doc_b")
+      // length pre-filter: |len(a) − len(b)| > k already proves
+      // dist > k (every edit changes length by ≤ 1), so those pairs
+      // drop BEFORE the DP evaluates — the same kept set (the banded
+      // levenshtein would return −1 for them), one integer subtract
+      // earlier in the join's output path. Null prefixes drop under
+      // both spellings (null comparison ≡ null edit_dist).
+      .filter(abs(length(col("_pa")) - length(col("_pb"))) <= maxDist)
       // threshold-bounded DP (Spark 3.5+ three-arg levenshtein): O(n·k)
       // band instead of the O(n²) full matrix, early-exit when the band
       // proves dist > maxDist (returns -1). Kept rows carry the identical

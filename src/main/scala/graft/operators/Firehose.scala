@@ -191,7 +191,7 @@ object Firehose {
       .withColumn("series", seriesKey(col("labels")))
       .groupBy(col("component"), col("name"), col("series"))
       .agg(
-        max_by(col("value"), struct(col("timestamp"), col("id"))).as("last_value"),
+        graft.functions.GraftFunctions.max_by_ts_id(col("value"), col("timestamp"), col("id")).as("last_value"),
         max(col("timestamp")).as("last_ts"))
   }
 
@@ -1060,7 +1060,7 @@ object Firehose {
             sum(dv).cast("double").as("_sum_dec"),
             sum((dv * dv).cast("decimal(38,4)")).cast("double").as("_sumsq_dec"),
             sum(fv * fv).as("_dsq"),
-            max_by(col("value"), struct(col("timestamp"), col("id"))).as("last_value")) ++
+            graft.functions.GraftFunctions.max_by_ts_id(col("value"), col("timestamp"), col("id")).as("last_value")) ++
             IeeeLanes.flagAggs(col("value"), "v", IeeeLanes.Cap2dp): _*)
         .withColumn("sum_value", IeeeLanes.reconstruct(col("_sum_dec"), "v"))
         // a big-finite group derives its moments from the IEEE sidecars;
@@ -1265,7 +1265,7 @@ object Firehose {
       .withColumn("series", seriesKey(col("labels")))
       .withColumn("slot", (col("timestamp") - pmod(col("timestamp"), lit(stepSec))).cast("long"))
       .groupBy(col("component"), col("name"), col("series"), col("slot"))
-      .agg(max_by(col("value"), struct(col("timestamp"), col("id"))).as("slot_value"))
+      .agg(graft.functions.GraftFunctions.max_by_ts_id(col("value"), col("timestamp"), col("id")).as("slot_value"))
     val w = Window
       .partitionBy(col("component"), col("name"), col("series"))
       .orderBy(col("slot"))
@@ -1298,7 +1298,7 @@ object Firehose {
       .groupBy(col("component"), col("name"), col("series"))
       .agg(
         any_value(col("labels")).as("labels"),
-        max_by(col("value"), struct(col("timestamp"), col("id"))).as("last_value"),
+        graft.functions.GraftFunctions.max_by_ts_id(col("value"), col("timestamp"), col("id")).as("last_value"),
         max(col("timestamp")).as("last_ts"))
   }
 

@@ -652,7 +652,7 @@ object PromQlCompiler {
             Firehose.seriesKey(col("labels")).as("_sk"))
           .agg(
             any_value(col("labels")).as("labels"),
-            max_by(col("value"), struct(col("timestamp"), col("id"))).as("value"))
+            graft.functions.GraftFunctions.max_by_ts_id(col("value"), col("timestamp"), col("id")).as("value"))
           .filter(!isnan(col("value")))
           .select(col("component"), col("name"), col("labels"),
             lit(t).as("win_start"), col("value"))
@@ -668,7 +668,7 @@ object PromQlCompiler {
             Firehose.seriesKey(col("labels")).as("_sk"), col("win_start"))
           .agg(
             any_value(col("labels")).as("labels"),
-            max_by(col("value"), struct(col("timestamp"), col("id"))).as("value"))
+            graft.functions.GraftFunctions.max_by_ts_id(col("value"), col("timestamp"), col("id")).as("value"))
           .filter(!isnan(col("value")))
           .select("component", "name", "labels", "win_start", "value")
       case None =>
@@ -679,7 +679,7 @@ object PromQlCompiler {
             Firehose.seriesKey(col("labels")).as("_sk"), col("win_start"))
           .agg(
             any_value(col("labels")).as("labels"),
-            max_by(col("value"), struct(col("timestamp"), col("id"))).as("value"))
+            graft.functions.GraftFunctions.max_by_ts_id(col("value"), col("timestamp"), col("id")).as("value"))
           .select("component", "name", "labels", "win_start", "value")
     }
 
@@ -1043,7 +1043,7 @@ object PromQlCompiler {
         sum(dv).cast("double").as("_sumf"),
         sum((dv * dv).cast("decimal(38,12)")).cast("double").as("_sumsq"),
         sum(maskFinite(col("value")) * maskFinite(col("value"))).as("_sdsq"),
-        max_by(col("value"), struct(col("timestamp"), col("id"))).as("_last")) ++
+        graft.functions.GraftFunctions.max_by_ts_id(col("value"), col("timestamp"), col("id")).as("_last")) ++
         nfFlagAggs(col("value"), "s")
       // ts_of_* (Prometheus 3.1 experimental family): the extremum
       // aggregates ride the same map-side-combinable aggregation. The
@@ -1720,7 +1720,7 @@ object PromQlCompiler {
             Firehose.seriesKey(col("labels")).as("_sk"))
           .agg(
             any_value(col("labels")).as("labels"),
-            max_by(col("value"), struct(col("timestamp"), col("id"))).as("_v"),
+            graft.functions.GraftFunctions.max_by_ts_id(col("value"), col("timestamp"), col("id")).as("_v"),
             max(col("timestamp")).as("_ts"))
           .filter(!isnan(col("_v")))
           .select(col("component"), col("name"), col("labels"),
@@ -1739,7 +1739,7 @@ object PromQlCompiler {
             Firehose.seriesKey(col("labels")).as("_sk"), col("win_start"))
           .agg(
             any_value(col("labels")).as("labels"),
-            max_by(col("value"), struct(col("timestamp"), col("id"))).as("_v"),
+            graft.functions.GraftFunctions.max_by_ts_id(col("value"), col("timestamp"), col("id")).as("_v"),
             max(col("timestamp")).as("_ts"))
           .filter(!isnan(col("_v")))
           .select(col("component"), col("name"), col("labels"),

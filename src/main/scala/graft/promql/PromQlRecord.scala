@@ -450,8 +450,14 @@ object PromQlRecord {
             winGk.as(GK)): _*)
 
     private def stateRows(src: DataFrame, hasStatic: Boolean): DataFrame =
+      // `max_by_ts_id` over the (ts, id, value) head struct ≡ the previous
+      // `max(struct(ts, id, value))`: `id` is unique per row, so the
+      // lexicographic max never reaches the value field — and the typed
+      // aggregate routes the plan through ObjectHashAggregate (no sort)
       src.groupBy(col("component"), col("name"), col("series"))
-        .agg(max(struct(col("timestamp"), col("id"), col("value"))).as("_l"))
+        .agg(graft.functions.GraftFunctions.max_by_ts_id(
+          struct(col("timestamp"), col("id"), col("value")),
+          col("timestamp"), col("id")).as("_l"))
         .select(
           Seq(col("component"), col("name"), col("series")) ++
             (if (hasStatic) Seq(lit(null).cast("string").as("_rseries"))
@@ -494,6 +500,106 @@ object PromQlRecord {
         (if (c.static.isEmpty) Nil else Seq(col("_rseries"))) :+
         col("win_start")
 
+    /** One touched series' probe facts: the append-only violation (if
+      * any), the earliest fresh (ts, id), and the net-multiplicity
+      * bound — the per-series aggregation's row, producible by either
+      * executor.
+      */
+    private case class Probe(
+        component: String, name: String, series: String, sgk: String,
+        bad: Option[(Long, String, Long)],
+        first: Option[(Long, String)],
+        maxNet: Long)
+
+    /** The per-series probe pass over the STAGED netted span: a
+      * driver-side fold over the landed stage files when metadata-sized
+      * (zero scheduler round trips — the r17 driver-commit-scan
+      * discipline), the Spark aggregation otherwise. The driver fold
+      * replicates the Spark spelling exactly: `min(struct(ts, id, net))`
+      * compares ts, then id as UTF8 bytes (unsigned lexicographic —
+      * [[PromRegistry.utf8Gt]]), then net; fields are never null in the
+      * netted span (real samples, real group keys).
+      */
+    private def perSeriesProbes(
+        spark: SparkSession, netted: DataFrame, nettedRoot: String): Seq[Probe] =
+      Versioned.stagedLocalRows(
+        spark, new java.io.File(nettedRoot, "d").getAbsolutePath,
+        Seq("component", "name", "series", "timestamp", "id", "_net")) match {
+        case Some(rows) =>
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[(String, String, String),
+              (Option[(Long, String, Long)], Option[(Long, String)], Long)]
+          def lt3(a: (Long, String, Long), b: (Long, String, Long)): Boolean =
+            a._1 < b._1 || (a._1 == b._1 &&
+              (PromRegistry.utf8Gt(b._2, a._2) ||
+                (a._2 == b._2 && a._3 < b._3)))
+          def lt2(a: (Long, String), b: (Long, String)): Boolean =
+            a._1 < b._1 || (a._1 == b._1 && PromRegistry.utf8Gt(b._2, a._2))
+          rows.foreach { r =>
+            val key = (r(0).get, r(1).get, r(2).get)
+            val ts = r(3).get.toLong
+            val id = r(4).get
+            val net = r(5).get.toLong
+            val (bad0, first0, max0) =
+              acc.getOrElse(key, (None, None, Long.MinValue))
+            val bad =
+              if (net < 0 || net > 1) {
+                val cand = (ts, id, net)
+                Some(bad0.filter(b => !lt3(cand, b)).getOrElse(cand))
+              } else bad0
+            val first =
+              if (net == 1) {
+                val cand = (ts, id)
+                Some(first0.filter(f => !lt2(cand, f)).getOrElse(cand))
+              } else first0
+            acc(key) = (bad, first, math.max(max0, net))
+          }
+          acc.iterator.map { case ((co, na, se), (bad, first, maxNet)) =>
+            Probe(co, na, se, s"S$Sep$co$Sep$na$Sep$se", bad, first, maxNet)
+          }.toSeq
+        case None =>
+          netted
+            .groupBy(col("component"), col("name"), col("series"))
+            .agg(
+              min(when(col("_net") < 0 || col("_net") > 1,
+                struct(col("timestamp"), col("id"), col("_net")))).as("_bad"),
+              min(when(col("_net") === 1,
+                struct(col("timestamp"), col("id")))).as("_first"),
+              max(col("_net")).as("_maxNet"))
+            .select(col("component"), col("name"), col("series"),
+              stateGk.as("_sgk"), col("_bad"), col("_first"), col("_maxNet"))
+            .collect()
+            .map { r =>
+              Probe(r.getString(0), r.getString(1), r.getString(2),
+                r.getString(3),
+                if (r.isNullAt(4)) None
+                else Some((r.getStruct(4).getLong(0), r.getStruct(4).getString(1),
+                  r.getStruct(4).getLong(2))),
+                if (r.isNullAt(5)) None
+                else Some((r.getStruct(5).getLong(0), r.getStruct(5).getString(1))),
+                r.getLong(6))
+            }.toSeq
+      }
+
+    /** The staged window-delta's rendered win-keys ([[winGk]]) —
+      * driver-side from the landed stage files when metadata-sized, the
+      * Spark collect otherwise. The driver rendering mirrors `concat_ws`
+      * over never-null group columns: long `win_start` renders via
+      * toString = `cast(win_start AS string)`.
+      */
+    private def winKeysOf(
+        spark: SparkSession, deltas: DataFrame, deltasRoot: String): Seq[String] =
+      Versioned.stagedLocalRows(
+        spark, new java.io.File(deltasRoot, "d").getAbsolutePath,
+        Seq("component", "name", "series", "win_start")) match {
+        case Some(rows) =>
+          rows.map(r =>
+            s"W$Sep${r(0).get}$Sep${r(1).get}$Sep${r(2).get}$Sep${r(3).get}")
+            .sorted
+        case None =>
+          deltas.select(winGk).collect().map(_.getString(0)).toSeq.sorted
+      }
+
     def create(
         spark: SparkSession,
         c: LoweredCounter,
@@ -535,7 +641,7 @@ object PromQlRecord {
         // same rows cancels to 0 (maintainable, possibly watermark-only);
         // +1 is a genuinely appended sample; anything else breaks the
         // append-only contract this maintainer is sound under
-        val netted = stage(span
+        val (netted, nettedRoot) = stage.applyWithRoot(span
           .groupBy(Seq(col("component"), col("name"), col("series")) ++
             (if (c.static.isEmpty) Nil else Seq(col("_rseries"))) ++
             Seq(col("timestamp"), col("id"), col("value")): _*)
@@ -545,31 +651,24 @@ object PromQlRecord {
         // the out-of-order firsts): per series — net bounds, a sample
         // violating row for the error message, the earliest fresh
         // (ts, id), and the rendered state key. Rows = touched series,
-        // the established O(delta) driver contract.
-        val perSeries = netted
-          .groupBy(col("component"), col("name"), col("series"))
-          .agg(
-            min(when(col("_net") < 0 || col("_net") > 1,
-              struct(col("timestamp"), col("id"), col("_net")))).as("_bad"),
-            min(when(col("_net") === 1,
-              struct(col("timestamp"), col("id")))).as("_first"),
-            max(col("_net")).as("_maxNet"))
-          .select(col("component"), col("name"), col("series"),
-            stateGk.as("_sgk"), col("_bad"), col("_first"), col("_maxNet"))
-          .collect()
-        perSeries.find(!_.isNullAt(4)).foreach { r =>
-          val b = r.getStruct(4)
+        // the established O(delta) driver contract — and since the staged
+        // netted span is LANDED local files, the metadata-sized case folds
+        // it driver-side ([[perSeriesProbes]]) with zero scheduler round
+        // trips; oversized stages take the Spark aggregation unchanged.
+        val perSeries = perSeriesProbes(spark, netted, nettedRoot)
+        perSeries.find(_.bad.nonEmpty).foreach { r =>
+          val (bts, bid, bnet) = r.bad.get
           throw new IllegalStateException(
             s"counter rule '${c.ruleName}': the change span " +
               s"v$srcV→v$vNow of $sourceRoot " +
-              (if (b.getLong(2) < 0) "retracts" else "re-appends") +
-              s" sample (series=${r.getString(2)}, ts=${b.getLong(0)}, " +
-              s"id=${b.getString(1)}) — increase/rate rules maintain " +
+              (if (bnet < 0) "retracts" else "re-appends") +
+              s" sample (series=${r.series}, ts=$bts, " +
+              s"id=$bid) — increase/rate rules maintain " +
               "APPEND-ONLY lineage; rebuild with create() or use the " +
               "batch rule loop (PromQlRules.evaluate) for delete lineage")
         }
-        val freshSeries = perSeries.filter(_.getLong(6) == 1L)
-        val sKeys = freshSeries.map(_.getString(3)).toSeq.distinct.sorted
+        val freshSeries = perSeries.filter(_.maxNet == 1L)
+        val sKeys = freshSeries.map(_.sgk).distinct.sorted
         if (sKeys.isEmpty)
           // self-cancelling span (a compact): watermark-only commit
           return Versioned.replaceCommit(
@@ -603,20 +702,18 @@ object PromQlRecord {
           }
           x.length >= y.length
         }
-        val firstBySeries = freshSeries.map(r =>
-          (r.getString(0), r.getString(1), r.getString(2)) -> r.getStruct(5))
-          .toMap
+        val firstBySeries = freshSeries.flatMap(r =>
+          r.first.map((r.component, r.name, r.series) -> _)).toMap
         stateRowsHeld.foreach { s =>
           firstBySeries.get((s.getString(0), s.getString(1), s.getString(2)))
-            .foreach { f =>
-              val atOrBehind = s.getLong(3) > f.getLong(0) ||
-                (s.getLong(3) == f.getLong(0) &&
-                  utf8Gte(s.getString(4), f.getString(1)))
+            .foreach { case (fts, fid) =>
+              val atOrBehind = s.getLong(3) > fts ||
+                (s.getLong(3) == fts && utf8Gte(s.getString(4), fid))
               if (atOrBehind)
                 throw new IllegalStateException(
                   s"counter rule '${c.ruleName}': the change span appends " +
                     s"sample(s) at/behind series ${s.getString(2)}'s " +
-                    s"recorded head (ts=${f.getLong(0)}) — out-of-order " +
+                    s"recorded head (ts=$fts) — out-of-order " +
                     "backfills need create() or the batch rule loop")
             }
         }
@@ -629,10 +726,10 @@ object PromQlRecord {
           .withColumn("_inc", incOf(coalesce(col("_prev"), col("last_value"))))
           .withColumn("win_start",
             (col("timestamp") - pmod(col("timestamp"), lit(c.rangeSec))).cast("long"))
-        val deltas = stage(incs
+        val (deltas, deltasRoot) = stage.applyWithRoot(incs
           .groupBy(winGroup(c): _*)
           .agg(count(lit(1)).as("_dcnt"), decSumInc.as("_dinc")))
-        val wKeys = deltas.select(winGk).collect().map(_.getString(0)).toSeq.sorted
+        val wKeys = winKeysOf(spark, deltas, deltasRoot)
         val old = Versioned.pointRead(spark, viewRoot, viewV, GK, wKeys)
           .select(col(GK), col("cnt"), col("inc"))
         val merged = deltas.withColumn(GK, winGk).alias("d")

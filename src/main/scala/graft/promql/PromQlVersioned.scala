@@ -571,8 +571,8 @@ object PromQlVersioned {
         .withColumn(KEY, headKeyCol)
         .join(broadcast(keyDf), Seq(KEY))
         .groupBy(col(KEY))
-        .agg(max_by(struct(cols.map(col): _*),
-          struct(col("timestamp"), col("id"))).as("_r"))
+        .agg(graft.functions.GraftFunctions.max_by_ts_id(
+          struct(cols.map(col): _*), col("timestamp"), col("id")).as("_r"))
         .select(col(KEY), col("_r.*"))
         .collect()
       val tsIdx = 1 + cols.indexOf("timestamp")

@@ -408,11 +408,11 @@ object PromRegistry {
       .withColumn("series", Firehose.seriesKey(col("labels")))
       .groupBy(col("component"), col("name"), col("series"))
       .agg(
-        max_by(
+        graft.functions.GraftFunctions.max_by_ts_id(
           struct(col("labels"), col("value"),
             col("timestamp").cast("long").as("timestamp"), col("id"),
             col("timestamp").cast("double").as("ts_full")),
-          struct(col("timestamp"), col("id"))).as("w"),
+          col("timestamp"), col("id")).as("w"),
         min(col("timestamp").cast("long")).as("_mn"))
       .select(col("component"), col("name"), col("series"),
         col("w.labels"), col("w.value"), col("w.timestamp"), col("w.id"),
@@ -441,11 +441,11 @@ object PromRegistry {
     m.withColumn("series", Firehose.seriesKey(col("labels")))
       .groupBy(col("component"), col("name"), col("series"))
       .agg(
-        max_by(
+        graft.functions.GraftFunctions.max_by_ts_id(
           struct(col("labels"), col("value"),
             col("timestamp").cast("long").as("ts"), col("id"),
             col("timestamp").cast("double").as("ts_full")),
-          struct(col("timestamp"), col("id"))).as("w"))
+          col("timestamp"), col("id")).as("w"))
       .select(col("component"), col("name"), col("series"),
         col("w.labels").as("labels"), col("w.value").as("value"),
         col("w.ts").as("ts"), col("w.id").as("id"),
@@ -462,10 +462,10 @@ object PromRegistry {
     a.unionByName(b)
       .groupBy(col("component"), col("name"), col("series"))
       .agg(
-        max_by(
+        graft.functions.GraftFunctions.max_by_ts_id(
           struct(col("labels"), col("value"), col("ts"), col("id"),
             col("ts_full")),
-          struct(col("ts_full"), col("id"))).as("w"))
+          col("ts_full"), col("id")).as("w"))
       .select(col("component"), col("name"), col("series"),
         col("w.labels").as("labels"), col("w.value").as("value"),
         col("w.ts").as("ts"), col("w.id").as("id"),

@@ -34,13 +34,45 @@ private[graft] object Ivm {
     */
   final class Stages {
     private val roots = scala.collection.mutable.ArrayBuffer.empty[String]
-    def apply(df: DataFrame): DataFrame = {
+    def apply(df: DataFrame): DataFrame = applyWithRoot(df)._1
+    /** [[apply]] returning the landed root too — callers that want to
+      * re-read the staged bytes DRIVER-side (the key/flag collects) need
+      * the files' location. Thread-safe: [[inParallel]] stages from two
+      * threads.
+      */
+    def applyWithRoot(df: DataFrame): (DataFrame, String) = {
       val (out, root) = graft.Tables.materializeStageOwned(df)
-      roots += root
-      out
+      synchronized { roots += root }
+      (out, root)
     }
-    def dropAll(): Unit = roots.foreach(graft.Tables.dropStage)
+    def dropAll(): Unit = synchronized(roots.toSeq).foreach(graft.Tables.dropStage)
   }
+
+  /** Run two INDEPENDENT pieces of refresh work concurrently (guide §2.6
+    * — actions are only sequential because driver code calls them
+    * sequentially; submitting the second from another thread lets its
+    * jobs back-fill executors the first's tail leaves idle). Used only
+    * where the two sides share no data dependency and their effects are
+    * order-independent (separate stage landings, separate key collects),
+    * so the refresh outcome is bit-identical to the sequential order.
+    */
+  def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    val session = org.apache.spark.sql.SparkSession.getActiveSession
+    val fb = java.util.concurrent.CompletableFuture.supplyAsync { () =>
+      session.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+      b
+    }
+    val ra = a
+    (ra, try fb.join()
+    catch { case e: java.util.concurrent.CompletionException =>
+      throw Option(e.getCause).getOrElse(e) })
+  }
+
+  /** The staged-relation data dir [[graft.Tables.materializeStageOwned]]
+    * wrote under `root`.
+    */
+  private def stagedDataDir(root: String): String =
+    new java.io.File(root, "d").getAbsolutePath
 
   /** The concatenated group-key column — the view table's upsert key.
     * Unit separator between columns; nulls render distinct from the
@@ -169,21 +201,54 @@ private[graft] object Ivm {
     */
   def survivorsAndZeroed(
       merged: DataFrame,
-      recomputed: Option[DataFrame],
+      mergedRoot: String,
+      recomputed: Option[(DataFrame, String)],
       recomputeKeys: Seq[String],
       cols: Seq[Column],
       incrKeys: Seq[String]): (DataFrame, Seq[String], Seq[String]) = {
     val survivors = (merged.filter(col("cnt") > 0L).select(cols: _*) +:
-      recomputed.map(_.select(cols: _*)).toSeq).reduce(_.unionByName(_))
-    val marks = (merged.filter(col("cnt") === 0L)
-      .select(col(GK), lit(0).as("_m")) +:
-      recomputed.map(_.select(col(GK), lit(1).as("_m"))).toSeq)
-      .reduce(_.unionByName(_)).collect()
-    val zeroFromMerged = marks.filter(_.getInt(1) == 0).map(_.getString(0)).toSeq
-    val alive = marks.filter(_.getInt(1) == 1).map(_.getString(0)).toSeq
+      recomputed.map(_._1.select(cols: _*)).toSeq).reduce(_.unionByName(_))
+    // the zeroed/alive key lists come from the STAGED arms — landed local
+    // files — so the metadata-sized case reads them driver-side instead of
+    // paying a scheduler round trip (the r17 driver-commit-scan
+    // discipline; oversized/unreadable stages fall back to the collect).
+    // The staged merged arm has already evaluated mergeIncr's underflow
+    // raise_error at its write, so no check is skipped.
+    val viaDriver: Option[(Seq[String], Seq[String])] = for {
+      m <- Versioned.stagedLocalRows(
+        merged.sparkSession, stagedDataDir(mergedRoot), Seq(GK, "cnt"))
+      r <- recomputed match {
+        case None => Some(Nil: Seq[String])
+        case Some((_, root)) =>
+          Versioned.stagedLocalRows(
+            merged.sparkSession, stagedDataDir(root), Seq(GK))
+            .map(_.flatMap(_(0)))
+      }
+    } yield (m.filter(_(1).contains("0")).flatMap(_(0)), r)
+    val (zeroFromMerged, alive) = viaDriver.getOrElse {
+      val marks = (merged.filter(col("cnt") === 0L)
+        .select(col(GK), lit(0).as("_m")) +:
+        recomputed.map(_._1.select(col(GK), lit(1).as("_m"))).toSeq)
+        .reduce(_.unionByName(_)).collect()
+      (marks.filter(_.getInt(1) == 0).map(_.getString(0)).toSeq,
+        marks.filter(_.getInt(1) == 1).map(_.getString(0)).toSeq)
+    }
     val zeroed = zeroFromMerged ++ recomputeKeys.filterNot(alive.toSet)
     val survivorKeys =
       (incrKeys.filterNot(zeroFromMerged.toSet) ++ alive).distinct
     (survivors, zeroed, survivorKeys)
   }
+
+  /** The staged delta's `(GK, _del)` key/flag rows — driver-side from the
+    * landed stage files when metadata-sized, the Spark collect otherwise
+    * (same contract as [[survivorsAndZeroed]]'s key lists).
+    */
+  def deltaKeyFlags(
+      delta: DataFrame, deltaRoot: String): Seq[(String, Int)] =
+    Versioned.stagedLocalRows(
+      delta.sparkSession, stagedDataDir(deltaRoot), Seq(GK, "_del")) match {
+      case Some(rows) => rows.map(r => (r(0).get, r(1).get.toInt))
+      case None => delta.select(col(GK), col("_del")).collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSeq
+    }
 }

@@ -204,13 +204,19 @@ object MaterializedJoinView {
     try {
     val dl = signedDelta(spark, d.leftRoot, d.leftVersion, lv)
     val dr = signedDelta(spark, d.rightRoot, d.rightVersion, rv)
-    // the three delta-join terms, each sign-weighted and WHERE-filtered
+    // the three delta-join terms, each sign-weighted and WHERE-filtered.
+    // The two probe-key collects are independent (one per source delta) —
+    // submitted concurrently so neither waits on the other's tail
+    // (guide §2.6)
+    val (rOldOpt, lOldOpt) = Ivm.inParallel(
+      prunedOld(spark, d.rightRoot, d.rightVersion, d.joinCol, dl),
+      prunedOld(spark, d.leftRoot, d.leftVersion, d.joinCol, dr))
     val parts = Seq.newBuilder[DataFrame]
-    prunedOld(spark, d.rightRoot, d.rightVersion, d.joinCol, dl).foreach { rOld =>
+    rOldOpt.foreach { rOld =>
       parts += filtered(dl.get.join(rOld, d.joinCol), d)
         .withColumn("_w", col("_sgn")).withColumn("_t3", lit(0))
     }
-    prunedOld(spark, d.leftRoot, d.leftVersion, d.joinCol, dr).foreach { lOld =>
+    lOldOpt.foreach { lOld =>
       parts += filtered(lOld.join(dr.get, d.joinCol), d)
         .withColumn("_w", col("_sgn")).withColumn("_t3", lit(0))
     }
@@ -227,7 +233,7 @@ object MaterializedJoinView {
     val all = parts.result()
     val delta =
       if (all.isEmpty) None
-      else Some(stage(
+      else Some(stage.applyWithRoot(
         // signed evidence + the no-touch lemma — the shared [[Ivm]]
         // core, with the join-specific hooks: the ΔA⋈ΔB taint flag
         // aggregates alongside, and a tainted group is NEVER
@@ -255,11 +261,12 @@ object MaterializedJoinView {
             extraKeep =
               if (d.minMaxCols.isEmpty) None else Some(col("_t3") === 1)))
           .withColumn(GK, gkOf(d.groupCols))))
-    // ONE collect for both driver-held key lists (point-read probe set +
-    // recompute probe set) — see MaterializedView.refresh
-    val kd = delta.map(_.select(col(GK), col("_del")).collect())
-      .getOrElse(Array.empty[org.apache.spark.sql.Row])
-    val keys = kd.map(_.getString(0)).toSeq.sorted
+    // both driver-held key lists (point-read probe set + recompute probe
+    // set) read from the STAGED delta's landed files — see
+    // MaterializedView.refresh / Ivm.deltaKeyFlags
+    val kd = delta.map { case (df, root) => Ivm.deltaKeyFlags(df, root) }
+      .getOrElse(Nil)
+    val keys = kd.map(_._1).sorted
     if (keys.isEmpty)
       // watermark-only metadata commit
       return Versioned.replaceCommit(
@@ -271,14 +278,13 @@ object MaterializedJoinView {
     // extremum evidence — recompute exactly those from the source join
     val recomputeKeys =
       if (d.minMaxCols.isEmpty) Nil
-      else kd.filter(_.getInt(1) == 1).map(_.getString(0)).toSeq.sorted
+      else kd.filter(_._2 == 1).map(_._1).sorted
     val incrKeys =
       if (d.minMaxCols.isEmpty) keys
-      else kd.filter(_.getInt(1) == 0).map(_.getString(0)).toSeq
+      else kd.filter(_._2 == 0).map(_._1)
     val incr = Ivm.mergeIncr(
-      delta.get.filter(col("_del") === 0 || lit(d.minMaxCols.isEmpty)),
+      delta.get._1.filter(col("_del") === 0 || lit(d.minMaxCols.isEmpty)),
       old, d.groupCols, d.sumCols, d.minMaxCols, "join view")
-    val merged = stage(incr)
     // The recompute arm's authority is the source join restricted to the
     // affected groups. The group-key filter is on a derived concat
     // column, so it cannot prune at the scans by itself — decompose the
@@ -292,7 +298,10 @@ object MaterializedJoinView {
     // retraction-touched groups (delta-bounded under the _t3 taint — a
     // single-source compact never lands here), the established
     // driver-held O(delta) contract.
-    val recomputed =
+    // the two arms are independent stage landings — submitted concurrently
+    // (guide §2.6); outcome identical to the sequential order
+    val ((merged, mergedRoot), recomputed) = Ivm.inParallel(
+      stage.applyWithRoot(incr),
       if (recomputeKeys.isEmpty) None
       else {
         val perCol = d.groupCols.zipWithIndex.map { case (c, i) =>
@@ -309,17 +318,17 @@ object MaterializedJoinView {
           perCol.foldLeft(df) { case (acc, (c, pred)) =>
             if (acc.columns.contains(c)) acc.filter(pred) else acc
           }
-        Some(stage(
+        Some(stage.applyWithRoot(
           aggregated(
             filtered(
               pruned(Versioned.asOf(spark, d.leftRoot, lv))
                 .join(pruned(Versioned.asOf(spark, d.rightRoot, rv)),
                   d.joinCol), d), d)
             .filter(col(GK).isin(recomputeKeys: _*))))
-      }
+      })
     val (survivors, zeroed, survivorKeys) =
-      Ivm.survivorsAndZeroed(merged, recomputed, recomputeKeys, viewCols(d),
-        incrKeys)
+      Ivm.survivorsAndZeroed(merged, mergedRoot, recomputed, recomputeKeys,
+        viewCols(d), incrKeys)
     Versioned.replaceCommit(
       survivors, viewRoot, GK, deleteKeys = zeroed.sorted, props = newProps,
       expectedVersion = viewV, knownKeys = Some(survivorKeys))

@@ -203,15 +203,15 @@ object MaterializedView {
       val sign = when(col("_change_type") === "insert", lit(1)).otherwise(lit(-1))
       // signed evidence + the no-touch lemma — the shared [[Ivm]] core
       // (this is what makes a compact span a watermark-only commit)
-      val delta = stage(
+      val (delta, deltaRoot) = stage.applyWithRoot(
         Ivm.evidenceAgg(cdf, sign, d.groupCols, d.sumCols, d.minMaxCols)
           .filter(Ivm.lemmaKeep(d.sumCols, d.minMaxCols))
           .withColumn(GK, gkOf(d.groupCols)))
-      // ONE collect for both driver-held key lists (the point-read probe
-      // set and the recompute probe set) — the staged delta is tiny but
-      // every action costs a scheduler round trip
-      val kd = delta.select(col(GK), col("_del")).collect()
-      val keys = kd.map(_.getString(0)).toSeq.sorted
+      // both driver-held key lists (the point-read probe set and the
+      // recompute probe set) read from the STAGED delta's landed files —
+      // zero scheduler round trips in the metadata-sized case
+      val kd = Ivm.deltaKeyFlags(delta, deltaRoot)
+      val keys = kd.map(_._1).sorted
       if (keys.isEmpty)
         // watermark-only metadata commit (e.g. the span was a compact)
         return Versioned.replaceCommit(
@@ -223,21 +223,24 @@ object MaterializedView {
       // extremum evidence — recompute exactly those from the source
       val recomputeKeys =
         if (d.minMaxCols.isEmpty) Nil
-        else kd.filter(_.getInt(1) == 1).map(_.getString(0)).toSeq.sorted
+        else kd.filter(_._2 == 1).map(_._1).sorted
       val incrKeys =
         if (d.minMaxCols.isEmpty) keys
-        else kd.filter(_.getInt(1) == 0).map(_.getString(0)).toSeq
-      val incr = stage(Ivm.mergeIncr(
-        delta.filter(col("_del") === 0 || lit(d.minMaxCols.isEmpty)),
-        old, d.groupCols, d.sumCols, d.minMaxCols, "materialized view"))
-      val recomputed =
+        else kd.filter(_._2 == 0).map(_._1)
+      // the two arms are independent stage landings — submitted
+      // concurrently so the recompute's scan back-fills the incremental
+      // arm's tail (guide §2.6); outcome identical to the sequential order
+      val ((incr, incrRoot), recomputed) = Ivm.inParallel(
+        stage.applyWithRoot(Ivm.mergeIncr(
+          delta.filter(col("_del") === 0 || lit(d.minMaxCols.isEmpty)),
+          old, d.groupCols, d.sumCols, d.minMaxCols, "materialized view")),
         if (recomputeKeys.isEmpty) None
-        else Some(stage(
+        else Some(stage.applyWithRoot(
           aggregated(filtered(Versioned.asOf(spark, d.sourceRoot, vNow), d), d)
-            .filter(col(GK).isin(recomputeKeys: _*))))
+            .filter(col(GK).isin(recomputeKeys: _*)))))
       val (survivors, zeroed, survivorKeys) =
-        Ivm.survivorsAndZeroed(incr, recomputed, recomputeKeys, viewCols(d),
-          incrKeys)
+        Ivm.survivorsAndZeroed(incr, incrRoot, recomputed, recomputeKeys,
+          viewCols(d), incrKeys)
       Versioned.replaceCommit(
         survivors, viewRoot, GK, deleteKeys = zeroed.sorted, props = newProps,
         expectedVersion = viewV, knownKeys = Some(survivorKeys))

@@ -506,10 +506,19 @@ object Versioned {
     * renderings would have to reimplement Spark's spelling and any drift
     * corrupts blooms/tombstones silently.
     */
+  /** One parsed-default Hadoop conf shared by every driver-side parquet
+    * read: `new Configuration()` re-parses the default XML resources each
+    * time — a fixed several-ms tax the per-commit ceremony was paying
+    * once or twice PER FILE. The base is never mutated; reads needing a
+    * projection clone it (the copy constructor copies properties without
+    * re-parsing).
+    */
+  private lazy val driverHadoopConf = new org.apache.hadoop.conf.Configuration()
+
   private def fileColumnsDriver(
       f: File, cols: Seq[String]): Option[Seq[Seq[Option[String]]]] =
     try {
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = driverHadoopConf
       val path = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
       val fileSchema = {
@@ -573,13 +582,56 @@ object Versioned {
       spark: SparkSession,
       stagingPath: String,
       cols: Seq[String]): Option[Map[String, Map[String, Seq[Option[String]]]]] = {
-    val files = Option(new File(stagingPath).listFiles())
-      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+    // an UNLISTABLE staging dir is not an empty one: fall back to the
+    // cluster pass rather than silently emitting zero blooms (today the
+    // staging is always driver-local so this cannot fire, but if that
+    // assumption ever changes the fast path must degrade loudly-correct,
+    // not quietly-unpruned)
+    val listed = Option(new File(stagingPath).listFiles()).getOrElse(return None)
+    val files = listed.filter(_.getName.endsWith(".parquet"))
     if (files.map(_.length).sum > driverScanMaxBytes(spark)) return None
     val out = Map.newBuilder[String, Map[String, Seq[Option[String]]]]
     files.foreach { f =>
       fileColumnsDriver(f, cols) match {
         case Some(perCol) => out += f.getName -> cols.zip(perCol).toMap
+        case None => return None
+      }
+    }
+    Some(out.result())
+  }
+
+  /** Driver-side ROW read of string/integral columns from every parquet
+    * file under `dir` — the staged-relation twin of
+    * [[stagedColumnsDriver]], for refresh machinery whose key/flag
+    * collects consume a relation that is ALREADY landed as local files
+    * ([[Ivm.Stages]]): reading the metadata-sized staged bytes
+    * driver-side replaces a whole scheduler round trip per collect (the
+    * r17 driver-commit-scan discipline — same size cap, same
+    * string/integral-only contract, same fall-back-to-Spark `None`).
+    * Values render exactly like `cast(col AS string)` (strings verbatim,
+    * integral toString); row order is file order and NOT significant —
+    * callers treat the result as a set, exactly like a `collect()`.
+    */
+  private[graft] def stagedLocalRows(
+      spark: SparkSession,
+      dir: String,
+      cols: Seq[String]): Option[Seq[IndexedSeq[Option[String]]]] = {
+    val listed = Option(new File(dir).listFiles()).getOrElse(return None)
+    val files = listed.filter(_.getName.endsWith(".parquet"))
+    if (files.map(_.length).sum > driverScanMaxBytes(spark)) return None
+    val out = Seq.newBuilder[IndexedSeq[Option[String]]]
+    files.foreach { f =>
+      fileColumnsDriver(f, cols) match {
+        case Some(perCol) =>
+          // columns land as Lists — index via arrays, or the row loop
+          // below would be O(rows²) in positional List access
+          val colArr = perCol.map(_.toArray).toArray
+          val n = colArr.headOption.map(_.length).getOrElse(0)
+          var i = 0
+          while (i < n) {
+            out += IndexedSeq.tabulate(colArr.length)(c => colArr(c)(i))
+            i += 1
+          }
         case None => return None
       }
     }
@@ -695,7 +747,7 @@ object Versioned {
         .exists(t => t == LongType || t == IntegerType))) return None
     val files = Option(new File(stagingPath).listFiles())
       .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = driverHadoopConf
     val out = Map.newBuilder[String, Map[String, (Double, Double)]]
     files.foreach { f =>
       val footer =
@@ -1436,6 +1488,19 @@ object Versioned {
     // skip re-running `df` here just to learn its keys. The caller asserts
     // the set equals df's distinct keyCol values rendered as strings; the
     // tombstone locate and the delta blooms below stay exact either way.
+    // The assertion is CHECKED under `spark.graft.verifyKnownKeys` (spec
+    // runs set it): a stale/wrong set would silently mis-place tombstones
+    // (old rows tombstoned but not replaced), so the contract is pinned by
+    // VersionedIdentitySpec seeding every caller with the flag on.
+    knownKeys.filter(_ =>
+      spark.conf.getOption("spark.graft.verifyKnownKeys").contains("true"))
+      .foreach { ks =>
+        val actual = df.select(col(keyCol).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSet
+        require(ks.toSet == actual,
+          s"replaceCommit(knownKeys) diverges from df's key set on $root: " +
+            s"missing=${(actual -- ks).take(5)} extra=${(ks.toSet -- actual).take(5)}")
+      }
     val dfKeys = knownKeys.getOrElse(
       df.select(col(keyCol).cast("string")).distinct()
         .collect().map(_.getString(0)).toSeq)
